@@ -1,0 +1,130 @@
+"""Surrogate-key generation — SURVEY.md §2.4 (K1–K3).
+
+The reference generates keys with in-memory caches and counters
+(etl/utils/cassandra_id_mapper.py); here every key is a deterministic
+function of the input so both outputs of a dual-destination entity (and
+any re-run) agree by construction — no cross-DB sync step (K4) needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import uuid
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+
+# ------------------------------------------------------------------- K1
+@pandas_udf(StringType())
+def uuid5_oid(mongo_id: pd.Series) -> pd.Series:
+    """Deterministic UUID5(NAMESPACE_OID, mongo_id) —
+    etl/utils/cassandra_id_mapper.py:45-71.
+
+    Same input ⇒ same UUID across entities/runs; the keystone the
+    reference validates at scripts/validate_migration.py:234-270.
+    Vectorized pandas UDF (Arrow batches); cannot be a builtin because
+    Spark lacks SHA1-composed RFC-4122 v5 formatting.
+    """
+    return mongo_id.map(
+        lambda s: str(uuid.uuid5(uuid.NAMESPACE_OID, s)) if s is not None else None
+    )
+
+
+# ------------------------------------------------------------------- K2
+@pandas_udf(StringType())
+def timeuuid_deterministic(mongo_id: pd.Series, ts_millis: pd.Series) -> pd.Series:
+    """RFC-4122 v1-format UUID whose 60-bit timestamp comes from
+    ``ts_millis`` and whose clock-seq/node bits are sha1(mongo_id) —
+    etl/utils/cassandra_id_mapper.py:116-138 re-expressed determinis-
+    tically (the reference uses random clock-seq/node; the only property
+    its schema relies on is timestamp-prefix ordering,
+    backups/create_scylla_database.cql:46 — preserved here, plus
+    replayability the reference lacks; SURVEY.md §7.4.2).
+    """
+
+    def one(mid: str | None, ms: float | None) -> str | None:
+        if mid is None or ms is None or pd.isna(ms):
+            return None
+        # 100-ns intervals since 1582-10-15 (RFC 4122 epoch offset).
+        timestamp = int(ms) * 10000 + 0x01B21DD213814000
+        time_low = timestamp & 0xFFFFFFFF
+        time_mid = (timestamp >> 32) & 0xFFFF
+        time_hi_version = ((timestamp >> 48) & 0x0FFF) | (1 << 12)
+        h = hashlib.sha1(mid.encode("utf-8")).digest()
+        clock_seq = ((h[0] & 0x3F) | 0x80) << 8 | h[1]
+        node = int.from_bytes(h[2:8], "big")
+        return str(
+            uuid.UUID(
+                fields=(time_low, time_mid, time_hi_version,
+                        clock_seq >> 8, clock_seq & 0xFF, node)
+            )
+        )
+
+    return pd.Series(
+        [one(m, t) for m, t in zip(mongo_id, ts_millis)], dtype="object"
+    )
+
+
+# ------------------------------------------------------------------- K3
+def assign_sequential_ids(
+    df: DataFrame,
+    order_by: list[Column | str],
+    id_col: str = "id",
+    start: int = 1,
+) -> DataFrame:
+    """Contiguous sequential int ids, deterministic given sort order —
+    etl/utils/cassandra_id_mapper.py:212-230,257-267 (global counter
+    resumed from MAX(id)+1) re-expressed scalably.
+
+    A naive global ``row_number()`` over an un-partitioned window pulls
+    every row through ONE task — unusable at 100 TB. Instead:
+
+    1. range-partition by the ordering key (parallel sort),
+    2. number rows within each partition (no extra shuffle),
+    3. add per-partition offsets computed from partition counts
+       (a tiny driver-side collect of #partitions integers, broadcast
+       back via join on partition id).
+
+    Wall-clock is one range shuffle + one window within partitions —
+    the same cost profile as a distributed sort.
+    """
+    n_part = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    ranged = df.repartitionByRange(int(n_part), *order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    numbered = ranged.withColumn("__rn", F.row_number().over(w))
+    counts = (
+        numbered.groupBy("__pid").agg(F.count("*").alias("__cnt")).collect()
+    )
+    offsets = {}
+    acc = start - 1
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["__cnt"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], ["__pid", "__off"]
+    )
+    return (
+        numbered.join(F.broadcast(off_df), "__pid")
+        .withColumn(id_col, (F.col("__rn") + F.col("__off")).cast("bigint"))
+        .drop("__pid", "__rn", "__off")
+    )
+
+
+def first_wins_dedup(df: DataFrame, key: str, order_by: list[Column | str]) -> DataFrame:
+    """First-wins id-cache semantics (A7) made deterministic —
+    etl/utils/cassandra_id_mapper.py:61-69,89-113 assign on first sight
+    in arrival order; here "first" is defined by an explicit ordering
+    (SURVEY.md §7.4.3)."""
+    w = Window.partitionBy(key).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

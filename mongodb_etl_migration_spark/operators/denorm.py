@@ -1,0 +1,157 @@
+"""Denormalization operators — SURVEY.md §2.5 J4–J8, §2.9.
+
+The reference implements these as driver-side dict probes over rows it
+reads back from its own sinks (etl/orchestrator.py:1106-1471). Here
+each is a pure DataFrame derivation: lazily planned, shuffle-aware, and
+broadcast-friendly, so the same code runs on 100 TB — the "read back
+from Cassandra" step disappears by construction (SURVEY §7.4.5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top1_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """J5/O2: last-message-per-room — etl/orchestrator.py:1266-1276
+    (per-room ``ORDER BY message_id DESC LIMIT 1``).
+
+    Window + row_number: one hash shuffle on the group key, no join.
+    Pass fully-deterministic ``order_by`` (include a unique tiebreaker)
+    so results are replayable. At scale this is the standard
+    "latest-record" pattern; AQE handles group-key skew (a hot room
+    lands in one partition but only its top row survives the filter).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def denormalize(
+    fact: DataFrame,
+    dims: Sequence[tuple[DataFrame, Sequence[str] | Column, str]],
+) -> DataFrame:
+    """J6: rooms_by_user-style wide-row build —
+    etl/orchestrator.py:1235-1407 (participants ⟕ rooms ⟕ last-message
+    ⟕ sender), which the reference does with three pre-fetched dict
+    caches. Each ``dims`` entry is (dim_df, join_on, how).
+
+    Dimension sides are explicitly broadcast — the Spark analogue of the
+    reference's cache preload, but executed as hash joins inside
+    whole-stage codegen. For dimension tables too big to broadcast the
+    caller passes the df pre-bucketed and Catalyst/AQE picks SMJ.
+    """
+    out = fact
+    for dim, on, how in dims:
+        out = out.join(F.broadcast(dim), on, how)
+    return out
+
+
+def pair_generation(
+    members: DataFrame,
+    group_col: str,
+    member_col: str,
+    order_by: Sequence[Column] | None = None,
+) -> DataFrame:
+    """J7: p2p pair table — etl/orchestrator.py:1130-1233.
+
+    Rooms with ≥2 participants emit both orderings of the first two
+    members: (u1,u2,room) and (u2,u1,room); the reference warns and
+    skips rooms with fewer. "First two" is defined by ``order_by``
+    (default: the member value itself) for determinism.
+
+    One shuffle (groupBy room) then a 2-row explode — no self-join, so
+    a hot room with thousands of members costs collect_list of its
+    members but never a quadratic blow-up.
+    """
+    order_by = list(order_by) if order_by else [F.col(member_col)]
+    collected = (
+        members.select(group_col, member_col)
+        .groupBy(group_col)
+        .agg(F.array_sort(F.collect_list(member_col)).alias("__ms"))
+        .filter(F.size("__ms") >= 2)
+    )
+    u1 = F.col("__ms")[0]
+    u2 = F.col("__ms")[1]
+    return (
+        collected.select(
+            F.col(group_col),
+            F.explode(
+                F.array(
+                    F.struct(u1.alias("user1"), u2.alias("user2")),
+                    F.struct(u2.alias("user1"), u1.alias("user2")),
+                )
+            ).alias("__p"),
+        )
+        .select(group_col, "__p.user1", "__p.user2")
+    )
+
+
+def m2m_explode(
+    src: DataFrame,
+    src_key: str,
+    array_col: str,
+    left_ids: DataFrame,
+    right_ids: DataFrame,
+    left_on: str,
+    right_on: str,
+) -> DataFrame:
+    """J4: many-to-many bridge build — etl/orchestrator.py:1002-1104
+    (user.profession[]/entities[] → explode → resolve both sides'
+    surrogate ids; misses dropped ⇒ inner joins).
+
+    ``left_ids``/``right_ids`` are (natural_key → surrogate id) maps;
+    both are broadcast (dimension-sized), so the only shuffle is the
+    explode's narrow dependency — none.
+    """
+    exploded = src.select(
+        F.col(src_key).alias(left_on),
+        F.explode(array_col).alias(right_on),
+    )
+    return exploded.join(F.broadcast(left_ids), left_on, "inner").join(
+        F.broadcast(right_ids), right_on, "inner"
+    )
+
+
+def fanout(base: DataFrame, outputs: dict[str, Sequence[Column]]):
+    """§2.9 multi-output: one scan feeding N projections —
+    etl/orchestrator.py:326-453 (rooms → room_details + organizations +
+    rooms_by_mongo in a single pass).
+
+    Persists the base plan once and returns {name: projected_df}; the
+    caller triggers N actions against the one cached lineage. This is
+    the cache+multi-action idiom replacing the reference's per-batch
+    Python fan-out loops.
+    """
+    base = base.persist()
+    return {name: base.select(*cols) for name, cols in outputs.items()}
+
+
+def merge_update(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    set_cols: Sequence[str],
+) -> DataFrame:
+    """J8: membership-lookup UPDATE — etl/orchestrator.py:1409-1471
+    (per-row UPDATE ... WHERE user_id, room_id) as a join-based merge:
+    matched rows take the update's values, unmatched keep their own.
+    On a Delta/Iceberg sink this compiles to MERGE INTO; expressed here
+    engine-agnostically as a left join + coalesce."""
+    upd = updates.select(
+        *keys, *[F.col(c).alias(f"__u_{c}") for c in set_cols]
+    )
+    out = target.join(upd, list(keys), "left")
+    for c in set_cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"__u_{c}"), F.col(c)))
+    return out.drop(*[f"__u_{c}" for c in set_cols])

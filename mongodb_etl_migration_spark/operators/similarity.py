@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline, plus an
+LSH-bucketed (random-hyperplane/SimHash-for-vectors) variant as the
+scale path. All vector math is built-in higher-order functions
+(zip_with/aggregate) on doubles — JVM-side, no Python, and expressible
+in the DuckDB oracle for verification.
+
+Scale notes (100 TB of embeddings):
+- brute force is a full scan per query — fine for one-off queries,
+  linear in corpus size, embarrassingly parallel, zero shuffle.
+- hyperplane LSH: bucket assignment is a narrow map; a query probes
+  only its bucket (a partition-pruned fraction of the corpus). With
+  the bucket column as a partition key on disk, Spark prunes files —
+  the IVF idea expressed with Spark-native partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dvec(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def lit_vec(v: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)).cast("double") for x in v])
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k: scan + per-row cosine + global top-k.
+    orderBy+limit compiles to TakeOrderedAndProject — a per-partition
+    heap and a k-row driver merge, NOT a full sort/shuffle."""
+    q = lit_vec(query_vec)
+    return (
+        emb.select(
+            F.col(id_col),
+            F.round(cosine(_dvec(vec_col), q), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_bucket(
+    vec_col: Column | str, planes: Sequence[Sequence[float]]
+) -> Column:
+    """LSH bucket id: sign bit of the dot product against each plane,
+    concatenated ('110…'). Deterministic given the planes."""
+    v = _dvec(vec_col)
+    bits = [
+        F.when(dot(v, lit_vec(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def ann_topk_lsh(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    planes: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's hyperplane bucket.
+    With ``bucket`` as a physical partition column the scan prunes to
+    1/2^planes of the corpus."""
+    bucketed = emb.withColumn("bucket", hyperplane_bucket(vec_col, planes))
+    qrow_bits = []
+    import math
+
+    for p in planes:
+        s = sum(float(a) * float(b) for a, b in zip(query_vec, p))
+        qrow_bits.append("1" if s >= 0 else "0")
+    qbucket = "".join(qrow_bits)
+    return (
+        bucketed.filter(F.col("bucket") == qbucket)
+        .select(
+            F.col(id_col),
+            F.round(cosine(_dvec(vec_col), lit_vec(query_vec)), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    planes: Sequence[Sequence[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked: self-join
+    within hyperplane buckets only, then exact cosine filter. The
+    bucket key bounds the quadratic pair space."""
+    b = emb.select(
+        F.col(id_col),
+        _dvec(vec_col).alias("v"),
+        hyperplane_bucket(vec_col, planes).alias("bucket"),
+    )
+    left = b.select(
+        F.col("bucket"), F.col(id_col).alias("id_a"), F.col("v").alias("va")
+    )
+    right = b.select(
+        F.col("bucket"), F.col(id_col).alias("id_b"), F.col("v").alias("vb")
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (norm(F.col("va")) * norm(F.col("vb"))),
+                4,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

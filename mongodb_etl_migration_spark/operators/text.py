@@ -1,0 +1,125 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond-reference extensions (BASELINE.json north star): language ID,
+quality scoring, token counting, fingerprinting — all pure JVM Column
+expressions (no Python UDFs), so they vectorize inside whole-stage
+codegen and scale linearly with input splits (no shuffle at all for
+per-document scores).
+
+Hashing is md5 (lowercase hex) everywhere so results are reproducible
+across engines (the DuckDB oracle computes the identical value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+# Tiny deterministic marker lists for the n-gram/stopword language
+# heuristic. Real pipelines plug fastText/CLD3 here; the heuristic is
+# the Spark-side plumbing pattern (pure columnar, no UDF).
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens(c: Column | str) -> Column:
+    """Lowercased word tokens via regexp — the whitespace+BPE-ish
+    tokenizer's first stage."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
+
+
+def token_count(c: Column | str) -> Column:
+    """Token count (whitespace/regex tokenizer)."""
+    return F.size(tokens(c))
+
+
+def approx_bpe_token_count(c: Column | str) -> Column:
+    """Cheap BPE-token estimate: ceil(chars/4) blended with word count —
+    the standard serving-side heuristic (chars/4 ≈ GPT-ish tokens)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.ceil(F.length(col) / F.lit(4.0)).cast("bigint")
+
+
+def stopword_ratio(c: Column | str) -> Column:
+    toks = tokens(c)
+    stops = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.when(F.size(toks) > 0, F.size(stops) / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(c: Column | str) -> Column:
+    """Share of alphanumeric+space characters — punctuation/noise gauge."""
+    col = F.col(c) if isinstance(c, str) else c
+    clean = F.regexp_replace(F.lower(col), "[^a-z0-9 ]", "")
+    return F.when(F.length(col) > 0, F.length(clean) / F.length(col)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def mean_token_len(c: Column | str) -> Column:
+    toks = tokens(c)
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(c: Column | str) -> Column:
+    """Composite [0,1] quality score: length saturation + stopword
+    presence + alphanumeric cleanliness + plausible word lengths.
+    Fixed weights so the score is stable engine-to-engine."""
+    n = token_count(c).cast("double")
+    len_component = F.least(n / F.lit(50.0), F.lit(1.0))
+    stop_component = F.least(stopword_ratio(c) * F.lit(3.0), F.lit(1.0))
+    alpha_component = alpha_ratio(c)
+    mtl = mean_token_len(c)
+    word_component = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    return F.round(
+        F.lit(0.3) * len_component
+        + F.lit(0.2) * stop_component
+        + F.lit(0.3) * alpha_component
+        + F.lit(0.2) * word_component,
+        4,
+    )
+
+
+def lang_scores(c: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts."""
+    toks = tokens(c)
+    return {
+        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(c: Column | str) -> Column:
+    """Argmax language with deterministic tie-break: the first language
+    (in sorted code order) whose score equals the max wins — the same
+    CASE-WHEN chain the SQL oracle writes."""
+    scores = lang_scores(c)
+    langs = sorted(scores)
+    top = F.greatest(*[scores[lang] for lang in langs])
+    expr: Column | None = None
+    for lang in langs[:-1]:
+        w = F.when(scores[lang] == top, F.lit(lang))
+        expr = w if expr is None else expr.when(scores[lang] == top, F.lit(lang))
+    return expr.otherwise(F.lit(langs[-1]))
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Canonical document fingerprint: md5 over the sorted distinct
+    token set — robust to word order/duplication (near-canonical form
+    used for clustering-style dedup)."""
+    toks = tokens(c)
+    canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    return F.md5(canon)

@@ -1,0 +1,48 @@
+"""Validation-suite operators — SURVEY.md §5 / §2.5 J10–J11.
+
+The reference's scripts/validate_migration.py runs 14 end-to-end checks
+as SQL/CQL against its sinks; these are the same checks as reusable
+DataFrame derivations over the engine's outputs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def orphan_check(
+    child: DataFrame, parent: DataFrame, child_fk: str, parent_key: str
+) -> DataFrame:
+    """J10: NOT-EXISTS orphan rows — validate_migration.py:594-641.
+    Left-anti join; returns the orphan child rows (count() it for the
+    pass/fail gate)."""
+    keys = parent.select(F.col(parent_key).alias(child_fk)).distinct()
+    return child.join(keys, child_fk, "left_anti")
+
+
+def set_membership_violations(
+    facts: DataFrame, dim: DataFrame, key: str
+) -> DataFrame:
+    """J11/U1: distinct fact keys missing from the dimension —
+    validate_migration.py:183-228 (message room_ids ⊆ room_details)."""
+    return (
+        facts.select(key).distinct().join(dim.select(key).distinct(), key, "left_anti")
+    )
+
+
+def count_reconciliation(
+    source_count: int, target_count: int, tolerance: float = 0.05
+) -> bool:
+    """A1: record-count gate with tolerance —
+    validate_migration.py:50-131 (5% default, 10% docs)."""
+    if source_count == 0:
+        return target_count == 0
+    return target_count >= source_count * (1 - tolerance)
+
+
+def group_count(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """A2: group-by counts — validate_migration.py:656-658."""
+    return df.groupBy(*cols).agg(F.count("*").alias("cnt"))

@@ -1,0 +1,56 @@
+"""Sinks — SURVEY.md §2.1 S6–S12.
+
+Parquet writes stand in for the reference's PostgreSQL COPY
+(etl/loaders/postgres_loader.py:165-226) and Cassandra batch loader
+(etl/loaders/cassandra_loader.py:81-268). The adaptive batch sizing /
+retry machinery of the reference is connector-side concern in Spark
+(task retry + connector batching); what the engine owns is layout:
+partitioning and in-partition clustering.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_table(
+    df: DataFrame, path: str, mode: str = "overwrite", fmt: str = "parquet"
+) -> None:
+    """S6/S11: bulk write; overwrite = the truncate-then-load pattern
+    (scripts/truncate_all_tables.py)."""
+    df.write.format(fmt).mode(mode).save(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    partition_key: str,
+    cluster_by: Sequence[Column],
+    mode: str = "overwrite",
+) -> None:
+    """O4: Cassandra-style (partition key, clustering order) layout —
+    e.g. messages_by_room PRIMARY KEY ((room_id), message_id DESC)
+    (backups/create_scylla_database.cql:21-46) — as hash-distributed
+    files sorted within partitions. Readers scanning one key touch one
+    partition's files; range reads are sequential thanks to the sort."""
+    (
+        df.repartition(F.col(partition_key))
+        .sortWithinPartitions(*cluster_by)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def align_to_schema(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """S12 additive schema evolution: project onto the target column
+    list, adding NULLs for new columns — the engine-side equivalent of
+    SchemaManager's ALTER TABLE ADD COLUMN IF NOT EXISTS
+    (etl/utils/schema_manager.py:16-266)."""
+    existing = set(df.columns)
+    cols = [
+        F.col(c) if c in existing else F.lit(None).alias(c) for c in columns
+    ]
+    return df.select(*cols)
