@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -38,14 +39,30 @@ class Catalog:
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
         self._cache: dict[str, DataFrame] = {}
+        # Normalize semantics even under a session we didn't build
+        # (the harness may pass its own): UTC instants and
+        # nanos-precision parquet timestamps (events.ts is
+        # TIMESTAMP(NANOS), which Spark can only read as long).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def table(self, name: str) -> DataFrame:
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; have {TABLES}")
         if name not in self._cache:
-            self._cache[name] = self.spark.read.parquet(
-                f"{self.sf_dir}/{name}.parquet"
-            )
+            df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+            if name == "events":
+                # nanos-long → microsecond timestamp_ntz (matches how
+                # DuckDB/pandas surface the same column).
+                # integer `div`, NOT `/`: epoch-nanos exceed double's
+                # 53-bit mantissa, so float division drifts by ~256ns.
+                df = df.withColumn(
+                    "ts",
+                    F.timestamp_micros(F.expr("ts div 1000")).cast(
+                        "timestamp_ntz"
+                    ),
+                )
+            self._cache[name] = df
         return self._cache[name]
 
     def __getattr__(self, name: str) -> DataFrame:

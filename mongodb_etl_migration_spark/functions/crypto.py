@@ -120,6 +120,25 @@ def salsa20_encrypt_str(key: str, iv: str, plaintext: str) -> str:
     return base64.b64encode(raw).decode("ascii")
 
 
+def make_salsa20_encrypt_udf(key: str, iv: str):
+    """Vectorized Salsa20 encrypt column — fixture/builder twin of the
+    decrypt UDF (used to synthesize encrypted corpora in tests and the
+    crypto demo query; the reference only ever decrypts Salsa20)."""
+    kb, nb = prepare_salsa_key(key), prepare_salsa_iv(iv)
+
+    @pandas_udf(StringType())
+    def _encrypt(col: pd.Series) -> pd.Series:
+        def one(v: str | None) -> str | None:
+            if v is None:
+                return None
+            raw = salsa20_xor(kb, nb, v.encode("utf-8"))
+            return base64.b64encode(raw).decode("ascii")
+
+        return col.map(one)
+
+    return _encrypt
+
+
 def make_salsa20_decrypt_udf(key: str, iv: str):
     """Vectorized Salsa20 decrypt column — F22 (encryption.py:20-91)."""
     kb, nb = prepare_salsa_key(key), prepare_salsa_iv(iv)

@@ -93,11 +93,15 @@ def quality_score(c: Column | str) -> Column:
     )
 
 
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
 def lang_scores(c: Column | str) -> dict[str, Column]:
     """Per-language marker-hit counts."""
     toks = tokens(c)
     return {
-        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
+        lang: _marker_hits(toks, markers)
         for lang, markers in LANG_MARKERS.items()
     }
 

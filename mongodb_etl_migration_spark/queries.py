@@ -1,0 +1,1345 @@
+"""Query catalog: one named query per SURVEY.md §2 operator (plus the
+training-data extensions), each with a DuckDB oracle twin.
+
+This is the driver-facing correctness surface (__spark_entry__.py
+imports it). Conventions enforced throughout:
+
+- every computed column is aliased IDENTICALLY in the Spark plan and
+  the oracle SQL (the driver sorts columns by name and value-hashes);
+- hashing is md5 (same lowercase hex in both engines); "min" choices
+  are lexicographic; floating aggregates are either cast to DECIMAL
+  before summing (exact, order-independent) or rounded after;
+- no wall-clock, no RNG — every derivation is a pure function of the
+  input tables, so runs are replayable (SURVEY §7.4.7).
+
+Registry:  QUERIES[name] -> (spark, sf_dir) -> DataFrame
+           ORACLES[name] -> ANSI SQL string (absent ⇒ rows-only check)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongodb_etl_migration_spark.catalog import Catalog
+from mongodb_etl_migration_spark.functions import crypto as X
+from mongodb_etl_migration_spark.functions import keys as K
+from mongodb_etl_migration_spark.functions import scalars as S
+from mongodb_etl_migration_spark.operators import (
+    dedup as D,
+    denorm as DN,
+    hierarchy as H,
+    multimodal as M,
+    similarity as SIM,
+    text as T,
+    validation as V,
+)
+from mongodb_etl_migration_spark.streaming.incremental import windowed_event_counts
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# §2.1 Scans
+# =====================================================================
+
+@query(
+    "s1_filtered_scan",
+    """
+    SELECT l_orderkey, l_partkey, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_returnflag = 'R'
+    """,
+)
+def s1_filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: predicate-pushdown scan (mongo find() analogue,
+    mongo_extractor.py:28-103). .explain shows PushedFilters on the
+    parquet scan."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-06-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate")
+
+
+_IN_KEYS = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377, 610, 987]
+
+
+@query(
+    "s3_point_in_scan",
+    f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey IN ({", ".join(map(str, _IN_KEYS))})
+    """,
+)
+def s3_point_in_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: point/IN scan — mongo_extractor.py:239-279."""
+    o = Catalog(spark, sf_dir).orders
+    return o.filter(F.col("o_orderkey").isin(_IN_KEYS)).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@query(
+    "s4_source_count",
+    """
+    SELECT count(*) AS cnt FROM events
+    WHERE event_type = 'click' AND value > 10
+    """,
+)
+def s4_source_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: filtered source count — mongo_extractor.py:170-193."""
+    e = Catalog(spark, sf_dir).events
+    return e.filter((F.col("event_type") == "click") & (F.col("value") > 10)).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+# =====================================================================
+# §2.2 Predicates / projections
+# =====================================================================
+
+@query(
+    "p4_message_predicate",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    WHERE event_type NOT IN ('error', 'signup')
+      AND (value IS NULL OR value >= 20)
+    """,
+)
+def p4_message_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P5: the banned-type + missing-counts-as-active predicate with
+    tri-valued NULL semantics — mongo_extractor.py:56-72 (SURVEY
+    §7.4.6)."""
+    e = Catalog(spark, sf_dir).events
+    return e.filter(
+        ~F.col("event_type").isin("error", "signup")
+        & (F.col("value").isNull() | (F.col("value") >= 20))
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "p2_coalesce_projection",
+    """
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, ''), 'UNKNOWN') AS segment,
+           coalesce(nullif(upper(c_name), ''), 'Customer#unknown') AS display_name
+    FROM customer
+    """,
+)
+def p2_coalesce_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: declarative projection with drift-coalescing accessors —
+    field_mapper.py:18-354 (doc.get(a) or doc.get(b))."""
+    c = Catalog(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        S.coalesce_nonempty("c_mktsegment").alias("segment_raw"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("")), F.lit("UNKNOWN")).alias(
+            "segment"
+        ),
+        F.coalesce(
+            F.nullif(F.upper(F.col("c_name")), F.lit("")), F.lit("Customer#unknown")
+        ).alias("display_name"),
+    ).select("c_custkey", "segment", "display_name")
+
+
+@query(
+    "p7_filter_then_project",
+    """
+    SELECT o_orderkey, upper(o_orderpriority) AS priority,
+           round(CAST(o_totalprice AS DECIMAL(18,2)) * 0.9, 2) AS discounted
+    FROM orders WHERE o_orderstatus <> 'F'
+    """,
+)
+def p7_filter_then_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: sentinel-drop transforms hoisted into filter-before-project
+    (data_transformer.py:79-81 returns None ⇒ drop; SURVEY §7.4.4).
+    The discount math runs in DECIMAL: double rounding at the .005
+    boundary is engine-dependent, decimal arithmetic is exact."""
+    o = Catalog(spark, sf_dir).orders
+    return o.filter(F.col("o_orderstatus") != "F").select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("priority"),
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("0.9").cast("decimal(2,1)"),
+            2,
+        ).alias("discounted"),
+    )
+
+
+# =====================================================================
+# §2.3 Scalar functions
+# =====================================================================
+
+@query(
+    "f_string_normalize",
+    """
+    SELECT c_custkey,
+           lower(trim(c_name)) AS email_norm,
+           regexp_replace(c_name, '[^0-9]', '', 'g') AS phone_pg,
+           CASE WHEN length(regexp_replace(c_name, '[^0-9]', '', 'g')) > 0
+                THEN '+' || regexp_replace(c_name, '[^0-9]', '', 'g')
+                ELSE regexp_replace(c_name, '[^0-9]', '', 'g') END AS phone_cass,
+           CASE WHEN length(regexp_replace(upper(c_name), '[^A-Z0-9]', '', 'g')) >= 7
+                THEN CASE WHEN substr(regexp_replace(upper(c_name), '[^A-Z0-9]', '', 'g'), 1, 1) IN ('V','E','J','G','P')
+                          THEN substr(regexp_replace(upper(c_name), '[^A-Z0-9]', '', 'g'), 1, 1) || '-' ||
+                               substr(regexp_replace(upper(c_name), '[^A-Z0-9]', '', 'g'), 2)
+                          ELSE 'V-' || regexp_replace(upper(c_name), '[^A-Z0-9]', '', 'g') END
+                ELSE regexp_replace(upper(c_name), '[^A-Z0-9]', '', 'g') END AS dni
+    FROM customer
+    """,
+)
+def f_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F3: email, phone (both destinations' forms), DNI —
+    data_transformer.py:222-236, validators.py:191-215."""
+    c = Catalog(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        S.email_normalize("c_name").alias("email_norm"),
+        S.phone_digits("c_name").alias("phone_pg"),
+        S.phone_e164ish("c_name").alias("phone_cass"),
+        S.dni_format("c_name").alias("dni"),
+    )
+
+
+@query(
+    "f_gender_room_type",
+    """
+    SELECT c_custkey,
+           CASE g WHEN 'Masculino' THEN 'M' WHEN 'Femenino' THEN 'F'
+                  WHEN 'M' THEN 'M' WHEN 'F' THEN 'F' ELSE '' END AS gender,
+           CASE WHEN c_custkey % 7 = 0 THEN 'broadcast'
+                WHEN c_custkey % 3 = 0 THEN 'group'
+                ELSE 'p2p' END AS room_type
+    FROM (SELECT c_custkey,
+                 CASE c_custkey % 5 WHEN 0 THEN 'Masculino' WHEN 1 THEN 'Femenino'
+                      WHEN 2 THEN 'M' WHEN 3 THEN 'F' ELSE 'otro' END AS g
+          FROM customer) t
+    """,
+)
+def f_gender_room_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F8: enumerated-value normalization chains —
+    data_transformer.py:246-253, field_mapper.py:360-368. Input codes
+    derived deterministically from c_custkey."""
+    c = Catalog(spark, sf_dir).customer
+    g = (
+        F.when(F.col("c_custkey") % 5 == 0, "Masculino")
+        .when(F.col("c_custkey") % 5 == 1, "Femenino")
+        .when(F.col("c_custkey") % 5 == 2, "M")
+        .when(F.col("c_custkey") % 5 == 3, "F")
+        .otherwise("otro")
+    )
+    return c.select(
+        "c_custkey",
+        S.gender_normalize(g).alias("gender"),
+        S.room_type(F.col("c_custkey") % 7 == 0, F.col("c_custkey") % 3 == 0).alias(
+            "room_type"
+        ),
+    )
+
+
+@query(
+    "f_url_rewrite",
+    """
+    SELECT doc_id,
+           regexp_replace(
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'gs://sibci-devel.appspot.com/files/' || source || '/' || doc_id || '.bin'
+                  WHEN doc_id % 3 = 1
+                  THEN 'gs://sibci-2f7fc.appspot.com/' || source || '/' || doc_id || '.bin'
+                  ELSE 'https://cdn.example.com/' || source || '/' || doc_id || '.bin' END,
+             'gs://sibci-(devel|2f7fc)\\.appspot\\.com/?', 'siscom_old/', 'g') AS url
+    FROM documents
+    """,
+)
+def f_url_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: legacy GCS bucket prefix rewrite — field_mapper.py:370-390."""
+    d = Catalog(spark, sf_dir).documents
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("gs://sibci-devel.appspot.com/files/"),
+                F.col("source"), F.lit("/"), F.col("doc_id"), F.lit(".bin"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("gs://sibci-2f7fc.appspot.com/"),
+                F.col("source"), F.lit("/"), F.col("doc_id"), F.lit(".bin"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://cdn.example.com/"),
+                F.col("source"), F.lit("/"), F.col("doc_id"), F.lit(".bin"),
+            )
+        )
+    )
+    return d.select("doc_id", S.bucket_url_rewrite(url).alias("url"))
+
+
+@query(
+    "f_path_functions",
+    """
+    SELECT doc_id, path,
+           CASE WHEN path = '/' THEN 0
+                ELSE length(path) - length(replace(path, '/', '')) END AS depth,
+           CASE WHEN regexp_replace(path, '/[^/]+$', '') = '' THEN '/'
+                ELSE regexp_replace(path, '/[^/]+$', '') END AS parent,
+           CASE WHEN path = '/' THEN '/leaf' ELSE path || '/leaf' END AS child_path
+    FROM (SELECT doc_id, '/' || source || '/' || lang AS path FROM documents)
+    """,
+)
+def f_path_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16/F17: materialized-path depth / parent / join —
+    orchestrator.py:778-783,839-844."""
+    d = Catalog(spark, sf_dir).documents
+    path = F.concat(F.lit("/"), F.col("source"), F.lit("/"), F.col("lang"))
+    return d.select(
+        "doc_id",
+        path.alias("path"),
+        S.path_depth(path).alias("depth"),
+        S.parent_path(path).alias("parent"),
+        S.full_path(path, F.lit("leaf")).alias("child_path"),
+    )
+
+
+@query(
+    "f_mime_and_defaults",
+    """
+    SELECT doc_id, file_type, file_url,
+           CASE WHEN file_type = 'IMAGEN' THEN 'image/png'
+                WHEN file_type = 'VIDEO' THEN 'video/mp4'
+                WHEN file_type = 'AUDIO' THEN 'audio/mp3'
+                WHEN file_type = 'DOCUMENTO' AND lower(file_url) LIKE '%.pdf'
+                     THEN 'application/pdf'
+                ELSE NULL END AS mime_type,
+           coalesce(nullif(CASE WHEN doc_id % 4 = 0 THEN '' ELSE CAST(doc_id % 97 AS VARCHAR) END, ''), '0') AS key_int,
+           upper(coalesce(CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 'member' END, 'member')) AS role,
+           regexp_replace('USER' || '_ROLE', '_ROLE$', '') AS role_name,
+           CAST(doc_id AS VARCHAR) || '_' || source AS lineage_key
+    FROM (SELECT doc_id, source,
+                 CASE doc_id % 5 WHEN 0 THEN 'IMAGEN' WHEN 1 THEN 'VIDEO'
+                      WHEN 2 THEN 'AUDIO' WHEN 3 THEN 'DOCUMENTO' ELSE 'OTRO' END AS file_type,
+                 CASE WHEN doc_id % 2 = 0 THEN 'file_' || doc_id || '.pdf'
+                      ELSE 'file_' || doc_id || '.docx' END AS file_url
+          FROM documents)
+    """,
+)
+def f_mime_and_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18–F21, F27: mime derivation, keyInt default, role cleanup,
+    composite lineage keys — data_transformer.py:425-444,
+    validators.py:158-163, id_mapper.py:110-117, orchestrator.py:1076."""
+    d = Catalog(spark, sf_dir).documents
+    file_type = (
+        F.when(F.col("doc_id") % 5 == 0, "IMAGEN")
+        .when(F.col("doc_id") % 5 == 1, "VIDEO")
+        .when(F.col("doc_id") % 5 == 2, "AUDIO")
+        .when(F.col("doc_id") % 5 == 3, "DOCUMENTO")
+        .otherwise("OTRO")
+    )
+    file_url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("file_"), F.col("doc_id"), F.lit(".pdf")),
+    ).otherwise(F.concat(F.lit("file_"), F.col("doc_id"), F.lit(".docx")))
+    key_int_src = F.when(F.col("doc_id") % 4 == 0, "").otherwise(
+        (F.col("doc_id") % 97).cast("string")
+    )
+    role_src = F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string")).otherwise(
+        F.lit("member")
+    )
+    base = d.select(
+        "doc_id", "source",
+        file_type.alias("file_type"), file_url.alias("file_url"),
+        key_int_src.alias("key_int_src"), role_src.alias("role_src"),
+    )
+    return base.select(
+        "doc_id", "file_type", "file_url",
+        S.mime_from_filetype("file_type", "file_url").alias("mime_type"),
+        S.keyint_default("key_int_src").alias("key_int"),
+        S.upper_role("role_src").alias("role"),
+        S.role_name_normalize(F.lit("USER_ROLE")).alias("role_name"),
+        S.composite_key(F.col("doc_id").cast("string"), "source").alias("lineage_key"),
+    )
+
+
+@query(
+    "f_deleted_user_redaction",
+    """
+    SELECT c_custkey,
+           CASE WHEN active THEN name ELSE 'Deleted User' END AS name,
+           CASE WHEN active THEN email ELSE '' END AS email,
+           CASE WHEN active THEN NULL ELSE name END AS deleted_name,
+           CASE WHEN active THEN NULL ELSE email END AS deleted_email
+    FROM (SELECT c_custkey, c_custkey % 10 <> 0 AS active,
+                 c_name AS name, lower(c_name) || '@example.com' AS email
+          FROM customer)
+    """,
+)
+def f_deleted_user_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F28: conditional multi-column redaction of soft-deleted users —
+    data_transformer.py:255-272."""
+    c = Catalog(spark, sf_dir).customer
+    active = F.col("c_custkey") % 10 != 0
+    name = F.col("c_name")
+    email = F.concat(F.lower(F.col("c_name")), F.lit("@example.com"))
+    return c.select(
+        "c_custkey",
+        F.when(active, name).otherwise(F.lit("Deleted User")).alias("name"),
+        F.when(active, email).otherwise(F.lit("")).alias("email"),
+        F.when(active, F.lit(None).cast("string")).otherwise(name).alias("deleted_name"),
+        F.when(active, F.lit(None).cast("string")).otherwise(email).alias("deleted_email"),
+    )
+
+
+@query(
+    "f_json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, 'k') AS BIGINT) AS prop_k
+    FROM events
+    """,
+)
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: JSON field extraction from a string payload column —
+    field_mapper.py:449-459 (to_json/from_json surface)."""
+    e = Catalog(spark, sf_dir).events
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
+# =====================================================================
+# §2.4 Keys
+# =====================================================================
+
+@query("k1_uuid5")  # no SQL oracle: DuckDB 1.0 lacks sha1 (rows-only check);
+def k1_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: deterministic UUID5 surrogate keys
+    (cassandra_id_mapper.py:45-71). Unit-tested against Python's
+    uuid.uuid5 vectors in tests/test_keys.py; the determinism property
+    (re-derivation equality, validate_migration.py:234-270) is asserted
+    inside tests as well."""
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        K.uuid5_oid(F.concat(F.col("source"), F.lit(":"), F.col("doc_id"))).alias(
+            "row_uuid"
+        ),
+    )
+
+
+@query("k2_timeuuid")  # no SQL oracle (UUID bit-layout not SQL-expressible)
+def k2_timeuuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: deterministic TimeUUIDs from (mongo_id, created_at) —
+    cassandra_id_mapper.py:116-138. Temporal-prefix ordering is
+    asserted in tests/test_keys.py."""
+    e = Catalog(spark, sf_dir).events
+    return e.select(
+        "event_id",
+        K.timeuuid_deterministic(
+            F.col("event_id").cast("string"),
+            F.unix_millis(F.col("ts").cast("timestamp")),
+        ).alias("message_uuid"),
+    )
+
+
+@query(
+    "k3_sequential_ids",
+    """
+    SELECT c_custkey, row_number() OVER (ORDER BY c_name) AS seq_id
+    FROM customer
+    """,
+)
+def k3_sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: contiguous sequential ids without a single-task global
+    window — cassandra_id_mapper.py:212-230 re-expressed as
+    range-partition + per-partition numbering + offsets."""
+    c = Catalog(spark, sf_dir).customer
+    return K.assign_sequential_ids(c, ["c_name"], "seq_id").select(
+        "c_custkey", "seq_id"
+    )
+
+
+# =====================================================================
+# §2.5 Joins
+# =====================================================================
+
+@query(
+    "j1_fk_resolution",
+    """
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, n.n_name, r.r_name
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def j1_fk_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: FK-resolution chain as broadcast left joins (miss ⇒ NULL) —
+    the IDMapper dict-cache (id_mapper.py:22-92) as Catalyst
+    broadcast-hash-joins."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders
+        .join(F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"), "left")
+        .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"), "left")
+        .select("o_orderkey", "o_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@query(
+    "j3_normalized_key_join",
+    """
+    WITH dim AS (
+      SELECT c_mktsegment AS seg_name,
+             row_number() OVER (ORDER BY c_mktsegment) AS seg_id
+      FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    )
+    SELECT c.c_custkey, d.seg_id
+    FROM (SELECT c_custkey, c_mktsegment || '_ROLE' AS role_ref FROM customer) c
+    LEFT JOIN dim d ON regexp_replace(c.role_ref, '_ROLE$', '') = d.seg_name
+    """,
+)
+def j3_normalized_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: join on a normalized key (strip _ROLE suffix) —
+    id_mapper.py:98-136 + F19."""
+    c = Catalog(spark, sf_dir).customer
+    dim = K.assign_sequential_ids(
+        c.select("c_mktsegment").distinct(), ["c_mktsegment"], "seg_id"
+    ).select(F.col("c_mktsegment").alias("seg_name"), "seg_id")
+    left = c.select(
+        "c_custkey", F.concat(F.col("c_mktsegment"), F.lit("_ROLE")).alias("role_ref")
+    )
+    return left.join(
+        F.broadcast(dim),
+        S.role_name_normalize(F.col("role_ref")) == F.col("seg_name"),
+        "left",
+    ).select("c_custkey", "seg_id")
+
+
+@query(
+    "j4_m2m_explode",
+    """
+    SELECT DISTINCT c.c_custkey, p.p_partkey, p.p_brand
+    FROM customer c
+    CROSS JOIN unnest([ (c.c_custkey * 2) % 200,
+                        (c.c_custkey * 3) % 200,
+                        (c.c_custkey * 5) % 200 ]) AS t(ref)
+    JOIN part p ON p.p_partkey = t.ref
+    """,
+)
+def j4_m2m_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: array-valued reference → explode → resolve ids (inner joins
+    drop misses) — orchestrator.py:1002-1104. The array column is
+    synthesized deterministically from c_custkey."""
+    cat = Catalog(spark, sf_dir)
+    c = cat.customer
+    refs = F.array(
+        (F.col("c_custkey") * 2) % 200,
+        (F.col("c_custkey") * 3) % 200,
+        (F.col("c_custkey") * 5) % 200,
+    )
+    exploded = c.select("c_custkey", F.explode(refs).alias("ref"))
+    return (
+        exploded.join(
+            F.broadcast(cat.part), F.col("ref") == F.col("p_partkey"), "inner"
+        )
+        .select("c_custkey", "p_partkey", "p_brand")
+        .distinct()
+    )
+
+
+@query(
+    "j5_top1_per_group",
+    """
+    SELECT o_custkey, o_orderkey AS last_orderkey,
+           o_orderdate AS last_orderdate, o_totalprice AS last_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+)
+def j5_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/O2: top-1-per-group (last message per room) —
+    orchestrator.py:1266-1276 as a window, not a join."""
+    o = Catalog(spark, sf_dir).orders
+    return DN.top1_per_group(
+        o, ["o_custkey"], [F.desc("o_orderdate"), F.desc("o_orderkey")]
+    ).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+
+
+@query(
+    "j6_denormalized_view",
+    """
+    WITH last_order AS (
+      SELECT o_custkey, o_orderkey AS last_orderkey,
+             o_orderdate AS last_orderdate, o_totalprice AS last_totalprice
+      FROM orders
+      QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    )
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment, n.n_name AS nation,
+           lo.last_orderkey, lo.last_orderdate, lo.last_totalprice
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN last_order lo ON lo.o_custkey = c.c_custkey
+    """,
+)
+def j6_denormalized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: rooms_by_user-style denormalized wide view (entity ⟕ dims ⟕
+    last-event) — orchestrator.py:1235-1407. The engine's flagship
+    query (entry())."""
+    cat = Catalog(spark, sf_dir)
+    last = DN.top1_per_group(
+        cat.orders, ["o_custkey"], [F.desc("o_orderdate"), F.desc("o_orderkey")]
+    ).select(
+        F.col("o_custkey"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+    return DN.denormalize(
+        cat.customer,
+        [
+            (cat.nation.select(F.col("n_nationkey").alias("c_nationkey"),
+                               F.col("n_name").alias("nation")),
+             ["c_nationkey"], "left"),
+        ],
+    ).join(
+        last, F.col("o_custkey") == F.col("c_custkey"), "left"
+    ).select(
+        "c_custkey", "c_name", "c_mktsegment", "nation",
+        "last_orderkey", "last_orderdate", "last_totalprice",
+    )
+
+
+@query(
+    "j7_pair_generation",
+    """
+    WITH firsts AS (
+      SELECT user_id, list(event_id ORDER BY event_id) AS evs
+      FROM (SELECT DISTINCT user_id, event_id FROM events)
+      GROUP BY user_id HAVING count(*) >= 2
+    )
+    SELECT user_id, evs[1] AS user1, evs[2] AS user2 FROM firsts
+    UNION ALL
+    SELECT user_id, evs[2] AS user1, evs[1] AS user2 FROM firsts
+    """,
+)
+def j7_pair_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: p2p pair table — both orderings of the first two members of
+    each group — orchestrator.py:1130-1233."""
+    e = Catalog(spark, sf_dir).events
+    return DN.pair_generation(e, "user_id", "event_id").select(
+        "user_id", "user1", "user2"
+    )
+
+
+@query(
+    "j9_hierarchy_resolution",
+    """
+    WITH folders AS (
+      SELECT DISTINCT '/' || source AS path, 1 AS depth FROM documents
+      UNION
+      SELECT DISTINCT '/' || source || '/' || lang AS path, 2 AS depth FROM documents
+    ), ids AS (
+      SELECT path, depth,
+             CAST(row_number() OVER (ORDER BY depth, path) AS BIGINT) AS folder_id,
+             CASE WHEN depth = 1 THEN '/'
+                  ELSE regexp_replace(path, '/[^/]+$', '') END AS parent_path
+      FROM folders
+    )
+    SELECT i.path, i.depth, i.folder_id,
+           coalesce(p.folder_id, 0) AS parent_id
+    FROM ids i LEFT JOIN ids p ON i.parent_path = p.path
+    """,
+)
+def j9_hierarchy_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: iterative materialized-path resolution (driver loop over
+    depth levels; no recursive CTE in Spark) —
+    orchestrator.py:743-1000. Folder tree synthesized from
+    documents(source, lang)."""
+    d = Catalog(spark, sf_dir).documents
+    lvl1 = d.select(F.concat(F.lit("/"), F.col("source")).alias("path"))
+    lvl2 = d.select(
+        F.concat(F.lit("/"), F.col("source"), F.lit("/"), F.col("lang")).alias("path")
+    )
+    folders = lvl1.unionByName(lvl2).distinct()
+    return H.resolve_folder_tree(folders, "path").select(
+        "path", "depth", "folder_id", "parent_id"
+    )
+
+
+@query(
+    "j10_orphan_check",
+    """
+    SELECT o.o_orderkey, o.o_custkey FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = o.o_custkey AND c.c_custkey < 100)
+    """,
+)
+def j10_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: NOT-EXISTS orphan detection via left-anti join —
+    validate_migration.py:594-641 (parent set artificially truncated
+    to force orphans)."""
+    cat = Catalog(spark, sf_dir)
+    parent = cat.customer.filter(F.col("c_custkey") < 100)
+    return V.orphan_check(cat.orders, parent, "o_custkey", "c_custkey").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+@query(
+    "j11_semi_membership",
+    """
+    SELECT DISTINCT e.user_id FROM events e
+    WHERE e.user_id NOT IN (SELECT c_custkey FROM customer)
+    """,
+)
+def j11_semi_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11/U1: set-membership violation check (message rooms ⊆ known
+    rooms) — validate_migration.py:183-228."""
+    cat = Catalog(spark, sf_dir)
+    return V.set_membership_violations(
+        cat.events.select(F.col("user_id")),
+        cat.customer.select(F.col("c_custkey").alias("user_id")),
+        "user_id",
+    )
+
+
+# =====================================================================
+# §2.6 Aggregations
+# =====================================================================
+
+@query(
+    "a1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS sum_disc_price,
+           sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,4))) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-family headline aggregation (TPC-H Q1 shape): map-side
+    partial aggregation collapses 6M rows/SF to 4 groups before the
+    shuffle. DECIMAL casts make the sums exact and order-independent
+    (double summation order differs between engines)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(22,4)")
+            ).alias("sum_disc_price"),
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ).cast("decimal(22,4)")
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "a2_group_count",
+    "SELECT lang, source, count(*) AS cnt FROM documents GROUP BY lang, source",
+)
+def a2_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: GROUP BY counts — validate_migration.py:656-658."""
+    d = Catalog(spark, sf_dir).documents
+    return V.group_count(d, ["lang", "source"])
+
+
+@query(
+    "a3_max_resume",
+    """
+    SELECT max(o_orderkey) AS max_id, count(*) AS cnt,
+           CAST(max(o_orderkey) + 1 AS BIGINT) AS next_id
+    FROM orders
+    """,
+)
+def a3_max_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: MAX(id) counter-resume — cassandra_id_mapper.py:212-230."""
+    o = Catalog(spark, sf_dir).orders
+    return o.agg(
+        F.max("o_orderkey").alias("max_id"),
+        F.count("*").alias("cnt"),
+        (F.max("o_orderkey") + 1).cast("bigint").alias("next_id"),
+    )
+
+
+@query(
+    "a4_distinct",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def a4_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: DISTINCT — validate_migration.py:186-188."""
+    o = Catalog(spark, sf_dir).orders
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "a5_collect_per_group",
+    """
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+           count(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def a5_collect_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: collect-per-group (participants per room) —
+    orchestrator.py:1270-1271. Sorted join keeps the value
+    deterministic and oracle-comparable."""
+    e = Catalog(spark, sf_dir).events
+    return e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+
+
+@query(
+    "a6_conditional_agg",
+    """
+    SELECT user_id % 10 AS bucket,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+           sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS high_value
+    FROM events GROUP BY user_id % 10
+    """,
+)
+def a6_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: conditional sums (success/error tallies) —
+    orchestrator.py:1220-1221."""
+    e = Catalog(spark, sf_dir).events
+    return e.groupBy((F.col("user_id") % 10).alias("bucket")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("purchases"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).alias("high_value"),
+    )
+
+
+@query(
+    "a7_first_wins_dedup",
+    """
+    SELECT user_id, event_id AS first_event, ts AS first_ts
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+    """,
+)
+def a7_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: first-wins dedup with explicit deterministic ordering —
+    cassandra_id_mapper.py:61-69 (SURVEY §7.4.3)."""
+    e = Catalog(spark, sf_dir).events
+    return K.first_wins_dedup(e, "user_id", [F.col("ts"), F.col("event_id")]).select(
+        "user_id", F.col("event_id").alias("first_event"), F.col("ts").alias("first_ts")
+    )
+
+
+# =====================================================================
+# §2.7 Sorts / top-k      §2.8 Set ops
+# =====================================================================
+
+@query(
+    "o2_global_topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def o2_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O3: global top-k — compiles to TakeOrderedAndProject
+    (per-partition heaps + k-row merge, no full sort)."""
+    o = Catalog(spark, sf_dir).orders
+    return o.select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    ).limit(25)
+
+
+@query(
+    "u1_subtract",
+    """
+    SELECT event_id FROM events WHERE value > 50
+    EXCEPT
+    SELECT event_id FROM events WHERE event_type = 'click'
+    """,
+)
+def u1_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: set difference — validate_migration.py:199-213."""
+    e = Catalog(spark, sf_dir).events
+    a = e.filter(F.col("value") > 50).select("event_id")
+    b = e.filter(F.col("event_type") == "click").select("event_id")
+    return a.exceptAll(b).distinct()
+
+
+@query(
+    "u2_union_side_outputs",
+    """
+    SELECT user_id, count(*) AS cnt FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id FROM events WHERE event_type = 'view'
+    ) GROUP BY user_id
+    """,
+)
+def u2_union_side_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: union of side-outputs — orchestrator.py:962."""
+    e = Catalog(spark, sf_dir).events
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "view").select("user_id")
+    return a.unionByName(b).groupBy("user_id").agg(F.count("*").alias("cnt"))
+
+
+# =====================================================================
+# Training-data extensions: dedup
+# =====================================================================
+
+# Shared synthetic-dup corpus: the generated documents have no natural
+# duplicates, so dedup queries operate on documents ∪ exact copies
+# (doc_id+1000000, every 10th doc) ∪ near copies (doc_id+2000000, every
+# 17th doc with two tokens appended).
+_CORPUS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' zq zq' FROM documents WHERE doc_id % 17 = 0
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq zq")).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+@query(
+    "d1_exact_dedup",
+    f"""
+    SELECT md5(text) AS content_hash, min(doc_id) AS representative_id,
+           count(*) AS dup_count
+    FROM ({_CORPUS_SQL})
+    GROUP BY md5(text)
+    """,
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy with min-id representative."""
+    return D.exact_dedup(_corpus(spark, sf_dir), "doc_id", "text")
+
+
+_SHINGLE_SQL = f"""
+    tokens AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM ({_CORPUS_SQL})
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, s.shingle
+      FROM tokens,
+           unnest(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             AS s(shingle)
+    )
+"""
+
+
+@query(
+    "d2_minhash_lsh_pairs",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sigs AS (
+      SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS sig
+      FROM shingled CROSS JOIN unnest([0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15]) AS s(seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+             md5(string_agg(seed || '=' || sig, '|' ORDER BY seed || '=' || sig)) AS band_key
+      FROM sigs GROUP BY doc_id, CAST(seed // 4 AS INT)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (shingle→minhash→band→
+    bucket-join). 16 hashes, 4 bands of 4."""
+    return D.minhash_dedup_pairs(
+        _corpus(spark, sf_dir), "doc_id", "text", k=3, num_hashes=16, bands=4
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN substr(md5(tok), {d + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b{d}"
+        for d in range(bits)
+    )
+    concat = " || ".join(
+        f"CASE WHEN b{d} > 0 THEN '1' ELSE '0' END" for d in range(bits)
+    )
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, t.tok
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents),
+           unnest(toks) AS t(tok)
+    ),
+    sums AS (
+      SELECT doc_id,
+             {sums}
+      FROM toked GROUP BY doc_id
+    )
+    SELECT doc_id, {concat} AS simhash FROM sums
+    """
+
+
+@query("d3_simhash", _simhash_oracle(16))
+def d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (16-bit, md5-nibble MSB features)."""
+    d = Catalog(spark, sf_dir).documents
+    return D.simhash_signature(d, "doc_id", "text", bits=16)
+
+
+@query(
+    "d4_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ({_CORPUS_SQL}) a
+      JOIN ({_CORPUS_SQL}) b
+        ON a.doc_id % 1000000 = b.doc_id % 1000000 AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT p.id_a, p.id_b, count(*) AS i
+      FROM pairs p
+      JOIN shingled sa ON sa.doc_id = p.id_a
+      JOIN shingled sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i), 4) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    """,
+)
+def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (here: the known
+    original↔copy pairs, i.e. ids congruent mod 1e6)."""
+    corpus = _corpus(spark, sf_dir)
+    sh = D.shingles(corpus, "doc_id", "text", 3)
+    ids = corpus.select("doc_id")
+    pairs = (
+        ids.alias("a")
+        .join(
+            ids.alias("b"),
+            (F.col("a.doc_id") % 1000000 == F.col("b.doc_id") % 1000000)
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return D.ngram_jaccard(sh, pairs, "doc_id")
+
+
+# =====================================================================
+# Training-data extensions: similarity search
+# =====================================================================
+
+_PLANE_IDS = [1, 2, 3, 4]
+
+
+def _planes(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    rows = (
+        Catalog(spark, sf_dir)
+        .embeddings.filter(F.col("vec_id").isin(_PLANE_IDS))
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    r = (
+        Catalog(spark, sf_dir)
+        .embeddings.filter(F.col("vec_id") == 0)
+        .head()
+    )
+    return [float(x) for x in r["embedding"]]
+
+
+@query(
+    "sim_topk_bruteforce",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+    FROM embeddings e, q
+    ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (baseline ANN): full scan, per-row
+    zip_with/aggregate dot product, TakeOrdered top-k."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return SIM.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@query("sim_topk_lsh")  # oracle omitted: plane constants are looked up at
+# runtime from the embeddings table; semantics verified by the
+# bruteforce twin + tests (bucketed result ⊆ bruteforce ranking).
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: probe only the query's hyperplane bucket —
+    the IVF-style scale path (bucket column doubles as a physical
+    partition key for file pruning)."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return SIM.ann_topk_lsh(
+        emb, _query_vec(spark, sf_dir), _planes(spark, sf_dir), k=10
+    )
+
+
+@query(
+    "sim_embedding_neardup",
+    """
+    WITH planes AS (
+      SELECT vec_id AS plane_id, embedding::DOUBLE[] AS pv
+      FROM embeddings WHERE vec_id IN (1,2,3,4)
+    ),
+    bucketed AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+             string_agg(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pv) >= 0
+                             THEN '1' ELSE '0' END, '' ORDER BY p.plane_id) AS bucket
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id, e.embedding::DOUBLE[]
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 4) AS cos_sim
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                4) >= 0.5
+    """,
+)
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, hyperplane-LSH blocked."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return SIM.embedding_neardup_pairs(
+        emb, _planes(spark, sf_dir), threshold=0.5
+    )
+
+
+# =====================================================================
+# Training-data extensions: text analysis + multimodal
+# =====================================================================
+
+@query(
+    "t_text_stats",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens,
+           round(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                     t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+                 / len(regexp_extract_all(lower(text), '[a-z0-9]+')), 4) AS stop_ratio,
+           round(CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / length(text), 4) AS alpha_ratio
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality components (whitespace/regex tokenizer,
+    BPE-ish estimate, stopword/alpha ratios)."""
+    d = Catalog(spark, sf_dir).documents.filter(F.length("text") > 0)
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.approx_bpe_token_count("text").alias("approx_bpe_tokens"),
+        F.round(T.stopword_ratio("text"), 4).alias("stop_ratio"),
+        F.round(T.alpha_ratio("text"), 4).alias("alpha_ratio"),
+    )
+
+
+def _lang_oracle() -> str:
+    score = {
+        lang: f"len(list_filter(toks, t -> t IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in T.LANG_MARKERS.items()
+    }
+    langs = sorted(score)
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(
+        f"WHEN s_{lang} = {greatest} THEN '{lang}'" for lang in langs[:-1]
+    )
+    scores_sel = ",\n           ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+           {scores_sel}
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents)
+    )
+    SELECT doc_id, CASE {case} ELSE '{langs[-1]}' END AS lang_pred FROM scored
+    """
+
+
+@query("t_lang_id", _lang_oracle())
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-token argmax, deterministic
+    tie-break)."""
+    d = Catalog(spark, sf_dir).documents
+    return d.select("doc_id", T.lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "t_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: md5 of the sorted distinct token
+    set (word-order-robust)."""
+    d = Catalog(spark, sf_dir).documents
+    return d.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "m_multimodal_decode",
+    """
+    SELECT doc_id, 'image' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
+           CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT) AS width,
+           CAST(octet_length(encode(text)) % 480 + 16 AS BIGINT) AS height,
+           CAST(octet_length(encode(text)) % 24 + 1 AS BIGINT) AS n_frames,
+           md5(text) AS content_digest
+    FROM documents
+    """,
+)
+def m_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload + mapInPandas decode (the
+    codec is a deterministic stub — container has no image libs; the
+    Arrow-batched schema/partitioning path is real)."""
+    d = Catalog(spark, sf_dir).documents
+    mm = M.attach_binary_payload(d, "doc_id", "text")
+    return M.decode_media(mm)
+
+
+# =====================================================================
+# Events: windowed aggregation (streaming-shaped, batch-verified)
+# =====================================================================
+
+@query(
+    "e_windowed_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def e_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event aggregation — the same expression runs
+    under Structured Streaming with a watermark
+    (streaming/incremental.py)."""
+    e = Catalog(spark, sf_dir).events
+    return windowed_event_counts(e, "1 hour")
+
+
+# =====================================================================
+# Crypto migration (rows-only: ciphers aren't SQL-expressible)
+# =====================================================================
+
+@query("x_crypto_migration")
+def x_crypto_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F22–F26: Salsa20-decrypt → AES-256-CBC re-encrypt pipeline over
+    a synthesized encrypted corpus (documents.text Salsa20-encrypted
+    with the fixture keys, mixed with plaintext rows). Output includes
+    roundtrip_ok so the rows-only check still proves decryption
+    correctness end-to-end; the full property test lives in
+    tests/test_crypto.py."""
+    d = Catalog(spark, sf_dir).documents.limit(200)
+    enc = X.make_salsa20_encrypt_udf("fixture-old-key", "fixt-iv")
+    src = d.select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .otherwise(enc(F.col("text")))
+        .alias("content"),
+    )
+    out = X.migrate_messages(
+        src, "content", "fixture-old-key", "fixt-iv",
+        master_key_hex="a" * 64, master_iv_hex="b" * 32,
+    )
+    return out.select(
+        "doc_id",
+        (F.col("content_decrypted") == F.col("text")).alias("roundtrip_ok"),
+        F.col("content_encrypted").isNotNull().alias("reencrypted"),
+    )
+
+
+# =====================================================================
+# Entry points consumed by __spark_entry__.py
+# =====================================================================
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """The flagship query: denormalized latest-order-per-customer view
+    (J5+J6 — the reference's most complex derivation shape)."""
+    return j6_denormalized_view(spark, sf_dir)

@@ -62,7 +62,9 @@ def windowed_event_counts(
         df.groupBy(F.window("ts", window_len).alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # DECIMAL sum: exact and summation-order-independent, so the
+            # result is identical across engines and micro-batch splits.
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
