@@ -44,66 +44,170 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------- shingles
+def shingle_array(text_col: Column | str, k: int = 3) -> Column:
+    """Distinct k-token shingles as an array column — pure narrow
+    array ops (tokenize → indexed window-concat → array_distinct), no
+    explode, no shuffle.
+
+    NOTE: the returned expression inlines the tokenizer regexp k+2
+    times; evaluate it over a MATERIALIZED token column (see
+    :func:`with_shingle_column`) in hot paths — higher-order-function
+    lambdas are outside whole-stage codegen, so Catalyst performs no
+    common-subexpression elimination inside them and every duplicated
+    reference re-runs its whole subtree."""
+    return _shingle_expr(tokens(text_col), k)
+
+
+def _shingle_expr(toks: Column, k: int) -> Column:
+    """Shingle-array expression over an (ideally materialized) token
+    array column."""
+    n = F.size(toks)
+
+    def mk(i: Column) -> Column:
+        # element_at is 1-based; i ranges over 0..n-k
+        return F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+        )
+
+    return F.when(
+        n >= k, F.array_distinct(F.transform(F.sequence(F.lit(0), n - k), mk))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def with_shingle_column(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, out: str = "_shingles"
+) -> DataFrame:
+    """(id_col, out=array<string> of distinct k-shingles) via two
+    chained narrow projections: tokenize once per row into a real
+    column, then build shingles over that attribute reference.
+    CollapseProject keeps the projections separate because the token
+    alias is non-cheap and referenced k+2 times — without this the
+    regexp re-runs per element_at per downstream consumer (measured
+    ~180× slowdown on the 16-hash MinHash stage)."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    return toked.select(
+        F.col(id_col), _shingle_expr(F.col("_toks"), k).alias(out)
+    )
+
+
 def shingles(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
-    """Distinct k-token shingles per document: tokenize (narrow), then
-    join consecutive tokens via a per-document lead() window. Output:
-    (id_col, shingle)."""
-    toked = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    return (
-        toked.withColumn("shingle", F.concat_ws(" ", *parts))
-        # lead() returns NULL past the end → drop short tails
-        .filter(F.size(F.split(F.col("shingle"), " ")) == k)
-        .select(id_col, "shingle")
-        .distinct()
+    """Distinct k-token shingles per document as rows (id_col,
+    shingle) — the exploded view of :func:`with_shingle_column`, used
+    where a relational shape is needed (Jaccard joins)."""
+    return with_shingle_column(df, id_col, text_col, k).select(
+        F.col(id_col), F.explode(F.col("_shingles")).alias("shingle")
     )
 
 
 # ----------------------------------------------------------- MinHash
+#
+# Hash family: one md5 per shingle reduced to a 60-bit int (15 hex
+# digits — portable: Spark conv(hex,16,10) == DuckDB ('0x'||hex)::BIGINT)
+# then mod p, then num_hashes affine mixes (a_i*h + b_i) mod p.
+# ONE digest per shingle instead of num_hashes digests — Spark's md5
+# expression allocates a MessageDigest per call and lambda bodies are
+# interpreted (no codegen CSE), so digests dominate the signature
+# stage; the affine mixes are three long ops each. a_i*h < 2^62 so
+# 64-bit arithmetic never overflows (identical in DuckDB, which would
+# raise on BIGINT overflow rather than wrap).
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+_MIX = 2_654_435_761  # Knuth multiplicative constant (odd)
+
+
+def affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the affine MinHash family — shared
+    by the Spark expressions and the DuckDB oracle SQL."""
+    return [
+        (((2 * i + 1) * _MIX) % MINHASH_P, (i * 40_503 + 7) % MINHASH_P)
+        for i in range(num_hashes)
+    ]
+
+
+def shingle_base_hash(shingle: Column) -> Column:
+    """60-bit md5-derived base hash of a shingle, reduced mod p."""
+    return (
+        F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
+        % MINHASH_P
+    )
+
+
 def minhash_signatures(
     shingle_df: DataFrame, id_col: str, num_hashes: int = 16
 ) -> DataFrame:
-    """MinHash signature per document: hash family h_i(s) =
-    md5(i || ':' || s); signature_i = lexicographic min. Output:
-    (id_col, seed, sig). One shuffle on (id, seed), collapsed by
-    partial min aggregation."""
-    seeds = F.explode(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    ).alias("seed")
-    return (
-        shingle_df.select(F.col(id_col), F.col("shingle"), seeds)
-        .withColumn(
-            "h",
-            F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))),
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("sig"))
+    """MinHash signature per document, WIDE form over shingle rows.
+    Output: (id_col, sig_0 .. sig_{n-1}), sig_i = min_s (a_i*h(s)+b_i) mod p.
+
+    One groupBy(doc) with n `min` aggregate columns — NO seed explode:
+    the naive long form multiplies the shuffle by num_hashes (n× rows);
+    here partial map-side mins reduce each partition to one row per doc
+    before the single shuffle. At 100 TB this is the difference between
+    shuffling n×corpus and shuffling ~#docs rows."""
+    hashed = shingle_df.select(
+        F.col(id_col), shingle_base_hash(F.col("shingle")).alias("_h")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_P).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(affine_params(num_hashes))
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures_narrow(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """Zero-shuffle MinHash: signatures computed per-row from the
+    materialized shingle ARRAY via array_min(transform(...)) — no
+    explode, no aggregation. The whole signature stage is a narrow
+    projection that scales embarrassingly with input splits; the first
+    shuffle in the dedup pipeline is the candidate-pair join itself.
+
+    Docs with fewer than k tokens get all-NULL signatures (array_min
+    over an empty array) — callers MUST drop them before LSH banding
+    or every short doc lands in one degenerate bucket (quadratic skew
+    bomb at corpus scale)."""
+    base = with_shingle_column(df, id_col, text_col, k).select(
+        F.col(id_col),
+        F.transform(F.col("_shingles"), shingle_base_hash).alias("_h"),
+    )
+
+    def sig(i: int, a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(F.col("_h"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+        ).alias(f"sig_{i}")
+
+    return base.select(
+        F.col(id_col),
+        *[sig(i, a, b) for i, (a, b) in enumerate(affine_params(num_hashes))],
     )
 
 
 def lsh_bands(
     sig_df: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
-    """Band the signature: band_key = md5(concat of the band's sigs in
-    seed order). Docs sharing any (band, band_key) are candidates.
-    Output: (id_col, band, band_key)."""
+    """Band the wide signature: band_key = md5('|'-join of the band's
+    'seed=sig' entries, lexicographically sorted). Docs sharing any
+    (band, band_key) are candidates. Output: (id_col, band, band_key).
+    Pure narrow projection + a 2-row-per-band explode — no shuffle."""
     rows_per_band = num_hashes // bands
-    return (
-        sig_df.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|", F.array_sort(F.collect_list(F.concat_ws("=", F.col("seed").cast("string"), "sig")))
-                )
-            ).alias("band_key")
+    band_structs = []
+    for b in range(bands):
+        entries = F.array(
+            *[
+                F.concat_ws("=", F.lit(str(i)), F.col(f"sig_{i}"))
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ]
         )
-    )
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", F.array_sort(entries))).alias("band_key"),
+            )
+        )
+    return sig_df.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
+    ).select(id_col, "b.band", "b.band_key")
 
 
 def lsh_candidate_pairs(band_df: DataFrame, id_col: str) -> DataFrame:
@@ -132,9 +236,29 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """End-to-end MinHash-LSH candidate pairs."""
-    sh = shingles(df, id_col, text_col, k)
-    sig = minhash_signatures(sh, id_col, num_hashes)
+    """End-to-end MinHash-LSH candidate pairs. Signature + banding are
+    narrow projections (zero shuffle); the only shuffle is the
+    per-bucket self-join. Shingle-less docs (< k tokens) are dropped
+    before banding — they carry NULL signatures that would otherwise
+    collapse into one degenerate all-shorts bucket.
+
+    The short-doc filter runs on token COUNT before the signature
+    stage: filtering on ``sig_0 IS NOT NULL`` downstream looks
+    equivalent, but predicate pushdown alias-substitutes the whole
+    tokenize→shingle→hash→array_min tree into the Filter (and into
+    every union branch) — measured ~15× blowup. A cheap upstream
+    predicate keeps the expensive trees evaluated exactly once.
+
+    The signature stage is CPU-bound (one md5 + num_hashes affine
+    mixes per shingle, in interpreted lambda eval) — if the source has
+    fewer splits than cores (small files), fan out first. On a real
+    corpus (many splits) the condition is false and no shuffle is
+    added."""
+    df = df.filter(F.size(tokens(F.col(text_col))) >= k)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    sig = minhash_signatures_narrow(df, id_col, text_col, k, num_hashes)
     band = lsh_bands(sig, id_col, num_hashes, bands)
     return lsh_candidate_pairs(band, id_col)
 
@@ -147,26 +271,30 @@ def simhash_signature(
     Σ_tokens (msb of hex digit d of md5(token) ? +1 : −1). ``bits`` ≤ 32
     (one per md5 hex digit). Output: (id_col, simhash string of 0/1).
 
-    Per-document explode + one groupBy — no pairwise computation.
-    """
-    toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).withColumn(
-        "h", F.md5("tok")
+    Computed as a per-row fold over a MATERIALIZED array of token
+    hashes — narrow projections, zero shuffle (the naive
+    explode+groupBy form shuffles every token of the corpus; inlining
+    the tokenizer into all ``bits`` folds re-runs the regexp per fold,
+    since lambdas sit outside codegen CSE)."""
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(tokens(text_col), lambda t: F.md5(t)).alias("_th"),
     )
-    sums = [
-        F.sum(
-            F.when(
-                F.substring("h", d + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-                1,
-            ).otherwise(-1)
-        ).alias(f"b{d}")
-        for d in range(bits)
-    ]
-    agg = toked.groupBy(id_col).agg(*sums)
-    bit_chars = [
-        F.when(F.col(f"b{d}") > 0, F.lit("1")).otherwise(F.lit("0"))
-        for d in range(bits)
-    ]
-    return agg.select(F.col(id_col), F.concat(*bit_chars).alias("simhash"))
+
+    def bit(d: int) -> Column:
+        def step(acc: Column, h: Column) -> Column:
+            msb = F.substring(h, d + 1, 1).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f"
+            )
+            return acc + F.when(msb, 1).otherwise(-1)
+
+        total = F.aggregate(F.col("_th"), F.lit(0), step)
+        return F.when(total > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return hashed.select(
+        F.col(id_col),
+        F.concat(*[bit(d) for d in range(bits)]).alias("simhash"),
+    )
 
 
 def hamming_distance(a: Column, b: Column) -> Column:

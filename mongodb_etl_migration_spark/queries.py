@@ -992,13 +992,26 @@ _SHINGLE_SQL = f"""
 """
 
 
+# Affine MinHash family (one md5 per shingle, then (a*h+b) mod p) —
+# constants shared with operators.dedup so Spark and the oracle compute
+# the identical signature.
+_MINHASH_FAMILY_SQL = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(D.affine_params(16))
+)
+
+
 @query(
     "d2_minhash_lsh_pairs",
     f"""
     WITH {_SHINGLE_SQL},
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {D.MINHASH_P} AS h
+      FROM shingled
+    ),
     sigs AS (
-      SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS sig
-      FROM shingled CROSS JOIN unnest([0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15]) AS s(seed)
+      SELECT doc_id, seed, min((a * h + b) % {D.MINHASH_P}) AS sig
+      FROM hashed CROSS JOIN (VALUES {_MINHASH_FAMILY_SQL}) AS f(seed, a, b)
       GROUP BY doc_id, seed
     ),
     bands AS (
