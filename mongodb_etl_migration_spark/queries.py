@@ -1349,6 +1349,220 @@ def x_crypto_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# §2 completions: J8/J12 joins, P6/P9 predicates, O1/O3 sorts,
+# A8 derived-key grouping, S5 nested serialization
+# =====================================================================
+
+@query(
+    "j8_membership_merge",
+    """
+    WITH last_order AS (
+      SELECT o_custkey, o_totalprice AS last_totalprice
+      FROM orders
+      QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    )
+    SELECT c.c_custkey, coalesce(lo.last_totalprice, c.c_acctbal) AS c_acctbal,
+           c.c_mktsegment
+    FROM customer c LEFT JOIN last_order lo ON lo.o_custkey = c.c_custkey
+    """,
+)
+def j8_membership_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: membership-lookup UPDATE (orchestrator.py:1409-1471) as a
+    join-based merge — matched rows take the update's value, unmatched
+    keep their own (MERGE INTO on a Delta/Iceberg sink)."""
+    cat = Catalog(spark, sf_dir)
+    last = DN.top1_per_group(
+        cat.orders, ["o_custkey"], [F.desc("o_orderdate"), F.desc("o_orderkey")]
+    ).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_totalprice").alias("c_acctbal"),
+    )
+    return DN.merge_update(
+        cat.customer.select("c_custkey", "c_acctbal", "c_mktsegment"),
+        last,
+        ["c_custkey"],
+        ["c_acctbal"],
+    )
+
+
+@query(
+    "j12_relation_build",
+    """
+    SELECT DISTINCT l.l_partkey, l.l_suppkey, p.p_brand, s.s_name
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE l.l_returnflag = 'A'
+    """,
+)
+def j12_relation_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: docs_roles-style relation build (orchestrator.py:961-987) —
+    side-output key pairs resolved against two dimensions; inner joins
+    drop unresolved refs. Dims broadcast; the fact side never
+    shuffles before the distinct."""
+    cat = Catalog(spark, sf_dir)
+    pairs = cat.lineitem.filter(F.col("l_returnflag") == "A")
+    return (
+        pairs.join(
+            F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("l_partkey", "l_suppkey", "p_brand", "s_name")
+        .distinct()
+    )
+
+
+@query(
+    "p6_role_filter",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    """,
+)
+def p6_role_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: role allow-list filter (orchestrator.py:547-566: only
+    USER_ROLE/AGENTE_ROLE migrate) — an IN predicate pushed to the
+    scan."""
+    c = Catalog(spark, sf_dir).customer
+    return c.filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "p9_empty_normalize",
+    """
+    SELECT event_id,
+           CASE WHEN props IN ('{}', '[]') THEN NULL ELSE props END AS props_norm,
+           NULLIF(event_type, '') AS event_type_norm
+    FROM events
+    """,
+)
+def p9_empty_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: empty-container normalization (data_transformer.py:855-895:
+    {}/[] → NULL, '' → NULL) as when/nullif projections."""
+    e = Catalog(spark, sf_dir).events
+    return e.select(
+        "event_id",
+        F.when(F.col("props").isin("{}", "[]"), F.lit(None))
+        .otherwise(F.col("props"))
+        .alias("props_norm"),
+        F.nullif(F.col("event_type"), F.lit("")).alias("event_type_norm"),
+    )
+
+
+_PATHS_SQL = """
+      SELECT DISTINCT '/' || source AS path FROM documents
+      UNION
+      SELECT DISTINCT '/' || source || '/' || lang AS path FROM documents
+"""
+
+
+@query(
+    "o1_sort_by_derived_key",
+    f"""
+    SELECT path,
+           CASE WHEN path = '/' THEN 0
+                ELSE len(string_split(path, '/')) - 1 END AS depth
+    FROM ({_PATHS_SQL})
+    ORDER BY depth, path
+    """,
+)
+def o1_sort_by_derived_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+F16: sort by derived path depth (orchestrator.py:778-785) —
+    the depth expression is F16's '/'-count."""
+    d = Catalog(spark, sf_dir).documents
+    paths = (
+        d.select(F.concat(F.lit("/"), F.col("source")).alias("path"))
+        .unionByName(
+            d.select(
+                F.concat(
+                    F.lit("/"), F.col("source"), F.lit("/"), F.col("lang")
+                ).alias("path")
+            )
+        )
+        .distinct()
+    )
+    depth = F.when(F.col("path") == "/", 0).otherwise(
+        F.size(F.split(F.col("path"), "/")) - 1
+    )
+    return paths.select("path", depth.alias("depth")).orderBy("depth", "path")
+
+
+@query(
+    "o3_limit_sample",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 50
+    """,
+)
+def o3_limit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: LIMIT spot-check (validate_migration.py:245 et al.) made
+    deterministic with an explicit unique-key ORDER BY — Spark compiles
+    to TakeOrderedAndProject (top-k per partition + driver merge, no
+    global sort)."""
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(50)
+    )
+
+
+@query(
+    "a8_depth_groups",
+    f"""
+    SELECT len(string_split(path, '/')) - 1 AS depth, count(*) AS cnt
+    FROM ({_PATHS_SQL})
+    GROUP BY 1
+    """,
+)
+def a8_depth_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: folders bucketed by path depth (orchestrator.py:799-812) —
+    the per-level partitioning of the hierarchy loop as a groupBy."""
+    d = Catalog(spark, sf_dir).documents
+    paths = (
+        d.select(F.concat(F.lit("/"), F.col("source")).alias("path"))
+        .unionByName(
+            d.select(
+                F.concat(
+                    F.lit("/"), F.col("source"), F.lit("/"), F.col("lang")
+                ).alias("path")
+            )
+        )
+        .distinct()
+    )
+    return (
+        paths.select((F.size(F.split(F.col("path"), "/")) - 1).alias("depth"))
+        .groupBy("depth")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "s5_nested_serialization",
+    """
+    SELECT event_id,
+           [CAST(user_id * 2 AS VARCHAR), CAST(user_id * 3 AS VARCHAR)] AS ref_ids,
+           CAST(user_id AS VARCHAR) AS user_ref
+    FROM events
+    """,
+)
+def s5_nested_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: recursive ObjectId→string serialization
+    (mongo_extractor.py:209-237) — schema-level casts with transform()
+    over array columns instead of per-row recursion."""
+    e = Catalog(spark, sf_dir).events
+    refs = F.array(F.col("user_id") * 2, F.col("user_id") * 3)
+    return e.select(
+        "event_id",
+        F.transform(refs, lambda x: x.cast("string")).alias("ref_ids"),
+        F.col("user_id").cast("string").alias("user_ref"),
+    )
+
+
+# =====================================================================
 # Entry points consumed by __spark_entry__.py
 # =====================================================================
 

@@ -57,7 +57,12 @@ def windowed_event_counts(
     expression runs in batch (watermark is a no-op there)."""
     df = events
     if streaming:
-        df = df.withWatermark("ts", watermark)
+        # Watermarks require an instant (TIMESTAMP), not wall-clock
+        # TIMESTAMP_NTZ; the session runs UTC so the cast is lossless
+        # and the window bound is normalized back to NTZ below.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+            "ts", watermark
+        )
     return (
         df.groupBy(F.window("ts", window_len).alias("w"), F.col("event_type"))
         .agg(
@@ -67,7 +72,7 @@ def windowed_event_counts(
             F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",

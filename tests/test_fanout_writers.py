@@ -1,0 +1,94 @@
+"""§2.9 multi-output fan-out and §2.1 sink layout tests.
+
+The reference feeds one transformed batch into up to 5 side-output
+tables per pass (etl/orchestrator.py:326-453) and writes Cassandra
+tables with (partition key, clustering order) layout
+(backups/create_scylla_database.cql:21-46). Here: one persisted plan →
+N projections → N parquet sinks; clustered writes sort within hash
+partitions.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import duckdb
+from pyspark.sql import functions as F
+
+from mongodb_etl_migration_spark.operators.denorm import fanout
+from mongodb_etl_migration_spark.sources.writers import (
+    align_to_schema,
+    write_clustered,
+    write_table,
+)
+
+
+def test_fanout_projections_and_writes(spark, sf_dir, tmp_path):
+    base = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .withColumn("_is_org", F.col("c_acctbal") > 5000)
+    )
+    outs = fanout(
+        base,
+        {
+            "details": [F.col("c_custkey"), F.col("c_name"), F.col("c_mktsegment")],
+            "organizations": [F.col("c_custkey"), F.col("_is_org")],
+            "by_segment": [F.col("c_mktsegment"), F.col("c_custkey")],
+        },
+    )
+    assert set(outs) == {"details", "organizations", "by_segment"}
+    total = base.count()
+    for name, df in outs.items():
+        write_table(df, str(tmp_path / name))
+    for name in outs:
+        back = spark.read.parquet(str(tmp_path / name))
+        assert back.count() == total, name
+    assert outs["organizations"].filter("_is_org").count() == base.filter(
+        F.col("c_acctbal") > 5000
+    ).count()
+    base.unpersist()
+
+
+def test_write_clustered_layout(spark, sf_dir, tmp_path):
+    from mongodb_etl_migration_spark.catalog import Catalog
+
+    events = Catalog(spark, sf_dir).events
+    path = str(tmp_path / "events_by_user")
+    write_clustered(
+        events, path, "user_id", [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == events.count()
+    # clustering: every file is internally sorted desc by (ts, event_id)
+    con = duckdb.connect()
+    files = glob.glob(f"{path}/*.parquet")
+    assert files
+    for f in files[:4]:
+        bad = con.execute(
+            f"""
+            SELECT count(*) FROM (
+              SELECT ts, event_id,
+                     lag(ts) OVER (ROWS UNBOUNDED PRECEDING) AS prev_ts,
+                     lag(event_id) OVER (ROWS UNBOUNDED PRECEDING) AS prev_id
+              FROM read_parquet('{f}')
+            ) WHERE prev_ts IS NOT NULL
+              AND (ts > prev_ts OR (ts = prev_ts AND event_id > prev_id))
+            """
+        ).fetchone()[0]
+        assert bad == 0, f"rows out of clustering order in {f}"
+    # partition pruning shape: one user's rows live in exactly one file
+    one_user = con.execute(
+        f"""
+        SELECT count(DISTINCT filename) FROM read_parquet('{path}/*.parquet',
+               filename=true) WHERE user_id = 7
+        """
+    ).fetchone()[0]
+    assert one_user <= 1
+
+
+def test_align_to_schema_adds_null_columns(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    out = align_to_schema(df, ["r_regionkey", "r_name", "mongo_id", "deleted_at"])
+    assert out.columns == ["r_regionkey", "r_name", "mongo_id", "deleted_at"]
+    row = out.limit(1).collect()[0]
+    assert row["mongo_id"] is None and row["deleted_at"] is None
