@@ -1,0 +1,386 @@
+"""The reference migration as one lazy Spark pipeline.
+
+Re-expresses the orchestrator's 15-entity run (etl/orchestrator.py:
+149-298, post-migration :1106-1471) over Mongo-shaped sources:
+entity specs compile to DataFrame plans (plans/), derived Cassandra
+views are operator compositions (operators/denorm.py), and every
+output is a pure function of the sources — the reference's
+"read back from the sink mid-run" disappears (SURVEY §7.4.5).
+
+Scale notes: dimension id-maps are broadcast (the IDMapper cache,
+etl/utils/id_mapper.py:22-92, as broadcast-hash joins); the
+messages⋈rooms join is the one fact-side join — rooms is
+dimension-sized so it broadcasts too; at 100 TB the heavy lifting
+(messages, members) never shuffles except for the denormalized
+rooms_by_user window.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mongodb_etl_migration_spark.functions import scalars as S
+from mongodb_etl_migration_spark.functions.keys import (
+    assign_sequential_ids,
+    timeuuid_deterministic,
+    uuid5_oid,
+)
+from mongodb_etl_migration_spark.operators import denorm as DN
+from mongodb_etl_migration_spark.plans.compiler import compile_entity
+from mongodb_etl_migration_spark.plans.spec import EntitySpec, FKJoin, KeySpec
+
+# union of the scan-level filter (mongo_extractor.py:56-72) and the
+# validator list (validators.py:18, adds STICKER) — SURVEY P5 notes the
+# discrepancy; validator wins (ENABLE_VALIDATION=true semantics).
+BANNED_MSG_TYPES = ("GEO_LOCATION", "SURVEY", "CONTACT", "STICKER")
+
+
+def ref_id(c: Column | str) -> Column:
+    """Bare-ObjectId-or-embedded-doc reference → string id
+    (data_transformer.py:278-299, field_mapper.py:511-518)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.coalesce(col["_id"], col["raw"])
+
+
+# --------------------------------------------------------------- specs
+def role_spec() -> EntitySpec:
+    return EntitySpec(
+        name="role",
+        source="roles",
+        destination="role",
+        projection={
+            "mongo_id": lambda df: F.col("_id"),
+            "name": lambda df: F.col("name"),
+            "type": lambda df: F.coalesce(F.col("type"), F.lit("app")),
+            "is_default": lambda df: F.coalesce(F.col("default"), F.lit(False)),
+        },
+        key=KeySpec(kind="sequential", order_by=("mongo_id",), out="id"),
+    )
+
+
+def province_spec() -> EntitySpec:
+    return EntitySpec(
+        name="province",
+        source="provinces",
+        destination="province",
+        projection={
+            "mongo_id": lambda df: F.col("_id"),
+            "name": lambda df: F.col("name"),
+            "key": lambda df: F.col("key"),
+            "key_int": lambda df: S.keyint_default("keyInt"),
+            "latitude": lambda df: F.col("latitude").cast("decimal(10,8)"),
+            "longitude": lambda df: F.col("longitude").cast("decimal(11,8)"),
+        },
+        key=KeySpec(kind="sequential", order_by=("mongo_id",), out="id"),
+    )
+
+
+def user_spec(run_ts: datetime) -> EntitySpec:
+    """PG `user` destination — field_mapper.py:22-88 +
+    data_transformer.py:210-321 (normalizers, F28 redaction, J1/J3)."""
+    deleted = lambda df: ~F.coalesce(F.col("isActive"), F.lit(True))  # noqa: E731
+
+    def name_col(df: DataFrame) -> Column:
+        return F.coalesce(F.col("displayName"), F.col("name"))
+
+    return EntitySpec(
+        name="user",
+        source="users",
+        destination="user",
+        filters=(
+            # P6: only USER_ROLE/AGENTE_ROLE migrate (orchestrator.py:547-566)
+            lambda df: F.col("role").isin("USER_ROLE", "AGENTE_ROLE"),
+        ),
+        derivations={
+            "province_ref": lambda df: ref_id("province"),
+            "municipality_ref": lambda df: ref_id("municipality"),
+            "role_name_key": lambda df: S.role_name_normalize(F.col("userType")),
+        },
+        fk_joins=(
+            FKJoin(dim="province", on="province_ref", out="province_id"),
+            FKJoin(dim="role_by_name", on="role_name_key", out="role_id"),
+        ),
+        projection={
+            "mongo_id": lambda df: F.col("_id"),
+            "uuid": lambda df: F.col("uuid"),
+            "name": lambda df: F.when(deleted(df), F.lit("Deleted User")).otherwise(
+                name_col(df)
+            ),
+            "full_name": lambda df: F.col("fullName"),
+            "email": lambda df: F.when(deleted(df), F.lit("")).otherwise(
+                S.email_normalize("email")
+            ),
+            "phone": lambda df: F.when(deleted(df), F.lit("")).otherwise(
+                S.phone_digits(F.coalesce(F.col("phoneNumber"), F.col("phone")))
+            ),
+            "dni": lambda df: F.when(deleted(df), F.lit("")).otherwise(
+                S.dni_format(F.coalesce(F.col("cedula"), F.col("dni")))
+            ),
+            "birthdate": lambda df: F.coalesce(
+                F.col("birthDate"), F.col("birthdate")
+            ),
+            "gender": lambda df: S.gender_normalize("gender"),
+            "avatar": lambda df: S.bucket_url_rewrite(
+                F.coalesce(F.col("photoURL"), F.col("avatar"))
+            ),
+            "profile_status": lambda df: F.lit("COMPLETED"),
+            "socialmedia_x": lambda df: F.col("socialMedia")["x"],
+            "socialmedia_instagram": lambda df: F.col("socialMedia")["instagram"],
+            "socialmedia_telegram": lambda df: F.col("socialMedia")["telegram"],
+            "province_id": lambda df: F.col("province_id"),
+            "role_id": lambda df: F.col("role_id"),
+            # F28 redaction side-columns
+            "deleted_name": lambda df: F.when(deleted(df), name_col(df)),
+            "deleted_email": lambda df: F.when(
+                deleted(df), S.email_normalize("email")
+            ),
+            "deleted_at": lambda df: F.when(deleted(df), F.lit(run_ts)),
+            "created_at": lambda df: F.coalesce(F.col("createdAt"), F.lit(run_ts)),
+        },
+        key=KeySpec(kind="sequential", order_by=("mongo_id",), out="id"),
+        depends_on=("role", "province"),
+    )
+
+
+# ------------------------------------------------------------ pipeline
+def run_reference_pipeline(
+    sources: dict[str, DataFrame], run_ts: datetime
+) -> dict[str, DataFrame]:
+    """Execute the full migration DAG; returns every output table.
+
+    ``run_ts`` replaces the reference's ``datetime.now()`` defaults so
+    runs are replayable (SURVEY §7.4.7).
+    """
+    out: dict[str, DataFrame] = {}
+
+    # dimensions first (O5 topological order)
+    role = compile_entity(role_spec(), sources["roles"])
+    province = compile_entity(province_spec(), sources["provinces"])
+    out["role"] = role
+    out["province"] = province
+
+    id_maps = {
+        "province": province.select(
+            F.col("mongo_id").alias("natural_key"), F.col("id")
+        ),
+        # J3: role joined by normalized NAME, not mongo_id
+        "role_by_name": role.select(F.col("name").alias("natural_key"), F.col("id")),
+    }
+    user = compile_entity(user_spec(run_ts), sources["users"], id_maps)
+    out["user"] = user
+
+    # Cassandra users: same ids (K4 solved by construction), '+'-phone
+    out["users_cassandra"] = user.select(
+        F.col("id").alias("user_id"),
+        "mongo_id",
+        "name",
+        S.phone_e164ish(F.col("phone")).alias("phone"),
+        "role_id",
+    )
+
+    # rooms → room_details + organizations + rooms_by_mongo (§2.9 fanout)
+    rooms = sources["rooms"]
+    room_base = rooms.select(
+        F.col("_id").alias("mongo_id"),
+        uuid5_oid(F.col("_id")).alias("room_id"),
+        F.coalesce(
+            F.nullif(F.col("name"), F.lit("")),
+            F.concat(F.lit("Room "), F.col("_id")),
+        ).alias("room_name"),
+        S.room_type("isBroadcast", "isGroup").alias("room_type"),
+        # F9 permission derivation
+        F.when(
+            F.coalesce(F.col("isGroup"), F.lit(False)),
+            F.coalesce(
+                F.col("permissions")["canSendMessage"],
+                F.col("canWrite"),
+                F.lit(True),
+            ),
+        )
+        .otherwise(F.lit(True))
+        .alias("send_message"),
+        F.when(F.coalesce(F.col("isGroup"), F.lit(False)), F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("add_member"),
+        F.lit(False).alias("edit_group"),
+        F.coalesce(F.col("isPublic"), F.lit(False)).alias("join_all_user"),
+        F.coalesce(F.col("isAdmin"), F.lit(False)).alias("_is_organization"),
+        F.coalesce(F.col("createdAt"), F.lit(run_ts)).alias("created_at"),
+    ).persist()
+    out["room_details"] = room_base.drop("_is_organization")
+    out["organizations"] = room_base.filter(F.col("_is_organization")).select(
+        "room_id", "mongo_id", "room_name", "created_at"
+    )
+    out["rooms_by_mongo"] = room_base.select("mongo_id", "room_id")
+
+    # messages → messages_by_room + room_by_message
+    msgs = sources["messages"]
+    msg_active = msgs.filter(
+        (~F.col("msgType").isin(*BANNED_MSG_TYPES))
+        & (
+            F.col("msgLife").isNull()
+            | (F.col("msgLife") != F.lit("TOUCH_SHOW_DELETE"))
+        )
+        # tri-valued: missing isActive counts as active (SURVEY §7.4.6)
+        & F.coalesce(F.col("isActive"), F.lit(True))
+        & ~F.coalesce(F.col("isDeleted"), F.lit(False))
+        # F21/P7: DOCUMENTO attachments must be .pdf, others pass
+        & (
+            (F.col("fileType").isNull())
+            | (F.col("fileType") != "DOCUMENTO")
+            | F.col("fileURL").endswith(".pdf")
+        )
+    )
+    msg_resolved = (
+        msg_active.withColumn("sender_ref", ref_id("sender"))
+        .join(
+            F.broadcast(
+                out["rooms_by_mongo"].select(
+                    F.col("mongo_id").alias("room"), "room_id"
+                )
+            ),
+            "room",
+            "inner",  # unresolved room refs are skipped (id_mapper miss)
+        )
+        .join(
+            F.broadcast(
+                user.select(
+                    F.col("mongo_id").alias("sender_ref"),
+                    F.col("id").alias("sender_id"),
+                )
+            ),
+            "sender_ref",
+            "left",
+        )
+    )
+    messages_by_room = msg_resolved.select(
+        "room_id",
+        timeuuid_deterministic(
+            F.col("_id"),
+            (F.col("createdAt").cast("double") * 1000).cast("bigint"),
+        ).alias("message_id"),
+        F.col("_id").alias("mongo_id"),
+        "sender_id",
+        S.content_truncate(
+            F.coalesce(F.col("message"), F.col("content"), F.lit(""))
+        ).alias("content"),
+        S.mime_from_filetype("fileType", "fileURL").alias("mime_type"),
+        S.bucket_url_rewrite("fileURL").alias("file_url"),
+        "fileName",
+        "fileSize",
+        F.col("createdAt").alias("created_at"),
+    ).persist()
+    out["messages_by_room"] = messages_by_room
+    out["room_by_message"] = messages_by_room.select(
+        "message_id", "room_id", "mongo_id"
+    )
+
+    # members → participants_by_room + room_membership_lookup
+    members = (
+        sources["roommembers"]
+        .withColumn("room_ref", ref_id("room"))
+        .withColumn("user_ref", ref_id("user"))
+        .join(
+            F.broadcast(
+                out["rooms_by_mongo"].select(
+                    F.col("mongo_id").alias("room_ref"), "room_id"
+                )
+            ),
+            "room_ref",
+            "inner",
+        )
+        .join(
+            F.broadcast(
+                user.select(
+                    F.col("mongo_id").alias("user_ref"),
+                    F.col("id").alias("user_id"),
+                )
+            ),
+            "user_ref",
+            "inner",
+        )
+        .select(
+            "room_id",
+            "user_id",
+            S.upper_role(F.col("role")).alias("role"),
+            F.col("_id").alias("mongo_id"),
+            F.coalesce(F.col("joinedAt"), F.lit(run_ts)).alias("joined_at"),
+        )
+        .persist()
+    )
+    out["participants_by_room"] = members
+    out["room_membership_lookup"] = members.select(
+        "user_id", "room_id", "role", F.lit(None).cast("timestamp").alias(
+            "last_message_at"
+        ),
+    )
+
+    # p2p pairs (J7): both orderings of the two members of p2p rooms
+    p2p_rooms = out["room_details"].filter(F.col("room_type") == "p2p")
+    p2p_members = members.join(
+        F.broadcast(p2p_rooms.select("room_id")), "room_id", "inner"
+    )
+    out["p2p_room_by_users"] = DN.pair_generation(
+        p2p_members, "room_id", "user_id"
+    ).select(
+        F.col("user1").alias("user1_id"),
+        F.col("user2").alias("user2_id"),
+        "room_id",
+    )
+
+    # rooms_by_user (J5+J6): participants ⟕ room ⟕ last message ⟕ sender
+    last_msg = DN.top1_per_group(
+        messages_by_room,
+        ["room_id"],
+        [F.desc("created_at"), F.desc("message_id")],
+    ).select(
+        "room_id",
+        F.col("message_id").alias("last_message_id"),
+        F.col("content").alias("last_message_content"),
+        F.col("sender_id").alias("last_message_sender_id"),
+        F.col("created_at").alias("last_message_at"),
+    )
+    rooms_by_user = (
+        members.select("user_id", "room_id", "role")
+        .join(F.broadcast(out["room_details"]), "room_id", "inner")
+        .join(F.broadcast(last_msg), "room_id", "left")
+        .join(
+            F.broadcast(
+                user.select(
+                    F.col("id").alias("last_message_sender_id"),
+                    F.col("name").alias("last_message_sender_name"),
+                )
+            ),
+            "last_message_sender_id",
+            "left",
+        )
+        .select(
+            "user_id",
+            "room_id",
+            "role",
+            "room_name",
+            "room_type",
+            F.lit(False).alias("is_pinned"),
+            "last_message_id",
+            "last_message_content",
+            "last_message_sender_id",
+            "last_message_sender_name",
+            # participant w/o message falls back to room timestamps
+            F.coalesce(F.col("last_message_at"), F.col("created_at")).alias(
+                "last_message_at"
+            ),
+        )
+    )
+    out["rooms_by_user"] = rooms_by_user
+
+    # J8: merge last_message_at back into the membership lookup
+    out["room_membership_lookup_updated"] = DN.merge_update(
+        out["room_membership_lookup"],
+        rooms_by_user.select("user_id", "room_id", "last_message_at"),
+        ["user_id", "room_id"],
+        ["last_message_at"],
+    )
+    return out

@@ -57,6 +57,12 @@ class EntitySpec:
     # Predicates applied BEFORE projection (P4-P7 hoisted for pushdown,
     # SURVEY §7.4.4). Callables get the source DataFrame → Column.
     filters: tuple[Callable[[DataFrame], Column], ...] = ()
+    # Derived columns computed after filters, before FK joins — for
+    # normalized join keys (F19: strip _ROLE before the role-name
+    # join) and ref coalescing (`x._id` vs bare string).
+    derivations: dict[str, Callable[[DataFrame], Column]] = field(
+        default_factory=dict
+    )
     # dest_col -> Column builder (the FieldMapper projection, P1).
     projection: dict[str, Callable[[DataFrame], Column]] = field(default_factory=dict)
     fk_joins: tuple[FKJoin, ...] = ()

@@ -30,6 +30,11 @@ DEFAULT_CONF = {
     # Deterministic oracle parity: DuckDB reads parquet TIMESTAMP as
     # naive; keep Spark in UTC so instants stringify identically.
     "spark.sql.session.timeZone": "UTC",
+    # Mongo field names are case-sensitive and the reference coalesces
+    # over case-drifted pairs (birthDate|birthdate, fileUrl|fileURL —
+    # field_mapper.py:29-61); default-insensitive resolution would make
+    # those references ambiguous.
+    "spark.sql.caseSensitive": "true",
     # Arrow for pandas UDF / toPandas exchange (vectorized transfer).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Dimensions in this workload (region/nation/customer/supplier and
