@@ -3,14 +3,17 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "shuffle_bytes": {...}, "peak_jvm_heap_bytes": N}
 
 The headline set exercises every cost class: columnar agg (a1), join
 pipeline + window (j6), shuffle-heavy LSH dedup (d2), vector math
 (sim_topk_bruteforce), per-doc text scoring (t_text_stats), window agg
 over events (e_windowed_counts), hierarchy loop (j9), pandas-UDF path
 (k1_uuid5). Each query runs twice; warm time is recorded (the driver
-compares against BASELINE at the same sf).
+compares against BASELINE at the same sf). Shuffle volume per query
+comes from the Spark UI REST API (cumulative stage deltas) — the
+number to watch when judging whether a plan would survive 100 TB.
 """
 
 from __future__ import annotations
@@ -19,6 +22,7 @@ import json
 import os
 import sys
 import time
+import urllib.request
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
@@ -40,11 +44,51 @@ HEADLINE = [
 ]
 
 
+class UiMetrics:
+    """Cumulative shuffle/memory counters from the Spark UI REST API."""
+
+    def __init__(self, spark):
+        self.base = None
+        try:
+            ui = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            if ui:
+                self.base = f"{ui}/api/v1/applications/{app}"
+        except Exception:
+            pass
+
+    def _get(self, path: str):
+        with urllib.request.urlopen(f"{self.base}{path}", timeout=10) as r:
+            return json.load(r)
+
+    def shuffle_totals(self) -> tuple[int, int]:
+        if not self.base:
+            return (0, 0)
+        try:
+            stages = self._get("/stages?status=complete")
+            w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+            r = sum(s.get("shuffleReadBytes", 0) for s in stages)
+            return (w, r)
+        except Exception:
+            return (0, 0)
+
+    def peak_heap(self) -> int:
+        if not self.base:
+            return 0
+        try:
+            execs = self._get("/executors")
+            return sum(
+                (e.get("peakMemoryMetrics") or {}).get("JVMHeapMemory", 0)
+                for e in execs
+            )
+        except Exception:
+            return 0
+
+
 def run_once(name: str, spark, sf_dir: str) -> float:
     t0 = time.time()
     df = QUERIES[name](spark, sf_dir)
-    # Force full execution without driver-side materialization cost:
-    # count() on a cheap wrapper keeps the measurement on the plan.
+    # noop sink: full execution, no driver-side materialization cost.
     df.write.format("noop").mode("overwrite").save()
     return time.time() - t0
 
@@ -52,13 +96,18 @@ def run_once(name: str, spark, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark(app_name="bench")
+    spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
+    ui = UiMetrics(spark)
 
     timings: dict[str, float] = {}
+    shuffles: dict[str, int] = {}
     for name in HEADLINE:
         run_once(name, spark, sf_dir)  # cold (JIT, file listing)
+        w0, r0 = ui.shuffle_totals()
         timings[name] = round(run_once(name, spark, sf_dir), 3)
+        w1, r1 = ui.shuffle_totals()
+        shuffles[name] = (w1 - w0) + (r1 - r0)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -69,6 +118,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "shuffle_bytes": shuffles,
+                "peak_jvm_heap_bytes": ui.peak_heap(),
             }
         )
     )
