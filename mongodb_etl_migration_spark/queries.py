@@ -1168,16 +1168,24 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_embedding_neardup",
     """
-    WITH planes AS (
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      -- planted near-dups: scaled copies (cosine exactly 1.0 with the
+      -- original, and the same hyperplane signs => same LSH bucket)
+      SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 1.01)
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    planes AS (
       SELECT vec_id AS plane_id, embedding::DOUBLE[] AS pv
       FROM embeddings WHERE vec_id IN (1,2,3,4)
     ),
     bucketed AS (
-      SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
-             string_agg(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pv) >= 0
+      SELECT e.vec_id, e.v,
+             string_agg(CASE WHEN list_dot_product(e.v, p.pv) >= 0
                              THEN '1' ELSE '0' END, '' ORDER BY p.plane_id) AS bucket
-      FROM embeddings e CROSS JOIN planes p
-      GROUP BY e.vec_id, e.embedding::DOUBLE[]
+      FROM corpus e CROSS JOIN planes p
+      GROUP BY e.vec_id, e.v
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.v, b.v)
@@ -1186,14 +1194,29 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE round(list_dot_product(a.v, b.v)
                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                4) >= 0.5
+                4) >= 0.95
     """,
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, hyperplane-LSH blocked."""
+    """Embedding-cosine near-dup pairs, hyperplane-LSH blocked. The
+    corpus carries planted scaled copies (every 10th vector) so the
+    detector provably recovers them: scaling preserves hyperplane
+    signs (same bucket) and cosine (exactly 1.0)."""
     emb = Catalog(spark, sf_dir).embeddings
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * 1.01).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    ).unionByName(planted)
     return SIM.embedding_neardup_pairs(
-        emb, _planes(spark, sf_dir), threshold=0.5
+        corpus, _planes(spark, sf_dir), threshold=0.95
     )
 
 
@@ -1345,6 +1368,55 @@ def x_crypto_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("content_decrypted") == F.col("text")).alias("roundtrip_ok"),
         F.col("content_encrypted").isNotNull().alias("reencrypted"),
+    )
+
+
+@query(
+    "j9b_file_resolution",
+    """
+    WITH folders AS (
+      SELECT DISTINCT '/' || source AS path, 1 AS depth FROM documents
+      UNION
+      SELECT DISTINCT '/' || source || '/' || lang AS path, 2 AS depth FROM documents
+    ), ids AS (
+      SELECT path, depth,
+             CAST(row_number() OVER (ORDER BY depth, path) AS BIGINT) AS folder_id
+      FROM folders
+    ), files AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN '/orphan/' || doc_id
+                  WHEN doc_id % 2 = 0 THEN '/' || source
+                  ELSE '/' || source || '/' || lang END AS on_folder
+      FROM documents
+    )
+    SELECT f.doc_id, f.on_folder, coalesce(i.folder_id, 0) AS parent_id
+    FROM files f LEFT JOIN ids i ON f.on_folder = i.path
+    """,
+)
+def j9b_file_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 phase 2: attach files to folder ids by materialized path;
+    unresolved paths default to root 0 — orchestrator.py:893-933
+    (every 13th doc gets an orphan path to exercise the fallback)."""
+    d = Catalog(spark, sf_dir).documents
+    lvl1 = d.select(F.concat(F.lit("/"), F.col("source")).alias("path"))
+    lvl2 = d.select(
+        F.concat(F.lit("/"), F.col("source"), F.lit("/"), F.col("lang")).alias("path")
+    )
+    folder_ids = H.resolve_folder_tree(lvl1.unionByName(lvl2).distinct(), "path")
+    files = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit("/orphan/"), F.col("doc_id").cast("string")),
+        )
+        .when(F.col("doc_id") % 2 == 0, F.concat(F.lit("/"), F.col("source")))
+        .otherwise(
+            F.concat(F.lit("/"), F.col("source"), F.lit("/"), F.col("lang"))
+        )
+        .alias("on_folder"),
+    )
+    return H.resolve_files_to_folders(files, folder_ids, "on_folder").select(
+        "doc_id", "on_folder", "parent_id"
     )
 
 

@@ -92,3 +92,20 @@ def test_align_to_schema_adds_null_columns(spark, sf_dir):
     assert out.columns == ["r_regionkey", "r_name", "mongo_id", "deleted_at"]
     row = out.limit(1).collect()[0]
     assert row["mongo_id"] is None and row["deleted_at"] is None
+
+
+def test_run_metrics_json(spark, sf_dir, tmp_path):
+    from mongodb_etl_migration_spark.metrics import RunMetrics
+
+    m = RunMetrics()
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = m.timed("region", df)
+    assert n == df.count()
+    out = tmp_path / "metrics.json"
+    m.save(str(out))
+    import json
+
+    data = json.loads(out.read_text())
+    assert data["total_rows"] == n
+    assert data["entities"][0]["entity"] == "region"
+    assert m.as_dataframe(spark).count() == 1
