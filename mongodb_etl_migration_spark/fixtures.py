@@ -335,6 +335,195 @@ def members_df(spark: SparkSession, n_rooms: int = 30, n_users: int = 120) -> Da
     return spark.createDataFrame(rows, schema)
 
 
+# string-or-{url} drift for picture/cover/photo fields
+URLREF = T.StructType(
+    [T.StructField("url", T.StringType()), T.StructField("raw", T.StringType())]
+)
+
+
+def _urlref(i: int, kind: str) -> tuple | None:
+    if i % 5 == 4:
+        return None
+    url = (
+        f"gs://sibci-devel.appspot.com/{kind}/{i}.png"
+        if i % 3 == 0
+        else f"https://cdn.example.com/{kind}/{i}.png"
+    )
+    return (url, None) if i % 2 == 0 else (None, url)
+
+
+def professions_df(spark: SparkSession, n: int = 6) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("name_es", T.StringType()),
+            T.StructField("isActive", T.BooleanType()),
+        ]
+    )
+    rows = [
+        (oid("professions", i), f"Profession {i}", f"Profesión {i}", True)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def channels_df(spark: SparkSession, n: int = 10, n_users: int = 120) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("description", T.StringType()),
+            T.StructField("isActive", T.BooleanType()),
+            T.StructField("visible", T.BooleanType()),
+            T.StructField("picture", URLREF),
+            T.StructField("cover", URLREF),
+            T.StructField("lives", T.ArrayType(T.StringType())),
+            T.StructField("createdBy", REF),
+            T.StructField("createdAt", T.TimestampType()),
+        ]
+    )
+    rows = [
+        (
+            oid("channels", i),
+            f"Channel {i}",
+            f"channel desc {i}" if i % 2 == 0 else None,
+            None if i % 3 == 0 else (i % 3 == 1),
+            i % 4 != 3,
+            _urlref(i, "pic"),
+            _urlref(i + 1, "cover"),
+            [oid("lives", (i * 2 + j) % 20) for j in range(i % 4)],
+            ref_for("users", (i * 11) % n_users, i),
+            ts(4000 + i),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def lives_df(spark: SparkSession, n: int = 20, n_channels: int = 10) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("description", T.StringType()),
+            T.StructField("photoURL", URLREF),
+            T.StructField("coverImage", URLREF),
+            T.StructField("thumbnail", URLREF),
+            T.StructField("cover", URLREF),
+            T.StructField("image", URLREF),
+            T.StructField("isFinished", T.BooleanType()),
+            T.StructField("isFeatured", T.BooleanType()),
+            T.StructField("isActive", T.BooleanType()),
+            T.StructField("liveUrl", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("channel", REF),
+            T.StructField("createdAt", T.TimestampType()),
+        ]
+    )
+    rows = []
+    for i in range(n):
+        # exactly one of the 5 photo variants set (cycling), testing the
+        # 5-way coalesce order
+        photos: list = [None] * 5
+        photos[i % 5] = _urlref(i * 2, "live") or (
+            f"https://cdn.example.com/live/{i}.png",
+            None,
+        )
+        rows.append(
+            (
+                oid("lives", i),
+                f"Live {i}" if i % 2 == 0 else None,
+                None if i % 2 == 0 else f"Live {i}",
+                f"live desc {i}",
+                *photos,
+                i % 3 == 0,
+                i % 4 == 0,
+                False if i % 7 == 6 else True,
+                f"https://youtu.be/v{i}" if i % 2 == 0 else None,
+                f"https://youtube.com/watch?v={i}" if i % 2 == 1 else None,
+                ref_for("channels", i % n_channels, i),
+                ts(5000 + i),
+            )
+        )
+    return spark.createDataFrame(rows, schema)
+
+
+DOC_FOLDERS = [
+    ("/", None),  # implicit root; not emitted as a row
+    ("/legal", None),
+    ("/legal/contracts", "/legal"),
+    ("/legal/briefs", "/legal"),
+    ("/media", None),
+    ("/media/images", "/media"),
+]
+
+
+def docs_df(spark: SparkSession, n_files: int = 30) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("fileUrl", T.StringType()),
+            T.StructField("fileURL", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("onFolder", T.StringType()),
+            T.StructField("uploadedBy", REF),
+            T.StructField("specialRole", REF),
+            T.StructField("isActive", T.BooleanType()),
+            T.StructField("createdAt", T.TimestampType()),
+        ]
+    )
+    rows = []
+    # folder docs: title is the leaf name, onFolder is the PARENT path
+    for i, (path, _parent) in enumerate(DOC_FOLDERS[1:]):
+        leaf = path.rsplit("/", 1)[-1]
+        parent = path.rsplit("/", 1)[0] or "/"
+        rows.append(
+            (
+                oid("docs", i),
+                leaf,
+                None,
+                None,
+                None,
+                "FOLDER",
+                parent,
+                ref_for("users", i, i),
+                None,
+                True,
+                ts(6000 + i),
+            )
+        )
+    folder_paths = [p for p, _ in DOC_FOLDERS]
+    for j in range(n_files):
+        i = len(DOC_FOLDERS) - 1 + j
+        drift = j % 2 == 0
+        url = f"gs://sibci-2f7fc.appspot.com/docs/{j}.pdf" if j % 3 == 0 else f"https://cdn.example.com/docs/{j}.pdf"
+        on_folder = (
+            f"/orphan/path{j}"  # exercises default-to-root
+            if j % 9 == 8
+            else folder_paths[j % len(folder_paths)]
+        )
+        rows.append(
+            (
+                oid("docs", 100 + j),
+                f"File {j}" if drift else None,
+                None if drift else f"File {j}",
+                url if drift else None,
+                None if drift else url,
+                "DOCUMENTO" if j % 2 == 0 else "IMAGEN",
+                on_folder,
+                ref_for("users", j % 120, j),
+                ref_for("roles", j % 4, j) if j % 6 == 5 else None,
+                False if j % 10 == 9 else True,
+                ts(6100 + j),
+            )
+        )
+    return spark.createDataFrame(rows, schema)
+
+
 def all_sources(spark: SparkSession) -> dict[str, DataFrame]:
     return {
         "roles": roles_df(spark),
@@ -343,4 +532,8 @@ def all_sources(spark: SparkSession) -> dict[str, DataFrame]:
         "rooms": rooms_df(spark),
         "messages": messages_df(spark),
         "roommembers": members_df(spark),
+        "professions": professions_df(spark),
+        "channels": channels_df(spark),
+        "lives": lives_df(spark),
+        "docs": docs_df(spark),
     }

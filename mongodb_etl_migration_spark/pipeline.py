@@ -29,6 +29,10 @@ from mongodb_etl_migration_spark.functions.keys import (
     uuid5_oid,
 )
 from mongodb_etl_migration_spark.operators import denorm as DN
+from mongodb_etl_migration_spark.operators.hierarchy import (
+    resolve_files_to_folders,
+    resolve_folder_tree,
+)
 from mongodb_etl_migration_spark.plans.compiler import compile_entity
 from mongodb_etl_migration_spark.plans.spec import EntitySpec, FKJoin, KeySpec
 
@@ -382,5 +386,202 @@ def run_reference_pipeline(
         rooms_by_user.select("user_id", "room_id", "last_message_at"),
         ["user_id", "room_id"],
         ["last_message_at"],
+    )
+
+    # professions dimension + user_professions M2M (J4)
+    profession = assign_sequential_ids(
+        sources["professions"].select(
+            F.col("_id").alias("mongo_id"),
+            "name",
+            "name_es",
+        ),
+        ["mongo_id"],
+        "id",
+    )
+    out["profession"] = profession
+    exploded = (
+        sources["users"]
+        .filter(F.col("profession").isNotNull())
+        .select(
+            F.col("_id").alias("user_mongo_id"),
+            F.explode(F.col("profession")).alias("prof_mongo_id"),
+        )
+    )
+    out["user_professions"] = (
+        exploded.join(
+            F.broadcast(
+                user.select(
+                    F.col("mongo_id").alias("user_mongo_id"),
+                    F.col("id").alias("user_id"),
+                )
+            ),
+            "user_mongo_id",
+            "inner",  # J4: misses dropped
+        )
+        .join(
+            F.broadcast(
+                profession.select(
+                    F.col("mongo_id").alias("prof_mongo_id"),
+                    F.col("id").alias("profession_id"),
+                )
+            ),
+            "prof_mongo_id",
+            "inner",
+        )
+        .select(
+            "user_id",
+            "profession_id",
+            # F18 composite lineage key
+            S.composite_key("user_mongo_id", "prof_mongo_id").alias("mongo_id"),
+        )
+    )
+
+    # channel (F11-ish url coalesce, F12 array length, J1 createdBy FK)
+    def url_of(c: str) -> Column:
+        return F.coalesce(F.col(c)["url"], F.col(c)["raw"])
+
+    channel = (
+        sources["channels"]
+        .withColumn("created_by_ref", ref_id("createdBy"))
+        .join(
+            F.broadcast(
+                user.select(
+                    F.col("mongo_id").alias("created_by_ref"),
+                    F.col("id").alias("created_by"),
+                )
+            ),
+            "created_by_ref",
+            "left",
+        )
+        .select(
+            F.col("_id").alias("mongo_id"),
+            "name",
+            "description",
+            F.coalesce(F.col("isActive"), F.col("visible"), F.lit(True)).alias(
+                "is_active"
+            ),
+            S.bucket_url_rewrite(url_of("picture")).alias("picture"),
+            S.bucket_url_rewrite(url_of("cover")).alias("cover"),
+            F.when(F.col("lives").isNull(), F.lit(0))
+            .otherwise(F.size(F.col("lives")))
+            .alias("lives_count"),
+            "created_by",
+            F.coalesce(F.col("createdAt"), F.lit(run_ts)).alias("created_at"),
+        )
+    )
+    channel = assign_sequential_ids(channel, ["mongo_id"], "id")
+    out["channel"] = channel
+
+    # live (F10 derivations, F11 5-way photo coalesce + F5 rewrite)
+    live = (
+        sources["lives"]
+        .withColumn("channel_ref", ref_id("channel"))
+        .join(
+            F.broadcast(
+                channel.select(
+                    F.col("mongo_id").alias("channel_ref"),
+                    F.col("id").alias("channel_id"),
+                )
+            ),
+            "channel_ref",
+            "left",
+        )
+        .select(
+            F.col("_id").alias("mongo_id"),
+            F.coalesce(F.col("title"), F.col("name")).alias("title"),
+            "description",
+            S.bucket_url_rewrite(
+                F.coalesce(
+                    url_of("photoURL"),
+                    url_of("coverImage"),
+                    url_of("thumbnail"),
+                    url_of("cover"),
+                    url_of("image"),
+                )
+            ).alias("photo_url"),
+            F.when(F.coalesce(F.col("isFinished"), F.lit(False)), "FINISHED")
+            .otherwise("LIVE")
+            .alias("status"),
+            F.lit("YOUTUBE").alias("live_type"),
+            F.when(F.coalesce(F.col("isFeatured"), F.lit(False)), "FEATURED")
+            .otherwise("MORE_TO_SEE")
+            .alias("category"),
+            F.lit(0).alias("viewers"),
+            F.coalesce(F.col("liveUrl"), F.col("url")).alias("live_url"),
+            "channel_id",
+            F.when(
+                ~F.coalesce(F.col("isActive"), F.lit(True)), F.lit(run_ts)
+            ).alias("deleted_at"),
+        )
+    )
+    out["live"] = assign_sequential_ids(live, ["mongo_id"], "id")
+
+    # docs (J9 hierarchy + J12 docs_roles side-output)
+    docs = sources["docs"].filter(F.coalesce(F.col("isActive"), F.lit(True)))
+    folders = docs.filter(F.col("type") == "FOLDER").select(
+        F.col("_id").alias("mongo_id"),
+        S.full_path(
+            F.col("onFolder"), F.coalesce(F.col("title"), F.col("name"))
+        ).alias("path"),
+    )
+    tree = resolve_folder_tree(folders.select("path"), "path")
+    folder_docs = folders.join(F.broadcast(tree), "path", "inner").select(
+        "mongo_id",
+        F.col("path"),
+        F.col("folder_id").alias("id"),
+        "parent_id",
+        F.lit("FOLDER").alias("type"),
+        F.lit(None).cast("string").alias("file_url"),
+    )
+    n_folders = tree.count()
+    files = docs.filter(F.col("type") != "FOLDER").select(
+        F.col("_id").alias("mongo_id"),
+        F.col("onFolder").alias("on_folder"),
+        "type",
+        S.bucket_url_rewrite(
+            F.coalesce(F.col("fileUrl"), F.col("fileURL"))
+        ).alias("file_url"),
+    )
+    files_resolved = resolve_files_to_folders(
+        files, tree.select("path", "folder_id"), "on_folder"
+    )
+    file_docs = assign_sequential_ids(
+        files_resolved, ["mongo_id"], "id", start=n_folders + 1
+    ).select(
+        "mongo_id",
+        F.col("on_folder").alias("path"),
+        "id",
+        "parent_id",
+        "type",
+        "file_url",
+    )
+    out["docs"] = folder_docs.unionByName(file_docs)
+
+    # J12: docs with specialRole → (docs_id, role_id) relation rows
+    out["docs_roles"] = (
+        docs.withColumn("role_ref", ref_id("specialRole"))
+        .filter(F.col("role_ref").isNotNull())
+        .join(
+            F.broadcast(
+                out["docs"].select(
+                    F.col("mongo_id").alias("_docs_mongo"), F.col("id").alias(
+                        "docs_id"
+                    )
+                )
+            ),
+            F.col("_id") == F.col("_docs_mongo"),
+            "inner",
+        )
+        .join(
+            F.broadcast(
+                role.select(
+                    F.col("mongo_id").alias("role_ref"),
+                    F.col("id").alias("role_id"),
+                )
+            ),
+            "role_ref",
+            "inner",
+        )
+        .select("docs_id", "role_id", F.col("_id").alias("docs_mongo_id"))
     )
     return out

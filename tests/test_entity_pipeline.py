@@ -241,3 +241,77 @@ def test_orphan_room_refs_dropped(outputs):
         .count()
     )
     assert out["messages_by_room"].count() == survivors
+
+
+def test_m2m_user_professions(outputs):
+    src, out = outputs
+    up = out["user_professions"]
+    # inner-join semantics: every row resolves both sides (J4)
+    assert up.filter(F.col("user_id").isNull() | F.col("profession_id").isNull()).count() == 0
+    # only migrated users contribute (role allow-list upstream)
+    migrated = out["user"].select(F.col("id").alias("user_id"))
+    assert up.join(migrated, "user_id", "left_anti").count() == 0
+    # composite lineage key format: <user_mongo>_<prof_mongo>
+    assert up.filter(~F.col("mongo_id").rlike("^[0-9a-f]{24}_[0-9a-f]{24}$")).count() == 0
+    # expected cardinality: per migrated user with arrays, 2 entries
+    src_pairs = (
+        src["users"]
+        .filter(F.col("role").isin("USER_ROLE", "AGENTE_ROLE"))
+        .filter(F.col("profession").isNotNull())
+        .select(F.explode("profession"))
+        .count()
+    )
+    assert up.count() == src_pairs
+
+
+def test_channel_live_derivations(outputs):
+    src, out = outputs
+    ch = out["channel"]
+    assert ch.count() == src["channels"].count()
+    # lives_count = len(lives), missing → 0 (F12)
+    assert ch.filter(F.col("lives_count").isNull() | (F.col("lives_count") < 0)).count() == 0
+    # no gs:// URLs survive the rewrite (F5)
+    for c in ("picture", "cover"):
+        assert ch.filter(F.col(c).startswith("gs://")).count() == 0
+
+    lv = out["live"]
+    assert lv.count() == src["lives"].count()
+    # F10: constants and conditionals
+    assert lv.filter(F.col("live_type") != "YOUTUBE").count() == 0
+    assert lv.filter(~F.col("status").isin("FINISHED", "LIVE")).count() == 0
+    assert lv.filter(~F.col("category").isin("FEATURED", "MORE_TO_SEE")).count() == 0
+    # soft delete: deleted_at set exactly for isActive=false sources
+    n_inactive = src["lives"].filter(~F.coalesce(F.col("isActive"), F.lit(True))).count()
+    assert lv.filter(F.col("deleted_at").isNotNull()).count() == n_inactive
+    # F11 5-way coalesce: every live had exactly one photo variant set
+    assert lv.filter(F.col("photo_url").isNull()).count() == 0
+    assert lv.filter(F.col("photo_url").startswith("gs://")).count() == 0
+
+
+def test_docs_hierarchy_and_roles(outputs):
+    src, out = outputs
+    docs = out["docs"]
+    active_src = src["docs"].filter(F.coalesce(F.col("isActive"), F.lit(True)))
+    assert docs.count() == active_src.count()
+    # folder parents resolve to folder ids; files with orphan paths → 0
+    folders = docs.filter(F.col("type") == "FOLDER")
+    folder_ids = {r["id"] for r in folders.select("id").collect()}
+    for r in docs.collect():
+        assert r["parent_id"] == 0 or r["parent_id"] in folder_ids
+    # known tree shape: /legal/contracts's parent is /legal
+    legal = folders.filter(F.col("path") == "/legal").head()
+    contracts = folders.filter(F.col("path") == "/legal/contracts").head()
+    assert contracts["parent_id"] == legal["id"]
+    # orphan-path files default to root (fixture plants them)
+    orphan_files = docs.filter(F.col("path").startswith("/orphan/"))
+    assert orphan_files.count() > 0
+    assert orphan_files.filter(F.col("parent_id") != 0).count() == 0
+    # ids are unique across folders+files
+    assert docs.select("id").distinct().count() == docs.count()
+    # J12: docs_roles rows only for docs with specialRole, both ids resolved
+    dr = out["docs_roles"]
+    want = active_src.filter(
+        F.coalesce(F.col("specialRole")["_id"], F.col("specialRole")["raw"]).isNotNull()
+    ).count()
+    assert dr.count() == want
+    assert dr.filter(F.col("docs_id").isNull() | F.col("role_id").isNull()).count() == 0
