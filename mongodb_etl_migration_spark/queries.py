@@ -1339,6 +1339,36 @@ def e_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(e, "1 hour")
 
 
+@query(
+    "e_sessionization",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM marked
+    )
+    SELECT user_id, session_idx, min(ts) AS session_start,
+           max(ts) AS session_end, count(*) AS n_events
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def e_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap), batch form — the twin of
+    the applyInPandasWithState streaming operator
+    (streaming/stateful.py); one shuffle on user_id for the windows."""
+    from mongodb_etl_migration_spark.streaming.stateful import sessionize_batch
+
+    e = Catalog(spark, sf_dir).events
+    return sessionize_batch(e, gap_minutes=30)
+
+
 # =====================================================================
 # Crypto migration (rows-only: ciphers aren't SQL-expressible)
 # =====================================================================

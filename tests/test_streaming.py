@@ -92,3 +92,65 @@ def test_windowed_counts_streaming_equals_batch(spark, sf_dir, tmp_path):
     ).count()
     assert mismatches == 0
     assert got.count() > 0
+
+
+def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionization vs the oracle-checked
+    batch twin: with availableNow over static data, the stream emits
+    exactly the sessions CLOSED by an observed gap — i.e. every batch
+    session except each user's last (the open tail stays in state)."""
+    from mongodb_etl_migration_spark.streaming.stateful import (
+        sessionize_batch,
+        sessionize_stateful,
+    )
+
+    events = Catalog(spark, sf_dir).events
+    src_dir = str(tmp_path / "ssrc")
+    # one file ⇒ one micro-batch: files arrive in arbitrary order, so a
+    # multi-file source would interleave out-of-order event time across
+    # batches (production streams are watermark-ordered; this test pins
+    # the single-batch semantics deterministically)
+    events.coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src_dir).schema
+    ).parquet(src_dir)
+
+    sink = str(tmp_path / "ssink")
+    ckpt = str(tmp_path / "sckpt")
+    q = (
+        sessionize_stateful(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(sink).select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+    batch = sessionize_batch(spark.read.parquet(src_dir), gap_minutes=30)
+    # expected = gap-closed sessions (all but each user's last) PLUS
+    # tail sessions flushed by the final watermark timeout sweep:
+    # timeout fires when watermark (max_ts - 1h) passes session_end+gap
+    last = batch.groupBy("user_id").agg(
+        F.max("session_idx").alias("session_idx")
+    )
+    max_ts = spark.read.parquet(src_dir).agg(F.max("ts")).head()[0]
+    closed_by_gap = batch.join(last, ["user_id", "session_idx"], "left_anti")
+    flushed_tails = batch.join(last, ["user_id", "session_idx"], "left_semi").filter(
+        F.col("session_end").cast("timestamp") + F.expr("INTERVAL 30 MINUTES")
+        < F.lit(max_ts).cast("timestamp") - F.expr("INTERVAL 1 HOUR")
+    )
+    expected = closed_by_gap.unionByName(flushed_tails).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    assert got.count() > 0
