@@ -44,6 +44,32 @@ def write_clustered(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_col: str,
+    buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed, sorted table — the co-located-join layout.
+
+    Two tables bucketed on the same key with the same bucket count
+    join WITHOUT a shuffle (each bucket pair joins independently);
+    at 100 TB this converts every repeated fact⋈fact join on the key
+    into a zero-exchange sort-merge — the shuffle is paid once at
+    write time instead of per query. The reference has no equivalent
+    (its Cassandra partition keys serve reads, not joins)."""
+    (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def align_to_schema(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """S12 additive schema evolution: project onto the target column
     list, adding NULLs for new columns — the engine-side equivalent of

@@ -109,3 +109,40 @@ def test_run_metrics_json(spark, sf_dir, tmp_path):
     assert data["total_rows"] == n
     assert data["entities"][0]["entity"] == "region"
     assert m.as_dataframe(spark).count() == 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-located bucketed tables join with zero Exchange nodes —
+    the pay-the-shuffle-once layout for repeated key joins at scale."""
+    from mongodb_etl_migration_spark.sources.writers import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_bucketed(
+        orders, "b_orders", str(tmp_path / "b_orders"), "o_custkey", 8
+    )
+    write_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer",
+        str(tmp_path / "b_customer"),
+        "o_custkey",
+        8,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"), "o_custkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and it computes the right thing
+        expected = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
