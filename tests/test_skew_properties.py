@@ -1,0 +1,83 @@
+"""Skew-mitigation equivalence tests + hypothesis property tests for
+the scalar normalizers (SURVEY §5 — the reference had no unit tests;
+property testing is the upgrade).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mongodb_etl_migration_spark.functions import scalars as S
+from mongodb_etl_migration_spark.operators.skew import salted_count, salted_join
+
+# ---------------------------------------------------------------- skew
+
+def test_salted_join_equals_plain_join(spark):
+    # skewed fact: 90% of rows on one key
+    big = spark.range(0, 20_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7))
+        .otherwise((F.col("id") % 50).cast("long"))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("dim_val")
+    )
+    plain = big.join(small, "k").select("k", "payload", "dim_val")
+    salted = salted_join(big, small, "k").select("k", "payload", "dim_val")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_count_equals_group_count(spark):
+    df = spark.range(0, 30_000).select(
+        F.when(F.col("id") % 5 != 0, F.lit(1)).otherwise(F.col("id") % 100).alias("k")
+    )
+    want = {r["k"]: r["cnt"] for r in df.groupBy("k").agg(F.count("*").alias("cnt")).collect()}
+    got = {r["k"]: r["cnt"] for r in salted_count(df, "k").collect()}
+    assert got == want
+
+
+# ------------------------------------------------- scalar properties
+# Drive the SAME Column expressions the engine uses, through a
+# one-row DataFrame per batch of generated inputs (vectorized check).
+
+def _apply(spark, col_expr, values):
+    df = spark.createDataFrame([(v,) for v in values], "x string")
+    return [r["y"] for r in df.select(col_expr.alias("y")).collect()]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=20))
+def test_phone_digits_property(spark, xs):
+    out = _apply(spark, S.phone_digits(F.col("x")), xs)
+    for inp, got in zip(xs, out):
+        assert got is None or got == "".join(c for c in inp if c.isdigit() and c.isascii()) or got.isdigit()
+        if got:
+            assert got.isdigit()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=30), min_size=1, max_size=20))
+def test_dni_format_properties(spark, xs):
+    out = _apply(spark, S.dni_format(F.col("x")), xs)
+    out2 = _apply(spark, S.dni_format(S.dni_format(F.col("x"))), xs)
+    for got, got2 in zip(out, out2):
+        if got and len(got) >= 3 and "-" in got:
+            # canonical form: letter-hyphen-alnum, first char in VEJGP
+            assert got[0] in "VEJGP" and got[1] == "-"
+        # idempotence on already-formatted values
+        if got and got2 and got[0] in "VEJGP" and got[1:2] == "-":
+            assert got2 == got
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.emails(), min_size=1, max_size=10))
+def test_email_normalize_property(spark, xs):
+    padded = [f"  {e.upper()} " for e in xs]
+    out = _apply(spark, S.email_normalize(F.col("x")), padded)
+    for e, got in zip(xs, out):
+        assert got == e.lower()
