@@ -37,9 +37,12 @@ def tokens(c: Column | str) -> Column:
     return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
 
 
-def token_count(c: Column | str) -> Column:
-    """Token count (whitespace/regex tokenizer)."""
-    return F.size(tokens(c))
+def token_count(c: Column | str, toks: Column | None = None) -> Column:
+    """Token count (whitespace/regex tokenizer). Pass ``toks`` (a
+    materialized token-array column) in hot paths: lambda bodies sit
+    outside codegen CSE, so an inlined tokenizer re-runs per
+    consumer."""
+    return F.size(tokens(c) if toks is None else toks)
 
 
 def approx_bpe_token_count(c: Column | str) -> Column:
@@ -49,8 +52,8 @@ def approx_bpe_token_count(c: Column | str) -> Column:
     return F.ceil(F.length(col) / F.lit(4.0)).cast("bigint")
 
 
-def stopword_ratio(c: Column | str) -> Column:
-    toks = tokens(c)
+def stopword_ratio(c: Column | str, toks: Column | None = None) -> Column:
+    toks = tokens(c) if toks is None else toks
     stops = F.filter(toks, lambda t: t.isin(*STOPWORDS))
     return F.when(F.size(toks) > 0, F.size(stops) / F.size(toks)).otherwise(F.lit(0.0))
 
@@ -64,23 +67,26 @@ def alpha_ratio(c: Column | str) -> Column:
     )
 
 
-def mean_token_len(c: Column | str) -> Column:
-    toks = tokens(c)
+def mean_token_len(c: Column | str, toks: Column | None = None) -> Column:
+    toks = tokens(c) if toks is None else toks
     total = F.aggregate(
         toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
     )
     return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def quality_score(c: Column | str) -> Column:
+def quality_score(c: Column | str, toks: Column | None = None) -> Column:
     """Composite [0,1] quality score: length saturation + stopword
     presence + alphanumeric cleanliness + plausible word lengths.
-    Fixed weights so the score is stable engine-to-engine."""
-    n = token_count(c).cast("double")
+    Fixed weights so the score is stable engine-to-engine.
+
+    Evaluates the token array 4x — ALWAYS pass a materialized ``toks``
+    column from a prior projection in real pipelines."""
+    n = token_count(c, toks).cast("double")
     len_component = F.least(n / F.lit(50.0), F.lit(1.0))
-    stop_component = F.least(stopword_ratio(c) * F.lit(3.0), F.lit(1.0))
+    stop_component = F.least(stopword_ratio(c, toks) * F.lit(3.0), F.lit(1.0))
     alpha_component = alpha_ratio(c)
-    mtl = mean_token_len(c)
+    mtl = mean_token_len(c, toks)
     word_component = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(
         F.lit(0.5)
     )
@@ -97,20 +103,20 @@ def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
 
-def lang_scores(c: Column | str) -> dict[str, Column]:
+def lang_scores(c: Column | str, toks: Column | None = None) -> dict[str, Column]:
     """Per-language marker-hit counts."""
-    toks = tokens(c)
+    toks = tokens(c) if toks is None else toks
     return {
         lang: _marker_hits(toks, markers)
         for lang, markers in LANG_MARKERS.items()
     }
 
 
-def lang_id(c: Column | str) -> Column:
+def lang_id(c: Column | str, toks: Column | None = None) -> Column:
     """Argmax language with deterministic tie-break: the first language
     (in sorted code order) whose score equals the max wins — the same
     CASE-WHEN chain the SQL oracle writes."""
-    scores = lang_scores(c)
+    scores = lang_scores(c, toks)
     langs = sorted(scores)
     top = F.greatest(*[scores[lang] for lang in langs])
     expr: Column | None = None
@@ -120,10 +126,10 @@ def lang_id(c: Column | str) -> Column:
     return expr.otherwise(F.lit(langs[-1]))
 
 
-def fingerprint(c: Column | str) -> Column:
+def fingerprint(c: Column | str, toks: Column | None = None) -> Column:
     """Canonical document fingerprint: md5 over the sorted distinct
     token set — robust to word order/duplication (near-canonical form
     used for clustering-style dedup)."""
-    toks = tokens(c)
+    toks = tokens(c) if toks is None else toks
     canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
     return F.md5(canon)

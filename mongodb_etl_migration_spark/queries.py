@@ -1242,11 +1242,13 @@ def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality components (whitespace/regex tokenizer,
     BPE-ish estimate, stopword/alpha ratios)."""
     d = Catalog(spark, sf_dir).documents.filter(F.length("text") > 0)
-    return d.select(
+    toked = d.select("doc_id", "text", T.tokens("text").alias("_toks"))
+    tk = F.col("_toks")
+    return toked.select(
         "doc_id",
-        T.token_count("text").alias("n_tokens"),
+        T.token_count("text", tk).alias("n_tokens"),
         T.approx_bpe_token_count("text").alias("approx_bpe_tokens"),
-        F.round(T.stopword_ratio("text"), 4).alias("stop_ratio"),
+        F.round(T.stopword_ratio("text", tk), 4).alias("stop_ratio"),
         F.round(T.alpha_ratio("text"), 4).alias("alpha_ratio"),
     )
 
@@ -1273,12 +1275,100 @@ def _lang_oracle() -> str:
     """
 
 
+def _quality_sql(toks: str = "toks", text: str = "text") -> str:
+    """DuckDB expression mirroring operators.text.quality_score —
+    same component formulas, same weights, same final round."""
+    stop_list = ", ".join(repr(s) for s in T.STOPWORDS)
+    n = f"len({toks})"
+    sr = (
+        f"CASE WHEN {n} > 0 THEN len(list_filter({toks}, t -> t IN ({stop_list})))"
+        f" / CAST({n} AS DOUBLE) ELSE 0.0 END"
+    )
+    alpha = (
+        f"CAST(length(regexp_replace(lower({text}), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)"
+        f" / length({text})"
+    )
+    mtl = (
+        f"CASE WHEN {n} > 0 THEN CAST(list_sum(list_transform({toks},"
+        f" t -> length(t))) AS DOUBLE) / {n} ELSE 0.0 END"
+    )
+    return (
+        f"round(0.3 * least({n} / 50.0, 1.0)"
+        f" + 0.2 * least(({sr}) * 3.0, 1.0)"
+        f" + 0.3 * ({alpha})"
+        f" + 0.2 * (CASE WHEN ({mtl}) >= 3.0 AND ({mtl}) <= 10.0"
+        f" THEN 1.0 ELSE 0.5 END), 4)"
+    )
+
+
+def _curation_oracle() -> str:
+    score = {
+        lang: f"len(list_filter(toks, t -> t IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in T.LANG_MARKERS.items()
+    }
+    langs = sorted(score)
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(
+        f"WHEN s_{lang} = {greatest} THEN '{lang}'" for lang in langs[:-1]
+    )
+    scores_sel = ",\n             ".join(
+        f"{expr} AS s_{lang}" for lang, expr in score.items()
+    )
+    return f"""
+    WITH reps AS (
+      SELECT min(doc_id) AS doc_id, min(text) AS text
+      FROM ({_CORPUS_SQL})
+      GROUP BY md5(text)
+    ),
+    toked AS (
+      SELECT doc_id, text,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM reps
+    ),
+    scored AS (
+      SELECT doc_id,
+             {scores_sel},
+             {_quality_sql()} AS quality
+      FROM toked
+    )
+    SELECT doc_id, CASE {case} ELSE '{langs[-1]}' END AS lang_pred, quality
+    FROM scored
+    WHERE quality >= 0.5
+      AND (CASE {case} ELSE '{langs[-1]}' END) = 'en'
+    """
+
+
+@query("t_curation_pipeline", _curation_oracle())
+def t_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite data-curation query a training pipeline runs:
+    exact-dedup to representatives → quality gate → language filter.
+    All narrow except the one dedup shuffle; the full chain stays
+    JVM-side (no Python)."""
+    corpus = _corpus(spark, sf_dir)
+    reps = corpus.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"), F.min("text").alias("text")
+    )
+    toked = reps.select("doc_id", "text", T.tokens("text").alias("_toks"))
+    tk = F.col("_toks")
+    scored = toked.select(
+        "doc_id",
+        T.lang_id("text", tk).alias("lang_pred"),
+        T.quality_score("text", tk).alias("quality"),
+    )
+    return scored.filter(
+        (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
+    ).select("doc_id", "lang_pred", "quality")
+
+
 @query("t_lang_id", _lang_oracle())
 def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-token argmax, deterministic
     tie-break)."""
     d = Catalog(spark, sf_dir).documents
-    return d.select("doc_id", T.lang_id("text").alias("lang_pred"))
+    toked = d.select("doc_id", T.tokens("text").alias("_toks"))
+    return toked.select(
+        "doc_id", T.lang_id("text", F.col("_toks")).alias("lang_pred")
+    )
 
 
 @query(
