@@ -41,6 +41,8 @@ HEADLINE = [
     "j9_hierarchy_resolution",
     "k1_uuid5",
     "o2_global_topk",
+    "t_curation_pipeline",
+    "e_sessionization",
 ]
 
 
