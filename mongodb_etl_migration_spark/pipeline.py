@@ -348,7 +348,7 @@ def run_reference_pipeline(
         F.col("created_at").alias("last_message_at"),
     )
     rooms_by_user = (
-        members.select("user_id", "room_id", "role")
+        members.select("user_id", "room_id", "role", "joined_at")
         .join(F.broadcast(out["room_details"]), "room_id", "inner")
         .join(F.broadcast(last_msg), "room_id", "left")
         .join(
@@ -356,22 +356,37 @@ def run_reference_pipeline(
                 user.select(
                     F.col("id").alias("last_message_sender_id"),
                     F.col("name").alias("last_message_sender_name"),
+                    F.col("avatar").alias("last_message_sender_avatar"),
+                    F.col("mongo_id").alias("last_message_sender_mongo_id"),
                 )
             ),
             "last_message_sender_id",
             "left",
         )
+        # the reference denormalizes room details + last-message preview
+        # + sender info into every membership row
+        # (create_scylla_database.cql:57-87)
         .select(
             "user_id",
             "room_id",
             "role",
+            "joined_at",
+            F.col("mongo_id").alias("room_mongo_id"),
             "room_name",
             "room_type",
+            "send_message",
+            "add_member",
+            "edit_group",
+            "join_all_user",
             F.lit(False).alias("is_pinned"),
+            F.lit(False).alias("is_muted"),
+            F.col("created_at").alias("room_created_at"),
             "last_message_id",
             "last_message_content",
             "last_message_sender_id",
             "last_message_sender_name",
+            "last_message_sender_avatar",
+            "last_message_sender_mongo_id",
             # participant w/o message falls back to room timestamps
             F.coalesce(F.col("last_message_at"), F.col("created_at")).alias(
                 "last_message_at"
