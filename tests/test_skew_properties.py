@@ -81,3 +81,26 @@ def test_email_normalize_property(spark, xs):
     out = _apply(spark, S.email_normalize(F.col("x")), padded)
     for e, got in zip(xs, out):
         assert got == e.lower()
+
+
+# ------------------------------------------------- dedup recall property
+
+def test_minhash_recovers_all_planted_exact_dups(spark, sf_dir):
+    """Exact copies have identical shingle sets ⇒ identical signatures
+    ⇒ identical band keys in EVERY band — LSH must recover 100% of the
+    planted (doc_id, doc_id+1000000) pairs, regardless of banding."""
+    from mongodb_etl_migration_spark.queries import QUERIES
+
+    pairs = QUERIES["d2_minhash_lsh_pairs"](spark, sf_dir)
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter((F.col("doc_id") % 10 == 0))
+        # docs with ≥3 tokens (shorter ones are dropped by design)
+        .filter(F.size(F.split(F.lower("text"), "[^a-z0-9]+")) >= 3)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1000000).alias("id_b"),
+        )
+    )
+    missing = planted.join(pairs, ["id_a", "id_b"], "left_anti")
+    assert missing.count() == 0
