@@ -154,3 +154,58 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
     assert got.count() > 0
+
+
+def test_incremental_entity_plan(spark, tmp_path):
+    """The SAME entity spec the batch DAG compiles runs incrementally
+    via foreachBatch (one code path, two execution modes): stream the
+    users collection, apply compile_entity per micro-batch (windows and
+    broadcast FK joins are legal there — batches are plain DataFrames),
+    compare against the batch run."""
+    from datetime import datetime
+
+    from mongodb_etl_migration_spark.fixtures import (
+        provinces_df,
+        roles_df,
+        users_df,
+    )
+    from mongodb_etl_migration_spark.pipeline import (
+        province_spec,
+        role_spec,
+        user_spec,
+    )
+    from mongodb_etl_migration_spark.plans.compiler import compile_entity
+    from mongodb_etl_migration_spark.streaming.incremental import run_incremental
+
+    run_ts = datetime(2021, 1, 1)
+    role = compile_entity(role_spec(), roles_df(spark))
+    province = compile_entity(province_spec(), provinces_df(spark))
+    id_maps = {
+        "province": province.select(
+            F.col("mongo_id").alias("natural_key"), F.col("id")
+        ),
+        "role_by_name": role.select(F.col("name").alias("natural_key"), F.col("id")),
+    }
+
+    src_dir = str(tmp_path / "usrc")
+    users_df(spark).coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src_dir).schema
+    ).parquet(src_dir)
+
+    sink = str(tmp_path / "usink")
+    q = run_incremental(
+        stream,
+        lambda df: compile_entity(user_spec(run_ts), df, id_maps),
+        sink,
+        str(tmp_path / "uckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink)
+    want = compile_entity(user_spec(run_ts), spark.read.parquet(src_dir), id_maps)
+    assert got.count() == want.count()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert got.select("mongo_id", "name", "role_id", "dni").exceptAll(
+        want.select("mongo_id", "name", "role_id", "dni")
+    ).count() == 0
