@@ -70,6 +70,21 @@ def write_bucketed(
     )
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned layout: directory per partition value.
+    Filters on partition columns become PartitionFilters — the scan
+    never lists, let alone reads, other partitions' files. At 100 TB
+    this (date/tenant partitioning) is the first and cheapest pruning
+    lever; combine with in-file clustering (write_clustered) for
+    second-level skipping."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def align_to_schema(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """S12 additive schema evolution: project onto the target column
     list, adding NULLs for new columns — the engine-side equivalent of

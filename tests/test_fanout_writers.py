@@ -146,3 +146,35 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    from mongodb_etl_migration_spark.catalog import Catalog
+    from mongodb_etl_migration_spark.sources.writers import write_partitioned
+
+    events = Catalog(spark, sf_dir).events.withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_date")
+    write_partitioned(events, path, ["event_date"])
+
+    n_dates = events.select("event_date").distinct().count()
+    assert n_dates > 1
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("event_date") == "2024-01-03")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan
+    # pruned scan reads exactly the one partition's rows
+    want = events.filter(F.col("event_date") == "2024-01-03").count()
+    assert one_day.count() == want > 0
+    # and the physical file listing is limited to that directory
+    import re
+
+    m = re.search(r"numFiles=(\d+)", plan) or re.search(
+        r"files: (\d+)", plan
+    )
+    if m:
+        total_files = len(
+            [p for p in __import__("glob").glob(f"{path}/*/*.parquet")]
+        )
+        assert int(m.group(1)) < total_files
