@@ -33,7 +33,10 @@ from mongodb_etl_migration_spark.operators.hierarchy import (
     resolve_files_to_folders,
     resolve_folder_tree,
 )
-from mongodb_etl_migration_spark.plans.compiler import compile_entity
+from mongodb_etl_migration_spark.plans.compiler import (
+    compile_entity,
+    compile_entity_outputs,
+)
 from mongodb_etl_migration_spark.plans.spec import EntitySpec, FKJoin, KeySpec
 
 # union of the scan-level filter (mongo_extractor.py:56-72) and the
@@ -146,6 +149,78 @@ def user_spec(run_ts: datetime) -> EntitySpec:
         },
         key=KeySpec(kind="sequential", order_by=("mongo_id",), out="id"),
         depends_on=("role", "province"),
+        # dual destination (orchestrator.py:455-507): the Cassandra
+        # users projection shares ids with PG by construction (K4)
+        side_outputs={
+            "users_cassandra": (
+                None,
+                {
+                    "user_id": lambda df: F.col("id"),
+                    "mongo_id": lambda df: F.col("mongo_id"),
+                    "name": lambda df: F.col("name"),
+                    "phone": lambda df: S.phone_e164ish(F.col("phone")),
+                    "role_id": lambda df: F.col("role_id"),
+                },
+            )
+        },
+    )
+
+
+def rooms_spec(run_ts: datetime) -> EntitySpec:
+    """Cassandra room_details + organizations + rooms_by_mongo fanout
+    (field_mapper.py:94-113, orchestrator.py:326-373) — one compiled
+    frame, three destinations (§2.9)."""
+    is_group = lambda df: F.coalesce(F.col("isGroup"), F.lit(False))  # noqa: E731
+
+    return EntitySpec(
+        name="rooms",
+        source="rooms",
+        destination="room_details",
+        projection={
+            "mongo_id": lambda df: F.col("_id"),
+            "room_name": lambda df: F.coalesce(
+                F.nullif(F.col("name"), F.lit("")),
+                F.concat(F.lit("Room "), F.col("_id")),
+            ),
+            "room_type": lambda df: S.room_type("isBroadcast", "isGroup"),
+            # F9 permission derivation
+            "send_message": lambda df: F.when(
+                is_group(df),
+                F.coalesce(
+                    F.col("permissions")["canSendMessage"],
+                    F.col("canWrite"),
+                    F.lit(True),
+                ),
+            ).otherwise(F.lit(True)),
+            "add_member": lambda df: F.when(is_group(df), F.lit(True)).otherwise(
+                F.lit(False)
+            ),
+            "edit_group": lambda df: F.lit(False),
+            "join_all_user": lambda df: F.coalesce(F.col("isPublic"), F.lit(False)),
+            "_is_organization": lambda df: F.coalesce(
+                F.col("isAdmin"), F.lit(False)
+            ),
+            "created_at": lambda df: F.coalesce(F.col("createdAt"), F.lit(run_ts)),
+        },
+        key=KeySpec(kind="uuid5", source_col="mongo_id", out="room_id"),
+        side_outputs={
+            "organizations": (
+                lambda df: F.col("_is_organization"),
+                {
+                    "room_id": lambda df: F.col("room_id"),
+                    "mongo_id": lambda df: F.col("mongo_id"),
+                    "room_name": lambda df: F.col("room_name"),
+                    "created_at": lambda df: F.col("created_at"),
+                },
+            ),
+            "rooms_by_mongo": (
+                None,
+                {
+                    "mongo_id": lambda df: F.col("mongo_id"),
+                    "room_id": lambda df: F.col("room_id"),
+                },
+            ),
+        },
     )
 
 
@@ -173,52 +248,17 @@ def run_reference_pipeline(
         # J3: role joined by normalized NAME, not mongo_id
         "role_by_name": role.select(F.col("name").alias("natural_key"), F.col("id")),
     }
-    user = compile_entity(user_spec(run_ts), sources["users"], id_maps)
+    user_outs = compile_entity_outputs(user_spec(run_ts), sources["users"], id_maps)
+    user = user_outs["user"]
     out["user"] = user
-
     # Cassandra users: same ids (K4 solved by construction), '+'-phone
-    out["users_cassandra"] = user.select(
-        F.col("id").alias("user_id"),
-        "mongo_id",
-        "name",
-        S.phone_e164ish(F.col("phone")).alias("phone"),
-        "role_id",
-    )
+    out["users_cassandra"] = user_outs["users_cassandra"]
 
     # rooms → room_details + organizations + rooms_by_mongo (§2.9 fanout)
-    rooms = sources["rooms"]
-    room_base = rooms.select(
-        F.col("_id").alias("mongo_id"),
-        uuid5_oid(F.col("_id")).alias("room_id"),
-        F.coalesce(
-            F.nullif(F.col("name"), F.lit("")),
-            F.concat(F.lit("Room "), F.col("_id")),
-        ).alias("room_name"),
-        S.room_type("isBroadcast", "isGroup").alias("room_type"),
-        # F9 permission derivation
-        F.when(
-            F.coalesce(F.col("isGroup"), F.lit(False)),
-            F.coalesce(
-                F.col("permissions")["canSendMessage"],
-                F.col("canWrite"),
-                F.lit(True),
-            ),
-        )
-        .otherwise(F.lit(True))
-        .alias("send_message"),
-        F.when(F.coalesce(F.col("isGroup"), F.lit(False)), F.lit(True))
-        .otherwise(F.lit(False))
-        .alias("add_member"),
-        F.lit(False).alias("edit_group"),
-        F.coalesce(F.col("isPublic"), F.lit(False)).alias("join_all_user"),
-        F.coalesce(F.col("isAdmin"), F.lit(False)).alias("_is_organization"),
-        F.coalesce(F.col("createdAt"), F.lit(run_ts)).alias("created_at"),
-    ).persist()
-    out["room_details"] = room_base.drop("_is_organization")
-    out["organizations"] = room_base.filter(F.col("_is_organization")).select(
-        "room_id", "mongo_id", "room_name", "created_at"
-    )
-    out["rooms_by_mongo"] = room_base.select("mongo_id", "room_id")
+    room_outs = compile_entity_outputs(rooms_spec(run_ts), sources["rooms"])
+    out["room_details"] = room_outs["room_details"].drop("_is_organization")
+    out["organizations"] = room_outs["organizations"]
+    out["rooms_by_mongo"] = room_outs["rooms_by_mongo"]
 
     # messages → messages_by_room + room_by_message
     msgs = sources["messages"]

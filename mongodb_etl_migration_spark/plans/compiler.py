@@ -77,3 +77,25 @@ def compile_entity(
         else:
             raise ValueError(f"unknown key kind {key.kind!r}")
     return df
+
+
+def compile_entity_outputs(
+    spec: EntitySpec,
+    source_df: DataFrame,
+    id_maps: dict[str, DataFrame] | None = None,
+) -> dict[str, DataFrame]:
+    """Compile the entity AND its §2.9 side-outputs: the main frame is
+    persisted once (the cache+multi-action idiom) and each side output
+    is a cheap filter+projection over it — one scan feeding N sinks
+    (etl/orchestrator.py:326-453)."""
+    main = compile_entity(spec, source_df, id_maps)
+    if not spec.side_outputs:
+        return {spec.destination: main}
+    main = main.persist()
+    outs = {spec.destination: main}
+    for name, (pred, projection) in spec.side_outputs.items():
+        df = main.filter(pred(main)) if pred is not None else main
+        outs[name] = df.select(
+            *[builder(df).alias(dest) for dest, builder in projection.items()]
+        )
+    return outs

@@ -69,3 +69,15 @@ class EntitySpec:
     key: KeySpec | None = None
     # entities this one depends on (drives topological order, O5).
     depends_on: tuple[str, ...] = ()
+    # §2.9 multi-output fan-out: extra destinations derived from the
+    # COMPILED entity frame (post-projection, post-key). Each entry is
+    # (optional row filter, projection dict); rooms → organizations /
+    # rooms_by_mongo, user → the Cassandra users projection
+    # (etl/orchestrator.py:326-453, 455-507).
+    side_outputs: dict[
+        str,
+        tuple[
+            Callable[[DataFrame], Column] | None,
+            dict[str, Callable[[DataFrame], Column]],
+        ],
+    ] = field(default_factory=dict)
