@@ -454,10 +454,16 @@ DOC_FOLDERS = [
     ("/", None),  # implicit root; not emitted as a row
     ("/legal", None),
     ("/legal/contracts", "/legal"),
+    ("/legal/contracts/2020", "/legal/contracts"),  # depth 3
     ("/legal/briefs", "/legal"),
     ("/media", None),
     ("/media/images", "/media"),
 ]
+
+# Salsa20 keys come from the pipeline's source-data config (the
+# reference's settings.py:85-90 analogue) so fixtures encrypt with
+# exactly what the pipeline decrypts.
+from mongodb_etl_migration_spark.pipeline import FILEURL_IV, FILEURL_KEY  # noqa: E402
 
 
 def docs_df(spark: SparkSession, n_files: int = 30) -> DataFrame:
@@ -496,11 +502,15 @@ def docs_df(spark: SparkSession, n_files: int = 30) -> DataFrame:
                 ts(6000 + i),
             )
         )
+    from mongodb_etl_migration_spark.functions.crypto import salsa20_encrypt_str
+
     folder_paths = [p for p, _ in DOC_FOLDERS]
     for j in range(n_files):
         i = len(DOC_FOLDERS) - 1 + j
         drift = j % 2 == 0
         url = f"gs://sibci-2f7fc.appspot.com/docs/{j}.pdf" if j % 3 == 0 else f"https://cdn.example.com/docs/{j}.pdf"
+        if j % 4 == 3:  # F26: some fileURLs arrive Salsa20-encrypted
+            url = salsa20_encrypt_str(FILEURL_KEY, FILEURL_IV, url)
         on_folder = (
             f"/orphan/path{j}"  # exercises default-to-root
             if j % 9 == 8

@@ -44,6 +44,11 @@ from mongodb_etl_migration_spark.plans.spec import EntitySpec, FKJoin, KeySpec
 # discrepancy; validator wins (ENABLE_VALIDATION=true semantics).
 BANNED_MSG_TYPES = ("GEO_LOCATION", "SURVEY", "CONTACT", "STICKER")
 
+# Source-data Salsa20 config (the reference reads these from
+# etl/config/settings.py:85-90; fixtures encrypt with the same values)
+FILEURL_KEY = "fixture-fileurl-key"
+FILEURL_IV = "f-iv-123"
+
 
 def ref_id(c: Column | str) -> Column:
     """Bare-ObjectId-or-embedded-doc reference → string id
@@ -589,12 +594,21 @@ def run_reference_pipeline(
         F.lit(None).cast("string").alias("file_url"),
     )
     n_folders = tree.count()
+    # F26: fileURL may arrive Salsa20-encrypted — decrypt (fallback to
+    # the raw value when not decryptable, i.e. already-plaintext), THEN
+    # bucket-rewrite (data_transformer.py:396-452)
+    from mongodb_etl_migration_spark.functions.crypto import (
+        make_salsa20_decrypt_udf,
+    )
+
+    dec = make_salsa20_decrypt_udf(FILEURL_KEY, FILEURL_IV)
+    raw_url = F.coalesce(F.col("fileUrl"), F.col("fileURL"))
     files = docs.filter(F.col("type") != "FOLDER").select(
         F.col("_id").alias("mongo_id"),
         F.col("onFolder").alias("on_folder"),
         "type",
         S.bucket_url_rewrite(
-            F.coalesce(F.col("fileUrl"), F.col("fileURL"))
+            F.coalesce(F.nullif(dec(raw_url), F.lit("")), raw_url)
         ).alias("file_url"),
     )
     files_resolved = resolve_files_to_folders(

@@ -308,6 +308,14 @@ def test_docs_hierarchy_and_roles(outputs):
     assert orphan_files.filter(F.col("parent_id") != 0).count() == 0
     # ids are unique across folders+files
     assert docs.select("id").distinct().count() == docs.count()
+    # F26: encrypted fileURLs decrypted, plaintext passed through, all
+    # bucket-rewritten — every file URL is a clean .pdf, never gs://
+    file_urls = docs.filter(F.col("type") != "FOLDER")
+    assert file_urls.filter(~F.col("file_url").endswith(".pdf")).count() == 0
+    assert file_urls.filter(F.col("file_url").startswith("gs://")).count() == 0
+    assert (
+        file_urls.filter(F.col("file_url").startswith("siscom_old/")).count() > 0
+    )
     # J12: docs_roles rows only for docs with specialRole, both ids resolved
     dr = out["docs_roles"]
     want = active_src.filter(
