@@ -104,3 +104,29 @@ def test_minhash_recovers_all_planted_exact_dups(spark, sf_dir):
     )
     missing = planted.join(pairs, ["id_a", "id_b"], "left_anti")
     assert missing.count() == 0
+
+
+# -------------------------------------------- approximate aggregates
+# Sketch outputs differ engine-to-engine (Spark HLL++/KLL vs DuckDB),
+# so these are tolerance-gated tests rather than hash-matched oracles.
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = li.select("l_partkey").distinct().count()
+    approx = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a")
+    ).head()["a"]
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_approx_quantiles_within_tolerance(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qs = li.approxQuantile("l_extendedprice", [0.25, 0.5, 0.75], 0.01)
+    import duckdb
+
+    exact = duckdb.connect().execute(
+        f"""SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75])
+            FROM read_parquet('{sf_dir}/lineitem.parquet')"""
+    ).fetchone()[0]
+    for got, want in zip(qs, exact):
+        assert abs(got - want) / want < 0.05
