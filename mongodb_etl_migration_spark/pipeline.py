@@ -23,11 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mongodb_etl_migration_spark.functions import scalars as S
-from mongodb_etl_migration_spark.functions.keys import (
-    assign_sequential_ids,
-    timeuuid_deterministic,
-    uuid5_oid,
-)
+from mongodb_etl_migration_spark.functions.keys import assign_sequential_ids
 from mongodb_etl_migration_spark.operators import denorm as DN
 from mongodb_etl_migration_spark.operators.hierarchy import (
     resolve_files_to_folders,
@@ -230,6 +226,108 @@ def rooms_spec(run_ts: datetime) -> EntitySpec:
 
 
 # ------------------------------------------------------------ pipeline
+def messages_spec(run_ts: datetime) -> EntitySpec:
+    """Cassandra messages_by_room + room_by_message —
+    field_mapper.py:119-149, filters from mongo_extractor.py:56-72 ∪
+    validators.py:18 (P4/P5), P7 sentinel hoisted, K2 timeuuid key."""
+    return EntitySpec(
+        name="messages",
+        source="messages",
+        destination="messages_by_room",
+        filters=(
+            lambda df: (
+                (~F.col("msgType").isin(*BANNED_MSG_TYPES))
+                & (
+                    F.col("msgLife").isNull()
+                    | (F.col("msgLife") != F.lit("TOUCH_SHOW_DELETE"))
+                )
+                # tri-valued: missing isActive counts as active (§7.4.6)
+                & F.coalesce(F.col("isActive"), F.lit(True))
+                & ~F.coalesce(F.col("isDeleted"), F.lit(False))
+                # F21/P7: DOCUMENTO attachments must be .pdf
+                & (
+                    F.col("fileType").isNull()
+                    | (F.col("fileType") != "DOCUMENTO")
+                    | F.col("fileURL").endswith(".pdf")
+                )
+            ),
+        ),
+        derivations={"sender_ref": lambda df: ref_id("sender")},
+        fk_joins=(
+            # unresolved room refs are skipped (id_mapper miss ⇒ inner)
+            FKJoin(dim="rooms_by_mongo", on="room", out="room_id", how="inner"),
+            FKJoin(dim="user_by_mongo", on="sender_ref", out="sender_id"),
+        ),
+        projection={
+            "room_id": lambda df: F.col("room_id"),
+            "mongo_id": lambda df: F.col("_id"),
+            "sender_id": lambda df: F.col("sender_id"),
+            "content": lambda df: S.content_truncate(
+                F.coalesce(F.col("message"), F.col("content"), F.lit(""))
+            ),
+            "mime_type": lambda df: S.mime_from_filetype("fileType", "fileURL"),
+            "file_url": lambda df: S.bucket_url_rewrite("fileURL"),
+            "fileName": lambda df: F.col("fileName"),
+            "fileSize": lambda df: F.col("fileSize"),
+            "created_at": lambda df: F.col("createdAt"),
+        },
+        key=KeySpec(
+            kind="timeuuid",
+            source_col="mongo_id",
+            order_by=("created_at",),
+            out="message_id",
+        ),
+        depends_on=("rooms", "user"),
+        side_outputs={
+            "room_by_message": (
+                None,
+                {
+                    "message_id": lambda df: F.col("message_id"),
+                    "room_id": lambda df: F.col("room_id"),
+                    "mongo_id": lambda df: F.col("mongo_id"),
+                },
+            )
+        },
+    )
+
+
+def members_spec(run_ts: datetime) -> EntitySpec:
+    """participants_by_room + room_membership_lookup —
+    field_mapper.py:155-166 (F20 role uppercase, default MEMBER)."""
+    return EntitySpec(
+        name="roommembers",
+        source="roommembers",
+        destination="participants_by_room",
+        derivations={
+            "room_ref": lambda df: ref_id("room"),
+            "user_ref": lambda df: ref_id("user"),
+        },
+        fk_joins=(
+            FKJoin(dim="rooms_by_mongo", on="room_ref", out="room_id", how="inner"),
+            FKJoin(dim="user_by_mongo", on="user_ref", out="user_id", how="inner"),
+        ),
+        projection={
+            "room_id": lambda df: F.col("room_id"),
+            "user_id": lambda df: F.col("user_id"),
+            "role": lambda df: S.upper_role(F.col("role")),
+            "mongo_id": lambda df: F.col("_id"),
+            "joined_at": lambda df: F.coalesce(F.col("joinedAt"), F.lit(run_ts)),
+        },
+        depends_on=("rooms", "user"),
+        side_outputs={
+            "room_membership_lookup": (
+                None,
+                {
+                    "user_id": lambda df: F.col("user_id"),
+                    "room_id": lambda df: F.col("room_id"),
+                    "role": lambda df: F.col("role"),
+                    "last_message_at": lambda df: F.lit(None).cast("timestamp"),
+                },
+            )
+        },
+    )
+
+
 def run_reference_pipeline(
     sources: dict[str, DataFrame], run_ts: datetime
 ) -> dict[str, DataFrame]:
@@ -265,107 +363,29 @@ def run_reference_pipeline(
     out["organizations"] = room_outs["organizations"]
     out["rooms_by_mongo"] = room_outs["rooms_by_mongo"]
 
-    # messages → messages_by_room + room_by_message
-    msgs = sources["messages"]
-    msg_active = msgs.filter(
-        (~F.col("msgType").isin(*BANNED_MSG_TYPES))
-        & (
-            F.col("msgLife").isNull()
-            | (F.col("msgLife") != F.lit("TOUCH_SHOW_DELETE"))
-        )
-        # tri-valued: missing isActive counts as active (SURVEY §7.4.6)
-        & F.coalesce(F.col("isActive"), F.lit(True))
-        & ~F.coalesce(F.col("isDeleted"), F.lit(False))
-        # F21/P7: DOCUMENTO attachments must be .pdf, others pass
-        & (
-            (F.col("fileType").isNull())
-            | (F.col("fileType") != "DOCUMENTO")
-            | F.col("fileURL").endswith(".pdf")
-        )
+    # id maps accumulated along the DAG (K5 as broadcast joins)
+    id_maps["rooms_by_mongo"] = out["rooms_by_mongo"].select(
+        F.col("mongo_id").alias("natural_key"), F.col("room_id").alias("id")
     )
-    msg_resolved = (
-        msg_active.withColumn("sender_ref", ref_id("sender"))
-        .join(
-            F.broadcast(
-                out["rooms_by_mongo"].select(
-                    F.col("mongo_id").alias("room"), "room_id"
-                )
-            ),
-            "room",
-            "inner",  # unresolved room refs are skipped (id_mapper miss)
-        )
-        .join(
-            F.broadcast(
-                user.select(
-                    F.col("mongo_id").alias("sender_ref"),
-                    F.col("id").alias("sender_id"),
-                )
-            ),
-            "sender_ref",
-            "left",
-        )
-    )
-    messages_by_room = msg_resolved.select(
-        "room_id",
-        timeuuid_deterministic(
-            F.col("_id"),
-            (F.col("createdAt").cast("double") * 1000).cast("bigint"),
-        ).alias("message_id"),
-        F.col("_id").alias("mongo_id"),
-        "sender_id",
-        S.content_truncate(
-            F.coalesce(F.col("message"), F.col("content"), F.lit(""))
-        ).alias("content"),
-        S.mime_from_filetype("fileType", "fileURL").alias("mime_type"),
-        S.bucket_url_rewrite("fileURL").alias("file_url"),
-        "fileName",
-        "fileSize",
-        F.col("createdAt").alias("created_at"),
-    ).persist()
-    out["messages_by_room"] = messages_by_room
-    out["room_by_message"] = messages_by_room.select(
-        "message_id", "room_id", "mongo_id"
+    id_maps["user_by_mongo"] = user.select(
+        F.col("mongo_id").alias("natural_key"), F.col("id")
     )
 
+    # messages → messages_by_room + room_by_message
+    msg_outs = compile_entity_outputs(
+        messages_spec(run_ts), sources["messages"], id_maps
+    )
+    messages_by_room = msg_outs["messages_by_room"]
+    out["messages_by_room"] = messages_by_room
+    out["room_by_message"] = msg_outs["room_by_message"]
+
     # members → participants_by_room + room_membership_lookup
-    members = (
-        sources["roommembers"]
-        .withColumn("room_ref", ref_id("room"))
-        .withColumn("user_ref", ref_id("user"))
-        .join(
-            F.broadcast(
-                out["rooms_by_mongo"].select(
-                    F.col("mongo_id").alias("room_ref"), "room_id"
-                )
-            ),
-            "room_ref",
-            "inner",
-        )
-        .join(
-            F.broadcast(
-                user.select(
-                    F.col("mongo_id").alias("user_ref"),
-                    F.col("id").alias("user_id"),
-                )
-            ),
-            "user_ref",
-            "inner",
-        )
-        .select(
-            "room_id",
-            "user_id",
-            S.upper_role(F.col("role")).alias("role"),
-            F.col("_id").alias("mongo_id"),
-            F.coalesce(F.col("joinedAt"), F.lit(run_ts)).alias("joined_at"),
-        )
-        .persist()
+    member_outs = compile_entity_outputs(
+        members_spec(run_ts), sources["roommembers"], id_maps
     )
+    members = member_outs["participants_by_room"]
     out["participants_by_room"] = members
-    out["room_membership_lookup"] = members.select(
-        "user_id", "room_id", "role", F.lit(None).cast("timestamp").alias(
-            "last_message_at"
-        ),
-    )
+    out["room_membership_lookup"] = member_outs["room_membership_lookup"]
 
     # p2p pairs (J7): both orderings of the two members of p2p rooms
     p2p_rooms = out["room_details"].filter(F.col("room_type") == "p2p")

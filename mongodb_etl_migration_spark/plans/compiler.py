@@ -67,12 +67,12 @@ def compile_entity(
             df = df.withColumn(key.out, uuid5_oid(F.col(key.source_col)))
         elif key.kind == "timeuuid":
             ts_col, src = key.order_by[0], key.source_col
+            # cast via instant: TIMESTAMP_NTZ has no direct double cast
+            ms = (
+                F.col(ts_col).cast("timestamp").cast("double") * 1000
+            ).cast("bigint")
             df = df.withColumn(
-                key.out,
-                timeuuid_deterministic(
-                    F.col(src),
-                    (F.col(ts_col).cast("double") * 1000).cast("bigint"),
-                ),
+                key.out, timeuuid_deterministic(F.col(src), ms)
             )
         else:
             raise ValueError(f"unknown key kind {key.kind!r}")
