@@ -53,6 +53,12 @@ def ref_id(c: Column | str) -> Column:
     return F.coalesce(col["_id"], col["raw"])
 
 
+def url_of(c: str) -> Column:
+    """string-or-{url} picture/cover drift → url string
+    (field_mapper.py:392-447)."""
+    return F.coalesce(F.col(c)["url"], F.col(c)["raw"])
+
+
 # --------------------------------------------------------------- specs
 def role_spec() -> EntitySpec:
     return EntitySpec(
@@ -328,6 +334,91 @@ def members_spec(run_ts: datetime) -> EntitySpec:
     )
 
 
+def professions_spec() -> EntitySpec:
+    return EntitySpec(
+        name="profession",
+        source="professions",
+        destination="profession",
+        projection={
+            "mongo_id": lambda df: F.col("_id"),
+            "name": lambda df: F.col("name"),
+            "name_es": lambda df: F.col("name_es"),
+        },
+        key=KeySpec(kind="sequential", order_by=("mongo_id",), out="id"),
+    )
+
+
+def channel_spec(run_ts: datetime) -> EntitySpec:
+    """PG channel — field_mapper.py:172-187 (F11-ish url coalesce, F12
+    array length, J1 createdBy FK)."""
+    return EntitySpec(
+        name="channel",
+        source="channels",
+        destination="channel",
+        derivations={"created_by_ref": lambda df: ref_id("createdBy")},
+        fk_joins=(
+            FKJoin(dim="user_by_mongo", on="created_by_ref", out="created_by"),
+        ),
+        projection={
+            "mongo_id": lambda df: F.col("_id"),
+            "name": lambda df: F.col("name"),
+            "description": lambda df: F.col("description"),
+            "is_active": lambda df: F.coalesce(
+                F.col("isActive"), F.col("visible"), F.lit(True)
+            ),
+            "picture": lambda df: S.bucket_url_rewrite(url_of("picture")),
+            "cover": lambda df: S.bucket_url_rewrite(url_of("cover")),
+            "lives_count": lambda df: F.when(F.col("lives").isNull(), F.lit(0))
+            .otherwise(F.size(F.col("lives"))),
+            "created_by": lambda df: F.col("created_by"),
+            "created_at": lambda df: F.coalesce(F.col("createdAt"), F.lit(run_ts)),
+        },
+        key=KeySpec(kind="sequential", order_by=("mongo_id",), out="id"),
+        depends_on=("user",),
+    )
+
+
+def live_spec(run_ts: datetime) -> EntitySpec:
+    """PG live — field_mapper.py:218-241 (F10 derivations, F11 5-way
+    photo coalesce + F5 rewrite, soft delete)."""
+    return EntitySpec(
+        name="live",
+        source="lives",
+        destination="live",
+        derivations={"channel_ref": lambda df: ref_id("channel")},
+        fk_joins=(FKJoin(dim="channel_by_mongo", on="channel_ref", out="channel_id"),),
+        projection={
+            "mongo_id": lambda df: F.col("_id"),
+            "title": lambda df: F.coalesce(F.col("title"), F.col("name")),
+            "description": lambda df: F.col("description"),
+            "photo_url": lambda df: S.bucket_url_rewrite(
+                F.coalesce(
+                    url_of("photoURL"),
+                    url_of("coverImage"),
+                    url_of("thumbnail"),
+                    url_of("cover"),
+                    url_of("image"),
+                )
+            ),
+            "status": lambda df: F.when(
+                F.coalesce(F.col("isFinished"), F.lit(False)), "FINISHED"
+            ).otherwise("LIVE"),
+            "live_type": lambda df: F.lit("YOUTUBE"),
+            "category": lambda df: F.when(
+                F.coalesce(F.col("isFeatured"), F.lit(False)), "FEATURED"
+            ).otherwise("MORE_TO_SEE"),
+            "viewers": lambda df: F.lit(0),
+            "live_url": lambda df: F.coalesce(F.col("liveUrl"), F.col("url")),
+            "channel_id": lambda df: F.col("channel_id"),
+            "deleted_at": lambda df: F.when(
+                ~F.coalesce(F.col("isActive"), F.lit(True)), F.lit(run_ts)
+            ),
+        },
+        key=KeySpec(kind="sequential", order_by=("mongo_id",), out="id"),
+        depends_on=("channel",),
+    )
+
+
 def run_reference_pipeline(
     sources: dict[str, DataFrame], run_ts: datetime
 ) -> dict[str, DataFrame]:
@@ -469,15 +560,7 @@ def run_reference_pipeline(
     )
 
     # professions dimension + user_professions M2M (J4)
-    profession = assign_sequential_ids(
-        sources["professions"].select(
-            F.col("_id").alias("mongo_id"),
-            "name",
-            "name_es",
-        ),
-        ["mongo_id"],
-        "id",
-    )
+    profession = compile_entity(professions_spec(), sources["professions"])
     out["profession"] = profession
     exploded = (
         sources["users"]
@@ -517,84 +600,14 @@ def run_reference_pipeline(
     )
 
     # channel (F11-ish url coalesce, F12 array length, J1 createdBy FK)
-    def url_of(c: str) -> Column:
-        return F.coalesce(F.col(c)["url"], F.col(c)["raw"])
-
-    channel = (
-        sources["channels"]
-        .withColumn("created_by_ref", ref_id("createdBy"))
-        .join(
-            F.broadcast(
-                user.select(
-                    F.col("mongo_id").alias("created_by_ref"),
-                    F.col("id").alias("created_by"),
-                )
-            ),
-            "created_by_ref",
-            "left",
-        )
-        .select(
-            F.col("_id").alias("mongo_id"),
-            "name",
-            "description",
-            F.coalesce(F.col("isActive"), F.col("visible"), F.lit(True)).alias(
-                "is_active"
-            ),
-            S.bucket_url_rewrite(url_of("picture")).alias("picture"),
-            S.bucket_url_rewrite(url_of("cover")).alias("cover"),
-            F.when(F.col("lives").isNull(), F.lit(0))
-            .otherwise(F.size(F.col("lives")))
-            .alias("lives_count"),
-            "created_by",
-            F.coalesce(F.col("createdAt"), F.lit(run_ts)).alias("created_at"),
-        )
-    )
-    channel = assign_sequential_ids(channel, ["mongo_id"], "id")
+    channel = compile_entity(channel_spec(run_ts), sources["channels"], id_maps)
     out["channel"] = channel
 
     # live (F10 derivations, F11 5-way photo coalesce + F5 rewrite)
-    live = (
-        sources["lives"]
-        .withColumn("channel_ref", ref_id("channel"))
-        .join(
-            F.broadcast(
-                channel.select(
-                    F.col("mongo_id").alias("channel_ref"),
-                    F.col("id").alias("channel_id"),
-                )
-            ),
-            "channel_ref",
-            "left",
-        )
-        .select(
-            F.col("_id").alias("mongo_id"),
-            F.coalesce(F.col("title"), F.col("name")).alias("title"),
-            "description",
-            S.bucket_url_rewrite(
-                F.coalesce(
-                    url_of("photoURL"),
-                    url_of("coverImage"),
-                    url_of("thumbnail"),
-                    url_of("cover"),
-                    url_of("image"),
-                )
-            ).alias("photo_url"),
-            F.when(F.coalesce(F.col("isFinished"), F.lit(False)), "FINISHED")
-            .otherwise("LIVE")
-            .alias("status"),
-            F.lit("YOUTUBE").alias("live_type"),
-            F.when(F.coalesce(F.col("isFeatured"), F.lit(False)), "FEATURED")
-            .otherwise("MORE_TO_SEE")
-            .alias("category"),
-            F.lit(0).alias("viewers"),
-            F.coalesce(F.col("liveUrl"), F.col("url")).alias("live_url"),
-            "channel_id",
-            F.when(
-                ~F.coalesce(F.col("isActive"), F.lit(True)), F.lit(run_ts)
-            ).alias("deleted_at"),
-        )
+    id_maps["channel_by_mongo"] = channel.select(
+        F.col("mongo_id").alias("natural_key"), F.col("id")
     )
-    out["live"] = assign_sequential_ids(live, ["mongo_id"], "id")
+    out["live"] = compile_entity(live_spec(run_ts), sources["lives"], id_maps)
 
     # docs (J9 hierarchy + J12 docs_roles side-output)
     docs = sources["docs"].filter(F.coalesce(F.col("isActive"), F.lit(True)))
