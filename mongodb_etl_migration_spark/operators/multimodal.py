@@ -86,6 +86,76 @@ def _decode_batch_stub(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    multimodal: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Resize via mapInPandas — STUB TRANSFORM (no PIL in container):
+    real impl would be ``img.resize((target_w, target_h))``; the stub
+    truncates/pads the payload deterministically so byte-level goldens
+    hold. Spark-side contract (schema, Arrow batching, partition
+    preservation) is real."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = target_w * target_h // 64  # fake byte budget
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": pdf["payload"].map(
+                        lambda b: bytes(b)[:n].ljust(n, b"\x00")
+                    ),
+                }
+            )
+
+    return multimodal.mapInPandas(gen, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_digest", StringType()),
+    ]
+)
+
+
+def sample_frames(multimodal: DataFrame, every_n: int = 8) -> DataFrame:
+    """Frame sampling via mapInPandas — STUB DECODER (no ffmpeg): the
+    fake treats each 64-byte payload chunk as a 'frame' and emits every
+    ``every_n``-th one (1→N row fan-out, the real shape of video
+    sampling). Real impl: seek+decode keyframes with PyAV/ffmpeg."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = max(1, len(raw) // 64)
+                for k in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    digests.append(
+                        hashlib.md5(raw[k * 64 : (k + 1) * 64]).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_digest": digests}
+            )
+
+    return multimodal.mapInPandas(gen, FRAME_SCHEMA)
+
+
 def decode_media(multimodal: DataFrame) -> DataFrame:
     """Decode/feature-extract via mapInPandas (Arrow batches).
 

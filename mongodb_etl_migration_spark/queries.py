@@ -1360,6 +1360,37 @@ def t_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang_pred", "quality")
 
 
+@query(
+    "t_length_histogram",
+    """
+    SELECT CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) // 10 AS BIGINT)
+             AS bucket,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def t_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length-distribution histogram (10-token buckets) — the
+    first stat a curation run reports; one partial-agg shuffle."""
+    d = Catalog(spark, sf_dir).documents
+    toked = d.select("n_chars", T.tokens("text").alias("_toks"))
+    return (
+        toked.select(
+            (F.size("_toks").cast("long") / 10).cast("bigint").alias("bucket"),
+            "n_chars",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
+
+
 @query("t_lang_id", _lang_oracle())
 def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-token argmax, deterministic

@@ -69,3 +69,27 @@ def test_multimodal_decode_schema_and_determinism(spark, sf_dir):
         mm.select("doc_id", F.length("payload").alias("true_len")), "doc_id"
     )
     assert joined.filter(F.col("byte_size") != F.col("true_len")).count() == 0
+
+
+def test_multimodal_resize_and_frame_sampling(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    mm = M.attach_binary_payload(docs, "doc_id", "text", "video")
+    n = docs.count()
+
+    resized = M.resize_images(mm, 224, 224)
+    assert resized.count() == n
+    budget = 224 * 224 // 64
+    lens = resized.select(F.length("payload").alias("l")).distinct().collect()
+    assert [r["l"] for r in lens] == [budget]  # fixed-size output
+
+    frames = M.sample_frames(mm, every_n=8)
+    # 1→N fan-out: every doc contributes ≥1 frame, idx stride 8
+    assert frames.select("doc_id").distinct().count() == n
+    assert frames.filter(F.col("frame_idx") % 8 != 0).count() == 0
+    # deterministic digests across two runs
+    a = {(r["doc_id"], r["frame_idx"]): r["frame_digest"] for r in frames.collect()}
+    b = {
+        (r["doc_id"], r["frame_idx"]): r["frame_digest"]
+        for r in M.sample_frames(mm, every_n=8).collect()
+    }
+    assert a == b
