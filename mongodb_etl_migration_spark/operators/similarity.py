@@ -147,3 +147,48 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    planes: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-style index: embeddings written partitioned
+    BY LSH bucket (directory per bucket). A probe filters on the bucket
+    column → PartitionFilters prune to 1/2^|planes| of the files before
+    any IO — the inverted-file idea expressed with Spark-native
+    physical partitioning."""
+    emb.withColumn("bucket", hyperplane_bucket(vec_col, planes)).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+
+
+def ivf_probe_topk(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    planes: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k over the materialized IVF index: scans ONLY the query's
+    bucket directory (partition pruning), then exact cosine + top-k."""
+    qbits = "".join(
+        "1" if sum(float(a) * float(b) for a, b in zip(query_vec, p)) >= 0 else "0"
+        for p in planes
+    )
+    q = lit_vec(query_vec)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("bucket") == qbits)
+        .select(
+            F.col(id_col),
+            F.round(cosine(_dvec(vec_col), q), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )

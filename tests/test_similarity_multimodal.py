@@ -93,3 +93,18 @@ def test_multimodal_resize_and_frame_sampling(spark, sf_dir):
         for r in M.sample_frames(mm, every_n=8).collect()
     }
     assert a == b
+
+
+def test_ivf_index_prunes_and_matches_inmemory_lsh(spark, sf_dir, tmp_path):
+    emb, planes, q = _planes_and_query(spark, sf_dir)
+    path = str(tmp_path / "ivf")
+    SIM.write_ivf_index(emb, path, planes)
+    probe = SIM.ivf_probe_topk(spark, path, q, planes, k=10)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # identical results to the in-memory bucketed variant
+    mem = SIM.ann_topk_lsh(emb, q, planes, k=10).collect()
+    got = probe.collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in got] == [
+        (r["vec_id"], r["cos_sim"]) for r in mem
+    ]

@@ -130,3 +130,43 @@ def test_approx_quantiles_within_tolerance(spark, sf_dir):
     ).fetchone()[0]
     for got, want in zip(qs, exact):
         assert abs(got - want) / want < 0.05
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE's runtime skew-join handling (the session default for hot
+    keys; operators/skew.py is the explicit fallback): a 90%-hot-key
+    join gets its oversized partition split — visible as
+    SortMergeJoin(skew=true) in the FINAL adaptive plan. NB the plan
+    must be read from the SAME QueryExecution that ran (df.rdd
+    executes the df's own QE; write()/count() plan fresh ones)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("x" * 200), F.col("id").cast("string")).alias("pay"),
+        )
+        other = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        j = big.join(other, "k")
+        n = j.rdd.count()
+        assert n == big.count()  # 1:1 dim join preserves cardinality
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
