@@ -314,7 +314,7 @@ def f_path_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         path.alias("path"),
-        S.path_depth(path).alias("depth"),
+        S.path_depth(path).cast("bigint").alias("depth"),
         S.parent_path(path).alias("parent"),
         S.full_path(path, F.lit("leaf")).alias("child_path"),
     )
@@ -1246,7 +1246,7 @@ def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = F.col("_toks")
     return toked.select(
         "doc_id",
-        T.token_count("text", tk).alias("n_tokens"),
+        T.token_count("text", tk).cast("bigint").alias("n_tokens"),
         T.approx_bpe_token_count("text").alias("approx_bpe_tokens"),
         F.round(T.stopword_ratio("text", tk), 4).alias("stop_ratio"),
         F.round(T.alpha_ratio("text"), 4).alias("alpha_ratio"),
@@ -1710,7 +1710,9 @@ def o1_sort_by_derived_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth = F.when(F.col("path") == "/", 0).otherwise(
         F.size(F.split(F.col("path"), "/")) - 1
     )
-    return paths.select("path", depth.alias("depth")).orderBy("depth", "path")
+    return paths.select(
+        "path", depth.cast("bigint").alias("depth")
+    ).orderBy("depth", "path")
 
 
 @query(
@@ -1757,7 +1759,9 @@ def a8_depth_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        paths.select((F.size(F.split(F.col("path"), "/")) - 1).alias("depth"))
+        paths.select(
+            (F.size(F.split(F.col("path"), "/")) - 1).cast("bigint").alias("depth")
+        )
         .groupBy("depth")
         .agg(F.count("*").alias("cnt"))
     )
