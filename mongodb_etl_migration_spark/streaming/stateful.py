@@ -22,6 +22,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -154,4 +159,79 @@ def sessionize_stateful(
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+class _FirstWinsDedupProcessor(StatefulProcessor):
+    """transformWithStateInPandas processor for streaming first-wins
+    dedup (the streaming twin of the reference's A7 first-wins dedup,
+    SURVEY §2.6 — `etl/orchestrator.py` drop-duplicate-on-first-seen).
+
+    State per key: a single `seen` flag (ValueState, optional TTL).
+    The first time a key is observed, its first row (by the caller's
+    order columns, applied within the micro-batch) is emitted; every
+    later row of that key — same batch or any later batch — is
+    dropped. With `ttl_ms`, RocksDB evicts idle keys so state tracks
+    RECENTLY-SEEN keys, not all history (the same bound
+    `dropDuplicatesWithinWatermark` gives, but under processor
+    control and usable with processing-time streams).
+    """
+
+    def __init__(self, order_cols: list[str], ttl_ms: int | None = None):
+        self._order_cols = order_cols
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._seen = handle.getValueState("seen", "seen BYTE", self._ttl_ms)
+
+    def handleInputRows(
+        self,
+        key: Any,
+        rows: Iterator[pd.DataFrame],
+        timerValues: TimerValues,
+    ) -> Iterator[pd.DataFrame]:
+        if self._seen.exists():
+            return
+        first: pd.DataFrame | None = None
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.sort_values(self._order_cols).head(1)
+            if first is None:
+                first = cand
+            else:
+                first = (
+                    pd.concat([first, cand]).sort_values(self._order_cols).head(1)
+                )
+        if first is not None:
+            self._seen.update((1,))
+            yield first
+
+    def close(self) -> None:
+        pass
+
+
+def dedup_stream_stateful(
+    stream: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming first-wins dedup via Spark 4's transformWithStateInPandas.
+
+    Requires the RocksDB state store provider
+    (`spark.sql.streaming.stateStore.providerClass` =
+    `...state.RocksDBStateStoreProvider`) — transformWithState is
+    RocksDB-only. Output schema == input schema.
+
+    Scale: state is ~1 byte per distinct key in RocksDB (disk-backed,
+    so 10^9 keys is fine); with `ttl_minutes` the store self-compacts
+    to keys seen within the TTL window.
+    """
+    ttl_ms = ttl_minutes * 60_000 if ttl_minutes is not None else None
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        _FirstWinsDedupProcessor(order_cols, ttl_ms),
+        outputStructType=stream.schema,
+        outputMode="append",
+        timeMode="ProcessingTime",
     )

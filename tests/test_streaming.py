@@ -209,3 +209,103 @@ def test_incremental_entity_plan(spark, tmp_path):
     assert got.select("mongo_id", "name", "role_id", "dni").exceptAll(
         want.select("mongo_id", "name", "role_id", "dni")
     ).count() == 0
+
+
+def test_transform_with_state_dedup_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming first-wins dedup (Spark 4 transformWithStateInPandas,
+    RocksDB state) over one micro-batch equals the batch twin
+    keys.first_wins_dedup — same key, same order columns.
+
+    transformWithState's Python driver worker needs google.protobuf at
+    runtime; skip where it isn't installed (the processor logic itself
+    is covered by test_first_wins_processor_semantics below)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from mongodb_etl_migration_spark.functions import keys as K
+    from mongodb_etl_migration_spark.streaming.stateful import (
+        dedup_stream_stateful,
+    )
+
+    events = Catalog(spark, sf_dir).events.select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    src_dir = str(tmp_path / "dsrc")
+    events.coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src_dir).schema
+    ).parquet(src_dir)
+
+    sink = str(tmp_path / "dsink")
+    ckpt = str(tmp_path / "dckpt")
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            dedup_stream_stateful(
+                stream, "user_id", ["ts", "event_id"], ttl_minutes=None
+            )
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if old is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old)
+
+    got = spark.read.parquet(sink)
+    want = K.first_wins_dedup(
+        spark.read.parquet(src_dir), "user_id", [F.col("ts"), F.col("event_id")]
+    )
+    assert got.count() == want.count() > 0
+    assert got.select(*sorted(got.columns)).exceptAll(
+        want.select(*sorted(want.columns))
+    ).count() == 0
+
+
+def test_first_wins_processor_semantics():
+    """Unit-level check of _FirstWinsDedupProcessor: first row by the
+    order columns wins within a batch; later batches for a seen key
+    emit nothing. Drives handleInputRows directly with a fake
+    ValueState — no protobuf/RocksDB runtime needed."""
+    import pandas as pd
+
+    from mongodb_etl_migration_spark.streaming.stateful import (
+        _FirstWinsDedupProcessor,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def update(self, v):
+            self.v = v
+
+    p = _FirstWinsDedupProcessor(["ts", "event_id"])
+    p._seen = FakeState()
+
+    b1 = [
+        pd.DataFrame({"event_id": [5, 2], "user_id": [1, 1], "ts": [20, 10]}),
+        pd.DataFrame({"event_id": [9], "user_id": [1], "ts": [5]}),
+    ]
+    out = list(p.handleInputRows((1,), iter(b1), None))
+    assert len(out) == 1 and len(out[0]) == 1
+    # ts=5 is the global min across chunks of the batch
+    assert out[0].iloc[0]["event_id"] == 9 and out[0].iloc[0]["ts"] == 5
+
+    # key already seen → second batch emits nothing
+    b2 = [pd.DataFrame({"event_id": [1], "user_id": [1], "ts": [1]})]
+    assert list(p.handleInputRows((1,), iter(b2), None)) == []
