@@ -1,0 +1,72 @@
+"""As-of (temporal) join — for each left row, the payload of the most
+recent right row of the same key at-or-before the left timestamp.
+
+Beyond-parity temporal operator (the reference joins only on equality
+keys — SURVEY §2.5); standard in time-series engines and needed by
+training pipelines (attach the latest label/price/config to an event).
+
+Spark-first strategy — the "union + last_value window" plan, NOT a
+range join:
+
+1. tag right rows (side=0) with their payload as one struct column,
+   left rows (side=1) with a NULL payload;
+2. union by name, shuffle ONCE on the key;
+3. per key, sort by (ts, side) — right sorts before left at the same
+   instant, making the match inclusive (ts >= right_ts) — and take
+   ``last(payload, ignorenulls)`` over rows unboundedPreceding..current;
+4. keep only left rows and unpack the struct.
+
+Cost at scale: one Exchange of |L|+|R| rows on the key plus a
+per-partition sort — linear, skew-safe under AQE, and never builds the
+|L|×|R| intermediate a naive range-join produces. DuckDB's native
+ASOF JOIN is the oracle twin (query ``j13_asof_join``).
+
+The right side should be unique per (key, ts) — pre-aggregate it if
+not, or which same-instant row wins is undefined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Backward as-of LEFT join: every left row survives; payload
+    columns are NULL when the key has no right row at-or-before
+    ``left_ts``. Output = left columns + ``payload_cols``."""
+    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("__payload")
+    r = right.select(
+        F.col(right_on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        payload,
+    )
+    payload_type = r.schema["__payload"].dataType
+    l = left.select(
+        "*",
+        F.col(left_on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(payload_type).alias("__payload"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l.unionByName(r, allowMissingColumns=True).withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("__side") == 1)
+    for c in payload_cols:
+        out = out.withColumn(c, F.col("__match").getField(c))
+    return out.drop("__k", "__t", "__side", "__payload", "__match")

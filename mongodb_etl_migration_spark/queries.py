@@ -1789,6 +1789,74 @@ def s5_nested_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j13_asof_join",
+    """
+    WITH day_orders AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS last_orderkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS day_total
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.last_orderkey, o.day_total
+    FROM events e
+    ASOF LEFT JOIN day_orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def j13_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 (beyond-parity temporal join): attach each event's most
+    recent same-key order-day rollup (operators/asof.py — union +
+    last_value window, one shuffle; DuckDB native ASOF JOIN is the
+    oracle). Right side pre-aggregated to one row per (key, day) so
+    the as-of winner is deterministic."""
+    from mongodb_etl_migration_spark.operators.asof import asof_join
+
+    cat = Catalog(spark, sf_dir)
+    day_orders = cat.orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("last_orderkey"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("day_total"),
+    )
+    ev = cat.events.select("event_id", "user_id", "ts")
+    return asof_join(
+        ev,
+        day_orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["last_orderkey", "day_total"],
+    )
+
+
+@query(
+    "a9_rollup_totals",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def a9_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (beyond-parity): multi-granularity rollup — per
+    (status, priority), per status, and grand total in ONE pass
+    (Catalyst Expand + partial aggregation; the hypertable-rollup
+    shape for dashboard cubes)."""
+    o = Catalog(spark, sf_dir).orders
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
 # =====================================================================
 # Entry points consumed by __spark_entry__.py
 # =====================================================================

@@ -1,0 +1,59 @@
+"""asof_join edge cases (operators/asof.py) + plan shape.
+
+The oracle suite (j13_asof_join vs DuckDB ASOF JOIN) covers bulk
+correctness; here: no-earlier-right ⇒ NULL payload, inclusive
+same-instant match, per-key isolation, and the one-shuffle plan."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from mongodb_etl_migration_spark.operators.asof import asof_join
+
+
+def _ts(s: str):
+    return datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T00:00:00")),  # before any right row
+            (2, 10, _ts("2024-01-02T00:00:00")),  # == right ts (inclusive)
+            (3, 10, _ts("2024-01-05T00:00:00")),  # after both right rows
+            (4, 20, _ts("2024-01-03T00:00:00")),  # other key
+            (5, 30, _ts("2024-01-03T00:00:00")),  # key with no right rows
+        ],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-02T00:00:00"), "a"),
+            (10, _ts("2024-01-04T00:00:00"), "b"),
+            (20, _ts("2024-01-01T00:00:00"), "c"),
+        ],
+        "k long, rts timestamp, tag string",
+    )
+    return left, right
+
+
+def test_asof_join_semantics(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, "k", "k", "ts", "rts", payload_cols=["tag"]
+    )
+    got = {r["event_id"]: r["tag"] for r in out.collect()}
+    assert got == {1: None, 2: "a", 3: "b", 4: "c", 5: None}
+    assert out.count() == left.count()  # LEFT join: all left rows survive
+    assert set(out.columns) == {"event_id", "k", "ts", "tag"}
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union+window plan shuffles once on the key — no range-join
+    blowup: exactly one Exchange in the optimized physical plan."""
+    left, right = _frames(spark)
+    out = asof_join(left, right, "k", "k", "ts", "rts", ["tag"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
