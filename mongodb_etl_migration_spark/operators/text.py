@@ -52,10 +52,42 @@ def approx_bpe_token_count(c: Column | str) -> Column:
     return F.ceil(F.length(col) / F.lit(4.0)).cast("bigint")
 
 
+def _word_count_re(words: tuple[str, ...]) -> str:
+    """Regex that matches any of ``words`` as a WHOLE token (token =
+    maximal [a-z0-9]+ run, same as TOKEN_RE) via lookarounds. Longest
+    alternative first so 'an' can't shadow 'and'."""
+    alts = "|".join(sorted(words, key=len, reverse=True))
+    return f"(?<![a-z0-9])(?:{alts})(?![a-z0-9])"
+
+
+def word_hits(
+    c: Column | str | None,
+    words: tuple[str, ...],
+    toks: Column | None = None,
+) -> Column:
+    """Count of tokens equal to any of ``words`` — equivalent to
+    size(filter(tokens(c), isin(words))) but WITHOUT a higher-order
+    lambda: HOFs are CodegenFallback, so their argument trees escape
+    whole-stage codegen subexpression elimination and re-evaluate per
+    consumer when an optimizer rule (e.g. filter pushdown) inlines
+    them. Two lambda-free strategies, both codegen-able + CSE-able:
+    from the raw text, one regexp count; from a materialized token
+    array, per-word array_remove size deltas (counts duplicates)."""
+    if toks is not None:
+        hits = F.lit(0).cast("long")
+        for w in words:
+            hits = hits + (F.size(toks) - F.size(F.array_remove(toks, w)))
+        return hits.cast("long")
+    col = F.col(c) if isinstance(c, str) else c
+    return F.size(
+        F.regexp_extract_all(F.lower(col), F.lit(_word_count_re(words)), 0)
+    ).cast("long")
+
+
 def stopword_ratio(c: Column | str, toks: Column | None = None) -> Column:
+    stops = word_hits(c, STOPWORDS, toks=toks)
     toks = tokens(c) if toks is None else toks
-    stops = F.filter(toks, lambda t: t.isin(*STOPWORDS))
-    return F.when(F.size(toks) > 0, F.size(stops) / F.size(toks)).otherwise(F.lit(0.0))
+    return F.when(F.size(toks) > 0, stops / F.size(toks)).otherwise(F.lit(0.0))
 
 
 def alpha_ratio(c: Column | str) -> Column:
@@ -69,9 +101,9 @@ def alpha_ratio(c: Column | str) -> Column:
 
 def mean_token_len(c: Column | str, toks: Column | None = None) -> Column:
     toks = tokens(c) if toks is None else toks
-    total = F.aggregate(
-        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
-    )
+    # sum of token lengths == chars in the concatenation — no
+    # F.aggregate lambda (see word_hits for why lambdas are hostile)
+    total = F.length(F.array_join(toks, "")).cast("double")
     return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
 
 
@@ -99,15 +131,10 @@ def quality_score(c: Column | str, toks: Column | None = None) -> Column:
     )
 
 
-def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
-    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
-
-
 def lang_scores(c: Column | str, toks: Column | None = None) -> dict[str, Column]:
-    """Per-language marker-hit counts."""
-    toks = tokens(c) if toks is None else toks
+    """Per-language marker-hit counts (lambda-free — word_hits)."""
     return {
-        lang: _marker_hits(toks, markers)
+        lang: word_hits(c, markers, toks=toks)
         for lang, markers in LANG_MARKERS.items()
     }
 

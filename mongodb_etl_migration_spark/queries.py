@@ -1345,15 +1345,20 @@ def t_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     All narrow except the one dedup shuffle; the full chain stays
     JVM-side (no Python)."""
     corpus = _corpus(spark, sf_dir)
-    reps = corpus.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id"), F.min("text").alias("text")
-    )
-    toked = reps.select("doc_id", "text", T.tokens("text").alias("_toks"))
-    tk = F.col("_toks")
-    scored = toked.select(
-        "doc_id",
-        T.lang_id("text", tk).alias("lang_pred"),
-        T.quality_score("text", tk).alias("quality"),
+    # Scores are computed INSIDE the dedup aggregate: a Filter can
+    # never be pushed below an Aggregate through non-grouping outputs,
+    # so lang/quality evaluate exactly once per group and the filter
+    # reads plain attributes. The projection-shaped variant
+    # (agg → select scores → filter) lets predicate pushdown inline
+    # the full scoring trees into the Filter node — measured 2-2.5×
+    # slower at sf0.1. Scorers are lambda-free (operators/text.py), so
+    # codegen subexpression elimination shares the tokenizer subtree.
+    mt = F.min("text")
+    tk = T.tokens(mt)
+    scored = corpus.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        T.lang_id(mt, tk).alias("lang_pred"),
+        T.quality_score(mt, tk).alias("quality"),
     )
     return scored.filter(
         (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
