@@ -1795,6 +1795,53 @@ def s5_nested_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s6_extended_json_ingest",
+    """
+    SELECT md5(CAST(event_id AS VARCHAR)) AS oid,
+           date_trunc('milliseconds', ts) AS ts,
+           value
+    FROM events
+    """,
+)
+def s6_extended_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6 ingest shape: serialize events to Mongo extended-JSON
+    strings (the mongoexport wire format), parse them back with
+    from_json, and normalize the $oid/$date/$numberDouble wrappers via
+    readers.normalize_extended_json — the oracle checks the roundtrip
+    preserved every value. All JVM-side (to_json/from_json/casts)."""
+    from mongodb_etl_migration_spark.sources.readers import (
+        normalize_extended_json,
+    )
+
+    e = Catalog(spark, sf_dir).events
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    doc = F.to_json(
+        F.struct(
+            F.struct(
+                F.md5(F.col("event_id").cast("string")).alias("$oid")
+            ).alias("_id"),
+            F.struct(
+                F.struct(ms.cast("string").alias("$numberLong")).alias("$date")
+            ).alias("ts"),
+            F.struct(F.col("value").cast("string").alias("$numberDouble")).alias(
+                "value"
+            ),
+        )
+    )
+    schema = (
+        "_id STRUCT<`$oid`: STRING>, "
+        "ts STRUCT<`$date`: STRUCT<`$numberLong`: STRING>>, "
+        "value STRUCT<`$numberDouble`: STRING>"
+    )
+    parsed = e.select(F.from_json(doc, schema).alias("d")).select("d.*")
+    return normalize_extended_json(parsed).select(
+        F.col("_id").alias("oid"),
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "value",
+    )
+
+
+@query(
     "j13_asof_join",
     """
     WITH day_orders AS (

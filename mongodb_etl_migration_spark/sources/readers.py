@@ -59,3 +59,64 @@ def ids_in_scan(df: DataFrame, id_col: str, ids: Sequence[str]) -> DataFrame:
     spark = df.sparkSession
     ids_df = spark.createDataFrame([(i,) for i in ids], [id_col])
     return df.join(F.broadcast(ids_df), id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------
+# Mongo extended-JSON normalization (S5 ingest shape)
+# ---------------------------------------------------------------------
+
+from pyspark.sql.types import ArrayType, StringType, StructField  # noqa: E402
+
+
+def normalize_extended_json(df: DataFrame) -> DataFrame:
+    """Rewrite MongoDB extended-JSON wrapper structs into plain typed
+    columns, recursively: ``{"$oid": s}`` → string, ``{"$date": iso}``
+    / ``{"$date": {"$numberLong": ms}}`` → timestamp,
+    ``{"$numberLong"|"$numberInt"|"$numberDouble": v}`` → numeric,
+    ``{"$numberDecimal": v}`` → decimal(38,10).
+
+    The reference deserializes these per-document in Python
+    (etl/extractors/mongo_extractor.py:211-237 serialize_document —
+    ObjectId/datetime walk); here the walk happens ONCE over the
+    SCHEMA at plan time, emitting pure Column expressions — no UDF, no
+    per-row Python, safe for a 100 TB ingest. Arrays recurse through
+    ``transform`` (one-time ingest cost; keep downstream hot paths on
+    the materialized result)."""
+    return df.select(
+        *[
+            _norm_ext(F.col(f.name), f.dataType).alias(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
+def _norm_ext(col: Column, dtype) -> Column:
+    from pyspark.sql.types import StructType as _St
+
+    if isinstance(dtype, _St):
+        names = sorted(f.name for f in dtype.fields)
+        if names == ["$oid"]:
+            return col.getField("$oid").cast("string")
+        if names == ["$date"]:
+            inner = next(f for f in dtype.fields if f.name == "$date")
+            if isinstance(inner.dataType, _St):  # {"$date":{"$numberLong": ms}}
+                ms = col.getField("$date").getField("$numberLong").cast("long")
+                return F.timestamp_millis(ms)
+            return col.getField("$date").cast("timestamp")
+        if names == ["$numberLong"]:
+            return col.getField("$numberLong").cast("long")
+        if names == ["$numberInt"]:
+            return col.getField("$numberInt").cast("int")
+        if names == ["$numberDouble"]:
+            return col.getField("$numberDouble").cast("double")
+        if names == ["$numberDecimal"]:
+            return col.getField("$numberDecimal").cast("decimal(38,10)")
+        return F.struct(
+            *[
+                _norm_ext(col.getField(f.name), f.dataType).alias(f.name)
+                for f in dtype.fields
+            ]
+        )
+    if isinstance(dtype, ArrayType):
+        return F.transform(col, lambda x: _norm_ext(x, dtype.elementType))
+    return col
