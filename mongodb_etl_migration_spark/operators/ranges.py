@@ -1,0 +1,66 @@
+"""Interval (range) join — match points to [start, end] intervals of
+the same key.
+
+Beyond-parity temporal operator (see also operators/asof.py). A naive
+``points.join(intervals, (key ==) & ts.between(start, end))`` keeps
+the range as a residual join condition: every per-key |P_k|×|I_k|
+pair is materialized and tested (and with no equality key at all,
+Spark falls back to BroadcastNestedLoopJoin) — quadratic in the hot
+keys, hopeless at 100 TB.
+
+Spark-first strategy — bucketize time so the range join becomes an
+EQUI-join Catalyst can hash-partition:
+
+1. points get one bucket id: floor(epoch/width);
+2. intervals EXPLODE to every bucket they overlap
+   (``sequence(floor(start/width), floor(end/width))``);
+3. equi-join on (key, bucket) — a plain shuffled hash join, AQE- and
+   skew-split-eligible — then filter the exact range.
+
+A point lies in exactly one bucket, so no post-join dedup is needed.
+Pick ``bucket_seconds`` near the typical interval span: duplication
+factor per interval is ceil(span/width)+1, while too-wide buckets
+inflate the candidate set the exact filter must discard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Inner interval join: rows = (point, interval) pairs with equal
+    ``on`` keys and ``start_col <= ts_col <= end_col`` (inclusive).
+    Output columns = point columns + interval columns (caller renames
+    clashes beforehand)."""
+    w = F.lit(bucket_seconds).cast("double")
+
+    def epoch(c: str) -> F.Column:
+        return F.col(c).cast("timestamp").cast("double")
+
+    pb = points.withColumn("__b", F.floor(epoch(ts_col) / w))
+    ib = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(epoch(start_col) / w), F.floor(epoch(end_col) / w)
+            )
+        ),
+    )
+    return (
+        pb.join(ib, [*on, "__b"])
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("__b")
+    )

@@ -1885,6 +1885,54 @@ def j13_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j14_interval_join",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM marked
+    ), sessions AS (
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events
+      FROM sess GROUP BY user_id, session_idx
+    )
+    SELECT e.event_id, e.user_id, s.session_start, s.n_events
+    FROM events e
+    JOIN sessions s
+      ON e.user_id = s.user_id
+     AND e.ts BETWEEN s.session_start AND s.session_end
+    """,
+)
+def j14_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14 (beyond-parity range join): assign each event to its
+    session window via operators/ranges.interval_join — intervals
+    explode to time buckets so the range join runs as an EQUI-join on
+    (user_id, bucket), never a per-key nested loop. Oracle: plain
+    BETWEEN join over the same session CTE."""
+    from mongodb_etl_migration_spark.operators.ranges import interval_join
+    from mongodb_etl_migration_spark.streaming.stateful import sessionize_batch
+
+    e = Catalog(spark, sf_dir).events
+    sessions = sessionize_batch(e, gap_minutes=30).drop("session_idx")
+    return interval_join(
+        e.select("event_id", "user_id", "ts"),
+        sessions,
+        on=["user_id"],
+        ts_col="ts",
+        start_col="session_start",
+        end_col="session_end",
+        bucket_seconds=3600,
+    ).select("event_id", "user_id", "session_start", "n_events")
+
+
+@query(
     "a9_rollup_totals",
     """
     SELECT o_orderstatus, o_orderpriority,
