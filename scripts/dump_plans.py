@@ -42,8 +42,20 @@ NOTES = {
     ),
     "t_curation_pipeline": (
         "Dedup -> quality -> language in one plan: a single hash "
-        "aggregate exchange; scoring is a narrow projection off one "
-        "materialized token array."
+        "aggregate exchange. Scores are emitted BY the aggregate, so "
+        "the quality/lang filter reads plain attributes — predicate "
+        "pushdown cannot duplicate the scoring trees into the Filter."
+    ),
+    "j13_asof_join": (
+        "As-of join as union + running last_value window: ONE Exchange "
+        "on the key for |L|+|R| rows — no range-join candidate blowup, "
+        "no nested loop."
+    ),
+    "j14_interval_join": (
+        "Range join as a bucketized EQUI-join: intervals explode to "
+        "overlapped buckets, the join hashes on (key, bucket) — a "
+        "plain hash join (broadcast at this SF, shuffled+AQE-split at "
+        "scale), never BroadcastNestedLoopJoin."
     ),
 }
 
