@@ -1,0 +1,85 @@
+"""Deterministic sampling for training-data pipelines.
+
+Big-corpus pipelines never sample with RNG: a rerun must pick the SAME
+rows (replayable lineage, cacheable shards, stable eval sets). The
+standard trick is hash-gating — a row is in the sample iff a stable
+hash of its key lands under the cut. Everything here is pure Column
+arithmetic on a 60-bit md5 prefix (15 hex digits, portable:
+Spark ``conv(hex,16,10)`` == DuckDB ``('0x'||hex)::BIGINT`` — same
+idiom as operators/dedup.py's MinHash family). Gates compare in
+INTEGER space (``h < floor(fraction * 2^60)``), never via float
+division, so engine-boundary rounding can't flip a row at the cut.
+
+Scale: ``deterministic_sample`` / ``train_test_split`` are narrow
+(filter-only — at 100 TB they read and drop, no exchange);
+``stratified_take`` shuffles once on the strata and uses the same
+rank-window shape as top-k (WindowGroupLimit pushes the per-stratum
+limit map-side, so the exchange carries ~n rows per stratum per map
+task, not the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 60-bit hash space (15 hex digits of md5)
+_SPACE = 1 << 60
+
+
+def hash_key(key: Column | str, salt: str = "") -> Column:
+    """Stable uniform 60-bit integer per key (bigint in [0, 2^60)).
+    ``salt`` decorrelates independent sampling decisions over the same
+    key space (a sample of a sample stays uniform)."""
+    col = F.col(key) if isinstance(key, str) else key
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.lit(salt), col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def cut(fraction: float) -> int:
+    """Integer gate threshold for a [0,1] fraction."""
+    return int(fraction * _SPACE)
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by hash gate — reproducible
+    across runs/engines, unlike ``df.sample`` (RNG, partition-layout
+    dependent)."""
+    return df.filter(hash_key(key, salt) < F.lit(cut(fraction)))
+
+
+def train_test_split(
+    df: DataFrame, key: str, test_fraction: float, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) by hash gate — disjoint, exhaustive, and stable:
+    a row never migrates between splits when the corpus grows."""
+    h = hash_key(key, salt)
+    c = F.lit(cut(test_fraction))
+    return df.filter(h >= c), df.filter(h < c)
+
+
+def stratified_take(
+    df: DataFrame,
+    strata: list[str],
+    n_per_stratum: int,
+    key: str,
+    salt: str = "",
+) -> DataFrame:
+    """At most ``n_per_stratum`` rows per stratum, picked by hash order
+    (deterministic "uniform without replacement" within each stratum —
+    quota sampling for balanced training mixes). Rank window ordered by
+    (hash, key): WindowGroupLimit keeps each map task's top-n before
+    the shuffle."""
+    w = Window.partitionBy(*strata).orderBy(hash_key(key, salt), F.col(key))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )

@@ -1957,6 +1957,77 @@ def a9_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HASH60 = (
+    "CAST(('0x' || substring(md5(concat_ws('#', '{salt}', "
+    "CAST({key} AS VARCHAR))), 1, 15)) AS BIGINT)"
+)
+
+
+def _sampling_queries() -> None:
+    from mongodb_etl_migration_spark.operators import sampling as SM
+
+    gate = _HASH60.format(salt="", key="doc_id")
+    split_gate = _HASH60.format(salt="split", key="doc_id")
+
+    @query(
+        "t_deterministic_sample",
+        f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE {gate} < {SM.cut(0.1)}
+        """,
+    )
+    def t_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Reproducible 10% corpus sample by 60-bit md5 hash gate
+        (operators/sampling.py) — filter-only, no shuffle, identical
+        row set on every run and engine (df.sample would be neither)."""
+        d = Catalog(spark, sf_dir).documents
+        return SM.deterministic_sample(d, "doc_id", 0.1).select("doc_id", "lang")
+
+    @query(
+        "t_train_test_split",
+        f"""
+        SELECT doc_id,
+               CASE WHEN {split_gate} < {SM.cut(0.2)}
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+        """,
+    )
+    def t_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Stable 80/20 train/test split — disjoint + exhaustive by
+        construction; rows never migrate between splits as the corpus
+        grows (hash-gated, not positional)."""
+        d = Catalog(spark, sf_dir).documents
+        train, test = SM.train_test_split(d, "doc_id", 0.2)
+        return train.select("doc_id", F.lit("train").alias("split")).unionByName(
+            test.select("doc_id", F.lit("test").alias("split"))
+        )
+
+    @query(
+        "t_stratified_sample",
+        f"""
+        WITH ranked AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang ORDER BY {gate}, doc_id) AS rk
+          FROM documents
+        )
+        SELECT doc_id, lang FROM ranked WHERE rk <= 50
+        """,
+    )
+    def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Quota sampling: at most 50 docs per language, hash-ordered
+        within each stratum (balanced training mixes). WindowGroupLimit
+        keeps per-stratum top-50 map-side before the one shuffle."""
+        d = Catalog(spark, sf_dir).documents
+        return SM.stratified_take(d, ["lang"], 50, "doc_id").select(
+            "doc_id", "lang"
+        )
+
+
+_sampling_queries()
+
+
 # =====================================================================
 # Entry points consumed by __spark_entry__.py
 # =====================================================================

@@ -1,0 +1,42 @@
+"""Deterministic sampling properties (operators/sampling.py). Bulk
+engine-parity is the oracle suite (t_deterministic_sample /
+t_train_test_split / t_stratified_sample)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongodb_etl_migration_spark.catalog import Catalog
+from mongodb_etl_migration_spark.operators import sampling as SM
+
+
+def test_split_disjoint_exhaustive_stable(spark, sf_dir):
+    d = Catalog(spark, sf_dir).documents
+    train, test = SM.train_test_split(d, "doc_id", 0.2)
+    n, ntr, nte = d.count(), train.count(), test.count()
+    assert ntr + nte == n
+    assert train.join(test, "doc_id", "inner").count() == 0
+    # stability: the same rows are picked regardless of partition layout
+    t2 = SM.train_test_split(d.repartition(7), "doc_id", 0.2)[1]
+    assert t2.exceptAll(test).count() == 0 and test.exceptAll(t2).count() == 0
+    # roughly 20% (hash uniformity; generous tolerance at 500 docs)
+    assert 0.1 < nte / n < 0.3
+
+
+def test_sample_is_subset_and_nested(spark, sf_dir):
+    d = Catalog(spark, sf_dir).documents
+    s10 = SM.deterministic_sample(d, "doc_id", 0.1)
+    s20 = SM.deterministic_sample(d, "doc_id", 0.2)
+    # gates nest: the 10% sample is contained in the 20% sample
+    assert s10.join(s20, "doc_id", "left_anti").count() == 0
+    assert s10.count() < s20.count()
+
+
+def test_stratified_quota_and_maplimit(spark, sf_dir):
+    d = Catalog(spark, sf_dir).documents
+    out = SM.stratified_take(d, ["lang"], 10, "doc_id")
+    per = out.groupBy("lang").count().collect()
+    assert all(r["count"] <= 10 for r in per)
+    assert len(per) == d.select("lang").distinct().count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
