@@ -95,3 +95,29 @@ def align_to_schema(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         F.col(c) if c in existing else F.lit(None).alias(c) for c in columns
     ]
     return df.select(*cols)
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> int:
+    """Small-file-safe sink: size the output file count from the
+    PLAN's row-size estimate so files land near ``target_file_bytes``
+    instead of one-file-per-task (the classic small-files problem: a
+    32k-task job writing 32k tiny parquet files murders the next
+    scan's file listing + footer reads).
+
+    The estimate comes from Catalyst statistics
+    (``optimizedPlan().stats.sizeInBytes`` — column-pruned, filter
+    aware), not a count() pre-pass, so planning stays one job.
+    Returns the file count used. At 100 TB this is how nightly
+    compaction jobs pick their width; pair with
+    ``spark.sql.files.maxPartitionBytes`` on the read side."""
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    # in-memory estimate ≈ 2-4x parquet-encoded size; assume 3x
+    n_files = max(1, min(100_000, est // (3 * target_file_bytes) + 1))
+    df.repartition(int(n_files)).write.format(fmt).mode(mode).save(path)
+    return int(n_files)

@@ -178,3 +178,26 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
             [p for p in __import__("glob").glob(f"{path}/*/*.parquet")]
         )
         assert int(m.group(1)) < total_files
+
+
+def test_write_compacted_file_count(spark, sf_dir, tmp_path):
+    """write_compacted: tiny input → 1 file regardless of input task
+    count; small target → multiple near-even files."""
+    import glob
+
+    from mongodb_etl_migration_spark.catalog import Catalog
+    from mongodb_etl_migration_spark.sources.writers import write_compacted
+
+    li = Catalog(spark, sf_dir).lineitem.repartition(16)
+    out1 = str(tmp_path / "one")
+    n1 = write_compacted(li, out1)
+    files1 = glob.glob(f"{out1}/*.parquet")
+    assert n1 == 1 and len(files1) == 1
+
+    out2 = str(tmp_path / "many")
+    n2 = write_compacted(li, out2, target_file_bytes=8 * 1024)
+    files2 = glob.glob(f"{out2}/*.parquet")
+    assert n2 == len(files2) > 1
+    sizes = sorted(__import__("os").path.getsize(f) for f in files2)
+    assert sizes[0] > 0.3 * sizes[-1]  # round-robin repartition ⇒ even files
+    assert spark.read.parquet(out2).count() == li.count()
