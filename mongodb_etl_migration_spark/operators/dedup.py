@@ -263,6 +263,62 @@ def minhash_dedup_pairs(
     return lsh_candidate_pairs(band, id_col)
 
 
+
+def write_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the LSH band index (band, band_key, id) for INCREMENTAL
+    near-dup detection: hash the historical corpus once, then each
+    ingest batch probes the index instead of re-hashing 100 TB
+    (continuous-ingestion twin of minhash_dedup_pairs, same signature
+    family/banding so batch and incremental candidates agree).
+    Hive-partitioned by band — a probe scans only matching band
+    directories (PartitionFilters)."""
+    df = df.filter(F.size(tokens(F.col(text_col))) >= k)
+    sig = minhash_signatures_narrow(df, id_col, text_col, k, num_hashes)
+    band = lsh_bands(sig, id_col, num_hashes, bands)
+    band.write.mode(mode).partitionBy("band").parquet(path)
+
+
+def neardup_against_index(
+    new_df: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs between a NEW batch and the persisted
+    historical index: only the new rows are shingled/hashed; candidates
+    come from an equi-join on (band, band_key) against the index. At
+    scale the join shuffles ~|new batch| band rows plus matching index
+    buckets (AQE splits hot buckets) — never the historical corpus.
+    Output: (id_new, id_indexed) distinct pairs."""
+    spark = new_df.sparkSession
+    new_df = new_df.filter(F.size(tokens(F.col(text_col))) >= k)
+    sig = minhash_signatures_narrow(new_df, id_col, text_col, k, num_hashes)
+    band = lsh_bands(sig, id_col, num_hashes, bands)
+    idx = spark.read.parquet(index_path)
+    return (
+        band.select("band", "band_key", F.col(id_col).alias("id_new"))
+        .join(
+            idx.select("band", "band_key", F.col(id_col).alias("id_indexed")),
+            ["band", "band_key"],
+        )
+        .filter(F.col("id_new") != F.col("id_indexed"))
+        .select("id_new", "id_indexed")
+        .distinct()
+    )
+
+
 # ----------------------------------------------------------- SimHash
 def simhash_signature(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16

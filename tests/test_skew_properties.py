@@ -170,3 +170,51 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_incremental_neardup_matches_batch(spark, sf_dir, tmp_path):
+    """neardup_against_index(new, index(old)) == the old-new cross
+    pairs of a full batch minhash_dedup_pairs over old ∪ new (same
+    hash family + banding ⇒ identical candidate generation)."""
+    from mongodb_etl_migration_spark.catalog import Catalog
+    from mongodb_etl_migration_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        neardup_against_index,
+        write_minhash_index,
+    )
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    # new batch under fresh ids: planted exact dups of indexed docs
+    # plus novel texts the index has never seen
+    planted = old.filter(F.col("doc_id") % 5 == 0)
+    novel = docs.filter(F.col("doc_id") % 3 == 0)
+    new = planted.unionByName(novel).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+
+    idx_path = str(tmp_path / "mh_index")
+    write_minhash_index(old, "doc_id", "text", idx_path)
+    inc = neardup_against_index(new, idx_path, "doc_id", "text")
+
+    batch = minhash_dedup_pairs(
+        old.unionByName(new), "doc_id", "text"
+    ).filter(  # keep only old-new cross pairs (id_b > 1M marks new)
+        (F.col("id_b") >= 1_000_000) & (F.col("id_a") < 1_000_000)
+    )
+    want = batch.select(
+        F.col("id_b").alias("id_new"), F.col("id_a").alias("id_indexed")
+    )
+    assert inc.count() == want.count() > 0
+    assert inc.exceptAll(want).count() == 0 and want.exceptAll(inc).count() == 0
+    # planted exact dups must all be recovered
+    exact_hits = inc.filter(
+        F.col("id_new") - F.lit(1_000_000) == F.col("id_indexed")
+    ).count()
+    # only docs with >=k tokens participate
+    from mongodb_etl_migration_spark.operators.text import tokens as _tok
+
+    eligible = new.filter(F.size(_tok(F.col("text"))) >= 3).join(
+        old, new["text"] == old["text"], "left_semi"
+    ).count()
+    assert exact_hits == eligible > 0

@@ -309,3 +309,38 @@ def test_first_wins_processor_semantics():
     # key already seen → second batch emits nothing
     b2 = [pd.DataFrame({"event_id": [1], "user_id": [1], "ts": [1]})]
     assert list(p.handleInputRows((1,), iter(b2), None)) == []
+
+
+def test_drop_duplicates_within_watermark(spark, sf_dir, tmp_path):
+    """Builtin streaming dedup twin (dropDuplicatesWithinWatermark):
+    planted duplicate event_ids within the watermark window are
+    dropped; state is watermark-bounded (vs the custom
+    transformWithState dedup, which offers TTL + first-wins-by-order
+    control)."""
+    events = Catalog(spark, sf_dir).events.select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    dup = events.limit(200)  # plant exact duplicates
+    src = events.unionByName(dup)
+    src_dir = str(tmp_path / "ddsrc")
+    src.coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src_dir).schema
+    ).parquet(src_dir)
+
+    sink = str(tmp_path / "ddsink")
+    q = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ddckpt"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(sink)
+    assert got.count() == events.count()  # every duplicate dropped
+    assert got.groupBy("event_id").count().filter("count > 1").count() == 0
