@@ -71,9 +71,13 @@ def word_hits(
     whole-stage codegen subexpression elimination and re-evaluate per
     consumer when an optimizer rule (e.g. filter pushdown) inlines
     them. Two lambda-free strategies, both codegen-able + CSE-able:
-    from the raw text, one regexp count; from a materialized token
-    array, per-word array_remove size deltas (counts duplicates)."""
-    if toks is not None:
+    from the raw text, one regexp count (preferred — measured as fast
+    as the lambda filter and ~1.7× faster than array_remove at
+    sf0.1); from a materialized token array (``c=None``), per-word
+    array_remove size deltas (counts duplicates)."""
+    if c is None:
+        if toks is None:
+            raise ValueError("word_hits needs a text column or a token array")
         hits = F.lit(0).cast("long")
         for w in words:
             hits = hits + (F.size(toks) - F.size(F.array_remove(toks, w)))

@@ -1401,10 +1401,7 @@ def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-token argmax, deterministic
     tie-break)."""
     d = Catalog(spark, sf_dir).documents
-    toked = d.select("doc_id", T.tokens("text").alias("_toks"))
-    return toked.select(
-        "doc_id", T.lang_id("text", F.col("_toks")).alias("lang_pred")
-    )
+    return d.select("doc_id", T.lang_id("text").alias("lang_pred"))
 
 
 @query(
