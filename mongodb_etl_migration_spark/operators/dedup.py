@@ -319,6 +319,84 @@ def neardup_against_index(
     )
 
 
+
+# ------------------------------------------------- Dedup clusters
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph → one
+    ``component`` label (the minimum member id) per document. This is
+    the step after LSH that production dedup needs: pairs say "these
+    two match"; clusters say "keep ONE of these five".
+
+    Hash-min label propagation: every vertex starts as its own label;
+    each round every vertex takes the min label among itself and its
+    neighbors; converged when no label changes. O(component diameter)
+    rounds, each one join + one min-aggregate shuffle, both on the
+    vertex key — near-dup graphs are overwhelmingly tiny cliques
+    (diameter ≤ 2-3), so this converges in a handful of rounds.
+    Labels are localCheckpoint'd per round: iterative plans otherwise
+    double in depth each round and re-execute from the source.
+
+    Output: (id, component) for every id that appears in ``pairs``.
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        msgs = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def dedup_representatives(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Collapse near-dup clusters to one representative row each: the
+    minimum id of every component survives; unpaired docs survive
+    untouched (singleton components). A left-anti join of df against
+    the non-representative member set — no row of df is shuffled
+    beyond the anti join."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # ----------------------------------------------------------- SimHash
 def simhash_signature(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16

@@ -1954,6 +1954,56 @@ def a9_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _d6_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {D.MINHASH_P} AS h
+      FROM shingled
+    ),
+    sigs AS (
+      SELECT doc_id, seed, min((a * h + b) % {D.MINHASH_P}) AS sig
+      FROM hashed CROSS JOIN (VALUES {_MINHASH_FAMILY_SQL}) AS f(seed, a, b)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+             md5(string_agg(seed || '=' || sig, '|' ORDER BY seed || '=' || sig)) AS band_key
+      FROM sigs GROUP BY doc_id, CAST(seed // 4 AS INT)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+    )
+    SELECT u AS id, least(u, min(v)) AS component
+    FROM walk GROUP BY u
+    """
+
+
+@query("d6_dedup_clusters", _d6_oracle())
+def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: near-dup CLUSTERS from the d2 candidate pairs — hash-min
+    label propagation (operators/dedup.connected_components) vs the
+    oracle's recursive-CTE transitive closure. Every paired doc gets
+    component = min reachable doc_id."""
+    pairs = D.minhash_dedup_pairs(
+        _corpus(spark, sf_dir), "doc_id", "text", k=3, num_hashes=16, bands=4
+    )
+    return D.connected_components(pairs)
+
+
 _HASH60 = (
     "CAST(('0x' || substring(md5(concat_ws('#', '{salt}', "
     "CAST({key} AS VARCHAR))), 1, 15)) AS BIGINT)"

@@ -218,3 +218,27 @@ def test_incremental_neardup_matches_batch(spark, sf_dir, tmp_path):
         old, new["text"] == old["text"], "left_semi"
     ).count()
     assert exact_hits == eligible > 0
+
+
+def test_connected_components_chain_and_representatives(spark):
+    """A chain a-b, b-c, plus an isolated pair d-e: one component
+    {1,2,3} labeled 1 and one {7,8} labeled 7 (min-id canonical);
+    dedup_representatives keeps exactly min-id docs + unpaired docs."""
+    from mongodb_etl_migration_spark.operators.dedup import (
+        connected_components,
+        dedup_representatives,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 7, 8, 99)], "doc_id long, text string"
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_representatives(docs, pairs, "doc_id").collect()
+    )
+    assert kept == [1, 7, 99]
