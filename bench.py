@@ -10,8 +10,10 @@ The headline set exercises every cost class: columnar agg (a1), join
 pipeline + window (j6), shuffle-heavy LSH dedup (d2), vector math
 (sim_topk_bruteforce), per-doc text scoring (t_text_stats), window agg
 over events (e_windowed_counts), hierarchy loop (j9), pandas-UDF path
-(k1_uuid5). Each query runs twice; warm time is recorded (the driver
-compares against BASELINE at the same sf). Shuffle volume per query
+(k1_uuid5). Each query runs three times: one cold (JIT, file listing),
+then two warm — the MIN of the warm pair is recorded (single-JVM
+local-mode timings carry GC/load noise; min-of-2 is the steady-state
+the driver compares against BASELINE at the same sf). Shuffle volume per query
 comes from the Spark UI REST API (cumulative stage deltas) — the
 number to watch when judging whether a plan would survive 100 TB.
 """
@@ -107,9 +109,11 @@ def main() -> None:
     for name in HEADLINE:
         run_once(name, spark, sf_dir)  # cold (JIT, file listing)
         w0, r0 = ui.shuffle_totals()
-        timings[name] = round(run_once(name, spark, sf_dir), 3)
+        warm1 = run_once(name, spark, sf_dir)
         w1, r1 = ui.shuffle_totals()
         shuffles[name] = (w1 - w0) + (r1 - r0)
+        warm2 = run_once(name, spark, sf_dir)
+        timings[name] = round(min(warm1, warm2), 3)
 
     total = round(sum(timings.values()), 3)
     print(
