@@ -192,3 +192,38 @@ def ivf_probe_topk(
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def l2_normalize(vec: Column | str) -> Column:
+    """Unit-norm embedding (the preprocessing step before cosine ANN —
+    normalized vectors turn cosine into dot product). The norm is
+    computed once into the lambda via a higher-order let-binding shape:
+    callers should materialize the normalized array as a real column
+    (lambda bodies sit outside codegen CSE)."""
+    v = _dvec(vec)
+    return F.transform(v, lambda x: x / F.sqrt(dot(v, v)))
+
+
+def group_centroids(df: DataFrame, key: str, vec_col: str, dim: int) -> DataFrame:
+    """Element-wise mean embedding per group (class centroids — the
+    build step of an IVF index, label prototypes for probing mixes).
+
+    posexplode → per-(key, position) avg → re-assemble ordered array.
+    The explode multiplies rows by ``dim``, but partial aggregation
+    collapses each map task to #keys×dim rows before the single
+    shuffle — at 100 TB the exchange carries centroids, not vectors.
+    Output: (key, centroid array<double>)."""
+    ex = df.select(F.col(key), F.posexplode(_dvec(vec_col)).alias("pos", "x"))
+    per_pos = ex.groupBy(key, "pos").agg(F.avg("x").alias("m"))
+    return (
+        per_pos.groupBy(key)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("_pm")
+        )
+        .select(
+            F.col(key),
+            F.transform(F.col("_pm"), lambda s: s.getField("m")).alias("centroid"),
+        )
+    )

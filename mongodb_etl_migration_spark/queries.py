@@ -1954,6 +1954,61 @@ def a9_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_l2_normalize",
+    """
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+             x -> round(x / sqrt(list_sum(
+                    list_transform(embedding::DOUBLE[], y -> y * y))), 5))
+             AS unit
+    FROM embeddings
+    """,
+)
+def sim_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-norm embeddings (similarity.l2_normalize) — the standard
+    ANN preprocessing (cosine becomes dot product). Norm materialized
+    as a real column before the per-element divide (lambda bodies get
+    no codegen CSE)."""
+    e = Catalog(spark, sf_dir).embeddings
+    v = SIM._dvec("embedding")
+    withn = e.select("vec_id", v.alias("_v"), SIM.norm(v).alias("_n"))
+    return withn.select(
+        "vec_id",
+        F.transform(F.col("_v"), lambda x: F.round(x / F.col("_n"), 5)).alias(
+            "unit"
+        ),
+    )
+
+
+@query(
+    "sim_group_centroids",
+    """
+    WITH ex AS (
+      SELECT label, i AS pos, embedding[i]::DOUBLE AS x
+      FROM embeddings, range(1, 65) t(i)
+    ), m AS (
+      SELECT label, pos, avg(x) AS m FROM ex GROUP BY label, pos
+    )
+    SELECT label, list(round(m, 4) ORDER BY pos) AS centroid
+    FROM m GROUP BY label
+    """,
+)
+def sim_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class centroids (similarity.group_centroids) — the
+    IVF build step / label prototypes. posexplode + two-level agg:
+    partial aggregation collapses each map task to #labels×dim rows
+    before the one shuffle."""
+    from mongodb_etl_migration_spark.operators.similarity import group_centroids
+
+    e = Catalog(spark, sf_dir).embeddings
+    cent = group_centroids(e, "label", "embedding", dim=64)
+    return cent.select(
+        "label",
+        F.transform(F.col("centroid"), lambda x: F.round(x, 4)).alias("centroid"),
+    )
+
+
 def _d6_oracle() -> str:
     return f"""
     WITH RECURSIVE {_SHINGLE_SQL},

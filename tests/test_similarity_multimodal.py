@@ -108,3 +108,29 @@ def test_ivf_index_prunes_and_matches_inmemory_lsh(spark, sf_dir, tmp_path):
     assert [(r["vec_id"], r["cos_sim"]) for r in got] == [
         (r["vec_id"], r["cos_sim"]) for r in mem
     ]
+
+
+def test_l2_normalize_and_centroids(spark):
+    import math
+
+    from mongodb_etl_migration_spark.operators.similarity import (
+        group_centroids,
+        l2_normalize,
+        norm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0], "a"), (2, [0.0, 2.0], "a"), (3, [6.0, 8.0], "b")],
+        "vec_id long, v array<double>, label string",
+    )
+    unit = df.select(l2_normalize("v").alias("u")).collect()
+    for r in unit:
+        assert math.isclose(sum(x * x for x in r["u"]), 1.0, rel_tol=1e-9)
+    # direction preserved: normalize([3,4]) == [0.6, 0.8]
+    assert [round(x, 6) for x in unit[0]["u"]] == [0.6, 0.8]
+
+    cents = {
+        r["label"]: r["centroid"]
+        for r in group_centroids(df, "label", "v", dim=2).collect()
+    }
+    assert cents["a"] == [1.5, 3.0] and cents["b"] == [6.0, 8.0]
