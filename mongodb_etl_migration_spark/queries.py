@@ -2009,6 +2009,48 @@ def sim_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t_top_bigrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT t[i] || ' ' || t[i + 1] AS bigram
+      FROM toks, range(1, 200) r(i)
+      WHERE i < len(t)
+    )
+    SELECT bigram, count(*) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+)
+def t_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-k n-grams (the vocabulary/collocation report a
+    curation run prints). Bigrams built by zipping the token array
+    with its tail (narrow, no UDF); count is one partial-agg shuffle;
+    the global top-20 is TakeOrderedAndProject (per-partition heaps +
+    driver merge — no global sort at 100 TB). Deterministic tiebreak
+    on the bigram itself."""
+    d = Catalog(spark, sf_dir).documents
+    toked = d.select(T.tokens("text").alias("_t"))
+    grams = toked.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
 def _d6_oracle() -> str:
     return f"""
     WITH RECURSIVE {_SHINGLE_SQL},
