@@ -160,15 +160,20 @@ def p2_coalesce_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p7_filter_then_project",
     """
     SELECT o_orderkey, upper(o_orderpriority) AS priority,
-           round(CAST(o_totalprice AS DECIMAL(18,2)) * 0.9, 2) AS discounted
+           CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(2,1)), 2)
+                AS DOUBLE) AS discounted
     FROM orders WHERE o_orderstatus <> 'F'
     """,
 )
 def p7_filter_then_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7: sentinel-drop transforms hoisted into filter-before-project
     (data_transformer.py:79-81 returns None ⇒ drop; SURVEY §7.4.4).
-    The discount math runs in DECIMAL: double rounding at the .005
-    boundary is engine-dependent, decimal arithmetic is exact."""
+    The discount math runs in DECIMAL (exact, engine-independent: the
+    scale-3 product's .005 ties round half-away-from-zero identically
+    for these positive prices), then the already-rounded value is cast
+    to DOUBLE so both engines emit the same float64 — a DECIMAL output
+    column would surface as `Decimal('960.65')` vs `960.65` in the
+    driver's hash (round-1 hash-fail)."""
     o = Catalog(spark, sf_dir).orders
     return o.filter(F.col("o_orderstatus") != "F").select(
         "o_orderkey",
@@ -177,7 +182,9 @@ def p7_filter_then_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("decimal(18,2)")
             * F.lit("0.9").cast("decimal(2,1)"),
             2,
-        ).alias("discounted"),
+        )
+        .cast("double")
+        .alias("discounted"),
     )
 
 
@@ -739,13 +746,18 @@ def j11_semi_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS sum_disc_price,
-           sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,4))) AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))
+                AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -755,28 +767,40 @@ def j11_semi_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-family headline aggregation (TPC-H Q1 shape): map-side
     partial aggregation collapses 6M rows/SF to 4 groups before the
-    shuffle. DECIMAL casts make the sums exact and order-independent
-    (double summation order differs between engines)."""
+    shuffle.
+
+    Numeric parity design (round-1 hash-fail root cause, VERDICT.md
+    "What's wrong" #2): the arithmetic is DECIMAL end-to-end. Each
+    source double is cast to a decimal of its natural scale FIRST
+    (prices/quantities have 2 exact decimals, discount/tax 2 — the
+    stored double is within half an ulp of that value, so the cast
+    recovers it identically on every engine); products and sums of
+    decimals are exact, so no per-row double→decimal rounding can
+    diverge (the old plan cast the *double product* to DECIMAL(22,4),
+    whose .00005 ties Spark and DuckDB broke differently). The final
+    exact decimal aggregate is cast to DOUBLE — one deterministic
+    round-to-nearest on an identical value — and averages divide that
+    double by count(*) in IEEE arithmetic, identical on both engines.
+    No DECIMAL column reaches the output (driver stringification
+    trap)."""
     li = Catalog(spark, sf_dir).lineitem
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    cnt = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(22,4)")
-            ).alias("sum_disc_price"),
-            F.sum(
-                (
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ).cast("decimal(22,4)")
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(price).cast("double") / cnt).alias("avg_price"),
+            (F.sum(disc).cast("double") / cnt).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -846,15 +870,17 @@ def a5_collect_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a6_conditional_agg",
     """
     SELECT user_id % 10 AS bucket,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
-           sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS high_value
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+           CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS high_value
     FROM events GROUP BY user_id % 10
     """,
 )
 def a6_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: conditional sums (success/error tallies) —
-    orchestrator.py:1220-1221."""
+    orchestrator.py:1220-1221. Oracle sums are CAST to BIGINT: DuckDB
+    sum(int) yields HUGEINT, which pandas surfaces as float64 and the
+    driver hash sees as "196.0" vs Spark's "196" (round-1 hash-fail)."""
     e = Catalog(spark, sf_dir).events
     return e.groupBy((F.col("user_id") % 10).alias("bucket")).agg(
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("purchases"),
@@ -1450,7 +1476,7 @@ def m_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n_events,
-           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM events GROUP BY date_trunc('hour', ts), event_type
     """,
 )
@@ -1473,8 +1499,8 @@ def e_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), sess AS (
       SELECT user_id, ts,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
       FROM marked
     )
     SELECT user_id, session_idx, min(ts) AS session_start,

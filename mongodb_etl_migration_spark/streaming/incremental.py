@@ -69,7 +69,10 @@ def windowed_event_counts(
             F.count("*").alias("n_events"),
             # DECIMAL sum: exact and summation-order-independent, so the
             # result is identical across engines and micro-batch splits.
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+            # The final cast to double keeps DECIMAL out of the output
+            # (a DECIMAL column stringifies as Decimal('1.5000') vs the
+            # oracle's float64 1.5 in the driver hash).
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),

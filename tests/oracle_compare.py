@@ -1,6 +1,21 @@
 """Order-insensitive Spark↔DuckDB result comparison, mimicking the
 driver's correctness gate (row count + schema width + value hash over
-name-sorted columns)."""
+name-sorted columns).
+
+Canonicalization is STRICT (round-1 lesson, VERDICT.md "What's wrong"
+#5): the old 6-sig-fig / decimal→float collapse masked a real value
+divergence (a1) and dtype mismatches ("196" vs "196.0"). Now:
+
+- ints stringify as ints ("196"), floats as full-precision repr
+  ("196.0", "0.30000000000000004") — an int64 vs float64 dtype drift
+  between engines is a FAILURE, as the driver sees it;
+- Decimal keeps its exact scale-preserving string ("1234.50"), so a
+  Decimal column vs a float64 column only matches when both the value
+  AND the rendered scale agree — queries should avoid emitting
+  decimals entirely (cast final aggregates to DOUBLE/BIGINT on both
+  engines);
+- no tolerance anywhere: equal means byte-equal canonical strings.
+"""
 
 from __future__ import annotations
 
@@ -12,20 +27,28 @@ import pandas as pd
 
 
 def _norm_cell(v: Any) -> str:
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+    if v is None:
         return "∅"
-    if isinstance(v, (bool,)):
+    if isinstance(v, float) and math.isnan(v):
+        return "∅"
+    if isinstance(v, bool):
         return "t" if v else "f"
     if isinstance(v, decimal.Decimal):
-        v = float(v)
+        # scale-preserving: Decimal('1234.50') -> '1234.50' (NOT 1234.5)
+        return str(v)
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
+        return repr(float(v))  # shortest round-trip repr, full precision
+    if isinstance(v, int):
+        return str(int(v))
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    # numpy scalars (np.int64 / np.float64) reach here on some pandas
+    # paths; unwrap via .item() to the matching python branch above.
+    item = getattr(v, "item", None)
+    if item is not None and type(v).__module__.startswith("numpy"):
+        return _norm_cell(v.item())
     return str(v)
 
 
