@@ -30,12 +30,78 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
+# Enumeration order for the driver's correctness run. Round 1's run
+# capped at 50 of 71 queries and left 21 with no correctness row at
+# all (VERDICT.md "What's missing" #1), so queries with no driver
+# evidence yet — plus the five whose round-1 hash-fail fixes need a
+# fresh green row — enumerate FIRST; long-green queries go last.
+_PRIORITY = [
+    # round-1 hash-fails, fixed this round — need fresh rows
+    "a1_pricing_summary",
+    "a6_conditional_agg",
+    "p7_filter_then_project",
+    "e_windowed_counts",
+    "e_sessionization",
+    # never driver-checked in round 1
+    "p6_role_filter",
+    "p9_empty_normalize",
+    "s5_nested_serialization",
+    "s6_extended_json_ingest",
+    "j8_membership_merge",
+    "j9b_file_resolution",
+    "j12_relation_build",
+    "j13_asof_join",
+    "j14_interval_join",
+    "a8_depth_groups",
+    "a9_rollup_totals",
+    "o1_sort_by_derived_key",
+    "o3_limit_sample",
+    "d6_dedup_clusters",
+    "sim_group_centroids",
+    "sim_l2_normalize",
+    "t_deterministic_sample",
+    "t_stratified_sample",
+    "t_top_bigrams",
+    "t_train_test_split",
+    "x_crypto_migration",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 plus the
-    training-data extensions."""
+    training-data extensions, never-driver-checked entries first."""
     from mongodb_etl_migration_spark.queries import QUERIES
 
-    return dict(QUERIES)
+    ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
+    # new queries added since the priority list was drawn up come next
+    # (they have no driver row yet either), then the long-green rest.
+    checked_r1 = _ROUND1_GREEN
+    for n, q in QUERIES.items():
+        if n not in ordered and n not in checked_r1:
+            ordered[n] = q
+    for n, q in QUERIES.items():
+        if n not in ordered:
+            ordered[n] = q
+    return ordered
+
+
+_ROUND1_GREEN = {
+    "s1_filtered_scan", "s3_point_in_scan", "s4_source_count",
+    "p4_message_predicate", "p2_coalesce_projection",
+    "f_string_normalize", "f_gender_room_type", "f_url_rewrite",
+    "f_path_functions", "f_mime_and_defaults", "f_deleted_user_redaction",
+    "f_json_extract", "k1_uuid5", "k2_timeuuid", "k3_sequential_ids",
+    "j1_fk_resolution", "j3_normalized_key_join", "j4_m2m_explode",
+    "j5_top1_per_group", "j6_denormalized_view", "j7_pair_generation",
+    "j9_hierarchy_resolution", "j10_orphan_check", "j11_semi_membership",
+    "a2_group_count", "a3_max_resume", "a4_distinct",
+    "a5_collect_per_group", "a7_first_wins_dedup", "o2_global_topk",
+    "u1_subtract", "u2_union_side_outputs", "d1_exact_dedup",
+    "d2_minhash_lsh_pairs", "d3_simhash", "d4_ngram_jaccard",
+    "sim_topk_bruteforce", "sim_topk_lsh", "sim_embedding_neardup",
+    "t_text_stats", "t_curation_pipeline", "t_length_histogram",
+    "t_lang_id", "t_fingerprint", "m_multimodal_decode",
+}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -275,6 +275,21 @@ def messages_df(
         drift = i % 3 != 1
         banned = i % 13 == 12
         ftype, ext = _files.get(i % 11, (None, None))
+        url = f"gs://sibci-2f7fc.appspot.com/files/{i}.{ext}" if ftype else None
+        if ftype and i % 22 >= 11:
+            # F26: half of each attachment class arrives Salsa20-
+            # encrypted — the pipeline must decrypt BEFORE the
+            # DOCUMENTO .pdf gate / bucket rewrite (an encrypted .pdf
+            # would otherwise be dropped, data_transformer.py:397-452)
+            from mongodb_etl_migration_spark.functions.crypto import (
+                salsa20_encrypt_str,
+            )
+            from mongodb_etl_migration_spark.pipeline import (
+                FILEURL_IV as _FIV,
+                FILEURL_KEY as _FK,
+            )
+
+            url = salsa20_encrypt_str(_FK, _FIV, url)
         rows.append(
             (
                 oid("messages", i),
@@ -289,7 +304,7 @@ def messages_df(
                 "user_message" if i % 2 == 0 else None,
                 False if i % 19 == 18 else None,  # missing ⇒ active
                 True if i % 23 == 22 else None,
-                f"gs://sibci-2f7fc.appspot.com/files/{i}.{ext}" if ftype else None,
+                url,
                 ftype,
                 f"file{i}.{ext}" if ftype else None,
                 1000 + i if ftype else None,

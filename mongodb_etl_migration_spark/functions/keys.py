@@ -91,13 +91,25 @@ def assign_sequential_ids(
 
     Wall-clock is one range shuffle + one window within partitions —
     the same cost profile as a distributed sort.
+
+    ``numbered`` is localCheckpoint'ed before the counts collect:
+    repartitionByRange samples its range bounds with a nondeterministic
+    seed, so WITHOUT pinning, the counts job and the final id-emission
+    job could place boundary rows in different __pid partitions —
+    silently duplicating or dropping ids. The checkpoint materializes
+    one partition assignment that both jobs read (it also means the
+    data is written once to executor-local storage — the price of a
+    consistent global numbering, same as any distributed sort that
+    must be read twice).
     """
     n_part = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     ranged = df.repartitionByRange(int(n_part), *order_by).withColumn(
         "__pid", F.spark_partition_id()
     )
     w = Window.partitionBy("__pid").orderBy(*order_by)
-    numbered = ranged.withColumn("__rn", F.row_number().over(w))
+    numbered = ranged.withColumn("__rn", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
     counts = (
         numbered.groupBy("__pid").agg(F.count("*").alias("__cnt")).collect()
     )

@@ -148,13 +148,16 @@ def upper_role(c: Column | str) -> Column:
 def mime_from_filetype(file_type: Column | str, url: Column | str) -> Column:
     """fileType → mime; DOCUMENTO only maps when url ends '.pdf', else
     NULL (caller drops the row, P7) —
-    etl/transformers/data_transformer.py:425-444."""
+    etl/transformers/data_transformer.py:425-444. The '.pdf' check is
+    case-sensitive, matching both the reference (endswith('.pdf')) and
+    the messages filter — a '.PDF' row is dropped by BOTH, never mapped
+    by one and dropped by the other."""
     t, u = _col(file_type), _col(url)
     return (
         F.when(t == "IMAGEN", F.lit("image/png"))
         .when(t == "VIDEO", F.lit("video/mp4"))
         .when(t == "AUDIO", F.lit("audio/mp3"))
-        .when((t == "DOCUMENTO") & F.lower(u).endswith(".pdf"),
+        .when((t == "DOCUMENTO") & u.endswith(".pdf"),
               F.lit("application/pdf"))
         .otherwise(F.lit(None))
     )

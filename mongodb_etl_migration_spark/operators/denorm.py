@@ -73,14 +73,35 @@ def pair_generation(
     One shuffle (groupBy room) then a 2-row explode — no self-join, so
     a hot room with thousands of members costs collect_list of its
     members but never a quadratic blow-up.
+
+    A custom ``order_by`` (e.g. joined_at, to match the reference's
+    "first two participants") is honored by collecting (keys, member)
+    structs and array_sort-ing those — struct comparison is
+    lexicographic over fields in order, so the member ranking follows
+    the keys, with the member value itself as the final tiebreak.
     """
-    order_by = list(order_by) if order_by else [F.col(member_col)]
-    collected = (
-        members.select(group_col, member_col)
-        .groupBy(group_col)
-        .agg(F.array_sort(F.collect_list(member_col)).alias("__ms"))
-        .filter(F.size("__ms") >= 2)
-    )
+    if order_by:
+        keyed = F.struct(
+            *[k.alias(f"__k{i}") for i, k in enumerate(order_by)],
+            F.col(member_col).alias("__m"),
+        )
+        collected = (
+            members.select(F.col(group_col), keyed.alias("__kv"))
+            .groupBy(group_col)
+            .agg(F.array_sort(F.collect_list("__kv")).alias("__kvs"))
+            .filter(F.size("__kvs") >= 2)
+            .select(
+                group_col,
+                F.transform(F.col("__kvs"), lambda s: s["__m"]).alias("__ms"),
+            )
+        )
+    else:
+        collected = (
+            members.select(group_col, member_col)
+            .groupBy(group_col)
+            .agg(F.array_sort(F.collect_list(member_col)).alias("__ms"))
+            .filter(F.size("__ms") >= 2)
+        )
     u1 = F.col("__ms")[0]
     u2 = F.col("__ms")[1]
     return (

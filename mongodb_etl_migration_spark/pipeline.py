@@ -235,14 +235,33 @@ def rooms_spec(run_ts: datetime) -> EntitySpec:
 def messages_spec(run_ts: datetime) -> EntitySpec:
     """Cassandra messages_by_room + room_by_message —
     field_mapper.py:119-149, filters from mongo_extractor.py:56-72 ∪
-    validators.py:18 (P4/P5), P7 sentinel hoisted, K2 timeuuid key."""
+    validators.py:18 (P4/P5), P7 sentinel hoisted, K2 timeuuid key.
+
+    fileURL handling mirrors data_transformer.py:397-452 exactly:
+    Salsa20-decrypt with plaintext fallback FIRST, then bucket-rewrite
+    the decrypted value, and only then apply the DOCUMENTO '.pdf' gate
+    (case-sensitive) to the rewritten plaintext — an encrypted PDF
+    attachment must survive the gate, and a non-DOCUMENTO encrypted URL
+    must be emitted decrypted. An absent/empty fileURL skips the whole
+    block (row kept, file_url/mime_type stay NULL)."""
+    from mongodb_etl_migration_spark.functions.crypto import (
+        make_salsa20_decrypt_udf,
+    )
+
+    dec = make_salsa20_decrypt_udf(FILEURL_KEY, FILEURL_IV)
+    has_url = F.col("fileURL").isNotNull() & (F.col("fileURL") != "")
     return EntitySpec(
         name="messages",
         source="messages",
         destination="messages_by_room",
         filters=(
             lambda df: (
-                (~F.col("msgType").isin(*BANNED_MSG_TYPES))
+                # $nin matches documents where the field is ABSENT
+                # (mongo_extractor.py:63-64): NULL msgType passes.
+                (
+                    F.col("msgType").isNull()
+                    | ~F.col("msgType").isin(*BANNED_MSG_TYPES)
+                )
                 & (
                     F.col("msgLife").isNull()
                     | (F.col("msgLife") != F.lit("TOUCH_SHOW_DELETE"))
@@ -250,15 +269,28 @@ def messages_spec(run_ts: datetime) -> EntitySpec:
                 # tri-valued: missing isActive counts as active (§7.4.6)
                 & F.coalesce(F.col("isActive"), F.lit(True))
                 & ~F.coalesce(F.col("isDeleted"), F.lit(False))
-                # F21/P7: DOCUMENTO attachments must be .pdf
-                & (
-                    F.col("fileType").isNull()
-                    | (F.col("fileType") != "DOCUMENTO")
-                    | F.col("fileURL").endswith(".pdf")
-                )
             ),
         ),
-        derivations={"sender_ref": lambda df: ref_id("sender")},
+        derivations={
+            "sender_ref": lambda df: ref_id("sender"),
+            # F26: decrypt (fallback to raw when not decryptable, i.e.
+            # already-plaintext), then F5 bucket rewrite — the order the
+            # reference uses; the .pdf gate below sees THIS value.
+            "file_url_rw": lambda df: S.bucket_url_rewrite(
+                F.coalesce(F.nullif(dec(F.col("fileURL")), F.lit("")), F.col("fileURL"))
+            ),
+        },
+        post_filters=(
+            # F21/P7: DOCUMENTO attachments must be .pdf — tested on the
+            # decrypted, rewritten URL (data_transformer.py:433-443).
+            # Empty/absent fileURL skips the gate entirely.
+            lambda df: (
+                ~has_url
+                | F.col("fileType").isNull()
+                | (F.col("fileType") != "DOCUMENTO")
+                | F.col("file_url_rw").endswith(".pdf")
+            ),
+        ),
         fk_joins=(
             # unresolved room refs are skipped (id_mapper miss ⇒ inner)
             FKJoin(dim="rooms_by_mongo", on="room", out="room_id", how="inner"),
@@ -271,8 +303,12 @@ def messages_spec(run_ts: datetime) -> EntitySpec:
             "content": lambda df: S.content_truncate(
                 F.coalesce(F.col("message"), F.col("content"), F.lit(""))
             ),
-            "mime_type": lambda df: S.mime_from_filetype("fileType", "fileURL"),
-            "file_url": lambda df: S.bucket_url_rewrite("fileURL"),
+            # mime/file_url only materialize when a fileURL was present
+            # (reference leaves them unset otherwise).
+            "mime_type": lambda df: F.when(
+                has_url, S.mime_from_filetype("fileType", "file_url_rw")
+            ),
+            "file_url": lambda df: F.when(has_url, F.col("file_url_rw")),
             "fileName": lambda df: F.col("fileName"),
             "fileSize": lambda df: F.col("fileSize"),
             "created_at": lambda df: F.col("createdAt"),

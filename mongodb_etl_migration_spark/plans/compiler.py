@@ -44,6 +44,9 @@ def compile_entity(
     for name, builder in spec.derivations.items():
         df = df.withColumn(name, builder(df))
 
+    for pred in spec.post_filters:
+        df = df.filter(pred(df))
+
     for fk in spec.fk_joins:
         if id_maps is None or fk.dim not in id_maps:
             raise KeyError(f"missing id map for dimension {fk.dim!r}")

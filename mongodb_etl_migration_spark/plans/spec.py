@@ -63,6 +63,12 @@ class EntitySpec:
     derivations: dict[str, Callable[[DataFrame], Column]] = field(
         default_factory=dict
     )
+    # Predicates applied AFTER derivations — for gates that must see a
+    # derived value (the reference's transform-time drops, e.g.
+    # data_transformer.py:433-443 checks the DECRYPTED, bucket-rewritten
+    # fileURL before the DOCUMENTO .pdf gate; a raw-column filter would
+    # test ciphertext). These do not push to the scan by design.
+    post_filters: tuple[Callable[[DataFrame], Column], ...] = ()
     # dest_col -> Column builder (the FieldMapper projection, P1).
     projection: dict[str, Callable[[DataFrame], Column]] = field(default_factory=dict)
     fk_joins: tuple[FKJoin, ...] = ()

@@ -1986,7 +1986,7 @@ def a9_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            list_transform(embedding::DOUBLE[],
              x -> round(x / sqrt(list_sum(
-                    list_transform(embedding::DOUBLE[], y -> y * y))), 5))
+                    list_transform(embedding::DOUBLE[], y -> y * y))), 5) + 0.0)
              AS unit
     FROM embeddings
     """,
@@ -1999,11 +1999,13 @@ def sim_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
     v = SIM._dvec("embedding")
     withn = e.select("vec_id", v.alias("_v"), SIM.norm(v).alias("_n"))
+    # `+ 0.0` collapses IEEE negative zero: round() sign preservation
+    # for tiny negatives differs between engines (-0.0 vs 0.0 hash diff)
     return withn.select(
         "vec_id",
-        F.transform(F.col("_v"), lambda x: F.round(x / F.col("_n"), 5)).alias(
-            "unit"
-        ),
+        F.transform(
+            F.col("_v"), lambda x: F.round(x / F.col("_n"), 5) + F.lit(0.0)
+        ).alias("unit"),
     )
 
 
@@ -2016,7 +2018,7 @@ def sim_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
       SELECT label, pos, avg(x) AS m FROM ex GROUP BY label, pos
     )
-    SELECT label, list(round(m, 4) ORDER BY pos) AS centroid
+    SELECT label, list(round(m, 4) + 0.0 ORDER BY pos) AS centroid
     FROM m GROUP BY label
     """,
 )
@@ -2029,9 +2031,12 @@ def sim_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = Catalog(spark, sf_dir).embeddings
     cent = group_centroids(e, "label", "embedding", dim=64)
+    # `+ 0.0` collapses IEEE negative zero (see sim_l2_normalize)
     return cent.select(
         "label",
-        F.transform(F.col("centroid"), lambda x: F.round(x, 4)).alias("centroid"),
+        F.transform(
+            F.col("centroid"), lambda x: F.round(x, 4) + F.lit(0.0)
+        ).alias("centroid"),
     )
 
 

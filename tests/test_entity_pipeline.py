@@ -217,12 +217,26 @@ def test_orphan_room_refs_dropped(outputs):
     # fixture emits some messages pointing at nonexistent rooms — the
     # inner id-map join skips exactly those (id_mapper miss semantics);
     # recompute the expected survivor count independently
-    from mongodb_etl_migration_spark.pipeline import BANNED_MSG_TYPES
+    from mongodb_etl_migration_spark.functions.crypto import (
+        make_salsa20_decrypt_udf,
+    )
+    from mongodb_etl_migration_spark.pipeline import (
+        BANNED_MSG_TYPES,
+        FILEURL_IV,
+        FILEURL_KEY,
+    )
 
+    # independent recompute: the DOCUMENTO .pdf gate tests the
+    # DECRYPTED url (plaintext fallback), as the reference does
+    dec = make_salsa20_decrypt_udf(FILEURL_KEY, FILEURL_IV)
+    plain_url = F.coalesce(F.nullif(dec(F.col("fileURL")), F.lit("")), F.col("fileURL"))
     survivors = (
         src["messages"]
         .filter(
-            (~F.col("msgType").isin(*BANNED_MSG_TYPES))
+            (
+                F.col("msgType").isNull()
+                | ~F.col("msgType").isin(*BANNED_MSG_TYPES)
+            )
             & (
                 F.col("msgLife").isNull()
                 | (F.col("msgLife") != "TOUCH_SHOW_DELETE")
@@ -230,9 +244,11 @@ def test_orphan_room_refs_dropped(outputs):
             & F.coalesce(F.col("isActive"), F.lit(True))
             & ~F.coalesce(F.col("isDeleted"), F.lit(False))
             & (
-                F.col("fileType").isNull()
+                F.col("fileURL").isNull()
+                | (F.col("fileURL") == "")
+                | F.col("fileType").isNull()
                 | (F.col("fileType") != "DOCUMENTO")
-                | F.col("fileURL").endswith(".pdf")
+                | plain_url.endswith(".pdf")
             )
         )
         .join(
@@ -241,6 +257,34 @@ def test_orphan_room_refs_dropped(outputs):
         .count()
     )
     assert out["messages_by_room"].count() == survivors
+
+
+def test_encrypted_fileurl_decrypted_before_gate_and_rewrite(outputs):
+    """ADVICE round 1: an encrypted DOCUMENTO .pdf must survive the
+    gate, and every emitted file_url must be plaintext (decrypted) and
+    bucket-rewritten — never base64 ciphertext."""
+    src, out = outputs
+    msgs = out["messages_by_room"]
+    urls = [r.file_url for r in msgs.select("file_url").collect() if r.file_url]
+    assert urls, "expected surviving attachments"
+    # ciphertext is base64 with no dot-extension; plaintext ends .png/.pdf/.mp3
+    assert all(u.endswith((".png", ".pdf", ".mp3")) for u in urls), urls[:5]
+    # bucket rewrite applied to the DECRYPTED value
+    assert any(u.startswith("siscom_old/") for u in urls)
+    assert not any(u.startswith("gs://sibci-") for u in urls)
+    # encrypted DOCUMENTO .pdf rows (fixture: i%22 == 14) survived
+    enc_pdf_src = src["messages"].filter(
+        (F.col("fileType") == "DOCUMENTO") & ~F.col("fileURL").contains(".")
+    )
+    kept = msgs.join(
+        enc_pdf_src.select(F.col("_id").alias("mongo_id")), "mongo_id", "inner"
+    )
+    assert kept.count() > 0, "no encrypted-.pdf DOCUMENTO message survived"
+    # and their mime resolved from the decrypted URL
+    assert all(
+        r.mime_type == "application/pdf"
+        for r in kept.select("mime_type").collect()
+    )
 
 
 def test_m2m_user_professions(outputs):
