@@ -1992,19 +1992,18 @@ def a9_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unit-norm embeddings (similarity.l2_normalize) — the standard
-    ANN preprocessing (cosine becomes dot product). Norm materialized
-    as a real column before the per-element divide (lambda bodies get
-    no codegen CSE)."""
+    """Unit-norm embeddings via similarity.l2_normalize — the standard
+    ANN preprocessing (cosine becomes dot product). The library
+    function binds the norm once per row with a let-binding transform
+    (lambda bodies get no codegen CSE, so an inline norm would be
+    O(d²) per row). `+ 0.0` collapses IEEE negative zero: round() sign
+    preservation for tiny negatives differs between engines."""
     e = Catalog(spark, sf_dir).embeddings
-    v = SIM._dvec("embedding")
-    withn = e.select("vec_id", v.alias("_v"), SIM.norm(v).alias("_n"))
-    # `+ 0.0` collapses IEEE negative zero: round() sign preservation
-    # for tiny negatives differs between engines (-0.0 vs 0.0 hash diff)
-    return withn.select(
+    return e.select(
         "vec_id",
         F.transform(
-            F.col("_v"), lambda x: F.round(x / F.col("_n"), 5) + F.lit(0.0)
+            SIM.l2_normalize("embedding"),
+            lambda x: F.round(x, 5) + F.lit(0.0),
         ).alias("unit"),
     )
 

@@ -111,6 +111,36 @@ def test_run_metrics_json(spark, sf_dir, tmp_path):
     assert m.as_dataframe(spark).count() == 1
 
 
+def test_run_metrics_observed_rides_the_write(spark, sf_dir, tmp_path):
+    """S13 at scale: observed() counts ride the write action itself —
+    ONE job per entity output, no second count() scan — and the
+    observed row counts equal a direct count."""
+    from pyspark.sql import functions as F
+
+    from mongodb_etl_migration_spark.metrics import RunMetrics
+
+    m = RunMetrics()
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+
+    m.observed("region", region).write.mode("overwrite").parquet(
+        str(tmp_path / "region")
+    )
+    m.observed("nation", nation.filter(F.col("n_regionkey") >= 0)).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "nation"))
+    m.harvest()
+
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after - jobs_before <= 2, "metrics ran extra jobs"
+    by_entity = {e.entity: e.rows for e in m.entities}
+    assert by_entity["region"] == region.count()
+    assert by_entity["nation"] == nation.count()
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     """Co-located bucketed tables join with zero Exchange nodes —
     the pay-the-shuffle-once layout for repeated key joins at scale."""
