@@ -16,6 +16,14 @@ local-mode timings carry GC/load noise; min-of-2 is the steady-state
 the driver compares against BASELINE at the same sf). Shuffle volume per query
 comes from the Spark UI REST API (cumulative stage deltas) — the
 number to watch when judging whether a plan would survive 100 TB.
+
+Known testdata artifact (do NOT chase as a regression): every
+/root/testdata parquet file is written as ONE row group, so scans are
+unsplittable — a1_pricing_summary reads 600k lineitem rows in a
+single scan task regardless of cores, which dominates its ~1s time.
+Real data splits into many row groups and parallelizes; the
+``scan_tasks`` field records per-query task counts of the largest
+scan stage so round-over-round comparisons can see layout effects.
 """
 
 from __future__ import annotations
@@ -76,6 +84,35 @@ class UiMetrics:
         except Exception:
             return (0, 0)
 
+    def max_stage_id(self) -> int:
+        if not self.base:
+            return -1
+        try:
+            stages = self._get("/stages?status=complete")
+            return max((s.get("stageId", -1) for s in stages), default=-1)
+        except Exception:
+            return -1
+
+    def scan_tasks_since(self, stage_id: int) -> int:
+        """Task count of the widest input-reading stage after
+        ``stage_id`` — how parallel the parquet scan actually was
+        (1 here = the single-row-group testdata artifact)."""
+        if not self.base:
+            return 0
+        try:
+            stages = self._get("/stages?status=complete")
+            return max(
+                (
+                    s.get("numCompleteTasks", 0)
+                    for s in stages
+                    if s.get("stageId", -1) > stage_id
+                    and s.get("inputBytes", 0) > 0
+                ),
+                default=0,
+            )
+        except Exception:
+            return 0
+
     def peak_heap(self) -> int:
         if not self.base:
             return 0
@@ -106,12 +143,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     shuffles: dict[str, int] = {}
+    scan_tasks: dict[str, int] = {}
     for name in HEADLINE:
         run_once(name, spark, sf_dir)  # cold (JIT, file listing)
         w0, r0 = ui.shuffle_totals()
+        sid0 = ui.max_stage_id()
         warm1 = run_once(name, spark, sf_dir)
         w1, r1 = ui.shuffle_totals()
         shuffles[name] = (w1 - w0) + (r1 - r0)
+        scan_tasks[name] = ui.scan_tasks_since(sid0)
         warm2 = run_once(name, spark, sf_dir)
         timings[name] = round(min(warm1, warm2), 3)
 
@@ -125,6 +165,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "shuffle_bytes": shuffles,
+                "scan_tasks": scan_tasks,
                 "peak_jvm_heap_bytes": ui.peak_heap(),
             }
         )

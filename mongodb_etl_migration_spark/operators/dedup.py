@@ -326,24 +326,44 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 50,
+    algorithm: str = "star",
+    with_rounds: bool = False,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph → one
     ``component`` label (the minimum member id) per document. This is
     the step after LSH that production dedup needs: pairs say "these
     two match"; clusters say "keep ONE of these five".
 
-    Hash-min label propagation: every vertex starts as its own label;
-    each round every vertex takes the min label among itself and its
-    neighbors; converged when no label changes. O(component diameter)
-    rounds, each one join + one min-aggregate shuffle, both on the
-    vertex key — near-dup graphs are overwhelmingly tiny cliques
-    (diameter ≤ 2-3), so this converges in a handful of rounds.
-    Labels are localCheckpoint'd per round: iterative plans otherwise
-    double in depth each round and re-execute from the source.
+    Two algorithms, identical output:
 
-    Output: (id, component) for every id that appears in ``pairs``.
+    - ``"star"`` (default): alternating large-star/small-star
+      (Kiveris et al., "Connected Components in MapReduce and
+      Beyond", SoCC'14) — O(log n) rounds even on chain/skew-shaped
+      clusters, the realistic worst case at 100 TB (transitive
+      near-dup chains). Each round restructures the edge set toward
+      stars centered on the component minimum.
+    - ``"hash_min"``: label propagation — O(component diameter)
+      rounds, slightly cheaper per round; fine when clusters are
+      known to be tiny cliques (diameter ≤ 2-3).
+
+    Both localCheckpoint per round: iterative plans otherwise double
+    in depth each round and re-execute from the source.
+
+    Output: (id, component) for every id in ``pairs``; with
+    ``with_rounds`` returns (labels_df, rounds_used).
     """
-    spark = pairs.sparkSession
+    if algorithm == "hash_min":
+        labels, rounds = _cc_hash_min(pairs, id_a, id_b, max_iterations)
+    elif algorithm == "star":
+        labels, rounds = _cc_star(pairs, id_a, id_b, max_iterations)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    return (labels, rounds) if with_rounds else labels
+
+
+def _cc_hash_min(
+    pairs: DataFrame, id_a: str, id_b: str, max_iterations: int
+) -> tuple[DataFrame, int]:
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -358,7 +378,9 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         msgs = (
             edges.join(labels, edges["src"] == labels["id"])
             .select(F.col("dst").alias("id"), F.col("label"))
@@ -379,7 +401,66 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(F.col("id"), F.col("label").alias("component"))
+    return labels.select(F.col("id"), F.col("label").alias("component")), rounds
+
+
+def _cc_star(
+    pairs: DataFrame, id_a: str, id_b: str, max_iterations: int
+) -> tuple[DataFrame, int]:
+    """Large-star/small-star alternation. Edges are kept oriented
+    (bigger, smaller); both star steps preserve that orientation, so
+    the symmetric view is a cheap union with no dedup. At the fixpoint
+    the edge set is exactly the star forest (node → component min)."""
+    e = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
+        # large-star: every neighbor v > u links to m = min(Γ(u) ∪ u)
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: all smaller neighbors (and u) link to their min
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        new_e = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        converged = (
+            new_e.exceptAll(e).unionByName(e.exceptAll(new_e)).isEmpty()
+        )
+        e = new_e
+        if converged:
+            break
+    labels = (
+        e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .unionByName(
+            e.select(F.col("v").alias("id"), F.col("v").alias("component"))
+        )
+        .distinct()
+    )
+    return labels, rounds
 
 
 def dedup_representatives(

@@ -176,3 +176,50 @@ def merge_update(
     for c in set_cols:
         out = out.withColumn(c, F.coalesce(F.col(f"__u_{c}"), F.col(c)))
     return out.drop(*[f"__u_{c}" for c in set_cols])
+
+
+def upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    set_cols: Sequence[str],
+) -> DataFrame:
+    """S8: the reference's ``INSERT ... ON CONFLICT (id) DO UPDATE``
+    (etl/loaders/postgres_loader.py:29-65) as a declarative merge over
+    the target state:
+
+    - matched target rows take the update's ``set_cols`` values
+      UNCONDITIONALLY (a NULL update value overwrites — exact
+      ON CONFLICT semantics, unlike :func:`merge_update`'s coalesce);
+      all other target columns are preserved;
+    - update rows with no matching key are INSERTED, with
+      target-only columns NULL;
+    - target rows with no matching update pass through unchanged.
+
+    Plan shape: one equi-join on the key for the update side and one
+    left-anti join for the insert side, both over the same shuffled
+    key — at scale the updates side is typically dimension-sized and
+    broadcasts, making this a scan of the target plus a union.
+    """
+    keys = list(keys)
+    upd = updates.select(
+        *keys,
+        F.lit(True).alias("__matched"),
+        *[F.col(c).alias(f"__u_{c}") for c in set_cols],
+    )
+    merged = target.join(upd, keys, "left")
+    for c in set_cols:
+        merged = merged.withColumn(
+            c,
+            F.when(F.col("__matched"), F.col(f"__u_{c}")).otherwise(F.col(c)),
+        )
+    merged = merged.drop("__matched", *[f"__u_{c}" for c in set_cols])
+
+    inserts = updates.join(target.select(*keys), keys, "left_anti")
+    insert_sel = []
+    for f in target.schema.fields:
+        if f.name in keys or f.name in set_cols:
+            insert_sel.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            insert_sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return merged.unionByName(inserts.select(*insert_sel))

@@ -1638,6 +1638,70 @@ def j8_membership_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j8b_upsert",
+    """
+    WITH target AS (
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    ), upd AS (
+      SELECT CASE WHEN o_custkey % 3 = 1 THEN o_custkey + 100000
+                  ELSE o_custkey END AS c_custkey,
+             'UPSERT#' || CAST(o_custkey AS VARCHAR) AS c_name,
+             CASE WHEN o_custkey % 5 = 0 THEN NULL
+                  ELSE CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             END AS c_acctbal
+      FROM orders
+      GROUP BY 1, 2, o_custkey % 5
+    )
+    SELECT t.c_custkey,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE t.c_name END AS c_name,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+           t.c_mktsegment
+    FROM target t LEFT JOIN upd u USING (c_custkey)
+    UNION ALL
+    SELECT u.c_custkey, u.c_name, u.c_acctbal, NULL AS c_mktsegment
+    FROM upd u ANTI JOIN target t USING (c_custkey)
+    """,
+)
+def j8b_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 exact upsert semantics (postgres_loader.py:29-65, INSERT ..
+    ON CONFLICT (id) DO UPDATE): matched customers take the update's
+    name/acctbal UNCONDITIONALLY — including the every-5th NULL
+    acctbal, which must overwrite (the coalesce-style merge would
+    keep the old value) — unmatched update keys (every 3rd shifted
+    +100000) are INSERTED with NULL for target-only columns, and
+    untouched customers pass through."""
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders
+    upd = (
+        o.groupBy(
+            F.when(F.col("o_custkey") % 3 == 1, F.col("o_custkey") + 100000)
+            .otherwise(F.col("o_custkey"))
+            .alias("c_custkey"),
+            F.concat(F.lit("UPSERT#"), F.col("o_custkey").cast("string")).alias(
+                "c_name"
+            ),
+            (F.col("o_custkey") % 5).alias("__null_gate"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("__total")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(F.col("__null_gate") != 0, F.col("__total")).alias("c_acctbal"),
+        )
+    )
+    return DN.upsert(
+        cat.customer.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment"),
+        upd,
+        ["c_custkey"],
+        ["c_name", "c_acctbal"],
+    )
+
+
+@query(
     "j12_relation_build",
     """
     SELECT DISTINCT l.l_partkey, l.l_suppkey, p.p_brand, s.s_name

@@ -242,3 +242,31 @@ def test_connected_components_chain_and_representatives(spark):
         r["doc_id"] for r in dedup_representatives(docs, pairs, "doc_id").collect()
     )
     assert kept == [1, 7, 99]
+
+
+def test_star_cc_matches_hash_min_and_converges_faster_on_chains(spark):
+    """Large-star/small-star must produce the same closure as hash-min
+    label propagation and converge in O(log n) rounds on a chain —
+    the realistic transitive-near-dup worst case (hash-min needs
+    O(diameter) rounds there)."""
+    from mongodb_etl_migration_spark.operators.dedup import connected_components
+
+    # a 16-node chain (ids shuffled so orientation isn't pre-sorted),
+    # plus a separate triangle
+    chain = [(i, i + 1) for i in range(1, 16)]
+    chain = [(b, a) if a % 2 == 0 else (a, b) for a, b in chain]
+    tri = [(100, 101), (101, 102), (100, 102)]
+    pairs = spark.createDataFrame(chain + tri, "id_a long, id_b long")
+
+    star_labels, star_rounds = connected_components(
+        pairs, algorithm="star", with_rounds=True
+    )
+    hm_labels, hm_rounds = connected_components(
+        pairs, algorithm="hash_min", with_rounds=True
+    )
+    star = {r["id"]: r["component"] for r in star_labels.collect()}
+    hm = {r["id"]: r["component"] for r in hm_labels.collect()}
+    assert star == hm
+    assert star == {**{i: 1 for i in range(1, 17)}, 100: 100, 101: 100, 102: 100}
+    assert star_rounds < hm_rounds, (star_rounds, hm_rounds)
+    assert star_rounds <= 6  # O(log 16), not O(16)
