@@ -439,10 +439,12 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("k1_uuid5")  # no SQL oracle: DuckDB 1.0 lacks sha1 (rows-only check);
 def k1_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1: deterministic UUID5 surrogate keys
-    (cassandra_id_mapper.py:45-71). Unit-tested against Python's
-    uuid.uuid5 vectors in tests/test_keys.py; the determinism property
-    (re-derivation equality, validate_migration.py:234-270) is asserted
-    inside tests as well."""
+    (cassandra_id_mapper.py:45-71). ROWS-ONLY BY DESIGN: DuckDB has no
+    sha1, so no SQL oracle can exist — correctness is pinned instead by
+    known-answer tests against Python's uuid.uuid5 vectors and the
+    re-derivation-equality property (validate_migration.py:234-270) in
+    tests/test_keys-covering suites. Do not read the missing driver
+    hash as unverified."""
     d = Catalog(spark, sf_dir).documents
     return d.select(
         "doc_id",
@@ -455,8 +457,11 @@ def k1_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("k2_timeuuid")  # no SQL oracle (UUID bit-layout not SQL-expressible)
 def k2_timeuuid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2: deterministic TimeUUIDs from (mongo_id, created_at) —
-    cassandra_id_mapper.py:116-138. Temporal-prefix ordering is
-    asserted in tests/test_keys.py."""
+    cassandra_id_mapper.py:116-138. ROWS-ONLY BY DESIGN: the RFC-4122
+    v1 bit layout (sha1-derived node/clock-seq) isn't SQL-expressible;
+    determinism + temporal-prefix ordering are pinned by property
+    tests instead. Do not read the missing driver hash as
+    unverified."""
     e = Catalog(spark, sf_dir).events
     return e.select(
         "event_id",
@@ -1116,8 +1121,11 @@ def d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs (here: the known
-    original↔copy pairs, i.e. ids congruent mod 1e6)."""
+    """Exact n-gram Jaccard for candidate pairs. The synthetic
+    congruent-mod-1e6 pairing here is a HARNESS for the verify
+    operator only (known original↔copy pairs make the oracle exact);
+    the production entry path feeds ``ngram_jaccard`` from
+    ``lsh_candidate_pairs`` (as t_curation_pipeline does)."""
     corpus = _corpus(spark, sf_dir)
     sh = D.shingles(corpus, "doc_id", "text", 3)
     ids = corpus.select("doc_id")
@@ -1178,9 +1186,10 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
-@query("sim_topk_lsh")  # oracle omitted: plane constants are looked up at
-# runtime from the embeddings table; semantics verified by the
-# bruteforce twin + tests (bucketed result ⊆ bruteforce ranking).
+@query("sim_topk_lsh")  # ROWS-ONLY BY DESIGN: plane constants are looked
+# up at runtime from the embeddings table, so no static SQL twin exists;
+# semantics verified by the bruteforce twin + tests (bucketed result ⊆
+# bruteforce ranking). Not unverified — differently verified.
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: probe only the query's hyperplane bucket —
     the IVF-style scale path (bucket column doubles as a physical
@@ -1516,6 +1525,49 @@ def e_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = Catalog(spark, sf_dir).events
     return sessionize_batch(e, gap_minutes=30)
+
+
+@query(
+    "e_attribution_join",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+    """,
+)
+def e_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch twin (streaming/joins.py):
+    purchase→click attribution within a 30-minute lookback per user.
+    Under Structured Streaming the same expression runs with
+    watermarks on both sides and watermark+lookback-bounded join
+    state; batch-vs-stream equivalence is pinned in
+    tests/test_streaming.py."""
+    from mongodb_etl_migration_spark.streaming.joins import (
+        interval_attribution_join,
+    )
+
+    e = Catalog(spark, sf_dir).events
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return interval_attribution_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        lookback="30 minutes",
+    )
 
 
 # =====================================================================

@@ -141,6 +141,50 @@ def test_run_metrics_observed_rides_the_write(spark, sf_dir, tmp_path):
     assert by_entity["nation"] == nation.count()
 
 
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order layout: a predicate on the NON-leading dimension touches
+    far fewer files than a linear sort on the other dimension (where
+    every file spans the full range of the second column). Files
+    'touched' = distinct input files containing matching rows — the
+    set parquet min/max skipping reads."""
+    from mongodb_etl_migration_spark.sources.writers import (
+        write_zordered,
+    )
+
+    # 256x256 uniform grid
+    grid = (
+        spark.range(256 * 256)
+        .select(
+            (F.col("id") % 256).alias("x"),
+            (F.col("id") / 256).cast("long").alias("y"),
+        )
+    )
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    write_zordered(grid, zpath, ["x", "y"], bits=8, n_files=16)
+    grid.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lpath)
+
+    def files_touched(path, pred):
+        return (
+            spark.read.parquet(path)
+            .filter(pred)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    pred_y = (F.col("y") >= 100) & (F.col("y") < 116)  # y-only rectangle
+    z_files = files_touched(zpath, pred_y)
+    lin_files = files_touched(lpath, pred_y)
+    assert lin_files == 16  # linear-by-x: every file spans all y
+    assert z_files <= lin_files // 2, (z_files, lin_files)
+
+    # and the data survives intact
+    assert spark.read.parquet(zpath).count() == 256 * 256
+    got = spark.read.parquet(zpath).filter(pred_y).count()
+    assert got == 256 * 16
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     """Co-located bucketed tables join with zero Exchange nodes —
     the pay-the-shuffle-once layout for repeated key joins at scale."""

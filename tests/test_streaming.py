@@ -311,6 +311,67 @@ def test_first_wins_processor_semantics():
     assert list(p.handleInputRows((1,), iter(b2), None)) == []
 
 
+def test_stream_stream_attribution_join_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (watermarked both sides) over
+    single-micro-batch sources equals the oracle-checked batch twin:
+    inner stream-stream joins emit eagerly as both sides' rows arrive,
+    so availableNow over static data reproduces the batch result
+    exactly."""
+    from mongodb_etl_migration_spark.streaming.joins import (
+        interval_attribution_join,
+    )
+
+    events = Catalog(spark, sf_dir).events
+    src_dir = str(tmp_path / "jsrc")
+    events.coalesce(1).write.parquet(src_dir)
+
+    def split(df):
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        return purchases, clicks
+
+    schema = spark.read.parquet(src_dir).schema
+    sp, sc = split(spark.readStream.schema(schema).parquet(src_dir))
+    sink = str(tmp_path / "jsink")
+    q = (
+        interval_attribution_join(
+            sp, sc, key="user_id", left_ts="purchase_ts",
+            right_ts="click_ts", lookback="30 minutes", streaming=True,
+        )
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "jckpt"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    bp, bc = split(spark.read.parquet(src_dir))
+    want = interval_attribution_join(
+        bp, bc, key="user_id", left_ts="purchase_ts",
+        right_ts="click_ts", lookback="30 minutes",
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.col("purchase_ts").cast("timestamp").alias("purchase_ts"),
+        "click_id",
+        F.col("click_ts").cast("timestamp").alias("click_ts"),
+    )
+    got = spark.read.parquet(sink).select(*want.columns)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_drop_duplicates_within_watermark(spark, sf_dir, tmp_path):
     """Builtin streaming dedup twin (dropDuplicatesWithinWatermark):
     planted duplicate event_ids within the watermark window are
