@@ -227,6 +227,41 @@ def l2_normalize(vec: Column | str) -> Column:
     )
 
 
+def int8_quantize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x|/127``,
+    ``q_i = floor(x_i/scale + 0.5)`` ∈ [-127, 127].
+
+    This is the standard ANN memory lever — 8× smaller than float64
+    (4× vs float32), which at 100 TB of embeddings decides whether the
+    index fits executor memory at all. Dequantized cosine stays within
+    ~1% of exact for typical distributions (pinned by test).
+
+    ``floor(x + 0.5)`` instead of round(): IEEE floor is deterministic
+    while round()'s half-tie mode differs across engines. The scale is
+    materialized as a real column before the per-element lambda (no
+    per-element recompute). Output: (id, scale, q array<long>).
+    """
+    v = _dvec(vec_col)
+    amax = F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+    withs = df.select(
+        F.col(id_col), v.alias("_v"), (amax / F.lit(127.0)).alias("scale")
+    )
+    q = F.transform(
+        F.col("_v"),
+        lambda x: F.when(F.col("scale") == 0.0, F.lit(0))
+        .otherwise(F.floor(x / F.col("scale") + F.lit(0.5)))
+        .cast("long"),
+    )
+    return withs.select(F.col(id_col), F.col("scale"), q.alias("q"))
+
+
+def int8_dequantize(q: Column, scale: Column) -> Column:
+    """Back to approximate doubles: ``x_i ≈ q_i * scale``."""
+    return F.transform(q, lambda x: x.cast("double") * scale)
+
+
 def group_centroids(df: DataFrame, key: str, vec_col: str, dim: int) -> DataFrame:
     """Element-wise mean embedding per group (class centroids — the
     build step of an IVF index, label prototypes for probing mixes).

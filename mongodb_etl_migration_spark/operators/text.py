@@ -164,3 +164,47 @@ def fingerprint(c: Column | str, toks: Column | None = None) -> Column:
     toks = tokens(c) if toks is None else toks
     canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
     return F.md5(canon)
+
+
+def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
+    """Top-k characteristic terms per document by tf·idf.
+
+    The idf is the RATIONAL form ``N / df`` (no logarithm): log()
+    differs in the last ulp across libm implementations, which would
+    break exact cross-engine verification, while tf·N/df is one
+    integer product and one IEEE division — bit-identical everywhere
+    and rank-equivalent to the log form for ranking within a document
+    (log is monotone).
+
+    Plan shape at scale: one shuffle to (doc, term) for tf; the df
+    table reuses tf (rows are already distinct (doc, term) pairs — no
+    countDistinct); the per-doc top-k window compiles to
+    WindowGroupLimit, which takes the k best per doc MAP-SIDE before
+    the final per-doc shuffle. No vocabulary broadcast needed — the
+    tf⋈df join shuffles on term, the natural key.
+
+    Output: (id_col, term, score) — k rows per doc with ≥k distinct
+    terms; ties broken by term ascending for determinism.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = df.count()  # one scalar; computed once, folded as a literal
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .select(
+            F.col(id_col),
+            "term",
+            ((F.col("tf") * F.lit(int(n))).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -2156,6 +2156,30 @@ def sim_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_quantize_int8",
+    """
+    SELECT vec_id, scale,
+           list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                                       ELSE CAST(floor(x / scale + 0.5) AS BIGINT)
+                                  END) AS q
+    FROM (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+               AS scale
+      FROM embeddings
+    )
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (similarity.int8_quantize) — the 8×
+    memory lever that lets a 100 TB ANN index fit executor memory.
+    floor(x+0.5) not round(): IEEE floor is engine-deterministic,
+    round's half-tie mode is not."""
+    e = Catalog(spark, sf_dir).embeddings
+    return SIM.int8_quantize(e, "vec_id", "embedding")
+
+
+@query(
     "t_top_bigrams",
     """
     WITH toks AS (
@@ -2195,6 +2219,38 @@ def t_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(20)
     )
+
+
+@query(
+    "t_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n FROM documents)
+    SELECT doc_id, term, score FROM (
+      SELECT t.doc_id, t.term,
+             CAST(t.tf * n.n AS DOUBLE) / d.df AS score,
+             row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY CAST(t.tf * n.n AS DOUBLE) / d.df DESC, t.term
+             ) AS rn
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+)
+def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 characteristic terms per doc
+    (text.tfidf_top_terms). Rational idf (tf·N/df, no log — libm last
+    -ulp drift would break exact verification; log is monotone so the
+    ranking is identical); per-doc top-k compiles to WindowGroupLimit
+    (map-side heads before the final shuffle)."""
+    d = Catalog(spark, sf_dir).documents
+    return T.tfidf_top_terms(d, "doc_id", "text", k=3)
 
 
 def _d6_oracle() -> str:

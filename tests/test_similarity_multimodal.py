@@ -134,3 +134,49 @@ def test_l2_normalize_and_centroids(spark):
         for r in group_centroids(df, "label", "v", dim=2).collect()
     }
     assert cents["a"] == [1.5, 3.0] and cents["b"] == [6.0, 8.0]
+
+
+def test_int8_quantize_roundtrip_cosine_close(spark, sf_dir):
+    """Quantize→dequantize must preserve cosine to ~1%: the memory-8x
+    ANN path is useless if ranking quality collapses. Also pins the
+    quantized range to [-127, 127] and exact-zero scale handling."""
+    emb = Catalog(spark, sf_dir).embeddings.limit(100)
+    qt = SIM.int8_quantize(emb, "vec_id", "embedding")
+    joined = emb.join(qt, "vec_id").select(
+        "vec_id",
+        SIM._dvec("embedding").alias("v"),
+        SIM.int8_dequantize(F.col("q"), F.col("scale")).alias("vd"),
+        F.array_max(F.transform("q", lambda x: F.abs(x))).alias("qmax"),
+    )
+    stats = joined.select(
+        "vec_id",
+        "qmax",
+        (
+            SIM.dot(F.col("v"), F.col("vd"))
+            / (SIM.norm(F.col("v")) * SIM.norm(F.col("vd")))
+        ).alias("cos"),
+    ).collect()
+    assert all(r.qmax <= 127 for r in stats)
+    assert all(r.cos > 0.99 for r in stats), min(r.cos for r in stats)
+
+    # all-zero vector: scale 0, q all zero (no NaN poisoning)
+    z = spark.createDataFrame([(1, [0.0] * 4)], "vec_id long, embedding array<double>")
+    r = SIM.int8_quantize(z, "vec_id", "embedding").head()
+    assert r.scale == 0.0 and list(r.q) == [0, 0, 0, 0]
+
+
+def test_tfidf_top_terms_ranks_distinctive_terms(spark):
+    """A term unique to one doc must outrank corpus-wide terms."""
+    from mongodb_etl_migration_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common zebra zebra zebra"),
+            (2, "common common common yak yak"),
+            (3, "common filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, "doc_id", "text", k=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    assert top[1] == "zebra" and top[2] == "yak" and top[3] == "filler"
