@@ -166,6 +166,38 @@ def fingerprint(c: Column | str, toks: Column | None = None) -> Column:
     return F.md5(canon)
 
 
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+IPV4_RE = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+
+def scrub_pii(c: Column | str) -> Column:
+    """Training-data PII scrub: emails → <EMAIL>, long digit runs that
+    look like phone numbers → <PHONE>, IPv4 literals → <IP>. Pure
+    regexp_replace chain — codegen'd, no UDF, linear scan. The regexes
+    are the standard pragmatic ones (high recall on obvious
+    identifiers); a production pipeline would chain model-based NER
+    behind this same Column contract."""
+    col = F.col(c) if isinstance(c, str) else c
+    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return out
+
+
+def repetition_ratio(c: Column | str, toks: Column | None = None) -> Column:
+    """Within-document repetition: 1 − distinct_tokens/total_tokens
+    (0 = no repetition). The Gopher-style quality gate for
+    boilerplate/spam — repeated nav bars and keyword stuffing score
+    high. NULL for empty docs."""
+    toks = tokens(c) if toks is None else toks
+    total = F.size(toks)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / total.cast("double"),
+    )
+
+
 def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
     """Top-k characteristic terms per document by tf·idf.
 

@@ -2156,6 +2156,69 @@ def sim_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_pii_scrub",
+    r"""
+    WITH payload AS (
+      SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or call +1 (415) 555-01'
+                  || CAST(doc_id % 100 AS VARCHAR)
+                  || ' from 10.0.' || CAST(doc_id % 255 AS VARCHAR) || '.7'
+               AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+             '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS clean
+    FROM payload
+    """,
+)
+def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (text.scrub_pii): emails/IPs/phone-shaped digit
+    runs → typed tags, pure regexp_replace chain (codegen'd, linear).
+    The payload plants deterministic PII per doc so the scrub is
+    actually exercised; replacement order (email → ip → phone) is part
+    of the contract and mirrored in the oracle."""
+    d = Catalog(spark, sf_dir).documents
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call +1 (415) 555-01"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 255).cast("string"),
+        F.lit(".7"),
+    )
+    return d.select("doc_id", T.scrub_pii(raw).alias("clean"))
+
+
+@query(
+    "t_repetition",
+    """
+    SELECT doc_id,
+           CASE WHEN len(toks) > 0
+                THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           END AS rep_ratio
+    FROM (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    )
+    """,
+)
+def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition ratio (text.repetition_ratio) — the
+    Gopher-style boilerplate/keyword-stuffing gate. One narrow
+    projection, no shuffle."""
+    d = Catalog(spark, sf_dir).documents
+    return d.select("doc_id", T.repetition_ratio("text").alias("rep_ratio"))
+
+
+@query(
     "sim_quantize_int8",
     """
     SELECT vec_id, scale,

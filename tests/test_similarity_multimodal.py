@@ -180,3 +180,32 @@ def test_tfidf_top_terms_ranks_distinctive_terms(spark):
     out = tfidf_top_terms(docs, "doc_id", "text", k=1).collect()
     top = {r.doc_id: r.term for r in out}
     assert top[1] == "zebra" and top[2] == "yak" and top[3] == "filler"
+
+
+def test_scrub_pii_and_repetition(spark):
+    from mongodb_etl_migration_spark.operators.text import (
+        repetition_ratio,
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.io now", "<EMAIL>"),
+            (2, "call +1 (415) 555-0134 today", "<PHONE>"),
+            (3, "host 192.168.254.1 is up", "<IP>"),
+            (4, "no identifiers here at all", None),
+        ],
+        "id long, text string, tag string",
+    )
+    out = {r.id: r.clean for r in df.select("id", scrub_pii("text").alias("clean")).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "call <PHONE> today"
+    assert out[3] == "host <IP> is up"
+    assert out[4] == "no identifiers here at all"
+
+    rep = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "")],
+        "id long, text string",
+    )
+    got = {r.id: r.r for r in rep.select("id", repetition_ratio("text").alias("r")).collect()}
+    assert got[1] == 0.75 and got[2] == 0.0 and got[3] is None
