@@ -57,6 +57,24 @@ NOTES = {
         "plain hash join (broadcast at this SF, shuffled+AQE-split at "
         "scale), never BroadcastNestedLoopJoin."
     ),
+    "t_tfidf_top_terms": (
+        "TF-IDF: tf and df aggregates both partial-agg before their "
+        "exchanges; the per-doc top-k shows WindowGroupLimit twice "
+        "(Partial below the doc_id exchange, Final above) — map-side "
+        "k-row heads, the fact table never shuffles whole."
+    ),
+    "e_attribution_join": (
+        "Stream-stream join's batch twin: one equi-join on user_id "
+        "(broadcast at this SF, shuffled at scale) with the interval "
+        "predicate as a join condition — no CartesianProduct, no "
+        "BroadcastNestedLoopJoin."
+    ),
+    "j8b_upsert": (
+        "Exact ON CONFLICT upsert: update side aggregated once, then "
+        "one BroadcastHashJoin (matched update) + one broadcast "
+        "left-anti (inserts) unioned — the target scans once; no "
+        "full-table shuffle."
+    ),
 }
 
 
