@@ -6,23 +6,32 @@ row stays small); typed metadata travels in a sibling struct; decode /
 feature-extraction runs as Arrow-batched ``mapInPandas`` so each task
 processes whole record batches without JVM↔Python per-row cost.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT available in this
-container, so ``decode_images`` dispatches to a clearly-marked
-deterministic stub — the Spark-side contract (schema, batch iteration,
-partition sizing) is real and tested; swap ``_decode_batch_stub`` for a
-real decoder in production.
+Codec status: BMP (uncompressed 24-bit) and WAV (PCM16) are decoded
+FOR REAL with stdlib struct/wave + numpy — ``decode_images`` /
+``decode_audio`` / the BMP path of ``resize_images`` parse actual
+bytes and return actual dimensions/samples. Formats that need PIL/
+ffmpeg (JPEG, PNG, MP4, ...) are not decodable in this container and
+fall through to a clearly-marked deterministic stub; the Spark-side
+contract (schema, batch iteration, partition sizing) is identical for
+both paths, so swapping the stub for a production codec is a pure
+Python change.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -86,6 +95,153 @@ def _decode_batch_stub(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# ------------------------------------------------------ real codecs
+def parse_bmp(raw: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decoder for uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    BI_RGB): returns (width, height, HxWx3 uint8 RGB array). Pure
+    struct+numpy — no imaging library needed. Raises ValueError on
+    anything that isn't this exact format (caller falls back)."""
+    if len(raw) < 54 or raw[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", raw, 10)[0]
+    hdr_size = struct.unpack_from("<I", raw, 14)[0]
+    w, h = struct.unpack_from("<ii", raw, 18)
+    planes, bpp = struct.unpack_from("<HH", raw, 26)
+    compression = struct.unpack_from("<I", raw, 30)[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0 or planes != 1:
+        raise ValueError("unsupported BMP variant")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    need = data_off + row_bytes * h
+    if len(raw) < need:
+        raise ValueError("truncated BMP")
+    rows = np.frombuffer(raw, dtype=np.uint8, count=row_bytes * h, offset=data_off)
+    px = rows.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        px = px[::-1]
+    return w, h, px[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Inverse of :func:`parse_bmp`: HxWx3 uint8 RGB → 24-bit BMP."""
+    h, w = px.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR, bottom-up
+    data = body.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def parse_wav(raw: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decoder for PCM16 WAV via the stdlib ``wave`` module:
+    returns (n_channels, sample_rate, int16 sample array)."""
+    with wave.open(io.BytesIO(raw), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError("only PCM16 supported")
+        frames = wf.readframes(wf.getnframes())
+        return (
+            wf.getnchannels(),
+            wf.getframerate(),
+            np.frombuffer(frames, dtype="<i2"),
+        )
+
+
+IMAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("content_digest", StringType()),
+    ]
+)
+
+
+def decode_images(multimodal: DataFrame) -> DataFrame:
+    """REAL image decode for BMP payloads (parse_bmp): actual
+    dimensions + per-channel means from actual pixels. Non-BMP
+    payloads yield NULL dimensions (honest 'undecodable here' signal)
+    rather than fake numbers — filter ``width IS NOT NULL`` for the
+    decodable subset."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in IMAGE_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                out["doc_id"].append(doc_id)
+                out["content_digest"].append(hashlib.md5(raw).hexdigest())
+                try:
+                    w, h, px = parse_bmp(raw)
+                    means = px.reshape(-1, 3).mean(axis=0)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_r"].append(float(means[0]))
+                    out["mean_g"].append(float(means[1]))
+                    out["mean_b"].append(float(means[2]))
+                except ValueError:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["mean_r"].append(None)
+                    out["mean_g"].append(None)
+                    out["mean_b"].append(None)
+            yield pd.DataFrame(out)
+
+    return multimodal.mapInPandas(gen, IMAGE_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def decode_audio(multimodal: DataFrame) -> DataFrame:
+    """REAL audio decode for PCM16 WAV payloads (stdlib wave + numpy):
+    channel count, sample rate, duration, RMS energy from actual
+    samples. Undecodable payloads → NULL metrics."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in AUDIO_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    ch, rate, samples = parse_wav(bytes(payload))
+                    out["n_channels"].append(ch)
+                    out["sample_rate"].append(rate)
+                    out["n_samples"].append(len(samples))
+                    out["duration_s"].append(
+                        len(samples) / ch / rate if rate else None
+                    )
+                    out["rms"].append(
+                        float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+                        if len(samples)
+                        else None
+                    )
+                except Exception:
+                    for k in (
+                        "n_channels", "sample_rate", "n_samples",
+                        "duration_s", "rms",
+                    ):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return multimodal.mapInPandas(gen, AUDIO_SCHEMA)
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -99,23 +255,31 @@ RESIZED_SCHEMA = StructType(
 def resize_images(
     multimodal: DataFrame, target_w: int = 224, target_h: int = 224
 ) -> DataFrame:
-    """Resize via mapInPandas — STUB TRANSFORM (no PIL in container):
-    real impl would be ``img.resize((target_w, target_h))``; the stub
-    truncates/pads the payload deterministically so byte-level goldens
-    hold. Spark-side contract (schema, Arrow batching, partition
-    preservation) is real."""
+    """Resize via mapInPandas. BMP payloads are resized FOR REAL:
+    parse_bmp → nearest-neighbor resample (numpy index grids — the
+    same algorithm PIL's NEAREST uses) → re-encoded BMP. Other formats
+    (would need PIL) fall back to the deterministic truncate/pad stub
+    so byte-level goldens hold. Spark-side contract (schema, Arrow
+    batching, partition preservation) is identical for both paths."""
+
+    def one(raw: bytes) -> bytes:
+        try:
+            w, h, px = parse_bmp(raw)
+            ys = (np.arange(target_h) * h) // target_h
+            xs = (np.arange(target_w) * w) // target_w
+            return encode_bmp(px[ys][:, xs])
+        except ValueError:
+            n = target_w * target_h // 64  # stub byte budget
+            return raw[:n].ljust(n, b"\x00")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n = target_w * target_h // 64  # fake byte budget
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": target_w,
                     "height": target_h,
-                    "payload": pdf["payload"].map(
-                        lambda b: bytes(b)[:n].ljust(n, b"\x00")
-                    ),
+                    "payload": pdf["payload"].map(lambda b: one(bytes(b))),
                 }
             )
 

@@ -209,3 +209,72 @@ def test_scrub_pii_and_repetition(spark):
     )
     got = {r.id: r.r for r in rep.select("id", repetition_ratio("text").alias("r")).collect()}
     assert got[1] == 0.75 and got[2] == 0.0 and got[3] is None
+
+
+def _make_bmp(w, h):
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import encode_bmp
+
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]      # R = x
+    px[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None]      # G = y
+    px[:, :, 2] = 7
+    return px, encode_bmp(px)
+
+
+def _make_wav(rate=8000, n=1600, ch=1):
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as wf:
+        wf.setnchannels(ch)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        samples = [int(1000 * ((i % 100) - 50) / 50) for i in range(n * ch)]
+        wf.writeframes(b"".join(_struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_real_bmp_decode_and_resize(spark):
+    """BMP payloads go through a REAL codec: parsed dimensions and
+    channel means come from actual pixels, and resize round-trips
+    through parse→resample→encode with verifiable pixel values."""
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators import multimodal as MM
+
+    px, bmp = _make_bmp(16, 9)
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp), ("image", len(bmp))), (2, bytearray(b"not an image"), ("image", 12))],
+        "doc_id long, payload binary, meta struct<media_type:string, byte_size:bigint>",
+    )
+    rows = {r.doc_id: r for r in MM.decode_images(df).collect()}
+    assert (rows[1].width, rows[1].height) == (16, 9)
+    assert rows[1].mean_r == float(np.arange(16).mean())
+    assert rows[1].mean_g == float(np.arange(9).mean())
+    assert rows[1].mean_b == 7.0
+    assert rows[2].width is None  # honest NULL for undecodable bytes
+
+    resized = {r.doc_id: r for r in MM.resize_images(df, 8, 3).collect()}
+    w2, h2, px2 = MM.parse_bmp(bytes(resized[1].payload))
+    assert (w2, h2) == (8, 3)
+    # nearest-neighbor: pixel (y,x) = source (y*9//3, x*16//8)
+    assert (px2 == px[(np.arange(3) * 9) // 3][:, (np.arange(8) * 16) // 8]).all()
+
+
+def test_real_wav_decode(spark):
+    from mongodb_etl_migration_spark.operators import multimodal as MM
+
+    wav = _make_wav(rate=8000, n=1600)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav), ("audio", len(wav)))],
+        "doc_id long, payload binary, meta struct<media_type:string, byte_size:bigint>",
+    )
+    r = MM.decode_audio(df).head()
+    assert r.n_channels == 1 and r.sample_rate == 8000
+    assert r.n_samples == 1600
+    assert abs(r.duration_s - 0.2) < 1e-9
+    assert r.rms > 0
