@@ -1476,6 +1476,135 @@ def m_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_media(mm)
 
 
+@query(
+    "m_image_decode_real",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 24 + 8 AS BIGINT) AS width,
+           CAST(doc_id % 16 + 4 AS BIGINT) AS height,
+           CAST(doc_id % 24 + 7 AS DOUBLE) / 2 AS mean_r,
+           CAST(doc_id % 16 + 3 AS DOUBLE) / 2 AS mean_g,
+           7.0 AS mean_b
+    FROM documents
+    """,
+)
+def m_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-codec path, driver-verifiable: synthesize a gradient
+    BMP per doc (width/height derived from doc_id, R=x, G=y, B=7),
+    then decode it with the actual byte-level parser
+    (multimodal.parse_bmp via decode_images). The oracle predicts the
+    decoded dimensions and channel means analytically — mean(R) over
+    an x-gradient is exactly (w-1)/2 — so a hash match proves real
+    pixels were parsed, not stub arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from mongodb_etl_migration_spark.operators.multimodal import encode_bmp
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h = int(doc_id) % 24 + 8, int(doc_id) % 16 + 4
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
+                px[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None]
+                px[:, :, 2] = 7
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "meta": [
+                        {"media_type": "image", "byte_size": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    mm_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("media_type", StringType()),
+                        StructField("byte_size", LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    mm = d.mapInPandas(synth, mm_schema)
+    return M.decode_images(mm).drop("content_digest")
+
+
+@query(
+    "m_audio_decode_real",
+    """
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(doc_id % 400 + 100 AS BIGINT) AS n_samples,
+           CAST(doc_id % 400 + 100 AS DOUBLE) / 8000 AS duration_s,
+           1000.0 AS rms
+    FROM documents
+    """,
+)
+def m_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-codec path, driver-verifiable: synthesize a PCM16
+    WAV per doc (n samples of constant amplitude 1000 at 8 kHz), then
+    decode with the stdlib wave parser (multimodal.decode_audio). The
+    oracle predicts sample count, duration, and RMS (constant
+    amplitude ⇒ RMS exactly 1000.0) analytically."""
+    import io
+    import struct as _struct
+    import wave as _wave
+
+    import pandas as pd
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = int(doc_id) % 400 + 100
+                buf = io.BytesIO()
+                with _wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(_struct.pack("<h", 1000) * n)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    mm = d.mapInPandas(
+        synth,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+    return M.decode_audio(mm)
+
+
 # =====================================================================
 # Events: windowed aggregation (streaming-shaped, batch-verified)
 # =====================================================================
