@@ -198,6 +198,37 @@ def repetition_ratio(c: Column | str, toks: Column | None = None) -> Column:
     )
 
 
+def chunk_documents(
+    df, id_col: str, text_col: str, chunk_size: int = 50, stride: int = 40
+):
+    """Split documents into fixed-size token windows with overlap
+    (``stride < chunk_size``) — the sharding step before LLM
+    pre-training tokenization. Pure columnar: tokens materialized
+    once, chunk starts from ``sequence`` (no UDF), one explode. The
+    explode is a narrow 1→N fan-out — zero shuffle; at 100 TB this
+    runs entirely map-side and the output is written partition-local.
+
+    Output: (id_col, chunk_idx, n_tokens, chunk_text); docs with no
+    tokens produce no chunks."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_t")).filter(
+        F.size("_t") > 0
+    )
+    starts = toked.select(
+        F.col(id_col),
+        "_t",
+        F.explode(
+            F.sequence(F.lit(1), F.size("_t"), F.lit(stride))
+        ).alias("_s"),
+    )
+    chunk = F.slice(F.col("_t"), F.col("_s"), chunk_size)
+    return starts.select(
+        F.col(id_col),
+        ((F.col("_s") - 1) / stride).cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
     """Top-k characteristic terms per document by tf·idf.
 

@@ -2285,6 +2285,31 @@ def sim_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1, 40)) AS s
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 40 AS BIGINT) AS chunk_idx,
+           CAST(least(s + 49, len(t)) - s + 1 AS BIGINT) AS n_tokens,
+           array_to_string(t[s:least(s + 49, len(t))], ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (text.chunk_documents): 50-token windows at
+    stride 40 (10-token overlap) — the pre-training shard step. Narrow
+    1→N explode, zero shuffle."""
+    d = Catalog(spark, sf_dir).documents
+    return T.chunk_documents(d, "doc_id", "text", chunk_size=50, stride=40)
+
+
+@query(
     "t_pii_scrub",
     r"""
     WITH payload AS (

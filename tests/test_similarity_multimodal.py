@@ -278,3 +278,29 @@ def test_real_wav_decode(spark):
     assert r.n_samples == 1600
     assert abs(r.duration_s - 0.2) < 1e-9
     assert r.rms > 0
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from mongodb_etl_migration_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(95))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, "doc_id", "text", chunk_size=50, stride=40).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts at 1, 41, 81 -> sizes 50, 50, 15
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.n_tokens for r in c1] == [50, 50, 15]
+    # overlap: chunk k repeats the last 10 tokens of chunk k-1
+    assert c1[0].chunk_text.split()[40:] == c1[1].chunk_text.split()[:10]
+    # full coverage: union of chunks == all tokens
+    seen = set()
+    for r in c1:
+        seen.update(r.chunk_text.split())
+    assert seen == {f"w{i}" for i in range(95)}
+    # short doc: one chunk; empty doc: none
+    assert [r.n_tokens for r in by_doc[2]] == [2]
+    assert 3 not in by_doc
