@@ -70,3 +70,29 @@ def asof_join(
     for c in payload_cols:
         out = out.withColumn(c, F.col("__match").getField(c))
     return out.drop("__k", "__t", "__side", "__payload", "__match")
+
+
+def scd2_build(
+    changes: DataFrame,
+    key: str,
+    order_by: list,
+    valid_from_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """SCD Type-2 dimension build: a change log becomes a versioned
+    dimension with half-open validity intervals — ``valid_to`` is the
+    next change's timestamp (NULL = current version), the standard
+    warehouse shape for point-in-time joins (pair with
+    :func:`asof_join` to attach the version in effect at an event).
+
+    One lead() window per key — a single Exchange on the key, linear
+    in the change log. ``order_by`` must make the per-key ordering
+    total (include a tiebreak column).
+    """
+    w = Window.partitionBy(key).orderBy(*order_by)
+    return changes.select(
+        F.col(key),
+        *[F.col(c) for c in attr_cols],
+        F.col(valid_from_col).alias("valid_from"),
+        F.lead(valid_from_col).over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -1657,6 +1657,80 @@ def e_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j15_scd2_versions",
+    """
+    SELECT o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS valid_to,
+           lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) IS NULL AS is_current
+    FROM orders
+    """,
+)
+def j15_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (operators/asof.scd2_build): the
+    order stream as a change log → versioned rows with half-open
+    [valid_from, valid_to) intervals and an is_current flag — the
+    point-in-time-join shape (pair with asof_join). One lead() window
+    = one Exchange on the key."""
+    from mongodb_etl_migration_spark.operators.asof import scd2_build
+
+    o = Catalog(spark, sf_dir).orders
+    return scd2_build(
+        o,
+        key="o_custkey",
+        order_by=[F.col("o_orderdate"), F.col("o_orderkey")],
+        valid_from_col="o_orderdate",
+        attr_cols=["o_orderstatus", "o_totalprice"],
+    )
+
+
+@query(
+    "e_session_window_builtin",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) >= 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def e_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window) — Spark's built-in
+    gap-merge sessionization, the one-liner twin of the
+    applyInPandasWithState operator. NOTE the boundary semantics
+    differ from e_sessionization: session_window starts a NEW session
+    when the gap is >= the window (windows [t, t+gap) merge only on
+    overlap), while the stateful operator uses strictly-greater — the
+    oracle mirrors >= here."""
+    e = Catalog(spark, sf_dir).events
+    return (
+        e.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "e_attribution_join",
     """
     SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,

@@ -57,3 +57,32 @@ def test_asof_join_single_shuffle(spark):
     out = asof_join(left, right, "k", "k", "ts", "rts", ["tag"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_scd2_intervals_chain_and_single_current(spark):
+    from pyspark.sql import functions as F
+
+    from mongodb_etl_migration_spark.operators.asof import scd2_build
+
+    changes = spark.createDataFrame(
+        [
+            (1, "A", 10),
+            (1, "B", 20),
+            (1, "C", 30),
+            (2, "X", 5),
+        ],
+        "k long, val string, ts long",
+    )
+    out = scd2_build(
+        changes, key="k", order_by=[F.col("ts")], valid_from_col="ts",
+        attr_cols=["val"],
+    ).collect()
+    k1 = sorted([r for r in out if r.k == 1], key=lambda r: r.valid_from)
+    # intervals chain: each valid_to == next valid_from; last is open
+    assert [(r.valid_from, r.valid_to) for r in k1] == [
+        (10, 20), (20, 30), (30, None)
+    ]
+    assert [r.is_current for r in k1] == [False, False, True]
+    # exactly one current version per key
+    cur = [r for r in out if r.is_current]
+    assert sorted((r.k, r.val) for r in cur) == [(1, "C"), (2, "X")]
