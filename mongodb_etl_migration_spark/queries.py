@@ -895,6 +895,67 @@ def a6_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a10_percentiles",
+    """
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS med_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (beyond-parity): exact interpolated percentiles per group —
+    the latency/price-distribution report shape. Spark's percentile()
+    and DuckDB's quantile_cont use the same linear interpolation and
+    verify bit-identical. At 100 TB switch to approx_percentile (a
+    t-digest sketch, map-side combinable); exact percentile holds all
+    group values — fine for bounded group counts, not for billions per
+    group."""
+    o = Catalog(spark, sf_dir).orders
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+        F.count("*").alias("n"),
+    )
+
+
+_PIVOT_TYPES = ["click", "purchase", "view", "signup", "error"]
+
+
+@query(
+    "a11_pivot_counts",
+    f"""
+    SELECT user_id % 10 AS bucket,
+           {", ".join(
+               f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+               f" AS n_{t}" for t in _PIVOT_TYPES
+           )}
+    FROM events GROUP BY user_id % 10
+    """,
+)
+def a11_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 (beyond-parity): pivot — long events to one wide row per
+    bucket with a count column per event type. The explicit value list
+    keeps the schema static (no extra distinct-values job) and the
+    plan a single hash aggregate, exactly like the conditional-sum
+    oracle; absent combinations coalesce to 0."""
+    e = Catalog(spark, sf_dir).events
+    piv = (
+        e.groupBy((F.col("user_id") % 10).alias("bucket"))
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+    )
+    return piv.select(
+        "bucket",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+    )
+
+
+@query(
     "a7_first_wins_dedup",
     """
     SELECT user_id, event_id AS first_event, ts AS first_ts
