@@ -210,6 +210,45 @@ def lsh_bands(
     ).select(id_col, "b.band", "b.band_key")
 
 
+def minhash_jaccard_estimate(
+    sig_df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Jaccard ESTIMATE from MinHash signatures: the fraction of
+    signature components on which a pair agrees is an unbiased
+    estimator of the true Jaccard (the MinHash property). This is the
+    cheap verify stage between LSH candidates and the exact
+    shingle-join (``ngram_jaccard``): it touches only 2×num_hashes
+    longs per pair — no shingle sets — so at scale it prunes the
+    candidate list before the expensive exact join.
+
+    ``sig_df`` is the wide signature frame (id, sig_0..sig_{n-1});
+    output (id_a, id_b, est_jaccard)."""
+    a = sig_df.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"sig_{i}").alias(f"_a{i}") for i in range(num_hashes)],
+    )
+    b = sig_df.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"sig_{i}").alias(f"_b{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (matches.cast("double") / num_hashes).alias("est_jaccard"),
+        )
+    )
+
+
 def lsh_candidate_pairs(band_df: DataFrame, id_col: str) -> DataFrame:
     """Self-join within buckets → distinct candidate pairs (a<b).
     The join key (band, band_key) keeps the quadratic work inside

@@ -1124,6 +1124,53 @@ def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d5_minhash_estimate",
+    f"""
+    WITH {_SHINGLE_SQL},
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {D.MINHASH_P} AS h
+      FROM shingled
+    ),
+    sigs AS (
+      SELECT doc_id, seed, min((a * h + b) % {D.MINHASH_P}) AS sig
+      FROM hashed CROSS JOIN (VALUES {_MINHASH_FAMILY_SQL}) AS f(seed, a, b)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+             md5(string_agg(seed || '=' || sig, '|' ORDER BY seed || '=' || sig)) AS band_key
+      FROM sigs GROUP BY doc_id, CAST(seed // 4 AS INT)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 16
+             AS est_jaccard
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.id_a
+    JOIN sigs sb ON sb.doc_id = p.id_b AND sb.seed = sa.seed
+    GROUP BY p.id_a, p.id_b
+    """,
+)
+def d5_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: Jaccard estimate from MinHash signatures for the LSH
+    candidate pairs — the cheap verify stage that prunes candidates
+    before the exact shingle-join (2×16 longs per pair instead of two
+    shingle sets). Unbiased by the MinHash property."""
+    corpus = _corpus(spark, sf_dir)
+    sigs = D.minhash_signatures_narrow(
+        corpus, "doc_id", "text", k=3, num_hashes=16
+    ).filter(F.col("sig_0").isNotNull())
+    bands = D.lsh_bands(sigs, "doc_id", num_hashes=16, bands=4)
+    pairs = D.lsh_candidate_pairs(bands, "doc_id")
+    return D.minhash_jaccard_estimate(sigs, pairs, "doc_id", num_hashes=16)
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     sums = ",\n             ".join(
         f"sum(CASE WHEN substr(md5(tok), {d + 1}, 1) IN "

@@ -270,3 +270,26 @@ def test_star_cc_matches_hash_min_and_converges_faster_on_chains(spark):
     assert star == {**{i: 1 for i in range(1, 17)}, 100: 100, 101: 100, 102: 100}
     assert star_rounds < hm_rounds, (star_rounds, hm_rounds)
     assert star_rounds <= 6  # O(log 16), not O(16)
+
+
+def test_minhash_estimate_exact_dup_is_one(spark):
+    """Planted exact duplicates must estimate Jaccard 1.0 (identical
+    shingle sets ⇒ identical signatures), and disjoint docs 0.0."""
+    from mongodb_etl_migration_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = D.minhash_signatures_narrow(docs, "doc_id", "text", k=3)
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in D.minhash_jaccard_estimate(sigs, pairs, "doc_id").collect()
+    }
+    assert est[(1, 2)] == 1.0
+    assert est[(1, 3)] == 0.0
