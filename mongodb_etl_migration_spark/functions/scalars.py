@@ -169,6 +169,31 @@ def keyint_default(c: Column | str) -> Column:
     return F.coalesce(F.nullif(_col(c).cast("string"), F.lit("")), F.lit("0"))
 
 
+# -------------------------------------------------- portable rounding
+def stable_round(c: Column | str, digits: int) -> Column:
+    """Engine-portable rounding for DOUBLES: floor(x·10^d + 0.5)/10^d.
+
+    Spark's round() on a double goes through BigDecimal.valueOf — it
+    rounds the value's SHORTEST DECIMAL REPR, so a binary value just
+    below a half whose repr ends in '5' (e.g. 0.78575 stored as
+    0.78574999…) rounds UP, while DuckDB rounds the binary value DOWN
+    (found at sf0.1: quality 0.7858 vs 0.7857). This formula is the
+    same IEEE multiply/add/floor/divide on both engines — identical
+    results everywhere, half-up-toward-+inf ties. The trailing `+ 0.0`
+    collapses IEEE negative zero. Use for every rounded DOUBLE output
+    an oracle checks; plain round() is fine for DECIMAL (exact)."""
+    s = 10 ** digits
+    col = _col(c)
+    return F.floor(col * F.lit(s) + F.lit(0.5)) / F.lit(s) + F.lit(0.0)
+
+
+def stable_round_sql(expr: str, digits: int) -> str:
+    """The DuckDB twin of :func:`stable_round` — inline in oracle SQL
+    so both engines run the identical formula."""
+    s = 10 ** digits
+    return f"floor(({expr}) * {s} + 0.5) / {s} + 0.0"
+
+
 # ------------------------------------------------------------- P2 helper
 def coalesce_nonempty(*cols: Column | str) -> Column:
     """First non-NULL, non-empty value — the field-name-drift coalescer

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mongodb_etl_migration_spark.functions.scalars import stable_round
 from mongodb_etl_migration_spark.operators.text import TOKEN_RE, tokens
 
 
@@ -585,7 +586,7 @@ def ngram_jaccard(
         .select(
             "id_a",
             "id_b",
-            F.round(
+            stable_round(
                 F.col("inter")
                 / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
                 4,

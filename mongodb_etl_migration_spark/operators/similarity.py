@@ -22,6 +22,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mongodb_etl_migration_spark.functions.scalars import stable_round
+
 
 def _dvec(c: Column | str) -> Column:
     col = F.col(c) if isinstance(c, str) else c
@@ -62,7 +64,7 @@ def cosine_topk(
     return (
         emb.select(
             F.col(id_col),
-            F.round(cosine(_dvec(vec_col), q), 4).alias("cos_sim"),
+            stable_round(cosine(_dvec(vec_col), q), 4).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
@@ -105,7 +107,7 @@ def ann_topk_lsh(
         bucketed.filter(F.col("bucket") == qbucket)
         .select(
             F.col(id_col),
-            F.round(cosine(_dvec(vec_col), lit_vec(query_vec)), 4).alias("cos_sim"),
+            stable_round(cosine(_dvec(vec_col), lit_vec(query_vec)), 4).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
@@ -152,7 +154,7 @@ def embedding_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
+            stable_round(
                 dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
                 4,
             ).alias("cos_sim"),
@@ -199,7 +201,7 @@ def ivf_probe_topk(
         .filter(F.col("bucket") == qbits)
         .select(
             F.col(id_col),
-            F.round(cosine(_dvec(vec_col), q), 4).alias("cos_sim"),
+            stable_round(cosine(_dvec(vec_col), q), 4).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)

@@ -126,7 +126,12 @@ def quality_score(c: Column | str, toks: Column | None = None) -> Column:
     word_component = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(
         F.lit(0.5)
     )
-    return F.round(
+    from mongodb_etl_migration_spark.functions.scalars import stable_round
+
+    # stable_round, not F.round: Spark's double round() is repr-based
+    # and disagrees with DuckDB's binary rounding on values like
+    # 0.78575 (see scalars.stable_round).
+    return stable_round(
         F.lit(0.3) * len_component
         + F.lit(0.2) * stop_component
         + F.lit(0.3) * alpha_component

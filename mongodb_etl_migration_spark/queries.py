@@ -1222,7 +1222,8 @@ def d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY p.id_a, p.id_b
     )
     SELECT i.id_a, i.id_b,
-           round(CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i), 4) AS jaccard
+           floor((CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i)) * 10000 + 0.5)
+             / 10000 + 0.0 AS jaccard
     FROM inter i
     JOIN sizes za ON za.doc_id = i.id_a
     JOIN sizes zb ON zb.doc_id = i.id_b
@@ -1280,9 +1281,10 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     """
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
     SELECT e.vec_id,
-           round(list_dot_product(e.embedding::DOUBLE[], q.qv)
-                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+           floor((list_dot_product(e.embedding::DOUBLE[], q.qv)
+                  / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(q.qv, q.qv)))) * 10000 + 0.5)
+             / 10000 + 0.0 AS cos_sim
     FROM embeddings e, q
     ORDER BY cos_sim DESC, e.vec_id LIMIT 10
     """,
@@ -1331,13 +1333,13 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY e.vec_id, e.v
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                 4) AS cos_sim
+           floor((list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+                 * 10000 + 0.5) / 10000 + 0.0 AS cos_sim
     FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.v, b.v)
-                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                4) >= 0.95
+    WHERE floor((list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+                * 10000 + 0.5) / 10000 + 0.0 >= 0.95
     """,
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1373,11 +1375,12 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
            CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens,
-           round(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
-                     t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
-                 / len(regexp_extract_all(lower(text), '[a-z0-9]+')), 4) AS stop_ratio,
-           round(CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
-                 / length(text), 4) AS alpha_ratio
+           floor((CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                      t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+                  / len(regexp_extract_all(lower(text), '[a-z0-9]+'))) * 10000 + 0.5)
+             / 10000 + 0.0 AS stop_ratio,
+           floor((CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                  / length(text)) * 10000 + 0.5) / 10000 + 0.0 AS alpha_ratio
     FROM documents WHERE length(text) > 0
     """,
 )
@@ -1391,8 +1394,8 @@ def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.token_count("text", tk).cast("bigint").alias("n_tokens"),
         T.approx_bpe_token_count("text").alias("approx_bpe_tokens"),
-        F.round(T.stopword_ratio("text", tk), 4).alias("stop_ratio"),
-        F.round(T.alpha_ratio("text"), 4).alias("alpha_ratio"),
+        S.stable_round(T.stopword_ratio("text", tk), 4).alias("stop_ratio"),
+        S.stable_round(T.alpha_ratio("text"), 4).alias("alpha_ratio"),
     )
 
 
@@ -1435,12 +1438,15 @@ def _quality_sql(toks: str = "toks", text: str = "text") -> str:
         f"CASE WHEN {n} > 0 THEN CAST(list_sum(list_transform({toks},"
         f" t -> length(t))) AS DOUBLE) / {n} ELSE 0.0 END"
     )
+    # floor-based stable rounding (scalars.stable_round twin): Spark's
+    # repr-based double round() diverges from DuckDB's binary rounding
+    # on values like 0.78575 (found at sf0.1).
     return (
-        f"round(0.3 * least({n} / 50.0, 1.0)"
+        f"floor((0.3 * least({n} / 50.0, 1.0)"
         f" + 0.2 * least(({sr}) * 3.0, 1.0)"
         f" + 0.3 * ({alpha})"
         f" + 0.2 * (CASE WHEN ({mtl}) >= 3.0 AND ({mtl}) <= 10.0"
-        f" THEN 1.0 ELSE 0.5 END), 4)"
+        f" THEN 1.0 ELSE 0.5 END)) * 10000 + 0.5) / 10000 + 0.0"
     )
 
 
@@ -2412,8 +2418,9 @@ def a9_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            list_transform(embedding::DOUBLE[],
-             x -> round(x / sqrt(list_sum(
-                    list_transform(embedding::DOUBLE[], y -> y * y))), 5) + 0.0)
+             x -> floor(x / sqrt(list_sum(
+                    list_transform(embedding::DOUBLE[], y -> y * y))) * 100000 + 0.5)
+                  / 100000 + 0.0)
              AS unit
     FROM embeddings
     """,
@@ -2430,7 +2437,7 @@ def sim_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(
             SIM.l2_normalize("embedding"),
-            lambda x: F.round(x, 5) + F.lit(0.0),
+            lambda x: S.stable_round(x, 5),
         ).alias("unit"),
     )
 
@@ -2444,7 +2451,7 @@ def sim_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
       SELECT label, pos, avg(x) AS m FROM ex GROUP BY label, pos
     )
-    SELECT label, list(round(m, 4) + 0.0 ORDER BY pos) AS centroid
+    SELECT label, list(floor(m * 10000 + 0.5) / 10000 + 0.0 ORDER BY pos) AS centroid
     FROM m GROUP BY label
     """,
 )
@@ -2461,7 +2468,7 @@ def sim_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cent.select(
         "label",
         F.transform(
-            F.col("centroid"), lambda x: F.round(x, 4) + F.lit(0.0)
+            F.col("centroid"), lambda x: S.stable_round(x, 4)
         ).alias("centroid"),
     )
 
