@@ -197,9 +197,13 @@ def upsert(
     - target rows with no matching update pass through unchanged.
 
     Plan shape: one equi-join on the key for the update side and one
-    left-anti join for the insert side, both over the same shuffled
-    key — at scale the updates side is typically dimension-sized and
-    broadcasts, making this a scan of the target plus a union.
+    left-anti join for the insert side. With a dimension-sized updates
+    side both joins BROADCAST, so this is two shuffle-free passes over
+    the target (the anti pass is column-pruned to the keys) — chosen
+    over the single-pass FULL OUTER formulation deliberately: Spark
+    cannot broadcast a full outer join, so that shape would shuffle
+    the entire target on the key, which at 100 TB costs far more than
+    a second pruned scan.
     """
     keys = list(keys)
     upd = updates.select(
