@@ -29,6 +29,9 @@ class RunMetrics:
     started_at: float = field(default_factory=time.time)
     entities: list[EntityMetric] = field(default_factory=list)
     _pending: list[tuple[str, Observation, float]] = field(default_factory=list)
+    # monotone counter source for unique Observation names (cleared
+    # _pending lists must not recycle names within one SparkSession)
+    _pending_seq: list[str] = field(default_factory=list)
 
     def record(self, entity: str, rows: int, seconds: float) -> None:
         self.entities.append(EntityMetric(entity, rows, seconds))
@@ -38,10 +41,17 @@ class RunMetrics:
         action (the write) — zero extra scans. This replaces the old
         ``timed()``'s ``df.count()``, which was a second full pass per
         entity unless the caller had cached (a 2× cost on the whole
-        pipeline at scale). Call :meth:`harvest` after the action(s).
+        pipeline at scale).
+
+        Call :meth:`harvest` right AFTER each entity's action (or
+        after a group of concurrent actions): the recorded seconds are
+        attach→harvest wall time, so harvesting once at the end of a
+        long loop would charge every entity with all subsequent
+        entities' writes.
         """
-        obs = Observation(f"metrics_{entity}_{len(self._pending)}")
+        obs = Observation(f"metrics_{entity}_{len(self._pending_seq)}")
         self._pending.append((entity, obs, time.time()))
+        self._pending_seq.append(entity)
         return df.observe(obs, F.count(F.lit(1)).alias("rows"))
 
     def harvest(self) -> None:

@@ -450,7 +450,18 @@ def _cc_star(
     """Large-star/small-star alternation. Edges are kept oriented
     (bigger, smaller); both star steps preserve that orientation, so
     the symmetric view is a cheap union with no dedup. At the fixpoint
-    the edge set is exactly the star forest (node → component min)."""
+    the edge set is exactly the star forest (node → component min).
+
+    Self-pairs (u == v) carry no connectivity and are dropped from the
+    edge set, but their ids still get a singleton (id, id) label row
+    at the end — same contract as hash_min: every id in ``pairs``
+    appears in the output."""
+    ids = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
     e = (
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
@@ -500,7 +511,10 @@ def _cc_star(
         )
         .distinct()
     )
-    return labels, rounds
+    singletons = ids.join(
+        labels.select("id"), "id", "left_anti"
+    ).select(F.col("id"), F.col("id").alias("component"))
+    return labels.unionByName(singletons), rounds
 
 
 def dedup_representatives(

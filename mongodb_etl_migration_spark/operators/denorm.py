@@ -196,6 +196,13 @@ def upsert(
       target-only columns NULL;
     - target rows with no matching update pass through unchanged.
 
+    ``updates`` MUST be unique per key — PostgreSQL raises "cannot
+    affect row a second time" for duplicate conflict keys in one
+    statement, and this join-based form would instead silently fan
+    matched target rows out (row-count corruption). Pre-aggregate
+    (e.g. ``first_wins_dedup``) when the update stream can repeat
+    keys.
+
     Plan shape: one equi-join on the key for the update side and one
     left-anti join for the insert side. With a dimension-sized updates
     side both joins BROADCAST, so this is two shuffle-free passes over

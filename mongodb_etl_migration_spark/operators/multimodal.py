@@ -112,6 +112,10 @@ def parse_bmp(raw: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("unsupported BMP variant")
     bottom_up = h > 0
     h = abs(h)
+    # degenerate dimensions would propagate empty axes into resize
+    # index math (IndexError escaping the ValueError fallback)
+    if w <= 0 or h <= 0:
+        raise ValueError("unsupported BMP variant (degenerate dimensions)")
     row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes
     need = data_off + row_bytes * h
     if len(raw) < need:

@@ -259,7 +259,13 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = df.count()  # one scalar; computed once, folded as a literal
+    # N is fetched EAGERLY at plan-build time — a deliberate tradeoff:
+    # count(*) over parquet is metadata-only (footer reads, no data
+    # scan), and folding N as a literal avoids the lazy alternative
+    # (crossJoin with a 1-row agg), which plans a
+    # BroadcastNestedLoopJoin node. Callers building the plan without
+    # ever executing it still pay this one small job.
+    n = df.count()
     w = Window.partitionBy(id_col).orderBy(
         F.desc("score"), F.asc("term")
     )

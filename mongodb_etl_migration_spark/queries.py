@@ -1806,14 +1806,14 @@ def j15_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e_session_window_builtin",
     """
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id) >= 1800
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
     ), sess AS (
       SELECT user_id, ts,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_idx
       FROM marked
     )

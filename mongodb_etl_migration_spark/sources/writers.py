@@ -156,6 +156,11 @@ def write_zordered(
     for c in cols:
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
     row = df.agg(*aggs).head()
+    if row is None or any(row[f"__lo_{c}"] is None for c in cols):
+        # empty input or an all-NULL cluster column: no Z-curve to
+        # build — write as-is rather than crashing on float(None)
+        df.write.mode(mode).parquet(path)
+        return
     minmax = [
         (float(row[f"__lo_{c}"]), float(row[f"__hi_{c}"])) for c in cols
     ]

@@ -35,7 +35,9 @@ def main() -> int:
         metrics.observed(name, df).write.mode("overwrite").parquet(
             str(out_dir / name)
         )
-    metrics.harvest()
+        # harvest per entity: the observation's wall time is
+        # attach→harvest, so harvesting here scopes it to this write
+        metrics.harvest()
     metrics.save(str(out_dir / "metrics.json"))
 
     for e in metrics.entities:

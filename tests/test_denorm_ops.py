@@ -58,3 +58,69 @@ def test_pair_generation_honors_order_by(spark):
     rows2 = DN.pair_generation(members, "room", "user").collect()
     pairs2 = {(r.user1, r.user2) for r in rows2}
     assert pairs2 == {("amy", "bob"), ("bob", "amy")}
+
+
+def test_star_cc_keeps_self_pair_ids(spark):
+    """A self-pair (5,5) carries no edges but its id must still label
+    itself — same contract as hash_min."""
+    from mongodb_etl_migration_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (5, 5)], "id_a long, id_b long")
+    star = {r.id: r.component for r in connected_components(pairs, algorithm="star").collect()}
+    hm = {r.id: r.component for r in connected_components(pairs, algorithm="hash_min").collect()}
+    assert star == hm == {1: 1, 2: 1, 5: 5}
+
+
+def test_zorder_empty_and_allnull_inputs(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mongodb_etl_migration_spark.sources.writers import write_zordered
+
+    empty = spark.range(0).select(F.col("id").alias("x"), F.col("id").alias("y"))
+    write_zordered(empty, str(tmp_path / "z_empty"), ["x", "y"])
+    assert spark.read.parquet(str(tmp_path / "z_empty")).count() == 0
+
+    allnull = spark.range(5).select(
+        F.lit(None).cast("long").alias("x"), F.col("id").alias("y")
+    )
+    write_zordered(allnull, str(tmp_path / "z_null"), ["x", "y"])
+    assert spark.read.parquet(str(tmp_path / "z_null")).count() == 5
+
+
+def test_bmp_degenerate_dimensions_fall_back(spark):
+    """A BMP header claiming width 0 must be rejected as undecodable
+    (NULL metrics / stub resize), not crash the task."""
+    import struct
+
+    from mongodb_etl_migration_spark.operators import multimodal as MM
+
+    bad = bytearray(MM.encode_bmp(__import__("numpy").zeros((2, 2, 3), dtype="uint8")))
+    struct.pack_into("<i", bad, 18, 0)  # width := 0
+    df = spark.createDataFrame(
+        [(1, bytes(bad), ("image", len(bad)))],
+        "doc_id long, payload binary, meta struct<media_type:string, byte_size:bigint>",
+    )
+    r = MM.decode_images(df).head()
+    assert r.width is None and r.mean_r is None
+    out = MM.resize_images(df, 8, 8).head()  # stub fallback, no crash
+    assert out.payload is not None
+
+
+def test_observed_metrics_per_entity_timing(spark, tmp_path):
+    """Per-entity harvest scopes wall time to that entity's write."""
+    import time
+
+    from mongodb_etl_migration_spark.metrics import RunMetrics
+
+    m = RunMetrics()
+    a = spark.range(10).toDF("x")
+    m.observed("a", a).write.mode("overwrite").parquet(str(tmp_path / "a"))
+    m.harvest()
+    time.sleep(1.0)
+    b = spark.range(20).toDF("x")
+    m.observed("b", b).write.mode("overwrite").parquet(str(tmp_path / "b"))
+    m.harvest()
+    by = {e.entity: e for e in m.entities}
+    assert by["a"].rows == 10 and by["b"].rows == 20
+    # entity a's duration must not include the sleep before b's write
+    assert by["a"].seconds < 1.0
