@@ -895,6 +895,76 @@ def a6_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "o6_moving_avg",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / least(CAST(row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS DOUBLE), 3.0) AS moving_avg_3
+    FROM orders
+    """,
+)
+def o6_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 (beyond-parity): sliding window frame — 3-order moving
+    average of spend per customer. Exact decimal sum over a ROWS frame
+    divided by the actual frame size (row_number-capped), final value
+    one deterministic double division. One Exchange on the key."""
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .over(frame)
+            .cast("double")
+            / F.least(F.row_number().over(w).cast("double"), F.lit(3.0))
+        ).alias("moving_avg_3"),
+    )
+
+
+@query(
+    "f_levenshtein",
+    """
+    SELECT c.c_custkey, n.n_name,
+           levenshtein(upper(c.c_mktsegment), n.n_name) AS edit_distance,
+           levenshtein(upper(c.c_mktsegment), n.n_name)
+             <= greatest(length(c.c_mktsegment), length(n.n_name)) * 0.5
+             AS fuzzy_match
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def f_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching via edit distance (the
+    migration-validation helper for near-miss name reconciliation) —
+    integer Levenshtein is hash-exact across engines; the broadcast
+    dim join keeps it one narrow pass."""
+    cat = Catalog(spark, sf_dir)
+    c, n = cat.customer, cat.nation
+    dist = F.levenshtein(F.upper(c["c_mktsegment"]), n["n_name"])
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "c_custkey",
+            "n_name",
+            dist.alias("edit_distance"),
+            (
+                dist
+                <= F.greatest(F.length(c["c_mktsegment"]), F.length(n["n_name"]))
+                * 0.5
+            ).alias("fuzzy_match"),
+        )
+    )
+
+
+@query(
     "v1_count_reconciliation",
     """
     SELECT 'orders_per_customer' AS check_name,

@@ -293,3 +293,51 @@ def test_minhash_estimate_exact_dup_is_one(spark):
     }
     assert est[(1, 2)] == 1.0
     assert est[(1, 3)] == 0.0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1, max_size=30,
+    )
+)
+def test_stable_round_matches_duckdb_formula(spark, duck, xs):
+    """stable_round must agree with its SQL twin bit-for-bit on
+    arbitrary doubles — including repr-half values like 0.78575 where
+    Spark's own round() and DuckDB's round() disagree."""
+    from mongodb_etl_migration_spark.functions.scalars import (
+        stable_round,
+        stable_round_sql,
+    )
+
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    got = [r["y"] for r in df.select(stable_round(F.col("x"), 4).alias("y")).collect()]
+    vals = ", ".join(f"({float(x)!r})" for x in xs)
+    want = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT {stable_round_sql('x', 4)} FROM (VALUES {vals}) t(x)"
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_stable_round_known_boundary(spark, duck):
+    """The sf0.1 regression value: 0.78575 (binary 0.78574999…) must
+    round identically on both engines — Spark's plain round() gets
+    this wrong (0.7858 vs DuckDB round's 0.7857)."""
+    from mongodb_etl_migration_spark.functions.scalars import (
+        stable_round,
+        stable_round_sql,
+    )
+
+    df = spark.createDataFrame([(0.78575,)], "x double")
+    got = df.select(stable_round(F.col("x"), 4).alias("y")).head()["y"]
+    want = duck.execute(
+        f"SELECT {stable_round_sql('0.78575::DOUBLE', 4)}"
+    ).fetchone()[0]
+    assert got == want == 0.7857
