@@ -105,6 +105,55 @@ def provinces_df(spark: SparkSession, n: int = 5) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def municipalities_df(spark: SparkSession, n: int = 8) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("province", REF),
+            T.StructField("isActive", T.BooleanType()),
+            T.StructField("createdAt", T.TimestampType()),
+        ]
+    )
+    rows = [
+        (
+            oid("municipalities", i),
+            f"Municipality {i}",
+            ref_for("provinces", i % 5, i),
+            None if i % 3 == 0 else True,
+            ts(400 + i),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def parroquias_df(spark: SparkSession, n: int = 24) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("province", REF),
+            T.StructField("municipality", REF),
+            T.StructField("createdAt", T.TimestampType()),
+        ]
+    )
+    rows = [
+        (
+            oid("parroquias", i),
+            f"Parroquia {i}",
+            ref_for("provinces", i % 5, i),
+            # a few dangling municipality refs exercise miss ⇒ NULL
+            ref_for("municipalities", i % 8, i + 1)
+            if i % 11 != 10
+            else ref_for("municipalities", 900 + i, i + 1),
+            ts(450 + i),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
 def users_df(spark: SparkSession, n: int = 120) -> DataFrame:
     social = T.StructType(
         [
@@ -553,6 +602,8 @@ def all_sources(spark: SparkSession) -> dict[str, DataFrame]:
     return {
         "roles": roles_df(spark),
         "provinces": provinces_df(spark),
+        "municipalities": municipalities_df(spark),
+        "parroquias": parroquias_df(spark),
         "users": users_df(spark),
         "rooms": rooms_df(spark),
         "messages": messages_df(spark),

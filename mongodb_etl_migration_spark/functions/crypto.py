@@ -158,6 +158,38 @@ def make_salsa20_decrypt_udf(key: str, iv: str):
     return _decrypt
 
 
+def make_url_decrypt_rewrite(key: str, iv: str):
+    """F26+F5 combined: Salsa20-decrypt a URL column with plaintext
+    fallback (not-decryptable ⇒ keep the raw value), then bucket-
+    rewrite the result — the exact order of the reference's
+    data_transformer.py:397-452. One shared implementation for the
+    messages and docs stages so fallback semantics cannot drift.
+
+    Known cost (measured): when a downstream FILTER also references the
+    derived column (the messages .pdf gate), Catalyst evaluates the
+    pandas UDF twice per row — once for the Filter's extracted
+    ArrowEvalPython stage and once for the Projection's. Marking the
+    UDF non-deterministic does NOT help: it blocks predicate pushdown
+    but also disables UDF de-duplication, yielding two calls in one
+    stage instead. The decrypt is a short-string XOR, so the bounded
+    2× is accepted; the real fix would be a JVM-native cipher
+    expression (Spark ships aes_* but no Salsa20).
+    """
+    from mongodb_etl_migration_spark.functions.scalars import (
+        bucket_url_rewrite,
+    )
+
+    dec = make_salsa20_decrypt_udf(key, iv)
+
+    def col_builder(url_col) -> "Column":
+        c = F.col(url_col) if isinstance(url_col, str) else url_col
+        return bucket_url_rewrite(
+            F.coalesce(F.nullif(dec(c), F.lit("")), c)
+        )
+
+    return col_builder
+
+
 # ------------------------------------------------------- AES-256-CBC layer
 def derive_password_key_iv(password: str) -> tuple[str, str]:
     """Deterministic key/iv from a password — encryption.py:129-139.

@@ -92,6 +92,51 @@ def province_spec() -> EntitySpec:
     )
 
 
+def municipality_spec() -> EntitySpec:
+    """PG `municipality` — data_transformer.py:680-698 (J1:
+    municipality→province FK resolved via the id-map)."""
+    return EntitySpec(
+        name="municipality",
+        source="municipalities",
+        destination="municipality",
+        derivations={"province_ref": lambda df: ref_id("province")},
+        fk_joins=(FKJoin(dim="province", on="province_ref", out="province_id"),),
+        projection={
+            "mongo_id": lambda df: F.col("_id"),
+            "name": lambda df: F.col("name"),
+            "province_id": lambda df: F.col("province_id"),
+        },
+        key=KeySpec(kind="sequential", order_by=("mongo_id",), out="id"),
+        depends_on=("province",),
+    )
+
+
+def parroquia_spec() -> EntitySpec:
+    """PG `parroquia` — data_transformer.py:700-728 (J1: parroquia →
+    province AND municipality FKs)."""
+    return EntitySpec(
+        name="parroquia",
+        source="parroquias",
+        destination="parroquia",
+        derivations={
+            "province_ref": lambda df: ref_id("province"),
+            "municipality_ref": lambda df: ref_id("municipality"),
+        },
+        fk_joins=(
+            FKJoin(dim="province", on="province_ref", out="province_id"),
+            FKJoin(dim="municipality", on="municipality_ref", out="municipality_id"),
+        ),
+        projection={
+            "mongo_id": lambda df: F.col("_id"),
+            "name": lambda df: F.col("name"),
+            "province_id": lambda df: F.col("province_id"),
+            "municipality_id": lambda df: F.col("municipality_id"),
+        },
+        key=KeySpec(kind="sequential", order_by=("mongo_id",), out="id"),
+        depends_on=("province", "municipality"),
+    )
+
+
 def user_spec(run_ts: datetime) -> EntitySpec:
     """PG `user` destination — field_mapper.py:22-88 +
     data_transformer.py:210-321 (normalizers, F28 redaction, J1/J3)."""
@@ -115,6 +160,7 @@ def user_spec(run_ts: datetime) -> EntitySpec:
         },
         fk_joins=(
             FKJoin(dim="province", on="province_ref", out="province_id"),
+            FKJoin(dim="municipality", on="municipality_ref", out="municipality_id"),
             FKJoin(dim="role_by_name", on="role_name_key", out="role_id"),
         ),
         projection={
@@ -145,6 +191,7 @@ def user_spec(run_ts: datetime) -> EntitySpec:
             "socialmedia_instagram": lambda df: F.col("socialMedia")["instagram"],
             "socialmedia_telegram": lambda df: F.col("socialMedia")["telegram"],
             "province_id": lambda df: F.col("province_id"),
+            "municipality_id": lambda df: F.col("municipality_id"),
             "role_id": lambda df: F.col("role_id"),
             # F28 redaction side-columns
             "deleted_name": lambda df: F.when(deleted(df), name_col(df)),
@@ -155,7 +202,7 @@ def user_spec(run_ts: datetime) -> EntitySpec:
             "created_at": lambda df: F.coalesce(F.col("createdAt"), F.lit(run_ts)),
         },
         key=KeySpec(kind="sequential", order_by=("mongo_id",), out="id"),
-        depends_on=("role", "province"),
+        depends_on=("role", "province", "municipality"),
         # dual destination (orchestrator.py:455-507): the Cassandra
         # users projection shares ids with PG by construction (K4)
         side_outputs={
@@ -202,7 +249,13 @@ def rooms_spec(run_ts: datetime) -> EntitySpec:
             "add_member": lambda df: F.when(is_group(df), F.lit(True)).otherwise(
                 F.lit(False)
             ),
-            "edit_group": lambda df: F.lit(False),
+            # data_transformer.py:537-556: groups keep the edit=False
+            # default; the NON-group branch (p2p — and the reference
+            # routes broadcast there too) sets edit_group=True. The
+            # validated p2p triple is (send=T, add=F, edit=T).
+            "edit_group": lambda df: F.when(is_group(df), F.lit(False)).otherwise(
+                F.lit(True)
+            ),
             "join_all_user": lambda df: F.coalesce(F.col("isPublic"), F.lit(False)),
             "_is_organization": lambda df: F.coalesce(
                 F.col("isAdmin"), F.lit(False)
@@ -232,7 +285,11 @@ def rooms_spec(run_ts: datetime) -> EntitySpec:
 
 
 # ------------------------------------------------------------ pipeline
-def messages_spec(run_ts: datetime) -> EntitySpec:
+def messages_spec(
+    run_ts: datetime,
+    fileurl_key: str = FILEURL_KEY,
+    fileurl_iv: str = FILEURL_IV,
+) -> EntitySpec:
     """Cassandra messages_by_room + room_by_message —
     field_mapper.py:119-149, filters from mongo_extractor.py:56-72 ∪
     validators.py:18 (P4/P5), P7 sentinel hoisted, K2 timeuuid key.
@@ -243,12 +300,17 @@ def messages_spec(run_ts: datetime) -> EntitySpec:
     (case-sensitive) to the rewritten plaintext — an encrypted PDF
     attachment must survive the gate, and a non-DOCUMENTO encrypted URL
     must be emitted decrypted. An absent/empty fileURL skips the whole
-    block (row kept, file_url/mime_type stay NULL)."""
+    block (row kept, file_url/mime_type stay NULL).
+
+    ``fileurl_key``/``fileurl_iv`` default to the fixture constants but
+    are parameters, matching the reference's settings-driven keys
+    (etl/config/settings.py:85-90) — a production run passes its real
+    key instead of silently emitting ciphertext."""
     from mongodb_etl_migration_spark.functions.crypto import (
-        make_salsa20_decrypt_udf,
+        make_url_decrypt_rewrite,
     )
 
-    dec = make_salsa20_decrypt_udf(FILEURL_KEY, FILEURL_IV)
+    decrypt_rewrite = make_url_decrypt_rewrite(fileurl_key, fileurl_iv)
     has_url = F.col("fileURL").isNotNull() & (F.col("fileURL") != "")
     return EntitySpec(
         name="messages",
@@ -276,9 +338,7 @@ def messages_spec(run_ts: datetime) -> EntitySpec:
             # F26: decrypt (fallback to raw when not decryptable, i.e.
             # already-plaintext), then F5 bucket rewrite — the order the
             # reference uses; the .pdf gate below sees THIS value.
-            "file_url_rw": lambda df: S.bucket_url_rewrite(
-                F.coalesce(F.nullif(dec(F.col("fileURL")), F.lit("")), F.col("fileURL"))
-            ),
+            "file_url_rw": lambda df: decrypt_rewrite("fileURL"),
         },
         post_filters=(
             # F21/P7: DOCUMENTO attachments must be .pdf — tested on the
@@ -309,9 +369,14 @@ def messages_spec(run_ts: datetime) -> EntitySpec:
                 has_url, S.mime_from_filetype("fileType", "file_url_rw")
             ),
             "file_url": lambda df: F.when(has_url, F.col("file_url_rw")),
-            "fileName": lambda df: F.col("fileName"),
-            "fileSize": lambda df: F.col("fileSize"),
-            "created_at": lambda df: F.col("createdAt"),
+            # destination columns are snake_case (schema_manager adds
+            # messages_by_room.file_name/file_size, SURVEY S12)
+            "file_name": lambda df: F.col("fileName"),
+            "file_size": lambda df: F.col("fileSize"),
+            # missing createdAt falls back to the injected run_ts (the
+            # reference's datetime.now() default, replayable §7.4.7) —
+            # a NULL here would null the timeuuid PRIMARY KEY
+            "created_at": lambda df: F.coalesce(F.col("createdAt"), F.lit(run_ts)),
         },
         key=KeySpec(
             kind="timeuuid",
@@ -478,6 +543,20 @@ def run_reference_pipeline(
         # J3: role joined by normalized NAME, not mongo_id
         "role_by_name": role.select(F.col("name").alias("natural_key"), F.col("id")),
     }
+
+    # geo dimensions: municipality (→province) then parroquia
+    # (→province+municipality) — data_transformer.py:680-728
+    municipality = compile_entity(
+        municipality_spec(), sources["municipalities"], id_maps
+    )
+    out["municipality"] = municipality
+    id_maps["municipality"] = municipality.select(
+        F.col("mongo_id").alias("natural_key"), F.col("id")
+    )
+    out["parroquia"] = compile_entity(
+        parroquia_spec(), sources["parroquias"], id_maps
+    )
+
     user_outs = compile_entity_outputs(user_spec(run_ts), sources["users"], id_maps)
     user = user_outs["user"]
     out["user"] = user
@@ -520,7 +599,13 @@ def run_reference_pipeline(
         F.broadcast(p2p_rooms.select("room_id")), "room_id", "inner"
     )
     out["p2p_room_by_users"] = DN.pair_generation(
-        p2p_members, "room_id", "user_id"
+        p2p_members,
+        "room_id",
+        "user_id",
+        # 'first two participants' = arrival order (orchestrator.py's
+        # insertion order), proxied deterministically by joined_at with
+        # user_id as tiebreak — NOT smallest surrogate id
+        order_by=[F.col("joined_at"), F.col("user_id")],
     ).select(
         F.col("user1").alias("user1_id"),
         F.col("user2").alias("user2_id"),
@@ -587,10 +672,16 @@ def run_reference_pipeline(
     )
     out["rooms_by_user"] = rooms_by_user
 
-    # J8: merge last_message_at back into the membership lookup
+    # J8: merge last_message_at back into the membership lookup. The
+    # updates side is aggregated to one row per (user, room): duplicate
+    # membership docs (dirty-Mongo data) would otherwise fan the
+    # left-join out and multiply lookup rows, where the reference's
+    # per-row UPDATE is idempotent.
     out["room_membership_lookup_updated"] = DN.merge_update(
         out["room_membership_lookup"],
-        rooms_by_user.select("user_id", "room_id", "last_message_at"),
+        rooms_by_user.groupBy("user_id", "room_id").agg(
+            F.max("last_message_at").alias("last_message_at")
+        ),
         ["user_id", "room_id"],
         ["last_message_at"],
     )
@@ -663,22 +754,24 @@ def run_reference_pipeline(
         F.lit(None).cast("string").alias("file_url"),
     )
     n_folders = tree.count()
-    # F26: fileURL may arrive Salsa20-encrypted — decrypt (fallback to
-    # the raw value when not decryptable, i.e. already-plaintext), THEN
-    # bucket-rewrite (data_transformer.py:396-452)
+    # F26: fileURL may arrive Salsa20-encrypted — same shared
+    # decrypt-then-rewrite helper as messages (one drift-proof impl)
     from mongodb_etl_migration_spark.functions.crypto import (
-        make_salsa20_decrypt_udf,
+        make_url_decrypt_rewrite,
     )
 
-    dec = make_salsa20_decrypt_udf(FILEURL_KEY, FILEURL_IV)
+    decrypt_rewrite = make_url_decrypt_rewrite(FILEURL_KEY, FILEURL_IV)
     raw_url = F.coalesce(F.col("fileUrl"), F.col("fileURL"))
-    files = docs.filter(F.col("type") != "FOLDER").select(
+    # NULL-safe non-folder test: the reference's `doc.type != 'FOLDER'`
+    # is True for a missing type (doc treated as a file), but the
+    # tri-valued Column comparison would silently DROP those docs
+    files = docs.filter(
+        F.col("type").isNull() | (F.col("type") != "FOLDER")
+    ).select(
         F.col("_id").alias("mongo_id"),
         F.col("onFolder").alias("on_folder"),
         "type",
-        S.bucket_url_rewrite(
-            F.coalesce(F.nullif(dec(raw_url), F.lit("")), raw_url)
-        ).alias("file_url"),
+        decrypt_rewrite(raw_url).alias("file_url"),
     )
     files_resolved = resolve_files_to_folders(
         files, tree.select("path", "folder_id"), "on_folder"

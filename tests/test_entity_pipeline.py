@@ -367,3 +367,40 @@ def test_docs_hierarchy_and_roles(outputs):
     ).count()
     assert dr.count() == want
     assert dr.filter(F.col("docs_id").isNull() | F.col("role_id").isNull()).count() == 0
+
+
+def test_geo_dimensions_and_p2p_permission_triple(outputs):
+    src, out = outputs
+    # municipality resolves its province FK; parroquia resolves both,
+    # with dangling municipality refs (fixture i%11==10) ⇒ NULL
+    muni = out["municipality"]
+    assert muni.count() == src["municipalities"].count() > 0
+    assert muni.filter(F.col("province_id").isNull()).count() == 0
+    parr = out["parroquia"]
+    assert parr.count() == src["parroquias"].count() > 0
+    assert parr.filter(F.col("province_id").isNull()).count() == 0
+    assert parr.filter(F.col("municipality_id").isNull()).count() > 0  # misses
+    # users carry a resolved municipality_id (all fixture refs valid)
+    assert out["user"].filter(F.col("municipality_id").isNull()).count() == 0
+
+    # reference-validated p2p permission triple (send=T, add=F, edit=T);
+    # groups keep edit=F (data_transformer.py:537-556)
+    rooms = out["room_details"]
+    p2p = rooms.filter(F.col("room_type") == "p2p")
+    assert p2p.count() > 0
+    assert p2p.filter(
+        (~F.col("send_message")) | F.col("add_member") | (~F.col("edit_group"))
+    ).count() == 0
+    grp = rooms.filter(F.col("room_type") == "group")
+    assert grp.filter(F.col("edit_group")).count() == 0
+
+
+def test_messages_snake_case_and_created_at_fallback(outputs):
+    src, out = outputs
+    msgs = out["messages_by_room"]
+    assert "file_name" in msgs.columns and "file_size" in msgs.columns
+    assert "fileName" not in msgs.columns
+    # fixture rows with NULL createdAt (i%6==5) fall back to run_ts —
+    # created_at and the timeuuid key are never NULL
+    assert msgs.filter(F.col("created_at").isNull()).count() == 0
+    assert msgs.filter(F.col("message_id").isNull()).count() == 0

@@ -165,11 +165,13 @@ def test_incremental_entity_plan(spark, tmp_path):
     from datetime import datetime
 
     from mongodb_etl_migration_spark.fixtures import (
+        municipalities_df,
         provinces_df,
         roles_df,
         users_df,
     )
     from mongodb_etl_migration_spark.pipeline import (
+        municipality_spec,
         province_spec,
         role_spec,
         user_spec,
@@ -186,6 +188,12 @@ def test_incremental_entity_plan(spark, tmp_path):
         ),
         "role_by_name": role.select(F.col("name").alias("natural_key"), F.col("id")),
     }
+    municipality = compile_entity(
+        municipality_spec(), municipalities_df(spark), id_maps
+    )
+    id_maps["municipality"] = municipality.select(
+        F.col("mongo_id").alias("natural_key"), F.col("id")
+    )
 
     src_dir = str(tmp_path / "usrc")
     users_df(spark).coalesce(1).write.parquet(src_dir)
