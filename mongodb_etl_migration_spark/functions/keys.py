@@ -119,8 +119,12 @@ def assign_sequential_ids(
         offsets[row["__pid"]] = acc
         acc += row["__cnt"]
     spark = df.sparkSession
+    # explicit schema: an EMPTY input yields zero offsets, and
+    # createDataFrame cannot infer a schema from an empty list (the
+    # pipeline must produce an empty output, not crash)
     off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], ["__pid", "__off"]
+        [(int(pid), int(off)) for pid, off in offsets.items()],
+        "__pid INT, __off BIGINT",
     )
     return (
         numbered.join(F.broadcast(off_df), "__pid")

@@ -52,11 +52,15 @@ def resolve_folder_tree(
         "folder_id", (F.row_number().over(w) + F.lit(id_start - 1)).cast("bigint")
     ).persist()
 
-    max_depth = base.agg(F.max("depth")).head()[0] or 0
+    max_depth_row = base.agg(F.max("depth")).head()[0]
+    max_depth = max_depth_row if max_depth_row is not None else -1
     resolved: DataFrame | None = None
-    for level in range(1, max_depth + 1):
+    # levels start at the MINIMUM depth present (a root row '/' is
+    # depth 0 — it must be emitted AND serve as its children's parent,
+    # not silently dropped while still consuming a folder_id)
+    for level in range(0, max_depth + 1):
         lvl = base.filter(F.col("depth") == level)
-        if level == 1:
+        if resolved is None:
             lvl = lvl.withColumn("parent_id", F.lit(0).cast("bigint"))
         else:
             parents = resolved.select(
@@ -68,7 +72,12 @@ def resolve_folder_tree(
             )
         lvl = lvl.select("path", "depth", "folder_id", "parent_id")
         resolved = lvl if resolved is None else resolved.unionByName(lvl)
+        # pin each round: without this the next level's broadcast
+        # re-executes every prior level's join and the plan doubles
+        # (the repo's iterative-loop pitfall, as in dedup._cc_*)
+        resolved = resolved.localCheckpoint()
 
+    base.unpersist()
     if resolved is None:  # empty input
         return base.select(
             "path", "depth", "folder_id", F.lit(0).cast("bigint").alias("parent_id")

@@ -15,7 +15,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 
 def read_entity(
@@ -44,10 +44,21 @@ def read_json_documents(
 ) -> DataFrame:
     """Mongo-shaped nested JSON ingest (S5): permissive mode keeps
     malformed docs (defensive, like the reference's .get() accessors);
-    explicit schema avoids a second inference pass over 100 TB."""
+    explicit schema avoids a second inference pass over 100 TB.
+
+    With an explicit schema a ``_corrupt_record`` column is appended
+    and wired as the corrupt-record sink: without it, a malformed line
+    becomes an all-NULL row indistinguishable from a legitimately
+    empty document — undetectable, unquarantinable. Callers filter
+    ``_corrupt_record IS NOT NULL`` to route bad lines to a dead-letter
+    sink."""
     reader = spark.read.option("mode", "PERMISSIVE")
     if schema is not None:
-        reader = reader.schema(schema)
+        if "_corrupt_record" not in schema.fieldNames():
+            schema = schema.add(StructField("_corrupt_record", StringType()))
+        reader = reader.schema(schema).option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        )
     return reader.json(path)
 
 
@@ -65,8 +76,6 @@ def ids_in_scan(df: DataFrame, id_col: str, ids: Sequence[str]) -> DataFrame:
 # Mongo extended-JSON normalization (S5 ingest shape)
 # ---------------------------------------------------------------------
 
-from pyspark.sql.types import ArrayType, StringType, StructField  # noqa: E402
-
 
 def normalize_extended_json(df: DataFrame) -> DataFrame:
     """Rewrite MongoDB extended-JSON wrapper structs into plain typed
@@ -82,9 +91,11 @@ def normalize_extended_json(df: DataFrame) -> DataFrame:
     per-row Python, safe for a 100 TB ingest. Arrays recurse through
     ``transform`` (one-time ingest cost; keep downstream hot paths on
     the materialized result)."""
+    # df[name], not F.col(name): Mongo field names may contain dots,
+    # which F.col would parse as a nested reference
     return df.select(
         *[
-            _norm_ext(F.col(f.name), f.dataType).alias(f.name)
+            _norm_ext(df[f.name], f.dataType).alias(f.name)
             for f in df.schema.fields
         ]
     )
@@ -111,12 +122,16 @@ def _norm_ext(col: Column, dtype) -> Column:
             return col.getField("$numberDouble").cast("double")
         if names == ["$numberDecimal"]:
             return col.getField("$numberDecimal").cast("decimal(38,10)")
-        return F.struct(
+        # NULL-preserving generic rebuild: F.struct alone would turn a
+        # NULL nested document into a non-null all-null struct, flipping
+        # downstream isNull() semantics vs the reference's missing field
+        rebuilt = F.struct(
             *[
                 _norm_ext(col.getField(f.name), f.dataType).alias(f.name)
                 for f in dtype.fields
             ]
         )
+        return F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
     if isinstance(dtype, ArrayType):
         return F.transform(col, lambda x: _norm_ext(x, dtype.elementType))
     return col

@@ -316,7 +316,9 @@ def test_stable_round_matches_duckdb_formula(spark, duck, xs):
 
     df = spark.createDataFrame([(float(x),) for x in xs], "x double")
     got = [r["y"] for r in df.select(stable_round(F.col("x"), 4).alias("y")).collect()]
-    vals = ", ".join(f"({float(x)!r})" for x in xs)
+    # ::DOUBLE — a bare decimal literal parses as DECIMAL in DuckDB,
+    # which is not the type the oracle formula targets
+    vals = ", ".join(f"({float(x)!r}::DOUBLE)" for x in xs)
     want = [
         r[0]
         for r in duck.execute(
