@@ -37,30 +37,50 @@ def interval_join(
     start_col: str,
     end_col: str,
     bucket_seconds: int = 3600,
+    max_buckets_per_interval: int = 100_000,
 ) -> DataFrame:
     """Inner interval join: rows = (point, interval) pairs with equal
     ``on`` keys and ``start_col <= ts_col <= end_col`` (inclusive).
     Output columns = point columns + interval columns (caller renames
-    clashes beforehand)."""
+    clashes beforehand).
+
+    ``max_buckets_per_interval`` is an explosion guard: one open-ended
+    sentinel interval ('9999-12-31') would otherwise sequence to tens
+    of millions of bucket rows and OOM the executor. Violating rows
+    FAIL LOUDLY via raise_error (silent clamping would drop matches) —
+    normalize sentinel ends upstream or widen bucket_seconds."""
     w = F.lit(bucket_seconds).cast("double")
 
     def epoch(c: str) -> F.Column:
         return F.col(c).cast("timestamp").cast("double")
 
-    pb = points.withColumn("__b", F.floor(epoch(ts_col) / w))
-    ib = intervals.withColumn(
-        "__b",
-        F.explode(
-            F.sequence(
-                F.floor(epoch(start_col) / w), F.floor(epoch(end_col) / w)
+    b_start = F.floor(epoch(start_col) / w)
+    b_end = F.floor(epoch(end_col) / w)
+    guarded_end = F.when(
+        b_end - b_start > max_buckets_per_interval,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"interval_join: interval spans more than "
+                    f"{max_buckets_per_interval} buckets of "
+                    f"{bucket_seconds}s — sentinel end date? start="
+                ),
+                F.col(start_col).cast("string"),
+                F.lit(" end="),
+                F.col(end_col).cast("string"),
             )
-        ),
-    )
+        ).cast("long"),
+    ).otherwise(b_end)
+    pb = points.withColumn("__b", F.floor(epoch(ts_col) / w))
+    ib = intervals.withColumn("__b", F.explode(F.sequence(b_start, guarded_end)))
+    # exact filter on the SAME casted instants the buckets use — raw
+    # string comparison would be lexicographic and disagree with the
+    # bucketing for non-canonical timestamp strings
     return (
         pb.join(ib, [*on, "__b"])
         .filter(
-            (F.col(ts_col) >= F.col(start_col))
-            & (F.col(ts_col) <= F.col(end_col))
+            (epoch(ts_col) >= epoch(start_col))
+            & (epoch(ts_col) <= epoch(end_col))
         )
         .drop("__b")
     )

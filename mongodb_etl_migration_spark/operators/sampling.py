@@ -30,7 +30,13 @@ _SPACE = 1 << 60
 def hash_key(key: Column | str, salt: str = "") -> Column:
     """Stable uniform 60-bit integer per key (bigint in [0, 2^60)).
     ``salt`` decorrelates independent sampling decisions over the same
-    key space (a sample of a sample stays uniform)."""
+    key space (a sample of a sample stays uniform).
+
+    CONTRACT: the key should be NON-NULL and row-unique (a document
+    id). Same key ⇒ same hash by design, which means ALL NULL keys
+    share one sampling decision (concat_ws skips NULLs, so they hash
+    as the bare salt) — an all-in-or-all-out block, not a uniform
+    sample. Filter or surrogate NULL keys upstream."""
     col = F.col(key) if isinstance(key, str) else key
     return F.conv(
         F.substring(
@@ -76,7 +82,12 @@ def stratified_take(
     (deterministic "uniform without replacement" within each stratum —
     quota sampling for balanced training mixes). Rank window ordered by
     (hash, key): WindowGroupLimit keeps each map task's top-n before
-    the shuffle."""
+    the shuffle.
+
+    Determinism requires ``key`` to be unique WITHIN each stratum
+    (hash_key's contract): two rows sharing a key value tie on the
+    whole sort key and row_number breaks the tie by partition layout.
+    Dedup or extend the key upstream when it can repeat."""
     w = Window.partitionBy(*strata).orderBy(hash_key(key, salt), F.col(key))
     return (
         df.withColumn("__rk", F.row_number().over(w))

@@ -18,8 +18,11 @@ def orphan_check(
 ) -> DataFrame:
     """J10: NOT-EXISTS orphan rows — validate_migration.py:594-641.
     Left-anti join; returns the orphan child rows (count() it for the
-    pass/fail gate)."""
-    keys = parent.select(F.col(parent_key).alias(child_fk)).distinct()
+    pass/fail gate). No distinct on the parent side: anti-join output
+    depends only on key EXISTENCE, and the join's hash relation
+    dedupes internally — a distinct would add a shuffle+aggregate and
+    can push a broadcast-sized parent over the broadcast threshold."""
+    keys = parent.select(F.col(parent_key).alias(child_fk))
     return child.join(keys, child_fk, "left_anti")
 
 
@@ -27,17 +30,21 @@ def set_membership_violations(
     facts: DataFrame, dim: DataFrame, key: str
 ) -> DataFrame:
     """J11/U1: distinct fact keys missing from the dimension —
-    validate_migration.py:183-228 (message room_ids ⊆ room_details)."""
-    return (
-        facts.select(key).distinct().join(dim.select(key).distinct(), key, "left_anti")
-    )
+    validate_migration.py:183-228 (message room_ids ⊆ room_details).
+    The fact side keeps its distinct (it defines the output rows); the
+    dimension side needs none (see orphan_check)."""
+    return facts.select(key).distinct().join(dim.select(key), key, "left_anti")
 
 
 def count_reconciliation(
     source_count: int, target_count: int, tolerance: float = 0.05
 ) -> bool:
     """A1: record-count gate with tolerance —
-    validate_migration.py:50-131 (5% default, 10% docs)."""
+    validate_migration.py:50-131 (5% default, 10% docs). NOTE: the
+    reference checks ONLY the lower bound (validate_migration.py:56 —
+    a duplicated double-load passes its gate); this mirrors that
+    behavior for parity. Callers wanting symmetry should also assert
+    ``target_count <= source_count * (1 + tolerance)``."""
     if source_count == 0:
         return target_count == 0
     return target_count >= source_count * (1 - tolerance)

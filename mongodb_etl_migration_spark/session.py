@@ -1,8 +1,11 @@
 """SparkSession factory tuned for the engine.
 
 Defaults are chosen for correctness-parity with the DuckDB oracle
-(UTC session timezone, ANSI off) and for scale (AQE on with skew-join
-handling, Arrow for any pandas exchange, capped broadcast threshold).
+(UTC session timezone, ANSI ON — DuckDB also errors on invalid casts
+and overflow, so ANSI is the parity-matching mode; use try_cast /
+try_* functions where permissive per-row behavior is wanted) and for
+scale (AQE on with skew-join handling, Arrow for any pandas exchange,
+capped broadcast threshold).
 
 On a real cluster these same configs apply; only ``master`` and memory
 sizing change. Shuffle partitioning is env-tunable so the driver's
@@ -43,8 +46,16 @@ DEFAULT_CONF = {
     # large SF; bigger fact-fact joins fall through to SMJ under AQE.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": "128m",
+    # ANSI explicitly ON (the Spark 4 default, pinned so behavior
+    # cannot drift across versions): DuckDB raises on bad casts and
+    # overflow too, so this is the oracle-parity mode. Code paths that
+    # need per-row tolerance use try_cast/try_divide explicitly.
+    "spark.sql.ansi.enabled": "true",
     # Local runs don't need the UI; harmless on a cluster.
     "spark.ui.enabled": "false",
+    # NOTE: driver.memory is a JVM-LAUNCH-time conf — it only applies
+    # when this call actually creates the JVM; under spark-submit or a
+    # pre-existing session it is inert (size the driver there instead).
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
@@ -57,18 +68,25 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract);
-    on a cluster pass ``None`` and submit with ``--master``.
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver
+    contract) — UNLESS a master was already provided externally
+    (``spark-submit --master`` sets ``spark.master``), which wins: the
+    local fallback must never clobber a cluster submission.
     """
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-        master = f"local[{cpus}]"
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+            master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
         )
 
-    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     conf = dict(DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:

@@ -49,3 +49,29 @@ def test_interval_join_is_equi_join(spark):
     out = interval_join(points, intervals, ["k"], "ts", "lo", "hi")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_interval_join_sentinel_interval_fails_loudly(spark):
+    """An open-ended sentinel interval must raise instead of exploding
+    to tens of millions of bucket rows (executor OOM)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mongodb_etl_migration_spark.operators.ranges import interval_join
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00")], "k long, ts string"
+    ).select("k", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    bad = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "9999-12-31 00:00:00")],
+        "k long, s string, e string",
+    ).select(
+        "k",
+        F.col("s").cast("timestamp_ntz").alias("s"),
+        F.col("e").cast("timestamp_ntz").alias("e"),
+    )
+    with pytest.raises(Exception, match="sentinel|buckets"):
+        interval_join(
+            points, bad, on=["k"], ts_col="ts", start_col="s", end_col="e",
+            bucket_seconds=3600,
+        ).count()
