@@ -2005,26 +2005,38 @@ def e_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# Crypto migration (rows-only: ciphers aren't SQL-expressible)
+# Crypto migration (ciphertext bytes aren't SQL-expressible, but the
+# boolean invariants — roundtrip identity, re-encryption presence —
+# are, so the oracle checks those over a deterministic doc_id slice)
 # =====================================================================
 
-@query("x_crypto_migration")
+@query(
+    "x_crypto_migration",
+    """
+    SELECT doc_id,
+           true AS roundtrip_ok,
+           true AS reencrypted
+    FROM documents WHERE doc_id < 200 AND text <> ''
+    """,
+)
 def x_crypto_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F22–F26: Salsa20-decrypt → AES-256-CBC re-encrypt pipeline over
     a synthesized encrypted corpus (documents.text Salsa20-encrypted
-    with the fixture keys, mixed with plaintext rows). Output includes
-    roundtrip_ok so the rows-only check still proves decryption
-    correctness end-to-end; the full property test lives in
-    tests/test_crypto.py."""
-    d = Catalog(spark, sf_dir).documents.limit(200)
-    enc = X.make_salsa20_encrypt_udf("fixture-old-key", "fixt-iv")
-    src = d.select(
-        "doc_id",
-        "text",
-        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
-        .otherwise(enc(F.col("text")))
-        .alias("content"),
+    with the fixture keys). The output reduces to SQL-expressible
+    invariant columns — decrypt(encrypt(x)) == x per row and
+    ciphertext non-null — so the DuckDB twin is the constant-true
+    frame over the same deterministic doc_id slice (a limit() would be
+    order-unstable). Every row is encrypted here because the
+    plaintext-passthrough branch is data-dependent (whether garbage
+    base64 "decrypts" depends on the bytes) and so not SQL-checkable;
+    that fallback branch is pinned by
+    tests/test_crypto.py::test_crypto_migration_roundtrip_flags, and
+    byte-level cipher vectors by the ECRYPT known-answer tests."""
+    d = Catalog(spark, sf_dir).documents.filter(
+        (F.col("doc_id") < 200) & (F.col("text") != "")
     )
+    enc = X.make_salsa20_encrypt_udf("fixture-old-key", "fixt-iv")
+    src = d.select("doc_id", "text", enc(F.col("text")).alias("content"))
     out = X.migrate_messages(
         src, "content", "fixture-old-key", "fixt-iv",
         master_key_hex="a" * 64, master_iv_hex="b" * 32,
@@ -2349,7 +2361,9 @@ def a8_depth_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s5_nested_serialization",
     """
     SELECT event_id,
-           [CAST(user_id * 2 AS VARCHAR), CAST(user_id * 3 AS VARCHAR)] AS ref_ids,
+           array_to_string(
+             [CAST(user_id * 2 AS VARCHAR), CAST(user_id * 3 AS VARCHAR)], ','
+           ) AS ref_ids,
            CAST(user_id AS VARCHAR) AS user_ref
     FROM events
     """,
@@ -2357,12 +2371,16 @@ def a8_depth_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s5_nested_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: recursive ObjectId→string serialization
     (mongo_extractor.py:209-237) — schema-level casts with transform()
-    over array columns instead of per-row recursion."""
+    over array columns instead of per-row recursion. The ref array is
+    emitted comma-joined (array_join / array_to_string on both
+    engines) so the result is scalar-hashable by the driver harness."""
     e = Catalog(spark, sf_dir).events
     refs = F.array(F.col("user_id") * 2, F.col("user_id") * 3)
     return e.select(
         "event_id",
-        F.transform(refs, lambda x: x.cast("string")).alias("ref_ids"),
+        F.array_join(
+            F.transform(refs, lambda x: x.cast("string")), ","
+        ).alias("ref_ids"),
         F.col("user_id").cast("string").alias("user_ref"),
     )
 
@@ -2534,10 +2552,11 @@ def a9_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_l2_normalize",
     """
     SELECT vec_id,
-           list_transform(embedding::DOUBLE[],
-             x -> floor(x / sqrt(list_sum(
-                    list_transform(embedding::DOUBLE[], y -> y * y))) * 100000 + 0.5)
-                  / 100000 + 0.0)
+           array_to_string(
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(floor(x / sqrt(list_sum(
+                      list_transform(embedding::DOUBLE[], y -> y * y)))
+                    * 100000 + 0.5) AS BIGINT)), ',')
              AS unit
     FROM embeddings
     """,
@@ -2547,14 +2566,22 @@ def sim_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN preprocessing (cosine becomes dot product). The library
     function binds the norm once per row with a let-binding transform
     (lambda bodies get no codegen CSE, so an inline norm would be
-    O(d²) per row). `+ 0.0` collapses IEEE negative zero: round() sign
-    preservation for tiny negatives differs between engines."""
+    O(d²) per row). Each element is emitted as its 1e5-scaled integer
+    (floor(x·1e5 + 0.5), engine-deterministic) comma-joined to one
+    string — integer stringification is identical across engines,
+    double→string formatting is not, and the driver harness can only
+    hash scalar columns."""
     e = Catalog(spark, sf_dir).embeddings
     return e.select(
         "vec_id",
-        F.transform(
-            SIM.l2_normalize("embedding"),
-            lambda x: S.stable_round(x, 5),
+        F.array_join(
+            F.transform(
+                SIM.l2_normalize("embedding"),
+                lambda x: F.floor(x * F.lit(100000) + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
         ).alias("unit"),
     )
 
@@ -2568,7 +2595,10 @@ def sim_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
       SELECT label, pos, avg(x) AS m FROM ex GROUP BY label, pos
     )
-    SELECT label, list(floor(m * 10000 + 0.5) / 10000 + 0.0 ORDER BY pos) AS centroid
+    SELECT label,
+           array_to_string(
+             list(CAST(floor(m * 10000 + 0.5) AS BIGINT) ORDER BY pos), ',')
+             AS centroid
     FROM m GROUP BY label
     """,
 )
@@ -2576,16 +2606,24 @@ def sim_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label class centroids (similarity.group_centroids) — the
     IVF build step / label prototypes. posexplode + two-level agg:
     partial aggregation collapses each map task to #labels×dim rows
-    before the one shuffle."""
+    before the one shuffle. Elements are emitted as 1e4-scaled
+    integers comma-joined to one scalar string (see sim_l2_normalize
+    for why: driver-hashable, and integer strings are
+    engine-identical)."""
     from mongodb_etl_migration_spark.operators.similarity import group_centroids
 
     e = Catalog(spark, sf_dir).embeddings
     cent = group_centroids(e, "label", "embedding", dim=64)
-    # `+ 0.0` collapses IEEE negative zero (see sim_l2_normalize)
     return cent.select(
         "label",
-        F.transform(
-            F.col("centroid"), lambda x: S.stable_round(x, 4)
+        F.array_join(
+            F.transform(
+                F.col("centroid"),
+                lambda x: F.floor(x * F.lit(10000) + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
         ).alias("centroid"),
     )
 
@@ -2682,9 +2720,10 @@ def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_quantize_int8",
     """
     SELECT vec_id, scale,
-           list_transform(v, x -> CASE WHEN scale = 0 THEN 0
-                                       ELSE CAST(floor(x / scale + 0.5) AS BIGINT)
-                                  END) AS q
+           array_to_string(
+             list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                                         ELSE CAST(floor(x / scale + 0.5) AS BIGINT)
+                                    END), ',') AS q
     FROM (
       SELECT vec_id, embedding::DOUBLE[] AS v,
              list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
@@ -2697,9 +2736,18 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding quantization (similarity.int8_quantize) — the 8×
     memory lever that lets a 100 TB ANN index fit executor memory.
     floor(x+0.5) not round(): IEEE floor is engine-deterministic,
-    round's half-tie mode is not."""
+    round's half-tie mode is not. The int8 array is comma-joined to a
+    scalar string for the driver hash (integer strings are
+    engine-identical; the library operator keeps the real array)."""
     e = Catalog(spark, sf_dir).embeddings
-    return SIM.int8_quantize(e, "vec_id", "embedding")
+    q = SIM.int8_quantize(e, "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform(F.col("q"), lambda x: x.cast("string")), ","
+        ).alias("q"),
+    )
 
 
 @query(
