@@ -52,16 +52,24 @@ class Catalog:
         if name not in self._cache:
             df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
             if name == "events":
-                # nanos-long → microsecond timestamp_ntz (matches how
-                # DuckDB/pandas surface the same column).
-                # integer `div`, NOT `/`: epoch-nanos exceed double's
-                # 53-bit mantissa, so float division drifts by ~256ns.
-                df = df.withColumn(
-                    "ts",
-                    F.timestamp_micros(F.expr("ts div 1000")).cast(
-                        "timestamp_ntz"
-                    ),
-                )
+                ts_type = dict(df.dtypes).get("ts", "")
+                if ts_type == "bigint":
+                    # Older testdata wrote TIMESTAMP(NANOS), which Spark
+                    # surfaces as long under `nanosAsLong` — convert to a
+                    # microsecond timestamp_ntz (matches how DuckDB/pandas
+                    # surface the same column). integer `div`, NOT `/`:
+                    # epoch-nanos exceed double's 53-bit mantissa, so
+                    # float division drifts by ~256ns.
+                    df = df.withColumn(
+                        "ts",
+                        F.timestamp_micros(F.expr("ts div 1000")).cast(
+                            "timestamp_ntz"
+                        ),
+                    )
+                elif not ts_type.startswith("timestamp_ntz"):
+                    # Plain micros TIMESTAMP (current testdata): pin to
+                    # ntz so downstream schemas are zone-independent.
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
             self._cache[name] = df
         return self._cache[name]
 

@@ -158,6 +158,46 @@ def make_salsa20_decrypt_udf(key: str, iv: str):
     return _decrypt
 
 
+def make_salsa20_decrypt_fallback_udf(key: str, iv: str):
+    """Salsa20 decrypt with the plaintext fallback INSIDE the UDF:
+    not-decryptable (or empty-decrypting) input is returned verbatim —
+    data_transformer.py:397-419's try/except branch as one vectorized
+    call.
+
+    Folding the fallback into Python (instead of the previous
+    ``coalesce(nullif(dec(c),''), c)`` wrapper) matters for plan
+    shape: the whole decrypt-or-passthrough is ONE UDF expression, so
+    a single projection alias carries it and downstream consumers
+    reference the attribute, never a second UDF call.
+    """
+    kb, nb = prepare_salsa_key(key), prepare_salsa_iv(iv)
+
+    @pandas_udf(StringType())
+    def _decrypt_fb(col: pd.Series) -> pd.Series:
+        def one(v: str | None) -> str | None:
+            if v is None or v == "":
+                return v
+            try:
+                plain = salsa20_xor(kb, nb, base64.b64decode(v)).decode(
+                    "utf-8"
+                )
+            except Exception:
+                return v
+            return plain if plain != "" else v
+
+        return col.map(one)
+
+    # Nondeterministic ON PURPOSE (it is in fact deterministic): this
+    # stops PushPredicateThroughNonJoin substituting the alias into a
+    # pushed-down filter and CollapseProject inlining it into N
+    # consumers — either would re-evaluate the cipher per consumer.
+    # Round-2 measured exactly that: the messages .pdf gate + its
+    # projection cost 2 ArrowEvalPython stages. With one call site the
+    # old objection to asNondeterministic (it disables dedup of
+    # *multiple* equal calls) no longer applies.
+    return _decrypt_fb.asNondeterministic()
+
+
 def make_url_decrypt_rewrite(key: str, iv: str):
     """F26+F5 combined: Salsa20-decrypt a URL column with plaintext
     fallback (not-decryptable ⇒ keep the raw value), then bucket-
@@ -165,27 +205,22 @@ def make_url_decrypt_rewrite(key: str, iv: str):
     data_transformer.py:397-452. One shared implementation for the
     messages and docs stages so fallback semantics cannot drift.
 
-    Known cost (measured): when a downstream FILTER also references the
-    derived column (the messages .pdf gate), Catalyst evaluates the
-    pandas UDF twice per row — once for the Filter's extracted
-    ArrowEvalPython stage and once for the Projection's. Marking the
-    UDF non-deterministic does NOT help: it blocks predicate pushdown
-    but also disables UDF de-duplication, yielding two calls in one
-    stage instead. The decrypt is a short-string XOR, so the bounded
-    2× is accepted; the real fix would be a JVM-native cipher
-    expression (Spark ships aes_* but no Salsa20).
+    The returned builder contains exactly ONE Python call
+    (``make_salsa20_decrypt_fallback_udf``); the bucket rewrite is a
+    JVM expression on top. Bind it to a column with ``withColumn`` and
+    reference the attribute downstream — the plan then carries a
+    single ArrowEvalPython stage however many filters/projections
+    consume it (verified by tests/test_plan_invariants.py).
     """
     from mongodb_etl_migration_spark.functions.scalars import (
         bucket_url_rewrite,
     )
 
-    dec = make_salsa20_decrypt_udf(key, iv)
+    dec_fb = make_salsa20_decrypt_fallback_udf(key, iv)
 
     def col_builder(url_col) -> "Column":
         c = F.col(url_col) if isinstance(url_col, str) else url_col
-        return bucket_url_rewrite(
-            F.coalesce(F.nullif(dec(c), F.lit("")), c)
-        )
+        return bucket_url_rewrite(dec_fb(c))
 
     return col_builder
 

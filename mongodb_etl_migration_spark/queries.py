@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongodb_etl_migration_spark.catalog import Catalog
@@ -436,39 +436,101 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.4 Keys
 # =====================================================================
 
-@query("k1_uuid5")  # no SQL oracle: DuckDB 1.0 lacks sha1 (rows-only check);
+@query(
+    "k1_uuid5",
+    """
+    SELECT doc_id,
+           '5' AS ver_nibble,
+           true AS variant_ok,
+           1 AS dup_count
+    FROM documents
+    """,
+)
 def k1_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1: deterministic UUID5 surrogate keys
-    (cassandra_id_mapper.py:45-71). ROWS-ONLY BY DESIGN: DuckDB has no
-    sha1, so no SQL oracle can exist — correctness is pinned instead by
-    known-answer tests against Python's uuid.uuid5 vectors and the
-    re-derivation-equality property (validate_migration.py:234-270) in
-    tests/test_keys-covering suites. Do not read the missing driver
-    hash as unverified."""
+    (cassandra_id_mapper.py:45-71). DuckDB has no sha1, so the raw
+    uuid can't be recomputed in SQL; instead the query emits the
+    SQL-checkable RFC-4122 invariants per row — version nibble '5',
+    variant bits in {8,9,a,b}, and a per-uuid duplicate count (any
+    sha1 collision or nondeterminism would surface as dup_count > 1
+    on real rows). Byte-exact uuid values are pinned by known-answer
+    tests against Python's uuid.uuid5 in tests/test_functions_vectors
+    (the reference's own check: validate_migration.py:234-270)."""
     d = Catalog(spark, sf_dir).documents
-    return d.select(
+    u = d.select(
         "doc_id",
         K.uuid5_oid(F.concat(F.col("source"), F.lit(":"), F.col("doc_id"))).alias(
             "row_uuid"
         ),
     )
+    w = Window.partitionBy("row_uuid")
+    return u.select(
+        "doc_id",
+        F.substring("row_uuid", 15, 1).alias("ver_nibble"),
+        F.substring("row_uuid", 20, 1).isin("8", "9", "a", "b").alias(
+            "variant_ok"
+        ),
+        F.count("*").over(w).cast("int").alias("dup_count"),
+    )
 
 
-@query("k2_timeuuid")  # no SQL oracle (UUID bit-layout not SQL-expressible)
+@query(
+    "k2_timeuuid",
+    """
+    SELECT event_id,
+           '1' AS ver_nibble,
+           true AS variant_ok,
+           true AS ts_roundtrip_ok,
+           1 AS dup_count
+    FROM events
+    """,
+)
 def k2_timeuuid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2: deterministic TimeUUIDs from (mongo_id, created_at) —
-    cassandra_id_mapper.py:116-138. ROWS-ONLY BY DESIGN: the RFC-4122
-    v1 bit layout (sha1-derived node/clock-seq) isn't SQL-expressible;
-    determinism + temporal-prefix ordering are pinned by property
-    tests instead. Do not read the missing driver hash as
-    unverified."""
+    cassandra_id_mapper.py:116-138. The sha1-derived node/clock-seq
+    bits aren't SQL-recomputable, but the layout invariants are:
+    version nibble '1', RFC-4122 variant, per-uuid dup count, and —
+    the strong one — a full 60-bit timestamp ROUNDTRIP: the v1 time
+    fields are re-assembled from the uuid string JVM-side (conv base
+    16→10) and must equal the source unix-millis exactly. That checks
+    the temporal-prefix ordering property the reference's Cassandra
+    schema relies on (create_scylla_database.cql:46) row-by-row."""
     e = Catalog(spark, sf_dir).events
-    return e.select(
+    u = e.select(
         "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("src_ms"),
         K.timeuuid_deterministic(
             F.col("event_id").cast("string"),
             F.unix_millis(F.col("ts").cast("timestamp")),
         ).alias("message_uuid"),
+    )
+    # RFC-4122 v1 layout: time_low(1-8) - time_mid(10-13) -
+    # version(15) time_hi(16-18) - variant+clock_seq(20-23) - node.
+    # 60-bit ts = time_hi || time_mid || time_low, in 100ns units
+    # since 1582-10-15 (offset 0x01B21DD213814000).
+    ts100 = F.conv(
+        F.concat(
+            F.substring("message_uuid", 16, 3),
+            F.substring("message_uuid", 10, 4),
+            F.substring("message_uuid", 1, 8),
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("message_uuid")
+    return u.select(
+        "event_id",
+        F.substring("message_uuid", 15, 1).alias("ver_nibble"),
+        F.substring("message_uuid", 20, 1).isin("8", "9", "a", "b").alias(
+            "variant_ok"
+        ),
+        # integer multiply, not `/`: 100-ns ticks exceed double's
+        # 53-bit mantissa, and ts100 == ms*10000 + offset is exact
+        (
+            ts100
+            == F.col("src_ms") * F.lit(10000) + F.lit(0x01B21DD213814000)
+        ).alias("ts_roundtrip_ok"),
+        F.count("*").over(w).cast("int").alias("dup_count"),
     )
 
 
@@ -2030,7 +2092,7 @@ def x_crypto_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     plaintext-passthrough branch is data-dependent (whether garbage
     base64 "decrypts" depends on the bytes) and so not SQL-checkable;
     that fallback branch is pinned by
-    tests/test_crypto.py::test_crypto_migration_roundtrip_flags, and
+    tests/test_functions_vectors.py (plaintext-passthrough test), and
     byte-level cipher vectors by the ECRYPT known-answer tests."""
     d = Catalog(spark, sf_dir).documents.filter(
         (F.col("doc_id") < 200) & (F.col("text") != "")

@@ -42,8 +42,6 @@ def _norm_cell(v: Any) -> str:
         return str(int(v))
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     # numpy scalars (np.int64 / np.float64) reach here on some pandas
     # paths; unwrap via .item() to the matching python branch above.
     item = getattr(v, "item", None)
@@ -61,8 +59,38 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
     return sorted(rows)
 
 
+def _unhashable_cols(df: pd.DataFrame) -> list[str]:
+    """Columns the driver's pandas canonicalizer cannot sort/hash.
+
+    The driver does ``DataFrame.sort_values`` over every column; a cell
+    holding a list/tuple/ndarray raises ``unhashable type`` there
+    (round-2 lesson: 4 queries were locally green but driver-red).
+    Local green must imply driver green, so such columns FAIL here too
+    — queries must serialize arrays (array_join/to_json) on both
+    engines before returning."""
+    bad = []
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object:
+            sample = col.dropna().head(20)
+            if any(
+                isinstance(v, (list, tuple, dict, set))
+                or type(v).__name__ == "ndarray"
+                for v in sample
+            ):
+                bad.append(c)
+    return bad
+
+
 def compare(spark_df, duck_df: pd.DataFrame) -> tuple[bool, str]:
     sp = spark_df.toPandas()
+    for side, frame in (("spark", sp), ("oracle", duck_df)):
+        bad = _unhashable_cols(frame)
+        if bad:
+            return False, (
+                f"driver-unhashable array column(s) in {side} result: {bad} "
+                "— serialize with array_join/to_json on both engines"
+            )
     if sorted(sp.columns) != sorted(duck_df.columns):
         return False, f"schema mismatch: {sorted(sp.columns)} vs {sorted(duck_df.columns)}"
     if len(sp) != len(duck_df):
