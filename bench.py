@@ -167,6 +167,12 @@ def main() -> None:
                 "shuffle_bytes": shuffles,
                 "scan_tasks": scan_tasks,
                 "peak_jvm_heap_bytes": ui.peak_heap(),
+                # timing policy, so round-over-round deltas are
+                # attributable: per query 1 untimed cold run (JIT,
+                # file listing, broadcast warmup) then MIN of 2 warm
+                "warmup_runs": 1,
+                "timed_runs": 2,
+                "aggregation": "min",
             }
         )
     )

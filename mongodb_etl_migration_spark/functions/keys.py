@@ -75,6 +75,7 @@ def assign_sequential_ids(
     order_by: list[Column | str],
     id_col: str = "id",
     start: int = 1,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Contiguous sequential int ids, deterministic given sort order —
     etl/utils/cassandra_id_mapper.py:212-230,257-267 (global counter
@@ -101,8 +102,18 @@ def assign_sequential_ids(
     data is written once to executor-local storage — the price of a
     consistent global numbering, same as any distributed sort that
     must be read twice).
+
+    ``num_partitions`` sizes the range shuffle; it defaults to
+    ``spark.sql.shuffle.partitions``. Callers numbering a KNOWN
+    dimension-sized set (e.g. a folder tree) should pass a small
+    value — every range partition is a task in three jobs here
+    (checkpoint, counts, emission), so 32 partitions of 100 rows is
+    pure scheduling overhead, while at fact-table scale the default
+    keeps the sort parallel.
     """
-    n_part = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    n_part = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     ranged = df.repartitionByRange(int(n_part), *order_by).withColumn(
         "__pid", F.spark_partition_id()
     )

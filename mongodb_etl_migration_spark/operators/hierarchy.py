@@ -1,17 +1,19 @@
-"""Iterative materialized-path hierarchy resolution — SURVEY.md J9.
+"""Materialized-path hierarchy resolution — SURVEY.md J9.
 
 The reference migrates a folder tree whose parentage is encoded as a
-string path ('/a/b/c') by looping over depth levels with an accumulating
-path→id dict (etl/orchestrator.py:743-1000). Spark SQL has no recursive
-CTE, so the level loop stays in the driver — but each level is a
-DataFrame join, and the loop is bounded by max path depth (tiny), not
-row count. The accumulated map is a DataFrame that stays distributed;
-nothing is collected.
+string path ('/a/b/c') by looping over depth levels with an
+accumulating path→id dict (etl/orchestrator.py:743-1000). The loop
+exists only because the reference assigns ids AS it walks; parentage
+itself is purely structural — a folder's parent is the folder whose
+path equals parent_path(path). Once ids are assigned up front, the
+whole tree resolves with ONE self-join: no driver loop, no per-level
+checkpoints, plan depth independent of tree depth.
 
-Determinism: ids are assigned by dense ordering over (depth, path), so
-re-runs and the DuckDB oracle (which expresses the same thing with
-row_number over the full set — legal there because id assignment is
-order-defined, not arrival-defined; SURVEY §7.4.1/.3) agree exactly.
+Determinism: ids are assigned by dense ordering over (depth, path) via
+depth-partitioned numbering plus cumulative level offsets (no
+single-task global window, no sampled range bounds), so re-runs and
+the DuckDB oracle (row_number over the full set) agree exactly — id
+assignment is order-defined, not arrival-defined (SURVEY §7.4.1/.3).
 """
 
 from __future__ import annotations
@@ -33,56 +35,72 @@ def resolve_folder_tree(
     Output: path, depth, folder_id, parent_id (0 for roots/orphans —
     the reference's default-to-root rule, orchestrator.py:893-933).
 
-    Level-by-level driver loop mirroring _process_docs_hierarchical:
-    level N joins against the union of already-resolved levels < N.
-    Each iteration is one broadcast join (a level of a folder tree is
-    dimension-sized even at 100 TB of documents).
+    Plan shape — fully declarative, ONE Spark job at action time:
+
+    1. distinct paths + depth/parent_path derivation;
+    2. dense ids by (depth, path) WITHOUT a global sort OR sampling:
+       row_number partitioned BY DEPTH (parallel across levels, and a
+       single level of any real folder tree fits one task) plus a
+       cumulative per-depth offset from a #depths-row aggregate —
+       deterministic by construction, so unlike range-partitioned
+       numbering it needs no checkpoint pinning and adds no eager
+       driver jobs;
+    3. one broadcast self-join on parent_path (the folder set is
+       dimension-sized even at 100 TB of documents; if a tree ever
+       outgrew broadcast, drop the hint and the same join shuffles).
     """
     base = (
         folders.select(F.col(path_col).alias("path"))
         .distinct()
         .withColumn("depth", path_depth("path"))
-        .withColumn("parent_path", parent_path("path"))
-    )
-    # Deterministic id assignment: dense numbering ordered by
-    # (depth, path). Folder sets are small; for huge trees swap the
-    # global window for functions.keys.assign_sequential_ids.
-    w = Window.orderBy("depth", "path")
-    base = base.withColumn(
-        "folder_id", (F.row_number().over(w) + F.lit(id_start - 1)).cast("bigint")
-    ).persist()
-
-    max_depth_row = base.agg(F.max("depth")).head()[0]
-    max_depth = max_depth_row if max_depth_row is not None else -1
-    resolved: DataFrame | None = None
-    # levels start at the MINIMUM depth present (a root row '/' is
-    # depth 0 — it must be emitted AND serve as its children's parent,
-    # not silently dropped while still consuming a folder_id)
-    for level in range(0, max_depth + 1):
-        lvl = base.filter(F.col("depth") == level)
-        if resolved is None:
-            lvl = lvl.withColumn("parent_id", F.lit(0).cast("bigint"))
-        else:
-            parents = resolved.select(
-                F.col("path").alias("parent_path"),
-                F.col("folder_id").alias("parent_id"),
-            )
-            lvl = lvl.join(F.broadcast(parents), "parent_path", "left").withColumn(
-                "parent_id", F.coalesce(F.col("parent_id"), F.lit(0)).cast("bigint")
-            )
-        lvl = lvl.select("path", "depth", "folder_id", "parent_id")
-        resolved = lvl if resolved is None else resolved.unionByName(lvl)
-        # pin each round: without this the next level's broadcast
-        # re-executes every prior level's join and the plan doubles
-        # (the repo's iterative-loop pitfall, as in dedup._cc_*)
-        resolved = resolved.localCheckpoint()
-
-    base.unpersist()
-    if resolved is None:  # empty input
-        return base.select(
-            "path", "depth", "folder_id", F.lit(0).cast("bigint").alias("parent_id")
+        .withColumn(
+            "parent_path",
+            # parent_path('/') is '/' itself — null the root's parent
+            # lookup or the self-join would make the root its own
+            # parent instead of the reference's parent_id = 0
+            F.when(path_depth("path") == 0, F.lit(None).cast("string")).otherwise(
+                parent_path("path")
+            ),
         )
-    return resolved
+    )
+    w_depth = Window.partitionBy("depth").orderBy("path")
+    # persist: base feeds three subtrees (offset agg, parent map,
+    # main) — without it each broadcast build re-runs the upstream
+    # distinct. Lazy, so the caller's first action materializes it;
+    # Spark's CacheManager dedups repeated resolves of the same plan.
+    base = base.withColumn("__rn", F.row_number().over(w_depth)).persist()
+    # cumulative rows in shallower depths — a window over the tiny
+    # per-depth count aggregate (#depths rows), not over the data
+    w_cum = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("depth")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("depth")
+        .agg(F.count("*").alias("__cnt"))
+        .withColumn("__off", F.coalesce(F.sum("__cnt").over(w_cum), F.lit(0)))
+        .select("depth", "__off")
+    )
+    base = (
+        base.join(F.broadcast(offsets), "depth")
+        .withColumn(
+            "folder_id",
+            (F.col("__rn") + F.col("__off") + F.lit(id_start - 1)).cast("bigint"),
+        )
+        .drop("__rn", "__off")
+    )
+    parents = base.select(
+        F.col("path").alias("parent_path"),
+        F.col("folder_id").alias("parent_id"),
+    )
+    return (
+        base.join(F.broadcast(parents), "parent_path", "left")
+        .withColumn(
+            "parent_id", F.coalesce(F.col("parent_id"), F.lit(0)).cast("bigint")
+        )
+        .select("path", "depth", "folder_id", "parent_id")
+    )
 
 
 def resolve_files_to_folders(

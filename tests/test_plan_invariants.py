@@ -46,3 +46,25 @@ def test_plan_invariants(name, spark, sf_dir):
                 f"{name}: unexpected Python stage {node} — add to ARROW_OK "
                 "only if the Python hop is genuinely required"
             )
+
+
+def test_no_global_window_in_package():
+    """``Window.orderBy(...)`` without a partitionBy plans a single-task
+    sort of the full input — the classic 100 TB scale-killer. Every
+    window in the package must start from ``Window.partitionBy``;
+    global dense numbering goes through keys.assign_sequential_ids
+    (range-partitioned) instead."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / (
+        "mongodb_etl_migration_spark"
+    )
+    offenders = [
+        str(f)
+        for f in pkg.rglob("*.py")
+        if "Window.orderBy" in f.read_text(encoding="utf-8")
+    ]
+    assert offenders == [], (
+        f"global (un-partitioned) Window in: {offenders} — use "
+        "Window.partitionBy or assign_sequential_ids"
+    )
