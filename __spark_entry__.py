@@ -30,40 +30,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
-# Enumeration order for the driver's correctness run. Round 1's run
-# capped at 50 of 71 queries and left 21 with no correctness row at
-# all (VERDICT.md "What's missing" #1), so queries with no driver
-# evidence yet — plus the five whose round-1 hash-fail fixes need a
-# fresh green row — enumerate FIRST; long-green queries go last.
+# Enumeration order for the driver's correctness run. The driver may
+# cap the number of queries it checks per round, so queries with no
+# green driver row yet enumerate FIRST: round 3's fixes are the four
+# formerly array-typed outputs (now scalar-serialized), the crypto
+# migration (first oracle), the upgraded uuid invariant queries, and
+# the new PNG codec query; long-green queries go last.
 _PRIORITY = [
-    # round-1 hash-fails, fixed this round — need fresh rows
-    "a1_pricing_summary",
-    "a6_conditional_agg",
-    "p7_filter_then_project",
-    "e_windowed_counts",
-    "e_sessionization",
-    # never driver-checked in round 1
-    "p6_role_filter",
-    "p9_empty_normalize",
+    # never green before round 3 — fixed/added this round
     "s5_nested_serialization",
-    "s6_extended_json_ingest",
-    "j8_membership_merge",
-    "j9b_file_resolution",
-    "j12_relation_build",
-    "j13_asof_join",
-    "j14_interval_join",
-    "a8_depth_groups",
-    "a9_rollup_totals",
-    "o1_sort_by_derived_key",
-    "o3_limit_sample",
-    "d6_dedup_clusters",
-    "sim_group_centroids",
     "sim_l2_normalize",
-    "t_deterministic_sample",
-    "t_stratified_sample",
-    "t_top_bigrams",
-    "t_train_test_split",
+    "sim_group_centroids",
+    "sim_quantize_int8",
     "x_crypto_migration",
+    "k1_uuid5",
+    "k2_timeuuid",
+    "m_image_decode_png",
 ]
 
 
@@ -90,7 +72,7 @@ _ROUND1_GREEN = {
     "p4_message_predicate", "p2_coalesce_projection",
     "f_string_normalize", "f_gender_room_type", "f_url_rewrite",
     "f_path_functions", "f_mime_and_defaults", "f_deleted_user_redaction",
-    "f_json_extract", "k1_uuid5", "k2_timeuuid", "k3_sequential_ids",
+    "f_json_extract", "k3_sequential_ids",
     "j1_fk_resolution", "j3_normalized_key_join", "j4_m2m_explode",
     "j5_top1_per_group", "j6_denormalized_view", "j7_pair_generation",
     "j9_hierarchy_resolution", "j10_orphan_check", "j11_semi_membership",

@@ -6,11 +6,12 @@ row stays small); typed metadata travels in a sibling struct; decode /
 feature-extraction runs as Arrow-batched ``mapInPandas`` so each task
 processes whole record batches without JVM↔Python per-row cost.
 
-Codec status: BMP (uncompressed 24-bit) and WAV (PCM16) are decoded
-FOR REAL with stdlib struct/wave + numpy — ``decode_images`` /
-``decode_audio`` / the BMP path of ``resize_images`` parse actual
-bytes and return actual dimensions/samples. Formats that need PIL/
-ffmpeg (JPEG, PNG, MP4, ...) are not decodable in this container and
+Codec status: BMP (uncompressed 24-bit), PNG (non-interlaced 8-bit
+gray/RGB/RGBA, full scanline unfiltering) and WAV (PCM16) are decoded
+FOR REAL with stdlib struct/zlib/wave + numpy — ``decode_images`` /
+``decode_audio`` / ``resize_images`` parse actual bytes and return
+actual dimensions/samples. Formats that need PIL/
+ffmpeg (JPEG, MP4, ...) are not decodable in this container and
 fall through to a clearly-marked deterministic stub; the Spark-side
 contract (schema, batch iteration, partition sizing) is identical for
 both paths, so swapping the stub for a production codec is a pure
@@ -140,6 +141,126 @@ def encode_bmp(px: np.ndarray) -> bytes:
     return header + info + data
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png(raw: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decoder for non-interlaced 8-bit PNG (grayscale, RGB or
+    RGBA) — stdlib zlib + struct only, written from the PNG spec
+    (RFC 2083): chunk walk, IDAT inflate, and full scanline
+    unfiltering (None/Sub/Up/Average/Paeth). Returns (width, height,
+    HxWx3 uint8 RGB; gray replicated, alpha dropped). Raises
+    ValueError on any other PNG flavor (caller falls back)."""
+    if len(raw) < 8 or raw[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(raw):
+        length, ctype = struct.unpack_from(">I4s", raw, pos)
+        pos += 8
+        if pos + length + 4 > len(raw):
+            raise ValueError("truncated PNG chunk")
+        body = raw[pos : pos + length]
+        pos += length + 4  # skip CRC (integrity is the transport's job)
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported PNG variant")
+            channels = {0: 1, 2: 3, 6: 4}.get(color)
+            if channels is None:
+                raise ValueError("unsupported PNG color type")
+            if w <= 0 or h <= 0:
+                raise ValueError("degenerate PNG dimensions")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    import zlib
+
+    data = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * channels
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    scan = data.reshape(h, stride + 1)
+    filters, rows = scan[:, 0], scan[:, 1:].astype(np.int16)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
+    bpp = channels
+    for y in range(h):
+        f, row = int(filters[y]), rows[y]
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: + recon[x - bpp] → cumsum over pixel groups
+            rec = row.reshape(-1, bpp).cumsum(axis=0).reshape(-1)
+        elif f == 2:  # Up
+            rec = row + prev
+        elif f == 3:  # Average: sequential in x (depends on same row)
+            rec = row.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth predictor: sequential in x
+            rec = row.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        prev = (rec & 0xFF).astype(np.int16)
+        out[y] = prev
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif channels == 4:
+        px = px[:, :, :3]
+    return int(w), int(h), px.copy()
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Inverse of :func:`parse_png`: HxWx3 uint8 RGB → 8-bit RGB PNG
+    (filter 0 scanlines, one zlib IDAT)."""
+    import zlib
+
+    h, w = px.shape[:2]
+    scan = np.zeros((h, w * 3 + 1), dtype=np.uint8)
+    scan[:, 1:] = px.reshape(h, w * 3)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+
+
+def parse_image(raw: bytes) -> tuple[int, int, np.ndarray]:
+    """Dispatch to whichever real codec matches the payload's magic
+    bytes (BMP, PNG); ValueError if neither claims it."""
+    if raw[:2] == b"BM":
+        return parse_bmp(raw)
+    if raw[:8] == _PNG_SIG:
+        return parse_png(raw)
+    raise ValueError("no codec for payload")
+
+
 def parse_wav(raw: bytes) -> tuple[int, int, np.ndarray]:
     """REAL decoder for PCM16 WAV via the stdlib ``wave`` module:
     returns (n_channels, sample_rate, int16 sample array)."""
@@ -168,11 +289,12 @@ IMAGE_SCHEMA = StructType(
 
 
 def decode_images(multimodal: DataFrame) -> DataFrame:
-    """REAL image decode for BMP payloads (parse_bmp): actual
-    dimensions + per-channel means from actual pixels. Non-BMP
-    payloads yield NULL dimensions (honest 'undecodable here' signal)
-    rather than fake numbers — filter ``width IS NOT NULL`` for the
-    decodable subset."""
+    """REAL image decode for BMP and PNG payloads (parse_image):
+    actual dimensions + per-channel means from actual pixels.
+    Payloads in other formats (would need PIL/libjpeg) yield NULL
+    dimensions (honest 'undecodable here' signal) rather than fake
+    numbers — filter ``width IS NOT NULL`` for the decodable
+    subset."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -182,7 +304,7 @@ def decode_images(multimodal: DataFrame) -> DataFrame:
                 out["doc_id"].append(doc_id)
                 out["content_digest"].append(hashlib.md5(raw).hexdigest())
                 try:
-                    w, h, px = parse_bmp(raw)
+                    w, h, px = parse_image(raw)
                     means = px.reshape(-1, 3).mean(axis=0)
                     out["width"].append(w)
                     out["height"].append(h)
@@ -259,19 +381,22 @@ RESIZED_SCHEMA = StructType(
 def resize_images(
     multimodal: DataFrame, target_w: int = 224, target_h: int = 224
 ) -> DataFrame:
-    """Resize via mapInPandas. BMP payloads are resized FOR REAL:
-    parse_bmp → nearest-neighbor resample (numpy index grids — the
-    same algorithm PIL's NEAREST uses) → re-encoded BMP. Other formats
-    (would need PIL) fall back to the deterministic truncate/pad stub
-    so byte-level goldens hold. Spark-side contract (schema, Arrow
-    batching, partition preservation) is identical for both paths."""
+    """Resize via mapInPandas. BMP and PNG payloads are resized FOR
+    REAL: parse_image → nearest-neighbor resample (numpy index grids —
+    the same algorithm PIL's NEAREST uses) → re-encoded in the source
+    container (BMP→BMP, PNG→PNG). Other formats (would need PIL) fall
+    back to the deterministic truncate/pad stub so byte-level goldens
+    hold. Spark-side contract (schema, Arrow batching, partition
+    preservation) is identical for both paths."""
 
     def one(raw: bytes) -> bytes:
         try:
-            w, h, px = parse_bmp(raw)
+            w, h, px = parse_image(raw)
             ys = (np.arange(target_h) * h) // target_h
             xs = (np.arange(target_w) * w) // target_w
-            return encode_bmp(px[ys][:, xs])
+            resampled = px[ys][:, xs]
+            enc = encode_png if raw[:8] == _PNG_SIG else encode_bmp
+            return enc(resampled)
         except ValueError:
             n = target_w * target_h // 64  # stub byte budget
             return raw[:n].ljust(n, b"\x00")

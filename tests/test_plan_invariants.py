@@ -26,6 +26,7 @@ ARROW_OK = {
     "x_crypto_migration",  # Salsa20 (pure-Python spec cipher, F22)
     "m_multimodal_decode",   # mapInPandas decode plumbing
     "m_image_decode_real",   # real BMP codec (mapInPandas)
+    "m_image_decode_png",    # real PNG codec (mapInPandas)
     "m_audio_decode_real",   # real WAV codec (mapInPandas)
     "e_sessionization",      # batch twin is pure SQL — listed in case
 }

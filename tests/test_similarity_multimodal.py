@@ -304,3 +304,153 @@ def test_chunk_documents_overlap_and_coverage(spark):
     # short doc: one chunk; empty doc: none
     assert [r.n_tokens for r in by_doc[2]] == [2]
     assert 3 not in by_doc
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def test_png_roundtrip_and_all_filters():
+    """parse_png must invert encode_png byte-exactly AND unapply every
+    PNG scanline filter (Sub/Up/Average/Paeth) — filters are where
+    hand-rolled PNG decoders usually break, so each row of the
+    handcrafted image uses a different one."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_png,
+        parse_png,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (13, 9, 3), dtype=np.uint8)
+    w, h, back = parse_png(encode_png(px))
+    assert (w, h) == (9, 13) and np.array_equal(back, px)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    H, W, bpp = 5, 7, 3
+    img = rng.randint(0, 256, (H, W, 3), dtype=np.uint8)
+    scan = bytearray()
+    prev = [0] * (W * bpp)
+    for y in range(H):
+        row = [int(v) for v in img[y].reshape(-1)]
+        f = y % 5  # row y uses filter y mod 5 — all five exercised
+        scan.append(f)
+        for x in range(W * bpp):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = (row[x] - left) & 0xFF
+            elif f == 2:
+                v = (row[x] - up) & 0xFF
+            elif f == 3:
+                v = (row[x] - ((left + up) >> 1)) & 0xFF
+            else:
+                v = (row[x] - paeth(left, up, ul)) & 0xFF
+            scan.append(v)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", W, H, 8, 2, 0, 0, 0)
+    raw = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, back = parse_png(raw)
+    assert np.array_equal(back, img)
+
+
+def test_png_gray_rgba_and_dispatch():
+    """Grayscale replicates to 3 channels, RGBA drops alpha, and
+    parse_image dispatches by magic bytes / rejects unknown formats."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        parse_image,
+        parse_png,
+    )
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, (4, 6), dtype=np.uint8)
+    scan = np.zeros((4, 7), dtype=np.uint8)
+    scan[:, 1:] = gray
+    raw = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 4, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(scan.tobytes()))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, g = parse_png(raw)
+    assert g.shape == (4, 6, 3)
+    assert np.array_equal(g[:, :, 0], gray) and np.array_equal(g[:, :, 2], gray)
+
+    rgba = rng.randint(0, 256, (3, 5, 4), dtype=np.uint8)
+    scan = np.zeros((3, 21), dtype=np.uint8)
+    scan[:, 1:] = rgba.reshape(3, 20)
+    raw = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 3, 8, 6, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(scan.tobytes()))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, a = parse_png(raw)
+    assert a.shape == (3, 5, 3) and np.array_equal(a, rgba[:, :, :3])
+
+    # dispatch: PNG magic routes to parse_png, garbage is rejected
+    assert parse_image(raw)[2].shape == (3, 5, 3)
+    with pytest.raises(ValueError):
+        parse_image(b"JUNKJUNKJUNKJUNK")
+    # interlaced PNGs are declared unsupported, not mis-decoded
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 3, 8, 2, 0, 0, 1))
+        + _png_chunk(b"IDAT", b"x")
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        parse_png(bad)
+
+
+def test_png_resize_real(spark):
+    """resize_images must route PNG payloads through the real codec:
+    nearest-neighbor downsample of a gradient, re-encoded as PNG."""
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_png,
+        parse_png,
+        resize_images,
+    )
+
+    px = np.zeros((16, 16, 3), dtype=np.uint8)
+    px[:, :, 0] = np.arange(16, dtype=np.uint8)[None, :]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(px)))], "doc_id long, payload binary"
+    )
+    out = resize_images(df, target_w=4, target_h=4).collect()[0]
+    w, h, small = parse_png(bytes(out["payload"]))
+    assert (w, h) == (4, 4)
+    # nearest-neighbor on an x-gradient: columns 0,4,8,12
+    assert list(small[0, :, 0]) == [0, 4, 8, 12]
