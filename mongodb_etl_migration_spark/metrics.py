@@ -9,12 +9,17 @@ caller passes known counts) plus a queries-facing DataFrame view.
 
 from __future__ import annotations
 
+import itertools
 import json
 import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+
+# process-wide: Observation names must be unique per SparkSession,
+# and a session outlives any single RunMetrics instance
+_OBS_COUNTER = itertools.count()
 
 
 @dataclass
@@ -49,7 +54,13 @@ class RunMetrics:
         long loop would charge every entity with all subsequent
         entities' writes.
         """
-        obs = Observation(f"metrics_{entity}_{len(self._pending_seq)}")
+        # uniquified with a process-wide counter, not a per-instance
+        # one: Observation names must never recycle within a
+        # SparkSession, and two RunMetrics objects in one session
+        # would otherwise mint the same names and cross-wire counts
+        obs = Observation(
+            f"metrics_{entity}_{next(_OBS_COUNTER)}"
+        )
         self._pending.append((entity, obs, time.time()))
         self._pending_seq.append(entity)
         return df.observe(obs, F.count(F.lit(1)).alias("rows"))

@@ -57,7 +57,13 @@ def interval_join(
     b_start = F.floor(epoch(start_col) / w)
     b_end = F.floor(epoch(end_col) / w)
     guarded_end = F.when(
-        b_end - b_start > max_buckets_per_interval,
+        # abs(): a REVERSED interval with a sentinel start
+        # ('9999-12-31' start, normal end) yields a large NEGATIVE
+        # delta that would slip past a one-sided guard, and
+        # sequence(b_start, b_end) then explodes a huge descending
+        # array — the exact OOM this guard exists to stop. Reversed
+        # intervals can never match a point, so they fail loudly too.
+        F.abs(b_end - b_start) > max_buckets_per_interval,
         F.raise_error(
             F.concat(
                 F.lit(

@@ -1475,10 +1475,10 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
-@query("sim_topk_lsh")  # ROWS-ONLY BY DESIGN: plane constants are looked
-# up at runtime from the embeddings table, so no static SQL twin exists;
-# semantics verified by the bruteforce twin + tests (bucketed result ⊆
-# bruteforce ranking). Not unverified — differently verified.
+@query("sim_topk_lsh")  # rows-only: plane constants are looked up at
+# runtime from the embeddings table, so no static SQL twin exists;
+# semantics covered by the bruteforce twin + the subset property test
+# (bucketed result ⊆ bruteforce ranking) in test_similarity_multimodal.
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: probe only the query's hyperplane bucket —
     the IVF-style scale path (bucket column doubles as a physical
@@ -2278,7 +2278,7 @@ def j8_membership_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH target AS (
       SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
     ), upd AS (
-      SELECT CASE WHEN o_custkey % 3 = 1 THEN o_custkey + 100000
+      SELECT CASE WHEN o_custkey % 3 = 1 THEN -o_custkey
                   ELSE o_custkey END AS c_custkey,
              'UPSERT#' || CAST(o_custkey AS VARCHAR) AS c_name,
              CASE WHEN o_custkey % 5 = 0 THEN NULL
@@ -2302,14 +2302,16 @@ def j8b_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ON CONFLICT (id) DO UPDATE): matched customers take the update's
     name/acctbal UNCONDITIONALLY — including the every-5th NULL
     acctbal, which must overwrite (the coalesce-style merge would
-    keep the old value) — unmatched update keys (every 3rd shifted
-    +100000) are INSERTED with NULL for target-only columns, and
-    untouched customers pass through."""
+    keep the old value) — unmatched update keys (every 3rd NEGATED,
+    which stays outside the positive custkey domain at every scale
+    factor; a fixed "+100000" shift would collide with real keys
+    once custkey max passes 100k) are INSERTED with NULL for
+    target-only columns, and untouched customers pass through."""
     cat = Catalog(spark, sf_dir)
     o = cat.orders
     upd = (
         o.groupBy(
-            F.when(F.col("o_custkey") % 3 == 1, F.col("o_custkey") + 100000)
+            F.when(F.col("o_custkey") % 3 == 1, -F.col("o_custkey"))
             .otherwise(F.col("o_custkey"))
             .alias("c_custkey"),
             F.concat(F.lit("UPSERT#"), F.col("o_custkey").cast("string")).alias(

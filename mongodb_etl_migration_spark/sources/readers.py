@@ -55,7 +55,14 @@ def read_json_documents(
     reader = spark.read.option("mode", "PERMISSIVE")
     if schema is not None:
         if "_corrupt_record" not in schema.fieldNames():
-            schema = schema.add(StructField("_corrupt_record", StringType()))
+            # copy, don't .add(): StructType.add mutates in place and
+            # returns self, so the CALLER's schema object would grow a
+            # _corrupt_record field it then trips over elsewhere
+            # (align_to_schema, a second read with the same object)
+            schema = StructType(
+                list(schema.fields)
+                + [StructField("_corrupt_record", StringType())]
+            )
         reader = reader.schema(schema).option(
             "columnNameOfCorruptRecord", "_corrupt_record"
         )
