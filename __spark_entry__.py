@@ -46,6 +46,7 @@ _PRIORITY = [
     "k1_uuid5",
     "k2_timeuuid",
     "m_image_decode_png",
+    "sim_topk_lsh",
 ]
 
 
@@ -80,7 +81,7 @@ _ROUND1_GREEN = {
     "a5_collect_per_group", "a7_first_wins_dedup", "o2_global_topk",
     "u1_subtract", "u2_union_side_outputs", "d1_exact_dedup",
     "d2_minhash_lsh_pairs", "d3_simhash", "d4_ngram_jaccard",
-    "sim_topk_bruteforce", "sim_topk_lsh", "sim_embedding_neardup",
+    "sim_topk_bruteforce", "sim_embedding_neardup",
     "t_text_stats", "t_curation_pipeline", "t_length_histogram",
     "t_lang_id", "t_fingerprint", "m_multimodal_decode",
 }

@@ -296,7 +296,12 @@ def minhash_dedup_pairs(
     added."""
     df = df.filter(F.size(tokens(F.col(text_col))) >= k)
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    # inputFiles(), not df.rdd.getNumPartitions(): the RDD accessor
+    # instantiates the physical RDD just to read a number. File count
+    # approximates scan splits for file-backed sources; an in-memory
+    # frame (no files) is already sized by createDataFrame.
+    n_files = len(df.inputFiles())
+    if 0 < n_files < parallelism:
         df = df.repartition(parallelism)
     sig = minhash_signatures_narrow(df, id_col, text_col, k, num_hashes)
     band = lsh_bands(sig, id_col, num_hashes, bands)

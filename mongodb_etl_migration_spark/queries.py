@@ -1475,14 +1475,45 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
-@query("sim_topk_lsh")  # rows-only: plane constants are looked up at
-# runtime from the embeddings table, so no static SQL twin exists;
-# semantics covered by the bruteforce twin + the subset property test
-# (bucketed result ⊆ bruteforce ranking) in test_similarity_multimodal.
+@query(
+    "sim_topk_lsh",
+    """
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), planes AS (
+      SELECT vec_id, embedding::DOUBLE[] AS pv
+      FROM embeddings WHERE vec_id IN (1, 2, 3, 4)
+    ), buckets AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+             string_agg(
+               CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pv) >= 0
+                    THEN '1' ELSE '0' END, '' ORDER BY p.vec_id) AS bucket
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id, e.embedding
+    ), qb AS (
+      SELECT string_agg(
+               CASE WHEN list_dot_product(q.qv, p.pv) >= 0
+                    THEN '1' ELSE '0' END, '' ORDER BY p.vec_id) AS bucket
+      FROM q CROSS JOIN planes p
+    )
+    SELECT b.vec_id,
+           floor((list_dot_product(b.v, q.qv)
+                  / (sqrt(list_dot_product(b.v, b.v))
+                     * sqrt(list_dot_product(q.qv, q.qv)))) * 10000 + 0.5)
+             / 10000 + 0.0 AS cos_sim
+    FROM buckets b, q, qb
+    WHERE b.bucket = qb.bucket
+    ORDER BY cos_sim DESC, b.vec_id LIMIT 10
+    """,
+)
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: probe only the query's hyperplane bucket —
     the IVF-style scale path (bucket column doubles as a physical
-    partition key for file pruning)."""
+    partition key for file pruning). The oracle re-derives the planes
+    (vec_ids 1-4, the same rows _planes collects), the query bucket,
+    and the bucket-filtered cosine top-k entirely in SQL — the LSH
+    probe is deterministic data→data, so it IS SQL-expressible even
+    though the Spark side parameterizes the planes at runtime."""
     emb = Catalog(spark, sf_dir).embeddings
     return SIM.ann_topk_lsh(
         emb, _query_vec(spark, sf_dir), _planes(spark, sf_dir), k=10

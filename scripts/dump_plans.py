@@ -75,7 +75,51 @@ NOTES = {
         "left-anti (inserts) unioned — the target scans once; no "
         "full-table shuffle."
     ),
+    "j9_hierarchy_resolution": (
+        "Hierarchy as ONE declarative plan: depth-partitioned "
+        "row_number (parallel across levels) + cumulative level "
+        "offsets from a #depths-row aggregate + one broadcast "
+        "self-join on parent_path — no driver loop, no global sort, "
+        "no per-level checkpoints; plan depth independent of tree "
+        "depth."
+    ),
+    "k2_timeuuid": (
+        "UUID invariant check: ONE ArrowEvalPython stage (the "
+        "timeuuid pandas UDF); the 60-bit timestamp roundtrip and "
+        "version/variant checks are JVM expressions over the uuid "
+        "string; dup-count window shuffles on the uuid itself "
+        "(unique keys — no skew)."
+    ),
 }
+
+
+def messages_pipeline_section(spark) -> str:
+    """Receipt for the messages entity plan: exactly ONE Salsa20
+    decrypt stage (round-2 defect: pushdown substitution doubled it)."""
+    from datetime import datetime
+
+    from mongodb_etl_migration_spark.fixtures import all_sources
+    from mongodb_etl_migration_spark.pipeline import run_reference_pipeline
+
+    out = run_reference_pipeline(all_sources(spark), datetime(2024, 1, 1))
+    plan = (
+        out["messages_by_room"]._jdf.queryExecution().executedPlan().toString()
+    )
+    n_dec = plan.count("_decrypt_fb")
+    n_arrow = plan.count("ArrowEvalPython")
+    arrow_lines = "\n".join(
+        ln.strip()[:160]
+        for ln in plan.splitlines()
+        if "ArrowEvalPython" in ln
+    )
+    return (
+        "\n## messages entity pipeline (not a catalog query)\n\n"
+        "The hottest Python work on the 100 TB path: the Salsa20 URL "
+        f"decrypt must appear EXACTLY once. Measured: {n_dec} "
+        f"_decrypt_fb stage(s), {n_arrow} ArrowEvalPython total "
+        "(decrypt + uuid5 + timeuuid keys).\n\n"
+        f"```\n{arrow_lines}\n```\n"
+    )
 
 
 def main() -> None:
@@ -103,6 +147,7 @@ def main() -> None:
         out.append(f"\n## {name}\n\n{note}\n\n```\n{tree}\n```\n")
         if scan_bits:
             out.append("Scan details:\n\n```\n" + "\n".join(scan_bits) + "\n```\n")
+    out.append(messages_pipeline_section(spark))
     Path(__file__).resolve().parents[1].joinpath("PLANS.md").write_text(
         "\n".join(out)
     )
