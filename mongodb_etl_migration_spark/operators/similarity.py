@@ -136,6 +136,10 @@ def embedding_neardup_pairs(
     ).select(
         F.col(id_col), "v", "bucket", norm(F.col("v")).alias("nrm")
     )
+    # shuffle on the bucket BEFORE the per-side renames: identical
+    # exchanges on both sides → ReuseExchange computes the
+    # bucket+norm projection once (see dedup.lsh_candidate_pairs)
+    b = b.repartition(F.col("bucket"))
     left = b.select(
         F.col("bucket"),
         F.col(id_col).alias("id_a"),
