@@ -29,14 +29,21 @@ def run_incremental(
 ) -> StreamingQuery:
     """Apply a batch entity plan incrementally via foreachBatch.
 
-    Exactly-once to the parquet sink comes from the checkpoint +
-    idempotent overwrite-by-batch pattern; trigger_once makes it a
-    catch-up batch job (the reference's whole pipeline shape, but
-    restartable and incremental).
+    Exactly-once to the parquet sink: the checkpoint dedups INPUT
+    (source offsets), and each micro-batch lands in its own
+    ``batch_id=N`` directory with overwrite — so a batch REPLAYED
+    after a mid-write crash rewrites the same directory instead of
+    appending duplicates (a bare ``mode("append")`` is only
+    at-least-once). Readers scan ``sink_path`` and partition
+    discovery exposes batch_id as a column they can ignore.
+    trigger_once makes it a catch-up batch job (the reference's whole
+    pipeline shape, but restartable and incremental).
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        transform(batch_df).write.mode("append").parquet(sink_path)
+        transform(batch_df).write.mode("overwrite").parquet(
+            f"{sink_path}/batch_id={batch_id}"
+        )
 
     writer = stream_df.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint

@@ -42,7 +42,9 @@ def test_run_incremental_matches_batch(spark, sf_dir, tmp_path):
     q = run_incremental(stream, _entity_plan, sink, ckpt, trigger_once=True)
     q.awaitTermination(120)
 
-    got = spark.read.parquet(sink)
+    # the sink is partitioned by batch_id (idempotent replay); the
+    # discovered partition column is sink bookkeeping, not payload
+    got = spark.read.parquet(sink).drop("batch_id")
     want = _entity_plan(spark.read.parquet(src_dir))
     assert got.count() == want.count()
     assert sorted(got.columns) == sorted(want.columns)
@@ -54,6 +56,14 @@ def test_run_incremental_matches_batch(spark, sf_dir, tmp_path):
     # (exactly-once via checkpointed source offsets).
     q2 = run_incremental(stream, _entity_plan, sink, ckpt, trigger_once=True)
     q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == want.count()
+
+    # Replayed batch (same batch_id, e.g. crash between sink write and
+    # checkpoint commit): overwrite-by-batch-directory keeps the sink
+    # exactly-once where a bare append would have doubled the rows.
+    ckpt2 = str(tmp_path / "ckpt_replay")
+    q3 = run_incremental(stream, _entity_plan, sink, ckpt2, trigger_once=True)
+    q3.awaitTermination(120)
     assert spark.read.parquet(sink).count() == want.count()
 
 
@@ -210,7 +220,7 @@ def test_incremental_entity_plan(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    got = spark.read.parquet(sink)
+    got = spark.read.parquet(sink).drop("batch_id")
     want = compile_entity(user_spec(run_ts), spark.read.parquet(src_dir), id_maps)
     assert got.count() == want.count()
     assert sorted(got.columns) == sorted(want.columns)
