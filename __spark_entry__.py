@@ -47,6 +47,8 @@ _PRIORITY = [
     "k2_timeuuid",
     "m_image_decode_png",
     "sim_topk_lsh",
+    "a12_approx_distinct",
+    "a13_approx_percentile_sketch",
 ]
 
 

@@ -1099,6 +1099,47 @@ def a10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a13_approx_percentile_sketch",
+    """
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS med_exact,
+           true AS sketch_in_band
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a13_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 (beyond-parity): the quantile SKETCH path for groups too
+    large to hold exactly (approx_percentile = Greenwald-Khanna,
+    map-side combinable, bounded memory — the a10 docstring's "at
+    100 TB" branch, made a first-class verified query).
+
+    Invariant oracle (see a12): the exact median hash-checks against
+    DuckDB, and the sketch must land inside the exact p40–p60 value
+    band — a rank-error check matching the sketch's rank-accuracy
+    contract (accuracy 100 → ≤1% rank error; p40/p60 is 10× slack).
+    The raw sketch value is deliberately not emitted (implementation-
+    specific across engines)."""
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("med_exact"),
+            F.expr("percentile(o_totalprice, 0.4)").alias("__p40"),
+            F.expr("percentile(o_totalprice, 0.6)").alias("__p60"),
+            F.expr("approx_percentile(o_totalprice, 0.5, 100)").alias("__apx"),
+        )
+        .select(
+            "o_orderstatus",
+            "med_exact",
+            (
+                (F.col("__apx") >= F.col("__p40"))
+                & (F.col("__apx") <= F.col("__p60"))
+            ).alias("sketch_in_band"),
+        )
+    )
+
+
 _PIVOT_TYPES = ["click", "purchase", "view", "signup", "error"]
 
 
@@ -1131,6 +1172,48 @@ def a11_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
             for t in _PIVOT_TYPES
         ],
+    )
+
+
+@query(
+    "a12_approx_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           true AS hll_err_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def a12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 (beyond-parity): HyperLogLog++ distinct-count sketch — the
+    cardinality primitive of any 100 TB profiling pass (exact
+    count-distinct shuffles every distinct value; the sketch is a
+    fixed few-KB state per group, partial-aggregated map-side).
+
+    Driver-checkable via the invariant pattern: the exact count is
+    hash-compared against the oracle, and the sketch must land within
+    its configured relative error (rsd 5% → check at 3×rsd, far
+    outside plausible HLL deviation) — so a broken sketch fails the
+    boolean, while the hashed columns stay engine-deterministic
+    (approx values themselves differ by HLL implementation and are
+    deliberately NOT emitted)."""
+    e = Catalog(spark, sf_dir).events
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("__hll"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("__hll") - F.col("n_exact"))
+                <= F.greatest(
+                    F.col("n_exact") * F.lit(0.15), F.lit(2.0)
+                )
+            ).alias("hll_err_ok"),
+        )
     )
 
 
