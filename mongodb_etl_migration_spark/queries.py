@@ -1425,9 +1425,17 @@ def d5_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the exact shingle-join (2×16 longs per pair instead of two
     shingle sets). Unbiased by the MinHash property."""
     corpus = _corpus(spark, sf_dir)
-    sigs = D.minhash_signatures_narrow(
-        corpus, "doc_id", "text", k=3, num_hashes=16
-    ).filter(F.col("sig_0").isNotNull())
+    # persist: the signature frame feeds THREE subtrees (banding →
+    # candidate pairs, and both rename-sides of the estimate join,
+    # which key on different ids so ReuseExchange can't help) — one
+    # narrow (id, 16 longs) cache beats recomputing the md5 pipeline
+    # 3× over the corpus; at index scale the materialized form is
+    # write_minhash_index instead.
+    sigs = (
+        D.minhash_signatures_narrow(corpus, "doc_id", "text", k=3, num_hashes=16)
+        .filter(F.col("sig_0").isNotNull())
+        .persist()
+    )
     bands = D.lsh_bands(sigs, "doc_id", num_hashes=16, bands=4)
     pairs = D.lsh_candidate_pairs(bands, "doc_id")
     return D.minhash_jaccard_estimate(sigs, pairs, "doc_id", num_hashes=16)

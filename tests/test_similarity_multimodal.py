@@ -454,3 +454,64 @@ def test_png_resize_real(spark):
     assert (w, h) == (4, 4)
     # nearest-neighbor on an x-gradient: columns 0,4,8,12
     assert list(small[0, :, 0]) == [0, 4, 8, 12]
+
+
+def test_png_roundtrip_property():
+    """Property: encode_png → parse_png is the identity for any uint8
+    RGB image, including degenerate 1×1 and thin strips (hypothesis
+    over dimensions and a seeded fill)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_png,
+        parse_png,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, seed):
+        px = np.random.RandomState(seed).randint(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        got_w, got_h, back = parse_png(encode_png(px))
+        assert (got_w, got_h) == (w, h)
+        assert np.array_equal(back, px)
+
+    check()
+
+
+def test_bmp_roundtrip_property():
+    """Same identity property for the BMP codec (row padding to 4
+    bytes is where off-by-ones live — widths 1..8 cover every pad)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_bmp,
+        parse_bmp,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 9),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, seed):
+        px = np.random.RandomState(seed).randint(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        got_w, got_h, back = parse_bmp(encode_bmp(px))
+        assert (got_w, got_h) == (w, h)
+        assert np.array_equal(back, px)
+
+    check()
