@@ -1044,32 +1044,29 @@ def f_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def v1_count_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4/A1 validation: cross-table record-count reconciliation rows
-    (validate_migration.py:50-131's gate as a queryable report). Each
-    side is a tiny count aggregate; the union is 2 rows — the shape of
-    the reference's per-entity source-vs-destination audit."""
+    (validate_migration.py:50-131's gate as a queryable report). One
+    DECLARATIVE plan — the counts are uncorrelated scalar subqueries,
+    so a single action computes the whole report (the previous shape
+    ran four driver-side count() jobs and assembled rows by hand;
+    at scale the driver round-trips serialize the audit)."""
     cat = Catalog(spark, sf_dir)
-    n_cust = cat.customer.count()
-    n_cust_with_orders = cat.orders.select("o_custkey").distinct().count()
-    n_orders = cat.orders.count()
-    n_orders_with_items = cat.lineitem.select("l_orderkey").distinct().count()
-    rows = [
-        (
-            "orders_per_customer",
-            n_cust,
-            n_cust_with_orders,
-            n_cust_with_orders >= n_cust * 0.5,
-        ),
-        (
-            "lineitems_per_order",
-            n_orders,
-            n_orders_with_items,
-            n_orders_with_items >= n_orders * 0.95,
-        ),
-    ]
-    return spark.createDataFrame(
-        rows,
-        "check_name string, source_rows long, derived_rows long, "
-        "within_tolerance boolean",
+    cat.customer.createOrReplaceTempView("v1_customer")
+    cat.orders.createOrReplaceTempView("v1_orders")
+    cat.lineitem.createOrReplaceTempView("v1_lineitem")
+    return spark.sql(
+        """
+        SELECT 'orders_per_customer' AS check_name,
+               (SELECT count(*) FROM v1_customer) AS source_rows,
+               (SELECT count(DISTINCT o_custkey) FROM v1_orders) AS derived_rows,
+               (SELECT count(DISTINCT o_custkey) FROM v1_orders)
+                 >= (SELECT count(*) FROM v1_customer) * 0.5 AS within_tolerance
+        UNION ALL
+        SELECT 'lineitems_per_order',
+               (SELECT count(*) FROM v1_orders),
+               (SELECT count(DISTINCT l_orderkey) FROM v1_lineitem),
+               (SELECT count(DISTINCT l_orderkey) FROM v1_lineitem)
+                 >= (SELECT count(*) FROM v1_orders) * 0.95
+        """
     )
 
 
