@@ -49,6 +49,7 @@ _PRIORITY = [
     "sim_topk_lsh",
     "a12_approx_distinct",
     "a13_approx_percentile_sketch",
+    "d7_dedup_representatives",
 ]
 
 

@@ -3132,6 +3132,40 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs)
 
 
+def _d7_oracle() -> str:
+    base = _d6_oracle()
+    # reuse the full transitive-closure pipeline, then keep every doc
+    # that is NOT a non-representative member of some component
+    inner = base[base.index("WITH RECURSIVE") : base.rindex("SELECT u AS id")]
+    return f"""
+    {inner.rstrip()},
+    comps AS (
+      SELECT u AS id, least(u, min(v)) AS component
+      FROM walk GROUP BY u
+    )
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM comps WHERE id <> component)
+    """
+
+
+@query("d7_dedup_representatives", _d7_oracle())
+def d7_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7: the curation OUTPUT of near-dup dedup — one surviving row
+    per cluster (min doc_id) plus every unpaired doc, i.e. the kept
+    set a training pipeline feeds downstream. Left-anti join against
+    the non-representative member set: the corpus itself shuffles
+    only through the anti join; cluster structure comes from the same
+    label-propagation components the d6 oracle cross-checks with a
+    recursive CTE."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = D.minhash_dedup_pairs(
+        corpus, "doc_id", "text", k=3, num_hashes=16, bands=4
+    )
+    return D.dedup_representatives(
+        Catalog(spark, sf_dir).documents, pairs, "doc_id"
+    ).select("doc_id", "lang")
+
+
 _HASH60 = (
     "CAST(('0x' || substring(md5(concat_ws('#', '{salt}', "
     "CAST({key} AS VARCHAR))), 1, 15)) AS BIGINT)"
