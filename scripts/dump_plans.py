@@ -37,8 +37,11 @@ NOTES = {
     ),
     "d2_minhash_lsh_pairs": (
         "Signature + banding are narrow projections over materialized "
-        "token/shingle/hash arrays; the ONLY exchange is the "
-        "candidate-pair bucket join."
+        "token/shingle/hash arrays; the candidate self-join shuffles "
+        "on (band, band_key) ONCE — both sides rename above the same "
+        "exchange, so the final adaptive plan reads one map output "
+        "twice (ReusedExchange) instead of recomputing the signature "
+        "pipeline per side."
     ),
     "t_curation_pipeline": (
         "Dedup -> quality -> language in one plan: a single hash "
