@@ -268,6 +268,67 @@ def int8_dequantize(q: Column, scale: Column) -> Column:
     return F.transform(q, lambda x: x.cast("double") * scale)
 
 
+def nearest_centroid_assign(
+    emb: DataFrame,
+    centroids: Sequence[tuple[int, Sequence[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10000,
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest
+    centroid — the partitioning step that turns brute-force ANN into
+    an inverted-file index (each vector lands in exactly one list).
+
+    ``centroids`` are (label, quantized-int-vector) pairs — element
+    values pre-scaled by ``scale`` and rounded (see
+    :func:`group_centroids` + floor(m·scale + 0.5)). The vector side
+    is quantized the same way on the fly, so every distance is a SUM
+    OF INTEGER SQUARES: bit-identical across engines and partitions
+    (float summation order can flip an argmin at the boundary;
+    integers cannot). Ties break on the smaller label via struct
+    ordering.
+
+    Plan shape: centroids fold into the plan as literals (k·dim ints —
+    a few KB for any real IVF list count), so the assignment is ONE
+    narrow projection over the scan: zero shuffle, zero join, scales
+    to any corpus size. Output: (id_col, assigned, d2).
+    """
+    xq = emb.select(
+        F.col(id_col),
+        F.transform(
+            _dvec(vec_col),
+            lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long"),
+        ).alias("_xq"),
+    )
+    cands = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_xq"),
+                        F.array(*[F.lit(int(v)).cast("long") for v in cvec]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                F.lit(int(label)).alias("assigned"),
+            )
+            for label, cvec in centroids
+        ]
+    )
+    # _best materialized as its own attribute: array_min's argument
+    # tree is non-cheap and referenced twice below — CollapseProject
+    # keeps the projections separate so the k distance sums run once
+    # per row, not once per output column.
+    scored = xq.select(F.col(id_col), F.array_min(cands).alias("_best"))
+    return scored.select(
+        F.col(id_col),
+        F.col("_best.assigned").alias("assigned"),
+        F.col("_best.d2").alias("d2"),
+    )
+
+
 def group_centroids(df: DataFrame, key: str, vec_col: str, dim: int) -> DataFrame:
     """Element-wise mean embedding per group (class centroids — the
     build step of an IVF index, label prototypes for probing mixes).

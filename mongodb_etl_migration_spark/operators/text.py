@@ -234,6 +234,47 @@ def chunk_documents(
     )
 
 
+def decontaminate(
+    docs,
+    eval_docs,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+):
+    """Benchmark decontamination: find training documents that share
+    at least one n-token gram with an evaluation set — the standard
+    pre-training hygiene step (eval answers leaking into the corpus
+    inflate benchmark scores).
+
+    Returns (id_col, n_matched) with one row per CONTAMINATED training
+    document; n_matched counts the distinct eval n-grams it contains.
+    Join the result back (left anti) to drop, or keep it as a report.
+
+    100 TB shape: eval benchmarks are MB-scale, so their distinct
+    n-gram set broadcasts to every executor; the corpus side builds
+    grams as a narrow array projection and explodes map-side, the
+    broadcast hash join discards non-matching grams BEFORE any
+    exchange, and the only shuffle carries matched (doc, gram) rows —
+    proportional to the contamination, not the corpus. Real pipelines
+    use n of 8–13; lower n trades precision for recall.
+    """
+    from mongodb_etl_migration_spark.operators.dedup import shingles
+
+    eval_grams = (
+        shingles(eval_docs, id_col, text_col, k=n)
+        .select("shingle")
+        .distinct()
+    )
+    doc_grams = shingles(docs, id_col, text_col, k=n)
+    # shingles() emits DISTINCT grams per doc, so count(*) after the
+    # join is exactly "distinct eval grams present in this doc".
+    return (
+        doc_grams.join(F.broadcast(eval_grams), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matched"))
+    )
+
+
 def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
     """Top-k characteristic terms per document by tf·idf.
 

@@ -2887,6 +2887,56 @@ def sim_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_centroid_assign",
+    """
+    WITH ex AS (
+      SELECT label, i AS pos, embedding[i]::DOUBLE AS x
+      FROM embeddings, range(1, 65) t(i)
+    ), cent AS (
+      SELECT label AS clabel, pos,
+             CAST(floor(avg(x) * 10000 + 0.5) AS BIGINT) AS cq
+      FROM ex GROUP BY label, pos
+    ), xq AS (
+      SELECT vec_id, pos,
+             CAST(floor(embedding[pos]::DOUBLE * 10000 + 0.5) AS BIGINT) AS xq
+      FROM embeddings, range(1, 65) t(pos)
+    ), dists AS (
+      SELECT x.vec_id, c.clabel,
+             CAST(sum((x.xq - c.cq) * (x.xq - c.cq)) AS BIGINT) AS d2
+      FROM xq x JOIN cent c ON x.pos = c.pos
+      GROUP BY x.vec_id, c.clabel
+    )
+    SELECT vec_id, assigned, d2 FROM (
+      SELECT vec_id, clabel AS assigned, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+      FROM dists
+    ) WHERE rn = 1
+    """,
+)
+def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer assignment: every vector → its nearest
+    class centroid (similarity.nearest_centroid_assign). Centroids are
+    the per-label means (group_centroids), quantized to 1e4-scaled
+    integers so each distance is a sum of integer squares —
+    bit-identical across engines, so the argmin (and its label
+    tie-break) is exactly reproducible; float distances could flip at
+    the boundary. The k·dim centroid table folds into the plan as
+    literals: the assignment itself is one narrow projection, zero
+    shuffle — the shape that scales to any corpus size. (The eager
+    centroid collect at plan-build time mirrors _planes/_query_vec:
+    k×dim values, dimension-sized.)"""
+    import math
+
+    emb = Catalog(spark, sf_dir).embeddings
+    cent_rows = SIM.group_centroids(emb, "label", "embedding", dim=64).collect()
+    centroids = [
+        (int(r["label"]), [int(math.floor(m * 10000 + 0.5)) for m in r["centroid"]])
+        for r in cent_rows
+    ]
+    return SIM.nearest_centroid_assign(emb, centroids, "vec_id", "embedding")
+
+
+@query(
     "t_chunk_documents",
     """
     WITH toks AS (
@@ -3080,6 +3130,42 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side heads before the final shuffle)."""
     d = Catalog(spark, sf_dir).documents
     return T.tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+@query(
+    "t_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, s.g
+      FROM toks,
+           unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             AS s(g)
+    ), eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT d.doc_id, count(*) AS n_matched
+    FROM grams d JOIN eval_grams e USING (g)
+    WHERE d.doc_id % 97 <> 0
+    GROUP BY d.doc_id
+    """,
+)
+def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (text.decontaminate): flag training
+    docs sharing any n-gram with a held-out eval set — the hygiene
+    pass every pre-training corpus runs so eval answers don't leak
+    into training. Eval set = doc_id % 97 == 0 (deterministic); n=3
+    because the synthetic corpus draws from a ~30-word vocabulary
+    (real runs use n of 8–13). The eval gram set broadcasts; the only
+    shuffle carries matched (doc, gram) rows — proportional to the
+    contamination found, not to the corpus."""
+    d = Catalog(spark, sf_dir).documents
+    eval_docs = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return T.decontaminate(train, eval_docs, "doc_id", "text", n=3)
 
 
 def _d6_oracle() -> str:

@@ -306,6 +306,57 @@ def test_chunk_documents_overlap_and_coverage(spark):
     assert 3 not in by_doc
 
 
+def test_nearest_centroid_assign_argmin_and_ties(spark):
+    from mongodb_etl_migration_spark.operators.similarity import (
+        nearest_centroid_assign,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),   # nearest to centroid 0
+            (2, [0.0, 1.0]),   # nearest to centroid 1
+            (3, [0.5, 0.5]),   # equidistant -> tie breaks to label 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(0, [10000, 0]), (1, [0, 10000])]
+    out = {
+        r.vec_id: (r.assigned, r.d2)
+        for r in nearest_centroid_assign(emb, cents, "vec_id", "embedding").collect()
+    }
+    assert out[1] == (0, 0)
+    assert out[2] == (1, 0)
+    # d2 = (5000-10000)^2 + (5000-0)^2 = 50_000_000 either way
+    assert out[3] == (0, 50_000_000)
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    from mongodb_etl_migration_spark.operators.text import decontaminate
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains 'quick brown fox' and 'brown fox jumps' -> 2 grams
+            (1, "note the quick brown fox jumps high"),
+            # no 3-gram overlap (shared bigram only)
+            (2, "quick brown bear sleeps"),
+            # duplicate gram in one doc counts once (distinct shingles)
+            (3, "quick brown fox and quick brown fox"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.n_matched
+        for r in decontaminate(train, eval_docs, "doc_id", "text", n=3).collect()
+    }
+    # doc 1: 'the quick brown', 'quick brown fox', 'brown fox jumps'
+    assert out == {1: 3, 3: 1}
+
+
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     import struct
     import zlib
