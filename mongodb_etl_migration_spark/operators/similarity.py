@@ -329,6 +329,76 @@ def nearest_centroid_assign(
     )
 
 
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 10,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10000,
+) -> DataFrame:
+    """Lloyd's k-means over embeddings — the iterative-algorithm
+    pattern on Spark (MLlib's own KMeans has the same skeleton:
+    centroids live on the driver, each iteration is one distributed
+    assignment + one k×dim aggregate).
+
+    Everything is integer arithmetic so every iteration is exactly
+    reproducible: vectors quantize to ``floor(x·scale + 0.5)``,
+    distances are sums of integer squares
+    (:func:`nearest_centroid_assign`), and the update step is
+    ``floor(sum/count)`` — an IEEE division of exactly-representable
+    integers, bit-identical on every engine. Float k-means can flip
+    an argmin at the boundary and diverge run-to-run; this cannot.
+
+    Determinism contract: init = the quantized vectors of the ``k``
+    smallest ids; ties in assignment break to the smaller cluster id;
+    clusters that lose all members simply drop (no re-seeding) — the
+    same rule an unrolled SQL twin applies naturally.
+
+    Per-iteration cost at 100 TB: the assignment is a zero-shuffle
+    narrow projection (centroids are plan literals); the update
+    shuffles only k×dim partial sums (map-side combine collapses each
+    task to ≤k rows). Driver round-trips are k×dim ints per iteration.
+    Output: (id_col, cluster, d2) for the final assignment.
+    """
+    q = F.transform(
+        _dvec(vec_col),
+        lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long"),
+    )
+    xq = emb.select(F.col(id_col), q.alias("_xq"))
+    init = xq.filter(F.col(id_col) < k).select(F.col(id_col), "_xq").collect()
+    cents: list[tuple[int, list[int]]] = [
+        (int(r[id_col]), [int(v) for v in r["_xq"]]) for r in init
+    ]
+    assigned = None
+    for it in range(iterations):
+        assigned = nearest_centroid_assign(
+            emb, cents, id_col=id_col, vec_col=vec_col, scale=scale
+        ).withColumnRenamed("assigned", "cluster")
+        if it == iterations - 1:
+            break  # final assignment needs no centroid update
+        per_pos = (
+            xq.join(assigned.select(id_col, "cluster"), id_col)
+            .select("cluster", F.posexplode("_xq").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.floor(
+                    F.sum("x").cast("double") / F.count("*")
+                ).cast("long").alias("cq")
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in per_pos:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = int(
+                r["cq"]
+            )
+        cents = [
+            (c, [pm[p] for p in sorted(pm)]) for c, pm in sorted(by_cluster.items())
+        ]
+    return assigned
+
+
 def group_centroids(df: DataFrame, key: str, vec_col: str, dim: int) -> DataFrame:
     """Element-wise mean embedding per group (class centroids — the
     build step of an IVF index, label prototypes for probing mixes).

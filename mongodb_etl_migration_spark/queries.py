@@ -2937,6 +2937,56 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_kmeans",
+    """
+    WITH xq AS (
+      SELECT vec_id, pos,
+             CAST(floor(embedding[pos]::DOUBLE * 10000 + 0.5) AS BIGINT) AS x
+      FROM embeddings, range(1, 65) t(pos)
+    ), c0 AS (
+      SELECT vec_id AS c, pos, x AS cq FROM xq WHERE vec_id < 10
+    ), a1 AS (
+      SELECT vec_id, c FROM (
+        SELECT x.vec_id, c.c,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY sum((x.x - c.cq) * (x.x - c.cq)), c.c) AS rn
+        FROM xq x JOIN c0 c USING (pos)
+        GROUP BY x.vec_id, c.c
+      ) WHERE rn = 1
+    ), c1 AS (
+      SELECT a.c, x.pos,
+             CAST(floor(CAST(sum(x.x) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+      FROM xq x JOIN a1 a USING (vec_id)
+      GROUP BY a.c, x.pos
+    )
+    SELECT vec_id, cluster, d2 FROM (
+      SELECT x.vec_id, CAST(c.c AS BIGINT) AS cluster,
+             CAST(sum((x.x - c.cq) * (x.x - c.cq)) AS BIGINT) AS d2,
+             row_number() OVER (PARTITION BY x.vec_id
+               ORDER BY sum((x.x - c.cq) * (x.x - c.cq)), c.c) AS rn
+      FROM xq x JOIN c1 c USING (pos)
+      GROUP BY x.vec_id, c.c
+    ) WHERE rn = 1
+    """,
+)
+def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means, 2 iterations (similarity.kmeans_assign) — the
+    iterative-algorithm pattern: centroids on the driver, each
+    iteration one zero-shuffle assignment (centroids fold in as plan
+    literals) plus one k×dim partial-sum aggregate. All-integer
+    arithmetic (quantized vectors, floor(sum/count) updates) makes
+    every iteration bit-reproducible, so the oracle can unroll the
+    loop in SQL CTEs and match exactly — k-means is usually the
+    textbook 'non-SQL-expressible' op; determinism makes it
+    checkable. Init = vectors 0..9; empty clusters drop."""
+    emb = Catalog(spark, sf_dir).embeddings
+    out = SIM.kmeans_assign(emb, k=10, iterations=2)
+    return out.select(
+        "vec_id", F.col("cluster").cast("bigint").alias("cluster"), "d2"
+    )
+
+
+@query(
     "t_chunk_documents",
     """
     WITH toks AS (

@@ -330,6 +330,29 @@ def test_nearest_centroid_assign_argmin_and_ties(spark):
     assert out[3] == (0, 50_000_000)
 
 
+def test_kmeans_converges_on_separable_clusters(spark):
+    from mongodb_etl_migration_spark.operators.similarity import kmeans_assign
+
+    # two tight blobs; ids 0 and 1 (the k=2 init seeds) sit one in each
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [1.0, 1.0]),
+            (2, [0.01, 0.0]),
+            (3, [0.0, 0.02]),
+            (4, [0.99, 1.0]),
+            (5, [1.0, 0.98]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(emb, k=2, iterations=3).collect()
+    }
+    assert {out[0], out[2], out[3]} == {0}
+    assert {out[1], out[4], out[5]} == {1}
+
+
 def test_decontaminate_flags_overlap_only(spark):
     from mongodb_etl_migration_spark.operators.text import decontaminate
 
