@@ -71,6 +71,33 @@ def train_test_split(
     return df.filter(h >= c), df.filter(h < c)
 
 
+def weighted_mix(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    rates: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Per-group sampling rates in one pass — the data-mixture step
+    that reweights a corpus before training (e.g. keep all of a
+    high-quality source, 10 % of a crawl). Each group's rate becomes
+    an integer hash gate via a CASE over ``group_col``; groups absent
+    from ``rates`` drop entirely (an explicit mixture, not a default).
+
+    Narrow filter only — zero shuffle at any scale, and the same row
+    set survives regardless of partition layout or rerun (hash-gated,
+    not RNG). Rates compose: mixing then re-sampling with a different
+    salt stays uniform within each group."""
+    c = F.col(group_col).cast("string")
+    gate = None
+    for g, frac in sorted(rates.items()):
+        branch = (c == g, F.lit(cut(frac)))
+        gate = F.when(*branch) if gate is None else gate.when(*branch)
+    if gate is None:
+        raise ValueError("weighted_mix needs at least one group rate")
+    return df.filter(hash_key(key, salt) < gate.otherwise(F.lit(0)))
+
+
 def stratified_take(
     df: DataFrame,
     strata: list[str],

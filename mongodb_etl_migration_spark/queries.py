@@ -3369,6 +3369,34 @@ def _sampling_queries() -> None:
             "doc_id", "lang"
         )
 
+    mix_gate = _HASH60.format(salt="mix", key="doc_id")
+    mix_rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+    @query(
+        "t_corpus_mix",
+        f"""
+        SELECT doc_id, source
+        FROM documents
+        WHERE {mix_gate} < CASE source
+          WHEN 'src0' THEN {SM.cut(1.0)}
+          WHEN 'src1' THEN {SM.cut(0.5)}
+          WHEN 'src2' THEN {SM.cut(0.25)}
+          WHEN 'src3' THEN {SM.cut(0.1)}
+          ELSE 0 END
+        """,
+    )
+    def t_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Data-mixture reweighting (sampling.weighted_mix): keep all
+        of src0, 50 % of src1, 25 % of src2, 10 % of src3, drop the
+        rest — the per-source rate table every pre-training run
+        applies. One CASE-gated hash filter: narrow, zero shuffle,
+        and the surviving row set is independent of partition layout
+        and rerun (hash-gated, not RNG)."""
+        d = Catalog(spark, sf_dir).documents
+        return SM.weighted_mix(d, "doc_id", "source", mix_rates).select(
+            "doc_id", "source"
+        )
+
 
 _sampling_queries()
 

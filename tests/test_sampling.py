@@ -32,6 +32,25 @@ def test_sample_is_subset_and_nested(spark, sf_dir):
     assert s10.count() < s20.count()
 
 
+def test_weighted_mix_rates_and_stability(spark, sf_dir):
+    d = Catalog(spark, sf_dir).documents
+    rates = {"src0": 1.0, "src1": 0.5, "src3": 0.0}
+    mixed = SM.weighted_mix(d, "doc_id", "source", rates)
+    by_src = {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n_src0 = d.filter(F.col("source") == "src0").count()
+    # rate 1.0 keeps every row; rate 0.0 and unlisted sources drop all
+    assert by_src.get("src0") == n_src0
+    assert "src3" not in by_src and "src2" not in by_src
+    # ~50% of src1, generous tolerance at 25 docs/source
+    assert 0 < by_src.get("src1", 0) < n_src0
+    # layout-independent: identical row set after repartition
+    m2 = SM.weighted_mix(d.repartition(7), "doc_id", "source", rates)
+    assert m2.exceptAll(mixed).count() == 0 and mixed.exceptAll(m2).count() == 0
+
+
 def test_stratified_quota_and_maplimit(spark, sf_dir):
     d = Catalog(spark, sf_dir).documents
     out = SM.stratified_take(d, ["lang"], 10, "doc_id")
