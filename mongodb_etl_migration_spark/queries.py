@@ -33,6 +33,7 @@ from mongodb_etl_migration_spark.operators import (
     hierarchy as H,
     multimodal as M,
     similarity as SIM,
+    skew as SK,
     text as T,
     validation as V,
 )
@@ -2934,6 +2935,28 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in cent_rows
     ]
     return SIM.nearest_centroid_assign(emb, centroids, "vec_id", "embedding")
+
+
+@query(
+    "j16_salted_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def j16_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salted join (operators/skew.salted_join) — the
+    hot-key fallback when AQE's runtime skew split isn't enough (the
+    reference's hot-room case, orchestrator.py:1235-1407). The small
+    side replicates ×salts, the big side scatters over salt values;
+    the ORACLE IS THE PLAIN JOIN — salting must be invisible in the
+    result, which is exactly what the driver hash verifies."""
+    cat = Catalog(spark, sf_dir)
+    big = cat.events.select("event_id", "user_id")
+    small = cat.customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return SK.salted_join(big, small, "user_id", salts=8)
 
 
 @query(
