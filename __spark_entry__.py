@@ -50,6 +50,11 @@ _PRIORITY = [
     "a12_approx_distinct",
     "a13_approx_percentile_sketch",
     "d7_dedup_representatives",
+    "t_decontaminate",
+    "sim_centroid_assign",
+    "sim_kmeans",
+    "t_corpus_mix",
+    "j16_salted_join",
 ]
 
 
@@ -60,10 +65,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
     # new queries added since the priority list was drawn up come next
-    # (they have no driver row yet either), then the long-green rest.
-    checked_r1 = _ROUND1_GREEN
+    # (they have no driver row yet either), then the long-green rest
+    # (round-1 greens last — they've been green twice).
+    checked = _ROUND1_GREEN | _ROUND2_GREEN
     for n, q in QUERIES.items():
-        if n not in ordered and n not in checked_r1:
+        if n not in ordered and n not in checked:
+            ordered[n] = q
+    for n, q in QUERIES.items():
+        if n not in ordered and n in _ROUND2_GREEN:
             ordered[n] = q
     for n, q in QUERIES.items():
         if n not in ordered:
@@ -87,6 +96,24 @@ _ROUND1_GREEN = {
     "sim_topk_bruteforce", "sim_embedding_neardup",
     "t_text_stats", "t_curation_pipeline", "t_length_histogram",
     "t_lang_id", "t_fingerprint", "m_multimodal_decode",
+}
+
+
+# Green in CORRECTNESS_r02.json (driver round 2) and unchanged since.
+_ROUND2_GREEN = {
+    "a1_pricing_summary", "a6_conditional_agg", "p7_filter_then_project",
+    "e_windowed_counts", "e_sessionization", "p6_role_filter",
+    "p9_empty_normalize", "s6_extended_json_ingest", "j8_membership_merge",
+    "j9b_file_resolution", "j12_relation_build", "j13_asof_join",
+    "j14_interval_join", "a8_depth_groups", "a9_rollup_totals",
+    "o1_sort_by_derived_key", "o3_limit_sample", "d6_dedup_clusters",
+    "t_deterministic_sample", "t_stratified_sample", "t_top_bigrams",
+    "t_train_test_split", "o6_moving_avg", "f_levenshtein",
+    "v1_count_reconciliation", "a10_percentiles", "a11_pivot_counts",
+    "d5_minhash_estimate", "m_image_decode_real", "m_audio_decode_real",
+    "j15_scd2_versions", "e_session_window_builtin", "e_attribution_join",
+    "j8b_upsert", "t_chunk_documents", "t_pii_scrub", "t_repetition",
+    "t_tfidf_top_terms",
 }
 
 
