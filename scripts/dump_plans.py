@@ -93,6 +93,26 @@ NOTES = {
         "string; dup-count window shuffles on the uuid itself "
         "(unique keys — no skew)."
     ),
+    "t_decontaminate": (
+        "Decontamination: the eval-set gram table broadcasts "
+        "(BroadcastHashJoin, no Exchange on the corpus side before "
+        "the join); the only Exchange carries matched (doc, gram) "
+        "rows — shuffle is proportional to contamination found, not "
+        "corpus size."
+    ),
+    "sim_centroid_assign": (
+        "IVF coarse quantizer: the k×dim centroid table is folded "
+        "into the plan as literals, so the assignment is one narrow "
+        "Project over the scan — NO Exchange, no join; argmin via "
+        "array_min over integer-distance structs (bit-deterministic)."
+    ),
+    "j16_salted_join": (
+        "Salted skew join on (key, salt): here the ×8-exploded small "
+        "side still fits a BroadcastExchange (no shuffle at all); "
+        "when it doesn't, the same plan becomes a SortMergeJoin whose "
+        "hot key spreads over 8 reducers. Either way the oracle is "
+        "the PLAIN join — salting is result-invisible by construction."
+    ),
 }
 
 
