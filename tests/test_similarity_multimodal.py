@@ -353,6 +353,19 @@ def test_kmeans_converges_on_separable_clusters(spark):
     assert {out[1], out[4], out[5]} == {1}
 
 
+def test_kmeans_layout_independent(spark, sf_dir):
+    """The bit-reproducibility claim: integer-quantized Lloyd's must
+    produce the IDENTICAL assignment regardless of partition layout
+    (float k-means can flip argmins at the boundary when partial-sum
+    order changes; integer arithmetic cannot)."""
+    from mongodb_etl_migration_spark.operators.similarity import kmeans_assign
+
+    emb = Catalog(spark, sf_dir).embeddings
+    a = kmeans_assign(emb, k=10, iterations=2)
+    b = kmeans_assign(emb.repartition(13), k=10, iterations=2)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_decontaminate_flags_overlap_only(spark):
     from mongodb_etl_migration_spark.operators.text import decontaminate
 
