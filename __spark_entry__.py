@@ -55,6 +55,7 @@ _PRIORITY = [
     "sim_kmeans",
     "t_corpus_mix",
     "j16_salted_join",
+    "t_quality_cutoff",
 ]
 
 

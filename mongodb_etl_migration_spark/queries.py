@@ -1786,6 +1786,43 @@ def _curation_oracle() -> str:
     """
 
 
+def _quality_cutoff_oracle() -> str:
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, text,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, {_quality_sql()} AS quality FROM toked
+    ), thr AS (
+      SELECT quantile_cont(quality, 0.25) AS t FROM scored
+    )
+    SELECT s.doc_id, s.quality FROM scored s, thr WHERE s.quality >= thr.t
+    """
+
+
+@query("t_quality_cutoff", _quality_cutoff_oracle())
+def t_quality_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based quality gate: keep documents at or above the
+    corpus 25th-percentile quality score — curation thresholds are set
+    relative to the corpus, not as magic constants. Two passes by
+    design: the exact percentile collapses to ONE driver-side scalar
+    (a tiny all-to-one agg — percentile() bit-matches DuckDB's
+    quantile_cont, see a10), which then folds into the second pass as
+    a literal filter. The lazy alternative (crossJoin with the 1-row
+    agg) plans a BroadcastNestedLoopJoin — banned by the plan
+    invariants. At 100 TB the first pass would swap in
+    approx_percentile (same two-pass shape, bounded state)."""
+    d = Catalog(spark, sf_dir).documents
+    toked = d.select("doc_id", "text", T.tokens("text").alias("_toks"))
+    scored = toked.select(
+        "doc_id",
+        T.quality_score("text", F.col("_toks")).alias("quality"),
+    )
+    thr = scored.select(F.expr("percentile(quality, 0.25)").alias("t")).head()[0]
+    return scored.filter(F.col("quality") >= F.lit(float(thr)))
+
+
 @query("t_curation_pipeline", _curation_oracle())
 def t_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite data-curation query a training pipeline runs:
