@@ -56,6 +56,7 @@ _PRIORITY = [
     "t_corpus_mix",
     "j16_salted_join",
     "t_quality_cutoff",
+    "d8_incremental_neardup",
 ]
 
 

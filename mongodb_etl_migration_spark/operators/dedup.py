@@ -341,6 +341,39 @@ def write_minhash_index(
     band.write.mode(mode).partitionBy("band").parquet(path)
 
 
+def neardup_probe(
+    new_df: DataFrame,
+    index_band: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs between a NEW batch and an existing
+    band index (band, band_key, id): only the new rows are
+    shingled/hashed; candidates come from an equi-join on
+    (band, band_key). At scale the join shuffles ~|new batch| band
+    rows plus matching index buckets (AQE splits hot buckets) — never
+    the historical corpus. Output: (id_new, id_indexed) distinct
+    pairs."""
+    new_df = new_df.filter(F.size(tokens(F.col(text_col))) >= k)
+    sig = minhash_signatures_narrow(new_df, id_col, text_col, k, num_hashes)
+    band = lsh_bands(sig, id_col, num_hashes, bands)
+    return (
+        band.select("band", "band_key", F.col(id_col).alias("id_new"))
+        .join(
+            index_band.select(
+                "band", "band_key", F.col(id_col).alias("id_indexed")
+            ),
+            ["band", "band_key"],
+        )
+        .filter(F.col("id_new") != F.col("id_indexed"))
+        .select("id_new", "id_indexed")
+        .distinct()
+    )
+
+
 def neardup_against_index(
     new_df: DataFrame,
     index_path: str,
@@ -350,26 +383,12 @@ def neardup_against_index(
     num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """Candidate near-dup pairs between a NEW batch and the persisted
-    historical index: only the new rows are shingled/hashed; candidates
-    come from an equi-join on (band, band_key) against the index. At
-    scale the join shuffles ~|new batch| band rows plus matching index
-    buckets (AQE splits hot buckets) — never the historical corpus.
-    Output: (id_new, id_indexed) distinct pairs."""
-    spark = new_df.sparkSession
-    new_df = new_df.filter(F.size(tokens(F.col(text_col))) >= k)
-    sig = minhash_signatures_narrow(new_df, id_col, text_col, k, num_hashes)
-    band = lsh_bands(sig, id_col, num_hashes, bands)
-    idx = spark.read.parquet(index_path)
-    return (
-        band.select("band", "band_key", F.col(id_col).alias("id_new"))
-        .join(
-            idx.select("band", "band_key", F.col(id_col).alias("id_indexed")),
-            ["band", "band_key"],
-        )
-        .filter(F.col("id_new") != F.col("id_indexed"))
-        .select("id_new", "id_indexed")
-        .distinct()
+    """:func:`neardup_probe` against the PERSISTED index written by
+    :func:`write_minhash_index` — the probe's band equi-join prunes to
+    matching band directories via the Hive partitioning."""
+    idx = new_df.sparkSession.read.parquet(index_path)
+    return neardup_probe(
+        new_df, idx, id_col, text_col, k, num_hashes, bands
     )
 
 

@@ -1385,6 +1385,50 @@ def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d8_incremental_neardup",
+    f"""
+    WITH {_SHINGLE_SQL},
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {D.MINHASH_P} AS h
+      FROM shingled
+    ),
+    sigs AS (
+      SELECT doc_id, seed, min((a * h + b) % {D.MINHASH_P}) AS sig
+      FROM hashed CROSS JOIN (VALUES {_MINHASH_FAMILY_SQL}) AS f(seed, a, b)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+             md5(string_agg(seed || '=' || sig, '|' ORDER BY seed || '=' || sig)) AS band_key
+      FROM sigs GROUP BY doc_id, CAST(seed // 4 AS INT)
+    )
+    SELECT DISTINCT n.doc_id AS id_new, i.doc_id AS id_indexed
+    FROM bands n JOIN bands i ON n.band = i.band AND n.band_key = i.band_key
+    WHERE n.doc_id >= 1000000 AND i.doc_id < 1000000
+    """,
+)
+def d8_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection (dedup.neardup_probe): the
+    historical corpus (original doc_ids) is banded ONCE as the index;
+    the arriving batch (the planted +1M/+2M rows) is shingled/hashed
+    alone and probes the index with a band equi-join — shuffle scales
+    with the batch, never the 100 TB history (write_minhash_index
+    persists the same bands Hive-partitioned for directory pruning).
+    Same signature family as d2, so batch and incremental candidates
+    agree; the oracle computes both sides' bands from one CTE and
+    splits on the id range."""
+    corpus = _corpus(spark, sf_dir)
+    history = corpus.filter(F.col("doc_id") < 1000000).filter(
+        F.size(T.tokens("text")) >= 3
+    )
+    isig = D.minhash_signatures_narrow(history, "doc_id", "text", 3, 16)
+    index_band = D.lsh_bands(isig, "doc_id", 16, 4)
+    batch = corpus.filter(F.col("doc_id") >= 1000000)
+    return D.neardup_probe(batch, index_band, "doc_id", "text")
+
+
+@query(
     "d5_minhash_estimate",
     f"""
     WITH {_SHINGLE_SQL},
