@@ -57,6 +57,7 @@ _PRIORITY = [
     "j16_salted_join",
     "t_quality_cutoff",
     "d8_incremental_neardup",
+    "t_shard_pack",
 ]
 
 

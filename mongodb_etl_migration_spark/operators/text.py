@@ -275,6 +275,49 @@ def decontaminate(
     )
 
 
+def pack_shards(
+    df,
+    id_col: str,
+    group_col: str,
+    text_col: str,
+    budget_tokens: int = 100,
+):
+    """Assign documents to fixed-token-budget shards — the sequence-
+    packing step before pre-training tokenization (each shard feeds
+    one training sequence / output file).
+
+    Greedy-by-order packing via running prefix sum: within each group
+    (shards are naturally per-source/per-partition-key), docs are
+    taken in ``id_col`` order and ``shard = tokens_before // budget``
+    — a doc may straddle its shard boundary, the standard fixed-size
+    chunking approximation (exact first-fit packing is inherently
+    sequential). One window per group: partitioned, so at 100 TB the
+    cumulative sums run parallel across groups and no global sort
+    exists. Output: (id_col, group_col, n_tokens, shard).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toked = df.select(
+        F.col(id_col), F.col(group_col), token_count(text_col).alias("n_tokens")
+    )
+    return toked.select(
+        id_col,
+        group_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            / F.lit(budget_tokens)
+        )
+        .cast("bigint")
+        .alias("shard"),
+    )
+
+
 def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
     """Top-k characteristic terms per document by tf·idf.
 

@@ -1830,6 +1830,33 @@ def _curation_oracle() -> str:
     """
 
 
+@query(
+    "t_shard_pack",
+    """
+    WITH toked AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER (
+                  PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 100 AS BIGINT) AS shard
+    FROM toked
+    """,
+)
+def t_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (text.pack_shards): docs stream into
+    100-token shards per source in doc_id order — the sequence-packing
+    step before pre-training tokenization. Prefix-sum window
+    PARTITIONED by source: cumulative sums run parallel across groups,
+    no global sort anywhere."""
+    d = Catalog(spark, sf_dir).documents
+    return T.pack_shards(d, "doc_id", "source", "text", budget_tokens=100)
+
+
 def _quality_cutoff_oracle() -> str:
     return f"""
     WITH toked AS (

@@ -366,6 +366,25 @@ def test_kmeans_layout_independent(spark, sf_dir):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_pack_shards_prefix_sum_and_group_reset(spark):
+    from mongodb_etl_migration_spark.operators.text import pack_shards
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "w " * 60),   # tokens_before=0   -> shard 0
+            (2, "a", "w " * 60),   # tokens_before=60  -> shard 0 (straddles)
+            (3, "a", "w " * 10),   # tokens_before=120 -> shard 1
+            (4, "b", "w " * 10),   # new group resets  -> shard 0
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r.doc_id: (r.shard, r.n_tokens)
+        for r in pack_shards(docs, "doc_id", "source", "text", 100).collect()
+    }
+    assert out == {1: (0, 60), 2: (0, 60), 3: (1, 10), 4: (0, 10)}
+
+
 def test_decontaminate_flags_overlap_only(spark):
     from mongodb_etl_migration_spark.operators.text import decontaminate
 
