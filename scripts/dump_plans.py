@@ -93,6 +93,19 @@ NOTES = {
         "string; dup-count window shuffles on the uuid itself "
         "(unique keys — no skew)."
     ),
+    "d8_incremental_neardup": (
+        "Incremental near-dup: only the NEW batch runs the "
+        "shingle/md5 signature pipeline; the history side is the "
+        "band index (at scale: a partition-pruned parquet read via "
+        "write_minhash_index). The join shuffles band rows, never "
+        "raw text."
+    ),
+    "t_shard_pack": (
+        "Shard packing: the prefix-sum Window is PARTITIONED by "
+        "source — one Exchange on the group key, cumulative sums "
+        "parallel across groups, no global sort anywhere in the "
+        "plan."
+    ),
     "t_decontaminate": (
         "Decontamination: the eval-set gram table broadcasts "
         "(BroadcastHashJoin, no Exchange on the corpus side before "
