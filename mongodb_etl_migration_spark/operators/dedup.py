@@ -333,8 +333,11 @@ def write_minhash_index(
     ingest batch probes the index instead of re-hashing 100 TB
     (continuous-ingestion twin of minhash_dedup_pairs, same signature
     family/banding so batch and incremental candidates agree).
-    Hive-partitioned by band — a probe scans only matching band
-    directories (PartitionFilters)."""
+    Hive-partitioned by band: a FULL probe touches every band
+    directory (each new doc emits all bands), but the layout lets a
+    band-sharded probe schedule per-band joins independently and
+    lets single-band maintenance (re-banding, compaction) prune to
+    one directory."""
     df = df.filter(F.size(tokens(F.col(text_col))) >= k)
     sig = minhash_signatures_narrow(df, id_col, text_col, k, num_hashes)
     band = lsh_bands(sig, id_col, num_hashes, bands)
@@ -384,8 +387,9 @@ def neardup_against_index(
     bands: int = 4,
 ) -> DataFrame:
     """:func:`neardup_probe` against the PERSISTED index written by
-    :func:`write_minhash_index` — the probe's band equi-join prunes to
-    matching band directories via the Hive partitioning."""
+    :func:`write_minhash_index`. The probe reads all band directories
+    (every new doc emits every band id); the partitioned layout's win
+    is per-band scheduling and maintenance, not scan pruning."""
     idx = new_df.sparkSession.read.parquet(index_path)
     return neardup_probe(
         new_df, idx, id_col, text_col, k, num_hashes, bands

@@ -295,17 +295,46 @@ def nearest_centroid_assign(
     """
     xq = emb.select(
         F.col(id_col),
-        F.transform(
-            _dvec(vec_col),
-            lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long"),
-        ).alias("_xq"),
+        _quantize(vec_col, scale).alias("_xq"),
     )
-    cands = F.array(
+    # _best materialized as its own attribute: array_min's argument
+    # tree is non-cheap and referenced twice below — CollapseProject
+    # keeps the projections separate so the k distance sums run once
+    # per row, not once per output column.
+    scored = xq.select(
+        F.col(id_col),
+        F.array_min(_centroid_dists(F.col("_xq"), centroids)).alias("_best"),
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("_best.assigned").alias("assigned"),
+        F.col("_best.d2").alias("d2"),
+    )
+
+
+def _quantize(vec_col: Column | str, scale: int) -> Column:
+    """floor(x·scale + 0.5) per element as bigint — the shared
+    engine-deterministic quantizer."""
+    return F.transform(
+        _dvec(vec_col),
+        lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long"),
+    )
+
+
+def _centroid_dists(
+    xq_col: Column, centroids: Sequence[tuple[int, Sequence[int]]]
+) -> Column:
+    """Array of (d2, assigned) structs — one integer squared distance
+    per centroid; array_min over it is the deterministic argmin (ties
+    break to the smaller label by struct ordering)."""
+    if not centroids:
+        raise ValueError("need at least one centroid")
+    return F.array(
         *[
             F.struct(
                 F.aggregate(
                     F.zip_with(
-                        F.col("_xq"),
+                        xq_col,
                         F.array(*[F.lit(int(v)).cast("long") for v in cvec]),
                         lambda a, b: (a - b) * (a - b),
                     ),
@@ -316,16 +345,6 @@ def nearest_centroid_assign(
             )
             for label, cvec in centroids
         ]
-    )
-    # _best materialized as its own attribute: array_min's argument
-    # tree is non-cheap and referenced twice below — CollapseProject
-    # keeps the projections separate so the k distance sums run once
-    # per row, not once per output column.
-    scored = xq.select(F.col(id_col), F.array_min(cands).alias("_best"))
-    return scored.select(
-        F.col(id_col),
-        F.col("_best.assigned").alias("assigned"),
-        F.col("_best.d2").alias("d2"),
     )
 
 
@@ -355,31 +374,39 @@ def kmeans_assign(
     clusters that lose all members simply drop (no re-seeding) — the
     same rule an unrolled SQL twin applies naturally.
 
-    Per-iteration cost at 100 TB: the assignment is a zero-shuffle
-    narrow projection (centroids are plan literals); the update
+    Per-iteration cost at 100 TB: assignment AND update are computed
+    in ONE scan of the quantized corpus — `cluster` is a pure function
+    of the vector given the literal centroids, so the update projects
+    it inline (no self-join, no second derivation of the corpus) and
     shuffles only k×dim partial sums (map-side combine collapses each
     task to ≤k rows). Driver round-trips are k×dim ints per iteration.
     Output: (id_col, cluster, d2) for the final assignment.
     """
-    q = F.transform(
-        _dvec(vec_col),
-        lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long"),
-    )
-    xq = emb.select(F.col(id_col), q.alias("_xq"))
-    init = xq.filter(F.col(id_col) < k).select(F.col(id_col), "_xq").collect()
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    xq = emb.select(F.col(id_col), _quantize(vec_col, scale).alias("_xq"))
+    # seed from the k smallest ids (NOT `id < k` — id spaces need not
+    # start at 0 or be contiguous); TakeOrderedAndProject, no sort.
+    init = xq.orderBy(id_col).limit(k).collect()
+    if not init:
+        raise ValueError("kmeans_assign needs a non-empty input")
     cents: list[tuple[int, list[int]]] = [
         (int(r[id_col]), [int(v) for v in r["_xq"]]) for r in init
     ]
-    assigned = None
-    for it in range(iterations):
-        assigned = nearest_centroid_assign(
-            emb, cents, id_col=id_col, vec_col=vec_col, scale=scale
-        ).withColumnRenamed("assigned", "cluster")
-        if it == iterations - 1:
-            break  # final assignment needs no centroid update
+    # iterations-1 update rounds, then the final assignment below
+    for _ in range(iterations - 1):
+        # two-step select: the struct's field names only exist in the
+        # schema once the array_min lands in a projection (a direct
+        # getField on the raw expression sees unnamed col1/col2)
+        scored_it = xq.select(
+            "_xq",
+            F.array_min(_centroid_dists(F.col("_xq"), cents)).alias("_best"),
+        )
         per_pos = (
-            xq.join(assigned.select(id_col, "cluster"), id_col)
-            .select("cluster", F.posexplode("_xq").alias("pos", "x"))
+            scored_it.select(
+                F.col("_best.assigned").alias("cluster"),
+                F.posexplode("_xq").alias("pos", "x"),
+            )
             .groupBy("cluster", "pos")
             .agg(
                 F.floor(
@@ -396,7 +423,15 @@ def kmeans_assign(
         cents = [
             (c, [pm[p] for p in sorted(pm)]) for c, pm in sorted(by_cluster.items())
         ]
-    return assigned
+    scored = xq.select(
+        F.col(id_col),
+        F.array_min(_centroid_dists(F.col("_xq"), cents)).alias("_best"),
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("_best.assigned").alias("cluster"),
+        F.col("_best.d2").alias("d2"),
+    )
 
 
 def group_centroids(df: DataFrame, key: str, vec_col: str, dim: int) -> DataFrame:

@@ -305,16 +305,21 @@ def pack_shards(
     toked = df.select(
         F.col(id_col), F.col(group_col), token_count(text_col).alias("n_tokens")
     )
-    return toked.select(
+    before = toked.select(
         id_col,
         group_col,
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        (
-            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-            / F.lit(budget_tokens)
-        )
-        .cast("bigint")
-        .alias("shard"),
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("_tb"),
+    )
+    # `div`, not `/` + cast: integer division stays exact at any
+    # magnitude (a >2^53-token prefix sum would drift through IEEE
+    # double division) and matches the oracle's `//` by construction —
+    # the same integer-space rule the sampling gates follow.
+    return before.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        F.expr(f"_tb div {int(budget_tokens)}").alias("shard"),
     )
 
 

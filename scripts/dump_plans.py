@@ -96,9 +96,9 @@ NOTES = {
     "d8_incremental_neardup": (
         "Incremental near-dup: only the NEW batch runs the "
         "shingle/md5 signature pipeline; the history side is the "
-        "band index (at scale: a partition-pruned parquet read via "
-        "write_minhash_index). The join shuffles band rows, never "
-        "raw text."
+        "persisted band index (write_minhash_index — read in full: "
+        "a probe carries every band id). The join shuffles band "
+        "rows, never raw text."
     ),
     "t_shard_pack": (
         "Shard packing: the prefix-sum Window is PARTITIONED by "

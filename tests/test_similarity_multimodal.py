@@ -352,6 +352,32 @@ def test_kmeans_converges_on_separable_clusters(spark):
     assert {out[0], out[2], out[3]} == {0}
     assert {out[1], out[4], out[5]} == {1}
 
+    # seeding uses the k SMALLEST ids, not `id < k`: a shifted id
+    # space must still produce k clusters (regression: VOID-type crash)
+    shifted = emb.select(
+        (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+    )
+    out2 = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(shifted, k=2, iterations=2).collect()
+    }
+    assert {out2[100], out2[102], out2[103]} == {100}
+    assert {out2[101], out2[104], out2[105]} == {101}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmeans_assign(emb, k=2, iterations=0)
+    with _pytest.raises(ValueError):
+        kmeans_assign(emb.filter(F.col("vec_id") < 0), k=2)
+
+    from mongodb_etl_migration_spark.operators.similarity import (
+        nearest_centroid_assign,
+    )
+
+    with _pytest.raises(ValueError):
+        nearest_centroid_assign(emb, [])
+
 
 def test_kmeans_layout_independent(spark, sf_dir):
     """The bit-reproducibility claim: integer-quantized Lloyd's must
