@@ -58,6 +58,7 @@ _PRIORITY = [
     "t_quality_cutoff",
     "d8_incremental_neardup",
     "t_shard_pack",
+    "m_frame_sample",
 ]
 
 

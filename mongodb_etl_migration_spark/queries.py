@@ -1998,6 +1998,31 @@ def m_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m_frame_sample",
+    """
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           md5(substring(text, i * 64 + 1, 64)) AS frame_digest
+    FROM b, unnest(range(0, greatest(nb // 64, 1), 2)) t(i)
+    """,
+)
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing (multimodal.sample_frames): every
+    2nd 64-byte payload chunk is a 'frame' (the decoder is a
+    deterministic stub — no ffmpeg in the container; the 1→N
+    mapInPandas fan-out, Arrow batching, and per-frame digest path are
+    real and hash-verified). The oracle recomputes the chunk digests
+    with substring+md5 — valid because the payload is utf8(text) and
+    the corpus is pure ASCII, so byte and character offsets agree."""
+    d = Catalog(spark, sf_dir).documents
+    mm = M.attach_binary_payload(d, "doc_id", "text")
+    return M.sample_frames(mm, every_n=2)
+
+
+@query(
     "m_image_decode_real",
     """
     SELECT doc_id,

@@ -28,6 +28,7 @@ ARROW_OK = {
     "m_image_decode_real",   # real BMP codec (mapInPandas)
     "m_image_decode_png",    # real PNG codec (mapInPandas)
     "m_audio_decode_real",   # real WAV codec (mapInPandas)
+    "m_frame_sample",        # frame-sampling fan-out (mapInPandas)
     "e_sessionization",      # batch twin is pure SQL — listed in case
 }
 
