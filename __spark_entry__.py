@@ -59,6 +59,7 @@ _PRIORITY = [
     "d8_incremental_neardup",
     "t_shard_pack",
     "m_frame_sample",
+    "sim_topk_int8",
 ]
 
 

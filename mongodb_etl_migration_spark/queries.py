@@ -1654,6 +1654,52 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_topk_int8",
+    """
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), quant AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+               AS scale
+      FROM embeddings
+    ), deq AS (
+      SELECT vec_id,
+             list_transform(v, x ->
+               (CASE WHEN scale = 0 THEN 0
+                     ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END) * scale)
+               AS dv
+      FROM quant
+    )
+    SELECT d.vec_id,
+           floor((list_dot_product(d.dv, q.qv)
+                  / (sqrt(list_dot_product(d.dv, d.dv))
+                     * sqrt(list_dot_product(q.qv, q.qv)))) * 10000 + 0.5)
+             / 10000 + 0.0 AS cos_sim
+    FROM deq d, q
+    ORDER BY cos_sim DESC, d.vec_id LIMIT 10
+    """,
+)
+def sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search over the INT8-QUANTIZED index — the memory-lever
+    path actually answering queries (quantize → dequantize → cosine →
+    TakeOrderedAndProject), closing the loop on int8_quantize: the 8×
+    smaller index returns near-identical neighbors, and because every
+    step is floor-based-deterministic the driver hash checks the
+    quantized math EXACTLY, not approximately. Zero shuffle — scan +
+    per-partition heap + driver merge."""
+    emb = Catalog(spark, sf_dir).embeddings
+    quant = SIM.int8_quantize(emb, "vec_id", "embedding")
+    deq = quant.select(
+        "vec_id",
+        SIM.int8_dequantize(F.col("q"), F.col("scale")).alias("dv"),
+    )
+    return SIM.cosine_topk(
+        deq, _query_vec(spark, sf_dir), id_col="vec_id", vec_col="dv", k=10
+    )
+
+
+@query(
     "sim_embedding_neardup",
     """
     WITH corpus AS (
