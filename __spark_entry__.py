@@ -60,6 +60,7 @@ _PRIORITY = [
     "t_shard_pack",
     "m_frame_sample",
     "sim_topk_int8",
+    "a14_salted_count",
 ]
 
 

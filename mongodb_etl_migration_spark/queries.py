@@ -3117,6 +3117,23 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a14_salted_count",
+    """
+    SELECT user_id, count(*) AS cnt
+    FROM events GROUP BY user_id
+    """,
+)
+def a14_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit two-stage (salted) aggregation (skew.salted_count):
+    partial counts per (key, salt) then a final per-key sum — the
+    template for custom aggs with no map-side combine, spreading a hot
+    key over `salts` reducers. Oracle is the plain GROUP BY: salting
+    must not change any count."""
+    e = Catalog(spark, sf_dir).events
+    return SK.salted_count(e, "user_id", salts=8)
+
+
+@query(
     "j16_salted_join",
     """
     SELECT e.event_id, e.user_id, c.c_mktsegment
