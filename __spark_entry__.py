@@ -61,6 +61,7 @@ _PRIORITY = [
     "m_frame_sample",
     "sim_topk_int8",
     "a14_salted_count",
+    "d9_best_representatives",
 ]
 
 

@@ -569,6 +569,33 @@ def dedup_representatives(
     return df.join(losers, id_col, "left_anti")
 
 
+def dedup_best_representatives(
+    df: DataFrame, pairs: DataFrame, id_col: str, score_col: str
+) -> DataFrame:
+    """Quality-ranked survivor per near-dup cluster: within each
+    component the row with the HIGHEST ``score_col`` survives (ties:
+    smaller id) — curation keeps the best copy, not the first-seen
+    one. Unpaired docs survive untouched.
+
+    Same shuffle discipline as :func:`dedup_representatives`: ranking
+    runs only over component MEMBERS (a semi-joined, duplicate-sized
+    set — the component labels broadcast), and the corpus itself moves
+    only through the final anti join."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    members = df.select(id_col, score_col).join(F.broadcast(comp), id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.desc(score_col), F.col(id_col)
+    )
+    losers = (
+        members.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > 1)
+        .select(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # ----------------------------------------------------------- SimHash
 def simhash_signature(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16

@@ -3521,6 +3521,57 @@ def d7_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _d9_oracle() -> str:
+    base = _d6_oracle()
+    inner = base[base.index("WITH RECURSIVE") : base.rindex("SELECT u AS id")]
+    return f"""
+    {inner.rstrip()},
+    comps AS (
+      SELECT u AS id, least(u, min(v)) AS component
+      FROM walk GROUP BY u
+    ),
+    scored AS (
+      SELECT doc_id, {_quality_sql()} AS quality
+      FROM (
+        SELECT doc_id, text,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+      )
+    ),
+    lab AS (
+      SELECT s.doc_id, s.quality,
+             COALESCE(c.component, s.doc_id) AS component
+      FROM scored s LEFT JOIN comps c ON s.doc_id = c.id
+    )
+    SELECT doc_id, quality FROM (
+      SELECT doc_id, quality,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY quality DESC, doc_id) AS rn
+      FROM lab
+    ) WHERE rn = 1
+    """
+
+
+@query("d9_best_representatives", _d9_oracle())
+def d9_best_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9: quality-ranked dedup survivors — per near-dup cluster keep
+    the HIGHEST-quality copy (ties: smaller doc_id), the rule real
+    curation applies instead of first-seen (d7). Ranking runs only
+    over component members (duplicate-sized, labels broadcast); the
+    corpus moves through one anti join. Quality is the stable-rounded
+    composite score, so the cross-engine argmax is exact."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = D.minhash_dedup_pairs(
+        corpus, "doc_id", "text", k=3, num_hashes=16, bands=4
+    )
+    d = Catalog(spark, sf_dir).documents
+    toked = d.select("doc_id", "text", T.tokens("text").alias("_t"))
+    scored = toked.select(
+        "doc_id", T.quality_score("text", F.col("_t")).alias("quality")
+    )
+    return D.dedup_best_representatives(scored, pairs, "doc_id", "quality")
+
+
 _HASH60 = (
     "CAST(('0x' || substring(md5(concat_ws('#', '{salt}', "
     "CAST({key} AS VARCHAR))), 1, 15)) AS BIGINT)"
