@@ -343,3 +343,60 @@ def test_stable_round_known_boundary(spark, duck):
         f"SELECT {stable_round_sql('0.78575::DOUBLE', 4)}"
     ).fetchone()[0]
     assert got == want == 0.7857
+
+
+def test_decontaminate_ngram_containment(spark, sf_dir):
+    """Any shared 4-gram contains two shared 3-grams, so the doc set
+    flagged at n=4 must be a subset of the set flagged at n=3 (recall
+    grows monotonically as n shrinks — the knob's contract)."""
+    from mongodb_etl_migration_spark.catalog import Catalog
+    from mongodb_etl_migration_spark.operators.text import decontaminate
+
+    d = Catalog(spark, sf_dir).documents
+    eval_docs = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    f3 = decontaminate(train, eval_docs, "doc_id", "text", n=3).select("doc_id")
+    f4 = decontaminate(train, eval_docs, "doc_id", "text", n=4).select("doc_id")
+    assert f4.join(f3, "doc_id", "left_anti").count() == 0
+    assert f4.count() <= f3.count()
+
+
+def test_pack_shards_budget_invariants(spark, sf_dir):
+    """Every shard id equals tokens_before // budget, shard ids are
+    contiguous from 0 within each group, and each shard's preceding
+    token count stays under budget + the straddling doc."""
+    from mongodb_etl_migration_spark.catalog import Catalog
+    from mongodb_etl_migration_spark.operators.text import pack_shards
+
+    d = Catalog(spark, sf_dir).documents
+    out = pack_shards(d, "doc_id", "source", "text", budget_tokens=100)
+    rows = sorted(
+        out.collect(), key=lambda r: (r["source"], r["doc_id"])
+    )
+    by_group: dict[str, list] = {}
+    for r in rows:
+        by_group.setdefault(r["source"], []).append(r)
+    for g, rs in by_group.items():
+        tb = 0
+        for r in rs:
+            assert r["shard"] == tb // 100, (g, r)
+            tb += r["n_tokens"]
+        shards = [r["shard"] for r in rs]
+        assert shards[0] == 0 and shards == sorted(shards)
+
+
+def test_weighted_mix_composes_with_resampling(spark, sf_dir):
+    """A mix followed by an independent (different-salt) sample equals
+    the intersection of the two gates — rates compose multiplicatively
+    without correlation artifacts."""
+    from mongodb_etl_migration_spark.catalog import Catalog
+    from mongodb_etl_migration_spark.operators import sampling as SM
+
+    d = Catalog(spark, sf_dir).documents
+    mixed = SM.weighted_mix(d, "doc_id", "source", {"src0": 1.0, "src1": 0.6})
+    both = SM.deterministic_sample(mixed, "doc_id", 0.5, salt="second")
+    direct = SM.deterministic_sample(d, "doc_id", 0.5, salt="second").join(
+        mixed.select("doc_id"), "doc_id"
+    )
+    assert both.select("doc_id").exceptAll(direct.select("doc_id")).count() == 0
+    assert direct.select("doc_id").exceptAll(both.select("doc_id")).count() == 0
