@@ -93,6 +93,22 @@ NOTES = {
         "string; dup-count window shuffles on the uuid itself "
         "(unique keys — no skew)."
     ),
+    "sim_kmeans": (
+        "Lloyd's k-means, final-assignment plan: centroids are plan "
+        "literals after the driver-held update rounds, so the output "
+        "is one narrow Project over the scan — the iterative "
+        "algorithm leaves NO join and no shuffle in the result plan."
+    ),
+    "d9_best_representatives": (
+        "Quality-ranked survivors: ranking window runs over the "
+        "duplicate-sized member set (component labels broadcast); "
+        "the corpus appears only under the final anti join."
+    ),
+    "sim_topk_int8": (
+        "Quantized top-k: quantize → dequantize → cosine all fuse "
+        "into one projection; TakeOrderedAndProject does the top-10 "
+        "with per-partition heaps — zero Exchange."
+    ),
     "d8_incremental_neardup": (
         "Incremental near-dup: only the NEW batch runs the "
         "shingle/md5 signature pipeline; the history side is the "
