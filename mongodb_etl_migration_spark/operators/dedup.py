@@ -578,13 +578,13 @@ def dedup_best_representatives(
     one. Unpaired docs survive untouched.
 
     Same shuffle discipline as :func:`dedup_representatives`: ranking
-    runs only over component MEMBERS (a semi-joined, duplicate-sized
-    set — the component labels broadcast), and the corpus itself moves
-    only through the final anti join."""
-    from pyspark.sql import Window
-
+    runs only over component MEMBERS (a duplicate-sized set), and the
+    corpus itself moves only through the final anti join. No forced
+    broadcast — the member set is proportional to the duplicate
+    fraction, which at 100 TB can exceed broadcast limits; AQE picks
+    the join strategy from the actual size."""
     comp = connected_components(pairs).withColumnRenamed("id", id_col)
-    members = df.select(id_col, score_col).join(F.broadcast(comp), id_col)
+    members = df.select(id_col, score_col).join(comp, id_col)
     w = Window.partitionBy("component").orderBy(
         F.desc(score_col), F.col(id_col)
     )

@@ -3487,17 +3487,25 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs)
 
 
-def _d7_oracle() -> str:
+def _comps_oracle() -> str:
+    """Shared CTE prefix for d7/d9: _d6_oracle's transitive-closure
+    pipeline spliced down to the `walk` CTE, plus the component-label
+    aggregate. Centralizes the rindex-based slice so an edit to
+    _d6_oracle's trailing SELECT breaks one helper, not two copies."""
     base = _d6_oracle()
-    # reuse the full transitive-closure pipeline, then keep every doc
-    # that is NOT a non-representative member of some component
     inner = base[base.index("WITH RECURSIVE") : base.rindex("SELECT u AS id")]
     return f"""
     {inner.rstrip()},
     comps AS (
       SELECT u AS id, least(u, min(v)) AS component
       FROM walk GROUP BY u
-    )
+    )"""
+
+
+def _d7_oracle() -> str:
+    # keep every doc that is NOT a non-representative member
+    return f"""
+    {_comps_oracle()}
     SELECT doc_id, lang FROM documents
     WHERE doc_id NOT IN (SELECT id FROM comps WHERE id <> component)
     """
@@ -3522,14 +3530,8 @@ def d7_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _d9_oracle() -> str:
-    base = _d6_oracle()
-    inner = base[base.index("WITH RECURSIVE") : base.rindex("SELECT u AS id")]
     return f"""
-    {inner.rstrip()},
-    comps AS (
-      SELECT u AS id, least(u, min(v)) AS component
-      FROM walk GROUP BY u
-    ),
+    {_comps_oracle()},
     scored AS (
       SELECT doc_id, {_quality_sql()} AS quality
       FROM (

@@ -358,7 +358,6 @@ def test_decontaminate_ngram_containment(spark, sf_dir):
     f3 = decontaminate(train, eval_docs, "doc_id", "text", n=3).select("doc_id")
     f4 = decontaminate(train, eval_docs, "doc_id", "text", n=4).select("doc_id")
     assert f4.join(f3, "doc_id", "left_anti").count() == 0
-    assert f4.count() <= f3.count()
 
 
 def test_pack_shards_budget_invariants(spark, sf_dir):
