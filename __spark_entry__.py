@@ -31,97 +31,52 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Enumeration order for the driver's correctness run. The driver may
-# cap the number of queries it checks per round, so queries with no
-# green driver row yet enumerate FIRST: round 3's fixes are the four
-# formerly array-typed outputs (now scalar-serialized), the crypto
-# migration (first oracle), the upgraded uuid invariant queries, and
-# the new PNG codec query; long-green queries go last.
-_PRIORITY = [
-    # never green before round 3 — fixed/added this round
-    "s5_nested_serialization",
-    "sim_l2_normalize",
-    "sim_group_centroids",
-    "sim_quantize_int8",
-    "x_crypto_migration",
-    "k1_uuid5",
-    "k2_timeuuid",
-    "m_image_decode_png",
-    "sim_topk_lsh",
-    "a12_approx_distinct",
-    "a13_approx_percentile_sketch",
-    "d7_dedup_representatives",
-    "t_decontaminate",
-    "sim_centroid_assign",
-    "sim_kmeans",
-    "t_corpus_mix",
-    "j16_salted_join",
-    "t_quality_cutoff",
-    "d8_incremental_neardup",
-    "t_shard_pack",
-    "m_frame_sample",
-    "sim_topk_int8",
-    "a14_salted_count",
-    "d9_best_representatives",
-]
+# cap the number of queries it checks per round, so the catalog must
+# put the queries MOST in need of a fresh driver row first. The rule —
+# CHANGED CODE INVALIDATES ITS GREEN — is enforced mechanically, not
+# by hand-maintained sets: GREEN_HASHES.json (regenerated each round
+# by scripts/update_green_hashes.py) snapshots every query's
+# implementation hash (function source + oracle SQL + transitive
+# package-module closure, see provenance.py) at the commit its latest
+# green driver row actually tested. Enumeration order:
+#   1. no snapshot entry (never driver-green) or hash mismatch
+#      (implementation/oracle changed since last green) — catalog
+#      order within the bucket;
+#   2. hash-matching greens, oldest green round first (rotates fresh
+#      rows onto the stalest receipts when the cap allows).
+
+
+def _enumeration_order(query_names) -> list[str]:
+    import json
+
+    try:
+        from mongodb_etl_migration_spark import provenance
+        from mongodb_etl_migration_spark.queries import ORACLES, QUERIES
+
+        snapshot = json.loads((Path(_REPO) / "GREEN_HASHES.json").read_text())
+        current = provenance.catalog_hashes(
+            QUERIES, ORACLES, Path(_REPO) / "mongodb_etl_migration_spark"
+        )
+    except Exception:
+        return list(query_names)  # fail open: catalog order
+    needs_row, green = [], []
+    for n in query_names:
+        snap = snapshot.get(n)
+        if snap is None or snap.get("hash") != current.get(n):
+            needs_row.append(n)
+        else:
+            green.append(n)
+    green.sort(key=lambda n: snapshot[n].get("round", 0))
+    return needs_row + green
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 plus the
-    training-data extensions, never-driver-checked entries first."""
+    training-data extensions; queries whose implementation changed
+    since their last green driver row (or never had one) first."""
     from mongodb_etl_migration_spark.queries import QUERIES
 
-    ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
-    # new queries added since the priority list was drawn up come next
-    # (they have no driver row yet either), then the long-green rest
-    # (round-1 greens last — they've been green twice).
-    checked = _ROUND1_GREEN | _ROUND2_GREEN
-    for n, q in QUERIES.items():
-        if n not in ordered and n not in checked:
-            ordered[n] = q
-    for n, q in QUERIES.items():
-        if n not in ordered and n in _ROUND2_GREEN:
-            ordered[n] = q
-    for n, q in QUERIES.items():
-        if n not in ordered:
-            ordered[n] = q
-    return ordered
-
-
-_ROUND1_GREEN = {
-    "s1_filtered_scan", "s3_point_in_scan", "s4_source_count",
-    "p4_message_predicate", "p2_coalesce_projection",
-    "f_string_normalize", "f_gender_room_type", "f_url_rewrite",
-    "f_path_functions", "f_mime_and_defaults", "f_deleted_user_redaction",
-    "f_json_extract", "k3_sequential_ids",
-    "j1_fk_resolution", "j3_normalized_key_join", "j4_m2m_explode",
-    "j5_top1_per_group", "j6_denormalized_view", "j7_pair_generation",
-    "j9_hierarchy_resolution", "j10_orphan_check", "j11_semi_membership",
-    "a2_group_count", "a3_max_resume", "a4_distinct",
-    "a5_collect_per_group", "a7_first_wins_dedup", "o2_global_topk",
-    "u1_subtract", "u2_union_side_outputs", "d1_exact_dedup",
-    "d2_minhash_lsh_pairs", "d3_simhash", "d4_ngram_jaccard",
-    "sim_topk_bruteforce", "sim_embedding_neardup",
-    "t_text_stats", "t_curation_pipeline", "t_length_histogram",
-    "t_lang_id", "t_fingerprint", "m_multimodal_decode",
-}
-
-
-# Green in CORRECTNESS_r02.json (driver round 2) and unchanged since.
-_ROUND2_GREEN = {
-    "a1_pricing_summary", "a6_conditional_agg", "p7_filter_then_project",
-    "e_windowed_counts", "e_sessionization", "p6_role_filter",
-    "p9_empty_normalize", "s6_extended_json_ingest", "j8_membership_merge",
-    "j9b_file_resolution", "j12_relation_build", "j13_asof_join",
-    "j14_interval_join", "a8_depth_groups", "a9_rollup_totals",
-    "o1_sort_by_derived_key", "o3_limit_sample", "d6_dedup_clusters",
-    "t_deterministic_sample", "t_stratified_sample", "t_top_bigrams",
-    "t_train_test_split", "o6_moving_avg", "f_levenshtein",
-    "v1_count_reconciliation", "a10_percentiles", "a11_pivot_counts",
-    "d5_minhash_estimate", "m_image_decode_real", "m_audio_decode_real",
-    "j15_scd2_versions", "e_session_window_builtin", "e_attribution_join",
-    "j8b_upsert", "t_chunk_documents", "t_pii_scrub", "t_repetition",
-    "t_tfidf_top_terms",
-}
+    return {n: QUERIES[n] for n in _enumeration_order(QUERIES)}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -24,6 +24,19 @@ single scan task regardless of cores, which dominates its ~1s time.
 Real data splits into many row groups and parallelizes; the
 ``scan_tasks`` field records per-query task counts of the largest
 scan stage so round-over-round comparisons can see layout effects.
+
+Round-over-round comparability (the round-3 "regression" post-mortem):
+/root/testdata is REGENERATED between rounds — round 3's 8.05 s vs
+round 2's 5.95 s was measured on a different dataset generation
+(receipt: round-2 code fails outright on round-3+ data — events.ts
+changed from long-millis to native timestamp) and a slower box day
+(receipt: round-2 code re-run on round-3 data scores t_text_stats
+0.622 s / sim_topk 0.660 s — the round-3 numbers, not its own 0.343 /
+0.381; round-1 total 7.74 s ≈ round-3 total 8.05 s, round 2 was the
+fast outlier). The JSON therefore carries a ``data_fingerprint``
+(per-table file size + parquet schema hash) and per-query ``gc_ms`` /
+``cpu_ms`` so a future delta can be attributed to data, GC, or plan
+without re-running archaeology.
 """
 
 from __future__ import annotations
@@ -125,6 +138,44 @@ class UiMetrics:
         except Exception:
             return 0
 
+    def gc_cpu_totals(self) -> tuple[int, int]:
+        """(total GC ms, total executor run-time ms) — cumulative, for
+        per-query deltas: a query whose wall-time moves while its
+        cpu_ms holds is GC/scheduling noise, not a plan change."""
+        if not self.base:
+            return (0, 0)
+        try:
+            execs = self._get("/executors")
+            gc = sum(e.get("totalGCTime", 0) for e in execs)
+            stages = self._get("/stages?status=complete")
+            cpu = sum(s.get("executorRunTime", 0) for s in stages)
+            return (gc, cpu)
+        except Exception:
+            return (0, 0)
+
+
+def data_fingerprint(sf_dir: str) -> dict[str, dict]:
+    """Per-table size + schema hash: detects between-round testdata
+    regeneration, which breaks cross-round time comparability."""
+    import hashlib
+
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        pq = None
+    out: dict[str, dict] = {}
+    for p in sorted(Path(sf_dir).glob("*.parquet")):
+        entry: dict = {"bytes": p.stat().st_size}
+        if pq is not None:
+            try:
+                entry["schema_sha1"] = hashlib.sha1(
+                    pq.read_schema(p).to_string().encode()
+                ).hexdigest()[:12]
+            except Exception:
+                pass
+        out[p.stem] = entry
+    return out
+
 
 def run_once(name: str, spark, sf_dir: str) -> float:
     t0 = time.time()
@@ -144,16 +195,23 @@ def main() -> None:
     timings: dict[str, float] = {}
     shuffles: dict[str, int] = {}
     scan_tasks: dict[str, int] = {}
+    gc_ms: dict[str, int] = {}
+    cpu_ms: dict[str, int] = {}
     for name in HEADLINE:
         run_once(name, spark, sf_dir)  # cold (JIT, file listing)
         w0, r0 = ui.shuffle_totals()
         sid0 = ui.max_stage_id()
+        g0, c0 = ui.gc_cpu_totals()
         warm1 = run_once(name, spark, sf_dir)
         w1, r1 = ui.shuffle_totals()
+        g1, c1 = ui.gc_cpu_totals()
         shuffles[name] = (w1 - w0) + (r1 - r0)
         scan_tasks[name] = ui.scan_tasks_since(sid0)
+        gc_ms[name] = g1 - g0
+        cpu_ms[name] = c1 - c0
         warm2 = run_once(name, spark, sf_dir)
-        timings[name] = round(min(warm1, warm2), 3)
+        warm3 = run_once(name, spark, sf_dir)
+        timings[name] = round(min(warm1, warm2, warm3), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -166,12 +224,18 @@ def main() -> None:
                 "sf": sf,
                 "shuffle_bytes": shuffles,
                 "scan_tasks": scan_tasks,
+                # per-query receipts for attributing time deltas:
+                # gc_ms/cpu_ms are deltas over the FIRST warm run
+                "gc_ms": gc_ms,
+                "cpu_ms": cpu_ms,
                 "peak_jvm_heap_bytes": ui.peak_heap(),
+                "data_fingerprint": data_fingerprint(sf_dir),
                 # timing policy, so round-over-round deltas are
                 # attributable: per query 1 untimed cold run (JIT,
-                # file listing, broadcast warmup) then MIN of 2 warm
+                # file listing, broadcast warmup) then MIN of 3 warm
+                # (local-mode box noise swung ±50% round-over-round)
                 "warmup_runs": 1,
-                "timed_runs": 2,
+                "timed_runs": 3,
                 "aggregation": "min",
             }
         )

@@ -31,6 +31,16 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Session-wide DataFrame registry, keyed by (applicationId, sf_dir,
+# table). ``spark.read.parquet`` resolves schema + file listing
+# EAGERLY (~100 ms per call against this folder layout); every query
+# constructs its own Catalog, so without sharing, each construction
+# re-lists the same immutable directory. The registry treats an
+# sf_dir as immutable for the life of a Spark application — true for
+# the driver's generated testdata; a caller reading a LIVE directory
+# should bypass with spark.read.parquet directly.
+_DF_REGISTRY: dict[tuple[str, str, str], DataFrame] = {}
+
 
 class Catalog:
     """Lazy per-table DataFrame access for one scale-factor directory."""
@@ -38,7 +48,8 @@ class Catalog:
     def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
-        self._cache: dict[str, DataFrame] = {}
+        self._cache = _DF_REGISTRY
+        self._app_id = spark.sparkContext.applicationId
         # Normalize semantics even under a session we didn't build
         # (the harness may pass its own): UTC instants and
         # nanos-precision parquet timestamps (events.ts is
@@ -49,7 +60,8 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; have {TABLES}")
-        if name not in self._cache:
+        key = (self._app_id, self.sf_dir, name)
+        if key not in self._cache:
             df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
             if name == "events":
                 ts_type = dict(df.dtypes).get("ts", "")
@@ -70,8 +82,8 @@ class Catalog:
                     # Plain micros TIMESTAMP (current testdata): pin to
                     # ntz so downstream schemas are zone-independent.
                     df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-            self._cache[name] = df
-        return self._cache[name]
+            self._cache[key] = df
+        return self._cache[key]
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLES:

@@ -70,16 +70,31 @@ def pair_generation(
     skips rooms with fewer. "First two" is defined by ``order_by``
     (default: the member value itself) for determinism.
 
-    One shuffle (groupBy room) then a 2-row explode — no self-join, so
-    a hot room with thousands of members costs collect_list of its
-    members but never a quadratic blow-up.
+    One shuffle (the rank window on group_col; the groupBy that
+    follows reuses its hash partitioning) then a 2-row explode — no
+    self-join, and per-group state is BOUNDED: only the first two
+    members per group (by rank) ever reach the collect, via a
+    row_number() ≤ 2 pre-trim that Spark executes as a map-side
+    WindowGroupLimit — a pathological hot room with millions of
+    members ships 2 rows, not an array of millions, into the
+    aggregation buffer (same shape as top1_per_group above).
 
     A custom ``order_by`` (e.g. joined_at, to match the reference's
     "first two participants") is honored by collecting (keys, member)
     structs and array_sort-ing those — struct comparison is
     lexicographic over fields in order, so the member ranking follows
-    the keys, with the member value itself as the final tiebreak.
+    the keys, with the member value itself as the final tiebreak. The
+    pre-trim ranks by the same (keys, member) order, so it keeps
+    exactly the two rows the sort would have put first.
     """
+    w_trim = Window.partitionBy(group_col).orderBy(
+        *(list(order_by) if order_by else []), F.col(member_col)
+    )
+    members = (
+        members.withColumn("__trim_rn", F.row_number().over(w_trim))
+        .filter(F.col("__trim_rn") <= 2)
+        .drop("__trim_rn")
+    )
     if order_by:
         keyed = F.struct(
             *[k.alias(f"__k{i}") for i, k in enumerate(order_by)],
@@ -153,6 +168,12 @@ def fanout(base: DataFrame, outputs: dict[str, Sequence[Column]]):
     caller triggers N actions against the one cached lineage. This is
     the cache+multi-action idiom replacing the reference's per-batch
     Python fan-out loops.
+
+    Cache lifecycle: the CALLER owns it — after the N writes complete,
+    call ``.unpersist()`` on the SAME frame passed in (cache entries
+    are keyed by logical plan, so the caller's handle hits the entry
+    this function created). CacheManager entries survive garbage
+    collection, so skipping this accumulates caches across runs.
     """
     base = base.persist()
     return {name: base.select(*cols) for name, cols in outputs.items()}

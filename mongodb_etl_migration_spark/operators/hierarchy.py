@@ -28,6 +28,7 @@ def resolve_folder_tree(
     folders: DataFrame,
     path_col: str = "path",
     id_start: int = 1,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Assign ids to folders and resolve each folder's parent id.
 
@@ -48,10 +49,34 @@ def resolve_folder_tree(
     3. one broadcast self-join on parent_path (the folder set is
        dimension-sized even at 100 TB of documents; if a tree ever
        outgrew broadcast, drop the hint and the same join shuffles).
+
+    ``num_partitions`` sizes the one exchange (and therefore every
+    downstream task count). A folder tree is dimension-sized and its
+    window parallelism is bounded by #depth-levels anyway, so callers
+    with a known-small tree should pass 1-4 — at the default 32, the
+    three consumers of the materialized base each schedule 32 tasks
+    over a few hundred rows, pure overhead (same guidance as
+    functions/keys.assign_sequential_ids).
+
+    base feeds three subtrees (offset agg, parent map, main), so it is
+    materialized ONCE via localCheckpoint rather than
+    DataFrame.persist(): a CacheManager entry is keyed by logical plan
+    and outlives every reference (a long-lived session accumulates one
+    per distinct input — the round-3 heap creep), while local-
+    checkpoint blocks belong to the RDD and are freed by the
+    ContextCleaner as soon as the caller drops the result frame.
+    LAZY (eager=False): unlike keys.assign_sequential_ids — whose
+    range partitioning samples bounds nondeterministically and must be
+    pinned by an eager job before anything reads it twice — every step
+    here (hash repartition, per-depth row_number) is deterministic, so
+    whichever consumer runs first can materialize the blocks and the
+    rest reuse them; no extra build-time job.
     """
+    n_part = num_partitions or int(
+        folders.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     base = (
         folders.select(F.col(path_col).alias("path"))
-        .distinct()
         .withColumn("depth", path_depth("path"))
         .withColumn(
             "parent_path",
@@ -62,13 +87,19 @@ def resolve_folder_tree(
                 parent_path("path")
             ),
         )
+        # ONE exchange serves both the dedup and the rank window:
+        # depth is a function of path, so dropDuplicates(depth, path)
+        # ≡ distinct-by-path, and hashpartitioning(depth) satisfies
+        # BOTH ClusteredDistribution(depth, path) (the dedup
+        # aggregate) and the window's partitionBy(depth) — Catalyst
+        # inserts no further exchange after this repartition
+        .repartition(n_part, F.col("depth"))
+        .dropDuplicates(["depth", "path"])
     )
     w_depth = Window.partitionBy("depth").orderBy("path")
-    # persist: base feeds three subtrees (offset agg, parent map,
-    # main) — without it each broadcast build re-runs the upstream
-    # distinct. Lazy, so the caller's first action materializes it;
-    # Spark's CacheManager dedups repeated resolves of the same plan.
-    base = base.withColumn("__rn", F.row_number().over(w_depth)).persist()
+    base = base.withColumn("__rn", F.row_number().over(w_depth)).localCheckpoint(
+        eager=False
+    )
     # cumulative rows in shallower depths — a window over the tiny
     # per-depth count aggregate (#depths rows), not over the data
     w_cum = (

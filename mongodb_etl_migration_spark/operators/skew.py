@@ -18,8 +18,20 @@ lack map-side combine.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _stable_salt(key: str, spread_cols: Sequence[str] | None, df: DataFrame, salts: int):
+    """Salt derived from actual row content (key + spread columns, or
+    the whole row when no spread column is named) — identical across
+    materializations, task retries, and partition layouts, so stage
+    recomputation re-salts every row the same way and debugging a
+    single reducer's input is reproducible."""
+    cols = [key, *(spread_cols or [c for c in df.columns if c != key])]
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salts))
 
 
 def salted_join(
@@ -28,32 +40,37 @@ def salted_join(
     key: str,
     salts: int = 8,
     how: str = "inner",
+    spread_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Equi-join with the big side's hot keys scattered over ``salts``
     partitions. The small side is exploded ×salts (fine — it's small);
-    the big side gets a deterministic salt from a stable hash of its
-    whole row key + a spread column, keeping result equality."""
+    the big side's salt is a stable hash of row content — the join key
+    plus ``spread_cols`` (default: every other column), never a
+    partition-layout id — so retries and re-materializations assign
+    identical salts while still spreading a hot key's rows (which
+    share the key but differ in payload) across ``salts`` tasks.
+    Result equality with the plain join holds for any salt choice
+    because the small side carries every salt value."""
     salted_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )
-    salted_big = big.withColumn(
-        "__salt", (F.abs(F.xxhash64(F.monotonically_increasing_id())) % salts)
-    )
+    salted_big = big.withColumn("__salt", _stable_salt(key, spread_cols, big, salts))
     out = salted_big.join(salted_small, [key, "__salt"], how)
     return out.drop("__salt")
 
 
 def salted_count(
-    df: DataFrame, key: str, salts: int = 8
+    df: DataFrame,
+    key: str,
+    salts: int = 8,
+    spread_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Per-key counts via explicit two-stage (salted) aggregation:
     groupBy((key, salt)) → partial counts → groupBy(key) → sum. The
-    first shuffle spreads a hot key over ``salts`` reducers."""
+    first shuffle spreads a hot key over ``salts`` reducers. The salt
+    is content-stable (see ``_stable_salt``), not layout-dependent."""
     return (
-        df.withColumn(
-            "__salt",
-            (F.abs(F.xxhash64(F.monotonically_increasing_id())) % salts),
-        )
+        df.withColumn("__salt", _stable_salt(key, spread_cols, df, salts))
         .groupBy(key, "__salt")
         .agg(F.count("*").alias("__partial"))
         .groupBy(key)

@@ -90,7 +90,13 @@ def compile_entity_outputs(
     """Compile the entity AND its §2.9 side-outputs: the main frame is
     persisted once (the cache+multi-action idiom) and each side output
     is a cheap filter+projection over it — one scan feeding N sinks
-    (etl/orchestrator.py:326-453)."""
+    (etl/orchestrator.py:326-453).
+
+    Cache lifecycle: the CALLER owns it — after running its actions
+    over the returned frames, it should ``outs[spec.destination]
+    .unpersist()`` (CacheManager entries are plan-keyed and never
+    freed by GC; a long-lived session that compiles the same entity
+    repeatedly otherwise accumulates dead caches)."""
     main = compile_entity(spec, source_df, id_maps)
     if not spec.side_outputs:
         return {spec.destination: main}

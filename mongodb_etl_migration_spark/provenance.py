@@ -1,0 +1,165 @@
+"""Query-implementation hashing: "changed code invalidates its green".
+
+The driver caps how many queries it oracle-checks per round, so the
+catalog must enumerate the queries MOST in need of a fresh driver row
+first. Hand-maintained green sets rot (round 3 rewrote J9's operator
+but its green set membership said "checked"); instead, each query gets
+an IMPLEMENTATION HASH covering everything that determines its result:
+
+  * the query function's own source (via inspect.getsource), plus the
+    source of any helpers defined alongside it in the queries module
+    that it references (recursively);
+  * its oracle SQL string (an oracle edit re-runs the check too);
+  * the full file contents of every package module the function
+    references — resolved from the function's code-object names, then
+    expanded TRANSITIVELY over the package's import graph, so a query
+    whose operator calls ``functions.scalars`` is invalidated by a
+    scalars edit even though the query never imports scalars itself.
+
+``scripts/update_green_hashes.py`` snapshots these hashes for every
+query at the commit its latest green driver row actually tested
+(GREEN_HASHES.json); ``__spark_entry__.queries()`` enumerates
+hash-mismatched / never-green queries first. No hand-maintained sets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import re
+import types
+from pathlib import Path
+
+_PKG = "mongodb_etl_migration_spark"
+_IMPORT_RE = re.compile(
+    rf"^\s*(?:from\s+({_PKG}(?:\.\w+)*)\s+import\s+([\w, ()*]+)"
+    rf"|import\s+({_PKG}(?:\.\w+)*))",
+    re.M,
+)
+
+
+def package_files(pkg_root: Path) -> dict[str, Path]:
+    """Module name → file path for every .py in the package tree."""
+    out: dict[str, Path] = {}
+    for p in sorted(pkg_root.rglob("*.py")):
+        rel = p.relative_to(pkg_root.parent)
+        mod = ".".join(rel.with_suffix("").parts)
+        if mod.endswith(".__init__"):
+            mod = mod[: -len(".__init__")]
+        out[mod] = p
+    return out
+
+
+def import_graph(files: dict[str, Path]) -> dict[str, set[str]]:
+    """module → package modules it imports (textual scan; ``from pkg.x
+    import name`` maps to pkg.x, ``from pkg import x`` maps to pkg.x
+    when x is a module, else pkg)."""
+    graph: dict[str, set[str]] = {m: set() for m in files}
+    for mod, path in files.items():
+        text = path.read_text()
+        for m in _IMPORT_RE.finditer(text):
+            frm, names, plain = m.group(1), m.group(2), m.group(3)
+            target = frm or plain
+            if target in files:
+                graph[mod].add(target)
+            if frm and names:
+                for n in re.split(r"[,\s()]+", names):
+                    sub = f"{frm}.{n}"
+                    if n and sub in files:
+                        graph[mod].add(sub)
+    return graph
+
+
+def _closure(mods: set[str], graph: dict[str, set[str]]) -> set[str]:
+    seen, stack = set(), list(mods)
+    while stack:
+        m = stack.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        stack.extend(graph.get(m, ()))
+    return seen
+
+
+def _code_names(code: types.CodeType) -> set[str]:
+    """Global names referenced by a code object, including nested
+    lambdas/comprehensions (their code objects live in co_consts)."""
+    names = set(code.co_names)
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            names |= _code_names(const)
+    return names
+
+
+def _fn_deps(fn, queries_mod_name: str) -> tuple[set[str], list[str]]:
+    """(package modules referenced, extra source snippets) for ``fn``.
+
+    Globals that are package modules or objects from package modules
+    contribute their module; callables defined in the queries module
+    itself (decorators, local helpers) contribute their SOURCE instead
+    of the whole queries file, so editing one query never invalidates
+    the other hundred. Helper expansion is recursive.
+    """
+    mods: set[str] = set()
+    snippets: list[str] = []
+    visited: set[str] = set()
+
+    def walk(f) -> None:
+        if f.__qualname__ in visited:
+            return
+        visited.add(f.__qualname__)
+        try:
+            snippets.append(inspect.getsource(f))
+        except (OSError, TypeError):
+            snippets.append(repr(f))
+        for name in sorted(_code_names(f.__code__)):
+            g = f.__globals__.get(name)
+            if g is None:
+                continue
+            if isinstance(g, types.ModuleType):
+                if g.__name__.startswith(_PKG):
+                    mods.add(g.__name__)
+                continue
+            gmod = getattr(g, "__module__", None)
+            if not (gmod and gmod.startswith(_PKG)):
+                continue
+            if gmod == queries_mod_name and isinstance(
+                g, types.FunctionType
+            ):
+                walk(g)
+            else:
+                mods.add(gmod)
+
+    walk(fn)
+    return mods, snippets
+
+
+def query_impl_hash(
+    fn,
+    oracle: str | None,
+    files: dict[str, Path],
+    graph: dict[str, set[str]],
+) -> str:
+    """Stable hash of everything that determines a query's result."""
+    mods, snippets = _fn_deps(fn, fn.__module__)
+    closure = _closure(mods, graph)
+    h = hashlib.sha256()
+    for s in snippets:
+        h.update(s.encode())
+    h.update((oracle or "<no-oracle>").encode())
+    for mod in sorted(closure):
+        p = files.get(mod)
+        if p is not None:
+            h.update(mod.encode())
+            h.update(p.read_bytes())
+    return h.hexdigest()
+
+
+def catalog_hashes(queries: dict, oracles: dict, pkg_root: Path) -> dict[str, str]:
+    """Implementation hash for every catalog query."""
+    files = package_files(pkg_root)
+    graph = import_graph(files)
+    return {
+        name: query_impl_hash(fn, oracles.get(name), files, graph)
+        for name, fn in queries.items()
+    }

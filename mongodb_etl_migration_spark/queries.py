@@ -442,8 +442,7 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            '5' AS ver_nibble,
-           true AS variant_ok,
-           1 AS dup_count
+           true AS variant_ok
     FROM documents
     """,
 )
@@ -451,12 +450,15 @@ def k1_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1: deterministic UUID5 surrogate keys
     (cassandra_id_mapper.py:45-71). DuckDB has no sha1, so the raw
     uuid can't be recomputed in SQL; instead the query emits the
-    SQL-checkable RFC-4122 invariants per row — version nibble '5',
-    variant bits in {8,9,a,b}, and a per-uuid duplicate count (any
-    sha1 collision or nondeterminism would surface as dup_count > 1
-    on real rows). Byte-exact uuid values are pinned by known-answer
-    tests against Python's uuid.uuid5 in tests/test_functions_vectors
-    (the reference's own check: validate_migration.py:234-270)."""
+    SQL-checkable per-row RFC-4122 invariants — version nibble '5'
+    and variant bits in {8,9,a,b}. This is the BENCHMARKED plan and
+    stays a pure narrow projection (pandas-UDF sha1 + substrings,
+    zero shuffle); the cross-row uniqueness invariant lives in
+    k1b_uuid5_invariants so the oracle's needs never add a shuffle
+    to the operator under measurement. Byte-exact uuid values are
+    pinned by known-answer tests against Python's uuid.uuid5 in
+    tests/test_functions_vectors (the reference's own check:
+    validate_migration.py:234-270)."""
     d = Catalog(spark, sf_dir).documents
     u = d.select(
         "doc_id",
@@ -464,14 +466,44 @@ def k1_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_uuid"
         ),
     )
-    w = Window.partitionBy("row_uuid")
     return u.select(
         "doc_id",
         F.substring("row_uuid", 15, 1).alias("ver_nibble"),
         F.substring("row_uuid", 20, 1).isin("8", "9", "a", "b").alias(
             "variant_ok"
         ),
-        F.count("*").over(w).cast("int").alias("dup_count"),
+    )
+
+
+@query(
+    "k1b_uuid5_invariants",
+    """
+    SELECT count(*) AS n_uuids, 1 AS max_dup FROM documents
+    """,
+)
+def k1b_uuid5_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 (verification): cross-row uniqueness of the UUID5 keys —
+    any sha1 collision or nondeterministic input concat would surface
+    as max_dup > 1 or n_uuids < count(documents). Split out of
+    k1_uuid5 so the dup-count's groupBy shuffle (the oracle's need,
+    not the operator's) never rides the benchmarked key-generation
+    plan. groupBy(uuid).count() instead of a count-over-window: the
+    partial aggregation collapses each uuid to one row map-side, so
+    the shuffle carries ~one row per distinct uuid, and the second
+    agg reduces that to two scalars."""
+    d = Catalog(spark, sf_dir).documents
+    u = d.select(
+        K.uuid5_oid(F.concat(F.col("source"), F.lit(":"), F.col("doc_id"))).alias(
+            "row_uuid"
+        )
+    )
+    return (
+        u.groupBy("row_uuid")
+        .agg(F.count("*").alias("__dup"))
+        .agg(
+            F.count("*").alias("n_uuids"),
+            F.max("__dup").cast("int").alias("max_dup"),
+        )
     )
 
 
@@ -763,7 +795,10 @@ def j9_hierarchy_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("/"), F.col("source"), F.lit("/"), F.col("lang")).alias("path")
     )
     folders = lvl1.unionByName(lvl2).distinct()
-    return H.resolve_folder_tree(folders, "path").select(
+    # two-level tree of ~hundreds of paths: 1 partition — at 32 the
+    # three consumers of the materialized base each schedule 32 tasks
+    # of pure overhead (window parallelism is depth-bounded anyway)
+    return H.resolve_folder_tree(folders, "path", num_partitions=1).select(
         "path", "depth", "folder_id", "parent_id"
     )
 
@@ -1467,16 +1502,21 @@ def d5_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the exact shingle-join (2×16 longs per pair instead of two
     shingle sets). Unbiased by the MinHash property."""
     corpus = _corpus(spark, sf_dir)
-    # persist: the signature frame feeds THREE subtrees (banding →
-    # candidate pairs, and both rename-sides of the estimate join,
-    # which key on different ids so ReuseExchange can't help) — one
-    # narrow (id, 16 longs) cache beats recomputing the md5 pipeline
-    # 3× over the corpus; at index scale the materialized form is
-    # write_minhash_index instead.
+    # The signature frame feeds THREE subtrees (banding → candidate
+    # pairs, and both rename-sides of the estimate join, which key on
+    # different ids so ReuseExchange can't help) — one narrow
+    # (id, 16 longs) materialization beats recomputing the md5
+    # pipeline 3× over the corpus; at index scale the materialized
+    # form is write_minhash_index instead. Eager localCheckpoint, not
+    # .persist(): a CacheManager entry is plan-keyed and lives until
+    # someone explicitly unpersists it (a long-lived session running
+    # this query repeatedly accumulates caches — round-3 heap creep),
+    # while checkpoint blocks are freed by the ContextCleaner once the
+    # result frame is dropped.
     sigs = (
         D.minhash_signatures_narrow(corpus, "doc_id", "text", k=3, num_hashes=16)
         .filter(F.col("sig_0").isNotNull())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     bands = D.lsh_bands(sigs, "doc_id", num_hashes=16, bands=4)
     pairs = D.lsh_candidate_pairs(bands, "doc_id")
@@ -2515,7 +2555,9 @@ def j9b_file_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     lvl2 = d.select(
         F.concat(F.lit("/"), F.col("source"), F.lit("/"), F.col("lang")).alias("path")
     )
-    folder_ids = H.resolve_folder_tree(lvl1.unionByName(lvl2).distinct(), "path")
+    folder_ids = H.resolve_folder_tree(
+        lvl1.unionByName(lvl2).distinct(), "path", num_partitions=1
+    )
     files = d.select(
         "doc_id",
         F.when(

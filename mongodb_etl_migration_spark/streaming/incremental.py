@@ -38,7 +38,25 @@ def run_incremental(
     discovery exposes batch_id as a column they can ignore.
     trigger_once makes it a catch-up batch job (the reference's whole
     pipeline shape, but restartable and incremental).
+
+    Layout migration note: earlier revisions appended flat files
+    directly under ``sink_path``. A sink created by that code must
+    NOT be reused — mixing flat files with ``batch_id=N`` partition
+    directories breaks Spark partition discovery, and downstream
+    readers would also see the new batch_id column. This function
+    refuses such a sink rather than corrupting it; start a fresh
+    ``sink_path`` (and checkpoint) instead.
     """
+    import os
+
+    if os.path.isdir(sink_path) and any(
+        not e.name.startswith(("batch_id=", "_", "."))
+        for e in os.scandir(sink_path)
+    ):
+        raise ValueError(
+            f"sink_path {sink_path!r} holds non-partitioned files from "
+            "the legacy flat-append layout; use a fresh sink directory"
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         transform(batch_df).write.mode("overwrite").parquet(

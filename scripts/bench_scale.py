@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Scale receipt for the dedup/ANN path — the 100×-credibility check
+the per-round sf0.1 bench can't give (VERDICT r3 item 8).
+
+Claim under test: in minhash_dedup_pairs / dedup_representatives /
+ann_topk_lsh, the expensive moving part (the LSH bucket self-join's
+shuffle and output) grows with the DUPLICATE RATE, and only linearly
+with corpus size — never quadratically in the corpus. If that holds at
+1× → 10× locally, the same plan shape holds at 100 TB, where the
+banding stage is a narrow projection and AQE splits any hot bucket.
+
+Method: synthesize corpora from sf0.1's documents by replication —
+each replica's words get a replica-unique suffix, so replicas share
+NO shingles and add zero cross-replica near-dups (pure corpus growth);
+exact dups are then planted at a controlled rate via a hash gate.
+Three configs: base (5k docs, 10% dups), x10 (50k docs, 10%), and
+x10_dup4x (50k docs, 40%). Embeddings are replicated with per-replica
+jitter for the ANN probe.
+
+Run:  python scripts/bench_scale.py          (~3-4 min, local[32])
+Writes BENCH_scale.json at the repo root; corpora land under /tmp.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import UiMetrics  # noqa: E402
+from mongodb_etl_migration_spark import get_spark  # noqa: E402
+from mongodb_etl_migration_spark.operators import dedup as D  # noqa: E402
+from mongodb_etl_migration_spark.operators import similarity as SIM  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+CONFIGS = {
+    "base": {"replicas": 1, "dup_pct": 10},
+    "x10": {"replicas": 10, "dup_pct": 10},
+    "x10_dup4x": {"replicas": 10, "dup_pct": 40},
+}
+
+
+def build_corpus(spark, replicas: int, dup_pct: int, out_dir: str) -> None:
+    src = spark.read.parquet(f"{SF01}/documents.parquet").select("doc_id", "text")
+    parts = []
+    for r in range(replicas):
+        suffixed = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(w, F.lit(f"r{r}")),
+            ),
+            " ",
+        )
+        parts.append(
+            src.select(
+                (F.col("doc_id") + F.lit(r * 1_000_000)).alias("doc_id"),
+                suffixed.alias("text"),
+            )
+        )
+    base = parts[0]
+    for p in parts[1:]:
+        base = base.unionByName(p)
+    dups = base.filter(
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(100)) < F.lit(dup_pct)
+    ).select((F.col("doc_id") + F.lit(100_000_000)).alias("doc_id"), "text")
+    base.unionByName(dups).write.mode("overwrite").parquet(f"{out_dir}/documents")
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    eparts = []
+    for r in range(replicas):
+        eparts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * 1_000_000)).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: x + F.lit(float(r)) * F.lit(0.001)
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    e = eparts[0]
+    for p in eparts[1:]:
+        e = e.unionByName(p)
+    e.write.mode("overwrite").parquet(f"{out_dir}/embeddings")
+
+
+def timed(ui: UiMetrics, df) -> dict:
+    """One cold + one timed warm run through the noop sink, with the
+    warm run's shuffle-byte delta (the number that must scale right)."""
+    df.write.format("noop").mode("overwrite").save()
+    w0, r0 = ui.shuffle_totals()
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    sec = round(time.time() - t0, 3)
+    w1, r1 = ui.shuffle_totals()
+    return {"sec": sec, "shuffle_bytes": (w1 - w0) + (r1 - r0)}
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench_scale", extra_conf={"spark.ui.enabled": "true"})
+    spark.sparkContext.setLogLevel("ERROR")
+    ui = UiMetrics(spark)
+    results: dict[str, dict] = {}
+
+    for name, cfg in CONFIGS.items():
+        out_dir = f"/tmp/bench_scale_{name}"
+        build_corpus(spark, cfg["replicas"], cfg["dup_pct"], out_dir)
+        docs = spark.read.parquet(f"{out_dir}/documents")
+        emb = spark.read.parquet(f"{out_dir}/embeddings")
+        n_docs = docs.count()
+
+        pairs = D.minhash_dedup_pairs(docs, "doc_id", "text")
+        d2 = timed(ui, pairs)
+        d2["pairs_found"] = pairs.count()
+
+        reps = D.dedup_representatives(docs, pairs, "doc_id")
+        d7 = timed(ui, reps)
+        d7["survivors"] = reps.count()
+
+        planes = [
+            r["embedding"]
+            for r in emb.filter(F.col("vec_id").isin(1, 2, 3, 4)).collect()
+        ]
+        qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+        topk = SIM.ann_topk_lsh(emb, qvec, planes, k=10)
+        lsh = timed(ui, topk)
+
+        results[name] = {
+            "docs": n_docs,
+            "dup_pct": cfg["dup_pct"],
+            "vectors": emb.count(),
+            "d2_minhash_pairs": d2,
+            "d7_representatives": d7,
+            "sim_topk_lsh": lsh,
+        }
+        print(f"{name}: {json.dumps(results[name])}", file=sys.stderr)
+
+    b, x, xd = results["base"], results["x10"], results["x10_dup4x"]
+    summary = {
+        # corpus 10×, same dup rate: shuffle should grow ~linearly
+        # (banding rows ∝ N), NOT quadratically
+        "shuffle_growth_at_10x_corpus": round(
+            x["d2_minhash_pairs"]["shuffle_bytes"]
+            / max(1, b["d2_minhash_pairs"]["shuffle_bytes"]),
+            2,
+        ),
+        # same corpus, 4× dup rate: pair OUTPUT grows with dup rate —
+        # the join's work tracks duplication, not corpus volume
+        "pair_growth_at_4x_dup_rate": round(
+            xd["d2_minhash_pairs"]["pairs_found"]
+            / max(1, x["d2_minhash_pairs"]["pairs_found"]),
+            2,
+        ),
+        "wall_growth_at_10x_corpus": round(
+            x["d2_minhash_pairs"]["sec"] / max(1e-9, b["d2_minhash_pairs"]["sec"]),
+            2,
+        ),
+    }
+    out = {"configs": results, "summary": summary}
+    (REPO / "BENCH_scale.json").write_text(json.dumps(out, indent=1) + "\n")
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -67,30 +67,55 @@ def _unhashable_cols(df: pd.DataFrame) -> list[str]:
     (round-2 lesson: 4 queries were locally green but driver-red).
     Local green must imply driver green, so such columns FAIL here too
     — queries must serialize arrays (array_join/to_json) on both
-    engines before returning."""
+    engines before returning.
+
+    Scans EVERY row, not a head sample: a container value produced by
+    a conditional branch can first appear arbitrarily late (round-3
+    ADVICE), and a sampled check would pass locally then crash the
+    driver. This is the oracle-side net; the Spark side is caught
+    structurally from its schema in ``compare`` before any data moves.
+    """
     bad = []
     for c in df.columns:
         col = df[c]
         if col.dtype == object:
-            sample = col.dropna().head(20)
             if any(
                 isinstance(v, (list, tuple, dict, set))
                 or type(v).__name__ == "ndarray"
-                for v in sample
+                for v in col.dropna()
             ):
                 bad.append(c)
     return bad
 
 
+def _spark_container_cols(spark_df) -> list[str]:
+    """Array/map/struct columns detected from the Spark SCHEMA — exact
+    and zero-cost, unlike value sampling (a NULL-heavy or late-branch
+    column cannot slip through the way a data scan can miss it)."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def compare(spark_df, duck_df: pd.DataFrame) -> tuple[bool, str]:
+    bad = _spark_container_cols(spark_df)
+    if bad:
+        return False, (
+            f"driver-unhashable array/map/struct column(s) in spark "
+            f"schema: {bad} — serialize with array_join/to_json on "
+            "both engines"
+        )
     sp = spark_df.toPandas()
-    for side, frame in (("spark", sp), ("oracle", duck_df)):
-        bad = _unhashable_cols(frame)
-        if bad:
-            return False, (
-                f"driver-unhashable array column(s) in {side} result: {bad} "
-                "— serialize with array_join/to_json on both engines"
-            )
+    bad = _unhashable_cols(duck_df)
+    if bad:
+        return False, (
+            f"driver-unhashable array column(s) in oracle result: {bad} "
+            "— serialize with array_join/to_json on both engines"
+        )
     if sorted(sp.columns) != sorted(duck_df.columns):
         return False, f"schema mismatch: {sorted(sp.columns)} vs {sorted(duck_df.columns)}"
     if len(sp) != len(duck_df):

@@ -32,6 +32,29 @@ def test_salted_join_equals_plain_join(spark):
     assert plain.exceptAll(salted).count() == 0
 
 
+def test_salt_assignment_stable_across_materializations(spark):
+    """The salt must be a pure function of row CONTENT (never
+    monotonically_increasing_id or any partition-layout artifact), so
+    two independent materializations — including one with a different
+    partition layout — assign every row the identical salt. This is
+    what makes stage retries re-salt rows identically and per-reducer
+    debugging reproducible."""
+    from mongodb_etl_migration_spark.operators.skew import _stable_salt
+
+    df = spark.range(0, 5_000).select(
+        (F.col("id") % 37).alias("k"), F.col("id").alias("payload")
+    )
+    salted = df.withColumn("__salt", _stable_salt("k", ["payload"], df, 8))
+    a = {(r["k"], r["payload"]): r["__salt"] for r in salted.collect()}
+    relaid = df.repartition(3).withColumn(
+        "__salt", _stable_salt("k", ["payload"], df, 8)
+    )
+    b = {(r["k"], r["payload"]): r["__salt"] for r in relaid.collect()}
+    assert a == b
+    # and the hot key's rows actually spread over the salt space
+    assert len({s for (k, _), s in a.items() if k == 7}) == 8
+
+
 def test_salted_count_equals_group_count(spark):
     df = spark.range(0, 30_000).select(
         F.when(F.col("id") % 5 != 0, F.lit(1)).otherwise(F.col("id") % 100).alias("k")
