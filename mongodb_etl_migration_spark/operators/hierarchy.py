@@ -96,31 +96,46 @@ def resolve_folder_tree(
         .repartition(n_part, F.col("depth"))
         .dropDuplicates(["depth", "path"])
     )
-    w_depth = Window.partitionBy("depth").orderBy("path")
-    base = base.withColumn("__rn", F.row_number().over(w_depth)).localCheckpoint(
-        eager=False
-    )
-    # cumulative rows in shallower depths — a window over the tiny
-    # per-depth count aggregate (#depths rows), not over the data
-    w_cum = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("depth")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        base.groupBy("depth")
-        .agg(F.count("*").alias("__cnt"))
-        .withColumn("__off", F.coalesce(F.sum("__cnt").over(w_cum), F.lit(0)))
-        .select("depth", "__off")
-    )
-    base = (
-        base.join(F.broadcast(offsets), "depth")
-        .withColumn(
+    if n_part == 1:
+        # The caller declared the tree single-partition-small: the
+        # rows already sit in ONE task, so the offsets decomposition
+        # below would only re-derive what a direct dense numbering
+        # gives for free — one window, no per-depth count aggregate,
+        # no broadcast join (one fewer job at action time). The
+        # partitionBy(lit(0)) window is single-task BY DECLARATION
+        # here, not an accidental global sort — multi-partition trees
+        # take the decomposed branch.
+        w_one = Window.partitionBy(F.lit(0)).orderBy("depth", "path")
+        base = base.withColumn(
             "folder_id",
-            (F.col("__rn") + F.col("__off") + F.lit(id_start - 1)).cast("bigint"),
+            (F.row_number().over(w_one) + F.lit(id_start - 1)).cast("bigint"),
+        ).localCheckpoint(eager=False)
+    else:
+        w_depth = Window.partitionBy("depth").orderBy("path")
+        base = base.withColumn("__rn", F.row_number().over(w_depth)).localCheckpoint(
+            eager=False
         )
-        .drop("__rn", "__off")
-    )
+        # cumulative rows in shallower depths — a window over the tiny
+        # per-depth count aggregate (#depths rows), not over the data
+        w_cum = (
+            Window.partitionBy(F.lit(0))
+            .orderBy("depth")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = (
+            base.groupBy("depth")
+            .agg(F.count("*").alias("__cnt"))
+            .withColumn("__off", F.coalesce(F.sum("__cnt").over(w_cum), F.lit(0)))
+            .select("depth", "__off")
+        )
+        base = (
+            base.join(F.broadcast(offsets), "depth")
+            .withColumn(
+                "folder_id",
+                (F.col("__rn") + F.col("__off") + F.lit(id_start - 1)).cast("bigint"),
+            )
+            .drop("__rn", "__off")
+        )
     parents = base.select(
         F.col("path").alias("parent_path"),
         F.col("folder_id").alias("parent_id"),
