@@ -59,15 +59,34 @@ def _enumeration_order(query_names) -> list[str]:
         )
     except Exception:
         return list(query_names)  # fail open: catalog order
-    needs_row, green = [], []
+    return _bucket_order(query_names, snapshot, current)
+
+
+def _bucket_order(query_names, snapshot, current) -> list[str]:
+    """Three buckets: (1) never-green or the query's OWN code/operator
+    chain changed (narrow-hash mismatch); (2) only shared infra in
+    its closure changed (full mismatch, narrow match); (3) clean
+    greens. Buckets 2 and 3 order stalest receipt first. Old
+    snapshots stored one string hash — treated as full-only."""
+    changed, infra, green = [], [], []
     for n in query_names:
         snap = snapshot.get(n)
-        if snap is None or snap.get("hash") != current.get(n):
-            needs_row.append(n)
+        cur = current.get(n, {})
+        if snap is None:
+            changed.append(n)
+            continue
+        sh = snap.get("hash")
+        if isinstance(sh, str):
+            (changed if sh != cur.get("full") else green).append(n)
+        elif sh.get("narrow") != cur.get("narrow"):
+            changed.append(n)
+        elif sh.get("full") != cur.get("full"):
+            infra.append(n)
         else:
             green.append(n)
+    infra.sort(key=lambda n: snapshot[n].get("round", 0))
     green.sort(key=lambda n: snapshot[n].get("round", 0))
-    return needs_row + green
+    return changed + infra + green
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

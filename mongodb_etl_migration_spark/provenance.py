@@ -134,29 +134,46 @@ def _fn_deps(fn, queries_mod_name: str) -> tuple[set[str], list[str]]:
     return mods, snippets
 
 
+# Infra modules in (nearly) every query's closure. An edit here
+# honestly invalidates every FULL hash, but ranking all 104 queries
+# equally "changed" defeats the driver's per-round check cap — so the
+# NARROW hash excludes these, and enumeration puts narrow-mismatched
+# queries (their own code/operators changed) ahead of full-only
+# mismatches (shared infra changed underneath them).
+_UBIQUITOUS = frozenset(
+    {_PKG, f"{_PKG}.catalog", f"{_PKG}.session", f"{_PKG}.metrics"}
+)
+
+
 def query_impl_hash(
     fn,
     oracle: str | None,
     files: dict[str, Path],
     graph: dict[str, set[str]],
-) -> str:
-    """Stable hash of everything that determines a query's result."""
+) -> dict[str, str]:
+    """``{"full": ..., "narrow": ...}`` hashes of everything that
+    determines a query's result; narrow skips _UBIQUITOUS modules."""
     mods, snippets = _fn_deps(fn, fn.__module__)
     closure = _closure(mods, graph)
-    h = hashlib.sha256()
-    for s in snippets:
-        h.update(s.encode())
-    h.update((oracle or "<no-oracle>").encode())
-    for mod in sorted(closure):
-        p = files.get(mod)
-        if p is not None:
-            h.update(mod.encode())
-            h.update(p.read_bytes())
-    return h.hexdigest()
+    out = {}
+    for kind, skip in (("full", frozenset()), ("narrow", _UBIQUITOUS)):
+        h = hashlib.sha256()
+        for s in snippets:
+            h.update(s.encode())
+        h.update((oracle or "<no-oracle>").encode())
+        for mod in sorted(closure - skip):
+            p = files.get(mod)
+            if p is not None:
+                h.update(mod.encode())
+                h.update(p.read_bytes())
+        out[kind] = h.hexdigest()
+    return out
 
 
-def catalog_hashes(queries: dict, oracles: dict, pkg_root: Path) -> dict[str, str]:
-    """Implementation hash for every catalog query."""
+def catalog_hashes(
+    queries: dict, oracles: dict, pkg_root: Path
+) -> dict[str, dict[str, str]]:
+    """Implementation hashes for every catalog query."""
     files = package_files(pkg_root)
     graph = import_graph(files)
     return {
