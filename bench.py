@@ -230,6 +230,11 @@ def main() -> None:
                 "cpu_ms": cpu_ms,
                 "peak_jvm_heap_bytes": ui.peak_heap(),
                 "data_fingerprint": data_fingerprint(sf_dir),
+                # Host contention receipt: back-to-back runs on this
+                # shared box swing 2x with load (observed 6.6 s at
+                # load 1 vs 14.0 s at load 3.7, every query uniformly
+                # slower) — compare rounds at comparable load_avg.
+                "load_avg_1m": round(os.getloadavg()[0], 2),
                 # timing policy, so round-over-round deltas are
                 # attributable: per query 1 untimed cold run (JIT,
                 # file listing, broadcast warmup) then MIN of 3 warm

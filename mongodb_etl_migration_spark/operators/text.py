@@ -275,6 +275,116 @@ def decontaminate(
     )
 
 
+def bloom_bitset(
+    grams,
+    col: str,
+    num_bits: int,
+    num_hashes: int = 2,
+) -> list[int]:
+    """Build a Bloom-filter bitset over a DataFrame of strings,
+    distributed: each value sets ``num_hashes`` positions
+    (xxhash64(value, seed) masked to the power-of-two ``num_bits``),
+    positions fold to (word, mask) pairs and a single ``bit_or``
+    aggregation over ``num_bits / 64`` words produces the filter —
+    the build shuffles one long per SET WORD, never per value.
+    Returns the words as a Python list (num_bits/64 longs) for
+    folding into a probe plan; the collect moves num_bits/8 bytes.
+    """
+    assert num_bits & (num_bits - 1) == 0, "num_bits must be a power of two"
+    pos_cols = [
+        F.xxhash64(F.col(col), F.lit(j)).bitwiseAND(F.lit(num_bits - 1))
+        for j in range(num_hashes)
+    ]
+    words = (
+        grams.select(F.explode(F.array(*pos_cols)).alias("_pos"))
+        .select(
+            (F.col("_pos") / F.lit(64)).cast("int").alias("_w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_bits"))
+        .collect()
+    )
+    bitset = [0] * (num_bits // 64)
+    for r in words:
+        bitset[r["_w"]] = r["_bits"]
+    return bitset
+
+
+def bloom_probe(
+    value: Column,
+    bitset: list[int],
+    num_hashes: int = 2,
+) -> Column:
+    """Membership test against a :func:`bloom_bitset` folded into the
+    plan as a literal array<long> — pure codegen'd column arithmetic
+    (hash, mask, getbit), no join machinery. May report false
+    positives (tunable via bits-per-value), never false negatives."""
+    num_bits = len(bitset) * 64
+    lit_words = F.array(*[F.lit(int(w)).cast("long") for w in bitset])
+    checks = []
+    for j in range(num_hashes):
+        pos = F.xxhash64(value, F.lit(j)).bitwiseAND(F.lit(num_bits - 1))
+        word = F.element_at(lit_words, (pos / F.lit(64)).cast("int") + F.lit(1))
+        checks.append(F.getbit(word, (pos % F.lit(64)).cast("int")) == F.lit(1))
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def decontaminate_bloom(
+    docs,
+    eval_docs,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    bits_per_gram: int = 16,
+    num_hashes: int = 2,
+):
+    """Two-stage benchmark decontamination: a Bloom-filter probe
+    prunes the corpus's exploded n-grams to candidates, then the
+    exact broadcast join confirms — same EXACT output contract as
+    :func:`decontaminate` (the Bloom's false positives die in the
+    confirm join; it has no false negatives), so the two are
+    interchangeable and oracle-checked against the same SQL.
+
+    Why bother at 100 TB: the raw distinct-gram set of a large eval
+    suite broadcast-joins at ~40-60 bytes per gram, while the Bloom
+    carries ``bits_per_gram`` BITS per gram (~30x smaller), and the
+    probe is plan-literal column arithmetic evaluated inside the scan
+    stage — non-candidate grams (the overwhelming majority of the
+    corpus) are discarded before any join, so the join machinery only
+    ever sees contamination-sized input. With 16 bits/gram and 2
+    hashes the false-positive rate is ~1.4%, so the confirm join's
+    input is ≈ true contamination × 1.014. The filter build itself is
+    distributed (see :func:`bloom_bitset`); only the finished
+    num_bits/8-byte bitset ever reaches the driver. Beyond ~100 MB of
+    bitset, fold it in via a broadcast variable + pandas_udf probe
+    instead of a plan literal (plan-size ceiling, not a correctness
+    one).
+    """
+    from mongodb_etl_migration_spark.operators.dedup import shingles
+
+    eval_grams = (
+        shingles(eval_docs, id_col, text_col, k=n)
+        .select("shingle")
+        .distinct()
+    )
+    n_grams = eval_grams.count()  # eval-set-sized action (MB-scale)
+    num_bits = max(64, 1 << (max(1, n_grams * bits_per_gram) - 1).bit_length())
+    bitset = bloom_bitset(eval_grams, "shingle", num_bits, num_hashes)
+    doc_grams = shingles(docs, id_col, text_col, k=n)
+    candidates = doc_grams.filter(
+        bloom_probe(F.col("shingle"), bitset, num_hashes)
+    )
+    return (
+        candidates.join(F.broadcast(eval_grams), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matched"))
+    )
+
+
 def pack_shards(
     df,
     id_col: str,

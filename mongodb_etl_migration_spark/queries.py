@@ -3479,6 +3479,44 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.decontaminate(train, eval_docs, "doc_id", "text", n=3)
 
 
+@query(
+    "t_decontaminate_bloom",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, s.g
+      FROM toks,
+           unnest(list_transform(range(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+             AS s(g)
+    ), eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 89 = 0
+    )
+    SELECT d.doc_id, count(*) AS n_matched
+    FROM grams d JOIN eval_grams e USING (g)
+    WHERE d.doc_id % 89 <> 0
+    GROUP BY d.doc_id
+    """,
+)
+def t_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pre-filtered decontamination (text.decontaminate_bloom):
+    a distributed-built Bloom bitset over the eval set's 4-grams folds
+    into the probe plan as literal column arithmetic, prunes the
+    corpus's exploded grams to candidates inside the scan stage, and
+    an exact broadcast join confirms — bitwise-identical output to the
+    plain broadcast-join decontamination (the ORACLE IS THE EXACT SQL;
+    Bloom false positives die in the confirm join, and a Bloom has no
+    false negatives). The filter ships ~16 bits per eval gram vs ~40+
+    bytes for the raw broadcast set — the shape for eval suites too
+    big to broadcast raw."""
+    d = Catalog(spark, sf_dir).documents
+    eval_docs = d.filter(F.col("doc_id") % 89 == 0)
+    train = d.filter(F.col("doc_id") % 89 != 0)
+    return T.decontaminate_bloom(train, eval_docs, "doc_id", "text", n=4)
+
+
 def _d6_oracle() -> str:
     return f"""
     WITH RECURSIVE {_SHINGLE_SQL},

@@ -438,6 +438,61 @@ def test_decontaminate_flags_overlap_only(spark):
     assert out == {1: 3, 3: 1}
 
 
+def test_bloom_bitset_has_no_false_negatives(spark):
+    from mongodb_etl_migration_spark.operators.text import (
+        bloom_bitset,
+        bloom_probe,
+    )
+    from pyspark.sql import functions as F
+
+    vals = spark.range(500).select(
+        F.concat(F.lit("gram-"), F.col("id").cast("string")).alias("g")
+    )
+    bitset = bloom_bitset(vals, "g", num_bits=1 << 13, num_hashes=2)
+    hits = vals.filter(bloom_probe(F.col("g"), bitset, num_hashes=2)).count()
+    assert hits == 500  # every member must probe true
+    # non-members mostly rejected (fp rate bound is loose on purpose:
+    # 8192 bits / 500 values at k=2 -> ~1% expected)
+    others = spark.range(500, 1500).select(
+        F.concat(F.lit("gram-"), F.col("id").cast("string")).alias("g")
+    )
+    fp = others.filter(bloom_probe(F.col("g"), bitset, num_hashes=2)).count()
+    assert fp < 100
+
+
+def test_decontaminate_bloom_matches_exact(spark):
+    """The Bloom pre-filter must be invisible in the result."""
+    from mongodb_etl_migration_spark.operators.text import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps"), (101, "pack my box with")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "note the quick brown fox jumps high"),
+            (2, "quick brown bear sleeps"),
+            (3, "please pack my box with care"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        r.doc_id: r.n_matched
+        for r in decontaminate(train, eval_docs, "doc_id", "text", n=3).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_matched
+        for r in decontaminate_bloom(
+            train, eval_docs, "doc_id", "text", n=3
+        ).collect()
+    }
+    assert bloom == exact and exact  # identical, and non-trivial
+
+
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     import struct
     import zlib
