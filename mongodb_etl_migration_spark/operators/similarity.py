@@ -167,6 +167,46 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup_keep(
+    emb: DataFrame,
+    planes: Sequence[Sequence[float]],
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: keep one representative
+    per cosine ε-neighborhood, blocked by hyperplane-LSH bucket.
+
+    A vector is DROPPED iff some lower-id vector in its bucket has
+    cosine ≥ ``threshold`` with it; survivors are returned as
+    (id_col, bucket). The keep rule is "dominated by any lower id",
+    not transitive closure — deterministic, order-free, and exactly
+    expressible in SQL (an anti-join on the pair report), which is
+    what makes it oracle-checkable; chains therefore prune harder
+    than greedy-sequential SemDeDup (if a~b and b~c, both b and c
+    drop even when a!~c), the conservative direction for dedup.
+
+    Blocking by hyperplane bucket instead of k-means cluster (the
+    SemDeDup paper's blocker) keeps the blocker SCALE-INVARIANT:
+    sign(v·p) = sign(c·v·p), so an exact or rescaled copy provably
+    shares its original's block — an L2 coarse quantizer can send a
+    rescaled copy to a different cluster and never compare the pair.
+    At 100 TB the plan is the near-dup pair plan (one bucket-key
+    shuffle with per-row precomputed norms, quadratic only within a
+    bucket, AQE skew split as backstop) plus one left-anti join whose
+    build side is duplicate-sized, not corpus-sized.
+    """
+    bucketed = emb.select(
+        F.col(id_col), hyperplane_bucket(vec_col, planes).alias("bucket")
+    )
+    dropped = (
+        embedding_neardup_pairs(emb, planes, threshold, id_col, vec_col)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return bucketed.join(dropped, id_col, "left_anti")
+
+
 def write_ivf_index(
     emb: DataFrame,
     path: str,

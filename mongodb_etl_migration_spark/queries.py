@@ -1794,6 +1794,66 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_semdedup",
+    """
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 1.01)
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    planes AS (
+      SELECT vec_id AS plane_id, embedding::DOUBLE[] AS pv
+      FROM embeddings WHERE vec_id IN (1,2,3,4)
+    ),
+    bucketed AS (
+      SELECT e.vec_id, e.v,
+             string_agg(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                             THEN '1' ELSE '0' END, '' ORDER BY p.plane_id) AS bucket
+      FROM corpus e CROSS JOIN planes p
+      GROUP BY e.vec_id, e.v
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE floor((list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+                  * 10000 + 0.5) / 10000 + 0.0 >= 0.999
+    )
+    SELECT k.vec_id, k.bucket
+    FROM bucketed k LEFT JOIN dropped d ON k.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    """,
+)
+def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup_keep):
+    keep one representative per cosine-0.999 neighborhood, blocked by
+    the scale-invariant hyperplane-LSH bucket so the planted rescaled
+    copies (x1.01 of every 10th vector — cosine exactly 1.0 with the
+    original) provably share their original's block and are pruned,
+    while the random corpus (max pairwise cosine ~0.51) all survives.
+    The dedup decision — not the pair report (that's
+    sim_embedding_neardup) — is the output: (vec_id, bucket) of
+    survivors."""
+    emb = Catalog(spark, sf_dir).embeddings
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * 1.01).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    ).unionByName(planted)
+    return SIM.semantic_dedup_keep(
+        corpus, _planes(spark, sf_dir), threshold=0.999
+    )
+
+
 # =====================================================================
 # Training-data extensions: text analysis + multimodal
 # =====================================================================

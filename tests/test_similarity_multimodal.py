@@ -438,6 +438,29 @@ def test_decontaminate_flags_overlap_only(spark):
     assert out == {1: 3, 3: 1}
 
 
+def test_semantic_dedup_keeps_lowest_id_per_neighborhood(spark):
+    from mongodb_etl_migration_spark.operators.similarity import (
+        semantic_dedup_keep,
+    )
+
+    # 4-dim: planes = axes 1,2 -> bucket from signs of dims 0,1.
+    planes = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = [
+        (1, [1.0, 1.0, 0.0, 0.0]),
+        (2, [1.01, 1.01, 0.0, 0.0]),   # rescale of 1 -> cos 1.0, dropped
+        (3, [2.02, 2.02, 0.0, 0.0]),   # rescale of 2 -> chain: dropped too
+        (4, [1.0, 1.0, 5.0, 0.0]),     # same bucket, cos ~0.7 -> kept
+        (5, [-1.0, -1.0, 0.0, 0.0]),   # opposite bucket -> kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r.bucket
+        for r in semantic_dedup_keep(emb, planes, threshold=0.999).collect()
+    }
+    assert set(out) == {1, 4, 5}
+    assert out[1] == "11" and out[5] == "00"
+
+
 def test_bloom_bitset_has_no_false_negatives(spark):
     from mongodb_etl_migration_spark.operators.text import (
         bloom_bitset,
