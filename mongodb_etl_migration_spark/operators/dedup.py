@@ -597,6 +597,45 @@ def dedup_best_representatives(
 
 
 # ----------------------------------------------------------- SimHash
+def ngram_containment(
+    shingle_df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Overlap (containment) coefficient over k-gram sets for given
+    candidate pairs: |A∩B| / min(|A|,|B|) — 1.0 when either side's
+    grams are a subset of the other's. This is the quote/excerpt
+    detector Jaccard misses: a 30-token snippet inside a 300-token
+    original scores containment 1.0 but Jaccard ~0.1, so a
+    Jaccard-thresholded dedup pass keeps both copies of the text.
+    Same join shape (and scale behavior: candidate-pair-bounded) as
+    :func:`ngram_jaccard`. Output: (id_a, id_b, containment)."""
+    sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = shingle_df.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingle_df.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            stable_round(
+                F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")), 4
+            ).alias("containment"),
+        )
+    )
+
+
 def simhash_signature(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16
 ) -> DataFrame:

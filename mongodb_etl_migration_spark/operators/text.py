@@ -275,6 +275,43 @@ def decontaminate(
     )
 
 
+def fuzzy_join(
+    left,
+    right,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+):
+    """Blocked fuzzy join: rows match when the edit distance between
+    their string keys is ≤ ``max_dist`` — near-miss reconciliation
+    (typo'd titles, OCR'd names) as a JOIN, not an all-pairs scan.
+
+    Length-band blocking: ``|len(a) - len(b)| ≤ max_dist`` is a
+    NECESSARY condition for ``levenshtein(a,b) ≤ max_dist`` (each edit
+    changes length by at most 1), so the block has zero false
+    negatives and the result is EXACT. The left side explodes
+    2·max_dist+1 candidate length keys, the equi-join on the length
+    key bounds candidates by the length-histogram product (never n²),
+    and the levenshtein filter confirms. At 100 TB add a second
+    necessary-condition block (shared q-gram with count filtering)
+    for selectivity on length-homogeneous corpora; the length band is
+    the always-correct outer bound.
+    """
+    lb = F.explode(
+        F.sequence(
+            F.length(left_col) - F.lit(max_dist),
+            F.length(left_col) + F.lit(max_dist),
+        )
+    )
+    lhs = left.withColumn("_band", lb)
+    rhs = right.withColumn("_band", F.length(right_col))
+    return (
+        lhs.join(rhs, "_band")
+        .filter(F.levenshtein(F.col(left_col), F.col(right_col)) <= max_dist)
+        .drop("_band")
+    )
+
+
 def bloom_bitset(
     grams,
     col: str,

@@ -1602,6 +1602,80 @@ def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard(sh, pairs, "doc_id")
 
 
+@query(
+    "d10_containment",
+    """
+    WITH base AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    corpus AS (
+      SELECT doc_id, t FROM base
+      UNION ALL
+      -- planted excerpts: first 25 tokens of long-enough docs
+      SELECT doc_id + 3000000, t[1:25] FROM base
+      WHERE doc_id % 13 = 0 AND len(t) >= 28
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, s.shingle
+      FROM corpus,
+           unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             AS s(shingle)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM corpus a JOIN corpus b ON a.doc_id + 3000000 = b.doc_id
+    ),
+    inter AS (
+      SELECT p.id_a, p.id_b, count(*) AS i
+      FROM pairs p
+      JOIN shingled sa ON sa.doc_id = p.id_a
+      JOIN shingled sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           floor((CAST(i.i AS DOUBLE) / least(za.sz, zb.sz)) * 10000 + 0.5)
+             / 10000 + 0.0 AS containment,
+           floor((CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i)) * 10000 + 0.5)
+             / 10000 + 0.0 AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    """,
+)
+def d10_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excerpt/quote detection via the overlap-containment coefficient
+    (dedup.ngram_containment): planted 25-token prefixes of long docs
+    score containment 1.0 against their originals while Jaccard stays
+    low (both returned so the contrast is driver-verified) — the dedup
+    signal a Jaccard threshold misses. Harness pairs are the known
+    original↔excerpt ids (mod-3000000), the production path feeds
+    LSH candidates exactly as d4's does."""
+    d = Catalog(spark, sf_dir).documents
+    base = d.select("doc_id", T.tokens("text").alias("t"))
+    excerpts = base.filter(
+        (F.col("doc_id") % 13 == 0) & (F.size("t") >= 28)
+    ).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.slice("t", 1, 25).alias("t"),
+    )
+    corpus = base.unionByName(excerpts).select(
+        "doc_id", F.array_join("t", " ").alias("text")
+    )
+    sh = D.shingles(corpus, "doc_id", "text", 3)
+    ids = corpus.select("doc_id")
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a.doc_id") + 3000000 == F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    cont = D.ngram_containment(sh, pairs, "doc_id")
+    jac = D.ngram_jaccard(sh, pairs, "doc_id")
+    return cont.join(jac, ["id_a", "id_b"])
+
+
 # =====================================================================
 # Training-data extensions: similarity search
 # =====================================================================
@@ -3089,6 +3163,38 @@ def a9_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a15_grouping_sets",
+    """
+    SELECT lang, source,
+           CAST(grouping(lang) AS BIGINT) * 2
+             + CAST(grouping(source) AS BIGINT) AS gid,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+    """,
+)
+def a15_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS over the corpus-curation dimensions —
+    per (lang, source) cell, per-lang and per-source marginals, and
+    the grand total in ONE pass (Catalyst Expand + partial agg, same
+    engine shape as A9's rollup but with a hand-picked lattice). The
+    grouping_id disambiguates real NULL dimension values from
+    subtotal rows — the standard cube-consumer contract."""
+    d = Catalog(spark, sf_dir).documents
+    return d.groupingSets(
+        [["lang", "source"], ["lang"], ["source"], []], "lang", "source"
+    ).agg(
+        (
+            F.grouping("lang").cast("bigint") * 2
+            + F.grouping("source").cast("bigint")
+        ).alias("gid"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
     "sim_l2_normalize",
     """
     SELECT vec_id,
@@ -3255,6 +3361,36 @@ def j16_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     return SK.salted_join(big, small, "user_id", salts=8)
+
+
+@query(
+    "j17_fuzzy_join",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_distance
+    FROM names a JOIN names b
+      ON abs(length(a.p_name) - length(b.p_name)) <= 2
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def j17_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join (text.fuzzy_join): distinct part names
+    matched to within edit distance 2 — near-miss entity
+    reconciliation as a join. Length-band blocking (a necessary
+    condition for the edit bound) keeps it off the all-pairs path
+    with zero false negatives; the a < b guard returns each unordered
+    pair once."""
+    names = Catalog(spark, sf_dir).part.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    out = T.fuzzy_join(a, b, "name_a", "name_b", max_dist=2)
+    return out.filter(F.col("name_a") < F.col("name_b")).select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("edit_distance"),
+    )
 
 
 @query(

@@ -438,6 +438,55 @@ def test_decontaminate_flags_overlap_only(spark):
     assert out == {1: 3, 3: 1}
 
 
+def test_ngram_containment_scores_subset_as_one(spark):
+    from mongodb_etl_migration_spark.operators.dedup import (
+        ngram_containment,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),       # 6 3-grams
+            (2, "a b c d"),               # 2 3-grams, all in doc 1
+            (3, "x y z a b c"),           # partial overlap with doc 1
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs, "doc_id", "text", 3)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    out = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment(sh, pairs, "doc_id").collect()
+    }
+    assert out[(1, 2)] == 1.0          # proper subset
+    assert 0 < out[(1, 3)] < 1.0       # shares 'a b c' only
+
+
+def test_fuzzy_join_is_exact_within_band(spark):
+    from mongodb_etl_migration_spark.operators.text import fuzzy_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [("kitten",), ("apple",), ("x",)], "w string"
+    )
+    right = spark.createDataFrame(
+        [("sitten",), ("kitte",), ("apples",), ("orange",), ("xy",)],
+        "n string",
+    )
+    out = {
+        (r.w, r.n)
+        for r in fuzzy_join(left, right, "w", "n", max_dist=1).collect()
+    }
+    assert out == {
+        ("kitten", "sitten"),  # substitution
+        ("kitten", "kitte"),   # deletion (length band -1)
+        ("apple", "apples"),   # insertion (length band +1)
+        ("x", "xy"),
+    }
+
+
 def test_semantic_dedup_keeps_lowest_id_per_neighborhood(spark):
     from mongodb_etl_migration_spark.operators.similarity import (
         semantic_dedup_keep,
