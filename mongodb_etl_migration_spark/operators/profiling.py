@@ -1,0 +1,53 @@
+"""Data-profiling operators: heavy hitters (frequent items).
+
+Complements the sketch queries a12 (HyperLogLog++ distinct) and a13
+(Greenwald-Khanna percentiles) with the third classic streaming
+summary: frequent-element detection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def heavy_hitters(df: DataFrame, key_col: str, support: float) -> DataFrame:
+    """EXACT heavy hitters — every key with frequency > ``support`` of
+    the row count — via the classic two-pass sketch+confirm shape.
+
+    Pass 1 is Spark's one-pass frequent-items summary
+    (``df.stat.freqItems``, the Karp-Schenker-Papadimitriou algorithm:
+    map-side bounded state of ~1/support counters per partition, merge
+    on the driver). Its guarantee is one-sided: every key above
+    support is IN the candidate list; false positives possible. Pass 2
+    filters the input to candidates (an isin over ≤ 1/support values —
+    plan-literal, evaluated in the scan) and counts exactly, keeping
+    keys above threshold. One-sided candidates + exact confirm =
+    exact, deterministic output, which is what makes this
+    oracle-checkable against plain GROUP BY/HAVING SQL.
+
+    100 TB shape: pass 1 never shuffles rows (bounded per-partition
+    state, driver merge of ≤ partitions × 1/support entries); pass 2's
+    groupBy shuffles only rows whose key is a candidate — for skewed
+    data (where heavy hitters exist) that is the hot fraction, not the
+    corpus, and partial aggregation collapses it map-side to ≤
+    1/support rows per partition BEFORE the exchange. The extra
+    count() for the threshold is a columnar metadata-only scan.
+    Output: (key_col, cnt), keys with cnt > support·n.
+    """
+    if not 1e-4 <= support <= 1.0:
+        raise ValueError(f"support must be in [1e-4, 1], got {support}")
+    candidates = [
+        r for r in df.stat.freqItems([key_col], support).head()[0]
+        if r is not None
+    ]
+    threshold = support * df.count()
+    if not candidates:
+        empty = df.select(F.col(key_col)).limit(0)
+        return empty.groupBy(key_col).agg(F.count("*").alias("cnt"))
+    return (
+        df.filter(F.col(key_col).isin(candidates))
+        .groupBy(key_col)
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > F.lit(threshold))
+    )

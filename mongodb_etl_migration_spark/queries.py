@@ -32,6 +32,7 @@ from mongodb_etl_migration_spark.operators import (
     denorm as DN,
     hierarchy as H,
     multimodal as M,
+    profiling as PR,
     similarity as SIM,
     skew as SK,
     text as T,
@@ -3192,6 +3193,27 @@ def a15_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "a16_heavy_hitters",
+    """
+    SELECT user_id, count(*) AS cnt
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) > 0.007 * (SELECT count(*) FROM events)
+    """,
+)
+def a16_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters via sketch-candidates + exact confirm
+    (profiling.heavy_hitters): Spark's one-pass frequent-items
+    summary (bounded per-partition state, no row shuffle) nominates
+    candidates with a one-sided guarantee, then an exact count over
+    the candidate-filtered input confirms — deterministic output
+    equal to plain GROUP BY ... HAVING, which is the oracle. The
+    third classic sketch next to a12's HLL and a13's GK quantiles."""
+    e = Catalog(spark, sf_dir).events
+    return PR.heavy_hitters(e, "user_id", support=0.007)
 
 
 @query(

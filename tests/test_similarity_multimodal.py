@@ -438,6 +438,28 @@ def test_decontaminate_flags_overlap_only(spark):
     assert out == {1: 3, 3: 1}
 
 
+def test_heavy_hitters_exact_above_support(spark):
+    from mongodb_etl_migration_spark.operators.profiling import heavy_hitters
+    from pyspark.sql import functions as F
+
+    # 100 rows: key 'hot' x60, 'warm' x30, ten singletons
+    df = spark.range(100).select(
+        F.when(F.col("id") < 60, "hot")
+        .when(F.col("id") < 90, "warm")
+        .otherwise(F.col("id").cast("string"))
+        .alias("k")
+    )
+    out = {r.k: r.cnt for r in heavy_hitters(df, "k", support=0.25).collect()}
+    assert out == {"hot": 60, "warm": 30}
+    # support above every frequency -> empty, same schema
+    none = heavy_hitters(df, "k", support=0.99)
+    assert none.count() == 0 and none.columns == ["k", "cnt"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "k", support=1e-5)
+
+
 def test_ngram_containment_scores_subset_as_one(spark):
     from mongodb_etl_migration_spark.operators.dedup import (
         ngram_containment,
