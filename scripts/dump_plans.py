@@ -142,6 +142,40 @@ NOTES = {
         "hot key spreads over 8 reducers. Either way the oracle is "
         "the PLAIN join — salting is result-invisible by construction."
     ),
+    "t_decontaminate_bloom": (
+        "Bloom pre-filter: the bitset probe is plan-literal column "
+        "arithmetic (element_at + getbit on a literal array<bigint>) "
+        "evaluated in the same stage as the gram explode — "
+        "non-candidate grams die BEFORE the exact confirm "
+        "BroadcastHashJoin ever sees them. Same output as "
+        "t_decontaminate, bitwise."
+    ),
+    "sim_semdedup": (
+        "SemDeDup: the near-dup pair plan (one Exchange on the LSH "
+        "bucket, per-row norms precomputed, quadratic only within a "
+        "bucket) feeding a LeftAnti BroadcastHashJoin whose build "
+        "side is the DROPPED-id set — duplicate-sized, not "
+        "corpus-sized."
+    ),
+    "a15_grouping_sets": (
+        "Grouping-sets lattice: ONE Expand node (4 projections of "
+        "each input row) into a single partial+final HashAggregate "
+        "pair — cells, both marginals and the grand total in one "
+        "pass/shuffle instead of four scans."
+    ),
+    "j17_fuzzy_join": (
+        "Blocked fuzzy join: the left side explodes 2d+1 length keys, "
+        "the equi-join on the band key replaces the all-pairs "
+        "BroadcastNestedLoopJoin a naive theta-join would plan; the "
+        "levenshtein filter confirms above the join."
+    ),
+    "a16_heavy_hitters": (
+        "Heavy hitters: the freqItems candidate pass aggregates "
+        "bounded per-partition state (no row Exchange); the confirm "
+        "pass shows the isin(candidates) filter pushed into the scan "
+        "and partial aggregation collapsing candidate rows map-side "
+        "before the only Exchange."
+    ),
 }
 
 
