@@ -39,11 +39,23 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload_cols: list[str],
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Backward as-of LEFT join: every left row survives; payload
     columns are NULL when the key has no right row at-or-before
-    ``left_ts``. Output = left columns + ``payload_cols``."""
-    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("__payload")
+    ``left_ts``. Output = left columns + ``payload_cols``.
+
+    ``tolerance`` (SQL interval literal, e.g. ``"7 days"``) applies
+    pandas ``merge_asof`` semantics: the most-recent match is DISCARDED
+    (payload NULL) when it is older than ``left_ts - tolerance`` — it
+    does not fall through to an even older row. Implemented as a
+    post-window validity mask over the matched right timestamp
+    (carried inside the payload struct), so the plan is unchanged:
+    still one Exchange + one window, no extra join."""
+    payload = F.struct(
+        *[F.col(c) for c in payload_cols],
+        F.col(right_ts).alias("__rt"),
+    ).alias("__payload")
     r = right.select(
         F.col(right_on).alias("__k"),
         F.col(right_ts).alias("__t"),
@@ -67,8 +79,14 @@ def asof_join(
         "__match", F.last("__payload", ignorenulls=True).over(w)
     )
     out = merged.filter(F.col("__side") == 1)
+    valid = F.col("__match").isNotNull()
+    if tolerance is not None:
+        valid = valid & (
+            F.col("__t")
+            <= F.col("__match.__rt") + F.expr(f"INTERVAL {tolerance}")
+        )
     for c in payload_cols:
-        out = out.withColumn(c, F.col("__match").getField(c))
+        out = out.withColumn(c, F.when(valid, F.col("__match").getField(c)))
     return out.drop("__k", "__t", "__side", "__payload", "__match")
 
 

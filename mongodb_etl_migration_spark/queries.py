@@ -3091,6 +3091,61 @@ def j13_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j13b_asof_tolerance",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           CASE WHEN c.ts <= p.ts + INTERVAL 1 DAY
+                THEN p.purchase_value END AS purchase_value
+    FROM events c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    WHERE c.event_type = 'click'
+    """,
+)
+def j13b_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (pandas merge_asof
+    semantics): each click gets its user's most recent purchase
+    value, but a purchase more than 1 day old is DISCARDED — payload
+    NULL, not fall-through to an older purchase. Same single-exchange
+    union+window plan as j13 (the validity mask rides the matched
+    struct, no extra join); the oracle is DuckDB's native ASOF JOIN
+    with the tolerance as a CASE over the matched row. With ~13
+    purchases per user across 30 days, the 1-day window genuinely
+    splits matched/discarded."""
+    from mongodb_etl_migration_spark.operators.asof import asof_join
+
+    e = Catalog(spark, sf_dir).events
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            "purchase_value",
+        )
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        left_on="user_id",
+        right_on="p_user",
+        left_ts="ts",
+        right_ts="p_ts",
+        payload_cols=["purchase_value"],
+        tolerance="1 day",
+    )
+
+
+@query(
     "j14_interval_join",
     """
     WITH marked AS (

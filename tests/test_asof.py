@@ -59,6 +59,29 @@ def test_asof_join_single_shuffle(spark):
     assert plan.count("Exchange") == 1
 
 
+def test_asof_join_tolerance_discards_stale_matches(spark):
+    """merge_asof tolerance semantics: a match older than the window
+    is discarded (NULL payload), never replaced by an older row; the
+    boundary (exactly tolerance old) is inclusive; the plan keeps its
+    single Exchange."""
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, "k", "k", "ts", "rts", ["tag"], tolerance="1 day"
+    )
+    # plan BEFORE execution: the post-run AQE final plan prints extra
+    # Exchange nodes inside materialized shuffle stages
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    tags = {r.event_id: r.tag for r in out.collect()}
+    assert tags == {
+        1: None,   # no earlier right row
+        2: "a",    # same instant
+        3: "b",    # Jan 5 vs Jan 4: exactly 1 day -> inclusive keep
+        4: None,   # Jan 3 vs Jan 1: 2 days old -> discarded, NOT 'c'
+        5: None,   # key with no right rows
+    }
+
+
 def test_scd2_intervals_chain_and_single_current(spark):
     from pyspark.sql import functions as F
 

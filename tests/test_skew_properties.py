@@ -422,3 +422,36 @@ def test_weighted_mix_composes_with_resampling(spark, sf_dir):
     )
     assert both.select("doc_id").exceptAll(direct.select("doc_id")).count() == 0
     assert direct.select("doc_id").exceptAll(both.select("doc_id")).count() == 0
+
+
+# ------------------------------------------------- fuzzy join property
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=6),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_fuzzy_join_equals_bruteforce(spark, words):
+    """Length-band blocking must be result-invisible: the blocked
+    fuzzy join equals the unblocked all-pairs levenshtein filter on
+    arbitrary inputs (small alphabet maximizes near-collisions)."""
+    from mongodb_etl_migration_spark.operators.text import fuzzy_join
+
+    left = spark.createDataFrame([(w,) for w in words], "a string")
+    right = spark.createDataFrame([(w,) for w in words], "b string")
+    blocked = {
+        (r.a, r.b)
+        for r in fuzzy_join(left, right, "a", "b", max_dist=1).collect()
+    }
+    brute = {
+        (r.a, r.b)
+        for r in left.crossJoin(right)
+        .filter(F.levenshtein("a", "b") <= 1)
+        .collect()
+    }
+    assert blocked == brute
