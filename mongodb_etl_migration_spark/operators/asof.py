@@ -40,18 +40,28 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of LEFT join: every left row survives; payload
-    columns are NULL when the key has no right row at-or-before
+    """As-of LEFT join: every left row survives; payload columns are
+    NULL when the key has no right row on the matching side of
     ``left_ts``. Output = left columns + ``payload_cols``.
 
+    ``direction`` follows pandas ``merge_asof``: "backward" (default)
+    matches the most recent right row at-or-before ``left_ts``;
+    "forward" the earliest right row at-or-after it. Forward is the
+    same single-exchange union+window plan with the traversal order
+    reversed (``__t`` DESC) — right rows still sort ahead of left at
+    equal timestamps, keeping the match inclusive on both directions.
+
     ``tolerance`` (SQL interval literal, e.g. ``"7 days"``) applies
-    pandas ``merge_asof`` semantics: the most-recent match is DISCARDED
-    (payload NULL) when it is older than ``left_ts - tolerance`` — it
-    does not fall through to an even older row. Implemented as a
-    post-window validity mask over the matched right timestamp
-    (carried inside the payload struct), so the plan is unchanged:
-    still one Exchange + one window, no extra join."""
+    pandas ``merge_asof`` semantics: the nearest match is DISCARDED
+    (payload NULL) when it is farther than ``tolerance`` from
+    ``left_ts`` — it does not fall through to a farther row.
+    Implemented as a post-window validity mask over the matched right
+    timestamp (carried inside the payload struct), so the plan is
+    unchanged: still one Exchange + one window, no extra join."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload = F.struct(
         *[F.col(c) for c in payload_cols],
         F.col(right_ts).alias("__rt"),
@@ -70,9 +80,12 @@ def asof_join(
         F.lit(1).alias("__side"),
         F.lit(None).cast(payload_type).alias("__payload"),
     )
+    t_order = (
+        F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__side")
+        .orderBy(t_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = l.unionByName(r, allowMissingColumns=True).withColumn(
@@ -81,9 +94,11 @@ def asof_join(
     out = merged.filter(F.col("__side") == 1)
     valid = F.col("__match").isNotNull()
     if tolerance is not None:
+        iv = F.expr(f"INTERVAL {tolerance}")
         valid = valid & (
-            F.col("__t")
-            <= F.col("__match.__rt") + F.expr(f"INTERVAL {tolerance}")
+            F.col("__t") <= F.col("__match.__rt") + iv
+            if direction == "backward"
+            else F.col("__match.__rt") <= F.col("__t") + iv
         )
     for c in payload_cols:
         out = out.withColumn(c, F.when(valid, F.col("__match").getField(c)))

@@ -82,6 +82,34 @@ def test_asof_join_tolerance_discards_stale_matches(spark):
     }
 
 
+def test_asof_join_forward_direction(spark):
+    """Forward as-of: earliest right row at-or-after the left ts,
+    inclusive at equal instants; tolerance bounds how far ahead."""
+    import pytest
+
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, "k", "k", "ts", "rts", ["tag"], direction="forward"
+    )
+    tags = {r.event_id: r.tag for r in out.collect()}
+    assert tags == {
+        1: "a",    # Jan 1 -> next is Jan 2
+        2: "a",    # same instant, inclusive
+        3: None,   # Jan 5: nothing after
+        4: None,   # key 20: right row is BEFORE (Jan 1 < Jan 3)
+        5: None,   # no right rows
+    }
+    bounded = asof_join(
+        left, right, "k", "k", "ts", "rts", ["tag"],
+        direction="forward", tolerance="12 hours",
+    )
+    tags_b = {r.event_id: r.tag for r in bounded.collect()}
+    assert tags_b[1] is None  # Jan 2 is 1 day ahead > 12h -> discarded
+    assert tags_b[2] == "a"   # same instant still matches
+    with pytest.raises(ValueError):
+        asof_join(left, right, "k", "k", "ts", "rts", ["tag"], direction="nearest")
+
+
 def test_scd2_intervals_chain_and_single_current(spark):
     from pyspark.sql import functions as F
 
