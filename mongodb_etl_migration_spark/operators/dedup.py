@@ -96,9 +96,23 @@ def shingles(
 ) -> DataFrame:
     """Distinct k-token shingles per document as rows (id_col,
     shingle) — the exploded view of :func:`with_shingle_column`, used
-    where a relational shape is needed (Jaccard joins)."""
-    return with_shingle_column(df, id_col, text_col, k).select(
-        F.col(id_col), F.explode(F.col("_shingles")).alias("shingle")
+    where a relational shape is needed (Jaccard joins).
+
+    The token array is materialized through a GENERATE BARRIER —
+    ``explode(array(tokens))`` yields exactly one row per input with
+    the array computed inside its own Generate node. Without it,
+    CollapseProject merges the token projection into the downstream
+    shingle explode and inlines the tokenizer regexp at every
+    element_at site (11 evaluations per row at k=3 — measured 22×
+    wall slowdown at sf0.1); generators cannot be collapsed into
+    generators, so the barrier pins the regexp to exactly one run."""
+    toked = df.select(
+        F.col(id_col),
+        F.explode(F.array(tokens(text_col))).alias("_toks"),
+    )
+    return toked.select(
+        F.col(id_col),
+        F.explode(_shingle_expr(F.col("_toks"), k)).alias("shingle"),
     )
 
 

@@ -215,9 +215,12 @@ def chunk_documents(
 
     Output: (id_col, chunk_idx, n_tokens, chunk_text); docs with no
     tokens produce no chunks."""
-    toked = df.select(F.col(id_col), tokens(text_col).alias("_t")).filter(
-        F.size("_t") > 0
-    )
+    # explode(array(...)) = generate barrier: materializes the token
+    # array in its own Generate so the downstream explode can't inline
+    # the tokenizer regexp per reference (see dedup.shingles)
+    toked = df.select(
+        F.col(id_col), F.explode(F.array(tokens(text_col))).alias("_t")
+    ).filter(F.size("_t") > 0)
     starts = toked.select(
         F.col(id_col),
         "_t",

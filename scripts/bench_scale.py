@@ -37,6 +37,7 @@ from bench import UiMetrics  # noqa: E402
 from mongodb_etl_migration_spark import get_spark  # noqa: E402
 from mongodb_etl_migration_spark.operators import dedup as D  # noqa: E402
 from mongodb_etl_migration_spark.operators import similarity as SIM  # noqa: E402
+from mongodb_etl_migration_spark.operators import text as T  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
 CONFIGS = {
@@ -130,6 +131,27 @@ def main() -> None:
         topk = SIM.ann_topk_lsh(emb, qvec, planes, k=10)
         lsh = timed(ui, topk)
 
+        # SemDeDup at scale: the jittered replicas are planted
+        # near-dups (cosine ~1 with their base vector, same LSH
+        # bucket); shuffle is the bucket self-join — linear in corpus.
+        sem = SIM.semantic_dedup_keep(emb, planes, threshold=0.999)
+        sd = timed(ui, sem)
+        sd["survivors"] = sem.count()
+
+        # Bloom decontamination at scale: eval set FIXED (base-replica
+        # slice) while the corpus grows 10x; replicas share no grams,
+        # so contamination — and with it the confirm join's shuffle —
+        # must stay ~flat as the corpus grows. That flatness is the
+        # "shuffle tracks contamination, not corpus" claim, measured.
+        evals = docs.filter(
+            (F.col("doc_id") < 1_000_000)
+            & (F.pmod(F.col("doc_id"), F.lit(97)) == F.lit(0))
+        )
+        train = docs.join(evals.select("doc_id"), "doc_id", "left_anti")
+        cont = T.decontaminate_bloom(train, evals, "doc_id", "text", n=3)
+        bl = timed(ui, cont)
+        bl["contaminated"] = cont.count()
+
         results[name] = {
             "docs": n_docs,
             "dup_pct": cfg["dup_pct"],
@@ -137,6 +159,8 @@ def main() -> None:
             "d2_minhash_pairs": d2,
             "d7_representatives": d7,
             "sim_topk_lsh": lsh,
+            "sim_semdedup": sd,
+            "t_decontaminate_bloom": bl,
         }
         print(f"{name}: {json.dumps(results[name])}", file=sys.stderr)
 
@@ -158,6 +182,18 @@ def main() -> None:
         ),
         "wall_growth_at_10x_corpus": round(
             x["d2_minhash_pairs"]["sec"] / max(1e-9, b["d2_minhash_pairs"]["sec"]),
+            2,
+        ),
+        # fixed eval set, 10x corpus: the bloom-confirm shuffle must
+        # track contamination (constant by construction), not corpus
+        "bloom_shuffle_growth_at_10x_corpus": round(
+            x["t_decontaminate_bloom"]["shuffle_bytes"]
+            / max(1, b["t_decontaminate_bloom"]["shuffle_bytes"]),
+            2,
+        ),
+        "semdedup_shuffle_growth_at_10x_corpus": round(
+            x["sim_semdedup"]["shuffle_bytes"]
+            / max(1, b["sim_semdedup"]["shuffle_bytes"]),
             2,
         ),
     }
