@@ -234,10 +234,63 @@ def main() -> None:
         if scan_bits:
             out.append("Scan details:\n\n```\n" + "\n".join(scan_bits) + "\n```\n")
     out.append(messages_pipeline_section(spark))
+    out.append(scale_receipt_section())
     Path(__file__).resolve().parents[1].joinpath("PLANS.md").write_text(
         "\n".join(out)
     )
     print("PLANS.md written")
+
+
+def scale_receipt_section() -> str:
+    """Summarize BENCH_scale.json (scripts/bench_scale.py) so the
+    scale receipt survives PLANS.md regeneration."""
+    import json
+
+    path = Path(__file__).resolve().parents[1] / "BENCH_scale.json"
+    if not path.exists():
+        return ""
+    d = json.loads(path.read_text())
+    rows = []
+    for cfg, r in d["configs"].items():
+        d2 = r["d2_minhash_pairs"]
+        sd = r.get("sim_semdedup", {})
+        bl = r.get("t_decontaminate_bloom", {})
+        rows.append(
+            f"| {cfg} ({r['dup_pct']}% dups, {r.get('planes', 4)} planes) "
+            f"| {r['docs']:,} | {d2['shuffle_bytes']/1e6:.1f} MB "
+            f"| {d2['sec']} s | {d2['pairs_found']:,} "
+            f"| {sd.get('sec', '—')} s | {bl.get('sec', '—')} s |"
+        )
+    s = d["summary"]
+    return (
+        "\n## Scale receipt: dedup/ANN/curation at 10x corpus "
+        "(BENCH_scale.json)\n\n"
+        "`scripts/bench_scale.py` synthesizes 10x-sf0.1 corpora "
+        "(replica words get replica-unique suffixes: zero "
+        "cross-replica shingles, pure corpus growth) and re-measures "
+        "the bucketed-path operators:\n\n"
+        "| config | docs | d2 shuffle | d2 wall | d2 pairs "
+        "| semdedup wall | bloom-decon wall |\n"
+        "|---|---|---|---|---|---|---|\n" + "\n".join(rows) + "\n\n"
+        f"- 10x corpus -> {s['shuffle_growth_at_10x_corpus']}x d2 "
+        "shuffle (linear banding rows, never quadratic), "
+        f"{s['wall_growth_at_10x_corpus']}x wall.\n"
+        f"- 4x dup rate -> {s['pair_growth_at_4x_dup_rate']}x pair "
+        "OUTPUT while the shuffled input tracks corpus size: join "
+        "output follows duplication content.\n"
+        f"- Bloom decontamination shuffle growth at 10x corpus: "
+        f"{s['bloom_shuffle_growth_at_10x_corpus']}x (eval set fixed "
+        "-> contamination fixed -> confirm-join shuffle FLAT while "
+        "the corpus grows).\n"
+        f"- SemDeDup shuffle growth: "
+        f"{s['semdedup_shuffle_growth_at_10x_corpus']}x (linear in "
+        "corpus) with planes scaled log2(N) — 4 planes/16 buckets at "
+        "2k vectors, 8/256 at 20k — keeping within-bucket quadratic "
+        "work bounded (a FIXED blocker at 10x measured 21x wall; "
+        "plane count tracking corpus size is the operating rule).\n"
+        "- sim_topk_lsh stays ~0.2 s / ~3 KB shuffle at 10x vectors: "
+        "the bucket probe prunes before any wide work.\n"
+    )
     spark.stop()
 
 
