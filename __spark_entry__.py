@@ -63,17 +63,18 @@ def _enumeration_order(query_names) -> list[str]:
 
 
 def _bucket_order(query_names, snapshot, current) -> list[str]:
-    """Three buckets: (1) never-green or the query's OWN code/operator
-    chain changed (narrow-hash mismatch); (2) only shared infra in
-    its closure changed (full mismatch, narrow match); (3) clean
-    greens. Buckets 2 and 3 order stalest receipt first. Old
-    snapshots stored one string hash — treated as full-only."""
-    changed, infra, green = [], [], []
+    """Four buckets: (1) never-green — no driver receipt exists at
+    all; (2) the query's OWN code/operator chain changed since its
+    green (narrow-hash mismatch — receipt stale); (3) only shared
+    infra in its closure changed (full mismatch, narrow match);
+    (4) clean greens. Buckets 3 and 4 order stalest receipt first.
+    Old snapshots stored one string hash — treated as full-only."""
+    never, changed, infra, green = [], [], [], []
     for n in query_names:
         snap = snapshot.get(n)
         cur = current.get(n, {})
         if snap is None:
-            changed.append(n)
+            never.append(n)
             continue
         sh = snap.get("hash")
         if isinstance(sh, str):
@@ -86,7 +87,7 @@ def _bucket_order(query_names, snapshot, current) -> list[str]:
             green.append(n)
     infra.sort(key=lambda n: snapshot[n].get("round", 0))
     green.sort(key=lambda n: snapshot[n].get("round", 0))
-    return changed + infra + green
+    return never + changed + infra + green
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
