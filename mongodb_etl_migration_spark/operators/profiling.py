@@ -11,6 +11,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def profile_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column profiling report — (column, n_rows, n_nulls,
+    n_distinct) one row per profiled column — the ANALYZE-style pass a
+    curation dashboard runs before deciding filters.
+
+    ONE scan for all columns: the aggregate computes every column's
+    counters in a single pass (the multiple count-distincts compile to
+    one Expand ×
+    len(cols) + two-stage aggregate — rows replicate, the table is
+    still read once), then a ``stack`` unpivot reshapes the single
+    result row. At 100 TB swap the exact count-distincts for
+    approx_count_distinct (a12's HLL path) — exact multi-distinct
+    replicates the shuffle per column; the sketch version folds into
+    one partial aggregate. Exact is kept here because it is what the
+    cross-engine oracle can verify bit-for-bit.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_dist_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nulls_{c}, _dist_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (column, n_nulls, n_distinct)"
+        ),
+        F.col("_n").alias("n_rows"),
+    ).select("column", "n_rows", "n_nulls", "n_distinct")
+
+
 def heavy_hitters(df: DataFrame, key_col: str, support: float) -> DataFrame:
     """EXACT heavy hitters — every key with frequency > ``support`` of
     the row count — via the classic two-pass sketch+confirm shape.

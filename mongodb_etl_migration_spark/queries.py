@@ -3295,6 +3295,43 @@ def a16_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "v2_profile_report",
+    """
+    SELECT 'o_orderstatus' AS column, count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           count(DISTINCT o_orderstatus) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_custkey)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_orderpriority)
+    FROM orders
+    """,
+)
+def v2_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column profiling (profiling.profile_report): null and
+    distinct counts for every profiled column from a single pass over
+    the table (multi-distinct compiles to one Expand + two-stage
+    aggregate; the oracle reads the table once per column — the
+    difference IS the operator). Output one row per column."""
+    o = Catalog(spark, sf_dir).orders
+    return PR.profile_report(
+        o, ["o_orderstatus", "o_custkey", "o_orderpriority"]
+    ).select(
+        "column",
+        "n_rows",
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        "n_distinct",
+    )
+
+
+@query(
     "sim_l2_normalize",
     """
     SELECT vec_id,
