@@ -438,6 +438,21 @@ def test_decontaminate_flags_overlap_only(spark):
     assert out == {1: 3, 3: 1}
 
 
+def test_profile_report_counts_nulls_and_distincts(spark):
+    from mongodb_etl_migration_spark.operators.profiling import profile_report
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")],
+        "x long, y string",
+    )
+    out = {
+        r.column: (r.n_rows, r.n_nulls, r.n_distinct)
+        for r in profile_report(df, ["x", "y"]).collect()
+    }
+    # count_distinct excludes NULLs; n_rows is the full table count
+    assert out == {"x": (4, 1, 2), "y": (4, 1, 2)}
+
+
 def test_heavy_hitters_exact_above_support(spark):
     from mongodb_etl_migration_spark.operators.profiling import heavy_hitters
     from pyspark.sql import functions as F
