@@ -137,3 +137,49 @@ def test_scd2_intervals_chain_and_single_current(spark):
     # exactly one current version per key
     cur = [r for r in out if r.is_current]
     assert sorted((r.k, r.val) for r in cur) == [(1, "C"), (2, "X")]
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property: the union+window as-of equals pandas.merge_asof
+    (the semantics reference) on randomized frames, for both
+    directions, with and without tolerance."""
+    import pandas as pd
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for direction in ("backward", "forward"):
+        for tol_ms in (None, 250):
+            left_pd = pd.DataFrame({
+                "ts": pd.to_datetime(
+                    rng.randint(0, 2000, size=60), unit="ms"
+                ),
+                "k": rng.randint(0, 4, size=60).astype("int64"),
+                "event_id": np.arange(60, dtype="int64"),
+            }).sort_values("ts").reset_index(drop=True)
+            right_pd = pd.DataFrame({
+                "rts": pd.to_datetime(
+                    # distinct per key by construction: step of 7ms
+                    np.arange(0, 2000, 7)[:120], unit="ms"
+                ),
+                "k": rng.randint(0, 4, size=120).astype("int64"),
+                "tag": np.arange(120, dtype="int64"),
+            }).sort_values("rts").reset_index(drop=True)
+            expected = pd.merge_asof(
+                left_pd, right_pd, left_on="ts", right_on="rts",
+                by="k", direction=direction,
+                tolerance=None if tol_ms is None else pd.Timedelta(milliseconds=tol_ms),
+            )
+            got = asof_join(
+                spark.createDataFrame(left_pd),
+                spark.createDataFrame(right_pd),
+                "k", "k", "ts", "rts", ["tag"],
+                tolerance=None if tol_ms is None else f"0.{tol_ms:03d} seconds",
+                direction=direction,
+            ).toPandas()
+            exp = dict(zip(expected["event_id"], expected["tag"]))
+            act = dict(zip(got["event_id"], got["tag"]))
+            for eid in exp:
+                e, a = exp[eid], act[eid]
+                assert (pd.isna(e) and pd.isna(a)) or e == a, (
+                    direction, tol_ms, eid, e, a
+                )
