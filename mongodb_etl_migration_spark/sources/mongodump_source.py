@@ -1,0 +1,195 @@
+"""``mongodump`` — a PySpark 4 Python DataSource reading MongoDB
+backup collection files (concatenated BSON documents) directly.
+
+The reference's ingest path is mongorestore → live MongoDB → Python
+extractor (run_etl.py, etl/extractors/mongo_extractor.py); this source
+collapses that to one Spark-native scan over the backup directory:
+
+    from mongodb_etl_migration_spark.sources.mongodump_source import (
+        register_mongodump)
+    register_mongodump(spark)
+    df = (spark.read.format("mongodump")
+          .option("path", "/backups/appdb/rooms.bson").load())
+
+Decoded values follow the same conventions as
+``readers.normalize_extended_json`` (ObjectId → hex string, datetime →
+timestamp, decimal128 → raw hex), so downstream entity specs see one
+shape regardless of whether data arrived via parquet, extended JSON,
+or raw BSON.
+
+Scale notes: one InputPartition per .bson file — BSON documents are
+length-prefixed with no sync markers, so a mid-file split cannot find
+a document boundary without scanning from the start; mongodump output
+is naturally many per-collection files, which is the parallelism unit
+(matches how Spark treats gzipped JSON). Schema inference samples the
+first ``inferDocs`` documents of the lexically-first file (explicit
+``.schema(...)`` skips the sampling read — the right call at 100 TB).
+The per-row Python decode cost is the honest price of the format; the
+intended pattern is one ingest pass that lands parquet, not repeated
+analytics over raw BSON.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from datetime import datetime
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DataType,
+    DoubleType,
+    LongType,
+    NullType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from mongodb_etl_migration_spark.sources.bson_codec import iter_documents
+
+
+def _resolve_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.bson")))
+    else:
+        files = sorted(glob.glob(path))
+    if not files:
+        raise FileNotFoundError(f"no .bson files under {path!r}")
+    return files
+
+
+def _infer_type(v) -> DataType:
+    if isinstance(v, bool):
+        return BooleanType()
+    if isinstance(v, int):
+        return LongType()
+    if isinstance(v, float):
+        return DoubleType()
+    if isinstance(v, str):
+        return StringType()
+    if isinstance(v, bytes):
+        return BinaryType()
+    if isinstance(v, datetime):
+        return TimestampType()
+    if isinstance(v, list):
+        elem: DataType = NullType()
+        for x in v:
+            t = _infer_type(x)
+            if not isinstance(t, NullType):
+                elem = t
+                break
+        return ArrayType(elem if not isinstance(elem, NullType) else StringType())
+    if isinstance(v, dict):
+        return _infer_struct([v])
+    return StringType()
+
+
+def _infer_struct(docs: list[dict]) -> StructType:
+    """Union of keys over the sample, first non-null value types a
+    field; never-non-null fields fall back to string."""
+    order: list[str] = []
+    types: dict[str, DataType] = {}
+    for d in docs:
+        for k, v in d.items():
+            if k not in types:
+                order.append(k)
+                types[k] = NullType()
+            if isinstance(types[k], NullType) and v is not None:
+                types[k] = _infer_type(v)
+    return StructType(
+        [
+            StructField(
+                k,
+                types[k] if not isinstance(types[k], NullType) else StringType(),
+            )
+            for k in order
+        ]
+    )
+
+
+def _project(v, dtype: DataType):
+    """Shape a decoded Python value to the schema type (dict→tuple for
+    structs, element-wise for arrays); mismatches become None rather
+    than failing the scan (PERMISSIVE, like the JSON reader)."""
+    if v is None:
+        return None
+    if isinstance(dtype, StructType):
+        if not isinstance(v, dict):
+            return None
+        return tuple(_project(v.get(f.name), f.dataType) for f in dtype.fields)
+    if isinstance(dtype, ArrayType):
+        if not isinstance(v, list):
+            return None
+        return [_project(x, dtype.elementType) for x in v]
+    if isinstance(dtype, TimestampType):
+        return v if isinstance(v, datetime) else None
+    if isinstance(dtype, BooleanType):
+        return v if isinstance(v, bool) else None
+    if isinstance(dtype, LongType):
+        return v if isinstance(v, int) and not isinstance(v, bool) else None
+    if isinstance(dtype, DoubleType):
+        if isinstance(v, float):
+            return v
+        return float(v) if isinstance(v, int) and not isinstance(v, bool) else None
+    if isinstance(dtype, BinaryType):
+        return v if isinstance(v, (bytes, bytearray)) else None
+    if isinstance(dtype, StringType):
+        return v if isinstance(v, str) else str(v)
+    return None
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class MongodumpReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._files = _resolve_files(options["path"])
+
+    def partitions(self):
+        return [_FilePartition(p) for p in self._files]
+
+    def read(self, partition: _FilePartition):
+        with open(partition.path, "rb") as f:
+            buf = f.read()
+        fields = self._schema.fields
+        for doc in iter_documents(buf):
+            yield tuple(_project(doc.get(f.name), f.dataType) for f in fields)
+
+
+class MongodumpDataSource(DataSource):
+    """See module docstring. Options: ``path`` (file, glob, or
+    directory of .bson), ``inferDocs`` (sample size, default 100)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mongodump"
+
+    def schema(self) -> StructType:
+        files = _resolve_files(self.options["path"])
+        limit = int(self.options.get("inferDocs", "100"))
+        with open(files[0], "rb") as f:
+            buf = f.read()
+        sample = []
+        for doc in iter_documents(buf):
+            sample.append(doc)
+            if len(sample) >= limit:
+                break
+        if not sample:
+            raise ValueError(f"cannot infer schema: {files[0]!r} is empty")
+        return _infer_struct(sample)
+
+    def reader(self, schema: StructType) -> MongodumpReader:
+        return MongodumpReader(schema, self.options)
+
+
+def register_mongodump(spark) -> None:
+    """Register the source on a session (idempotent)."""
+    spark.dataSource.register(MongodumpDataSource)

@@ -1,0 +1,105 @@
+"""BSON codec + mongodump Python DataSource (sources/bson_codec.py,
+sources/mongodump_source.py): round-trip, file-per-partition scans,
+schema inference, extended-JSON-aligned conventions, malformed input.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from mongodb_etl_migration_spark.sources.bson_codec import (
+    ObjectIdHex,
+    decode_document,
+    encode_document,
+    iter_documents,
+)
+from mongodb_etl_migration_spark.sources.mongodump_source import (
+    register_mongodump,
+)
+
+DOCS = [
+    {
+        "_id": ObjectIdHex("64b7f3a2e1d4c5b6a7980102"),
+        "name": "room one",
+        "members": 3,
+        "score": 1.5,
+        "active": True,
+        "created": datetime(2024, 1, 2, 3, 4, 5),
+        "tags": ["a", "b"],
+        "meta": {"depth": 2, "parent": None},
+    },
+    {
+        "_id": ObjectIdHex("64b7f3a2e1d4c5b6a7980103"),
+        "name": "room two",
+        "members": 2**40,  # forces int64
+        "score": -0.25,
+        "active": False,
+        "created": datetime(2024, 2, 3, 4, 5, 6),
+        "tags": [],
+        "meta": {"depth": 0, "parent": "64b7f3a2e1d4c5b6a7980102"},
+    },
+]
+
+
+def test_bson_roundtrip():
+    buf = b"".join(encode_document(d) for d in DOCS)
+    got = list(iter_documents(buf))
+    # ObjectIdHex decodes to plain hex str; everything else roundtrips
+    assert got[0]["_id"] == "64b7f3a2e1d4c5b6a7980102"
+    assert got[0]["name"] == "room one"
+    assert got[0]["meta"] == {"depth": 2, "parent": None}
+    assert got[1]["members"] == 2**40
+    assert got[1]["tags"] == []
+    assert got[0]["created"] == datetime(2024, 1, 2, 3, 4, 5)
+
+
+def test_bson_malformed_raises():
+    buf = encode_document(DOCS[0])
+    with pytest.raises(ValueError):
+        decode_document(buf[:10])
+    bad = bytearray(buf)
+    bad[-1] = 1  # missing terminator
+    with pytest.raises(ValueError):
+        decode_document(bytes(bad))
+
+
+@pytest.fixture()
+def dump_dir(tmp_path):
+    for i, chunk in enumerate([DOCS[:1], DOCS[1:]]):
+        (tmp_path / f"rooms.{i}.bson").write_bytes(
+            b"".join(encode_document(d) for d in chunk)
+        )
+    return str(tmp_path)
+
+
+def test_mongodump_scan_and_inference(spark, dump_dir):
+    register_mongodump(spark)
+    df = spark.read.format("mongodump").option("path", dump_dir).load()
+    assert [f.name for f in df.schema.fields] == [
+        "_id", "name", "members", "score", "active", "created", "tags", "meta",
+    ]
+    assert dict(df.dtypes)["members"] == "bigint"
+    assert dict(df.dtypes)["created"] == "timestamp"
+    assert dict(df.dtypes)["meta"].startswith("struct<")
+    rows = {r["_id"]: r for r in df.collect()}
+    assert len(rows) == 2
+    r = rows["64b7f3a2e1d4c5b6a7980103"]
+    assert r["members"] == 2**40 and r["meta"]["depth"] == 0
+    assert r["meta"]["parent"] == "64b7f3a2e1d4c5b6a7980102"
+    # one partition per file — the parallelism unit
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_mongodump_explicit_schema_projects_subset(spark, dump_dir):
+    register_mongodump(spark)
+    df = (
+        spark.read.format("mongodump")
+        .schema("_id string, members long, missing string")
+        .option("path", dump_dir)
+        .load()
+    )
+    rows = {r["_id"]: r for r in df.collect()}
+    assert rows["64b7f3a2e1d4c5b6a7980102"]["members"] == 3
+    assert rows["64b7f3a2e1d4c5b6a7980102"]["missing"] is None
