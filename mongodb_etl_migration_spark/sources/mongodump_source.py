@@ -50,7 +50,10 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from mongodb_etl_migration_spark.sources.bson_codec import iter_documents
+from mongodb_etl_migration_spark.sources.bson_codec import (
+    decode_document,
+    iter_documents,
+)
 
 
 def _resolve_files(path: str) -> list[str]:
@@ -152,16 +155,51 @@ class MongodumpReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self._schema = schema
         self._files = _resolve_files(options["path"])
+        self._mode = options.get("mode", "FAILFAST").upper()
+        if self._mode not in ("FAILFAST", "PERMISSIVE"):
+            raise ValueError(f"mode must be FAILFAST|PERMISSIVE, got {self._mode}")
 
     def partitions(self):
         return [_FilePartition(p) for p in self._files]
 
     def read(self, partition: _FilePartition):
+        """FAILFAST (default): a malformed document fails the task —
+        right for audited ingest. PERMISSIVE: decoding stops at the
+        first malformed byte of THE FILE (BSON has no sync markers to
+        resynchronize on, so everything after a corrupt length prefix
+        is unreadable); the valid prefix is kept and, when the schema
+        carries a ``_corrupt_record string`` field (same contract as
+        readers.read_json_documents), one extra row records the file
+        and undecodable byte count for dead-letter routing — a corrupt
+        tail costs its file's remainder, never the 100 TB job."""
         with open(partition.path, "rb") as f:
             buf = f.read()
         fields = self._schema.fields
-        for doc in iter_documents(buf):
-            yield tuple(_project(doc.get(f.name), f.dataType) for f in fields)
+        corrupt_idx = next(
+            (i for i, f in enumerate(fields) if f.name == "_corrupt_record"),
+            None,
+        )
+        pos = 0
+        while pos < len(buf):
+            try:
+                doc, pos = decode_document(buf, pos)
+            except (ValueError, IndexError, UnicodeDecodeError) as err:
+                if self._mode == "FAILFAST":
+                    raise ValueError(
+                        f"{partition.path}: {err} (mode=PERMISSIVE keeps "
+                        "the valid prefix)"
+                    ) from err
+                if corrupt_idx is not None:
+                    row = [None] * len(fields)
+                    row[corrupt_idx] = (
+                        f"{partition.path}: undecodable tail of "
+                        f"{len(buf) - pos} bytes at offset {pos}"
+                    )
+                    yield tuple(row)
+                return
+            yield tuple(
+                _project(doc.get(f.name), f.dataType) for f in fields
+            )
 
 
 class MongodumpDataSource(DataSource):

@@ -103,3 +103,41 @@ def test_mongodump_explicit_schema_projects_subset(spark, dump_dir):
     rows = {r["_id"]: r for r in df.collect()}
     assert rows["64b7f3a2e1d4c5b6a7980102"]["members"] == 3
     assert rows["64b7f3a2e1d4c5b6a7980102"]["missing"] is None
+
+
+def test_mongodump_permissive_keeps_valid_prefix(spark, tmp_path):
+    buf = b"".join(encode_document(d) for d in DOCS)
+    truncated = buf[: len(encode_document(DOCS[0])) + 10]  # corrupt tail
+    (tmp_path / "rooms.bson").write_bytes(truncated)
+    register_mongodump(spark)
+    # FAILFAST (default): the scan fails loudly
+    df = (
+        spark.read.format("mongodump")
+        .schema("_id string, name string")
+        .option("path", str(tmp_path))
+        .load()
+    )
+    with pytest.raises(Exception):
+        df.collect()
+    # PERMISSIVE without _corrupt_record: valid prefix only
+    ok = (
+        spark.read.format("mongodump")
+        .schema("_id string, name string")
+        .option("path", str(tmp_path))
+        .option("mode", "PERMISSIVE")
+        .load()
+        .collect()
+    )
+    assert [r["name"] for r in ok] == ["room one"]
+    # PERMISSIVE with _corrupt_record: dead-letter row appended
+    dl = (
+        spark.read.format("mongodump")
+        .schema("_id string, name string, _corrupt_record string")
+        .option("path", str(tmp_path))
+        .option("mode", "PERMISSIVE")
+        .load()
+        .collect()
+    )
+    assert len(dl) == 2
+    bad = [r for r in dl if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and "undecodable tail" in bad[0]["_corrupt_record"]
