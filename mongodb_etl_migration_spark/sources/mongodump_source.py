@@ -35,7 +35,12 @@ import glob
 import os
 from datetime import datetime
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -202,6 +207,54 @@ class MongodumpReader(DataSourceReader):
             )
 
 
+class MongodumpStreamReader(SimpleDataSourceStreamReader):
+    """Tail a mongodump directory as a stream: every NEW .bson file
+    (lexicographic order — mongodump part files sort) becomes part of
+    the next microbatch. The offset is ``{"files": n}`` — how many of
+    the sorted file list have been emitted; files are immutable once
+    written (mongodump writes then moves on), so a count over a sorted
+    listing is a stable, replayable offset and ``readBetweenOffsets``
+    re-derives any batch exactly for recovery. The pattern: periodic
+    backup drops land in the directory, the stream ingests each drop
+    once — the reference's restore-then-re-extract loop as an
+    incremental pipeline (pair with streaming/incremental.run_incremental
+    for the entity plans downstream)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._path = options["path"]
+        self._mode = options.get("mode", "FAILFAST").upper()
+
+    def _files(self) -> list[str]:
+        try:
+            return _resolve_files(self._path)
+        except FileNotFoundError:
+            return []  # empty dir: stream starts before first drop
+
+    def initialOffset(self) -> dict:
+        return {"files": 0}
+
+    def read(self, start: dict):
+        files = self._files()
+        end = {"files": len(files)}
+        # lists, not generators: the simple-reader API prefetches and
+        # PICKLES the batch on the driver (per-drop batches are one
+        # backup file — bounded; use the full streamReader API if a
+        # single drop outgrows driver memory)
+        return list(self._rows(files[start["files"]:])), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        return list(self._rows(files[start["files"]: end["files"]]))
+
+    def _rows(self, files: list[str]):
+        reader = MongodumpReader(
+            self._schema, {"path": self._path, "mode": self._mode}
+        )
+        for path in files:
+            yield from reader.read(_FilePartition(path))
+
+
 class MongodumpDataSource(DataSource):
     """See module docstring. Options: ``path`` (file, glob, or
     directory of .bson), ``inferDocs`` (sample size, default 100)."""
@@ -226,6 +279,12 @@ class MongodumpDataSource(DataSource):
 
     def reader(self, schema: StructType) -> MongodumpReader:
         return MongodumpReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> MongodumpStreamReader:
+        """Streaming tail of the dump directory (pass an explicit
+        ``.schema(...)`` — inference on an initially-empty directory
+        has nothing to sample)."""
+        return MongodumpStreamReader(schema, self.options)
 
 
 def register_mongodump(spark) -> None:

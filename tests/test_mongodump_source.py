@@ -141,3 +141,34 @@ def test_mongodump_permissive_keeps_valid_prefix(spark, tmp_path):
     assert len(dl) == 2
     bad = [r for r in dl if r["_corrupt_record"] is not None]
     assert len(bad) == 1 and "undecodable tail" in bad[0]["_corrupt_record"]
+
+
+def test_mongodump_streaming_tails_new_files(spark, tmp_path):
+    """Each dropped backup file is ingested exactly once; offsets are
+    file counts over the sorted listing."""
+    register_mongodump(spark)
+    src = tmp_path / "drops"
+    src.mkdir()
+    out = tmp_path / "out"
+    chk = tmp_path / "chk"
+
+    def run_batch():
+        q = (
+            spark.readStream.format("mongodump")
+            .schema("_id string, name string, members long")
+            .option("path", str(src))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(chk))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    (src / "a.bson").write_bytes(encode_document(DOCS[0]))
+    run_batch()
+    (src / "b.bson").write_bytes(encode_document(DOCS[1]))
+    run_batch()
+    got = {r["name"]: r["members"] for r in spark.read.parquet(str(out)).collect()}
+    assert got == {"room one": 3, "room two": 2**40}
