@@ -24,7 +24,7 @@ property: decode(encode(doc)) == doc for the supported types).
 from __future__ import annotations
 
 import struct
-from datetime import datetime, timedelta, timezone
+from datetime import date, datetime, timedelta, timezone
 
 _EPOCH = datetime(1970, 1, 1)
 
@@ -122,17 +122,20 @@ def _encode_element(name: str, v) -> bytes:
         if -(2**31) <= v < 2**31:
             return b"\x10" + key + struct.pack("<i", v)
         return b"\x12" + key + struct.pack("<q", v)
+    if isinstance(v, ObjectIdHex):  # before str — it IS a str subclass
+        return b"\x07" + key + bytes.fromhex(str(v))
     if isinstance(v, str):
         s = v.encode("utf-8") + b"\x00"
         return b"\x02" + key + struct.pack("<i", len(s)) + s
-    if isinstance(v, ObjectIdHex):
-        return b"\x07" + key + bytes.fromhex(str(v))
     if isinstance(v, bytes):
         return b"\x05" + key + struct.pack("<i", len(v)) + b"\x00" + v
     if isinstance(v, datetime):
         if v.tzinfo is not None:
             v = v.astimezone(timezone.utc).replace(tzinfo=None)
         ms = round((v - _EPOCH).total_seconds() * 1000)
+        return b"\x09" + key + struct.pack("<q", ms)
+    if isinstance(v, date):  # BSON has no date-only type: UTC midnight
+        ms = round((datetime(v.year, v.month, v.day) - _EPOCH).total_seconds() * 1000)
         return b"\x09" + key + struct.pack("<q", ms)
     if v is None:
         return b"\x0a" + key

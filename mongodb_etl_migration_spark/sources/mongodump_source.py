@@ -46,6 +46,7 @@ from pyspark.sql.types import (
     BinaryType,
     BooleanType,
     DataType,
+    DateType,
     DoubleType,
     LongType,
     NullType,
@@ -136,6 +137,8 @@ def _project(v, dtype: DataType):
         return [_project(x, dtype.elementType) for x in v]
     if isinstance(dtype, TimestampType):
         return v if isinstance(v, datetime) else None
+    if isinstance(dtype, DateType):  # stored as UTC-midnight datetime
+        return v.date() if isinstance(v, datetime) else None
     if isinstance(dtype, BooleanType):
         return v if isinstance(v, bool) else None
     if isinstance(dtype, LongType):
