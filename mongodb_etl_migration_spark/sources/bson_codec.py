@@ -32,9 +32,19 @@ _EPOCH = datetime(1970, 1, 1)
 # --------------------------------------------------------------- decode
 
 
-def decode_document(buf: bytes, offset: int = 0) -> tuple[dict, int]:
+def decode_document(
+    buf: bytes, offset: int = 0, wanted: frozenset | set | None = None
+) -> tuple[dict, int]:
     """Decode one document starting at ``offset``; returns (doc,
-    next_offset). Raises ValueError on malformed input."""
+    next_offset). Raises ValueError on malformed input.
+
+    ``wanted`` restricts decoding to the named TOP-LEVEL fields:
+    every other value is SKIPPED by length arithmetic (strings,
+    binaries and nested documents carry length prefixes, fixed-width
+    types have fixed sizes) — no allocation, no recursion, no UTF-8
+    decode. This is the column-pruning path for wide documents: a
+    2-field projection over 100-field docs touches ~2 values per
+    row."""
     if offset + 4 > len(buf):
         raise ValueError("truncated document header")
     (total,) = struct.unpack_from("<i", buf, offset)
@@ -47,8 +57,37 @@ def decode_document(buf: bytes, offset: int = 0) -> tuple[dict, int]:
         etype = buf[pos]
         pos += 1
         name, pos = _cstring(buf, pos)
-        out[name], pos = _decode_value(etype, buf, pos)
+        if wanted is not None and name not in wanted:
+            pos = _skip_value(etype, buf, pos)
+        else:
+            out[name], pos = _decode_value(etype, buf, pos)
     return out, end
+
+
+def _skip_value(etype: int, buf: bytes, pos: int) -> int:
+    """Advance past a value without materializing it."""
+    if etype in (0x01, 0x09, 0x11, 0x12):  # double/datetime/ts/int64
+        return pos + 8
+    if etype == 0x02:  # string: int32 len incl. NUL
+        return pos + 4 + struct.unpack_from("<i", buf, pos)[0]
+    if etype in (0x03, 0x04):  # doc/array: int32 total size
+        return pos + struct.unpack_from("<i", buf, pos)[0]
+    if etype == 0x05:  # binary: int32 len + subtype byte
+        return pos + 5 + struct.unpack_from("<i", buf, pos)[0]
+    if etype == 0x07:
+        return pos + 12
+    if etype == 0x08:
+        return pos + 1
+    if etype == 0x0A:
+        return pos
+    if etype == 0x0B:  # regex: two cstrings
+        pos = buf.index(0, pos) + 1
+        return buf.index(0, pos) + 1
+    if etype == 0x10:
+        return pos + 4
+    if etype == 0x13:
+        return pos + 16
+    raise ValueError(f"unsupported BSON type 0x{etype:02x}")
 
 
 def iter_documents(buf: bytes):

@@ -172,3 +172,50 @@ def test_mongodump_streaming_tails_new_files(spark, tmp_path):
     run_batch()
     got = {r["name"]: r["members"] for r in spark.read.parquet(str(out)).collect()}
     assert got == {"room one": 3, "room two": 2**40}
+
+
+def test_mongodump_filter_pushdown_enforced(spark, dump_dir):
+    """Accepted filters are enforced in the reader (Spark does not
+    re-apply them), with SQL three-valued semantics; unsupported
+    shapes are handed back."""
+    from pyspark.sql import functions as F
+
+    register_mongodump(spark)
+    df = spark.read.format("mongodump").option("path", dump_dir).load()
+    assert [r["name"] for r in df.filter(F.col("members") == 3).collect()] == [
+        "room one"
+    ]
+    assert df.filter(F.col("members") > 3).count() == 1
+    assert df.filter(F.col("name").startswith("room")).count() == 2
+    assert df.filter(~(F.col("name") == "room one")).count() == 1
+    assert df.filter(F.col("name").isin("room two", "x")).count() == 1
+    # NULL comparison drops the row (three-valued), NOT(NULL) too
+    assert df.filter(F.col("meta").isNotNull()).count() == 2
+    plan = df.filter(F.col("members") == 3)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    # the equality was accepted by pushFilters -> no Spark-side Filter
+    assert "Filter" not in plan
+
+
+def test_mongodump_field_skip_pruning(spark, tmp_path):
+    """A narrow projection decodes only its fields — undecodable bytes
+    inside SKIPPED values must not break the scan (proof they are
+    length-skipped, not parsed)."""
+    import struct as st
+
+    # craft a doc with a deliberately corrupt NESTED value under 'junk'
+    good = encode_document({"a": 1, "junk": {"x": "y"}, "b": "keep"})
+    # corrupt the junk payload bytes in place (inner string content),
+    # keeping all length prefixes intact
+    corrupted = good.replace(b"\x02x\x00\x02\x00\x00\x00y\x00", b"\x02x\x00\xff\xff\xff\xffy\x00")
+    assert corrupted != good
+    (tmp_path / "c.bson").write_bytes(corrupted)
+    register_mongodump(spark)
+    rows = (
+        spark.read.format("mongodump")
+        .schema("a long, b string")
+        .option("path", str(tmp_path))
+        .load()
+        .collect()
+    )
+    assert [(r["a"], r["b"]) for r in rows] == [(1, "keep")]
