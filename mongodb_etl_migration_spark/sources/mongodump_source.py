@@ -38,8 +38,10 @@ from datetime import datetime
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     ArrayType,
@@ -58,6 +60,7 @@ from pyspark.sql.types import (
 
 from mongodb_etl_migration_spark.sources.bson_codec import (
     decode_document,
+    encode_document,
     iter_documents,
 )
 
@@ -408,11 +411,69 @@ class MongodumpDataSource(DataSource):
     def reader(self, schema: StructType) -> MongodumpReader:
         return MongodumpReader(schema, self.options)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        return MongodumpWriter(schema, self.options, overwrite)
+
     def simpleStreamReader(self, schema: StructType) -> MongodumpStreamReader:
         """Streaming tail of the dump directory (pass an explicit
         ``.schema(...)`` — inference on an initially-empty directory
         has nothing to sample)."""
         return MongodumpStreamReader(schema, self.options)
+
+
+class _WroteFile(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class MongodumpWriter(DataSourceWriter):
+    """Export a DataFrame as a mongodump-shaped backup: one .bson
+    part file per task, written to a temp name and renamed into place
+    only in commit() — partial/aborted tasks never leave a readable
+    .bson behind (the rename is the commit protocol, same idea as
+    Hadoop output committers). Values encode through the codec's
+    conventions, so read-back through format("mongodump") round-trips
+    (timestamps to millisecond precision — BSON's datetime unit)."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self._path = options["path"]
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> _WroteFile:
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self._path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(self._path, f"._tmp-{uuid.uuid4().hex}")
+        n = 0
+        with open(tmp, "wb") as f:
+            for row in iterator:
+                f.write(encode_document(row.asDict(recursive=True)))
+                n += 1
+        return _WroteFile(tmp, n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        if self._overwrite:
+            for old in glob.glob(os.path.join(self._path, "part-*.bson")):
+                os.remove(old)
+        for i, m in enumerate(m for m in messages if m is not None):
+            if m.rows == 0:
+                os.remove(m.path)
+                continue
+            os.rename(m.path, os.path.join(self._path, f"part-{i:05d}.bson"))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
 
 
 def register_mongodump(spark) -> None:

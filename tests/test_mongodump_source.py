@@ -219,3 +219,31 @@ def test_mongodump_field_skip_pruning(spark, tmp_path):
         .collect()
     )
     assert [(r["a"], r["b"]) for r in rows] == [(1, "keep")]
+
+
+def test_mongodump_write_roundtrip(spark, tmp_path):
+    """df.write.format('mongodump') exports a readable backup; temp
+    files never survive, append vs overwrite behave like file sinks."""
+    register_mongodump(spark)
+    out = str(tmp_path / "export")
+    df = spark.createDataFrame(
+        [(1, "a", datetime(2024, 1, 1, 12, 0)), (2, None, None)],
+        "id long, s string, ts timestamp",
+    )
+    df.repartition(2).write.format("mongodump").mode("append").save(out)
+    back = (
+        spark.read.format("mongodump")
+        .schema(df.schema)
+        .option("path", out)
+        .load()
+    )
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+    import os
+    names = os.listdir(out)
+    assert all(n.startswith("part-") and n.endswith(".bson") for n in names)
+    # overwrite replaces prior parts
+    df.limit(1).write.format("mongodump").mode("overwrite").save(out)
+    assert (
+        spark.read.format("mongodump")
+        .schema(df.schema).option("path", out).load().count()
+    ) == 1
