@@ -5,7 +5,12 @@ every output table as parquet, and emit a metrics JSON whose row
 counts RIDE the write actions (RunMetrics.observed — one job per
 output, no second count pass; S13 at scale).
 
-Usage: python scripts/run_pipeline.py [out_dir]
+Usage: python scripts/run_pipeline.py [out_dir] [--from-bson DIR]
+
+``--from-bson DIR`` sources every collection from mongodump backup
+files (DIR/<collection>.bson, or a subdirectory per collection) via
+format("mongodump") instead of the in-memory fixtures — the
+reference's actual input path (backups/appcampana_db) end to end.
 """
 
 from __future__ import annotations
@@ -24,12 +29,43 @@ from mongodb_etl_migration_spark.pipeline import run_reference_pipeline  # noqa:
 RUN_TS = datetime(2021, 6, 1)
 
 
+def _bson_sources(spark, backup_dir: Path):
+    """Mirror all_sources() from a backup directory: schemas come from
+    the fixture frames (the entity contracts), data from the dumps."""
+    from mongodb_etl_migration_spark.sources.mongodump_source import (
+        register_mongodump,
+    )
+
+    register_mongodump(spark)
+    out = {}
+    for name, fixture_df in all_sources(spark).items():
+        path = backup_dir / f"{name}.bson"
+        if not path.exists():
+            path = backup_dir / name  # directory of part files
+        out[name] = (
+            spark.read.format("mongodump")
+            .schema(fixture_df.schema)
+            .option("path", str(path))
+            .load()
+        )
+    return out
+
+
 def main() -> int:
-    out_dir = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/mongodb_etl_migration_run")
+    args = [a for a in sys.argv[1:]]
+    backup_dir = None
+    if "--from-bson" in args:
+        i = args.index("--from-bson")
+        backup_dir = Path(args[i + 1])
+        del args[i : i + 2]
+    out_dir = Path(args[0] if args else "/tmp/mongodb_etl_migration_run")
     spark = get_spark(app_name="migration-run")
     spark.sparkContext.setLogLevel("ERROR")
 
-    outputs = run_reference_pipeline(all_sources(spark), RUN_TS)
+    sources = (
+        _bson_sources(spark, backup_dir) if backup_dir else all_sources(spark)
+    )
+    outputs = run_reference_pipeline(sources, RUN_TS)
     metrics = RunMetrics()
     for name, df in outputs.items():
         metrics.observed(name, df).write.mode("overwrite").parquet(
