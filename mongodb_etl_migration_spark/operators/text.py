@@ -237,6 +237,77 @@ def chunk_documents(
     )
 
 
+def dedup_spans(
+    df,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 10,
+):
+    """Sub-document (span-level) exact dedup, C4/CCNet style: segment
+    every document into fixed ``span_tokens`` windows, keep each
+    distinct span's GLOBALLY FIRST occurrence (min (doc, position)),
+    drop every other copy, and reassemble documents from their
+    surviving spans — the pass that removes boilerplate headers/
+    footers and cross-site copied paragraphs that document-level
+    dedup can't see (the documents differ; their spans don't).
+
+    Output: (id_col, clean_text, n_spans_kept, n_spans_total), one
+    row per document that keeps at least one span (fully-duplicated
+    documents disappear — the C4 behavior).
+
+    100 TB shape: two narrow shuffles — one on the span hash (rows =
+    spans, carrying md5 + ids, not text) to pick winners, one on the
+    doc id to reassemble. The winner rule min(doc, position) is a
+    plain min-aggregate (map-side combinable), not a window over the
+    corpus; fixed-width segmentation keeps spans deterministic under
+    any partitioning.
+    """
+    toked = df.select(
+        F.col(id_col), F.explode(F.array(tokens(text_col))).alias("_t")
+    ).filter(F.size("_t") > 0)
+    spans = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(1), F.size("_t"), F.lit(span_tokens))
+        ).alias("_s"),
+        F.col("_t"),
+    ).select(
+        F.col(id_col),
+        ((F.col("_s") - 1) / span_tokens).cast("bigint").alias("span_idx"),
+        F.array_join(F.slice("_t", F.col("_s"), span_tokens), " ").alias(
+            "span_text"
+        ),
+    )
+    spans = spans.withColumn("_h", F.md5("span_text"))
+    winners = spans.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_idx"))).alias("_w")
+    )
+    kept = (
+        spans.join(winners, "_h")
+        .filter(
+            (F.col(f"_w.{id_col}") == F.col(id_col))
+            & (F.col("_w.span_idx") == F.col("span_idx"))
+        )
+        .drop("_h", "_w")
+    )
+    totals = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_spans_total")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("span_idx", "span_text"))
+                ),
+                lambda s: s["span_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_spans_kept"),
+    )
+    return rebuilt.join(totals, id_col)
+
+
 def decontaminate(
     docs,
     eval_docs,

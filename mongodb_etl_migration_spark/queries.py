@@ -3813,6 +3813,52 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_span_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM ({_CORPUS_SQL})
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST((s - 1) / 10 AS BIGINT) AS span_idx,
+             array_to_string(t[s:least(s + 9, len(t))], ' ') AS span_text
+      FROM toks, unnest(range(1, len(t) + 1, 10)) AS u(s)
+      WHERE len(t) > 0
+    ),
+    winners AS (
+      SELECT doc_id, span_idx, span_text,
+             row_number() OVER (PARTITION BY md5(span_text)
+                                ORDER BY doc_id, span_idx) AS rn
+      FROM spans
+    ),
+    totals AS (
+      SELECT doc_id, count(*) AS n_spans_total FROM spans GROUP BY doc_id
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(span_text, ' ' ORDER BY span_idx) AS clean_text,
+             count(*) AS n_spans_kept
+      FROM winners WHERE rn = 1
+      GROUP BY doc_id
+    )
+    SELECT r.doc_id, r.clean_text, r.n_spans_kept, t.n_spans_total
+    FROM rebuilt r JOIN totals t USING (doc_id)
+    """,
+)
+def t_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document span dedup (text.dedup_spans), C4/CCNet style:
+    fixed 10-token spans, each distinct span keeps only its globally
+    first (min doc, position) occurrence, documents reassemble from
+    survivors — planted exact-copy docs (+1M ids) lose every span and
+    vanish; the near-dup copies (+2M, ' zq zq' suffix) survive only
+    with their final changed span. The winner rule is a map-side
+    combinable min-aggregate, not a corpus-wide window; both shuffles
+    carry hashes/ids, not text."""
+    return T.dedup_spans(_corpus(spark, sf_dir), "doc_id", "text", 10)
+
+
+@query(
     "t_decontaminate_bloom",
     """
     WITH toks AS (

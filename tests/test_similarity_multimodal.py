@@ -811,3 +811,24 @@ def test_bmp_roundtrip_property():
         assert np.array_equal(back, px)
 
     check()
+
+
+def test_dedup_spans_c4_semantics(spark):
+    from mongodb_etl_migration_spark.operators.text import dedup_spans
+
+    w = lambda n, tag: " ".join(f"{tag}{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            (1, w(10, "a") + " " + w(10, "b")),   # two spans: a, b
+            (2, w(10, "a") + " " + w(10, "b")),   # exact copy -> vanishes
+            (3, w(10, "a") + " " + w(10, "c")),   # shares span a -> keeps c
+            (4, w(5, "d")),                        # short doc: one 5-token span
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_spans(docs, "doc_id", "text", 10).collect()}
+    assert set(out) == {1, 3, 4}                  # doc 2 fully duplicated
+    assert out[1].n_spans_kept == 2 and out[1].n_spans_total == 2
+    assert out[3].n_spans_kept == 1 and out[3].n_spans_total == 2
+    assert out[3].clean_text == w(10, "c")        # span a went to doc 1
+    assert out[4].clean_text == w(5, "d")
