@@ -247,3 +247,50 @@ def test_mongodump_write_roundtrip(spark, tmp_path):
         spark.read.format("mongodump")
         .schema(df.schema).option("path", out).load().count()
     ) == 1
+
+
+def test_bson_roundtrip_property():
+    """decode(encode(doc)) == doc over randomized nested documents."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scalars = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.text(max_size=20),
+        st.binary(max_size=20),
+        st.datetimes(
+            min_value=datetime(1970, 1, 1), max_value=datetime(2100, 1, 1)
+        ).map(lambda d: d.replace(microsecond=(d.microsecond // 1000) * 1000)),
+    )
+    values = st.recursive(
+        scalars,
+        lambda children: st.one_of(
+            st.lists(children, max_size=4),
+            st.dictionaries(
+                st.text(
+                    alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=8
+                ),
+                children,
+                max_size=4,
+            ),
+        ),
+        max_leaves=12,
+    )
+    docs = st.dictionaries(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=8),
+        values,
+        max_size=6,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(docs)
+    def check(doc):
+        buf = encode_document(doc)
+        got, consumed = decode_document(buf)
+        assert consumed == len(buf)
+        assert got == doc
+
+    check()
