@@ -169,6 +169,12 @@ NOTES = {
         "BroadcastNestedLoopJoin a naive theta-join would plan; the "
         "levenshtein filter confirms above the join."
     ),
+    "t_span_dedup": (
+        "Span dedup: winner selection is a partial_min-combinable "
+        "HashAggregate on the span hash (NO corpus-wide window), the "
+        "reassembly a second hash aggregate on the doc id — two "
+        "Exchanges carrying md5+ids, the text only on surviving rows."
+    ),
     "a16_heavy_hitters": (
         "Heavy hitters: the freqItems candidate pass aggregates "
         "bounded per-partition state (no row Exchange); the confirm "
