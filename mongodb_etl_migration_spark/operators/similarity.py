@@ -114,6 +114,48 @@ def ann_topk_lsh(
     )
 
 
+def ann_topk_multiprobe(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    planes: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Multi-probe LSH top-k: probe the query's bucket AND every
+    Hamming-distance-1 neighbor (flip one plane sign) — the standard
+    recall lever for hyperplane LSH. A near neighbor lands in a
+    different bucket exactly when it straddles one of the few planes
+    the query sits close to; probing the 1-flip neighborhood recovers
+    those misses WITHOUT rebuilding the index or adding planes,
+    scanning n_planes+1 of the 2^n_planes buckets (a fixed fraction —
+    with the bucket as a physical partition key this stays file-level
+    partition pruning, just over a slightly larger prune set)."""
+    bucketed = emb.withColumn("bucket", hyperplane_bucket(vec_col, planes))
+    qbits = [
+        "1" if sum(float(a) * float(b) for a, b in zip(query_vec, p)) >= 0
+        else "0"
+        for p in planes
+    ]
+    qbucket = "".join(qbits)
+    probe_set = [qbucket] + [
+        "".join(b if j != i else ("0" if b == "1" else "1")
+                for j, b in enumerate(qbits))
+        for i in range(len(qbits))
+    ]
+    return (
+        bucketed.filter(F.col("bucket").isin(probe_set))
+        .select(
+            F.col(id_col),
+            stable_round(
+                cosine(_dvec(vec_col), lit_vec(query_vec)), 4
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     planes: Sequence[Sequence[float]],

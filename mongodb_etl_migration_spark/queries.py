@@ -1792,6 +1792,54 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_topk_multiprobe",
+    """
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), planes AS (
+      SELECT vec_id, embedding::DOUBLE[] AS pv
+      FROM embeddings WHERE vec_id IN (1, 2, 3, 4)
+    ), buckets AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+             string_agg(
+               CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pv) >= 0
+                    THEN '1' ELSE '0' END, '' ORDER BY p.vec_id) AS bucket
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id, e.embedding
+    ), qb AS (
+      SELECT string_agg(
+               CASE WHEN list_dot_product(q.qv, p.pv) >= 0
+                    THEN '1' ELSE '0' END, '' ORDER BY p.vec_id) AS bucket
+      FROM q CROSS JOIN planes p
+    )
+    SELECT b.vec_id,
+           floor((list_dot_product(b.v, q.qv)
+                  / (sqrt(list_dot_product(b.v, b.v))
+                     * sqrt(list_dot_product(q.qv, q.qv)))) * 10000 + 0.5)
+             / 10000 + 0.0 AS cos_sim
+    FROM buckets b, q, qb
+    WHERE (CASE WHEN substr(b.bucket,1,1) <> substr(qb.bucket,1,1) THEN 1 ELSE 0 END
+         + CASE WHEN substr(b.bucket,2,1) <> substr(qb.bucket,2,1) THEN 1 ELSE 0 END
+         + CASE WHEN substr(b.bucket,3,1) <> substr(qb.bucket,3,1) THEN 1 ELSE 0 END
+         + CASE WHEN substr(b.bucket,4,1) <> substr(qb.bucket,4,1) THEN 1 ELSE 0 END)
+        <= 1
+    ORDER BY cos_sim DESC, b.vec_id LIMIT 10
+    """,
+)
+def sim_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (similarity.ann_topk_multiprobe): probe
+    the query bucket plus every 1-bit-flip neighbor — the recall
+    lever for boundary-straddling neighbors, at n_planes+1 of
+    2^n_planes buckets scanned and no index rebuild. Oracle
+    re-derives the probe set as a Hamming-distance-1 predicate over
+    the SQL-computed buckets."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return SIM.ann_topk_multiprobe(
+        emb, _query_vec(spark, sf_dir), _planes(spark, sf_dir), k=10
+    )
+
+
+@query(
     "sim_topk_int8",
     """
     WITH q AS (

@@ -832,3 +832,16 @@ def test_dedup_spans_c4_semantics(spark):
     assert out[3].n_spans_kept == 1 and out[3].n_spans_total == 2
     assert out[3].clean_text == w(10, "c")        # span a went to doc 1
     assert out[4].clean_text == w(5, "d")
+
+
+def test_multiprobe_dominates_single_probe(spark, sf_dir):
+    """The 1-flip probe set strictly contains the single bucket, so
+    multiprobe's top-k is at least as good pointwise."""
+    emb, planes, q = _planes_and_query(spark, sf_dir)
+    single = SIM.ann_topk_lsh(emb, q, planes, k=10).collect()
+    multi = SIM.ann_topk_multiprobe(emb, q, planes, k=10).collect()
+    assert len(multi) >= len(single)
+    for s, m in zip(single, multi):
+        assert m["cos_sim"] >= s["cos_sim"]
+    # the query vector itself still tops both
+    assert multi[0]["vec_id"] == 0 and multi[0]["cos_sim"] == 1.0
