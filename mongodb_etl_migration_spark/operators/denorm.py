@@ -255,3 +255,43 @@ def upsert(
         else:
             insert_sel.append(F.lit(None).cast(f.dataType).alias(f.name))
     return merged.unionByName(inserts.select(*insert_sel))
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str,
+    set_cols: Sequence[str],
+) -> DataFrame:
+    """Materialize a CDC change stream onto the target state:
+    ``changes`` rows carry an operation (``'I'``/``'U'`` upsert,
+    ``'D'`` delete) and a monotonic ``seq_col``; per key, ONLY the
+    latest change applies (last-writer-wins), earlier ones are
+    superseded — the standard change-log compaction before a merge.
+    I and U both mean "make the row look like this" (upsert), so
+    replaying a log where the I was already consumed converges to the
+    same state. Output: the new target.
+
+    Plan shape: change compaction is a per-key top-1 (map-side
+    WindowGroupLimit — the J5 shape: ~#keys rows shuffle, not the
+    log); the apply is :func:`upsert`'s broadcast-friendly
+    two-join form plus one left-anti for the deletes. The target
+    never shuffles.
+
+    ``seq_col`` ties MUST be impossible (unique per key — sequence
+    numbers, log offsets); a tie would make last-writer
+    nondeterministic, so prefer a (ts, offset) struct when timestamps
+    can collide.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upserts = latest.filter(F.col(op_col) != "D").select(*keys, *set_cols)
+    deletes = latest.filter(F.col(op_col) == "D").select(*keys)
+    merged = upsert(target, upserts, keys, set_cols)
+    return merged.join(deletes, list(keys), "left_anti")

@@ -3579,6 +3579,67 @@ def j17_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j18_cdc_apply",
+    """
+    WITH latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type IN ('purchase', 'error', 'signup')
+      ) WHERE rn = 1
+    ),
+    upserts AS (SELECT user_id, value FROM latest WHERE event_type <> 'error'),
+    deletes AS (SELECT user_id FROM latest WHERE event_type = 'error'),
+    updated AS (
+      SELECT c.c_custkey, c.c_name,
+             CASE WHEN u.user_id IS NOT NULL THEN u.value
+                  ELSE c.c_acctbal END AS c_acctbal
+      FROM customer c LEFT JOIN upserts u ON c.c_custkey = u.user_id
+    ),
+    inserts AS (
+      SELECT u.user_id AS c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+             u.value AS c_acctbal
+      FROM upserts u LEFT JOIN customer c ON u.user_id = c.c_custkey
+      WHERE c.c_custkey IS NULL
+    ),
+    unioned AS (
+      SELECT * FROM updated UNION ALL SELECT * FROM inserts
+    )
+    SELECT n.c_custkey, n.c_name, n.c_acctbal
+    FROM unioned n LEFT JOIN deletes d ON n.c_custkey = d.user_id
+    WHERE d.user_id IS NULL
+    """,
+)
+def j18_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-stream materialization (denorm.apply_cdc): events
+    become a change log (purchase/signup → upsert of the account
+    balance, error → delete), compacted last-writer-wins per user
+    (map-side WindowGroupLimit — the log shuffles ~#keys rows), then
+    applied via the broadcast-friendly upsert joins plus one
+    left-anti for deletes — the target never shuffles. Ties are
+    impossible by construction (event_id breaks equal timestamps)."""
+    cat = Catalog(spark, sf_dir)
+    target = cat.customer.select("c_custkey", "c_name", "c_acctbal")
+    changes = (
+        cat.events.filter(
+            F.col("event_type").isin("purchase", "error", "signup")
+        )
+        .select(
+            F.col("user_id").alias("c_custkey"),
+            F.struct("ts", "event_id").alias("_seq"),
+            F.when(F.col("event_type") == "error", "D")
+            .otherwise("U")
+            .alias("_op"),
+            F.col("value").alias("c_acctbal"),
+        )
+    )
+    return DN.apply_cdc(
+        target, changes, ["c_custkey"], "_seq", "_op", ["c_acctbal"]
+    )
+
+
+@query(
     "sim_kmeans",
     """
     WITH xq AS (

@@ -128,3 +128,32 @@ def test_observed_metrics_per_entity_timing(spark, tmp_path):
     assert by["a"].rows == 10 and by["b"].rows == 20
     # entity a's duration must not include the sleep before b's write
     assert by["a"].seconds <= a_elapsed + 0.05
+
+
+def test_apply_cdc_last_writer_wins_and_replay_converges(spark):
+    from mongodb_etl_migration_spark.operators.denorm import apply_cdc
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "U", 11.0),   # superseded by seq 3
+            (1, 3, "U", 12.0),   # wins
+            (2, 2, "D", None),   # delete
+            (4, 1, "I", 40.0),   # insert of a new key
+            (4, 2, "U", 41.0),   # then updated — latest wins
+        ],
+        "k long, seq long, op string, bal double",
+    )
+    out = apply_cdc(target, changes, ["k"], "seq", "op", ["bal"])
+    got = {r.k: (r.name, r.bal) for r in out.collect()}
+    assert got == {
+        1: ("a", 12.0),     # last U applied, name preserved
+        3: ("c", 30.0),     # untouched
+        4: (None, 41.0),    # inserted then updated; target-only col NULL
+    }
+    # replaying the same compacted log over the result converges
+    again = apply_cdc(out, changes, ["k"], "seq", "op", ["bal"])
+    assert {r.k: (r.name, r.bal) for r in again.collect()} == got
