@@ -62,6 +62,12 @@ class Catalog:
             raise KeyError(f"unknown table {name!r}; have {TABLES}")
         key = (self._app_id, self.sf_dir, name)
         if key not in self._cache:
+            # evict entries from stopped applications: a long-lived
+            # process that recreates sessions would otherwise pin
+            # DataFrames of dead apps forever
+            stale = [k for k in self._cache if k[0] != self._app_id]
+            for k in stale:
+                del self._cache[k]
             df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
             if name == "events":
                 ts_type = dict(df.dtypes).get("ts", "")

@@ -29,8 +29,19 @@ def _stable_salt(key: str, spread_cols: Sequence[str] | None, df: DataFrame, sal
     the whole row when no spread column is named) — identical across
     materializations, task retries, and partition layouts, so stage
     recomputation re-salts every row the same way and debugging a
-    single reducer's input is reproducible."""
+    single reducer's input is reproducible.
+
+    DEGENERACY GUARD: when the frame carries NOTHING but the key
+    (``df.select(key)``), every row of a hot key is content-identical
+    and any content hash collapses to ONE salt — silently disabling
+    the mitigation. That case falls back to ``spark_partition_id()``:
+    the hot key's rows spread across however many input partitions
+    they span, and the id is stable under task retry (a recomputed
+    task keeps its partition id), though not across re-layouts —
+    the honest trade when rows have no distinguishing content."""
     cols = [key, *(spread_cols or [c for c in df.columns if c != key])]
+    if len(cols) == 1:
+        return F.pmod(F.spark_partition_id().cast("long"), F.lit(salts))
     return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salts))
 
 

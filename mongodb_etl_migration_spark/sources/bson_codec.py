@@ -53,14 +53,17 @@ def decode_document(
         raise ValueError(f"malformed document at {offset}: size {total}")
     out: dict = {}
     pos = offset + 4
-    while pos < end - 1:
-        etype = buf[pos]
-        pos += 1
-        name, pos = _cstring(buf, pos)
-        if wanted is not None and name not in wanted:
-            pos = _skip_value(etype, buf, pos)
-        else:
-            out[name], pos = _decode_value(etype, buf, pos)
+    try:
+        while pos < end - 1:
+            etype = buf[pos]
+            pos += 1
+            name, pos = _cstring(buf, pos)
+            if wanted is not None and name not in wanted:
+                pos = _skip_value(etype, buf, pos)
+            else:
+                out[name], pos = _decode_value(etype, buf, pos)
+    except struct.error as err:  # truncated fixed-width value
+        raise ValueError(f"truncated value near {pos}: {err}") from err
     return out, end
 
 
@@ -69,11 +72,17 @@ def _skip_value(etype: int, buf: bytes, pos: int) -> int:
     if etype in (0x01, 0x09, 0x11, 0x12):  # double/datetime/ts/int64
         return pos + 8
     if etype == 0x02:  # string: int32 len incl. NUL
-        return pos + 4 + struct.unpack_from("<i", buf, pos)[0]
+        (ln,) = struct.unpack_from("<i", buf, pos)
+        _check_len(ln, 1, buf, pos + 4)
+        return pos + 4 + ln
     if etype in (0x03, 0x04):  # doc/array: int32 total size
-        return pos + struct.unpack_from("<i", buf, pos)[0]
+        (ln,) = struct.unpack_from("<i", buf, pos)
+        _check_len(ln, 5, buf, pos)
+        return pos + ln
     if etype == 0x05:  # binary: int32 len + subtype byte
-        return pos + 5 + struct.unpack_from("<i", buf, pos)[0]
+        (ln,) = struct.unpack_from("<i", buf, pos)
+        _check_len(ln, 0, buf, pos + 5)
+        return pos + 5 + ln
     if etype == 0x07:
         return pos + 12
     if etype == 0x08:
@@ -104,11 +113,21 @@ def _cstring(buf: bytes, pos: int) -> tuple[str, int]:
     return buf[pos:nul].decode("utf-8"), nul + 1
 
 
+def _check_len(ln: int, lo: int, buf: bytes, pos: int) -> None:
+    """Validate an inner length prefix: negative or out-of-bounds
+    lengths would move the cursor backwards (an adversarial document
+    could loop the parser forever) or past the buffer — both must be
+    the promised ValueError, never a hang or struct.error."""
+    if ln < lo or pos + ln > len(buf):
+        raise ValueError(f"bad length {ln} at {pos}")
+
+
 def _decode_value(etype: int, buf: bytes, pos: int):
     if etype == 0x01:  # double
         return struct.unpack_from("<d", buf, pos)[0], pos + 8
     if etype == 0x02:  # string
         (ln,) = struct.unpack_from("<i", buf, pos)
+        _check_len(ln, 1, buf, pos + 4)
         s = buf[pos + 4 : pos + 4 + ln - 1].decode("utf-8")
         return s, pos + 4 + ln
     if etype == 0x03:  # embedded document
@@ -118,6 +137,7 @@ def _decode_value(etype: int, buf: bytes, pos: int):
         return [doc[k] for k in doc], nxt
     if etype == 0x05:  # binary
         (ln,) = struct.unpack_from("<i", buf, pos)
+        _check_len(ln, 0, buf, pos + 5)
         return bytes(buf[pos + 5 : pos + 5 + ln]), pos + 5 + ln
     if etype == 0x07:  # ObjectId
         return buf[pos : pos + 12].hex(), pos + 12

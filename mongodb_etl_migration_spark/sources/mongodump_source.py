@@ -239,7 +239,10 @@ def _eval_filter(f, doc: dict):
         if isinstance(f, EqualTo):
             return v == f.value
         if isinstance(f, In):
-            return v in f.value
+            vals = [x for x in f.value if x is not None]
+            if v in vals:
+                return True
+            return None if len(vals) != len(f.value) else False
         if isinstance(f, GreaterThan):
             return v > f.value
         if isinstance(f, GreaterThanOrEqual):
@@ -330,26 +333,43 @@ class MongodumpReader(DataSourceReader):
                         f"{partition.path}: undecodable tail of "
                         f"{len(buf) - pos} bytes at offset {pos}"
                     )
-                    yield tuple(row)
+                    # the marker row passes the same filter gate as any
+                    # row (accepted filters are NOT re-applied by Spark;
+                    # an IsNotNull predicate must not leak an all-NULL
+                    # marker into the result)
+                    marker = dict(zip([f.name for f in fields], row))
+                    if all(
+                        _eval_filter(f, marker) is True
+                        for f in self._filters
+                    ):
+                        yield tuple(row)
                 return
-            if all(_eval_filter(f, doc) is True for f in self._filters):
-                yield tuple(
-                    _project(doc.get(f.name), f.dataType) for f in fields
-                )
+            # filters evaluate on the PROJECTED (schema-typed) values,
+            # not raw decoded BSON: a mixed-type field projects int 5
+            # to "5" under a string schema, and EqualTo(col, "5") must
+            # see what Spark will see — accepted filters are enforced
+            # here exactly once
+            proj = {f.name: _project(doc.get(f.name), f.dataType) for f in fields}
+            if all(_eval_filter(f, proj) is True for f in self._filters):
+                yield tuple(proj[f.name] for f in fields)
 
 
 class MongodumpStreamReader(SimpleDataSourceStreamReader):
     """Tail a mongodump directory as a stream: every NEW .bson file
-    (lexicographic order — mongodump part files sort) becomes part of
-    the next microbatch. The offset is ``{"files": n}`` — how many of
-    the sorted file list have been emitted; files are immutable once
-    written (mongodump writes then moves on), so a count over a sorted
-    listing is a stable, replayable offset and ``readBetweenOffsets``
-    re-derives any batch exactly for recovery. The pattern: periodic
-    backup drops land in the directory, the stream ingests each drop
-    once — the reference's restore-then-re-extract loop as an
-    incremental pipeline (pair with streaming/incremental.run_incremental
-    for the entity plans downstream)."""
+    becomes part of the next microbatch. The offset is
+    ``{"seen": [basenames]}`` — the exact files already emitted; a
+    batch is the listing MINUS the seen set, so a late-arriving file
+    that sorts before already-emitted names (dump-10 after dump-2) is
+    still picked up exactly once, and ``readBetweenOffsets`` replays
+    any batch as end.seen − start.seen (files are immutable once
+    written — mongodump writes then moves on). The seen list grows
+    with the number of drops — bounded for the backup-drop pattern;
+    compact externally if a directory accretes forever. The pattern:
+    periodic backup drops land in the directory, the stream ingests
+    each drop once — the reference's restore-then-re-extract loop as
+    an incremental pipeline (pair with
+    streaming/incremental.run_incremental for the entity plans
+    downstream)."""
 
     def __init__(self, schema: StructType, options: dict):
         self._schema = schema
@@ -363,20 +383,29 @@ class MongodumpStreamReader(SimpleDataSourceStreamReader):
             return []  # empty dir: stream starts before first drop
 
     def initialOffset(self) -> dict:
-        return {"files": 0}
+        return {"seen": []}
 
     def read(self, start: dict):
+        import os
+
         files = self._files()
-        end = {"files": len(files)}
+        seen = set(start["seen"])
+        new = [p for p in files if os.path.basename(p) not in seen]
+        end = {"seen": sorted(seen | {os.path.basename(p) for p in new})}
         # lists, not generators: the simple-reader API prefetches and
         # PICKLES the batch on the driver (per-drop batches are one
         # backup file — bounded; use the full streamReader API if a
         # single drop outgrows driver memory)
-        return list(self._rows(files[start["files"]:])), end
+        return list(self._rows(new)), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        files = self._files()
-        return list(self._rows(files[start["files"]: end["files"]]))
+        import os
+
+        batch = set(end["seen"]) - set(start["seen"])
+        files = [
+            p for p in self._files() if os.path.basename(p) in batch
+        ]
+        return list(self._rows(files))
 
     def _rows(self, files: list[str]):
         reader = MongodumpReader(
@@ -458,15 +487,23 @@ class MongodumpWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         import os
+        import uuid
 
         if self._overwrite:
             for old in glob.glob(os.path.join(self._path, "part-*.bson")):
                 os.remove(old)
+        # job-unique suffix (Spark part-file convention): append mode
+        # into a directory with earlier parts must never rename onto
+        # an existing file — os.rename silently clobbers on POSIX
+        job = uuid.uuid4().hex[:8]
         for i, m in enumerate(m for m in messages if m is not None):
             if m.rows == 0:
                 os.remove(m.path)
                 continue
-            os.rename(m.path, os.path.join(self._path, f"part-{i:05d}.bson"))
+            os.rename(
+                m.path,
+                os.path.join(self._path, f"part-{i:05d}-{job}.bson"),
+            )
 
     def abort(self, messages) -> None:
         import os

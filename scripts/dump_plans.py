@@ -245,6 +245,7 @@ def main() -> None:
         "\n".join(out)
     )
     print("PLANS.md written")
+    spark.stop()
 
 
 def scale_receipt_section() -> str:
@@ -297,7 +298,6 @@ def scale_receipt_section() -> str:
         "- sim_topk_lsh stays ~0.2 s / ~3 KB shuffle at 10x vectors: "
         "the bucket probe prunes before any wide work.\n"
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

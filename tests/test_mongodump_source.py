@@ -294,3 +294,35 @@ def test_bson_roundtrip_property():
         assert got == doc
 
     check()
+
+
+def test_mongodump_streaming_handles_nonmonotonic_names(spark, tmp_path):
+    """A new file that sorts BEFORE already-emitted names must still be
+    ingested exactly once (offsets are seen-sets, not counts)."""
+    register_mongodump(spark)
+    src = tmp_path / "drops"
+    src.mkdir()
+    out = tmp_path / "out"
+    chk = tmp_path / "chk"
+
+    def run_batch():
+        q = (
+            spark.readStream.format("mongodump")
+            .schema("_id string, name string")
+            .option("path", str(src))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(chk))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    (src / "dump-2.bson").write_bytes(encode_document(DOCS[0]))
+    run_batch()
+    # sorts lexicographically BEFORE dump-2.bson
+    (src / "dump-10.bson").write_bytes(encode_document(DOCS[1]))
+    run_batch()
+    names = sorted(r["name"] for r in spark.read.parquet(str(out)).collect())
+    assert names == ["room one", "room two"]  # each exactly once

@@ -455,3 +455,23 @@ def test_fuzzy_join_equals_bruteforce(spark, words):
         .collect()
     }
     assert blocked == brute
+
+
+def test_salted_count_spreads_key_only_frames(spark):
+    """A key-only projection has content-identical rows per key — the
+    content salt would collapse to one reducer; the partition-id
+    fallback must both spread the hot key and keep counts exact."""
+    from mongodb_etl_migration_spark.operators.skew import (
+        _stable_salt,
+        salted_count,
+    )
+
+    hot = spark.range(0, 10_000, 1, 8).select(F.lit(1).alias("k"))
+    out = {r.k: r.cnt for r in salted_count(hot, "k", salts=8).collect()}
+    assert out == {1: 10_000}
+    salts = (
+        hot.select(_stable_salt("k", None, hot, 8).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert salts > 1  # actually spread over reducers
