@@ -251,11 +251,121 @@ def encode_png(px: np.ndarray) -> bytes:
     )
 
 
+def parse_qoi(raw: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decoder for QOI (qoiformat.org spec 1.0) — the modern
+    lossless image format built for exactly this kind of
+    dependency-free implementation: byte-tagged ops over a running
+    pixel, a 64-slot hash index, 2-bit diffs, luma deltas and runs.
+    Returns (width, height, HxWx3 uint8 RGB; alpha dropped). Raises
+    ValueError on malformed input (caller falls back)."""
+    if len(raw) < 22 or raw[:4] != b"qoif":
+        raise ValueError("not a QOI")
+    w, h = struct.unpack_from(">II", raw, 4)
+    channels, colorspace = raw[12], raw[13]
+    if channels not in (3, 4) or colorspace not in (0, 1) or w <= 0 or h <= 0:
+        raise ValueError("bad QOI header")
+    n = w * h
+    out = np.zeros((n, 4), dtype=np.uint8)
+    index = np.zeros((64, 4), dtype=np.uint8)
+    r, g, b, a = 0, 0, 0, 255
+    pos, i = 14, 0
+    end = len(raw) - 8  # 7x00 + 0x01 end marker
+    while i < n:
+        if pos >= end:
+            raise ValueError("truncated QOI stream")
+        tag = raw[pos]
+        pos += 1
+        if tag == 0xFE:  # QOI_OP_RGB
+            r, g, b = raw[pos], raw[pos + 1], raw[pos + 2]
+            pos += 3
+        elif tag == 0xFF:  # QOI_OP_RGBA
+            r, g, b, a = raw[pos], raw[pos + 1], raw[pos + 2], raw[pos + 3]
+            pos += 4
+        else:
+            op = tag >> 6
+            if op == 0:  # QOI_OP_INDEX
+                r, g, b, a = (int(x) for x in index[tag & 0x3F])
+            elif op == 1:  # QOI_OP_DIFF, bias 2
+                r = (r + ((tag >> 4) & 3) - 2) & 0xFF
+                g = (g + ((tag >> 2) & 3) - 2) & 0xFF
+                b = (b + (tag & 3) - 2) & 0xFF
+            elif op == 2:  # QOI_OP_LUMA
+                dg = (tag & 0x3F) - 32
+                nxt = raw[pos]
+                pos += 1
+                r = (r + dg + ((nxt >> 4) & 0xF) - 8) & 0xFF
+                g = (g + dg) & 0xFF
+                b = (b + dg + (nxt & 0xF) - 8) & 0xFF
+            else:  # QOI_OP_RUN, bias -1
+                run = (tag & 0x3F) + 1
+                if i + run > n:
+                    raise ValueError("QOI run overruns image")
+                out[i : i + run] = (r, g, b, a)
+                i += run
+                continue
+        out[i] = (r, g, b, a)
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        i += 1
+    if raw[end : end + 8] != b"\x00" * 7 + b"\x01":
+        raise ValueError("missing QOI end marker")
+    return int(w), int(h), out[:, :3].reshape(h, w, 3).copy()
+
+
+def encode_qoi(px: np.ndarray) -> bytes:
+    """Inverse of :func:`parse_qoi`: HxWx3 uint8 RGB → QOI (channels
+    3). Greedy per the spec: run, index, diff, luma, else raw RGB."""
+    h, w = px.shape[:2]
+    flat = px.reshape(-1, 3)
+    out = bytearray(b"qoif" + struct.pack(">II", w, h) + bytes([3, 0]))
+    index = np.zeros((64, 4), dtype=np.uint8)
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    for r, g, b in flat.tolist():
+        if (r, g, b) == (pr, pg, pb):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        hidx = (r * 3 + g * 5 + b * 7 + pa * 11) % 64
+        if tuple(index[hidx]) == (r, g, b, pa):
+            out.append(hidx)
+        else:
+            dr = (r - pr) & 0xFF
+            dg = (g - pg) & 0xFF
+            db = (b - pb) & 0xFF
+            sdr = dr - 256 if dr > 127 else dr
+            sdg = dg - 256 if dg > 127 else dg
+            sdb = db - 256 if db > 127 else db
+            if -2 <= sdr <= 1 and -2 <= sdg <= 1 and -2 <= sdb <= 1:
+                out.append(0x40 | ((sdr + 2) << 4) | ((sdg + 2) << 2) | (sdb + 2))
+            elif (
+                -32 <= sdg <= 31
+                and -8 <= sdr - sdg <= 7
+                and -8 <= sdb - sdg <= 7
+            ):
+                out.append(0x80 | (sdg + 32))
+                out.append(((sdr - sdg + 8) << 4) | (sdb - sdg + 8))
+            else:
+                out += bytes([0xFE, r, g, b])
+        index[hidx] = (r, g, b, pa)
+        pr, pg, pb = r, g, b
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
 def parse_image(raw: bytes) -> tuple[int, int, np.ndarray]:
     """Dispatch to whichever real codec matches the payload's magic
-    bytes (BMP, PNG); ValueError if neither claims it."""
+    bytes (BMP, PNG, QOI); ValueError if none claims it."""
     if raw[:2] == b"BM":
         return parse_bmp(raw)
+    if raw[:4] == b"qoif":
+        return parse_qoi(raw)
     if raw[:8] == _PNG_SIG:
         return parse_png(raw)
     raise ValueError("no codec for payload")

@@ -2465,6 +2465,81 @@ def m_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m_image_decode_qoi",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 24 + 8 AS BIGINT) AS width,
+           CAST(doc_id % 16 + 4 AS BIGINT) AS height,
+           CAST(doc_id % 24 + 7 AS DOUBLE) / 2 AS mean_r,
+           CAST(doc_id % 16 + 3 AS DOUBLE) / 2 AS mean_g,
+           9.0 AS mean_b
+    FROM documents
+    """,
+)
+def m_image_decode_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI-codec path (qoiformat.org spec 1.0 — the modern
+    lossless format designed for dependency-free codecs): synthesize
+    the same analytic gradient per doc as the PNG twin, encode with
+    the greedy run/index/diff/luma encoder, decode with
+    multimodal.parse_qoi via decode_images. The oracle predicts
+    dimensions and channel means analytically, so a hash match proves
+    the tagged-op byte stream was genuinely decoded."""
+    import numpy as np
+    import pandas as pd
+
+    from mongodb_etl_migration_spark.operators.multimodal import encode_qoi
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h = int(doc_id) % 24 + 8, int(doc_id) % 16 + 4
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
+                px[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None]
+                px[:, :, 2] = 9
+                payloads.append(encode_qoi(px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "meta": [
+                        {"media_type": "image", "byte_size": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    mm_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("media_type", StringType()),
+                        StructField("byte_size", LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    mm = d.mapInPandas(synth, mm_schema)
+    return M.decode_images(mm).drop("content_digest")
+
+
+@query(
     "m_audio_decode_real",
     """
     SELECT doc_id,

@@ -845,3 +845,51 @@ def test_multiprobe_dominates_single_probe(spark, sf_dir):
         assert m["cos_sim"] >= s["cos_sim"]
     # the query vector itself still tops both
     assert multi[0]["vec_id"] == 0 and multi[0]["cos_sim"] == 1.0
+
+
+def test_qoi_roundtrip_property():
+    """encode→decode is the identity on arbitrary RGB images — QOI is
+    lossless, so exact equality (hypothesis over shapes + content)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_qoi,
+        parse_qoi,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=20),
+        st.integers(min_value=1, max_value=20),
+        st.randoms(use_true_random=False),
+    )
+    def check(h, w, rnd):
+        rng = np.random.RandomState(rnd.randint(0, 2**31))
+        # mix flat regions (runs), small gradients (diff/luma) and noise
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        px[: h // 2] = px[0, 0]
+        gw, gh, back = parse_qoi(encode_qoi(px))
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(back, px)
+
+    check()
+
+
+def test_qoi_malformed_raises():
+    import numpy as np
+    import pytest
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_qoi,
+        parse_qoi,
+    )
+
+    good = encode_qoi(np.full((4, 4, 3), 7, dtype=np.uint8))
+    with pytest.raises(ValueError):
+        parse_qoi(good[:10])          # truncated header
+    with pytest.raises(ValueError):
+        parse_qoi(b"nope" + good[4:])  # wrong magic
+    with pytest.raises(ValueError):
+        parse_qoi(good[:-1])          # missing end marker
