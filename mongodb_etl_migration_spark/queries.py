@@ -2540,6 +2540,76 @@ def m_image_decode_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m_gif_frames",
+    """
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(CASE f % 4 WHEN 0 THEN 10 WHEN 1 THEN 40
+                WHEN 2 THEN 70 ELSE 100 END AS DOUBLE) AS mean_r,
+           CAST(CASE f % 4 WHEN 0 THEN 20 WHEN 1 THEN 80
+                WHEN 2 THEN 140 ELSE 200 END AS DOUBLE) AS mean_g,
+           CAST(CASE f % 4 WHEN 0 THEN 30 WHEN 1 THEN 120
+                WHEN 2 THEN 210 ELSE 240 END AS DOUBLE) AS mean_b
+    FROM documents, unnest(range(0, doc_id % 5 + 1, 2)) AS t(f)
+    """,
+)
+def m_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF frame sampling, driver-verifiable: synthesize
+    a (doc_id % 5 + 1)-frame GIF per doc (frame f = constant palette
+    color f % 4), decode with the LZW + block-walk parser
+    (multimodal.parse_gif), emit every 2nd frame's channel means. The
+    oracle predicts them analytically from the palette, so a hash
+    match proves real LZW streams were decoded and frames separated
+    correctly — the 1→N video-sampling path with an actual codec."""
+    import numpy as np
+    import pandas as pd
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_gif,
+        parse_gif,
+    )
+
+    _PAL = np.array(
+        [[10, 20, 30], [40, 80, 120], [70, 140, 210], [100, 200, 240]],
+        dtype=np.uint8,
+    )
+    d = Catalog(spark, sf_dir).documents.select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, idxs, mr, mg, mb = [], [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                nf = int(doc_id) % 5 + 1
+                frames = [
+                    np.full((4, 8), f % 4, dtype=np.uint8) for f in range(nf)
+                ]
+                raw = encode_gif(frames, _PAL)
+                _, _, decoded = parse_gif(raw)
+                for f in range(0, len(decoded), 2):
+                    px = decoded[f].astype(np.float64)
+                    ids.append(int(doc_id))
+                    idxs.append(f)
+                    mr.append(float(px[:, :, 0].mean()))
+                    mg.append(float(px[:, :, 1].mean()))
+                    mb.append(float(px[:, :, 2].mean()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "mean_r": mr,
+                    "mean_g": mg,
+                    "mean_b": mb,
+                }
+            )
+
+    schema = (
+        "doc_id long, frame_idx long, mean_r double, "
+        "mean_g double, mean_b double"
+    )
+    return d.mapInPandas(gen, schema)
+
+
+@query(
     "m_audio_decode_real",
     """
     SELECT doc_id,
