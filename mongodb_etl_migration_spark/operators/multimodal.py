@@ -539,11 +539,15 @@ def encode_gif(
 
 def parse_image(raw: bytes) -> tuple[int, int, np.ndarray]:
     """Dispatch to whichever real codec matches the payload's magic
-    bytes (BMP, PNG, QOI); ValueError if none claims it."""
+    bytes (BMP, PNG, QOI, GIF — first frame); ValueError if none
+    claims it."""
     if raw[:2] == b"BM":
         return parse_bmp(raw)
     if raw[:4] == b"qoif":
         return parse_qoi(raw)
+    if raw[:4] == b"GIF8":
+        w, h, frames = parse_gif(raw)
+        return w, h, frames[0]
     if raw[:8] == _PNG_SIG:
         return parse_png(raw)
     raise ValueError("no codec for payload")
