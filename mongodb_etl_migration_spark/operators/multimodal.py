@@ -7,10 +7,12 @@ feature-extraction runs as Arrow-batched ``mapInPandas`` so each task
 processes whole record batches without JVM↔Python per-row cost.
 
 Codec status: BMP (uncompressed 24-bit), PNG (non-interlaced 8-bit
-gray/RGB/RGBA, full scanline unfiltering) and WAV (PCM16) are decoded
-FOR REAL with stdlib struct/zlib/wave + numpy — ``decode_images`` /
-``decode_audio`` / ``resize_images`` parse actual bytes and return
-actual dimensions/samples. Formats that need PIL/
+gray/RGB/RGBA, full scanline unfiltering), QOI (full 1.0 spec), GIF
+(89a subset incl. animated multi-frame, full variable-width LZW) and
+WAV (PCM16) are decoded FOR REAL with stdlib struct/zlib/wave + numpy
+— ``decode_images`` / ``decode_audio`` / ``resize_images`` /
+``sample_frames`` parse actual bytes and return actual
+dimensions/samples/frames. Formats that need PIL/
 ffmpeg (JPEG, MP4, ...) are not decodable in this container and
 fall through to a clearly-marked deterministic stub; the Spark-side
 contract (schema, batch iteration, partition sizing) is identical for

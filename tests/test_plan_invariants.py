@@ -28,6 +28,8 @@ ARROW_OK = {
     "m_multimodal_decode",   # mapInPandas decode plumbing
     "m_image_decode_real",   # real BMP codec (mapInPandas)
     "m_image_decode_png",    # real PNG codec (mapInPandas)
+    "m_image_decode_qoi",    # real QOI codec (mapInPandas)
+    "m_gif_frames",          # real GIF multi-frame codec (mapInPandas)
     "m_audio_decode_real",   # real WAV codec (mapInPandas)
     "m_frame_sample",        # frame-sampling fan-out (mapInPandas)
     "e_sessionization",      # batch twin is pure SQL — listed in case
