@@ -267,6 +267,12 @@ def parse_qoi(raw: bytes) -> tuple[int, int, np.ndarray]:
     if channels not in (3, 4) or colorspace not in (0, 1) or w <= 0 or h <= 0:
         raise ValueError("bad QOI header")
     n = w * h
+    # max expansion is 62 px per stream byte (QOI_OP_RUN): header
+    # fields alone must not size the allocation (a 22-byte payload
+    # could otherwise claim a 4-billion-pixel image -> MemoryError,
+    # which would escape the ValueError fallback)
+    if n > 62 * max(0, len(raw) - 22):
+        raise ValueError("QOI header claims more pixels than stream could hold")
     out = np.zeros((n, 4), dtype=np.uint8)
     index = np.zeros((64, 4), dtype=np.uint8)
     r, g, b, a = 0, 0, 0, 255
@@ -464,6 +470,15 @@ def parse_gif(raw: bytes) -> tuple[int, int, list[np.ndarray]]:
     [HxWx3 uint8 RGB per frame]). ValueError on other variants."""
     if len(raw) < 13 or raw[:4] != b"GIF8" or raw[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF")
+    try:
+        return _parse_gif_inner(raw)
+    except (IndexError, struct.error) as err:
+        # truncated input must surface as the documented ValueError so
+        # the decode/resize fallbacks engage instead of failing tasks
+        raise ValueError(f"truncated GIF: {err}") from err
+
+
+def _parse_gif_inner(raw: bytes) -> tuple[int, int, list[np.ndarray]]:
     w, h = struct.unpack_from("<HH", raw, 6)
     packed = raw[10]
     if not packed & 0x80:
@@ -491,6 +506,10 @@ def parse_gif(raw: bytes) -> tuple[int, int, list[np.ndarray]]:
                 raise ValueError("unsupported GIF frame layout")
             min_code = raw[pos]
             pos += 1
+            # spec caps code width at 12 bits; an adversarial byte here
+            # would otherwise size the LZW table as 2**min_code
+            if not 2 <= min_code <= 11:
+                raise ValueError(f"bad LZW min code size {min_code}")
             data = bytearray()
             while raw[pos]:
                 ln = raw[pos]
@@ -675,22 +694,30 @@ RESIZED_SCHEMA = StructType(
 def resize_images(
     multimodal: DataFrame, target_w: int = 224, target_h: int = 224
 ) -> DataFrame:
-    """Resize via mapInPandas. BMP and PNG payloads are resized FOR
-    REAL: parse_image → nearest-neighbor resample (numpy index grids —
-    the same algorithm PIL's NEAREST uses) → re-encoded in the source
-    container (BMP→BMP, PNG→PNG). Other formats (would need PIL) fall
-    back to the deterministic truncate/pad stub so byte-level goldens
-    hold. Spark-side contract (schema, Arrow batching, partition
-    preservation) is identical for both paths."""
+    """Resize via mapInPandas. BMP, PNG and QOI payloads are resized
+    FOR REAL: parse_image → nearest-neighbor resample (numpy index
+    grids — the same algorithm PIL's NEAREST uses) → re-encoded in
+    the SOURCE container (BMP→BMP, PNG→PNG, QOI→QOI). Animated GIF is
+    deliberately excluded (single-image resize would silently discard
+    frames — resample per-frame via parse_gif instead); it and other
+    formats (would need PIL) fall back to the deterministic
+    truncate/pad stub so byte-level goldens hold. Spark-side contract
+    (schema, Arrow batching, partition preservation) is identical for
+    both paths."""
 
     def one(raw: bytes) -> bytes:
         try:
+            if raw[:4] == b"GIF8":
+                raise ValueError("animated GIF: per-frame resize only")
             w, h, px = parse_image(raw)
             ys = (np.arange(target_h) * h) // target_h
             xs = (np.arange(target_w) * w) // target_w
             resampled = px[ys][:, xs]
-            enc = encode_png if raw[:8] == _PNG_SIG else encode_bmp
-            return enc(resampled)
+            if raw[:8] == _PNG_SIG:
+                return encode_png(resampled)
+            if raw[:4] == b"qoif":
+                return encode_qoi(resampled)
+            return encode_bmp(resampled)
         except ValueError:
             n = target_w * target_h // 64  # stub byte budget
             return raw[:n].ljust(n, b"\x00")
@@ -732,14 +759,18 @@ def sample_frames(multimodal: DataFrame, every_n: int = 8) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
                 if raw[:4] == b"GIF8":
-                    _, _, frames = parse_gif(raw)
-                    for k in range(0, len(frames), every_n):
-                        ids.append(doc_id)
-                        idxs.append(k)
-                        digests.append(
-                            hashlib.md5(frames[k].tobytes()).hexdigest()
-                        )
-                    continue
+                    try:
+                        _, _, frames = parse_gif(raw)
+                    except ValueError:
+                        frames = None  # unsupported variant -> stub
+                    if frames is not None:
+                        for k in range(0, len(frames), every_n):
+                            ids.append(doc_id)
+                            idxs.append(k)
+                            digests.append(
+                                hashlib.md5(frames[k].tobytes()).hexdigest()
+                            )
+                        continue
                 n_frames = max(1, len(raw) // 64)
                 for k in range(0, n_frames, every_n):
                     ids.append(doc_id)

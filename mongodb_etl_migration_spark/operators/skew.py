@@ -39,10 +39,19 @@ def _stable_salt(key: str, spread_cols: Sequence[str] | None, df: DataFrame, sal
     they span, and the id is stable under task retry (a recomputed
     task keeps its partition id), though not across re-layouts —
     the honest trade when rows have no distinguishing content."""
-    cols = [key, *(spread_cols or [c for c in df.columns if c != key])]
-    if len(cols) == 1:
+    spread = [
+        c
+        for c in (spread_cols if spread_cols is not None else df.columns)
+        if c != key
+    ]
+    if not spread:
+        # including the key twice (spread_cols=[key]) or a key-only
+        # frame still hashes to a constant per key value — same
+        # degeneracy, so normalize first and fall back on empty
         return F.pmod(F.spark_partition_id().cast("long"), F.lit(salts))
-    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salts))
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in [key, *spread]]), F.lit(salts)
+    )
 
 
 def salted_join(

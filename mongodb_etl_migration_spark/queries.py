@@ -2334,10 +2334,22 @@ def m_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded dimensions and channel means analytically — mean(R) over
     an x-gradient is exactly (w-1)/2 — so a hash match proves real
     pixels were parsed, not stub arithmetic."""
+    from mongodb_etl_migration_spark.operators.multimodal import encode_bmp
+
+    return _gradient_image_decode(spark, sf_dir, encode_bmp, blue=7)
+
+
+
+def _gradient_image_decode(
+    spark: SparkSession, sf_dir: str, encode, blue: int = 9
+) -> DataFrame:
+    """Shared harness for the real-codec image queries: synthesize the
+    analytic gradient (R=x, G=y, B=``blue``; dims derived from doc_id)
+    per doc, encode with the given codec, decode through
+    decode_images. The BMP/PNG/QOI oracles all predict dims/means
+    from this shape."""
     import numpy as np
     import pandas as pd
-
-    from mongodb_etl_migration_spark.operators.multimodal import encode_bmp
 
     d = Catalog(spark, sf_dir).documents.select("doc_id")
 
@@ -2349,8 +2361,8 @@ def m_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = np.zeros((h, w, 3), dtype=np.uint8)
                 px[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
                 px[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None]
-                px[:, :, 2] = 7
-                payloads.append(encode_bmp(px))
+                px[:, :, 2] = blue
+                payloads.append(encode(px))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -2409,59 +2421,9 @@ def m_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle predicts dimensions and channel means analytically, so a
     hash match proves real PNG bytes — inflate included — were
     parsed."""
-    import numpy as np
-    import pandas as pd
-
     from mongodb_etl_migration_spark.operators.multimodal import encode_png
 
-    d = Catalog(spark, sf_dir).documents.select("doc_id")
-
-    def synth(batches):
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                w, h = int(doc_id) % 24 + 8, int(doc_id) % 16 + 4
-                px = np.zeros((h, w, 3), dtype=np.uint8)
-                px[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
-                px[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None]
-                px[:, :, 2] = 9
-                payloads.append(encode_png(px))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": payloads,
-                    "meta": [
-                        {"media_type": "image", "byte_size": len(p)}
-                        for p in payloads
-                    ],
-                }
-            )
-
-    from pyspark.sql.types import (
-        BinaryType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    mm_schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("payload", BinaryType()),
-            StructField(
-                "meta",
-                StructType(
-                    [
-                        StructField("media_type", StringType()),
-                        StructField("byte_size", LongType()),
-                    ]
-                ),
-            ),
-        ]
-    )
-    mm = d.mapInPandas(synth, mm_schema)
-    return M.decode_images(mm).drop("content_digest")
+    return _gradient_image_decode(spark, sf_dir, encode_png)
 
 
 @query(
@@ -2484,59 +2446,9 @@ def m_image_decode_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal.parse_qoi via decode_images. The oracle predicts
     dimensions and channel means analytically, so a hash match proves
     the tagged-op byte stream was genuinely decoded."""
-    import numpy as np
-    import pandas as pd
-
     from mongodb_etl_migration_spark.operators.multimodal import encode_qoi
 
-    d = Catalog(spark, sf_dir).documents.select("doc_id")
-
-    def synth(batches):
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                w, h = int(doc_id) % 24 + 8, int(doc_id) % 16 + 4
-                px = np.zeros((h, w, 3), dtype=np.uint8)
-                px[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
-                px[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None]
-                px[:, :, 2] = 9
-                payloads.append(encode_qoi(px))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": payloads,
-                    "meta": [
-                        {"media_type": "image", "byte_size": len(p)}
-                        for p in payloads
-                    ],
-                }
-            )
-
-    from pyspark.sql.types import (
-        BinaryType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    mm_schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("payload", BinaryType()),
-            StructField(
-                "meta",
-                StructType(
-                    [
-                        StructField("media_type", StringType()),
-                        StructField("byte_size", LongType()),
-                    ]
-                ),
-            ),
-        ]
-    )
-    mm = d.mapInPandas(synth, mm_schema)
-    return M.decode_images(mm).drop("content_digest")
+    return _gradient_image_decode(spark, sf_dir, encode_qoi)
 
 
 @query(

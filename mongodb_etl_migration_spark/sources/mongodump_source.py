@@ -313,10 +313,9 @@ class MongodumpReader(DataSourceReader):
             None,
         )
         # field-skip pruning: decode only projected + filtered fields
-        wanted = frozenset(
-            {f.name for f in fields}
-            | {_filter_column(f)[0] for f in self._filters}
-        )
+        filter_cols = {_filter_column(f)[0] for f in self._filters}
+        types = {f.name: f.dataType for f in fields}
+        wanted = frozenset({f.name for f in fields} | filter_cols)
         pos = 0
         while pos < len(buf):
             try:
@@ -348,10 +347,19 @@ class MongodumpReader(DataSourceReader):
             # not raw decoded BSON: a mixed-type field projects int 5
             # to "5" under a string schema, and EqualTo(col, "5") must
             # see what Spark will see — accepted filters are enforced
-            # here exactly once
-            proj = {f.name: _project(doc.get(f.name), f.dataType) for f in fields}
-            if all(_eval_filter(f, proj) is True for f in self._filters):
-                yield tuple(proj[f.name] for f in fields)
+            # here exactly once. Project the FILTER columns first so a
+            # rejected document never pays the full-schema projection.
+            proj = {
+                c: _project(doc.get(c), types[c]) for c in filter_cols
+            }
+            if not all(_eval_filter(f, proj) is True for f in self._filters):
+                continue
+            yield tuple(
+                proj[f.name]
+                if f.name in proj
+                else _project(doc.get(f.name), f.dataType)
+                for f in fields
+            )
 
 
 class MongodumpStreamReader(SimpleDataSourceStreamReader):
@@ -385,11 +393,26 @@ class MongodumpStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"seen": []}
 
+    @staticmethod
+    def _legacy_aware_seen(offset: dict, files: list[str]) -> set:
+        """Offset compatibility: current offsets are {"seen": [names]};
+        the earlier {"files": n} count-based form (pre-fix for
+        non-monotonic drop names) converts as the first n sorted
+        basenames of the current listing, so a checkpoint written by
+        the old code restarts cleanly instead of KeyError-wedging the
+        stream."""
+        import os
+
+        if "seen" in offset:
+            return set(offset["seen"])
+        n = int(offset.get("files", 0))
+        return {os.path.basename(p) for p in files[:n]}
+
     def read(self, start: dict):
         import os
 
         files = self._files()
-        seen = set(start["seen"])
+        seen = self._legacy_aware_seen(start, files)
         new = [p for p in files if os.path.basename(p) not in seen]
         end = {"seen": sorted(seen | {os.path.basename(p) for p in new})}
         # lists, not generators: the simple-reader API prefetches and
@@ -401,10 +424,11 @@ class MongodumpStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start: dict, end: dict):
         import os
 
-        batch = set(end["seen"]) - set(start["seen"])
-        files = [
-            p for p in self._files() if os.path.basename(p) in batch
-        ]
+        files_all = self._files()
+        batch = self._legacy_aware_seen(end, files_all) - self._legacy_aware_seen(
+            start, files_all
+        )
+        files = [p for p in files_all if os.path.basename(p) in batch]
         return list(self._rows(files))
 
     def _rows(self, files: list[str]):

@@ -475,3 +475,18 @@ def test_salted_count_spreads_key_only_frames(spark):
         .count()
     )
     assert salts > 1  # actually spread over reducers
+
+
+def test_salted_count_guard_normalizes_key_duplicates(spark):
+    """spread_cols=[key] is the same degeneracy as a key-only frame —
+    the guard must normalize it to the partition-id fallback."""
+    from mongodb_etl_migration_spark.operators.skew import (
+        _stable_salt,
+        salted_count,
+    )
+
+    hot = spark.range(0, 4000, 1, 8).select(F.lit(1).alias("k"))
+    out = {r.k: r.cnt for r in salted_count(hot, "k", salts=8, spread_cols=["k"]).collect()}
+    assert out == {1: 4000}
+    n = hot.select(_stable_salt("k", ["k"], hot, 8).alias("s")).distinct().count()
+    assert n > 1
