@@ -63,13 +63,18 @@ def _enumeration_order(query_names) -> list[str]:
 
 
 def _bucket_order(query_names, snapshot, current) -> list[str]:
-    """Four buckets: (1) never-green — no driver receipt exists at
-    all; (2) the query's OWN code/operator chain changed since its
-    green (narrow-hash mismatch — receipt stale); (3) only shared
-    infra in its closure changed (full mismatch, narrow match);
-    (4) clean greens. Buckets 3 and 4 order stalest receipt first.
-    Old snapshots stored one string hash — treated as full-only."""
-    never, changed, infra, green = [], [], [], []
+    """Five buckets: (1) never-green — no driver receipt exists at
+    all; (2) the query's OWN transitive call chain changed since its
+    green (self-hash mismatch — receipt genuinely stale); (3) a file
+    in its operator-module closure changed but not its own call chain
+    (narrow mismatch, self match — usually an unrelated function
+    added to a shared module); (4) only ubiquitous infra changed
+    (full mismatch, narrow match); (5) clean greens. Buckets 3-5
+    order stalest receipt first, rotating fresh rows onto the oldest
+    receipts when the cap allows. Old snapshots stored one string
+    hash — treated as full-only; dict snapshots without a "self"
+    entry fall back to narrow-tier classification."""
+    never, changed, module, infra, green = [], [], [], [], []
     for n in query_names:
         snap = snapshot.get(n)
         cur = current.get(n, {})
@@ -79,15 +84,24 @@ def _bucket_order(query_names, snapshot, current) -> list[str]:
         sh = snap.get("hash")
         if isinstance(sh, str):
             (changed if sh != cur.get("full") else green).append(n)
+        elif sh.get("self") is not None and cur.get("self") is not None:
+            if sh["self"] != cur["self"]:
+                changed.append(n)
+            elif sh.get("narrow") != cur.get("narrow"):
+                module.append(n)
+            elif sh.get("full") != cur.get("full"):
+                infra.append(n)
+            else:
+                green.append(n)
         elif sh.get("narrow") != cur.get("narrow"):
             changed.append(n)
         elif sh.get("full") != cur.get("full"):
             infra.append(n)
         else:
             green.append(n)
-    infra.sort(key=lambda n: snapshot[n].get("round", 0))
-    green.sort(key=lambda n: snapshot[n].get("round", 0))
-    return never + changed + infra + green
+    for bucket in (module, infra, green):
+        bucket.sort(key=lambda n: snapshot[n].get("round", 0))
+    return never + changed + module + infra + green
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

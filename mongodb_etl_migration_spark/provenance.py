@@ -92,33 +92,74 @@ def _code_names(code: types.CodeType) -> set[str]:
 
 
 def _fn_deps(fn, queries_mod_name: str) -> tuple[set[str], list[str]]:
-    """(package modules referenced, extra source snippets) for ``fn``.
+    """(package modules referenced, queries-module source snippets,
+    function-granular self snippets) for ``fn``.
 
     Globals that are package modules or objects from package modules
-    contribute their module; callables defined in the queries module
-    itself (decorators, local helpers) contribute their SOURCE instead
-    of the whole queries file, so editing one query never invalidates
-    the other hundred. Helper expansion is recursive.
+    contribute their module (the full/narrow closure); callables
+    defined in the queries module itself (decorators, local helpers)
+    contribute their SOURCE instead of the whole queries file, so
+    editing one query never invalidates the other hundred. Helper
+    expansion is recursive.
+
+    The SELF snippets go further: every package FUNCTION the query
+    transitively calls — across module boundaries, including functions
+    reached as ``module.attr`` — contributes its own source, and
+    package classes contribute their class source. Module-level
+    constants are NOT captured at this granularity (they have no
+    ``__module__``); the module-file-granular narrow hash remains the
+    tier that catches constant edits. Objects from _UBIQUITOUS infra
+    modules (Catalog et al.) are excluded from self snippets for the
+    same reason those modules are excluded from the narrow closure —
+    an infra edit must not reclassify all 100+ queries as changed.
     """
     mods: set[str] = set()
     snippets: list[str] = []
-    visited: set[str] = set()
+    self_snippets: list[str] = []
+    visited: set[tuple[str, str]] = set()
 
-    def walk(f) -> None:
-        if f.__qualname__ in visited:
-            return
-        visited.add(f.__qualname__)
+    def src(obj) -> str:
         try:
-            snippets.append(inspect.getsource(f))
+            return inspect.getsource(obj)
         except (OSError, TypeError):
-            snippets.append(repr(f))
-        for name in sorted(_code_names(f.__code__)):
+            return repr(obj)
+
+    def visit_class(cls: type) -> None:
+        key = (cls.__module__, cls.__qualname__)
+        if key in visited:
+            return
+        visited.add(key)
+        self_snippets.append(src(cls))
+
+    def walk(f, top: bool) -> None:
+        key = (f.__module__, f.__qualname__)
+        if key in visited:
+            return
+        visited.add(key)
+        s = src(f)
+        if top:
+            snippets.append(s)
+        self_snippets.append(s)
+        names = _code_names(f.__code__)
+        for name in sorted(names):
             g = f.__globals__.get(name)
             if g is None:
                 continue
             if isinstance(g, types.ModuleType):
                 if g.__name__.startswith(_PKG):
                     mods.add(g.__name__)
+                    # function-granular: co_names also carries the
+                    # LOAD_ATTR names, so intersect them with the
+                    # module's namespace to find module.attr calls.
+                    for attr in sorted(names & set(vars(g))):
+                        obj = vars(g)[attr]
+                        omod = getattr(obj, "__module__", "") or ""
+                        if not omod.startswith(_PKG) or omod in _UBIQUITOUS:
+                            continue
+                        if isinstance(obj, types.FunctionType):
+                            walk(obj, False)
+                        elif isinstance(obj, type):
+                            visit_class(obj)
                 continue
             gmod = getattr(g, "__module__", None)
             if not (gmod and gmod.startswith(_PKG)):
@@ -126,12 +167,18 @@ def _fn_deps(fn, queries_mod_name: str) -> tuple[set[str], list[str]]:
             if gmod == queries_mod_name and isinstance(
                 g, types.FunctionType
             ):
-                walk(g)
+                walk(g, top)
             else:
                 mods.add(gmod)
+                if gmod in _UBIQUITOUS:
+                    continue
+                if isinstance(g, types.FunctionType):
+                    walk(g, False)
+                elif isinstance(g, type):
+                    visit_class(g)
 
-    walk(fn)
-    return mods, snippets
+    walk(fn, True)
+    return mods, snippets, self_snippets
 
 
 # Infra modules in (nearly) every query's closure. An edit here
@@ -151,9 +198,14 @@ def query_impl_hash(
     files: dict[str, Path],
     graph: dict[str, set[str]],
 ) -> dict[str, str]:
-    """``{"full": ..., "narrow": ...}`` hashes of everything that
-    determines a query's result; narrow skips _UBIQUITOUS modules."""
-    mods, snippets = _fn_deps(fn, fn.__module__)
+    """``{"full": ..., "narrow": ..., "self": ...}`` hashes of
+    everything that determines a query's result, at three
+    granularities: full = module files over the whole import closure;
+    narrow = the same minus _UBIQUITOUS infra modules; self =
+    function-granular sources of the query's own transitive call
+    chain (plus the oracle), so that adding an UNRELATED function to
+    a shared operator module does not flag this query as changed."""
+    mods, snippets, self_snippets = _fn_deps(fn, fn.__module__)
     closure = _closure(mods, graph)
     out = {}
     for kind, skip in (("full", frozenset()), ("narrow", _UBIQUITOUS)):
@@ -167,6 +219,11 @@ def query_impl_hash(
                 h.update(mod.encode())
                 h.update(p.read_bytes())
         out[kind] = h.hexdigest()
+    h = hashlib.sha256()
+    for s in self_snippets:
+        h.update(s.encode())
+    h.update((oracle or "<no-oracle>").encode())
+    out["self"] = h.hexdigest()
     return out
 
 

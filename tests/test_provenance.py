@@ -27,12 +27,12 @@ def _current():
     return provenance.catalog_hashes(QUERIES, ORACLES, PKG_ROOT)
 
 
-def test_hashes_cover_catalog_with_both_tiers():
+def test_hashes_cover_catalog_with_all_tiers():
     cur = _current()
     assert set(cur) == set(QUERIES)
     for h in cur.values():
-        assert set(h) == {"full", "narrow"}
-        assert len(h["full"]) == 64 and len(h["narrow"]) == 64
+        assert set(h) == {"full", "narrow", "self"}
+        assert all(len(v) == 64 for v in h.values())
 
 
 def test_narrow_excludes_ubiquitous_infra_only():
@@ -48,25 +48,46 @@ def test_enumeration_is_permutation_of_catalog():
     assert sorted(order) == sorted(QUERIES)
 
 
-def test_bucket_order_changed_then_infra_then_green():
+def test_bucket_order_self_then_module_then_infra_then_green():
     cur = _current()
     names = list(QUERIES)
-    a, b, c, d = names[0], names[1], names[2], names[3]
+    a, b, c, d, e = names[:5]
     snapshot = {
-        # a: narrow mismatch (own code changed) -> bucket 1
-        a: {"round": 3, "hash": {"full": cur[a]["full"], "narrow": "x"}},
-        # b: full-only mismatch (infra changed) -> bucket 2
-        b: {"round": 3, "hash": {"full": "x", "narrow": cur[b]["narrow"]}},
-        # c: clean green, old round -> bucket 3 (before d)
-        c: {"round": 1, "hash": dict(cur[c])},
-        d: {"round": 2, "hash": dict(cur[d])},
-        # legacy single-string snapshots: match -> green, mismatch -> changed
+        # a: self mismatch (own call chain changed) -> bucket 2
+        a: {"round": 3, "hash": {**cur[a], "self": "x"}},
+        # b: module-closure mismatch, self match (unrelated function
+        # added to a shared operator module) -> bucket 3
+        b: {"round": 3, "hash": {**cur[b], "narrow": "x"}},
+        # c: full-only mismatch (ubiquitous infra changed) -> bucket 4
+        c: {"round": 3, "hash": {**cur[c], "full": "x"}},
+        # d/e: clean greens, stalest receipt first -> bucket 5
+        d: {"round": 1, "hash": dict(cur[d])},
+        e: {"round": 2, "hash": dict(cur[e])},
     }
-    order = entry._bucket_order([a, b, c, d], snapshot, cur)
-    assert order == [a, b, c, d]
-    # never-green joins bucket 1 ahead of infra/green
-    order2 = entry._bucket_order([c, "brand_new", b], snapshot, {**cur, "brand_new": {}})
-    assert order2 == ["brand_new", b, c]
+    order = entry._bucket_order([e, d, c, b, a], snapshot, cur)
+    assert order == [a, b, c, d, e]
+    # never-green leads everything
+    order2 = entry._bucket_order(
+        [d, "brand_new", a], snapshot, {**cur, "brand_new": {}}
+    )
+    assert order2 == ["brand_new", a, d]
+
+
+def test_bucket_order_snapshot_without_self_falls_back_to_narrow():
+    """Pre-self-tier dict snapshots classify by narrow/full alone."""
+    cur = _current()
+    a, b = list(QUERIES)[:2]
+    snapshot = {
+        a: {
+            "round": 3,
+            "hash": {"full": cur[a]["full"], "narrow": "x"},
+        },
+        b: {
+            "round": 3,
+            "hash": {"full": cur[b]["full"], "narrow": cur[b]["narrow"]},
+        },
+    }
+    assert entry._bucket_order([b, a], snapshot, cur) == [a, b]
 
 
 def test_bucket_order_legacy_string_hash():
@@ -85,4 +106,5 @@ def test_green_hashes_snapshot_is_current_format():
     snap = json.loads((REPO / "GREEN_HASHES.json").read_text())
     assert snap, "GREEN_HASHES.json missing or empty"
     for v in snap.values():
-        assert isinstance(v["hash"], dict) and {"full", "narrow"} <= set(v["hash"])
+        assert isinstance(v["hash"], dict)
+        assert {"full", "narrow", "self"} <= set(v["hash"])
