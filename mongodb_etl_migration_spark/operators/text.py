@@ -592,3 +592,165 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    c: Column | str,
+    toks: Column | None = None,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models" §A1.1) re-expressed as pure Column predicates —
+    the standard pre-training quality gate family. Every flag is a
+    boolean/integer expression (no floats except two exact IEEE
+    divisions), so the whole rule set is hash-exact across engines.
+
+    Returned flags (all lambda-free, codegen'd, zero shuffle):
+      n_words        token count
+      words_ok       min_words <= n_words <= max_words
+      mean_len_ok    mean token length in [3, 10]
+      symbol_ok      (# + ellipsis occurrences) / words <= 0.1
+      bullet_ok      <= 90% of lines start with a bullet
+      stop_ok        >= 2 distinct Gopher stopwords present
+      gopher_pass    conjunction of the above
+
+    Real pipelines tune the thresholds; the shape — a dict of named
+    predicates the caller selects/combines — is the contract.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    toks = tokens(c) if toks is None else toks
+    n = F.size(toks)
+    nd = n.cast("double")
+    words_ok = (n >= min_words) & (n <= max_words)
+    mtl = mean_token_len(c, toks)
+    mean_len_ok = (mtl >= 3.0) & (mtl <= 10.0)
+    # symbol-to-word ratio: '#' occurrences + '...' occurrences
+    hashes = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
+    # count non-overlapping '...' runs via regexp (same in DuckDB RE2)
+    dots = F.size(F.regexp_extract_all(col, F.lit("\\.\\.\\."), 0))
+    symbol_ok = F.when(n > 0, (hashes + dots) / nd <= F.lit(0.1)).otherwise(
+        F.lit(False)
+    )
+    lines = F.split(col, "\n")
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).startswith("-") | F.trim(ln).startswith("*"))
+    )
+    bullet_ok = bullet_lines <= F.lit(0.9) * F.size(lines)
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+    stop_ok = stop_hits >= 2
+    flags = {
+        "n_words": n.cast("bigint"),
+        "words_ok": words_ok,
+        "mean_len_ok": mean_len_ok,
+        "symbol_ok": symbol_ok,
+        "bullet_ok": bullet_ok,
+        "stop_ok": stop_ok,
+    }
+    flags["gopher_pass"] = (
+        words_ok & mean_len_ok & symbol_ok & bullet_ok & stop_ok
+    )
+    return flags
+
+
+def collision_stats(df, id_col: str, text_col: str):
+    """Per-document Rényi-2 collision statistics — an exactly-
+    verifiable repetitiveness/perplexity proxy that needs no log():
+    ``collisions = Σ_w count(w)²`` over the document's tokens. The
+    collision PROBABILITY collisions/total² (exp(−H₂), inverse
+    perplexity under Rényi order 2) is high for keyword-stuffed or
+    looped text and low for diverse text; because both numerator and
+    denominator are integers, the score verifies hash-exact where a
+    Shannon-entropy score would drift in libm's last ulp.
+
+    Plan shape: THREE chained narrow projections (tokens → distinct +
+    per-word counts → fold), each referencing the previous stage's
+    materialized column exactly once — higher-order-function lambdas
+    sit outside codegen CSE, so inlining them would re-tokenize per
+    consumer. Per-row cost is O(tokens × distinct); zero shuffle at
+    any scale.
+
+    Output: (id_col, total_tokens, collisions, collision_prob).
+    """
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    counted = toked.select(
+        id_col,
+        F.size("__toks").cast("bigint").alias("total_tokens"),
+        F.transform(
+            F.array_distinct("__toks"),
+            lambda w: F.size(F.filter(F.col("__toks"), lambda x: x == w)).cast(
+                "long"
+            ),
+        ).alias("__counts"),
+    )
+    folded = counted.select(
+        id_col,
+        "total_tokens",
+        F.aggregate(
+            "__counts", F.lit(0).cast("long"), lambda acc, n: acc + n * n
+        ).alias("collisions"),
+    )
+    return folded.select(
+        id_col,
+        "total_tokens",
+        "collisions",
+        F.when(
+            F.col("total_tokens") > 0,
+            F.col("collisions")
+            / (F.col("total_tokens") * F.col("total_tokens")).cast("double"),
+        ).alias("collision_prob"),
+    )
+
+
+def inverted_index(
+    df,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    max_postings: int = 20,
+):
+    """Build a term → document posting-list index (the retrieval-side
+    companion of tfidf_top_terms).
+
+    Scale design: the (doc, term) distinct projection shuffles once on
+    term; the window and the final groupBy reuse that exchange (both
+    key on term — one shuffle total). Posting lists are BOUNDED: a
+    row_number over the same partitioning nulls out every doc id past
+    the ``max_postings`` smallest, and collect_list skips NULLs, so a
+    stopword appearing in every document of a 100 TB corpus
+    contributes a fixed-size aggregation buffer, never an unbounded
+    array. All rows still FLOW through the shuffle (``df`` must count
+    the full posting set pre-trim) — the cap bounds state, not
+    traffic; traffic is the distinct (doc, term) set, which is the
+    index's irreducible input.
+
+    Output: (term, df, postings) — postings a comma-joined sorted
+    capped doc-id list, scalar so the driver hash gate can sort it.
+    """
+    from pyspark.sql import Window
+
+    pairs = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy(F.asc(id_col))
+    trimmed = pairs.withColumn("__rn", F.row_number().over(w))
+    return (
+        trimmed.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("__rn") <= max_postings, F.col(id_col)))
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+        .select("term", F.col("df").cast("bigint").alias("df"), "postings")
+    )

@@ -37,6 +37,7 @@ from mongodb_etl_migration_spark.operators import (
     skew as SK,
     text as T,
     validation as V,
+    web as WB,
 )
 from mongodb_etl_migration_spark.streaming.incremental import windowed_event_counts
 
@@ -4304,6 +4305,241 @@ def _sampling_queries() -> None:
 
 
 _sampling_queries()
+
+
+# =====================================================================
+# Web-corpus curation: Gopher rules, collision stats, inverted index,
+# URL parsing/canonicalization (operators/text.py + operators/web.py)
+# =====================================================================
+
+_TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+@query(
+    "t_gopher_rules",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, text, toks,
+             len(toks) AS n,
+             CASE WHEN len(toks) > 0
+                  THEN len(array_to_string(toks, '')) / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS mtl,
+             length(text) - length(replace(text, '#', ''))
+               + len(regexp_extract_all(text, '\\.\\.\\.')) AS symbols,
+             string_split(text, chr(10)) AS lines,
+             len(list_filter(list_distinct(toks),
+                 t -> t IN ({", ".join(repr(s) for s in T.GOPHER_STOPWORDS)}))) AS stop_hits
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_words,
+           n >= 50 AND n <= 100000 AS words_ok,
+           mtl >= 3.0 AND mtl <= 10.0 AS mean_len_ok,
+           CASE WHEN n > 0 THEN symbols / CAST(n AS DOUBLE) <= 0.1
+                ELSE FALSE END AS symbol_ok,
+           len(list_filter(lines,
+               ln -> starts_with(trim(ln), '-') OR starts_with(trim(ln), '*')))
+             <= 0.9 * len(lines) AS bullet_ok,
+           stop_hits >= 2 AS stop_ok,
+           (n >= 50 AND n <= 100000) AND (mtl >= 3.0 AND mtl <= 10.0)
+             AND (CASE WHEN n > 0 THEN symbols / CAST(n AS DOUBLE) <= 0.1 ELSE FALSE END)
+             AND (len(list_filter(lines,
+                  ln -> starts_with(trim(ln), '-') OR starts_with(trim(ln), '*')))
+                  <= 0.9 * len(lines))
+             AND stop_hits >= 2 AS gopher_pass
+    FROM s
+    """,
+)
+def t_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule gate (text.gopher_quality_flags):
+    word-count bounds, mean-word-length band, symbol-to-word ratio,
+    bullet-line fraction, stopword presence — the standard
+    pre-training document filter family, as pure boolean/integer
+    Column predicates (hash-exact, zero shuffle)."""
+    d = Catalog(spark, sf_dir).documents
+    toked = d.select("doc_id", "text", T.tokens("text").alias("__toks"))
+    flags = T.gopher_quality_flags("text", toks=F.col("__toks"))
+    return toked.select(
+        "doc_id", *[c.alias(name) for name, c in flags.items()]
+    )
+
+
+@query(
+    "t_collision_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+    ), c AS (
+      SELECT doc_id, word, count(*) AS n FROM t GROUP BY doc_id, word
+    ), a AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS total_tokens,
+             CAST(sum(n * n) AS BIGINT) AS collisions
+      FROM c GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.total_tokens, 0) AS total_tokens,
+           COALESCE(a.collisions, 0) AS collisions,
+           CASE WHEN COALESCE(a.total_tokens, 0) > 0
+                THEN a.collisions
+                     / CAST(a.total_tokens * a.total_tokens AS DOUBLE)
+           END AS collision_prob
+    FROM documents d LEFT JOIN a USING (doc_id)
+    """,
+)
+def t_collision_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rényi-2 collision repetitiveness score (text.collision_stats):
+    Σ count(w)² over per-doc token counts — the exactly-verifiable
+    perplexity proxy (integer numerator/denominator, no log()). The
+    Spark plan is three chained narrow projections with zero shuffle;
+    the oracle re-derives it relationally (unnest + two GROUP BYs)."""
+    d = Catalog(spark, sf_dir).documents
+    return T.collision_stats(d, "doc_id", "text")
+
+
+@query(
+    "t_inverted_index",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+      )
+    ), agg AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             list_sort(list(doc_id)) AS ids
+      FROM pairs GROUP BY term
+    )
+    SELECT term, df, array_to_string(list_slice(ids, 1, 20), ',') AS postings
+    FROM agg WHERE df >= 2
+    """,
+)
+def t_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term → bounded posting-list index (text.inverted_index): one
+    shuffle on term (window + groupBy share the exchange); posting
+    arrays capped at the 20 smallest doc ids per term so stopword
+    rows carry fixed-size state at any corpus size, while df counts
+    the full set."""
+    d = Catalog(spark, sf_dir).documents
+    return T.inverted_index(d, "doc_id", "text", min_df=2, max_postings=20)
+
+
+def _messy_url_col() -> F.Column:
+    """Deterministic messy-URL construction from (doc_id, source) —
+    mixed-case host, default port, trailing slash, tracking params,
+    fragment — built IDENTICALLY in the SQL oracle so the operator
+    under test is the parser/canonicalizer, not the test data."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("https://WWW."),
+        F.upper("source"),
+        F.lit(".Example.COM"),
+        F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/Docs/"), (d % 50).cast("string"))
+        ),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("?utm_campaign=Spring&page=2&gclid=abc"))
+        .when(d % 4 == 1, F.lit("?page=2"))
+        .when(d % 4 == 2, F.lit("?utm_source=feed"))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#Section-2")).otherwise(F.lit("")),
+    )
+
+
+_MESSY_URL_SQL = """
+      'https://WWW.' || upper(source) || '.Example.COM'
+      || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END
+      || CASE WHEN doc_id % 11 = 0 THEN ''
+              ELSE '/Docs/' || CAST(doc_id % 50 AS VARCHAR) END
+      || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+      || CASE WHEN doc_id % 4 = 0 THEN '?utm_campaign=Spring&page=2&gclid=abc'
+              WHEN doc_id % 4 = 1 THEN '?page=2'
+              WHEN doc_id % 4 = 2 THEN '?utm_source=feed'
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END
+"""
+
+_URL_PARTS_SQL = f"""
+    WITH u AS (
+      SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents
+    ), p AS (
+      SELECT doc_id,
+        lower(nullif(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), '')) AS scheme,
+        nullif(regexp_replace(
+          lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+          ':(80|443)$', ''), '') AS host,
+        regexp_replace(
+          regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+          '/+$', '') AS path0,
+        nullif(regexp_extract(url, '\\?([^#]*)', 1), '') AS q
+      FROM u
+    ), r AS (
+      SELECT doc_id, scheme, host,
+        CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        nullif(regexp_extract(regexp_replace(host, ':[0-9]+$', ''),
+                              '([^.]+\\.[^.]+)$', 1), '') AS domain,
+        q,
+        list_filter(string_split(q, '&'),
+          kv -> NOT regexp_matches(kv, '^(utm_[a-zA-Z]+|fbclid|gclid)=')) AS kept
+      FROM p
+    )
+    SELECT doc_id, scheme, host, domain, path,
+      CAST(len(list_filter(string_split(path, '/'), s -> s <> '')) AS BIGINT) AS depth,
+      CASE WHEN scheme IS NOT NULL AND host IS NOT NULL THEN
+        scheme || '://' || host || path
+        || CASE WHEN q IS NOT NULL AND len(kept) > 0
+                THEN '?' || array_to_string(kept, '&') ELSE '' END
+      END AS canon
+    FROM r
+"""
+
+
+@query("w_url_parse", _URL_PARTS_SQL)
+def w_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction + canonicalization (operators/web):
+    scheme/host/registered-domain/path/depth plus the canonical dedup
+    key (lowercase host, default port dropped, fragment + tracking
+    params stripped, trailing slash removed). Pure regexp Columns —
+    zero shuffle, mirrored expression-for-expression in the oracle."""
+    d = Catalog(spark, sf_dir).documents
+    u = d.select("doc_id", _messy_url_col().alias("url"))
+    return u.select(
+        "doc_id",
+        WB.url_scheme("url").alias("scheme"),
+        WB.url_host("url").alias("host"),
+        WB.registered_domain("url").alias("domain"),
+        WB.url_path("url").alias("path"),
+        WB.url_path_depth("url").cast("bigint").alias("depth"),
+        WB.canonicalize_url("url").alias("canon"),
+    )
+
+
+@query(
+    "w_url_dedup",
+    f"""
+    WITH c AS ({_URL_PARTS_SQL}),
+    ranked AS (
+      SELECT doc_id, canon,
+             row_number() OVER (PARTITION BY canon ORDER BY doc_id) AS rn
+      FROM c
+    )
+    SELECT doc_id, canon FROM ranked WHERE rn = 1
+    """,
+)
+def w_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL first-wins dedup (web.url_dedup_first_wins): the
+    crawl-layer exact dedup. URLs that differ only by tracking params,
+    fragment, port, case, or trailing slash collapse to one canonical
+    key (path ids are taken mod 50, so each source contributes real
+    duplicate groups); the earliest doc_id survives. One shuffle on
+    the canonical key, row_number trim compiles to map-side
+    WindowGroupLimit."""
+    d = Catalog(spark, sf_dir).documents
+    u = d.select("doc_id", _messy_url_col().alias("url"))
+    return WB.url_dedup_first_wins(u, "url", "doc_id").select(
+        "doc_id", F.col("__canon").alias("canon")
+    )
 
 
 # =====================================================================

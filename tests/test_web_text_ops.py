@@ -1,0 +1,114 @@
+"""Edge cases for the web-curation operators (operators/web.py) and
+the Gopher/collision/inverted-index text additions — hand-built rows
+covering what the catalog queries' synthetic URLs can't: missing
+scheme, empty text, all-tracking query strings, sub-min_df terms."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongodb_etl_migration_spark.operators import text as T
+from mongodb_etl_migration_spark.operators import web as W
+
+
+def _urls(spark, rows):
+    return spark.createDataFrame([(i, u) for i, u in enumerate(rows)], "id int, url string")
+
+
+def test_url_parts_well_formed(spark):
+    df = _urls(spark, ["https://WWW.Ex.COM:443/A/b/?utm_source=x&p=1#frag"])
+    row = df.select(
+        W.url_scheme("url").alias("s"),
+        W.url_host("url").alias("h"),
+        W.registered_domain("url").alias("d"),
+        W.url_path("url").alias("p"),
+        W.url_path_depth("url").alias("n"),
+        W.canonicalize_url("url").alias("c"),
+    ).first()
+    assert row.s == "https"
+    assert row.h == "www.ex.com"
+    assert row.d == "ex.com"
+    assert row.p == "/A/b"  # case preserved, trailing slash stripped
+    assert row.n == 2
+    assert row.c == "https://www.ex.com/A/b?p=1"
+
+
+def test_url_parts_missing_scheme_is_null(spark):
+    df = _urls(spark, ["www.ex.com/a", "not a url at all", ""])
+    rows = df.select(
+        W.url_scheme("url").alias("s"),
+        W.url_host("url").alias("h"),
+        W.canonicalize_url("url").alias("c"),
+    ).collect()
+    assert all(r.s is None and r.h is None and r.c is None for r in rows)
+
+
+def test_canonicalize_drops_all_tracking_query(spark):
+    # every param is tracking -> no '?' at all in the canonical form
+    df = _urls(spark, ["http://a.com/x?utm_a=1&gclid=2&fbclid=3"])
+    assert df.select(W.canonicalize_url("url").alias("c")).first().c == "http://a.com/x"
+
+
+def test_canonicalize_root_path_and_ports(spark):
+    df = _urls(
+        spark,
+        ["http://A.com:80", "http://a.com:8080/", "https://a.com/#f"],
+    )
+    got = [r.c for r in df.select(W.canonicalize_url("url").alias("c")).collect()]
+    # default port dropped; non-default port kept; '' and '/' paths -> '/'
+    assert got == ["http://a.com/", "http://a.com:8080/", "https://a.com/"]
+    # ...but the port never leaks into the registered domain
+    dom = df.select(W.registered_domain("url").alias("d")).collect()
+    assert [r.d for r in dom] == ["a.com", "a.com", "a.com"]
+
+
+def test_url_dedup_first_wins_orders_by_key(spark):
+    df = spark.createDataFrame(
+        [
+            (3, "https://a.com/x?utm_b=1"),
+            (1, "https://A.COM/x#frag"),
+            (2, "https://a.com/y"),
+        ],
+        "id int, url string",
+    )
+    got = sorted(
+        r.id for r in W.url_dedup_first_wins(df, "url", "id").collect()
+    )
+    assert got == [1, 2]  # id=3 collapses into id=1's canonical URL
+
+
+def test_gopher_flags_empty_and_short_text(spark):
+    df = spark.createDataFrame([("",), ("the and with of that be to have ok",)], "text string")
+    flags = T.gopher_quality_flags("text")
+    rows = df.select(*[c.alias(n) for n, c in flags.items()]).collect()
+    empty, short = rows
+    assert empty.n_words == 0 and not empty.words_ok and not empty.symbol_ok
+    assert not empty.gopher_pass
+    # 9 words: stopwords present but below the 50-word floor
+    assert short.stop_ok and not short.words_ok and not short.gopher_pass
+
+
+def test_collision_stats_exact_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z"), (3, "")], "id long, text string"
+    )
+    got = {
+        r.id: (r.total_tokens, r.collisions, r.collision_prob)
+        for r in T.collision_stats(df, "id", "text").collect()
+    }
+    assert got[1] == (4, 10, 10 / 16)  # 3a+1b -> 9+1
+    assert got[2] == (3, 3, 3 / 9)
+    assert got[3] == (0, 0, None)
+
+
+def test_inverted_index_caps_postings_and_min_df(spark):
+    rows = [(i, "common word%d" % (i % 2)) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    idx = {r.term: r for r in T.inverted_index(df, "id", "text", min_df=2, max_postings=5).collect()}
+    assert idx["common"].df == 30  # df counts the FULL posting set
+    assert idx["common"].postings == "0,1,2,3,4"  # capped at 5 smallest
+    assert idx["word0"].df == 15
+    # a term in a single doc is dropped by min_df
+    one = spark.createDataFrame([(1, "unique common"), (2, "common")], "id long, text string")
+    terms = {r.term for r in T.inverted_index(one, "id", "text", min_df=2).collect()}
+    assert terms == {"common"}
