@@ -717,9 +717,11 @@ def inverted_index(
     """Build a term → document posting-list index (the retrieval-side
     companion of tfidf_top_terms).
 
-    Scale design: the (doc, term) distinct projection shuffles once on
-    term; the window and the final groupBy reuse that exchange (both
-    key on term — one shuffle total). Posting lists are BOUNDED: a
+    Scale design: ONE shuffle total, on term. The (doc, term) pairs
+    are made distinct per-row — array_distinct BEFORE explode — so no
+    distinct aggregation (and no (doc, term) exchange) ever runs; the
+    window and the final groupBy then share the single term exchange.
+    Posting lists are BOUNDED: a
     row_number over the same partitioning nulls out every doc id past
     the ``max_postings`` smallest, and collect_list skips NULLs, so a
     stopword appearing in every document of a 100 TB corpus
@@ -734,9 +736,9 @@ def inverted_index(
     """
     from pyspark.sql import Window
 
-    pairs = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-        .distinct()
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("term"),
     )
     w = Window.partitionBy("term").orderBy(F.asc(id_col))
     trimmed = pairs.withColumn("__rn", F.row_number().over(w))

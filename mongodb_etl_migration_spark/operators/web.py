@@ -55,10 +55,15 @@ def url_query(c: Column | str) -> Column:
     return F.nullif(F.regexp_extract(_c(c), _QUERY_RE, 1), F.lit(""))
 
 
+def path_depth_of(path: Column) -> Column:
+    """Number of non-empty segments of an already-extracted path
+    column ('/a/b/' → 2, '/' → 0)."""
+    return F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+
+
 def url_path_depth(c: Column | str) -> Column:
     """Number of non-empty path segments ('/a/b/' → 2, '/' → 0)."""
-    path = url_path(c)
-    return F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    return path_depth_of(url_path(c))
 
 
 def registered_domain(c: Column | str) -> Column:
@@ -68,7 +73,12 @@ def registered_domain(c: Column | str) -> Column:
     broadcast-join shape for the PSL variant is identical. A
     non-default port (kept in url_host) is stripped first so it never
     leaks into the domain."""
-    bare = F.regexp_replace(url_host(c), ":[0-9]+$", "")
+    return domain_of(url_host(c))
+
+
+def domain_of(host: Column) -> Column:
+    """registered_domain over an already-extracted host column."""
+    bare = F.regexp_replace(host, ":[0-9]+$", "")
     return F.nullif(F.regexp_extract(bare, "([^.]+\\.[^.]+)$", 1), F.lit(""))
 
 
@@ -85,19 +95,49 @@ def strip_tracking_params(query: Column) -> Column:
     )
 
 
+def canonical_from_parts(
+    scheme: Column, host: Column, path: Column, q: Column
+) -> Column:
+    """Canonical URL assembled from already-materialized part columns
+    (``q`` post-strip_tracking_params). Prefer this over
+    canonicalize_url when the parts exist as columns: Spark's CSE
+    does not deduplicate subtrees across when-branches and lambda
+    bodies, so the inlined form re-runs each regex several times."""
+    base = F.concat(scheme, F.lit("://"), host, path)
+    return F.when(
+        scheme.isNotNull() & host.isNotNull(),
+        F.concat(
+            base,
+            F.when(q.isNotNull(), F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+        ),
+    )
+
+
 def canonicalize_url(c: Column | str) -> Column:
     """Canonical URL for exact-dedup keys: lowercase scheme+host, drop
     default port, strip fragment, strip tracking params, strip the
     path's trailing slash. Deterministic, engine-mirrorable, one
-    projection — the first stage of every crawl dedup pipeline."""
-    scheme = url_scheme(c)
-    host = url_host(c)
-    path = url_path(c)
-    q = strip_tracking_params(url_query(c))
-    base = F.concat(scheme, F.lit("://"), host, path)
-    return F.when(
-        scheme.isNotNull() & host.isNotNull(),
-        F.concat(base, F.when(q.isNotNull(), F.concat(F.lit("?"), q)).otherwise(F.lit(""))),
+    expression — for hot paths, materialize the parts first (see
+    with_url_parts / canonical_from_parts)."""
+    return canonical_from_parts(
+        url_scheme(c),
+        url_host(c),
+        url_path(c),
+        strip_tracking_params(url_query(c)),
+    )
+
+
+def with_url_parts(df, url_col: str, prefix: str = "__url_"):
+    """Add scheme/host/path/stripped-query part columns in one
+    projection, so every downstream consumer (canonical key, domain,
+    depth) references the materialized columns instead of re-running
+    the regex chain per consumer."""
+    return df.select(
+        "*",
+        url_scheme(url_col).alias(f"{prefix}scheme"),
+        url_host(url_col).alias(f"{prefix}host"),
+        url_path(url_col).alias(f"{prefix}path"),
+        strip_tracking_params(url_query(url_col)).alias(f"{prefix}q"),
     )
 
 
@@ -105,13 +145,24 @@ def url_dedup_first_wins(df, url_col: str, order_col: str):
     """Keep the first row (by ``order_col``) per canonical URL — the
     crawl-layer exact dedup. One shuffle on the canonical key; the
     row_number trim compiles to map-side WindowGroupLimit, so each
-    duplicate group moves one row per map partition, not the group."""
+    duplicate group moves one row per map partition, not the group.
+    The canonical key is built in two projections (parts, then
+    assembly) so each URL regex evaluates exactly once per row."""
     from pyspark.sql import Window
 
+    parts = with_url_parts(df, url_col)
+    canon = parts.withColumn(
+        "__canon",
+        canonical_from_parts(
+            F.col("__url_scheme"),
+            F.col("__url_host"),
+            F.col("__url_path"),
+            F.col("__url_q"),
+        ),
+    ).drop("__url_scheme", "__url_host", "__url_path", "__url_q")
     w = Window.partitionBy("__canon").orderBy(F.asc(order_col))
     return (
-        df.withColumn("__canon", canonicalize_url(url_col))
-        .withColumn("__rn", F.row_number().over(w))
+        canon.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )

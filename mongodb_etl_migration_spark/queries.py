@@ -4501,17 +4501,26 @@ def w_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheme/host/registered-domain/path/depth plus the canonical dedup
     key (lowercase host, default port dropped, fragment + tracking
     params stripped, trailing slash removed). Pure regexp Columns —
-    zero shuffle, mirrored expression-for-expression in the oracle."""
+    zero shuffle, mirrored expression-for-expression in the oracle.
+    Two projections: parts first, then the derived columns, so each
+    URL regex runs once per row (CSE can't deduplicate across
+    when-branches)."""
     d = Catalog(spark, sf_dir).documents
     u = d.select("doc_id", _messy_url_col().alias("url"))
-    return u.select(
+    p = WB.with_url_parts(u, "url")
+    return p.select(
         "doc_id",
-        WB.url_scheme("url").alias("scheme"),
-        WB.url_host("url").alias("host"),
-        WB.registered_domain("url").alias("domain"),
-        WB.url_path("url").alias("path"),
-        WB.url_path_depth("url").cast("bigint").alias("depth"),
-        WB.canonicalize_url("url").alias("canon"),
+        F.col("__url_scheme").alias("scheme"),
+        F.col("__url_host").alias("host"),
+        WB.domain_of(F.col("__url_host")).alias("domain"),
+        F.col("__url_path").alias("path"),
+        WB.path_depth_of(F.col("__url_path")).cast("bigint").alias("depth"),
+        WB.canonical_from_parts(
+            F.col("__url_scheme"),
+            F.col("__url_host"),
+            F.col("__url_path"),
+            F.col("__url_q"),
+        ).alias("canon"),
     )
 
 
