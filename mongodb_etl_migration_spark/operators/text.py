@@ -756,3 +756,62 @@ def inverted_index(
         .filter(F.col("df") >= min_df)
         .select("term", F.col("df").cast("bigint").alias("df"), "postings")
     )
+
+
+def bigrams_array(c: Column | str, toks: Column | None = None) -> Column:
+    """Adjacent-token bigrams as 'a b' strings — zip_with over the
+    token array and its tail (narrow, no UDF, no explode until the
+    caller asks for rows)."""
+    toks = tokens(c) if toks is None else toks
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def rare_bigram_stats(df, id_col: str, text_col: str, min_count: int = 10):
+    """Count-LM surprisal proxy: per document, the fraction of its
+    bigrams whose CORPUS frequency is below ``min_count``. This is the
+    integer-exact core of KenLM-style quality filtering — a document
+    full of bigrams the corpus has never seen is either novel or
+    garbage, and pre-training pipelines gate on exactly this signal
+    (perplexity is a log-weighted version of the same counts; the
+    rare-fraction form verifies hash-exact, no log()).
+
+    Plan shape: corpus counts ride a window (count over partition by
+    bigram) instead of a groupBy + self-join — ONE scan of the corpus
+    and one bigram exchange, then the per-doc rollup reshuffles the
+    same rows by id. A left join back to the id spine re-admits
+    documents with <2 tokens (zero bigrams). Shuffle volume is the
+    exploded bigram set both times — the irreducible input of any
+    count-LM build.
+    """
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(id_col), F.explode(bigrams_array(text_col)).alias("bigram")
+    )
+    counted = grams.withColumn(
+        "__cnt", F.count("*").over(Window.partitionBy("bigram"))
+    )
+    per_doc = counted.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum(F.when(F.col("__cnt") < min_count, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rare"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_rare", F.lit(0)).alias("n_rare"),
+            F.when(
+                F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                F.col("n_rare") / F.col("n_bigrams").cast("double"),
+            ).alias("rare_ratio"),
+        )
+    )

@@ -4551,6 +4551,44 @@ def w_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t_rare_bigrams",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+      FROM toks, range(1, 200) r(i)
+      WHERE i < len(t)
+    ), counted AS (
+      SELECT doc_id, count(*) OVER (PARTITION BY bigram) AS cnt
+      FROM grams
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(CASE WHEN cnt < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      FROM counted GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           COALESCE(p.n_rare, 0) AS n_rare,
+           CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+                THEN p.n_rare / CAST(p.n_bigrams AS DOUBLE)
+           END AS rare_ratio
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def t_rare_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-LM surprisal proxy (text.rare_bigram_stats): per-doc
+    fraction of bigrams with corpus frequency < 10 — the integer-exact
+    core of KenLM-style perplexity filtering (the rare-fraction form
+    verifies hash-exact; log-weighted perplexity would drift in libm).
+    Corpus counts ride a window over the bigram exchange — one corpus
+    scan, no self-join."""
+    d = Catalog(spark, sf_dir).documents
+    return T.rare_bigram_stats(d, "doc_id", "text", min_count=10)
+
+
 # =====================================================================
 # Entry points consumed by __spark_entry__.py
 # =====================================================================

@@ -112,3 +112,45 @@ def test_inverted_index_caps_postings_and_min_df(spark):
     one = spark.createDataFrame([(1, "unique common"), (2, "common")], "id long, text string")
     terms = {r.term for r in T.inverted_index(one, "id", "text", min_df=2).collect()}
     assert terms == {"common"}
+
+
+def test_rare_bigram_stats_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b"),   # bigrams: "a b","b a","a b"
+            (2, "a b c"),     # "a b","b c"
+            (3, "x"),         # no bigrams
+        ],
+        "id long, text string",
+    )
+    got = {
+        r.id: (r.n_bigrams, r.n_rare, r.rare_ratio)
+        for r in T.rare_bigram_stats(df, "id", "text", min_count=2).collect()
+    }
+    # corpus counts: "a b"=3, "b a"=1, "b c"=1
+    assert got[1] == (3, 1, 1 / 3)
+    assert got[2] == (2, 1, 1 / 2)
+    assert got[3] == (0, 0, None)  # <2 tokens re-admitted by the spine join
+
+
+def test_canonicalize_idempotent_property(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u): the canonical
+    form must be a fixed point, or chained pipelines would dedup on
+    drifting keys. Checked over a deterministic grid of URL shapes."""
+    hosts = ["A.Ex.COM", "a.ex.com:443", "a.ex.com:8080", "ex.com"]
+    paths = ["", "/", "/A/b/", "/x"]
+    queries = ["", "?utm_a=1", "?p=1&utm_b=2", "?p=1&q=2"]
+    frags = ["", "#f"]
+    urls = [
+        f"https://{h}{p}{q}{f}"
+        for h in hosts
+        for p in paths
+        for q in queries
+        for f in frags
+    ]
+    df = _urls(spark, urls)
+    once = df.select("id", W.canonicalize_url("url").alias("url"))
+    twice = once.select("id", W.canonicalize_url("url").alias("url"))
+    a = {r.id: r.url for r in once.collect()}
+    b = {r.id: r.url for r in twice.collect()}
+    assert a == b
