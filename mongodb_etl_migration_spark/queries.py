@@ -30,6 +30,7 @@ from mongodb_etl_migration_spark.functions import scalars as S
 from mongodb_etl_migration_spark.operators import (
     dedup as D,
     denorm as DN,
+    events as EV,
     hierarchy as H,
     multimodal as M,
     profiling as PR,
@@ -4587,6 +4588,81 @@ def t_rare_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, no self-join."""
     d = Catalog(spark, sf_dir).documents
     return T.rare_bigram_stats(d, "doc_id", "text", min_count=10)
+
+
+@query(
+    "e_funnel",
+    """
+    WITH q0s AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN event_type = 'view' THEN ts END AS q0
+      FROM events
+    ), r0 AS (
+      SELECT *, min(q0) OVER (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m0
+      FROM q0s
+    ), q1s AS (
+      SELECT *, CASE WHEN event_type = 'click' AND m0 < ts THEN ts END AS q1
+      FROM r0
+    ), r1 AS (
+      SELECT *, min(q1) OVER (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m1
+      FROM q1s
+    ), q2s AS (
+      SELECT *, CASE WHEN event_type = 'purchase' AND m1 < ts THEN ts END AS q2
+      FROM r1
+    ), per_user AS (
+      SELECT user_id, min(q0) AS t0, min(q1) AS t1, min(q2) AS t2
+      FROM q2s GROUP BY user_id
+    )
+    SELECT CAST(CASE WHEN t2 IS NOT NULL THEN 3
+                     WHEN t1 IS NOT NULL THEN 2
+                     WHEN t0 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage,
+           CAST(count(*) AS BIGINT) AS users
+    FROM per_user GROUP BY 1
+    """,
+)
+def e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase (events.funnel_stages):
+    per user, the furthest step reached with each step strictly after
+    the previous step's first qualifying occurrence. Value-based
+    RANGE-frame prefix minima make the result independent of sort-tie
+    order (the property that lets two engines agree); one shuffle on
+    user_id, no per-user event buffering."""
+    e = Catalog(spark, sf_dir).events
+    return EV.funnel_stages(
+        e, "user_id", "ts", "event_type", ("view", "click", "purchase")
+    )
+
+
+@query(
+    "e_cohort_retention",
+    """
+    WITH f AS (
+      SELECT user_id, ts,
+             min(ts) OVER (PARTITION BY user_id) AS first_ts
+      FROM events
+    ), wk AS (
+      SELECT DISTINCT user_id,
+             date_trunc('week', ts) AS w,
+             date_trunc('week', first_ts) AS cw
+      FROM f
+    )
+    SELECT cw AS cohort_week,
+           CAST(datediff('day', cw, w) // 7 AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM wk GROUP BY cohort_week, week_offset
+    """,
+)
+def e_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (events.cohort_retention): users
+    bucketed by first-event week; active-user counts per (cohort,
+    week offset). First-event ts rides a window over the user
+    exchange — single scan, no groupBy + self-join; ISO Monday weeks
+    and integer day arithmetic keep it hash-exact."""
+    e = Catalog(spark, sf_dir).events
+    return EV.cohort_retention(e, "user_id", "ts")
 
 
 # =====================================================================

@@ -1,0 +1,68 @@
+"""Funnel / cohort-retention semantics on hand-built event sequences —
+the catalog's synthetic events are dense enough that every user
+completes the funnel, so the stage splits and ordering rules are
+pinned here."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from mongodb_etl_migration_spark.operators import events as EV
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts int, event_type string")
+
+
+def test_funnel_requires_strict_order(spark):
+    df = _ev(
+        spark,
+        [
+            (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),  # full funnel
+            (2, 1, "purchase"), (2, 2, "click"), (2, 3, "view"),  # reversed: stage 1
+            (3, 1, "click"), (3, 2, "view"), (3, 3, "click"),     # view then click: 2
+            (4, 1, "error"),                                       # no steps: 0
+        ],
+    )
+    got = {
+        r.stage: r.users
+        for r in EV.funnel_stages(
+            df, "user_id", "ts", "event_type", ("view", "click", "purchase")
+        ).collect()
+    }
+    assert got == {3: 1, 1: 1, 2: 1, 0: 1}
+
+
+def test_funnel_same_timestamp_does_not_qualify(spark):
+    # click at the SAME ts as the first view is not "after" it —
+    # strict value comparison, independent of sort-tie order
+    df = _ev(spark, [(1, 5, "view"), (1, 5, "click"), (1, 6, "purchase")])
+    got = {
+        r.stage: r.users
+        for r in EV.funnel_stages(
+            df, "user_id", "ts", "event_type", ("view", "click", "purchase")
+        ).collect()
+    }
+    assert got == {1: 1}
+
+
+def test_cohort_retention_offsets(spark):
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        (1, base),                                # cohort w0, active w0
+        (1, base + dt.timedelta(days=8)),         # ...and w1
+        (2, base + dt.timedelta(days=7)),         # cohort w1, active w1
+        (2, base + dt.timedelta(days=21)),        # ...and offset 2
+        (2, base + dt.timedelta(days=22)),        # same week, counted once
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_week.date().isoformat(), r.week_offset): r.active_users
+        for r in EV.cohort_retention(df, "user_id", "ts").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 2): 1,
+    }
