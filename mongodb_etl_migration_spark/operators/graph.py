@@ -1,0 +1,83 @@
+"""Iterative graph algorithms beyond connected components.
+
+PageRank here is INTEGER-EXACT: ranks live in fixed-point long
+arithmetic (scale 1e9) and every update is integer multiply/floor-
+divide, so an unrolled SQL oracle reproduces the result bit-for-bit —
+the same verification discipline as the k-means query (float PageRank
+would drift through distributed-sum ordering and never hash-match).
+Floor division agrees between Spark's ``div``, DuckDB's ``//``, and
+Python's ``//`` for the non-negative operands used here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def pagerank_integer(
+    edges,
+    src: str,
+    dst: str,
+    iterations: int = 3,
+    scale: int = 1_000_000_000,
+    damping_pct: int = 85,
+):
+    """Fixed-point PageRank over a directed edge list.
+
+    Per iteration: every node sends ``rank div out_degree`` along each
+    out-edge; a node's next rank is
+    ``teleport + (damping_pct * Σ incoming) div 100`` with
+    ``teleport = ((100-damping_pct) * scale div 100) div N``.
+    Dangling-node mass is dropped (the standard simplified variant) —
+    totals therefore shrink slightly per round; rank ORDER matches
+    float PageRank to well below fixed-point resolution.
+
+    Plan shape at scale (the relational Pregel): the edge list is the
+    big table and shuffles ONCE per iteration on src for the
+    rank-to-edge join, then once on dst for the partial-summed
+    aggregation; ranks are node-sized (small side — AQE broadcasts
+    them when they fit). The node spine re-admits nodes with no
+    in-edges via a left join. N is fetched eagerly at plan-build time
+    (one count over the deduplicated node set) and folded in as a
+    literal, the same documented tradeoff as tfidf_top_terms.
+
+    Output: (node, pr) — fixed-point rank, a bigint in units of 1/scale
+    ("pr" because RANK is a window-function keyword in both SQL dialects).
+    """
+    e = edges.select(
+        F.col(src).cast("bigint").alias("src"),
+        F.col(dst).cast("bigint").alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("bigint").alias("out_deg"))
+    n = nodes.count()
+    teleport = ((100 - damping_pct) * scale // 100) // n
+
+    ranks = nodes.select("node", F.lit(scale // n).cast("bigint").alias("pr"))
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("pr div out_deg").alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(
+                    f"({damping_pct} * coalesce(__s, 0L)) div 100"
+                )
+            )
+            .cast("bigint")
+            .alias("pr"),
+        )
+    return ranks

@@ -31,6 +31,7 @@ from mongodb_etl_migration_spark.operators import (
     dedup as D,
     denorm as DN,
     events as EV,
+    graph as G,
     hierarchy as H,
     multimodal as M,
     profiling as PR,
@@ -4663,6 +4664,73 @@ def e_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     and integer day arithmetic keep it hash-exact."""
     e = Catalog(spark, sf_dir).events
     return EV.cohort_retention(e, "user_id", "ts")
+
+
+def _pagerank_oracle(iters: int = 3, scale: int = 1_000_000_000, damp: int = 85) -> str:
+    """Unrolled fixed-point PageRank — every update is integer
+    multiply/floor-divide, so the SQL reproduces the Spark result
+    bit-for-bit (the k-means discipline applied to a graph loop).
+    DuckDB sums to HUGEINT; the per-round CAST keeps rank a BIGINT."""
+    parts = [
+        f"""
+    WITH raw AS (
+      SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+                      CAST(s.s_nationkey AS BIGINT) AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM raw UNION ALL SELECT dst FROM raw
+      )
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM raw GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS pr FROM nodes, nn)"""
+    ]
+    for i in range(iters):
+        parts.append(f""",
+    c{i} AS (
+      SELECT e.dst AS node, SUM(r.pr // d.out_deg) AS s
+      FROM r{i} r JOIN raw e ON r.node = e.src JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r{i + 1} AS (
+      SELECT no.node,
+             CAST((((100 - {damp}) * CAST({scale} AS BIGINT) // 100) // nn.n)
+                  + ({damp} * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
+      FROM nodes no CROSS JOIN nn LEFT JOIN c{i} c ON no.node = c.node
+    )""")
+    parts.append(f"\n    SELECT node, pr FROM r{iters}")
+    return "".join(parts)
+
+
+@query("g_pagerank_trade", _pagerank_oracle())
+def g_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (graph.pagerank_integer) over the
+    nation trade graph: a directed edge customer-nation → supplier-
+    nation for every distinct cross-nation lineitem relationship. The
+    iterative loop (3 rounds) runs in fixed-point long arithmetic so
+    the unrolled SQL oracle matches bit-for-bit — float PageRank
+    would drift through distributed-sum ordering. Per round: one src
+    shuffle (rank→edge join) + one dst shuffle (contribution sum);
+    ranks are node-sized and broadcast by AQE."""
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.select("l_orderkey", "l_suppkey")
+    o = c.orders.select("o_orderkey", "o_custkey")
+    cu = c.customer.select("c_custkey", "c_nationkey")
+    su = c.supplier.select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cu, o["o_custkey"] == cu["c_custkey"])
+        .join(su, li["l_suppkey"] == su["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select("c_nationkey", "s_nationkey")
+    )
+    return G.pagerank_integer(edges, "c_nationkey", "s_nationkey", iterations=3)
 
 
 # =====================================================================

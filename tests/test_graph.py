@@ -1,0 +1,36 @@
+"""Fixed-point PageRank semantics on a hand-computed graph."""
+
+from __future__ import annotations
+
+from mongodb_etl_migration_spark.operators.graph import pagerank_integer
+
+
+def test_pagerank_hand_computed_one_round(spark):
+    # 1->2, 1->3, 2->1; node 3 is dangling (its mass drops).
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1)], "s long, d long"
+    )
+    got = {
+        r.node: r.pr
+        for r in pagerank_integer(
+            edges, "s", "d", iterations=1, scale=1000, damping_pct=85
+        ).collect()
+    }
+    # init = 1000//3 = 333 each; teleport = (15*1000//100)//3 = 50
+    # node1 <- 333//1 = 333        => 50 + 85*333//100 = 50+283 = 333
+    # node2 <- 333//2 = 166        => 50 + 85*166//100 = 50+141 = 191
+    # node3 <- 166                 => 191
+    assert got == {1: 333, 2: 191, 3: 191}
+
+
+def test_pagerank_sink_heavy_graph_ranks_sink_highest(spark):
+    # every node points at 1; 1 points only at 2
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1), (1, 2)], "s long, d long"
+    )
+    ranks = {
+        r.node: r.pr
+        for r in pagerank_integer(edges, "s", "d", iterations=3).collect()
+    }
+    assert ranks[1] == max(ranks.values())
+    assert ranks[3] == ranks[4] != ranks[2]  # symmetric leaves tie; 2 gets 1's mass
