@@ -4733,6 +4733,128 @@ def g_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.pagerank_integer(edges, "c_nationkey", "s_nationkey", iterations=3)
 
 
+_REVENUE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+@query(
+    "a17_shipping_priority",
+    f"""
+    SELECT l.l_orderkey, o.o_orderdate,
+           CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 10
+    """,
+)
+def a17_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by
+    revenue. Catalyst plan: both dimension filters push to the scans,
+    customer broadcasts into orders, the orders⋈lineitem join keys the
+    lineitem exchange, and the top-10 compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    Revenue follows the a1 decimal discipline (decimal-in,
+    decimal-through, one final cast) with a deterministic l_orderkey
+    tie-break so the LIMIT cutoff agrees across engines."""
+    c = Catalog(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    cut = "1997-01-01"
+    return (
+        c.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .join(
+            c.orders.filter(F.col("o_orderdate") < cut).select(
+                "o_orderkey", "o_custkey", "o_orderdate"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            c.lineitem.filter(F.col("l_shipdate") > cut).select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "a18_regional_trade",
+    f"""
+    SELECT n.n_name,
+           CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def a18_regional_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue kept within ASIA nations (customer and
+    supplier share a nation) over one order year. Six-table join:
+    region→nation prune broadcasts down the dimension chain, the
+    c_nationkey = s_nationkey residual rides the lineitem⋈supplier
+    join, and the final groupBy carries 5 nation groups out of the
+    partial aggregation. The revenue arithmetic is the a1 decimal
+    discipline."""
+    c = Catalog(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    nations_in_region = (
+        c.nation.join(
+            c.region.filter(F.col("r_name") == "ASIA").select("r_regionkey"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    return (
+        c.customer.select("c_custkey", "c_nationkey")
+        .join(
+            c.orders.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1997-01-01")
+            ).select("o_orderkey", "o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            c.lineitem.select(
+                "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            c.supplier.select("s_suppkey", "s_nationkey"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            nations_in_region,
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+    )
+
+
 # =====================================================================
 # Entry points consumed by __spark_entry__.py
 # =====================================================================
