@@ -41,19 +41,38 @@ def pagerank_integer(
     (one count over the deduplicated node set) and folded in as a
     literal, the same documented tradeoff as tfidf_top_terms.
 
+    Iteration hygiene (the connected-components discipline): the loop
+    invariants — edges, nodes, out-degrees — are persisted for the
+    duration of the loop and unpersisted before returning, and each
+    round's ranks are localCheckpoint'ed (eager) so iteration k+1
+    reads a materialized k instead of replaying the whole lineage —
+    without this, the unrolled plan re-derives the edge-building
+    joins once per round (measured: 27 exchanges for 3 rounds lazy
+    vs 2 per round checkpointed). The returned frame is materialized
+    and self-contained.
+
     Output: (node, pr) — fixed-point rank, a bigint in units of 1/scale
     ("pr" because RANK is a window-function keyword in both SQL dialects).
     """
-    e = edges.select(
-        F.col(src).cast("bigint").alias("src"),
-        F.col(dst).cast("bigint").alias("dst"),
-    ).distinct()
+    e = (
+        edges.select(
+            F.col(src).cast("bigint").alias("src"),
+            F.col(dst).cast("bigint").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
-    deg = e.groupBy("src").agg(F.count("*").cast("bigint").alias("out_deg"))
+    deg = (
+        e.groupBy("src")
+        .agg(F.count("*").cast("bigint").alias("out_deg"))
+        .persist()
+    )
     n = nodes.count()
     teleport = ((100 - damping_pct) * scale // 100) // n
 
@@ -79,5 +98,8 @@ def pagerank_integer(
             )
             .cast("bigint")
             .alias("pr"),
-        )
+        ).localCheckpoint()
+    e.unpersist()
+    nodes.unpersist()
+    deg.unpersist()
     return ranks

@@ -161,6 +161,18 @@ def main() -> None:
         bl = timed(ui, cont)
         bl["contaminated"] = cont.count()
 
+        # Inverted index at scale: shuffle is the distinct (doc, term)
+        # set — linear in corpus (replica-suffixed words grow the
+        # vocabulary with the corpus); bounded postings keep stopword
+        # aggregation state fixed regardless of df.
+        inv = T.inverted_index(docs, "doc_id", "text", min_df=2, max_postings=20)
+        ii = timed(ui, inv)
+        ii["terms"] = inv.count()
+
+        # Rare-bigram scoring at scale: shuffle is the exploded bigram
+        # set (window count + per-doc rollup) — linear in corpus.
+        rbt = timed(ui, T.rare_bigram_stats(docs, "doc_id", "text", min_count=10))
+
         results[name] = {
             "docs": n_docs,
             "dup_pct": cfg["dup_pct"],
@@ -171,6 +183,8 @@ def main() -> None:
             "sim_topk_lsh": lsh,
             "sim_semdedup": sd,
             "t_decontaminate_bloom": bl,
+            "t_inverted_index": ii,
+            "t_rare_bigrams": rbt,
         }
         print(f"{name}: {json.dumps(results[name])}", file=sys.stderr)
 
@@ -204,6 +218,17 @@ def main() -> None:
         "semdedup_shuffle_growth_at_10x_corpus": round(
             x["sim_semdedup"]["shuffle_bytes"]
             / max(1, b["sim_semdedup"]["shuffle_bytes"]),
+            2,
+        ),
+        # both text-index paths must grow ~linearly (shuffle ∝ rows)
+        "inverted_index_shuffle_growth_at_10x_corpus": round(
+            x["t_inverted_index"]["shuffle_bytes"]
+            / max(1, b["t_inverted_index"]["shuffle_bytes"]),
+            2,
+        ),
+        "rare_bigram_shuffle_growth_at_10x_corpus": round(
+            x["t_rare_bigrams"]["shuffle_bytes"]
+            / max(1, b["t_rare_bigrams"]["shuffle_bytes"]),
             2,
         ),
     }
