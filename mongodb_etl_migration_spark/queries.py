@@ -4855,6 +4855,46 @@ def a18_regional_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ONE SQL text, two engines: written in the dialect intersection
+# (ANSI joins, date_trunc, window functions, DECIMAL casts — no
+# engine-specific division or list functions), this string runs
+# verbatim through spark.sql() AND as its own DuckDB oracle. It is
+# the receipt that the engine's SQL entry point — not just the
+# DataFrame API — carries the house parity rules.
+_SHARED_SQL = """
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             date_trunc('month', o.o_orderdate) AS month,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, date_trunc('month', o.o_orderdate)
+    ), ranked AS (
+      SELECT nation, month, revenue,
+             row_number() OVER (PARTITION BY nation
+                                ORDER BY revenue DESC, month ASC) AS rn
+      FROM rev
+    )
+    SELECT nation, month, revenue FROM ranked WHERE rn = 1
+"""
+
+
+@query("s8_shared_sql", _SHARED_SQL)
+def s8_shared_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface check: the exact oracle text executes through
+    spark.sql() over registered temp views (Catalog.register_temp_
+    views) — best revenue month per nation, with a four-table join,
+    monthly rollup, and a tie-broken per-nation window. Catalyst
+    still broadcasts the dimensions and compiles the rn=1 filter to
+    map-side WindowGroupLimit; the DataFrame and SQL entry points
+    share one optimizer."""
+    Catalog(spark, sf_dir).register_temp_views()
+    return spark.sql(_SHARED_SQL)
+
+
 # =====================================================================
 # Entry points consumed by __spark_entry__.py
 # =====================================================================
