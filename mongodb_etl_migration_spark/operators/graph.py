@@ -74,6 +74,14 @@ def pagerank_integer(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge list: an empty (node, pr) frame, not a
+        # ZeroDivisionError at plan-build time
+        for cached in (e, nodes, deg):
+            cached.unpersist()
+        return nodes.select(
+            "node", F.lit(0).cast("bigint").alias("pr")
+        )
     teleport = ((100 - damping_pct) * scale // 100) // n
 
     ranks = nodes.select("node", F.lit(scale // n).cast("bigint").alias("pr"))

@@ -717,10 +717,17 @@ def inverted_index(
     """Build a term → document posting-list index (the retrieval-side
     companion of tfidf_top_terms).
 
-    Scale design: ONE shuffle total, on term. The (doc, term) pairs
-    are made distinct per-row — array_distinct BEFORE explode — so no
-    distinct aggregation (and no (doc, term) exchange) ever runs; the
-    window and the final groupBy then share the single term exchange.
+    PRECONDITION: one row per document (``id_col`` unique). The
+    (doc, term) pairs are deduplicated PER-ROW — array_distinct
+    BEFORE explode — which is only equivalent to a global distinct
+    when a document never spans rows; on a frame with repeated ids
+    (chunked corpus, un-deduplicated union) df would overcount and
+    postings would repeat. Pre-aggregate such input first.
+
+    Scale design: ONE shuffle total, on term. Because the per-row
+    array_distinct replaces the global distinct, no (doc, term)
+    exchange or distinct aggregation ever runs; the window and the
+    final groupBy then share the single term exchange.
     Posting lists are BOUNDED: a
     row_number over the same partitioning nulls out every doc id past
     the ``max_postings`` smallest, and collect_list skips NULLs, so a

@@ -3886,9 +3886,9 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
       FROM documents
     ), grams AS (
-      SELECT t[i] || ' ' || t[i + 1] AS bigram
-      FROM toks, range(1, 200) r(i)
-      WHERE i < len(t)
+      SELECT unnest(list_transform(list_zip(t[:len(t)-1], t[2:]),
+                                   p -> p[1] || ' ' || p[2])) AS bigram
+      FROM toks
     )
     SELECT bigram, count(*) AS n
     FROM grams GROUP BY bigram
@@ -3903,16 +3903,7 @@ def t_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver merge — no global sort at 100 TB). Deterministic tiebreak
     on the bigram itself."""
     d = Catalog(spark, sf_dir).documents
-    toked = d.select(T.tokens("text").alias("_t"))
-    grams = toked.select(
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))),
-                F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))),
-                lambda a, b: F.concat_ws(" ", a, b),
-            )
-        ).alias("bigram")
-    )
+    grams = d.select(F.explode(T.bigrams_array("text")).alias("bigram"))
     return (
         grams.groupBy("bigram")
         .agg(F.count("*").alias("n"))
@@ -4559,9 +4550,10 @@ def w_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, {_TOKS_SQL} AS t FROM documents
     ), grams AS (
-      SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
-      FROM toks, range(1, 200) r(i)
-      WHERE i < len(t)
+      SELECT doc_id,
+             unnest(list_transform(list_zip(t[:len(t)-1], t[2:]),
+                                   p -> p[1] || ' ' || p[2])) AS bigram
+      FROM toks
     ), counted AS (
       SELECT doc_id, count(*) OVER (PARTITION BY bigram) AS cnt
       FROM grams

@@ -34,3 +34,10 @@ def test_pagerank_sink_heavy_graph_ranks_sink_highest(spark):
     }
     assert ranks[1] == max(ranks.values())
     assert ranks[3] == ranks[4] != ranks[2]  # symmetric leaves tie; 2 gets 1's mass
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    edges = spark.createDataFrame([], "s long, d long")
+    out = pagerank_integer(edges, "s", "d", iterations=2)
+    assert out.columns == ["node", "pr"]
+    assert out.count() == 0
