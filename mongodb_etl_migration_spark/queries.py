@@ -4887,6 +4887,37 @@ def s8_shared_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SHARED_SQL)
 
 
+@query(
+    "a19_copurchase_pairs",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), freq AS (
+      SELECT l_partkey FROM pairs
+      GROUP BY l_partkey HAVING count(*) >= 20
+    ), fp AS (
+      SELECT p.l_orderkey, p.l_partkey
+      FROM pairs p JOIN freq f USING (l_partkey)
+    )
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+           CAST(count(*) AS BIGINT) AS support
+    FROM fp a JOIN fp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY p1, p2 HAVING count(*) >= 2
+    """,
+)
+def a19_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association pairs (events.copurchase_pairs):
+    parts co-ordered in >= 2 orders, with the Apriori frequent-item
+    prune running BEFORE the per-order self-join so basket width — the
+    quadratic dimension — shrinks first. One orderkey exchange shared
+    by both join sides, partial-agg pair counts."""
+    li = Catalog(spark, sf_dir).lineitem
+    return EV.copurchase_pairs(
+        li, "l_orderkey", "l_partkey", min_item_support=20, min_pair_support=2
+    )
+
+
 # =====================================================================
 # Entry points consumed by __spark_entry__.py
 # =====================================================================

@@ -66,3 +66,30 @@ def test_cohort_retention_offsets(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 2): 1,
     }
+
+
+def test_copurchase_prune_runs_before_pairing(spark):
+    # items y,z frequent (2 baskets); x appears once -> pruned, so the
+    # (x,y) co-occurrence in basket 1 never becomes a pair
+    rows = [
+        (1, "x"), (1, "y"), (1, "z"),
+        (2, "y"), (2, "z"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r.p1, r.p2): r.support
+        for r in EV.copurchase_pairs(
+            df, "basket", "item", min_item_support=2, min_pair_support=2
+        ).collect()
+    }
+    assert got == {("y", "z"): 2}
+
+
+def test_copurchase_dedups_repeated_lines(spark):
+    # the same item twice in one basket counts once (distinct first)
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = EV.copurchase_pairs(
+        df, "basket", "item", min_item_support=1, min_pair_support=2
+    ).collect()
+    assert [(r.p1, r.p2, r.support) for r in got] == [("a", "b", 2)]
