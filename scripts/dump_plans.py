@@ -182,6 +182,69 @@ NOTES = {
         "and partial aggregation collapsing candidate rows map-side "
         "before the only Exchange."
     ),
+    "t_inverted_index": (
+        "One exchange total, on term: distinct (doc, term) pairs come "
+        "from array_distinct BEFORE explode (per-row, no distinct "
+        "aggregation or (doc, term) exchange), and the row_number "
+        "window + df/postings groupBy share that single term "
+        "exchange. Posting arrays are bounded (CASE WHEN rn<=20 "
+        "inside collect_list; NULLs skipped) so a stopword's "
+        "aggregation buffer is fixed-size while count(1) still "
+        "reports the full df."
+    ),
+    "w_url_dedup": (
+        "Canonical-URL first-wins dedup: the row_number trim "
+        "compiles to map-side WindowGroupLimit (Partial below the "
+        "exchange, Final above) — each duplicate group ships one row "
+        "per map partition. One exchange on the canonical key; the "
+        "URL regexes live in a codegen'd Project where runtime "
+        "subexpression elimination evaluates each distinct subtree "
+        "once per row."
+    ),
+    "t_collision_score": (
+        "Zero shuffle: three chained narrow Projects (tokenize -> "
+        "per-distinct-word counts via transform/filter lambdas -> "
+        "integer fold), each referencing the previous stage's "
+        "materialized column exactly once — HOF lambda bodies sit "
+        "outside codegen CSE, so the staging is what keeps the "
+        "tokenizer from re-running per consumer."
+    ),
+    "e_funnel": (
+        "Two exchanges: the user_id window exchange (both RANGE-frame "
+        "prefix minima ride the SAME Window sort — two Window "
+        "operators, one Exchange) and the tiny 4-key stage "
+        "histogram. Per-row state is one running min per funnel "
+        "step; no per-user event buffering."
+    ),
+    "g_pagerank_trade": (
+        "The relational Pregel with iteration hygiene: edges/nodes/"
+        "out-degrees persist for the loop and each round's node-sized "
+        "ranks localCheckpoint (eager), so a round is 2 exchanges "
+        "(src join, dst sum) against cached edges — lazy-unrolled, "
+        "this plan re-derived the 4-table edge build every round (27 "
+        "exchanges for 3 rounds). Fixed-point long arithmetic: the "
+        "unrolled SQL oracle matches bit-for-bit. NOTE: the captured "
+        "plan below is the FINAL round's (the returned frame is "
+        "checkpointed; earlier rounds already executed)."
+    ),
+    "a17_shipping_priority": (
+        "Q3 shape: segment+date filters pushed to the scans, "
+        "dimensions broadcast (2 BroadcastHashJoins, 0 SortMerge), "
+        "top-10 compiles to TakeOrderedAndProject with an l_orderkey "
+        "tie-break so the LIMIT cutoff is engine-stable."
+    ),
+    "a18_regional_trade": (
+        "Q5 shape: six scans with pushed filters, region->nation "
+        "prune broadcast down the dimension chain (5 "
+        "BroadcastHashJoins, 0 SortMerge), c=s nation residual on "
+        "the supplier join, 5-group partial aggregation."
+    ),
+    "a19_copurchase_pairs": (
+        "Apriori ordering: the frequent-item prune aggregates and "
+        "filters BEFORE the per-basket self-join, so basket width — "
+        "the quadratic dimension — shrinks first; both self-join "
+        "sides share the basket-key exchange."
+    ),
 }
 
 
@@ -297,6 +360,24 @@ def scale_receipt_section() -> str:
         "plane count tracking corpus size is the operating rule).\n"
         "- sim_topk_lsh stays ~0.2 s / ~3 KB shuffle at 10x vectors: "
         "the bucket probe prunes before any wide work.\n"
+        + _text_index_lines(s)
+    )
+
+
+def _text_index_lines(s: dict) -> str:
+    """Text-index scale ratios (absent from pre-round-4 BENCH_scale
+    runs, hence the guard)."""
+    inv = s.get("inverted_index_shuffle_growth_at_10x_corpus")
+    rb = s.get("rare_bigram_shuffle_growth_at_10x_corpus")
+    if inv is None or rb is None:
+        return ""
+    return (
+        f"- Text-index family: inverted index shuffle grows {inv}x at "
+        "10x corpus (shuffle = the distinct (doc, term) set, linear; "
+        "posting-list state stays capped regardless of df), "
+        f"rare-bigram scoring {rb}x (the exploded bigram set through "
+        "the window count and per-doc rollup), wall sub-linear "
+        "thanks to parallel splits.\n"
     )
 
 
