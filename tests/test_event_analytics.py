@@ -93,3 +93,83 @@ def test_copurchase_dedups_repeated_lines(spark):
         df, "basket", "item", min_item_support=1, min_pair_support=2
     ).collect()
     assert [(r.p1, r.p2, r.support) for r in got] == [("a", "b", 2)]
+
+
+def test_funnel_matches_python_reference_randomized(spark):
+    """Property (seeded-random, merge_asof-test pattern): the
+    window-based funnel equals the obvious per-user Python reference —
+    first view, first click strictly after it, first purchase strictly
+    after that — including under heavy timestamp ties."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    steps = ("view", "click", "purchase")
+    types = ["view", "click", "purchase", "error", "other"]
+    rows = [
+        (int(rng.randint(0, 40)), int(rng.randint(0, 50)),
+         types[rng.randint(0, len(types))])
+        for _ in range(400)
+    ]
+
+    by_user: dict[int, list] = {}
+    for u, ts, t in rows:
+        by_user.setdefault(u, []).append((ts, t))
+    expected: dict[int, int] = {}
+    for u, evs in by_user.items():
+        prev = None
+        stage = 0
+        for k, step in enumerate(steps):
+            cand = [
+                ts
+                for ts, t in evs
+                if t == step and (k == 0 or ts > prev)
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            stage = k + 1
+        expected[stage] = expected.get(stage, 0) + 1
+
+    df = _ev(spark, rows)
+    got = {
+        r.stage: r.users
+        for r in EV.funnel_stages(df, "user_id", "ts", "event_type", steps).collect()
+    }
+    assert got == expected
+
+
+def test_copurchase_matches_brute_force_randomized(spark):
+    from itertools import combinations
+
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = [
+        (int(rng.randint(0, 30)), f"i{rng.randint(0, 15)}")
+        for _ in range(300)
+    ]
+    min_item, min_pair = 3, 2
+
+    baskets: dict[int, set] = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    item_support: dict[str, int] = {}
+    for items in baskets.values():
+        for i in items:
+            item_support[i] = item_support.get(i, 0) + 1
+    frequent = {i for i, n in item_support.items() if n >= min_item}
+    pair_support: dict[tuple, int] = {}
+    for items in baskets.values():
+        for p in combinations(sorted(items & frequent), 2):
+            pair_support[p] = pair_support.get(p, 0) + 1
+    expected = {p: n for p, n in pair_support.items() if n >= min_pair}
+
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r.p1, r.p2): r.support
+        for r in EV.copurchase_pairs(
+            df, "basket", "item",
+            min_item_support=min_item, min_pair_support=min_pair,
+        ).collect()
+    }
+    assert got == expected
