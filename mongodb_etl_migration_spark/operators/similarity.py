@@ -539,3 +539,20 @@ def group_centroids(df: DataFrame, key: str, vec_col: str, dim: int) -> DataFram
             F.transform(F.col("_pm"), lambda s: s.getField("m")).alias("centroid"),
         )
     )
+
+
+def matryoshka(vec: Column | str, k: int) -> Column:
+    """Matryoshka (MRL) truncation: keep the first ``k`` dimensions
+    and re-unit-normalize the PREFIX — the serving-side trick that
+    trades recall for k/d of the memory and FLOPs when embeddings
+    were trained with Matryoshka representation learning. Same
+    let-binding shape as l2_normalize (the prefix norm evaluates once
+    per row, not once per element); pure Column, zero shuffle."""
+    v = F.slice(_dvec(vec), 1, k)
+    return F.element_at(
+        F.transform(
+            F.array(norm(v)),
+            lambda n: F.transform(v, lambda x: x / n),
+        ),
+        1,
+    )

@@ -4918,6 +4918,40 @@ def a19_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_matryoshka",
+    """
+    SELECT vec_id,
+           array_to_string(
+             list_transform(pre,
+               x -> CAST(floor(x / sqrt(list_sum(
+                      list_transform(pre, y -> y * y)))
+                    * 100000 + 0.5) AS BIGINT)), ',')
+             AS unit8
+    FROM (SELECT vec_id, (embedding::DOUBLE[])[:8] AS pre FROM embeddings)
+    """,
+)
+def sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation (similarity.matryoshka): keep the
+    first 8 dims and re-unit-normalize the prefix — the serving-side
+    recall-for-memory trade for MRL-trained embeddings. Same
+    let-binding norm shape as sim_l2_normalize, same 1e5-scaled
+    integer serialization for the hash gate; zero shuffle."""
+    e = Catalog(spark, sf_dir).embeddings
+    return e.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                SIM.matryoshka("embedding", 8),
+                lambda x: F.floor(x * F.lit(100000) + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("unit8"),
+    )
+
+
 # =====================================================================
 # Entry points consumed by __spark_entry__.py
 # =====================================================================
