@@ -556,3 +556,50 @@ def matryoshka(vec: Column | str, k: int) -> Column:
         ),
         1,
     )
+
+
+def int8_gram(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 16,
+):
+    """Upper-triangular Gram matrix Σ qᵢ·qⱼ over int8-quantized
+    embedding prefixes — the exact-integer core of covariance/PCA/
+    whitening prep. Quantizing first (int8_quantize) turns the
+    accumulations into long-integer sums, so the distributed result
+    is order-independent and verifies hash-exact; a float Gram matrix
+    would drift with partial-sum ordering.
+
+    Plan shape: dims·(dims+1)/2 sum aggregates evaluated COLUMN-WISE
+    in one pass — no explode, no self-join, no per-vector shuffle;
+    the only exchange carries the single partial-agg row per
+    partition (d² longs). The one-row result unpivots to (i, j, sxy,
+    n) rows driver-side-free via explode(array(struct…)). ``dims``
+    bounds codegen width (d=16 → 136 aggregates); for wider prefixes
+    chunk the pair list over several passes.
+    """
+    q = int8_quantize(df, id_col, vec_col).select(
+        F.slice("q", 1, dims).alias("q")
+    )
+    aggs = [F.count("*").alias("n")]
+    pairs = [(i, j) for i in range(1, dims + 1) for j in range(i, dims + 1)]
+    for i, j in pairs:
+        aggs.append(
+            F.sum(
+                F.element_at(F.col("q"), i) * F.element_at(F.col("q"), j)
+            ).alias(f"s_{i}_{j}")
+        )
+    one = q.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("bigint").alias("i"),
+                F.lit(j).cast("bigint").alias("j"),
+                F.col(f"s_{i}_{j}").cast("bigint").alias("sxy"),
+                F.col("n").cast("bigint").alias("n"),
+            )
+            for i, j in pairs
+        ]
+    )
+    return one.select(F.explode(structs).alias("e")).select("e.*")

@@ -4662,10 +4662,16 @@ def _pagerank_oracle(iters: int = 3, scale: int = 1_000_000_000, damp: int = 85)
     """Unrolled fixed-point PageRank — every update is integer
     multiply/floor-divide, so the SQL reproduces the Spark result
     bit-for-bit (the k-means discipline applied to a graph loop).
-    DuckDB sums to HUGEINT; the per-round CAST keeps rank a BIGINT."""
+    DuckDB sums to HUGEINT; the per-round CAST keeps rank a BIGINT.
+
+    Every CTE is AS MATERIALIZED: DuckDB inlines multiply-referenced
+    CTEs by default, and the round nesting (r3 → c2 → r2 → …) expands
+    the 4-table edge build combinatorially — at sf0.1 the inlined
+    form ran >10 min and spilled >40 GB; materialized it runs in
+    ~0.1 s. The rule for any oracle with an iterative CTE chain."""
     parts = [
         f"""
-    WITH raw AS (
+    WITH raw AS MATERIALIZED (
       SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
                       CAST(s.s_nationkey AS BIGINT) AS dst
       FROM lineitem l
@@ -4674,23 +4680,23 @@ def _pagerank_oracle(iters: int = 3, scale: int = 1_000_000_000, damp: int = 85)
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       WHERE c.c_nationkey <> s.s_nationkey
     ),
-    nodes AS (
+    nodes AS MATERIALIZED (
       SELECT DISTINCT node FROM (
         SELECT src AS node FROM raw UNION ALL SELECT dst FROM raw
       )
     ),
-    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM raw GROUP BY src),
-    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-    r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS pr FROM nodes, nn)"""
+    deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM raw GROUP BY src),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    r0 AS MATERIALIZED (SELECT node, CAST({scale} // n AS BIGINT) AS pr FROM nodes, nn)"""
     ]
     for i in range(iters):
         parts.append(f""",
-    c{i} AS (
+    c{i} AS MATERIALIZED (
       SELECT e.dst AS node, SUM(r.pr // d.out_deg) AS s
       FROM r{i} r JOIN raw e ON r.node = e.src JOIN deg d ON e.src = d.src
       GROUP BY e.dst
     ),
-    r{i + 1} AS (
+    r{i + 1} AS MATERIALIZED (
       SELECT no.node,
              CAST((((100 - {damp}) * CAST({scale} AS BIGINT) // 100) // nn.n)
                   + ({damp} * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
@@ -4890,12 +4896,12 @@ def s8_shared_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a19_copurchase_pairs",
     """
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ), freq AS (
       SELECT l_partkey FROM pairs
       GROUP BY l_partkey HAVING count(*) >= 20
-    ), fp AS (
+    ), fp AS MATERIALIZED (
       SELECT p.l_orderkey, p.l_partkey
       FROM pairs p JOIN freq f USING (l_partkey)
     )
@@ -4950,6 +4956,44 @@ def sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("unit8"),
     )
+
+
+@query(
+    "sim_int8_gram",
+    """
+    WITH qq AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                                         ELSE CAST(floor(x / scale + 0.5) AS BIGINT)
+                                    END)[:16] AS q
+      FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+                 AS scale
+        FROM embeddings
+      )
+    ), ex AS MATERIALIZED (
+      SELECT vec_id, unnest(q) AS x,
+             unnest(range(1, len(q) + 1)) AS i
+      FROM qq
+    )
+    SELECT a.i, b.i AS j,
+           CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+           CAST((SELECT count(*) FROM qq) AS BIGINT) AS n
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+)
+def sim_int8_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Gram matrix over int8-quantized 16-dim embedding
+    prefixes (similarity.int8_gram) — the covariance/PCA/whitening
+    prep step with order-independent long-integer accumulation, so
+    the distributed sums verify hash-exact (a float Gram would drift
+    with partial-sum ordering). Column-wise: 136 sum aggregates in
+    one pass, no explode/self-join; the oracle re-derives it
+    relationally (parallel unnest + self-join)."""
+    e = Catalog(spark, sf_dir).embeddings
+    return SIM.int8_gram(e, "vec_id", "embedding", dims=16)
 
 
 # =====================================================================

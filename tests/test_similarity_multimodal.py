@@ -955,3 +955,16 @@ def test_sample_frames_decodes_real_gif(spark):
     for f in (0, 2, 4):
         expected = np.broadcast_to(pal[f % 2], (3, 5, 3)).astype(np.uint8)
         assert out[f] == hashlib.md5(np.ascontiguousarray(expected).tobytes()).hexdigest()
+
+
+def test_int8_gram_hand_computed(spark):
+    from mongodb_etl_migration_spark.operators.similarity import int8_gram
+
+    # scale = 127/127 = 1.0 -> q == the integer vectors themselves
+    df = spark.createDataFrame(
+        [(1, [127.0, 0.0]), (2, [0.0, 127.0]), (3, [127.0, 127.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r.i, r.j): (r.sxy, r.n) for r in int8_gram(df, dims=2).collect()}
+    s = 127 * 127
+    assert got == {(1, 1): (2 * s, 3), (1, 2): (s, 3), (2, 2): (2 * s, 3)}
