@@ -3,7 +3,12 @@
 catalog query on Spark and its oracle on DuckDB at a given sf dir,
 compare row count + schema + order-insensitive values.
 
-Usage: python scripts/check_correctness.py [sf_dir] [name ...]
+Usage: python scripts/check_correctness.py [--json OUT] [sf_dir] [name ...]
+
+--json OUT additionally writes a per-query receipt file (ok/rows/sec
+per query plus sf_dir, git sha, timestamp) — the committed local
+evidence for queries the driver's capped per-round check doesn't
+reach.
 """
 
 from __future__ import annotations
@@ -23,14 +28,20 @@ from tests.oracle_compare import compare  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or sorted(QUERIES)
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    names = args[1:] or sorted(QUERIES)
     spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    results: dict[str, dict] = {}
     failures = 0
     for name in names:
         t0 = time.time()
@@ -40,18 +51,46 @@ def main() -> int:
                 n = sdf.count()
                 print(f"  {name:28s} rows-only ({n} rows) "
                       f"[{time.time() - t0:.1f}s]")
+                results[name] = {
+                    "ok": True, "rows": n, "rows_only": True,
+                    "sec": round(time.time() - t0, 1),
+                }
                 continue
             ddf = con.execute(ORACLES[name]).fetchdf()
             ok, msg = compare(sdf, ddf)
             status = "OK " if ok else "FAIL"
             print(f"  {name:28s} {status} ({len(ddf)} rows) "
                   f"[{time.time() - t0:.1f}s] {'' if ok else msg[:200]}")
+            results[name] = {
+                "ok": bool(ok), "rows": len(ddf),
+                "sec": round(time.time() - t0, 1),
+                **({} if ok else {"err": msg[:200]}),
+            }
             failures += 0 if ok else 1
         except Exception as e:  # pragma: no cover
             print(f"  {name:28s} ERROR {str(e)[:200]}")
+            results[name] = {"ok": False, "err": str(e)[:200]}
             failures += 1
     print(f"{'PASS' if failures == 0 else 'FAIL'}: "
           f"{len(names) - failures}/{len(names)} queries")
+    if json_out:
+        import json
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+        ).stdout.strip()
+        Path(json_out).write_text(json.dumps({
+            "_meta": {
+                "sf_dir": sf_dir,
+                "git_sha": sha,
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "pass": failures == 0,
+                "checked": len(names),
+            },
+            "queries": results,
+        }, indent=1) + "\n")
     return 1 if failures else 0
 
 

@@ -53,6 +53,9 @@ def _bson_sources(spark, backup_dir: Path):
 
 def main() -> int:
     args = [a for a in sys.argv[1:]]
+    if "--help" in args or "-h" in args:
+        print(__doc__)
+        return 0
     backup_dir = None
     if "--from-bson" in args:
         i = args.index("--from-bson")
