@@ -53,3 +53,35 @@ def count_reconciliation(
 def group_count(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """A2: group-by counts — validate_migration.py:656-658."""
     return df.groupBy(*cols).agg(F.count("*").alias("cnt"))
+
+
+def table_checksum(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Order-independent content checksum over selected columns — the
+    validation rung above count reconciliation (two tables can match
+    counts while disagreeing on every row; the reference's count-only
+    gate can't see that). A migration passes when source and target
+    checksums agree.
+
+    Per row: md5 over a '|'-joined canonical serialization (columns
+    cast to string, NULL → a sentinel so 'a',NULL ≠ 'a'), folded to a
+    63-bit integer; per table: bit_xor of the row hashes. XOR makes
+    the aggregate order- AND partition-independent with no overflow,
+    so it runs as a map-side-combinable one-pass aggregate — at 100 TB
+    the exchange carries one long per partition. Restrict ``cols`` to
+    integer/string columns: float and timestamp STRINGIFICATION is
+    engine-specific, integer and string rendering is not.
+
+    Output: one row (n_rows, checksum) — both bigint.
+    """
+    canon = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+            for c in cols
+        ],
+    )
+    row_hash = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    return df.select(row_hash.alias("__h")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.bit_xor("__h").alias("checksum"),
+    )

@@ -4996,6 +4996,46 @@ def sim_int8_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.int8_gram(e, "vec_id", "embedding", dims=16)
 
 
+@query(
+    "v3_table_checksum",
+    """
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(
+               concat_ws('|',
+                 COALESCE(CAST(l_orderkey AS VARCHAR), '<null>'),
+                 COALESCE(CAST(l_partkey AS VARCHAR), '<null>'),
+                 COALESCE(CAST(l_suppkey AS VARCHAR), '<null>'),
+                 COALESCE(CAST(l_linenumber AS VARCHAR), '<null>'),
+                 COALESCE(l_returnflag, '<null>'),
+                 COALESCE(l_linestatus, '<null>'))), 1, 15)) AS BIGINT) AS rh
+      FROM lineitem
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(rh) AS BIGINT) AS checksum
+    FROM h
+    """,
+)
+def v3_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum (validation.table_checksum)
+    over lineitem's integer/string columns — the validation rung
+    above v1's count reconciliation (matching counts can still hide
+    row-level divergence). bit_xor folding is order- and partition-
+    independent with no overflow, so it's one map-side-combinable
+    pass whose exchange carries a single long per partition."""
+    li = Catalog(spark, sf_dir).lineitem
+    return V.table_checksum(
+        li,
+        [
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_linestatus",
+        ],
+    )
+
+
 # =====================================================================
 # Entry points consumed by __spark_entry__.py
 # =====================================================================

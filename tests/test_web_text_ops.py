@@ -154,3 +154,19 @@ def test_canonicalize_idempotent_property(spark):
     a = {r.id: r.url for r in once.collect()}
     b = {r.id: r.url for r in twice.collect()}
     assert a == b
+
+
+def test_table_checksum_order_independent_and_content_sensitive(spark):
+    from mongodb_etl_migration_spark.operators.validation import table_checksum
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+    b = spark.createDataFrame([(2, "y"), (1, "x")], "id long, s string")
+    c = spark.createDataFrame([(1, "x"), (2, "z")], "id long, s string")
+    null_row = spark.createDataFrame([(1, None), (2, "y")], "id long, s string")
+    ca = table_checksum(a, ["id", "s"]).first()
+    cb = table_checksum(b, ["id", "s"]).first()
+    cc = table_checksum(c, ["id", "s"]).first()
+    cn = table_checksum(null_row, ["id", "s"]).first()
+    assert ca == cb                       # row order invisible
+    assert ca.checksum != cc.checksum     # content visible
+    assert ca.checksum != cn.checksum     # NULL sentinel distinct from 'x'
