@@ -8,16 +8,17 @@ processes whole record batches without JVM↔Python per-row cost.
 
 Codec status: BMP (uncompressed 24-bit), PNG (non-interlaced 8-bit
 gray/RGB/RGBA, full scanline unfiltering), QOI (full 1.0 spec), GIF
-(89a subset incl. animated multi-frame, full variable-width LZW) and
-WAV (PCM16) are decoded FOR REAL with stdlib struct/zlib/wave + numpy
-— ``decode_images`` / ``decode_audio`` / ``resize_images`` /
-``sample_frames`` parse actual bytes and return actual
-dimensions/samples/frames. Formats that need PIL/
-ffmpeg (JPEG, MP4, ...) are not decodable in this container and
-fall through to a clearly-marked deterministic stub; the Spark-side
+(89a subset incl. animated multi-frame, full variable-width LZW),
+JPEG (baseline sequential DCT — Annex-K tables, Huffman + RLE entropy
+coding, numpy DCT/IDCT; 3-component 1x1-sampling scope, anything else
+rejected loudly) and WAV (PCM16) are decoded FOR REAL with stdlib
+struct/zlib/wave + numpy — ``decode_images`` / ``decode_audio`` /
+``resize_images`` / ``sample_frames`` parse actual bytes and return
+actual dimensions/samples/frames. Containers that genuinely need
+ffmpeg (MP4/video beyond GIF, progressive/subsampled JPEG) fall
+through to a clearly-marked deterministic stub; the Spark-side
 contract (schema, batch iteration, partition sizing) is identical for
-both paths, so swapping the stub for a production codec is a pure
-Python change.
+both paths, so widening a codec's scope is a pure Python change.
 """
 
 from __future__ import annotations
@@ -560,10 +561,12 @@ def encode_gif(
 
 def parse_image(raw: bytes) -> tuple[int, int, np.ndarray]:
     """Dispatch to whichever real codec matches the payload's magic
-    bytes (BMP, PNG, QOI, GIF — first frame); ValueError if none
-    claims it."""
+    bytes (BMP, PNG, QOI, JPEG, GIF — first frame); ValueError if
+    none claims it."""
     if raw[:2] == b"BM":
         return parse_bmp(raw)
+    if raw[:2] == b"\xff\xd8":
+        return parse_jpeg(raw)
     if raw[:4] == b"qoif":
         return parse_qoi(raw)
     if raw[:4] == b"GIF8":
@@ -602,12 +605,11 @@ IMAGE_SCHEMA = StructType(
 
 
 def decode_images(multimodal: DataFrame) -> DataFrame:
-    """REAL image decode for BMP and PNG payloads (parse_image):
-    actual dimensions + per-channel means from actual pixels.
-    Payloads in other formats (would need PIL/libjpeg) yield NULL
-    dimensions (honest 'undecodable here' signal) rather than fake
-    numbers — filter ``width IS NOT NULL`` for the decodable
-    subset."""
+    """REAL image decode for BMP/PNG/QOI/JPEG/GIF payloads
+    (parse_image): actual dimensions + per-channel means from actual
+    pixels. Payloads outside the codecs' scope yield NULL dimensions
+    (honest 'undecodable here' signal) rather than fake numbers —
+    filter ``width IS NOT NULL`` for the decodable subset."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -806,3 +808,405 @@ def decode_media(multimodal: DataFrame) -> DataFrame:
             yield _decode_batch_stub(flat)
 
     return multimodal.mapInPandas(gen, DECODED_SCHEMA)
+
+
+# ------------------------------------------- baseline JPEG (10918-1)
+# Dependency-free baseline JPEG, same spirit as the QOI/GIF codecs:
+# the container has no libjpeg/PIL, so the codec is implemented from
+# the public spec (ISO/IEC 10918-1; tables from Annex K). Scope is
+# honest and explicit: baseline sequential DCT, 8-bit, 3 components,
+# 1x1 sampling (no chroma subsampling), no restart markers, no
+# progressive — encode_jpeg always emits that shape and parse_jpeg
+# rejects anything else with ValueError rather than mis-decoding.
+
+_JPEG_QY = np.array([  # Annex K.1 luminance quantization
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.float64)
+_JPEG_QC = np.array([  # Annex K.2 chrominance quantization
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.float64)
+
+# Annex K.3 typical Huffman tables: (16 code-length counts, symbols)
+_HUFF_DC_Y = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_C = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_Y = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_HUFF_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+_ZZ = np.array([  # zigzag scan order: index i -> (row, col)
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+
+def _dct_basis() -> np.ndarray:
+    n = np.arange(8)
+    C = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) / 2.0
+    C[0, :] *= 1.0 / np.sqrt(2.0)
+    return C
+
+
+_DCT_C = _dct_basis()
+
+
+def _huff_encode_map(table) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, bit-length), canonical JPEG code assignment."""
+    bits, vals = table
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(table) -> dict[tuple[int, int], int]:
+    """(bit-length, code) -> symbol."""
+    return {
+        (ln, code): sym for sym, (code, ln) in _huff_encode_map(table).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _enc_value(v: int, cat: int) -> int:
+    return v if v >= 0 else v + (1 << cat) - 1
+
+
+def _quant_block(block: np.ndarray, q: np.ndarray) -> np.ndarray:
+    coef = _DCT_C @ block @ _DCT_C.T
+    return np.floor(coef / q + 0.5).astype(np.int64)
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    return np.stack(
+        [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ],
+        axis=-1,
+    )
+
+
+def encode_jpeg(px: np.ndarray) -> bytes:
+    """Baseline JPEG encoder (JFIF): 8-bit, 3 components, 1x1 sampling,
+    Annex K quantization + typical Huffman tables, no restart markers.
+    Dimensions must be multiples of 8 (callers pad; the fixtures are
+    block-aligned by construction)."""
+    h, w, _ = px.shape
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg needs block-aligned dims")
+    ycc = _rgb_to_ycbcr(px) - 128.0
+    qts = (_JPEG_QY, _JPEG_QC, _JPEG_QC)
+    dc_maps = (_huff_encode_map(_HUFF_DC_Y), _huff_encode_map(_HUFF_DC_C))
+    ac_maps = (_huff_encode_map(_HUFF_AC_Y), _huff_encode_map(_HUFF_AC_C))
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            for ci in range(3):
+                block = ycc[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, ci]
+                zz = _quant_block(block, qts[ci]).ravel()[_ZZ]
+                ti = 0 if ci == 0 else 1
+                dcm, acm = dc_maps[ti], ac_maps[ti]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                cat = _category(diff)
+                code, ln = dcm[cat]
+                bw.put(code, ln)
+                if cat:
+                    bw.put(_enc_value(diff, cat), cat)
+                run = 0
+                last_nz = max(np.nonzero(zz[1:])[0]) + 1 if np.any(zz[1:]) else 0
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = acm[0xF0]  # ZRL
+                        bw.put(code, ln)
+                        run -= 16
+                    cat = _category(v)
+                    code, ln = acm[(run << 4) | cat]
+                    bw.put(code, ln)
+                    bw.put(_enc_value(v, cat), cat)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = acm[0x00]  # EOB
+                    bw.put(code, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(
+            int(q.ravel()[z]) for z in _ZZ
+        ))
+
+    def dht(cls: int, tid: int, table) -> bytes:
+        bits, vals = table
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+              + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (b"\xff\xd8" + app0 + dqt(0, _JPEG_QY) + dqt(1, _JPEG_QC)
+            + dht(0, 0, _HUFF_DC_Y) + dht(1, 0, _HUFF_AC_Y)
+            + dht(0, 1, _HUFF_DC_C) + dht(1, 1, _HUFF_AC_C)
+            + sof + sos + scan + b"\xff\xd9")
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG scan")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_read(br: _BitReader, dmap: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = dmap.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def parse_jpeg(raw: bytes) -> tuple[int, int, np.ndarray]:
+    """Baseline JPEG decoder: segment walk (DQT/DHT from the file, not
+    assumed), Huffman + RLE entropy decode with byte-unstuffing, DC
+    prediction, dequantization, float IDCT (numpy basis multiply),
+    YCbCr→RGB with floor(x+0.5) rounding. Supports exactly the
+    baseline shape encode_jpeg emits (SOF0, 8-bit, 3 components, 1x1
+    sampling, no restart intervals); anything else raises ValueError
+    — honest scope, never a silent mis-decode."""
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    dims = None
+    comp_q: list[int] = []
+    scan_tables: list[tuple[int, int]] = []
+    scan_data = None
+    while pos < len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError("bad marker stream")
+        marker = raw[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(raw[pos:pos + 2], "big")
+        body = raw[pos + 2:pos + ln]
+        if marker == 0xDB:
+            b = body
+            while b:
+                if b[0] >> 4:
+                    raise ValueError("16-bit quant tables unsupported")
+                tid = b[0] & 0xF
+                tbl = np.zeros(64)
+                tbl[_ZZ] = list(b[1:65])
+                qt[tid] = tbl.reshape(8, 8)
+                b = b[65:]
+        elif marker == 0xC4:
+            b = body
+            while b:
+                cls, tid = b[0] >> 4, b[0] & 0xF
+                bits = list(b[1:17])
+                nv = sum(bits)
+                huff[(cls, tid)] = _huff_decode_map((bits, list(b[17:17 + nv])))
+                b = b[17 + nv:]
+        elif marker == 0xC0:
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            if body[0] != 8 or ncomp != 3:
+                raise ValueError("only 8-bit 3-component baseline")
+            for c in range(ncomp):
+                cid, samp, q = body[6 + 3 * c:9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError("subsampling unsupported")
+                comp_q.append(q)
+            dims = (w, h)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            for c in range(body[0]):
+                t = body[2 + 2 * c]
+                scan_tables.append((t >> 4, t & 0xF))
+            # entropy data runs to EOI; un-stuff 0xFF00
+            end = raw.find(b"\xff\xd9", pos + ln)
+            if end < 0:
+                raise ValueError("missing EOI")
+            scan_data = raw[pos + ln:end].replace(b"\xff\x00", b"\xff")
+            pos = end
+            continue
+        pos += ln
+    if dims is None or scan_data is None:
+        raise ValueError("missing SOF/SOS")
+    w, h = dims
+    if w % 8 or h % 8:
+        raise ValueError("non-block-aligned dims unsupported")
+    br = _BitReader(scan_data)
+    pred = [0, 0, 0]
+    ycc = np.zeros((h, w, 3))
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            for ci in range(3):
+                dmap = huff[(0, scan_tables[ci][0])]
+                amap = huff[(1, scan_tables[ci][1])]
+                q = qt[comp_q[ci]]
+                zz = np.zeros(64, dtype=np.int64)
+                cat = _huff_read(br, dmap)
+                diff = _extend(br.bits(cat), cat) if cat else 0
+                pred[ci] += diff
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    sym = _huff_read(br, amap)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, cat = sym >> 4, sym & 0xF
+                    if cat == 0:
+                        if run != 15:
+                            raise ValueError("bad AC symbol")
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC index overflow")
+                    zz[k] = _extend(br.bits(cat), cat)
+                    k += 1
+                coef = np.zeros(64)
+                coef[_ZZ] = zz
+                block = _DCT_C.T @ (coef.reshape(8, 8) * q) @ _DCT_C
+                ycc[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, ci] = block
+    y = ycc[:, :, 0] + 128.0
+    cb = ycc[:, :, 1]
+    cr = ycc[:, :, 2]
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    px = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    return w, h, px

@@ -5036,6 +5036,106 @@ def v3_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "m_image_decode_jpeg",
+    """
+    WITH g AS (
+      SELECT doc_id, doc_id % 3 + 1 AS wb, doc_id % 2 + 1 AS hb
+      FROM documents WHERE doc_id % 11 = 0
+    ), b AS (
+      SELECT doc_id, wb, hb, bx.x AS bx, by.y AS by
+      FROM g,
+           (SELECT unnest(range(0, 3)) AS x) bx,
+           (SELECT unnest(range(0, 2)) AS y) by
+      WHERE bx.x < wb AND by.y < hb
+    ), v AS (
+      SELECT doc_id, wb, hb,
+             64 + 8 * ((bx + 3 * by + doc_id) % 17) AS val
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(wb * 8 AS BIGINT) AS width,
+           CAST(hb * 8 AS BIGINT) AS height,
+           CAST(sum(val) AS DOUBLE) / count(*) AS mean_r,
+           CAST(sum(val) AS DOUBLE) / count(*) AS mean_g,
+           CAST(sum(val) AS DOUBLE) / count(*) AS mean_b
+    FROM v GROUP BY doc_id, wb, hb
+    """,
+)
+def m_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG path, driver-verifiable: per doc, synthesize
+    a block-aligned grayscale image whose 8x8 blocks are flat values
+    64 + 8k (k from doc_id/block position) — chosen so the Annex-K
+    luminance quantization round-trips them EXACTLY (8·(v-128)/2
+    divisible by the DC step, all AC zero) — encode with the
+    dependency-free baseline encoder (Huffman + RLE entropy coding,
+    byte stuffing, DC-diff prediction across blocks), decode with
+    multimodal.parse_jpeg via decode_images. The oracle predicts
+    dims/means analytically from the quantization-roundtrip theory
+    (NOT from the decoder), so a hash match proves real JPEG entropy
+    streams were decoded: headers walked, Huffman codes resolved, DC
+    prediction chained, IDCT applied. 1/11 doc slice: the pure-Python
+    entropy coder pays per-block loops."""
+    import numpy as np
+    import pandas as pd
+
+    from mongodb_etl_migration_spark.operators.multimodal import encode_jpeg
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    d = (
+        Catalog(spark, sf_dir)
+        .documents.select("doc_id")
+        .filter(F.expr("doc_id % 11 = 0"))
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                wb, hb = did % 3 + 1, did % 2 + 1
+                px = np.zeros((hb * 8, wb * 8, 3), dtype=np.uint8)
+                for by in range(hb):
+                    for bx in range(wb):
+                        v = 64 + 8 * ((bx + 3 * by + did) % 17)
+                        px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, :] = v
+                payloads.append(encode_jpeg(px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "meta": [
+                        {"media_type": "image", "byte_size": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    mm_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("media_type", StringType()),
+                        StructField("byte_size", LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    mm = d.mapInPandas(synth, mm_schema)
+    return M.decode_images(mm).drop("content_digest")
+
+
 # =====================================================================
 # Entry points consumed by __spark_entry__.py
 # =====================================================================

@@ -968,3 +968,94 @@ def test_int8_gram_hand_computed(spark):
     got = {(r.i, r.j): (r.sxy, r.n) for r in int8_gram(df, dims=2).collect()}
     s = 127 * 127
     assert got == {(1, 1): (2 * s, 3), (1, 2): (s, 3), (2, 2): (2 * s, 3)}
+
+
+def test_jpeg_flat_even_gray_roundtrips_exactly():
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    for v in (64, 100, 128, 192, 250):
+        px = np.full((16, 24, 3), v, dtype=np.uint8)
+        w, h, out = parse_jpeg(encode_jpeg(px))
+        assert (w, h) == (24, 16)
+        assert np.array_equal(out, px), v
+
+
+def test_jpeg_multi_block_dc_prediction():
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    # different flat value per block: exercises the DC-diff Huffman
+    # chain across 6 blocks; even multiples of 8 round-trip exactly
+    px = np.zeros((16, 24, 3), dtype=np.uint8)
+    vals = [64, 96, 160, 192, 80, 144]
+    for i, v in enumerate(vals):
+        by, bx = divmod(i, 3)
+        px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, :] = v
+    _, _, out = parse_jpeg(encode_jpeg(px))
+    assert np.array_equal(out, px)
+
+
+def test_jpeg_roundtrip_error_bounded_on_smooth_images():
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    rng = np.random.RandomState(7)
+    for _ in range(3):
+        # smooth low-frequency content (JPEG's design target): a
+        # random plane gradient plus mild noise
+        a, b, c = rng.randint(0, 4), rng.randint(0, 4), rng.randint(40, 160)
+        x = np.arange(32)[None, :, None]
+        y = np.arange(24)[:, None, None]
+        px = np.clip(
+            a * x + b * y + c + rng.randint(-3, 4, (24, 32, 3)), 0, 255
+        ).astype(np.uint8)
+        _, _, out = parse_jpeg(encode_jpeg(px))
+        err = np.abs(out.astype(int) - px.astype(int))
+        assert err.mean() < 6 and err.max() < 40
+
+
+def test_jpeg_rejects_out_of_scope_streams():
+    import numpy as np
+    import pytest
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    with pytest.raises(ValueError):
+        parse_jpeg(b"\x89PNG not a jpeg")
+    raw = bytearray(encode_jpeg(np.full((8, 8, 3), 100, dtype=np.uint8)))
+    # flip SOF0 (FFC0) to progressive SOF2 (FFC2): must refuse, not
+    # mis-decode
+    i = raw.find(b"\xff\xc0")
+    raw[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        parse_jpeg(bytes(raw))
+    with pytest.raises(ValueError):
+        parse_jpeg(bytes(encode_jpeg(np.full((8, 8, 3), 1, dtype=np.uint8)))[:-10] + b"\x00" * 2)
+
+
+def test_jpeg_dispatched_by_parse_image():
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_image,
+    )
+
+    w, h, px = parse_image(encode_jpeg(np.full((8, 16, 3), 120, dtype=np.uint8)))
+    assert (w, h) == (16, 8) and int(px[0, 0, 0]) == 120
