@@ -696,16 +696,18 @@ RESIZED_SCHEMA = StructType(
 def resize_images(
     multimodal: DataFrame, target_w: int = 224, target_h: int = 224
 ) -> DataFrame:
-    """Resize via mapInPandas. BMP, PNG and QOI payloads are resized
-    FOR REAL: parse_image → nearest-neighbor resample (numpy index
-    grids — the same algorithm PIL's NEAREST uses) → re-encoded in
-    the SOURCE container (BMP→BMP, PNG→PNG, QOI→QOI). Animated GIF is
+    """Resize via mapInPandas. BMP, PNG, QOI and baseline-JPEG
+    payloads are resized FOR REAL: parse_image → nearest-neighbor
+    resample (numpy index grids — the same algorithm PIL's NEAREST
+    uses) → re-encoded in the SOURCE container (BMP→BMP, PNG→PNG,
+    QOI→QOI, JPEG→JPEG when the target dims are block-aligned, else
+    lossless BMP rather than a padded re-encode). Animated GIF is
     deliberately excluded (single-image resize would silently discard
-    frames — resample per-frame via parse_gif instead); it and other
-    formats (would need PIL) fall back to the deterministic
-    truncate/pad stub so byte-level goldens hold. Spark-side contract
-    (schema, Arrow batching, partition preservation) is identical for
-    both paths."""
+    frames — resample per-frame via parse_gif instead); it and
+    out-of-scope formats fall back to the deterministic truncate/pad
+    stub so byte-level goldens hold. Spark-side contract (schema,
+    Arrow batching, partition preservation) is identical for both
+    paths."""
 
     def one(raw: bytes) -> bytes:
         try:
@@ -719,6 +721,12 @@ def resize_images(
                 return encode_png(resampled)
             if raw[:4] == b"qoif":
                 return encode_qoi(resampled)
+            if (
+                raw[:2] == b"\xff\xd8"
+                and target_h % 8 == 0
+                and target_w % 8 == 0
+            ):
+                return encode_jpeg(resampled)
             return encode_bmp(resampled)
         except ValueError:
             n = target_w * target_h // 64  # stub byte budget

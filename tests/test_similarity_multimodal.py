@@ -1059,3 +1059,20 @@ def test_jpeg_dispatched_by_parse_image():
 
     w, h, px = parse_image(encode_jpeg(np.full((8, 16, 3), 120, dtype=np.uint8)))
     assert (w, h) == (16, 8) and int(px[0, 0, 0]) == 120
+
+
+def test_resize_reencodes_jpeg_as_jpeg(spark):
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators import multimodal as M
+
+    px = np.full((16, 16, 3), 120, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(M.encode_jpeg(px)), {"media_type": "image", "byte_size": 1})],
+        "doc_id long, payload binary, meta struct<media_type:string,byte_size:long>",
+    )
+    out = M.resize_images(df, target_w=8, target_h=8).first()
+    raw = bytes(out.payload)
+    assert raw[:2] == b"\xff\xd8"  # stayed JPEG
+    w, h, dec = M.parse_jpeg(raw)
+    assert (w, h) == (8, 8) and int(dec[0, 0, 0]) == 120
