@@ -10,12 +10,13 @@ Codec status: BMP (uncompressed 24-bit), PNG (non-interlaced 8-bit
 gray/RGB/RGBA, full scanline unfiltering), QOI (full 1.0 spec), GIF
 (89a subset incl. animated multi-frame, full variable-width LZW),
 JPEG (baseline sequential DCT — Annex-K tables, Huffman + RLE entropy
-coding, numpy DCT/IDCT; 3-component 1x1-sampling scope, anything else
+coding, numpy DCT/IDCT; decodes 4:4:4/4:2:2/4:4:0/4:2:0 sampling,
+grayscale, any dims, restart markers — progressive/arithmetic/12-bit
 rejected loudly) and WAV (PCM16) are decoded FOR REAL with stdlib
 struct/zlib/wave + numpy — ``decode_images`` / ``decode_audio`` /
 ``resize_images`` / ``sample_frames`` parse actual bytes and return
 actual dimensions/samples/frames. Containers that genuinely need
-ffmpeg (MP4/video beyond GIF, progressive/subsampled JPEG) fall
+ffmpeg (MP4/video beyond GIF, progressive JPEG) fall
 through to a clearly-marked deterministic stub; the Spark-side
 contract (schema, batch iteration, partition sizing) is identical for
 both paths, so widening a codec's scope is a pure Python change.
@@ -950,6 +951,13 @@ class _BitWriter:
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
 
+    def restart(self, n: int) -> None:
+        """Byte-align with 1-padding and emit RSTn (unstuffed)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + n])
+
     def flush(self) -> bytes:
         if self.nbits:
             pad = 8 - self.nbits
@@ -984,91 +992,169 @@ def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
     )
 
 
-def encode_jpeg(px: np.ndarray) -> bytes:
-    """Baseline JPEG encoder (JFIF): 8-bit, 3 components, 1x1 sampling,
-    Annex K quantization + typical Huffman tables, no restart markers.
-    Dimensions must be multiples of 8 (callers pad; the fixtures are
-    block-aligned by construction)."""
+def _pad_to(plane: np.ndarray, bh: int, bw_: int) -> np.ndarray:
+    """Edge-replicate pad a 2-D plane up to multiples of (bh, bw_) —
+    the standard JPEG block-alignment treatment (replication keeps
+    block DCTs flat at the border instead of injecting an edge)."""
+    h, w = plane.shape
+    ph = (bh - h % bh) % bh
+    pw = (bw_ - w % bw_) % bw_
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _encode_block(bw, block, q, dcm, acm, pred: int) -> int:
+    """Huffman-encode one quantized 8x8 block; returns the new DC
+    predictor."""
+    zz = _quant_block(block, q).ravel()[_ZZ]
+    diff = int(zz[0]) - pred
+    cat = _category(diff)
+    code, ln = dcm[cat]
+    bw.put(code, ln)
+    if cat:
+        bw.put(_enc_value(diff, cat), cat)
+    run = 0
+    last_nz = max(np.nonzero(zz[1:])[0]) + 1 if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zcode, zln = acm[0xF0]  # ZRL
+            bw.put(zcode, zln)
+            run -= 16
+        cat = _category(v)
+        code, ln = acm[(run << 4) | cat]
+        bw.put(code, ln)
+        bw.put(_enc_value(v, cat), cat)
+        run = 0
+    if last_nz < 63:
+        code, ln = acm[0x00]  # EOB
+        bw.put(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    px: np.ndarray,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JPEG encoder (JFIF): 8-bit, 3 components, Annex-K
+    quantization + typical Huffman tables. ``subsampling`` is
+    ``"444"`` (1x1 — every pixel carries chroma) or ``"420"`` (2x2 —
+    chroma averaged over 2x2 neighborhoods, the layout virtually all
+    camera/web JPEGs use). Any dimensions: planes are edge-replicate
+    padded to MCU multiples and the true size travels in SOF0.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs
+    (the error-resilience feature real encoders add; also how the
+    decoder's restart path is round-trip tested)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     h, w, _ = px.shape
-    if h % 8 or w % 8:
-        raise ValueError("encode_jpeg needs block-aligned dims")
-    ycc = _rgb_to_ycbcr(px) - 128.0
+    ycc = _rgb_to_ycbcr(px)
+    ys, cs = ((2, 2), (1, 1)) if subsampling == "420" else ((1, 1), (1, 1))
+    samp = [ys, cs, cs]
+    planes = []
+    for ci in range(3):
+        plane = ycc[:, :, ci]
+        if subsampling == "420" and ci > 0:
+            ev = _pad_to(plane, 2, 2)
+            plane = (
+                ev[0::2, 0::2] + ev[1::2, 0::2]
+                + ev[0::2, 1::2] + ev[1::2, 1::2]
+            ) / 4.0
+        planes.append(plane - 128.0)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = [
+        _pad_to(pl, 8 * mcus_y * s[1], 8 * mcus_x * s[0])
+        for pl, s in zip(planes, samp)
+    ]
     qts = (_JPEG_QY, _JPEG_QC, _JPEG_QC)
     dc_maps = (_huff_encode_map(_HUFF_DC_Y), _huff_encode_map(_HUFF_DC_C))
     ac_maps = (_huff_encode_map(_HUFF_AC_Y), _huff_encode_map(_HUFF_AC_C))
 
     bw = _BitWriter()
     pred = [0, 0, 0]
-    for by in range(h // 8):
-        for bx in range(w // 8):
+    rst = 0
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.restart(rst)
+                rst = (rst + 1) % 8
+                pred = [0, 0, 0]
+            n_mcu += 1
             for ci in range(3):
-                block = ycc[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, ci]
-                zz = _quant_block(block, qts[ci]).ravel()[_ZZ]
+                hi, vi = samp[ci]
                 ti = 0 if ci == 0 else 1
-                dcm, acm = dc_maps[ti], ac_maps[ti]
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                cat = _category(diff)
-                code, ln = dcm[cat]
-                bw.put(code, ln)
-                if cat:
-                    bw.put(_enc_value(diff, cat), cat)
-                run = 0
-                last_nz = max(np.nonzero(zz[1:])[0]) + 1 if np.any(zz[1:]) else 0
-                for k in range(1, last_nz + 1):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = acm[0xF0]  # ZRL
-                        bw.put(code, ln)
-                        run -= 16
-                    cat = _category(v)
-                    code, ln = acm[(run << 4) | cat]
-                    bw.put(code, ln)
-                    bw.put(_enc_value(v, cat), cat)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = acm[0x00]  # EOB
-                    bw.put(code, ln)
+                for v in range(vi):
+                    for hh in range(hi):
+                        by = my * vi + v
+                        bx = mx * hi + hh
+                        block = planes[ci][
+                            by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8
+                        ]
+                        pred[ci] = _encode_block(
+                            bw, block, qts[ci],
+                            dc_maps[ti], ac_maps[ti], pred[ci],
+                        )
     scan = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
     def dqt(tid: int, q: np.ndarray) -> bytes:
-        return seg(0xDB, bytes([tid]) + bytes(
-            int(q.ravel()[z]) for z in _ZZ
-        ))
+        return seg(0xDB, bytes([tid]) + bytes(int(q.ravel()[z]) for z in _ZZ))
 
     def dht(cls: int, tid: int, table) -> bytes:
         bits, vals = table
         return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
 
+    sy = (samp[0][0] << 4) | samp[0][1]
     sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-              + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+              + bytes([3, 1, sy, 0, 2, 0x11, 1, 3, 0x11, 1]))
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = seg(0xDD, restart_interval.to_bytes(2, "big")) if restart_interval else b""
     return (b"\xff\xd8" + app0 + dqt(0, _JPEG_QY) + dqt(1, _JPEG_QC)
             + dht(0, 0, _HUFF_DC_Y) + dht(1, 0, _HUFF_AC_Y)
             + dht(0, 1, _HUFF_DC_C) + dht(1, 1, _HUFF_AC_C)
-            + sof + sos + scan + b"\xff\xd9")
+            + dri + sof + sos + scan + b"\xff\xd9")
 
 
 class _BitReader:
+    """Entropy-scan reader: un-stuffs 0xFF00 on the fly and surfaces
+    RSTn markers only through restart() — any other marker inside the
+    scan is an error, never silently consumed."""
+
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
         self.acc = 0
         self.nbits = 0
 
+    def _next_byte(self) -> int:
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            raise ValueError("truncated JPEG scan")
+        b = d[p]
+        if b == 0xFF:
+            if p + 1 < len(d) and d[p + 1] == 0x00:
+                self.pos = p + 2
+                return 0xFF
+            raise ValueError("unexpected marker inside entropy data")
+        self.pos = p + 1
+        return b
+
     def bit(self) -> int:
         if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated JPEG scan")
-            self.acc = self.data[self.pos]
-            self.pos += 1
+            self.acc = self._next_byte()
             self.nbits = 8
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
@@ -1078,6 +1164,18 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.nbits = 0
+        d = self.data
+        if not (
+            self.pos + 1 < len(d)
+            and d[self.pos] == 0xFF
+            and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("missing restart marker")
+        self.pos += 2
 
 
 def _huff_read(br: _BitReader, dmap: dict[tuple[int, int], int]) -> int:
@@ -1094,23 +1192,57 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+def _decode_block(br, dmap, amap, q: np.ndarray, pred: int):
+    """Decode one block's entropy data; returns (spatial block, DC)."""
+    zz = np.zeros(64, dtype=np.int64)
+    cat = _huff_read(br, dmap)
+    diff = _extend(br.bits(cat), cat) if cat else 0
+    dc = pred + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        sym = _huff_read(br, amap)
+        if sym == 0x00:  # EOB
+            break
+        run, cat = sym >> 4, sym & 0xF
+        if cat == 0:
+            if run != 15:
+                raise ValueError("bad AC symbol")
+            k += 16
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC index overflow")
+        zz[k] = _extend(br.bits(cat), cat)
+        k += 1
+    coef = np.zeros(64)
+    coef[_ZZ] = zz
+    return _DCT_C.T @ (coef.reshape(8, 8) * q) @ _DCT_C, dc
+
+
 def parse_jpeg(raw: bytes) -> tuple[int, int, np.ndarray]:
-    """Baseline JPEG decoder: segment walk (DQT/DHT from the file, not
-    assumed), Huffman + RLE entropy decode with byte-unstuffing, DC
-    prediction, dequantization, float IDCT (numpy basis multiply),
-    YCbCr→RGB with floor(x+0.5) rounding. Supports exactly the
-    baseline shape encode_jpeg emits (SOF0, 8-bit, 3 components, 1x1
-    sampling, no restart intervals); anything else raises ValueError
-    — honest scope, never a silent mis-decode."""
+    """Baseline JPEG decoder: segment walk (DQT/DHT read from the
+    file, not assumed), Huffman + RLE entropy decode with
+    byte-unstuffing, DC prediction, restart-marker (DRI/RSTn)
+    handling, dequantization, numpy basis-multiply IDCT, nearest
+    chroma upsampling, YCbCr→RGB with deterministic floor rounding.
+
+    Scope: baseline sequential SOF0, 8-bit, 1 (grayscale) or 3
+    components, sampling factors up to 2x2 (covers 4:4:4, 4:2:2,
+    4:4:0 and the near-universal 4:2:0), any dimensions (MCU padding
+    cropped per SOF0). Progressive/arithmetic/12-bit streams raise
+    ValueError — honest scope, never a silent mis-decode."""
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     dims = None
+    samp: list[tuple[int, int]] = []
     comp_q: list[int] = []
     scan_tables: list[tuple[int, int]] = []
     scan_data = None
+    dri = 0
     while pos < len(raw):
         if raw[pos] != 0xFF:
             raise ValueError("bad marker stream")
@@ -1136,78 +1268,86 @@ def parse_jpeg(raw: bytes) -> tuple[int, int, np.ndarray]:
                 cls, tid = b[0] >> 4, b[0] & 0xF
                 bits = list(b[1:17])
                 nv = sum(bits)
-                huff[(cls, tid)] = _huff_decode_map((bits, list(b[17:17 + nv])))
+                huff[(cls, tid)] = _huff_decode_map(
+                    (bits, list(b[17:17 + nv]))
+                )
                 b = b[17 + nv:]
         elif marker == 0xC0:
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
-            if body[0] != 8 or ncomp != 3:
-                raise ValueError("only 8-bit 3-component baseline")
+            if body[0] != 8 or ncomp not in (1, 3):
+                raise ValueError("only 8-bit 1/3-component baseline")
             for c in range(ncomp):
-                cid, samp, q = body[6 + 3 * c:9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError("subsampling unsupported")
+                cid, sb, q = body[6 + 3 * c:9 + 3 * c]
+                hi, vi = sb >> 4, sb & 0xF
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise ValueError("sampling factors beyond 2x2")
+                samp.append((hi, vi))
                 comp_q.append(q)
             dims = (w, h)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline SOF0 supported")
         elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+            dri = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:
             for c in range(body[0]):
                 t = body[2 + 2 * c]
                 scan_tables.append((t >> 4, t & 0xF))
-            # entropy data runs to EOI; un-stuff 0xFF00
             end = raw.find(b"\xff\xd9", pos + ln)
             if end < 0:
                 raise ValueError("missing EOI")
-            scan_data = raw[pos + ln:end].replace(b"\xff\x00", b"\xff")
+            scan_data = raw[pos + ln:end]
             pos = end
             continue
         pos += ln
     if dims is None or scan_data is None:
         raise ValueError("missing SOF/SOS")
     w, h = dims
-    if w % 8 or h % 8:
-        raise ValueError("non-block-aligned dims unsupported")
+    ncomp = len(samp)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((8 * mcus_y * vi, 8 * mcus_x * hi))
+        for hi, vi in samp
+    ]
     br = _BitReader(scan_data)
-    pred = [0, 0, 0]
-    ycc = np.zeros((h, w, 3))
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            for ci in range(3):
+    pred = [0] * ncomp
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and n_mcu and n_mcu % dri == 0:
+                br.restart()
+                pred = [0] * ncomp
+            n_mcu += 1
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
                 dmap = huff[(0, scan_tables[ci][0])]
                 amap = huff[(1, scan_tables[ci][1])]
                 q = qt[comp_q[ci]]
-                zz = np.zeros(64, dtype=np.int64)
-                cat = _huff_read(br, dmap)
-                diff = _extend(br.bits(cat), cat) if cat else 0
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = _huff_read(br, amap)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, cat = sym >> 4, sym & 0xF
-                    if cat == 0:
-                        if run != 15:
-                            raise ValueError("bad AC symbol")
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC index overflow")
-                    zz[k] = _extend(br.bits(cat), cat)
-                    k += 1
-                coef = np.zeros(64)
-                coef[_ZZ] = zz
-                block = _DCT_C.T @ (coef.reshape(8, 8) * q) @ _DCT_C
-                ycc[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, ci] = block
-    y = ycc[:, :, 0] + 128.0
-    cb = ycc[:, :, 1]
-    cr = ycc[:, :, 2]
+                for v in range(vi):
+                    for hh in range(hi):
+                        block, pred[ci] = _decode_block(
+                            br, dmap, amap, q, pred[ci]
+                        )
+                        by = my * vi + v
+                        bx = mx * hi + hh
+                        planes[ci][
+                            by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8
+                        ] = block
+    full = []
+    for (hi, vi), plane in zip(samp, planes):
+        up = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(up[:h, :w])
+    if ncomp == 1:
+        y = full[0] + 128.0
+        px = np.clip(np.floor(y + 0.5), 0, 255).astype(np.uint8)
+        return w, h, np.stack([px, px, px], axis=-1)
+    y = full[0] + 128.0
+    cb = full[1]
+    cr = full[2]
     rgb = np.stack(
         [
             y + 1.402 * cr,

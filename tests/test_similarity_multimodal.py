@@ -1076,3 +1076,54 @@ def test_resize_reencodes_jpeg_as_jpeg(spark):
     assert raw[:2] == b"\xff\xd8"  # stayed JPEG
     w, h, dec = M.parse_jpeg(raw)
     assert (w, h) == (8, 8) and int(dec[0, 0, 0]) == 120
+
+
+def test_jpeg_420_and_odd_dims_and_restart_roundtrip():
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    # flat content survives 4:2:0 chroma averaging exactly
+    px = np.full((10, 13, 3), 128, dtype=np.uint8)
+    for ss in ("444", "420"):
+        w, h, out = parse_jpeg(encode_jpeg(px, subsampling=ss))
+        assert (w, h) == (13, 10)
+        assert np.array_equal(out, px), ss
+    # restart markers: DRI emitted, RSTn consumed, DC preds reset
+    px = np.full((32, 32, 3), 100, dtype=np.uint8)
+    raw = encode_jpeg(px, restart_interval=1)
+    assert b"\xff\xdd" in raw and b"\xff\xd0" in raw
+    _, _, out = parse_jpeg(raw)
+    assert np.array_equal(out, px)
+    # combined: 4:2:0 + odd dims + restarts on random content decodes
+    # to the right shape without marker desync
+    rng = np.random.RandomState(2)
+    px = rng.randint(0, 256, (19, 21, 3)).astype(np.uint8)
+    w, h, out = parse_jpeg(
+        encode_jpeg(px, subsampling="420", restart_interval=2)
+    )
+    assert (w, h, out.shape) == (21, 19, (19, 21, 3))
+
+
+def test_jpeg_420_error_close_to_444_on_smooth_color():
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    rng = np.random.RandomState(1)
+    x = np.arange(40)[None, :, None]
+    y = np.arange(24)[:, None, None]
+    px = np.clip(
+        3 * x + 2 * y + 30 + rng.randint(-2, 3, (24, 40, 3)), 0, 255
+    ).astype(np.uint8)
+    errs = {}
+    for ss in ("444", "420"):
+        _, _, out = parse_jpeg(encode_jpeg(px, subsampling=ss))
+        errs[ss] = np.abs(out.astype(int) - px.astype(int)).mean()
+    assert errs["444"] < 6 and errs["420"] < 8
