@@ -1127,3 +1127,33 @@ def test_jpeg_420_error_close_to_444_on_smooth_color():
         _, _, out = parse_jpeg(encode_jpeg(px, subsampling=ss))
         errs[ss] = np.abs(out.astype(int) - px.astype(int)).mean()
     assert errs["444"] < 6 and errs["420"] < 8
+
+
+def test_jpeg_randomized_shapes_and_flat_colors():
+    """Seeded sweep over dims x subsampling x restart: decode shape
+    always matches the input, and flat even-gray content round-trips
+    exactly through every path (the quantization-exactness invariant
+    the driver oracle relies on, here over arbitrary geometry)."""
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    rng = np.random.RandomState(13)
+    for _ in range(12):
+        h = int(rng.randint(1, 40))
+        w = int(rng.randint(1, 40))
+        ss = ("444", "420")[rng.randint(2)]
+        ri = int(rng.randint(0, 3))
+        v = int(rng.randint(32, 112)) * 2  # even gray
+        px = np.full((h, w, 3), v, dtype=np.uint8)
+        W, H, out = parse_jpeg(encode_jpeg(px, subsampling=ss, restart_interval=ri))
+        assert (W, H) == (w, h), (w, h, ss, ri)
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out, px), (w, h, ss, ri, v)
+        # arbitrary content must at least decode to the right geometry
+        noisy = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        W, H, out = parse_jpeg(encode_jpeg(noisy, subsampling=ss, restart_interval=ri))
+        assert out.shape == (h, w, 3)
