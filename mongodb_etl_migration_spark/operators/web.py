@@ -166,3 +166,32 @@ def url_dedup_first_wins(df, url_col: str, order_col: str):
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def html_to_text(c: Column | str) -> Column:
+    """Boilerplate-free text from raw HTML — the extraction step every
+    web-corpus pipeline runs between the crawl and the curation
+    filters (trafilatura-lite). Pure regexp_replace chain: script and
+    style blocks (with their content) and comments removed, remaining
+    tags stripped, the five ubiquitous named entities decoded (&amp;
+    LAST, the conventional single-pass order, so '&amp;lt;' decodes to
+    '&lt;' identically on every engine), whitespace collapsed.
+    Codegen'd, zero shuffle, linear scan. RE2-compatible patterns
+    (no backreferences), so the oracle mirrors them verbatim.
+    A production pipeline chains readability scoring behind the same
+    Column contract; numeric character references are out of scope."""
+    x = _c(c)
+    x = F.regexp_replace(x, "(?is)<script[^>]*>.*?</script>", " ")
+    x = F.regexp_replace(x, "(?is)<style[^>]*>.*?</style>", " ")
+    x = F.regexp_replace(x, "(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(x, "(?s)<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(x, "\\s+", " "))

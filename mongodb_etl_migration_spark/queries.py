@@ -5136,6 +5136,148 @@ def m_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_images(mm).drop("content_digest")
 
 
+@query(
+    "w_html_extract",
+    """
+    WITH page AS (
+      SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || '</title><style>p { color: red; }</style>'
+             || '<script>var hidden = "<b>not text</b>";</script></head>'
+             || '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+             || '<!-- crawler boilerplate -->'
+             || '<p>' || text || ' &amp; more &lt;tags&gt;</p>'
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '<div class="nav">home&nbsp;|&nbsp;about</div>'
+                     ELSE '' END
+             || '</body></html>' AS html
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 html,
+                 '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?s)<[^>]+>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             '\\s+', ' ', 'g')) AS extracted
+    FROM page
+    """,
+)
+def w_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (web.html_to_text): per doc, build a
+    full HTML page around the document text — head/title, style and
+    script blocks (script body contains TAGS that must vanish with
+    it), comments, entities, a nav div on every third doc — and strip
+    it back to clean text. Exact string output, hash-verified: the
+    oracle runs the same RE2-compatible regex chain verbatim. Pure
+    codegen'd Columns, zero shuffle — the step between the crawl and
+    every text-curation filter in this catalog."""
+    d = Catalog(spark, sf_dir).documents
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit('</title><style>p { color: red; }</style>'),
+        F.lit('<script>var hidden = "<b>not text</b>";</script></head>'),
+        F.lit("<body><h1>Doc "), did, F.lit("</h1>"),
+        F.lit("<!-- crawler boilerplate -->"),
+        F.lit("<p>"), F.col("text"), F.lit(" &amp; more &lt;tags&gt;</p>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit('<div class="nav">home&nbsp;|&nbsp;about</div>'),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return d.select(
+        "doc_id", WB.html_to_text(html).alias("extracted")
+    )
+
+
+@query(
+    "w_warc_extract",
+    """
+    SELECT doc_id,
+           CAST(r AS BIGINT) AS record_idx,
+           CASE WHEN r = 0 THEN 'warcinfo' ELSE 'response' END AS warc_type,
+           CASE WHEN r = 0 THEN ''
+                ELSE 'https://www.' || source || '.example.com/w/'
+                     || CAST(doc_id * 10 + r AS VARCHAR) END AS target_uri,
+           CASE WHEN r = 0 THEN NULL
+                WHEN r % 4 = 3 THEN 404 ELSE 200 END AS http_status,
+           CASE WHEN r = 0 THEN NULL ELSE 'text/html' END AS content_type,
+           CASE WHEN r = 0 THEN 'crawler=spark-graft'
+                ELSE '<p>Body ' || CAST(doc_id AS VARCHAR) || '-'
+                     || CAST(r AS VARCHAR) || '</p>' END AS body
+    FROM documents, unnest(range(0, doc_id % 3 + 2)) AS t(r)
+    WHERE doc_id % 5 = 0
+    """,
+)
+def w_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-shard ingest (sources/warc.explode_warc): per doc,
+    serialize a WARC/1.0 stream — one warcinfo record plus 1-3 HTTP
+    response records (every 4th a 404) — then parse it back through
+    the dependency-free record walker: framing by Content-Length, CRLF
+    header blocks, HTTP layer unwrapped per response. The oracle
+    predicts every field analytically, so a hash match proves real
+    WARC framing and HTTP parsing ran. 1→N Arrow-batched explode, the
+    same plumbing shape as video frame sampling; 1/5 doc slice."""
+    import pandas as pd
+
+    from mongodb_etl_migration_spark.sources import warc as WR
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    d = (
+        Catalog(spark, sf_dir)
+        .documents.select("doc_id", "source")
+        .filter(F.expr("doc_id % 5 = 0"))
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                did = int(doc_id)
+                recs = [
+                    {
+                        "warc_type": "warcinfo",
+                        "target_uri": "",
+                        "payload": b"crawler=spark-graft",
+                    }
+                ]
+                for r in range(1, did % 3 + 2):
+                    url = f"https://www.{source}.example.com/w/{did * 10 + r}"
+                    status = 404 if r % 4 == 3 else 200
+                    body = f"<p>Body {did}-{r}</p>".encode()
+                    recs.append(
+                        {
+                            "warc_type": "response",
+                            "target_uri": url,
+                            "http": (status, "text/html", body),
+                        }
+                    )
+                payloads.append(WR.build_warc(recs))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    shards = d.mapInPandas(synth, schema)
+    return WR.explode_warc(shards)
+
+
 # =====================================================================
 # Entry points consumed by __spark_entry__.py
 # =====================================================================

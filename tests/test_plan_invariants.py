@@ -33,6 +33,7 @@ ARROW_OK = {
     "m_gif_frames",          # real GIF multi-frame codec (mapInPandas)
     "m_audio_decode_real",   # real WAV codec (mapInPandas)
     "m_frame_sample",        # frame-sampling fan-out (mapInPandas)
+    "w_warc_extract",        # WARC record explode (mapInPandas)
     "e_sessionization",      # batch twin is pure SQL — listed in case
 }
 
