@@ -823,10 +823,11 @@ def decode_media(multimodal: DataFrame) -> DataFrame:
 # Dependency-free baseline JPEG, same spirit as the QOI/GIF codecs:
 # the container has no libjpeg/PIL, so the codec is implemented from
 # the public spec (ISO/IEC 10918-1; tables from Annex K). Scope is
-# honest and explicit: baseline sequential DCT, 8-bit, 3 components,
-# 1x1 sampling (no chroma subsampling), no restart markers, no
-# progressive — encode_jpeg always emits that shape and parse_jpeg
-# rejects anything else with ValueError rather than mis-decoding.
+# honest and explicit: baseline sequential DCT, 8-bit, 1 (grayscale)
+# or 3 components, sampling factors up to 2x2 (4:4:4/4:2:2/4:4:0/
+# 4:2:0), any dimensions, DRI/RSTn restart markers — progressive/
+# arithmetic/12-bit streams raise ValueError rather than mis-decode.
+# The encoder emits 4:4:4 or 4:2:0 with optional restart intervals.
 
 _JPEG_QY = np.array([  # Annex K.1 luminance quantization
     [16, 11, 10, 16, 24, 40, 51, 61],
@@ -950,6 +951,9 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
+        # drop emitted high bits: without this the accumulator grows
+        # into a scan-length bigint and encoding turns O(n²)
+        self.acc &= (1 << self.nbits) - 1
 
     def restart(self, n: int) -> None:
         """Byte-align with 1-padding and emit RSTn (unstuffed)."""
@@ -1234,6 +1238,16 @@ def parse_jpeg(raw: bytes) -> tuple[int, int, np.ndarray]:
     ValueError — honest scope, never a silent mis-decode."""
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
+    try:
+        return _parse_jpeg_inner(raw)
+    except (IndexError, KeyError, struct.error) as e:
+        # the ValueError contract decode_images/resize_images rely on:
+        # a truncated or table-less stream must yield the honest-NULL
+        # fallback, never crash the Spark task with a raw IndexError
+        raise ValueError(f"malformed JPEG: {e!r}") from e
+
+
+def _parse_jpeg_inner(raw: bytes) -> tuple[int, int, np.ndarray]:
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
@@ -1246,8 +1260,16 @@ def parse_jpeg(raw: bytes) -> tuple[int, int, np.ndarray]:
     while pos < len(raw):
         if raw[pos] != 0xFF:
             raise ValueError("bad marker stream")
+        # ISO 10918-1 B.1.1.2: any number of 0xFF fill bytes may pad
+        # before the marker id
+        while pos + 1 < len(raw) and raw[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(raw):
+            raise ValueError("truncated marker")
         marker = raw[pos + 1]
         pos += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers (TEM/RSTn): no length field
         if marker == 0xD9:
             break
         ln = int.from_bytes(raw[pos:pos + 2], "big")

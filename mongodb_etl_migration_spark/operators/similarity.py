@@ -304,12 +304,16 @@ def l2_normalize(vec: Column | str) -> Column:
     O(d) norm for every element — O(d²) per row (round-1 VERDICT
     "What's wrong" #6). ``transform(array(norm), n -> ...)`` evaluates
     the norm exactly once and exposes it to the inner lambda as a
-    bound variable."""
+    bound variable. A zero vector stays the zero vector (x/0 under
+    non-ANSI Spark would silently NULL every element)."""
     v = _dvec(vec)
     return F.element_at(
         F.transform(
             F.array(norm(v)),
-            lambda n: F.transform(v, lambda x: x / n),
+            lambda n: F.transform(
+                v,
+                lambda x: F.when(n == 0.0, F.lit(0.0)).otherwise(x / n),
+            ),
         ),
         1,
     )
@@ -547,12 +551,17 @@ def matryoshka(vec: Column | str, k: int) -> Column:
     trades recall for k/d of the memory and FLOPs when embeddings
     were trained with Matryoshka representation learning. Same
     let-binding shape as l2_normalize (the prefix norm evaluates once
-    per row, not once per element); pure Column, zero shuffle."""
+    per row, not once per element); pure Column, zero shuffle. An
+    all-zero PREFIX — possible even when the full vector is nonzero —
+    stays the zero vector rather than silently NULLing out."""
     v = F.slice(_dvec(vec), 1, k)
     return F.element_at(
         F.transform(
             F.array(norm(v)),
-            lambda n: F.transform(v, lambda x: x / n),
+            lambda n: F.transform(
+                v,
+                lambda x: F.when(n == 0.0, F.lit(0.0)).otherwise(x / n),
+            ),
         ),
         1,
     )

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -62,8 +62,12 @@ def table_checksum(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     gate can't see that). A migration passes when source and target
     checksums agree.
 
-    Per row: md5 over a '|'-joined canonical serialization (columns
-    cast to string, NULL → a sentinel so 'a',NULL ≠ 'a'), folded to a
+    Per row: md5 over a canonical serialization where every field is
+    LENGTH-PREFIXED — NULL → ``N``, value → ``V<len>:<value>`` —
+    before the '|' join, so the field boundaries are pinned: a '|'
+    inside a string value cannot shift content across columns
+    ('a|b','c' vs 'a','b|c' serialize differently), and no string
+    value can collide with the NULL token. The row hash folds to a
     63-bit integer; per table: bit_xor of the row hashes. XOR makes
     the aggregate order- AND partition-independent with no overflow,
     so it runs as a map-side-combinable one-pass aggregate — at 100 TB
@@ -73,13 +77,16 @@ def table_checksum(df: DataFrame, cols: Sequence[str]) -> DataFrame:
 
     Output: one row (n_rows, checksum) — both bigint.
     """
-    canon = F.concat_ws(
-        "|",
-        *[
-            F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
-            for c in cols
-        ],
-    )
+
+    def token(c: str) -> Column:
+        s = F.col(c).cast("string")
+        return F.when(F.col(c).isNull(), F.lit("N")).otherwise(
+            F.concat(
+                F.lit("V"), F.length(s).cast("string"), F.lit(":"), s
+            )
+        )
+
+    canon = F.concat_ws("|", *[token(c) for c in cols])
     row_hash = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
     return df.select(row_hash.alias("__h")).agg(
         F.count("*").cast("bigint").alias("n_rows"),

@@ -2343,35 +2343,26 @@ def m_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _gradient_image_decode(
-    spark: SparkSession, sf_dir: str, encode, blue: int = 9,
-    doc_filter: str | None = None,
-) -> DataFrame:
-    """Shared harness for the real-codec image queries: synthesize the
-    analytic gradient (R=x, G=y, B=``blue``; dims derived from doc_id)
-    per doc, encode with the given codec, decode through
-    decode_images. The BMP/PNG/QOI oracles all predict dims/means
-    from this shape."""
-    import numpy as np
+def _mm_payload_table(d: DataFrame, make_payload) -> DataFrame:
+    """ONE shared synth harness for the real-codec image queries:
+    ``make_payload(doc_id) -> bytes`` per doc, emitted in the
+    multimodal input contract (doc_id, payload, meta{media_type,
+    byte_size}). Every decode query builds its input here, so a
+    change to the contract decode_images consumes cannot silently
+    fork between the BMP/PNG/QOI/JPEG fixtures."""
     import pandas as pd
 
-    d = Catalog(spark, sf_dir).documents.select("doc_id")
-    if doc_filter is not None:
-        # deterministic slice: pure-Python codecs (QOI) pay per-pixel
-        # loops per doc — a 1/7 sample keeps the verification real
-        # without dominating catalog wall time
-        d = d.filter(F.expr(doc_filter))
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
     def synth(batches):
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                w, h = int(doc_id) % 24 + 8, int(doc_id) % 16 + 4
-                px = np.zeros((h, w, 3), dtype=np.uint8)
-                px[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
-                px[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None]
-                px[:, :, 2] = blue
-                payloads.append(encode(px))
+            payloads = [make_payload(int(i)) for i in pdf["doc_id"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -2382,14 +2373,6 @@ def _gradient_image_decode(
                     ],
                 }
             )
-
-    from pyspark.sql.types import (
-        BinaryType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
 
     mm_schema = StructType(
         [
@@ -2406,7 +2389,36 @@ def _gradient_image_decode(
             ),
         ]
     )
-    mm = d.mapInPandas(synth, mm_schema)
+    return d.mapInPandas(synth, mm_schema)
+
+
+def _gradient_image_decode(
+    spark: SparkSession, sf_dir: str, encode, blue: int = 9,
+    doc_filter: str | None = None,
+) -> DataFrame:
+    """Shared harness for the real-codec image queries: synthesize the
+    analytic gradient (R=x, G=y, B=``blue``; dims derived from doc_id)
+    per doc, encode with the given codec, decode through
+    decode_images. The BMP/PNG/QOI oracles all predict dims/means
+    from this shape."""
+    import numpy as np
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id")
+    if doc_filter is not None:
+        # deterministic slice: pure-Python codecs (QOI) pay per-pixel
+        # loops per doc — a 1/7 sample keeps the verification real
+        # without dominating catalog wall time
+        d = d.filter(F.expr(doc_filter))
+
+    def make_payload(did: int) -> bytes:
+        w, h = did % 24 + 8, did % 16 + 4
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        px[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
+        px[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None]
+        px[:, :, 2] = blue
+        return encode(px)
+
+    mm = _mm_payload_table(d, make_payload)
     return M.decode_images(mm).drop("content_digest")
 
 
@@ -3453,9 +3465,13 @@ def v2_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            array_to_string(
              list_transform(embedding::DOUBLE[],
-               x -> CAST(floor(x / sqrt(list_sum(
-                      list_transform(embedding::DOUBLE[], y -> y * y)))
-                    * 100000 + 0.5) AS BIGINT)), ',')
+               x -> CAST(floor(
+                    CASE WHEN list_sum(list_transform(
+                           embedding::DOUBLE[], y -> y * y)) = 0
+                         THEN 0.0
+                         ELSE x / sqrt(list_sum(list_transform(
+                                embedding::DOUBLE[], y -> y * y)))
+                    END * 100000 + 0.5) AS BIGINT)), ',')
              AS unit
     FROM embeddings
     """,
@@ -4930,9 +4946,12 @@ def a19_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            array_to_string(
              list_transform(pre,
-               x -> CAST(floor(x / sqrt(list_sum(
-                      list_transform(pre, y -> y * y)))
-                    * 100000 + 0.5) AS BIGINT)), ',')
+               x -> CAST(floor(
+                    CASE WHEN list_sum(list_transform(pre, y -> y * y)) = 0
+                         THEN 0.0
+                         ELSE x / sqrt(list_sum(
+                                list_transform(pre, y -> y * y)))
+                    END * 100000 + 0.5) AS BIGINT)), ',')
              AS unit8
     FROM (SELECT vec_id, (embedding::DOUBLE[])[:8] AS pre FROM embeddings)
     """,
@@ -5002,12 +5021,24 @@ def sim_int8_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
       SELECT CAST(('0x' || substr(md5(
                concat_ws('|',
-                 COALESCE(CAST(l_orderkey AS VARCHAR), '<null>'),
-                 COALESCE(CAST(l_partkey AS VARCHAR), '<null>'),
-                 COALESCE(CAST(l_suppkey AS VARCHAR), '<null>'),
-                 COALESCE(CAST(l_linenumber AS VARCHAR), '<null>'),
-                 COALESCE(l_returnflag, '<null>'),
-                 COALESCE(l_linestatus, '<null>'))), 1, 15)) AS BIGINT) AS rh
+                 CASE WHEN l_orderkey IS NULL THEN 'N'
+                      ELSE 'V' || CAST(length(CAST(l_orderkey AS VARCHAR)) AS VARCHAR)
+                           || ':' || CAST(l_orderkey AS VARCHAR) END,
+                 CASE WHEN l_partkey IS NULL THEN 'N'
+                      ELSE 'V' || CAST(length(CAST(l_partkey AS VARCHAR)) AS VARCHAR)
+                           || ':' || CAST(l_partkey AS VARCHAR) END,
+                 CASE WHEN l_suppkey IS NULL THEN 'N'
+                      ELSE 'V' || CAST(length(CAST(l_suppkey AS VARCHAR)) AS VARCHAR)
+                           || ':' || CAST(l_suppkey AS VARCHAR) END,
+                 CASE WHEN l_linenumber IS NULL THEN 'N'
+                      ELSE 'V' || CAST(length(CAST(l_linenumber AS VARCHAR)) AS VARCHAR)
+                           || ':' || CAST(l_linenumber AS VARCHAR) END,
+                 CASE WHEN l_returnflag IS NULL THEN 'N'
+                      ELSE 'V' || CAST(length(l_returnflag) AS VARCHAR)
+                           || ':' || l_returnflag END,
+                 CASE WHEN l_linestatus IS NULL THEN 'N'
+                      ELSE 'V' || CAST(length(l_linestatus) AS VARCHAR)
+                           || ':' || l_linestatus END)), 1, 15)) AS BIGINT) AS rh
       FROM lineitem
     )
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -5077,16 +5108,8 @@ def m_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     prediction chained, IDCT applied. 1/11 doc slice: the pure-Python
     entropy coder pays per-block loops."""
     import numpy as np
-    import pandas as pd
 
     from mongodb_etl_migration_spark.operators.multimodal import encode_jpeg
-    from pyspark.sql.types import (
-        BinaryType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
 
     d = (
         Catalog(spark, sf_dir)
@@ -5094,45 +5117,16 @@ def m_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr("doc_id % 11 = 0"))
     )
 
-    def synth(batches):
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                did = int(doc_id)
-                wb, hb = did % 3 + 1, did % 2 + 1
-                px = np.zeros((hb * 8, wb * 8, 3), dtype=np.uint8)
-                for by in range(hb):
-                    for bx in range(wb):
-                        v = 64 + 8 * ((bx + 3 * by + did) % 17)
-                        px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, :] = v
-                payloads.append(encode_jpeg(px))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": payloads,
-                    "meta": [
-                        {"media_type": "image", "byte_size": len(p)}
-                        for p in payloads
-                    ],
-                }
-            )
+    def make_payload(did: int) -> bytes:
+        wb, hb = did % 3 + 1, did % 2 + 1
+        px = np.zeros((hb * 8, wb * 8, 3), dtype=np.uint8)
+        for by in range(hb):
+            for bx in range(wb):
+                v = 64 + 8 * ((bx + 3 * by + did) % 17)
+                px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, :] = v
+        return encode_jpeg(px)
 
-    mm_schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("payload", BinaryType()),
-            StructField(
-                "meta",
-                StructType(
-                    [
-                        StructField("media_type", StringType()),
-                        StructField("byte_size", LongType()),
-                    ]
-                ),
-            ),
-        ]
-    )
-    mm = d.mapInPandas(synth, mm_schema)
+    mm = _mm_payload_table(d, make_payload)
     return M.decode_images(mm).drop("content_digest")
 
 

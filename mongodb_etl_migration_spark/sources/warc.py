@@ -113,7 +113,12 @@ def parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
         raise ValueError("not an HTTP response payload")
     head_lines = payload[:sep].split(_CRLF)
     parts = head_lines[0].split(b" ", 2)
-    status = int(parts[1])
+    if len(parts) < 2:
+        raise ValueError("malformed HTTP status line")
+    try:
+        status = int(parts[1])
+    except ValueError as e:
+        raise ValueError("non-numeric HTTP status") from e
     ctype = ""
     for ln in head_lines[1:]:
         k, _, v = ln.partition(b":")

@@ -1157,3 +1157,67 @@ def test_jpeg_randomized_shapes_and_flat_colors():
         noisy = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
         W, H, out = parse_jpeg(encode_jpeg(noisy, subsampling=ss, restart_interval=ri))
         assert out.shape == (h, w, 3)
+
+
+def test_jpeg_malformed_streams_raise_valueerror_not_indexerror():
+    import pytest
+
+    from mongodb_etl_migration_spark.operators.multimodal import parse_jpeg
+
+    # truncated mid-marker / header-less: the ValueError contract
+    # decode_images relies on (an IndexError would kill the task)
+    for bad in (b"\xff\xd8\xff", b"\xff\xd8\xff\xdb\x00\x05\x00"):
+        with pytest.raises(ValueError):
+            parse_jpeg(bad)
+
+
+def test_jpeg_fill_bytes_before_markers_are_legal():
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    px = np.full((8, 8, 3), 100, dtype=np.uint8)
+    raw = encode_jpeg(px)
+    # inject ISO 10918-1 B.1.1.2 fill bytes before the first DQT
+    i = raw.find(b"\xff\xdb")
+    padded = raw[:i] + b"\xff\xff\xff" + raw[i:]
+    _, _, out = parse_jpeg(padded)
+    assert np.array_equal(out, px)
+
+
+def test_jpeg_bitwriter_accumulator_stays_bounded():
+    from mongodb_etl_migration_spark.operators.multimodal import _BitWriter
+
+    bw = _BitWriter()
+    for i in range(5000):
+        bw.put(i & 0x3FF, 10)
+    # without the post-emit mask this reaches ~50k bits (O(n^2) encode)
+    assert bw.acc.bit_length() <= 8
+
+
+def test_matryoshka_zero_prefix_stays_zero(spark):
+    from pyspark.sql import functions as F
+
+    from mongodb_etl_migration_spark.operators.similarity import (
+        l2_normalize,
+        matryoshka,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * 8 + [0.5] * 8), (2, [0.0] * 16)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r.vec_id: (r.m, r.u)
+        for r in df.select(
+            "vec_id",
+            matryoshka("embedding", 8).alias("m"),
+            l2_normalize("embedding").alias("u"),
+        ).collect()
+    }
+    assert rows[1][0] == [0.0] * 8          # zero PREFIX -> zeros, not NULLs
+    assert rows[2][1] == [0.0] * 16         # zero vector -> zeros
+    assert abs(sum(x * x for x in rows[1][1]) - 1.0) < 1e-12

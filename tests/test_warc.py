@@ -71,3 +71,10 @@ def test_explode_warc_null_status_for_non_http(spark):
     rows = {r.record_idx: r for r in W.explode_warc(df).collect()}
     assert rows[0].http_status is None and rows[0].body == "plain"
     assert rows[1].http_status == 301 and rows[1].body == "moved"
+
+
+def test_malformed_http_status_lines_raise_valueerror():
+    with pytest.raises(ValueError):
+        W.parse_http_response(b"HTTP/1.1\r\n\r\nbody")  # no status code
+    with pytest.raises(ValueError):
+        W.parse_http_response(b"HTTP/1.1 abc OK\r\n\r\nbody")

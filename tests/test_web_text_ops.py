@@ -170,3 +170,18 @@ def test_table_checksum_order_independent_and_content_sensitive(spark):
     assert ca == cb                       # row order invisible
     assert ca.checksum != cc.checksum     # content visible
     assert ca.checksum != cn.checksum     # NULL sentinel distinct from 'x'
+
+
+def test_table_checksum_field_boundaries_are_pinned(spark):
+    from mongodb_etl_migration_spark.operators.validation import table_checksum
+
+    # same '|'-joined content, different column split: must differ
+    a = spark.createDataFrame([("a|b", "c")], "x string, y string")
+    b = spark.createDataFrame([("a", "b|c")], "x string, y string")
+    # literal '<null>'-ish strings must not collide with NULL either
+    c = spark.createDataFrame([("N", None)], "x string, y string")
+    d = spark.createDataFrame([(None, "N")], "x string, y string")
+    cks = [
+        table_checksum(df, ["x", "y"]).first().checksum for df in (a, b, c, d)
+    ]
+    assert len(set(cks)) == 4
