@@ -1327,6 +1327,14 @@ def _parse_jpeg_inner(raw: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("missing SOF/SOS")
     w, h = dims
     ncomp = len(samp)
+    if ncomp == 1:
+        # ISO 10918-1 A.2.2/A.2.3: a single-component scan is
+        # NON-interleaved — the MCU is one data unit and blocks follow
+        # raster order; the SOF sampling factors only matter relative
+        # to other components. Forcing (1,1) yields that layout
+        # (a grayscale file declaring 2x2 factors would otherwise be
+        # silently mis-decoded as 4-blocks-per-MCU).
+        samp = [(1, 1)]
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcus_x = -(-w // (8 * hmax))

@@ -67,13 +67,18 @@ def table_checksum(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     before the '|' join, so the field boundaries are pinned: a '|'
     inside a string value cannot shift content across columns
     ('a|b','c' vs 'a','b|c' serialize differently), and no string
-    value can collide with the NULL token. The row hash folds to a
-    63-bit integer; per table: bit_xor of the row hashes. XOR makes
-    the aggregate order- AND partition-independent with no overflow,
-    so it runs as a map-side-combinable one-pass aggregate — at 100 TB
-    the exchange carries one long per partition. Restrict ``cols`` to
-    integer/string columns: float and timestamp STRINGIFICATION is
-    engine-specific, integer and string rendering is not.
+    value can collide with the NULL token. The row hash is a 60-bit
+    integer (15 hex chars of the md5); per table: SUM of the row
+    hashes in decimal(38,0), reduced mod 2^62. SUM — not XOR — because
+    XOR is blind to even multiplicities (a row duplicated twice XORs
+    to zero, so two tables differing only in paired duplicates would
+    collide); a sum moves by h per extra copy. The wide-decimal
+    accumulator is overflow-safe past 10^37 rows, commutative and
+    associative, so it still runs as a map-side-combinable one-pass
+    aggregate — at 100 TB the exchange carries one accumulator per
+    partition. Restrict ``cols`` to integer/string columns: float and
+    timestamp STRINGIFICATION is engine-specific, integer and string
+    rendering is not.
 
     Output: one row (n_rows, checksum) — both bigint.
     """
@@ -87,8 +92,10 @@ def table_checksum(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         )
 
     canon = F.concat_ws("|", *[token(c) for c in cols])
-    row_hash = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    row_hash = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
     return df.select(row_hash.alias("__h")).agg(
         F.count("*").cast("bigint").alias("n_rows"),
-        F.bit_xor("__h").alias("checksum"),
+        (F.sum("__h") % F.lit(2**62)).cast("bigint").alias("checksum"),
     )

@@ -36,10 +36,18 @@ def url_scheme(c: Column | str) -> Column:
 
 
 def url_host(c: Column | str) -> Column:
-    """Lowercased host, default :80/:443 port dropped (a canonical
-    host — ports are rare in crawl URLs and default ports are noise)."""
-    host = F.lower(F.regexp_extract(_c(c), _HOST_RE, 1))
-    host = F.regexp_replace(host, ":(80|443)$", "")
+    """Lowercased host with the SCHEME'S default port dropped (:80 for
+    http, :443 for https). A non-default port — including
+    http://host:443 — is kept: it names a distinct origin and must not
+    dedup with the portless URL."""
+    x = _c(c)
+    host = F.lower(F.regexp_extract(x, _HOST_RE, 1))
+    scheme = url_scheme(x)
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
     return F.nullif(host, F.lit(""))
 
 

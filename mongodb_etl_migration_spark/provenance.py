@@ -91,7 +91,9 @@ def _code_names(code: types.CodeType) -> set[str]:
     return names
 
 
-def _fn_deps(fn, queries_mod_name: str) -> tuple[set[str], list[str]]:
+def _fn_deps(
+    fn, queries_mod_name: str
+) -> tuple[set[str], list[str], list[str]]:
     """(package modules referenced, queries-module source snippets,
     function-granular self snippets) for ``fn``.
 

@@ -4437,10 +4437,14 @@ def _messy_url_col() -> F.Column:
     """Deterministic messy-URL construction from (doc_id, source) —
     mixed-case host, default port, trailing slash, tracking params,
     fragment — built IDENTICALLY in the SQL oracle so the operator
-    under test is the parser/canonicalizer, not the test data."""
+    under test is the parser/canonicalizer, not the test data.
+    doc_id % 7 == 0 rows use the http scheme, so an http URL carrying
+    :443 (a NON-default port for http — distinct origin) exercises the
+    scheme-aware default-port rule in url_host."""
     d = F.col("doc_id")
     return F.concat(
-        F.lit("https://WWW."),
+        F.when(d % 7 == 0, F.lit("http")).otherwise(F.lit("https")),
+        F.lit("://WWW."),
         F.upper("source"),
         F.lit(".Example.COM"),
         F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
@@ -4457,7 +4461,8 @@ def _messy_url_col() -> F.Column:
 
 
 _MESSY_URL_SQL = """
-      'https://WWW.' || upper(source) || '.Example.COM'
+      CASE WHEN doc_id % 7 = 0 THEN 'http' ELSE 'https' END
+      || '://WWW.' || upper(source) || '.Example.COM'
       || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END
       || CASE WHEN doc_id % 11 = 0 THEN ''
               ELSE '/Docs/' || CAST(doc_id % 50 AS VARCHAR) END
@@ -4472,17 +4477,21 @@ _MESSY_URL_SQL = """
 _URL_PARTS_SQL = f"""
     WITH u AS (
       SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents
-    ), p AS (
-      SELECT doc_id,
+    ), p0 AS (
+      SELECT doc_id, url,
         lower(nullif(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), '')) AS scheme,
-        nullif(regexp_replace(
-          lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
-          ':(80|443)$', ''), '') AS host,
+        lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS rawhost
+      FROM u
+    ), p AS (
+      SELECT doc_id, scheme,
+        nullif(CASE WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80$', '')
+                    WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$', '')
+                    ELSE rawhost END, '') AS host,
         regexp_replace(
           regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1),
           '/+$', '') AS path0,
         nullif(regexp_extract(url, '\\?([^#]*)', 1), '') AS q
-      FROM u
+      FROM p0
     ), r AS (
       SELECT doc_id, scheme, host,
         CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
@@ -4602,10 +4611,15 @@ def t_rare_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "e_funnel",
     """
-    WITH q0s AS (
+    WITH ev AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE NOT ((user_id % 5 = 0 AND event_type = 'view')
+              OR (user_id % 5 = 1 AND event_type = 'click')
+              OR (user_id % 5 = 2 AND event_type = 'purchase'))
+    ), q0s AS (
       SELECT user_id, ts, event_type,
              CASE WHEN event_type = 'view' THEN ts END AS q0
-      FROM events
+      FROM ev
     ), r0 AS (
       SELECT *, min(q0) OVER (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m0
@@ -4638,8 +4652,23 @@ def e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the previous step's first qualifying occurrence. Value-based
     RANGE-frame prefix minima make the result independent of sort-tie
     order (the property that lets two engines agree); one shuffle on
-    user_id, no per-user event buffering."""
+    user_id, no per-user event buffering.
+
+    Fixture: events are pre-filtered by user-id modulus (user%5==0
+    drops views, ==1 drops clicks, ==2 drops purchases) so every
+    stage bucket 0-3 is populated — at the committed SFs the raw
+    events table funnels every user to stage 3, which would leave the
+    stage-0/1/2 arms and the strict-after edge untested at the
+    catalog level."""
     e = Catalog(spark, sf_dir).events
+    m = F.col("user_id") % 5
+    e = e.filter(
+        ~(
+            ((m == 0) & (F.col("event_type") == "view"))
+            | ((m == 1) & (F.col("event_type") == "click"))
+            | ((m == 2) & (F.col("event_type") == "purchase"))
+        )
+    )
     return EV.funnel_stages(
         e, "user_id", "ts", "event_type", ("view", "click", "purchase")
     )
@@ -5042,7 +5071,7 @@ def sim_int8_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(bit_xor(rh) AS BIGINT) AS checksum
+           CAST(sum(rh) % 4611686018427387904 AS BIGINT) AS checksum
     FROM h
     """,
 )
@@ -5050,9 +5079,11 @@ def v3_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent content checksum (validation.table_checksum)
     over lineitem's integer/string columns — the validation rung
     above v1's count reconciliation (matching counts can still hide
-    row-level divergence). bit_xor folding is order- and partition-
-    independent with no overflow, so it's one map-side-combinable
-    pass whose exchange carries a single long per partition."""
+    row-level divergence). SUM-mod-2^62 folding (duplicate-sensitive,
+    unlike XOR) is order- and partition-independent, so it's one
+    map-side-combinable pass whose exchange carries a single
+    accumulator per partition; DuckDB's HUGEINT sum mirrors Spark's
+    decimal(38,0) exactly below 2^126."""
     li = Catalog(spark, sf_dir).lineitem
     return V.table_checksum(
         li,
