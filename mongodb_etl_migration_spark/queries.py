@@ -5303,6 +5303,145 @@ def w_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WR.explode_warc(shards)
 
 
+def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic on-disk WARC shards from the documents slice
+    (doc_id % 5 == 0): 8 files keyed by doc_id % 8 — even shards plain
+    .warc, odd shards per-record-gzip .warc.gz (the Common Crawl
+    layout), so one read exercises both stream paths. Each shard: one
+    warcinfo record, then HTTP responses in (doc_id, r) order.
+
+    The collect is FIXTURE CONSTRUCTION, not the operator under test —
+    O(slice) two-column rows (~1k at sf0.1), built on the driver
+    because the product being verified is the file-based reader, which
+    needs real files. Files are rewritten only when bytes differ
+    (atomic os.replace), under the repo's gitignored .warc_fixtures/;
+    content is a pure function of the slice, so concurrent builders
+    converge."""
+    import os
+
+    from mongodb_etl_migration_spark.sources import warc as WR
+
+    d = Catalog(spark, sf_dir).documents
+    rows = (
+        d.filter(F.expr("doc_id % 5 = 0"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+        .collect()
+    )
+    shards: dict[int, list[dict]] = {}
+    for row in rows:
+        did = int(row["doc_id"])
+        sh = did % 8
+        if sh not in shards:
+            shards[sh] = [
+                {
+                    "warc_type": "warcinfo",
+                    "payload": f"crawler=spark-graft shard={sh}".encode(),
+                }
+            ]
+        for r in range(1, did % 3 + 2):
+            shards[sh].append(
+                {
+                    "warc_type": "response",
+                    "target_uri": (
+                        f"https://www.{row['source']}.example.com"
+                        f"/w/{did * 10 + r}"
+                    ),
+                    "http": (
+                        404 if r % 4 == 3 else 200,
+                        "text/html",
+                        f"<p>Body {did}-{r}</p>".encode(),
+                    ),
+                }
+            )
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".warc_fixtures",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    os.makedirs(base, exist_ok=True)
+    for sh, recs in shards.items():
+        if sh % 2:
+            name, data = f"shard-{sh}.warc.gz", WR.build_warc_gz(recs)
+        else:
+            name, data = f"shard-{sh}.warc", WR.build_warc(recs)
+        path = os.path.join(base, name)
+        try:
+            if os.path.getsize(path) == len(data):
+                with open(path, "rb") as f:
+                    if f.read() == data:
+                        continue
+        except OSError:
+            pass
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    return base
+
+
+@query(
+    "w_warc_source",
+    """
+    WITH docs AS (
+      SELECT doc_id, source, doc_id % 8 AS shard
+      FROM documents WHERE doc_id % 5 = 0
+    ), resp AS (
+      SELECT shard, doc_id, source, r,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id, r) AS rn
+      FROM docs, unnest(range(1, doc_id % 3 + 2)) AS t(r)
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(0 AS BIGINT) AS record_idx,
+           'warcinfo' AS warc_type,
+           '' AS target_uri,
+           CAST(NULL AS BIGINT) AS http_status,
+           CAST(NULL AS VARCHAR) AS content_type,
+           'crawler=spark-graft shard=' || CAST(shard AS VARCHAR) AS body
+    FROM (SELECT DISTINCT shard FROM docs)
+    UNION ALL
+    SELECT CAST(shard AS BIGINT),
+           CAST(rn AS BIGINT),
+           'response',
+           'https://www.' || source || '.example.com/w/'
+             || CAST(doc_id * 10 + r AS VARCHAR),
+           CASE WHEN r % 4 = 3 THEN 404 ELSE 200 END,
+           'text/html',
+           '<p>Body ' || CAST(doc_id AS VARCHAR) || '-'
+             || CAST(r AS VARCHAR) || '</p>'
+    FROM resp
+    """,
+)
+def w_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based crawl ingest (sources/warc_source, format("warc")):
+    real .warc and per-record-gzip .warc.gz shard FILES on disk —
+    built deterministically from the documents slice — read through
+    the Python DataSource: one InputPartition per shard, records
+    streaming out of the (gzip) file one at a time inside the scan
+    stage, HTTP layer unwrapped per response. The oracle predicts
+    every field analytically from the same slice, so a hash match
+    proves the gzip-member layer, incremental WARC framing, and HTTP
+    parsing all ran — the capability the in-row explode_warc column
+    operator cannot provide at shard scale (a 1 GB shard would have
+    to fit one row there; here it never materializes)."""
+    from mongodb_etl_migration_spark.sources.warc_source import register_warc
+
+    path = _warc_fixture_dir(spark, sf_dir)
+    register_warc(spark)
+    df = spark.read.format("warc").load(path)
+    return df.select(
+        F.regexp_extract("path", "shard-([0-9]+)\\.warc", 1)
+        .cast("bigint")
+        .alias("shard"),
+        "record_idx",
+        "warc_type",
+        "target_uri",
+        "http_status",
+        "content_type",
+        "body",
+    )
+
+
 # =====================================================================
 # Entry points consumed by __spark_entry__.py
 # =====================================================================

@@ -105,6 +105,64 @@ def parse_warc(raw: bytes) -> list[dict]:
     return records
 
 
+def iter_warc_stream(f) -> Iterator[dict]:
+    """Incremental record iterator over a binary stream — same framing
+    and error contract as parse_warc (bad version line, missing
+    Content-Length, truncated payload all raise ValueError), but never
+    holds more than ONE record in memory: the property that lets the
+    file-based ``format("warc")`` reader (warc_source.py) ingest a
+    1 GB crawl shard without materializing it as a single row. Works
+    on a plain file object or a gzip.GzipFile over per-record gzip
+    members (gzip reads concatenated members transparently — the
+    Common Crawl .warc.gz layout)."""
+    while True:
+        line = f.readline()
+        if not line:
+            return
+        if line == _CRLF:
+            continue  # inter-record blank lines
+        if not line.startswith(b"WARC/1.") or not line.endswith(_CRLF):
+            raise ValueError("bad WARC version line")
+        headers: dict[str, str] = {}
+        while True:
+            ln = f.readline()
+            if not ln.endswith(_CRLF):
+                raise ValueError("unterminated WARC header block")
+            ln = ln[:-2]
+            if not ln:
+                break
+            k, _, v = ln.partition(b":")
+            headers[k.strip().lower().decode()] = v.strip().decode()
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError) as e:
+            raise ValueError("missing/invalid Content-Length") from e
+        payload = f.read(length)
+        if len(payload) < length:
+            raise ValueError("truncated WARC payload")
+        yield {
+            "warc_type": headers.get("warc-type", ""),
+            "target_uri": headers.get("warc-target-uri", ""),
+            "date": headers.get("warc-date", ""),
+            "payload": payload,
+        }
+
+
+def build_warc_gz(records: list[dict]) -> bytes:
+    """Per-record-gzip-member serialization (.warc.gz) — the Common
+    Crawl shard layout: each record (with its trailing CRLF CRLF) is
+    an independent gzip member, members concatenated, so a reader can
+    random-access records after a member scan and gzip.GzipFile reads
+    the whole file transparently. mtime pinned to 0 for byte-exact
+    determinism (fixtures are compared by content)."""
+    import gzip
+
+    out = bytearray()
+    for r in records:
+        out += gzip.compress(build_warc([r]), mtime=0)
+    return bytes(out)
+
+
 def parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
     """(status, content-type, body) from an HTTP/1.x response payload.
     ValueError on a non-HTTP payload (caller keeps the raw bytes)."""

@@ -245,6 +245,15 @@ NOTES = {
         "the quadratic dimension — shrinks first; both self-join "
         "sides share the basket-key exchange."
     ),
+    "w_warc_source": (
+        "File-based crawl ingest: records explode INSIDE the scan "
+        "stage — the plan is one BatchScan over the Python `warc` "
+        "data source (one InputPartition per .warc/.warc.gz shard, "
+        "records streamed one at a time off the gzip member chain) "
+        "followed by a narrow Project; no Exchange anywhere, so a "
+        "WARC → extract → curate pipeline's only shuffle is whatever "
+        "the downstream curation operators need."
+    ),
 }
 
 

@@ -1,0 +1,152 @@
+"""format("warc") file-based source: gzip members, pushdown, corruption."""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+import pytest
+
+from mongodb_etl_migration_spark.sources import warc as W
+
+
+def _mixed_records(n: int, base: str = "a") -> list[dict]:
+    recs = [{"warc_type": "warcinfo", "payload": f"shard={base}".encode()}]
+    for i in range(1, n + 1):
+        recs.append(
+            {
+                "warc_type": "response" if i % 3 else "request",
+                "target_uri": f"https://{base}.com/p/{i}",
+                "http": (200 if i % 4 else 404, "text/html", f"<p>{base}{i}</p>".encode()),
+            }
+            if i % 3
+            else {
+                "warc_type": "request",
+                "target_uri": f"https://{base}.com/p/{i}",
+                "payload": f"GET /p/{i} HTTP/1.1\r\n\r\n".encode(),
+            }
+        )
+    return recs
+
+
+def test_iter_warc_stream_matches_parse_warc():
+    raw = W.build_warc(_mixed_records(7))
+    assert list(W.iter_warc_stream(io.BytesIO(raw))) == W.parse_warc(raw)
+
+
+def test_iter_warc_stream_error_contract():
+    good = W.build_warc(_mixed_records(3))
+    with pytest.raises(ValueError, match="truncated WARC payload"):
+        list(W.iter_warc_stream(io.BytesIO(good[:-10])))
+    with pytest.raises(ValueError, match="bad WARC version line"):
+        list(W.iter_warc_stream(io.BytesIO(b"HTTP/1.1 200 OK\r\n\r\n")))
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(
+            W.iter_warc_stream(
+                io.BytesIO(b"WARC/1.0\r\nWARC-Type: resource\r\n\r\nx")
+            )
+        )
+
+
+def test_build_warc_gz_is_multi_member_and_transparent():
+    recs = _mixed_records(5)
+    gz = W.build_warc_gz(recs)
+    # one gzip member per record: member magic occurs >= len(recs) times
+    assert gz.count(b"\x1f\x8b\x08") >= len(recs)
+    assert list(
+        W.iter_warc_stream(gzip.GzipFile(fileobj=io.BytesIO(gz)))
+    ) == W.parse_warc(W.build_warc(recs))
+
+
+@pytest.fixture()
+def shard_dir(tmp_path):
+    """Two shards: one plain .warc, one per-record-gzip .warc.gz."""
+    (tmp_path / "s0.warc").write_bytes(W.build_warc(_mixed_records(4, "a")))
+    (tmp_path / "s1.warc.gz").write_bytes(W.build_warc_gz(_mixed_records(6, "b")))
+    return str(tmp_path)
+
+
+def _read(spark, path, **options):
+    from mongodb_etl_migration_spark.sources.warc_source import register_warc
+
+    register_warc(spark)
+    r = spark.read.format("warc")
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+def test_source_reads_plain_and_gz(spark, shard_dir):
+    rows = _read(spark, shard_dir).collect()
+    by_file: dict[str, list] = {}
+    for r in rows:
+        by_file.setdefault(r.path.rsplit("/", 1)[-1], []).append(r)
+    assert sorted(by_file) == ["s0.warc", "s1.warc.gz"]
+    assert len(by_file["s0.warc"]) == 5  # warcinfo + 4
+    assert len(by_file["s1.warc.gz"]) == 7
+    for recs in by_file.values():
+        recs.sort(key=lambda r: r.record_idx)
+        assert [r.record_idx for r in recs] == list(range(len(recs)))
+        assert recs[0].warc_type == "warcinfo"
+        assert recs[0].http_status is None  # non-HTTP payload
+        assert recs[0].body.startswith("shard=")
+    resp = [r for r in by_file["s1.warc.gz"] if r.warc_type == "response"]
+    assert {r.http_status for r in resp} <= {200, 404}
+    assert all(r.content_type == "text/html" for r in resp)
+    assert all(r.body.startswith("<p>b") for r in resp)
+
+
+def test_source_filter_pushdown_semantics(spark, shard_dir):
+    df = _read(spark, shard_dir)
+    resp = df.filter("warc_type = 'response' AND http_status = 200")
+    rows = resp.collect()
+    assert rows and all(
+        r.warc_type == "response" and r.http_status == 200 for r in rows
+    )
+    # record_idx reflects position in FILE, not post-filter ordinal
+    assert max(r.record_idx for r in rows) > len(rows) / 2
+
+
+def test_source_failfast_on_corrupt_member(spark, tmp_path):
+    recs = _mixed_records(4, "c")
+    gz = bytearray(W.build_warc_gz(recs))
+    # corrupt the SECOND gzip member's deflate stream mid-file
+    second = gz.index(b"\x1f\x8b\x08", 3)
+    gz[second + 12] ^= 0xFF
+    p = tmp_path / "bad.warc.gz"
+    p.write_bytes(bytes(gz))
+    with pytest.raises(Exception, match="bad.warc.gz"):
+        _read(spark, str(p)).collect()
+
+
+def test_source_permissive_keeps_prefix_and_marks(spark, tmp_path):
+    recs = _mixed_records(4, "c")
+    gz = bytearray(W.build_warc_gz(recs))
+    second = gz.index(b"\x1f\x8b\x08", 3)
+    gz[second + 12] ^= 0xFF
+    p = tmp_path / "bad.warc.gz"
+    p.write_bytes(bytes(gz))
+    rows = _read(spark, str(p), mode="PERMISSIVE").collect()
+    ok = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(ok) >= 1  # the valid prefix survives
+    assert len(bad) == 1 and "bad.warc.gz" in bad[0]._corrupt_record
+    assert bad[0].warc_type is None
+    # truncated plain .warc: same contract
+    raw = W.build_warc(recs)
+    q = tmp_path / "trunc.warc"
+    q.write_bytes(raw[:-15])
+    rows = _read(spark, str(q), mode="PERMISSIVE").collect()
+    assert [r._corrupt_record is None for r in rows].count(False) == 1
+    assert len(rows) == len(recs)  # 4 good + 1 marker, last record lost
+
+
+def test_source_permissive_marker_respects_pushed_filters(spark, tmp_path):
+    recs = _mixed_records(3, "d")
+    raw = W.build_warc(recs)
+    p = tmp_path / "t.warc"
+    p.write_bytes(raw[:-10])
+    df = _read(spark, str(p), mode="PERMISSIVE")
+    # an IsNotNull filter on warc_type must not leak the all-NULL marker
+    rows = df.filter("warc_type IS NOT NULL").collect()
+    assert all(r._corrupt_record is None for r in rows)
