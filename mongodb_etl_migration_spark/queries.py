@@ -5442,6 +5442,149 @@ def w_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _psl_host_col() -> F.Column:
+    """Deterministic host fixture exercising the PSL rules: multi-label
+    public suffixes (.co.uk/.com.au and the 3-label .nsw.edu.au) where
+    the 2-label heuristic mis-groups, plain TLDs where it's exact, and
+    every 13th doc a host that IS a public suffix (no registrable
+    domain). Built IDENTICALLY in the SQL oracle."""
+    d = F.col("doc_id")
+    sfx = (
+        F.when(d % 5 == 0, F.lit(".co.uk"))
+        .when(d % 5 == 1, F.lit(".com.au"))
+        .when(d % 5 == 2, F.lit(".nsw.edu.au"))
+        .when(d % 5 == 3, F.lit(".com"))
+        .otherwise(F.lit(".org"))
+    )
+    return F.when(d % 13 == 0, F.lit("co.uk")).otherwise(
+        F.concat(F.lit("www."), F.lower("source"), sfx)
+    )
+
+
+_PSL_HOST_SQL = """
+      CASE WHEN doc_id % 13 = 0 THEN 'co.uk'
+           ELSE 'www.' || lower(source) ||
+             CASE doc_id % 5 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com.au'
+                  WHEN 2 THEN '.nsw.edu.au' WHEN 3 THEN '.com'
+                  ELSE '.org' END
+      END
+"""
+
+
+def _psl_sql_lists() -> tuple[str, str]:
+    """('co.uk', ...) literal lists for the oracle's suffix tables —
+    generated from the SAME constant the operator joins against."""
+    two = ", ".join(
+        f"'{s}'" for s in WB.PUBLIC_SUFFIXES if s.count(".") == 1
+    )
+    three = ", ".join(
+        f"'{s}'" for s in WB.PUBLIC_SUFFIXES if s.count(".") == 2
+    )
+    return two, three
+
+
+_PSL_DOMAIN_SQL = f"""
+    WITH h AS (
+      SELECT doc_id, {_PSL_HOST_SQL} AS host FROM documents
+    ), lab AS (
+      SELECT doc_id, host, string_split(host, '.') AS l,
+             len(string_split(host, '.')) AS n
+      FROM h
+    ), c AS (
+      SELECT doc_id, host, n,
+        CASE WHEN n >= 2
+             THEN array_to_string(list_slice(l, n-1, n), '.') END AS l2,
+        CASE WHEN n >= 3
+             THEN array_to_string(list_slice(l, n-2, n), '.') END AS l3,
+        CASE WHEN n >= 4
+             THEN array_to_string(list_slice(l, n-3, n), '.') END AS l4
+      FROM lab
+    ), j AS (
+      SELECT c.*, s3.suf3, s2.suf2
+      FROM c
+      LEFT JOIN (SELECT unnest([{{three}}]) AS suf3) s3 ON c.l3 = s3.suf3
+      LEFT JOIN (SELECT unnest([{{two}}]) AS suf2) s2 ON c.l2 = s2.suf2
+    )
+"""
+
+
+def _psl_domain_sql() -> str:
+    two, three = _psl_sql_lists()
+    return _PSL_DOMAIN_SQL.format(two=two, three=three)
+
+
+@query(
+    "w_domain_psl",
+    _psl_domain_sql()
+    + """
+    SELECT doc_id, host,
+      nullif(regexp_extract(host, '([^.]+\\.[^.]+)$', 1), '') AS heuristic,
+      CASE WHEN suf3 IS NOT NULL THEN l4
+           WHEN suf2 IS NOT NULL THEN l3
+           ELSE l2 END AS registered_domain
+    FROM j
+    """,
+)
+def w_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSL-backed eTLD+1 (web.with_registered_domain) vs the 2-label
+    heuristic, side by side: b.co.uk-style hosts group as <org>.co.uk
+    under the PSL join where the heuristic collapses every .co.uk org
+    into one group (the skew that breaks per-domain caps); a host that
+    IS a public suffix yields NULL. Two BroadcastHashJoins against the
+    trimmed suffix table, zero shuffle — the full 9k-entry PSL drops
+    in with the same plan."""
+    d = Catalog(spark, sf_dir).documents
+    hosts = d.select("doc_id", _psl_host_col().alias("host"))
+    out = WB.with_registered_domain(hosts, "host")
+    return out.select(
+        "doc_id",
+        "host",
+        WB.domain_of(F.col("host")).alias("heuristic"),
+        "registered_domain",
+    )
+
+
+@query(
+    "w_domain_caps",
+    _psl_domain_sql()
+    + f"""
+    , r AS (
+      SELECT doc_id,
+        CASE WHEN suf3 IS NOT NULL THEN l4
+             WHEN suf2 IS NOT NULL THEN l3
+             ELSE l2 END AS registered_domain
+      FROM j
+    ), ranked AS (
+      SELECT doc_id, registered_domain,
+             row_number() OVER (
+               PARTITION BY registered_domain
+               ORDER BY {_HASH60.format(salt="caps", key="doc_id")}, doc_id
+             ) AS rk
+      FROM r
+    )
+    SELECT doc_id, registered_domain FROM ranked WHERE rk <= 8
+    """,
+)
+def w_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl caps — the standard curation step after URL
+    dedup (Common-Crawl-style pipelines cap docs/domain so one site
+    cannot dominate the corpus): PSL registered_domain as the stratum,
+    stratified_take's hash-ordered quota keeps a deterministic ≤8 docs
+    per domain. The PSL grouping is what makes the cap FAIR — under
+    the 2-label heuristic every .co.uk org shares one cap. One shuffle
+    on the domain; WindowGroupLimit trims each map task's top-8 before
+    the exchange, so the exchange carries ~8 rows per domain per map
+    task at any corpus size."""
+    from mongodb_etl_migration_spark.operators import sampling as SM
+
+    d = Catalog(spark, sf_dir).documents
+    hosts = d.select("doc_id", _psl_host_col().alias("host"))
+    dom = WB.with_registered_domain(hosts, "host")
+    return SM.stratified_take(
+        dom, ["registered_domain"], 8, "doc_id", salt="caps"
+    ).select("doc_id", "registered_domain")
+
+
 # =====================================================================
 # Entry points consumed by __spark_entry__.py
 # =====================================================================

@@ -245,6 +245,13 @@ NOTES = {
         "the quadratic dimension — shrinks first; both self-join "
         "sides share the basket-key exchange."
     ),
+    "w_domain_caps": (
+        "Per-domain crawl caps: PSL registered_domain is two "
+        "BroadcastHashJoins (zero shuffle; the full 9k-entry PSL "
+        "keeps the shape), then stratified_take's rank window — "
+        "WindowGroupLimit BELOW the Exchange trims each map task to "
+        "8 rows per domain before the only shuffle."
+    ),
     "w_warc_source": (
         "File-based crawl ingest: records explode INSIDE the scan "
         "stage — the plan is one BatchScan over the Python `warc` "

@@ -185,3 +185,43 @@ def test_table_checksum_field_boundaries_are_pinned(spark):
         table_checksum(df, ["x", "y"]).first().checksum for df in (a, b, c, d)
     ]
     assert len(set(cks)) == 4
+
+
+def test_psl_registered_domain_diverges_from_heuristic(spark):
+    rows = [
+        ("www.example.co.uk",),     # heuristic says co.uk — wrong
+        ("deep.a.b.example.co.uk",),
+        ("news.example.com.au",),
+        ("school.nsw.edu.au",),     # 3-label suffix: school.nsw.edu.au
+        ("www.example.com",),       # plain TLD: heuristic already right
+        ("co.uk",),                 # host IS a suffix: no registrable domain
+        ("uk",),                    # single label: nothing registrable
+        ("api.example.github.io",), # private-section suffix
+    ]
+    df = spark.createDataFrame(rows, "host string")
+    out = {
+        r.host: (r.heuristic, r.registered_domain)
+        for r in W.with_registered_domain(df, "host")
+        .withColumn("heuristic", W.domain_of(F.col("host")))
+        .collect()
+    }
+    assert out["www.example.co.uk"] == ("co.uk", "example.co.uk")
+    assert out["deep.a.b.example.co.uk"] == ("co.uk", "example.co.uk")
+    assert out["news.example.com.au"] == ("com.au", "example.com.au")
+    assert out["school.nsw.edu.au"] == ("edu.au", "school.nsw.edu.au")
+    assert out["www.example.com"] == ("example.com", "example.com")
+    assert out["co.uk"] == ("co.uk", None)
+    assert out["uk"] == (None, None)
+    assert out["api.example.github.io"] == ("github.io", "example.github.io")
+
+
+def test_psl_join_is_broadcast_no_shuffle(spark):
+    df = spark.createDataFrame([("www.a.co.uk",)], "host string")
+    plan = (
+        W.with_registered_domain(df, "host")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "ShuffleExchange" not in plan and "SortMergeJoin" not in plan
