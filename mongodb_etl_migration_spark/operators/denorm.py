@@ -164,18 +164,23 @@ def fanout(base: DataFrame, outputs: dict[str, Sequence[Column]]):
     etl/orchestrator.py:326-453 (rooms → room_details + organizations +
     rooms_by_mongo in a single pass).
 
-    Persists the base plan once and returns {name: projected_df}; the
-    caller triggers N actions against the one cached lineage. This is
-    the cache+multi-action idiom replacing the reference's per-batch
-    Python fan-out loops.
+    Materializes the base plan once and returns {name: projected_df};
+    the caller triggers N actions against the one materialized
+    lineage. This is the cache+multi-action idiom replacing the
+    reference's per-batch Python fan-out loops.
 
-    Cache lifecycle: the CALLER owns it — after the N writes complete,
-    call ``.unpersist()`` on the SAME frame passed in (cache entries
-    are keyed by logical plan, so the caller's handle hits the entry
-    this function created). CacheManager entries survive garbage
-    collection, so skipping this accumulates caches across runs.
+    Materialization is a LAZY localCheckpoint, not DataFrame.persist()
+    — the same structural fix hierarchy.resolve_paths proved: a
+    CacheManager entry is keyed by logical plan and outlives every
+    reference (a long-lived session calling fanout in a loop would
+    accumulate one entry per distinct input, with no way to enforce
+    the old 'caller must unpersist' docstring contract), while
+    local-checkpoint blocks belong to the RDD and are freed by the
+    ContextCleaner as soon as the caller drops the returned frames.
+    Lazy because projection is deterministic: whichever output's
+    action runs first materializes the blocks, the rest reuse them.
     """
-    base = base.persist()
+    base = base.localCheckpoint(eager=False)
     return {name: base.select(*cols) for name, cols in outputs.items()}
 
 

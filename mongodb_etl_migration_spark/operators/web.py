@@ -323,23 +323,72 @@ def url_dedup_first_wins(df, url_col: str, order_col: str):
     )
 
 
+# token delimiter for numeric-charref decoding: a control char real
+# HTML never carries (and is scrubbed first so input can't fake it)
+_CREF_MARK = "\x01"
+
+
+def decode_numeric_charrefs(c: Column | str) -> Column:
+    """Decode ASCII-range numeric character references — ``&#NN;``
+    (decimal) and ``&#xNN;`` (hex) — common in real crawl HTML.
+
+    RE2-safe, no UDF: the charref digits are rewritten to a
+    control-char-delimited token via a ``$1`` REPLACEMENT backreference
+    (replacements may backreference; it's patterns that can't under
+    RE2), the string split on the delimiter — making every odd segment
+    a captured number — odd segments decoded with chr() via an indexed
+    transform lambda, and the array rejoined. Printable ASCII 32-126
+    decodes (the range engines agree on byte-for-byte); anything else
+    is preserved verbatim (hex re-emits a lowercase x). The delimiter
+    is scrubbed from the input first. Everything stays codegen'd
+    Columns — zero shuffle, mirrored expression-for-expression in the
+    oracle (mind DuckDB's 1-based lambda index vs Spark's 0-based)."""
+    x = F.replace(_c(c), F.lit(_CREF_MARK), F.lit(" "))
+
+    def one_pass(col: Column, pat: str, prefix: str, to_int) -> Column:
+        marked = F.regexp_replace(col, pat, _CREF_MARK + "$1" + _CREF_MARK)
+        parts = F.split(marked, _CREF_MARK)
+        dec = F.transform(
+            parts,
+            lambda s, i: F.when(
+                (i % 2 == 1) & to_int(s).between(32, 126),
+                F.char(to_int(s)),
+            )
+            .when(i % 2 == 1, F.concat(F.lit(prefix), s, F.lit(";")))
+            .otherwise(s),
+        )
+        return F.array_join(dec, "")
+
+    x = one_pass(x, "&#([0-9]{2,3});", "&#", lambda s: s.try_cast("int"))
+    x = one_pass(
+        x,
+        "&#[xX]([0-9a-fA-F]{2});",
+        "&#x",
+        lambda s: F.conv(s, 16, 10).try_cast("int"),
+    )
+    return x
+
+
 def html_to_text(c: Column | str) -> Column:
     """Boilerplate-free text from raw HTML — the extraction step every
     web-corpus pipeline runs between the crawl and the curation
     filters (trafilatura-lite). Pure regexp_replace chain: script and
     style blocks (with their content) and comments removed, remaining
-    tags stripped, the five ubiquitous named entities decoded (&amp;
-    LAST, the conventional single-pass order, so '&amp;lt;' decodes to
-    '&lt;' identically on every engine), whitespace collapsed.
-    Codegen'd, zero shuffle, linear scan. RE2-compatible patterns
-    (no backreferences), so the oracle mirrors them verbatim.
-    A production pipeline chains readability scoring behind the same
-    Column contract; numeric character references are out of scope."""
+    tags stripped, ASCII-range numeric character references decoded
+    (decode_numeric_charrefs — BEFORE the named entities, so a
+    double-escaped '&amp;#65;' correctly yields the literal '&#65;'),
+    then the five ubiquitous named entities (&amp; LAST, the
+    conventional single-pass order, so '&amp;lt;' decodes to '&lt;'
+    identically on every engine), whitespace collapsed. Codegen'd,
+    zero shuffle, linear scan. RE2-compatible patterns throughout, so
+    the oracle mirrors them verbatim. A production pipeline chains
+    readability scoring behind the same Column contract."""
     x = _c(c)
     x = F.regexp_replace(x, "(?is)<script[^>]*>.*?</script>", " ")
     x = F.regexp_replace(x, "(?is)<style[^>]*>.*?</style>", " ")
     x = F.regexp_replace(x, "(?s)<!--.*?-->", " ")
     x = F.regexp_replace(x, "(?s)<[^>]+>", " ")
+    x = decode_numeric_charrefs(x)
     for ent, ch in (
         ("&lt;", "<"),
         ("&gt;", ">"),

@@ -5175,22 +5175,56 @@ def m_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
              || CASE WHEN doc_id % 3 = 0
                      THEN '<div class="nav">home&nbsp;|&nbsp;about</div>'
                      ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                     THEN '<p>&#64;handle &#x41;-grade &#999; &#x1f;'
+                          || ' &amp;#65; stays</p>'
+                     ELSE '' END
              || '</body></html>' AS html
       FROM documents
+    ), stripped AS (
+      SELECT doc_id,
+        replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            html,
+            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+            '(?s)<[^>]+>', ' ', 'g'),
+          chr(1), ' ') AS t0
+      FROM page
+    ), dec1 AS (
+      SELECT doc_id,
+        array_to_string(list_transform(
+          string_split(regexp_replace(t0, '&#([0-9]{2,3});',
+                                      chr(1) || '\\1' || chr(1), 'g'),
+                       chr(1)),
+          (x, i) -> CASE WHEN i % 2 = 0 THEN
+              CASE WHEN TRY_CAST(x AS BIGINT) BETWEEN 32 AND 126
+                   THEN chr(CAST(x AS INTEGER))
+                   ELSE '&#' || x || ';' END
+            ELSE x END), '') AS t1
+      FROM stripped
+    ), dec2 AS (
+      SELECT doc_id,
+        array_to_string(list_transform(
+          string_split(regexp_replace(t1, '&#[xX]([0-9a-fA-F]{2});',
+                                      chr(1) || '\\1' || chr(1), 'g'),
+                       chr(1)),
+          (x, i) -> CASE WHEN i % 2 = 0 THEN
+              CASE WHEN TRY_CAST('0x' || x AS BIGINT) BETWEEN 32 AND 126
+                   THEN chr(CAST('0x' || x AS INTEGER))
+                   ELSE '&#x' || x || ';' END
+            ELSE x END), '') AS t2
+      FROM dec1
     )
     SELECT doc_id,
            trim(regexp_replace(
              replace(replace(replace(replace(replace(replace(
-               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                 html,
-                 '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-                 '(?s)<!--.*?-->', ' ', 'g'),
-                 '(?s)<[^>]+>', ' ', 'g'),
+               t2,
                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
              '\\s+', ' ', 'g')) AS extracted
-    FROM page
+    FROM dec2
     """,
 )
 def w_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5214,6 +5248,13 @@ def w_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("doc_id") % 3 == 0,
             F.lit('<div class="nav">home&nbsp;|&nbsp;about</div>'),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit(
+                "<p>&#64;handle &#x41;-grade &#999; &#x1f;"
+                " &amp;#65; stays</p>"
+            ),
         ).otherwise(F.lit("")),
         F.lit("</body></html>"),
     )

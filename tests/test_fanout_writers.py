@@ -46,7 +46,25 @@ def test_fanout_projections_and_writes(spark, sf_dir, tmp_path):
     assert outs["organizations"].filter("_is_org").count() == base.filter(
         F.col("c_acctbal") > 5000
     ).count()
-    base.unpersist()
+
+
+def test_fanout_leaves_no_cache_entries(spark, sf_dir):
+    """Structural lifecycle fix: repeated fanout calls in one session
+    must not grow the CacheManager (the old persist() contract relied
+    on the caller unpersisting; localCheckpoint blocks are owned by
+    the RDD and freed by the ContextCleaner instead)."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "test requires a cache-clean session"
+    for i in range(3):
+        base = spark.read.parquet(f"{sf_dir}/region.parquet").withColumn(
+            "k", F.col("r_regionkey") + i
+        )
+        outs = fanout(
+            base,
+            {"a": [F.col("r_regionkey"), F.col("k")], "b": [F.col("r_name")]},
+        )
+        assert outs["a"].count() == outs["b"].count() == base.count()
+    assert cm.isEmpty(), "fanout leaked CacheManager entries"
 
 
 def test_write_clustered_layout(spark, sf_dir, tmp_path):

@@ -225,3 +225,30 @@ def test_psl_join_is_broadcast_no_shuffle(spark):
     )
     assert plan.count("BroadcastHashJoin") == 2
     assert "ShuffleExchange" not in plan and "SortMergeJoin" not in plan
+
+
+def test_decode_numeric_charrefs(spark):
+    rows = [
+        ("&#64;user &#x41;+ &#999; &#x1f; &#9; x&#65;&#66;y",),
+        ("plain text no refs",),
+        ("\x01 marker scrubbed &#65;",),
+    ]
+    df = spark.createDataFrame(rows, "s string")
+    out = [
+        r.o
+        for r in df.select(
+            W.decode_numeric_charrefs(F.col("s")).alias("o")
+        ).collect()
+    ]
+    # in-range decimal + hex decode; out-of-range and sub-32 preserved
+    assert out[0] == "@user A+ &#999; &#x1f; &#9; xABy"
+    assert out[1] == "plain text no refs"
+    assert out[2] == "  marker scrubbed A"
+
+
+def test_html_to_text_decodes_numeric_refs_and_double_escape(spark):
+    html = "<p>&#72;i &#x21; &amp;#65; &amp;lt;</p>"
+    df = spark.createDataFrame([(html,)], "h string")
+    got = df.select(W.html_to_text(F.col("h")).alias("t")).first().t
+    # &amp;#65; is a double-escaped literal: single-pass decode yields &#65;
+    assert got == "Hi ! &#65; &lt;"
