@@ -1231,10 +1231,12 @@ def parse_jpeg(raw: bytes) -> tuple[int, int, np.ndarray]:
     handling, dequantization, numpy basis-multiply IDCT, nearest
     chroma upsampling, YCbCr→RGB with deterministic floor rounding.
 
-    Scope: baseline sequential SOF0, 8-bit, 1 (grayscale) or 3
+    Scope: baseline sequential SOF0 AND progressive SOF2 (spectral
+    selection + successive approximation, ISO 10918-1 Annex G — the
+    layout most real web JPEGs use), 8-bit, 1 (grayscale) or 3
     components, sampling factors up to 2x2 (covers 4:4:4, 4:2:2,
     4:4:0 and the near-universal 4:2:0), any dimensions (MCU padding
-    cropped per SOF0). Progressive/arithmetic/12-bit streams raise
+    cropped per SOF). Arithmetic/lossless/12-bit streams raise
     ValueError — honest scope, never a silent mis-decode."""
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
@@ -1308,8 +1310,12 @@ def _parse_jpeg_inner(raw: bytes) -> tuple[int, int, np.ndarray]:
                 samp.append((hi, vi))
                 comp_q.append(q)
             dims = (w, h)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xC2:
+            # progressive DCT: restart the walk in the multi-scan
+            # decoder (header segments before SOF2 are tiny)
+            return _parse_jpeg_progressive(raw)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline SOF0/progressive SOF2 supported")
         elif marker == 0xDD:
             dri = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:
@@ -1367,11 +1373,25 @@ def _parse_jpeg_inner(raw: bytes) -> tuple[int, int, np.ndarray]:
                         planes[ci][
                             by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8
                         ] = block
+    return _planes_to_pixels(planes, samp, hmax, vmax, w, h)
+
+
+def _planes_to_pixels(
+    planes: list[np.ndarray],
+    samp: list[tuple[int, int]],
+    hmax: int,
+    vmax: int,
+    w: int,
+    h: int,
+) -> tuple[int, int, np.ndarray]:
+    """Shared decode tail (baseline + progressive): nearest-neighbor
+    chroma upsample, MCU-padding crop, YCbCr→RGB with deterministic
+    floor rounding (grayscale replicated across channels)."""
     full = []
     for (hi, vi), plane in zip(samp, planes):
         up = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
         full.append(up[:h, :w])
-    if ncomp == 1:
+    if len(samp) == 1:
         y = full[0] + 128.0
         px = np.clip(np.floor(y + 0.5), 0, 255).astype(np.uint8)
         return w, h, np.stack([px, px, px], axis=-1)
@@ -1388,3 +1408,621 @@ def _parse_jpeg_inner(raw: bytes) -> tuple[int, int, np.ndarray]:
     )
     px = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
     return w, h, px
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — ISO 10918-1 Annex G: coefficients accumulate
+# across scans (spectral-selection bands x successive-approximation
+# precision passes); one dequant+IDCT at the end. Tables (DHT) and DRI
+# are re-readable between scans, so scans decode DURING the segment
+# walk with the table state current at their SOS.
+# ---------------------------------------------------------------------------
+
+
+def _find_scan_end(raw: bytes, pos: int) -> int:
+    """Offset of the next REAL marker after entropy-coded data starting
+    at ``pos`` — skips 0xFF00 byte stuffing, RSTn markers, and 0xFF
+    fill bytes; a progressive stream has many scans, so the baseline
+    shortcut (find EOI) does not apply."""
+    i = pos
+    n = len(raw)
+    while True:
+        i = raw.find(b"\xff", i)
+        if i < 0 or i + 1 >= n:
+            raise ValueError("missing marker after scan data")
+        nxt = raw[i + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i += 2
+        elif nxt == 0xFF:  # fill byte
+            i += 1
+        else:
+            return i
+
+
+def _dc_first_block(br, dmap, blk, al: int, pred: int) -> int:
+    cat = _huff_read(br, dmap)
+    diff = _extend(br.bits(cat), cat) if cat else 0
+    pred += diff
+    blk[0] = pred << al
+    return pred
+
+
+def _ac_first_block(br, amap, blk, ss: int, se: int, al: int, eobrun: int) -> int:
+    """G.1.2.2: first pass over an AC band — values land at magnitude
+    ``<< al``; EOBn symbols start a run of band-skipped blocks
+    (current block consumed now, hence the -1)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _huff_read(br, amap)
+        r, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow")
+        blk[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, amap, blk, ss: int, se: int, al: int, eobrun: int) -> int:
+    """G.1.2.3: successive-approximation refinement of an AC band —
+    every already-nonzero coefficient crossed (including those inside
+    an EOB run) carries one correction bit; newly-nonzero coefficients
+    arrive as ±(1<<al) with an explicit sign bit. EOBn here INCLUDES
+    the current block (consumed by the tail), unlike the first pass."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_read(br, amap)
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                s_val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement symbol")
+                s_val = p1 if br.bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if s_val:
+                if k > se:
+                    raise ValueError("AC refinement overflow")
+                blk[k] = s_val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if br.bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _parse_jpeg_progressive(raw: bytes) -> tuple[int, int, np.ndarray]:
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    dims = None
+    samp: list[tuple[int, int]] = []
+    comp_q: list[int] = []
+    comp_ids: list[int] = []
+    coefs: list[np.ndarray] = []
+    nblocks: list[tuple[int, int]] = []  # non-interleaved (bw, bh)
+    mcus_x = mcus_y = 0
+    dri = 0
+    saw_scan = False
+    while pos < len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError("bad marker stream")
+        while pos + 1 < len(raw) and raw[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(raw):
+            raise ValueError("truncated marker")
+        marker = raw[pos + 1]
+        pos += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(raw[pos:pos + 2], "big")
+        body = raw[pos + 2:pos + ln]
+        if marker == 0xDB:
+            b = body
+            while b:
+                if b[0] >> 4:
+                    raise ValueError("16-bit quant tables unsupported")
+                tid = b[0] & 0xF
+                tbl = np.zeros(64)
+                tbl[_ZZ] = list(b[1:65])
+                qt[tid] = tbl.reshape(8, 8)
+                b = b[65:]
+        elif marker == 0xC4:
+            b = body
+            while b:
+                cls, tid = b[0] >> 4, b[0] & 0xF
+                bits = list(b[1:17])
+                nv = sum(bits)
+                huff[(cls, tid)] = _huff_decode_map(
+                    (bits, list(b[17:17 + nv]))
+                )
+                b = b[17 + nv:]
+        elif marker == 0xC2:
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            if body[0] != 8 or ncomp not in (1, 3):
+                raise ValueError("only 8-bit 1/3-component progressive")
+            for c in range(ncomp):
+                cid, sb, q = body[6 + 3 * c:9 + 3 * c]
+                hi, vi = sb >> 4, sb & 0xF
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise ValueError("sampling factors beyond 2x2")
+                comp_ids.append(cid)
+                samp.append((hi, vi))
+                comp_q.append(q)
+            if ncomp == 1:
+                # same non-interleaved rule as the baseline path
+                samp = [(1, 1)]
+            dims = (w, h)
+            hmax = max(s[0] for s in samp)
+            vmax = max(s[1] for s in samp)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for hi, vi in samp:
+                # padded (interleaved-MCU) grid holds the coefficients;
+                # non-interleaved scans cover only the ceil-dims prefix
+                # (the rest is MCU padding, cropped after IDCT anyway)
+                coefs.append(
+                    np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int64)
+                )
+                xi = -(-w * hi // hmax)
+                yi = -(-h * vi // vmax)
+                nblocks.append((-(-xi // 8), -(-yi // 8)))
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("mixed/unsupported SOF in progressive stream")
+        elif marker == 0xDD:
+            dri = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:
+            if dims is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scomps: list[tuple[int, int, int]] = []
+            for c in range(ns):
+                cs, t = body[1 + 2 * c], body[2 + 2 * c]
+                try:
+                    ci = comp_ids.index(cs)
+                except ValueError:
+                    raise ValueError("scan references unknown component")
+                scomps.append((ci, t >> 4, t & 0xF))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            end = _find_scan_end(raw, pos + ln)
+            _decode_progressive_scan(
+                raw[pos + ln:end], scomps, ss, se, ah, al,
+                coefs, samp, nblocks, huff, dri, mcus_x, mcus_y,
+            )
+            saw_scan = True
+            pos = end
+            continue
+        pos += ln
+    if dims is None or not saw_scan:
+        raise ValueError("missing SOF/SOS")
+    w, h = dims
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    planes = []
+    for ci, (hi, vi) in enumerate(samp):
+        q = qt[comp_q[ci]]
+        c = coefs[ci]
+        bh, bw_, _ = c.shape
+        nat = np.zeros((bh, bw_, 64))
+        nat[:, :, _ZZ] = c
+        nat = nat.reshape(bh, bw_, 8, 8) * q
+        spat = np.einsum("ij,xyjk,kl->xyil", _DCT_C.T, nat, _DCT_C)
+        planes.append(
+            spat.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+        )
+    return _planes_to_pixels(planes, samp, hmax, vmax, w, h)
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    scomps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    coefs: list[np.ndarray],
+    samp: list[tuple[int, int]],
+    nblocks: list[tuple[int, int]],
+    huff: dict,
+    dri: int,
+    mcus_x: int,
+    mcus_y: int,
+) -> None:
+    br = _BitReader(data)
+    eobrun = 0
+    preds = {ci: 0 for ci, _, _ in scomps}
+    if ss == 0:
+        if se != 0:
+            # G.1.1.1.1: a DC scan is exactly the Ss=Se=0 band; the
+            # baseline 0..63 band never appears under SOF2
+            raise ValueError("progressive DC scan must have Se=0")
+        if len(scomps) > 1:
+            # interleaved DC: MCU order over the padded grid
+            n_mcu = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if dri and n_mcu and n_mcu % dri == 0:
+                        br.restart()
+                        preds = dict.fromkeys(preds, 0)
+                    n_mcu += 1
+                    for ci, dt, _at in scomps:
+                        hi, vi = samp[ci]
+                        for v in range(vi):
+                            for hh in range(hi):
+                                blk = coefs[ci][my * vi + v, mx * hi + hh]
+                                if ah == 0:
+                                    preds[ci] = _dc_first_block(
+                                        br, huff[(0, dt)], blk, al, preds[ci]
+                                    )
+                                elif br.bit():
+                                    blk[0] |= 1 << al
+        else:
+            ci, dt, _at = scomps[0]
+            bw_n, bh_n = nblocks[ci]
+            n_unit = 0
+            for by in range(bh_n):
+                for bx in range(bw_n):
+                    if dri and n_unit and n_unit % dri == 0:
+                        br.restart()
+                        preds[ci] = 0
+                    n_unit += 1
+                    blk = coefs[ci][by, bx]
+                    if ah == 0:
+                        preds[ci] = _dc_first_block(
+                            br, huff[(0, dt)], blk, al, preds[ci]
+                        )
+                    elif br.bit():
+                        blk[0] |= 1 << al
+        return
+    # AC scans are single-component and non-interleaved (G.1.1.1.1)
+    if len(scomps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    ci, _dt, at = scomps[0]
+    amap = huff[(1, at)]
+    bw_n, bh_n = nblocks[ci]
+    n_unit = 0
+    for by in range(bh_n):
+        for bx in range(bw_n):
+            if dri and n_unit and n_unit % dri == 0:
+                br.restart()
+                eobrun = 0
+            n_unit += 1
+            blk = coefs[ci][by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(br, amap, blk, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(br, amap, blk, ss, se, al, eobrun)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG encoder — the test-vector generator for the Annex-G
+# decoder paths (spectral selection, successive approximation, EOBRUN,
+# refinement correction bits). Uses FIXED single-length Huffman tables
+# (every DC symbol at 4 bits, every AC symbol at 9 bits) so encoding is
+# one-pass with no frequency counting: compression is irrelevant here,
+# bitstream validity is the product. Quantization reuses _quant_block
+# bit-for-bit, so parse_jpeg(progressive) must equal parse_jpeg(baseline)
+# of the same image exactly — the roundtrip property the tests pin.
+# ---------------------------------------------------------------------------
+
+# canonical: 12 DC categories all at code length 4 (all-ones unused)
+_PROG_DC_TABLE = (
+    [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+# EOBn (r<<4 | 0 for r 0..14), ZRL, and (run,size) for size 1..10 —
+# the full symbol universe a progressive AC scan can emit; all at
+# code length 9 (176 codes < 511, all-ones unused)
+_PROG_AC_SYMS = sorted(
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC_TABLE = (
+    [0, 0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMS), 0, 0, 0, 0, 0, 0, 0],
+    _PROG_AC_SYMS,
+)
+
+# the canonical 9-scan script: DC first at Al=1, per-component AC
+# bands first at Al=1 (Y split into two spectral bands), then the
+# Ah=1->Al=0 refinement pass for everything
+_PROG_SCRIPT = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 1),
+    ((0,), 6, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+)
+
+
+def _emit_eobrun(bw, acm, eobrun: int, pend: list[int]) -> int:
+    """Flush a pending EOB run (EOBn symbol + extension bits) followed
+    by the correction bits buffered since the run began — the order
+    the refinement decoder consumes them in."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        code, ln = acm[nbits << 4]
+        bw.put(code, ln)
+        if nbits:
+            bw.put(eobrun & ((1 << nbits) - 1), nbits)
+        for b in pend:
+            bw.put(b, 1)
+        pend.clear()
+    return 0
+
+
+def _enc_ac_first(bw, acm, zz, ss, se, al, eobrun: int, pend: list[int]) -> int:
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (v >> al) if v >= 0 else -((-v) >> al)  # magnitude shift
+        if t == 0:
+            r += 1
+            continue
+        eobrun = _emit_eobrun(bw, acm, eobrun, pend)
+        while r > 15:
+            code, ln = acm[0xF0]
+            bw.put(code, ln)
+            r -= 16
+        nbits = (t if t >= 0 else -t).bit_length()
+        code, ln = acm[(r << 4) | nbits]
+        bw.put(code, ln)
+        bw.put(_enc_value(t, nbits), nbits)
+        r = 0
+    if r > 0:
+        eobrun += 1
+        if eobrun == 0x7FFF:
+            eobrun = _emit_eobrun(bw, acm, eobrun, pend)
+    return eobrun
+
+
+def _enc_ac_refine(bw, acm, zz, ss, se, al, eobrun: int, pend: list[int]) -> int:
+    absv = []
+    eob = ss - 1  # index of the last NEWLY-nonzero coefficient
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (v if v >= 0 else -v) >> al
+        absv.append(t)
+        if t == 1:
+            eob = k
+    r = 0
+    br_local: list[int] = []  # correction bits since last symbol
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:  # zeros beyond eob fold into the EOB
+            eobrun = _emit_eobrun(bw, acm, eobrun, pend)
+            code, ln = acm[0xF0]
+            bw.put(code, ln)
+            r -= 16
+            for b in br_local:
+                bw.put(b, 1)
+            br_local = []
+        if t > 1:
+            br_local.append(t & 1)
+            continue
+        eobrun = _emit_eobrun(bw, acm, eobrun, pend)
+        code, ln = acm[(r << 4) | 1]
+        bw.put(code, ln)
+        r = 0
+        bw.put(0 if int(zz[k]) < 0 else 1, 1)
+        for b in br_local:
+            bw.put(b, 1)
+        br_local = []
+    if r > 0 or br_local:
+        eobrun += 1
+        pend.extend(br_local)
+        if eobrun == 0x7FFF:
+            eobrun = _emit_eobrun(bw, acm, eobrun, pend)
+    return eobrun
+
+
+def encode_jpeg_progressive(
+    px: np.ndarray,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive JPEG encoder (SOF2, JFIF): 8-bit, 3 components,
+    ``"444"`` or ``"420"`` subsampling, any dimensions. Nine scans —
+    interleaved DC first at Al=1, per-component spectral-selection AC
+    bands at Al=1 (luma split 1-5/6-63), then the full Ah=1→Al=0
+    successive-approximation refinement pass — so every Annex-G
+    decoder path (EOBRUN, ZRL-in-refinement, buffered correction
+    bits, sign bits) appears in real bitstreams. ``restart_interval``
+    emits DRI + RSTn every N MCUs (interleaved scans) / N blocks
+    (non-interleaved scans), flushing the EOB run first exactly as a
+    conformant encoder must."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, w, _ = px.shape
+    ycc = _rgb_to_ycbcr(px)
+    ys, cs = ((2, 2), (1, 1)) if subsampling == "420" else ((1, 1), (1, 1))
+    samp = [ys, cs, cs]
+    planes = []
+    for ci in range(3):
+        plane = ycc[:, :, ci]
+        if subsampling == "420" and ci > 0:
+            ev = _pad_to(plane, 2, 2)
+            plane = (
+                ev[0::2, 0::2] + ev[1::2, 0::2]
+                + ev[0::2, 1::2] + ev[1::2, 1::2]
+            ) / 4.0
+        planes.append(plane - 128.0)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = [
+        _pad_to(pl, 8 * mcus_y * s[1], 8 * mcus_x * s[0])
+        for pl, s in zip(planes, samp)
+    ]
+    qts = (_JPEG_QY, _JPEG_QC, _JPEG_QC)
+    # quantize every block ONCE via _quant_block (bit-identical to the
+    # baseline encoder) into zigzag coefficient arrays
+    coefs = []
+    nblocks = []
+    for ci, (hi, vi) in enumerate(samp):
+        bh, bw_ = mcus_y * vi, mcus_x * hi
+        arr = np.zeros((bh, bw_, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw_):
+                blk = planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                arr[by, bx] = _quant_block(blk, qts[ci]).ravel()[_ZZ]
+        coefs.append(arr)
+        xi = -(-w * hi // hmax)
+        yi = -(-h * vi // vmax)
+        nblocks.append((-(-xi // 8), -(-yi // 8)))
+
+    dcm = _huff_encode_map(_PROG_DC_TABLE)
+    acm = _huff_encode_map(_PROG_AC_TABLE)
+    scans = []
+    for comps, ss, se, ah, al in _PROG_SCRIPT:
+        bw = _BitWriter()
+        eobrun = 0
+        pend: list[int] = []
+        rst = 0
+        if ss == 0:
+            preds = dict.fromkeys(comps, 0)
+            if len(comps) > 1:
+                n_mcu = 0
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                            bw.restart(rst)
+                            rst = (rst + 1) % 8
+                            preds = dict.fromkeys(comps, 0)
+                        n_mcu += 1
+                        for ci in comps:
+                            hi, vi = samp[ci]
+                            for v in range(vi):
+                                for hh in range(hi):
+                                    zz = coefs[ci][my * vi + v, mx * hi + hh]
+                                    if ah == 0:
+                                        val = int(zz[0]) >> al
+                                        diff = val - preds[ci]
+                                        preds[ci] = val
+                                        cat = _category(diff)
+                                        code, ln = dcm[cat]
+                                        bw.put(code, ln)
+                                        if cat:
+                                            bw.put(_enc_value(diff, cat), cat)
+                                    else:
+                                        bw.put((int(zz[0]) >> al) & 1, 1)
+            else:
+                ci = comps[0]
+                bw_n, bh_n = nblocks[ci]
+                n_unit = 0
+                for by in range(bh_n):
+                    for bx in range(bw_n):
+                        if restart_interval and n_unit and n_unit % restart_interval == 0:
+                            bw.restart(rst)
+                            rst = (rst + 1) % 8
+                            preds[ci] = 0
+                        n_unit += 1
+                        zz = coefs[ci][by, bx]
+                        if ah == 0:
+                            val = int(zz[0]) >> al
+                            diff = val - preds[ci]
+                            preds[ci] = val
+                            cat = _category(diff)
+                            code, ln = dcm[cat]
+                            bw.put(code, ln)
+                            if cat:
+                                bw.put(_enc_value(diff, cat), cat)
+                        else:
+                            bw.put((int(zz[0]) >> al) & 1, 1)
+        else:
+            ci = comps[0]
+            bw_n, bh_n = nblocks[ci]
+            n_unit = 0
+            for by in range(bh_n):
+                for bx in range(bw_n):
+                    if restart_interval and n_unit and n_unit % restart_interval == 0:
+                        eobrun = _emit_eobrun(bw, acm, eobrun, pend)
+                        bw.restart(rst)
+                        rst = (rst + 1) % 8
+                    n_unit += 1
+                    zz = coefs[ci][by, bx]
+                    if ah == 0:
+                        eobrun = _enc_ac_first(
+                            bw, acm, zz, ss, se, al, eobrun, pend
+                        )
+                    else:
+                        eobrun = _enc_ac_refine(
+                            bw, acm, zz, ss, se, al, eobrun, pend
+                        )
+            eobrun = _emit_eobrun(bw, acm, eobrun, pend)
+        ns = len(comps)
+        hdr = bytes([ns])
+        for ci in comps:
+            hdr += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+        hdr += bytes([ss, se, (ah << 4) | al])
+        scans.append((hdr, bw.flush()))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(int(q.ravel()[z]) for z in _ZZ))
+
+    def dht(cls: int, tid: int, table) -> bytes:
+        bits, vals = table
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    sy = (samp[0][0] << 4) | samp[0][1]
+    sof = seg(0xC2, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+              + bytes([3, 1, sy, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = (
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+        if restart_interval
+        else b""
+    )
+    out = (b"\xff\xd8" + app0 + dqt(0, _JPEG_QY) + dqt(1, _JPEG_QC)
+           + dht(0, 0, _PROG_DC_TABLE) + dht(1, 0, _PROG_AC_TABLE)
+           + dri + sof)
+    for hdr, data in scans:
+        out += seg(0xDA, hdr) + data
+    return out + b"\xff\xd9"

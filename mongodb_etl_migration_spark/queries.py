@@ -5162,6 +5162,72 @@ def m_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m_image_decode_jpeg_progressive",
+    """
+    WITH g AS (
+      SELECT doc_id, doc_id % 3 + 1 AS wb, doc_id % 2 + 1 AS hb
+      FROM documents WHERE doc_id % 11 = 5
+    ), b AS (
+      SELECT doc_id, wb, hb, bx.x AS bx, by.y AS by
+      FROM g,
+           (SELECT unnest(range(0, 3)) AS x) bx,
+           (SELECT unnest(range(0, 2)) AS y) by
+      WHERE bx.x < wb AND by.y < hb
+    ), v AS (
+      SELECT doc_id, wb, hb,
+             64 + 8 * ((bx + 3 * by + 2 * doc_id) % 17) AS val
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(wb * 8 AS BIGINT) AS width,
+           CAST(hb * 8 AS BIGINT) AS height,
+           CAST(sum(val) AS DOUBLE) / count(*) AS mean_r,
+           CAST(sum(val) AS DOUBLE) / count(*) AS mean_g,
+           CAST(sum(val) AS DOUBLE) / count(*) AS mean_b
+    FROM v GROUP BY doc_id, wb, hb
+    """,
+)
+def m_image_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG path (ISO 10918-1 Annex G), driver-
+    verifiable: the m_image_decode_jpeg fixture re-encoded through
+    encode_jpeg_progressive — nine scans (interleaved DC at Al=1,
+    per-component spectral-selection AC bands, then the Ah=1→Al=0
+    successive-approximation refinement pass), 4:2:0 subsampling and
+    a 2-MCU restart interval, so decoding exercises EOBRUN, buffered
+    refinement correction bits, per-scan table state, and the
+    restart/EOB-run reset. The oracle predicts dims/means analytically
+    from the quantization-roundtrip theory (NOT from the decoder), so
+    a hash match proves real multi-scan entropy streams were
+    accumulated and IDCT'd. Disjoint 1/11 slice (doc_id % 11 = 5)
+    from the baseline query."""
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_jpeg_progressive,
+    )
+
+    d = (
+        Catalog(spark, sf_dir)
+        .documents.select("doc_id")
+        .filter(F.expr("doc_id % 11 = 5"))
+    )
+
+    def make_payload(did: int) -> bytes:
+        wb, hb = did % 3 + 1, did % 2 + 1
+        px = np.zeros((hb * 8, wb * 8, 3), dtype=np.uint8)
+        for by in range(hb):
+            for bx in range(wb):
+                v = 64 + 8 * ((bx + 3 * by + 2 * did) % 17)
+                px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, :] = v
+        return encode_jpeg_progressive(
+            px, subsampling="420", restart_interval=2
+        )
+
+    mm = _mm_payload_table(d, make_payload)
+    return M.decode_images(mm).drop("content_digest")
+
+
+@query(
     "w_html_extract",
     """
     WITH page AS (

@@ -1039,11 +1039,15 @@ def test_jpeg_rejects_out_of_scope_streams():
     with pytest.raises(ValueError):
         parse_jpeg(b"\x89PNG not a jpeg")
     raw = bytearray(encode_jpeg(np.full((8, 8, 3), 100, dtype=np.uint8)))
-    # flip SOF0 (FFC0) to progressive SOF2 (FFC2): must refuse, not
-    # mis-decode
+    # flip SOF0 (FFC0) to arithmetic SOF9: must refuse, not mis-decode
     i = raw.find(b"\xff\xc0")
-    raw[i + 1] = 0xC2
+    raw[i + 1] = 0xC9
     with pytest.raises(ValueError):
+        parse_jpeg(bytes(raw))
+    # SOF2 is now supported — but a BASELINE scan (Ss=0,Se=63) inside a
+    # progressive stream is malformed and must refuse, not mis-decode
+    raw[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="DC scan must have Se=0"):
         parse_jpeg(bytes(raw))
     with pytest.raises(ValueError):
         parse_jpeg(bytes(encode_jpeg(np.full((8, 8, 3), 1, dtype=np.uint8)))[:-10] + b"\x00" * 2)
@@ -1221,3 +1225,177 @@ def test_matryoshka_zero_prefix_stays_zero(spark):
     assert rows[1][0] == [0.0] * 8          # zero PREFIX -> zeros, not NULLs
     assert rows[2][1] == [0.0] * 16         # zero vector -> zeros
     assert abs(sum(x * x for x in rows[1][1]) - 1.0) < 1e-12
+
+
+def test_progressive_jpeg_equals_baseline_decode():
+    """Pixel-exact roundtrip: the progressive encoder writes the SAME
+    quantized coefficients as the baseline encoder, so decoding the
+    nine-scan Annex-G stream (spectral selection + successive
+    approximation, EOBRUN, refinement correction bits) must reproduce
+    the baseline decode bit-for-bit — including odd dims (MCU crop),
+    4:2:0, and restart intervals (EOB-run reset at RSTn)."""
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    for dims, sub, ri in [
+        ((8, 8), "444", 0),
+        ((23, 17), "444", 3),
+        ((33, 31), "420", 0),
+        ((64, 48), "420", 2),
+    ]:
+        px = rng.integers(0, 256, size=(*dims, 3), dtype=np.uint8)
+        base = parse_jpeg(encode_jpeg(px, subsampling=sub, restart_interval=ri))
+        prog = parse_jpeg(
+            encode_jpeg_progressive(px, subsampling=sub, restart_interval=ri)
+        )
+        assert base[:2] == prog[:2]
+        assert np.array_equal(base[2], prog[2]), (dims, sub, ri)
+
+
+def test_progressive_jpeg_long_eob_runs():
+    """A flat image makes every AC band empty: the first AC scans emit
+    multi-block EOBn runs and the refinement scans exercise the
+    run-spanning correction-bit buffer — decode must still match."""
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    px = np.full((48, 64, 3), 96, dtype=np.uint8)
+    base = parse_jpeg(encode_jpeg(px))
+    prog = parse_jpeg(encode_jpeg_progressive(px))
+    assert np.array_equal(base[2], prog[2])
+    # smooth gradient: sparse high-frequency AC, heavy EOBRUN + ZRL mix
+    g = np.linspace(0, 255, 64, dtype=np.uint8)
+    px2 = np.stack([np.tile(g, (48, 1))] * 3, axis=-1)
+    base2 = parse_jpeg(encode_jpeg(px2, subsampling="420"))
+    prog2 = parse_jpeg(encode_jpeg_progressive(px2, subsampling="420"))
+    assert np.array_equal(base2[2], prog2[2])
+
+
+def test_progressive_jpeg_grayscale_non_interleaved():
+    """Single-component progressive stream built by hand (the encoder
+    is 3-component): non-interleaved DC + AC scans over the raster
+    block grid, successive approximation Al=1 -> refine. Must equal the
+    BASELINE decode of the same grayscale coefficients."""
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(24, 16), dtype=np.uint8)
+    plane = px.astype(np.float64) - 128.0
+    bh, bw_ = 3, 2
+    coefs = np.zeros((bh, bw_, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw_):
+            blk = plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+            coefs[by, bx] = M._quant_block(blk, M._JPEG_QY).ravel()[M._ZZ]
+
+    dcm = M._huff_encode_map(M._PROG_DC_TABLE)
+    acm = M._huff_encode_map(M._PROG_AC_TABLE)
+    scans = []
+    for ss, se, ah, al in ((0, 0, 0, 1), (1, 63, 0, 1), (0, 0, 1, 0), (1, 63, 1, 0)):
+        bw = M._BitWriter()
+        eobrun, pend, pred = 0, [], 0
+        for by in range(bh):
+            for bx in range(bw_):
+                zz = coefs[by, bx]
+                if ss == 0 and ah == 0:
+                    v = int(zz[0]) >> al
+                    diff, pred = v - pred, v
+                    cat = M._category(diff)
+                    code, ln = dcm[cat]
+                    bw.put(code, ln)
+                    if cat:
+                        bw.put(M._enc_value(diff, cat), cat)
+                elif ss == 0:
+                    bw.put((int(zz[0]) >> al) & 1, 1)
+                elif ah == 0:
+                    eobrun = M._enc_ac_first(bw, acm, zz, ss, se, al, eobrun, pend)
+                else:
+                    eobrun = M._enc_ac_refine(bw, acm, zz, ss, se, al, eobrun, pend)
+        if ss != 0:
+            M._emit_eobrun(bw, acm, eobrun, pend)
+        scans.append((bytes([1, 1, 0x00, ss, se, (ah << 4) | al]), bw.flush()))
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    sof2 = seg(0xC2, bytes([8]) + (24).to_bytes(2, "big") + (16).to_bytes(2, "big")
+               + bytes([1, 1, 0x11, 0]))
+    raw = (b"\xff\xd8"
+           + seg(0xDB, bytes([0]) + bytes(int(M._JPEG_QY.ravel()[z]) for z in M._ZZ))
+           + seg(0xC4, bytes([0x00]) + bytes(M._PROG_DC_TABLE[0]) + bytes(M._PROG_DC_TABLE[1]))
+           + seg(0xC4, bytes([0x10]) + bytes(M._PROG_AC_TABLE[0]) + bytes(M._PROG_AC_TABLE[1]))
+           + sof2)
+    for hdr, data in scans:
+        raw += seg(0xDA, hdr) + data
+    raw += b"\xff\xd9"
+
+    w, h, got = M.parse_jpeg(raw)
+    assert (w, h) == (16, 24)
+    # expected: dequant + IDCT of the same coefficients (grayscale tail)
+    exp_blocks = np.zeros((bh, bw_, 8, 8))
+    for by in range(bh):
+        for bx in range(bw_):
+            nat = np.zeros(64)
+            nat[M._ZZ] = coefs[by, bx]
+            exp_blocks[by, bx] = (
+                M._DCT_C.T @ (nat.reshape(8, 8) * M._JPEG_QY) @ M._DCT_C
+            )
+    exp_plane = exp_blocks.transpose(0, 2, 1, 3).reshape(24, 16) + 128.0
+    exp = np.clip(np.floor(exp_plane + 0.5), 0, 255).astype(np.uint8)
+    assert np.array_equal(got[:, :, 0], exp)
+    assert np.array_equal(got[:, :, 0], got[:, :, 1])
+
+
+def test_grayscale_baseline_with_sampling_factors_is_non_interleaved():
+    """ISO 10918-1 A.2.2: a single-component scan ignores the SOF
+    sampling factors for MCU layout. Patch a grayscale baseline file's
+    SOF to claim 2x2 sampling: decode must be unchanged (raster block
+    order), not 4-blocks-per-MCU garbling."""
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    # build a grayscale baseline jpeg via the existing encoder pieces
+    plane = px.astype(np.float64) - 128.0
+    bw = M._BitWriter()
+    dcm = M._huff_encode_map(M._HUFF_DC_Y)
+    acm = M._huff_encode_map(M._HUFF_AC_Y)
+    pred = 0
+    for by in range(2):
+        for bx in range(2):
+            pred = M._encode_block(
+                bw, plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8],
+                M._JPEG_QY, dcm, acm, pred,
+            )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def build(samp_byte):
+        return (b"\xff\xd8"
+                + seg(0xDB, bytes([0]) + bytes(int(M._JPEG_QY.ravel()[z]) for z in M._ZZ))
+                + seg(0xC4, bytes([0x00]) + bytes(M._HUFF_DC_Y[0]) + bytes(M._HUFF_DC_Y[1]))
+                + seg(0xC4, bytes([0x10]) + bytes(M._HUFF_AC_Y[0]) + bytes(M._HUFF_AC_Y[1]))
+                + seg(0xC0, bytes([8]) + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+                      + bytes([1, 1, samp_byte, 0]))
+                + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+                + bw.flush() + b"\xff\xd9")
+
+    _, _, out11 = M.parse_jpeg(build(0x11))
+    _, _, out22 = M.parse_jpeg(build(0x22))
+    assert np.array_equal(out11, out22)
