@@ -8,10 +8,14 @@ as the 1→N mapInPandas explode every crawl ingest needs (same Arrow
 plumbing shape as multimodal.sample_frames): one row per WARC record,
 with the HTTP layer unwrapped for response records.
 
-At 100 TB the payload column is the crawl shard (or an object-store
-URI resolved by the reader); records explode inside the scan stage,
-so the only shuffle in a WARC → extract → curate pipeline is whatever
-the downstream curation operators need.
+The in-row ``explode_warc`` form requires a shard to fit one row —
+fine for message-sized payloads, a row/Arrow hazard for real crawl
+shards. For file-based ingest of ``.warc``/``.warc.gz`` shards (per-
+record gzip members, the Common Crawl layout) use ``warc_source.py``'s
+``format("warc")`` DataSource, which streams records out of the file
+one at a time via ``iter_warc_stream``. Either way records explode
+inside the scan stage, so the only shuffle in a WARC → extract →
+curate pipeline is whatever the downstream curation operators need.
 """
 
 from __future__ import annotations

@@ -54,7 +54,11 @@ def test_fanout_leaves_no_cache_entries(spark, sf_dir):
     on the caller unpersisting; localCheckpoint blocks are owned by
     the RDD and freed by the ContextCleaner instead)."""
     cm = spark._jsparkSession.sharedState().cacheManager()
-    assert cm.isEmpty(), "test requires a cache-clean session"
+    # other tests in the session-scoped fixture may have cached frames;
+    # clearing is safe (cached plans just recompute) and gives the
+    # no-growth assertion a clean zero
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
     for i in range(3):
         base = spark.read.parquet(f"{sf_dir}/region.parquet").withColumn(
             "k", F.col("r_regionkey") + i
