@@ -9,17 +9,21 @@ processes whole record batches without JVM↔Python per-row cost.
 Codec status: BMP (uncompressed 24-bit), PNG (non-interlaced 8-bit
 gray/RGB/RGBA, full scanline unfiltering), QOI (full 1.0 spec), GIF
 (89a subset incl. animated multi-frame, full variable-width LZW),
-JPEG (baseline sequential DCT — Annex-K tables, Huffman + RLE entropy
-coding, numpy DCT/IDCT; decodes 4:4:4/4:2:2/4:4:0/4:2:0 sampling,
-grayscale, any dims, restart markers — progressive/arithmetic/12-bit
+JPEG (baseline sequential SOF0 AND progressive SOF2 — Annex-K tables,
+Huffman + RLE entropy coding, spectral selection + successive
+approximation, numpy DCT/IDCT; 4:4:4/4:2:2/4:4:0/4:2:0 sampling,
+grayscale, any dims, restart markers — arithmetic/lossless/12-bit
 rejected loudly) and WAV (PCM16) are decoded FOR REAL with stdlib
 struct/zlib/wave + numpy — ``decode_images`` / ``decode_audio`` /
 ``resize_images`` / ``sample_frames`` parse actual bytes and return
-actual dimensions/samples/frames. Containers that genuinely need
-ffmpeg (MP4/video beyond GIF, progressive JPEG) fall
-through to a clearly-marked deterministic stub; the Spark-side
-contract (schema, batch iteration, partition sizing) is identical for
-both paths, so widening a codec's scope is a pure Python change.
+actual dimensions/samples/frames. ISO BMFF (MP4) gets a REAL
+container layer (operators/mp4: box walk, track metadata,
+stsc/stco/stsz sample-byte extraction from mdat); only the DECODE of
+those extracted video samples (H.264 et al. — genuinely needs
+ffmpeg) falls through to a clearly-marked deterministic stub. The
+Spark-side contract (schema, batch iteration, partition sizing) is
+identical for both paths, so widening a codec's scope is a pure
+Python change.
 """
 
 from __future__ import annotations
@@ -760,9 +764,14 @@ def sample_frames(multimodal: DataFrame, every_n: int = 8) -> DataFrame:
     """Frame sampling via mapInPandas, 1→N row fan-out. Animated-GIF
     payloads get the REAL decoder (:func:`parse_gif` — LZW, frame
     walk): every ``every_n``-th decoded frame's RGB bytes are
-    digested. Other containers (MP4 etc. — no ffmpeg in this
-    environment) fall back to the deterministic 64-byte-chunk stub,
-    which keeps the fan-out/batching plumbing testable."""
+    digested. ISO BMFF (MP4) payloads get the REAL container layer
+    (operators/mp4: box walk + stsc/stco/stsz sample resolution):
+    every ``every_n``-th sample's raw bytes are extracted from mdat
+    and digested — frame DECODE of those bytes is the stage that
+    genuinely needs ffmpeg and stays out of scope. Anything else
+    falls back to the deterministic 64-byte-chunk stub, which keeps
+    the fan-out/batching plumbing testable."""
+    from mongodb_etl_migration_spark.operators import mp4 as _mp4
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -780,6 +789,25 @@ def sample_frames(multimodal: DataFrame, every_n: int = 8) -> DataFrame:
                             idxs.append(k)
                             digests.append(
                                 hashlib.md5(frames[k].tobytes()).hexdigest()
+                            )
+                        continue
+                if raw[4:8] == b"ftyp":
+                    try:
+                        info = _mp4.parse_mp4(raw)
+                        video = next(
+                            t for t in info["tracks"]
+                            if t["handler"] == "vide"
+                        )
+                        ranges = _mp4.sample_ranges(video)
+                    except (ValueError, StopIteration):
+                        ranges = None  # malformed/no video track -> stub
+                    if ranges is not None:
+                        for k in range(0, len(ranges), every_n):
+                            off, size = ranges[k]
+                            ids.append(doc_id)
+                            idxs.append(k)
+                            digests.append(
+                                hashlib.md5(raw[off:off + size]).hexdigest()
                             )
                         continue
                 n_frames = max(1, len(raw) // 64)
@@ -805,6 +833,8 @@ def decode_media(multimodal: DataFrame) -> DataFrame:
     memory for large payloads.
     """
 
+    from mongodb_etl_migration_spark.operators import mp4 as _mp4
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             flat = pd.DataFrame(
@@ -814,7 +844,26 @@ def decode_media(multimodal: DataFrame) -> DataFrame:
                     "media_type": pdf["meta"].map(lambda m: m["media_type"]),
                 }
             )
-            yield _decode_batch_stub(flat)
+            out = _decode_batch_stub(flat)
+            # ISO BMFF payloads: REAL container metadata (box walk)
+            # overrides the stub's derived dims/frames
+            for i, payload in enumerate(flat["payload"]):
+                raw = bytes(payload)
+                if raw[4:8] == b"ftyp":
+                    try:
+                        info = _mp4.parse_mp4(raw)
+                        video = next(
+                            t for t in info["tracks"]
+                            if t["handler"] == "vide"
+                        )
+                    except (ValueError, StopIteration):
+                        continue
+                    out.iloc[i, out.columns.get_loc("width")] = video["width"]
+                    out.iloc[i, out.columns.get_loc("height")] = video["height"]
+                    out.iloc[i, out.columns.get_loc("n_frames")] = video[
+                        "n_samples"
+                    ]
+            yield out
 
     return multimodal.mapInPandas(gen, DECODED_SCHEMA)
 

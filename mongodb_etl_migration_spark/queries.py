@@ -5227,6 +5227,88 @@ def m_image_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFra
     return M.decode_images(mm).drop("content_digest")
 
 
+def _mp4_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared MP4 fixture: per doc (1/9 slice) a minimal valid ISO
+    BMFF file (operators/mp4.build_mp4) with doc_id%5+2 ASCII video
+    samples 'frame-<doc>-<k>' packed two-per-chunk — ASCII so the
+    DuckDB oracle can recompute the sample digests, two-per-chunk so
+    read-back exercises the stsc run-length rule."""
+    from mongodb_etl_migration_spark.operators import mp4 as V4
+
+    d = (
+        Catalog(spark, sf_dir)
+        .documents.select("doc_id")
+        .filter(F.expr("doc_id % 9 = 0"))
+    )
+
+    def make_payload(did: int) -> bytes:
+        samples = [
+            f"frame-{did}-{k}".encode() for k in range(did % 5 + 2)
+        ]
+        return V4.build_mp4(
+            samples,
+            width=(did % 3 + 1) * 32,
+            height=(did % 2 + 1) * 24,
+            fps=30,
+        )
+
+    return _mm_payload_table(d, make_payload)
+
+
+@query(
+    "m_mp4_metadata",
+    """
+    SELECT doc_id,
+           CAST((doc_id % 3 + 1) * 32 AS BIGINT) AS width,
+           CAST((doc_id % 2 + 1) * 24 AS BIGINT) AS height,
+           CAST(doc_id % 5 + 2 AS BIGINT) AS n_frames
+    FROM documents WHERE doc_id % 9 = 0
+    """,
+)
+def m_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO BMFF (MP4) container metadata (operators/mp4): per
+    doc, build a valid single-video-track MP4 — ftyp/mdat/moov with
+    versioned boxes and a correct stbl — then recover dims and frame
+    count through the box walk (tkhd 16.16 dims, stsz sample count).
+    The oracle predicts every field analytically from the fixture
+    parameters, so a hash match proves the container was actually
+    parsed, not echoed. Arrow-batched mapInPandas like every codec."""
+    mm = _mp4_fixture(spark, sf_dir)
+    return M.decode_media(mm).select(
+        "doc_id", "width", "height", "n_frames"
+    )
+
+
+@query(
+    "m_mp4_frames",
+    """
+    WITH g AS (
+      SELECT doc_id, doc_id % 5 + 2 AS n FROM documents
+      WHERE doc_id % 9 = 0
+    ), s AS (
+      SELECT doc_id, k.k AS frame_idx
+      FROM g, (SELECT unnest(range(0, 6)) AS k) k
+      WHERE k.k < n AND k.k % 2 = 0
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           md5('frame-' || CAST(doc_id AS VARCHAR) || '-'
+               || CAST(frame_idx AS VARCHAR)) AS frame_digest
+    FROM s
+    """,
+)
+def m_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 frame-byte extraction: every 2nd sample's bytes pulled
+    out of mdat by resolving the stsc sample-to-chunk map against
+    stco/stsz (two samples per chunk, so chunk arithmetic is actually
+    exercised) and digested. The oracle recomputes each digest from
+    the known ASCII sample content — a hash match proves the exact
+    byte ranges came back out of the container. Decoding those bytes
+    (H.264 et al.) genuinely needs a codec library and stays out of
+    scope; digest-and-route is the curation-pipeline reality."""
+    mm = _mp4_fixture(spark, sf_dir)
+    return M.sample_frames(mm, every_n=2)
+
+
 @query(
     "w_html_extract",
     """
