@@ -415,11 +415,13 @@ class MongodumpStreamReader(SimpleDataSourceStreamReader):
         seen = self._legacy_aware_seen(start, files)
         new = [p for p in files if os.path.basename(p) not in seen]
         end = {"seen": sorted(seen | {os.path.basename(p) for p in new})}
-        # lists, not generators: the simple-reader API prefetches and
-        # PICKLES the batch on the driver (per-drop batches are one
-        # backup file — bounded; use the full streamReader API if a
-        # single drop outgrows driver memory)
-        return list(self._rows(new)), end
+        # materialized THEN wrapped in iter(): the simple-reader API
+        # prefetches and PICKLES the batch on the driver (per-drop
+        # batches are one backup file — bounded; use the full
+        # streamReader API if a single drop outgrows driver memory),
+        # and its empty-poll validation calls next() on the result —
+        # a bare list TypeErrors the query on a no-new-files poll
+        return iter(list(self._rows(new))), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         import os

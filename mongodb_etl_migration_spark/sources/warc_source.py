@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
     LongType,
@@ -196,6 +197,58 @@ class WarcReader(DataSourceReader):
             stream.close()
 
 
+class WarcStreamReader(SimpleDataSourceStreamReader):
+    """Tail a crawl directory as a stream: every NEW .warc/.warc.gz
+    shard becomes part of the next microbatch — the crawler-drops-
+    shards → curation-ingests-each-once pattern. Offset bookkeeping is
+    the mongodump stream's proven shape: ``{"seen": [basenames]}``, a
+    batch is listing MINUS seen, so late-arriving shards that sort
+    before already-emitted names are still picked up exactly once and
+    ``readBetweenOffsets`` replays any batch as end.seen − start.seen
+    (shards are immutable once written). The seen list grows with the
+    number of drops — bounded for the crawl-drop pattern."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._path = options["path"]
+        self._mode = options.get("mode", "FAILFAST").upper()
+
+    def _files(self) -> list[str]:
+        try:
+            return _resolve_warc_files(self._path)
+        except FileNotFoundError:
+            return []  # empty dir: stream starts before the first drop
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def read(self, start: dict):
+        files = self._files()
+        seen = set(start.get("seen", []))
+        new = [p for p in files if os.path.basename(p) not in seen]
+        end = {"seen": sorted(seen | {os.path.basename(p) for p in new})}
+        # materialized THEN wrapped in iter(): the simple-reader API
+        # prefetches and pickles the batch on the driver (per-drop
+        # batches are a few shards — bounded; a firehose needs the
+        # full streamReader API), and its empty-poll validation calls
+        # next() on the result — a bare list TypeErrors the query
+        return iter(list(self._rows(new))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        batch = set(end.get("seen", [])) - set(start.get("seen", []))
+        files = [
+            p for p in self._files() if os.path.basename(p) in batch
+        ]
+        return list(self._rows(files))
+
+    def _rows(self, files: list[str]):
+        reader = WarcReader(
+            self._schema, {"path": self._path, "mode": self._mode}
+        )
+        for path in files:
+            yield from reader.read(_WarcFilePartition(path))
+
+
 class WarcDataSource(DataSource):
     """See module docstring. Options: ``path`` (file, glob, or
     directory of .warc/.warc.gz), ``mode`` (FAILFAST|PERMISSIVE;
@@ -213,6 +266,11 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema: StructType) -> WarcReader:
         return WarcReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> WarcStreamReader:
+        """Streaming tail of a crawl directory (readStream.format
+        ("warc")): each dropped shard ingested exactly once."""
+        return WarcStreamReader(schema, self.options)
 
 
 def register_warc(spark) -> None:

@@ -150,3 +150,48 @@ def test_source_permissive_marker_respects_pushed_filters(spark, tmp_path):
     # an IsNotNull filter on warc_type must not leak the all-NULL marker
     rows = df.filter("warc_type IS NOT NULL").collect()
     assert all(r._corrupt_record is None for r in rows)
+
+
+def test_warc_streaming_tails_new_shards(spark, tmp_path):
+    """Each dropped crawl shard is ingested exactly once, late-sorting
+    names included; schema matches the batch reader's."""
+    from mongodb_etl_migration_spark.sources.warc_source import (
+        WARC_SOURCE_FIELDS,
+        register_warc,
+    )
+    from pyspark.sql.types import StructType
+
+    register_warc(spark)
+    src = tmp_path / "drops"
+    src.mkdir()
+    out = tmp_path / "out"
+    chk = tmp_path / "chk"
+
+    def run_batch():
+        q = (
+            spark.readStream.format("warc")
+            .schema(StructType(list(WARC_SOURCE_FIELDS)))
+            .option("path", str(src))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(chk))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    (src / "s5.warc.gz").write_bytes(W.build_warc_gz(_mixed_records(3, "a")))
+    run_batch()
+    # late-arriving shard that SORTS BEFORE the already-emitted one
+    (src / "s1.warc").write_bytes(W.build_warc(_mixed_records(2, "b")))
+    run_batch()
+    got = spark.read.parquet(str(out))
+    by_file = {
+        r.path.rsplit("/", 1)[-1]: r.cnt
+        for r in got.groupBy("path").count().withColumnRenamed("count", "cnt").collect()
+    }
+    assert by_file == {"s5.warc.gz": 4, "s1.warc": 3}  # warcinfo + n
+    # replaying the same drops adds nothing
+    run_batch()
+    assert spark.read.parquet(str(out)).count() == 7
