@@ -323,6 +323,55 @@ def url_dedup_first_wins(df, url_col: str, order_col: str):
     )
 
 
+def with_robots_verdict(
+    df,
+    rules,
+    host_col: str,
+    path_col: str,
+    out_col: str = "crawl_allowed",
+):
+    """RFC 9309 (robots.txt) rule matching — the politeness gate every
+    crawler runs before fetch and every crawl-corpus audit re-runs
+    after the fact. ``rules`` is a DataFrame (host, allow boolean,
+    prefix string) of the already-parsed per-host rule lines for the
+    relevant user-agent group (non-empty prefixes; an empty Disallow
+    means 'no restriction' per the RFC and contributes no row).
+
+    Semantics: the rule with the LONGEST matching path prefix wins;
+    on a length tie Allow wins (the RFC's least-restrictive tie
+    rule); no matching rule → allowed. Wildcard (*) and end-anchor
+    ($) extensions are out of the prefix-match scope, documented.
+
+    Plan: rules aggregate per host on the TINY side (robots files are
+    KB-scale), broadcast-join to the corpus, and the longest-match
+    resolution runs entirely in array higher-order functions — zero
+    shuffle on the corpus side at any scale, mirrored with DuckDB
+    list lambdas in the oracle."""
+    from pyspark.sql.functions import broadcast
+
+    per_host = rules.groupBy("host").agg(
+        F.collect_list(F.struct("allow", "prefix")).alias("__rules")
+    ).withColumnRenamed("host", "__rhost")
+    j = df.join(
+        broadcast(per_host), df[host_col] == per_host["__rhost"], "left"
+    )
+    path = _c(path_col)
+    matching = F.filter(
+        F.coalesce(F.col("__rules"), F.array()),
+        lambda r: path.startswith(r["prefix"]),
+    )
+    best = F.array_max(
+        F.transform(matching, lambda r: F.length(r["prefix"]))
+    )
+    allowed = F.when(F.size(matching) == 0, F.lit(True)).otherwise(
+        F.exists(
+            matching,
+            lambda r: (F.length(r["prefix"]) == best) & r["allow"],
+        )
+    )
+    return j.withColumn(out_col, allowed).drop("__rhost", "__rules")
+
+
 # token delimiter for numeric-charref decoding: a control char real
 # HTML never carries (and is scrubbed first so input can't fake it)
 _CREF_MARK = "\x01"

@@ -5774,6 +5774,156 @@ def w_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "registered_domain")
 
 
+@query(
+    "w_robots_filter",
+    f"""
+    WITH u AS (
+      SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents
+    ), p0 AS (
+      SELECT doc_id, url,
+        lower(nullif(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), '')) AS scheme,
+        lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS rawhost
+      FROM u
+    ), hosts AS (
+      SELECT doc_id,
+        nullif(CASE WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80$', '')
+                    WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$', '')
+                    ELSE rawhost END, '') AS host,
+        CASE WHEN regexp_replace(
+               regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+               '/+$', '') = '' THEN '/'
+             ELSE regexp_replace(
+               regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+               '/+$', '') END AS path
+      FROM p0
+    ), rules AS (
+      SELECT 'www.' || lower(source) || '.example.com' AS host,
+             r.allow, r.prefix
+      FROM (SELECT DISTINCT lower(source) AS source FROM documents),
+           (VALUES (FALSE, '/Docs/'), (TRUE, '/Docs/4'),
+                   (FALSE, '/private/')) r(allow, prefix)
+    ), agg AS (
+      SELECT host,
+             list(struct_pack(allow := allow, prefix := prefix)) AS rl
+      FROM rules GROUP BY host
+    ), j AS (
+      SELECT h.doc_id, h.host, h.path,
+        list_filter(
+          COALESCE(a.rl, CAST([] AS STRUCT(allow BOOLEAN, prefix VARCHAR)[])),
+          r -> starts_with(h.path, r.prefix)) AS matching
+      FROM hosts h LEFT JOIN agg a ON h.host = a.host
+    )
+    SELECT doc_id, host, path,
+      CASE WHEN len(matching) = 0 THEN TRUE
+           ELSE len(list_filter(matching,
+                  r -> len(r.prefix) = list_max(
+                         list_transform(matching, r2 -> len(r2.prefix)))
+                       AND r.allow)) > 0
+      END AS crawl_allowed
+    FROM j
+    """,
+)
+def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness gate (web.with_robots_verdict, RFC 9309):
+    longest-matching-prefix rule wins, Allow wins length ties, no
+    match → allowed. Fixture: per crawl host a parsed rule group
+    (Disallow /Docs/, Allow /Docs/4 — the longer Allow carves an
+    exception out of the Disallow — Disallow /private/); hosts
+    carrying a non-default port (http://host:443) match no rule group
+    and stay allowed, pinning host-exactness. Rules aggregate on the
+    KB-scale side and broadcast; the longest-match resolution is all
+    array higher-order functions — zero shuffle on the corpus side,
+    mirrored with DuckDB list lambdas."""
+    d = Catalog(spark, sf_dir).documents
+    u = d.select("doc_id", _messy_url_col().alias("url"))
+    hosts = u.select(
+        "doc_id",
+        WB.url_host("url").alias("host"),
+        WB.url_path("url").alias("path"),
+    )
+    rule_arr = F.array(
+        F.struct(F.lit(False).alias("allow"), F.lit("/Docs/").alias("prefix")),
+        F.struct(F.lit(True).alias("allow"), F.lit("/Docs/4").alias("prefix")),
+        F.struct(
+            F.lit(False).alias("allow"), F.lit("/private/").alias("prefix")
+        ),
+    )
+    rules = (
+        d.select(F.lower("source").alias("s"))
+        .distinct()
+        .select(
+            F.concat(F.lit("www."), F.col("s"), F.lit(".example.com")).alias(
+                "host"
+            ),
+            F.explode(rule_arr).alias("r"),
+        )
+        .select("host", F.col("r.allow").alias("allow"), F.col("r.prefix").alias("prefix"))
+    )
+    return WB.with_robots_verdict(hosts, rules, "host", "path")
+
+
+@query(
+    "w_crawl_curation",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, source FROM documents WHERE doc_id % 5 = 0
+    ), resp AS (
+      SELECT doc_id, source, r
+      FROM docs, unnest(range(1, doc_id % 3 + 2)) AS t(r)
+      WHERE r % 4 <> 3
+    ), ex AS (
+      SELECT 'www.' || lower(source) || '.example.com' AS host,
+             'https://www.' || source || '.example.com/w/'
+               || CAST(doc_id * 10 + r AS VARCHAR) AS target_uri,
+             'Body ' || CAST(doc_id AS VARCHAR) || '-'
+               || CAST(r AS VARCHAR) AS text
+      FROM resp
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY host
+               ORDER BY {_HASH60.format(salt="crawl", key="target_uri")},
+                        target_uri) AS rk
+      FROM ex
+    )
+    SELECT host, target_uri, text,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def w_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END crawl curation over the file-based WARC source —
+    the composition a Common-Crawl-style pipeline actually runs:
+    format("warc") over on-disk .warc/.warc.gz shards, the standard
+    predicate (response records, HTTP 200) PUSHED INTO the Python
+    source so non-matching records die before the Python→JVM
+    transfer, HTML→text extraction, token counting, and a
+    deterministic ≤10-docs-per-host cap (stratified_take). The
+    oracle predicts every surviving row analytically from the shard
+    fixture, so a hash match proves the whole chain — gzip members,
+    WARC framing, HTTP unwrap, pushdown, extraction, capping — ran
+    end to end. Only shuffle: the per-host cap's single exchange
+    (map-side WindowGroupLimit)."""
+    from mongodb_etl_migration_spark.operators import sampling as SM
+    from mongodb_etl_migration_spark.sources.warc_source import register_warc
+
+    path = _warc_fixture_dir(spark, sf_dir)
+    register_warc(spark)
+    df = (
+        spark.read.format("warc")
+        .load(path)
+        .filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+        )
+    )
+    ex = df.select(
+        WB.url_host("target_uri").alias("host"),
+        "target_uri",
+        WB.html_to_text(F.col("body")).alias("text"),
+    ).withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
+    return SM.stratified_take(ex, ["host"], 10, "target_uri", salt="crawl")
+
+
 # =====================================================================
 # Entry points consumed by __spark_entry__.py
 # =====================================================================

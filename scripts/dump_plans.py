@@ -252,6 +252,18 @@ NOTES = {
         "WindowGroupLimit BELOW the Exchange trims each map task to "
         "8 rows per domain before the only shuffle."
     ),
+    "w_robots_filter": (
+        "RFC 9309 rule matching: rules aggregate on the KB-scale side "
+        "and broadcast; longest-prefix resolution is array "
+        "higher-order functions — zero shuffle on the corpus side."
+    ),
+    "w_crawl_curation": (
+        "End-to-end crawl curation: NO Filter node above `BatchScan "
+        "warc` — the response/200 predicate was accepted by the "
+        "Python source's pushFilters and is enforced before the "
+        "Python→JVM transfer. The per-host cap's exchange is the "
+        "plan's ONLY shuffle, trimmed map-side by WindowGroupLimit."
+    ),
     "w_warc_source": (
         "File-based crawl ingest: records explode INSIDE the scan "
         "stage — the plan is one BatchScan over the Python `warc` "

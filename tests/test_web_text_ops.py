@@ -252,3 +252,51 @@ def test_html_to_text_decodes_numeric_refs_and_double_escape(spark):
     got = df.select(W.html_to_text(F.col("h")).alias("t")).first().t
     # &amp;#65; is a double-escaped literal: single-pass decode yields &#65;
     assert got == "Hi ! &#65; &lt;"
+
+
+def test_robots_verdict_longest_match_and_ties(spark):
+    rules = spark.createDataFrame(
+        [
+            ("a.com", False, "/docs/"),
+            ("a.com", True, "/docs/pub"),
+            ("a.com", False, "/docs/pub/secret"),
+            ("a.com", True, "/"),
+            ("b.com", False, "/"),
+            # exact length tie on /x: Allow must win
+            ("b.com", True, "/x"),
+            ("b.com", False, "/x"),
+        ],
+        "host string, allow boolean, prefix string",
+    )
+    pages = spark.createDataFrame(
+        [
+            ("a.com", "/docs/internal"),     # /docs/ disallow
+            ("a.com", "/docs/pub/page"),     # longer allow wins
+            ("a.com", "/docs/pub/secret/x"), # longest disallow wins
+            ("a.com", "/other"),             # '/' allow
+            ("b.com", "/anything"),          # '/' disallow
+            ("b.com", "/x/page"),            # tie at len 2 -> Allow wins
+            ("nr.com", "/whatever"),         # no rules -> allowed
+        ],
+        "host string, path string",
+    )
+    out = {
+        (r.host, r.path): r.crawl_allowed
+        for r in W.with_robots_verdict(pages, rules, "host", "path").collect()
+    }
+    assert out == {
+        ("a.com", "/docs/internal"): False,
+        ("a.com", "/docs/pub/page"): True,
+        ("a.com", "/docs/pub/secret/x"): False,
+        ("a.com", "/other"): True,
+        ("b.com", "/anything"): False,
+        ("b.com", "/x/page"): True,
+        ("nr.com", "/whatever"): True,
+    }
+    plan = (
+        W.with_robots_verdict(pages, rules, "host", "path")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
