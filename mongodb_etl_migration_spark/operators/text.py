@@ -822,3 +822,81 @@ def rare_bigram_stats(df, id_col: str, text_col: str, min_count: int = 10):
             ).alias("rare_ratio"),
         )
     )
+
+
+def duplicated_spans(
+    df,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+):
+    """ExactSubstr-style duplicated-span detection (the signal behind
+    Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): every run of ``k`` consecutive tokens whose
+    fingerprint occurs at least ``min_count`` times ACROSS THE CORPUS
+    (including repeats within one document) marks a duplicated
+    window; overlapping/adjacent duplicated windows merge into
+    maximal per-document token spans — the regions an ExactSubstr
+    pass would cut. Complements the ladder's other rungs: span_dedup
+    keeps one copy of exact fixed windows, MinHash finds whole-doc
+    near-dups; this finds the COPIED REGIONS inside otherwise-unique
+    documents (boilerplate, quoted text, licensing headers).
+
+    Plan shape: rolling k-gram fingerprints are a narrow per-row
+    transform (one md5 per token position — the irreducible input of
+    any substring-dedup build); corpus counts ride a window over the
+    fingerprint exchange exactly like rare_bigram_stats (no
+    groupBy + self-join); the island merge is two window functions
+    over the per-document position exchange. Integer-exact
+    throughout, so the oracle reproduces spans bit-for-bit.
+
+    Output: (id_col, span_start, span_end, span_tokens) — 1-based
+    inclusive token positions of each merged duplicated span.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    n = F.size("_t")
+    grams = toks.filter(n >= k).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda s: F.md5(F.array_join(F.slice(F.col("_t"), s, k), " ")),
+            )
+        ).alias("_p0", "_whash"),
+    )
+    counted = grams.withColumn(
+        "__cnt", F.count("*").over(Window.partitionBy("_whash"))
+    )
+    dup = counted.filter(F.col("__cnt") >= min_count).select(
+        F.col(id_col), (F.col("_p0") + 1).alias("pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "_new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(
+            0
+        ),
+    ).withColumn(
+        "_g", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        flagged.groupBy(id_col, "_g")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("bigint").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )

@@ -5924,6 +5924,84 @@ def w_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SM.stratified_take(ex, ["host"], 10, "target_uri", salt="crawl")
 
 
+@query(
+    "t_dup_spans",
+    """
+    WITH src AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 THEN text || ' ' || text
+             WHEN doc_id % 6 = 3 THEN text ||
+               ' subscribe to our newsletter for daily updates today'
+             ELSE text END AS text2
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text2), '[a-z0-9]+') AS t
+      FROM src
+    ), grams AS (
+      SELECT doc_id, s.s AS pos,
+             md5(array_to_string(list_slice(t, s.s, s.s + 7), ' ')) AS whash
+      FROM toks, unnest(range(1, len(t) - 6)) AS s(s)
+      WHERE len(t) >= 8
+    ), counted AS (
+      SELECT doc_id, pos, count(*) OVER (PARTITION BY whash) AS cnt
+      FROM grams
+    ), dup AS (
+      SELECT doc_id, pos FROM counted WHERE cnt >= 2
+    ), flagged AS (
+      SELECT doc_id, pos,
+        CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS newf
+      FROM dup
+    ), grp AS (
+      SELECT doc_id, pos,
+             sum(newf) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens
+    FROM grp GROUP BY doc_id, g
+    """,
+)
+def t_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection
+    (text.duplicated_spans, the Lee-et-al signal): 8-token windows
+    occurring ≥2 times corpus-wide mark duplicated regions; merged
+    per-doc spans come back as 1-based token intervals. Fixture
+    plants both failure modes a real corpus has — every 4th doc's
+    text doubled (within-doc self-duplication → one giant span) and
+    every doc_id%6==3 doc carrying a shared 9-token boilerplate tail
+    (cross-doc duplication → a small terminal span). Corpus counts
+    ride one fingerprint exchange (window, no self-join); the island
+    merge is two windows over the per-doc position exchange —
+    integer-exact, spans reproduced bit-for-bit by the oracle."""
+    d = Catalog(spark, sf_dir).documents
+    src = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " subscribe to our newsletter for daily updates today"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text2"),
+    )
+    return T.duplicated_spans(src, "doc_id", "text2", k=8, min_count=2)
+
+
 # =====================================================================
 # Entry points consumed by __spark_entry__.py
 # =====================================================================

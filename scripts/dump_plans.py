@@ -252,6 +252,13 @@ NOTES = {
         "WindowGroupLimit BELOW the Exchange trims each map task to "
         "8 rows per domain before the only shuffle."
     ),
+    "t_dup_spans": (
+        "ExactSubstr duplicated spans: corpus counts ride ONE "
+        "fingerprint exchange (window over whash, no groupBy + "
+        "self-join); the island merge is two window functions over "
+        "the per-doc position exchange. Shuffle is the exploded "
+        "k-gram set — the irreducible input of substring dedup."
+    ),
     "w_robots_filter": (
         "RFC 9309 rule matching: rules aggregate on the KB-scale side "
         "and broadcast; longest-prefix resolution is array "

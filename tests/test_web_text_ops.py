@@ -300,3 +300,34 @@ def test_robots_verdict_longest_match_and_ties(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_duplicated_spans_exact_intervals(spark):
+    base8 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    df = spark.createDataFrame(
+        [
+            # cross-doc: docs 1 and 2 share their first 8 tokens
+            (1, base8 + " tail1 unique9 here1"),
+            (2, base8 + " other2 words2 go2"),
+            # within-doc: the same 8-gram at positions 1 and 10
+            (3, base8 + " gap " + base8),
+            # 9 shared tokens with doc 5 -> two overlapping windows merge
+            (4, base8 + " a9 xx4 yy4"),
+            (5, base8 + " a9 zz5 qq5"),
+            # no duplication at all
+            (6, "totally unique words nothing shared anywhere at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in T.duplicated_spans(df, "doc_id", "text", k=8).collect()
+    }
+    assert spans == {
+        (1, 1, 8, 8),
+        (2, 1, 8, 8),
+        (3, 1, 8, 8),
+        (3, 10, 17, 8),
+        (4, 1, 9, 9),  # windows at pos 1 and 2 merged
+        (5, 1, 9, 9),
+    }
