@@ -173,6 +173,14 @@ def main() -> None:
         # set (window count + per-doc rollup) — linear in corpus.
         rbt = timed(ui, T.rare_bigram_stats(docs, "doc_id", "text", min_count=10))
 
+        # ExactSubstr duplicated spans at scale: shuffle is the
+        # exploded k-gram fingerprint set — linear in corpus (replicas
+        # share no k-grams); spans found track the PLANTED duplicate
+        # rate (each planted dup doubles its doc's windows corpus-wide).
+        spans = T.duplicated_spans(docs, "doc_id", "text", k=8)
+        ds = timed(ui, spans)
+        ds["spans"] = spans.count()
+
         results[name] = {
             "docs": n_docs,
             "dup_pct": cfg["dup_pct"],
@@ -185,6 +193,7 @@ def main() -> None:
             "t_decontaminate_bloom": bl,
             "t_inverted_index": ii,
             "t_rare_bigrams": rbt,
+            "t_dup_spans": ds,
         }
         print(f"{name}: {json.dumps(results[name])}", file=sys.stderr)
 
@@ -229,6 +238,16 @@ def main() -> None:
         "rare_bigram_shuffle_growth_at_10x_corpus": round(
             x["t_rare_bigrams"]["shuffle_bytes"]
             / max(1, b["t_rare_bigrams"]["shuffle_bytes"]),
+            2,
+        ),
+        # k-gram fingerprint set ∝ corpus; span OUTPUT ∝ dup rate
+        "dup_spans_shuffle_growth_at_10x_corpus": round(
+            x["t_dup_spans"]["shuffle_bytes"]
+            / max(1, b["t_dup_spans"]["shuffle_bytes"]),
+            2,
+        ),
+        "dup_spans_growth_at_4x_dup_rate": round(
+            xd["t_dup_spans"]["spans"] / max(1, x["t_dup_spans"]["spans"]),
             2,
         ),
     }

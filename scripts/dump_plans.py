@@ -413,6 +413,21 @@ def _text_index_lines(s: dict) -> str:
         f"rare-bigram scoring {rb}x (the exploded bigram set through "
         "the window count and per-doc rollup), wall sub-linear "
         "thanks to parallel splits.\n"
+        + _dup_span_lines(s)
+    )
+
+
+def _dup_span_lines(s: dict) -> str:
+    """ExactSubstr scale ratios (absent pre-round-5, hence the guard)."""
+    sh = s.get("dup_spans_shuffle_growth_at_10x_corpus")
+    sp = s.get("dup_spans_growth_at_4x_dup_rate")
+    if sh is None or sp is None:
+        return ""
+    return (
+        f"- ExactSubstr duplicated spans: shuffle grows {sh}x at 10x "
+        "corpus (the exploded k-gram fingerprint set, linear) while "
+        f"span OUTPUT grows {sp}x at 4x dup rate — the work tracks "
+        "duplication content, not corpus volume.\n"
     )
 
 

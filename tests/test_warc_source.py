@@ -195,3 +195,58 @@ def test_warc_streaming_tails_new_shards(spark, tmp_path):
     # replaying the same drops adds nothing
     run_batch()
     assert spark.read.parquet(str(out)).count() == 7
+
+
+def test_warc_stream_curation_matches_batch(spark, tmp_path):
+    """The streaming ingest + foreachBatch curation twin produces
+    exactly the batch pipeline's rows over the same shards — the
+    property that lets one curation codebase serve both modes."""
+    from pyspark.sql import functions as F
+
+    from mongodb_etl_migration_spark.operators import web as WB
+    from mongodb_etl_migration_spark.sources.warc_source import (
+        WARC_SOURCE_FIELDS,
+        register_warc,
+    )
+    from pyspark.sql.types import StructType
+
+    register_warc(spark)
+    src = tmp_path / "drops"
+    src.mkdir()
+    (src / "c1.warc").write_bytes(W.build_warc(_mixed_records(5, "a")))
+    (src / "c2.warc.gz").write_bytes(W.build_warc_gz(_mixed_records(7, "b")))
+
+    def curate(df):
+        return df.filter(
+            (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+        ).select("target_uri", WB.html_to_text(F.col("body")).alias("text"))
+
+    expected = sorted(
+        (r.target_uri, r.text)
+        for r in curate(
+            spark.read.format("warc").load(str(src))
+        ).collect()
+    )
+    assert expected  # fixture produces 200-responses
+
+    out = tmp_path / "out"
+    q = (
+        spark.readStream.format("warc")
+        .schema(StructType(list(WARC_SOURCE_FIELDS)))
+        .option("path", str(src))
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _epoch: curate(df)
+            .write.mode("append")
+            .parquet(str(out))
+        )
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(
+        (r.target_uri, r.text)
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    assert got == expected
