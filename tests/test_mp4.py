@@ -152,3 +152,26 @@ def test_spark_sample_frames_extracts_real_mp4_samples(spark):
         [(9, bytes(bad), {"media_type": "video", "byte_size": 0})], schema
     )
     assert M.sample_frames(df_bad, every_n=2).count() >= 1
+
+
+def test_mp4_roundtrip_property():
+    """build→parse→extract over arbitrary sample sizes/counts —
+    including empty samples and odd chunk boundaries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(st.binary(max_size=64), min_size=1, max_size=9),
+        st.integers(min_value=1, max_value=4096),
+        st.integers(min_value=1, max_value=4096),
+    )
+    def roundtrip(samples, w, h):
+        raw = V.build_mp4(samples, width=w, height=h)
+        t = V.parse_mp4(raw)["tracks"][0]
+        assert (t["width"], t["height"]) == (w, h)
+        assert t["n_samples"] == len(samples)
+        for i, want in enumerate(samples):
+            assert V.extract_sample(raw, t, i) == want
+
+    roundtrip()

@@ -1399,3 +1399,37 @@ def test_grayscale_baseline_with_sampling_factors_is_non_interleaved():
     _, _, out11 = M.parse_jpeg(build(0x11))
     _, _, out22 = M.parse_jpeg(build(0x22))
     assert np.array_equal(out11, out22)
+
+
+def test_progressive_jpeg_roundtrip_property():
+    """Progressive == baseline decode over random dims (incl. sub-8x8
+    and non-MCU-aligned) and both subsamplings (hypothesis)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=1, max_value=40),
+        st.sampled_from(["444", "420"]),
+        st.sampled_from([0, 2]),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def roundtrip(h, w, sub, ri, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        base = parse_jpeg(encode_jpeg(px, subsampling=sub, restart_interval=ri))
+        prog = parse_jpeg(
+            encode_jpeg_progressive(px, subsampling=sub, restart_interval=ri)
+        )
+        assert base[:2] == prog[:2]
+        assert np.array_equal(base[2], prog[2])
+
+    roundtrip()

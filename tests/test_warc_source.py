@@ -250,3 +250,35 @@ def test_warc_stream_curation_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     )
     assert got == expected
+
+
+def test_warc_stream_roundtrip_property():
+    """iter_warc_stream(gzip members) recovers arbitrary payloads —
+    including CRLF, 0xFF, fake version lines, and empty bodies —
+    exactly, and agrees with the byte-based parse_warc."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rec = st.fixed_dictionaries(
+        {
+            "warc_type": st.sampled_from(["response", "request", "metadata"]),
+            "target_uri": st.text(
+                alphabet="abcdefghij:/.-", max_size=24
+            ).map(lambda s: s.replace("\r", "").replace("\n", "")),
+            "payload": st.binary(max_size=200),
+        }
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(rec, min_size=0, max_size=6))
+    def roundtrip(recs):
+        raw = W.build_warc(recs)
+        via_bytes = W.parse_warc(raw)
+        via_stream = list(W.iter_warc_stream(io.BytesIO(raw)))
+        assert via_stream == via_bytes
+        gz = W.build_warc_gz(recs)
+        via_gz = list(W.iter_warc_stream(gzip.GzipFile(fileobj=io.BytesIO(gz))))
+        assert via_gz == via_bytes
+        assert [r["payload"] for r in via_bytes] == [r["payload"] for r in recs]
+
+    roundtrip()
