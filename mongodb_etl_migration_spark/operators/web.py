@@ -323,6 +323,47 @@ def url_dedup_first_wins(df, url_col: str, order_col: str):
     )
 
 
+def html_links(c: Column | str) -> Column:
+    """All href attribute values from raw HTML (double-quoted form —
+    the overwhelmingly dominant shape in real markup; single-quoted/
+    unquoted attributes are documented out of scope). The outlink
+    extraction behind WAT-style link records and host-graph builds.
+    RE2-safe regexp_extract_all, zero shuffle; relative URLs come
+    back verbatim — callers filter/resolve (url_host returns NULL for
+    them, the natural absolute-only gate)."""
+    return F.regexp_extract_all(_c(c), F.lit('href="([^"]*)"'), 1)
+
+
+def html_title(c: Column | str) -> Column:
+    """<title> text, whitespace-collapsed; NULL when absent."""
+    t = F.regexp_extract(_c(c), "(?is)<title>(.*?)</title>", 1)
+    return F.nullif(F.trim(F.regexp_replace(t, "\\s+", " ")), F.lit(""))
+
+
+def link_graph(df, html_col: str, src_host: Column):
+    """Host-level outlink edge list from raw HTML pages: explode
+    href values, keep absolute http(s) links (url_host is NULL for
+    relative ones), drop self-edges, count links per (src, dst) host
+    pair — the aggregation that feeds host-graph analytics
+    (PageRank-based domain ranking, spam neighborhoods). One shuffle
+    on the host pair with map-side partial counts; the explode is
+    narrow."""
+    links = df.select(
+        src_host.alias("src_host"),
+        F.explode(html_links(html_col)).alias("__link"),
+    )
+    dst = url_host(F.col("__link"))
+    return (
+        links.select("src_host", dst.alias("dst_host"))
+        .filter(
+            F.col("dst_host").isNotNull()
+            & (F.col("dst_host") != F.col("src_host"))
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("bigint").alias("n_links"))
+    )
+
+
 def with_robots_verdict(
     df,
     rules,

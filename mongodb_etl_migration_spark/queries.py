@@ -4703,27 +4703,32 @@ def e_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.cohort_retention(e, "user_id", "ts")
 
 
-def _pagerank_oracle(iters: int = 3, scale: int = 1_000_000_000, damp: int = 85) -> str:
-    """Unrolled fixed-point PageRank — every update is integer
-    multiply/floor-divide, so the SQL reproduces the Spark result
-    bit-for-bit (the k-means discipline applied to a graph loop).
-    DuckDB sums to HUGEINT; the per-round CAST keeps rank a BIGINT.
+def _pagerank_rounds_sql(
+    raw_edges_sql: str,
+    iters: int = 3,
+    scale: int = 1_000_000_000,
+    damp: int = 85,
+    prelude: str = "",
+    final: str | None = None,
+) -> str:
+    """Unrolled fixed-point PageRank over a caller-supplied raw-edges
+    SELECT (must yield DISTINCT BIGINT src/dst) — every update is
+    integer multiply/floor-divide, so the SQL reproduces the Spark
+    result bit-for-bit (the k-means discipline applied to a graph
+    loop). DuckDB sums to HUGEINT; the per-round CAST keeps rank a
+    BIGINT. ``prelude`` injects extra leading CTEs (trailing comma
+    included); ``final`` overrides the closing SELECT (may append its
+    own CTEs with a leading comma).
 
     Every CTE is AS MATERIALIZED: DuckDB inlines multiply-referenced
     CTEs by default, and the round nesting (r3 → c2 → r2 → …) expands
-    the 4-table edge build combinatorially — at sf0.1 the inlined
+    the edge build combinatorially — at sf0.1 the inlined trade-graph
     form ran >10 min and spilled >40 GB; materialized it runs in
     ~0.1 s. The rule for any oracle with an iterative CTE chain."""
     parts = [
         f"""
-    WITH raw AS MATERIALIZED (
-      SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
-                      CAST(s.s_nationkey AS BIGINT) AS dst
-      FROM lineitem l
-      JOIN orders o ON l.l_orderkey = o.o_orderkey
-      JOIN customer c ON o.o_custkey = c.c_custkey
-      JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      WHERE c.c_nationkey <> s.s_nationkey
+    WITH {prelude}raw AS MATERIALIZED (
+      {raw_edges_sql}
     ),
     nodes AS MATERIALIZED (
       SELECT DISTINCT node FROM (
@@ -4747,8 +4752,26 @@ def _pagerank_oracle(iters: int = 3, scale: int = 1_000_000_000, damp: int = 85)
                   + ({damp} * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
       FROM nodes no CROSS JOIN nn LEFT JOIN c{i} c ON no.node = c.node
     )""")
-    parts.append(f"\n    SELECT node, pr FROM r{iters}")
+    parts.append(
+        final if final is not None else f"\n    SELECT node, pr FROM r{iters}"
+    )
     return "".join(parts)
+
+
+def _pagerank_oracle(iters: int = 3, scale: int = 1_000_000_000, damp: int = 85) -> str:
+    """Trade-graph instantiation of _pagerank_rounds_sql."""
+    return _pagerank_rounds_sql(
+        """SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+                      CAST(s.s_nationkey AS BIGINT) AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey""",
+        iters,
+        scale,
+        damp,
+    )
 
 
 @query("g_pagerank_trade", _pagerank_oracle())
@@ -5922,6 +5945,152 @@ def w_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         WB.html_to_text(F.col("body")).alias("text"),
     ).withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
     return SM.stratified_take(ex, ["host"], 10, "target_uri", salt="crawl")
+
+
+def _web_page_html() -> F.Column:
+    """Deterministic page fixture for the link-graph family: title,
+    absolute canonical link (a SELF-edge the graph must drop), two
+    cross-host outlinks keyed off doc_id, and a relative link on
+    every 5th doc (absolute-only gate must skip it). Built
+    IDENTICALLY in the SQL oracles."""
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    s = F.lower("source")
+    return F.concat(
+        F.lit("<html><head><title>Doc "), ds,
+        F.lit(" of "), F.upper("source"), F.lit("</title>"),
+        F.lit('<link rel="canonical" href="https://www.'), s,
+        F.lit(".example.com/p/"), ds, F.lit('"></head><body>'),
+        F.lit('<a href="https://site'), (d % 7).cast("string"),
+        F.lit(".example.org/page/"), ds, F.lit('">first</a>'),
+        F.lit('<a href="https://site'), ((d + 3) % 7).cast("string"),
+        F.lit('.example.org/about">second</a>'),
+        F.when(
+            d % 5 == 0, F.lit('<a href="/relative/path">rel</a>')
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+
+
+_WEB_LINKS_SQL = """
+      SELECT 'www.' || lower(source) || '.example.com' AS src_host,
+             'site' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.org' AS dst_host
+      FROM documents
+      UNION ALL
+      SELECT 'www.' || lower(source) || '.example.com',
+             'site' || CAST((doc_id + 3) % 7 AS VARCHAR) || '.example.org'
+      FROM documents
+"""
+
+
+def _web_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_host, dst_host, n_links) parsed FROM the HTML fixture via
+    html_links + url_host — the operators under test; the oracles
+    predict the same edges analytically."""
+    d = Catalog(spark, sf_dir).documents
+    pages = d.select(
+        "doc_id",
+        F.lower("source").alias("s"),
+        _web_page_html().alias("html"),
+    )
+    src = F.concat(F.lit("www."), F.col("s"), F.lit(".example.com"))
+    return WB.link_graph(pages, "html", src)
+
+
+@query(
+    "w_link_graph",
+    f"""
+    WITH l AS ({_WEB_LINKS_SQL})
+    SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+    FROM l GROUP BY src_host, dst_host
+    """,
+)
+def w_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level outlink graph from raw HTML (web.html_links +
+    link_graph) — the WAT-style extraction behind domain ranking:
+    hrefs exploded, absolute http(s) links kept (url_host is NULL
+    for the relative ones), the canonical self-link dropped by the
+    self-edge filter, counts per (src, dst) host pair. One shuffle
+    on the host pair with map-side partial counts; the oracle
+    predicts the edge list analytically, so a hash match proves the
+    links came out of real markup."""
+    return _web_link_edges(spark, sf_dir)
+
+
+@query(
+    "w_html_meta",
+    """
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' of ' || upper(source)
+             AS title,
+           'www.' || lower(source) || '.example.com' AS canonical_host
+    FROM documents
+    """,
+)
+def w_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page metadata extraction (web.html_title + the first href —
+    the canonical link — through url_host): the WAT-record fields a
+    crawl index keeps per page. Pure regexp Columns, zero shuffle."""
+    d = Catalog(spark, sf_dir).documents
+    pages = d.select("doc_id", _web_page_html().alias("html"))
+    return pages.select(
+        "doc_id",
+        WB.html_title(F.col("html")).alias("title"),
+        WB.url_host(F.element_at(WB.html_links(F.col("html")), 1)).alias(
+            "canonical_host"
+        ),
+    )
+
+
+_HOST_ID_SQL = "CAST(('0x' || substring(md5({h}), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "g_pagerank_web",
+    _pagerank_rounds_sql(
+        f"""SELECT DISTINCT {_HOST_ID_SQL.format(h="src_host")} AS src,
+                      {_HOST_ID_SQL.format(h="dst_host")} AS dst
+      FROM hl""",
+        prelude=f"hl AS MATERIALIZED (SELECT DISTINCT src_host, dst_host "
+        f"FROM ({_WEB_LINKS_SQL})),\n    ",
+        final=f""",
+    hosts AS MATERIALIZED (
+      SELECT DISTINCT host FROM (
+        SELECT src_host AS host FROM hl
+        UNION ALL SELECT dst_host FROM hl
+      )
+    )
+    SELECT h.host, r.pr
+    FROM r3 r JOIN hosts h ON r.node = {_HOST_ID_SQL.format(h="h.host")}""",
+    ),
+)
+def g_pagerank_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain ranking over the crawl link graph — the Common-Crawl-
+    style composition: HTML pages → host edge list (w_link_graph's
+    parse path, real markup) → string hosts mapped to bigint node
+    ids via the 60-bit md5 idiom (deterministic, engine-portable) →
+    integer-exact PageRank (3 rounds, fixed-point longs) → ids
+    joined back to host names. The unrolled SQL oracle reproduces
+    every rank bit-for-bit over the same analytic edge list. Per
+    round: one src + one dst shuffle; ranks node-sized."""
+    edges = _web_link_edges(spark, sf_dir).select("src_host", "dst_host")
+
+    def hid(c: F.Column) -> F.Column:
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+    e = edges.select(
+        hid(F.col("src_host")).alias("src"), hid(F.col("dst_host")).alias("dst")
+    )
+    pr = G.pagerank_integer(e, "src", "dst", iterations=3)
+    hosts = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select("dst_host"))
+        .distinct()
+    )
+    return pr.join(hosts.withColumn("node", hid(F.col("host"))), "node").select(
+        "host", "pr"
+    )
 
 
 @query(

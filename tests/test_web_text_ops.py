@@ -331,3 +331,42 @@ def test_duplicated_spans_exact_intervals(spark):
         (4, 1, 9, 9),  # windows at pos 1 and 2 merged
         (5, 1, 9, 9),
     }
+
+
+def test_html_links_title_and_link_graph(spark):
+    html = (
+        '<html><head><title>  My\n  Page </title>'
+        '<link rel="canonical" href="https://www.a.com/p/1"></head>'
+        '<body><a href="https://b.com/x">b</a>'
+        '<a href="/relative">r</a>'
+        "<a href='https://single-quoted.com/x'>sq</a>"
+        '<a href="https://b.com/y">b2</a>'
+        '<a href="HTTPS://C.com:443/z">c</a></body></html>'
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    row = df.select(
+        W.html_title(F.col("h")).alias("t"),
+        W.html_links(F.col("h")).alias("l"),
+    ).first()
+    assert row.t == "My Page"
+    # double-quoted hrefs only; relative kept verbatim
+    assert list(row.l) == [
+        "https://www.a.com/p/1",
+        "https://b.com/x",
+        "/relative",
+        "https://b.com/y",
+        "HTTPS://C.com:443/z",
+    ]
+    g = W.link_graph(df.withColumn("host", F.lit("www.a.com")), "h", F.col("host"))
+    got = {(r.src_host, r.dst_host): r.n_links for r in g.collect()}
+    # canonical self-edge dropped, relative dropped, b.com counted twice,
+    # scheme-case + default-port canonicalized for c.com
+    assert got == {("www.a.com", "b.com"): 2, ("www.a.com", "c.com"): 1}
+    # no title -> NULL
+    assert (
+        spark.createDataFrame([("<p>x</p>",)], "h string")
+        .select(W.html_title(F.col("h")).alias("t"))
+        .first()
+        .t
+        is None
+    )
