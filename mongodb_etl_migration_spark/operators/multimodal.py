@@ -2075,3 +2075,73 @@ def encode_jpeg_progressive(
     for hdr, data in scans:
         out += seg(0xDA, hdr) + data
     return out + b"\xff\xd9"
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dhash", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def dhash_bytes(raw: bytes) -> tuple[str, int, int]:
+    """64-bit difference hash (dHash) of any decodable image — the
+    perceptual near-dup key LAION-class image pipelines dedup on.
+    INTEGER-EXACT so two engines (and two runs) agree byte-for-byte:
+    grayscale = (299R + 587G + 114B) // 1000; a 9x8 grid sampled by
+    nearest neighbor at (floor(y*H/8), floor(x*W/9)) — no float
+    resampling; bit(y,x) = grid[y][x] > grid[y][x+1], packed MSB-first
+    per row into 8 bytes, rendered as 16 lowercase hex chars (two per
+    row, so no 64-bit sign edge exists anywhere)."""
+    w, h, px = parse_image(raw)
+    g = (
+        299 * px[:, :, 0].astype(np.int64)
+        + 587 * px[:, :, 1].astype(np.int64)
+        + 114 * px[:, :, 2].astype(np.int64)
+    ) // 1000
+    xs = [(x * w) // 9 for x in range(9)]
+    ys = [(y * h) // 8 for y in range(8)]
+    grid = g[np.ix_(ys, xs)]
+    out = []
+    for y in range(8):
+        b = 0
+        for x in range(8):
+            b = (b << 1) | int(grid[y, x] > grid[y, x + 1])
+        out.append(f"{b:02x}")
+    return "".join(out), w, h
+
+
+def image_dhash(multimodal: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual image hashing via mapInPandas (Arrow batches) — the
+    step before an exact groupBy-on-dhash image dedup (resize-,
+    re-encode- and small-edit-invariant where cryptographic digests
+    are not). Undecodable payloads yield NULL dhash with NULL dims —
+    the honest-NULL contract every codec path here follows."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, ws, hs = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                ids.append(doc_id)
+                try:
+                    dh, w, h = dhash_bytes(bytes(payload))
+                except ValueError:
+                    dh, w, h = None, None, None
+                hashes.append(dh)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "dhash": hashes,
+                    "width": pd.array(ws, dtype="Int64"),
+                    "height": pd.array(hs, dtype="Int64"),
+                }
+            )
+
+    return multimodal.select(F.col(id_col).alias("doc_id"), "payload").mapInPandas(
+        gen, DHASH_SCHEMA
+    )

@@ -5250,6 +5250,78 @@ def m_image_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFra
     return M.decode_images(mm).drop("content_digest")
 
 
+@query(
+    "m_image_dhash",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             18 + (doc_id % 3) * 9 AS W,
+             16 + (doc_id % 2) * 8 AS H,
+             1 + (doc_id % 4) AS cx,
+             1 + (doc_id % 3) AS cy
+      FROM documents WHERE doc_id % 7 = 1
+    ), rowbytes AS (
+      SELECT doc_id, W, H, y.y AS y,
+        CAST(sum(
+          CASE WHEN
+            (CASE WHEN ((((x.x * W) // 9) // cx
+                         + ((y.y * H) // 8) // cy) % 2 = 0)
+                  THEN 255 ELSE 0 END)
+            >
+            (CASE WHEN (((((x.x + 1) * W) // 9) // cx
+                         + ((y.y * H) // 8) // cy) % 2 = 0)
+                  THEN 255 ELSE 0 END)
+          THEN 1 << (7 - x.x) ELSE 0 END) AS BIGINT) AS rv
+      FROM g,
+           (SELECT unnest(range(0, 8)) AS y) y,
+           (SELECT unnest(range(0, 8)) AS x) x
+      GROUP BY doc_id, W, H, y.y, cx, cy
+    )
+    SELECT doc_id,
+           string_agg(lpad(lower(to_hex(rv)), 2, '0'), '' ORDER BY y)
+             AS dhash,
+           CAST(W AS BIGINT) AS width,
+           CAST(H AS BIGINT) AS height
+    FROM rowbytes GROUP BY doc_id, W, H
+    """,
+)
+def m_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing (multimodal.image_dhash) — the
+    LAION-style near-dup key: per doc, a checkerboard BMP whose cell
+    size and dims are keyed off doc_id, decoded through the real
+    codec and dHashed (integer grayscale, nearest-neighbor 9x8 grid,
+    per-row MSB-first difference bits as hex). The oracle computes
+    the SAME 64 bits analytically from the checkerboard formula —
+    never touching the decoder — so a hash match proves pixels came
+    through the codec and the sampling/packing is bit-exact. Docs
+    sharing doc_id%12 render identical images and must collide; a
+    groupBy on dhash is the dedup step. 1/7 slice (pure-Python BMP
+    encode pays per-pixel loops)."""
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import encode_bmp
+
+    d = (
+        Catalog(spark, sf_dir)
+        .documents.select("doc_id")
+        .filter(F.expr("doc_id % 7 = 1"))
+    )
+
+    def make_payload(did: int) -> bytes:
+        w = 18 + (did % 3) * 9
+        h = 16 + (did % 2) * 8
+        cx = 1 + did % 4
+        cy = 1 + did % 3
+        xs = np.arange(w)
+        ys = np.arange(h)
+        pat = (xs[None, :] // cx + ys[:, None] // cy) % 2 == 0
+        v = np.where(pat, 255, 0).astype(np.uint8)
+        return encode_bmp(np.stack([v, v, v], axis=-1))
+
+    mm = _mm_payload_table(d, make_payload)
+    return M.image_dhash(mm)
+
+
 def _mp4_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared MP4 fixture: per doc (1/9 slice) a minimal valid ISO
     BMFF file (operators/mp4.build_mp4) with doc_id%5+2 ASCII video

@@ -1433,3 +1433,61 @@ def test_progressive_jpeg_roundtrip_property():
         assert np.array_equal(base[2], prog[2])
 
     roundtrip()
+
+
+def test_image_dhash_known_vector_and_invariances():
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        dhash_bytes,
+        encode_bmp,
+        encode_png,
+    )
+
+    # left-bright/right-dark 18x16: every row's grid is [255..255,0..0]
+    # with the 255->0 edge between grid x=4 (sx=8) and x=5 (sx=10):
+    # bit set only at x=4 -> row byte 0b00001000 = 08
+    px = np.zeros((16, 18, 3), dtype=np.uint8)
+    px[:, :9, :] = 255
+    dh, w, h = dhash_bytes(encode_bmp(px))
+    assert (w, h) == (18, 16)
+    assert dh == "08" * 8
+    # same pixels through a DIFFERENT codec: identical hash (the
+    # property cryptographic digests lack)
+    dh_png, _, _ = dhash_bytes(encode_png(px))
+    assert dh_png == dh
+    # dimming the dark half is hash-INVARIANT (brightness-monotone —
+    # the property that makes dHash a near-dup key, not a digest) ...
+    px_dim = px.copy()
+    px_dim[:, 9:, :] = 200
+    assert dhash_bytes(encode_bmp(px_dim))[0] == dh
+    # ... but MOVING the edge changes the bit position
+    px2 = np.zeros((16, 18, 3), dtype=np.uint8)
+    px2[:, :5, :] = 255  # edge now between grid x=2 (sx=4) and x=3 (sx=6)
+    assert dhash_bytes(encode_bmp(px2))[0] != dh
+    # flat image: no gradients anywhere
+    flat = np.full((16, 18, 3), 77, dtype=np.uint8)
+    assert dhash_bytes(encode_bmp(flat))[0] == "00" * 8
+
+
+def test_image_dhash_spark_null_for_undecodable(spark):
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_bmp,
+        image_dhash,
+    )
+    import numpy as np
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    good = encode_bmp(np.full((8, 8, 3), 1, dtype=np.uint8))
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    df = spark.createDataFrame([(1, good), (2, b"not an image")], schema)
+    rows = {r.doc_id: r for r in image_dhash(df).collect()}
+    assert rows[1].dhash == "00" * 8 and rows[1].width == 8
+    assert rows[2].dhash is None and rows[2].width is None
