@@ -2145,3 +2145,57 @@ def image_dhash(multimodal: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return multimodal.select(F.col(id_col).alias("doc_id"), "payload").mapInPandas(
         gen, DHASH_SCHEMA
     )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_idx", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def audio_features(
+    multimodal: DataFrame, window: int = 1024, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame-level audio features over real PCM16 WAV payloads — the
+    per-window energy/zero-crossing stats audio curation gates on
+    (silence and clipping detection, speech/music heuristics). 1→N
+    Arrow-batched fan-out like sample_frames: one row per ``window``-
+    sample frame (last frame partial), with INTEGER-EXACT features —
+    ``sum_sq`` (Σ s², the energy; RMS = sqrt(sum_sq/n) is a display
+    transform that would cost exactness) and ``zero_crossings``
+    (strict sign flips between consecutive samples WITHIN the frame;
+    interleaved multi-channel uses channel 0). Undecodable payloads
+    contribute no rows — pair with an anti-join audit for dead-letter
+    routing."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    nch, _rate, samples = parse_wav(bytes(payload))
+                except (ValueError, EOFError, wave.Error):
+                    continue
+                s = samples[::nch].astype(np.int64)  # channel 0
+                for wi in range(0, max(1, -(-len(s) // window))):
+                    chunk = s[wi * window:(wi + 1) * window]
+                    if len(chunk) == 0:
+                        break
+                    flips = int(np.sum(chunk[:-1] * chunk[1:] < 0))
+                    out["doc_id"].append(doc_id)
+                    out["window_idx"].append(wi)
+                    out["n_samples"].append(len(chunk))
+                    out["sum_sq"].append(int(np.sum(chunk * chunk)))
+                    out["zero_crossings"].append(flips)
+            yield pd.DataFrame(out)
+
+    return multimodal.select(
+        F.col(id_col).alias("doc_id"), "payload"
+    ).mapInPandas(gen, AUDIO_FEATURES_SCHEMA)

@@ -5251,6 +5251,72 @@ def m_image_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "m_audio_features",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             400 + (doc_id % 3) * 128 AS n,
+             1000 + (doc_id % 5) * 500 AS A,
+             2 + doc_id % 4 AS half
+      FROM documents WHERE doc_id % 6 = 2
+    ), w AS (
+      SELECT doc_id, n, A, half, wi.wi AS window_idx,
+             CASE WHEN (wi.wi + 1) * 128 <= n THEN 128
+                  ELSE n - wi.wi * 128 END AS ns
+      FROM g, (SELECT unnest(range(0, 8)) AS wi) wi
+      WHERE wi.wi * 128 < n
+    )
+    SELECT doc_id,
+           CAST(window_idx AS BIGINT) AS window_idx,
+           CAST(ns AS BIGINT) AS n_samples,
+           CAST(ns * A * A AS BIGINT) AS sum_sq,
+           CAST(((window_idx * 128 + ns - 1) // half)
+                - ((window_idx * 128) // half) AS BIGINT)
+             AS zero_crossings
+    FROM w
+    """,
+)
+def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy + zero-crossing extraction
+    (multimodal.audio_features) over real PCM16 WAVs: per doc a
+    square wave with doc-keyed amplitude A and half-period, decoded
+    through the stdlib wave parser and framed into 128-sample
+    windows. Analytic oracle: sum_sq = n·A² per window exactly, and
+    the crossings in a window are the multiples of the half-period
+    falling strictly inside it — floor-division arithmetic both
+    engines share. A hash match proves real sample data flowed
+    through decode → framing → integer features. 1/6 doc slice."""
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+
+    import numpy as np
+
+    d = (
+        Catalog(spark, sf_dir)
+        .documents.select("doc_id")
+        .filter(F.expr("doc_id % 6 = 2"))
+    )
+
+    def make_payload(did: int) -> bytes:
+        n = 400 + (did % 3) * 128
+        amp = 1000 + (did % 5) * 500
+        half = 2 + did % 4
+        idx = np.arange(n)
+        samples = np.where((idx // half) % 2 == 0, amp, -amp).astype("<i2")
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(samples.tobytes())
+        return buf.getvalue()
+
+    mm = _mm_payload_table(d, make_payload)
+    return M.audio_features(mm, window=128)
+
+
+@query(
     "m_image_dhash",
     """
     WITH g AS (

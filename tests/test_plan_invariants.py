@@ -33,6 +33,7 @@ ARROW_OK = {
     "m_image_decode_jpeg_progressive",  # real Annex-G codec (mapInPandas)
     "m_mp4_metadata",        # real ISO BMFF box walk (mapInPandas)
     "m_image_dhash",         # perceptual hash over real codec (mapInPandas)
+    "m_audio_features",      # windowed PCM features (mapInPandas)
     "m_mp4_frames",          # real mdat sample extraction (mapInPandas)
     "m_gif_frames",          # real GIF multi-frame codec (mapInPandas)
     "m_audio_decode_real",   # real WAV codec (mapInPandas)

@@ -1491,3 +1491,50 @@ def test_image_dhash_spark_null_for_undecodable(spark):
     rows = {r.doc_id: r for r in image_dhash(df).collect()}
     assert rows[1].dhash == "00" * 8 and rows[1].width == 8
     assert rows[2].dhash is None and rows[2].width is None
+
+
+def test_audio_features_exact_windows(spark):
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        audio_features,
+    )
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    def wav(samples, nch=1):
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as wf:
+            wf.setnchannels(nch)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(b"".join(_struct.pack("<h", s) for s in samples))
+        return buf.getvalue()
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    rows = [
+        (1, wav([3, -3, 3, -3, 3])),          # 4 crossings, partial window
+        (2, wav([0, 5, -5, 0, 7])),           # zeros break sign runs: 1 flip
+        (3, wav([1, 2, -9, -9, 4, 4], nch=2)),  # stereo: ch0 = [1, -9, 4]
+        (4, b"not audio"),                     # undecodable: no rows
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        (r.doc_id, r.window_idx): (r.n_samples, r.sum_sq, r.zero_crossings)
+        for r in audio_features(df, window=4).collect()
+    }
+    assert got == {
+        (1, 0): (4, 36, 3),
+        (1, 1): (1, 9, 0),
+        (2, 0): (4, 50, 1),   # only 5 -> -5 is a strict sign flip
+        (2, 1): (1, 49, 0),
+        (3, 0): (3, 98, 2),   # 1 -> -9 -> 4
+    }
