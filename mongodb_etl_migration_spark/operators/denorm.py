@@ -179,6 +179,15 @@ def fanout(base: DataFrame, outputs: dict[str, Sequence[Column]]):
     ContextCleaner as soon as the caller drops the returned frames.
     Lazy because projection is deterministic: whichever output's
     action runs first materializes the blocks, the rest reuse them.
+
+    Fault-tolerance tradeoff (explicit, same as hierarchy.py):
+    localCheckpoint truncates lineage, so losing an executor that
+    holds checkpoint blocks between the first and Nth output action
+    fails the remaining actions instead of recomputing — the failed
+    WRITE retries from the caller (fan-out inputs are deterministic
+    scans, so a rerun is identical). Jobs that cannot re-run the
+    fan-out on executor loss should write the base to a table first
+    (reliable checkpoint) and fan out from that.
     """
     base = base.localCheckpoint(eager=False)
     return {name: base.select(*cols) for name, cols in outputs.items()}

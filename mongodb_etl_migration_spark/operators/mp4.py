@@ -60,15 +60,28 @@ def _fullbox(raw: bytes, body: int) -> tuple[int, int]:
     return raw[body], body + 4
 
 
-def parse_mp4(raw: bytes) -> dict:
+def parse_mp4(raw: bytes, with_tables: bool = True) -> dict:
     """Parse an ISO BMFF stream: brand, movie duration, and per-track
     metadata incl. the sample tables needed for extraction.
 
     Returns ``{brand, timescale, duration_sec, tracks: [{track_id,
     handler, codec, width, height, n_samples, sample_sizes,
     chunk_offsets, stsc, media_timescale, media_duration}]}``.
-    ValueError on anything that does not follow the box framing or
-    lacks the mandatory movie structure."""
+    ValueError on anything that does not follow the box framing,
+    lacks the mandatory movie structure, or declares table counts
+    larger than their boxes (the same never-a-raw-struct.error
+    contract parse_jpeg keeps — codec fallbacks catch ValueError).
+    ``with_tables=False`` skips materializing the per-sample
+    size/chunk lists (empty lists returned) — the metadata-only path
+    for decode-style consumers that need dims and n_samples, not
+    byte ranges (a real video track can carry 10^5+ samples)."""
+    try:
+        return _parse_mp4_inner(raw, with_tables)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"malformed MP4: {e!r}") from e
+
+
+def _parse_mp4_inner(raw: bytes, with_tables: bool) -> dict:
     n = len(raw)
     if n < 8 or raw[4:8] != b"ftyp":
         raise ValueError("not an ISO BMFF stream (no ftyp)")
@@ -92,7 +105,7 @@ def parse_mp4(raw: bytes) -> dict:
     tracks = []
     for t, b, e in _iter_boxes(raw, mb, me):
         if t == b"trak":
-            tracks.append(_parse_trak(raw, b, e))
+            tracks.append(_parse_trak(raw, b, e, with_tables))
     return {
         "brand": brand,
         "timescale": timescale,
@@ -101,19 +114,17 @@ def parse_mp4(raw: bytes) -> dict:
     }
 
 
-def _parse_trak(raw: bytes, b: int, e: int) -> dict:
+def _parse_trak(raw: bytes, b: int, e: int, with_tables: bool = True) -> dict:
     tkhd = _find(raw, b, e, b"tkhd")
     if tkhd is None:
         raise ValueError("trak missing tkhd")
     v, p = _fullbox(raw, tkhd[0])
-    base = p + (32 if v == 1 else 20)  # past times/id/reserved
     track_id = int.from_bytes(
         raw[p + 16:p + 20] if v == 1 else raw[p + 8:p + 12], "big"
     )
     # width/height: 16.16 fixed point at the end of tkhd
     width = int.from_bytes(raw[tkhd[1] - 8:tkhd[1] - 6], "big")
     height = int.from_bytes(raw[tkhd[1] - 4:tkhd[1] - 2], "big")
-    del base
     mdia = _find(raw, b, e, b"mdia")
     if mdia is None:
         raise ValueError("trak missing mdia")
@@ -152,36 +163,59 @@ def _parse_trak(raw: bytes, b: int, e: int) -> dict:
     _, p = _fullbox(raw, stsz[0])
     uniform = int.from_bytes(raw[p:p + 4], "big")
     count = int.from_bytes(raw[p + 4:p + 8], "big")
+    # count sanity BEFORE any allocation/unpack: a corrupt count must
+    # raise ValueError, not struct.error or a gigabyte list
     if uniform:
+        if uniform * count > len(raw):
+            raise ValueError("stsz uniform sizes exceed file size")
+    elif p + 8 + 4 * count > stsz[1]:
+        raise ValueError("stsz count exceeds its box")
+    if not with_tables:
+        sizes: list[int] = []
+    elif uniform:
         sizes = [uniform] * count
     else:
         sizes = list(
             struct.unpack(f">{count}I", raw[p + 8:p + 8 + 4 * count])
         )
     co = _find(raw, sb, se, b"stco")
-    if co is not None:
-        _, p = _fullbox(raw, co[0])
-        nc = int.from_bytes(raw[p:p + 4], "big")
-        offsets = list(struct.unpack(f">{nc}I", raw[p + 4:p + 4 + 4 * nc]))
-    else:
+    wide = False
+    if co is None:
         co = _find(raw, sb, se, b"co64")
+        wide = True
         if co is None:
             raise ValueError("stbl missing stco/co64")
-        _, p = _fullbox(raw, co[0])
-        nc = int.from_bytes(raw[p:p + 4], "big")
-        offsets = list(struct.unpack(f">{nc}Q", raw[p + 4:p + 4 + 8 * nc]))
+    _, p = _fullbox(raw, co[0])
+    nc = int.from_bytes(raw[p:p + 4], "big")
+    unit = 8 if wide else 4
+    if p + 4 + unit * nc > co[1]:
+        raise ValueError("stco/co64 count exceeds its box")
+    if with_tables:
+        offsets = list(
+            struct.unpack(
+                f">{nc}{'Q' if wide else 'I'}", raw[p + 4:p + 4 + unit * nc]
+            )
+        )
+    else:
+        offsets = []
     stsc = _find(raw, sb, se, b"stsc")
     if stsc is None:
         raise ValueError("stbl missing stsc")
     _, p = _fullbox(raw, stsc[0])
     ne = int.from_bytes(raw[p:p + 4], "big")
-    stsc_entries = [
-        (
-            int.from_bytes(raw[p + 4 + 12 * i:p + 8 + 12 * i], "big"),
-            int.from_bytes(raw[p + 8 + 12 * i:p + 12 + 12 * i], "big"),
-        )
-        for i in range(ne)
-    ]
+    if p + 4 + 12 * ne > stsc[1]:
+        raise ValueError("stsc count exceeds its box")
+    stsc_entries = (
+        [
+            (
+                int.from_bytes(raw[p + 4 + 12 * i:p + 8 + 12 * i], "big"),
+                int.from_bytes(raw[p + 8 + 12 * i:p + 12 + 12 * i], "big"),
+            )
+            for i in range(ne)
+        ]
+        if with_tables
+        else []
+    )
     return {
         "track_id": track_id,
         "handler": handler,

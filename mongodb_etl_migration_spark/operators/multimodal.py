@@ -189,7 +189,15 @@ def parse_png(raw: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("missing IHDR/IDAT")
     import zlib
 
-    data = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # honest-NULL contract: a corrupt deflate stream is a
+        # ValueError like every other malformed image, so codec
+        # fallbacks (decode_images, image_dhash) catch it instead of
+        # the task dying on a raw zlib.error
+        raise ValueError(f"corrupt PNG IDAT: {e}") from e
+    data = np.frombuffer(inflated, dtype=np.uint8)
     stride = w * channels
     if len(data) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")
@@ -799,6 +807,11 @@ def sample_frames(multimodal: DataFrame, every_n: int = 8) -> DataFrame:
                             if t["handler"] == "vide"
                         )
                         ranges = _mp4.sample_ranges(video)
+                        # the extract_sample bounds rule, applied up
+                        # front: a truncated mdat / corrupt stco must
+                        # not silently digest short byte slices
+                        if any(off + sz > len(raw) for off, sz in ranges):
+                            raise ValueError("sample range outside file")
                     except (ValueError, StopIteration):
                         ranges = None  # malformed/no video track -> stub
                     if ranges is not None:
@@ -846,23 +859,27 @@ def decode_media(multimodal: DataFrame) -> DataFrame:
             )
             out = _decode_batch_stub(flat)
             # ISO BMFF payloads: REAL container metadata (box walk)
-            # overrides the stub's derived dims/frames
+            # overrides the stub's derived dims/frames.
+            # with_tables=False: metadata needs dims + n_samples, not
+            # the per-sample size/chunk lists a 10^5-sample track
+            # would otherwise materialize per row.
+            wi = out.columns.get_loc("width")
+            hi = out.columns.get_loc("height")
+            fi = out.columns.get_loc("n_frames")
             for i, payload in enumerate(flat["payload"]):
                 raw = bytes(payload)
                 if raw[4:8] == b"ftyp":
                     try:
-                        info = _mp4.parse_mp4(raw)
+                        info = _mp4.parse_mp4(raw, with_tables=False)
                         video = next(
                             t for t in info["tracks"]
                             if t["handler"] == "vide"
                         )
                     except (ValueError, StopIteration):
                         continue
-                    out.iloc[i, out.columns.get_loc("width")] = video["width"]
-                    out.iloc[i, out.columns.get_loc("height")] = video["height"]
-                    out.iloc[i, out.columns.get_loc("n_frames")] = video[
-                        "n_samples"
-                    ]
+                    out.iloc[i, wi] = video["width"]
+                    out.iloc[i, hi] = video["height"]
+                    out.iloc[i, fi] = video["n_samples"]
             yield out
 
     return multimodal.mapInPandas(gen, DECODED_SCHEMA)

@@ -326,12 +326,13 @@ def url_dedup_first_wins(df, url_col: str, order_col: str):
 def html_links(c: Column | str) -> Column:
     """All href attribute values from raw HTML (double-quoted form —
     the overwhelmingly dominant shape in real markup; single-quoted/
-    unquoted attributes are documented out of scope). The outlink
+    unquoted attributes are documented out of scope — but attribute
+    CASE is not: HREF=/Href= appear in older crawl HTML). The outlink
     extraction behind WAT-style link records and host-graph builds.
     RE2-safe regexp_extract_all, zero shuffle; relative URLs come
     back verbatim — callers filter/resolve (url_host returns NULL for
     them, the natural absolute-only gate)."""
-    return F.regexp_extract_all(_c(c), F.lit('href="([^"]*)"'), 1)
+    return F.regexp_extract_all(_c(c), F.lit('(?i)href="([^"]*)"'), 1)
 
 
 def html_title(c: Column | str) -> Column:
@@ -432,7 +433,14 @@ def decode_numeric_charrefs(c: Column | str) -> Column:
     is preserved verbatim (hex re-emits a lowercase x). The delimiter
     is scrubbed from the input first. Everything stays codegen'd
     Columns — zero shuffle, mirrored expression-for-expression in the
-    oracle (mind DuckDB's 1-based lambda index vs Spark's 0-based)."""
+    oracle (mind DuckDB's 1-based lambda index vs Spark's 0-based).
+
+    The one character that must NOT decode here is '&' (38/0x26):
+    emitting a bare '&' would let html_to_text's later named-entity
+    passes re-decode it ('&#38;lt;' would mis-extract as '<'). It
+    decodes to the NAMED form '&amp;' instead, which the final
+    &amp;-last replace turns into '&' exactly once — single-pass
+    semantics preserved."""
     x = F.replace(_c(c), F.lit(_CREF_MARK), F.lit(" "))
 
     def one_pass(col: Column, pat: str, prefix: str, to_int) -> Column:
@@ -441,6 +449,9 @@ def decode_numeric_charrefs(c: Column | str) -> Column:
         dec = F.transform(
             parts,
             lambda s, i: F.when(
+                (i % 2 == 1) & (to_int(s) == 38), F.lit("&amp;")
+            )
+            .when(
                 (i % 2 == 1) & to_int(s).between(32, 126),
                 F.char(to_int(s)),
             )

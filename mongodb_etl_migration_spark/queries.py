@@ -5486,7 +5486,7 @@ def m_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE '' END
              || CASE WHEN doc_id % 4 = 0
                      THEN '<p>&#64;handle &#x41;-grade &#999; &#x1f;'
-                          || ' &amp;#65; stays</p>'
+                          || ' &amp;#65; stays &#38;lt;kept&#x26;gt;</p>'
                      ELSE '' END
              || '</body></html>' AS html
       FROM documents
@@ -5508,7 +5508,8 @@ def m_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       chr(1) || '\\1' || chr(1), 'g'),
                        chr(1)),
           (x, i) -> CASE WHEN i % 2 = 0 THEN
-              CASE WHEN TRY_CAST(x AS BIGINT) BETWEEN 32 AND 126
+              CASE WHEN TRY_CAST(x AS BIGINT) = 38 THEN '&amp;'
+                   WHEN TRY_CAST(x AS BIGINT) BETWEEN 32 AND 126
                    THEN chr(CAST(x AS INTEGER))
                    ELSE '&#' || x || ';' END
             ELSE x END), '') AS t1
@@ -5520,7 +5521,8 @@ def m_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       chr(1) || '\\1' || chr(1), 'g'),
                        chr(1)),
           (x, i) -> CASE WHEN i % 2 = 0 THEN
-              CASE WHEN TRY_CAST('0x' || x AS BIGINT) BETWEEN 32 AND 126
+              CASE WHEN TRY_CAST('0x' || x AS BIGINT) = 38 THEN '&amp;'
+                   WHEN TRY_CAST('0x' || x AS BIGINT) BETWEEN 32 AND 126
                    THEN chr(CAST('0x' || x AS INTEGER))
                    ELSE '&#x' || x || ';' END
             ELSE x END), '') AS t2
@@ -5562,7 +5564,7 @@ def w_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 4 == 0,
             F.lit(
                 "<p>&#64;handle &#x41;-grade &#999; &#x1f;"
-                " &amp;#65; stays</p>"
+                " &amp;#65; stays &#38;lt;kept&#x26;gt;</p>"
             ),
         ).otherwise(F.lit("")),
         F.lit("</body></html>"),

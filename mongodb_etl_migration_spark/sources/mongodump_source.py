@@ -431,7 +431,9 @@ class MongodumpStreamReader(SimpleDataSourceStreamReader):
             start, files_all
         )
         files = [p for p in files_all if os.path.basename(p) in batch]
-        return list(self._rows(files))
+        # iterator, not list: this return IS the task's row iterator
+        # (replay path and uncached empty batches hit it directly)
+        return iter(list(self._rows(files)))
 
     def _rows(self, files: list[str]):
         reader = MongodumpReader(

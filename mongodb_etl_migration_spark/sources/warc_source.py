@@ -239,9 +239,17 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
         files = [
             p for p in self._files() if os.path.basename(p) in batch
         ]
-        return list(self._rows(files))
+        # iterator, not list: this return IS the task's row iterator
+        # (replay path and uncached empty batches hit it directly)
+        return iter(list(self._rows(files)))
 
     def _rows(self, files: list[str]):
+        if not files:
+            # constructing WarcReader resolves the path eagerly and
+            # raises on a not-yet-populated directory — an empty poll
+            # must stay an empty batch (stream starts before the
+            # first crawler drop)
+            return
         reader = WarcReader(
             self._schema, {"path": self._path, "mode": self._mode}
         )

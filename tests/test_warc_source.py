@@ -282,3 +282,37 @@ def test_warc_stream_roundtrip_property():
         assert [r["payload"] for r in via_bytes] == [r["payload"] for r in recs]
 
     roundtrip()
+
+
+def test_warc_streaming_starts_on_empty_directory(spark, tmp_path):
+    """A stream may start before the crawler's first drop: polling an
+    empty directory must be an empty batch, not FileNotFoundError."""
+    from mongodb_etl_migration_spark.sources.warc_source import (
+        WARC_SOURCE_FIELDS,
+        register_warc,
+    )
+    from pyspark.sql.types import StructType
+
+    register_warc(spark)
+    src = tmp_path / "drops"
+    src.mkdir()
+    out = tmp_path / "out"
+
+    def run_batch():
+        q = (
+            spark.readStream.format("warc")
+            .schema(StructType(list(WARC_SOURCE_FIELDS)))
+            .option("path", str(src))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run_batch()  # empty dir: must not crash
+    (src / "a.warc").write_bytes(W.build_warc(_mixed_records(2, "e")))
+    run_batch()
+    assert spark.read.parquet(str(out)).count() == 3

@@ -244,6 +244,22 @@ def test_decode_numeric_charrefs(spark):
     assert out[0] == "@user A+ &#999; &#x1f; &#9; xABy"
     assert out[1] == "plain text no refs"
     assert out[2] == "  marker scrubbed A"
+    # '&' decodes to the NAMED form so html_to_text's later entity
+    # passes can't re-decode text it produced
+    amp = spark.createDataFrame(
+        [("&#38;lt; and &#x26;gt; and &#38; alone",)], "s string"
+    )
+    got = amp.select(W.decode_numeric_charrefs(F.col("s")).alias("o")).first().o
+    assert got == "&amp;lt; and &amp;gt; and &amp; alone"
+
+
+def test_html_to_text_numeric_amp_single_pass(spark):
+    # author-escaped markup: '&#38;lt;b&#38;gt;' must extract as the
+    # literal '&lt;b&gt;', never as '<b>'
+    html = "<p>&#38;lt;b&#38;gt; and &#x26;#65;</p>"
+    df = spark.createDataFrame([(html,)], "h string")
+    got = df.select(W.html_to_text(F.col("h")).alias("t")).first().t
+    assert got == "&lt;b&gt; and &#65;"
 
 
 def test_html_to_text_decodes_numeric_refs_and_double_escape(spark):
