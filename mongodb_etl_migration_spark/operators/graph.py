@@ -21,6 +21,7 @@ def pagerank_integer(
     iterations: int = 3,
     scale: int = 1_000_000_000,
     damping_pct: int = 85,
+    weight: str | None = None,
 ):
     """Fixed-point PageRank over a directed edge list.
 
@@ -31,6 +32,14 @@ def pagerank_integer(
     Dangling-node mass is dropped (the standard simplified variant) —
     totals therefore shrink slightly per round; rank ORDER matches
     float PageRank to well below fixed-point resolution.
+
+    ``weight`` names an integer edge-weight column (link counts in a
+    web graph): duplicate (src, dst) rows sum their weights, and each
+    edge carries ``(rank * w) div out_weight`` instead of the uniform
+    split — still integer-exact (mind the bound: rank·max-weight must
+    stay under 2^63; at scale=1e9 that allows per-edge weights past
+    10^9). ``weight=None`` keeps the historical distinct-edge
+    behavior bit-for-bit.
 
     Plan shape at scale (the relational Pregel): the edge list is the
     big table and shuffles ONCE per iteration on src for the
@@ -54,23 +63,40 @@ def pagerank_integer(
     Output: (node, pr) — fixed-point rank, a bigint in units of 1/scale
     ("pr" because RANK is a window-function keyword in both SQL dialects).
     """
-    e = (
-        edges.select(
-            F.col(src).cast("bigint").alias("src"),
-            F.col(dst).cast("bigint").alias("dst"),
+    if weight is None:
+        e = (
+            edges.select(
+                F.col(src).cast("bigint").alias("src"),
+                F.col(dst).cast("bigint").alias("dst"),
+            )
+            .distinct()
+            .persist()
         )
-        .distinct()
-        .persist()
-    )
+        deg = (
+            e.groupBy("src")
+            .agg(F.count("*").cast("bigint").alias("out_deg"))
+            .persist()
+        )
+    else:
+        e = (
+            edges.select(
+                F.col(src).cast("bigint").alias("src"),
+                F.col(dst).cast("bigint").alias("dst"),
+                F.col(weight).cast("bigint").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").cast("bigint").alias("w"))
+            .persist()
+        )
+        deg = (
+            e.groupBy("src")
+            .agg(F.sum("w").cast("bigint").alias("out_deg"))
+            .persist()
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
-    )
-    deg = (
-        e.groupBy("src")
-        .agg(F.count("*").cast("bigint").alias("out_deg"))
         .persist()
     )
     n = nodes.count()
@@ -91,7 +117,11 @@ def pagerank_integer(
             .join(deg, "src")
             .select(
                 F.col("dst").alias("node"),
-                F.expr("pr div out_deg").alias("__c"),
+                F.expr(
+                    "pr div out_deg"
+                    if weight is None
+                    else "(pr * w) div out_deg"
+                ).alias("__c"),
             )
             .groupBy("node")
             .agg(F.sum("__c").alias("__s"))

@@ -4710,6 +4710,7 @@ def _pagerank_rounds_sql(
     damp: int = 85,
     prelude: str = "",
     final: str | None = None,
+    weighted: bool = False,
 ) -> str:
     """Unrolled fixed-point PageRank over a caller-supplied raw-edges
     SELECT (must yield DISTINCT BIGINT src/dst) — every update is
@@ -4735,14 +4736,17 @@ def _pagerank_rounds_sql(
         SELECT src AS node FROM raw UNION ALL SELECT dst FROM raw
       )
     ),
-    deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM raw GROUP BY src),
+    deg AS MATERIALIZED (SELECT src, CAST({
+        "sum(w)" if weighted else "count(*)"
+    } AS BIGINT) AS out_deg FROM raw GROUP BY src),
     nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
     r0 AS MATERIALIZED (SELECT node, CAST({scale} // n AS BIGINT) AS pr FROM nodes, nn)"""
     ]
+    contrib = "(r.pr * e.w) // d.out_deg" if weighted else "r.pr // d.out_deg"
     for i in range(iters):
         parts.append(f""",
     c{i} AS MATERIALIZED (
-      SELECT e.dst AS node, SUM(r.pr // d.out_deg) AS s
+      SELECT e.dst AS node, SUM({contrib}) AS s
       FROM r{i} r JOIN raw e ON r.node = e.src JOIN deg d ON e.src = d.src
       GROUP BY e.dst
     ),
@@ -6223,6 +6227,56 @@ def g_pagerank_web(spark: SparkSession, sf_dir: str) -> DataFrame:
         hid(F.col("src_host")).alias("src"), hid(F.col("dst_host")).alias("dst")
     )
     pr = G.pagerank_integer(e, "src", "dst", iterations=3)
+    hosts = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select("dst_host"))
+        .distinct()
+    )
+    return pr.join(hosts.withColumn("node", hid(F.col("host"))), "node").select(
+        "host", "pr"
+    )
+
+
+@query(
+    "g_pagerank_web_weighted",
+    _pagerank_rounds_sql(
+        f"""SELECT {_HOST_ID_SQL.format(h="src_host")} AS src,
+                      {_HOST_ID_SQL.format(h="dst_host")} AS dst,
+                      CAST(count(*) AS BIGINT) AS w
+      FROM ({_WEB_LINKS_SQL}) GROUP BY 1, 2""",
+        weighted=True,
+        final=f""",
+    hosts AS MATERIALIZED (
+      SELECT DISTINCT host FROM (
+        SELECT src_host AS host FROM ({_WEB_LINKS_SQL})
+        UNION ALL SELECT dst_host FROM ({_WEB_LINKS_SQL})
+      )
+    )
+    SELECT h.host, r.pr
+    FROM r3 r JOIN hosts h ON r.node = {_HOST_ID_SQL.format(h="h.host")}""",
+    ),
+)
+def g_pagerank_web_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED domain ranking: the same crawl link graph, but each
+    edge carries its link COUNT and every node splits rank
+    proportionally — (rank·w) div out_weight — instead of uniformly
+    (a host linked 50 times from one page family outranks a host
+    linked once; the unweighted variant can't see the difference).
+    Still integer-exact end to end, so the weighted unrolled SQL
+    oracle matches bit-for-bit. Same per-round shuffle shape as the
+    unweighted query; duplicate (src,dst) edges pre-aggregate their
+    weights map-side."""
+    edges = _web_link_edges(spark, sf_dir)
+
+    def hid(c: F.Column) -> F.Column:
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+    e = edges.select(
+        hid(F.col("src_host")).alias("src"),
+        hid(F.col("dst_host")).alias("dst"),
+        "n_links",
+    )
+    pr = G.pagerank_integer(e, "src", "dst", iterations=3, weight="n_links")
     hosts = (
         edges.select(F.col("src_host").alias("host"))
         .union(edges.select("dst_host"))

@@ -41,3 +41,32 @@ def test_pagerank_empty_edges_returns_empty(spark):
     out = pagerank_integer(edges, "s", "d", iterations=2)
     assert out.columns == ["node", "pr"]
     assert out.count() == 0
+
+
+def test_weighted_pagerank_follows_weights(spark):
+    from mongodb_etl_migration_spark.operators.graph import pagerank_integer
+
+    # 1 -> 2 (weight 9), 1 -> 3 (weight 1): weighted rank must favor 2;
+    # unweighted splits evenly and ties them.
+    e = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 1)], "src long, dst long, w long"
+    )
+    weighted = {
+        r.node: r.pr
+        for r in pagerank_integer(e, "src", "dst", iterations=2, weight="w").collect()
+    }
+    uniform = {
+        r.node: r.pr
+        for r in pagerank_integer(e, "src", "dst", iterations=2).collect()
+    }
+    assert weighted[2] > weighted[3]
+    assert uniform[2] == uniform[3]
+    # duplicate (src,dst) rows pre-aggregate their weights
+    e2 = spark.createDataFrame(
+        [(1, 2, 5), (1, 2, 4), (1, 3, 1)], "src long, dst long, w long"
+    )
+    merged = {
+        r.node: r.pr
+        for r in pagerank_integer(e2, "src", "dst", iterations=2, weight="w").collect()
+    }
+    assert merged == weighted
