@@ -341,6 +341,34 @@ def html_title(c: Column | str) -> Column:
     return F.nullif(F.trim(F.regexp_replace(t, "\\s+", " ")), F.lit(""))
 
 
+def html_anchors(c: Column | str) -> Column:
+    """(href, text) pairs for every anchor element — anchor text is
+    the classic retrieval/link-context training signal (what the WAT
+    format calls link 'text'). Two-stage pure-Column extraction: the
+    full ``<a ...href="...">...</a>`` elements via regexp_extract_all,
+    then per-element href + tag-stripped whitespace-collapsed inner
+    text via an array transform. Same scope notes as html_links
+    (double-quoted hrefs, any attribute case); nested markup inside
+    the anchor is stripped to its text."""
+    elems = F.regexp_extract_all(
+        _c(c), F.lit('(?is)<a\\s[^>]*href="[^"]*"[^>]*>.*?</a>'), 0
+    )
+
+    def to_struct(e: Column) -> Column:
+        inner = F.regexp_extract(e, "(?is)^<a[^>]*>(.*)</a>$", 1)
+        text = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(inner, "(?s)<[^>]+>", " "), "\\s+", " "
+            )
+        )
+        return F.struct(
+            F.regexp_extract(e, '(?i)href="([^"]*)"', 1).alias("href"),
+            text.alias("text"),
+        )
+
+    return F.transform(elems, to_struct)
+
+
 def link_graph(df, html_col: str, src_host: Column):
     """Host-level outlink edge list from raw HTML pages: explode
     href values, keep absolute http(s) links (url_host is NULL for

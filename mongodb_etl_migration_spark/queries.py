@@ -6187,6 +6187,44 @@ def w_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "w_anchor_text",
+    """
+    SELECT doc_id,
+           'https://site' || CAST(doc_id % 7 AS VARCHAR)
+             || '.example.org/page/' || CAST(doc_id AS VARCHAR) AS href,
+           'first' AS anchor_text
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           'https://site' || CAST((doc_id + 3) % 7 AS VARCHAR)
+             || '.example.org/about',
+           'second'
+    FROM documents
+    UNION ALL
+    SELECT doc_id, '/relative/path', 'rel'
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def w_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text extraction (web.html_anchors) — the link-context
+    signal retrieval corpora and WAT records keep per outlink: every
+    <a href>'s target plus its tag-stripped inner text, exploded to
+    one row per anchor. The canonical <link> element carries no
+    anchor body and is correctly absent. Pure Columns (regexp + array
+    transform), zero shuffle; oracle predicts every (href, text) pair
+    analytically from the page fixture."""
+    d = Catalog(spark, sf_dir).documents
+    pages = d.select("doc_id", _web_page_html().alias("html"))
+    return pages.select(
+        "doc_id", F.explode(WB.html_anchors(F.col("html"))).alias("a")
+    ).select(
+        "doc_id",
+        F.col("a.href").alias("href"),
+        F.col("a.text").alias("anchor_text"),
+    )
+
+
 _HOST_ID_SQL = "CAST(('0x' || substring(md5({h}), 1, 15)) AS BIGINT)"
 
 

@@ -386,3 +386,25 @@ def test_html_links_title_and_link_graph(spark):
         .t
         is None
     )
+
+
+def test_html_anchors_nested_markup_and_case(spark):
+    html = (
+        '<body><a href="https://a.com/x">plain</a>'
+        '<A HREF="https://b.com/y" class="z">has <b>bold</b>\n text</A>'
+        '<a class="q" href="/rel">rel link</a>'
+        '<a href="https://c.com/no-close">dangling'
+        "</body>"
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    rows = [
+        (r.href, r.text)
+        for r in df.select(
+            F.explode(W.html_anchors(F.col("h"))).alias("a")
+        ).select("a.href", "a.text").collect()
+    ]
+    assert rows == [
+        ("https://a.com/x", "plain"),
+        ("https://b.com/y", "has bold text"),
+        ("/rel", "rel link"),
+    ]  # the unclosed anchor matches nothing — never a mis-paired span
