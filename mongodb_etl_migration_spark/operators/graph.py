@@ -38,8 +38,13 @@ def pagerank_integer(
     edge carries ``(rank * w) div out_weight`` instead of the uniform
     split — still integer-exact (mind the bound: rank·max-weight must
     stay under 2^63; at scale=1e9 that allows per-edge weights past
-    10^9). ``weight=None`` keeps the historical distinct-edge
-    behavior bit-for-bit.
+    10^9). Edges whose aggregated weight is ≤ 0 are DROPPED before
+    anything else: they carry no rank mass, and keeping them would
+    let an all-zero out-weight divide by zero — where Spark's ``div``
+    silently yields NULL but the SQL oracle errors, exactly the
+    engine divergence this module's exactness contract forbids.
+    ``weight=None`` keeps the historical distinct-edge behavior
+    bit-for-bit.
 
     Plan shape at scale (the relational Pregel): the edge list is the
     big table and shuffles ONCE per iteration on src for the
@@ -86,6 +91,7 @@ def pagerank_integer(
             )
             .groupBy("src", "dst")
             .agg(F.sum("w").cast("bigint").alias("w"))
+            .filter(F.col("w") > 0)
             .persist()
         )
         deg = (

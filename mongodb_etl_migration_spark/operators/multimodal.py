@@ -2141,7 +2141,9 @@ def image_dhash(multimodal: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes, ws, hs = [], [], [], []
-            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+            # the select below aliases id_col to doc_id — batches
+            # arrive under the OUTPUT name
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 ids.append(doc_id)
                 try:
                     dh, w, h = dhash_bytes(bytes(payload))
@@ -2195,16 +2197,16 @@ def audio_features(
             out: dict[str, list] = {
                 k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields
             }
-            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+            # the select below aliases id_col to doc_id — batches
+            # arrive under the OUTPUT name
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     nch, _rate, samples = parse_wav(bytes(payload))
                 except (ValueError, EOFError, wave.Error):
                     continue
                 s = samples[::nch].astype(np.int64)  # channel 0
-                for wi in range(0, max(1, -(-len(s) // window))):
+                for wi in range(-(-len(s) // window)):  # ceil-div
                     chunk = s[wi * window:(wi + 1) * window]
-                    if len(chunk) == 0:
-                        break
                     flips = int(np.sum(chunk[:-1] * chunk[1:] < 0))
                     out["doc_id"].append(doc_id)
                     out["window_idx"].append(wi)

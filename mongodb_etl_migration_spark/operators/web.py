@@ -331,8 +331,11 @@ def html_links(c: Column | str) -> Column:
     extraction behind WAT-style link records and host-graph builds.
     RE2-safe regexp_extract_all, zero shuffle; relative URLs come
     back verbatim — callers filter/resolve (url_host returns NULL for
-    them, the natural absolute-only gate)."""
-    return F.regexp_extract_all(_c(c), F.lit('(?i)href="([^"]*)"'), 1)
+    them, the natural absolute-only gate). The whitespace guard
+    before ``href`` keeps ``data-href=``/``xlink:href=``/``ng-href=``
+    attributes out (attributes are always space-separated, so a real
+    href is always space-preceded inside its tag)."""
+    return F.regexp_extract_all(_c(c), F.lit('(?i)\\shref="([^"]*)"'), 1)
 
 
 def html_title(c: Column | str) -> Column:
@@ -344,15 +347,21 @@ def html_title(c: Column | str) -> Column:
 def html_anchors(c: Column | str) -> Column:
     """(href, text) pairs for every anchor element — anchor text is
     the classic retrieval/link-context training signal (what the WAT
-    format calls link 'text'). Two-stage pure-Column extraction: the
-    full ``<a ...href="...">...</a>`` elements via regexp_extract_all,
-    then per-element href + tag-stripped whitespace-collapsed inner
-    text via an array transform. Same scope notes as html_links
-    (double-quoted hrefs, any attribute case); nested markup inside
-    the anchor is stripped to its text."""
-    elems = F.regexp_extract_all(
-        _c(c), F.lit('(?is)<a\\s[^>]*href="[^"]*"[^>]*>.*?</a>'), 0
-    )
+    format calls link 'text'). Pure-Column extraction in three RE2-
+    safe stages: (1) implicit-close normalization — HTML forbids
+    nested ``<a>``, so real parsers treat a new opener as closing the
+    previous anchor; injecting ``</a>`` before every opener makes the
+    minimal match pair correctly instead of an unclosed anchor
+    swallowing the NEXT one (stray closers outside anchors match
+    nothing); (2) full elements via regexp_extract_all; (3) per-
+    element space-guarded href (``data-href=`` never wins over the
+    real ``href=``) + tag-stripped whitespace-collapsed inner text
+    via an array transform. Anchors without a (non-empty) href are
+    dropped; a trailing unclosed anchor matches nothing — never a
+    mis-paired span. Same scope notes as html_links (double-quoted
+    hrefs, any attribute case)."""
+    x = F.regexp_replace(_c(c), "(?i)<a(\\s)", "</a><a$1")
+    elems = F.regexp_extract_all(x, F.lit("(?is)<a\\s[^>]*>.*?</a>"), 0)
 
     def to_struct(e: Column) -> Column:
         inner = F.regexp_extract(e, "(?is)^<a[^>]*>(.*)</a>$", 1)
@@ -362,11 +371,13 @@ def html_anchors(c: Column | str) -> Column:
             )
         )
         return F.struct(
-            F.regexp_extract(e, '(?i)href="([^"]*)"', 1).alias("href"),
+            F.regexp_extract(e, '(?i)\\shref="([^"]*)"', 1).alias("href"),
             text.alias("text"),
         )
 
-    return F.transform(elems, to_struct)
+    return F.filter(
+        F.transform(elems, to_struct), lambda s: s["href"] != ""
+    )
 
 
 def link_graph(df, html_col: str, src_host: Column):

@@ -5291,7 +5291,6 @@ def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines share. A hash match proves real sample data flowed
     through decode → framing → integer features. 1/6 doc slice."""
     import io as _io
-    import struct as _struct
     import wave as _wave
 
     import numpy as np

@@ -436,6 +436,12 @@ class MongodumpStreamReader(SimpleDataSourceStreamReader):
         return iter(list(self._rows(files)))
 
     def _rows(self, files: list[str]):
+        if not files:
+            # constructing MongodumpReader resolves the path eagerly
+            # and raises on a not-yet-populated directory — an empty
+            # poll must stay an empty batch (stream starts before the
+            # first backup drop)
+            return
         reader = MongodumpReader(
             self._schema, {"path": self._path, "mode": self._mode}
         )

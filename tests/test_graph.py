@@ -70,3 +70,24 @@ def test_weighted_pagerank_follows_weights(spark):
         for r in pagerank_integer(e2, "src", "dst", iterations=2, weight="w").collect()
     }
     assert merged == weighted
+
+
+def test_weighted_pagerank_drops_nonpositive_weights(spark):
+    from mongodb_etl_migration_spark.operators.graph import pagerank_integer
+
+    # a zero-weight edge carries no mass and must not divide-by-zero
+    e = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 0), (4, 5, 0)], "src long, dst long, w long"
+    )
+    got = {
+        r.node: r.pr
+        for r in pagerank_integer(e, "src", "dst", iterations=2, weight="w").collect()
+    }
+    ref = {
+        r.node: r.pr
+        for r in pagerank_integer(
+            spark.createDataFrame([(1, 2, 3)], "src long, dst long, w long"),
+            "src", "dst", iterations=2, weight="w",
+        ).collect()
+    }
+    assert got == ref  # zero-weight edges (and their isolated nodes) gone

@@ -408,3 +408,32 @@ def test_html_anchors_nested_markup_and_case(spark):
         ("https://b.com/y", "has bold text"),
         ("/rel", "rel link"),
     ]  # the unclosed anchor matches nothing — never a mis-paired span
+
+
+def test_html_anchors_implicit_close_and_data_href(spark):
+    html = (
+        # unclosed anchor followed by a valid one: implicit-close
+        # yields BOTH rows (real-parser semantics), no swallowing
+        '<a href="https://u1.com/a">one <a href="https://u2.com/b">two</a>'
+        # data-href must not shadow the real href, nor create a link
+        ' <a data-href="https://evil.com" href="https://real.com/c">t</a>'
+        ' <div data-href="https://tracker.ads/x">not a link</div>'
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    anchors = [
+        (r.href, r.text)
+        for r in df.select(
+            F.explode(W.html_anchors(F.col("h"))).alias("a")
+        ).select("a.href", "a.text").collect()
+    ]
+    assert anchors == [
+        ("https://u1.com/a", "one"),
+        ("https://u2.com/b", "two"),
+        ("https://real.com/c", "t"),
+    ]
+    links = df.select(W.html_links(F.col("h")).alias("l")).first().l
+    assert list(links) == [
+        "https://u1.com/a",
+        "https://u2.com/b",
+        "https://real.com/c",
+    ]  # data-href / div attributes contribute nothing
