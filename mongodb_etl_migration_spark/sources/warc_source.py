@@ -40,8 +40,10 @@ import zlib
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     LongType,
@@ -279,6 +281,87 @@ class WarcDataSource(DataSource):
         """Streaming tail of a crawl directory (readStream.format
         ("warc")): each dropped shard ingested exactly once."""
         return WarcStreamReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return WarcWriter(schema, self.options, overwrite)
+
+
+class _WroteShard(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class WarcWriter(DataSourceWriter):
+    """Export a curated corpus as ``.warc.gz`` shards — the read/
+    stream/write triangle closed (a curation pipeline that ingests
+    Common-Crawl shards hands its survivors downstream in the same
+    container). One per-record-gzip-member shard per task, written to
+    a temp name and renamed into place only in commit() — partial or
+    aborted tasks never leave a readable shard behind (the rename is
+    the commit protocol, same as the mongodump writer). Rows follow
+    the reader's schema contract: ``warc_type``/``target_uri``/
+    ``date`` headers, and rows with a non-NULL ``http_status`` are
+    wrapped as HTTP/1.1 responses (content_type + body) so read-back
+    through ``format("warc")`` round-trips field-for-field; rows with
+    NULL status carry ``body`` as the raw payload."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self._path = options["path"]
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> _WroteShard:
+        import uuid
+
+        from mongodb_etl_migration_spark.sources.warc import build_warc_gz
+
+        os.makedirs(self._path, exist_ok=True)
+        recs = []
+        for row in iterator:
+            d = row.asDict()
+            rec = {
+                "warc_type": d.get("warc_type") or "resource",
+                "target_uri": d.get("target_uri") or "",
+            }
+            if d.get("date"):
+                rec["date"] = d["date"]
+            body = (d.get("body") or "").encode()
+            if d.get("http_status") is not None:
+                rec["http"] = (
+                    int(d["http_status"]),
+                    d.get("content_type") or "",
+                    body,
+                )
+            else:
+                rec["payload"] = body
+            recs.append(rec)
+        tmp = os.path.join(self._path, f"._tmp-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as f:
+            f.write(build_warc_gz(recs))
+        return _WroteShard(tmp, len(recs))
+
+    def commit(self, messages) -> None:
+        import uuid
+
+        if self._overwrite:
+            for old in glob.glob(os.path.join(self._path, "part-*.warc.gz")):
+                os.remove(old)
+        # job-unique suffix: append mode must never rename onto an
+        # existing shard (os.rename clobbers silently on POSIX)
+        job = uuid.uuid4().hex[:8]
+        for i, m in enumerate(m for m in messages if m is not None):
+            if m.rows == 0:
+                os.remove(m.path)
+                continue
+            os.rename(
+                m.path,
+                os.path.join(self._path, f"part-{i:05d}-{job}.warc.gz"),
+            )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
 
 
 def register_warc(spark) -> None:

@@ -316,3 +316,45 @@ def test_warc_streaming_starts_on_empty_directory(spark, tmp_path):
     (src / "a.warc").write_bytes(W.build_warc(_mixed_records(2, "e")))
     run_batch()
     assert spark.read.parquet(str(out)).count() == 3
+
+
+def test_warc_writer_roundtrip(spark, tmp_path, shard_dir):
+    """read -> curate -> WRITE .warc.gz -> read back: survivors
+    round-trip field-for-field through the container."""
+    from pyspark.sql import functions as F
+
+    df = _read(spark, shard_dir).filter("warc_type = 'response'")
+    out = str(tmp_path / "curated")
+    df.select(
+        "warc_type", "target_uri", "date",
+        "http_status", "content_type", "body",
+    ).repartition(2).write.format("warc").mode("overwrite").save(out)
+
+    import glob as g
+    files = g.glob(f"{out}/part-*.warc.gz")
+    assert 1 <= len(files) <= 2 and not g.glob(f"{out}/._tmp-*")
+
+    back = _read(spark, out)
+    want = sorted(
+        (r.target_uri, r.http_status, r.content_type, r.body, r.date)
+        for r in df.collect()
+    )
+    got = sorted(
+        (r.target_uri, r.http_status, r.content_type, r.body, r.date)
+        for r in back.collect()
+    )
+    assert got == want
+    # non-HTTP rows round-trip as raw payloads with NULL status
+    raw = spark.createDataFrame(
+        [("metadata", "https://m.com/x", "2024-02-02T00:00:00Z", None, None, "k=v")],
+        "warc_type string, target_uri string, date string, "
+        "http_status long, content_type string, body string",
+    )
+    out2 = str(tmp_path / "raw")
+    # Python data sources accept only append/overwrite save modes
+    raw.write.format("warc").mode("append").save(out2)
+    r = _read(spark, out2).collect()[0]
+    assert (r.warc_type, r.http_status, r.body) == ("metadata", None, "k=v")
+    # overwrite replaces previous shards
+    raw.write.format("warc").mode("overwrite").save(out2)
+    assert _read(spark, out2).count() == 1
