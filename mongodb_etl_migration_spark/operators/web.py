@@ -404,6 +404,65 @@ def link_graph(df, html_col: str, src_host: Column):
     )
 
 
+def parse_robots_rules(df, host_col: str, text_col: str, user_agent: str = "*"):
+    """Parse raw robots.txt BODIES (as crawled) into the (host, allow,
+    prefix) rule rows with_robots_verdict consumes — the front half of
+    the politeness gate. RFC 9309 grouping: consecutive User-agent
+    lines form one group header; a group's rules apply iff any of its
+    agent tokens equals ``user_agent`` (case-insensitive); a new
+    User-agent line AFTER rules starts a new group. Empty
+    Allow/Disallow values mean 'no restriction' and contribute no
+    row; comment/blank lines are ignored (inline '#' comments are out
+    of the line-oriented scope, documented).
+
+    Implementation is a pure-Column F.aggregate fold over the line
+    array — per-row sequential state without a UDF, so the whole
+    parse stays inside codegen with zero shuffle. Wildcard-agent
+    matching beyond exact token equality (prefix matches like
+    'googlebot-news' under 'googlebot') is out of scope."""
+    lines = F.split(F.regexp_replace(F.col(text_col), "\r", ""), "\n")
+    rules_t = "array<struct<allow:boolean,prefix:string>>"
+    state0 = F.struct(
+        F.lit(False).alias("star"),
+        F.lit(False).alias("ua_run"),
+        F.array().cast(rules_t).alias("rules"),
+    )
+    ua = user_agent.lower()
+
+    def step(acc: Column, ln: Column) -> Column:
+        low = F.trim(F.lower(ln))
+        val = F.trim(F.regexp_extract(F.trim(ln), "^[^:]*:(.*)$", 1))
+        is_ua = low.startswith("user-agent:")
+        is_allow = low.startswith("allow:")
+        is_dis = low.startswith("disallow:")
+        hit = F.lower(val) == ua
+        star = (
+            F.when(is_ua & acc["ua_run"], acc["star"] | hit)
+            .when(is_ua, hit)  # new group header resets membership
+            .otherwise(acc["star"])
+        )
+        ua_run = (
+            F.when(is_ua, F.lit(True))
+            .when(is_allow | is_dis, F.lit(False))
+            .otherwise(acc["ua_run"])
+        )
+        rules = F.when(
+            (is_allow | is_dis) & acc["star"] & (val != ""),
+            F.array_append(
+                acc["rules"],
+                F.struct(is_allow.alias("allow"), val.alias("prefix")),
+            ),
+        ).otherwise(acc["rules"])
+        return F.struct(
+            star.alias("star"), ua_run.alias("ua_run"), rules.alias("rules")
+        )
+
+    agg = F.aggregate(lines, state0, step)
+    return df.select(
+        F.col(host_col).alias("host"), F.explode(agg["rules"]).alias("r")
+    ).select("host", F.col("r.allow").alias("allow"), F.col("r.prefix").alias("prefix"))
+
+
 def with_robots_verdict(
     df,
     rules,

@@ -6090,6 +6090,62 @@ def w_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SM.stratified_take(ex, ["host"], 10, "target_uri", salt="crawl")
 
 
+@query(
+    "w_robots_parse",
+    """
+    WITH hosts AS (
+      SELECT DISTINCT 'www.' || lower(source) || '.example.com' AS host,
+             lower(source) AS s
+      FROM documents
+    ), r AS (
+      SELECT host, rule.allow AS allow,
+             CASE WHEN rule.prefix = '@SRC@'
+                  THEN '/s-' || s || '/' ELSE rule.prefix END AS prefix,
+             rule.ord AS ord
+      FROM hosts,
+           (VALUES (FALSE, '/Docs/', 1), (TRUE, '/Docs/4', 2),
+                   (FALSE, '/private/', 3), (FALSE, '@SRC@', 4))
+             rule(allow, prefix, ord)
+    )
+    SELECT host, allow, prefix FROM r
+    """,
+)
+def w_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt PARSING (web.parse_robots_rules): per crawl host a
+    realistic raw robots.txt body — a googlebot-only group that must
+    be skipped, a combined two-line User-agent group ('*' second) that
+    must match, an empty Disallow (no restriction → no row), comment
+    and blank lines, and a host-specific rule — folded into rule rows
+    by the pure-Column F.aggregate line parser, no UDF, zero shuffle.
+    The oracle predicts the surviving rules analytically. Feeds
+    with_robots_verdict (w_robots_filter) for the full
+    raw-body → rules → verdict chain."""
+    d = Catalog(spark, sf_dir).documents
+    hosts = d.select(F.lower("source").alias("s")).distinct().select(
+        F.concat(F.lit("www."), F.col("s"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        "s",
+    )
+    body = F.concat(
+        F.lit(
+            "# robots for "
+        ),
+        F.col("host"),
+        F.lit(
+            "\nUser-agent: googlebot\nDisallow: /google-only/\n\n"
+            "User-agent: crawler-x\nUser-Agent: *\n"
+            "Disallow: /Docs/\nAllow: /Docs/4\n"
+            "# tracking endpoints\nDisallow:\nDisallow: /private/\n"
+            "Disallow: /s-"
+        ),
+        F.col("s"),
+        F.lit("/\n"),
+    )
+    pages = hosts.select("host", body.alias("robots_txt"))
+    return WB.parse_robots_rules(pages, "host", "robots_txt")
+
+
 def _web_page_html() -> F.Column:
     """Deterministic page fixture for the link-graph family: title,
     absolute canonical link (a SELF-edge the graph must drop), two

@@ -437,3 +437,45 @@ def test_html_anchors_implicit_close_and_data_href(spark):
         "https://u2.com/b",
         "https://real.com/c",
     ]  # data-href / div attributes contribute nothing
+
+
+def test_parse_robots_rules_grouping_semantics(spark):
+    body = (
+        "User-agent: googlebot\n"
+        "Disallow: /g/\n"
+        "\n"
+        "User-agent: bingbot\n"
+        "User-agent: *\n"          # combined group header: '*' member
+        "Allow: /ok/\n"
+        "Disallow: /no/\n"
+        "User-agent: yandex\n"     # rules seen -> NEW group (not '*')
+        "Disallow: /y/\n"
+        "# comment line\n"
+        "User-agent: *\n"
+        "Disallow:\n"              # empty value: no restriction
+        "Disallow: /z/\r\n"        # CRLF tolerated
+        "Crawl-delay: 10\n"        # unknown directive ignored
+    )
+    df = spark.createDataFrame([("h.com", body)], "host string, txt string")
+    got = [
+        (r.allow, r.prefix)
+        for r in W.parse_robots_rules(df, "host", "txt").collect()
+    ]
+    assert got == [(True, "/ok/"), (False, "/no/"), (False, "/z/")]
+    # case-insensitive agent token, specific agent selection
+    got_g = [
+        (r.allow, r.prefix)
+        for r in W.parse_robots_rules(df, "host", "txt", user_agent="GoogleBot").collect()
+    ]
+    assert got_g == [(False, "/g/")]
+    # end-to-end: raw body -> rules -> verdict
+    pages = spark.createDataFrame(
+        [("h.com", "/no/x"), ("h.com", "/ok/y"), ("h.com", "/other")],
+        "host string, path string",
+    )
+    rules = W.parse_robots_rules(df, "host", "txt")
+    verdicts = {
+        r.path: r.crawl_allowed
+        for r in W.with_robots_verdict(pages, rules, "host", "path").collect()
+    }
+    assert verdicts == {"/no/x": False, "/ok/y": True, "/other": True}
