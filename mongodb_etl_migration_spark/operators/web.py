@@ -371,7 +371,12 @@ def html_anchors(c: Column | str) -> Column:
             )
         )
         return F.struct(
-            F.regexp_extract(e, '(?i)\\shref="([^"]*)"', 1).alias("href"),
+            # anchored to the OPEN tag ([^>]*? cannot cross '>'), so a
+            # space-preceded href=" inside the anchor's inner content
+            # or nested markup can never fabricate a link
+            F.regexp_extract(
+                e, '(?is)^<a[^>]*?\\shref="([^"]*)"', 1
+            ).alias("href"),
             text.alias("text"),
         )
 
@@ -430,8 +435,12 @@ def parse_robots_rules(df, host_col: str, text_col: str, user_agent: str = "*"):
     ua = user_agent.lower()
 
     def step(acc: Column, ln: Column) -> Column:
-        low = F.trim(F.lower(ln))
-        val = F.trim(F.regexp_extract(F.trim(ln), "^[^:]*:(.*)$", 1))
+        # RFC 9309 WS is space OR tab; Spark's trim strips spaces only
+        t = F.regexp_replace(ln, "^[ \\t]+|[ \\t]+$", "")
+        low = F.lower(t)
+        val = F.regexp_replace(
+            F.regexp_extract(t, "^[^:]*:(.*)$", 1), "^[ \\t]+|[ \\t]+$", ""
+        )
         is_ua = low.startswith("user-agent:")
         is_allow = low.startswith("allow:")
         is_dis = low.startswith("disallow:")

@@ -490,6 +490,46 @@ class _WroteFile(WriterCommitMessage):
         self.rows = rows
 
 
+def commit_part_renames(
+    messages, path: str, suffix: str, overwrite: bool
+) -> None:
+    """Shared rename-commit protocol for file-per-task writers
+    (mongodump .bson, warc .warc.gz): temp files become
+    ``part-NNNNN-<job>{suffix}`` only here, so partial/aborted tasks
+    never leave a readable part behind. The job-unique suffix keeps
+    append mode from renaming onto an existing file (os.rename
+    clobbers silently on POSIX). Overwrite mode also sweeps crashed
+    PRIOR jobs' ``._tmp-*`` leftovers (their abort() never ran) —
+    excluding this job's own pending messages."""
+    import os
+    import uuid
+
+    live = [m for m in messages if m is not None]
+    if overwrite:
+        for old in glob.glob(os.path.join(path, f"part-*{suffix}")):
+            os.remove(old)
+        keep = {m.path for m in live}
+        for tmp in glob.glob(os.path.join(path, "._tmp-*")):
+            if tmp not in keep:
+                os.remove(tmp)
+    job = uuid.uuid4().hex[:8]
+    for i, m in enumerate(live):
+        if m.rows == 0:
+            os.remove(m.path)
+            continue
+        os.rename(
+            m.path, os.path.join(path, f"part-{i:05d}-{job}{suffix}")
+        )
+
+
+def abort_part_cleanup(messages) -> None:
+    import os
+
+    for m in messages:
+        if m is not None and os.path.exists(m.path):
+            os.remove(m.path)
+
+
 class MongodumpWriter(DataSourceWriter):
     """Export a DataFrame as a mongodump-shaped backup: one .bson
     part file per task, written to a temp name and renamed into place
@@ -520,31 +560,10 @@ class MongodumpWriter(DataSourceWriter):
         return _WroteFile(tmp, n)
 
     def commit(self, messages) -> None:
-        import os
-        import uuid
-
-        if self._overwrite:
-            for old in glob.glob(os.path.join(self._path, "part-*.bson")):
-                os.remove(old)
-        # job-unique suffix (Spark part-file convention): append mode
-        # into a directory with earlier parts must never rename onto
-        # an existing file — os.rename silently clobbers on POSIX
-        job = uuid.uuid4().hex[:8]
-        for i, m in enumerate(m for m in messages if m is not None):
-            if m.rows == 0:
-                os.remove(m.path)
-                continue
-            os.rename(
-                m.path,
-                os.path.join(self._path, f"part-{i:05d}-{job}.bson"),
-            )
+        commit_part_renames(messages, self._path, ".bson", self._overwrite)
 
     def abort(self, messages) -> None:
-        import os
-
-        for m in messages:
-            if m is not None and os.path.exists(m.path):
-                os.remove(m.path)
+        abort_part_cleanup(messages)
 
 
 def register_mongodump(spark) -> None:

@@ -39,7 +39,11 @@ def build_warc(records: list[dict]) -> bytes:
     write side; also documents the exact shape parse_warc accepts).
     Each record dict: warc_type, target_uri, date, and either
     ``payload`` (raw bytes) or ``http`` = (status, content_type,
-    body_bytes) which is wrapped as an HTTP/1.1 response."""
+    body_bytes) which is wrapped as an HTTP/1.1 response. An ABSENT
+    ``date`` key stamps the fixture default; an EMPTY-string date
+    omits the WARC-Date header entirely — so a record read with no
+    date (parsed as '') round-trips through write-back unchanged
+    instead of acquiring a fabricated timestamp."""
     out = bytearray()
     for r in records:
         if "http" in r:
@@ -51,12 +55,13 @@ def build_warc(records: list[dict]) -> bytes:
             ).encode() + body
         else:
             payload = r["payload"]
+        date = r.get("date", "2024-01-01T00:00:00Z")
         head = (
             "WARC/1.0\r\n"
             f"WARC-Type: {r['warc_type']}\r\n"
             f"WARC-Target-URI: {r.get('target_uri', '')}\r\n"
-            f"WARC-Date: {r.get('date', '2024-01-01T00:00:00Z')}\r\n"
-            f"Content-Length: {len(payload)}\r\n\r\n"
+            + (f"WARC-Date: {date}\r\n" if date else "")
+            + f"Content-Length: {len(payload)}\r\n\r\n"
         ).encode()
         out += head + payload + _CRLF + _CRLF
     return bytes(out)

@@ -296,72 +296,67 @@ class WarcWriter(DataSourceWriter):
     """Export a curated corpus as ``.warc.gz`` shards — the read/
     stream/write triangle closed (a curation pipeline that ingests
     Common-Crawl shards hands its survivors downstream in the same
-    container). One per-record-gzip-member shard per task, written to
-    a temp name and renamed into place only in commit() — partial or
-    aborted tasks never leave a readable shard behind (the rename is
-    the commit protocol, same as the mongodump writer). Rows follow
-    the reader's schema contract: ``warc_type``/``target_uri``/
-    ``date`` headers, and rows with a non-NULL ``http_status`` are
-    wrapped as HTTP/1.1 responses (content_type + body) so read-back
-    through ``format("warc")`` round-trips field-for-field; rows with
-    NULL status carry ``body`` as the raw payload."""
+    container). One per-record-gzip-member shard per task, STREAMED
+    record by record to a temp file (O(1) memory — the write-side
+    twin of iter_warc_stream's one-record-in-memory rule; a 1 GB
+    partition must never buffer whole) and renamed into place only in
+    commit() via the shared rename protocol (mongodump_source.
+    commit_part_renames) — partial or aborted tasks never leave a
+    readable shard behind. Rows follow the reader's schema contract:
+    ``warc_type``/``target_uri``/``date`` headers (empty/NULL values
+    pass through — no fabricated metadata, so read→write→read is
+    identity), and rows with a non-NULL ``http_status`` are wrapped
+    as HTTP/1.1 responses (content_type + body); rows with NULL
+    status carry ``body`` as the raw payload."""
 
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
         self._path = options["path"]
         self._overwrite = overwrite
 
     def write(self, iterator) -> _WroteShard:
+        import gzip
         import uuid
 
-        from mongodb_etl_migration_spark.sources.warc import build_warc_gz
+        from mongodb_etl_migration_spark.sources.warc import build_warc
 
         os.makedirs(self._path, exist_ok=True)
-        recs = []
-        for row in iterator:
-            d = row.asDict()
-            rec = {
-                "warc_type": d.get("warc_type") or "resource",
-                "target_uri": d.get("target_uri") or "",
-            }
-            if d.get("date"):
-                rec["date"] = d["date"]
-            body = (d.get("body") or "").encode()
-            if d.get("http_status") is not None:
-                rec["http"] = (
-                    int(d["http_status"]),
-                    d.get("content_type") or "",
-                    body,
-                )
-            else:
-                rec["payload"] = body
-            recs.append(rec)
         tmp = os.path.join(self._path, f"._tmp-{uuid.uuid4().hex}")
+        n = 0
         with open(tmp, "wb") as f:
-            f.write(build_warc_gz(recs))
-        return _WroteShard(tmp, len(recs))
+            for row in iterator:
+                d = row.asDict()
+                rec = {
+                    "warc_type": d.get("warc_type") or "",
+                    "target_uri": d.get("target_uri") or "",
+                    # '' omits the WARC-Date header (see build_warc)
+                    "date": d.get("date") or "",
+                }
+                body = (d.get("body") or "").encode()
+                if d.get("http_status") is not None:
+                    rec["http"] = (
+                        int(d["http_status"]),
+                        d.get("content_type") or "",
+                        body,
+                    )
+                else:
+                    rec["payload"] = body
+                f.write(gzip.compress(build_warc([rec]), mtime=0))
+                n += 1
+        return _WroteShard(tmp, n)
 
     def commit(self, messages) -> None:
-        import uuid
+        from mongodb_etl_migration_spark.sources.mongodump_source import (
+            commit_part_renames,
+        )
 
-        if self._overwrite:
-            for old in glob.glob(os.path.join(self._path, "part-*.warc.gz")):
-                os.remove(old)
-        # job-unique suffix: append mode must never rename onto an
-        # existing shard (os.rename clobbers silently on POSIX)
-        job = uuid.uuid4().hex[:8]
-        for i, m in enumerate(m for m in messages if m is not None):
-            if m.rows == 0:
-                os.remove(m.path)
-                continue
-            os.rename(
-                m.path,
-                os.path.join(self._path, f"part-{i:05d}-{job}.warc.gz"),
-            )
+        commit_part_renames(messages, self._path, ".warc.gz", self._overwrite)
 
     def abort(self, messages) -> None:
-        for m in messages:
-            if m is not None and os.path.exists(m.path):
-                os.remove(m.path)
+        from mongodb_etl_migration_spark.sources.mongodump_source import (
+            abort_part_cleanup,
+        )
+
+        abort_part_cleanup(messages)
 
 
 def register_warc(spark) -> None:

@@ -358,3 +358,46 @@ def test_warc_writer_roundtrip(spark, tmp_path, shard_dir):
     # overwrite replaces previous shards
     raw.write.format("warc").mode("overwrite").save(out2)
     assert _read(spark, out2).count() == 1
+
+
+def test_warc_writer_preserves_absent_metadata(spark, tmp_path):
+    """read -> write -> read is IDENTITY even for records lacking a
+    WARC-Date (parsed as ''): write-back must not fabricate one."""
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: metadata\r\n"
+        b"WARC-Target-URI: https://m.com/x\r\n"
+        b"Content-Length: 3\r\n\r\nk=v\r\n\r\n"
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.warc").write_bytes(raw)
+    first = _read(spark, str(src)).collect()[0]
+    assert first.date == ""  # no WARC-Date header
+    out = str(tmp_path / "out")
+    _read(spark, str(src)).select(
+        "warc_type", "target_uri", "date",
+        "http_status", "content_type", "body",
+    ).write.format("warc").mode("append").save(out)
+    second = _read(spark, out).collect()[0]
+    assert (second.warc_type, second.target_uri, second.date, second.body) == (
+        first.warc_type, first.target_uri, first.date, first.body
+    )
+
+
+def test_commit_sweeps_crashed_tmp_leftovers(spark, tmp_path):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    out = tmp_path / "o"
+    out.mkdir()
+    (out / "._tmp-deadbeef").write_bytes(b"crashed prior job")
+    df = spark.createDataFrame(
+        [("resource", "https://a.com/x", "", None, None, "b")],
+        "warc_type string, target_uri string, date string, "
+        "http_status long, content_type string, body string",
+    )
+    df.write.format("warc").mode("overwrite").save(str(out))
+    import glob as g
+
+    assert not g.glob(f"{out}/._tmp-*")  # leftover swept
+    assert _read(spark, str(out)).count() == 1
