@@ -900,3 +900,102 @@ def duplicated_spans(
             ),
         )
     )
+
+
+# Integer weights for the linear quality classifier below. Real
+# pipelines train ~1M hashed-bigram weights (fastText); the shape —
+# a (term, weight) relation broadcast against exploded tokens — is
+# identical at that size, only the table is bigger. Integer weights
+# (milli-units if trained floats must be quantized) keep the margin
+# hash-exact across engines.
+QUALITY_CLASSIFIER_WEIGHTS: dict[str, int] = {
+    "data": 3,
+    "query": 3,
+    "vector": 2,
+    "stream": 2,
+    "spark": 2,
+    "merge": 1,
+    "slow": -3,
+    "small": -3,
+    "dup": -8,
+    "a": -2,
+    "the": -2,
+}
+
+
+def classifier_margin(
+    df,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, int] | None = None,
+    bias: int = 0,
+):
+    """fastText-style linear quality-classifier INFERENCE (Joulin et
+    al. 2016; the CCNet/GPT-3 "wiki-reference" curation gate): margin
+    = bias + Σ_tokens weight(token), keep = margin > 0. This is the
+    model-based filtering step every pre-training corpus runs after
+    the rule-based (Gopher) gates; training happens offline — the
+    engine's job is scoring billions of documents against a fixed
+    weight table.
+
+    Scale shape (the general path — works for ~1M-term vocabularies):
+    tokens explode, inner-join the BROADCAST weight relation (out-of-
+    vocabulary tokens drop in the join, contributing 0), one map-side-
+    combinable sum per document, then a left join back onto the id
+    spine so zero-hit documents still score ``bias``. The only
+    exchange is the per-document sum; the weight table never shuffles.
+    For small vocabularies `classifier_margin_inline` folds the same
+    margin in a single zero-shuffle expression — the two agree
+    bit-for-bit (tested).
+
+    Output: (id_col, margin bigint, keep boolean).
+    """
+    weights = QUALITY_CLASSIFIER_WEIGHTS if weights is None else weights
+    spark = df.sparkSession
+    w = spark.createDataFrame(
+        sorted(weights.items()), "term string, weight long"
+    )
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    summed = (
+        tok.join(F.broadcast(w), "term")
+        .groupBy(id_col)
+        .agg(F.sum("weight").alias("__sw"))
+    )
+    margin = (F.coalesce(F.col("__sw"), F.lit(0)) + F.lit(bias)).cast(
+        "bigint"
+    )
+    return (
+        df.select(id_col)
+        .join(summed, id_col, "left")
+        .select(
+            id_col,
+            margin.alias("margin"),
+            (margin > 0).alias("keep"),
+        )
+    )
+
+
+def classifier_margin_inline(
+    c: Column | str,
+    toks: Column | None = None,
+    weights: dict[str, int] | None = None,
+    bias: int = 0,
+) -> Column:
+    """Zero-shuffle twin of `classifier_margin` for SMALL vocabularies
+    (≲ thousands of terms): the weight table becomes a literal MAP and
+    the margin folds over the token array inside whole-stage codegen —
+    no explode, no join, no exchange. Use this form when the vocab
+    fits a literal; the broadcast-join form when it doesn't."""
+    weights = QUALITY_CLASSIFIER_WEIGHTS if weights is None else weights
+    toks = tokens(c) if toks is None else toks
+    entries: list[Column] = []
+    for term, wt in sorted(weights.items()):
+        entries += [F.lit(term), F.lit(int(wt)).cast("long")]
+    wmap = F.create_map(*entries)
+    return F.aggregate(
+        toks,
+        F.lit(int(bias)).cast("long"),
+        lambda acc, t: acc + F.coalesce(F.element_at(wmap, t), F.lit(0)),
+    )

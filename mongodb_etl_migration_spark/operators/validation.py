@@ -55,6 +55,25 @@ def group_count(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return df.groupBy(*cols).agg(F.count("*").alias("cnt"))
 
 
+def _canonical_row(cols: Sequence[str]) -> Column:
+    """Collision-pinned row serialization shared by table_checksum and
+    table_diff: every field LENGTH-PREFIXED (NULL → ``N``, value →
+    ``V<len>:<value>``) before the '|' join, so a '|' inside a string
+    cannot shift content across columns and no value collides with
+    the NULL token. Restrict to integer/string columns — float and
+    timestamp stringification is engine-specific."""
+
+    def token(c: str) -> Column:
+        s = F.col(c).cast("string")
+        return F.when(F.col(c).isNull(), F.lit("N")).otherwise(
+            F.concat(
+                F.lit("V"), F.length(s).cast("string"), F.lit(":"), s
+            )
+        )
+
+    return F.concat_ws("|", *[token(c) for c in cols])
+
+
 def table_checksum(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Order-independent content checksum over selected columns — the
     validation rung above count reconciliation (two tables can match
@@ -82,20 +101,58 @@ def table_checksum(df: DataFrame, cols: Sequence[str]) -> DataFrame:
 
     Output: one row (n_rows, checksum) — both bigint.
     """
-
-    def token(c: str) -> Column:
-        s = F.col(c).cast("string")
-        return F.when(F.col(c).isNull(), F.lit("N")).otherwise(
-            F.concat(
-                F.lit("V"), F.length(s).cast("string"), F.lit(":"), s
-            )
-        )
-
-    canon = F.concat_ws("|", *[token(c) for c in cols])
+    canon = _canonical_row(cols)
     row_hash = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast(
         "decimal(38,0)"
     )
     return df.select(row_hash.alias("__h")).agg(
         F.count("*").cast("bigint").alias("n_rows"),
         (F.sum("__h") % F.lit(2**62)).cast("bigint").alias("checksum"),
+    )
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Row-level migration diff — the validation rung ABOVE
+    table_checksum: when source and target checksums disagree, this
+    names the keys that differ and how. The reference's gate stops at
+    counts (validate_migration.py:50-131); a checksum says "something
+    differs"; the diff says WHICH rows, so a re-migration can be
+    targeted instead of full.
+
+    Full-outer join on ``key_cols``; non-key content is compared via
+    the same length-prefixed md5 canonicalization as table_checksum
+    (one string compare per row regardless of column count — at 100 TB
+    the join carries two hash columns, not 2× the table width).
+    Output: one row per differing key with status
+    'removed' (key only in left) / 'added' (only in right) /
+    'changed' (both, content hash differs); matching rows are dropped
+    before the output so result size is bounded by the drift, not the
+    table. The sole exchange is the key-partitioned join — both sides
+    hash-partition on the same keys, and AQE turns it into a broadcast
+    when one side's drift set is small.
+
+    ``key_cols`` must be NULL-free and unique per table (primary-key
+    contract — the same precondition the reference's per-id spot
+    checks assume).
+    """
+    keys = list(key_cols)
+    lh = left.select(
+        *keys, F.md5(_canonical_row(compare_cols)).alias("__lh")
+    )
+    rh = right.select(
+        *keys, F.md5(_canonical_row(compare_cols)).alias("__rh")
+    )
+    j = lh.join(rh, keys, "full_outer")
+    status = (
+        F.when(F.col("__rh").isNull(), F.lit("removed"))
+        .when(F.col("__lh").isNull(), F.lit("added"))
+        .when(F.col("__lh") != F.col("__rh"), F.lit("changed"))
+    )
+    return j.select(*keys, status.alias("status")).filter(
+        F.col("status").isNotNull()
     )

@@ -6458,6 +6458,85 @@ def t_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.duplicated_spans(src, "doc_id", "text2", k=8, min_count=2)
 
 
+_CLS_W_SQL = ", ".join(
+    f"('{t}', {w})" for t, w in sorted(T.QUALITY_CLASSIFIER_WEIGHTS.items())
+)
+
+
+@query(
+    "t_quality_classifier",
+    f"""
+    WITH w(term, weight) AS (VALUES {_CLS_W_SQL}),
+    toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ), s AS (
+      SELECT t.doc_id, sum(w.weight) AS sw
+      FROM toks t JOIN w USING (term) GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.sw, 0) AS BIGINT) AS margin,
+           coalesce(s.sw, 0) > 0 AS keep
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+)
+def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate (text.classifier_margin): fastText-
+    style linear classifier inference — the CCNet/GPT-3 curation step
+    after the rule-based Gopher gates. Integer weight table broadcasts
+    against exploded tokens; the sole exchange is the per-document
+    margin sum (map-side combinable); OOV tokens drop in the join. The
+    zero-shuffle map-literal twin (classifier_margin_inline) agrees
+    bit-for-bit (tested) — that form is for small vocabs, this one
+    scales to the ~1M-term tables real classifiers ship."""
+    d = Catalog(spark, sf_dir).documents
+    return T.classifier_margin(d, "doc_id", "text")
+
+
+@query(
+    "v4_table_diff",
+    """
+    WITH r AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 89 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 0
+    )
+    SELECT coalesce(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+           CASE WHEN r.o_orderkey IS NULL THEN 'removed'
+                WHEN l.o_orderkey IS NULL THEN 'added'
+                ELSE 'changed' END AS status
+    FROM orders l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+    WHERE r.o_orderkey IS NULL OR l.o_orderkey IS NULL
+       OR l.o_custkey <> r.o_custkey
+       OR l.o_orderstatus <> r.o_orderstatus
+    """,
+)
+def v4_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level migration diff (validation.table_diff) — names WHICH
+    keys drifted when v3's checksums disagree, so re-migration is
+    targeted. Fixture: the 'migrated' side deterministically drops
+    o_orderkey % 97 == 0 (lost rows → 'removed') and corrupts
+    o_orderstatus where % 89 == 0 (→ 'changed'). Content compares as
+    one md5 per side regardless of column count; unchanged rows are
+    filtered before output so result size is bounded by the drift.
+    The oracle compares raw columns instead of hashes — equality of
+    the length-prefixed serialization is equality of the fields."""
+    o = Catalog(spark, sf_dir).orders
+    left = o.select("o_orderkey", "o_custkey", "o_orderstatus")
+    right = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 89 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    return V.table_diff(
+        left, right, ["o_orderkey"], ["o_custkey", "o_orderstatus"]
+    )
+
+
 # =====================================================================
 # Entry points consumed by __spark_entry__.py
 # =====================================================================

@@ -479,3 +479,91 @@ def test_parse_robots_rules_grouping_semantics(spark):
         for r in W.with_robots_verdict(pages, rules, "host", "path").collect()
     }
     assert verdicts == {"/no/x": False, "/ok/y": True, "/other": True}
+
+
+def test_classifier_margin_paths_agree_and_edge_docs(spark):
+    """Broadcast-join path == zero-shuffle map-literal path, including
+    an empty doc and an all-OOV doc (both must score exactly bias)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "data data query slow"),     # 3+3+3-3 = 6
+            (2, ""),                          # no tokens -> bias
+            (3, "zzz qqq unseen words"),      # all OOV -> bias
+            (4, "dup dup dup"),               # -24
+        ],
+        "doc_id long, text string",
+    )
+    bias = 5
+    joined = {
+        r.doc_id: (r.margin, r.keep)
+        for r in T.classifier_margin(
+            docs, "doc_id", "text", bias=bias
+        ).collect()
+    }
+    inline = {
+        r.doc_id: r.m
+        for r in docs.select(
+            "doc_id",
+            T.classifier_margin_inline("text", bias=bias).alias("m"),
+        ).collect()
+    }
+    assert joined == {
+        1: (11, True),
+        2: (5, True),
+        3: (5, True),
+        4: (-19, False),
+    }
+    assert {k: v[0] for k, v in joined.items()} == inline
+
+
+def test_classifier_margin_counts_multiplicity(spark):
+    """Each occurrence contributes its weight (bag-of-words, not
+    set-of-words)."""
+    docs = spark.createDataFrame(
+        [(1, "data"), (2, "data data data")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.margin
+        for r in T.classifier_margin(docs, "doc_id", "text").collect()
+    }
+    assert out == {1: 3, 2: 9}
+
+
+def test_table_diff_statuses_and_null_sensitivity(spark):
+    from mongodb_etl_migration_spark.operators import validation as V
+
+    left = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, "b", None),   # right has 'b', 20 -> changed
+            (3, "c", 30),     # absent on right -> removed
+            (5, None, 50),    # right has 'e', 50 -> changed (NULL vs value)
+            (6, "f", 60),     # identical -> dropped
+        ],
+        "k long, s string, v long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, "a", 10),     # identical -> dropped
+            (2, "b", 20),
+            (4, "d", 40),     # absent on left -> added
+            (5, "e", 50),
+            (6, "f", 60),
+        ],
+        "k long, s string, v long",
+    )
+    out = {
+        r.k: r.status
+        for r in V.table_diff(left, right, ["k"], ["s", "v"]).collect()
+    }
+    assert out == {2: "changed", 3: "removed", 4: "added", 5: "changed"}
+
+
+def test_table_diff_composite_key_and_empty_drift(spark):
+    from mongodb_etl_migration_spark.operators import validation as V
+
+    df = spark.createDataFrame(
+        [(1, "x", "p"), (1, "y", "q"), (2, "x", "r")],
+        "a long, b string, val string",
+    )
+    assert V.table_diff(df, df, ["a", "b"], ["val"]).count() == 0
