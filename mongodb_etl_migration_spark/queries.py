@@ -6458,6 +6458,130 @@ def t_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.duplicated_spans(src, "doc_id", "text2", k=8, min_count=2)
 
 
+@query(
+    "a20_bilateral_trade",
+    f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum({_REVENUE_SQL.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def a20_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations, both
+    directions, by ship year. Plan: the two nation-filtered dimension
+    chains (supplier⋈nation₁, customer⋈nation₂ — each pre-pruned to
+    one nation pair) BROADCAST against the date-filtered lineitem
+    scan; the only exchanges are lineitem⋈orders (the sole fact-fact
+    join) and the final 4-group aggregation, whose partials collapse
+    map-side. The disjunctive nation-pair predicate is applied after
+    both dimension joins, exactly as Catalyst plans Q7."""
+    c = Catalog(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    pair = ["NATION_1", "NATION_2"]
+    supp = (
+        c.supplier.select("s_suppkey", "s_nationkey")
+        .join(
+            c.nation.filter(F.col("n_name").isin(pair)).select(
+                "n_nationkey", F.col("n_name").alias("supp_nation")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        c.customer.select("c_custkey", "c_nationkey")
+        .join(
+            c.nation.filter(F.col("n_name").isin(pair)).select(
+                F.col("n_nationkey").alias("n2_key"),
+                F.col("n_name").alias("cust_nation"),
+            ),
+            F.col("c_nationkey") == F.col("n2_key"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = c.lineitem.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c.orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "a21_returned_items",
+    f"""
+    SELECT c.c_custkey, n.n_name,
+           CAST(sum({_REVENUE_SQL.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def a21_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter. Returnflag + quarter predicates push into the two
+    fact scans; customer and nation broadcast; the per-customer sum is
+    map-side partial; the global top-20 compiles to
+    TakeOrderedAndProject (per-partition heads, never a full sort).
+    Revenue sums exactly in decimal before the final double cast, so
+    the ORDER BY key is bit-identical across engines; c_custkey breaks
+    ties deterministically."""
+    c = Catalog(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    li = c.lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = c.orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    ).select("o_orderkey", "o_custkey")
+    cust = c.customer.select("c_custkey", "c_nationkey").join(
+        F.broadcast(c.nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "n_name")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 _CLS_W_SQL = ", ".join(
     f"('{t}', {w})" for t, w in sorted(T.QUALITY_CLASSIFIER_WEIGHTS.items())
 )
