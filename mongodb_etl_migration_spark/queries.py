@@ -6618,6 +6618,54 @@ def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.classifier_margin(d, "doc_id", "text")
 
 
+def _bpe_sql_encode(var: str) -> str:
+    """DuckDB mirror of text.bpe_encoded_word: the same merge table
+    compiled to the same nested-replace chain (rank order, exhaustive
+    per rank via fixed passes)."""
+    e = f"concat(' ', regexp_replace({var}, '(.)', '\\1 ', 'g'))"
+    for a, b in T.BPE_MERGES:
+        for _ in range(T._BPE_PASSES):
+            e = f"replace({e}, ' {a} {b} ', ' {a}{b} ')"
+    return e
+
+
+@query(
+    "t_bpe_tokens",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(coalesce(list_sum(list_transform(
+                 list_transform(w, x -> {_bpe_sql_encode("x")}),
+                 s -> length(s) - length(replace(s, ' ', '')) - 1)),
+               0) AS BIGINT) AS bpe_tokens
+    FROM toks
+    """,
+)
+def t_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL byte-pair-encoding token counts (text.bpe_token_count) —
+    the budgeting number every pre-training pipeline reports, from an
+    actual merge table rather than the regex proxy. The merge table
+    compiles to a pure Column replace-chain (rank-order application is
+    provably equivalent to the greedy lowest-rank loop — a new pair
+    always contains the just-created symbol, whose merges rank later),
+    so the count is zero-shuffle whole-stage codegen; the ~50k-merge
+    general path is the Arrow-batched bpe_encode_batch pandas UDF,
+    property-tested equal. The oracle runs the IDENTICAL chain in
+    DuckDB."""
+    d = Catalog(spark, sf_dir).documents
+    toks = T.tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        T.bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
 @query(
     "v4_table_diff",
     """

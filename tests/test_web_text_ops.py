@@ -567,3 +567,80 @@ def test_table_diff_composite_key_and_empty_drift(spark):
         "a long, b string, val string",
     )
     assert V.table_diff(df, df, ["a", "b"], ["val"]).count() == 0
+
+
+def test_bpe_column_path_matches_reference(spark):
+    """The compiled replace-chain (zero-shuffle Column path) counts
+    exactly what the list-based greedy reference produces — including
+    the delimiter-consumption cases that need extra flat passes."""
+    words = [
+        "table", "query", "scan", "join", "data", "database",
+        "erer", "ererer", "ererererer", "tata", "tatata",
+        "blbl", "dadada", "tabletable", "queryquery",
+        "x", "", "zzz", "scantablejoinquery", "aaaa",
+    ]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", T.bpe_token_count("text").alias("n")
+        ).collect()
+    }
+    expected = {
+        i: len(T.bpe_apply_reference(w)) if w else 0
+        for i, w in enumerate(words)
+    }
+    assert got == expected
+
+
+def test_bpe_column_path_matches_reference_property(spark):
+    """Randomized words over the merge alphabet, in one batch."""
+    import random
+
+    rng = random.Random(20260814)
+    alpha = "tablequryjoinscd"
+    words = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1, 14)))
+        for _ in range(200)
+    ]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", T.bpe_token_count("text").alias("n")
+        ).collect()
+    }
+    expected = {i: len(T.bpe_apply_reference(w)) for i, w in enumerate(words)}
+    assert got == expected
+
+
+def test_bpe_batch_udf_matches_column_path(spark):
+    """General pandas-UDF path == compiled Column path on multi-word
+    documents (counts and actual encoded symbols)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "table query join"),
+            (2, "database scans erer"),
+            (3, ""),
+            (4, "DATA Table QUERY"),  # case folding
+        ],
+        "doc_id long, text string",
+    )
+    col = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", T.bpe_token_count("text").alias("n")
+        ).collect()
+    }
+    udf = {
+        r.doc_id: (r.bpe_tokens, r.encoded)
+        for r in T.bpe_encode_batch(docs, "doc_id", "text").collect()
+    }
+    assert {k: v[0] for k, v in udf.items()} == col
+    assert udf[1][1] == "table query join"
+    assert udf[2][1] == "data b a s e scan s er er"
+    assert udf[4][1] == "data table query"
