@@ -121,3 +121,51 @@ def stratified_take(
         .filter(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    budget: int,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-scaled corpus mixing (α = 0.5): per-group sampling
+    probability ∝ n_g^α — the multilingual/multi-domain rebalancing
+    step (XLM-R, mT5, DoReMi-style static mixtures) that upsamples
+    small domains relative to their share while keeping big domains
+    dominant in absolute terms. ``budget`` is the target TOTAL kept
+    rows; group g keeps ≈ budget · √n_g / Σ√n (capped at all of g).
+
+    Every quantity is INTEGER-exact so the gate is engine-portable:
+    √n via isqrt(n·10⁴) (floor(sqrt(double)) is provably exact here —
+    the 0.5-ulp error of a correctly-rounded sqrt is orders below the
+    1/(2m) distance to the next integer for n·10⁴ < 2^52), the
+    normalizer is an integer SUM (order-free, unlike a float Σ), and
+    the per-group cut is one floor division in arbitrary precision:
+    cut_g = min(2^60, 2^60 · budget · √n_g ÷ (Σ√n · n_g)).
+
+    Plan shape: one tiny count aggregate collected to the driver
+    (O(#groups) — the k-means-centroids discipline), then the same
+    zero-shuffle CASE hash-gate as weighted_mix. Rerun-stable,
+    layout-independent, composes with other salted gates."""
+    import math
+
+    counts = {
+        row[0]: row[1]
+        for row in df.groupBy(group_col).agg(F.count("*")).collect()
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    sq = {g: math.isqrt(n * 10_000) for g, n in counts.items()}
+    total = sum(sq.values())
+    cuts = {
+        g: min(_SPACE, _SPACE * budget * sq[g] // (total * counts[g]))
+        for g in counts
+    }
+    c = F.col(group_col).cast("string")
+    gate = None
+    for g, cut_g in sorted(cuts.items()):
+        branch = (c == str(g), F.lit(cut_g))
+        gate = F.when(*branch) if gate is None else gate.when(*branch)
+    return df.filter(hash_key(key, salt) < gate.otherwise(F.lit(0)))

@@ -4312,6 +4312,59 @@ def _sampling_queries() -> None:
             "doc_id", "source"
         )
 
+    temp_gate = _HASH60.format(salt="temp", key="doc_id")
+    _GRP_SQL = (
+        "CASE WHEN doc_id % 10 < 6 THEN 'web' "
+        "WHEN doc_id % 10 < 9 THEN 'books' ELSE 'wiki' END"
+    )
+
+    @query(
+        "t_temperature_mix",
+        f"""
+        WITH d AS (
+          SELECT doc_id, {_GRP_SQL} AS grp FROM documents
+        ), c AS (
+          SELECT grp, CAST(count(*) AS HUGEINT) AS n FROM d GROUP BY grp
+        ), s AS (
+          SELECT grp, n,
+                 CAST(floor(sqrt(CAST(n AS DOUBLE) * 10000)) AS HUGEINT)
+                   AS sq
+          FROM c
+        ), t AS (SELECT sum(sq) AS tot FROM s),
+        thr AS (
+          SELECT grp, n,
+                 least(CAST(1152921504606846976 AS HUGEINT),
+                       (CAST(1152921504606846976 AS HUGEINT) * 120 * sq)
+                         // (t.tot * n)) AS cut
+          FROM s, t
+        )
+        SELECT d.doc_id, d.grp
+        FROM d JOIN thr USING (grp)
+        WHERE {temp_gate} < thr.cut
+        """,
+    )
+    def t_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Temperature-scaled (α=0.5) domain rebalancing
+        (sampling.temperature_mix): keep ≈ budget·√n_g/Σ√n per domain
+        — XLM-R/mT5-style upsampling of small domains. The fixture
+        derives a 60/30/10 skewed domain split from doc_id; budget =
+        120 docs at sf0.01 (scales with the corpus). All arithmetic is
+        integer-exact (isqrt scaling, integer-sum normalizer, one
+        arbitrary-precision floor division), so the Spark driver's
+        Python ints and the oracle's HUGEINTs produce the same 60-bit
+        cut, row for row. Zero-shuffle CASE hash-gate after one
+        O(#domains) count collect."""
+        d = Catalog(spark, sf_dir).documents.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 < 6, F.lit("web"))
+            .when(F.col("doc_id") % 10 < 9, F.lit("books"))
+            .otherwise(F.lit("wiki"))
+            .alias("grp"),
+        )
+        return SM.temperature_mix(d, "doc_id", "grp", budget=120).select(
+            "doc_id", "grp"
+        )
+
 
 _sampling_queries()
 

@@ -59,3 +59,41 @@ def test_stratified_quota_and_maplimit(spark, sf_dir):
     assert len(per) == d.select("lang").distinct().count()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_temperature_mix_upsamples_small_domains(spark):
+    from mongodb_etl_migration_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big" if i % 10 < 9 else "small") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    kept = temperature_mix(df, "doc_id", "grp", budget=400)
+    by_grp = {
+        r.grp: r.cnt
+        for r in kept.groupBy("grp").agg(F.count("*").alias("cnt")).collect()
+    }
+    n_big, n_small = 1800, 200
+    # α=0.5 target shares: √1800 : √200 ≈ 3:1 of the 400 budget
+    assert 250 < by_grp["big"] < 350
+    assert 70 < by_grp["small"] < 130
+    # small domain keeps a ~3x higher RATE than its corpus share
+    assert by_grp["small"] / n_small > 2.5 * by_grp["big"] / n_big
+    # deterministic: rerun keeps the identical row set
+    again = temperature_mix(df, "doc_id", "grp", budget=400)
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_temperature_mix_caps_at_full_group_and_empty(spark):
+    from mongodb_etl_migration_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [(i, "tiny" if i < 5 else "rest") for i in range(1000)],
+        "doc_id long, grp string",
+    )
+    # budget so large the tiny group's rate caps at 1.0 -> all 5 kept
+    kept = temperature_mix(df, "doc_id", "grp", budget=900)
+    tiny = kept.filter(F.col("grp") == "tiny").count()
+    assert tiny == 5
+    empty = spark.createDataFrame([], "doc_id long, grp string")
+    assert temperature_mix(empty, "doc_id", "grp", budget=10).count() == 0
