@@ -6,8 +6,9 @@ row stays small); typed metadata travels in a sibling struct; decode /
 feature-extraction runs as Arrow-batched ``mapInPandas`` so each task
 processes whole record batches without JVM↔Python per-row cost.
 
-Codec status: BMP (uncompressed 24-bit), PNG (non-interlaced 8-bit
-gray/RGB/RGBA, full scanline unfiltering), QOI (full 1.0 spec), GIF
+Codec status: BMP (uncompressed 24-bit), PNG (8-bit gray/RGB/RGBA,
+full scanline unfiltering, sequential AND Adam7-interlaced per-pass
+reconstruction), QOI (full 1.0 spec), GIF
 (89a subset incl. animated multi-frame, full variable-width LZW),
 JPEG (baseline sequential SOF0 AND progressive SOF2 — Annex-K tables,
 Huffman + RLE entropy coding, spectral selection + successive
@@ -152,52 +153,14 @@ def encode_bmp(px: np.ndarray) -> bytes:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def parse_png(raw: bytes) -> tuple[int, int, np.ndarray]:
-    """REAL decoder for non-interlaced 8-bit PNG (grayscale, RGB or
-    RGBA) — stdlib zlib + struct only, written from the PNG spec
-    (RFC 2083): chunk walk, IDAT inflate, and full scanline
-    unfiltering (None/Sub/Up/Average/Paeth). Returns (width, height,
-    HxWx3 uint8 RGB; gray replicated, alpha dropped). Raises
-    ValueError on any other PNG flavor (caller falls back)."""
-    if len(raw) < 8 or raw[:8] != _PNG_SIG:
-        raise ValueError("not a PNG")
-    pos, w = 8, None
-    idat = bytearray()
-    while pos + 8 <= len(raw):
-        length, ctype = struct.unpack_from(">I4s", raw, pos)
-        pos += 8
-        if pos + length + 4 > len(raw):
-            raise ValueError("truncated PNG chunk")
-        body = raw[pos : pos + length]
-        pos += length + 4  # skip CRC (integrity is the transport's job)
-        if ctype == b"IHDR":
-            w, h, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-                raise ValueError("unsupported PNG variant")
-            channels = {0: 1, 2: 3, 6: 4}.get(color)
-            if channels is None:
-                raise ValueError("unsupported PNG color type")
-            if w <= 0 or h <= 0:
-                raise ValueError("degenerate PNG dimensions")
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-    if w is None or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    import zlib
-
-    try:
-        inflated = zlib.decompress(bytes(idat))
-    except zlib.error as e:
-        # honest-NULL contract: a corrupt deflate stream is a
-        # ValueError like every other malformed image, so codec
-        # fallbacks (decode_images, image_dhash) catch it instead of
-        # the task dying on a raw zlib.error
-        raise ValueError(f"corrupt PNG IDAT: {e}") from e
-    data = np.frombuffer(inflated, dtype=np.uint8)
+def _unfilter_scanlines(
+    data: np.ndarray, w: int, h: int, channels: int
+) -> np.ndarray:
+    """Reverse PNG scanline filtering (None/Sub/Up/Average/Paeth) over
+    a contiguous run of ``h`` scanlines of ``w`` pixels; returns the
+    (h, w*channels) reconstructed bytes. Shared by the sequential and
+    each Adam7 sub-image (every pass filters independently with its
+    own 'previous row' state — PNG spec 8.2)."""
     stride = w * channels
     if len(data) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")
@@ -233,7 +196,92 @@ def parse_png(raw: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError(f"bad PNG filter {f}")
         prev = (rec & 0xFF).astype(np.int16)
         out[y] = prev
-    px = out.reshape(h, w, channels)
+    return out
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) — PNG spec 8.2.
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def parse_png(raw: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decoder for 8-bit PNG (grayscale, RGB or RGBA; sequential
+    AND Adam7-interlaced) — stdlib zlib + struct only, written from
+    the PNG spec (RFC 2083): chunk walk, IDAT inflate, full scanline
+    unfiltering (None/Sub/Up/Average/Paeth), and per-pass sub-image
+    reconstruction for interlace method 1 (each pass unfilters
+    independently, empty passes contribute no scanlines — spec 8.2).
+    Returns (width, height, HxWx3 uint8 RGB; gray replicated, alpha
+    dropped). Raises ValueError on any other PNG flavor (caller falls
+    back)."""
+    if len(raw) < 8 or raw[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(raw):
+        length, ctype = struct.unpack_from(">I4s", raw, pos)
+        pos += 8
+        if pos + length + 4 > len(raw):
+            raise ValueError("truncated PNG chunk")
+        body = raw[pos : pos + length]
+        pos += length + 4  # skip CRC (integrity is the transport's job)
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
+                raise ValueError("unsupported PNG variant")
+            channels = {0: 1, 2: 3, 6: 4}.get(color)
+            if channels is None:
+                raise ValueError("unsupported PNG color type")
+            if w <= 0 or h <= 0:
+                raise ValueError("degenerate PNG dimensions")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    import zlib
+
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # honest-NULL contract: a corrupt deflate stream is a
+        # ValueError like every other malformed image, so codec
+        # fallbacks (decode_images, image_dhash) catch it instead of
+        # the task dying on a raw zlib.error
+        raise ValueError(f"corrupt PNG IDAT: {e}") from e
+    data = np.frombuffer(inflated, dtype=np.uint8)
+    if interlace == 0:
+        px = _unfilter_scanlines(data, w, h, channels).reshape(
+            h, w, channels
+        )
+    else:
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass: no scanlines at all (spec 8.2)
+            nbytes = ph * (pw * channels + 1)
+            if pos + nbytes > len(data):
+                raise ValueError("truncated Adam7 pass")
+            sub = _unfilter_scanlines(
+                data[pos : pos + nbytes], pw, ph, channels
+            )
+            pos += nbytes
+            px[y0::dy, x0::dx, :] = sub.reshape(ph, pw, channels)
+        if pos != len(data):
+            raise ValueError("PNG data length mismatch")
     if channels == 1:
         px = np.repeat(px, 3, axis=2)
     elif channels == 4:
@@ -241,12 +289,40 @@ def parse_png(raw: bytes) -> tuple[int, int, np.ndarray]:
     return int(w), int(h), px.copy()
 
 
-def encode_png(px: np.ndarray) -> bytes:
+def encode_png(px: np.ndarray, interlace: bool = False) -> bytes:
     """Inverse of :func:`parse_png`: HxWx3 uint8 RGB → 8-bit RGB PNG
-    (filter 0 scanlines, one zlib IDAT)."""
+    (filter 0 scanlines, one zlib IDAT). ``interlace=True`` writes
+    Adam7: the seven sub-images' scanlines in pass order, empty
+    passes omitted — the wire layout parse_png reconstructs."""
     import zlib
 
     h, w = px.shape[:2]
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx, :]
+            ph, pw = sub.shape[:2]
+            if ph <= 0 or pw <= 0:
+                continue
+            scanp = np.zeros((ph, pw * 3 + 1), dtype=np.uint8)
+            scanp[:, 1:] = sub.reshape(ph, pw * 3)
+            parts.append(scanp.tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+
+        def chunk(ctype: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + ctype
+                + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        return (
+            _PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(parts)))
+            + chunk(b"IEND", b"")
+        )
     scan = np.zeros((h, w * 3 + 1), dtype=np.uint8)
     scan[:, 1:] = px.reshape(h, w * 3)
 

@@ -2394,7 +2394,7 @@ def _mm_payload_table(d: DataFrame, make_payload) -> DataFrame:
 
 def _gradient_image_decode(
     spark: SparkSession, sf_dir: str, encode, blue: int = 9,
-    doc_filter: str | None = None,
+    doc_filter: str | None = None, id_aware: bool = False,
 ) -> DataFrame:
     """Shared harness for the real-codec image queries: synthesize the
     analytic gradient (R=x, G=y, B=``blue``; dims derived from doc_id)
@@ -2416,7 +2416,7 @@ def _gradient_image_decode(
         px[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
         px[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None]
         px[:, :, 2] = blue
-        return encode(px)
+        return encode(px, did) if id_aware else encode(px)
 
     mm = _mm_payload_table(d, make_payload)
     return M.decode_images(mm).drop("content_digest")
@@ -2441,10 +2441,17 @@ def m_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     + unfilter parser (multimodal.parse_png via decode_images). The
     oracle predicts dimensions and channel means analytically, so a
     hash match proves real PNG bytes — inflate included — were
-    parsed."""
+    parsed. Odd doc_ids encode ADAM7-INTERLACED (decoded pixels are
+    identical, so one oracle covers both wire layouts): a green row
+    proves the per-pass sub-image reconstruction too."""
     from mongodb_etl_migration_spark.operators.multimodal import encode_png
 
-    return _gradient_image_decode(spark, sf_dir, encode_png)
+    return _gradient_image_decode(
+        spark,
+        sf_dir,
+        lambda px, did: encode_png(px, interlace=bool(did % 2)),
+        id_aware=True,
+    )
 
 
 @query(

@@ -1538,3 +1538,66 @@ def test_audio_features_exact_windows(spark):
         (2, 1): (1, 49, 0),
         (3, 0): (3, 98, 2),   # 1 -> -9 -> 4
     }
+
+
+def test_png_adam7_roundtrip_and_equivalence():
+    """Adam7-interlaced PNGs decode to the SAME pixels as sequential
+    encoding, across sizes that exercise empty passes (w or h < pass
+    offsets) and partial tiles."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for h, w in [(1, 1), (2, 3), (7, 7), (8, 8), (9, 13), (16, 5), (33, 31)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        wi, hi, out_i = M.parse_png(M.encode_png(px, interlace=True))
+        ws, hs, out_s = M.parse_png(M.encode_png(px, interlace=False))
+        assert (wi, hi) == (ws, hs) == (w, h)
+        assert np.array_equal(out_i, px) and np.array_equal(out_s, px)
+
+
+def test_png_adam7_pass_grid_matches_spec():
+    """Pin the pass table to the PNG spec 8.2 8x8 tile (a shared-but-
+    wrong table would still roundtrip, so this asserts the grid
+    itself)."""
+    spec_tile = [
+        "16462646",
+        "77777777",
+        "56565656",
+        "77777777",
+        "36463646",
+        "77777777",
+        "56565656",
+        "77777777",
+    ]
+    got = [[0] * 8 for _ in range(8)]
+    for p, (x0, y0, dx, dy) in enumerate(M._ADAM7, start=1):
+        for y in range(y0, 8, dy):
+            for x in range(x0, 8, dx):
+                assert got[y][x] == 0, "passes must not overlap"
+                got[y][x] = p
+    assert ["".join(map(str, row)) for row in got] == spec_tile
+
+
+def test_png_adam7_truncated_pass_raises():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    px = np.zeros((9, 9, 3), dtype=np.uint8)
+    raw = bytearray(M.encode_png(px, interlace=True))
+    # rebuild with the last 10 bytes of pixel data missing
+    sig_end = 8
+    pos = sig_end
+    out = bytearray(raw[:sig_end])
+    while pos + 8 <= len(raw):
+        length, ctype = struct.unpack_from(">I4s", raw, pos)
+        body = bytes(raw[pos + 8 : pos + 8 + length])
+        pos += 8 + length + 4
+        if ctype == b"IDAT":
+            body = zlib.compress(zlib.decompress(body)[:-10])
+        out += struct.pack(">I", len(body)) + ctype + body
+        out += struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    with pytest.raises(ValueError):
+        M.parse_png(bytes(out))
