@@ -401,3 +401,31 @@ def test_commit_sweeps_crashed_tmp_leftovers(spark, tmp_path):
 
     assert not g.glob(f"{out}/._tmp-*")  # leftover swept
     assert _read(spark, str(out)).count() == 1
+
+
+def test_warc_source_reads_whole_stream_gzip(spark, tmp_path):
+    """A .warc.gz that is ONE gzip stream spanning many records (tar-
+    style whole-file compression, vs Common Crawl's per-record
+    members) must read identically: gzip.open spans both layouts."""
+    import gzip as _gzip
+
+    from mongodb_etl_migration_spark.sources.warc import build_warc
+
+    recs = [
+        {
+            "warc_type": "response",
+            "target_uri": f"https://w.com/{i}",
+            "http": (200, "text/html", f"<p>doc {i}</p>".encode()),
+        }
+        for i in range(5)
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "whole.warc.gz").write_bytes(
+        _gzip.compress(build_warc(recs), mtime=0)
+    )
+    out = _read(spark, str(src)).orderBy("record_idx").collect()
+    assert [r.target_uri for r in out] == [
+        f"https://w.com/{i}" for i in range(5)
+    ]
+    assert all(r.http_status == 200 for r in out)
