@@ -942,39 +942,41 @@ def classifier_margin(
     Scale shape (the general path — works for ~1M-term vocabularies):
     tokens explode, inner-join the BROADCAST weight relation (out-of-
     vocabulary tokens drop in the join, contributing 0), one map-side-
-    combinable sum per document, then a left join back onto the id
-    spine so zero-hit documents still score ``bias``. The only
-    exchange is the per-document sum; the weight table never shuffles.
-    For small vocabularies `classifier_margin_inline` folds the same
-    margin in a single zero-shuffle expression — the two agree
-    bit-for-bit (tested).
+    combinable sum per document. A weight-0 SENTINEL term (empty
+    string — the tokenizer can never produce it) is prepended to every
+    document's token array and seeded into the weight table, so every
+    document survives the inner join and zero-hit documents score
+    ``bias`` WITHOUT a join back onto the id spine — that spine join
+    would be a second full-corpus exchange (SortMergeJoin at scale),
+    vs. the sentinel's one extra row per document through the
+    existing aggregate. The per-document sum is the plan's ONLY
+    exchange; the weight table never shuffles. For small vocabularies
+    `classifier_margin_inline` folds the same margin in a single
+    zero-shuffle expression — the two agree bit-for-bit (tested).
 
     Output: (id_col, margin bigint, keep boolean).
     """
     weights = QUALITY_CLASSIFIER_WEIGHTS if weights is None else weights
     spark = df.sparkSession
     w = spark.createDataFrame(
-        sorted(weights.items()), "term string, weight long"
+        sorted(weights.items()) + [("", 0)], "term string, weight long"
     )
     tok = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+        F.col(id_col),
+        F.explode(
+            F.concat(F.array(F.lit("")), tokens(text_col))
+        ).alias("term"),
     )
     summed = (
         tok.join(F.broadcast(w), "term")
         .groupBy(id_col)
         .agg(F.sum("weight").alias("__sw"))
     )
-    margin = (F.coalesce(F.col("__sw"), F.lit(0)) + F.lit(bias)).cast(
-        "bigint"
-    )
-    return (
-        df.select(id_col)
-        .join(summed, id_col, "left")
-        .select(
-            id_col,
-            margin.alias("margin"),
-            (margin > 0).alias("keep"),
-        )
+    margin = (F.col("__sw") + F.lit(bias)).cast("bigint")
+    return summed.select(
+        id_col,
+        margin.alias("margin"),
+        (margin > 0).alias("keep"),
     )
 
 

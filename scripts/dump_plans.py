@@ -280,6 +280,46 @@ NOTES = {
         "WARC → extract → curate pipeline's only shuffle is whatever "
         "the downstream curation operators need."
     ),
+    "t_quality_classifier": (
+        "Model-based curation gate: the integer weight relation is a "
+        "BroadcastHashJoin against the exploded tokens (OOV drops in "
+        "the join; a weight-0 sentinel keeps zero-hit docs alive, so "
+        "there is NO join back onto the id spine); the per-doc "
+        "margin sum is the plan's only Exchange, with partial "
+        "aggregation map-side."
+    ),
+    "v4_table_diff": (
+        "Row-level migration diff: both sides project to (key, md5 "
+        "canonical hash) before the full-outer join, so the sole "
+        "exchange carries two hash columns, never the table width; "
+        "status CASE + unchanged-row filter sit above the join, "
+        "bounding output by the drift."
+    ),
+    "a20_bilateral_trade": (
+        "Q7 shape: nation-pruned supplier and customer chains "
+        "BROADCAST against the shipdate-filtered lineitem scan "
+        "(PushedFilters on the date range); lineitem⋈orders is the "
+        "only fact-fact join; 0 SortMergeJoin at this SF, final "
+        "4-group aggregate collapses map-side."
+    ),
+    "a21_returned_items": (
+        "Q10 shape: returnflag + order-quarter predicates pushed "
+        "into both fact scans; customer⋈nation broadcast; top-20 is "
+        "TakeOrderedAndProject over the decimal-exact revenue key — "
+        "per-partition heaps, no global sort."
+    ),
+    "t_bpe_tokens": (
+        "REAL BPE token counts as pure expression work: the merge "
+        "table compiles to a nested-replace chain inside transform/"
+        "aggregate lambdas over the token array — one Project over "
+        "the parquet scan, zero Exchange, zero Python."
+    ),
+    "t_temperature_mix": (
+        "Temperature mixing: after the O(#domains) count collect, "
+        "the plan is ONE narrow Filter (60-bit md5 hash gate CASE'd "
+        "per domain) over the scan — no Exchange; the kept-row set "
+        "is layout- and rerun-independent."
+    ),
 }
 
 
