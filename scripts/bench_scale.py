@@ -181,6 +181,22 @@ def main() -> None:
         ds = timed(ui, spans)
         ds["spans"] = spans.count()
 
+        # Linear classifier at scale: the vocabulary grows WITH the
+        # corpus (per-replica suffixed weight terms — the real-world
+        # shape where a 10x corpus ships a bigger trained vocab); the
+        # weight relation stays broadcast, and the plan's one shuffle
+        # (per-doc margin sum) is linear in matched tokens + one
+        # sentinel row per doc.
+        vocab = {
+            f"{t}r{r}": wt
+            for t, wt in T.QUALITY_CLASSIFIER_WEIGHTS.items()
+            for r in range(cfg["replicas"])
+        }
+        cls = T.classifier_margin(docs, "doc_id", "text", weights=vocab)
+        cm = timed(ui, cls)
+        cm["vocab_terms"] = len(vocab)
+        cm["kept"] = cls.filter(F.col("keep")).count()
+
         results[name] = {
             "docs": n_docs,
             "dup_pct": cfg["dup_pct"],
@@ -194,6 +210,7 @@ def main() -> None:
             "t_inverted_index": ii,
             "t_rare_bigrams": rbt,
             "t_dup_spans": ds,
+            "t_quality_classifier": cm,
         }
         print(f"{name}: {json.dumps(results[name])}", file=sys.stderr)
 
@@ -248,6 +265,13 @@ def main() -> None:
         ),
         "dup_spans_growth_at_4x_dup_rate": round(
             xd["t_dup_spans"]["spans"] / max(1, x["t_dup_spans"]["spans"]),
+            2,
+        ),
+        # 10x corpus AND 10x vocabulary: margin-sum shuffle ∝ matched
+        # tokens (linear), weight relation still broadcast
+        "classifier_shuffle_growth_at_10x_corpus": round(
+            x["t_quality_classifier"]["shuffle_bytes"]
+            / max(1, b["t_quality_classifier"]["shuffle_bytes"]),
             2,
         ),
     }
