@@ -216,13 +216,24 @@ def test_warc_stream_curation_matches_batch(spark, tmp_path):
     (src / "c1.warc").write_bytes(W.build_warc(_mixed_records(5, "a")))
     (src / "c2.warc.gz").write_bytes(W.build_warc_gz(_mixed_records(7, "b")))
 
+    from mongodb_etl_migration_spark.operators import text as T
+
     def curate(df):
+        # streaming-safe curation: extraction + the model-based gate
+        # and real-BPE budget counter are all pure Column expressions,
+        # so the SAME code path serves both modes
+        txt = WB.html_to_text(F.col("body"))
         return df.filter(
             (F.col("warc_type") == "response") & (F.col("http_status") == 200)
-        ).select("target_uri", WB.html_to_text(F.col("body")).alias("text"))
+        ).select(
+            "target_uri",
+            txt.alias("text"),
+            T.classifier_margin_inline(txt).alias("margin"),
+            T.bpe_token_count(txt).alias("bpe_tokens"),
+        )
 
     expected = sorted(
-        (r.target_uri, r.text)
+        (r.target_uri, r.text, r.margin, r.bpe_tokens)
         for r in curate(
             spark.read.format("warc").load(str(src))
         ).collect()
@@ -246,7 +257,7 @@ def test_warc_stream_curation_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(60)
     got = sorted(
-        (r.target_uri, r.text)
+        (r.target_uri, r.text, r.margin, r.bpe_tokens)
         for r in spark.read.parquet(str(out)).collect()
     )
     assert got == expected
