@@ -612,3 +612,59 @@ def int8_gram(
         ]
     )
     return one.select(F.explode(structs).alias("e")).select("e.*")
+
+
+def pca_power_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 16,
+    rounds: int = 3,
+    scale: int = 1000,
+):
+    """Top-principal-component projection via INTEGER fixed-point
+    power iteration on the int8 Gram matrix — the PCA step of
+    embedding pipelines (whitening prep, 1-D bucketing for dedup /
+    range partitioning, coarse ANN ordering), in the engine's
+    exactly-verifiable discipline (the k-means/PageRank treatment
+    applied to an eigenproblem).
+
+    Method: G = int8_gram (order-independent long sums, one pass);
+    ``rounds`` power iterations on the driver over the d×d integer
+    matrix — u = G·v exactly, then renormalize v ← sign(u)·(|u|·scale
+    ÷ max|u|) with NON-NEGATIVE floor division only (Python floors
+    and DuckDB truncates on negatives; splitting the sign makes both
+    engines compute the identical vector). The iterate count is part
+    of the operator contract (fixed-point, not convergence-tested) —
+    same as pagerank_integer's unrolled rounds. Finally each vector's
+    int8 quantization dots the iterate IN-PLAN: one zip_with/
+    aggregate expression, zero shuffle, no UDF.
+
+    Driver state is d² longs + the d-vector (the centroid
+    discipline); the corpus passes: one for G, one for projections.
+    Output: (id_col, proj bigint).
+    """
+    rows = int8_gram(df, id_col, vec_col, dims).collect()
+    G = [[0] * dims for _ in range(dims)]
+    for r in rows:
+        G[r["i"] - 1][r["j"] - 1] = r["sxy"]
+        G[r["j"] - 1][r["i"] - 1] = r["sxy"]
+    v = [scale] * dims
+    for _ in range(rounds):
+        u = [sum(G[i][j] * v[j] for j in range(dims)) for i in range(dims)]
+        m = max(abs(x) for x in u)
+        if m == 0:
+            break  # zero matrix: keep the uniform direction
+        v = [
+            -((-x * scale) // m) if x < 0 else (x * scale) // m for x in u
+        ]
+    q = int8_quantize(df, id_col, vec_col).select(
+        F.col(id_col), F.slice("q", 1, dims).alias("_q")
+    )
+    vlit = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    proj = F.aggregate(
+        F.zip_with(F.col("_q"), vlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return q.select(F.col(id_col), proj.alias("proj"))

@@ -5131,6 +5131,74 @@ def sim_int8_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.int8_gram(e, "vec_id", "embedding", dims=16)
 
 
+def _pca_power_sql(dims: int = 16, rounds: int = 3, scale: int = 1000) -> str:
+    """Unrolled-SQL oracle for sim_pca_projection: the same int8 Gram
+    build as sim_int8_gram (full symmetric matrix), then each power
+    iteration as one matrix-vector CTE pair (u = G·v via join+sum;
+    renormalize with sign-split NON-NEGATIVE floor division — DuckDB
+    ``//`` truncates on negatives while Python floors, so both
+    engines do |u|·scale // m and reapply the sign). AS MATERIALIZED
+    on every CTE: DuckDB inlines multiply-referenced CTEs and an
+    iterative chain would expand combinatorially (the PageRank-oracle
+    lesson)."""
+    head = f"""
+    WITH qq AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                                         ELSE CAST(floor(x / scale + 0.5) AS BIGINT)
+                                    END)[:{dims}] AS q
+      FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+                 AS scale
+        FROM embeddings
+      )
+    ), ex AS MATERIALIZED (
+      SELECT vec_id, unnest(q) AS x,
+             unnest(range(1, len(q) + 1)) AS i
+      FROM qq
+    ), g AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS gv
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
+    ), v0 AS MATERIALIZED (
+      SELECT unnest(range(1, {dims + 1})) AS i,
+             CAST({scale} AS BIGINT) AS v
+    )"""
+    body = ""
+    for r in range(1, rounds + 1):
+        body += f""", u{r} AS MATERIALIZED (
+      SELECT g.i AS i, CAST(sum(g.gv * v{r - 1}.v) AS BIGINT) AS u
+      FROM g JOIN v{r - 1} ON g.j = v{r - 1}.i
+      GROUP BY g.i
+    ), v{r} AS MATERIALIZED (
+      SELECT i, CASE WHEN u < 0 THEN -((-u * {scale}) // m.m)
+                     ELSE (u * {scale}) // m.m END AS v
+      FROM u{r}, (SELECT max(abs(u)) AS m FROM u{r}) m
+    )"""
+    tail = f"""
+    SELECT e.vec_id, CAST(sum(e.x * vf.v) AS BIGINT) AS proj
+    FROM ex e JOIN v{rounds} vf ON e.i = vf.i
+    GROUP BY e.vec_id
+    """
+    return head + body + tail
+
+
+@query("sim_pca_projection", _pca_power_sql())
+def sim_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PCA: project every embedding onto the top
+    principal direction obtained by 3 fixed-point power iterations on
+    the int8 Gram matrix (similarity.pca_power_projection) — the
+    whitening/1-D-bucketing step of embedding pipelines, in the
+    k-means/PageRank exactly-verifiable discipline. Driver holds d²
+    longs; the projection itself is a zero-shuffle zip_with/aggregate
+    over each vector's int8 quantization. The oracle unrolls the same
+    iterations relationally (sign-split floor division pins the
+    Python//DuckDB negative-division divergence)."""
+    e = Catalog(spark, sf_dir).embeddings
+    return SIM.pca_power_projection(e, "vec_id", "embedding")
+
+
 @query(
     "v3_table_checksum",
     """

@@ -1601,3 +1601,45 @@ def test_png_adam7_truncated_pass_raises():
         out += struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
     with pytest.raises(ValueError):
         M.parse_png(bytes(out))
+
+
+def test_pca_power_projection_recovers_dominant_axis(spark):
+    """Points stretched along one axis project with that axis
+    dominating: the 3-round integer power iterate lands near the true
+    top eigenvector, so projections order by the dominant coordinate."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # variance 100x larger along dim 0 than elsewhere (16 dims)
+    pts = rng.normal(0, 1, (300, 16))
+    pts[:, 0] *= 10.0
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SIM.pca_power_projection(df, "vec_id", "embedding")
+    got = {r.vec_id: r.proj for r in out.collect()}
+    # ground truth on the QUANTIZED data (int8 per-vector scaling is
+    # part of the operator's geometry): numpy top eigenvector of
+    # Q^T Q, then corr(power-iterate projection, exact projection)
+    f32 = pts.astype(np.float32).astype(np.float64)
+    scales = np.abs(f32).max(axis=1) / 127.0
+    q = np.floor(f32 / scales[:, None] + 0.5)
+    gram = q.T @ q
+    w, vecs = np.linalg.eigh(gram)
+    e1 = vecs[:, np.argmax(w)]
+    exact = q @ e1
+    ys = np.array([got[i] for i in range(300)], dtype=float)
+    rho = np.corrcoef(exact, ys)[0, 1]
+    assert abs(rho) > 0.99
+    # deterministic across reruns
+    again = {r.vec_id: r.proj for r in
+             SIM.pca_power_projection(df, "vec_id", "embedding").collect()}
+    assert got == again
+
+
+def test_pca_power_projection_zero_matrix(spark):
+    df = spark.createDataFrame(
+        [(i, [0.0] * 16) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    out = SIM.pca_power_projection(df, "vec_id", "embedding")
+    assert {r.proj for r in out.collect()} == {0}
