@@ -1152,3 +1152,39 @@ def bpe_encode_batch(df, id_col: str, text_col: str, merges: list[tuple[str, str
         .alias("bpe_tokens"),
         "encoded",
     )
+
+
+def nfc_normalize(df, id_col: str, text_col: str):
+    """Unicode NFC normalization — the canonical-composition pass
+    real crawl ingest runs before ANY hashing/dedup/tokenization
+    (the same text arrives as composed 'é' from one site and
+    decomposed 'e'+U+0301 from another; unnormalized, exact dedup
+    misses byte-different/canonically-equal copies and every md5
+    fingerprint forks). Spark has no built-in normalizer, so this is
+    an Arrow-batched pandas UDF over Python's unicodedata (the
+    Unicode reference data); one narrow projection, zero shuffle,
+    batch-bounded memory. Output: (id_col, norm_text, changed) —
+    ``changed`` marks rows the pass actually rewrote (the audit
+    column; at 100 TB you want to KNOW how much of the corpus was
+    denormalized).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    out = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_raw"),
+        nfc(F.col(text_col)).alias("norm_text"),
+    )
+    return out.select(
+        id_col,
+        "norm_text",
+        (F.col("_raw") != F.col("norm_text")).alias("changed"),
+    )

@@ -6746,6 +6746,50 @@ def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.classifier_margin(d, "doc_id", "text")
 
 
+@query(
+    "t_unicode_nfc",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' cafe' || chr(769)
+                  WHEN doc_id % 3 = 1 THEN text || ' A' || chr(776) || 'b'
+                  ELSE text END AS t2
+      FROM documents
+    )
+    SELECT doc_id,
+           nfc_normalize(t2) AS norm_text,
+           t2 <> nfc_normalize(t2) AS changed
+    FROM d
+    """,
+)
+def t_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (text.nfc_normalize) — canonical
+    composition before any hashing/dedup/tokenization (byte-different
+    but canonically-equal text otherwise forks every fingerprint).
+    Fixture appends DECOMPOSED sequences (combining acute/diaeresis)
+    to two thirds of the docs; Python's unicodedata (Arrow-batched
+    pandas UDF — Spark has no built-in normalizer) must agree
+    byte-for-byte with DuckDB's native nfc_normalize, which pins the
+    normalization to the shared Unicode data, not an implementation
+    quirk."""
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            # ' cafe' + U+0301 COMBINING ACUTE (decomposed on purpose)
+            F.concat(F.col("text"), F.lit(" cafe\u0301")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            # ' A' + U+0308 COMBINING DIAERESIS + 'b'
+            F.concat(F.col("text"), F.lit(" A\u0308b")),
+        )
+        .otherwise(F.col("text"))
+        .alias("t2"),
+    )
+    return T.nfc_normalize(d, "doc_id", "t2")
+
+
 def _bpe_sql_encode(var: str) -> str:
     """DuckDB mirror of text.bpe_encoded_word: the same merge table
     compiled to the same nested-replace chain (rank order, exhaustive

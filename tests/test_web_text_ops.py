@@ -644,3 +644,28 @@ def test_bpe_batch_udf_matches_column_path(spark):
     assert udf[1][1] == "table query join"
     assert udf[2][1] == "data b a s e scan s er er"
     assert udf[4][1] == "data table query"
+
+
+def test_nfc_normalize_composes_and_flags(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "café"),        # decomposed -> café
+            (2, "café"),          # already composed -> unchanged
+            (3, "Äb plain"),     # decomposed diaeresis
+            (4, "ascii only"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    from mongodb_etl_migration_spark.operators.text import nfc_normalize
+
+    out = {r.doc_id: (r.norm_text, r.changed) for r in
+           nfc_normalize(docs, "doc_id", "text").collect()}
+    assert out[1] == ("caf\xe9", True)
+    assert out[2] == ("caf\xe9", False)
+    assert out[3] == ("\xc4b plain", True)
+    assert out[4] == ("ascii only", False)
+    assert out[5] == (None, None)
+    # the canonical-equality dedup motivation: after NFC the two cafés
+    # fingerprint identically
+    assert out[1][0] == out[2][0]
