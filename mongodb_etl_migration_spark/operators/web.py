@@ -607,3 +607,38 @@ def html_to_text(c: Column | str) -> Column:
     ):
         x = F.replace(x, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(x, "\\s+", " "))
+
+
+def blocklist_filter(
+    df,
+    host_col: str,
+    text_col: str,
+    blocked_domains,
+    banned_words,
+    domain_col: str = "registered_domain",
+):
+    """UT1/FineWeb-style blocklist gate — the crawl-curation step
+    after URL dedup: drop documents whose REGISTERED domain (PSL
+    eTLD+1, so every subdomain of a blocked site is caught) appears
+    on a domain blocklist, or whose text contains any banned word as
+    a whole token.
+
+    Plan shape: the domain blocklist is a broadcast LEFT-ANTI join
+    (UT1's ~4M entries are still MBs — broadcast-sized at any corpus
+    scale); the word gate is ``array_intersect`` against a literal
+    array over the token column — pure codegen, no lambda, no UDF.
+    Zero shuffle end to end: at 100 TB this is a read-and-drop pass.
+    Survivors keep all input columns plus ``domain_col``.
+    """
+    spark = df.sparkSession
+    bl = spark.createDataFrame(
+        [(d,) for d in sorted(set(blocked_domains))],
+        f"{domain_col}: string",
+    )
+    dom = with_registered_domain(df, host_col, domain_col)
+    keep = dom.join(F.broadcast(bl), domain_col, "left_anti")
+    banned = F.array(*[F.lit(w) for w in sorted(set(banned_words))])
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+    )
+    return keep.filter(F.size(F.array_intersect(toks, banned)) == 0)

@@ -6746,6 +6746,51 @@ def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.classifier_margin(d, "doc_id", "text")
 
 
+_BLOCKED_DOMAINS = ["src0.co.uk", "src3.com", "src6.com.au"]
+_BANNED_WORDS = ["dup", "spam"]
+
+
+def _w_blocklist_sql() -> str:
+    blocked = ", ".join(f"'{d}'" for d in _BLOCKED_DOMAINS)
+    banned = ", ".join(f"'{w}'" for w in _BANNED_WORDS)
+    return (
+        _psl_domain_sql()
+        + f"""
+    , r AS (
+      SELECT doc_id,
+        CASE WHEN suf3 IS NOT NULL THEN l4
+             WHEN suf2 IS NOT NULL THEN l3
+             ELSE l2 END AS registered_domain
+      FROM j
+    )
+    SELECT r.doc_id, r.registered_domain
+    FROM r JOIN documents d USING (doc_id)
+    WHERE (r.registered_domain IS NULL
+           OR r.registered_domain NOT IN ({blocked}))
+      AND NOT list_has_any(
+            regexp_extract_all(lower(d.text), '[a-z0-9]+'),
+            [{banned}])
+    """
+    )
+
+
+@query("w_blocklist_filter", _w_blocklist_sql())
+def w_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1/FineWeb-style blocklist gate (web.blocklist_filter): drop
+    docs whose PSL registered domain is blocklisted (broadcast
+    left-anti join — a NULL domain, i.e. a bare public suffix, is not
+    blockable and survives, which the oracle mirrors explicitly
+    because SQL NOT IN would silently drop NULLs) or whose text
+    contains a banned token (array_intersect against a literal —
+    codegen, no lambda). Zero shuffle: read-and-drop at any scale."""
+    d = Catalog(spark, sf_dir).documents
+    hosts = d.select("doc_id", "text", _psl_host_col().alias("host"))
+    out = WB.blocklist_filter(
+        hosts, "host", "text", _BLOCKED_DOMAINS, _BANNED_WORDS
+    )
+    return out.select("doc_id", "registered_domain")
+
+
 @query(
     "t_unicode_nfc",
     """

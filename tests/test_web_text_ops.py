@@ -669,3 +669,22 @@ def test_nfc_normalize_composes_and_flags(spark):
     # the canonical-equality dedup motivation: after NFC the two cafés
     # fingerprint identically
     assert out[1][0] == out[2][0]
+
+
+def test_blocklist_filter_semantics(spark):
+    rows = [
+        (1, "deep.sub.bad.co.uk", "clean text"),     # subdomain of blocked
+        (2, "bad.co.uk", "clean text"),               # blocked exactly
+        (3, "co.uk", "clean text"),                   # bare suffix: NULL domain, unblockable
+        (4, "good.com", "contains spam word"),        # banned token
+        (5, "good.com", "spammy but not the token"),  # substring != token
+        (6, "fine.org", "clean text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = W.blocklist_filter(
+        df, "host", "text", ["bad.co.uk"], ["spam"]
+    )
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [3, 5, 6]
+    doms = {r.doc_id: r.registered_domain for r in out.collect()}
+    assert doms[3] is None
