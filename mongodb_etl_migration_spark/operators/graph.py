@@ -147,3 +147,100 @@ def pagerank_integer(
     nodes.unpersist()
     deg.unpersist()
     return ranks
+
+
+def hits_integer(
+    edges,
+    src: str,
+    dst: str,
+    iterations: int = 3,
+    scale: int = 1_000_000,
+):
+    """Fixed-point HITS (Kleinberg 1999): hub and authority scores
+    over a directed edge list — the second classic web-graph ranking
+    next to PageRank (authorities = pages good links point AT, hubs =
+    pages that point at good authorities; the pair separates link
+    directories from content in crawl curation).
+
+    Per iteration (the standard mutual recursion):
+      a_raw(i) = Σ_{j→i} h(j);   a = (a_raw · scale) div max(a_raw)
+      h_raw(j) = Σ_{j→i} a(i);   h = (h_raw · scale) div max(h_raw)
+    The max-renormalization replaces the float L2 norm so every
+    quantity stays a NON-NEGATIVE integer — floor division then
+    agrees across Spark's ``div``, DuckDB's ``//`` and Python, and
+    the unrolled SQL oracle reproduces scores bit-for-bit (score
+    ORDER matches float HITS to below fixed-point resolution). The
+    iterate count is part of the contract (pagerank_integer's
+    fixed-rounds discipline).
+
+    Plan shape: per iteration one src shuffle (hub→edge join + dst
+    sum) and one dst shuffle (authority→edge join + src sum); the
+    renormalizing max is a 1-row aggregate cross-joined back (AQE
+    broadcasts it). Same iteration hygiene as pagerank_integer:
+    edges/nodes persist for the loop, each round localCheckpoints.
+
+    Output: (node, auth, hub) — bigints in units of 1/scale.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("bigint").alias("src"),
+            F.col(dst).cast("bigint").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    if nodes.isEmpty():
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.select(
+            "node",
+            F.lit(0).cast("bigint").alias("auth"),
+            F.lit(0).cast("bigint").alias("hub"),
+        )
+    h = nodes.select("node", F.lit(scale).cast("bigint").alias("hub"))
+    a = None
+    for _ in range(iterations):
+        a_raw = (
+            h.join(e, h["node"] == e["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("__s"))
+        )
+        am = a_raw.agg(F.max("__s").alias("__m"))
+        a = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(am))
+            .select(
+                "node",
+                F.expr(f"(coalesce(__s, 0L) * {scale}L) div __m")
+                .cast("bigint")
+                .alias("auth"),
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            a.join(e, a["node"] == e["dst"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("__s"))
+        )
+        hm = h_raw.agg(F.max("__s").alias("__m"))
+        h = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(hm))
+            .select(
+                "node",
+                F.expr(f"(coalesce(__s, 0L) * {scale}L) div __m")
+                .cast("bigint")
+                .alias("hub"),
+            )
+            .localCheckpoint()
+        )
+    out = a.join(h, "node").select("node", "auth", "hub").localCheckpoint()
+    e.unpersist()
+    nodes.unpersist()
+    return out

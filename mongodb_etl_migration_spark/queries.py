@@ -4863,6 +4863,96 @@ def g_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.pagerank_integer(edges, "c_nationkey", "s_nationkey", iterations=3)
 
 
+def _hits_rounds_sql(
+    raw_edges_sql: str, iters: int = 3, scale: int = 1_000_000
+) -> str:
+    """Unrolled fixed-point HITS over a caller-supplied DISTINCT
+    BIGINT src/dst edge SELECT — max-renormalized integer mutual
+    recursion, bit-for-bit the Spark loop (graph.hits_integer). All
+    quantities non-negative, so // == div == Python floor division.
+    AS MATERIALIZED everywhere (the _pagerank_rounds_sql lesson)."""
+    parts = [
+        f"""
+    WITH raw AS MATERIALIZED (
+      {raw_edges_sql}
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM raw UNION ALL SELECT dst FROM raw
+      )
+    ),
+    h0 AS MATERIALIZED (
+      SELECT node, CAST({scale} AS BIGINT) AS hub FROM nodes
+    )"""
+    ]
+    for i in range(iters):
+        parts.append(f""",
+    ar{i} AS MATERIALIZED (
+      SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS s
+      FROM h{i} h JOIN raw e ON h.node = e.src GROUP BY e.dst
+    ),
+    a{i + 1} AS MATERIALIZED (
+      SELECT no.node,
+             CAST((COALESCE(ar.s, 0) * {scale}) // m.m AS BIGINT) AS auth
+      FROM nodes no
+      CROSS JOIN (SELECT max(s) AS m FROM ar{i}) m
+      LEFT JOIN ar{i} ar ON no.node = ar.node
+    ),
+    hr{i} AS MATERIALIZED (
+      SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS s
+      FROM a{i + 1} a JOIN raw e ON a.node = e.dst GROUP BY e.src
+    ),
+    h{i + 1} AS MATERIALIZED (
+      SELECT no.node,
+             CAST((COALESCE(hr.s, 0) * {scale}) // m.m AS BIGINT) AS hub
+      FROM nodes no
+      CROSS JOIN (SELECT max(s) AS m FROM hr{i}) m
+      LEFT JOIN hr{i} hr ON no.node = hr.node
+    )""")
+    parts.append(
+        f"""
+    SELECT a.node, a.auth, h.hub
+    FROM a{iters} a JOIN h{iters} h ON a.node = h.node
+    """
+    )
+    return "".join(parts)
+
+
+@query(
+    "g_hits_trade",
+    _hits_rounds_sql(
+        """SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+                      CAST(s.s_nationkey AS BIGINT) AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey"""
+    ),
+)
+def g_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact HITS (graph.hits_integer) over the same nation
+    trade graph as g_pagerank_trade: authority = nations good buyers
+    import FROM, hub = nations that import from good exporters — the
+    second classic link-analysis ranking, in the same fixed-point
+    bit-for-bit discipline (max renormalization instead of the float
+    L2 norm). Per round one src + one dst shuffle; the renormalizer
+    is a 1-row broadcast."""
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.select("l_orderkey", "l_suppkey")
+    o = c.orders.select("o_orderkey", "o_custkey")
+    cu = c.customer.select("c_custkey", "c_nationkey")
+    su = c.supplier.select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cu, o["o_custkey"] == cu["c_custkey"])
+        .join(su, li["l_suppkey"] == su["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select("c_nationkey", "s_nationkey")
+    )
+    return G.hits_integer(edges, "c_nationkey", "s_nationkey", iterations=3)
+
+
 _REVENUE_SQL = (
     "CAST(l_extendedprice AS DECIMAL(12,2))"
     " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"

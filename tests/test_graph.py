@@ -91,3 +91,54 @@ def test_weighted_pagerank_drops_nonpositive_weights(spark):
         ).collect()
     }
     assert got == ref  # zero-weight edges (and their isolated nodes) gone
+
+
+def test_hits_hand_computed_one_round(spark):
+    """1->3, 2->3, 3->4: after round 1, node 3 is the top authority
+    (two in-links from full hubs) and nodes 1/2 tie as hubs pointing
+    at it; node 4's only in-link is from 3."""
+    from mongodb_etl_migration_spark.operators.graph import hits_integer
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4)], "s long, d long"
+    )
+    out = {
+        r.node: (r.auth, r.hub)
+        for r in hits_integer(edges, "s", "d", iterations=1).collect()
+    }
+    S = 1_000_000
+    # round 1 by hand: a_raw = {3: 2S, 4: S}, max 2S ->
+    #   a = {3: S, 4: S//2, 1: 0, 2: 0}
+    # h_raw = {1: a[3]=S, 2: S, 3: a[4]=S//2}, max S ->
+    #   h = {1: S, 2: S, 3: S//2, 4: 0}
+    assert out == {
+        1: (0, S),
+        2: (0, S),
+        3: (S, S // 2),
+        4: (S // 2, 0),
+    }
+
+
+def test_hits_directory_vs_content(spark):
+    """A pure directory page (many out-links, no in-links) must score
+    hub-high/authority-zero; the pages it links to authority-high —
+    the separation HITS exists to make."""
+    from mongodb_etl_migration_spark.operators.graph import hits_integer
+
+    edges = spark.createDataFrame(
+        [(100, i) for i in range(1, 6)] + [(1, 2)], "s long, d long"
+    )
+    out = {
+        r.node: (r.auth, r.hub)
+        for r in hits_integer(edges, "s", "d", iterations=3).collect()
+    }
+    assert out[100][0] == 0          # directory: no authority
+    assert out[100][1] == 1_000_000  # max hub
+    assert out[2][0] == max(v[0] for v in out.values())  # 2 has 2 in-links
+
+
+def test_hits_empty_edges(spark):
+    from mongodb_etl_migration_spark.operators.graph import hits_integer
+
+    empty = spark.createDataFrame([], "s long, d long")
+    assert hits_integer(empty, "s", "d").count() == 0
