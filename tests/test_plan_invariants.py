@@ -40,6 +40,8 @@ ARROW_OK = {
     "m_frame_sample",        # frame-sampling fan-out (mapInPandas)
     "w_warc_extract",        # WARC record explode (mapInPandas)
     "e_sessionization",      # batch twin is pure SQL — listed in case
+    "t_unicode_nfc",         # unicodedata NFC (pandas UDF — Spark has
+                             # no built-in normalizer)
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
