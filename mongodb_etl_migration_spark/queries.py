@@ -4864,7 +4864,11 @@ def g_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hits_rounds_sql(
-    raw_edges_sql: str, iters: int = 3, scale: int = 1_000_000
+    raw_edges_sql: str,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    prelude: str = "",
+    final: str | None = None,
 ) -> str:
     """Unrolled fixed-point HITS over a caller-supplied DISTINCT
     BIGINT src/dst edge SELECT — max-renormalized integer mutual
@@ -4873,7 +4877,7 @@ def _hits_rounds_sql(
     AS MATERIALIZED everywhere (the _pagerank_rounds_sql lesson)."""
     parts = [
         f"""
-    WITH raw AS MATERIALIZED (
+    WITH {prelude}raw AS MATERIALIZED (
       {raw_edges_sql}
     ),
     nodes AS MATERIALIZED (
@@ -4910,7 +4914,9 @@ def _hits_rounds_sql(
       LEFT JOIN hr{i} hr ON no.node = hr.node
     )""")
     parts.append(
-        f"""
+        final
+        if final is not None
+        else f"""
     SELECT a.node, a.auth, h.hub
     FROM a{iters} a JOIN h{iters} h ON a.node = h.node
     """
@@ -6596,6 +6602,52 @@ def g_pagerank_web_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.join(hosts.withColumn("node", hid(F.col("host"))), "node").select(
         "host", "pr"
     )
+
+
+@query(
+    "g_hits_web",
+    _hits_rounds_sql(
+        f"""SELECT DISTINCT {_HOST_ID_SQL.format(h="src_host")} AS src,
+                      {_HOST_ID_SQL.format(h="dst_host")} AS dst
+      FROM hl""",
+        prelude=f"hl AS MATERIALIZED (SELECT DISTINCT src_host, dst_host "
+        f"FROM ({_WEB_LINKS_SQL})),\n    ",
+        final=f""",
+    hosts AS MATERIALIZED (
+      SELECT DISTINCT host FROM (
+        SELECT src_host AS host FROM hl
+        UNION ALL SELECT dst_host FROM hl
+      )
+    )
+    SELECT h.host, a.auth, hb.hub
+    FROM a3 a JOIN h3 hb ON a.node = hb.node
+    JOIN hosts h ON a.node = {_HOST_ID_SQL.format(h="h.host")}""",
+    ),
+)
+def g_hits_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the crawl host graph — the link-
+    directory-vs-content separation on real parsed markup: HTML pages
+    → host edge list (w_link_graph's parse path) → 60-bit md5 host
+    ids → integer-exact HITS (graph.hits_integer, 3 max-renormalized
+    rounds) → host names. Same bit-for-bit unrolled-SQL discipline as
+    g_pagerank_web; per round one src + one dst shuffle."""
+    edges = _web_link_edges(spark, sf_dir).select("src_host", "dst_host")
+
+    def hid(c: F.Column) -> F.Column:
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+    e = edges.select(
+        hid(F.col("src_host")).alias("src"), hid(F.col("dst_host")).alias("dst")
+    )
+    res = G.hits_integer(e, "src", "dst", iterations=3)
+    hosts = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select("dst_host"))
+        .distinct()
+    )
+    return res.join(
+        hosts.withColumn("node", hid(F.col("host"))), "node"
+    ).select("host", "auth", "hub")
 
 
 @query(
