@@ -642,3 +642,55 @@ def blocklist_filter(
         F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
     )
     return keep.filter(F.size(F.array_intersect(toks, banned)) == 0)
+
+
+def url_quality_flags(c: Column | str) -> dict[str, Column]:
+    """FineWeb/CCNet-style URL quality heuristics — the cheap pre-
+    fetch gate that prunes spam before a byte of the page is read.
+    All pure Column predicates on the URL string (zero shuffle, no
+    UDF, RE2-safe regexes mirrored verbatim by the oracle):
+
+      host_digit_ratio   digits / host length (spam farms:
+                         a1b2c3d4.example)
+      n_subdomains       dot count of the host (deep chains are
+                         auto-generated)
+      path_len           characters after the host
+      query_len          characters in the ?query (session-id/
+                         tracking bloat)
+      digits_ok          host_digit_ratio <= 0.2
+      depth_ok           n_subdomains <= 4
+      path_ok            path_len <= 120 and query_len <= 80
+      url_quality_pass   conjunction
+
+    Thresholds are the tunable part; the dict-of-named-predicates
+    shape (gopher_quality_flags' contract) is what a pipeline
+    composes."""
+    u = _c(c)
+    host = url_host(u)
+    hostlen = F.length(host)
+    digits = hostlen - F.length(F.regexp_replace(host, "[0-9]", ""))
+    digit_ratio = F.when(
+        hostlen > 0, digits / hostlen.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_sub = F.when(
+        host.isNotNull(),
+        F.length(host) - F.length(F.replace(host, F.lit("."), F.lit(""))),
+    ).otherwise(F.lit(0)).cast("bigint")
+    after_scheme = F.regexp_replace(u, "^[a-z][a-z0-9+.-]*://[^/?#]*", "")
+    path = F.regexp_extract(after_scheme, "^([^?#]*)", 1)
+    qry = F.regexp_extract(after_scheme, "\\?([^#]*)", 1)
+    flags = {
+        "host_digit_ratio": digit_ratio,
+        "n_subdomains": n_sub,
+        "path_len": F.length(path).cast("bigint"),
+        "query_len": F.length(qry).cast("bigint"),
+    }
+    flags["digits_ok"] = digit_ratio <= 0.2
+    flags["depth_ok"] = n_sub <= 4
+    flags["path_ok"] = (flags["path_len"] <= 120) & (
+        flags["query_len"] <= 80
+    )
+    flags["url_quality_pass"] = (
+        flags["digits_ok"] & flags["depth_ok"] & flags["path_ok"]
+    )
+    return flags

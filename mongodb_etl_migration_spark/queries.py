@@ -6888,6 +6888,102 @@ def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.classifier_margin(d, "doc_id", "text")
 
 
+_SPAMMY_URL_SQL = """
+      CASE doc_id % 5
+        WHEN 0 THEN 'https://a1b2c3d4e5f6.' || lower(source) || '.com/x'
+        WHEN 1 THEN 'https://a.b.c.d.e.' || lower(source) || '.org/page'
+        WHEN 2 THEN 'https://' || lower(source) || '.com/' ||
+                    repeat('seg/', 40) || 'leaf'
+        WHEN 3 THEN 'https://' || lower(source) || '.net/p?' ||
+                    repeat('k=v&', 30) || 'z=1'
+        ELSE 'https://www.' || lower(source) || '.com/docs/' ||
+             CAST(doc_id % 50 AS VARCHAR)
+      END
+"""
+
+
+@query(
+    "w_url_quality",
+    f"""
+    WITH u AS (
+      SELECT doc_id, {_SPAMMY_URL_SQL} AS url FROM documents
+    ), h AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))
+          AS host,
+        regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/?#]*', '') AS rest
+      FROM u
+    ), m AS (
+      SELECT doc_id,
+        CAST(length(host) - length(regexp_replace(host, '[0-9]', '', 'g'))
+             AS DOUBLE) / length(host) AS host_digit_ratio,
+        CAST(length(host) - length(replace(host, '.', '')) AS BIGINT)
+          AS n_subdomains,
+        CAST(length(regexp_extract(rest, '^([^?#]*)', 1)) AS BIGINT)
+          AS path_len,
+        CAST(length(regexp_extract(rest, '\\?([^#]*)', 1)) AS BIGINT)
+          AS query_len
+      FROM h
+    )
+    SELECT doc_id, host_digit_ratio, n_subdomains, path_len, query_len,
+           (host_digit_ratio <= 0.2 AND n_subdomains <= 4
+            AND path_len <= 120 AND query_len <= 80) AS url_quality_pass
+    FROM m
+    """,
+)
+def w_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-fetch URL spam heuristics (web.url_quality_flags) — the
+    FineWeb/CCNet gate that prunes digit-farm hosts, auto-generated
+    subdomain chains, and path/query bloat before fetching a byte.
+    The fixture synthesizes each spam class deterministically
+    (digit-heavy host, 6-dot chain, 40-segment path, 31-param query,
+    plus clean URLs), so every flag fires on a known slice. Pure
+    Column predicates, zero shuffle."""
+    d = Catalog(spark, sf_dir).documents
+    src = F.lower(F.col("source"))
+    did = F.col("doc_id")
+    url = (
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit("https://a1b2c3d4e5f6."), src, F.lit(".com/x")),
+        )
+        .when(
+            did % 5 == 1,
+            F.concat(F.lit("https://a.b.c.d.e."), src, F.lit(".org/page")),
+        )
+        .when(
+            did % 5 == 2,
+            F.concat(
+                F.lit("https://"), src, F.lit(".com/"),
+                F.repeat(F.lit("seg/"), 40), F.lit("leaf"),
+            ),
+        )
+        .when(
+            did % 5 == 3,
+            F.concat(
+                F.lit("https://"), src, F.lit(".net/p?"),
+                F.repeat(F.lit("k=v&"), 30), F.lit("z=1"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www."), src, F.lit(".com/docs/"),
+                (did % 50).cast("string"),
+            )
+        )
+    )
+    u = d.select("doc_id", url.alias("url"))
+    flags = WB.url_quality_flags(F.col("url"))
+    return u.select(
+        "doc_id",
+        flags["host_digit_ratio"].alias("host_digit_ratio"),
+        flags["n_subdomains"].alias("n_subdomains"),
+        flags["path_len"].alias("path_len"),
+        flags["query_len"].alias("query_len"),
+        flags["url_quality_pass"].alias("url_quality_pass"),
+    )
+
+
 _BLOCKED_DOMAINS = ["src0.co.uk", "src3.com", "src6.com.au"]
 _BANNED_WORDS = ["dup", "spam"]
 

@@ -688,3 +688,32 @@ def test_blocklist_filter_semantics(spark):
     assert kept == [3, 5, 6]
     doms = {r.doc_id: r.registered_domain for r in out.collect()}
     assert doms[3] is None
+
+
+def test_url_quality_flags_fire_per_spam_class(spark):
+    rows = [
+        (1, "https://a1b2c3d4e5f6.spam.com/x"),          # digit farm
+        (2, "https://a.b.c.d.e.deep.org/page"),           # subdomain chain
+        (3, "https://ok.com/" + "seg/" * 40 + "leaf"),    # path bloat
+        (4, "https://ok.net/p?" + "k=v&" * 30 + "z=1"),   # query bloat
+        (5, "https://www.clean.com/docs/7"),              # clean
+        (6, "no-scheme-at-all"),                          # host NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    fl = W.url_quality_flags(F.col("url"))
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            fl["digits_ok"].alias("digits_ok"),
+            fl["depth_ok"].alias("depth_ok"),
+            fl["path_ok"].alias("path_ok"),
+            fl["url_quality_pass"].alias("ok"),
+        ).collect()
+    }
+    assert not out[1].digits_ok and out[1].depth_ok and out[1].path_ok
+    assert out[2].digits_ok and not out[2].depth_ok
+    assert not out[3].path_ok and out[3].digits_ok
+    assert not out[4].path_ok
+    assert out[5].ok
+    assert not any(out[i].ok for i in (1, 2, 3, 4))
