@@ -668,3 +668,59 @@ def pca_power_projection(
         lambda acc, x: acc + x,
     )
     return q.select(F.col(id_col), proj.alias("proj"))
+
+
+def cosine_topk_batch(
+    emb: DataFrame,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+):
+    """BATCHED brute-force cosine top-k — the real serving/eval shape
+    (a query arrives in batches, recall sweeps score hundreds of
+    probes): one corpus scan answers ALL queries. The query batch
+    rides as a plan-literal array of (query_id, vector) structs
+    (the centroid/LSH-plane discipline — KB-scale, no join, so the
+    plan has no BroadcastNestedLoopJoin for the cross product);
+    explode fans each corpus row out to per-query scores, and the
+    per-query top-k is a rank window — WindowGroupLimit trims every
+    map task to k rows per query BEFORE the single query_id exchange,
+    so shuffle volume is #queries·k per task, never #queries·corpus.
+
+    One scan, one bounded exchange, at any corpus size; for larger
+    query batches the same plan holds until the literal array stops
+    fitting the plan (~thousands), after which the LSH-bucketed
+    probe (`neardup_probe`/`ann_topk_lsh` family) is the path.
+
+    Output: (query_id, id_col, cos_sim, rn) with rn 1..k per query.
+    """
+    from pyspark.sql import Window
+
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(int(qid)).cast("long").alias("query_id"),
+                lit_vec(v).alias("qv"),
+            )
+            for qid, v in queries
+        ]
+    )
+    ex = emb.select(F.col(id_col), _dvec(vec_col).alias("_v")).select(
+        id_col, "_v", F.explode(qarr).alias("q")
+    )
+    scored = ex.select(
+        F.col("q.query_id").alias("query_id"),
+        F.col(id_col),
+        stable_round(cosine(F.col("_v"), F.col("q.qv")), 4).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "cos_sim", F.col("rn").cast("bigint").alias("rn"))
+    )

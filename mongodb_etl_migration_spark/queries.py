@@ -1730,6 +1730,47 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
 
 
 @query(
+    "sim_topk_batch",
+    """
+    WITH q AS MATERIALIZED (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ), s AS (
+      SELECT q.query_id, e.vec_id,
+             floor((list_dot_product(e.embedding::DOUBLE[], q.qv)
+                    / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                             e.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(q.qv, q.qv)))) * 10000 + 0.5)
+               / 10000 + 0.0 AS cos_sim
+      FROM embeddings e, q
+    ), ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+             ) AS BIGINT) AS rn
+      FROM s
+    )
+    SELECT query_id, vec_id, cos_sim, rn FROM ranked WHERE rn <= 10
+    """,
+)
+def sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED cosine top-k (similarity.cosine_topk_batch): three
+    query vectors answered by ONE corpus scan — the serving/eval
+    shape. Queries ride as a plan-literal struct array (no
+    BroadcastNestedLoopJoin for the cross product); the per-query
+    top-10 rank window trims map-side (WindowGroupLimit) before the
+    single query_id exchange, so shuffle is #queries·k per task."""
+    e = Catalog(spark, sf_dir).embeddings
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id").isin([0, 1, 2]))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return SIM.cosine_topk_batch(e, qs, k=10)
+
+
+@query(
     "sim_topk_bruteforce",
     """
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

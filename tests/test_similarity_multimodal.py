@@ -1643,3 +1643,26 @@ def test_pca_power_projection_zero_matrix(spark):
     )
     out = SIM.pca_power_projection(df, "vec_id", "embedding")
     assert {r.proj for r in out.collect()} == {0}
+
+
+def test_cosine_topk_batch_matches_single_query(spark, sf_dir):
+    """Each query's batched slice equals the single-query operator's
+    output (same corpus scan answers all queries)."""
+    e = Catalog(spark, sf_dir).embeddings
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id").isin([0, 5])).orderBy("vec_id").collect()
+    ]
+    batch = SIM.cosine_topk_batch(e, qs, k=5)
+    for qid, vec in qs:
+        single = [
+            (r.vec_id, r.cos_sim)
+            for r in SIM.cosine_topk(e, vec, k=5).collect()
+        ]
+        sliced = [
+            (r.vec_id, r.cos_sim)
+            for r in batch.filter(F.col("query_id") == qid)
+            .orderBy("rn")
+            .collect()
+        ]
+        assert sliced == single
