@@ -724,3 +724,48 @@ def cosine_topk_batch(
         .filter(F.col("rn") <= k)
         .select("query_id", id_col, "cos_sim", F.col("rn").cast("bigint").alias("rn"))
     )
+
+
+def random_projection_int(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    out_dims: int = 4,
+    vec_col: str = "embedding",
+    dims: int = 16,
+    seed: str = "jl",
+):
+    """Johnson-Lindenstrauss dimensionality reduction with an
+    Achlioptas ±1 projection — the cheap distance-preserving shrink
+    embedding pipelines run before LSH/clustering when vectors are
+    wide. INTEGER-exact end to end: inputs are the int8 quantization,
+    and the projection matrix entries r[j][k] ∈ {-1, 0, +1} derive
+    from the engine-portable 60-bit md5 idiom
+    (md5(seed#j#k) mod 3 − 1), so the DuckDB oracle re-derives the
+    SAME matrix from the same strings — no RNG, no shipped state,
+    reruns and engines agree bit-for-bit.
+
+    The matrix folds into the plan as literals (out_dims × dims
+    ints); each output coordinate is one zip_with/aggregate fold —
+    zero shuffle, zero UDF, one scan. Output: (id_col, p1..p{out_dims}
+    bigint scalars — scalar columns, not an array, so downstream
+    hash-verification and parquet stats both work)."""
+    import hashlib
+
+    def r(j: int, k: int) -> int:
+        h = hashlib.md5(f"{seed}#{j}#{k}".encode()).hexdigest()[:15]
+        return int(h, 16) % 3 - 1
+
+    q = int8_quantize(df, id_col, vec_col).select(
+        F.col(id_col), F.slice("q", 1, dims).alias("_q")
+    )
+    outs = []
+    for k in range(1, out_dims + 1):
+        col = F.array(*[F.lit(r(j, k)).cast("long") for j in range(1, dims + 1)])
+        outs.append(
+            F.aggregate(
+                F.zip_with(F.col("_q"), col, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias(f"p{k}")
+        )
+    return q.select(F.col(id_col), *outs)

@@ -1730,6 +1730,55 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
 
 
 @query(
+    "sim_random_projection",
+    """
+    WITH qq AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                                         ELSE CAST(floor(x / scale + 0.5) AS BIGINT)
+                                    END)[:16] AS q
+      FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+                 AS scale
+        FROM embeddings
+      )
+    ), rmat AS MATERIALIZED (
+      SELECT j.j, k.k,
+             CAST(('0x' || substring(md5('jl#' || j.j || '#' || k.k), 1, 15))
+                  AS BIGINT) % 3 - 1 AS r
+      FROM (SELECT unnest(range(1, 17)) AS j) j,
+           (SELECT unnest(range(1, 5)) AS k) k
+    ), ex AS MATERIALIZED (
+      SELECT vec_id, unnest(q) AS x,
+             unnest(range(1, len(q) + 1)) AS j
+      FROM qq
+    ), p AS (
+      SELECT e.vec_id, r.k, CAST(sum(e.x * r.r) AS BIGINT) AS v
+      FROM ex e JOIN rmat r ON e.j = r.j
+      GROUP BY e.vec_id, r.k
+    )
+    SELECT vec_id,
+           max(CASE WHEN k = 1 THEN v END) AS p1,
+           max(CASE WHEN k = 2 THEN v END) AS p2,
+           max(CASE WHEN k = 3 THEN v END) AS p3,
+           max(CASE WHEN k = 4 THEN v END) AS p4
+    FROM p GROUP BY vec_id
+    """,
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss shrink 16→4 dims
+    (similarity.random_projection_int): Achlioptas ±1 matrix derived
+    per-entry from the 60-bit md5 idiom, so the oracle re-derives the
+    IDENTICAL matrix from the same strings — RNG-free, engine- and
+    rerun-stable. Int8-quantized inputs make every coordinate a long
+    fold: zero shuffle, one scan; the oracle computes the projection
+    relationally (unnest + matrix join + pivot)."""
+    e = Catalog(spark, sf_dir).embeddings
+    return SIM.random_projection_int(e, "vec_id", out_dims=4)
+
+
+@query(
     "sim_topk_batch",
     """
     WITH q AS MATERIALIZED (

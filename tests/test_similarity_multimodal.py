@@ -1666,3 +1666,30 @@ def test_cosine_topk_batch_matches_single_query(spark, sf_dir):
             .collect()
         ]
         assert sliced == single
+
+
+def test_random_projection_preserves_relative_distance(spark):
+    """JL property smoke: two near-identical vectors project near
+    each other; an orthogonal-ish one projects far — and the matrix
+    is deterministic across calls."""
+    import numpy as np
+
+    base = [1.0, 2.0, -3.0, 4.0] * 4
+    near = [x * 1.01 for x in base]
+    far = [(-1.0) ** i * 5.0 for i in range(16)]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r.vec_id: np.array([r.p1, r.p2, r.p3, r.p4], dtype=float)
+        for r in SIM.random_projection_int(df, "vec_id").collect()
+    }
+    d_near = np.linalg.norm(out[1] - out[2])
+    d_far = np.linalg.norm(out[1] - out[3])
+    assert d_near < d_far
+    again = {
+        r.vec_id: (r.p1, r.p2, r.p3, r.p4)
+        for r in SIM.random_projection_int(df, "vec_id").collect()
+    }
+    assert again == {k: tuple(v) for k, v in out.items()}
