@@ -1068,17 +1068,46 @@ def bpe_apply_reference(word: str, merges: list[tuple[str, str]] | None = None) 
     return toks
 
 
+def _validate_flat_merges(merges: list[tuple[str, str]]) -> None:
+    """The compiled replace-chain is EXACTLY the greedy BPE loop only
+    for duplicate-free tables whose pairs have left ≠ right
+    (adversarially fuzz-verified): a SELF-pair like ('a','a') makes
+    non-overlapping string replacement pair a run's tokens
+    differently than leftmost-rescan list merging ('aaaaa' →
+    [aa,a,aa] vs [aa,aa,a] — same multiset, but a later sequence-
+    sensitive merge can then diverge), and a duplicate pair makes
+    rank itself ambiguous. Real tables CAN contain self-pairs
+    (run-heavy vocabularies) — those must take the list-based
+    ``bpe_encode_batch`` path, so reject loudly here instead of
+    silently mis-tokenizing."""
+    seen = set()
+    for a, b in merges:
+        if a == b:
+            raise ValueError(
+                f"self-pair merge ({a!r},{b!r}): the compiled Column "
+                "path cannot reproduce greedy run pairing — use "
+                "bpe_encode_batch for this table"
+            )
+        if (a, b) in seen:
+            raise ValueError(f"duplicate merge ({a!r},{b!r})")
+        seen.add((a, b))
+
+
 def bpe_encoded_word(w: Column, merges: list[tuple[str, str]] | None = None) -> Column:
     """Compile the BPE merge table into a pure Column expression: the
     word becomes a space-delimited symbol string (leading + trailing
     space pin the boundaries), then each merge in RANK ORDER becomes
     ``replace(s, ' a b ', ' ab ')`` repeated ``_BPE_PASSES`` times
     (exhaustive application; see the rank-order equivalence note on
-    BPE_MERGES). Zero shuffle, zero UDF, whole-stage codegen — the
-    fast path for merge tables that fit an expression (~tens). The
-    general ~50k-merge path is ``bpe_encode_batch`` (pandas UDF);
-    the two agree exactly (property-tested)."""
+    BPE_MERGES). For duplicate-free, self-pair-free tables this is
+    EXACTLY the greedy lowest-rank loop (rank-order argument +
+    adversarial fuzz over random tables); other tables are rejected
+    by ``_validate_flat_merges``. Zero shuffle, zero UDF, whole-stage
+    codegen — the fast path for merge tables that fit an expression
+    (~tens). The general ~50k-merge path is ``bpe_encode_batch``
+    (pandas UDF); the two agree exactly (property-tested)."""
     merges = BPE_MERGES if merges is None else merges
+    _validate_flat_merges(merges)
     s = F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 "))
     for a, b in merges:
         pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")

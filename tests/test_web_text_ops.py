@@ -717,3 +717,55 @@ def test_url_quality_flags_fire_per_spam_class(spark):
     assert not out[4].path_ok
     assert out[5].ok
     assert not any(out[i].ok for i in (1, 2, 3, 4))
+
+
+def test_bpe_flat_chain_equals_reference_adversarial():
+    """Pure-Python twin of the compiled replace-chain vs the greedy
+    reference over RANDOM well-formed merge tables (duplicate-free,
+    self-pair-free) — the contract _validate_flat_merges enforces.
+    No Spark needed: the chain is string math."""
+    import random
+
+    from mongodb_etl_migration_spark.operators.text import (
+        _BPE_PASSES,
+        bpe_apply_reference,
+    )
+
+    def flat_apply(word, merges):
+        s = " " + " ".join(word) + " " if word else " "
+        for a, b in merges:
+            pat, rep = f" {a} {b} ", f" {a}{b} "
+            for _ in range(_BPE_PASSES):
+                s = s.replace(pat, rep)
+        return s.split()
+
+    rng = random.Random(20260814)
+    for _ in range(1500):
+        symbols = list("abc")
+        merges, seen = [], set()
+        for _ in range(rng.randint(1, 8)):
+            for _try in range(20):
+                a, b = rng.choice(symbols), rng.choice(symbols)
+                if a != b and (a, b) not in seen:
+                    break
+            else:
+                continue
+            seen.add((a, b))
+            merges.append((a, b))
+            symbols.append(a + b)
+        w = "".join(rng.choice("abc") for _ in range(rng.randint(0, 18)))
+        assert bpe_apply_reference(w, merges) == flat_apply(w, merges), (
+            w,
+            merges,
+        )
+
+
+def test_bpe_compiled_path_rejects_self_pair_and_duplicate():
+    import pytest
+
+    from mongodb_etl_migration_spark.operators.text import bpe_encoded_word
+
+    with pytest.raises(ValueError, match="self-pair"):
+        bpe_encoded_word(F.lit("aaa"), [("a", "a")])
+    with pytest.raises(ValueError, match="duplicate"):
+        bpe_encoded_word(F.lit("ab"), [("a", "b"), ("a", "b")])
