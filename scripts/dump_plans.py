@@ -320,6 +320,25 @@ NOTES = {
         "per domain) over the scan — no Exchange; the kept-row set "
         "is layout- and rerun-independent."
     ),
+    "sim_topk_batch": (
+        "Batched ANN serving: the query batch is a plan-literal "
+        "struct array exploded per corpus row (Generate — no "
+        "BroadcastNestedLoopJoin cross product); the per-query rank "
+        "window shows WindowGroupLimit BELOW the single query_id "
+        "Exchange, so each map task ships k rows per query."
+    ),
+    "w_url_quality": (
+        "Pre-fetch URL gate: all four spam heuristics are one "
+        "Project over the scan — zero Exchange, zero Python; the "
+        "regex trees run once per row (flags derive from shared "
+        "materialized columns)."
+    ),
+    "w_blocklist_filter": (
+        "Blocklist gate: PSL suffix tables and the domain blocklist "
+        "are all BroadcastHashJoins (the blocklist anti-join "
+        "included); the banned-word check is array_intersect against "
+        "a literal in the same Filter — no Exchange anywhere."
+    ),
 }
 
 
