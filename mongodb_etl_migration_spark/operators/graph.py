@@ -217,7 +217,15 @@ def hits_integer(
             .crossJoin(F.broadcast(am))
             .select(
                 "node",
-                F.expr(f"(coalesce(__s, 0L) * {scale}L) div __m")
+                # decimal(38,0) product: round-1 __s is in_degree *
+                # scale, so a popular node (in-degree ~1e7 at web
+                # scale) overflows a bigint product — decimal `div`
+                # floors exactly like Python // (tested); the oracle
+                # mirrors with a HUGEINT product
+                F.expr(
+                    f"(cast(coalesce(__s, 0L) as decimal(38,0))"
+                    f" * {scale}) div __m"
+                )
                 .cast("bigint")
                 .alias("auth"),
             )
@@ -234,7 +242,10 @@ def hits_integer(
             .crossJoin(F.broadcast(hm))
             .select(
                 "node",
-                F.expr(f"(coalesce(__s, 0L) * {scale}L) div __m")
+                F.expr(
+                    f"(cast(coalesce(__s, 0L) as decimal(38,0))"
+                    f" * {scale}) div __m"
+                )
                 .cast("bigint")
                 .alias("hub"),
             )

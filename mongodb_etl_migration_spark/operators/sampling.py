@@ -151,9 +151,15 @@ def temperature_mix(
     layout-independent, composes with other salted gates."""
     import math
 
+    # group keys are collected AS the same string cast the gate
+    # compares against — a boolean/decimal group column's Spark
+    # rendering ('true', '1.50') would otherwise never match Python's
+    # str() and silently drop the corpus. NULL keys form their own
+    # group, gated with an isNull branch.
+    c = F.col(group_col).cast("string")
     counts = {
         row[0]: row[1]
-        for row in df.groupBy(group_col).agg(F.count("*")).collect()
+        for row in df.groupBy(c.alias("__g")).agg(F.count("*")).collect()
     }
     if not counts:
         return df.filter(F.lit(False))
@@ -163,9 +169,10 @@ def temperature_mix(
         g: min(_SPACE, _SPACE * budget * sq[g] // (total * counts[g]))
         for g in counts
     }
-    c = F.col(group_col).cast("string")
     gate = None
-    for g, cut_g in sorted(cuts.items()):
-        branch = (c == str(g), F.lit(cut_g))
+    for g, cut_g in sorted(
+        cuts.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+    ):
+        branch = (c.isNull() if g is None else (c == g), F.lit(cut_g))
         gate = F.when(*branch) if gate is None else gate.when(*branch)
     return df.filter(hash_key(key, salt) < gate.otherwise(F.lit(0)))

@@ -957,6 +957,11 @@ def classifier_margin(
     Output: (id_col, margin bigint, keep boolean).
     """
     weights = QUALITY_CLASSIFIER_WEIGHTS if weights is None else weights
+    if "" in weights:
+        # the sentinel term IS the empty string; a user table carrying
+        # '' would join every document's sentinel twice and shift all
+        # margins — reject instead of silently double-counting
+        raise ValueError("weights must not contain the empty-string term")
     spark = df.sparkSession
     w = spark.createDataFrame(
         sorted(weights.items()) + [("", 0)], "term string, weight long"
@@ -964,7 +969,15 @@ def classifier_margin(
     tok = df.select(
         F.col(id_col),
         F.explode(
-            F.concat(F.array(F.lit("")), tokens(text_col))
+            # NULL text tokenizes to NULL; coalesce so the sentinel
+            # still emits and the document scores bias instead of
+            # vanishing from the gate (the oracle's LEFT JOIN keeps it)
+            F.concat(
+                F.array(F.lit("")),
+                F.coalesce(
+                    tokens(text_col), F.array().cast("array<string>")
+                ),
+            )
         ).alias("term"),
     )
     summed = (
@@ -1215,5 +1228,8 @@ def nfc_normalize(df, id_col: str, text_col: str):
     return out.select(
         id_col,
         "norm_text",
-        (F.col("_raw") != F.col("norm_text")).alias("changed"),
+        # null-safe: a NULL-text row was not rewritten — changed must
+        # be false, not NULL, so changed / NOT changed still
+        # partitions the corpus in audit counts
+        (~F.col("_raw").eqNullSafe(F.col("norm_text"))).alias("changed"),
     )

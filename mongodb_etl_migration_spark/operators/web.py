@@ -638,8 +638,14 @@ def blocklist_filter(
     dom = with_registered_domain(df, host_col, domain_col)
     keep = dom.join(F.broadcast(bl), domain_col, "left_anti")
     banned = F.array(*[F.lit(w) for w in sorted(set(banned_words))])
-    toks = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+    # NULL text contains no banned word — coalesce so the row passes
+    # the word gate instead of being silently dropped (size(NULL)
+    # fails the == 0 predicate)
+    toks = F.coalesce(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+        ),
+        F.array().cast("array<string>"),
     )
     return keep.filter(F.size(F.array_intersect(toks, banned)) == 0)
 
@@ -676,7 +682,12 @@ def url_quality_flags(c: Column | str) -> dict[str, Column]:
         host.isNotNull(),
         F.length(host) - F.length(F.replace(host, F.lit("."), F.lit(""))),
     ).otherwise(F.lit(0)).cast("bigint")
-    after_scheme = F.regexp_replace(u, "^[a-z][a-z0-9+.-]*://[^/?#]*", "")
+    # same case-insensitive scheme class as _HOST_RE — crawls carry
+    # uppercase schemes, and a miss here would leave the whole URL in
+    # "path"
+    after_scheme = F.regexp_replace(
+        u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""
+    )
     path = F.regexp_extract(after_scheme, "^([^?#]*)", 1)
     qry = F.regexp_extract(after_scheme, "\\?([^#]*)", 1)
     flags = {

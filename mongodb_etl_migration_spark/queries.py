@@ -4987,7 +4987,8 @@ def _hits_rounds_sql(
     ),
     a{i + 1} AS MATERIALIZED (
       SELECT no.node,
-             CAST((COALESCE(ar.s, 0) * {scale}) // m.m AS BIGINT) AS auth
+             CAST((CAST(COALESCE(ar.s, 0) AS HUGEINT) * {scale}) // m.m
+                  AS BIGINT) AS auth
       FROM nodes no
       CROSS JOIN (SELECT max(s) AS m FROM ar{i}) m
       LEFT JOIN ar{i} ar ON no.node = ar.node
@@ -4998,7 +4999,8 @@ def _hits_rounds_sql(
     ),
     h{i + 1} AS MATERIALIZED (
       SELECT no.node,
-             CAST((COALESCE(hr.s, 0) * {scale}) // m.m AS BIGINT) AS hub
+             CAST((CAST(COALESCE(hr.s, 0) AS HUGEINT) * {scale}) // m.m
+                  AS BIGINT) AS hub
       FROM nodes no
       CROSS JOIN (SELECT max(s) AS m FROM hr{i}) m
       LEFT JOIN hr{i} hr ON no.node = hr.node
@@ -6594,6 +6596,13 @@ def w_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hid60(c: F.Column) -> F.Column:
+    """Shared 60-bit md5 node-id builder (15 hex chars — the engine's
+    cross-engine hash-width contract; _HOST_ID_SQL is its SQL twin,
+    and the two MUST change together)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
 _HOST_ID_SQL = "CAST(('0x' || substring(md5({h}), 1, 15)) AS BIGINT)"
 
 
@@ -6627,11 +6636,8 @@ def g_pagerank_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     round: one src + one dst shuffle; ranks node-sized."""
     edges = _web_link_edges(spark, sf_dir).select("src_host", "dst_host")
 
-    def hid(c: F.Column) -> F.Column:
-        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
-
     e = edges.select(
-        hid(F.col("src_host")).alias("src"), hid(F.col("dst_host")).alias("dst")
+        _hid60(F.col("src_host")).alias("src"), _hid60(F.col("dst_host")).alias("dst")
     )
     pr = G.pagerank_integer(e, "src", "dst", iterations=3)
     hosts = (
@@ -6639,7 +6645,7 @@ def g_pagerank_web(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edges.select("dst_host"))
         .distinct()
     )
-    return pr.join(hosts.withColumn("node", hid(F.col("host"))), "node").select(
+    return pr.join(hosts.withColumn("node", _hid60(F.col("host"))), "node").select(
         "host", "pr"
     )
 
@@ -6675,12 +6681,9 @@ def g_pagerank_web_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights map-side."""
     edges = _web_link_edges(spark, sf_dir)
 
-    def hid(c: F.Column) -> F.Column:
-        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
-
     e = edges.select(
-        hid(F.col("src_host")).alias("src"),
-        hid(F.col("dst_host")).alias("dst"),
+        _hid60(F.col("src_host")).alias("src"),
+        _hid60(F.col("dst_host")).alias("dst"),
         "n_links",
     )
     pr = G.pagerank_integer(e, "src", "dst", iterations=3, weight="n_links")
@@ -6689,7 +6692,7 @@ def g_pagerank_web_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edges.select("dst_host"))
         .distinct()
     )
-    return pr.join(hosts.withColumn("node", hid(F.col("host"))), "node").select(
+    return pr.join(hosts.withColumn("node", _hid60(F.col("host"))), "node").select(
         "host", "pr"
     )
 
@@ -6723,11 +6726,8 @@ def g_hits_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     g_pagerank_web; per round one src + one dst shuffle."""
     edges = _web_link_edges(spark, sf_dir).select("src_host", "dst_host")
 
-    def hid(c: F.Column) -> F.Column:
-        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
-
     e = edges.select(
-        hid(F.col("src_host")).alias("src"), hid(F.col("dst_host")).alias("dst")
+        _hid60(F.col("src_host")).alias("src"), _hid60(F.col("dst_host")).alias("dst")
     )
     res = G.hits_integer(e, "src", "dst", iterations=3)
     hosts = (
@@ -6736,7 +6736,7 @@ def g_hits_web(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return res.join(
-        hosts.withColumn("node", hid(F.col("host"))), "node"
+        hosts.withColumn("node", _hid60(F.col("host"))), "node"
     ).select("host", "auth", "hub")
 
 

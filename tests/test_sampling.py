@@ -97,3 +97,17 @@ def test_temperature_mix_caps_at_full_group_and_empty(spark):
     assert tiny == 5
     empty = spark.createDataFrame([], "doc_id long, grp string")
     assert temperature_mix(empty, "doc_id", "grp", budget=10).count() == 0
+
+
+def test_temperature_mix_null_and_nonstring_groups(spark):
+    from mongodb_etl_migration_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [(i, True if i % 3 == 0 else (False if i % 3 == 1 else None))
+         for i in range(300)],
+        "doc_id long, grp boolean",
+    )
+    kept = temperature_mix(df, "doc_id", "grp", budget=150)
+    n = kept.count()
+    assert 100 < n < 200  # all three groups sampled, none dropped wholesale
+    assert kept.filter(F.col("grp").isNull()).count() > 0

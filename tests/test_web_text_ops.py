@@ -769,3 +769,47 @@ def test_bpe_compiled_path_rejects_self_pair_and_duplicate():
         bpe_encoded_word(F.lit("aaa"), [("a", "a")])
     with pytest.raises(ValueError, match="duplicate"):
         bpe_encoded_word(F.lit("ab"), [("a", "b"), ("a", "b")])
+
+
+def test_classifier_margin_null_text_scores_bias(spark):
+    """A NULL-text document must survive with margin == bias (review
+    fix: tokens(NULL) is NULL and used to drop the sentinel row)."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "data")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.margin
+        for r in T.classifier_margin(docs, "doc_id", "text", bias=7).collect()
+    }
+    assert out == {1: 7, 2: 10}
+    import pytest
+
+    with pytest.raises(ValueError, match="empty-string"):
+        T.classifier_margin(docs, "doc_id", "text", weights={"": 1})
+
+
+def test_blocklist_filter_null_text_passes_word_gate(spark):
+    df = spark.createDataFrame(
+        [(1, "good.com", None), (2, "bad.co.uk", None)],
+        "doc_id long, host string, text string",
+    )
+    kept = [r.doc_id for r in
+            W.blocklist_filter(df, "host", "text", ["bad.co.uk"], ["spam"]).collect()]
+    assert kept == [1]
+
+
+def test_nfc_changed_is_false_for_null(spark):
+    from mongodb_etl_migration_spark.operators.text import nfc_normalize
+
+    docs = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = nfc_normalize(docs, "doc_id", "text").collect()[0]
+    assert r.changed is False and r.norm_text is None
+
+
+def test_url_quality_uppercase_scheme(spark):
+    fl = W.url_quality_flags(F.col("url"))
+    df = spark.createDataFrame(
+        [(1, "HTTP://Example.com/a")], "doc_id long, url string"
+    )
+    r = df.select(fl["path_len"].alias("pl")).collect()[0]
+    assert r.pl == 2  # '/a', not the whole URL
