@@ -197,6 +197,44 @@ def main() -> None:
         cm["vocab_terms"] = len(vocab)
         cm["kept"] = cls.filter(F.col("keep")).count()
 
+        # Graph loops at scale: a deterministic synthetic digraph with
+        # 10 out-edges per node (edges ∝ corpus). Claim: per-round
+        # shuffle is linear in EDGES for both PageRank and HITS (the
+        # rank/score frames stay node-sized and broadcast).
+        n_nodes = 2_000 * cfg["replicas"]
+        g_edges = (
+            spark.range(n_nodes * 10)
+            .select(
+                (F.col("id") % n_nodes).alias("src"),
+                F.pmod(F.xxhash64("id"), F.lit(n_nodes)).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        from mongodb_etl_migration_spark.operators import graph as GR
+
+        # the loops materialize per round via localCheckpoint, so the
+        # shuffle happens during CONSTRUCTION — measure around the
+        # builder call, not a post-hoc write
+        def timed_build(fn):
+            w0, r0 = ui.shuffle_totals()
+            t0 = time.time()
+            out = fn()
+            n = out.count()
+            sec = round(time.time() - t0, 3)
+            w1, r1 = ui.shuffle_totals()
+            return {
+                "sec": sec,
+                "shuffle_bytes": (w1 - w0) + (r1 - r0),
+                "nodes": n,
+            }
+
+        gp = timed_build(
+            lambda: GR.pagerank_integer(g_edges, "src", "dst", iterations=3)
+        )
+        gh = timed_build(
+            lambda: GR.hits_integer(g_edges, "src", "dst", iterations=3)
+        )
+
         results[name] = {
             "docs": n_docs,
             "dup_pct": cfg["dup_pct"],
@@ -211,6 +249,8 @@ def main() -> None:
             "t_rare_bigrams": rbt,
             "t_dup_spans": ds,
             "t_quality_classifier": cm,
+            "g_pagerank": gp,
+            "g_hits": gh,
         }
         print(f"{name}: {json.dumps(results[name])}", file=sys.stderr)
 
@@ -272,6 +312,18 @@ def main() -> None:
         "classifier_shuffle_growth_at_10x_corpus": round(
             x["t_quality_classifier"]["shuffle_bytes"]
             / max(1, b["t_quality_classifier"]["shuffle_bytes"]),
+            2,
+        ),
+        # 10x nodes AND edges: per-round shuffle ∝ edges for both
+        # iterative graph loops
+        "pagerank_shuffle_growth_at_10x_graph": round(
+            x["g_pagerank"]["shuffle_bytes"]
+            / max(1, b["g_pagerank"]["shuffle_bytes"]),
+            2,
+        ),
+        "hits_shuffle_growth_at_10x_graph": round(
+            x["g_hits"]["shuffle_bytes"]
+            / max(1, b["g_hits"]["shuffle_bytes"]),
             2,
         ),
     }
