@@ -1233,3 +1233,84 @@ def nfc_normalize(df, id_col: str, text_col: str):
         # partitions the corpus in audit counts
         (~F.col("_raw").eqNullSafe(F.col("norm_text"))).alias("changed"),
     )
+
+
+def dedup_paragraphs(
+    df,
+    id_col: str,
+    text_col: str,
+    min_chars: int = 1,
+):
+    """Paragraph-level exact dedup — the CCNet preprocessing step
+    proper (Wenzek et al. 2020 dedup by PARAGRAPH hash, where a
+    paragraph is a newline-delimited line): keep each distinct
+    normalized paragraph's globally FIRST occurrence
+    (min (doc, line_idx)), drop every other copy corpus-wide, and
+    reassemble documents from surviving lines in order. This is what
+    strips boilerplate navigation/cookie banners that repeat across
+    a site — they appear once in the whole corpus afterwards.
+
+    Normalization for the hash (CCNet's): lowercase, digits removed,
+    punctuation-insensitive via the token stream, whitespace
+    collapsed — the ORIGINAL line text is what survives into
+    clean_text. Lines shorter than ``min_chars`` (after trim) are
+    kept unconditionally (empty/separator lines are structure, not
+    content).
+
+    Same 100 TB shape as dedup_spans: one shuffle on the paragraph
+    hash (md5 + ids, never text) to pick winners, one on the doc id
+    to reassemble; the winner rule is a map-side-combinable min
+    aggregate, not a corpus window.
+
+    Output: (id_col, clean_text, n_lines_kept, n_lines_total) — one
+    row per document keeping at least one line.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "line_idx", "line"
+        ),
+    )
+    norm = F.array_join(
+        F.regexp_extract_all(
+            F.lower(F.regexp_replace(F.col("line"), "[0-9]", "")),
+            F.lit("[a-z]+"),
+            0,
+        ),
+        " ",
+    )
+    content = F.length(F.trim(F.col("line"))) >= min_chars
+    hashed = lines.select(
+        F.col(id_col),
+        "line_idx",
+        "line",
+        F.when(content, F.md5(norm)).alias("_h"),
+    )
+    winners = (
+        hashed.filter(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("line_idx"))).alias("_w"))
+    )
+    kept = (
+        hashed.join(winners, "_h", "left")
+        .filter(
+            F.col("_h").isNull()
+            | (
+                (F.col(f"_w.{id_col}") == F.col(id_col))
+                & (F.col("_w.line_idx") == F.col("line_idx"))
+            )
+        )
+        .select(id_col, "line_idx", "line")
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines_total"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    return rebuilt.join(totals, id_col)

@@ -7120,6 +7120,81 @@ def w_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_paragraph_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0
+               THEN 'cookie banner accept all' || chr(10) || text
+                    || chr(10) || 'subscribe to our newsletter'
+             WHEN doc_id % 3 = 1
+               THEN text || chr(10) || 'subscribe to our newsletter'
+             ELSE text END AS t2
+      FROM documents
+    ), l AS (
+      SELECT doc_id,
+             unnest(string_split(t2, chr(10))) AS line,
+             unnest(range(0, len(string_split(t2, chr(10))))) AS line_idx
+      FROM d
+    ), h AS (
+      SELECT doc_id, line_idx, line,
+        CASE WHEN length(trim(line)) >= 1 THEN
+          md5(array_to_string(regexp_extract_all(
+            lower(regexp_replace(line, '[0-9]', '', 'g')), '[a-z]+'), ' '))
+        END AS hh
+      FROM l
+    ), ranked AS (
+      SELECT *, CASE WHEN hh IS NULL THEN 1 ELSE
+        row_number() OVER (PARTITION BY hh ORDER BY doc_id, line_idx)
+      END AS rn
+      FROM h
+    ), kept AS (
+      SELECT doc_id, line_idx, line FROM ranked WHERE rn = 1
+    ), totals AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_total
+      FROM l GROUP BY doc_id
+    )
+    SELECT k.doc_id,
+           string_agg(k.line, chr(10) ORDER BY k.line_idx) AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_lines_kept,
+           any_value(t.n_lines_total) AS n_lines_total
+    FROM kept k JOIN totals t ON k.doc_id = t.doc_id
+    GROUP BY k.doc_id
+    """,
+)
+def t_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet paragraph-level exact dedup (text.dedup_paragraphs):
+    newline-delimited lines hash under CCNet normalization (lowercase,
+    digit-stripped, punctuation-insensitive), each distinct paragraph
+    keeps only its globally FIRST occurrence, documents reassemble
+    from survivors — the pass that leaves a site-wide cookie banner
+    exactly once in the corpus. Fixture plants a shared banner line
+    on 1/3 of docs and a shared footer on 2/3; the winner rule
+    (min (doc, line_idx)) is a map-side-combinable aggregate, and the
+    hash exchange carries md5 + ids, never text."""
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("cookie banner accept all\n"),
+                F.col("text"),
+                F.lit("\nsubscribe to our newsletter"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"), F.lit("\nsubscribe to our newsletter")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t2"),
+    )
+    return T.dedup_paragraphs(d, "doc_id", "t2")
+
+
+@query(
     "t_unicode_nfc",
     """
     WITH d AS (

@@ -813,3 +813,27 @@ def test_url_quality_uppercase_scheme(spark):
     )
     r = df.select(fl["path_len"].alias("pl")).collect()[0]
     assert r.pl == 2  # '/a', not the whole URL
+
+
+def test_dedup_paragraphs_first_wins_and_reassembly(spark):
+    from mongodb_etl_migration_spark.operators.text import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "BANNER here\nunique one\nfooter text"),
+            (2, "banner, HERE!\nunique two\nfooter text"),  # banner dupe (normalized)
+            (3, "footer text"),                               # fully duplicated -> gone
+            (4, "unique four\n\nafter blank"),                # blank line kept as structure
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_lines_kept, r.n_lines_total)
+        for r in dedup_paragraphs(docs, "doc_id", "text").collect()
+    }
+    # doc 1 keeps everything (first occurrences); doc 2 loses banner +
+    # footer (punctuation/case-insensitive hash); doc 3 disappears
+    assert out[1] == ("BANNER here\nunique one\nfooter text", 3, 3)
+    assert out[2] == ("unique two", 1, 3)
+    assert 3 not in out
+    assert out[4] == ("unique four\n\nafter blank", 3, 3)
