@@ -1314,3 +1314,83 @@ def dedup_paragraphs(
         F.count("*").alias("n_lines_kept"),
     )
     return rebuilt.join(totals, id_col)
+
+
+def gopher_repetition_flags(
+    c: Column | str, toks: Column | None = None
+) -> dict[str, Column]:
+    """The REPETITION half of the Gopher quality rules (Rae et al.
+    2021 §A1.1 — gopher_quality_flags carries the length/symbol/
+    stopword half): duplicate-line fractions and the most-frequent-
+    bigram character share, as pure Column expressions (integer
+    numerators/denominators, exact IEEE division only — hash-exact
+    across engines; zero shuffle).
+
+      dup_line_frac        duplicate lines / lines (a line repeating
+                           an EARLIER line counts; array_distinct
+                           keeps first occurrences)
+      dup_line_char_frac   characters inside those duplicate lines /
+                           all line characters
+      top_bigram_chars     characters covered by the most frequent
+                           token bigram: max count × (len(bigram
+                           occurrences)); 0 for < 2 tokens
+      top_bigram_char_frac top_bigram_chars / total token characters
+      rep_lines_ok         dup_line_frac <= 0.30
+      rep_line_chars_ok    dup_line_char_frac <= 0.20
+      rep_bigram_ok        top_bigram_char_frac <= 0.20
+      gopher_rep_pass      conjunction
+
+    Per-row cost of the bigram share is O(distinct-bigrams ×
+    bigrams) inside codegen (the collision_stats discipline) —
+    linear with input splits, no exchange at any corpus size."""
+    col = F.col(c) if isinstance(c, str) else c
+    toks = tokens(c) if toks is None else toks
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    chars_all = F.length(F.array_join(lines, ""))
+    chars_dist = F.length(F.array_join(F.array_distinct(lines), ""))
+    dup_line_frac = F.when(
+        n_lines > 0, (n_lines - n_dist) / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+    dup_line_char_frac = F.when(
+        chars_all > 0,
+        (chars_all - chars_dist) / chars_all.cast("double"),
+    ).otherwise(F.lit(0.0))
+    grams = bigrams_array(c, toks)
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.struct(
+            F.size(F.filter(grams, lambda x: x == g)).alias("n"),
+            F.length(g).alias("ln"),
+        ),
+    )
+    # chars covered by the winning bigram = n * (len - 1 space)…
+    # keep it simple and exact: n * length of the bigram STRING
+    # ("a b"), matching the oracle expression-for-expression
+    best = F.aggregate(
+        counts,
+        F.lit(0).cast("long"),
+        lambda acc, s: F.greatest(
+            acc, (s["n"] * s["ln"]).cast("long")
+        ),
+    )
+    tok_chars = F.length(F.array_join(toks, " "))
+    top_frac = F.when(
+        tok_chars > 0, best / tok_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    flags = {
+        "dup_line_frac": dup_line_frac,
+        "dup_line_char_frac": dup_line_char_frac,
+        "top_bigram_chars": best,
+        "top_bigram_char_frac": top_frac,
+    }
+    flags["rep_lines_ok"] = dup_line_frac <= 0.30
+    flags["rep_line_chars_ok"] = dup_line_char_frac <= 0.20
+    flags["rep_bigram_ok"] = top_frac <= 0.20
+    flags["gopher_rep_pass"] = (
+        flags["rep_lines_ok"]
+        & flags["rep_line_chars_ok"]
+        & flags["rep_bigram_ok"]
+    )
+    return flags

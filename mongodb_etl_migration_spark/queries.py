@@ -7120,6 +7120,90 @@ def w_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_gopher_repetition",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0
+               THEN text || chr(10) || text || chr(10) || text
+             WHEN doc_id % 7 = 0 THEN text || chr(10) || 'extra line'
+             ELSE text END AS t2
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, string_split(t2, chr(10)) AS ls FROM d
+    ), lf AS (
+      SELECT doc_id,
+        CASE WHEN len(ls) > 0 THEN
+          (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE)
+        ELSE 0.0 END AS dup_line_frac,
+        CASE WHEN length(array_to_string(ls, '')) > 0 THEN
+          (length(array_to_string(ls, ''))
+           - length(array_to_string(list_distinct(ls), '')))
+          / CAST(length(array_to_string(ls, '')) AS DOUBLE)
+        ELSE 0.0 END AS dup_line_char_frac
+      FROM lines
+    ), toks AS (
+      SELECT doc_id, regexp_extract_all(lower(t2), '[a-z0-9]+') AS t
+      FROM d
+    ), grams AS (
+      SELECT doc_id,
+        list_transform(list_zip(t[:len(t)-1], t[2:]),
+                       p -> p[1] || ' ' || p[2]) AS g,
+        length(array_to_string(t, ' ')) AS tok_chars
+      FROM toks
+    ), best AS (
+      SELECT doc_id, tok_chars,
+        CAST(coalesce(list_max(list_transform(list_distinct(g),
+          x -> len(list_filter(g, y -> y = x)) * length(x))), 0) AS BIGINT)
+          AS top_bigram_chars
+      FROM grams
+    )
+    SELECT l.doc_id, l.dup_line_frac, l.dup_line_char_frac,
+           b.top_bigram_chars,
+           CASE WHEN b.tok_chars > 0
+                THEN b.top_bigram_chars / CAST(b.tok_chars AS DOUBLE)
+                ELSE 0.0 END AS top_bigram_char_frac,
+           (l.dup_line_frac <= 0.30
+            AND l.dup_line_char_frac <= 0.20
+            AND (CASE WHEN b.tok_chars > 0
+                      THEN b.top_bigram_chars / CAST(b.tok_chars AS DOUBLE)
+                      ELSE 0.0 END) <= 0.20) AS gopher_rep_pass
+    FROM lf l JOIN best b ON l.doc_id = b.doc_id
+    """,
+)
+def t_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 REPETITION rules (text.gopher_repetition_flags):
+    duplicate-line fraction, duplicate-line character fraction, and
+    most-frequent-bigram character share — the within-document
+    repetition gates that complete the Gopher family next to
+    t_gopher_rules' length/symbol/stopword half. Fixture plants
+    triple-repeated docs (1/5) and one-extra-line docs; all ratios
+    are integer-over-integer IEEE divisions, zero shuffle."""
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat_ws("\n", "text", "text", "text"),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit("\nextra line")),
+        )
+        .otherwise(F.col("text"))
+        .alias("t2"),
+    )
+    flags = T.gopher_repetition_flags("t2")
+    return d.select(
+        "doc_id",
+        flags["dup_line_frac"].alias("dup_line_frac"),
+        flags["dup_line_char_frac"].alias("dup_line_char_frac"),
+        flags["top_bigram_chars"].alias("top_bigram_chars"),
+        flags["top_bigram_char_frac"].alias("top_bigram_char_frac"),
+        flags["gopher_rep_pass"].alias("gopher_rep_pass"),
+    )
+
+
+@query(
     "t_paragraph_dedup",
     """
     WITH d AS (

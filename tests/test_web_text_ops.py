@@ -837,3 +837,33 @@ def test_dedup_paragraphs_first_wins_and_reassembly(spark):
     assert out[2] == ("unique two", 1, 3)
     assert 3 not in out
     assert out[4] == ("unique four\n\nafter blank", 3, 3)
+
+
+def test_gopher_repetition_flags_exact(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "same line\nsame line\nsame line"),      # all dup lines
+            (2, "alpha beta\ngamma delta"),               # clean
+            (3, "dog cat dog cat dog cat dog cat"),       # one bigram dominates
+            (4, ""),                                       # empty
+        ],
+        "doc_id long, text string",
+    )
+    fl = T.gopher_repetition_flags("text")
+    out = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            fl["dup_line_frac"].alias("dlf"),
+            fl["dup_line_char_frac"].alias("dlcf"),
+            fl["top_bigram_char_frac"].alias("tbf"),
+            fl["gopher_rep_pass"].alias("ok"),
+        ).collect()
+    }
+    assert abs(out[1].dlf - 2 / 3) < 1e-12
+    assert abs(out[1].dlcf - 2 / 3) < 1e-12
+    assert not out[1].ok
+    assert out[2].dlf == 0.0 and out[2].ok is True
+    # doc 3: "dog cat" appears 4x as a bigram over 31 token chars
+    assert out[3].tbf > 0.5 and not out[3].ok
+    assert out[4].dlf == 0.0 and out[4].tbf == 0.0
