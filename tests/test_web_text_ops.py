@@ -843,7 +843,10 @@ def test_gopher_repetition_flags_exact(spark):
     docs = spark.createDataFrame(
         [
             (1, "same line\nsame line\nsame line"),      # all dup lines
-            (2, "alpha beta\ngamma delta"),               # clean
+            # clean doc must be LONG: with only a few bigrams any one
+            # covers >20% of chars (Gopher composes the repetition
+            # rules with the words_ok minimum for exactly this reason)
+            (2, "\n".join(f"w{i}a w{i}b w{i}c w{i}d" for i in range(12))),
             (3, "dog cat dog cat dog cat dog cat"),       # one bigram dominates
             (4, ""),                                       # empty
         ],
