@@ -705,3 +705,46 @@ def url_quality_flags(c: Column | str) -> dict[str, Column]:
         flags["digits_ok"] & flags["depth_ok"] & flags["path_ok"]
     )
     return flags
+
+
+def sitemap_urls(df, id_col: str, xml_col: str):
+    """Sitemap-protocol extraction (sitemaps.org 0.9 — the crawl-
+    frontier feed next to robots.txt): one row per ``<url>`` entry
+    with its ``<loc>`` (required) and ``<lastmod>`` (optional) —
+    the discovery step that seeds a crawl's URL frontier and the
+    freshness signal recrawl scheduling keys on. Also recognizes
+    ``<sitemap>`` index entries (nested sitemap files) via the
+    ``is_index`` flag.
+
+    Pure regexp chain (RE2-safe, mirrored verbatim by the oracle):
+    each ``<url>``/``<sitemap>`` element is extracted whole, then
+    loc/lastmod pulled per element — malformed elements without a
+    <loc> yield NULL and are dropped. Zero shuffle, no XML library,
+    no UDF; entity-decoding of the loc reuses html_to_text's
+    numeric-charref pass ONLY for the &amp; family sitemaps require
+    escaping."""
+    elems = F.regexp_extract_all(
+        F.col(xml_col), F.lit("(?s)<(?:url|sitemap)>.*?</(?:url|sitemap)>"), 0
+    )
+    ex = df.select(F.col(id_col), F.explode(elems).alias("_e"))
+    loc = F.regexp_extract(
+        F.col("_e"), "(?s)<loc>\\s*(.*?)\\s*</loc>", 1
+    )
+    lastmod = F.regexp_extract(
+        F.col("_e"), "(?s)<lastmod>\\s*(.*?)\\s*</lastmod>", 1
+    )
+    unescaped = loc
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        unescaped = F.replace(unescaped, F.lit(ent), F.lit(ch))
+    return ex.select(
+        F.col(id_col),
+        F.nullif(unescaped, F.lit("")).alias("loc"),
+        F.nullif(lastmod, F.lit("")).alias("lastmod"),
+        F.col("_e").startswith("<sitemap>").alias("is_index"),
+    ).filter(F.col("loc").isNotNull())

@@ -6978,6 +6978,92 @@ def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.classifier_margin(d, "doc_id", "text")
 
 
+_SITEMAP_XML_SQL = """
+      '<?xml version="1.0"?><urlset>'
+      || '<url><loc> https://' || lower(source) || '.com/p/'
+      || CAST(doc_id AS VARCHAR) || ' </loc><lastmod>2024-0'
+      || CAST(doc_id % 9 + 1 AS VARCHAR) || '-01</lastmod></url>'
+      || CASE WHEN doc_id % 4 = 0
+              THEN '<url><loc>https://' || lower(source)
+                   || '.com/q?a=1&amp;b=2</loc></url>'
+              ELSE '' END
+      || CASE WHEN doc_id % 6 = 0
+              THEN '<sitemap><loc>https://' || lower(source)
+                   || '.com/sitemap2.xml</loc></sitemap>'
+              ELSE '' END
+      || CASE WHEN doc_id % 11 = 0
+              THEN '<url><lastmod>2024-01-01</lastmod></url>'
+              ELSE '' END
+      || '</urlset>'
+"""
+
+
+@query(
+    "w_sitemap_urls",
+    f"""
+    WITH x AS (
+      SELECT doc_id, {_SITEMAP_XML_SQL} AS xml FROM documents
+    ), e AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(xml,
+               '(?s)<(?:url|sitemap)>.*?</(?:url|sitemap)>')) AS el
+      FROM x
+    ), p AS (
+      SELECT doc_id,
+        nullif(replace(replace(replace(replace(replace(
+          regexp_extract(el, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&apos;', ''''), '&amp;', '&'), '') AS loc,
+        nullif(regexp_extract(el, '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1),
+               '') AS lastmod,
+        el LIKE '<sitemap>%' AS is_index
+      FROM e
+    )
+    SELECT doc_id, loc, lastmod, is_index FROM p WHERE loc IS NOT NULL
+    """,
+)
+def w_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-protocol extraction (web.sitemap_urls): <url>/<sitemap>
+    elements → (loc, lastmod, is_index) rows — the crawl-frontier
+    discovery feed next to robots.txt, with the freshness signal
+    recrawl scheduling keys on. Fixture synthesizes sitemaps with
+    whitespace-padded locs, &amp;-escaped query URLs, nested sitemap
+    index entries, and loc-less malformed elements (dropped). Pure
+    regexp chain, zero shuffle."""
+    d = Catalog(spark, sf_dir).documents
+    src = F.lower(F.col("source"))
+    did = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.lit("<url><loc> https://"), src, F.lit(".com/p/"), did,
+        F.lit(" </loc><lastmod>2024-0"),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("-01</lastmod></url>"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("<url><loc>https://"), src,
+                F.lit(".com/q?a=1&amp;b=2</loc></url>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.lit("<sitemap><loc>https://"), src,
+                F.lit(".com/sitemap2.xml</loc></sitemap>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("<url><lastmod>2024-01-01</lastmod></url>"),
+        ).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    return WB.sitemap_urls(
+        d.select("doc_id", xml.alias("xml")), "doc_id", "xml"
+    )
+
+
 _SPAMMY_URL_SQL = """
       CASE doc_id % 5
         WHEN 0 THEN 'https://a1b2c3d4e5f6.' || lower(source) || '.com/x'

@@ -870,3 +870,24 @@ def test_gopher_repetition_flags_exact(spark):
     # doc 3: "dog cat" appears 4x as a bigram over 31 token chars
     assert out[3].tbf > 0.5 and not out[3].ok
     assert out[4].dlf == 0.0 and out[4].tbf == 0.0
+
+
+def test_sitemap_urls_extraction(spark):
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> https://a.com/1 </loc><lastmod>2024-05-01</lastmod></url>"
+        "<url><loc>https://a.com/q?x=1&amp;y=2</loc></url>"
+        "<sitemap><loc>https://a.com/more.xml</loc></sitemap>"
+        "<url><lastmod>2024-01-01</lastmod></url>"  # malformed: no loc
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(1, xml)], "doc_id long, xml string")
+    out = [
+        (r.loc, r.lastmod, r.is_index)
+        for r in W.sitemap_urls(df, "doc_id", "xml").collect()
+    ]
+    assert out == [
+        ("https://a.com/1", "2024-05-01", False),
+        ("https://a.com/q?x=1&y=2", None, False),
+        ("https://a.com/more.xml", None, True),
+    ]
