@@ -748,3 +748,23 @@ def sitemap_urls(df, id_col: str, xml_col: str):
         F.nullif(lastmod, F.lit("")).alias("lastmod"),
         F.col("_e").startswith("<sitemap>").alias("is_index"),
     ).filter(F.col("loc").isNotNull())
+
+
+def robots_sitemaps(df, host_col: str, text_col: str):
+    """``Sitemap:`` directives from robots.txt bodies (RFC 9309 §2.3
+    allows them anywhere in the file, outside any user-agent group):
+    one row per directive — the link that closes the crawl-frontier
+    loop robots.txt → sitemap → sitemap_urls. Case-insensitive
+    field name, space/tab-trimmed absolute URL, zero shuffle."""
+    lines = F.explode(F.split(F.col(text_col), "\n")).alias("_ln")
+    ex = df.select(F.col(host_col), lines)
+    t = F.regexp_replace(F.col("_ln"), "^[ \\t]+|[ \\t]+$", "")
+    url = F.regexp_replace(
+        F.regexp_extract(t, "(?i)^sitemap:(.*)$", 1),
+        "^[ \\t]+|[ \\t]+$",
+        "",
+    )
+    return (
+        ex.select(F.col(host_col), F.nullif(url, F.lit("")).alias("sitemap_url"))
+        .filter(F.col("sitemap_url").isNotNull())
+    )

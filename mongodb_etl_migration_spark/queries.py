@@ -6462,6 +6462,41 @@ def w_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WB.parse_robots_rules(pages, "host", "robots_txt")
 
 
+@query(
+    "w_robots_sitemaps",
+    """
+    WITH hosts AS (
+      SELECT DISTINCT 'www.' || lower(source) || '.example.com' AS host
+      FROM documents
+    )
+    SELECT host, 'https://' || host || sm.path AS sitemap_url
+    FROM hosts, (VALUES ('/sitemap.xml'), ('/news.xml')) sm(path)
+    """,
+)
+def w_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap directives out of robots.txt (web.robots_sitemaps) —
+    RFC 9309 §2.3 allows them anywhere, outside user-agent groups;
+    the fixture buries one lowercase and one SHOUTED/whitespace-
+    padded directive among groups and comments. Closes the frontier
+    loop robots.txt → sitemap URL → sitemap_urls. Zero shuffle."""
+    d = Catalog(spark, sf_dir).documents
+    hosts = d.select(F.lower("source").alias("s")).distinct().select(
+        F.concat(F.lit("www."), F.col("s"), F.lit(".example.com")).alias(
+            "host"
+        )
+    )
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private/\n"),
+        F.lit("SITEMAP: \thttps://"),
+        F.col("host"),
+        F.lit("/news.xml \n# comment\nsitemap: https://"),
+        F.col("host"),
+        F.lit("/sitemap.xml\n"),
+    )
+    pages = hosts.select("host", body.alias("robots_txt"))
+    return WB.robots_sitemaps(pages, "host", "robots_txt")
+
+
 def _web_page_html() -> F.Column:
     """Deterministic page fixture for the link-graph family: title,
     absolute canonical link (a SELF-edge the graph must drop), two

@@ -891,3 +891,17 @@ def test_sitemap_urls_extraction(spark):
         ("https://a.com/q?x=1&y=2", None, False),
         ("https://a.com/more.xml", None, True),
     ]
+
+
+def test_robots_sitemaps_directives(spark):
+    body = (
+        "User-agent: *\nDisallow: /private\n"
+        "SITEMAP:  https://a.com/sitemap.xml \t\n"
+        "sitemap: https://a.com/news.xml\n"
+        "# sitemap: commented out — still matches? no: leading #\n"
+    )
+    df = spark.createDataFrame([("a.com", body)], "host string, text string")
+    out = sorted(
+        r.sitemap_url for r in W.robots_sitemaps(df, "host", "text").collect()
+    )
+    assert out == ["https://a.com/news.xml", "https://a.com/sitemap.xml"]
