@@ -665,7 +665,9 @@ def test_nfc_normalize_composes_and_flags(spark):
     assert out[2] == ("caf\xe9", False)
     assert out[3] == ("\xc4b plain", True)
     assert out[4] == ("ascii only", False)
-    assert out[5] == (None, None)
+    # review fix: NULL text was not rewritten -> changed is FALSE
+    # (null-safe), so audit counts still partition the corpus
+    assert out[5] == (None, False)
     # the canonical-equality dedup motivation: after NFC the two cafés
     # fingerprint identically
     assert out[1][0] == out[2][0]
