@@ -1254,22 +1254,30 @@ def dedup_paragraphs(
     punctuation-insensitive via the token stream, whitespace
     collapsed — the ORIGINAL line text is what survives into
     clean_text. Lines shorter than ``min_chars`` (after trim) are
-    kept unconditionally (empty/separator lines are structure, not
-    content).
+    kept unconditionally, and so are lines whose NORMALIZATION is
+    empty (digit-only, punctuation-only, separator lines): they are
+    structure, not content, and hashing them would cross-delete every
+    '---' and date line in the corpus against the first one. NULL
+    text is treated as '' (the document survives with one empty
+    line), mirroring the engine's no-silent-row-loss contract.
 
-    Same 100 TB shape as dedup_spans: one shuffle on the paragraph
-    hash (md5 + ids, never text) to pick winners, one on the doc id
-    to reassemble; the winner rule is a map-side-combinable min
-    aggregate, not a corpus window.
+    100 TB shape — line TEXT crosses exactly ONE exchange: the
+    paragraph-hash shuffle carries (md5, id, line_idx) only; winners
+    collapse to a per-document keep-set array (id-partitioned, ids
+    only); the single text shuffle is the id join that reunites lines
+    with their keep-set, and the reassembly groupBy(id) reuses that
+    same partitioning (no second text exchange). The winner rule
+    min(doc, position) is a map-side-combinable min aggregate, not a
+    corpus window.
 
     Output: (id_col, clean_text, n_lines_kept, n_lines_total) — one
     row per document keeping at least one line.
     """
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias(
-            "line_idx", "line"
-        ),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("line_idx", "line"),
     )
     norm = F.array_join(
         F.regexp_extract_all(
@@ -1279,27 +1287,33 @@ def dedup_paragraphs(
         ),
         " ",
     )
-    content = F.length(F.trim(F.col("line"))) >= min_chars
-    hashed = lines.select(
+    content = (F.length(F.trim(F.col("line"))) >= min_chars) & (
+        norm != ""
+    )
+    # ids-only projection rides the hash exchange; text stays behind
+    hmap = lines.select(
         F.col(id_col),
         "line_idx",
-        "line",
         F.when(content, F.md5(norm)).alias("_h"),
     )
     winners = (
-        hashed.filter(F.col("_h").isNotNull())
+        hmap.filter(F.col("_h").isNotNull())
         .groupBy("_h")
         .agg(F.min(F.struct(F.col(id_col), F.col("line_idx"))).alias("_w"))
+        .select(
+            F.col(f"_w.{id_col}").alias(id_col),
+            F.col("_w.line_idx").alias("line_idx"),
+        )
+    )
+    keep_ids = hmap.filter(F.col("_h").isNull()).select(
+        id_col, "line_idx"
+    ).unionByName(winners)
+    keep_sets = keep_ids.groupBy(id_col).agg(
+        F.collect_set("line_idx").alias("_keep")
     )
     kept = (
-        hashed.join(winners, "_h", "left")
-        .filter(
-            F.col("_h").isNull()
-            | (
-                (F.col(f"_w.{id_col}") == F.col(id_col))
-                & (F.col("_w.line_idx") == F.col("line_idx"))
-            )
-        )
+        lines.join(keep_sets, id_col)
+        .filter(F.array_contains(F.col("_keep"), F.col("line_idx")))
         .select(id_col, "line_idx", "line")
     )
     totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines_total"))
@@ -1345,7 +1359,13 @@ def gopher_repetition_flags(
     linear with input splits, no exchange at any corpus size."""
     col = F.col(c) if isinstance(c, str) else c
     toks = tokens(c) if toks is None else toks
-    lines = F.split(col, "\n")
+    # blank paragraph separators are NOT lines for the repetition
+    # rules: '\n\n'-separated prose would otherwise count its
+    # separators as duplicates and fail rep_lines_ok with zero real
+    # repetition
+    lines = F.filter(
+        F.split(col, "\n"), lambda ln: F.length(F.trim(ln)) > 0
+    )
     n_lines = F.size(lines)
     n_dist = F.size(F.array_distinct(lines))
     chars_all = F.length(F.array_join(lines, ""))
@@ -1368,12 +1388,15 @@ def gopher_repetition_flags(
     # chars covered by the winning bigram = n * (len - 1 space)…
     # keep it simple and exact: n * length of the bigram STRING
     # ("a b"), matching the oracle expression-for-expression
-    best = F.aggregate(
-        counts,
-        F.lit(0).cast("long"),
-        lambda acc, s: F.greatest(
-            acc, (s["n"] * s["ln"]).cast("long")
+    best = F.coalesce(
+        F.aggregate(
+            counts,
+            F.lit(0).cast("long"),
+            lambda acc, s: F.greatest(
+                acc, (s["n"] * s["ln"]).cast("long")
+            ),
         ),
+        F.lit(0).cast("long"),  # NULL text: 0, like every other flag
     )
     tok_chars = F.length(F.array_join(toks, " "))
     top_frac = F.when(

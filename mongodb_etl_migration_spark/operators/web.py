@@ -756,7 +756,11 @@ def robots_sitemaps(df, host_col: str, text_col: str):
     one row per directive — the link that closes the crawl-frontier
     loop robots.txt → sitemap → sitemap_urls. Case-insensitive
     field name, space/tab-trimmed absolute URL, zero shuffle."""
-    lines = F.explode(F.split(F.col(text_col), "\n")).alias("_ln")
+    # CRLF (and mangled CR CR LF) robots bodies: strip \r up front,
+    # the same normalization parse_robots_rules applies
+    lines = F.explode(
+        F.split(F.regexp_replace(F.col(text_col), "\r", ""), "\n")
+    ).alias("_ln")
     ex = df.select(F.col(host_col), lines)
     t = F.regexp_replace(F.col("_ln"), "^[ \\t]+|[ \\t]+$", "")
     url = F.regexp_replace(

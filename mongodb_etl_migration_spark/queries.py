@@ -7122,7 +7122,7 @@ _SPAMMY_URL_SQL = """
       SELECT doc_id, url,
         lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))
           AS host,
-        regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/?#]*', '') AS rest
+        regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest
       FROM u
     ), m AS (
       SELECT doc_id,
@@ -7251,7 +7251,10 @@ def w_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE text END AS t2
       FROM documents
     ), lines AS (
-      SELECT doc_id, string_split(t2, chr(10)) AS ls FROM d
+      SELECT doc_id,
+             list_filter(string_split(t2, chr(10)),
+                         l -> length(trim(l)) > 0) AS ls
+      FROM d
     ), lf AS (
       SELECT doc_id,
         CASE WHEN len(ls) > 0 THEN
@@ -7343,7 +7346,11 @@ def t_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     ), h AS (
       SELECT doc_id, line_idx, line,
-        CASE WHEN length(trim(line)) >= 1 THEN
+        CASE WHEN length(trim(line)) >= 1
+              AND array_to_string(regexp_extract_all(
+                lower(regexp_replace(line, '[0-9]', '', 'g')),
+                '[a-z]+'), ' ') <> ''
+             THEN
           md5(array_to_string(regexp_extract_all(
             lower(regexp_replace(line, '[0-9]', '', 'g')), '[a-z]+'), ' '))
         END AS hh
@@ -7411,7 +7418,7 @@ def t_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            nfc_normalize(t2) AS norm_text,
-           t2 <> nfc_normalize(t2) AS changed
+           t2 IS DISTINCT FROM nfc_normalize(t2) AS changed
     FROM d
     """,
 )

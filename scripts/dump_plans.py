@@ -339,6 +339,14 @@ NOTES = {
         "included); the banned-word check is array_intersect against "
         "a literal in the same Filter — no Exchange anywhere."
     ),
+    "t_paragraph_dedup": (
+        "CCNet paragraph dedup: the winner rule is a hash-partitioned "
+        "min AGGREGATE (map-side combinable partial), not a corpus "
+        "window, and its exchange carries (md5, id, line_idx) ONLY — "
+        "line text crosses exactly one exchange: the id join against "
+        "the per-document keep-set array, whose partitioning the "
+        "reassembly groupBy(id) reuses."
+    ),
 }
 
 

@@ -907,3 +907,32 @@ def test_robots_sitemaps_directives(spark):
         r.sitemap_url for r in W.robots_sitemaps(df, "host", "text").collect()
     )
     assert out == ["https://a.com/news.xml", "https://a.com/sitemap.xml"]
+
+
+def test_dedup_paragraphs_structure_lines_survive(spark):
+    """Separator/digit-only lines hash to nothing: every doc keeps its
+    own '---' and date lines (review fix: they all normalized to ''
+    and cross-deduplicated corpus-wide)."""
+    from mongodb_etl_migration_spark.operators.text import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha\n---\n2024"), (2, "beta\n---\n42"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.clean_text
+        for r in dedup_paragraphs(docs, "doc_id", "text").collect()
+    }
+    assert out[1] == "alpha\n---\n2024"
+    assert out[2] == "beta\n---\n42"
+    assert out[3] == ""  # NULL text survives as one empty line
+
+
+def test_gopher_repetition_blank_separated_prose_passes(spark):
+    fl = T.gopher_repetition_flags("text")
+    doc = "\n\n".join(f"para {i} unique words here" for i in range(8))
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    r = df.select(
+        fl["dup_line_frac"].alias("dlf"), fl["rep_lines_ok"].alias("ok")
+    ).collect()[0]
+    assert r.dlf == 0.0 and r.ok
