@@ -592,8 +592,11 @@ def _parse_gif_inner(raw: bytes) -> tuple[int, int, list[np.ndarray]]:
         elif block == 0x2C:  # image descriptor
             left, top, fw, fh, ipacked = struct.unpack_from("<HHHHB", raw, pos)
             pos += 9
-            if (left, top, fw, fh) != (0, 0, w, h) or ipacked & 0xC0:
+            # local color tables stay unsupported; INTERLACED frames
+            # (flag 0x40 — common in old web GIFs) deinterlace below
+            if (left, top, fw, fh) != (0, 0, w, h) or ipacked & 0x80:
                 raise ValueError("unsupported GIF frame layout")
+            interlaced = bool(ipacked & 0x40)
             min_code = raw[pos]
             pos += 1
             # spec caps code width at 12 bits; an adversarial byte here
@@ -610,7 +613,14 @@ def _parse_gif_inner(raw: bytes) -> tuple[int, int, list[np.ndarray]]:
             arr = np.asarray(idx, dtype=np.int32)
             if arr.max(initial=0) >= gct_n:
                 raise ValueError("GIF index out of palette range")
-            frames.append(palette[arr].reshape(h, w, 3).copy())
+            img = palette[arr].reshape(h, w, 3)
+            if interlaced:
+                # GIF 4-pass row order (89a appendix E): stream row j
+                # displays at _gif_interlace_order(h)[j]
+                out_img = np.zeros_like(img)
+                out_img[_gif_interlace_order(h)] = img
+                img = out_img
+            frames.append(img.copy())
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
     if not frames:
@@ -618,12 +628,26 @@ def _parse_gif_inner(raw: bytes) -> tuple[int, int, list[np.ndarray]]:
     return int(w), int(h), frames
 
 
+def _gif_interlace_order(h: int) -> list[int]:
+    """Display-row order of an interlaced GIF's stream rows (89a
+    appendix E): every 8th from 0, every 8th from 4, every 4th from
+    2, every 2nd from 1."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
 def encode_gif(
-    index_frames: list[np.ndarray], palette: np.ndarray
+    index_frames: list[np.ndarray], palette: np.ndarray,
+    interlace: bool = False,
 ) -> bytes:
     """Inverse of :func:`parse_gif`: HxW uint8 palette-index frames +
-    (n,3) palette → animated GIF (GCT, full-canvas, non-interlaced).
-    Palette size rounds up to a power of two ≥ 2."""
+    (n,3) palette → animated GIF (GCT, full-canvas). Palette size
+    rounds up to a power of two ≥ 2. ``interlace=True`` writes each
+    frame's rows in the 4-pass order with the descriptor flag set."""
     h, w = index_frames[0].shape
     n = max(2, 1 << (int(palette.shape[0]) - 1).bit_length())
     pal = np.zeros((n, 3), dtype=np.uint8)
@@ -636,9 +660,11 @@ def encode_gif(
     for fr in index_frames:
         if fr.shape != (h, w):
             raise ValueError("all frames must be canvas-sized")
-        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        out.append(0x40 if interlace else 0x00)
         out.append(min_code)
-        data = _lzw_encode([int(x) for x in fr.reshape(-1)], min_code)
+        rows = fr[_gif_interlace_order(h)] if interlace else fr
+        data = _lzw_encode([int(x) for x in rows.reshape(-1)], min_code)
         for i in range(0, len(data), 255):
             chunk = data[i : i + 255]
             out.append(len(chunk))

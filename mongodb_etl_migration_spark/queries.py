@@ -2615,7 +2615,12 @@ def m_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 frames = [
                     np.full((4, 8), f % 4, dtype=np.uint8) for f in range(nf)
                 ]
-                raw = encode_gif(frames, _PAL)
+                # odd docs encode INTERLACED (flag + 4-pass row order);
+                # constant frames mean the same analytic oracle covers
+                # both wire layouts while the flag/reorder path runs
+                raw = encode_gif(
+                    frames, _PAL, interlace=bool(doc_id % 2)
+                )
                 _, _, decoded = parse_gif(raw)
                 for f in range(0, len(decoded), 2):
                     px = decoded[f].astype(np.float64)

@@ -1693,3 +1693,28 @@ def test_random_projection_preserves_relative_distance(spark):
         for r in SIM.random_projection_int(df, "vec_id").collect()
     }
     assert again == {k: tuple(v) for k, v in out.items()}
+
+
+def test_gif_interlace_order_matches_spec_and_roundtrip():
+    """Pin the 4-pass table to the 89a appendix-E example (h=8 →
+    0,4,2,6,1,3,5,7) — a shared-but-wrong table would still
+    roundtrip — then roundtrip NON-constant interlaced frames so row
+    placement is actually exercised."""
+    import numpy as np
+
+    assert M._gif_interlace_order(8) == [0, 4, 2, 6, 1, 3, 5, 7]
+    assert M._gif_interlace_order(5) == [0, 4, 2, 1, 3]
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    frames = [
+        np.arange(9 * 5, dtype=np.uint8).reshape(9, 5) % 8
+        for _ in range(2)
+    ]
+    w, h, out = M.parse_gif(M.encode_gif(frames, pal, interlace=True))
+    assert (w, h) == (5, 9)
+    for f, o in zip(frames, out):
+        assert np.array_equal(o, pal[f])
+    # and the interlaced wire bytes differ from sequential (flag set)
+    assert M.encode_gif(frames, pal, interlace=True) != M.encode_gif(
+        frames, pal
+    )
