@@ -554,9 +554,11 @@ def _lzw_encode(indices: list[int], min_code: int) -> bytes:
 def parse_gif(raw: bytes) -> tuple[int, int, list[np.ndarray]]:
     """REAL decoder for the animated-GIF subset mongodump-style media
     archives actually need sampled: GIF87a/89a, global color table,
-    non-interlaced full-canvas frames (extensions — graphic control,
+    full-canvas frames — sequential AND interlaced (4-pass row
+    reordering per 89a appendix E). Extensions — graphic control,
     comments — are skipped; transparency/disposal composition is out
-    of scope, each frame decodes standalone). Returns (width, height,
+    of scope, each frame decodes standalone; local color tables and
+    non-canvas frame rects still raise. Returns (width, height,
     [HxWx3 uint8 RGB per frame]). ValueError on other variants."""
     if len(raw) < 13 or raw[:4] != b"GIF8" or raw[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF")
@@ -657,13 +659,14 @@ def encode_gif(
     out += bytes([0x80 | (n.bit_length() - 2), 0, 0])
     out += pal.tobytes()
     min_code = max(2, n.bit_length() - 1)
+    order = _gif_interlace_order(h) if interlace else None
     for fr in index_frames:
         if fr.shape != (h, w):
             raise ValueError("all frames must be canvas-sized")
         out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
         out.append(0x40 if interlace else 0x00)
         out.append(min_code)
-        rows = fr[_gif_interlace_order(h)] if interlace else fr
+        rows = fr[order] if interlace else fr
         data = _lzw_encode([int(x) for x in rows.reshape(-1)], min_code)
         for i in range(0, len(data), 255):
             chunk = data[i : i + 255]

@@ -1279,22 +1279,27 @@ def dedup_paragraphs(
             F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
         ).alias("line_idx", "line"),
     )
+    digitless = F.lower(F.regexp_replace(F.col("line"), "[0-9]", ""))
     norm = F.array_join(
-        F.regexp_extract_all(
-            F.lower(F.regexp_replace(F.col("line"), "[0-9]", "")),
-            F.lit("[a-z]+"),
-            0,
-        ),
-        " ",
+        F.regexp_extract_all(digitless, F.lit("[a-z]+"), 0), " "
+    )
+    # non-Latin content (Cyrillic/CJK/Greek boilerplate) has no
+    # [a-z]+ tokens; fall back to the whitespace-collapsed digitless
+    # line so repeated non-English banners still dedup. A line with
+    # NO letter in ANY script (separators, punctuation, digit runs)
+    # is structure: never hashed, kept everywhere.
+    fallback = F.trim(F.regexp_replace(digitless, "\\s+", " "))
+    normf = F.when(norm != "", norm).when(
+        F.col("line").rlike("\\p{L}"), fallback
     )
     content = (F.length(F.trim(F.col("line"))) >= min_chars) & (
-        norm != ""
+        normf.isNotNull()
     )
     # ids-only projection rides the hash exchange; text stays behind
     hmap = lines.select(
         F.col(id_col),
         "line_idx",
-        F.when(content, F.md5(norm)).alias("_h"),
+        F.when(content, F.md5(normf)).alias("_h"),
     )
     winners = (
         hmap.filter(F.col("_h").isNotNull())

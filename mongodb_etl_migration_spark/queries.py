@@ -7346,18 +7346,23 @@ def t_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), l AS (
       SELECT doc_id,
-             unnest(string_split(t2, chr(10))) AS line,
-             unnest(range(0, len(string_split(t2, chr(10))))) AS line_idx
+             unnest(string_split(coalesce(t2, ''), chr(10))) AS line,
+             unnest(range(0, len(string_split(coalesce(t2, ''), chr(10)))))
+               AS line_idx
       FROM d
     ), h AS (
       SELECT doc_id, line_idx, line,
-        CASE WHEN length(trim(line)) >= 1
-              AND array_to_string(regexp_extract_all(
+        CASE WHEN length(trim(line)) < 1 THEN NULL
+             WHEN array_to_string(regexp_extract_all(
                 lower(regexp_replace(line, '[0-9]', '', 'g')),
                 '[a-z]+'), ' ') <> ''
-             THEN
-          md5(array_to_string(regexp_extract_all(
-            lower(regexp_replace(line, '[0-9]', '', 'g')), '[a-z]+'), ' '))
+             THEN md5(array_to_string(regexp_extract_all(
+               lower(regexp_replace(line, '[0-9]', '', 'g')),
+               '[a-z]+'), ' '))
+             WHEN regexp_matches(line, '\p{L}')
+             THEN md5(trim(regexp_replace(
+               lower(regexp_replace(line, '[0-9]', '', 'g')),
+               '\s+', ' ', 'g')))
         END AS hh
       FROM l
     ), ranked AS (

@@ -897,8 +897,8 @@ def test_sitemap_urls_extraction(spark):
 
 def test_robots_sitemaps_directives(spark):
     body = (
-        "User-agent: *\nDisallow: /private\n"
-        "SITEMAP:  https://a.com/sitemap.xml \t\n"
+        "User-agent: *\r\nDisallow: /private\r\n"
+        "SITEMAP:  https://a.com/sitemap.xml \t\r\r\n"  # mangled CRLF
         "sitemap: https://a.com/news.xml\n"
         "# sitemap: commented out — still matches? no: leading #\n"
     )
@@ -936,3 +936,25 @@ def test_gopher_repetition_blank_separated_prose_passes(spark):
         fl["dup_line_frac"].alias("dlf"), fl["rep_lines_ok"].alias("ok")
     ).collect()[0]
     assert r.dlf == 0.0 and r.ok
+
+
+def test_dedup_paragraphs_nonlatin_boilerplate_dedups(spark):
+    """Cyrillic cookie banners have no [a-z] tokens; the fallback
+    normalization must still cross-dedup them (review fix: they were
+    exempted as 'structure'), while true separators stay exempt."""
+    from mongodb_etl_migration_spark.operators.text import dedup_paragraphs
+
+    banner = "\u041f\u043e\u043b\u0438\u0442\u0438\u043a\u0430 cookie"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nunique one\n---"),
+            (2, f"{banner}\nunique two\n---"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.clean_text
+        for r in dedup_paragraphs(docs, "doc_id", "text").collect()
+    }
+    assert out[1] == f"{banner}\nunique one\n---"
+    assert out[2] == "unique two\n---"  # banner deduped, separator kept
