@@ -958,3 +958,35 @@ def test_dedup_paragraphs_nonlatin_boilerplate_dedups(spark):
     }
     assert out[1] == f"{banner}\nunique one\n---"
     assert out[2] == "unique two\n---"  # banner deduped, separator kept
+
+
+def test_table_diff_symmetry(spark):
+    """diff(b, a) mirrors diff(a, b): removed and added swap, changed
+    stays changed — the property that makes the report direction-
+    agnostic for audits."""
+    from mongodb_etl_migration_spark.operators import validation as V
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k long, v string"
+    )
+    b = spark.createDataFrame(
+        [(1, "x"), (2, "Y"), (4, "w")], "k long, v string"
+    )
+    ab = {r.k: r.status for r in V.table_diff(a, b, ["k"], ["v"]).collect()}
+    ba = {r.k: r.status for r in V.table_diff(b, a, ["k"], ["v"]).collect()}
+    assert ab == {2: "changed", 3: "removed", 4: "added"}
+    assert ba == {2: "changed", 3: "added", 4: "removed"}
+
+
+def test_dedup_paragraphs_within_doc_duplicates(spark):
+    """A line repeated INSIDE one document keeps only its first
+    occurrence too (global first-wins covers within-doc)."""
+    from mongodb_etl_migration_spark.operators.text import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, "chorus line\nverse one\nchorus line\nverse two")],
+        "doc_id long, text string",
+    )
+    r = dedup_paragraphs(docs, "doc_id", "text").collect()[0]
+    assert r.clean_text == "chorus line\nverse one\nverse two"
+    assert (r.n_lines_kept, r.n_lines_total) == (3, 4)
