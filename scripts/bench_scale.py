@@ -197,6 +197,32 @@ def main() -> None:
         cm["vocab_terms"] = len(vocab)
         cm["kept"] = cls.filter(F.col("keep")).count()
 
+        # Paragraph dedup at scale: every doc carries one corpus-wide
+        # boilerplate line plus its body line. The corpus's replica
+        # suffixes are DIGITS, which CCNet normalization strips — so
+        # body lines are re-tagged with a per-replica LETTER to keep
+        # replicas distinct under the digit-stripped hash (the planted
+        # exact dups share their source's tag and still vanish).
+        # Claim: the paragraph-hash exchange carries (md5, id, idx)
+        # only and line TEXT crosses exactly one exchange — shuffle
+        # grows linearly in lines; boilerplate survives once.
+        rep = (F.col("doc_id") / 1_000_000).cast("int") % 100
+        letter = F.element_at(
+            F.array(*[F.lit(c) for c in "abcdefghij"]), rep + 1
+        )
+        pdocs = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("site boilerplate banner\n"),
+                F.col("text"),
+                F.lit(" uniq"),
+                letter,
+            ).alias("text"),
+        )
+        pd_out = T.dedup_paragraphs(pdocs, "doc_id", "text")
+        pdm = timed(ui, pd_out)
+        pdm["docs_kept"] = pd_out.count()
+
         # Graph loops at scale: a deterministic synthetic digraph with
         # 10 out-edges per node (edges ∝ corpus). Claim: per-round
         # shuffle is linear in EDGES for both PageRank and HITS (the
@@ -251,6 +277,7 @@ def main() -> None:
             "t_quality_classifier": cm,
             "g_pagerank": gp,
             "g_hits": gh,
+            "t_paragraph_dedup": pdm,
         }
         print(f"{name}: {json.dumps(results[name])}", file=sys.stderr)
 
@@ -324,6 +351,13 @@ def main() -> None:
         "hits_shuffle_growth_at_10x_graph": round(
             x["g_hits"]["shuffle_bytes"]
             / max(1, b["g_hits"]["shuffle_bytes"]),
+            2,
+        ),
+        # 10x lines: paragraph-hash exchange (ids only) + one text
+        # exchange -> linear
+        "paragraph_dedup_shuffle_growth_at_10x_corpus": round(
+            x["t_paragraph_dedup"]["shuffle_bytes"]
+            / max(1, b["t_paragraph_dedup"]["shuffle_bytes"]),
             2,
         ),
     }

@@ -990,3 +990,42 @@ def test_dedup_paragraphs_within_doc_duplicates(spark):
     r = dedup_paragraphs(docs, "doc_id", "text").collect()[0]
     assert r.clean_text == "chorus line\nverse one\nverse two"
     assert (r.n_lines_kept, r.n_lines_total) == (3, 4)
+
+
+def test_bpe_batch_udf_at_vocab_scale(spark):
+    """The general pandas-UDF path with a ~5k-merge synthetic table
+    (the compiled Column chain stops at ~tens): greedy semantics
+    still match the reference encoder exactly."""
+    import random
+
+    rng = random.Random(4)
+    symbols = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    merges, seen = [], set()
+    while len(merges) < 5000:
+        a, b = rng.choice(symbols), rng.choice(symbols)
+        if (a, b) in seen or len(a + b) > 12:
+            continue
+        seen.add((a, b))
+        merges.append((a, b))
+        symbols.append(a + b)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abcdefgh") for _ in range(rng.randint(1, 12)))
+            for _ in range(8)
+        )
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.bpe_tokens, r.encoded)
+        for r in T.bpe_encode_batch(docs, "doc_id", "text", merges=merges).collect()
+    }
+    import re
+
+    for i, t in enumerate(texts):
+        pieces = []
+        for w in re.findall("[a-z0-9]+", t.lower()):
+            pieces.extend(T.bpe_apply_reference(w, merges))
+        assert got[i] == (len(pieces), " ".join(pieces)), i
