@@ -772,3 +772,43 @@ def robots_sitemaps(df, host_col: str, text_col: str):
         ex.select(F.col(host_col), F.nullif(url, F.lit("")).alias("sitemap_url"))
         .filter(F.col("sitemap_url").isNotNull())
     )
+
+
+def crawl_schedule(
+    df,
+    url_col: str,
+    lastmod_col: str,
+    per_domain: int,
+    domain_col: str = "registered_domain",
+):
+    """Recrawl scheduling — the step after frontier discovery: rank
+    each registered domain's URLs STALEST-first (lastmod ascending,
+    never-crawled/unknown first) and keep the top ``per_domain`` as
+    this cycle's fetch budget. Politeness budgets are per REGISTERED
+    domain (PSL), not per host, so subdomain farms can't multiply
+    their allocation.
+
+    Plan shape: PSL broadcast joins (zero shuffle) + ONE exchange on
+    the domain for the rank window, trimmed map-side by
+    WindowGroupLimit — each map task ships at most ``per_domain``
+    rows per domain, the stratified_take discipline. Deterministic
+    tie-break on the URL string.
+
+    Output: input columns + domain_col + ``fetch_rank`` (1 = stalest,
+    fetch first).
+    """
+    from pyspark.sql import Window
+
+    host = url_host(F.col(url_col))
+    dom = with_registered_domain(
+        df.withColumn("__host", host), "__host", domain_col
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(lastmod_col).asc_nulls_first(), F.col(url_col).asc()
+    )
+    return (
+        dom.withColumn("fetch_rank", F.row_number().over(w))
+        .filter(F.col("fetch_rank") <= per_domain)
+        .drop("__host")
+        .withColumn("fetch_rank", F.col("fetch_rank").cast("bigint"))
+    )

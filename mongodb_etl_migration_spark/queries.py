@@ -7104,6 +7104,93 @@ def w_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "w_crawl_schedule",
+    f"""
+    WITH x AS (
+      SELECT doc_id, {_SITEMAP_XML_SQL} AS xml FROM documents
+    ), e AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(xml,
+               '(?s)<(?:url|sitemap)>.*?</(?:url|sitemap)>')) AS el
+      FROM x
+    ), p AS (
+      SELECT
+        nullif(replace(replace(replace(replace(replace(
+          regexp_extract(el, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&apos;', ''''), '&amp;', '&'), '') AS loc,
+        nullif(regexp_extract(el, '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1),
+               '') AS lastmod,
+        el LIKE '<sitemap>%' AS is_index
+      FROM e
+    ), urls AS (
+      SELECT DISTINCT loc, lastmod FROM p
+      WHERE loc IS NOT NULL AND NOT is_index
+    ), d AS (
+      SELECT loc, lastmod,
+             regexp_extract(loc, '^https://([^/]+)', 1)
+               AS registered_domain
+      FROM urls
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY registered_domain
+               ORDER BY lastmod ASC NULLS FIRST, loc ASC
+             ) AS BIGINT) AS fetch_rank
+      FROM d
+    )
+    SELECT loc, lastmod, registered_domain, fetch_rank
+    FROM ranked WHERE fetch_rank <= 15
+    """,
+)
+def w_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scheduling (web.crawl_schedule): the discovered
+    frontier (sitemap_urls over the synthesized sitemaps, index
+    entries excluded, deduped) ranked STALEST-first per registered
+    domain — unknown lastmod fetches first — and capped at 15 per
+    domain. Politeness budgets key on the PSL registered domain; the
+    2-label hosts here make the oracle's domain = host (the PSL
+    fallback), while the operator runs the full broadcast-join path.
+    One exchange (the domain rank window, WindowGroupLimit-trimmed
+    map-side)."""
+    d = Catalog(spark, sf_dir).documents
+    src = F.lower(F.col("source"))
+    did = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.lit("<url><loc> https://"), src, F.lit(".com/p/"), did,
+        F.lit(" </loc><lastmod>2024-0"),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("-01</lastmod></url>"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("<url><loc>https://"), src,
+                F.lit(".com/q?a=1&amp;b=2</loc></url>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.lit("<sitemap><loc>https://"), src,
+                F.lit(".com/sitemap2.xml</loc></sitemap>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    urls = (
+        WB.sitemap_urls(
+            d.select("doc_id", xml.alias("xml")), "doc_id", "xml"
+        )
+        .filter(~F.col("is_index"))
+        .select("loc", "lastmod")
+        .distinct()
+    )
+    return WB.crawl_schedule(urls, "loc", "lastmod", per_domain=15).select(
+        "loc", "lastmod", "registered_domain", "fetch_rank"
+    )
+
+
 _SPAMMY_URL_SQL = """
       CASE doc_id % 5
         WHEN 0 THEN 'https://a1b2c3d4e5f6.' || lower(source) || '.com/x'

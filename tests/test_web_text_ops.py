@@ -1029,3 +1029,24 @@ def test_bpe_batch_udf_at_vocab_scale(spark):
         for w in re.findall("[a-z0-9]+", t.lower()):
             pieces.extend(T.bpe_apply_reference(w, merges))
         assert got[i] == (len(pieces), " ".join(pieces)), i
+
+
+def test_crawl_schedule_stalest_first_and_subdomain_budget(spark):
+    """NULL lastmod (never crawled) ranks first; the per-domain budget
+    spans SUBDOMAINS of one registered domain (farms can't multiply
+    allocation)."""
+    rows = [
+        ("https://a.ex.com/new", None),
+        ("https://b.ex.com/old", "2023-01-01"),
+        ("https://ex.com/mid", "2024-01-01"),
+        ("https://other.org/x", "2020-01-01"),
+    ]
+    df = spark.createDataFrame(rows, "loc string, lastmod string")
+    out = {
+        r.loc: (r.registered_domain, r.fetch_rank)
+        for r in W.crawl_schedule(df, "loc", "lastmod", per_domain=2).collect()
+    }
+    assert out["https://a.ex.com/new"] == ("ex.com", 1)   # unknown first
+    assert out["https://b.ex.com/old"] == ("ex.com", 2)   # stalest next
+    assert "https://ex.com/mid" not in out                 # over budget
+    assert out["https://other.org/x"] == ("other.org", 1)
