@@ -1006,6 +1006,11 @@ def classifier_margin_inline(
     fits a literal; the broadcast-join form when it doesn't."""
     weights = QUALITY_CLASSIFIER_WEIGHTS if weights is None else weights
     toks = tokens(c) if toks is None else toks
+    # NULL text tokenizes to a NULL array, which F.aggregate would
+    # propagate to a NULL margin — coalesce to empty so this path
+    # scores NULL docs as `bias`, bit-for-bit with classifier_margin's
+    # sentinel handling
+    toks = F.coalesce(toks, F.array().cast("array<string>"))
     entries: list[Column] = []
     for term, wt in sorted(weights.items()):
         entries += [F.lit(term), F.lit(int(wt)).cast("long")]

@@ -7421,7 +7421,7 @@ def t_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t_paragraph_dedup",
-    """
+    r"""
     WITH d AS (
       SELECT doc_id,
         CASE WHEN doc_id % 3 = 0

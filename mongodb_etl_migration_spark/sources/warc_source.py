@@ -28,7 +28,11 @@ predicate — request/metadata records are typically 2/3 of a shard)
 drops records before the Python→JVM row transfer, the scan's dominant
 cost. Options: ``path``, ``mode`` (FAILFAST default | PERMISSIVE —
 keep each file's valid prefix past a corrupt record/gzip member and
-emit a ``_corrupt_record`` marker row for dead-letter routing).
+emit a ``_corrupt_record`` marker row for dead-letter routing),
+``with_bytes`` (true appends a ``body_bytes`` binary column carrying
+the raw undecoded payload — the byte-exact path for binary response
+bodies such as images/gzip; off by default so text pipelines don't
+ship every payload twice).
 """
 
 from __future__ import annotations
@@ -46,6 +50,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -176,11 +181,11 @@ class WarcReader(DataSourceReader):
                     status, ctype, body = parse_http_response(rec["payload"])
                     http_status: int | None = status
                     content_type: str | None = ctype
-                    text = body.decode("utf-8", "replace")
+                    raw = body
                 except ValueError:
                     http_status = None
                     content_type = None
-                    text = rec["payload"].decode("utf-8", "replace")
+                    raw = rec["payload"]
                 row = {
                     "path": partition.path,
                     "record_idx": n_ok,
@@ -189,7 +194,8 @@ class WarcReader(DataSourceReader):
                     "date": rec["date"],
                     "http_status": http_status,
                     "content_type": content_type,
-                    "body": text,
+                    "body": raw.decode("utf-8", "replace"),
+                    "body_bytes": raw,
                     "_corrupt_record": None,
                 }
                 n_ok += 1
@@ -270,6 +276,8 @@ class WarcDataSource(DataSource):
 
     def schema(self) -> StructType:
         fields = list(WARC_SOURCE_FIELDS)
+        if self.options.get("with_bytes", "false").lower() == "true":
+            fields.append(StructField("body_bytes", BinaryType()))
         if self.options.get("mode", "FAILFAST").upper() == "PERMISSIVE":
             fields.append(StructField("_corrupt_record", StringType()))
         return StructType(fields)
@@ -304,10 +312,15 @@ class WarcWriter(DataSourceWriter):
     commit_part_renames) — partial or aborted tasks never leave a
     readable shard behind. Rows follow the reader's schema contract:
     ``warc_type``/``target_uri``/``date`` headers (empty/NULL values
-    pass through — no fabricated metadata, so read→write→read is
-    identity), and rows with a non-NULL ``http_status`` are wrapped
-    as HTTP/1.1 responses (content_type + body); rows with NULL
-    status carry ``body`` as the raw payload."""
+    pass through — no fabricated metadata), and rows with a non-NULL
+    ``http_status`` are wrapped as HTTP/1.1 responses (content_type +
+    payload); rows with NULL status carry the payload raw. Payload
+    source: a non-NULL ``body_bytes`` binary column wins (byte-exact —
+    pair with the reader's ``with_bytes`` option and read→write→read
+    is identity for ANY payload, binary included); otherwise the
+    ``body`` string is UTF-8 encoded — that path's round-trip identity
+    holds only for valid-UTF-8 text bodies, since the reader's
+    utf-8/replace decode is lossy on binary."""
 
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
         self._path = options["path"]
@@ -331,7 +344,10 @@ class WarcWriter(DataSourceWriter):
                     # '' omits the WARC-Date header (see build_warc)
                     "date": d.get("date") or "",
                 }
-                body = (d.get("body") or "").encode()
+                if d.get("body_bytes") is not None:
+                    body = bytes(d["body_bytes"])
+                else:
+                    body = (d.get("body") or "").encode()
                 if d.get("http_status") is not None:
                     rec["http"] = (
                         int(d["http_status"]),

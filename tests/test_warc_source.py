@@ -371,6 +371,59 @@ def test_warc_writer_roundtrip(spark, tmp_path, shard_dir):
     assert _read(spark, out2).count() == 1
 
 
+def test_warc_writer_binary_body_bytes_roundtrip(spark, tmp_path):
+    """Binary payloads (not valid UTF-8 — images, gzip bodies) round-
+    trip byte-exact through the with_bytes reader column + the
+    writer's body_bytes-wins rule; the string `body` path alone is
+    lossy on them (utf-8/replace), which is exactly the gap the
+    binary column closes."""
+    payload = bytes([0xFF, 0xD8, 0x00, 0x9C, 0x80, 0x0A, 0xFE]) * 3
+    raw = W.build_warc(
+        [{
+            "warc_type": "response",
+            "target_uri": "https://b.com/img",
+            "date": "2024-03-03T00:00:00Z",
+            "http": (200, "image/jpeg", payload),
+        }]
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.warc").write_bytes(raw)
+    df = (
+        spark.read.format("warc")
+        .option("with_bytes", "true")
+        .load(str(src))
+    )
+    first = df.collect()[0]
+    assert bytes(first.body_bytes) == payload
+    out = str(tmp_path / "out")
+    df.select(
+        "warc_type", "target_uri", "date",
+        "http_status", "content_type", "body", "body_bytes",
+    ).write.format("warc").mode("append").save(out)
+    back = (
+        spark.read.format("warc")
+        .option("with_bytes", "true")
+        .load(out)
+        .collect()[0]
+    )
+    assert bytes(back.body_bytes) == payload
+    assert (back.http_status, back.content_type) == (200, "image/jpeg")
+    # and the string-only path is demonstrably NOT byte-exact here
+    out2 = str(tmp_path / "out2")
+    df.select(
+        "warc_type", "target_uri", "date",
+        "http_status", "content_type", "body",
+    ).write.format("warc").mode("append").save(out2)
+    lossy = (
+        spark.read.format("warc")
+        .option("with_bytes", "true")
+        .load(out2)
+        .collect()[0]
+    )
+    assert bytes(lossy.body_bytes) != payload
+
+
 def test_warc_writer_preserves_absent_metadata(spark, tmp_path):
     """read -> write -> read is IDENTITY even for records lacking a
     WARC-Date (parsed as ''): write-back must not fabricate one."""

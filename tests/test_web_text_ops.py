@@ -784,6 +784,16 @@ def test_classifier_margin_null_text_scores_bias(spark):
         for r in T.classifier_margin(docs, "doc_id", "text", bias=7).collect()
     }
     assert out == {1: 7, 2: 10}
+    # the inline path must agree on NULL text too (review fix:
+    # F.aggregate over a NULL token array propagated a NULL margin)
+    inline = {
+        r.doc_id: r.m
+        for r in docs.select(
+            "doc_id",
+            T.classifier_margin_inline("text", bias=7).alias("m"),
+        ).collect()
+    }
+    assert inline == out
     import pytest
 
     with pytest.raises(ValueError, match="empty-string"):
