@@ -472,6 +472,40 @@ def parse_robots_rules(df, host_col: str, text_col: str, user_agent: str = "*"):
     ).select("host", F.col("r.allow").alias("allow"), F.col("r.prefix").alias("prefix"))
 
 
+def _robots_pattern_body(pattern: Column) -> Column:
+    """Robots pattern with ONE trailing end-anchor '$' removed (RFC
+    9309 §2.2.3: '$' is special only as the pattern's last octet;
+    '/a$$' therefore means the literal path '/a$', anchored)."""
+    return F.regexp_replace(pattern, "\\$$", "")
+
+
+def robots_pattern_regex(pattern: Column) -> Column:
+    """Compile an RFC 9309 path pattern ('*' = any char sequence, a
+    trailing '$' = end-of-path anchor, everything else literal) into
+    an anchored regex STRING: every regex metacharacter except '*' is
+    backslash-escaped, '*' becomes '.*', and '^'/'$' anchors are
+    added. The construction uses only constructs Java regex and RE2
+    interpret identically (escaped literals, '.*', anchors), so the
+    DuckDB oracle mirrors it expression-for-expression and matching
+    agrees byte-for-byte."""
+    anchored = pattern.endswith("$")
+    body = _robots_pattern_body(pattern)
+    esc = F.regexp_replace(body, "([.^$|()\\[\\]{}+?\\\\])", "\\\\$1")
+    rx = F.replace(esc, F.lit("*"), F.lit(".*"))
+    return F.concat(
+        F.lit("^"), rx, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def robots_pattern_specificity(pattern: Column) -> Column:
+    """Rule specificity for longest-match resolution, generalized to
+    wildcards: the number of LITERAL octets in the pattern ('*' and
+    the trailing anchor '$' contribute nothing). For wildcard-free
+    prefix rules this is exactly the prefix length — the pre-wildcard
+    semantics are a special case, unchanged."""
+    return F.length(F.replace(_robots_pattern_body(pattern), F.lit("*"), F.lit("")))
+
+
 def with_robots_verdict(
     df,
     rules,
@@ -483,23 +517,40 @@ def with_robots_verdict(
     crawler runs before fetch and every crawl-corpus audit re-runs
     after the fact. ``rules`` is a DataFrame (host, allow boolean,
     prefix string) of the already-parsed per-host rule lines for the
-    relevant user-agent group (non-empty prefixes; an empty Disallow
+    relevant user-agent group (non-empty patterns; an empty Disallow
     means 'no restriction' per the RFC and contributes no row).
 
-    Semantics: the rule with the LONGEST matching path prefix wins;
-    on a length tie Allow wins (the RFC's least-restrictive tie
-    rule); no matching rule → allowed. Wildcard (*) and end-anchor
-    ($) extensions are out of the prefix-match scope, documented.
+    Full §2.2.3 pattern grammar: '*' matches any character sequence
+    (including '/'), a trailing '$' anchors the match to the path's
+    end ('Disallow: /*.pdf$'), everything else matches literally.
+    Semantics: the MOST SPECIFIC matching rule wins — specificity =
+    number of literal octets in the pattern (for wildcard-free rules
+    exactly the classic longest-prefix length); on a specificity tie
+    Allow wins (the RFC's least-restrictive rule); no matching rule →
+    allowed.
 
-    Plan: rules aggregate per host on the TINY side (robots files are
-    KB-scale), broadcast-join to the corpus, and the longest-match
-    resolution runs entirely in array higher-order functions — zero
-    shuffle on the corpus side at any scale, mirrored with DuckDB
-    list lambdas in the oracle."""
+    Plan: each rule's pattern compiles to an anchored regex ONCE on
+    the TINY rules side (robots files are KB-scale) before the
+    per-host aggregation, the rule sets broadcast-join to the corpus,
+    and match + specificity resolution run entirely in array
+    higher-order functions — zero shuffle on the corpus side at any
+    scale, mirrored with DuckDB list lambdas in the oracle. The regex
+    itself re-compiles per (row, rule) evaluation (a non-literal
+    rlike pattern); with KB-scale per-host rule sets that's the
+    standard cost every production robots matcher pays per URL."""
     from pyspark.sql.functions import broadcast
 
-    per_host = rules.groupBy("host").agg(
-        F.collect_list(F.struct("allow", "prefix")).alias("__rules")
+    compiled = rules.select(
+        "host",
+        "allow",
+        "prefix",
+        robots_pattern_regex(F.col("prefix")).alias("rx"),
+        robots_pattern_specificity(F.col("prefix")).alias("lit"),
+    )
+    per_host = compiled.groupBy("host").agg(
+        F.collect_list(F.struct("allow", "prefix", "rx", "lit")).alias(
+            "__rules"
+        )
     ).withColumnRenamed("host", "__rhost")
     j = df.join(
         broadcast(per_host), df[host_col] == per_host["__rhost"], "left"
@@ -507,16 +558,11 @@ def with_robots_verdict(
     path = _c(path_col)
     matching = F.filter(
         F.coalesce(F.col("__rules"), F.array()),
-        lambda r: path.startswith(r["prefix"]),
+        lambda r: F.rlike(path, r["rx"]),
     )
-    best = F.array_max(
-        F.transform(matching, lambda r: F.length(r["prefix"]))
-    )
+    best = F.array_max(F.transform(matching, lambda r: r["lit"]))
     allowed = F.when(F.size(matching) == 0, F.lit(True)).otherwise(
-        F.exists(
-            matching,
-            lambda r: (F.length(r["prefix"]) == best) & r["allow"],
-        )
+        F.exists(matching, lambda r: (r["lit"] == best) & r["allow"])
     )
     return j.withColumn(out_col, allowed).drop("__rhost", "__rules")
 

@@ -6285,42 +6285,60 @@ def w_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p0
     ), rules AS (
       SELECT 'www.' || lower(source) || '.example.com' AS host,
-             r.allow, r.prefix
+             r.allow, r.prefix,
+             '^' || replace(regexp_replace(
+                      regexp_replace(r.prefix, '\\$$', ''),
+                      '([.^$|()\\[\\]{{}}+?\\\\])', '\\\\\\1', 'g'),
+                    '*', '.*')
+                 || CASE WHEN r.prefix LIKE '%$' THEN '$' ELSE '' END AS rx,
+             length(replace(regexp_replace(r.prefix, '\\$$', ''), '*', ''))
+               AS lit
       FROM (SELECT DISTINCT lower(source) AS source FROM documents),
            (VALUES (FALSE, '/Docs/'), (TRUE, '/Docs/4'),
-                   (FALSE, '/private/')) r(allow, prefix)
+                   (FALSE, '/private/'), (FALSE, '/Docs/4*7$'),
+                   (TRUE, '/Docs/1$'), (FALSE, '/Docs/3*$'),
+                   (TRUE, '/Docs/38')) r(allow, prefix)
     ), agg AS (
       SELECT host,
-             list(struct_pack(allow := allow, prefix := prefix)) AS rl
+             list(struct_pack(allow := allow, prefix := prefix,
+                              rx := rx, lit := lit)) AS rl
       FROM rules GROUP BY host
     ), j AS (
       SELECT h.doc_id, h.host, h.path,
         list_filter(
-          COALESCE(a.rl, CAST([] AS STRUCT(allow BOOLEAN, prefix VARCHAR)[])),
-          r -> starts_with(h.path, r.prefix)) AS matching
+          COALESCE(a.rl, CAST([] AS STRUCT(
+            allow BOOLEAN, prefix VARCHAR, rx VARCHAR, lit BIGINT)[])),
+          r -> regexp_matches(h.path, r.rx)) AS matching
       FROM hosts h LEFT JOIN agg a ON h.host = a.host
     )
     SELECT doc_id, host, path,
       CASE WHEN len(matching) = 0 THEN TRUE
            ELSE len(list_filter(matching,
-                  r -> len(r.prefix) = list_max(
-                         list_transform(matching, r2 -> len(r2.prefix)))
+                  r -> r.lit = list_max(
+                         list_transform(matching, r2 -> r2.lit))
                        AND r.allow)) > 0
       END AS crawl_allowed
     FROM j
     """,
 )
 def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """robots.txt politeness gate (web.with_robots_verdict, RFC 9309):
-    longest-matching-prefix rule wins, Allow wins length ties, no
-    match → allowed. Fixture: per crawl host a parsed rule group
-    (Disallow /Docs/, Allow /Docs/4 — the longer Allow carves an
-    exception out of the Disallow — Disallow /private/); hosts
-    carrying a non-default port (http://host:443) match no rule group
-    and stay allowed, pinning host-exactness. Rules aggregate on the
-    KB-scale side and broadcast; the longest-match resolution is all
-    array higher-order functions — zero shuffle on the corpus side,
-    mirrored with DuckDB list lambdas."""
+    """robots.txt politeness gate (web.with_robots_verdict, RFC 9309
+    §2.2.3 FULL pattern grammar): '*' wildcards, trailing-'$' end
+    anchors, most-specific-match resolution (specificity = literal
+    octets — exactly the classic prefix length for wildcard-free
+    rules), Allow wins specificity ties, no match → allowed.
+    Fixture rules per crawl host: Disallow /Docs/ with an Allow
+    /Docs/4 carve-out (the pre-wildcard cases, unchanged); Disallow
+    /Docs/4*7$ (a MORE specific wildcard overriding the allow on
+    /Docs/47); Allow /Docs/1$ (anchor: exactly /Docs/1, while
+    /Docs/10–19 stay disallowed); Disallow /Docs/3*$ vs Allow
+    /Docs/38 (a lit-7 specificity TIE on /Docs/38 — Allow wins).
+    Hosts carrying a non-default port (http://host:443) match no rule
+    group and stay allowed, pinning host-exactness. Each pattern
+    compiles to an anchored regex once on the KB-scale rules side
+    (Java-regex/RE2-identical constructs only); rules aggregate and
+    broadcast; resolution is all array higher-order functions — zero
+    shuffle on the corpus side, mirrored with DuckDB list lambdas."""
     d = Catalog(spark, sf_dir).documents
     u = d.select("doc_id", _messy_url_col().alias("url"))
     hosts = u.select(
@@ -6333,6 +6351,18 @@ def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.lit(True).alias("allow"), F.lit("/Docs/4").alias("prefix")),
         F.struct(
             F.lit(False).alias("allow"), F.lit("/private/").alias("prefix")
+        ),
+        F.struct(
+            F.lit(False).alias("allow"), F.lit("/Docs/4*7$").alias("prefix")
+        ),
+        F.struct(
+            F.lit(True).alias("allow"), F.lit("/Docs/1$").alias("prefix")
+        ),
+        F.struct(
+            F.lit(False).alias("allow"), F.lit("/Docs/3*$").alias("prefix")
+        ),
+        F.struct(
+            F.lit(True).alias("allow"), F.lit("/Docs/38").alias("prefix")
         ),
     )
     rules = (

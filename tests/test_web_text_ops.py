@@ -318,6 +318,98 @@ def test_robots_verdict_longest_match_and_ties(spark):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
 
+def test_robots_verdict_wildcard_and_anchor(spark):
+    """RFC 9309 §2.2.3 pattern grammar: '*' (any sequence, '/'
+    included), trailing '$' (end anchor), specificity = literal
+    octets, Allow wins specificity ties — and the classic prefix-only
+    cases keep their exact pre-wildcard behavior."""
+    rules = spark.createDataFrame(
+        [
+            # the RFC's own motivating example
+            ("a.com", False, "/*.pdf$"),
+            ("a.com", True, "/"),
+            # '*' mid-pattern crossing '/' segments
+            ("a.com", False, "/private*data"),
+            # '$' limits an allow to the exact path
+            ("b.com", False, "/docs/"),
+            ("b.com", True, "/docs/readme$"),
+            # specificity tie between a wildcard disallow (lit 8) and
+            # an exact allow (lit 8): Allow wins
+            ("c.com", False, "/a/b/c/*d$"),
+            ("c.com", True, "/a/b/c/d"),
+            # literal '$' mid-pattern is NOT an anchor
+            ("d.com", False, "/x$y"),
+        ],
+        "host string, allow boolean, prefix string",
+    )
+    pages = spark.createDataFrame(
+        [
+            ("a.com", "/report.pdf"),          # *.pdf$ disallow
+            ("a.com", "/report.pdf/view"),     # $ anchor -> not matched -> '/' allow
+            ("a.com", "/files/q1.pdf"),        # '*' crosses '/'
+            ("a.com", "/privateXdata"),        # mid-pattern '*', zero chars... X counts
+            ("a.com", "/private/deep/data"),   # mid-pattern '*' across segments
+            ("a.com", "/pdf.report"),          # no match beyond '/'
+            ("b.com", "/docs/readme"),         # anchored allow wins (lit 12 > 6)
+            ("b.com", "/docs/readme2"),        # anchor fails -> /docs/ disallow
+            ("c.com", "/a/b/c/d"),             # tie at lit 8 -> Allow
+            ("c.com", "/a/b/c/xd"),            # only wildcard matches -> disallow
+            ("d.com", "/x$y123"),              # literal $ matched as prefix
+            ("d.com", "/xZy"),                 # no rule matches -> allowed
+        ],
+        "host string, path string",
+    )
+    out = {
+        (r.host, r.path): r.crawl_allowed
+        for r in W.with_robots_verdict(pages, rules, "host", "path").collect()
+    }
+    assert out == {
+        ("a.com", "/report.pdf"): False,
+        ("a.com", "/report.pdf/view"): True,
+        ("a.com", "/files/q1.pdf"): False,
+        ("a.com", "/privateXdata"): False,
+        ("a.com", "/private/deep/data"): False,
+        ("a.com", "/pdf.report"): True,
+        ("b.com", "/docs/readme"): True,
+        ("b.com", "/docs/readme2"): False,
+        ("c.com", "/a/b/c/d"): True,
+        ("c.com", "/a/b/c/xd"): False,
+        ("d.com", "/x$y123"): False,
+        ("d.com", "/xZy"): True,
+    }
+
+
+def test_robots_pattern_regex_escapes_metachars(spark):
+    """Regex metacharacters inside robots patterns match LITERALLY —
+    '.' must not act as a wildcard, '+'/'('/')' must not break the
+    compiled pattern, and '/a$$' means literal '/a$' anchored."""
+    df = spark.createDataFrame(
+        [
+            ("/a.b",), ("/a+b(c)[d]{e}|f?g\\h",), ("/a$$",), ("/*$",),
+        ],
+        "p string",
+    )
+    rows = df.select(
+        "p",
+        W.robots_pattern_regex(F.col("p")).alias("rx"),
+        W.robots_pattern_specificity(F.col("p")).alias("lit"),
+    ).collect()
+    got = {r.p: (r.rx, r.lit) for r in rows}
+    assert got["/a.b"] == ("^/a\\.b", 4)
+    assert got["/a$$"] == ("^/a\\$$", 3)
+    assert got["/*$"] == ("^/.*$", 1)
+    rx = got["/a+b(c)[d]{e}|f?g\\h"][0]
+    # compiled pattern matches its own literal and not a lookalike
+    probe = spark.createDataFrame(
+        [("/a+b(c)[d]{e}|f?g\\h",), ("/aXb(c)[d]{e}|f?g\\h",)], "path string"
+    )
+    m = probe.select("path", F.col("path").rlike(rx).alias("m")).collect()
+    assert {r.path: r.m for r in m} == {
+        "/a+b(c)[d]{e}|f?g\\h": True,
+        "/aXb(c)[d]{e}|f?g\\h": False,
+    }
+
+
 def test_duplicated_spans_exact_intervals(spark):
     base8 = "a1 a2 a3 a4 a5 a6 a7 a8"
     df = spark.createDataFrame(
