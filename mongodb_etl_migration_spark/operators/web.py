@@ -84,13 +84,14 @@ def registered_domain(c: Column | str) -> Column:
     return domain_of(url_host(c))
 
 
-# Trimmed public-suffix table: multi-label entries only — a one-label
-# TLD (com, org, de, ...) reduces to the 2-label fallback, so only
-# suffixes with 2+ labels need rows. Representative subset of the
-# Mozilla Public Suffix List (publicsuffix.org): ccTLD second-level
-# registries plus the most common private-section hosts. The full
-# ~9k-entry list drops in without changing the join shape. Wildcard
-# (*.ck) and exception (!www.ck) rules are out of the trimmed scope.
+# Trimmed public-suffix table: multi-label PLAIN entries only — a
+# one-label TLD (com, org, de, ...) reduces to the 2-label fallback,
+# so only suffixes with 2+ labels need rows. Representative subset of
+# the Mozilla Public Suffix List (publicsuffix.org): ccTLD second-
+# level registries plus the most common private-section hosts. The
+# full ~9k-entry list drops in without changing the join shape.
+# Wildcard (*.ck) and exception (!www.ck) rule classes live in
+# PSL_EXTRA_DAT below, parsed from the list's own file format.
 PUBLIC_SUFFIXES: tuple[str, ...] = (
     # .uk / .nz / .au / .za / .in / .il / .id
     "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "ac.uk",
@@ -174,34 +175,173 @@ PUBLIC_SUFFIXES: tuple[str, ...] = (
 )
 
 
+# The PSL's OTHER two rule classes, in the list's own file format
+# (publicsuffix.org/list/public_suffix_list.dat): wildcard rules
+# (`*.ck` — ANY single label under .ck is itself a public suffix) and
+# exception rules (`!www.ck` — carve-outs that ARE registrable despite
+# a matching wildcard). These are the real wildcard/exception entries
+# from the public list (ICANN section); the full file drops into
+# parse_psl unchanged.
+PSL_EXTRA_DAT = """\
+// Public Suffix List excerpt — wildcard and exception rule classes
+// (format per https://publicsuffix.org/list/)
+
+// bd : Bangladesh
+*.bd
+
+// ck : Cook Islands
+*.ck
+!www.ck
+
+// er : Eritrea
+*.er
+
+// fk : Falkland Islands
+*.fk
+
+// mm : Myanmar
+*.mm
+
+// jp : Japan — city-domain wildcards with city-government exceptions
+*.kawasaki.jp
+*.kitakyushu.jp
+*.kobe.jp
+*.nagoya.jp
+*.sapporo.jp
+*.sendai.jp
+*.yokohama.jp
+!city.kawasaki.jp
+!city.kitakyushu.jp
+!city.kobe.jp
+!city.nagoya.jp
+!city.sapporo.jp
+!city.sendai.jp
+!city.yokohama.jp
+"""
+
+
+def parse_psl(
+    text: str,
+) -> dict[str, tuple[str, ...]]:
+    """Parse public_suffix_list.dat content into the three PSL rule
+    classes: ``plain`` suffix rules, ``wildcard`` rules (stored as
+    their base — ``*.ck`` → ``ck``), and ``exception`` rules
+    (``!www.ck`` → ``www.ck``). Per the list's format spec: ``//``
+    lines are comments, blank lines are ignored, a rule is the line
+    up to the first whitespace, rules are case-insensitive
+    (lowercased here), and ``*`` may only stand as a whole leftmost
+    label — anything else is rejected loudly rather than silently
+    mis-grouping domains."""
+    plain: list[str] = []
+    wildcard: list[str] = []
+    exception: list[str] = []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("//"):
+            continue
+        rule = line.split()[0].lower()
+        if rule.startswith("!"):
+            exception.append(rule[1:])
+        elif rule.startswith("*."):
+            base = rule[2:]
+            if "*" in base or not base:
+                raise ValueError(f"unsupported PSL wildcard rule: {rule!r}")
+            wildcard.append(base)
+        elif "*" in rule:
+            raise ValueError(f"unsupported PSL wildcard rule: {rule!r}")
+        else:
+            plain.append(rule)
+    return {
+        "plain": tuple(plain),
+        "wildcard": tuple(wildcard),
+        "exception": tuple(exception),
+    }
+
+
+def default_psl_rules() -> dict[str, tuple[str, ...]]:
+    """The engine's built-in rule set: the trimmed plain-suffix table
+    plus the real wildcard/exception entries (PSL_EXTRA_DAT). Swap in
+    ``parse_psl(open('public_suffix_list.dat').read())`` for the full
+    ~9k-rule list — same shape, same plan."""
+    extra = parse_psl(PSL_EXTRA_DAT)
+    return {
+        "plain": PUBLIC_SUFFIXES + extra["plain"],
+        "wildcard": extra["wildcard"],
+        "exception": extra["exception"],
+    }
+
+
 def with_registered_domain(
-    df, host_col: str, out_col: str = "registered_domain"
+    df,
+    host_col: str,
+    out_col: str = "registered_domain",
+    rules: dict[str, tuple[str, ...]] | None = None,
 ):
     """PSL-backed eTLD+1 over a host column — the broadcast-join form
-    the ``registered_domain`` docstring promises. Longest-match
-    precedence per the PSL algorithm: try the host's last-3 labels
-    against 3-label suffixes, then last-2 against 2-label suffixes;
-    the registrable domain is one label more than the matched suffix.
-    A host that IS a public suffix has no registrable domain (NULL);
-    with no multi-label match the 2-label heuristic (= single-label
-    TLD rule) applies. Hosts are expected lowercased (url_host);
-    a port is stripped before splitting.
+    the ``registered_domain`` docstring promises, implementing the
+    full publicsuffix.org algorithm over all three rule classes:
 
-    Plan: two BroadcastHashJoins against tiny literal tables, zero
-    shuffle, zero UDF — swap in the full ~9k-entry PSL file and the
-    shape (and cost at 100 TB) is unchanged. Temp columns are
-    materialized once so the label split runs once per row."""
+      exception (`!www.ck`)  highest precedence; the registrable
+                             domain IS the exception rule (its public
+                             suffix is the rule minus its leftmost
+                             label)
+      wildcard  (`*.ck`)     `*` matches exactly one label, so a
+                             b-label base makes every (b+1)-label
+                             tail a public suffix; registrable =
+                             b+2 labels
+      plain     (`co.uk`)    a k-label suffix → registrable = k+1
+                             labels
+
+    Among non-exception matches the LONGEST public suffix prevails
+    (the PSL's most-labels rule); with no multi-label match the
+    default `*` rule applies (TLD itself is the suffix → 2-label
+    registrable). A host that IS a public suffix has no registrable
+    domain (NULL). Hosts are expected lowercased (url_host); a port
+    is stripped before splitting.
+
+    Plan: one tiny BroadcastHashJoin per (rule class, label count)
+    pair that actually has entries — zero shuffle, zero UDF; the full
+    ~9k-entry PSL file parsed by ``parse_psl`` drops in without
+    changing the shape (or the cost at 100 TB). Label-suffix temp
+    columns are materialized once so the split runs once per row."""
     from pyspark.sql.functions import broadcast
 
     spark = df.sparkSession
-    t2 = spark.createDataFrame(
-        [(s,) for s in PUBLIC_SUFFIXES if s.count(".") == 1],
-        "__suf2: string",
+    rules = default_psl_rules() if rules is None else rules
+    plain = {s for s in rules.get("plain", ()) if s.count(".") >= 1}
+    wild = set(rules.get("wildcard", ()))
+    exc = set(rules.get("exception", ()))
+    by_labels = lambda vals, k: sorted(  # noqa: E731
+        v for v in vals if v.count(".") + 1 == k
     )
-    t3 = spark.createDataFrame(
-        [(s,) for s in PUBLIC_SUFFIXES if s.count(".") == 2],
-        "__suf3: string",
-    )
+    # (flag column, join-key label count, registrable label count),
+    # precedence order: exceptions (longest first), then suffix
+    # length descending, interleaving wildcard (base b → suffix b+1)
+    # with plain (suffix k) classes of equal suffix length
+    classes: list[tuple[str, list[str], int, int]] = []
+    for d in (4, 3, 2):
+        classes.append((f"__exc{d}", by_labels(exc, d), d, d))
+    for suffix_len in (4, 3, 2):
+        classes.append(
+            (
+                f"__wild{suffix_len - 1}",
+                by_labels(wild, suffix_len - 1),
+                suffix_len - 1,
+                suffix_len + 1,
+            )
+        )
+        classes.append(
+            (
+                f"__suf{suffix_len}",
+                by_labels(plain, suffix_len),
+                suffix_len,
+                suffix_len + 1,
+            )
+        )
+    classes = [c for c in classes if c[1]]
+    if not classes:
+        raise ValueError("PSL rule set has no multi-label entries")
+
     bare = F.regexp_replace(F.col(host_col), ":[0-9]+$", "")
     labels = F.split(bare, "\\.")
     n = F.size(labels)
@@ -212,22 +352,25 @@ def with_registered_domain(
             n >= k, F.array_join(F.slice(labels, n - k + 1, k), ".")
         )
 
+    ks = sorted(
+        {2}
+        | {k for _, _, k, _ in classes}
+        | {r for _, _, _, r in classes}
+    )
     tmp = df.select(
-        "*",
-        lastk(2).alias("__l2"),
-        lastk(3).alias("__l3"),
-        lastk(4).alias("__l4"),
+        "*", *[lastk(k).alias(f"__l{k}") for k in ks]
     )
-    j = tmp.join(
-        broadcast(t3), tmp["__l3"] == t3["__suf3"], "left"
-    ).join(broadcast(t2), tmp["__l2"] == t2["__suf2"], "left")
-    reg = (
-        F.when(F.col("__suf3").isNotNull(), F.col("__l4"))
-        .when(F.col("__suf2").isNotNull(), F.col("__l3"))
-        .otherwise(F.col("__l2"))
-    )
+    j = tmp
+    for name, vals, k, _ in classes:
+        t = spark.createDataFrame([(v,) for v in vals], f"{name}: string")
+        j = j.join(broadcast(t), j[f"__l{k}"] == t[name], "left")
+    reg: Column | None = None
+    for name, _, _, r in classes:
+        w = (F.col(name).isNotNull(), F.col(f"__l{r}"))
+        reg = F.when(*w) if reg is None else reg.when(*w)
+    reg = reg.otherwise(F.col("__l2"))
     return j.withColumn(out_col, reg).drop(
-        "__l2", "__l3", "__l4", "__suf2", "__suf3"
+        *[f"__l{k}" for k in ks], *[name for name, _, _, _ in classes]
     )
 
 

@@ -6119,12 +6119,17 @@ def w_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _psl_host_col() -> F.Column:
-    """Deterministic host fixture exercising the PSL rules: multi-label
-    public suffixes (.co.uk/.com.au and the 3-label .nsw.edu.au) where
-    the 2-label heuristic mis-groups, plain TLDs where it's exact, and
-    every 13th doc a host that IS a public suffix (no registrable
-    domain). Built IDENTICALLY in the SQL oracle."""
+    """Deterministic host fixture exercising ALL THREE PSL rule
+    classes: multi-label plain suffixes (.co.uk/.com.au and the
+    3-label .nsw.edu.au) where the 2-label heuristic mis-groups,
+    plain TLDs where it's exact, hosts that ARE a public suffix (no
+    registrable domain) — plain (co.uk), wildcard-made (<src>.ck,
+    <src>.kawasaki.jp) — wildcard-ruled registrables one label deeper
+    (www.<src>.ck, shop.<src>.kawasaki.jp), and exception-rule hosts
+    (www.ck, sub.www.ck, x.city.kawasaki.jp) whose registrable IS the
+    exception. Built IDENTICALLY in the SQL oracle."""
     d = F.col("doc_id")
+    src = F.lower("source")
     sfx = (
         F.when(d % 5 == 0, F.lit(".co.uk"))
         .when(d % 5 == 1, F.lit(".com.au"))
@@ -6132,13 +6137,32 @@ def _psl_host_col() -> F.Column:
         .when(d % 5 == 3, F.lit(".com"))
         .otherwise(F.lit(".org"))
     )
-    return F.when(d % 13 == 0, F.lit("co.uk")).otherwise(
-        F.concat(F.lit("www."), F.lower("source"), sfx)
+    return (
+        F.when(d % 13 == 0, F.lit("co.uk"))
+        .when(d % 13 == 1, F.concat(F.lit("www."), src, F.lit(".ck")))
+        .when(d % 13 == 2, F.concat(src, F.lit(".ck")))
+        .when(d % 13 == 3, F.lit("www.ck"))
+        .when(d % 13 == 4, F.lit("sub.www.ck"))
+        .when(d % 13 == 5, F.concat(src, F.lit(".kawasaki.jp")))
+        .when(
+            d % 13 == 6,
+            F.concat(F.lit("shop."), src, F.lit(".kawasaki.jp")),
+        )
+        .when(d % 13 == 7, F.lit("x.city.kawasaki.jp"))
+        .otherwise(F.concat(F.lit("www."), src, sfx))
     )
 
 
 _PSL_HOST_SQL = """
       CASE WHEN doc_id % 13 = 0 THEN 'co.uk'
+           WHEN doc_id % 13 = 1 THEN 'www.' || lower(source) || '.ck'
+           WHEN doc_id % 13 = 2 THEN lower(source) || '.ck'
+           WHEN doc_id % 13 = 3 THEN 'www.ck'
+           WHEN doc_id % 13 = 4 THEN 'sub.www.ck'
+           WHEN doc_id % 13 = 5 THEN lower(source) || '.kawasaki.jp'
+           WHEN doc_id % 13 = 6
+             THEN 'shop.' || lower(source) || '.kawasaki.jp'
+           WHEN doc_id % 13 = 7 THEN 'x.city.kawasaki.jp'
            ELSE 'www.' || lower(source) ||
              CASE doc_id % 5 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com.au'
                   WHEN 2 THEN '.nsw.edu.au' WHEN 3 THEN '.com'
@@ -6147,16 +6171,26 @@ _PSL_HOST_SQL = """
 """
 
 
-def _psl_sql_lists() -> tuple[str, str]:
-    """('co.uk', ...) literal lists for the oracle's suffix tables —
-    generated from the SAME constant the operator joins against."""
-    two = ", ".join(
-        f"'{s}'" for s in WB.PUBLIC_SUFFIXES if s.count(".") == 1
-    )
-    three = ", ".join(
-        f"'{s}'" for s in WB.PUBLIC_SUFFIXES if s.count(".") == 2
-    )
-    return two, three
+def _psl_sql_lists() -> dict[str, str]:
+    """SQL literal lists for the oracle's per-class rule tables —
+    generated from the SAME default_psl_rules() the operator joins
+    against (plain by suffix label count, wildcard bases by base
+    label count, exceptions by label count)."""
+    rules = WB.default_psl_rules()
+
+    def lst(vals, k):
+        return ", ".join(
+            f"'{v}'" for v in sorted(vals) if v.count(".") + 1 == k
+        )
+
+    return {
+        "two": lst(rules["plain"], 2),
+        "three": lst(rules["plain"], 3),
+        "wild1": lst(rules["wildcard"], 1),
+        "wild2": lst(rules["wildcard"], 2),
+        "exc2": lst(rules["exception"], 2),
+        "exc3": lst(rules["exception"], 3),
+    }
 
 
 _PSL_DOMAIN_SQL = f"""
@@ -6168,6 +6202,7 @@ _PSL_DOMAIN_SQL = f"""
       FROM h
     ), c AS (
       SELECT doc_id, host, n,
+        l[n] AS l1,
         CASE WHEN n >= 2
              THEN array_to_string(list_slice(l, n-1, n), '.') END AS l2,
         CASE WHEN n >= 3
@@ -6176,17 +6211,33 @@ _PSL_DOMAIN_SQL = f"""
              THEN array_to_string(list_slice(l, n-3, n), '.') END AS l4
       FROM lab
     ), j AS (
-      SELECT c.*, s3.suf3, s2.suf2
+      SELECT c.*, e3.exc3, e2.exc2, w2.wild2, s3.suf3, w1.wild1, s2.suf2
       FROM c
+      LEFT JOIN (SELECT unnest([{{exc3}}]) AS exc3) e3 ON c.l3 = e3.exc3
+      LEFT JOIN (SELECT unnest([{{exc2}}]) AS exc2) e2 ON c.l2 = e2.exc2
+      LEFT JOIN (SELECT unnest([{{wild2}}]) AS wild2) w2 ON c.l2 = w2.wild2
       LEFT JOIN (SELECT unnest([{{three}}]) AS suf3) s3 ON c.l3 = s3.suf3
+      LEFT JOIN (SELECT unnest([{{wild1}}]) AS wild1) w1 ON c.l1 = w1.wild1
       LEFT JOIN (SELECT unnest([{{two}}]) AS suf2) s2 ON c.l2 = s2.suf2
     )
 """
 
+# the oracle's precedence CASE — mirrors with_registered_domain's
+# class order: exceptions (longest first), then public-suffix length
+# descending with wildcard (base b -> suffix b+1) interleaved
+_PSL_REG_SQL = """
+      CASE WHEN exc3 IS NOT NULL THEN l3
+           WHEN exc2 IS NOT NULL THEN l2
+           WHEN wild2 IS NOT NULL THEN l4
+           WHEN suf3 IS NOT NULL THEN l4
+           WHEN wild1 IS NOT NULL THEN l3
+           WHEN suf2 IS NOT NULL THEN l3
+           ELSE l2 END
+"""
+
 
 def _psl_domain_sql() -> str:
-    two, three = _psl_sql_lists()
-    return _PSL_DOMAIN_SQL.format(two=two, three=three)
+    return _PSL_DOMAIN_SQL.format(**_psl_sql_lists())
 
 
 @query(
@@ -6195,20 +6246,22 @@ def _psl_domain_sql() -> str:
     + """
     SELECT doc_id, host,
       nullif(regexp_extract(host, '([^.]+\\.[^.]+)$', 1), '') AS heuristic,
-      CASE WHEN suf3 IS NOT NULL THEN l4
-           WHEN suf2 IS NOT NULL THEN l3
-           ELSE l2 END AS registered_domain
+      """ + _PSL_REG_SQL + """ AS registered_domain
     FROM j
     """,
 )
 def w_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSL-backed eTLD+1 (web.with_registered_domain) vs the 2-label
-    heuristic, side by side: b.co.uk-style hosts group as <org>.co.uk
-    under the PSL join where the heuristic collapses every .co.uk org
-    into one group (the skew that breaks per-domain caps); a host that
-    IS a public suffix yields NULL. Two BroadcastHashJoins against the
-    trimmed suffix table, zero shuffle — the full 9k-entry PSL drops
-    in with the same plan."""
+    heuristic, side by side — now over ALL THREE publicsuffix.org rule
+    classes: plain (b.co.uk groups as <org>.co.uk where the heuristic
+    collapses every .co.uk org into one group — the skew that breaks
+    per-domain caps), wildcard (`*.ck`: <src>.ck IS a public suffix →
+    NULL, www.<src>.ck registers one label deeper; same for the
+    2-label base `*.kawasaki.jp`), and exception (`!www.ck`,
+    `!city.kawasaki.jp`: the registrable IS the exception rule, even
+    for hosts under it like sub.www.ck). One tiny BroadcastHashJoin
+    per (class, label-count) pair, zero shuffle — the full 9k-entry
+    PSL file parses into the same shape (web.parse_psl)."""
     d = Catalog(spark, sf_dir).documents
     hosts = d.select("doc_id", _psl_host_col().alias("host"))
     out = WB.with_registered_domain(hosts, "host")
@@ -6226,9 +6279,7 @@ def w_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
     , r AS (
       SELECT doc_id,
-        CASE WHEN suf3 IS NOT NULL THEN l4
-             WHEN suf2 IS NOT NULL THEN l3
-             ELSE l2 END AS registered_domain
+        """ + _PSL_REG_SQL + f""" AS registered_domain
       FROM j
     ), ranked AS (
       SELECT doc_id, registered_domain,
@@ -7329,9 +7380,7 @@ def _w_blocklist_sql() -> str:
         + f"""
     , r AS (
       SELECT doc_id,
-        CASE WHEN suf3 IS NOT NULL THEN l4
-             WHEN suf2 IS NOT NULL THEN l3
-             ELSE l2 END AS registered_domain
+        {_PSL_REG_SQL} AS registered_domain
       FROM j
     )
     SELECT r.doc_id, r.registered_domain

@@ -215,6 +215,63 @@ def test_psl_registered_domain_diverges_from_heuristic(spark):
     assert out["api.example.github.io"] == ("github.io", "example.github.io")
 
 
+def test_psl_wildcard_and_exception_rules(spark):
+    """Full publicsuffix.org algorithm over wildcard (`*.ck`,
+    `*.kawasaki.jp`) and exception (`!www.ck`, `!city.kawasaki.jp`)
+    rule classes: a wildcard makes EVERY single label under its base
+    a public suffix (so such hosts register one label deeper, and the
+    (b+1)-label host itself has no registrable domain), while an
+    exception carves its rule back out as registrable — including for
+    hosts beneath it."""
+    rows = [
+        ("foo.ck",),            # public suffix under *.ck -> NULL
+        ("www.foo.ck",),        # registers under the wildcard suffix
+        ("a.b.foo.ck",),        # deeper host, same registrable
+        ("www.ck",),            # exception: registrable despite *.ck
+        ("sub.www.ck",),        # under the exception -> www.ck
+        ("ck",),                # bare TLD: nothing registrable
+        ("bar.kawasaki.jp",),   # 2-label wildcard base -> suffix -> NULL
+        ("shop.bar.kawasaki.jp",),
+        ("city.kawasaki.jp",),  # exception
+        ("x.city.kawasaki.jp",),
+        ("example.jp",),        # plain TLD fallback unaffected
+    ]
+    df = spark.createDataFrame(rows, "host string")
+    out = {
+        r.host: r.registered_domain
+        for r in W.with_registered_domain(df, "host").collect()
+    }
+    assert out == {
+        "foo.ck": None,
+        "www.foo.ck": "www.foo.ck",
+        "a.b.foo.ck": "b.foo.ck",
+        "www.ck": "www.ck",
+        "sub.www.ck": "www.ck",
+        "ck": None,
+        "bar.kawasaki.jp": None,
+        "shop.bar.kawasaki.jp": "shop.bar.kawasaki.jp",
+        "city.kawasaki.jp": "city.kawasaki.jp",
+        "x.city.kawasaki.jp": "city.kawasaki.jp",
+        "example.jp": "example.jp",
+    }
+
+
+def test_parse_psl_file_format():
+    import pytest
+
+    rules = W.parse_psl(
+        "// comment\n\ncom\nco.uk\n*.ck  // trailing noise\n!www.ck\n"
+        "*.kawasaki.jp\nCO.JP\n"
+    )
+    assert rules["plain"] == ("com", "co.uk", "co.jp")
+    assert rules["wildcard"] == ("ck", "kawasaki.jp")
+    assert rules["exception"] == ("www.ck",)
+    with pytest.raises(ValueError, match="wildcard"):
+        W.parse_psl("c*.x\n")
+    with pytest.raises(ValueError, match="wildcard"):
+        W.parse_psl("*.a.*.b\n")
+
+
 def test_psl_join_is_broadcast_no_shuffle(spark):
     df = spark.createDataFrame([("www.a.co.uk",)], "host string")
     plan = (
@@ -223,7 +280,9 @@ def test_psl_join_is_broadcast_no_shuffle(spark):
         .executedPlan()
         .toString()
     )
-    assert plan.count("BroadcastHashJoin") == 2
+    # one tiny broadcast join per (rule class, label count) pair:
+    # exc3, exc2, wild2, suf3, wild1, suf2
+    assert plan.count("BroadcastHashJoin") == 6
     assert "ShuffleExchange" not in plan and "SortMergeJoin" not in plan
 
 
