@@ -163,6 +163,141 @@ def lang_id(c: Column | str, toks: Column | None = None) -> Column:
     return expr.otherwise(F.lit(langs[-1]))
 
 
+# Char-n-gram weights for the fastText-style language classifier
+# (Joulin et al. 2016 — the CCNet language gate runs exactly this
+# model shape: a linear classifier over character n-grams). Grams are
+# 1-3 chars over space-padded lowercased text (unigrams carry the
+# script signal for non-Latin languages, trigrams the morphology);
+# integer weights so scoring is exact on every engine. A real
+# fastText lid model drops into the same table (hash-bucketed grams,
+# ~1M rows) without changing the plan.
+LANG_NGRAM_WEIGHTS: dict[str, dict[str, int]] = {
+    # en
+    " th": {"en": 3}, "the": {"en": 3}, "he ": {"en": 2}, "nd ": {"en": 2},
+    "ing": {"en": 2}, " of": {"en": 3}, "of ": {"en": 2}, " is": {"en": 2},
+    " an": {"en": 1}, "ng ": {"en": 1},
+    # de
+    "der": {"de": 3}, "ein": {"de": 3}, "ich": {"de": 3}, "sch": {"de": 2},
+    "und": {"de": 3}, "die": {"de": 3}, " ge": {"de": 2}, "ung": {"de": 2},
+    "en ": {"de": 2}, "er ": {"de": 1},
+    # es
+    " el": {"es": 2}, "el ": {"es": 1}, "ión": {"es": 3}, "ón ": {"es": 2},
+    "ado": {"es": 2}, " lo": {"es": 2}, "os ": {"es": 2}, "la ": {"es": 1},
+    "que": {"es": 2, "fr": 1}, " la": {"es": 2, "fr": 1},
+    # fr
+    " le": {"fr": 3}, "le ": {"fr": 2}, "les": {"fr": 2}, " et": {"fr": 2},
+    "et ": {"fr": 1}, "eau": {"fr": 2}, "aux": {"fr": 2}, "oir": {"fr": 2},
+    "ait": {"fr": 2}, " dé": {"fr": 1},
+    # it
+    " di": {"it": 2}, "di ": {"it": 2}, "lla": {"it": 3}, "ell": {"it": 2},
+    " il": {"it": 3}, "il ": {"it": 2}, "zio": {"it": 3}, "gli": {"it": 3},
+    "ità": {"it": 3}, "che": {"it": 2},
+    # pt
+    "ão ": {"pt": 3}, "ção": {"pt": 3}, " do": {"pt": 2}, "do ": {"pt": 1},
+    " da": {"pt": 2}, "da ": {"pt": 1}, " em": {"pt": 1}, "em ": {"pt": 1},
+    " um": {"pt": 2}, "ara": {"pt": 1},
+    # ru (script unigrams + common morphology trigrams)
+    "ы": {"ru": 3}, "ж": {"ru": 2}, "щ": {"ru": 3}, "э": {"ru": 2},
+    "ю": {"ru": 2}, "я": {"ru": 2}, "ого": {"ru": 3}, " пр": {"ru": 2},
+    "ать": {"ru": 2}, "ть ": {"ru": 2},
+    # el
+    "ς": {"el": 3}, "α": {"el": 2}, "ω": {"el": 2}, "και": {"el": 3},
+    " το": {"el": 2}, "ου": {"el": 2},
+}
+
+
+def lang_ngrams(c: Column | str) -> Column:
+    """Char 1- and 3-grams over space-padded, whitespace-collapsed,
+    lowercased text — the classifier's feature extraction, pure
+    Column (substring over a position sequence; no UDF, no shuffle).
+    Padding spaces make word boundaries visible to trigrams, the
+    fastText convention."""
+    s = F.concat(
+        F.lit(" "),
+        F.trim(
+            F.regexp_replace(
+                F.lower(F.col(c) if isinstance(c, str) else c), "\\s+", " "
+            )
+        ),
+        F.lit(" "),
+    )
+    L = F.length(s)
+    tris = F.when(
+        L >= 3,
+        F.transform(
+            F.sequence(F.lit(1), L - 2), lambda i: F.substring(s, i, F.lit(3))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    unis = F.transform(
+        F.sequence(F.lit(1), L), lambda i: F.substring(s, i, F.lit(1))
+    )
+    return F.concat(tris, unis)
+
+
+def lang_id_ngram(
+    df,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, dict[str, int]] | None = None,
+):
+    """fastText-grade language ID — a linear char-n-gram classifier
+    (the CCNet gate's model shape) replacing the marker-word
+    heuristic (``lang_id``) where real per-language discrimination is
+    needed. Per document: extract 1/3-grams, sum each language's
+    integer weight over gram OCCURRENCES, argmax with deterministic
+    alphabetical tie-break; a document no gram of which carries any
+    weight scores ``und``.
+
+    Scale shape (classifier_margin's, generalized to multi-class):
+    grams explode narrowly, inner-join the BROADCAST weight relation
+    — one row per gram with per-language weight COLUMNS, so k
+    languages cost one join, not k — OOV grams drop in the join, and
+    the per-document sums are map-side-combinable: the plan's ONLY
+    exchange carries one (doc, k sums) row per document per map
+    task. The empty-string sentinel (unproducible: every gram is 1
+    or 3 chars of a padded string) keeps zero-hit documents alive
+    exactly as in classifier_margin. A ~1M-row fastText vocabulary
+    swaps in without changing the plan.
+
+    Output: (id_col, lang_pred string, lang_score bigint)."""
+    weights = LANG_NGRAM_WEIGHTS if weights is None else weights
+    if "" in weights:
+        raise ValueError("weights must not contain the empty-string gram")
+    langs = sorted({lang for d in weights.values() for lang in d})
+    spark = df.sparkSession
+    schema = "gram string, " + ", ".join(f"s_{lang} long" for lang in langs)
+    rows = [
+        tuple([g] + [int(d.get(lang, 0)) for lang in langs])
+        for g, d in sorted(weights.items())
+    ] + [tuple([""] + [0] * len(langs))]
+    w = spark.createDataFrame(rows, schema)
+    ex = df.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                F.array(F.lit("")),
+                F.coalesce(
+                    lang_ngrams(text_col), F.array().cast("array<string>")
+                ),
+            )
+        ).alias("gram"),
+    )
+    summed = (
+        ex.join(F.broadcast(w), "gram")
+        .groupBy(id_col)
+        .agg(*[F.sum(f"s_{lang}").alias(f"s_{lang}") for lang in langs])
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    pred: Column = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    return summed.select(
+        id_col,
+        pred.alias("lang_pred"),
+        F.greatest(best, F.lit(0)).cast("bigint").alias("lang_score"),
+    )
+
+
 def fingerprint(c: Column | str, toks: Column | None = None) -> Column:
     """Canonical document fingerprint: md5 over the sorted distinct
     token set — robust to word order/duplication (near-canonical form

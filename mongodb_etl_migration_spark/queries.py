@@ -2127,25 +2127,77 @@ def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_oracle() -> str:
-    score = {
-        lang: f"len(list_filter(toks, t -> t IN ({', '.join(repr(m) for m in markers)})))"
-        for lang, markers in T.LANG_MARKERS.items()
-    }
-    langs = sorted(score)
-    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
-    case = " ".join(
-        f"WHEN s_{lang} = {greatest} THEN '{lang}'" for lang in langs[:-1]
+_LANG_SNIPPETS: dict[str, str] = {
+    # one multi-script snippet per language — appended doc_id digits
+    # keep every row distinct without adding weighted grams (digits
+    # carry no classifier weight)
+    "en": "the cat and the dog of the house is running in the garden of things",
+    "de": "der hund und die katze gehen durch einen garten und ich sage der regierung",
+    "es": "el gobierno que tiene la información de los resultados el abogado",
+    "fr": "le chien et les enfants du beau chateau aux oiseaux pour voir les eaux",
+    "it": "il governo della citta che gli amici di casa la situazione degli studenti",
+    "pt": "a informação do governo da cidade em um jardim para a população",
+    "ru": "каждый человек имеет право на жизнь и образование этого мира",
+    "el": "το σπιτι και ο ανθρωπος της πολης και τα παιδια του κοσμου",
+}
+
+
+def _lang_ngram_oracle() -> str:
+    """DuckDB mirror of text.lang_id_ngram over the multi-script
+    snippet fixture: identical padding/gram extraction (codepoint
+    substring — both engines count characters), the same per-gram
+    integer weight table generated from LANG_NGRAM_WEIGHTS, LEFT JOIN
+    (the oracle's twin of Spark's zero-hit sentinel), per-language
+    sums, alphabetical-tie argmax, 'und' when nothing scored."""
+    langs = sorted({l for d in T.LANG_NGRAM_WEIGHTS.values() for l in d})
+    rows = ", ".join(
+        "(" + ", ".join(
+            [f"'{g}'"] + [str(d.get(l, 0)) for l in langs]
+        ) + ")"
+        for g, d in sorted(T.LANG_NGRAM_WEIGHTS.items())
     )
-    scores_sel = ",\n           ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
-    return f"""
-    WITH scored AS (
+    cols = ", ".join(f"s_{l}" for l in langs)
+    sums = ", ".join(
+        f"coalesce(sum(w.s_{l}), 0) AS s_{l}" for l in langs
+    )
+    greatest = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
+    snip = " ".join(
+        f"WHEN {i} THEN '{_LANG_SNIPPETS[l]}'"
+        for i, l in enumerate(sorted(_LANG_SNIPPETS))
+    )
+    return rf"""
+    WITH d AS (
       SELECT doc_id,
-           {scores_sel}
-      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-            FROM documents)
+             (CASE doc_id % 8 {snip} END) || ' ' || CAST(doc_id AS VARCHAR)
+               AS t2
+      FROM documents
+    ), n AS (
+      SELECT doc_id,
+             ' ' || trim(regexp_replace(lower(t2), '\s+', ' ', 'g')) || ' '
+               AS s
+      FROM d
+    ), g AS (
+      SELECT doc_id, unnest(list_concat(
+        CASE WHEN length(s) >= 3
+             THEN list_transform(range(1, length(s)-1),
+                                 i -> substring(s, i, 3))
+             ELSE CAST([] AS VARCHAR[]) END,
+        list_transform(range(1, length(s)+1),
+                       i -> substring(s, i, 1)))) AS gram
+      FROM n
+    ), w(gram, {cols}) AS (VALUES {rows}),
+    agg AS (
+      SELECT doc_id, {sums}
+      FROM g LEFT JOIN w USING (gram)
+      GROUP BY doc_id
+    ), scored AS (
+      SELECT doc_id, {greatest} AS best, * FROM agg
     )
-    SELECT doc_id, CASE {case} ELSE '{langs[-1]}' END AS lang_pred FROM scored
+    SELECT doc_id,
+           CASE WHEN best <= 0 THEN 'und' {case} END AS lang_pred,
+           CAST(greatest(best, 0) AS BIGINT) AS lang_score
+    FROM scored
     """
 
 
@@ -2337,12 +2389,30 @@ def t_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("t_lang_id", _lang_oracle())
+@query("t_lang_id", _lang_ngram_oracle())
 def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic (marker-token argmax, deterministic
-    tie-break)."""
+    """fastText-grade language ID (text.lang_id_ngram): a linear
+    char-n-gram classifier — the CCNet language gate's model shape —
+    over an 8-language multi-script fixture (Latin, Cyrillic, Greek).
+    Grams explode narrowly and inner-join ONE broadcast weight
+    relation with per-language weight columns; per-document sums are
+    map-side combined, so the only exchange carries one row per
+    document per map task; 'und' for unscored docs; deterministic
+    alphabetical tie-break. The marker-word heuristic (text.lang_id)
+    stays as the cheap zero-shuffle pre-gate (t_quality_gate)."""
     d = Catalog(spark, sf_dir).documents
-    return d.select("doc_id", T.lang_id("text").alias("lang_pred"))
+    langs = sorted(_LANG_SNIPPETS)
+    snip: F.Column | None = None
+    for i, lang in enumerate(langs):
+        w = (F.col("doc_id") % 8 == i, F.lit(_LANG_SNIPPETS[lang]))
+        snip = F.when(*w) if snip is None else snip.when(*w)
+    fixture = d.select(
+        "doc_id",
+        F.concat(snip, F.lit(" "), F.col("doc_id").cast("string")).alias(
+            "t2"
+        ),
+    )
+    return T.lang_id_ngram(fixture, "doc_id", "t2")
 
 
 @query(

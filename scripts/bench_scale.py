@@ -197,6 +197,15 @@ def main() -> None:
         cm["vocab_terms"] = len(vocab)
         cm["kept"] = cls.filter(F.col("keep")).count()
 
+        # Language-ID classifier at scale: the gram explode is narrow
+        # and the weight relation is broadcast and FIXED (a lid model
+        # does not grow with the corpus); the plan's one exchange
+        # carries one (doc, k sums) row per doc per map task —
+        # shuffle linear in docs.
+        lid = T.lang_id_ngram(docs, "doc_id", "text")
+        lm = timed(ui, lid)
+        lm["docs"] = lid.count()
+
         # Paragraph dedup at scale: every doc carries one corpus-wide
         # boilerplate line plus its body line. The corpus's replica
         # suffixes are DIGITS, which CCNet normalization strips — so
@@ -275,6 +284,7 @@ def main() -> None:
             "t_rare_bigrams": rbt,
             "t_dup_spans": ds,
             "t_quality_classifier": cm,
+            "t_lang_id": lm,
             "g_pagerank": gp,
             "g_hits": gh,
             "t_paragraph_dedup": pdm,
@@ -358,6 +368,13 @@ def main() -> None:
         "paragraph_dedup_shuffle_growth_at_10x_corpus": round(
             x["t_paragraph_dedup"]["shuffle_bytes"]
             / max(1, b["t_paragraph_dedup"]["shuffle_bytes"]),
+            2,
+        ),
+        # 10x corpus, FIXED lid vocabulary: the per-doc sums exchange
+        # is the only shuffle -> linear in docs
+        "lang_id_shuffle_growth_at_10x_corpus": round(
+            x["t_lang_id"]["shuffle_bytes"]
+            / max(1, b["t_lang_id"]["shuffle_bytes"]),
             2,
         ),
     }

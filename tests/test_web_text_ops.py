@@ -632,6 +632,60 @@ def test_parse_robots_rules_grouping_semantics(spark):
     assert verdicts == {"/no/x": False, "/ok/y": True, "/other": True}
 
 
+def test_lang_id_ngram_multiscript_and_edges(spark):
+    """The char-n-gram classifier separates 8 languages across three
+    scripts, scores 'und' when no gram carries weight, survives NULL
+    and empty text, and breaks exact ties alphabetically."""
+    rows = [
+        (1, "the cat and the dog of the house is running"),
+        (2, "der hund und die katze gehen durch einen garten ich"),
+        (3, "el gobierno que tiene la información de los resultados"),
+        (4, "le chien et les enfants du beau chateau aux oiseaux"),
+        (5, "il governo della citta che gli amici di casa"),
+        (6, "a informação do governo da cidade em um jardim"),
+        (7, "каждый человек имеет право на жизнь и образование"),
+        (8, "το σπιτι και ο ανθρωπος της πολης και τα παιδια"),
+        (9, "0123 4567 89"),   # digits only -> no weighted gram -> und
+        (10, None),            # NULL text -> sentinel keeps it -> und
+        (11, ""),              # empty -> padded to '  ', no weight -> und
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.lang_pred, r.lang_score)
+        for r in T.lang_id_ngram(df, "doc_id", "text").collect()
+    }
+    assert {k: v[0] for k, v in out.items()} == {
+        1: "en", 2: "de", 3: "es", 4: "fr", 5: "it", 6: "pt",
+        7: "ru", 8: "el", 9: "und", 10: "und", 11: "und",
+    }
+    assert all(v[1] > 0 for k, v in out.items() if k <= 8)
+    assert all(v[1] == 0 for k, v in out.items() if k > 8)
+    # deterministic alphabetical tie-break: craft a one-gram-each tie
+    tie = spark.createDataFrame([(1, "ы ção")], "doc_id long, text string")
+    w = {"ы": {"ru": 3}, "ção": {"pt": 3}}
+    r = T.lang_id_ngram(tie, "doc_id", "text", weights=w).collect()[0]
+    assert (r.lang_pred, r.lang_score) == ("pt", 3)
+    import pytest
+
+    with pytest.raises(ValueError, match="empty-string"):
+        T.lang_id_ngram(tie, "doc_id", "text", weights={"": {"en": 1}})
+
+
+def test_lang_id_ngram_single_exchange_plan(spark):
+    """classifier_margin's scale shape, multi-class: the broadcast
+    weight join must not shuffle the exploded grams — the only
+    exchange is the per-document aggregate."""
+    df = spark.createDataFrame([(1, "the and of")], "doc_id long, text string")
+    plan = (
+        T.lang_id_ngram(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
 def test_classifier_margin_paths_agree_and_edge_docs(spark):
     """Broadcast-join path == zero-shuffle map-literal path, including
     an empty doc and an all-OOV doc (both must score exactly bias)."""
