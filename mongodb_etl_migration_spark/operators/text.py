@@ -1336,6 +1336,207 @@ def bpe_encode_batch(df, id_col: str, text_col: str, merges: list[tuple[str, str
     )
 
 
+# ---------------------------------------------------------------------------
+# Byte-level BPE (GPT-2 family): published merges.txt format, the
+# bytes_to_unicode alphabet, and the GPT-2 pretokenizer regex.
+# ---------------------------------------------------------------------------
+
+# The published GPT-2 pretokenization pattern (Radford et al. 2019;
+# openai/gpt-2 encoder.py). Java regex runs it verbatim (\p{L}/\p{N}
+# classes + the (?!\S) lookahead); note Java's \s is ASCII-only where
+# the regex module's is Unicode — identical on ASCII text, which is
+# this Column path's documented scope (the reference scanner below
+# mirrors the Java semantics exactly, so the batch and Column paths
+# always agree with EACH OTHER).
+GPT2_PRETOKEN_RE = (
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+|"
+    " ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+)
+
+_GPT2_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+def gpt2_bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte↔unicode alphabet (openai/gpt-2 encoder.py,
+    public): every byte maps to a PRINTABLE codepoint so merge tables
+    and vocab files stay whitespace-free — printable bytes (33-126,
+    161-172, 174-255) map to themselves, the other 68 bytes map to
+    256+n in byte order (so 0x20 space → U+0120 'Ġ', 0x0A newline →
+    U+010A 'Ċ', 0x09 tab → U+0109 'ĉ')."""
+    printable = (
+        list(range(33, 127)) + list(range(161, 173)) + list(range(174, 256))
+    )
+    out: dict[int, str] = {b: chr(b) for b in printable}
+    n = 0
+    for b in range(256):
+        if b not in out:
+            out[b] = chr(256 + n)
+            n += 1
+    return out
+
+
+def parse_merges(text: str) -> list[tuple[str, str]]:
+    """Parse the published merges.txt format (huggingface/openai BPE
+    vocabularies): an optional ``#version`` header, then one
+    space-separated symbol pair per line in rank order. Blank lines
+    are ignored; a line without exactly two fields is malformed."""
+    merges: list[tuple[str, str]] = []
+    for i, raw in enumerate(text.splitlines()):
+        line = raw.strip()
+        if not line or (i == 0 and line.startswith("#version")):
+            continue
+        parts = line.split(" ")
+        if len(parts) != 2 or not parts[0] or not parts[1]:
+            raise ValueError(f"malformed merges.txt line {i + 1}: {raw!r}")
+        merges.append((parts[0], parts[1]))
+    return merges
+
+
+def gpt2_pretokenize_reference(text: str) -> list[str]:
+    """Pure-Python scanner implementing GPT2_PRETOKEN_RE's Java-regex
+    semantics exactly (alternation order, the greedy-\\s+ one-char
+    backtrack that (?!\\S) induces, ASCII \\s) — the dependency-free
+    ground truth the batch path runs and the Column path is tested
+    against. Unicode letters/numbers via unicodedata categories
+    (Java's \\p{L}/\\p{N})."""
+    import unicodedata
+
+    _ws = " \t\n\x0b\f\r"
+
+    def cat(ch: str) -> str:
+        return unicodedata.category(ch)[0]
+
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        hit = next(
+            (c for c in _GPT2_CONTRACTIONS if text.startswith(c, i)), None
+        )
+        if hit is not None:
+            out.append(hit)
+            i += len(hit)
+            continue
+        matched = False
+        for want in ("L", "N", "O"):
+            j = i + 1 if text[i] == " " and i + 1 < n else i
+            k = j
+            while k < n and (
+                cat(text[k]) == want
+                if want != "O"
+                else (text[k] not in _ws and cat(text[k]) not in "LN")
+            ):
+                k += 1
+            if k > j:
+                out.append(text[i:k])
+                i = k
+                matched = True
+                break
+        if matched:
+            continue
+        # whitespace run: all of it at end-of-string, else give back
+        # one char ((?!\S) backtrack); a single ws char stays whole
+        k = i
+        while k < n and text[k] in _ws:
+            k += 1
+        if k < n and k - i > 1:
+            k -= 1
+        out.append(text[i:k])
+        i = k
+    return out
+
+
+def gpt2_apply_reference(
+    text: str, merges: list[tuple[str, str]]
+) -> list[str]:
+    """Reference byte-level BPE encode: pretokenize, map each
+    pretoken's UTF-8 bytes through the GPT-2 alphabet, run the greedy
+    merge loop per pretoken. Driver-side ground truth; the plan-side
+    twins are gpt2_encode_batch (pandas UDF) and the compiled Column
+    chain in gpt2_encoded."""
+    b2u = gpt2_bytes_to_unicode()
+    pieces: list[str] = []
+    for tok in gpt2_pretokenize_reference(text):
+        mapped = "".join(b2u[b] for b in tok.encode("utf-8"))
+        pieces.extend(bpe_apply_reference(mapped, merges))
+    return pieces
+
+
+def gpt2_pretokenize(c: Column | str) -> Column:
+    """GPT-2 pretokenization as a pure Column: Java regex runs the
+    published pattern verbatim (lookahead included) inside codegen —
+    zero shuffle. The DuckDB oracle reproduces it RE2-safely as a
+    plain alternation plus a list-surgery pass for the (?!\\S) rule
+    (verified token-for-token against this and the reference
+    scanner)."""
+    return F.regexp_extract_all(_cc(c), F.lit(GPT2_PRETOKEN_RE), 0)
+
+
+def gpt2_encoded(
+    c: Column | str, merges: list[tuple[str, str]]
+) -> Column:
+    """Byte-level BPE encode as a zero-shuffle Column chain: pretoken
+    array → GPT-2 byte alphabet (F.translate for the three ASCII
+    whitespace bytes; printable ASCII is identity by construction) →
+    the compiled merge chain per pretoken. ASCII-text scope — any
+    other byte needs UTF-8 decomposition, which is the batch path's
+    job (gpt2_encode_batch, same results where scopes overlap,
+    tested). Returns the document's space-joined symbol string
+    (symbols never contain a literal space — the alphabet maps it
+    away — so the join is unambiguous)."""
+    pretoks = gpt2_pretokenize(c)
+    mapped = F.transform(
+        pretoks, lambda t: F.translate(t, " \t\n", "ĠĉĊ")
+    )
+    enc = F.transform(mapped, lambda w: bpe_encoded_word(w, merges))
+    joined = F.array_join(enc, "")
+    return F.trim(F.regexp_replace(joined, " +", " "))
+
+
+def gpt2_token_count(c: Column | str, merges: list[tuple[str, str]]) -> Column:
+    """Per-document byte-level BPE token count off gpt2_encoded's
+    symbol string (0 for empty docs)."""
+    s = gpt2_encoded(c, merges)
+    return F.when(s == "", F.lit(0)).otherwise(
+        F.size(F.split(s, " "))
+    ).cast("bigint")
+
+
+def gpt2_encode_batch(
+    df, id_col: str, text_col: str, merges: list[tuple[str, str]]
+):
+    """General-vocabulary byte-level BPE: Arrow-batched pandas UDF
+    running the reference scanner + greedy loop — the path for real
+    published ~50k-merge tables (GPT-2 merges.txt via parse_merges)
+    and for non-ASCII text (full UTF-8 byte fallback through the
+    GPT-2 alphabet). The merge table ships once per executor inside
+    the serialized function; rows stream through Arrow batches.
+    Output: (id_col, bpe_tokens bigint, encoded string)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def enc(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                " ".join(gpt2_apply_reference(t or "", merges))
+                for t in texts
+            ]
+        )
+
+    out = df.select(F.col(id_col), enc(F.col(text_col)).alias("encoded"))
+    return out.select(
+        id_col,
+        F.when(F.col("encoded") == "", F.lit(0))
+        .otherwise(F.size(F.split("encoded", " ")))
+        .cast("bigint")
+        .alias("bpe_tokens"),
+        "encoded",
+    )
+
+
+def _cc(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
 def nfc_normalize(df, id_col: str, text_col: str):
     """Unicode NFC normalization — the canonical-composition pass
     real crawl ingest runs before ANY hashing/dedup/tokenization

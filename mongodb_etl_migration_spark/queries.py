@@ -7744,6 +7744,146 @@ def t_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Demo GPT-2-style merge table in the PUBLISHED merges.txt format
+# (parsed by text.parse_merges) over the byte-level alphabet: symbols
+# use the GPT-2 bytes_to_unicode mapping (0x20 -> 'Ġ'), rank-ordered
+# so the compiled Column chain is exactly the greedy loop. A real
+# 50k-line GPT-2 merges.txt loads through the same parser into
+# gpt2_encode_batch.
+GPT2_DEMO_MERGES_TXT = """\
+#version: 0.2
+Ġ t
+Ġ a
+h e
+i n
+r e
+o n
+Ġt he
+t he
+e r
+Ġ s
+a t
+a b
+l e
+t ab
+tab le
+o w
+Ġ r
+Ġr ow
+r ow
+Ġ 1
+9 8
+"""
+
+_GPT2_DEMO_MERGES = T.parse_merges(GPT2_DEMO_MERGES_TXT)
+
+# RE2-safe DuckDB twin of the GPT-2 pretokenizer: the published
+# pattern minus the (?!\S) lookahead (RE2 has none), then a
+# list-surgery pass reproducing Java's greedy-whitespace one-char
+# backtrack — a ws run before a non-space splits into (run minus its
+# last char) + the last char, which attaches to the next token when
+# it is a literal space (re-splitting " '" off a contraction, exactly
+# as the real pattern's alternation order does). Verified
+# token-for-token against Java regex AND the regex-module reference.
+_GPT2_PRETOK_SQL = r"""
+    SELECT doc_id, flatten(list_transform(L, (tok, i) ->
+      CASE
+        WHEN regexp_matches(tok, '^\s+$') AND i < len(L) THEN
+          list_filter([substr(tok, 1, length(tok)-1),
+                       CASE WHEN tok[-1] <> ' ' THEN tok[-1] ELSE '' END],
+                      x -> x <> '')
+        WHEN i > 1 AND regexp_matches(L[i-1], '^\s+$') AND L[i-1][-1] = ' '
+          THEN CASE WHEN tok IN (CHR(39)||'s',CHR(39)||'t',CHR(39)||'re',
+                                 CHR(39)||'ve',CHR(39)||'m',CHR(39)||'ll',
+                                 CHR(39)||'d')
+                    THEN [' '||CHR(39), substr(tok, 2)]
+                    ELSE [' ' || tok] END
+        ELSE [tok]
+      END)) AS toks
+    FROM (
+      SELECT doc_id, regexp_extract_all(t2,
+        CHR(39)||'s|'||CHR(39)||'t|'||CHR(39)||'re|'||CHR(39)||'ve|'
+        ||CHR(39)||'m|'||CHR(39)||'ll|'||CHR(39)||'d'
+        ||'| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+      ) AS L FROM d
+    )
+"""
+
+
+def _gpt2_sql_encode(var: str) -> str:
+    """DuckDB mirror of text.gpt2_encoded's per-pretoken merge chain:
+    same demo table, same rank order, same exhaustive passes."""
+    e = f"concat(' ', regexp_replace({var}, '(.)', '\\1 ', 'g'))"
+    for a, b in _GPT2_DEMO_MERGES:
+        for _ in range(T._BPE_PASSES):
+            e = f"replace({e}, ' {a} {b} ', ' {a}{b} ')"
+    return e
+
+
+@query(
+    "t_bpe_pretok",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             replace(text, ' table', '   table')
+               || ' it' || CHR(39) || 's 1984 ready,' || chr(9)
+               || 'set.  go ' AS t2
+      FROM documents
+    ), pt AS (
+      {_GPT2_PRETOK_SQL}
+    ), m AS (
+      SELECT doc_id, len(toks) AS n_pretokens,
+        list_transform(toks, t ->
+          replace(replace(replace(t, ' ', 'Ġ'), chr(9), 'ĉ'),
+                  chr(10), 'Ċ')) AS mapped
+      FROM pt
+    ), e AS (
+      SELECT doc_id, n_pretokens,
+        trim(regexp_replace(
+          array_to_string(
+            list_transform(mapped, w -> {_gpt2_sql_encode("w")}), ''),
+          ' +', ' ', 'g')) AS enc
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(n_pretokens AS BIGINT) AS n_pretokens,
+           CAST(CASE WHEN enc = '' THEN 0
+                     ELSE len(string_split(enc, ' ')) END AS BIGINT)
+             AS bpe_tokens,
+           substring(enc, 1, 160) AS enc_head
+    FROM e
+    """,
+)
+def t_bpe_pretok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-LEVEL BPE with the GPT-2 pretokenizer (text.gpt2_*): the
+    published pretokenization regex runs verbatim in Java regex
+    (contractions, space-attached letter/number/punct runs, the
+    whitespace-lookahead backtrack), pretokens map through the GPT-2
+    bytes_to_unicode alphabet ('Ġ' for space), and a merges.txt-format
+    demo table (text.parse_merges) compiles to the zero-shuffle
+    Column replace chain. Fixture stresses the pretokenizer: a
+    triple-space run (backtrack rule), a contraction, digits,
+    punctuation, a tab, and trailing double space. The oracle
+    reproduces the lookahead RE2-safely via list surgery and runs the
+    identical alphabet + merge chain — hash equality proves
+    pretokenizer, byte mapping, and merges end-to-end. Real ~50k
+    GPT-2 vocabularies load through the same parser into the
+    Arrow-batched gpt2_encode_batch (same results, tested)."""
+    d = Catalog(spark, sf_dir).documents
+    t2 = F.concat(
+        F.replace(F.col("text"), F.lit(" table"), F.lit("   table")),
+        F.lit(" it's 1984 ready,\tset.  go "),
+    )
+    fixture = d.select("doc_id", t2.alias("t2"))
+    enc = T.gpt2_encoded("t2", _GPT2_DEMO_MERGES)
+    return fixture.select(
+        "doc_id",
+        F.size(T.gpt2_pretokenize("t2")).cast("bigint").alias("n_pretokens"),
+        T.gpt2_token_count("t2", _GPT2_DEMO_MERGES).alias("bpe_tokens"),
+        F.substring(enc, 1, 160).alias("enc_head"),
+    )
+
+
 @query(
     "v4_table_diff",
     """

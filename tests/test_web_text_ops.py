@@ -632,6 +632,100 @@ def test_parse_robots_rules_grouping_semantics(spark):
     assert verdicts == {"/no/x": False, "/ok/y": True, "/other": True}
 
 
+def test_gpt2_bytes_to_unicode_published_mapping():
+    """The GPT-2 byte alphabet is spec-pinned: a 256-entry bijection,
+    identity on the printable ranges, and the canonical remaps
+    (space->Ġ U+0120, newline->Ċ U+010A, tab->ĉ U+0109)."""
+    b2u = T.gpt2_bytes_to_unicode()
+    assert len(b2u) == 256 and len(set(b2u.values())) == 256
+    for b in list(range(33, 127)) + list(range(161, 173)) + list(range(174, 256)):
+        assert b2u[b] == chr(b)
+    assert b2u[32] == "Ġ" and b2u[10] == "Ċ" and b2u[9] == "ĉ"
+    assert b2u[0] == chr(256) and b2u[173] == chr(256 + 67)
+
+
+def test_parse_merges_format():
+    import pytest
+
+    m = T.parse_merges("#version: 0.2\nh e\nĠ t\nĠt he\n\n")
+    assert m == [("h", "e"), ("Ġ", "t"), ("Ġt", "he")]
+    with pytest.raises(ValueError, match="malformed"):
+        T.parse_merges("h e x\n")
+    with pytest.raises(ValueError, match="malformed"):
+        T.parse_merges("justone\n")
+
+
+def test_gpt2_pretokenize_scanner_matches_java_regex(spark):
+    """The pure-Python reference scanner and Spark's Java regex run
+    of the published GPT-2 pattern must agree token-for-token on the
+    tricky cases: contractions, the \\s+(?!\\S) backtrack, tabs,
+    leading/trailing runs, space-before-contraction re-splitting."""
+    cases = [
+        "key agg   table it's 1984 ready, set.  go ",
+        "a\tb  \tc",
+        "  lead",
+        "tail   ",
+        "x'll y're",
+        "x  's weird",
+        "multi\n\nlines here",
+        "a  ,b",
+        "",
+        "don't stop-me (now) #1!",
+    ]
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = {
+        r.s: r.t
+        for r in df.select(
+            "s", T.gpt2_pretokenize("s").alias("t")
+        ).collect()
+    }
+    for s in cases:
+        assert got[s] == T.gpt2_pretokenize_reference(s), repr(s)
+        assert "".join(got[s]) == s  # tokens tile the input exactly
+
+
+def test_gpt2_encode_column_and_batch_paths_agree(spark):
+    """On ASCII text the zero-shuffle Column chain and the
+    Arrow-batched scanner path produce identical encodings; the batch
+    path additionally handles non-ASCII via UTF-8 byte fallback
+    through the alphabet."""
+    merges = T.parse_merges(
+        "#version: 0.2\nĠ t\nh e\nĠt he\nt he\na b\nl e\nt ab\ntab le\n"
+    )
+    rows = [
+        (1, "the table"),
+        (2, "it's   tabled"),
+        (3, ""),
+        (4, "a\tb  c "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    col = {
+        r.doc_id: (r.enc, r.n)
+        for r in df.select(
+            "doc_id",
+            T.gpt2_encoded("text", merges).alias("enc"),
+            T.gpt2_token_count("text", merges).alias("n"),
+        ).collect()
+    }
+    bat = {
+        r.doc_id: (r.encoded, r.bpe_tokens)
+        for r in T.gpt2_encode_batch(df, "doc_id", "text", merges).collect()
+    }
+    assert col == bat
+    # 'the': (h,e) then (t,he) -> one symbol; ' table': (Ġ,t), (a,b),
+    # (l,e) -> Ġt ab le ((Ġt,ab)/(ab,le) are not in the table)
+    assert col[1] == ("the Ġt ab le", 4)
+    assert col[3] == ("", 0)
+    # reference ground truth agrees too
+    for i, s in rows:
+        assert col[i][0] == " ".join(T.gpt2_apply_reference(s, merges))
+    # non-ASCII byte fallback (batch path only): é -> 0xC3 0xA9, both
+    # printable-identity bytes in the alphabet
+    nonascii = spark.createDataFrame([(9, "café")], "doc_id long, text string")
+    r = T.gpt2_encode_batch(nonascii, "doc_id", "text", merges).collect()[0]
+    assert r.encoded == "c a f Ã ©" and r.bpe_tokens == 5
+
+
 def test_lang_id_ngram_multiscript_and_edges(spark):
     """The char-n-gram classifier separates 8 languages across three
     scripts, scores 'und' when no gram carries weight, survives NULL
