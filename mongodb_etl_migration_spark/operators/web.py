@@ -17,6 +17,7 @@ would layer stricter RFC 3986 handling behind the same contract.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -937,6 +938,97 @@ def sitemap_urls(df, id_col: str, xml_col: str):
         F.nullif(lastmod, F.lit("")).alias("lastmod"),
         F.col("_e").startswith("<sitemap>").alias("is_index"),
     ).filter(F.col("loc").isNotNull())
+
+
+def gunzip_text(url: Column, payload: Column) -> Column:
+    """Payload bytes → XML/text string, gunzipping gzip members
+    (magic 1f 8b — sitemaps are overwhelmingly served as .xml.gz)
+    and utf-8/replace-decoding the rest. Arrow-batched pandas UDF
+    (Spark has no gunzip builtin); one narrow projection, batch-
+    bounded memory, zero shuffle. The ``url`` column rides along
+    only for error messages."""
+    import gzip as _gzip
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def gz(urls: pd.Series, payloads: pd.Series) -> pd.Series:
+        out = []
+        for u, p in zip(urls, payloads):
+            if p is None:
+                out.append(None)
+                continue
+            b = bytes(p)
+            if b[:2] == b"\x1f\x8b":
+                try:
+                    b = _gzip.decompress(b)
+                except (OSError, EOFError) as err:
+                    raise ValueError(f"corrupt gzip sitemap {u!r}: {err}")
+            out.append(b.decode("utf-8", "replace"))
+        return pd.Series(out)
+
+    return gz(url, payload)
+
+
+def sitemap_frontier(
+    pages,
+    url_col: str,
+    payload_col: str,
+    seeds,
+    seed_col: str = "sitemap_url",
+    max_depth: int = 3,
+):
+    """The crawl-frontier loop sitemaps.org specifies: starting from
+    the robots.txt ``Sitemap:`` seeds (robots_sitemaps), fetch each
+    sitemap, RECURSE through ``<sitemapindex>`` entries into child
+    sitemaps (most real ones served gzipped — handled transparently
+    by gunzip_text's magic-byte check), and accumulate the leaf
+    ``<url>`` entries that feed crawl_schedule. ``pages`` is the
+    fetched-sitemap corpus (url → raw payload BINARY); ``seeds`` the
+    seed URL relation.
+
+    Plan shape per level (the hierarchy.py discipline, adapted to a
+    loop whose levels ARE data-dependent): the seed set is KB-scale
+    (robots directives + index entries), so each level's fetch is a
+    BROADCAST semi-style join of seeds INTO the pages corpus — the
+    corpus never shuffles; the driver loop is bounded by
+    ``max_depth`` (the spec caps nesting; real indexes are 2 levels)
+    and each level's next-seed set is localCheckpointed (eager) to
+    cut lineage growth, with already-fetched URLs anti-joined away so
+    a self-referencing index cannot loop. Output: one row per
+    discovered URL — (sitemap_url, loc, lastmod, depth).
+    """
+    spark = pages.sparkSession
+    cur = seeds.select(F.col(seed_col).alias("__sm_url")).distinct()
+    seen = cur
+    out = None
+    for depth in range(max_depth):
+        fetched = pages.join(
+            F.broadcast(cur), pages[url_col] == F.col("__sm_url"), "inner"
+        ).select(
+            F.col("__sm_url").alias("sitemap_url"),
+            gunzip_text(F.col(url_col), F.col(payload_col)).alias("__xml"),
+        )
+        entries = sitemap_urls(fetched, "sitemap_url", "__xml")
+        leaves = entries.filter(~F.col("is_index")).select(
+            "sitemap_url",
+            "loc",
+            "lastmod",
+            F.lit(depth).cast("int").alias("depth"),
+        )
+        out = leaves if out is None else out.unionByName(leaves)
+        nxt = (
+            entries.filter(F.col("is_index"))
+            .select(F.col("loc").alias("__sm_url"))
+            .distinct()
+            .join(seen, "__sm_url", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if depth + 1 >= max_depth or nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt)
+        cur = nxt
+    return out
 
 
 def robots_sitemaps(df, host_col: str, text_col: str):

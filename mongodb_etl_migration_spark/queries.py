@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -7354,6 +7355,132 @@ _SPAMMY_URL_SQL = """
              CAST(doc_id % 50 AS VARCHAR)
       END
 """
+
+
+
+def _gzip_binary_udf():
+    """Fixture helper: gzip a string column into binary (mtime=0 so
+    bytes are deterministic) — synthesizes the .xml.gz sitemap
+    payloads the frontier loop must gunzip back."""
+    import gzip
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def gz(xml: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if x is None else gzip.compress(x.encode(), mtime=0)
+                for x in xml
+            ]
+        )
+
+    return gz
+
+
+@query(
+    "w_frontier_pipeline",
+    """
+    WITH src AS (SELECT DISTINCT lower(source) AS s FROM documents),
+    u AS (
+      SELECT s, 'https://www.' || s || '.com/p/' || i AS loc,
+             '2024-01-1' || i AS lastmod
+      FROM src, unnest(range(0, 6)) t(i)
+      UNION ALL
+      SELECT s, 'https://www.' || s || '.com/q/' || i,
+             CASE WHEN i % 3 = 0 THEN NULL ELSE '2023-07-1' || i END
+      FROM src, unnest(range(0, 6)) t(i)
+    ), ranked AS (
+      SELECT s || '.com' AS registered_domain, loc, lastmod,
+             CAST(1 AS INTEGER) AS depth,
+             row_number() OVER (
+               PARTITION BY s
+               ORDER BY lastmod ASC NULLS FIRST, loc
+             ) AS rk
+      FROM u
+    )
+    SELECT registered_domain, loc, lastmod, depth,
+           CAST(rk AS BIGINT) AS fetch_rank
+    FROM ranked WHERE rk <= 7
+    """,
+)
+def w_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END crawl-frontier pipeline: robots.txt ``Sitemap:``
+    directives (web.robots_sitemaps) seed the sitemap frontier loop
+    (web.sitemap_frontier) — a <sitemapindex> per host recursing into
+    one PLAIN child and one GZIPPED child (real .xml.gz bytes built
+    with mtime=0, gunzipped back by magic-byte detection inside the
+    loop) — and the discovered URLs feed recrawl scheduling
+    (web.crawl_schedule, stalest-first per PSL registered domain,
+    never-crawled NULLs first, per_domain=7 so the budget interleaves
+    both children's URLs). Per frontier level the KB-scale seed set
+    BROADCASTS into the pages corpus (the corpus never shuffles —
+    PLANS.md receipt); the driver loop is depth-bounded with
+    localCheckpointed, cycle-proof next-seed sets. The oracle predicts
+    every surviving row analytically from the fixture construction,
+    so a hash match proves directives → index recursion → gzip layer
+    → extraction → PSL grouping → budget ranking end to end."""
+    d = Catalog(spark, sf_dir).documents
+    src = d.select(F.lower("source").alias("s")).distinct()
+    host = F.concat(F.lit("www."), F.col("s"), F.lit(".com"))
+    base = F.concat(F.lit("https://"), host)
+
+    robots = src.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /tmp/\nSitemap: "),
+            base,
+            F.lit("/sitemap.xml\n"),
+        ).alias("robots_txt"),
+    )
+    seeds = WB.robots_sitemaps(robots, "host", "robots_txt")
+
+    idx_xml = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>"),
+        base,
+        F.lit("/sm/a.xml</loc></sitemap><sitemap><loc>"),
+        base,
+        F.lit("/sm/b.xml</loc></sitemap></sitemapindex>"),
+    )
+
+    def urlset(path: str, lastmod_null_mod3: bool) -> F.Column:
+        parts: list[F.Column] = [F.lit("<urlset>")]
+        for i in range(6):
+            parts += [F.lit("<url><loc>"), base, F.lit(f"/{path}/{i}</loc>")]
+            if lastmod_null_mod3 and i % 3 == 0:
+                parts.append(F.lit("</url>"))
+            elif lastmod_null_mod3:
+                parts.append(F.lit(f"<lastmod>2023-07-1{i}</lastmod></url>"))
+            else:
+                parts.append(F.lit(f"<lastmod>2024-01-1{i}</lastmod></url>"))
+        parts.append(F.lit("</urlset>"))
+        return F.concat(*parts)
+
+    gz = _gzip_binary_udf()
+    pages = (
+        src.select(
+            F.concat(base, F.lit("/sitemap.xml")).alias("url"),
+            F.encode(idx_xml, "UTF-8").alias("payload"),
+        )
+        .unionByName(
+            src.select(
+                F.concat(base, F.lit("/sm/a.xml")).alias("url"),
+                F.encode(urlset("p", False), "UTF-8").alias("payload"),
+            )
+        )
+        .unionByName(
+            src.select(
+                F.concat(base, F.lit("/sm/b.xml")).alias("url"),
+                gz(urlset("q", True)).alias("payload"),
+            )
+        )
+    )
+
+    frontier = WB.sitemap_frontier(pages, "url", "payload", seeds)
+    sched = WB.crawl_schedule(frontier, "loc", "lastmod", per_domain=7)
+    return sched.select(
+        "registered_domain", "loc", "lastmod", "depth", "fetch_rank"
+    )
 
 
 @query(

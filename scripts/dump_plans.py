@@ -347,6 +347,37 @@ NOTES = {
         "the per-document keep-set array, whose partitioning the "
         "reassembly groupBy(id) reuses."
     ),
+    "w_frontier_pipeline": (
+        "Sitemap frontier loop: every per-level fetch is a "
+        "BroadcastHashJoin of the KB-scale seed set INTO the pages "
+        "corpus (look for one BroadcastExchange per level and NO "
+        "SortMergeJoin — the corpus never shuffles while the loop "
+        "recurses sitemapindex → children); gunzip + extraction are "
+        "narrow; the only corpus-width exchange is crawl_schedule's "
+        "per-domain rank window, WindowGroupLimit-trimmed map-side."
+    ),
+    "w_robots_filter": (
+        "robots.txt gate with RFC 9309 wildcards: patterns compile "
+        "to anchored regexes on the rules side BEFORE the per-host "
+        "collect_list, the rule sets reach the corpus via one "
+        "BroadcastHashJoin, and match + most-specific resolution are "
+        "array higher-order functions in a Project — zero corpus "
+        "Exchange."
+    ),
+    "t_lang_id": (
+        "fastText-shape language ID: grams explode narrowly "
+        "(Generate), the per-language integer weight relation is ONE "
+        "BroadcastHashJoin (k languages = k weight COLUMNS, not k "
+        "joins), and the per-document sums partial-aggregate "
+        "map-side — the sole Exchange carries one (doc, k sums) row "
+        "per doc per map task."
+    ),
+    "t_bpe_pretok": (
+        "Byte-level BPE: the GPT-2 pretokenizer regex, byte-alphabet "
+        "translate, and compiled merge chain are all ONE Project "
+        "over the scan — zero Exchange, zero Python; the published "
+        "pattern's lookahead runs native in Java regex."
+    ),
 }
 
 

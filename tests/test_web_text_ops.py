@@ -1218,6 +1218,79 @@ def test_robots_sitemaps_directives(spark):
     assert out == ["https://a.com/news.xml", "https://a.com/sitemap.xml"]
 
 
+def test_sitemap_frontier_recursion_gzip_and_cycles(spark):
+    """sitemapindex recursion: a 3-level nest (index → child index →
+    urlset), a gzipped child (.xml.gz content, found by magic bytes,
+    not extension), a SELF-REFERENCING index (must not loop), a seed
+    pointing at a missing page (contributes nothing), and the
+    max_depth bound."""
+    import gzip
+
+    def urlset(*locs):
+        return "<urlset>" + "".join(
+            f"<url><loc>{u}</loc><lastmod>{lm}</lastmod></url>"
+            if lm
+            else f"<url><loc>{u}</loc></url>"
+            for u, lm in locs
+        ) + "</urlset>"
+
+    def index(*locs):
+        return "<sitemapindex>" + "".join(
+            f"<sitemap><loc>{u}</loc></sitemap>" for u in locs
+        ) + "</sitemapindex>"
+
+    pages = [
+        # level-0 index: one plain child, one gz child, ITSELF (cycle)
+        ("https://a.com/sitemap.xml",
+         index("https://a.com/sub.xml", "https://a.com/gz.xml",
+               "https://a.com/sitemap.xml").encode()),
+        # level-1 plain child: leaves + a level-2 index
+        ("https://a.com/sub.xml",
+         urlset(("https://a.com/p1", "2024-01-02"),
+                ("https://a.com/p2", None)).replace(
+             "</urlset>",
+             "<sitemap><loc>https://a.com/deep.xml</loc></sitemap></urlset>",
+         ).encode()),
+        # level-1 gz child: content gzipped, URL does NOT say .gz
+        ("https://a.com/gz.xml",
+         gzip.compress(urlset(("https://a.com/g1", "2023-12-31")).encode(),
+                       mtime=0)),
+        # level-2 leaves
+        ("https://a.com/deep.xml",
+         urlset(("https://a.com/d1", None)).encode()),
+    ]
+    pdf = spark.createDataFrame(pages, "url string, payload binary")
+    seeds = spark.createDataFrame(
+        [("https://a.com/sitemap.xml",), ("https://a.com/missing.xml",)],
+        "sitemap_url string",
+    )
+    out = W.sitemap_frontier(pdf, "url", "payload", seeds, max_depth=3)
+    got = {(r.loc, r.lastmod, r.depth) for r in out.collect()}
+    assert got == {
+        ("https://a.com/p1", "2024-01-02", 1),
+        ("https://a.com/p2", None, 1),
+        ("https://a.com/g1", "2023-12-31", 1),
+        ("https://a.com/d1", None, 2),
+    }
+    # depth bound: max_depth=2 stops before the deep urlset
+    shallow = W.sitemap_frontier(pdf, "url", "payload", seeds, max_depth=2)
+    assert {r.loc for r in shallow.collect()} == {
+        "https://a.com/p1", "https://a.com/p2", "https://a.com/g1",
+    }
+    # corrupt gzip fails loudly with the url named
+    import pytest
+
+    bad = spark.createDataFrame(
+        [("https://b.com/s.xml", b"\x1f\x8b\x00broken")],
+        "url string, payload binary",
+    )
+    bseeds = spark.createDataFrame(
+        [("https://b.com/s.xml",)], "sitemap_url string"
+    )
+    with pytest.raises(Exception, match="corrupt gzip"):
+        W.sitemap_frontier(bad, "url", "payload", bseeds).collect()
+
+
 def test_dedup_paragraphs_structure_lines_survive(spark):
     """Separator/digit-only lines hash to nothing: every doc keeps its
     own '---' and date lines (review fix: they all normalized to ''
