@@ -7,10 +7,13 @@ real here: the full box walk (64-bit sizes, versioned boxes), movie /
 track metadata (duration, dimensions, codec fourcc, handler), and
 SAMPLE EXTRACTION — resolving stsc/stco/stsz chunk maps to the exact
 byte range of any sample, so frame bytes come out of ``mdat`` for
-real. What stays stubbed: decoding those sample bytes (H.264 et al.
-genuinely need a codec library); callers digest/route the raw sample
-bytes instead, which is exactly what a curation pipeline does before
-handing frames to a GPU decode stage.
+real. Sample DECODE: codec-'jpeg' tracks (MJPEG-in-MP4) decode for
+real through the repo's own baseline-JPEG decoder
+(multimodal.sample_frames routes them to parse_jpeg — build_mp4 with
+``codec=b"jpeg"`` writes them); H.264-family tracks are the one
+remaining digest-and-route path (a codec library is genuinely
+required and absent from the container), which is what a curation
+pipeline does before handing frames to a GPU decode stage anyway.
 
 Reference parity note: the reference pipeline stores media as opaque
 URLs + MIME (F21 mime mapping, F5 bucket rewrite); this module is

@@ -869,6 +869,7 @@ FRAME_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("frame_idx", LongType()),
         StructField("frame_digest", StringType()),
+        StructField("frame_mean", DoubleType()),
     ]
 )
 
@@ -877,18 +878,31 @@ def sample_frames(multimodal: DataFrame, every_n: int = 8) -> DataFrame:
     """Frame sampling via mapInPandas, 1→N row fan-out. Animated-GIF
     payloads get the REAL decoder (:func:`parse_gif` — LZW, frame
     walk): every ``every_n``-th decoded frame's RGB bytes are
-    digested. ISO BMFF (MP4) payloads get the REAL container layer
-    (operators/mp4: box walk + stsc/stco/stsz sample resolution):
-    every ``every_n``-th sample's raw bytes are extracted from mdat
-    and digested — frame DECODE of those bytes is the stage that
-    genuinely needs ffmpeg and stays out of scope. Anything else
-    falls back to the deterministic 64-byte-chunk stub, which keeps
-    the fan-out/batching plumbing testable."""
+    digested (+ pixel mean). ISO BMFF (MP4) payloads get the REAL
+    container layer (operators/mp4: box walk + stsc/stco/stsz sample
+    resolution) — and for MOTION-JPEG tracks (codec fourcc 'jpeg',
+    the classic MJPEG-in-MP4 layout) every sampled frame's bytes are
+    DECODED through the repo's own :func:`parse_jpeg`: digest and
+    mean are over decoded RGB pixels, closing the last no-ffmpeg
+    decode stub. Other video codecs (H.264 et al. genuinely need a
+    codec library) digest the raw extracted sample bytes with a NULL
+    mean — digest-and-route, the curation-pipeline reality before a
+    GPU decode stage. Anything else falls back to the deterministic
+    64-byte-chunk stub, which keeps the fan-out/batching plumbing
+    testable; ``frame_mean`` is non-NULL exactly on the decoded
+    (GIF/MJPEG) paths."""
     from mongodb_etl_migration_spark.operators import mp4 as _mp4
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, digests = [], [], []
+            ids, idxs, digests, means = [], [], [], []
+
+            def emit(doc_id, k, digest, mean=None):
+                ids.append(doc_id)
+                idxs.append(k)
+                digests.append(digest)
+                means.append(mean)
+
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
                 if raw[:4] == b"GIF8":
@@ -898,10 +912,11 @@ def sample_frames(multimodal: DataFrame, every_n: int = 8) -> DataFrame:
                         frames = None  # unsupported variant -> stub
                     if frames is not None:
                         for k in range(0, len(frames), every_n):
-                            ids.append(doc_id)
-                            idxs.append(k)
-                            digests.append(
-                                hashlib.md5(frames[k].tobytes()).hexdigest()
+                            emit(
+                                doc_id,
+                                k,
+                                hashlib.md5(frames[k].tobytes()).hexdigest(),
+                                float(frames[k].astype(np.float64).mean()),
                             )
                         continue
                 if raw[4:8] == b"ftyp":
@@ -920,23 +935,50 @@ def sample_frames(multimodal: DataFrame, every_n: int = 8) -> DataFrame:
                     except (ValueError, StopIteration):
                         ranges = None  # malformed/no video track -> stub
                     if ranges is not None:
+                        mjpeg = video["codec"] == "jpeg"
                         for k in range(0, len(ranges), every_n):
                             off, size = ranges[k]
-                            ids.append(doc_id)
-                            idxs.append(k)
-                            digests.append(
-                                hashlib.md5(raw[off:off + size]).hexdigest()
-                            )
+                            sample = raw[off:off + size]
+                            if mjpeg:
+                                try:
+                                    _, _, px = parse_jpeg(sample)
+                                except ValueError:
+                                    # a corrupt member inside a jpeg
+                                    # track degrades to raw-bytes
+                                    # digest, never a dropped row
+                                    emit(
+                                        doc_id,
+                                        k,
+                                        hashlib.md5(sample).hexdigest(),
+                                    )
+                                    continue
+                                emit(
+                                    doc_id,
+                                    k,
+                                    hashlib.md5(px.tobytes()).hexdigest(),
+                                    float(px.astype(np.float64).mean()),
+                                )
+                            else:
+                                emit(
+                                    doc_id,
+                                    k,
+                                    hashlib.md5(sample).hexdigest(),
+                                )
                         continue
                 n_frames = max(1, len(raw) // 64)
                 for k in range(0, n_frames, every_n):
-                    ids.append(doc_id)
-                    idxs.append(k)
-                    digests.append(
-                        hashlib.md5(raw[k * 64 : (k + 1) * 64]).hexdigest()
+                    emit(
+                        doc_id,
+                        k,
+                        hashlib.md5(raw[k * 64 : (k + 1) * 64]).hexdigest(),
                     )
             yield pd.DataFrame(
-                {"doc_id": ids, "frame_idx": idxs, "frame_digest": digests}
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_digest": digests,
+                    "frame_mean": pd.array(means, dtype="float64"),
+                }
             )
 
     return multimodal.mapInPandas(gen, FRAME_SCHEMA)

@@ -2461,7 +2461,8 @@ def m_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(i AS BIGINT) AS frame_idx,
-           md5(substring(text, i * 64 + 1, 64)) AS frame_digest
+           md5(substring(text, i * 64 + 1, 64)) AS frame_digest,
+           CAST(NULL AS DOUBLE) AS frame_mean
     FROM b, unnest(range(0, greatest(nb // 64, 1), 2)) t(i)
     """,
 )
@@ -5839,30 +5840,73 @@ def m_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m_mp4_frames",
     """
     WITH g AS (
-      SELECT doc_id, doc_id % 5 + 2 AS n FROM documents
-      WHERE doc_id % 9 = 0
+      SELECT doc_id, doc_id % 5 + 2 AS n,
+             doc_id % 3 + 1 AS wb, doc_id % 2 + 1 AS hb
+      FROM documents WHERE doc_id % 9 = 0
     ), s AS (
-      SELECT doc_id, k.k AS frame_idx
+      SELECT doc_id, wb, hb, k.k AS frame_idx
       FROM g, (SELECT unnest(range(0, 6)) AS k) k
       WHERE k.k < n AND k.k % 2 = 0
+    ), b AS (
+      SELECT doc_id, wb, hb, frame_idx, bx.x AS bx, by.y AS by
+      FROM s,
+           (SELECT unnest(range(0, 3)) AS x) bx,
+           (SELECT unnest(range(0, 2)) AS y) by
+      WHERE bx.x < wb AND by.y < hb
+    ), v AS (
+      SELECT doc_id, frame_idx,
+             64 + 8 * ((bx + 3 * by + doc_id + frame_idx) % 17) AS val
+      FROM b
     )
     SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-           md5('frame-' || CAST(doc_id AS VARCHAR) || '-'
-               || CAST(frame_idx AS VARCHAR)) AS frame_digest
-    FROM s
+           CAST(sum(val) AS DOUBLE) / count(*) AS frame_mean
+    FROM v GROUP BY doc_id, frame_idx
     """,
 )
 def m_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL MP4 frame-byte extraction: every 2nd sample's bytes pulled
-    out of mdat by resolving the stsc sample-to-chunk map against
-    stco/stsz (two samples per chunk, so chunk arithmetic is actually
-    exercised) and digested. The oracle recomputes each digest from
-    the known ASCII sample content — a hash match proves the exact
-    byte ranges came back out of the container. Decoding those bytes
-    (H.264 et al.) genuinely needs a codec library and stays out of
-    scope; digest-and-route is the curation-pipeline reality."""
-    mm = _mp4_fixture(spark, sf_dir)
-    return M.sample_frames(mm, every_n=2)
+    """REAL in-MP4 frame DECODE — the MJPEG path that needs no
+    ffmpeg: per doc, encode per-frame flat-block grayscale images
+    (values 64 + 8k, the Annex-K quantization-roundtrip family the
+    baseline-JPEG oracle proves exact) with the repo's own JPEG
+    entropy coder, pack them as a codec-'jpeg' video track
+    (build_mp4 — two samples per chunk so stsc arithmetic is
+    exercised), then sample every 2nd frame: the stsc/stco/stsz walk
+    extracts each sample's exact bytes from mdat and parse_jpeg
+    DECODES them (headers, Huffman, DC prediction, IDCT). The oracle
+    predicts each decoded frame's pixel MEAN analytically from the
+    fixture parameters — a wrong byte range, a mis-parsed container,
+    or a decode slip all break the hash. H.264-family tracks remain
+    digest-and-route (codec library required — env-blocked), now the
+    ONLY non-decoding video path."""
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import encode_jpeg
+    from mongodb_etl_migration_spark.operators import mp4 as V4
+
+    d = (
+        Catalog(spark, sf_dir)
+        .documents.select("doc_id")
+        .filter(F.expr("doc_id % 9 = 0"))
+    )
+
+    def make_payload(did: int) -> bytes:
+        wb, hb = did % 3 + 1, did % 2 + 1
+        samples = []
+        for k in range(did % 5 + 2):
+            px = np.zeros((hb * 8, wb * 8, 3), dtype=np.uint8)
+            for by in range(hb):
+                for bx in range(wb):
+                    v = 64 + 8 * ((bx + 3 * by + did + k) % 17)
+                    px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, :] = v
+            samples.append(encode_jpeg(px))
+        return V4.build_mp4(
+            samples, width=wb * 8, height=hb * 8, fps=30, codec=b"jpeg"
+        )
+
+    mm = _mm_payload_table(d, make_payload)
+    return M.sample_frames(mm, every_n=2).select(
+        "doc_id", "frame_idx", "frame_mean"
+    )
 
 
 @query(

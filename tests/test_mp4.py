@@ -154,6 +154,79 @@ def test_spark_sample_frames_extracts_real_mp4_samples(spark):
     assert M.sample_frames(df_bad, every_n=2).count() >= 1
 
 
+def test_spark_sample_frames_decodes_mjpeg_in_mp4(spark):
+    """MJPEG-in-MP4 closes the decode stub: a codec-'jpeg' track's
+    samples are real JPEG streams; sample_frames must extract each
+    sampled frame's exact bytes from mdat AND decode them through
+    parse_jpeg — digest/mean over decoded pixels, exact against the
+    quantization-roundtrip theory. A corrupt member inside a jpeg
+    track degrades that frame to a raw-bytes digest (NULL mean),
+    never a dropped row."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from mongodb_etl_migration_spark.operators import multimodal as M
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    def flat(v):
+        px = np.full((8, 16, 3), v, dtype=np.uint8)
+        return px
+
+    vals = [64, 72, 96, 120]  # Annex-K roundtrip-exact family
+    frames = [flat(v) for v in vals]
+    jpegs = [M.encode_jpeg(px) for px in frames]
+    raw = V.build_mp4(jpegs, width=16, height=8, codec=b"jpeg")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("media_type", StringType()),
+                        StructField("byte_size", LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, raw, {"media_type": "video", "byte_size": 0})], schema
+    )
+    got = {
+        r.frame_idx: (r.frame_digest, r.frame_mean)
+        for r in M.sample_frames(df, every_n=2).collect()
+    }
+    assert set(got) == {0, 2}
+    for k in (0, 2):
+        assert got[k] == (
+            hashlib.md5(frames[k].tobytes()).hexdigest(),
+            float(vals[k]),
+        )
+    # corrupt one sampled member: that frame degrades, others decode
+    t = V.parse_mp4(raw)["tracks"][0]
+    off, size = V.sample_ranges(t)[2]
+    bad = bytearray(raw)
+    bad[off + 2] ^= 0xFF  # clobber inside the JPEG stream
+    df_bad = spark.createDataFrame(
+        [(2, bytes(bad), {"media_type": "video", "byte_size": 0})], schema
+    )
+    got_bad = {
+        r.frame_idx: (r.frame_digest, r.frame_mean)
+        for r in M.sample_frames(df_bad, every_n=2).collect()
+    }
+    assert got_bad[0] == got[0]  # untouched frame still decodes
+    assert got_bad[2][1] is None  # degraded: raw digest, NULL mean
+    assert got_bad[2][0] == hashlib.md5(bytes(bad[off:off + size])).hexdigest()
+
+
 def test_mp4_roundtrip_property():
     """build→parse→extract over arbitrary sample sizes/counts —
     including empty samples and odd chunk boundaries."""
