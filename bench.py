@@ -189,9 +189,33 @@ def run_once(name: str, spark, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def wait_for_idle(threshold: float = 2.0, max_wait_s: int = 180) -> dict:
+    """Idle-box gate (round-5 post-mortem: competing load_avg 9.2
+    inflated every zero-shuffle query 8-16% and wasted the regression
+    signal): wait — bounded, the driver must not hang — for 1-minute
+    load to drop below ``threshold`` before timing anything, and
+    record the gate's outcome so a noisy round is attributable at a
+    glance."""
+    start = os.getloadavg()[0]
+    waited = 0
+    load = start
+    while load >= threshold and waited < max_wait_s:
+        time.sleep(10)
+        waited += 10
+        load = os.getloadavg()[0]
+    return {
+        "threshold": threshold,
+        "load_at_entry": round(start, 2),
+        "load_at_start": round(load, 2),
+        "waited_s": waited,
+        "passed": load < threshold,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    load_gate = wait_for_idle()
     spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
     ui = UiMetrics(spark)
@@ -237,6 +261,7 @@ def main() -> None:
         # load 1 vs 14.0 s at load 3.7, every query uniformly
         # slower) — compare rounds at comparable load_avg.
         "load_avg_1m": round(os.getloadavg()[0], 2),
+        "load_gate": load_gate,
         # timing policy, so round-over-round deltas are
         # attributable: per query 1 untimed cold run (JIT,
         # file listing, broadcast warmup) then MIN of 3 warm

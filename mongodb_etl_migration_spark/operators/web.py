@@ -557,22 +557,30 @@ def parse_robots_rules(df, host_col: str, text_col: str, user_agent: str = "*"):
     """Parse raw robots.txt BODIES (as crawled) into the (host, allow,
     prefix) rule rows with_robots_verdict consumes — the front half of
     the politeness gate. RFC 9309 grouping: consecutive User-agent
-    lines form one group header; a group's rules apply iff any of its
-    agent tokens equals ``user_agent`` (case-insensitive); a new
-    User-agent line AFTER rules starts a new group. Empty
-    Allow/Disallow values mean 'no restriction' and contribute no
-    row; comment/blank lines are ignored (inline '#' comments are out
-    of the line-oriented scope, documented).
+    lines form one group header (a new User-agent line AFTER rules
+    starts a new group); empty Allow/Disallow values mean 'no
+    restriction' and contribute no row; comment/blank lines are
+    ignored (inline '#' comments are out of the line-oriented scope,
+    documented).
+
+    Group SELECTION is §2.2.1's most-specific-match rule (the
+    de-facto semantics of Google's open-source parser): an agent
+    token applies when it is a case-insensitive PREFIX of
+    ``user_agent`` ('googlebot' matches a 'googlebot-news' crawler),
+    the LONGEST matching token across the whole file wins, groups
+    tying at that length combine, and the ``*`` group (match length
+    0) applies only when no named token matches at all.
 
     Implementation is a pure-Column F.aggregate fold over the line
-    array — per-row sequential state without a UDF, so the whole
-    parse stays inside codegen with zero shuffle. Wildcard-agent
-    matching beyond exact token equality (prefix matches like
-    'googlebot-news' under 'googlebot') is out of scope."""
+    array — per-row sequential state without a UDF — plus one array
+    filter keeping only max-specificity rules, so the whole parse
+    stays inside codegen with zero shuffle."""
     lines = F.split(F.regexp_replace(F.col(text_col), "\r", ""), "\n")
-    rules_t = "array<struct<allow:boolean,prefix:string>>"
+    # toklen: specificity of the group the rule came from — length of
+    # its longest matching agent token, 0 for '*', -1 for no match
+    rules_t = "array<struct<allow:boolean,prefix:string,toklen:int>>"
     state0 = F.struct(
-        F.lit(False).alias("star"),
+        F.lit(-1).cast("int").alias("cur"),
         F.lit(False).alias("ua_run"),
         F.array().cast(rules_t).alias("rules"),
     )
@@ -588,11 +596,17 @@ def parse_robots_rules(df, host_col: str, text_col: str, user_agent: str = "*"):
         is_ua = low.startswith("user-agent:")
         is_allow = low.startswith("allow:")
         is_dis = low.startswith("disallow:")
-        hit = F.lower(val) == ua
-        star = (
-            F.when(is_ua & acc["ua_run"], acc["star"] | hit)
-            .when(is_ua, hit)  # new group header resets membership
-            .otherwise(acc["star"])
+        lval = F.lower(val)
+        hit_len = (
+            F.when(lval == "*", F.lit(0))
+            .when(F.lit(ua).startswith(lval), F.length(lval))
+            .otherwise(F.lit(-1))
+            .cast("int")
+        )
+        cur = (
+            F.when(is_ua & acc["ua_run"], F.greatest(acc["cur"], hit_len))
+            .when(is_ua, hit_len)  # new group header resets membership
+            .otherwise(acc["cur"])
         )
         ua_run = (
             F.when(is_ua, F.lit(True))
@@ -600,19 +614,25 @@ def parse_robots_rules(df, host_col: str, text_col: str, user_agent: str = "*"):
             .otherwise(acc["ua_run"])
         )
         rules = F.when(
-            (is_allow | is_dis) & acc["star"] & (val != ""),
+            (is_allow | is_dis) & (acc["cur"] >= 0) & (val != ""),
             F.array_append(
                 acc["rules"],
-                F.struct(is_allow.alias("allow"), val.alias("prefix")),
+                F.struct(
+                    is_allow.alias("allow"),
+                    val.alias("prefix"),
+                    acc["cur"].alias("toklen"),
+                ),
             ),
         ).otherwise(acc["rules"])
         return F.struct(
-            star.alias("star"), ua_run.alias("ua_run"), rules.alias("rules")
+            cur.alias("cur"), ua_run.alias("ua_run"), rules.alias("rules")
         )
 
     agg = F.aggregate(lines, state0, step)
+    best = F.array_max(F.transform(agg["rules"], lambda r: r["toklen"]))
+    kept = F.filter(agg["rules"], lambda r: r["toklen"] == best)
     return df.select(
-        F.col(host_col).alias("host"), F.explode(agg["rules"]).alias("r")
+        F.col(host_col).alias("host"), F.explode(kept).alias("r")
     ).select("host", F.col("r.allow").alias("allow"), F.col("r.prefix").alias("prefix"))
 
 

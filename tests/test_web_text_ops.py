@@ -632,6 +632,53 @@ def test_parse_robots_rules_grouping_semantics(spark):
     assert verdicts == {"/no/x": False, "/ok/y": True, "/other": True}
 
 
+def test_parse_robots_rules_most_specific_agent_group(spark):
+    """RFC 9309 §2.2.1 group selection: an agent token applies when
+    it is a case-insensitive PREFIX of the crawler's product token,
+    the longest match across the file wins, same-length groups
+    combine, and '*' applies only when nothing named matches."""
+    body = (
+        "User-agent: *\n"
+        "Disallow: /all/\n"
+        "User-agent: googlebot\n"
+        "Disallow: /g/\n"
+        "User-agent: googlebot-news\n"
+        "Disallow: /gn/\n"
+        "User-agent: GOOGLEBOT-NEWS\n"  # same length: groups combine
+        "Allow: /gn/public\n"
+    )
+    df = spark.createDataFrame([("h.com", body)], "host string, txt string")
+
+    def rules(ua):
+        return sorted(
+            (r.allow, r.prefix)
+            for r in W.parse_robots_rules(df, "host", "txt", user_agent=ua).collect()
+        )
+
+    # exact product token: its own group only
+    assert rules("googlebot-news") == [(False, "/gn/"), (True, "/gn/public")]
+    # longer product token: 'googlebot-news' (len 14) beats 'googlebot'
+    assert rules("googlebot-newswire") == [
+        (False, "/gn/"), (True, "/gn/public"),
+    ]
+    # 'googlebot-images': only 'googlebot' prefixes it
+    assert rules("googlebot-images") == [(False, "/g/")]
+    # unknown crawler: the '*' group
+    assert rules("duckduckbot") == [(False, "/all/")]
+    # a file with ONLY a '*' group applies to named crawlers too
+    only_star = spark.createDataFrame(
+        [("s.com", "User-agent: *\nDisallow: /x/\n")],
+        "host string, txt string",
+    )
+    got = [
+        (r.allow, r.prefix)
+        for r in W.parse_robots_rules(
+            only_star, "host", "txt", user_agent="googlebot"
+        ).collect()
+    ]
+    assert got == [(False, "/x/")]
+
+
 def test_gpt2_bytes_to_unicode_published_mapping():
     """The GPT-2 byte alphabet is spec-pinned: a 256-entry bijection,
     identity on the printable ranges, and the canonical remaps
