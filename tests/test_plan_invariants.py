@@ -42,6 +42,9 @@ ARROW_OK = {
     "e_sessionization",      # batch twin is pure SQL — listed in case
     "t_unicode_nfc",         # unicodedata NFC (pandas UDF — Spark has
                              # no built-in normalizer)
+    "w_frontier_pipeline",   # gunzip_text (pandas UDF — Spark has no
+                             # gunzip builtin) + the fixture's gzip
+                             # writer; narrow, batch-bounded
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
