@@ -769,3 +769,181 @@ def random_projection_int(
             ).alias(f"p{k}")
         )
     return q.select(F.col(id_col), *outs)
+
+
+def derived_pq_codebooks(
+    m: int = 8,
+    k: int = 16,
+    dsub: int = 8,
+    scale: int = 10000,
+    seed: str = "pq",
+) -> list[list[list[int]]]:
+    """Deterministic product-quantization codebooks: centroid element
+    (s, c, e) derives from the engine-portable md5 idiom
+    (md5(seed#s#c#e) mod (2·scale+1) − scale) — no RNG, no shipped
+    state, reruns agree bit-for-bit and the oracle embeds the same
+    values (generated from this function at import). Real TRAINED
+    codebooks come from the same per-subspace k-means machinery
+    already proven integer-exact (kmeans_assign/group_centroids) and
+    drop into pq_encode/pq_adc_topk unchanged — the derived books keep
+    the encode/ADC oracle closed-form. Shape: m × k × dsub ints in
+    [−scale, scale], the same range as the shared _quantize output."""
+    import hashlib
+
+    def v(s: int, c: int, e: int) -> int:
+        h = hashlib.md5(f"{seed}#{s}#{c}#{e}".encode()).hexdigest()[:15]
+        return int(h, 16) % (2 * scale + 1) - scale
+
+    return [
+        [[v(s, c, e) for e in range(dsub)] for c in range(k)]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10000,
+) -> DataFrame:
+    """Product-quantization ENCODE — the memory half of large-scale
+    ANN (Jégou et al. 2011): split each vector into m subvectors,
+    store only each subvector's nearest-codebook-centroid index. m
+    single-byte-ish codes replace d floats — the ~100× shrink that
+    decides whether a 100 TB embedding corpus's index fits executor
+    memory. Distances are sums of integer squares over the shared
+    _quantize grid (bit-identical across engines — a float argmin can
+    flip at the boundary); ties break to the smaller code via struct
+    ordering.
+
+    Plan shape: codebooks fold into the plan as literals (m·k·dsub
+    ints — KBs for real PQ sizes); the encode is a chain of NARROW
+    projections (quantize → subvector slices → per-subspace argmin
+    structs → codes), each stage materializing what the next
+    references more than once, so the per-row work is exactly
+    m·k·dsub integer ops — zero shuffle, zero join, zero UDF at any
+    corpus size. Output: (id_col, codes array<int>, d2_total bigint —
+    the total quantization error, the index-quality audit number)."""
+    m = len(codebooks)
+    if m == 0:
+        raise ValueError("need at least one codebook")
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    for s, book in enumerate(codebooks):
+        if len(book) != k or any(len(c) != dsub for c in book):
+            raise ValueError(f"ragged codebook at subspace {s}")
+
+    p1 = emb.select(F.col(id_col), _quantize(vec_col, scale).alias("__xq"))
+    p2 = p1.select(
+        F.col(id_col),
+        *[
+            F.slice("__xq", s * dsub + 1, dsub).alias(f"__s{s}")
+            for s in range(m)
+        ],
+    )
+
+    def dist_structs(s: int) -> Column:
+        sub = F.col(f"__s{s}")
+        return F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.array(
+                                *[F.lit(int(v)).cast("long") for v in cvec]
+                            ),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    F.lit(c).cast("int").alias("code"),
+                )
+                for c, cvec in enumerate(codebooks[s])
+            ]
+        )
+
+    # per-subspace best struct materialized once: "code" and "d2" are
+    # both read below, and array_min's argument tree is non-cheap
+    p3 = p2.select(
+        F.col(id_col),
+        *[F.array_min(dist_structs(s)).alias(f"__b{s}") for s in range(m)],
+    )
+    total = F.col("__b0.d2")
+    for s in range(1, m):
+        total = total + F.col(f"__b{s}.d2")
+    return p3.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__b{s}.code") for s in range(m)]).alias("codes"),
+        total.cast("bigint").alias("d2_total"),
+    )
+
+
+def pq_adc_lut(
+    query_q: list[int], codebooks: list[list[list[int]]]
+) -> list[list[int]]:
+    """Asymmetric-distance lookup table: LUT[s][c] = integer squared
+    distance between the query's s-th QUANTIZED subvector and codebook
+    centroid c. Driver-side, m·k longs — the per-query precompute
+    that makes scoring a code a table lookup instead of a d-dim
+    distance."""
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    if len(query_q) != m * dsub:
+        raise ValueError(
+            f"query dim {len(query_q)} != m*dsub {m * dsub}"
+        )
+    return [
+        [
+            sum(
+                (query_q[s * dsub + e] - cvec[e]) ** 2
+                for e in range(dsub)
+            )
+            for cvec in codebooks[s]
+        ]
+        for s in range(m)
+    ]
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_q: list[int],
+    codebooks: list[list[list[int]]],
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10000,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k — the serving half: score every
+    vector's m-byte CODE against the query's per-subspace lookup
+    table (pq_adc_lut) and keep the k best. At 100 TB this is the
+    difference between scanning codes (m bytes/vector) and scanning
+    vectors (d floats/vector); the scan itself is one narrow
+    projection (encode chain + an m-step zip_with fold over literal
+    LUT arrays), and the ONLY data movement is TakeOrderedAndProject's
+    per-partition top-k heaps + driver merge — no global sort, no
+    shuffle of the corpus. Deterministic (score, id) ordering.
+    Output: (id_col, codes array<int>, adc_score bigint)."""
+    lut = pq_adc_lut(query_q, codebooks)
+    coded = pq_encode(emb, codebooks, id_col, vec_col, scale)
+    lut_lit = F.array(
+        *[
+            F.array(*[F.lit(int(d)).cast("long") for d in row])
+            for row in lut
+        ]
+    )
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"), lut_lit, lambda c, row: F.element_at(row, c + 1)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        coded.select(
+            F.col(id_col), F.col("codes"), score.alias("adc_score")
+        )
+        .orderBy(F.col("adc_score").asc(), F.col(id_col).asc())
+        .limit(topk)
+    )

@@ -1784,3 +1784,111 @@ def gopher_repetition_flags(
         & flags["rep_bigram_ok"]
     )
     return flags
+
+
+def bpe_train_reference(
+    word_counts: dict[str, int], n_merges: int, min_count: int = 2
+) -> list[tuple[str, str, int]]:
+    """Plain-Python reference BPE TRAINER (Sennrich et al. 2016): per
+    round, count adjacent symbol pairs over the weighted vocabulary
+    (overlapping run pairs count, the standard zip-adjacent rule),
+    merge the most frequent everywhere (ties: lexicographically
+    smallest pair), stop when the best count drops below
+    ``min_count``. Returns (left, right, pair_count) in rank order —
+    the ground truth bpe_train is tested against."""
+    vocab = {
+        " " + " ".join(w) + " ": int(c) for w, c in word_counts.items() if w
+    }
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            parts = sym.split()
+            for a, b in zip(parts, parts[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < min_count:
+            break
+        merges.append((a, b, n))
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        vocab = {
+            _replace_passes(sym, pat, rep): c for sym, c in vocab.items()
+        }
+    return merges
+
+
+def _replace_passes(s: str, pat: str, rep: str) -> str:
+    for _ in range(_BPE_PASSES):
+        s = s.replace(pat, rep)
+    return s
+
+
+def bpe_train(
+    df,
+    text_col: str,
+    n_merges: int = 8,
+    min_count: int = 2,
+):
+    """Distributed BPE TRAINING — the tokenizer-learning half next to
+    the encode paths (bpe_encoded_word / gpt2_encode_batch consume
+    what this produces). Classic Sennrich iteration, shaped for
+    scale: the corpus is touched EXACTLY ONCE (one token explode +
+    count aggregation — the only corpus-sized exchange); every
+    training round then runs on the VOCABULARY (wordform → count,
+    dimension-sized for any real corpus: ~10^5-10^6 rows at 100 TB),
+    so per round the plan is a narrow pair-explode + one tiny
+    aggregate + a driver collect of the single argmax row. Round
+    state is localCheckpointed (the graph.py loop discipline) so
+    lineage stays flat across rounds; ties break deterministically
+    (count desc, then lexicographic pair), and training stops early
+    when the best pair drops below ``min_count``.
+
+    Returns (merges, vocab_df): merges as (left, right, pair_count)
+    in rank order — feed ``[(a, b) for a, b, _ in merges]`` straight
+    into bpe_encoded_word/bpe_token_count — and the final symbolized
+    vocabulary (word, sym, n) for audit."""
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = words.select(
+        F.col("w"),
+        F.concat(
+            F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")
+        ).alias("sym"),
+        F.col("n"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        syms = F.split(F.trim("sym"), " ")
+        pairs = F.zip_with(
+            F.slice(syms, 1, F.size(syms) - 1),
+            F.slice(syms, 2, F.size(syms) - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        best = (
+            vocab.select(F.explode(pairs).alias("p"), F.col("n"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_count:
+            break
+        a, b, n = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((a, b, n))
+        pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        sym = F.col("sym")
+        for _ in range(_BPE_PASSES):
+            sym = F.replace(sym, pat, rep)
+        vocab = vocab.select(
+            "w", sym.alias("sym"), "n"
+        ).localCheckpoint(eager=True)
+    return merges, vocab

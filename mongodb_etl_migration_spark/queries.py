@@ -1779,6 +1779,126 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.random_projection_int(e, "vec_id", out_dims=4)
 
 
+
+def _pq_query_q(dims: int = 64, scale: int = 10000, seed: str = "pqq") -> list[int]:
+    """Deterministic already-quantized PQ query vector: element p =
+    md5(seed#p) via the 60-bit idiom, mod-ranged into [-scale, scale]
+    — the same derivation the oracle repeats in SQL."""
+    import hashlib
+
+    out = []
+    for p in range(dims):
+        h = hashlib.md5(f"{seed}#{p}".encode()).hexdigest()[:15]
+        out.append(int(h, 16) % (2 * scale + 1) - scale)
+    return out
+
+
+_PQ_CB_SQL = """
+    cb AS MATERIALIZED (
+      SELECT s.s, c.c, e.e,
+             CAST(('0x' || substring(md5('pq#' || s.s || '#' || c.c
+                                          || '#' || e.e), 1, 15))
+                  AS BIGINT) % 20001 - 10000 AS val
+      FROM (SELECT unnest(range(0, 8)) AS s) s,
+           (SELECT unnest(range(0, 16)) AS c) c,
+           (SELECT unnest(range(0, 8)) AS e) e
+    ), xq AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(floor(embedding[pos]::DOUBLE * 10000 + 0.5) AS BIGINT)
+               AS xq,
+             (pos - 1) // 8 AS s, (pos - 1) % 8 AS e
+      FROM embeddings, range(1, 65) t(pos)
+    ), d AS MATERIALIZED (
+      SELECT x.vec_id, x.s, b.c,
+             CAST(sum((x.xq - b.val) * (x.xq - b.val)) AS BIGINT) AS d2
+      FROM xq x JOIN cb b ON x.s = b.s AND x.e = b.e
+      GROUP BY x.vec_id, x.s, b.c
+    ), best AS (
+      SELECT vec_id, s, c AS code, d2,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY d2, c) AS rn
+      FROM d
+    )
+"""
+
+
+@query(
+    "sim_pq_encode",
+    f"""
+    WITH {_PQ_CB_SQL}
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS codes_str,
+           CAST(sum(d2) AS BIGINT) AS d2_total
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (similarity.pq_encode, Jégou et
+    al. 2011): 64-dim vectors → 8 subspace codes against 16-centroid
+    codebooks — the ~100× memory shrink that decides whether a 100 TB
+    embedding index fits executor memory. Codebook entries derive
+    from the 60-bit md5 idiom (RNG-free; the oracle re-derives the
+    IDENTICAL books in SQL), distances are integer squared sums on
+    the shared 1e4 quantization grid (bit-identical argmins, ties to
+    the smaller code), and the plan is a chain of narrow projections
+    with the books folded in as literals — zero shuffle, zero join,
+    zero UDF. d2_total is the per-vector quantization error, the
+    index-quality audit column. Real TRAINED books (per-subspace
+    k-means — the machinery sim_kmeans proves integer-exact) drop in
+    unchanged."""
+    emb = Catalog(spark, sf_dir).embeddings
+    cb = SIM.derived_pq_codebooks(8, 16, 8)
+    enc = SIM.pq_encode(emb, cb)
+    return enc.select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), "-"
+        ).alias("codes_str"),
+        "d2_total",
+    )
+
+
+@query(
+    "sim_pq_topk",
+    f"""
+    WITH {_PQ_CB_SQL}, qv AS MATERIALIZED (
+      SELECT p.p,
+             CAST(('0x' || substring(md5('pqq#' || p.p), 1, 15))
+                  AS BIGINT) % 20001 - 10000 AS qq
+      FROM (SELECT unnest(range(0, 64)) AS p) p
+    ), lut AS MATERIALIZED (
+      SELECT b.s, b.c,
+             CAST(sum((q.qq - b.val) * (q.qq - b.val)) AS BIGINT) AS pd2
+      FROM qv q JOIN cb b ON q.p // 8 = b.s AND q.p % 8 = b.e
+      GROUP BY b.s, b.c
+    ), score AS (
+      SELECT x.vec_id, CAST(sum(l.pd2) AS BIGINT) AS adc_score
+      FROM best x JOIN lut l ON x.s = l.s AND x.code = l.c
+      WHERE x.rn = 1
+      GROUP BY x.vec_id
+    )
+    SELECT vec_id, adc_score FROM score
+    ORDER BY adc_score, vec_id LIMIT 25
+    """,
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (similarity.pq_adc_topk) — the
+    serving half: the query's per-subspace LUT (m·k longs, driver
+    precompute) turns scoring a vector into an m-step table lookup
+    over its CODES; at 100 TB the scan reads m bytes per vector, not
+    d floats. The only data movement is TakeOrderedAndProject's
+    per-partition heaps + driver merge (no global sort, no corpus
+    shuffle); (score, vec_id) ordering is deterministic through ADC
+    ties. Query vector and codebooks both md5-derived, so the oracle
+    rebuilds LUT and codes from the same strings."""
+    emb = Catalog(spark, sf_dir).embeddings
+    cb = SIM.derived_pq_codebooks(8, 16, 8)
+    qq = _pq_query_q()
+    return SIM.pq_adc_topk(emb, qq, cb, topk=25).select(
+        "vec_id", "adc_score"
+    )
+
+
 @query(
     "sim_topk_batch",
     """
@@ -8052,6 +8172,83 @@ def t_bpe_pretok(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(T.gpt2_pretokenize("t2")).cast("bigint").alias("n_pretokens"),
         T.gpt2_token_count("t2", _GPT2_DEMO_MERGES).alias("bpe_tokens"),
         F.substring(enc, 1, 160).alias("enc_head"),
+    )
+
+
+def _bpe_train_oracle(rounds: int = 8) -> str:
+    """Unrolled DuckDB mirror of text.bpe_train: the same one-pass
+    word count, then per round — pair counts by zip-adjacent over the
+    symbolized vocabulary, argmax with the (cnt DESC, l, r) tie-break,
+    and the chosen pair applied everywhere via the same
+    fixed-pass replace chain (scalar subqueries carry the round's
+    winner into the replaces). AS MATERIALIZED throughout: each CTE
+    is referenced by the next round AND the final union, and DuckDB
+    would otherwise inline the whole chain combinatorially."""
+    parts = [
+        """
+    WITH wc AS MATERIALIZED (
+      SELECT w, count(*) AS n
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              AS w FROM documents)
+      GROUP BY w
+    ), v0 AS MATERIALIZED (
+      SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym, n
+      FROM wc
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"v{i - 1}"
+        rep = "sym"
+        for _ in range(T._BPE_PASSES):
+            rep = (
+                f"replace({rep}, (SELECT ' '||l||' '||r||' ' FROM b{i}), "
+                f"(SELECT ' '||l||r||' ' FROM b{i}))"
+            )
+        parts.append(f""", p{i} AS MATERIALIZED (
+      SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        SELECT v.n, v.syms[j] AS l, v.syms[j + 1] AS r
+        FROM (SELECT n, string_split(trim(sym), ' ') AS syms FROM {prev}) v,
+             range(1, 64) t(j)
+        WHERE j < len(v.syms)
+      ) GROUP BY l, r
+    ), b{i} AS MATERIALIZED (
+      SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1
+    ), v{i} AS MATERIALIZED (
+      SELECT w, {rep} AS sym, n FROM {prev}
+    )""")
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS rank, l, r, cnt FROM b{i}"
+        for i in range(1, rounds + 1)
+    )
+    parts.append(f"""
+    SELECT CAST(rank AS BIGINT) AS rank, l AS left, r AS right,
+           cnt AS pair_count
+    FROM ({finals})
+    """)
+    return "".join(parts)
+
+
+@query("t_bpe_train", _bpe_train_oracle())
+def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE TRAINING (text.bpe_train, Sennrich et al.
+    2016) — the tokenizer-LEARNING half next to the encode paths: 8
+    merges learned from the corpus. The corpus is touched exactly
+    once (token explode + word count — the only corpus-sized
+    exchange); every round then runs on the dimension-sized
+    vocabulary: narrow pair explode, one tiny aggregate, a 1-row
+    argmax collect (count desc, lexicographic tie-break), and a
+    localCheckpointed replace-chain update — the graph.py loop
+    discipline, so lineage stays flat across rounds. The oracle
+    unrolls all 8 rounds in SQL (scalar subqueries carry each
+    winner into the next round's replaces), so a hash match proves
+    the full iterative training trajectory, not just the last
+    state. The learned table feeds bpe_encoded_word/bpe_token_count
+    directly."""
+    d = Catalog(spark, sf_dir).documents
+    merges, _ = T.bpe_train(d, "text", n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank long, left string, right string, pair_count long",
     )
 
 

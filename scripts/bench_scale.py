@@ -197,6 +197,16 @@ def main() -> None:
         cm["vocab_terms"] = len(vocab)
         cm["kept"] = cls.filter(F.col("keep")).count()
 
+        # PQ at scale: codebooks are plan literals and the encode is
+        # narrow — shuffle must be ZERO at any corpus size; ADC top-k
+        # moves only per-partition heaps (TakeOrderedAndProject).
+        cbq = SIM.derived_pq_codebooks(4, 8, 4, seed="pqscale")
+        emb16 = emb.select(
+            "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+        )
+        pqm = timed(ui, SIM.pq_encode(emb16, cbq))
+        pqm["vectors"] = emb16.count()
+
         # Language-ID classifier at scale: the gram explode is narrow
         # and the weight relation is broadcast and FIXED (a lid model
         # does not grow with the corpus); the plan's one exchange
@@ -284,6 +294,7 @@ def main() -> None:
             "t_rare_bigrams": rbt,
             "t_dup_spans": ds,
             "t_quality_classifier": cm,
+            "sim_pq_encode": pqm,
             "t_lang_id": lm,
             "g_pagerank": gp,
             "g_hits": gh,
@@ -377,6 +388,9 @@ def main() -> None:
             / max(1, b["t_lang_id"]["shuffle_bytes"]),
             2,
         ),
+        # PQ encode is shuffle-FREE by construction at every size
+        "pq_encode_shuffle_bytes_at_10x_corpus":
+            x["sim_pq_encode"]["shuffle_bytes"],
     }
     out = {"configs": results, "summary": summary}
     (REPO / "BENCH_scale.json").write_text(json.dumps(out, indent=1) + "\n")

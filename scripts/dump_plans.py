@@ -378,6 +378,21 @@ NOTES = {
         "over the scan — zero Exchange, zero Python; the published "
         "pattern's lookahead runs native in Java regex."
     ),
+    "sim_pq_encode": (
+        "Product-quantization encode: the m*k*dsub codebook folds in "
+        "as literals, and the encode is a chain of narrow Projects "
+        "(quantize -> subvector slices -> per-subspace argmin "
+        "structs -> codes) — zero Exchange, zero Join, zero Python; "
+        "each stage materializes what the next references more than "
+        "once, so per-row work is exactly m*k*dsub integer ops."
+    ),
+    "sim_pq_topk": (
+        "PQ asymmetric-distance serving: scoring is an m-step "
+        "zip_with fold over literal LUT arrays on top of the encode "
+        "chain; the only data movement is TakeOrderedAndProject "
+        "(per-partition top-k heaps + driver merge) — at 100 TB the "
+        "scan reads m bytes of codes per vector, never d floats."
+    ),
 }
 
 

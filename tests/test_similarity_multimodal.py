@@ -1718,3 +1718,75 @@ def test_gif_interlace_order_matches_spec_and_roundtrip():
     assert M.encode_gif(frames, pal, interlace=True) != M.encode_gif(
         frames, pal
     )
+
+
+def test_pq_encode_matches_reference_and_plan(spark):
+    """PQ encode: per-subspace argmin equals the plain-Python
+    reference (integer distances, ties to the smaller code), d2_total
+    is the sum of per-subspace minima, and the plan is shuffle-free
+    (codebooks fold in as literals)."""
+    import math
+
+    rows = [
+        (1, [0.1 * ((i * 7) % 13 - 6) for i in range(16)]),
+        (2, [0.05 * ((i * 11) % 17 - 8) for i in range(16)]),
+        (3, [0.0] * 16),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = SIM.derived_pq_codebooks(m=2, k=4, dsub=8)
+    out = {r.vec_id: (list(r.codes), r.d2_total)
+           for r in SIM.pq_encode(df, cb).collect()}
+    for vid, v in rows:
+        xq = [math.floor(x * 10000 + 0.5) for x in v]
+        codes, tot = [], 0
+        for s in range(2):
+            sub = xq[s * 8:(s + 1) * 8]
+            d2s = [sum((a - b) ** 2 for a, b in zip(sub, c)) for c in cb[s]]
+            best = min(range(4), key=lambda c: (d2s[c], c))
+            codes.append(best)
+            tot += d2s[best]
+        assert out[vid] == (codes, tot), vid
+    plan = (
+        SIM.pq_encode(df, cb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+    # ragged codebooks are rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="ragged"):
+        SIM.pq_encode(df, [[[1] * 8, [2] * 7]])
+    with pytest.raises(ValueError, match="at least one"):
+        SIM.pq_encode(df, [])
+
+
+def test_pq_adc_topk_scores_and_ordering(spark):
+    """ADC top-k: every score equals the LUT-sum of the vector's
+    codes (reference-checked), ordering is (score, vec_id)
+    deterministic, and the sink is TakeOrderedAndProject —
+    per-partition heaps, no corpus shuffle."""
+    rows = [
+        (i, [0.01 * ((i * j) % 29 - 14) for j in range(16)])
+        for i in range(1, 21)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = SIM.derived_pq_codebooks(m=2, k=4, dsub=8)
+    qq = [((p * 13) % 21) * 100 - 1000 for p in range(16)]
+    got = SIM.pq_adc_topk(df, qq, cb, topk=5).collect()
+    lut = SIM.pq_adc_lut(qq, cb)
+    codes = {r.vec_id: list(r.codes) for r in SIM.pq_encode(df, cb).collect()}
+    scores = sorted(
+        (sum(lut[s][c] for s, c in enumerate(cs)), vid)
+        for vid, cs in codes.items()
+    )
+    assert [(r.adc_score, r.vec_id) for r in got] == scores[:5]
+    plan = (
+        SIM.pq_adc_topk(df, qq, cb, topk=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan and "Exchange hashpartitioning" not in plan
+    import pytest
+
+    with pytest.raises(ValueError, match="query dim"):
+        SIM.pq_adc_lut([1, 2, 3], cb)

@@ -1479,3 +1479,51 @@ def test_crawl_schedule_stalest_first_and_subdomain_budget(spark):
     assert out["https://b.ex.com/old"] == ("ex.com", 2)   # stalest next
     assert "https://ex.com/mid" not in out                 # over budget
     assert out["https://other.org/x"] == ("other.org", 1)
+
+
+def test_bpe_train_matches_reference_with_ties_and_early_stop(spark):
+    """Distributed trainer == plain-Python reference on a corpus with
+    a deliberate pair-count TIE (lexicographic tie-break decides),
+    overlapping runs (zip-adjacent counting), and a min_count early
+    stop; the learned table then feeds the encode path."""
+    rows = [
+        (1, "abab abab cdcd"),   # (a,b) and... craft ties below
+        (2, "cdcd abab"),
+        (3, "aaa aaa"),          # run: (a,a) counted overlapping
+        (4, "xy"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, vocab = T.bpe_train(df, "text", n_merges=10, min_count=2)
+    wc = {}
+    for _, t in rows:
+        import re
+
+        for w in re.findall("[a-z0-9]+", t.lower()):
+            wc[w] = wc.get(w, 0) + 1
+    ref = T.bpe_train_reference(wc, 10, min_count=2)
+    assert merges == ref
+    assert len(merges) < 10  # min_count stopped training early
+    # learned merges drop straight into the encode paths; this table
+    # contains a SELF-PAIR ('a','a') from the runs, so the compiled
+    # Column path must reject it and the batch path must take it
+    flat = [(a, b) for a, b, _ in merges]
+    assert ("a", "a") in flat
+    import pytest
+
+    with pytest.raises(ValueError, match="self-pair"):
+        df.select(T.bpe_token_count("text", merges=flat)).collect()
+    enc = T.bpe_encode_batch(df, "doc_id", "text", merges=flat).collect()
+    assert all(r.bpe_tokens >= 1 for r in enc)
+    # the audit vocab is fully merged under the learned table
+    vrows = {r.w: r.sym for r in vocab.collect()}
+    assert set(vrows) == set(wc)
+
+
+def test_bpe_train_tie_break_is_lexicographic(spark):
+    """Two pairs with identical counts: the lexicographically smaller
+    (left, right) must win on both the engine and the reference."""
+    df = spark.createDataFrame(
+        [(1, "zy zy"), (2, "ab ab")], "doc_id long, text string"
+    )
+    merges, _ = T.bpe_train(df, "text", n_merges=1)
+    assert merges == [("a", "b", 2)]  # ties with ('z','y') at 2
