@@ -947,3 +947,154 @@ def pq_adc_topk(
         .orderBy(F.col("adc_score").asc(), F.col(id_col).asc())
         .limit(topk)
     )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_q: list[int],
+    coarse: Sequence[tuple[int, Sequence[int]]],
+    codebooks: list[list[list[int]]],
+    nprobe: int = 2,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10000,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the FAISS-standard shape for
+    ANN over corpora that dwarf memory: the coarse quantizer
+    (``coarse``: the same (label, int-centroid) table
+    nearest_centroid_assign takes) prunes the corpus to the
+    ``nprobe`` inverted lists nearest the query, and within those
+    lists each vector's RESIDUAL (vector − its list centroid) is
+    PQ-coded and scored against a per-list asymmetric-distance LUT
+    (the query's residual differs per probed list, so the driver
+    precomputes nprobe LUTs — nprobe·m·k longs).
+
+    Everything is integer-exact on the shared quantization grid:
+    coarse argmin, probe ranking (d2 asc, label asc), residuals,
+    code argmins, ADC sums — bit-identical across engines. Plan
+    shape: coarse centroids, codebooks, and the LUTs all fold in as
+    literals (a literal MAP keyed by list label routes each row to
+    its list's centroid and LUT); the whole scoring path is narrow
+    projections + one Filter (assigned ∈ probed — at scale this is
+    the partition-pruning dimension), and the only data movement is
+    TakeOrderedAndProject's heaps. Output: (id_col, assigned,
+    adc_score), deterministic (score, id) order."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    if len(query_q) != m * dsub:
+        raise ValueError(f"query dim {len(query_q)} != m*dsub {m * dsub}")
+    # driver: probe the nprobe nearest lists, then one LUT per list
+    ranked = sorted(
+        (
+            sum((q - c) ** 2 for q, c in zip(query_q, cvec)),
+            int(label),
+            cvec,
+        )
+        for label, cvec in coarse
+    )
+    probed = ranked[:nprobe]
+    luts = {
+        label: pq_adc_lut(
+            [q - c for q, c in zip(query_q, cvec)], codebooks
+        )
+        for _, label, cvec in probed
+    }
+    cent_map = F.create_map(
+        *[
+            x
+            for label, cvec in coarse
+            for x in (
+                F.lit(int(label)).cast("int"),
+                F.array(*[F.lit(int(v)).cast("long") for v in cvec]),
+            )
+        ]
+    )
+    lut_map = F.create_map(
+        *[
+            x
+            for label, lut in sorted(luts.items())
+            for x in (
+                F.lit(int(label)).cast("int"),
+                F.array(
+                    *[
+                        F.array(*[F.lit(int(d)).cast("long") for d in row])
+                        for row in lut
+                    ]
+                ),
+            )
+        ]
+    )
+
+    p1 = emb.select(F.col(id_col), _quantize(vec_col, scale).alias("__xq"))
+    p2 = p1.select(
+        F.col(id_col),
+        F.col("__xq"),
+        F.array_min(_centroid_dists(F.col("__xq"), coarse)).alias("__best"),
+    )
+    p3 = p2.select(
+        F.col(id_col),
+        F.col("__best.assigned").cast("int").alias("assigned"),
+        F.zip_with(
+            F.col("__xq"),
+            F.element_at(cent_map, F.col("__best.assigned").cast("int")),
+            lambda a, b: a - b,
+        ).alias("__res"),
+    ).filter(F.col("assigned").isin([label for _, label, _ in probed]))
+    p4 = p3.select(
+        F.col(id_col),
+        F.col("assigned"),
+        *[
+            F.slice("__res", s * dsub + 1, dsub).alias(f"__s{s}")
+            for s in range(m)
+        ],
+    )
+
+    def dist_structs(s: int) -> Column:
+        sub = F.col(f"__s{s}")
+        return F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.array(
+                                *[F.lit(int(v)).cast("long") for v in cvec]
+                            ),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    F.lit(c).cast("int").alias("code"),
+                )
+                for c, cvec in enumerate(codebooks[s])
+            ]
+        )
+
+    p5 = p4.select(
+        F.col(id_col),
+        F.col("assigned"),
+        *[
+            F.array_min(dist_structs(s))["code"].alias(f"__c{s}")
+            for s in range(m)
+        ],
+    )
+    row_lut = F.element_at(lut_map, F.col("assigned"))
+    score = F.aggregate(
+        F.zip_with(
+            F.array(*[F.col(f"__c{s}") for s in range(m)]),
+            row_lut,
+            lambda c, row: F.element_at(row, c + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        p5.select(
+            F.col(id_col), F.col("assigned"), score.alias("adc_score")
+        )
+        .orderBy(F.col("adc_score").asc(), F.col(id_col).asc())
+        .limit(topk)
+    )

@@ -1892,3 +1892,18 @@ def bpe_train(
             "w", sym.alias("sym"), "n"
         ).localCheckpoint(eager=True)
     return merges, vocab
+
+
+def merges_to_text(merges: list[tuple[str, str]] | list[tuple[str, str, int]]) -> str:
+    """Serialize a merge table (learned by bpe_train or hand-built)
+    into the published merges.txt format parse_merges reads — the
+    export half of the tokenizer round-trip (train → ship → load →
+    encode). Counts, if present, are dropped (the format carries rank
+    order only)."""
+    lines = ["#version: 0.2"]
+    for m in merges:
+        a, b = m[0], m[1]
+        if " " in a or " " in b or not a or not b:
+            raise ValueError(f"unserializable merge pair ({a!r}, {b!r})")
+        lines.append(f"{a} {b}")
+    return "\n".join(lines) + "\n"

@@ -1899,6 +1899,111 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "sim_ivfpq_topk",
+    """
+    WITH cb AS MATERIALIZED (
+      SELECT s.s, c.c, e.e,
+             CAST(('0x' || substring(md5('pq#' || s.s || '#' || c.c
+                                          || '#' || e.e), 1, 15))
+                  AS BIGINT) % 2501 - 1250 AS val
+      FROM (SELECT unnest(range(0, 8)) AS s) s,
+           (SELECT unnest(range(0, 16)) AS c) c,
+           (SELECT unnest(range(0, 8)) AS e) e
+    ), cent AS MATERIALIZED (
+      SELECT label AS clabel, pos,
+             CAST(floor(avg(x) * 10000 + 0.5) AS BIGINT) AS cq
+      FROM (SELECT label, i AS pos, embedding[i]::DOUBLE AS x
+            FROM embeddings, range(1, 65) t(i))
+      GROUP BY label, pos
+    ), xq AS MATERIALIZED (
+      SELECT vec_id, pos,
+             CAST(floor(embedding[pos]::DOUBLE * 10000 + 0.5) AS BIGINT)
+               AS xq
+      FROM embeddings, range(1, 65) t(pos)
+    ), assign AS MATERIALIZED (
+      SELECT vec_id, clabel AS lb FROM (
+        SELECT x.vec_id, c.clabel,
+               row_number() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY sum((x.xq - c.cq) * (x.xq - c.cq)), c.clabel
+               ) AS rn
+        FROM xq x JOIN cent c ON x.pos = c.pos
+        GROUP BY x.vec_id, c.clabel
+      ) WHERE rn = 1
+    ), qv AS MATERIALIZED (
+      SELECT p.p, ((p.p * 37) % 4001) - 2000 AS qq
+      FROM (SELECT unnest(range(0, 64)) AS p) p
+    ), probed AS MATERIALIZED (
+      SELECT c.clabel
+      FROM qv q JOIN cent c ON q.p + 1 = c.pos
+      GROUP BY c.clabel
+      ORDER BY sum((q.qq - c.cq) * (q.qq - c.cq)), c.clabel
+      LIMIT 2
+    ), lut AS MATERIALIZED (
+      SELECT c.clabel, b.s, b.c,
+             CAST(sum(((q.qq - c.cq) - b.val) * ((q.qq - c.cq) - b.val))
+                  AS BIGINT) AS pd2
+      FROM probed p
+      JOIN cent c ON c.clabel = p.clabel
+      JOIN qv q ON q.p + 1 = c.pos
+      JOIN cb b ON (c.pos - 1) // 8 = b.s AND (c.pos - 1) % 8 = b.e
+      GROUP BY c.clabel, b.s, b.c
+    ), rd AS MATERIALIZED (
+      SELECT x.vec_id, a.lb, b.s, b.c,
+             CAST(sum(((x.xq - c.cq) - b.val) * ((x.xq - c.cq) - b.val))
+                  AS BIGINT) AS d2
+      FROM xq x
+      JOIN assign a USING (vec_id)
+      JOIN probed pr ON a.lb = pr.clabel
+      JOIN cent c ON c.clabel = a.lb AND c.pos = x.pos
+      JOIN cb b ON (x.pos - 1) // 8 = b.s AND (x.pos - 1) % 8 = b.e
+      GROUP BY x.vec_id, a.lb, b.s, b.c
+    ), codes AS MATERIALIZED (
+      SELECT vec_id, lb, s, c AS code,
+             row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c)
+               AS rn
+      FROM rd
+    ), score AS (
+      SELECT x.vec_id, CAST(min(x.lb) AS INTEGER) AS assigned,
+             CAST(sum(l.pd2) AS BIGINT) AS adc_score
+      FROM codes x
+      JOIN lut l ON x.lb = l.clabel AND x.s = l.s AND x.code = l.c
+      WHERE x.rn = 1 GROUP BY x.vec_id
+    )
+    SELECT vec_id, assigned, adc_score FROM score
+    ORDER BY adc_score, vec_id LIMIT 25
+    """,
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (similarity.ivf_pq_topk) — the
+    FAISS-standard architecture for ANN beyond memory: the coarse
+    quantizer (per-label integer-mean centroids, the proven
+    sim_centroid_assign machinery) prunes the corpus to the nprobe=2
+    nearest inverted lists; within them each vector's residual is
+    PQ-coded against md5-derived codebooks (scaled to the residual
+    range) and scored via per-list asymmetric-distance LUTs the
+    driver precomputes. Every stage is integer-exact on the shared
+    grid — coarse argmin, probe ranking, residuals, code argmins,
+    ADC sums — so the oracle reproduces the ENTIRE index + serve
+    path in SQL. Plan: centroids/books/LUTs fold in as literals (a
+    literal map routes rows to their list's centroid and LUT), the
+    probe filter is the partition-pruning dimension at scale, and
+    the only movement is TakeOrderedAndProject's heaps."""
+    import math
+
+    emb = Catalog(spark, sf_dir).embeddings
+    cent_rows = SIM.group_centroids(emb, "label", "embedding", dim=64).collect()
+    coarse = [
+        (int(r["label"]), [int(math.floor(m * 10000 + 0.5)) for m in r["centroid"]])
+        for r in cent_rows
+    ]
+    cb = SIM.derived_pq_codebooks(8, 16, 8, scale=1250)
+    qq = [((p * 37) % 4001) - 2000 for p in range(64)]
+    return SIM.ivf_pq_topk(emb, qq, coarse, cb, nprobe=2, topk=25)
+
+
 @query(
     "sim_topk_batch",
     """

@@ -386,6 +386,14 @@ NOTES = {
         "each stage materializes what the next references more than "
         "once, so per-row work is exactly m*k*dsub integer ops."
     ),
+    "sim_ivfpq_topk": (
+        "IVF-PQ serve path: coarse argmin + probe Filter + residual "
+        "code argmins + LUT-map scoring are ALL narrow projections "
+        "over literals (look for the create_map literals and no Join "
+        "nodes); TakeOrderedAndProject is the only data movement — "
+        "at scale the probe filter becomes partition pruning over "
+        "list-partitioned storage."
+    ),
     "sim_pq_topk": (
         "PQ asymmetric-distance serving: scoring is an m-step "
         "zip_with fold over literal LUT arrays on top of the encode "

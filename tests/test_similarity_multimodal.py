@@ -1790,3 +1790,66 @@ def test_pq_adc_topk_scores_and_ordering(spark):
 
     with pytest.raises(ValueError, match="query dim"):
         SIM.pq_adc_lut([1, 2, 3], cb)
+
+
+def test_ivf_pq_topk_residual_reference_and_pruning(spark):
+    """IVF-PQ: coarse assignment prunes to the probed lists only
+    (vectors outside never appear), residual codes + per-list LUT
+    sums match the plain-Python reference exactly, and ordering is
+    (score, id) deterministic."""
+    import math
+
+    rows = [
+        (i, [0.02 * ((i * j) % 23 - 11) for j in range(16)], i % 3)
+        for i in range(1, 31)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    coarse = []
+    for lb in (0, 1, 2):
+        vs = [v for _, v, l in rows if l == lb]
+        mean = [sum(col) / len(col) for col in zip(*vs)]
+        coarse.append((lb, [math.floor(m * 10000 + 0.5) for m in mean]))
+    cb = SIM.derived_pq_codebooks(m=2, k=4, dsub=8, scale=500)
+    qq = [((p * 13) % 801) - 400 for p in range(16)]
+    got = [
+        (r.vec_id, r.assigned, r.adc_score)
+        for r in SIM.ivf_pq_topk(df, qq, coarse, cb, nprobe=2, topk=6).collect()
+    ]
+
+    def quant(v):
+        return [math.floor(x * 10000 + 0.5) for x in v]
+
+    cmap = dict(coarse)
+    d2q = sorted(
+        (sum((q - c) ** 2 for q, c in zip(qq, cv)), lb) for lb, cv in coarse
+    )
+    probed = [lb for _, lb in d2q[:2]]
+    luts = {
+        lb: SIM.pq_adc_lut([q - c for q, c in zip(qq, cmap[lb])], cb)
+        for lb in probed
+    }
+    ref = []
+    for vid, v, _ in rows:
+        xq = quant(v)
+        _, lb = min(
+            (sum((a - b) ** 2 for a, b in zip(xq, cv)), l) for l, cv in coarse
+        )
+        if lb not in luts:
+            continue
+        res = [a - b for a, b in zip(xq, cmap[lb])]
+        score = 0
+        for s in range(2):
+            sub = res[s * 8:(s + 1) * 8]
+            d2s = [sum((a - b) ** 2 for a, b in zip(sub, c)) for c in cb[s]]
+            code = min(range(4), key=lambda c: (d2s[c], c))
+            score += luts[lb][s][code]
+        ref.append((score, vid, lb))
+    ref.sort()
+    assert got == [(vid, lb, sc) for sc, vid, lb in ref[:6]]
+    assert {lb for _, lb, _ in got} <= set(probed)
+    import pytest
+
+    with pytest.raises(ValueError, match="query dim"):
+        SIM.ivf_pq_topk(df, [1, 2], coarse, cb)

@@ -1527,3 +1527,27 @@ def test_bpe_train_tie_break_is_lexicographic(spark):
     )
     merges, _ = T.bpe_train(df, "text", n_merges=1)
     assert merges == [("a", "b", 2)]  # ties with ('z','y') at 2
+
+
+def test_merges_txt_roundtrip_train_ship_load_encode(spark):
+    """The tokenizer round-trip: bpe_train -> merges_to_text ->
+    parse_merges is identity on the pair list, and the reloaded table
+    encodes identically to the in-memory one."""
+    df = spark.createDataFrame(
+        [(1, "table table tablet"), (2, "stable tables")],
+        "doc_id long, text string",
+    )
+    merges, _ = T.bpe_train(df, "text", n_merges=6)
+    flat = [(a, b) for a, b, _ in merges]
+    txt = T.merges_to_text(merges)
+    assert txt.startswith("#version")
+    assert T.parse_merges(txt) == flat
+    a = T.bpe_encode_batch(df, "doc_id", "text", merges=flat).collect()
+    b = T.bpe_encode_batch(
+        df, "doc_id", "text", merges=T.parse_merges(txt)
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    import pytest
+
+    with pytest.raises(ValueError, match="unserializable"):
+        T.merges_to_text([("a b", "c")])
