@@ -2368,6 +2368,54 @@ _LANG_SNIPPETS: dict[str, str] = {
 }
 
 
+def _lang_pred_sql(src_cte: str, text_expr: str = "t2") -> str:
+    """Parameterized DuckDB fragment computing (doc_id, lang_pred,
+    lang_score) from any CTE exposing (doc_id, <text_expr>) — the
+    text.lang_id_ngram mirror (padding, codepoint gram extraction,
+    LANG_NGRAM_WEIGHTS values, LEFT-JOIN sentinel twin, alphabetical
+    argmax, 'und'). Returns CTE definitions ending in ``lang_pred_t``;
+    callers append it to their WITH chain."""
+    langs = sorted({l for d in T.LANG_NGRAM_WEIGHTS.values() for l in d})
+    rows = ", ".join(
+        "(" + ", ".join(
+            [f"'{g}'"] + [str(d.get(l, 0)) for l in langs]
+        ) + ")"
+        for g, d in sorted(T.LANG_NGRAM_WEIGHTS.items())
+    )
+    cols = ", ".join(f"s_{l}" for l in langs)
+    sums = ", ".join(
+        f"coalesce(sum(lang_w.s_{l}), 0) AS s_{l}" for l in langs
+    )
+    greatest = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
+    return rf"""
+    lang_n AS MATERIALIZED (
+      SELECT doc_id,
+             ' ' || trim(regexp_replace(lower({text_expr}), '\s+', ' ', 'g'))
+               || ' ' AS s
+      FROM {src_cte}
+    ), lang_g AS MATERIALIZED (
+      SELECT doc_id, unnest(list_concat(
+        CASE WHEN length(s) >= 3
+             THEN list_transform(range(1, length(s)-1),
+                                 i -> substring(s, i, 3))
+             ELSE CAST([] AS VARCHAR[]) END,
+        list_transform(range(1, length(s)+1),
+                       i -> substring(s, i, 1)))) AS gram
+      FROM lang_n
+    ), lang_w(gram, {cols}) AS (VALUES {rows}),
+    lang_agg AS MATERIALIZED (
+      SELECT doc_id, {sums}
+      FROM lang_g LEFT JOIN lang_w USING (gram)
+      GROUP BY doc_id
+    ), lang_pred_t AS (
+      SELECT doc_id,
+             CASE WHEN best <= 0 THEN 'und' {case} END AS lang_pred,
+             CAST(greatest(best, 0) AS BIGINT) AS lang_score
+      FROM (SELECT doc_id, {greatest} AS best, * FROM lang_agg)
+    )"""
+
+
 def _lang_ngram_oracle() -> str:
     """DuckDB mirror of text.lang_id_ngram over the multi-script
     snippet fixture: identical padding/gram extraction (codepoint
@@ -8355,6 +8403,129 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "rank long, left string, right string, pair_count long",
     )
+
+
+def _fineweb_oracle() -> str:
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, source, text,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), rep_lines AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)),
+                         l -> length(trim(l)) > 0) AS ls
+      FROM toks
+    ), rep_lf AS MATERIALIZED (
+      SELECT doc_id,
+        CASE WHEN len(ls) > 0 THEN
+          (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE)
+        ELSE 0.0 END AS dlf,
+        CASE WHEN length(array_to_string(ls, '')) > 0 THEN
+          (length(array_to_string(ls, ''))
+           - length(array_to_string(list_distinct(ls), '')))
+          / CAST(length(array_to_string(ls, '')) AS DOUBLE)
+        ELSE 0.0 END AS dlcf
+      FROM rep_lines
+    ), rep_best AS MATERIALIZED (
+      SELECT doc_id,
+        CAST(coalesce(list_max(list_transform(list_distinct(
+          list_transform(list_zip(t[:len(t)-1], t[2:]),
+                         p -> p[1] || ' ' || p[2])),
+          x -> len(list_filter(
+                 list_transform(list_zip(t[:len(t)-1], t[2:]),
+                                p -> p[1] || ' ' || p[2]),
+                 y -> y = x)) * length(x))), 0) AS BIGINT) AS tb,
+        length(array_to_string(t, ' ')) AS tok_chars
+      FROM toks
+    ), gate_rep AS MATERIALIZED (
+      SELECT l.doc_id FROM rep_lf l JOIN rep_best b USING (doc_id)
+      WHERE l.dlf <= 0.30 AND l.dlcf <= 0.20
+        AND (CASE WHEN b.tok_chars > 0
+                  THEN b.tb / CAST(b.tok_chars AS DOUBLE)
+                  ELSE 0.0 END) <= 0.20
+    ), clsw(term, weight) AS (VALUES {{cls_w}}),
+    cls AS MATERIALIZED (
+      SELECT tk.doc_id, sum(clsw.weight) AS sw
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks) tk
+      JOIN clsw USING (term)
+      GROUP BY tk.doc_id
+    ), {{lang_sql}},
+    bpe AS MATERIALIZED (
+      SELECT doc_id,
+        CAST(coalesce(list_sum(
+                 list_transform(t, w ->
+                   length({{bpe_enc}})
+                   - length(replace({{bpe_enc}}, ' ', '')) - 1)),
+               0) AS BIGINT) AS bpe_tokens
+      FROM toks
+    ), sel AS (
+      SELECT d.doc_id, d.source, l.lang_pred,
+             CAST(coalesce(c.sw, 0) AS BIGINT) AS margin, b.bpe_tokens
+      FROM toks d
+      JOIN gate_rep USING (doc_id)
+      LEFT JOIN cls c USING (doc_id)
+      JOIN lang_pred_t l USING (doc_id)
+      JOIN bpe b USING (doc_id)
+      WHERE coalesce(c.sw, 0) > 0 AND l.lang_pred = 'en'
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY source
+               ORDER BY {{h60}}, doc_id) AS rk
+      FROM sel
+    )
+    SELECT doc_id, source, lang_pred, margin, bpe_tokens
+    FROM ranked WHERE rk <= 20
+    """.format(
+        cls_w=_CLS_W_SQL,
+        lang_sql=_lang_pred_sql("toks", "text"),
+        bpe_enc=_bpe_sql_encode("w"),
+        h60=_HASH60.format(salt="fineweb", key="doc_id"),
+    )
+
+
+@query("t_fineweb_pipeline", _fineweb_oracle())
+def t_fineweb_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END FineWeb/CCNet-style curation in ONE lazy plan — the
+    composition a pre-training data team actually ships: Gopher
+    repetition gate (rule-based, zero shuffle) → fastText-shape
+    quality classifier (broadcast weights, per-doc margin sum) →
+    char-n-gram language ID, keep English (broadcast gram weights,
+    per-doc sums) → REAL BPE token counting (compiled merge chain,
+    zero shuffle) → deterministic ≤20-docs-per-source cap
+    (stratified_take, map-side WindowGroupLimit). Four exchanges
+    total at any corpus size: the two score aggregates, their id
+    joins back onto the spine (AQE-coalesced), and the cap window —
+    every per-row stage is codegen Columns. The oracle recomputes
+    the ENTIRE chain (each stage's fragment mirrors its standalone
+    oracle), so one hash match certifies the composition, not just
+    the parts."""
+    d = Catalog(spark, sf_dir).documents
+    toked = d.select(
+        "doc_id", "source", "text", T.tokens("text").alias("_toks")
+    )
+    flags = T.gopher_repetition_flags("text", toks=F.col("_toks"))
+    gated = toked.filter(flags["gopher_rep_pass"])
+    cls = T.classifier_margin(d, "doc_id", "text")
+    lang = T.lang_id_ngram(d, "doc_id", "text")
+    scored = (
+        gated.join(cls.filter("keep").select("doc_id", "margin"), "doc_id")
+        .join(lang.filter(F.col("lang_pred") == "en"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "lang_pred",
+            "margin",
+            T.bpe_token_count("text", toks=F.col("_toks")).alias(
+                "bpe_tokens"
+            ),
+        )
+    )
+    from mongodb_etl_migration_spark.operators import sampling as SM
+
+    return SM.stratified_take(
+        scored, ["source"], 20, "doc_id", salt="fineweb"
+    ).select("doc_id", "source", "lang_pred", "margin", "bpe_tokens")
 
 
 @query(

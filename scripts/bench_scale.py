@@ -197,6 +197,29 @@ def main() -> None:
         cm["vocab_terms"] = len(vocab)
         cm["kept"] = cls.filter(F.col("keep")).count()
 
+        # BPE training at scale: the corpus is touched once (word
+        # count); every round then runs on the vocabulary (here the
+        # replica-suffixed vocab grows with the corpus, the worst
+        # case) with a 1-row argmax collect per round — shuffle is
+        # the word-count exchange + rounds x vocab-sized aggregates,
+        # never corpus x rounds.
+        def timed_train():
+            w0, r0 = ui.shuffle_totals()
+            t0 = time.time()
+            mg, vocab = T.bpe_train(docs, "text", n_merges=4)
+            nv = vocab.count()
+            return {
+                "sec": round(time.time() - t0, 3),
+                "shuffle_bytes": sum(
+                    a - b
+                    for a, b in zip(ui.shuffle_totals(), (w0, r0))
+                ),
+                "merges": len(mg),
+                "vocab": nv,
+            }
+
+        bt = timed_train()
+
         # PQ at scale: codebooks are plan literals and the encode is
         # narrow — shuffle must be ZERO at any corpus size; ADC top-k
         # moves only per-partition heaps (TakeOrderedAndProject).
@@ -295,6 +318,7 @@ def main() -> None:
             "t_dup_spans": ds,
             "t_quality_classifier": cm,
             "sim_pq_encode": pqm,
+            "t_bpe_train": bt,
             "t_lang_id": lm,
             "g_pagerank": gp,
             "g_hits": gh,
@@ -391,6 +415,13 @@ def main() -> None:
         # PQ encode is shuffle-FREE by construction at every size
         "pq_encode_shuffle_bytes_at_10x_corpus":
             x["sim_pq_encode"]["shuffle_bytes"],
+        # training shuffle = one corpus word count + per-round
+        # vocab-sized aggregates -> ~linear even with a 10x vocab
+        "bpe_train_shuffle_growth_at_10x_corpus": round(
+            x["t_bpe_train"]["shuffle_bytes"]
+            / max(1, b["t_bpe_train"]["shuffle_bytes"]),
+            2,
+        ),
     }
     out = {"configs": results, "summary": summary}
     (REPO / "BENCH_scale.json").write_text(json.dumps(out, indent=1) + "\n")

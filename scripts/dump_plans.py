@@ -386,6 +386,14 @@ NOTES = {
         "each stage materializes what the next references more than "
         "once, so per-row work is exactly m*k*dsub integer ops."
     ),
+    "t_fineweb_pipeline": (
+        "End-to-end curation in one plan: Gopher gate and BPE "
+        "counting are pure projections; the classifier and lang-id "
+        "aggregates are the two real exchanges (map-side partials), "
+        "joined back on doc_id (AQE-coalesced); the per-source cap "
+        "shows WindowGroupLimit below its exchange. No other "
+        "shuffle, no Python."
+    ),
     "sim_ivfpq_topk": (
         "IVF-PQ serve path: coarse argmin + probe Filter + residual "
         "code argmins + LUT-map scoring are ALL narrow projections "
