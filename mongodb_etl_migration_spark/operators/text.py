@@ -1907,3 +1907,62 @@ def merges_to_text(merges: list[tuple[str, str]] | list[tuple[str, str, int]]) -
             raise ValueError(f"unserializable merge pair ({a!r}, {b!r})")
         lines.append(f"{a} {b}")
     return "\n".join(lines) + "\n"
+
+
+def remove_duplicated_spans(
+    df,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+):
+    """ExactSubstr REMOVAL (Lee et al. 2022's acted-on form):
+    duplicated_spans finds the copied regions; this pass CUTS their
+    tokens out of every document — the dedup that shrinks boilerplate
+    and quoted text without dropping whole documents (span_dedup's
+    keep-one-copy window rung and MinHash's whole-doc rung cover the
+    other granularities of the ladder).
+
+    Plan shape: the detection plan's exchanges, then the per-document
+    span set (duplicate-region-sized, NOT corpus-sized) aggregates to
+    one interval array per affected doc and joins back to the corpus
+    on id — at scale that join is the pass's one unavoidable
+    corpus exchange; the cut itself is a zero-shuffle indexed
+    transform/filter against the row's own interval array. Documents
+    with no duplicated span pass through untouched (left join +
+    empty-array coalesce). Output: (id_col, clean_text,
+    n_removed bigint)."""
+    spans = duplicated_spans(df, id_col, text_col, k, min_count)
+    sarr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__sp")
+    )
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    j = toked.join(sarr, id_col, "left").select(
+        F.col(id_col),
+        F.col("__t"),
+        F.coalesce(
+            F.col("__sp"),
+            F.array().cast(
+                "array<struct<span_start:bigint,span_end:bigint>>"
+            ),
+        ).alias("__sp"),
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("__t"),
+            lambda x, i: F.when(
+                ~F.exists(
+                    F.col("__sp"),
+                    lambda s: (s["span_start"] <= i + 1)
+                    & (i + 1 <= s["span_end"]),
+                ),
+                x,
+            ),
+        ),
+        lambda v: v.isNotNull(),
+    )
+    return j.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("__t") - F.size(kept)).cast("bigint").alias("n_removed"),
+    )

@@ -1113,3 +1113,71 @@ def crawl_schedule(
         .drop("__host")
         .withColumn("fetch_rank", F.col("fetch_rank").cast("bigint"))
     )
+
+
+def robots_crawl_delay(df, host_col: str, text_col: str, user_agent: str = "*"):
+    """``Crawl-delay`` seconds per host for the most-specific matching
+    agent group — the de-facto politeness knob (not in RFC 9309, but
+    honored by Bing/Yandex and ubiquitous in real robots.txt), the
+    number a crawl scheduler feeds into per-host rate limits next to
+    crawl_schedule's budgets. Group selection is parse_robots_rules'
+    §2.2.1 rule (prefix match, longest token wins, '*' fallback);
+    within the winning specificity the LAST numeric Crawl-delay wins
+    (later directives override); non-numeric values are ignored.
+    Same zero-shuffle pure-Column fold. Output: (host, crawl_delay
+    double) — hosts without a usable directive are omitted."""
+    lines = F.split(F.regexp_replace(F.col(text_col), "\r", ""), "\n")
+    state0 = F.struct(
+        F.lit(-1).cast("int").alias("cur"),
+        F.lit(False).alias("ua_run"),
+        F.lit(-1).cast("int").alias("best"),
+        F.lit(None).cast("double").alias("delay"),
+    )
+    ua = user_agent.lower()
+
+    def step(acc: Column, ln: Column) -> Column:
+        t = F.regexp_replace(ln, "^[ \\t]+|[ \\t]+$", "")
+        low = F.lower(t)
+        val = F.regexp_replace(
+            F.regexp_extract(t, "^[^:]*:(.*)$", 1), "^[ \\t]+|[ \\t]+$", ""
+        )
+        is_ua = low.startswith("user-agent:")
+        is_rule = low.startswith("allow:") | low.startswith("disallow:")
+        is_cd = low.startswith("crawl-delay:")
+        lval = F.lower(val)
+        hit_len = (
+            F.when(lval == "*", F.lit(0))
+            .when(F.lit(ua).startswith(lval), F.length(lval))
+            .otherwise(F.lit(-1))
+            .cast("int")
+        )
+        cur = (
+            F.when(is_ua & acc["ua_run"], F.greatest(acc["cur"], hit_len))
+            .when(is_ua, hit_len)
+            .otherwise(acc["cur"])
+        )
+        ua_run = (
+            F.when(is_ua, F.lit(True))
+            .when(is_rule | is_cd, F.lit(False))
+            .otherwise(acc["ua_run"])
+        )
+        num = val.try_cast("double")
+        takes = (
+            is_cd
+            & (acc["cur"] >= 0)
+            & num.isNotNull()
+            & (acc["cur"] >= acc["best"])
+        )
+        best = F.when(takes, acc["cur"]).otherwise(acc["best"])
+        delay = F.when(takes, num).otherwise(acc["delay"])
+        return F.struct(
+            cur.alias("cur"),
+            ua_run.alias("ua_run"),
+            best.alias("best"),
+            delay.alias("delay"),
+        )
+
+    agg = F.aggregate(lines, state0, step)
+    return df.select(
+        F.col(host_col).alias("host"), agg["delay"].alias("crawl_delay")
+    ).filter(F.col("crawl_delay").isNotNull())

@@ -7022,6 +7022,63 @@ def _web_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WB.link_graph(pages, "html", src)
 
 
+
+@query(
+    "w_crawl_delay",
+    """
+    WITH hosts AS (
+      SELECT DISTINCT lower(source) AS s,
+             'www.' || lower(source) || '.example.com' AS host
+      FROM documents
+    ), n AS (
+      SELECT host,
+             CAST(nullif(regexp_extract(s, '[0-9]+', 0), '') AS INTEGER)
+               AS num
+      FROM hosts
+    )
+    SELECT host, CAST(num % 9 AS DOUBLE) + 0.5 AS crawl_delay
+    FROM n WHERE num IS NOT NULL AND num % 3 <> 0
+    """,
+)
+def w_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay extraction (web.robots_crawl_delay) — the de-facto
+    per-host rate-limit knob a crawl scheduler pairs with
+    crawl_schedule's budgets. Fixture: per host a googlebot group
+    carrying its own delay (must be SKIPPED for the '*' crawler), a
+    non-numeric Crawl-delay (ignored), then the real one — and every
+    3rd host declares none (omitted from output, not NULL-ed). Same
+    zero-shuffle pure-Column fold as the rule parser; the oracle
+    predicts each host's surviving delay analytically."""
+    d = Catalog(spark, sf_dir).documents
+    hosts = d.select(F.lower("source").alias("s")).distinct().select(
+        F.concat(F.lit("www."), F.col("s"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        F.nullif(F.regexp_extract("s", "[0-9]+", 0), F.lit(""))
+        .cast("int")
+        .alias("num"),
+    )
+    body = F.concat(
+        F.lit(
+            "User-agent: googlebot\nCrawl-delay: 1\nDisallow: /g/\n\n"
+            "User-agent: *\nDisallow: /private/\n"
+            "Crawl-delay: bogus\n"
+        ),
+        F.when(
+            F.col("num").isNotNull() & (F.col("num") % 3 != 0),
+            F.concat(
+                F.lit("Crawl-delay: "),
+                (
+                    (F.col("num") % 9).cast("double") + F.lit(0.5)
+                ).cast("string"),
+                F.lit("\n"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    pages = hosts.select("host", body.alias("robots_txt"))
+    return WB.robots_crawl_delay(pages, "host", "robots_txt")
+
+
 @query(
     "w_link_graph",
     f"""
@@ -8526,6 +8583,97 @@ def t_fineweb_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SM.stratified_take(
         scored, ["source"], 20, "doc_id", salt="fineweb"
     ).select("doc_id", "source", "lang_pred", "margin", "bpe_tokens")
+
+
+@query(
+    "t_span_removal",
+    """
+    WITH src AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 THEN text || ' ' || text
+             WHEN doc_id % 6 = 3 THEN text ||
+               ' subscribe to our newsletter for daily updates today'
+             ELSE text END AS text2
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text2), '[a-z0-9]+') AS t
+      FROM src
+    ), grams AS (
+      SELECT doc_id, s.s AS pos,
+             md5(array_to_string(list_slice(t, s.s, s.s + 7), ' ')) AS whash
+      FROM toks, unnest(range(1, len(t) - 6)) AS s(s)
+      WHERE len(t) >= 8
+    ), counted AS (
+      SELECT doc_id, pos, count(*) OVER (PARTITION BY whash) AS cnt
+      FROM grams
+    ), dup AS (
+      SELECT doc_id, pos FROM counted WHERE cnt >= 2
+    ), flagged AS (
+      SELECT doc_id, pos,
+        CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS newf
+      FROM dup
+    ), grp AS (
+      SELECT doc_id, pos,
+             sum(newf) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, min(pos) AS a, max(pos) + 7 AS b
+      FROM grp GROUP BY doc_id, g
+    ), sarr AS (
+      SELECT doc_id, list(struct_pack(a := a, b := b)) AS sp
+      FROM spans GROUP BY doc_id
+    ), cut AS (
+      SELECT t.doc_id, t.t,
+        list_filter(
+          list_transform(t.t, (x, i) -> CASE WHEN len(list_filter(
+              coalesce(s.sp, CAST([] AS STRUCT(a BIGINT, b BIGINT)[])),
+              r -> r.a <= i AND i <= r.b)) = 0 THEN x END),
+          v -> v IS NOT NULL) AS kept
+      FROM toks t LEFT JOIN sarr s USING (doc_id)
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(kept, ' '), '') AS clean_text,
+           CAST(len(t) - len(kept) AS BIGINT) AS n_removed
+    FROM cut
+    """,
+)
+def t_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (text.remove_duplicated_spans) — the
+    acted-on form of the Lee-et-al signal: the duplicated regions
+    t_dup_spans detects are CUT out of every document (doubled docs
+    lose their duplication, the shared boilerplate tail vanishes from
+    every carrier, untouched docs pass through byte-identical with
+    n_removed = 0). Per-document interval arrays (duplicate-region-
+    sized) join back on id — the pass's one corpus exchange beyond
+    detection — and the cut is a zero-shuffle indexed transform
+    against the row's own intervals. Same fixture as t_dup_spans, so
+    the oracle extends the proven detection chain with the removal
+    CTEs and the hash certifies detection AND surgery."""
+    d = Catalog(spark, sf_dir).documents
+    src = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " subscribe to our newsletter for daily updates today"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text2"),
+    )
+    return T.remove_duplicated_spans(src, "doc_id", "text2")
 
 
 @query(

@@ -1551,3 +1551,106 @@ def test_merges_txt_roundtrip_train_ship_load_encode(spark):
 
     with pytest.raises(ValueError, match="unserializable"):
         T.merges_to_text([("a b", "c")])
+
+
+def test_robots_wildcard_matching_fuzz_vs_python_reference(spark):
+    """Property fuzz for the RFC 9309 pattern compiler: 300 random
+    (pattern, path) cases over a metachar-heavy alphabet, Spark's
+    compiled-regex match vs an independent Python reference built
+    with re.escape — the two constructions share no code, so
+    agreement pins the semantics, not the implementation."""
+    import random
+    import re
+
+    rng = random.Random(906)
+    alpha = "ab/.*$+?()[]{}|\\"
+
+    def rand_s(maxlen):
+        return "".join(
+            rng.choice(alpha) for _ in range(rng.randint(0, maxlen))
+        )
+
+    cases = []
+    for _ in range(300):
+        pat = "/" + rand_s(8)
+        path = "/" + rand_s(10)
+        cases.append((pat, path))
+    # deliberate anchored/wildcard shapes on real-ish paths
+    cases += [
+        ("/*.pdf$", "/a/b/c.pdf"), ("/*.pdf$", "/a.pdfx"),
+        ("/a*b*c", "/aXbYc"), ("/a**b", "/ab"), ("/$", "/"),
+        ("/a$$", "/a$"), ("/a$$", "/a"),
+    ]
+
+    def ref_match(pat: str, path: str) -> bool:
+        anchored = pat.endswith("$")
+        body = pat[:-1] if anchored else pat
+        rx = "^" + ".*".join(re.escape(seg) for seg in body.split("*"))
+        if anchored:
+            rx += "$"
+        return re.search(rx, path) is not None
+
+    df = spark.createDataFrame(cases, "pat string, path string")
+    got = {
+        (r.pat, r.path): r.m
+        for r in df.select(
+            "pat",
+            "path",
+            F.rlike(F.col("path"), W.robots_pattern_regex(F.col("pat"))).alias("m"),
+        ).collect()
+    }
+    for pat, path in cases:
+        assert got[(pat, path)] == ref_match(pat, path), (pat, path)
+
+
+def test_robots_crawl_delay_group_selection_and_last_wins(spark):
+    body = (
+        "User-agent: googlebot\n"
+        "Crawl-delay: 2\n"
+        "Disallow: /g/\n"
+        "User-agent: *\n"
+        "Crawl-delay: nonsense\n"   # non-numeric: ignored
+        "Crawl-delay: 5\n"
+        "Crawl-delay: 7.5\n"        # last numeric at the specificity wins
+    )
+    df = spark.createDataFrame(
+        [("a.com", body), ("b.com", "User-agent: *\nDisallow: /x/\n")],
+        "host string, text string",
+    )
+    star = {
+        r.host: r.crawl_delay
+        for r in W.robots_crawl_delay(df, "host", "text").collect()
+    }
+    assert star == {"a.com": 7.5}  # b.com declares none -> omitted
+    goog = {
+        r.host: r.crawl_delay
+        for r in W.robots_crawl_delay(
+            df, "host", "text", user_agent="googlebot-news"
+        ).collect()
+    }
+    assert goog == {"a.com": 2.0}  # prefix-matched specific group wins
+
+
+def test_remove_duplicated_spans_surgery(spark):
+    """Span removal: the shared 8-token prefix is cut from BOTH
+    carriers, a fully-duplicated doc empties (clean_text '', not
+    NULL), a unique doc passes through byte-identical with
+    n_removed = 0."""
+    base8 = "one two three four five six seven eight"
+    rows = [
+        (1, base8 + " tail1 here"),
+        (2, base8 + " other2 words"),
+        (3, "totally unique document nine ten"),
+        (4, base8),  # nothing but the duplicated window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in T.remove_duplicated_spans(df, "doc_id", "text").collect()
+    }
+    assert out == {
+        1: ("tail1 here", 8),
+        2: ("other2 words", 8),
+        3: ("totally unique document nine ten", 0),
+        4: ("", 8),
+    }
