@@ -83,3 +83,98 @@ def heavy_hitters(df: DataFrame, key_col: str, support: float) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") > F.lit(threshold))
     )
+
+
+def _hash60(value, salt: str):
+    """The engine-portable 60-bit md5 hash idiom over a value column
+    — identical on Spark and DuckDB, uniform enough for sketching."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.lit(salt), value.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch — the
+    MERGEABLE cardinality summary (Bar-Yossef et al. 2002) a 100 TB
+    pipeline keeps per shard/partition where exact distinct counts
+    would shuffle the world: per group, the k smallest 60-bit hashes
+    of the distinct values. Estimate: with fewer than k distinct
+    hashes the count is EXACT (the sketch holds them all); otherwise
+    the classic unbiased (k−1)·2^60/h_k. Deterministic end to end —
+    the md5 hash idiom is engine-portable, so the oracle reproduces
+    sketch AND estimate bit-for-bit (the estimate is one IEEE double
+    division of exact integers).
+
+    Plan shape: distinct (group, hash) pre-aggregates map-side (the
+    inverted-index exchange class); the bottom-k trim is a
+    WindowGroupLimit — each map task ships at most k rows per group.
+    Output: (group_cols..., kmv array<long> ascending, n_seen
+    bigint = len(kmv), distinct_est double).
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    hashed = df.select(
+        *group_cols, _hash60(F.col(value_col), salt).alias("__h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    bottom = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
+    )
+    n_seen = F.size("kmv").cast("bigint")
+    kth = F.element_at("kmv", k)
+    est = F.when(n_seen < k, n_seen.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(2**60)) / kth.cast("double")
+    )
+    return bottom.select(
+        *group_cols,
+        "kmv",
+        n_seen.alias("n_seen"),
+        est.alias("distinct_est"),
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Merge per-shard KMV sketches into one per group — the property
+    that makes KMV the scale answer (sketch each shard independently,
+    merge the tiny summaries; no re-scan): union the hash sets,
+    dedupe, keep the k smallest, re-estimate. A merged sketch is
+    IDENTICAL to sketching the concatenated input (tested), because
+    bottom-k of a union is bottom-k of the unioned bottom-ks.
+    Input rows: (group_cols..., kmv array<long>); same output schema
+    as kmv_sketch."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    merged = (
+        sketches.select(*group_cols, F.explode("kmv").alias("__h"))
+        .distinct()
+        .groupBy(*group_cols)
+        .agg(F.slice(F.sort_array(F.collect_list("__h")), 1, k).alias("kmv"))
+    )
+    n_seen = F.size("kmv").cast("bigint")
+    kth = F.element_at("kmv", k)
+    est = F.when(n_seen < k, n_seen.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(2**60)) / kth.cast("double")
+    )
+    return merged.select(
+        *group_cols,
+        "kmv",
+        n_seen.alias("n_seen"),
+        est.alias("distinct_est"),
+    )

@@ -7513,6 +7513,198 @@ _CLS_W_SQL = ", ".join(
 )
 
 
+
+@query(
+    "a22_sole_return_suppliers",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                 THEN l_suppkey END) AS n_ret_supp
+      FROM lineitem
+      GROUP BY l_orderkey
+    ), qualifying AS (
+      SELECT DISTINCT l.l_suppkey, l.l_orderkey
+      FROM lineitem l
+      JOIN per_order p ON l.l_orderkey = p.l_orderkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderstatus = 'F'
+        AND p.n_supp > 1
+        AND p.n_ret_supp = 1
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM qualifying q JOIN supplier s ON q.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def a22_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 SHAPE (suppliers-who-kept-orders-waiting), adapted
+    to this schema's columns: on finalized multi-supplier orders,
+    count per supplier the orders where THAT supplier was the sole
+    one with a returned line — the classic EXISTS / NOT-EXISTS
+    correlated self-reference on the fact table, rewritten the way a
+    columnar engine should run it: ONE aggregation over lineitem
+    computes both correlations (any-other-supplier, any-other-
+    returning-supplier) as per-order distinct counts, replacing two
+    correlated self-joins with a single exchange; the supplier
+    dimension broadcasts; top-20 is TakeOrderedAndProject."""
+    c = Catalog(spark, sf_dir)
+    per_order = c.lineitem.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    qualifying = (
+        c.lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+        .join(
+            c.orders.filter(F.col("o_orderstatus") == "F").select(
+                F.col("o_orderkey").alias("l_orderkey")
+            ),
+            "l_orderkey",
+        )
+        .select("l_suppkey", "l_orderkey")
+        .distinct()
+    )
+    return (
+        qualifying.join(F.broadcast(c.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "a23_large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(b.total_qty AS BIGINT) AS total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def a23_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 SHAPE (large-volume customers): orders whose total
+    line quantity exceeds a threshold, decorated with their customer —
+    the HAVING-subquery-feeds-IN pattern run as one partial-agg
+    exchange over the fact table (map-side combine, no IN-subquery
+    rescan), dimension joins broadcast, top-50 via
+    TakeOrderedAndProject's per-partition heaps."""
+    c = Catalog(spark, sf_dir)
+    big = (
+        c.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(
+            c.orders, big["l_orderkey"] == c.orders["o_orderkey"]
+        )
+        .join(
+            F.broadcast(c.customer),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("bigint").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+
+@query(
+    "a24_kmv_distinct",
+    """
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT DISTINCT source,
+             CAST(('0x' || substring(md5('kmv#' || tok), 1, 15)) AS BIGINT)
+               AS hv
+      FROM toks
+    ), rn AS (
+      SELECT source, hv,
+             row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+      FROM h
+    ), sk AS (
+      SELECT source, list(hv ORDER BY hv) AS kmv
+      FROM rn WHERE rn <= 16 GROUP BY source
+    ), true_d AS (
+      SELECT source, count(DISTINCT tok) AS true_distinct FROM toks
+      GROUP BY source
+    )
+    SELECT s.source,
+           array_to_string(list_transform(s.kmv,
+             x -> CAST(x AS VARCHAR)), '-') AS kmv_str,
+           CAST(len(s.kmv) AS BIGINT) AS n_seen,
+           CASE WHEN len(s.kmv) < 16 THEN CAST(len(s.kmv) AS DOUBLE)
+                ELSE 15.0 * 1152921504606846976.0
+                     / CAST(s.kmv[16] AS DOUBLE) END AS distinct_est,
+           CAST(t.true_distinct AS BIGINT) AS true_distinct
+    FROM sk s JOIN true_d t USING (source)
+    """,
+)
+def a24_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct-count sketch (profiling.kmv_sketch,
+    Bar-Yossef et al. 2002) — the MERGEABLE cardinality summary a
+    100 TB pipeline keeps per shard where exact distincts would
+    shuffle the world: per source, the 16 smallest 60-bit token
+    hashes + the (k−1)·2^60/h_k estimate (exact count when the
+    group has fewer than k distinct values). The engine-portable md5
+    idiom makes sketch AND estimate bit-reproducible in DuckDB; the
+    true distinct count rides along so the row itself documents the
+    estimate's accuracy. Distinct (group, hash) pre-aggregates
+    map-side; the bottom-k trim is a WindowGroupLimit — k rows per
+    group per map task."""
+    from mongodb_etl_migration_spark.operators import profiling as P
+
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select(
+        "source", F.explode(T.tokens("text")).alias("tok")
+    )
+    sk = P.kmv_sketch(toks, ["source"], "tok", k=16)
+    true_d = toks.groupBy("source").agg(
+        F.countDistinct("tok").cast("bigint").alias("true_distinct")
+    )
+    return sk.join(true_d, "source").select(
+        "source",
+        F.array_join(
+            F.transform("kmv", lambda x: x.cast("string")), "-"
+        ).alias("kmv_str"),
+        "n_seen",
+        "distinct_est",
+        "true_distinct",
+    )
+
+
 @query(
     "t_quality_classifier",
     f"""

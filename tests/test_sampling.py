@@ -111,3 +111,40 @@ def test_temperature_mix_null_and_nonstring_groups(spark):
     n = kept.count()
     assert 100 < n < 200  # all three groups sampled, none dropped wholesale
     assert kept.filter(F.col("grp").isNull()).count() > 0
+
+
+def test_kmv_sketch_merge_equals_whole(spark):
+    """KMV mergeability — the property that makes it the 100 TB
+    answer: sketching two shards independently and merging the tiny
+    summaries equals sketching the concatenated input exactly; small
+    groups are counted EXACTLY (n_seen < k path), and the estimate
+    lands within the standard ~1/sqrt(k) band on a big group."""
+    from mongodb_etl_migration_spark.operators import profiling as P
+    from pyspark.sql import functions as F
+
+    rows = [("g1", f"v{i % 500}") for i in range(2000)] + [
+        ("g2", f"w{i}") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    whole = {
+        r.g: (list(r.kmv), r.n_seen, r.distinct_est)
+        for r in P.kmv_sketch(df, ["g"], "v", k=32).collect()
+    }
+    # exact path: g2 has 5 < 32 distincts
+    assert whole["g2"][1] == 5 and whole["g2"][2] == 5.0
+    # estimate path: g1 has 500 distincts; ~1/sqrt(32) ≈ 18% band
+    assert 350 <= whole["g1"][2] <= 650
+    # shard + merge == whole, bit for bit
+    h1 = df.filter(F.substring(F.md5("v"), 1, 1).isin(*"01234567"))
+    h2 = df.subtract(h1)
+    s1 = P.kmv_sketch(h1, ["g"], "v", k=32)
+    s2 = P.kmv_sketch(h2, ["g"], "v", k=32)
+    merged = {
+        r.g: (list(r.kmv), r.n_seen, r.distinct_est)
+        for r in P.kmv_merge(s1.unionByName(s2), ["g"], k=32).collect()
+    }
+    assert merged == whole
+    import pytest
+
+    with pytest.raises(ValueError, match="k must"):
+        P.kmv_sketch(df, ["g"], "v", k=1)
