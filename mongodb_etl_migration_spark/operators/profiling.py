@@ -178,3 +178,79 @@ def kmv_merge(
         n_seen.alias("n_seen"),
         est.alias("distinct_est"),
     )
+
+
+def cm_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 64,
+    salt: str = "cm",
+) -> DataFrame:
+    """Count-Min frequency sketch (Cormode & Muthukrishnan 2005) —
+    the mergeable companion to kmv_sketch: depth×width integer
+    counters estimating any value's frequency with one-sided error
+    (estimate ≥ truth, overshoot bounded by collisions). The sketch a
+    100 TB pipeline keeps per shard for frequency questions it cannot
+    afford exact groupBys for; merging shards is counter-wise
+    addition (tested identity vs sketching the concatenation).
+
+    Each row of the sketch hashes with its own salted 60-bit md5
+    (engine-portable, so the oracle rebuilds every counter), counter
+    index = hash mod width. Plan: depth copies of the value column
+    explode narrowly (a plan-literal array of row ids), and the ONLY
+    exchange aggregates depth·width counters — fixed-size state at
+    any corpus size. Output: (row int, idx int, cnt bigint), only
+    touched counters present (absent ⇒ 0)."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    # per-row salts: row r hashes with salt '{salt}#{r}' — independent
+    # hash functions, the CM requirement
+    ex2 = df.select(F.col(value_col).alias("__v")).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        F.pmod(
+                            _hash60(F.col("__v"), f"{salt}#{r}"),
+                            F.lit(width),
+                        )
+                        .cast("int")
+                        .alias("idx"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("__ri"),
+    )
+    return (
+        ex2.groupBy(
+            F.col("__ri.row").alias("row"), F.col("__ri.idx").alias("idx")
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch_rows: list[tuple[int, int, int]],
+    values: list[str],
+    depth: int = 4,
+    width: int = 64,
+    salt: str = "cm",
+) -> dict[str, int]:
+    """Driver-side point queries against a collected Count-Min sketch
+    (depth·width longs — KBs): estimate(value) = min over rows of its
+    counter. Same salted-hash derivation as cm_sketch."""
+    import hashlib
+
+    table = {(r, i): c for r, i, c in sketch_rows}
+
+    def h(value: str, r: int) -> int:
+        hx = hashlib.md5(f"{salt}#{r}#{value}".encode()).hexdigest()[:15]
+        return int(hx, 16) % width
+
+    return {
+        v: min(table.get((r, h(v, r)), 0) for r in range(depth))
+        for v in values
+    }

@@ -7705,6 +7705,104 @@ def a24_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_CM_PROBES = ("table", "query", "the", "zz-absent", "data")
+
+
+@query(
+    "a25_cm_frequencies",
+    f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ), cells AS (
+      SELECT r.r AS row,
+             CAST(CAST(('0x' || substring(md5('cm#' || r.r || '#' || tok),
+                                          1, 15)) AS BIGINT) % 64 AS INTEGER)
+               AS idx,
+             tok
+      FROM toks, (SELECT unnest(range(0, 4)) AS r) r
+    ), sk AS (
+      SELECT row, idx, CAST(count(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY row, idx
+    ), probes(token) AS (
+      VALUES {", ".join(f"('{p}')" for p in _CM_PROBES)}
+    ), pcells AS (
+      SELECT p.token, r.r AS row,
+             CAST(CAST(('0x' || substring(md5('cm#' || r.r || '#' || p.token),
+                                          1, 15)) AS BIGINT) % 64 AS INTEGER)
+               AS idx
+      FROM probes p, (SELECT unnest(range(0, 4)) AS r) r
+    ), est AS (
+      SELECT pc.token,
+             CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cm_est
+      FROM pcells pc LEFT JOIN sk s USING (row, idx)
+      GROUP BY pc.token
+    ), truth AS (
+      SELECT tok AS token, CAST(count(*) AS BIGINT) AS true_cnt
+      FROM toks GROUP BY tok
+    )
+    SELECT e.token, e.cm_est, CAST(coalesce(t.true_cnt, 0) AS BIGINT)
+             AS true_cnt
+    FROM est e LEFT JOIN truth t USING (token)
+    """,
+)
+def a25_cm_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (profiling.cm_sketch, Cormode &
+    Muthukrishnan 2005): 4×64 integer counters over the corpus token
+    stream, then point estimates for five probe tokens — min over
+    each probe's four counters, with the true count riding along so
+    every row documents the one-sided guarantee (estimate ≥ truth;
+    an absent token estimates whatever its counters collided into).
+    The engine-portable salted md5 makes every counter AND estimate
+    bit-reproducible in SQL. The sketch's only exchange aggregates
+    depth·width counters — fixed-size state at any corpus size, and
+    per-shard sketches merge by counter-wise addition (tested)."""
+    from mongodb_etl_migration_spark.operators import profiling as P
+
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select(F.explode(T.tokens("text")).alias("tok"))
+    sk = P.cm_sketch(toks, "tok", depth=4, width=64)
+    probes = spark.createDataFrame(
+        [(p,) for p in _CM_PROBES], "token string"
+    )
+    pcells = probes.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        F.pmod(
+                            P._hash60(F.col("token"), f"cm#{r}"), F.lit(64)
+                        )
+                        .cast("int")
+                        .alias("idx"),
+                    )
+                    for r in range(4)
+                ]
+            )
+        ).alias("__ri"),
+    ).select("token", F.col("__ri.row").alias("row"), F.col("__ri.idx").alias("idx"))
+    est = (
+        pcells.join(F.broadcast(sk), ["row", "idx"], "left")
+        .groupBy("token")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("cm_est")
+        )
+    )
+    truth = toks.groupBy(F.col("tok").alias("token")).agg(
+        F.count("*").cast("bigint").alias("true_cnt")
+    )
+    return est.join(truth, "token", "left").select(
+        "token",
+        "cm_est",
+        F.coalesce("true_cnt", F.lit(0)).cast("bigint").alias("true_cnt"),
+    )
+
+
 @query(
     "t_quality_classifier",
     f"""

@@ -148,3 +148,42 @@ def test_kmv_sketch_merge_equals_whole(spark):
 
     with pytest.raises(ValueError, match="k must"):
         P.kmv_sketch(df, ["g"], "v", k=1)
+
+
+def test_cm_sketch_onesided_merge_and_estimates(spark):
+    """Count-Min: estimates are one-sided (>= truth) and exact for
+    the heavy values at this width; merging per-shard sketches
+    counter-wise equals sketching the concatenation; fixed state
+    (at most depth*width counters)."""
+    from pyspark.sql import functions as F
+
+    from mongodb_etl_migration_spark.operators import profiling as P
+
+    rows = (
+        [("heavy",)] * 500
+        + [("medium",)] * 50
+        + [(f"tail{i}",) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "v string")
+    sk = P.cm_sketch(df, "v", depth=4, width=64)
+    collected = [(r.row, r.idx, r.cnt) for r in sk.collect()]
+    assert len(collected) <= 4 * 64
+    est = P.cm_estimate(collected, ["heavy", "medium", "absent"], 4, 64)
+    true = {"heavy": 500, "medium": 50, "absent": 0}
+    for v, t in true.items():
+        assert est[v] >= t
+    assert est["heavy"] < 600  # collisions can't drown the heavy hitter
+    # merge = counter-wise sum of shard sketches == whole-input sketch
+    h1 = df.filter(F.substring(F.md5("v"), 1, 1).isin(*"01234567"))
+    h2 = df.exceptAll(h1)  # exceptAll keeps multiplicity (subtract dedups)
+    s1 = [(r.row, r.idx, r.cnt) for r in P.cm_sketch(h1, "v", 4, 64).collect()]
+    s2 = [(r.row, r.idx, r.cnt) for r in P.cm_sketch(h2, "v", 4, 64).collect()]
+    merged = {}
+    for r, i, c in s1 + s2:
+        merged[(r, i)] = merged.get((r, i), 0) + c
+    whole = {(r, i): c for r, i, c in collected}
+    assert merged == whole
+    import pytest
+
+    with pytest.raises(ValueError, match="depth"):
+        P.cm_sketch(df, "v", depth=0)
