@@ -423,3 +423,62 @@ def test_drop_duplicates_within_watermark(spark, sf_dir, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == events.count()  # every duplicate dropped
     assert got.groupBy("event_id").count().filter("count > 1").count() == 0
+
+
+def test_streaming_curation_gates_match_batch(spark, sf_dir, tmp_path):
+    """The LLM-curation gates run UNCHANGED under Structured Streaming
+    via run_incremental (one code path, two execution modes): a
+    crawler drops two document shards, each micro-batch flows through
+    Gopher repetition gate → quality classifier → language ID → BPE
+    token count, and the union of streamed batches equals the batch
+    run over the concatenated input row-for-row. classifier/lang
+    aggregations are per-micro-batch (foreachBatch runs the batch
+    plan), exactly the per-shard semantics a drop-by-drop curation
+    pipeline wants."""
+    from mongodb_etl_migration_spark.operators import text as T
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "source", "text"
+    )
+    src_dir = str(tmp_path / "drops")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(
+        f"{src_dir}/shard=a"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(
+        f"{src_dir}/shard=b"
+    )
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(src_dir)
+
+    def curate(df):
+        toked = df.select(
+            "doc_id", "source", "text", T.tokens("text").alias("_toks")
+        )
+        flags = T.gopher_repetition_flags("text", toks=F.col("_toks"))
+        gated = toked.filter(flags["gopher_rep_pass"])
+        cls = T.classifier_margin(df, "doc_id", "text")
+        lang = T.lang_id_ngram(df, "doc_id", "text")
+        return (
+            gated.join(cls.filter("keep").select("doc_id", "margin"), "doc_id")
+            .join(lang.select("doc_id", "lang_pred"), "doc_id")
+            .select(
+                "doc_id",
+                "source",
+                "lang_pred",
+                "margin",
+                T.bpe_token_count("text", toks=F.col("_toks")).alias("n_bpe"),
+            )
+        )
+
+    sink = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_incremental(stream, curate, sink, ckpt, trigger_once=True)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(sink).drop("batch_id")
+    want = curate(spark.read.option("recursiveFileLookup", "true").parquet(src_dir))
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) > 0
