@@ -9010,6 +9010,460 @@ def v4_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# TPC-H decorrelation shapes (Q2/Q4/Q13/Q16/Q17/Q19/Q20/Q22) — the
+# correlated-subquery query class, each written as the decorrelated
+# join Catalyst would produce, so the optimizer's semi/anti/scalar
+# subquery machinery is exercised with hand-verifiable plans.
+# =====================================================================
+
+@query(
+    "a26_min_cost_supplier",
+    """
+    WITH eur AS (
+      SELECT s.s_suppkey, s.s_name, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ), offers AS (
+      SELECT l.l_partkey, l.l_suppkey, e.s_name, e.n_name,
+             min(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS best_price
+      FROM lineitem l JOIN eur e ON l.l_suppkey = e.s_suppkey
+      GROUP BY l.l_partkey, l.l_suppkey, e.s_name, e.n_name
+    ), best AS (
+      SELECT l_partkey, min(best_price) AS min_price
+      FROM offers GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_name, o.s_name, o.n_name,
+           CAST(o.best_price AS DOUBLE) AS min_price
+    FROM offers o
+    JOIN best b ON o.l_partkey = b.l_partkey
+               AND o.best_price = b.min_price
+    JOIN part p ON p.p_partkey = o.l_partkey
+    WHERE p.p_size = 15
+    """,
+)
+def a26_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 SHAPE (min-cost supplier, adapted: no partsupp table,
+    so the offer price is the cheapest lineitem each supplier ever
+    shipped for the part): the correlated `price = (SELECT min ...)`
+    subquery decorrelated into aggregate + equality self-join — the
+    rewrite Catalyst's RewriteCorrelatedScalarSubquery performs,
+    spelled explicitly so the plan is auditable. Supplier→nation→
+    region prune broadcasts (dim-sized at any SF); the only
+    fact-table exchange is the per-(part,supplier) min aggregate,
+    partial-agg'd map-side; `best` re-aggregates THAT output (KB per
+    part), never the fact table. Decimal min keeps the price-equality
+    join exact across engines; ties return every winning supplier
+    (deterministic, no arbitrary pick)."""
+    c = Catalog(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    eur = (
+        c.supplier.join(
+            F.broadcast(c.nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(c.region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    offers = (
+        c.lineitem.select("l_partkey", "l_suppkey", price.alias("price"))
+        .join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name", "n_name")
+        .agg(F.min("price").alias("best_price"))
+    )
+    best = offers.groupBy("l_partkey").agg(
+        F.min("best_price").alias("min_price")
+    )
+    return (
+        offers.join(best, "l_partkey")
+        .filter(F.col("best_price") == F.col("min_price"))
+        .join(
+            F.broadcast(
+                c.part.filter(F.col("p_size") == 15).select(
+                    "p_partkey", "p_name"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.col("min_price").cast("double").alias("min_price"),
+        )
+    )
+
+
+@query(
+    "a27_priority_pending",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def a27_priority_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 SHAPE (priority check, adapted: the EXISTS predicate
+    is 'some line came back returned' — the schema has no
+    commit/receipt dates): EXISTS compiles to a LEFT SEMI join, which
+    Spark executes without materializing the probe side's matches
+    (first match short-circuits the row). The date filter pushes to
+    the orders scan, shrinking the semi join's build input to one
+    quarter; lineitem prunes to (l_orderkey) + the pushed returnflag
+    filter. Output is ≤5 rows (one per priority), so the final
+    aggregate is a single trivial exchange."""
+    c = Catalog(spark, sf_dir)
+    o = c.orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    ).select("o_orderkey", "o_orderpriority")
+    returned = c.lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey"
+    )
+    return (
+        o.join(
+            returned,
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "a28_order_count_distribution",
+    """
+    WITH pc AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM pc GROUP BY c_count
+    """,
+)
+def a28_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 SHAPE (customer order-count distribution): LEFT
+    OUTER join with an extra non-equi condition ON the join (not a
+    post-filter — customers with only urgent orders must still appear
+    with count 0), then a count-of-counts re-aggregation. The
+    non-key predicate prunes orders before the exchange; count(o_
+    orderkey) counts only matched rows (NULL-skipping count is the
+    outer-join contract both engines share). The second groupBy's
+    input is one row per customer — the re-aggregation exchange
+    carries the histogram domain (≤ max orders per customer), not
+    the fact table."""
+    c = Catalog(spark, sf_dir)
+    o = c.orders.filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        c.customer.select("c_custkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+@query(
+    "a29_supplier_part_stats",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def a29_supplier_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 SHAPE (supplier diversity per part class, adapted:
+    the excluded-supplier subquery keys on negative account balance —
+    the schema has no comment column to grep 'Customer Complaints'
+    from): NOT IN over a non-nullable key compiles to a LEFT ANTI
+    join, broadcast because the exclusion list is dim-sized. The
+    part filters (brand <>, size IN) push to the part scan; part
+    broadcasts into lineitem. count(DISTINCT) runs as Spark's
+    two-stage distinct-aggregate — partial dedup of (group, suppkey)
+    map-side, so the exchange carries distinct pairs, not raw
+    lineitems."""
+    c = Catalog(spark, sf_dir)
+    parts = c.part.filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin([1, 4, 7, 10, 13, 16, 19, 22])
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = c.supplier.filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        c.lineitem.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "a30_small_quantity_revenue",
+    """
+    WITH pq AS (
+      SELECT l_partkey,
+             sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+             count(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)))
+                AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#3'
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS BIGINT) * 5 * pq.cnt < pq.sum_qty
+    """,
+)
+def a30_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 SHAPE (small-quantity-order revenue): the correlated
+    `l_quantity < 0.2 * (SELECT avg ...)` scalar subquery,
+    decorrelated into a per-part aggregate joined back to the fact
+    table — one lineitem exchange for the aggregate, one partkey-
+    keyed join. The 0.2·avg threshold is evaluated INTEGER-EXACT:
+    `qty * 5 * cnt < sum_qty` over exact BIGINT sums (quantities are
+    integral), so no engine's float-division rounding can flip a
+    boundary row — the cross-engine hazard of the naive avg()
+    comparison. The decimal revenue sum converts to double once,
+    then one IEEE division by 7.0 — bit-identical in both engines."""
+    c = Catalog(spark, sf_dir)
+    qty = F.col("l_quantity").cast("bigint")
+    pq = (
+        c.lineitem.groupBy("l_partkey")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.count("*").alias("cnt"),
+        )
+        .withColumnRenamed("l_partkey", "pq_partkey")
+    )
+    brand = c.part.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    return (
+        c.lineitem.select(
+            "l_partkey",
+            qty.alias("qty"),
+            F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        )
+        .join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pq, F.col("l_partkey") == F.col("pq_partkey"))
+        .filter(F.col("qty") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            (F.sum("price").cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "a31_disjunctive_revenue",
+    f"""
+    SELECT CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def a31_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 SHAPE (disjunctive predicate revenue): three OR'd
+    brand/size/quantity conjunctions across BOTH join sides — the
+    classic test of disjunction handling. Catalyst extracts the
+    common-prefix simplifications it can (brand IN (...), size <= 15,
+    quantity <= 30 as derived top-level conjuncts via
+    constraint propagation) and pushes per-side fragments to each
+    scan; the residual disjunction evaluates post-join inside
+    whole-stage codegen. Part broadcasts (filtered to three brands);
+    zero additional exchanges beyond the final single-row sum."""
+    c = Catalog(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & qty.between(20, 30)
+        )
+    )
+    return (
+        c.lineitem.join(
+            F.broadcast(c.part.select("p_partkey", "p_brand", "p_size")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .filter(cond)
+        .agg(
+            F.sum(price * (one - disc)).cast("double").alias("revenue")
+        )
+    )
+
+
+@query(
+    "a32_excess_suppliers",
+    """
+    WITH heavy AS (
+      SELECT l.l_partkey, l.l_suppkey
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+                 AND p.p_name LIKE 'red%'
+      GROUP BY l.l_partkey, l.l_suppkey
+      HAVING sum(CAST(l.l_quantity AS BIGINT)) > 50
+    )
+    SELECT DISTINCT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_7')
+      AND s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+    """,
+)
+def a32_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 SHAPE (suppliers with excess stock of a part class,
+    adapted: 'shipped >100 units of some red part' replaces the
+    partsupp availqty predicate): NESTED subqueries — an IN whose
+    subquery itself contains a HAVING aggregate over a join — run as
+    aggregate → LEFT SEMI chain. The part-name LIKE prunes via
+    broadcast before the per-(part,supplier) aggregate, so the only
+    fact exchange carries red-part lineitems; the semi join probes
+    with the tiny heavy-supplier set; nation filter broadcasts.
+    DISTINCT dedups suppliers qualified by several parts."""
+    c = Catalog(spark, sf_dir)
+    red = c.part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    heavy = (
+        c.lineitem.select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        c.supplier.join(
+            F.broadcast(
+                c.nation.filter(
+                    F.col("n_name").isin(["NATION_3", "NATION_7"])
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name", "n_name")
+        .distinct()
+    )
+
+
+@query(
+    "a33_idle_customers",
+    """
+    WITH pos AS (
+      SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_bal,
+             count(*) AS cnt
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey, count(*) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             AS totacctbal
+    FROM customer c, pos
+    WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) * pos.cnt > pos.sum_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_nationkey
+    """,
+)
+def a33_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 SHAPE (rich customers gone idle): a scalar AVG
+    subquery gating the probe side plus a NOT EXISTS anti join. The
+    above-average test is INTEGER-EXACT — `bal * cnt > sum_bal` over
+    exact decimal sums instead of comparing against a float average
+    whose summation order differs per engine. The scalar subquery is
+    evaluated as a driver collect of TWO aggregate values (O(bytes) —
+    the `t_temperature_mix` discipline) and inlined as plan
+    LITERALS, so the balance gate pushes into the customer scan —
+    strictly better than the broadcast-cross-join form, which plans
+    the banned BroadcastNestedLoopJoin. NOT EXISTS compiles to LEFT
+    ANTI keyed on custkey; its date predicate pushes to the orders
+    scan, so the anti build side is recent orders only. Adapted twice
+    for the schema: 'never ordered' → 'no order since 2000' (the
+    fixture's order fanout covers every customer), and
+    group-by-nation replaces the phone-prefix cntrycode (no phone
+    column)."""
+    c = Catalog(spark, sf_dir)
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    sum_bal, cnt = (
+        c.customer.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum(bal).alias("sum_bal"), F.count("*").alias("cnt"))
+        .head()
+    )
+    return (
+        c.customer.select("c_custkey", "c_nationkey", bal.alias("bal"))
+        .filter(
+            F.col("bal") * F.lit(cnt)
+            > F.lit(sum_bal).cast("decimal(22,2)")
+        )
+        .join(
+            c.orders.filter(
+                F.col("o_orderdate") >= "2000-01-01"
+            ).select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# =====================================================================
 # Entry points consumed by __spark_entry__.py
 # =====================================================================
 
