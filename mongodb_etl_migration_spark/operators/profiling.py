@@ -180,6 +180,75 @@ def kmv_merge(
     )
 
 
+def kmv_set_ops(
+    a: DataFrame, b: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Set-operation estimates from two KMV sketches (Beyer et al.
+    2007, "On synopses for distinct-value estimation under multiset
+    operations") — the capability that makes bottom-k sketches more
+    than cardinality counters: given per-group sketches of sets A and
+    B, estimate |A∪B|, |A∩B| and Jaccard WITHOUT touching the
+    original data. Method: X = bottom-k of (K_A ∪ K_B), which equals
+    bottom-k of hashes of A∪B (bottom-k of a union is bottom-k of the
+    unioned bottom-ks); union_est follows the kmv_sketch estimator on
+    X; ρ = |X ∩ K_A ∩ K_B| / |X| is an unbiased Jaccard estimate;
+    intersection_est = ρ · union_est. With fewer than k distinct
+    hashes everything is EXACT over the hashed sets. Deterministic —
+    the estimates are fixed IEEE expressions over exact integers, so
+    a SQL oracle reproduces them bit-for-bit.
+
+    Groups present in only one input still appear (union, not join):
+    ρ = 0, intersection_est = 0 — the honest answer.
+
+    Plan shape: explode ≤ k rows per group per side, ONE exchange for
+    the (group, hash) dedup; the bottom-k trim is a WindowGroupLimit
+    reusing that partitioning; final agg is per-group scalars. Input
+    rows: (group_cols..., kmv array<long>); output: (group_cols...,
+    n_x, n_both bigint, union_est, intersection_est, jaccard_est
+    double)."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    ea = a.select(*group_cols, F.explode("kmv").alias("__h")).select(
+        "*", F.lit(1).alias("__in_a"), F.lit(0).alias("__in_b")
+    )
+    eb = b.select(*group_cols, F.explode("kmv").alias("__h")).select(
+        "*", F.lit(0).alias("__in_a"), F.lit(1).alias("__in_b")
+    )
+    u = (
+        ea.unionByName(eb)
+        .groupBy(*group_cols, "__h")
+        .agg(F.max("__in_a").alias("__in_a"), F.max("__in_b").alias("__in_b"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    x = u.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    agg = x.groupBy(*group_cols).agg(
+        F.count("*").alias("n_x"),
+        F.sum(F.col("__in_a") * F.col("__in_b"))
+        .cast("bigint")
+        .alias("n_both"),
+        F.max("__h").alias("__kth"),
+    )
+    n_x = F.col("n_x")
+    union_est = F.when(n_x < k, n_x.cast("double")).otherwise(
+        F.lit(float(k - 1))
+        * F.lit(float(2**60))
+        / F.col("__kth").cast("double")
+    )
+    jac = F.col("n_both").cast("double") / n_x.cast("double")
+    return agg.select(
+        *group_cols,
+        n_x.cast("bigint").alias("n_x"),
+        "n_both",
+        union_est.alias("union_est"),
+        (jac * union_est).alias("intersection_est"),
+        jac.alias("jaccard_est"),
+    )
+
+
 def cm_sketch(
     df: DataFrame,
     value_col: str,

@@ -9009,6 +9009,77 @@ def v4_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a34_kmv_set_ops",
+    """
+    WITH toks AS (
+      SELECT lang, source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents WHERE source IN ('src0', 'src1')
+    ), h AS (
+      SELECT DISTINCT lang, source,
+             CAST(('0x' || substring(md5('kmv#' || tok), 1, 15)) AS BIGINT)
+               AS hv
+      FROM toks
+    ), rn AS (
+      SELECT lang, source, hv,
+             row_number() OVER (PARTITION BY lang, source ORDER BY hv)
+               AS rn
+      FROM h
+    ), sk AS (
+      SELECT lang, source, hv FROM rn WHERE rn <= 16
+    ), u AS (
+      SELECT lang, hv,
+             max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS in_b
+      FROM sk GROUP BY lang, hv
+    ), xr AS (
+      SELECT lang, hv, in_a, in_b,
+             row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+      FROM u
+    ), agg AS (
+      SELECT lang, count(*) AS n_x,
+             CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+             max(hv) AS kth
+      FROM xr WHERE rn <= 16 GROUP BY lang
+    )
+    SELECT lang, CAST(n_x AS BIGINT) AS n_x, n_both,
+           CASE WHEN n_x < 16 THEN CAST(n_x AS DOUBLE)
+                ELSE 15.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)
+           END AS union_est,
+           (CAST(n_both AS DOUBLE) / CAST(n_x AS DOUBLE))
+           * (CASE WHEN n_x < 16 THEN CAST(n_x AS DOUBLE)
+                   ELSE 15.0 * 1152921504606846976.0
+                        / CAST(kth AS DOUBLE) END) AS intersection_est,
+           CAST(n_both AS DOUBLE) / CAST(n_x AS DOUBLE) AS jaccard_est
+    FROM agg
+    """,
+)
+def a34_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV multiset operations (profiling.kmv_set_ops, Beyer et al.
+    2007): per language, estimate the token-vocabulary overlap of two
+    corpus sources from their 16-hash bottom-k sketches ALONE — the
+    sketch-level |A∪B| / |A∩B| / Jaccard a 100 TB pipeline answers
+    without rescanning either source (e.g. 'how much does this new
+    crawl overlap last month's?'). Bottom-k of the sketch union IS
+    bottom-k of the set union, so the union estimator applies
+    unchanged; ρ = shared fraction of the combined sketch is the
+    Jaccard estimate; both are exact when the group is smaller than
+    k. Everything downstream of the two sketches touches ≤ 2k rows
+    per language."""
+    from mongodb_etl_migration_spark.operators import profiling as P
+
+    d = Catalog(spark, sf_dir).documents
+
+    def sk(src: str) -> DataFrame:
+        toks = d.filter(F.col("source") == src).select(
+            "lang", F.explode(T.tokens("text")).alias("tok")
+        )
+        return P.kmv_sketch(toks, ["lang"], "tok", k=16)
+
+    return P.kmv_set_ops(sk("src0"), sk("src1"), ["lang"], k=16)
+
+
 # =====================================================================
 # TPC-H decorrelation shapes (Q2/Q4/Q13/Q16/Q17/Q19/Q20/Q22) — the
 # correlated-subquery query class, each written as the decorrelated

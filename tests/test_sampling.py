@@ -187,3 +187,58 @@ def test_cm_sketch_onesided_merge_and_estimates(spark):
 
     with pytest.raises(ValueError, match="depth"):
         P.cm_sketch(df, "v", depth=0)
+
+
+def test_kmv_set_ops_exact_and_estimated(spark):
+    """kmv_set_ops: with fewer than k distinct hashes the union /
+    intersection / Jaccard are EXACT over the value sets; on a big
+    overlap the Jaccard estimate lands in the ~1/sqrt(k) band; a
+    group present in only one side reports zero overlap instead of
+    vanishing."""
+    from mongodb_etl_migration_spark.operators import profiling as P
+
+    # g1: A = {v0..v9}, B = {v5..v14} → |A∪B|=15, |A∩B|=5, J=1/3
+    # g_only_a: exists in A alone
+    a_rows = [("g1", f"v{i}") for i in range(10)] + [
+        ("g_only_a", f"x{i}") for i in range(3)
+    ]
+    b_rows = [("g1", f"v{i}") for i in range(5, 15)]
+    a = spark.createDataFrame(a_rows, "g string, v string")
+    b = spark.createDataFrame(b_rows, "g string, v string")
+    res = {
+        r.g: r.asDict()
+        for r in P.kmv_set_ops(
+            P.kmv_sketch(a, ["g"], "v", k=32),
+            P.kmv_sketch(b, ["g"], "v", k=32),
+            ["g"],
+            k=32,
+        ).collect()
+    }
+    g1 = res["g1"]
+    assert g1["n_x"] == 15 and g1["n_both"] == 5
+    assert g1["union_est"] == 15.0
+    assert g1["intersection_est"] == 5.0
+    assert abs(g1["jaccard_est"] - 1 / 3) < 1e-12
+    only = res["g_only_a"]
+    assert only["n_both"] == 0 and only["intersection_est"] == 0.0
+
+    # estimate path: 2000-distinct union, true J = 1000/2000 = 0.5
+    big_a = spark.createDataFrame(
+        [("g", f"u{i}") for i in range(1500)], "g string, v string"
+    )
+    big_b = spark.createDataFrame(
+        [("g", f"u{i}") for i in range(500, 2000)], "g string, v string"
+    )
+    row = P.kmv_set_ops(
+        P.kmv_sketch(big_a, ["g"], "v", k=64),
+        P.kmv_sketch(big_b, ["g"], "v", k=64),
+        ["g"],
+        k=64,
+    ).head()
+    assert 1400 <= row.union_est <= 2600  # ~1/sqrt(64) band
+    assert 0.25 <= row.jaccard_est <= 0.75
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must"):
+        P.kmv_set_ops(a, b, ["g"], k=1)
