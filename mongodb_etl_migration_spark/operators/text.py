@@ -1966,3 +1966,135 @@ def remove_duplicated_spans(
         F.array_join(kept, " ").alias("clean_text"),
         (F.size("__t") - F.size(kept)).cast("bigint").alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023).
+# ---------------------------------------------------------------------
+
+DSIR_FRAC_BITS = 16
+# a >= 1 and b < 2^53 bound the ratio below by 2^-53, so 56 doublings
+# always reach [1, 2) — never saturates inside the valid domain.
+DSIR_NORM_STEPS = 56
+
+
+def fixlog2(a: int, b: int) -> int:
+    """Fixed-point log2(a/b) with DSIR_FRAC_BITS fractional bits,
+    computed by an algorithm using ONLY IEEE double multiply, divide-
+    by-two and comparisons — operations every engine rounds
+    identically (round-to-nearest-even), unlike libm ``ln``/``log2``
+    whose last-ulp behavior differs between the JVM intrinsic, glibc
+    and DuckDB. That makes DSIR scores bit-reproducible across
+    engines: the classic normalize-by-doubling (a/b ≤ 1 always here)
+    then the squaring algorithm — square the mantissa; ≥2 emits a 1
+    bit and halves; each step yields the next fractional bit of log2.
+    Both engines run THIS exact op sequence (Python here, an unrolled
+    SQL expression chain in the oracle), so every intermediate double
+    is identical. Requires 0 < a ≤ b < 2^53 (exact doubles)."""
+    if not 0 < a <= b < 2**53:
+        raise ValueError("fixlog2 requires 0 < a <= b < 2^53")
+    m = a / b
+    e = 0
+    for _ in range(DSIR_NORM_STEPS):
+        if m < 1.0:
+            m = m * 2.0
+            e = e + 1
+    acc = 0
+    for _ in range(DSIR_FRAC_BITS):
+        m = m * m
+        if m >= 2.0:
+            acc = acc * 2 + 1
+            m = m / 2.0
+        else:
+            acc = acc * 2
+    return -e * (1 << DSIR_FRAC_BITS) + acc
+
+
+def dsir_weights(
+    df,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    buckets: int = 256,
+    salt: str = "dsir",
+):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling") — the published
+    method for choosing pretraining data that LOOKS LIKE a target
+    corpus: featurize every document into hashed token buckets, fit
+    unigram bucket distributions p (target rows, ``target_col`` true)
+    and q (all rows), and score each document by the log-likelihood
+    ratio  Σ_b c_b · (log p_b − log q_b)  with add-one smoothing.
+    Top-scoring documents are the ones importance resampling keeps.
+
+    Integer-exact twist: the per-bucket log-ratios λ_b are fixed-point
+    integers from ``fixlog2`` (scaled 2^16, IEEE-deterministic), so a
+    document's score is an exact BIGINT dot product — reproducible
+    bit-for-bit on any engine, no libm in sight.
+
+    Plan shape (100 TB): the bucket-distribution pass is ONE partial
+    aggregate down to ≤ ``buckets`` rows (driver-collected O(KB), the
+    t_temperature_mix discipline); λ broadcasts back as a plan-literal
+    map, so scoring is the per-document bucket-count aggregate — one
+    data-proportional exchange carrying (id, bucket) pairs — then a
+    zero-shuffle map lookup. Output: (id_col, n_tokens bigint,
+    dsir_score bigint; higher = more target-like).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    b = df.select(
+        F.col(id_col),
+        F.col(target_col).alias("__is_t"),
+        F.explode(tokens(text_col)).alias("__tok"),
+    ).select(
+        id_col,
+        "__is_t",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.lit(salt), F.col("__tok"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(buckets),
+        ).alias("__bkt"),
+    )
+    pq = (
+        b.groupBy("__bkt")
+        .agg(
+            F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("cp"),
+            F.count("*").alias("cq"),
+        )
+        .collect()
+    )
+    n_p = sum(r.cp for r in pq)
+    n_q = sum(r.cq for r in pq)
+    lam = {
+        r["__bkt"]: fixlog2(r["cp"] + 1, n_p + buckets)
+        - fixlog2(r["cq"] + 1, n_q + buckets)
+        for r in pq
+    }
+    pairs: list = []
+    for k, v in sorted(lam.items()):
+        pairs.append(F.lit(int(k)))
+        pairs.append(F.lit(int(v)))
+    lam_map = F.create_map(*pairs)
+    return (
+        b.groupBy(id_col, "__bkt")
+        .agg(F.count("*").alias("__c"))
+        .select(
+            id_col,
+            F.col("__c"),
+            lam_map[F.col("__bkt")].alias("__lam"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("__c") * F.col("__lam"))
+            .cast("bigint")
+            .alias("dsir_score"),
+        )
+    )

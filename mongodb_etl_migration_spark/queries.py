@@ -9009,6 +9009,114 @@ def v4_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsir_unrolled_sql() -> str:
+    """Unrolled fixed-point-log2 SQL mirroring text.fixlog2 STEP FOR
+    STEP (same IEEE multiply/halve/compare sequence), so the oracle
+    reproduces every intermediate double bit-for-bit — no libm log
+    anywhere. One MATERIALIZED CTE per recurrence step: lateral
+    column aliases INLINE the referenced expression, and each step
+    references its predecessor twice, so an alias chain would expand
+    the tree 2^64-fold (the PageRank-oracle lesson); a materialized
+    256-row table per step keeps it linear."""
+    from mongodb_etl_migration_spark.operators.text import (
+        DSIR_FRAC_BITS,
+        DSIR_NORM_STEPS,
+    )
+
+    ctes = []
+    prev = "l0"
+    for i in range(1, DSIR_NORM_STEPS + 1):
+        cols = []
+        for d in ("p", "q"):
+            cols.append(
+                f"CASE WHEN m{d} < 1.0 THEN m{d} * 2.0 ELSE m{d} END"
+                f" AS m{d}"
+            )
+            cols.append(
+                f"e{d} + CASE WHEN m{d} < 1.0 THEN 1 ELSE 0 END AS e{d}"
+            )
+        ctes.append(
+            f"n{i} AS MATERIALIZED (SELECT bkt, {', '.join(cols)}, ap, aq"
+            f" FROM {prev})"
+        )
+        prev = f"n{i}"
+    for j in range(1, DSIR_FRAC_BITS + 1):
+        cols = []
+        for d in ("p", "q"):
+            sq = f"(m{d} * m{d})"
+            cols.append(
+                f"CASE WHEN {sq} >= 2.0 THEN {sq} / 2.0 ELSE {sq} END"
+                f" AS m{d}"
+            )
+            cols.append(
+                f"a{d} * 2 + CASE WHEN {sq} >= 2.0 THEN 1 ELSE 0 END"
+                f" AS a{d}"
+            )
+        ctes.append(
+            f"f{j} AS MATERIALIZED (SELECT bkt, {', '.join(cols)}, ep, eq"
+            f" FROM {prev})"
+        )
+        prev = f"f{j}"
+    scale = 1 << DSIR_FRAC_BITS
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ), bk AS MATERIALIZED (
+      SELECT doc_id, is_t,
+             CAST(('0x' || substring(md5('dsir#' || tok), 1, 15))
+               AS BIGINT) % 256 AS bkt
+      FROM toks
+    ), pq AS (
+      SELECT bkt, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS cp,
+             count(*) AS cq
+      FROM bk GROUP BY bkt
+    ), tot AS (
+      SELECT sum(cp) AS np, sum(cq) AS nq FROM pq
+    ), l0 AS MATERIALIZED (
+      SELECT bkt,
+             CAST(cp + 1 AS DOUBLE) / CAST(np + 256 AS DOUBLE) AS mp,
+             CAST(cq + 1 AS DOUBLE) / CAST(nq + 256 AS DOUBLE) AS mq,
+             0 AS ep, 0 AS eq, 0 AS ap, 0 AS aq
+      FROM pq, tot
+    ),
+    {chain},
+    lam AS (
+      SELECT bkt, (-ep * {scale} + ap) - (-eq * {scale} + aq) AS lam
+      FROM {prev}
+    ), dc AS (
+      SELECT doc_id, bkt, count(*) AS c FROM bk GROUP BY doc_id, bkt
+    )
+    SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_tokens,
+           CAST(sum(d.c * l.lam) AS BIGINT) AS dsir_score
+    FROM dc d JOIN lam l USING (bkt)
+    GROUP BY d.doc_id
+    """
+
+
+@query("t_dsir_weights", _dsir_unrolled_sql())
+def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (text.dsir_weights — Xie et al. 2023):
+    score every document by how much its hashed-token unigram
+    distribution looks like the English target slice vs the whole
+    corpus — the published importance-resampling selector for LLM
+    pretraining data. The per-bucket log-ratio table is fixed-point
+    integer (text.fixlog2: IEEE multiply/halve/compare only — no
+    libm), computed from ONE ≤256-row aggregate collected to the
+    driver and broadcast back as a literal map; document scoring is
+    then an exact BIGINT dot product. The oracle unrolls the same
+    fixed-point-log2 recurrence into a SQL expression chain and
+    matches every score bit-for-bit."""
+    from mongodb_etl_migration_spark.operators import text as TX
+
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_t")
+    )
+    return TX.dsir_weights(d, "doc_id", "text", "is_t", buckets=256)
+
+
 @query(
     "a34_kmv_set_ops",
     """

@@ -1654,3 +1654,58 @@ def test_remove_duplicated_spans_surgery(spark):
         3: ("totally unique document nine ten", 0),
         4: ("", 8),
     }
+
+
+def test_fixlog2_accuracy_and_domain(spark):
+    """fixlog2 approximates log2(a/b)·2^16 within 1 LSB across the
+    magnitude range, is exact on powers of two, and rejects inputs
+    outside the exact-double domain."""
+    import math
+
+    import pytest
+
+    from mongodb_etl_migration_spark.operators.text import fixlog2
+
+    for a, b in [(1, 1), (1, 2), (1, 3), (2, 3), (5, 7), (123, 100000),
+                 (1, 2**40), (999983, 10**6), (7, 2**52)]:
+        got = fixlog2(a, b)
+        want = math.log2(a / b) * 65536
+        assert abs(got - want) <= 1.5, (a, b, got, want)
+    assert fixlog2(1, 4) == -2 * 65536  # exact on powers of two
+    for bad in [(0, 5), (6, 5), (1, 2**53)]:
+        with pytest.raises(ValueError, match="fixlog2"):
+            fixlog2(*bad)
+
+
+def test_dsir_weights_orders_by_target_likeness(spark):
+    """dsir_weights: documents made of target-corpus vocabulary score
+    higher than off-target documents; token counts are exact; scores
+    are deterministic across recomputation (the fixed-point table is
+    data-derived, not RNG-derived)."""
+    from pyspark.sql import functions as F
+
+    from mongodb_etl_migration_spark.operators.text import dsir_weights
+
+    rows = []
+    # target slice: english-ish vocab
+    for i in range(20):
+        rows.append((i, "the model learns from clean english text data", True))
+    # raw-only slice: disjoint vocab
+    for i in range(20, 40):
+        rows.append((i, "zzq qqz xxv vvx wwu uuw yyt tty", False))
+    # probe docs, not in target: one english-like, one junk-like
+    rows.append((100, "clean english text", False))
+    rows.append((101, "zzq xxv wwu", False))
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    res = {
+        r.doc_id: (r.n_tokens, r.dsir_score)
+        for r in dsir_weights(df, "doc_id", "text", "is_t").collect()
+    }
+    assert res[100][0] == 3 and res[101][0] == 3
+    assert res[100][1] > res[101][1]  # target-like beats junk
+    # deterministic: a second full computation matches exactly
+    res2 = {
+        r.doc_id: (r.n_tokens, r.dsir_score)
+        for r in dsir_weights(df, "doc_id", "text", "is_t").collect()
+    }
+    assert res == res2
