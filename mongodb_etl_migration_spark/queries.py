@@ -9009,6 +9009,105 @@ def v4_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a35_rank_analytics",
+    """
+    SELECT c_nationkey, c_custkey,
+           rank() OVER w1 AS rnk,
+           dense_rank() OVER w1 AS drnk,
+           CAST(percent_rank() OVER w1 AS DOUBLE) AS prnk,
+           CAST(cume_dist() OVER w1 AS DOUBLE) AS cdist,
+           ntile(4) OVER w2 AS quartile
+    FROM customer
+    WINDOW w1 AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC),
+           w2 AS (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def a35_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window analytics per group — rank / dense_rank /
+    percent_rank / cume_dist / ntile(4), the leaderboard-and-quantile
+    -band report shape. One exchange on the partition key serves all
+    five functions (same window partitioning; Spark collapses the two
+    specs into one sort). Determinism discipline: the rank family
+    orders by the value alone (tie handling is SQL-standard and
+    engine-identical — percent_rank = (rank−1)/(N−1), cume_dist =
+    |≤|/N, both exact IEEE divisions of integers); ntile instead
+    REQUIRES a total order (its assignment depends on physical row
+    order under ties), so its window adds the unique key as
+    tie-break."""
+    from pyspark.sql import Window
+
+    c = Catalog(spark, sf_dir).customer
+    w1 = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc()
+    )
+    w2 = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.rank().over(w1).alias("rnk"),
+        F.dense_rank().over(w1).alias("drnk"),
+        F.percent_rank().over(w1).cast("double").alias("prnk"),
+        F.cume_dist().over(w1).cast("double").alias("cdist"),
+        F.ntile(4).over(w2).alias("quartile"),
+    )
+
+
+@query(
+    "a36_pareto_offers",
+    """
+    WITH offers AS (
+      SELECT l.l_partkey, l.l_orderkey, l.l_linenumber,
+             l.l_extendedprice AS price,
+             CAST(l.l_quantity AS BIGINT) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+                 AND p.p_brand = 'Brand#7'
+    )
+    SELECT a.l_partkey, a.l_orderkey, a.l_linenumber, a.price, a.qty
+    FROM offers a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM offers b
+      WHERE b.l_partkey = a.l_partkey
+        AND b.price <= a.price AND b.qty >= a.qty
+        AND (b.price < a.price OR b.qty > a.qty)
+    )
+    """,
+)
+def a36_pareto_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Pareto frontier (skyline.pareto_frontier_2d, Börzsönyi
+    et al. 2001): per part, the offers no other offer beats on BOTH
+    price (lower better) and quantity (higher better) — the
+    multi-objective 'best offers' cut. The oracle states the textbook
+    quadratic NOT-EXISTS dominance definition; the engine runs the
+    single-pass sorted-window formulation instead — one exchange on
+    the group key, no self-join — which is what survives 100 TB.
+    Price is an untouched parquet double (byte-identical across
+    engines); ties and exact duplicates follow the strict-dominance
+    definition on both sides."""
+    from mongodb_etl_migration_spark.operators.skyline import (
+        pareto_frontier_2d,
+    )
+
+    c = Catalog(spark, sf_dir)
+    offers = c.lineitem.join(
+        F.broadcast(
+            c.part.filter(F.col("p_brand") == "Brand#7").select("p_partkey")
+        ),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    return pareto_frontier_2d(offers, ["l_partkey"], "price", "qty")
+
+
 def _dsir_unrolled_sql() -> str:
     """Unrolled fixed-point-log2 SQL mirroring text.fixlog2 STEP FOR
     STEP (same IEEE multiply/halve/compare sequence), so the oracle
