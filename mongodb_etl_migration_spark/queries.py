@@ -9010,6 +9010,99 @@ def v4_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j19_record_linkage",
+    """
+    WITH dirty AS (
+      SELECT c_custkey + 1000000 AS crm_key,
+             c_nationkey AS crm_nation,
+             CASE WHEN c_custkey % 3 = 0
+                  THEN substring(c_name, 1, 9) || substring(c_name, 11)
+                  WHEN c_custkey % 3 = 1
+                  THEN substring(c_name, 1, 10) || substring(c_name, 10)
+                  ELSE c_name END AS crm_name
+      FROM customer
+    ), p1 AS (
+      SELECT c.c_custkey, d.crm_key, c.c_name, d.crm_name
+      FROM customer c JOIN dirty d
+        ON c.c_nationkey = d.crm_nation
+       AND right(lower(c.c_name), 4) = right(lower(d.crm_name), 4)
+    ), p2 AS (
+      SELECT c.c_custkey, d.crm_key, c.c_name, d.crm_name
+      FROM customer c JOIN dirty d
+        ON c.c_nationkey = d.crm_nation
+       AND right(lower(c.c_name), 6) = right(lower(d.crm_name), 6)
+    ), cand AS (
+      SELECT DISTINCT c_custkey, crm_key, c_name, crm_name
+      FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+    )
+    SELECT c_custkey, crm_key,
+           CAST(levenshtein(c_name, crm_name) AS BIGINT) AS edit_distance
+    FROM cand
+    WHERE levenshtein(c_name, crm_name) <= 2
+    """,
+)
+def j19_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / entity resolution (linkage.record_linkage —
+    Fellegi-Sunter blocking+comparison shape): match customers
+    against a deterministically-corrupted 'CRM' copy (every third
+    name drops its 10th character, every third duplicates it — the
+    v4_table_diff fixture discipline) via TWO blocking passes (nation
+    + 4-char suffix, nation + 6-char suffix — nested keys, so the
+    dedup-across-passes path is exercised on every true match while
+    block sizes stay bounded by key entropy; a low-entropy fragment
+    key here degenerates into quadratic blocks, the classic blocking
+    mistake), pair dedup, then a
+    Levenshtein ≤ 2 gate. Candidate pairs exist only where a blocking
+    key collides — Σ block² comparisons, never |a|·|b| — and each
+    pass is a plain hash equi-join. Ambiguous near-matches (a
+    corrupted name within distance 2 of a DIFFERENT customer) are
+    kept: that is the honest linkage output a downstream
+    clerical-review or CC step consumes."""
+    from mongodb_etl_migration_spark.operators.linkage import record_linkage
+
+    c = Catalog(spark, sf_dir).customer
+    dirty = c.select(
+        (F.col("c_custkey") + 1000000).alias("crm_key"),
+        F.col("c_nationkey").alias("crm_nation"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.expr("substring(c_name, 1, 9)"),
+                F.expr("substring(c_name, 11)"),
+            ),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.concat(
+                F.expr("substring(c_name, 1, 10)"),
+                F.expr("substring(c_name, 10)"),
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("crm_name"),
+    )
+    return record_linkage(
+        c,
+        dirty,
+        "c_custkey",
+        "crm_key",
+        "c_name",
+        "crm_name",
+        block_passes=[
+            (
+                "concat(c_nationkey, '#', right(lower(c_name), 4))",
+                "concat(crm_nation, '#', right(lower(crm_name), 4))",
+            ),
+            (
+                "concat(c_nationkey, '#', right(lower(c_name), 6))",
+                "concat(crm_nation, '#', right(lower(crm_name), 6))",
+            ),
+        ],
+        max_edit=2,
+    )
+
+
+@query(
     "a35_rank_analytics",
     """
     SELECT c_nationkey, c_custkey,

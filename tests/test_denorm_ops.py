@@ -157,3 +157,49 @@ def test_apply_cdc_last_writer_wins_and_replay_converges(spark):
     # replaying the same compacted log over the result converges
     again = apply_cdc(out, changes, ["k"], "seq", "op", ["bal"])
     assert {r.k: (r.name, r.bal) for r in again.collect()} == got
+
+
+def test_record_linkage_multipass_blocking(spark):
+    """Multi-pass blocking recall: a typo inside pass-1's key region
+    is caught by pass-2 and vice versa; pairs found by both passes
+    dedup to one row; pairs sharing no block key never get compared
+    (the no-all-pairs contract); distance gate excludes far names."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mongodb_etl_migration_spark.operators.linkage import record_linkage
+
+    a = spark.createDataFrame(
+        [(1, "alpha-0001"), (2, "gamma-0002"), (3, "delta-0003")],
+        "ida long, na string",
+    )
+    b = spark.createDataFrame(
+        [
+            (10, "alpha-0901"),  # typo in middle → suffix pass misses,
+                                 # prefix pass catches
+            (20, "gamma-0002"),  # exact: both passes find it → 1 row
+            (30, "zzzzz-9999"),  # no shared key with anyone
+            (40, "delts-0003"),  # typo in prefix region → suffix pass
+        ],
+        "idb long, nb string",
+    )
+    out = record_linkage(
+        a,
+        b,
+        "ida",
+        "idb",
+        "na",
+        "nb",
+        block_passes=[
+            ("substring(na, 1, 5)", "substring(nb, 1, 5)"),
+            ("right(na, 4)", "right(nb, 4)"),
+        ],
+        max_edit=2,
+    ).collect()
+    pairs = {(r.ida, r.idb): r.edit_distance for r in out}
+    assert pairs == {(1, 10): 1, (2, 20): 0, (3, 40): 1}
+    # dedup check: the exact match appears once despite two passes
+    assert len(out) == 3
+
+    with pytest.raises(ValueError, match="blocking pass"):
+        record_linkage(a, b, "ida", "idb", "na", "nb", block_passes=[])
