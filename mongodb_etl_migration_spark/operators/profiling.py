@@ -323,3 +323,163 @@ def cm_estimate(
         v: min(table.get((r, h(v, r)), 0) for r in range(depth))
         for v in values
     }
+
+
+# HLL constants: m = 64 registers (6 bucket bits), rho over a 40-bit
+# window, harmonic sum scaled by 2^40 so it is an exact BIGINT.
+HLL_M = 64
+HLL_RHO_BITS = 40
+# alpha_m · m² · 2^40 — ONE Python float literal shared by the Spark
+# plan and the SQL oracle, so the estimate is a single IEEE division
+# of exact values in both engines.
+HLL_A = 0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * float(2**HLL_RHO_BITS)
+
+
+def _hll_linear_table() -> dict[int, float]:
+    """Linear-counting estimates m·ln(m/V) for V = 1..m−1 as LITERAL
+    doubles (math.log evaluated once in Python, repr-embedded in both
+    engines) — the data-independent lookup that keeps libm out of the
+    query plans."""
+    import math
+
+    return {
+        v: HLL_M * math.log(HLL_M / v) for v in range(1, HLL_M)
+    }
+
+
+def hll_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    salt: str = "hll",
+) -> DataFrame:
+    """HyperLogLog distinct-count sketch built from first principles
+    (Flajolet et al. 2007) — DETERMINISTIC and engine-portable,
+    unlike opaque built-in HLL states: registers are per-bucket MAXES
+    of the leading-zero rank of an md5-derived hash (max is
+    order-free, so any partitioning/merge order yields the same
+    sketch), and the estimate is one IEEE division of exact integers
+    (the harmonic sum is kept scaled by 2^40 as a BIGINT — never an
+    order-dependent float summation). Small-range correction uses a
+    64-entry literal table instead of calling libm in the plan.
+
+    Plan: ONE exchange — the (group, bucket) register aggregate,
+    partial-agg'd map-side to ≤ 64 rows per group per task; the
+    dense-digest/estimate step is a per-group reshape. Output:
+    (group_cols..., registers '0-3-...-1' dense 64-vector string,
+    n_zero bigint, z_scaled bigint, distinct_est double)."""
+    m_expr = F.when(F.col("__w") == 0, F.lit(HLL_RHO_BITS + 1)).otherwise(
+        F.lit(HLL_RHO_BITS + 1) - F.length(F.bin(F.col("__w")))
+    )
+    h = _hash60(F.col(value_col), salt)
+    regs = (
+        df.select(
+            *group_cols,
+            F.pmod(h, F.lit(HLL_M)).alias("__bkt"),
+            (
+                F.shiftright(h, 6)
+                .bitwiseAND(F.lit((1 << HLL_RHO_BITS) - 1))
+            ).alias("__w"),
+        )
+        .withColumn("__m", m_expr)
+        .groupBy(*group_cols, "__bkt")
+        .agg(F.max("__m").alias("__m"))
+    )
+    dense = regs.groupBy(*group_cols).agg(
+        F.map_from_arrays(
+            F.collect_list("__bkt"), F.collect_list("__m")
+        ).alias("__regs"),
+        F.count("*").alias("__present"),
+        F.sum(
+            F.expr(f"CAST(1 AS BIGINT) << ({HLL_RHO_BITS} - __m)")
+        ).alias("__zp"),
+    )
+    v = (F.lit(HLL_M) - F.col("__present")).cast("bigint")
+    z = (
+        F.col("__zp")
+        + (F.lit(HLL_M) - F.col("__present"))
+        * F.lit(1 << HLL_RHO_BITS)
+    ).cast("bigint")
+    raw = F.lit(HLL_A) / z.cast("double")
+    lc = _hll_linear_table()
+    lc_expr = F.lit(None).cast("double")
+    for vv in sorted(lc, reverse=True):
+        lc_expr = F.when(v == vv, F.lit(lc[vv])).otherwise(lc_expr)
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v > 0), lc_expr).otherwise(
+        raw
+    )
+    digest = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(HLL_M - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("__regs"), i), F.lit(0)
+            ).cast("string"),
+        ),
+        "-",
+    )
+    return dense.select(
+        *group_cols,
+        digest.alias("registers"),
+        v.alias("n_zero"),
+        z.alias("z_scaled"),
+        est.alias("distinct_est"),
+    )
+
+
+def hll_merge(
+    sketches: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge per-shard HLL sketches (rows with the ``registers``
+    digest from hll_sketch) into one per group: register-wise MAX —
+    the property that makes HLL the 100 TB cardinality answer.
+    Merging is exact: max of maxes is the max, so a merged sketch is
+    bit-identical to sketching the concatenated input (tested).
+    Same output schema as hll_sketch."""
+    exploded = sketches.select(
+        *group_cols,
+        F.posexplode(
+            F.transform(
+                F.split("registers", "-"), lambda s: s.cast("int")
+            )
+        ).alias("__bkt", "__m"),
+    )
+    dense = (
+        exploded.groupBy(*group_cols, "__bkt")
+        .agg(F.max("__m").alias("__m"))
+        .groupBy(*group_cols)
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("__bkt"), F.collect_list("__m")
+            ).alias("__regs"),
+            F.sum(F.when(F.col("__m") == 0, 1).otherwise(0)).alias("__nz"),
+            F.sum(
+                F.expr(f"CAST(1 AS BIGINT) << ({HLL_RHO_BITS} - __m)")
+            ).alias("__z"),
+        )
+    )
+    v = F.col("__nz").cast("bigint")
+    z = F.col("__z").cast("bigint")
+    raw = F.lit(HLL_A) / z.cast("double")
+    lc = _hll_linear_table()
+    lc_expr = F.lit(None).cast("double")
+    for vv in sorted(lc, reverse=True):
+        lc_expr = F.when(v == vv, F.lit(lc[vv])).otherwise(lc_expr)
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v > 0), lc_expr).otherwise(
+        raw
+    )
+    digest = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(HLL_M - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("__regs"), i), F.lit(0)
+            ).cast("string"),
+        ),
+        "-",
+    )
+    return dense.select(
+        *group_cols,
+        digest.alias("registers"),
+        v.alias("n_zero"),
+        z.alias("z_scaled"),
+        est.alias("distinct_est"),
+    )

@@ -9201,6 +9201,86 @@ def a36_pareto_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_frontier_2d(offers, ["l_partkey"], "price", "qty")
 
 
+def _hll_oracle_sql() -> str:
+    """Rebuilds the a37 HLL registers and estimate in DuckDB: same
+    md5 hash layout, same bin()-length rho (both engines render
+    unpadded binary with bin(0)='0'), same BIGINT-scaled harmonic
+    sum, and the SAME literal linear-counting table (math.log
+    evaluated once in Python, repr-embedded in both plans — no libm
+    in either engine)."""
+    from mongodb_etl_migration_spark.operators.profiling import (
+        HLL_A,
+        _hll_linear_table,
+    )
+
+    lc = _hll_linear_table()
+    # CAST each literal: a bare decimal literal parses as DECIMAL in
+    # DuckDB and the CASE result would round through decimal scale.
+    whens = " ".join(
+        f"WHEN {v} THEN CAST({lc[v]!r} AS DOUBLE)" for v in sorted(lc)
+    )
+    raw = "CAST({a!r} AS DOUBLE) / CAST(z_scaled AS DOUBLE)".format(a=HLL_A)
+    return f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substring(
+                md5('hll#' || CAST(user_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS hv
+      FROM events
+    ), b AS (
+      SELECT event_type, hv % 64 AS bkt,
+             (hv >> 6) & 1099511627775 AS w
+      FROM h
+    ), regs AS (
+      SELECT event_type, bkt,
+             max(CASE WHEN w = 0 THEN 41
+                      ELSE 41 - length(bin(w)) END) AS m
+      FROM b GROUP BY event_type, bkt
+    ), dense AS (
+      SELECT g.event_type, r.i, coalesce(regs.m, 0) AS m
+      FROM (SELECT DISTINCT event_type FROM regs) g
+      CROSS JOIN range(64) r(i)
+      LEFT JOIN regs ON regs.event_type = g.event_type
+                    AND regs.bkt = r.i
+    ), agg AS (
+      SELECT event_type,
+             string_agg(CAST(m AS VARCHAR), '-' ORDER BY i)
+               AS registers,
+             CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+             CAST(sum(CAST(1 AS BIGINT) << (40 - m)) AS BIGINT)
+               AS z_scaled
+      FROM dense GROUP BY event_type
+    )
+    SELECT event_type, registers, n_zero, z_scaled,
+           CASE WHEN {raw} <= 160.0 AND n_zero > 0
+                THEN CASE n_zero {whens} END
+                ELSE {raw} END AS distinct_est
+    FROM agg
+    """
+
+
+@query("a37_hll_registers", _hll_oracle_sql())
+def a37_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch deterministic HyperLogLog (profiling.hll_sketch,
+    Flajolet et al. 2007), completing the mergeable-sketch family
+    (KMV distinct / CM frequency / HLL registers): per event type,
+    64 registers of per-bucket max leading-zero rank over the
+    engine-portable md5 hash. Unlike a12's opaque built-in HLL++
+    state (band-checked only), every byte here is oracle-verified:
+    max is order-free so the registers are partition-invariant, the
+    harmonic sum stays a 2^40-scaled BIGINT (float summation order
+    never enters), and the estimate — including the small-range
+    linear-counting branch — is IEEE ops over exact integers plus a
+    literal table. The register digest IS the mergeable state:
+    hll_merge (register-wise max) is tested bit-identical to
+    sketching the concatenation."""
+    from mongodb_etl_migration_spark.operators import profiling as P
+
+    e = Catalog(spark, sf_dir).events
+    return P.hll_sketch(e, ["event_type"], "user_id")
+
+
 def _dsir_unrolled_sql() -> str:
     """Unrolled fixed-point-log2 SQL mirroring text.fixlog2 STEP FOR
     STEP (same IEEE multiply/halve/compare sequence), so the oracle

@@ -242,3 +242,37 @@ def test_kmv_set_ops_exact_and_estimated(spark):
 
     with pytest.raises(ValueError, match="k must"):
         P.kmv_set_ops(a, b, ["g"], k=1)
+
+
+def test_hll_sketch_merge_equals_whole(spark):
+    """HLL mergeability: register-wise max of per-shard sketches is
+    bit-identical to sketching the concatenated input; small groups
+    take the linear-counting branch and land near-exact; the big
+    group's estimate sits in the ~1.04/sqrt(64)≈13% band."""
+    from pyspark.sql import functions as F
+
+    from mongodb_etl_migration_spark.operators import profiling as P
+
+    rows = [("g1", f"v{i % 500}") for i in range(2000)] + [
+        ("g2", f"w{i}") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    whole = {
+        r.g: (r.registers, r.n_zero, r.z_scaled, r.distinct_est)
+        for r in P.hll_sketch(df, ["g"], "v").collect()
+    }
+    assert 350 <= whole["g1"][3] <= 650
+    assert 4 <= whole["g2"][3] <= 6  # linear counting, near exact
+    assert whole["g2"][1] > 0  # zero registers present → LC branch
+    h1 = df.filter(F.substring(F.md5("v"), 1, 1).isin(*"01234567"))
+    h2 = df.subtract(h1)
+    merged = {
+        r.g: (r.registers, r.n_zero, r.z_scaled, r.distinct_est)
+        for r in P.hll_merge(
+            P.hll_sketch(h1, ["g"], "v").unionByName(
+                P.hll_sketch(h2, ["g"], "v")
+            ),
+            ["g"],
+        ).collect()
+    }
+    assert merged == whole
