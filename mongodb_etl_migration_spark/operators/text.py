@@ -2098,3 +2098,147 @@ def dsir_weights(
             .alias("dsir_score"),
         )
     )
+
+
+def with_fixlog2(df, a_col: str, b_col: str, out_col: str):
+    """Column-level fixlog2: appends ``out_col`` = fixed-point
+    log2(a/b)·2^16 computed by the SAME IEEE multiply/halve/compare
+    recurrence as the scalar ``fixlog2`` — unrolled as a chain of
+    withColumn projections. Named intermediate attributes keep the
+    expression tree LINEAR (Catalyst's CollapseProject declines to
+    merge projections that would duplicate non-cheap expressions, so
+    no 2^72 inlining); everything stays JVM-side whole-stage codegen.
+    Rows must satisfy 0 < a ≤ b (< 2^53); violations yield undefined
+    values rather than errors — gate upstream. Drops no rows, adds no
+    shuffles."""
+    df = df.withColumn(
+        "__flm", F.col(a_col).cast("double") / F.col(b_col).cast("double")
+    ).withColumn("__fle", F.lit(0))
+    for _ in range(DSIR_NORM_STEPS):
+        df = df.withColumn(
+            "__fle",
+            F.col("__fle") + F.when(F.col("__flm") < 1.0, 1).otherwise(0),
+        ).withColumn(
+            "__flm",
+            F.when(F.col("__flm") < 1.0, F.col("__flm") * 2.0).otherwise(
+                F.col("__flm")
+            ),
+        )
+    df = df.withColumn("__fla", F.lit(0))
+    for _ in range(DSIR_FRAC_BITS):
+        df = (
+            df.withColumn("__fls", F.col("__flm") * F.col("__flm"))
+            .withColumn(
+                "__fla",
+                F.col("__fla") * 2
+                + F.when(F.col("__fls") >= 2.0, 1).otherwise(0),
+            )
+            .withColumn(
+                "__flm",
+                F.when(
+                    F.col("__fls") >= 2.0, F.col("__fls") / 2.0
+                ).otherwise(F.col("__fls")),
+            )
+        )
+    return df.withColumn(
+        out_col,
+        (
+            -F.col("__fle") * F.lit(1 << DSIR_FRAC_BITS) + F.col("__fla")
+        ).cast("bigint"),
+    ).drop("__flm", "__fle", "__fla", "__fls")
+
+
+def backoff_lm_scores(df, id_col: str, text_col: str, train_col: str):
+    """Stupid Backoff document log-probability scores (Brants et al.
+    2007, "Large Language Models in Machine Translation" — the
+    web-scale LM scoring rule that skips proper discounting):
+
+        S(w_i | w_{i-1}) = cb(w_{i-1} w_i) / cu(w_{i-1})   if seen
+                         = 0.4 · (cu(w_i)+1) / (N + V)     otherwise
+
+    with counts from the TRAINING slice (``train_col`` true) and
+    add-one smoothing on the backoff unigram so unseen words stay in
+    domain. Score(doc) = Σ_i log2 S_i as a fixed-point 2^16 integer:
+    0.4·x = 2x/5, so each term is fixlog2 of exact integer pairs —
+    engine-reproducible bit-for-bit, libm-free (with_fixlog2).
+
+    Plan (100 TB): bigram/unigram count tables are corpus aggregates
+    (one exchange each, map-side combined, vocab-sized output); N and
+    V are a 2-scalar driver collect; scoring joins each adjacent
+    token pair against the count tables (hash joins keyed on tokens —
+    vocab-sized build sides) and the fixlog2 chain is zero-shuffle
+    codegen. Output: (id_col, n_scored bigint = adjacent pairs,
+    backoff_score bigint; higher = more fluent under the training
+    LM). Documents with fewer than two tokens produce no row."""
+    base = df.select(
+        F.col(id_col), F.col(train_col).alias("__tr"), tokens(text_col).alias("__t")
+    )
+    toks = base.select(
+        id_col, "__tr", F.explode("__t").alias("__tok")
+    )
+    train_toks = toks.filter(F.col("__tr"))
+    uni = train_toks.groupBy("__tok").agg(F.count("*").alias("__cu"))
+    n_row = train_toks.agg(
+        F.count("*").alias("n"), F.count_distinct("__tok").alias("v")
+    ).head()
+    n_tot, vocab = int(n_row["n"]), int(n_row["v"])
+    # sequence(2, n) DESCENDS for n < 2 (and element_at would then be
+    # handed index 0) — single-token/empty docs must be gated first.
+    pairs = base.filter(F.size("__t") >= 2).select(
+        id_col,
+        "__tr",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(__t)), "
+                "i -> struct(element_at(__t, i-1) AS prev, "
+                "element_at(__t, i) AS cur))"
+            )
+        ).alias("__p"),
+    ).select(
+        id_col,
+        "__tr",
+        F.col("__p.prev").alias("__prev"),
+        F.col("__p.cur").alias("__cur"),
+    )
+    big = (
+        pairs.filter(F.col("__tr"))
+        .groupBy("__prev", "__cur")
+        .agg(F.count("*").alias("__cb"))
+    )
+    scored = (
+        pairs.join(big, ["__prev", "__cur"], "left")
+        .join(
+            uni.withColumnRenamed("__tok", "__prev").withColumnRenamed(
+                "__cu", "__cup"
+            ),
+            "__prev",
+            "left",
+        )
+        .join(
+            uni.withColumnRenamed("__tok", "__cur").withColumnRenamed(
+                "__cu", "__cuc"
+            ),
+            "__cur",
+            "left",
+        )
+        .withColumn(
+            "__a",
+            F.when(F.col("__cb").isNotNull(), F.col("__cb")).otherwise(
+                2 * (F.coalesce(F.col("__cuc"), F.lit(0)) + 1)
+            ),
+        )
+        .withColumn(
+            "__b",
+            F.when(F.col("__cb").isNotNull(), F.col("__cup")).otherwise(
+                F.lit(5 * (n_tot + vocab))
+            ),
+        )
+    )
+    return (
+        with_fixlog2(scored, "__a", "__b", "__s")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_scored"),
+            F.sum("__s").cast("bigint").alias("backoff_score"),
+        )
+    )

@@ -9201,6 +9201,97 @@ def a36_pareto_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_frontier_2d(offers, ["l_partkey"], "price", "qty")
 
 
+def _backoff_unrolled_sql() -> str:
+    """t_backoff_lm oracle: rebuild the Stupid-Backoff counts in SQL,
+    then run the fixlog2 recurrence over every scored pair as one
+    MATERIALIZED CTE per step (same anti-inlining discipline as the
+    DSIR oracle; DuckDB resolves same-named columns to the SOURCE
+    relation, not the lateral alias, so each step's expressions all
+    see the previous step's values)."""
+    from mongodb_etl_migration_spark.operators.text import (
+        DSIR_FRAC_BITS,
+        DSIR_NORM_STEPS,
+    )
+
+    ctes = []
+    prev = "sc0"
+    for i in range(1, DSIR_NORM_STEPS + 1):
+        ctes.append(
+            f"bn{i} AS MATERIALIZED (SELECT doc_id, "
+            "CASE WHEN m < 1.0 THEN m * 2.0 ELSE m END AS m, "
+            "e + CASE WHEN m < 1.0 THEN 1 ELSE 0 END AS e, acc "
+            f"FROM {prev})"
+        )
+        prev = f"bn{i}"
+    for j in range(1, DSIR_FRAC_BITS + 1):
+        ctes.append(
+            f"bf{j} AS MATERIALIZED (SELECT doc_id, "
+            "CASE WHEN (m*m) >= 2.0 THEN (m*m) / 2.0 ELSE (m*m) END AS m, "
+            "e, acc * 2 + CASE WHEN (m*m) >= 2.0 THEN 1 ELSE 0 END AS acc "
+            f"FROM {prev})"
+        )
+        prev = f"bf{j}"
+    scale = 1 << DSIR_FRAC_BITS
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH doc AS (
+      SELECT doc_id, doc_id % 2 = 0 AS tr,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), toks AS MATERIALIZED (
+      SELECT doc_id, tr, unnest(t) AS tok FROM doc
+    ), pairs AS MATERIALIZED (
+      SELECT doc_id, tr, t[i] AS prev, t[i + 1] AS cur
+      FROM doc, unnest(range(1, len(t))) AS r(i)
+    ), uni AS (
+      SELECT tok, count(*) AS cu FROM toks WHERE tr GROUP BY tok
+    ), tot AS (
+      SELECT count(*) AS n, count(DISTINCT tok) AS v
+      FROM toks WHERE tr
+    ), big AS (
+      SELECT prev, cur, count(*) AS cb FROM pairs WHERE tr
+      GROUP BY prev, cur
+    ), sc0 AS MATERIALIZED (
+      SELECT p.doc_id,
+             CAST(CASE WHEN bg.cb IS NOT NULL THEN bg.cb
+                       ELSE 2 * (coalesce(u2.cu, 0) + 1) END AS DOUBLE)
+             / CAST(CASE WHEN bg.cb IS NOT NULL THEN u1.cu
+                         ELSE 5 * (t.n + t.v) END AS DOUBLE) AS m,
+             0 AS e, 0 AS acc
+      FROM pairs p
+      LEFT JOIN big bg ON bg.prev = p.prev AND bg.cur = p.cur
+      LEFT JOIN uni u1 ON u1.tok = p.prev
+      LEFT JOIN uni u2 ON u2.tok = p.cur
+      CROSS JOIN tot t
+    ),
+    {chain}
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(-e * {scale} + acc) AS BIGINT) AS backoff_score
+    FROM {prev} GROUP BY doc_id
+    """
+
+
+@query("t_backoff_lm", _backoff_unrolled_sql())
+def t_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff LM document scoring (text.backoff_lm_scores —
+    Brants et al. 2007): train bigram/unigram counts on the even
+    doc_id half, score EVERY document's adjacent-pair fluency with
+    the backoff rule (0.4 = 2/5 kept rational so every per-token
+    term is fixlog2 of exact integer pairs). Held-out odd documents
+    exercise the backoff branch — unseen bigrams fall to the
+    add-one-smoothed unigram. The fixlog2 chain runs as zero-shuffle
+    whole-stage codegen on Spark and as stepwise MATERIALIZED CTEs in
+    the oracle; scores match bit-for-bit. The count-table joins are
+    vocab-keyed hash joins; N and V are a two-scalar driver
+    collect."""
+    from mongodb_etl_migration_spark.operators import text as TX
+
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "text", (F.col("doc_id") % 2 == 0).alias("is_train")
+    )
+    return TX.backoff_lm_scores(d, "doc_id", "text", "is_train")
+
+
 def _hll_oracle_sql() -> str:
     """Rebuilds the a37 HLL registers and estimate in DuckDB: same
     md5 hash layout, same bin()-length rho (both engines render

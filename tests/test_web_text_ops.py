@@ -1709,3 +1709,55 @@ def test_dsir_weights_orders_by_target_likeness(spark):
         for r in dsir_weights(df, "doc_id", "text", "is_t").collect()
     }
     assert res == res2
+
+
+def test_with_fixlog2_column_equals_scalar(spark):
+    """The unrolled column chain reproduces scalar fixlog2 exactly on
+    random ratios spanning the magnitude range (same IEEE recurrence,
+    named intermediates keep the plan linear)."""
+    import random
+
+    from mongodb_etl_migration_spark.operators.text import (
+        fixlog2,
+        with_fixlog2,
+    )
+
+    random.seed(11)
+    rows = []
+    for i in range(80):
+        b = random.randint(1, 2**52)
+        a = random.randint(1, b)
+        rows.append((i, a, b))
+    df = spark.createDataFrame(rows, "i long, a long, b long")
+    got = {r.i: r.s for r in with_fixlog2(df, "a", "b", "s").collect()}
+    assert all(got[i] == fixlog2(a, b) for i, a, b in rows)
+
+
+def test_backoff_lm_fluency_ordering(spark):
+    """Stupid Backoff: a held-out document repeating trained bigrams
+    outscores (per pair) one of unseen vocabulary; training docs
+    score the trained-bigram path; <2-token docs produce no row."""
+    from mongodb_etl_migration_spark.operators.text import backoff_lm_scores
+
+    rows = [
+        (0, "the cat sat on the mat", True),
+        (2, "the cat sat on the mat again", True),
+        (1, "the cat sat on the mat", False),   # fluent held-out
+        (3, "zorp blarg quux flibber znork", False),  # junk held-out
+        (5, "word", False),                      # single token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tr boolean")
+    res = {
+        r.doc_id: (r.n_scored, r.backoff_score)
+        for r in backoff_lm_scores(df, "doc_id", "text", "tr").collect()
+    }
+    assert 5 not in res
+    assert res[1][0] == 5 and res[3][0] == 4
+    # per-pair mean score: fluent >> junk
+    assert res[1][1] / res[1][0] > res[3][1] / res[3][0]
+    # deterministic across recomputation
+    res2 = {
+        r.doc_id: (r.n_scored, r.backoff_score)
+        for r in backoff_lm_scores(df, "doc_id", "text", "tr").collect()
+    }
+    assert res == res2
