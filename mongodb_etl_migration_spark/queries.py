@@ -10006,6 +10006,475 @@ def a33_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# TPC-H completion shapes (Q6/Q8/Q9/Q11/Q12/Q14/Q15) — with these the
+# catalog covers all 22 TPC-H query classes (adapted where the test
+# schema lacks partsupp / shipmode / commit+receipt dates). Each
+# follows the a1 decimal discipline: decimal-in, decimal-through, one
+# final cast to DOUBLE, so Spark and DuckDB agree bit-for-bit.
+# =====================================================================
+
+@query(
+    "a38_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND CAST(l_discount AS DECIMAL(4,2))
+            BETWEEN CAST(0.05 AS DECIMAL(4,2))
+                AND CAST(0.07 AS DECIMAL(4,2))
+      AND l_quantity < 24
+    """,
+)
+def a38_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan-filter-
+    aggregate class — no join at all. All three predicates push to the
+    parquet scan (shipdate range, quantity bound; the discount band
+    compares decimal-to-decimal so neither engine does a lossy double
+    comparison), the scan prunes to three columns, and the global sum
+    is a partial-agg → single-row exchange. At 100 TB this is the
+    I/O-bound best case: the plan's cost IS the pruned column read.
+    Reference parity: validate_migration's full-table financial
+    reconciliation sums (SURVEY §2 A1 family)."""
+    c = Catalog(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    lo = F.lit("0.05").cast("decimal(4,2)")
+    hi = F.lit("0.07").cast("decimal(4,2)")
+    return (
+        c.lineitem.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & disc.between(lo, hi)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(price * disc).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "a39_market_share",
+    f"""
+    WITH sales AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             {_REVENUE_SQL.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")} AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      JOIN region r ON nc.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                         THEN volume END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM sales GROUP BY o_year
+    """,
+)
+def a39_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the deep snowflake join —
+    one fact table against SIX dimension hops (orders→customer→
+    nation→region on the demand side, supplier→nation and part on the
+    supply side). Every dimension is broadcast (each is KB–MB at any
+    SF), so the fact table is never shuffled for the joins; orders is
+    the only non-broadcast side and its date filter pushes to its
+    scan. The share divides two exact decimal sums as one double
+    division (never decimal÷decimal, whose rounding differs between
+    engines). A year with no NATION_3 sales yields NULL, identically
+    in both engines. Reference parity: orchestrator's per-period
+    cross-source ratio reports."""
+    c = Catalog(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    nc = c.nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    ns = c.nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    sales = (
+        c.lineitem.select(
+            "l_orderkey", "l_suppkey", "l_partkey",
+            (price * (one - disc)).alias("volume"),
+        )
+        .join(
+            c.orders.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1998-01-01")
+            ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .join(
+            F.broadcast(
+                c.region.filter(F.col("r_name") == "AMERICA").select(
+                    "r_regionkey"
+                )
+            ),
+            F.col("c_rk") == F.col("r_regionkey"),
+        )
+        .join(
+            F.broadcast(c.supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(
+            F.broadcast(
+                c.part.filter(F.col("p_type") == "ECONOMY").select(
+                    "p_partkey"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            "volume",
+            "supp_nation",
+        )
+    )
+    target = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+    ).cast("double")
+    return sales.groupBy("o_year").agg(
+        (target / F.sum("volume").cast("double")).alias("mkt_share")
+    )
+
+
+@query(
+    "a40_product_profit",
+    """
+    SELECT ns.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(3,2))
+                         - CAST(l.l_discount AS DECIMAL(4,2)))
+                    - CAST(p.p_retailprice AS DECIMAL(12,2))
+                      * CAST(l.l_quantity AS DECIMAL(4,0))
+                      * CAST(0.10 AS DECIMAL(3,2))) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY ns.n_name, year(o.o_orderdate)
+    """,
+)
+def a40_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 SHAPE (product-type profit, adapted: the schema has no
+    partsupp, so supply cost is modeled as 10% of p_retailprice — the
+    shape, a profit expression spanning columns from two joined
+    tables, is what's exercised): lineitem joins part (broadcast,
+    name-filtered at the scan), supplier→nation (broadcast), and
+    orders for the year. Profit is computed per-row in decimal BEFORE
+    the aggregate so the sum is order-independent and exact; one cast
+    to double at the end. The only fact exchange is the final
+    (nation, year) aggregate — ~25 nations × years, partial-agg'd
+    map-side. Reference parity: data_transformer's derived financial
+    fields joined across collections."""
+    c = Catalog(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    retail = F.col("p_retailprice").cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast("decimal(4,0)")
+    cost_rate = F.lit("0.10").cast("decimal(3,2)")
+    profit = price * (one - disc) - retail * qty * cost_rate
+    ns = c.nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    return (
+        c.lineitem.select(
+            "l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice",
+            "l_discount", "l_quantity",
+        )
+        .join(
+            F.broadcast(
+                c.part.filter(F.col("p_name").like("%red%")).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(c.supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(
+            c.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            profit.alias("profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("profit").cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "a41_important_parts",
+    """
+    WITH val AS (
+      SELECT l.l_partkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l.l_quantity AS DECIMAL(4,0))) AS value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY l.l_partkey
+    ), tot AS (SELECT sum(value) AS total, count(*) AS cnt FROM val)
+    SELECT v.l_partkey AS p_partkey, CAST(v.value AS DOUBLE) AS value
+    FROM val v, tot t
+    WHERE v.value * t.cnt > t.total * 2
+    """,
+)
+def a41_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 SHAPE (important stock, adapted: no partsupp, so
+    'inventory value' of a part is the total extendedprice×quantity
+    shipped by EUROPE-region suppliers): the global-scalar-subquery
+    class — HAVING sum(...) > fraction × (SELECT sum over the whole
+    table). Decorrelation: the per-part aggregate computes once, the
+    global total+count re-aggregates THAT output (KB per part, never
+    the fact table twice — the lazy localCheckpoint shares one
+    materialization between the scalar job and the filter), and the
+    two scalars ride back to the driver as one 16-byte row (the
+    a33/Q22 discipline; a plan-side 1-row cross join would be the
+    banned BroadcastNestedLoopJoin). The
+    threshold 'value > 2 × average' is rearranged to value×cnt >
+    total×2, pure decimal×integer (exact in both engines, no division
+    anywhere) and SF-invariant — as SF grows, per-part share shrinks
+    but share-of-average doesn't (TPC-H rescales Q11's fraction by
+    1/SF for the same reason).
+    Reference parity: validate_migration's 'entity exceeds share of
+    total' consistency probes."""
+    c = Catalog(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast("decimal(4,0)")
+    eur = (
+        c.supplier.join(
+            F.broadcast(c.nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(c.region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        c.lineitem.select(
+            "l_partkey", "l_suppkey", (price * qty).alias("v")
+        )
+        .join(
+            F.broadcast(eur),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("v").alias("value"))
+    )
+    # The global scalar comes back to the driver as ONE row (16 bytes
+    # — same a33/Q22 discipline): a plan-side 1-row cross join would
+    # compile to the banned BroadcastNestedLoopJoin AND recompute the
+    # fact aggregate in both subtrees. The lazy localCheckpoint makes
+    # the scalar job and the filter share one materialization of val.
+    val = val.localCheckpoint(eager=False)
+    total, cnt = val.agg(
+        F.sum("value").alias("total"), F.count("*").alias("cnt")
+    ).head()
+    return (
+        val.filter(
+            F.col("value") * F.lit(cnt)
+            > F.lit(total).cast("decimal(38,2)") * F.lit(2)
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+
+
+@query(
+    "a42_late_shipments",
+    """
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def a42_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 SHAPE (shipping modes / late lines, adapted: the
+    schema has no shipmode or commit/receipt dates, so 'late' is
+    shipped >90 days after the order date and the grouping key is
+    l_linestatus): the cross-table residual-predicate join class —
+    the lateness test references columns from BOTH sides, so it can't
+    push to either scan and evaluates as a join residual; the shipdate
+    year-window DOES push to the lineitem scan. The conditional
+    high/low counts are one pass (two CASE sums), never two joins.
+    Reference parity: the orchestrator's priority-split migration
+    progress counters."""
+    c = Catalog(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        c.orders.select("o_orderkey", "o_custkey", "o_orderdate",
+                        "o_orderpriority")
+        .join(
+            c.lineitem.filter(
+                (F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1997-01-01")
+            ).select("l_orderkey", "l_linestatus", "l_shipdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "a43_promo_effect",
+    f"""
+    SELECT CAST(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN {_REVENUE_SQL.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}
+                     END) AS DOUBLE)
+             / CAST(sum({_REVENUE_SQL.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE)
+             AS DOUBLE) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def a43_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the conditional-ratio class —
+    share of one month's revenue from PROMO-type parts. Part
+    broadcasts into the month-pruned lineitem scan (the date filter
+    pushes, so the join probe side is one month of the fact table,
+    not all of it); both sums accumulate in decimal in the same
+    single aggregate pass, and the ratio is one double division of
+    exact numerators — (100.0 × promo) / total evaluated in the same
+    association order in both engines. Reference parity:
+    validate_migration's category-share percentage checks."""
+    c = Catalog(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = price * (one - disc)
+    promo = F.when(F.col("p_type") == "PROMO", rev)
+    return (
+        c.lineitem.filter(
+            (F.col("l_shipdate") >= "1996-09-01")
+            & (F.col("l_shipdate") < "1996-10-01")
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(
+            F.broadcast(c.part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            (
+                (F.lit(100.0) * F.sum(promo).cast("double"))
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "a44_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum({_REVENUE_SQL}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    ), m AS (SELECT max(total_revenue) AS mx FROM revenue)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM revenue r
+    JOIN m ON r.total_revenue = m.mx
+    JOIN supplier s ON s.s_suppkey = r.supplier_no
+    """,
+)
+def a44_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the view-then-argmax class — a
+    quarterly per-supplier revenue view, then the supplier(s) whose
+    revenue equals the view's max. The max is a 1-row re-aggregate of
+    the view's output (never a second fact scan) joined back as a
+    broadcast equality on the EXACT decimal revenue — the reason Q15
+    specifies equality-with-max rather than LIMIT 1 is ties, and
+    decimal keeps the tie set identical across engines. supplier is
+    broadcast for the name lookup. Same decorrelation discipline as
+    a26/a41. Reference parity: orchestrator's busiest-collection
+    leaderboard."""
+    c = Catalog(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = (
+        c.lineitem.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .select("l_suppkey", (price * (one - disc)).alias("rev"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev").alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(
+            F.broadcast(mx), F.col("total_revenue") == F.col("mx")
+        )
+        .join(
+            F.broadcast(c.supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# =====================================================================
 # Entry points consumed by __spark_entry__.py
 # =====================================================================
 
