@@ -100,6 +100,40 @@ def test_bucket_order_legacy_string_hash():
     assert entry._bucket_order([a, b], snapshot, cur) == [b, a]
 
 
+def test_self_hash_survives_append_only_module_edits(tmp_path):
+    """An append-only edit to a shared operator module (new unrelated
+    function added at the end) must leave untouched queries' SELF
+    hashes stable — only full/narrow (module-file tiers) may drift.
+    This is the property that keeps the driver's 50-row cap pointed at
+    genuinely-risky rows instead of hash noise (round-6 verdict #1)."""
+    files = provenance.package_files(PKG_ROOT)
+    graph = provenance.import_graph(files)
+    # Pick a query whose NARROW closure is non-empty (touches a shared
+    # operator module), so the append is visible to the module tiers.
+    for name, fn in QUERIES.items():
+        mods, _, _ = provenance._fn_deps(fn, fn.__module__)
+        closure = provenance._closure(mods, graph) - provenance._UBIQUITOUS
+        in_files = sorted(m for m in closure if m in files)
+        if in_files:
+            break
+    else:
+        raise AssertionError("no query with a non-empty narrow closure")
+    mod = in_files[0]
+    before = provenance.query_impl_hash(fn, ORACLES.get(name), files, graph)
+    # Simulate the append: copy the module file, append a new no-op
+    # function at the end, re-hash.
+    tampered = dict(files)
+    copy = tmp_path / "readers_appended.py"
+    copy.write_text(
+        files[mod].read_text() + "\n\ndef _brand_new_unrelated():\n    return 1\n"
+    )
+    tampered[mod] = copy
+    after = provenance.query_impl_hash(fn, ORACLES.get(name), tampered, graph)
+    assert after["self"] == before["self"], "self tier must ignore module appends"
+    assert after["narrow"] != before["narrow"], "module tiers must still notice"
+    assert after["full"] != before["full"]
+
+
 def test_green_hashes_snapshot_is_current_format():
     import json
 
