@@ -368,7 +368,14 @@ def hll_sketch(
     dense-digest/estimate step is a per-group reshape. Output:
     (group_cols..., registers '0-3-...-1' dense 64-vector string,
     n_zero bigint, z_scaled bigint, distinct_est double)."""
-    m_expr = F.when(F.col("__w") == 0, F.lit(HLL_RHO_BITS + 1)).otherwise(
+    # rho is CAPPED at HLL_RHO_BITS: an all-zero 40-bit window folds
+    # into m=40 instead of the textbook 41, because the harmonic-sum
+    # term is the exact integer `1 << (40 - m)` and m=41 would shift
+    # by -1 (Java masks negative shifts to 63 → Long.MIN_VALUE;
+    # DuckDB disagrees, so the engines would also diverge). The cap
+    # costs 2^-41-probability estimate precision and keeps every term
+    # a representable BIGINT. Mirrored in the a37 oracle.
+    m_expr = F.when(F.col("__w") == 0, F.lit(HLL_RHO_BITS)).otherwise(
         F.lit(HLL_RHO_BITS + 1) - F.length(F.bin(F.col("__w")))
     )
     h = _hash60(F.col(value_col), salt)
@@ -435,11 +442,15 @@ def hll_merge(
     Merging is exact: max of maxes is the max, so a merged sketch is
     bit-identical to sketching the concatenated input (tested).
     Same output schema as hll_sketch."""
+    # least() clamps legacy digests that carried the uncapped rho=41
+    # (pre-fix sketches) so the `1 << (40 - m)` term never shifts by a
+    # negative amount — see the cap note in hll_sketch.
     exploded = sketches.select(
         *group_cols,
         F.posexplode(
             F.transform(
-                F.split("registers", "-"), lambda s: s.cast("int")
+                F.split("registers", "-"),
+                lambda s: F.least(s.cast("int"), F.lit(HLL_RHO_BITS)),
             )
         ).alias("__bkt", "__m"),
     )

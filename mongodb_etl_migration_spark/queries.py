@@ -9324,7 +9324,7 @@ def _hll_oracle_sql() -> str:
       FROM h
     ), regs AS (
       SELECT event_type, bkt,
-             max(CASE WHEN w = 0 THEN 41
+             max(CASE WHEN w = 0 THEN 40
                       ELSE 41 - length(bin(w)) END) AS m
       FROM b GROUP BY event_type, bkt
     ), dense AS (

@@ -276,3 +276,27 @@ def test_hll_sketch_merge_equals_whole(spark):
         ).collect()
     }
     assert merged == whole
+
+def test_hll_rho_cap_no_negative_shift(spark):
+    """rho is capped at HLL_RHO_BITS=40: a register holding 40 (the
+    all-zero-window fold) contributes `1 << 0` = 1 to the scaled
+    harmonic sum — never a negative shift (Java masks shift-by--1 to
+    63 → Long.MIN_VALUE). Legacy digests carrying the uncapped 41 are
+    clamped to 40 on merge, so the two digests merge identically."""
+    from mongodb_etl_migration_spark.operators import profiling as P
+
+    capped = "-".join(["40"] + ["0"] * 63)
+    legacy = "-".join(["41"] + ["0"] * 63)
+    rows = [("g", capped, 63, 0, 0.0), ("h", legacy, 63, 0, 0.0)]
+    df = spark.createDataFrame(
+        rows,
+        "g string, registers string, n_zero bigint, "
+        "z_scaled bigint, distinct_est double",
+    )
+    out = {r.g: r for r in P.hll_merge(df, ["g"]).collect()}
+    # 63 empty registers at 2^40 each + the capped one at 2^0.
+    expect_z = 63 * (1 << P.HLL_RHO_BITS) + 1
+    for g in ("g", "h"):
+        assert out[g].z_scaled == expect_z
+        assert out[g].z_scaled > 0
+        assert out[g].registers == capped
