@@ -569,7 +569,13 @@ def parse_robots_rules(df, host_col: str, text_col: str, user_agent: str = "*"):
     ``user_agent`` ('googlebot' matches a 'googlebot-news' crawler),
     the LONGEST matching token across the whole file wins, groups
     tying at that length combine, and the ``*`` group (match length
-    0) applies only when no named token matches at all.
+    0) applies only when no named token matches at all. Selection is
+    over group HEADERS, not emitted rules: a matching specific group
+    with no Allow/Disallow lines means allow-all for that agent (no
+    rows; the ``*`` group is ignored, not fallen back to). Any
+    non-User-agent directive line (Crawl-delay, Sitemap, unknown)
+    ends a User-agent header run, so adjacent groups never merge
+    across stray directives.
 
     Implementation is a pure-Column F.aggregate fold over the line
     array — per-row sequential state without a UDF — plus one array
@@ -577,11 +583,17 @@ def parse_robots_rules(df, host_col: str, text_col: str, user_agent: str = "*"):
     stays inside codegen with zero shuffle."""
     lines = F.split(F.regexp_replace(F.col(text_col), "\r", ""), "\n")
     # toklen: specificity of the group the rule came from — length of
-    # its longest matching agent token, 0 for '*', -1 for no match
+    # its longest matching agent token, 0 for '*', -1 for no match.
+    # best: the FILE-WIDE max matching token length over every group
+    # HEADER (not over emitted rules) — RFC 9309 §2.2.1: the most
+    # specific matching group is selected even when it contains no
+    # Allow/Disallow lines (which then means allow-all; the '*' group
+    # is ignored, not fallen back to).
     rules_t = "array<struct<allow:boolean,prefix:string,toklen:int>>"
     state0 = F.struct(
         F.lit(-1).cast("int").alias("cur"),
         F.lit(False).alias("ua_run"),
+        F.lit(-1).cast("int").alias("best"),
         F.array().cast(rules_t).alias("rules"),
     )
     ua = user_agent.lower()
@@ -596,6 +608,14 @@ def parse_robots_rules(df, host_col: str, text_col: str, user_agent: str = "*"):
         is_ua = low.startswith("user-agent:")
         is_allow = low.startswith("allow:")
         is_dis = low.startswith("disallow:")
+        # Any OTHER directive line (Crawl-delay, Sitemap, unknown
+        # name:value) also ends a User-agent header run — otherwise a
+        # stray directive between two UA lines would merge adjacent
+        # groups and tag one group's rules with the other's
+        # specificity. Blank lines and comments stay neutral.
+        is_other = (
+            (t != "") & ~low.startswith("#") & ~is_ua & ~is_allow & ~is_dis
+        )
         lval = F.lower(val)
         hit_len = (
             F.when(lval == "*", F.lit(0))
@@ -610,8 +630,11 @@ def parse_robots_rules(df, host_col: str, text_col: str, user_agent: str = "*"):
         )
         ua_run = (
             F.when(is_ua, F.lit(True))
-            .when(is_allow | is_dis, F.lit(False))
+            .when(is_allow | is_dis | is_other, F.lit(False))
             .otherwise(acc["ua_run"])
+        )
+        best = F.when(is_ua, F.greatest(acc["best"], hit_len)).otherwise(
+            acc["best"]
         )
         rules = F.when(
             (is_allow | is_dis) & (acc["cur"] >= 0) & (val != ""),
@@ -625,12 +648,14 @@ def parse_robots_rules(df, host_col: str, text_col: str, user_agent: str = "*"):
             ),
         ).otherwise(acc["rules"])
         return F.struct(
-            cur.alias("cur"), ua_run.alias("ua_run"), rules.alias("rules")
+            cur.alias("cur"),
+            ua_run.alias("ua_run"),
+            best.alias("best"),
+            rules.alias("rules"),
         )
 
     agg = F.aggregate(lines, state0, step)
-    best = F.array_max(F.transform(agg["rules"], lambda r: r["toklen"]))
-    kept = F.filter(agg["rules"], lambda r: r["toklen"] == best)
+    kept = F.filter(agg["rules"], lambda r: r["toklen"] == agg["best"])
     return df.select(
         F.col(host_col).alias("host"), F.explode(kept).alias("r")
     ).select("host", F.col("r.allow").alias("allow"), F.col("r.prefix").alias("prefix"))
@@ -1121,16 +1146,23 @@ def robots_crawl_delay(df, host_col: str, text_col: str, user_agent: str = "*"):
     honored by Bing/Yandex and ubiquitous in real robots.txt), the
     number a crawl scheduler feeds into per-host rate limits next to
     crawl_schedule's budgets. Group selection is parse_robots_rules'
-    §2.2.1 rule (prefix match, longest token wins, '*' fallback);
-    within the winning specificity the LAST numeric Crawl-delay wins
-    (later directives override); non-numeric values are ignored.
-    Same zero-shuffle pure-Column fold. Output: (host, crawl_delay
-    double) — hosts without a usable directive are omitted."""
+    §2.2.1 rule: prefix match, the longest matching token across the
+    whole file's group HEADERS wins, '*' applies only when no named
+    token matches — and a most-specific group WITHOUT a usable
+    Crawl-delay means no delay for that agent (the '*' group's delay
+    is ignored, not fallen back to). Within the winning specificity
+    the LAST numeric Crawl-delay wins (later directives override);
+    non-numeric values are ignored; any non-User-agent directive line
+    ends a header run (adjacent groups never merge across stray
+    directives). Same zero-shuffle pure-Column fold. Output: (host,
+    crawl_delay double) — hosts without a usable directive in the
+    selected group are omitted."""
     lines = F.split(F.regexp_replace(F.col(text_col), "\r", ""), "\n")
     state0 = F.struct(
         F.lit(-1).cast("int").alias("cur"),
         F.lit(False).alias("ua_run"),
-        F.lit(-1).cast("int").alias("best"),
+        F.lit(-1).cast("int").alias("best"),  # file-wide max header hit
+        F.lit(-1).cast("int").alias("dlen"),  # toklen the delay came from
         F.lit(None).cast("double").alias("delay"),
     )
     ua = user_agent.lower()
@@ -1142,7 +1174,7 @@ def robots_crawl_delay(df, host_col: str, text_col: str, user_agent: str = "*"):
             F.regexp_extract(t, "^[^:]*:(.*)$", 1), "^[ \\t]+|[ \\t]+$", ""
         )
         is_ua = low.startswith("user-agent:")
-        is_rule = low.startswith("allow:") | low.startswith("disallow:")
+        is_other = (t != "") & ~low.startswith("#") & ~is_ua
         is_cd = low.startswith("crawl-delay:")
         lval = F.lower(val)
         hit_len = (
@@ -1158,26 +1190,35 @@ def robots_crawl_delay(df, host_col: str, text_col: str, user_agent: str = "*"):
         )
         ua_run = (
             F.when(is_ua, F.lit(True))
-            .when(is_rule | is_cd, F.lit(False))
+            .when(is_other, F.lit(False))
             .otherwise(acc["ua_run"])
+        )
+        best = F.when(is_ua, F.greatest(acc["best"], hit_len)).otherwise(
+            acc["best"]
         )
         num = val.try_cast("double")
         takes = (
             is_cd
             & (acc["cur"] >= 0)
             & num.isNotNull()
-            & (acc["cur"] >= acc["best"])
+            & (acc["cur"] >= acc["dlen"])
         )
-        best = F.when(takes, acc["cur"]).otherwise(acc["best"])
+        dlen = F.when(takes, acc["cur"]).otherwise(acc["dlen"])
         delay = F.when(takes, num).otherwise(acc["delay"])
         return F.struct(
             cur.alias("cur"),
             ua_run.alias("ua_run"),
             best.alias("best"),
+            dlen.alias("dlen"),
             delay.alias("delay"),
         )
 
     agg = F.aggregate(lines, state0, step)
+    # The delay counts only if it came from the SELECTED (file-wide
+    # most specific matching) group — not a less-specific fallback.
     return df.select(
-        F.col(host_col).alias("host"), agg["delay"].alias("crawl_delay")
+        F.col(host_col).alias("host"),
+        F.when(agg["dlen"] == agg["best"], agg["delay"]).alias(
+            "crawl_delay"
+        ),
     ).filter(F.col("crawl_delay").isNotNull())

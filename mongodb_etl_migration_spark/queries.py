@@ -6885,7 +6885,9 @@ def w_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH hosts AS (
       SELECT DISTINCT 'www.' || lower(source) || '.example.com' AS host,
-             lower(source) AS s
+             lower(source) AS s,
+             CAST(nullif(regexp_extract(lower(source), '[0-9]+', 0), '')
+               AS INTEGER) AS num
       FROM documents
     ), r AS (
       SELECT host, rule.allow AS allow,
@@ -6896,26 +6898,36 @@ def w_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
            (VALUES (FALSE, '/Docs/', 1), (TRUE, '/Docs/4', 2),
                    (FALSE, '/private/', 3), (FALSE, '@SRC@', 4))
              rule(allow, prefix, ord)
+      WHERE num IS NULL OR num % 3 <> 0
     )
     SELECT host, allow, prefix FROM r
     """,
 )
 def w_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """robots.txt PARSING (web.parse_robots_rules): per crawl host a
-    realistic raw robots.txt body — a googlebot-only group that must
-    be skipped, a combined two-line User-agent group ('*' second) that
-    must match, an empty Disallow (no restriction → no row), comment
-    and blank lines, and a host-specific rule — folded into rule rows
-    by the pure-Column F.aggregate line parser, no UDF, zero shuffle.
-    The oracle predicts the surviving rules analytically. Feeds
-    with_robots_verdict (w_robots_filter) for the full
-    raw-body → rules → verdict chain."""
+    """robots.txt PARSING (web.parse_robots_rules) for a named
+    crawler ('crawler-x-news/2.1'): per crawl host a realistic raw
+    robots.txt body — a googlebot-only group that must be skipped, a
+    combined two-line User-agent group (prefix-matching 'crawler-x'
+    first, '*' second) that must match at specificity 9, an empty
+    Disallow (no restriction → no row), comment and blank lines, a
+    host-specific rule, and two RFC 9309 TRAPS: (a) a stray
+    Crawl-delay between two User-agent lines (must END the header run
+    — the googlebot group after it may NOT inherit crawler-x's
+    specificity, so /merged-trap/ never surfaces), and (b) on every
+    3rd host a MORE specific matching 'crawler-x-news' group with no
+    rules at all (most-specific group selected over headers → means
+    allow-all; the less-specific rules are ignored, so the host emits
+    NO rows). Folded by the pure-Column F.aggregate line parser, no
+    UDF, zero shuffle; the oracle predicts the surviving rules
+    analytically. Feeds with_robots_verdict (w_robots_filter) for the
+    full raw-body → rules → verdict chain."""
     d = Catalog(spark, sf_dir).documents
     hosts = d.select(F.lower("source").alias("s")).distinct().select(
         F.concat(F.lit("www."), F.col("s"), F.lit(".example.com")).alias(
             "host"
         ),
         "s",
+        F.regexp_extract("s", "[0-9]+", 0).cast("int").alias("num"),
     )
     body = F.concat(
         F.lit(
@@ -6930,10 +6942,27 @@ def w_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "Disallow: /s-"
         ),
         F.col("s"),
-        F.lit("/\n"),
+        F.lit(
+            "/\n\n"
+            # Trap (a): the stray directive ends the header run; the
+            # googlebot group below must NOT merge with crawler-x.
+            "User-agent: crawler-x\nCrawl-delay: 2\n"
+            "User-agent: googlebot\nDisallow: /merged-trap/\n"
+        ),
+        # Trap (b): a more specific matching group with no rules —
+        # selected, means allow-all; host emits no rows.
+        F.when(
+            F.col("num") % 3 == 0,
+            F.lit(
+                "\nUser-agent: crawler-x-news\n"
+                "# version-pinned build, allow all\n"
+            ),
+        ).otherwise(F.lit("")),
     )
     pages = hosts.select("host", body.alias("robots_txt"))
-    return WB.parse_robots_rules(pages, "host", "robots_txt")
+    return WB.parse_robots_rules(
+        pages, "host", "robots_txt", user_agent="crawler-x-news/2.1"
+    )
 
 
 @query(
@@ -7036,19 +7065,30 @@ def _web_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS num
       FROM hosts
     )
-    SELECT host, CAST(num % 9 AS DOUBLE) + 0.5 AS crawl_delay
-    FROM n WHERE num IS NOT NULL AND num % 3 <> 0
+    SELECT host,
+           CASE WHEN num IS NULL OR num % 4 = 0 THEN 9.0
+                ELSE CAST(num % 9 AS DOUBLE) + 0.5 END AS crawl_delay
+    FROM n WHERE num IS NULL OR num % 4 IN (0, 1)
     """,
 )
 def w_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawl-delay extraction (web.robots_crawl_delay) — the de-facto
-    per-host rate-limit knob a crawl scheduler pairs with
-    crawl_schedule's budgets. Fixture: per host a googlebot group
-    carrying its own delay (must be SKIPPED for the '*' crawler), a
-    non-numeric Crawl-delay (ignored), then the real one — and every
-    3rd host declares none (omitted from output, not NULL-ed). Same
-    zero-shuffle pure-Column fold as the rule parser; the oracle
-    predicts each host's surviving delay analytically."""
+    """Crawl-delay extraction (web.robots_crawl_delay) for crawler
+    'mybot' — the de-facto per-host rate-limit knob a crawl scheduler
+    pairs with crawl_schedule's budgets, exercising RFC 9309 §2.2.1
+    group selection over headers. Per host: a googlebot group with its
+    own delay (never matches) and a '*' group with delay 9, then by
+    host number: num%4==0 → no mybot group, the '*' fallback delay 9
+    applies; num%4==1 → a mybot group with a bogus (ignored) then the
+    real delay num%9+0.5, which overrides '*'; num%4==2 → a mybot
+    group with rules but NO Crawl-delay — the selected group lacks
+    the knob, so the host is OMITTED (the '*' delay may NOT leak in);
+    num%4==3 → a stray-Sitemap trap: 'User-agent: mybot / Sitemap: /
+    User-agent: googlebot / Crawl-delay: 4' — the Sitemap line ends
+    the header run, googlebot's delay may not inherit mybot's
+    specificity, and since the selected mybot group has no delay the
+    host is omitted too. Same zero-shuffle pure-Column fold as the
+    rule parser; the oracle predicts each host's surviving delay
+    analytically."""
     d = Catalog(spark, sf_dir).documents
     hosts = d.select(F.lower("source").alias("s")).distinct().select(
         F.concat(F.lit("www."), F.col("s"), F.lit(".example.com")).alias(
@@ -7058,25 +7098,39 @@ def w_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("num"),
     )
+    m4 = F.col("num") % 4
     body = F.concat(
         F.lit(
             "User-agent: googlebot\nCrawl-delay: 1\nDisallow: /g/\n\n"
-            "User-agent: *\nDisallow: /private/\n"
-            "Crawl-delay: bogus\n"
+            "User-agent: *\nDisallow: /private/\nCrawl-delay: 9\n\n"
         ),
         F.when(
-            F.col("num").isNotNull() & (F.col("num") % 3 != 0),
+            m4 == 1,
             F.concat(
-                F.lit("Crawl-delay: "),
+                F.lit(
+                    "User-agent: mybot\nDisallow: /m/\n"
+                    "Crawl-delay: bogus\nCrawl-delay: "
+                ),
                 (
                     (F.col("num") % 9).cast("double") + F.lit(0.5)
                 ).cast("string"),
                 F.lit("\n"),
             ),
-        ).otherwise(F.lit("")),
+        )
+        .when(m4 == 2, F.lit("User-agent: mybot\nDisallow: /m/\n"))
+        .when(
+            m4 == 3,
+            F.lit(
+                "User-agent: mybot\nSitemap: https://example.com/s.xml\n"
+                "User-agent: googlebot\nCrawl-delay: 4\n"
+            ),
+        )
+        .otherwise(F.lit("")),
     )
     pages = hosts.select("host", body.alias("robots_txt"))
-    return WB.robots_crawl_delay(pages, "host", "robots_txt")
+    return WB.robots_crawl_delay(
+        pages, "host", "robots_txt", user_agent="mybot"
+    )
 
 
 @query(

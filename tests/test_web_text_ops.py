@@ -679,6 +679,86 @@ def test_parse_robots_rules_most_specific_agent_group(spark):
     assert got == [(False, "/x/")]
 
 
+def test_parse_robots_rules_rfc_edges(spark):
+    """Two RFC 9309 edges (round-7 advice): (1) a matching specific
+    group with NO Allow/Disallow lines is still the SELECTED group —
+    it means allow-all and the '*' group is ignored, not fallen back
+    to; (2) a stray directive (Crawl-delay, Sitemap) between two
+    User-agent lines ends the header run, so adjacent groups never
+    merge and one group's rules never inherit another's specificity."""
+    # (1) empty specific group wins over '*'
+    body1 = (
+        "User-agent: *\nDisallow: /all/\n\n"
+        "User-agent: mybot\n# welcome, mybot: no restrictions\n"
+    )
+    df1 = spark.createDataFrame([("h.com", body1)], "host string, txt string")
+    assert (
+        W.parse_robots_rules(df1, "host", "txt", user_agent="mybot").count()
+        == 0
+    )
+    # ...while an unknown crawler still gets the '*' rules
+    got = [
+        (r.allow, r.prefix)
+        for r in W.parse_robots_rules(
+            df1, "host", "txt", user_agent="otherbot"
+        ).collect()
+    ]
+    assert got == [(False, "/all/")]
+    # (2) stray directive between UA lines: groups must NOT merge
+    body2 = (
+        "User-agent: mybot\n"
+        "Crawl-delay: 2\n"          # ends the header run
+        "User-agent: googlebot\n"   # NEW group, not merged with mybot
+        "Disallow: /g-only/\n"
+    )
+    df2 = spark.createDataFrame([("h.com", body2)], "host string, txt string")
+    # mybot's selected group has no rules -> allow-all, /g-only/ absent
+    assert (
+        W.parse_robots_rules(df2, "host", "txt", user_agent="mybot").count()
+        == 0
+    )
+    # googlebot still gets its own rule
+    got_g = [
+        (r.allow, r.prefix)
+        for r in W.parse_robots_rules(
+            df2, "host", "txt", user_agent="googlebot"
+        ).collect()
+    ]
+    assert got_g == [(False, "/g-only/")]
+
+
+def test_robots_crawl_delay_group_selection_edges(spark):
+    """Crawl-delay shares the header-selection semantics: the most
+    specific matching group's delay wins; if that group has NO usable
+    delay the host is omitted (no '*' fallback); '*' applies only
+    when nothing named matches; stray directives don't merge groups."""
+    b = (
+        "User-agent: googlebot\nCrawl-delay: 1\n\n"
+        "User-agent: *\nCrawl-delay: 9\n\n"
+    )
+    rows = [
+        ("star-only.com", b),                                # '*' -> 9
+        ("specific.com", b + "User-agent: mybot\nCrawl-delay: 3\n"),
+        ("no-delay.com", b + "User-agent: mybot\nDisallow: /m/\n"),
+        (
+            "stray.com",
+            b
+            + "User-agent: mybot\nSitemap: https://x/s.xml\n"
+            + "User-agent: googlebot\nCrawl-delay: 4\n",
+        ),
+    ]
+    df = spark.createDataFrame(rows, "host string, text string")
+    got = {
+        r.host: r.crawl_delay
+        for r in W.robots_crawl_delay(
+            df, "host", "text", user_agent="mybot"
+        ).collect()
+    }
+    # no-delay.com: selected mybot group lacks the knob -> omitted.
+    # stray.com: googlebot's 4 must not inherit mybot's specificity.
+    assert got == {"star-only.com": 9.0, "specific.com": 3.0}
+
+
 def test_gpt2_bytes_to_unicode_published_mapping():
     """The GPT-2 byte alphabet is spec-pinned: a 256-entry bijection,
     identity on the printable ranges, and the canonical remaps
