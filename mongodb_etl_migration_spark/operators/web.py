@@ -110,7 +110,9 @@ PUBLIC_SUFFIXES: tuple[str, ...] = (
     "mil.id", "biz.id", "my.id", "desa.id", "ponpes.id",
     # .jp / .kr / .cn / .tw / .hk / .sg / .my / .th / .vn / .ph
     "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
-    "gr.jp", "lg.jp",
+    "gr.jp", "lg.jp", "kyoto.jp", "ide.kyoto.jp",
+    # .us state registries (the publicsuffix.org test-vector shapes)
+    "ak.us", "k12.ak.us", "cc.ak.us", "lib.ak.us",
     "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "mil.kr",
     "ac.kr", "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr", "seoul.kr",
     "busan.kr",
@@ -318,11 +320,20 @@ def with_registered_domain(
     # (flag column, join-key label count, registrable label count),
     # precedence order: exceptions (longest first), then suffix
     # length descending, interleaving wildcard (base b → suffix b+1)
-    # with plain (suffix k) classes of equal suffix length
+    # with plain (suffix k) classes of equal suffix length. Label
+    # counts are DERIVED from the supplied rule set (the real PSL has
+    # 5-label private-section entries like amazonaws.com's), so any
+    # snapshot drops in without silently truncating long rules.
+    exc_lens = sorted({v.count(".") + 1 for v in exc}, reverse=True)
+    suffix_lens = sorted(
+        {v.count(".") + 2 for v in wild}
+        | {v.count(".") + 1 for v in plain},
+        reverse=True,
+    )
     classes: list[tuple[str, list[str], int, int]] = []
-    for d in (4, 3, 2):
+    for d in exc_lens:
         classes.append((f"__exc{d}", by_labels(exc, d), d, d))
-    for suffix_len in (4, 3, 2):
+    for suffix_len in suffix_lens:
         classes.append(
             (
                 f"__wild{suffix_len - 1}",

@@ -256,6 +256,118 @@ def test_psl_wildcard_and_exception_rules(spark):
     }
 
 
+def test_psl_label_counts_derived_from_rules(spark):
+    """Label-count ranges are DERIVED from the supplied rule set, not
+    hardcoded to 2-4 labels: the real PSL's private section carries
+    5-label plain entries (amazonaws.com S3 dualstack endpoints) and
+    this must produce the right eTLD+1 instead of silently falling
+    back to the 2-label default (round-7 advice)."""
+    rules = W.parse_psl(
+        "com\nco.uk\n"
+        "s3.dualstack.ap-south-1.amazonaws.com\n"  # 5-label plain
+        "*.deep.sub.example\n"                     # 3-label wildcard base
+        "!ok.deep.sub.example\n"                   # 4-label exception
+    )
+    rows = [
+        ("bucket.s3.dualstack.ap-south-1.amazonaws.com",),  # suffix+1
+        ("x.bucket.s3.dualstack.ap-south-1.amazonaws.com",),
+        ("s3.dualstack.ap-south-1.amazonaws.com",),  # IS a suffix
+        ("plain.amazonaws.com",),                    # only 'com' matches
+        ("any.deep.sub.example",),                   # wildcard suffix
+        ("host.any.deep.sub.example",),              # registers deeper
+        ("ok.deep.sub.example",),                    # exception carve-out
+        ("a.ok.deep.sub.example",),
+    ]
+    df = spark.createDataFrame(rows, "host string")
+    out = {
+        r.host: r.registered_domain
+        for r in W.with_registered_domain(df, "host", rules=rules).collect()
+    }
+    assert out == {
+        "bucket.s3.dualstack.ap-south-1.amazonaws.com":
+            "bucket.s3.dualstack.ap-south-1.amazonaws.com",
+        "x.bucket.s3.dualstack.ap-south-1.amazonaws.com":
+            "bucket.s3.dualstack.ap-south-1.amazonaws.com",
+        "s3.dualstack.ap-south-1.amazonaws.com": None,
+        "plain.amazonaws.com": "amazonaws.com",
+        "any.deep.sub.example": None,
+        "host.any.deep.sub.example": "host.any.deep.sub.example",
+        "ok.deep.sub.example": "ok.deep.sub.example",
+        "a.ok.deep.sub.example": "ok.deep.sub.example",
+    }
+
+
+def test_psl_check_public_suffix_vectors(spark):
+    """publicsuffix.org's published checkPublicSuffix test vectors
+    (libpsl test_psl.txt), restricted to the rules the vendored
+    excerpt carries: unlisted-TLD default, listed 2-label suffixes,
+    3-label plain (ide.kyoto.jp), us-state shapes (k12.ak.us),
+    wildcard *.mm / *.ck / *.kobe.jp, and exception !www.ck /
+    !city.kobe.jp. Hosts are pre-lowercased (with_registered_domain's
+    contract — url_host lowercases upstream); vectors needing rules
+    outside the excerpt (private-section uk.com etc.) are the
+    documented full-snapshot boundary."""
+    vectors = [
+        # (host, expected registrable domain) — null expectations too
+        ("com", None),
+        ("example.com", "example.com"),
+        ("www.example.com", "example.com"),
+        ("example", None),                     # unlisted TLD
+        ("example.example", "example.example"),
+        ("b.example.example", "example.example"),
+        ("biz", None),
+        ("domain.biz", "domain.biz"),
+        ("jp", None),
+        ("test.jp", "test.jp"),
+        ("www.test.jp", "test.jp"),
+        ("ac.jp", None),
+        ("test.ac.jp", "test.ac.jp"),
+        ("www.test.ac.jp", "test.ac.jp"),
+        ("kyoto.jp", None),
+        ("test.kyoto.jp", "test.kyoto.jp"),
+        ("ide.kyoto.jp", None),
+        ("b.ide.kyoto.jp", "b.ide.kyoto.jp"),
+        ("a.b.ide.kyoto.jp", "b.ide.kyoto.jp"),
+        ("c.kobe.jp", None),
+        ("b.c.kobe.jp", "b.c.kobe.jp"),
+        ("a.b.c.kobe.jp", "b.c.kobe.jp"),
+        ("city.kobe.jp", "city.kobe.jp"),
+        ("www.city.kobe.jp", "city.kobe.jp"),
+        ("us", None),
+        ("test.us", "test.us"),
+        ("www.test.us", "test.us"),
+        ("ak.us", None),
+        ("test.ak.us", "test.ak.us"),
+        ("www.test.ak.us", "test.ak.us"),
+        ("k12.ak.us", None),
+        ("test.k12.ak.us", "test.k12.ak.us"),
+        ("www.test.k12.ak.us", "test.k12.ak.us"),
+        ("cn", None),
+        ("test.cn", "test.cn"),
+        ("www.test.cn", "test.cn"),
+        ("com.cn", None),
+        ("test.com.cn", "test.com.cn"),
+        ("www.test.com.cn", "test.com.cn"),
+        ("mm", None),
+        ("c.mm", None),
+        ("b.c.mm", "b.c.mm"),
+        ("a.b.c.mm", "b.c.mm"),
+        ("ck", None),
+        ("test.ck", None),
+        ("b.test.ck", "b.test.ck"),
+        ("a.b.test.ck", "b.test.ck"),
+        ("www.ck", "www.ck"),
+        ("www.www.ck", "www.ck"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in vectors], "host string")
+    out = {
+        r.host: r.registered_domain
+        for r in W.with_registered_domain(df, "host").collect()
+    }
+    for host, expected in vectors:
+        assert out[host] == expected, (host, out[host], expected)
+
+
 def test_parse_psl_file_format():
     import pytest
 
