@@ -45,25 +45,50 @@ def record_linkage(
     levenshtein gate, so each candidate is compared exactly once.
     JVM ``levenshtein`` is integer-exact and engine-portable. Output:
     (id_a, id_b, edit_distance bigint), matched pairs only.
+
+    The two inputs may share column names (both sides using ``id`` /
+    ``name`` is the common case): each side is projected to internal
+    side-qualified columns BEFORE the join, so no bare name is ever
+    resolved against both inputs. Only ``id_a`` and ``id_b`` surface
+    in the output, so they must differ as OUTPUT names — equal id
+    column names raise up front with the fix spelled out.
     """
     if not block_passes:
         raise ValueError("at least one blocking pass is required")
+    if id_a == id_b:
+        raise ValueError(
+            f"id_a and id_b are both {id_a!r}; the output carries one "
+            "column per side, so rename one input id first "
+            "(df.withColumnRenamed)"
+        )
     cands: DataFrame | None = None
     for expr_a, expr_b in block_passes:
         pa = a.select(
-            F.col(id_a), F.col(name_a), F.expr(expr_a).alias("__bk")
+            F.col(id_a).alias("__id_a"),
+            F.col(name_a).alias("__name_a"),
+            F.expr(expr_a).alias("__bk"),
         )
         pb = b.select(
-            F.col(id_b), F.col(name_b), F.expr(expr_b).alias("__bk")
+            F.col(id_b).alias("__id_b"),
+            F.col(name_b).alias("__name_b"),
+            F.expr(expr_b).alias("__bk"),
         )
-        p = pa.join(pb, "__bk").select(id_a, id_b, name_a, name_b)
+        p = pa.join(pb, "__bk").select(
+            "__id_a", "__id_b", "__name_a", "__name_b"
+        )
         cands = p if cands is None else cands.unionByName(p)
     return (
         cands.distinct()
         .withColumn(
             "edit_distance",
-            F.levenshtein(F.col(name_a), F.col(name_b)).cast("bigint"),
+            F.levenshtein(
+                F.col("__name_a"), F.col("__name_b")
+            ).cast("bigint"),
         )
         .filter(F.col("edit_distance") <= max_edit)
-        .select(id_a, id_b, "edit_distance")
+        .select(
+            F.col("__id_a").alias(id_a),
+            F.col("__id_b").alias(id_b),
+            "edit_distance",
+        )
     )

@@ -203,3 +203,40 @@ def test_record_linkage_multipass_blocking(spark):
 
     with pytest.raises(ValueError, match="blocking pass"):
         record_linkage(a, b, "ida", "idb", "na", "nb", block_passes=[])
+
+
+def test_record_linkage_shared_column_names(spark):
+    """Both inputs using the SAME id/name column names must work —
+    sides are projected to internal qualified columns before the
+    join, so nothing resolves ambiguously (round-7 advice). Equal id
+    OUTPUT names can't both surface: loud ValueError, not a silent
+    AnalysisException downstream."""
+    import pytest
+
+    from mongodb_etl_migration_spark.operators.linkage import record_linkage
+
+    a = spark.createDataFrame([(1, "alpha")], "id long, name string")
+    b = spark.createDataFrame(
+        [(10, "alphb")], "id long, name string"
+    ).withColumnRenamed("id", "id_b")
+    out = record_linkage(
+        a,
+        b,
+        "id",
+        "id_b",
+        "name",
+        "name",  # same NAME column name on both sides: fine
+        block_passes=[("substring(name, 1, 3)", "substring(name, 1, 3)")],
+    ).collect()
+    assert [(r.id, r.id_b, r.edit_distance) for r in out] == [(1, 10, 1)]
+
+    with pytest.raises(ValueError, match="rename one input id"):
+        record_linkage(
+            a,
+            b.withColumnRenamed("id_b", "id"),
+            "id",
+            "id",
+            "name",
+            "name",
+            block_passes=[("name", "name")],
+        )
