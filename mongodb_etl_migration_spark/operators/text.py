@@ -1522,6 +1522,93 @@ def gpt2_token_count(c: Column | str, merges: list[tuple[str, str]]) -> Column:
     ).cast("bigint")
 
 
+def gpt2_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Rank-ordered symbol→id table, GPT-2's published construction
+    (openai/gpt-2 encoder.py + the shipped vocab.json): ids 0-255 are
+    the byte alphabet in bytes_to_unicode order — printable identity
+    bytes ascending first ('!'=0 … '~'=93, '¡'=94 … 'ÿ'=187), then
+    the 68 remapped bytes ascending ('Ā' (byte 0x00)=188 … so
+    'ĉ' (tab)=197, 'Ċ' (newline)=198, 'Ġ' (space)=220) — and merge k
+    creates symbol a+b with id 256+k (GPT-2's real table: 'Ġt'=256,
+    'Ġthe'=262, … '<|endoftext|>'=50256 appended last, out of scope
+    here). A merge recreating an existing symbol is malformed."""
+    vocab: dict[str, int] = {}
+    for i, ch in enumerate(gpt2_bytes_to_unicode().values()):
+        vocab[ch] = i
+    for k, (a, b) in enumerate(merges):
+        sym = a + b
+        if sym in vocab:
+            raise ValueError(
+                f"merge {k} recreates existing symbol {sym!r}"
+            )
+        vocab[sym] = 256 + k
+    return vocab
+
+
+def gpt2_token_ids(
+    c: Column | str, merges: list[tuple[str, str]]
+) -> Column:
+    """INTEGER token ids for a document — gpt2_encoded's symbol
+    string looked up through the gpt2_vocab id table as one literal
+    map (256+|merges| entries ride the plan; the executor-shipped
+    50k-vocab path is gpt2_encode_ids_batch). Returns array<int>;
+    empty documents give an empty array. Zero shuffle, zero UDF —
+    this is the layer that makes the encoder's output diffable
+    against a published tokenizer and feedable to a training stack.
+    """
+    vocab = gpt2_vocab(merges)
+    syms = list(vocab)
+    id_map = F.map_from_arrays(
+        F.lit(syms), F.lit([vocab[s] for s in syms])
+    )
+    # ONE reference to the (expensive, un-CSE'd) merge-chain column:
+    # split evaluates it once; the empty document's [''] filters away
+    # instead of a when() guard that would re-evaluate the chain.
+    enc = gpt2_encoded(c, merges)
+    return F.transform(
+        F.filter(F.split(enc, " "), lambda s: s != ""),
+        lambda s: F.element_at(id_map, s).cast("int"),
+    )
+
+
+def gpt2_encode_ids_batch(
+    df, id_col: str, text_col: str, merges: list[tuple[str, str]]
+):
+    """Arrow-batched twin of gpt2_token_ids for real ~50k-merge
+    vocabularies: the reference scanner + greedy loop + id lookup run
+    in a pandas UDF, the vocab dict shipping once per executor inside
+    the serialized function instead of as a plan literal. Output:
+    (id_col, n_tokens bigint, token_ids string — space-joined ids,
+    scalar so the driver hash gate can canonicalize it)."""
+    from pyspark.sql.functions import pandas_udf
+
+    vocab = gpt2_vocab(merges)
+
+    @pandas_udf("string")
+    def enc_ids(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                " ".join(
+                    str(vocab[s])
+                    for s in gpt2_apply_reference(t or "", merges)
+                )
+                for t in texts
+            ]
+        )
+
+    out = df.select(
+        F.col(id_col), enc_ids(F.col(text_col)).alias("token_ids")
+    )
+    return out.select(
+        id_col,
+        F.when(F.col("token_ids") == "", F.lit(0))
+        .otherwise(F.size(F.split("token_ids", " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+        "token_ids",
+    )
+
+
 def gpt2_encode_batch(
     df, id_col: str, text_col: str, merges: list[tuple[str, str]]
 ):

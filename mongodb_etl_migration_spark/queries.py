@@ -8729,6 +8729,90 @@ def t_bpe_pretok(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gpt2_vocab_sql_map() -> str:
+    """The demo vocabulary's symbol→id table as ONE DuckDB MAP
+    literal, generated from the same gpt2_vocab construction the
+    Spark plan embeds — base alphabet ids 0-255 in bytes_to_unicode
+    order, merge k → 256+k."""
+    vocab = T.gpt2_vocab(_GPT2_DEMO_MERGES)
+    syms = ", ".join("'" + s.replace("'", "''") + "'" for s in vocab)
+    ids = ", ".join(str(i) for i in vocab.values())
+    return f"MAP([{syms}], [{ids}])"
+
+
+@query(
+    "t_bpe_ids",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             replace(text, ' table', '   table')
+               || ' it' || CHR(39) || 's 1984 ready,' || chr(9)
+               || 'set.  go ' AS t2
+      FROM documents
+    ), pt AS (
+      {_GPT2_PRETOK_SQL}
+    ), m AS (
+      SELECT doc_id,
+        list_transform(toks, t ->
+          replace(replace(replace(t, ' ', 'Ġ'), chr(9), 'ĉ'),
+                  chr(10), 'Ċ')) AS mapped
+      FROM pt
+    ), e AS MATERIALIZED (
+      SELECT doc_id,
+        trim(regexp_replace(
+          array_to_string(
+            list_transform(mapped, w -> {_gpt2_sql_encode("w")}), ''),
+          ' +', ' ', 'g')) AS enc
+      FROM m
+    ), vocab AS (
+      SELECT {_gpt2_vocab_sql_map()} AS vm
+    ), ids AS (
+      SELECT doc_id,
+        list_transform(
+          list_filter(string_split(enc, ' '), s -> s <> ''),
+          s -> vm[s][1]) AS tid
+      FROM e, vocab
+    )
+    SELECT doc_id,
+           CAST(len(tid) AS BIGINT) AS n_tokens,
+           array_to_string(tid, ' ') AS token_ids
+    FROM ids
+    """,
+)
+def t_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTEGER GPT-2 token ids end-to-end (text.gpt2_token_ids +
+    gpt2_vocab): the same pretokenize → byte-alphabet → merge-chain
+    fixture as t_bpe_pretok, then every symbol looked up through the
+    rank-ordered id table (base alphabet 0-255 in bytes_to_unicode
+    order, merge k → 256+k — GPT-2 vocab.json's construction,
+    known-answer-tested against the published encoder's ids in
+    tests/test_web_text_ops.py). The id map rides the plan as one
+    literal; zero shuffle, zero UDF. The oracle rebuilds the ids with
+    the identical MAP literal over the identical merge chain, so a
+    hash match proves symbols AND ids byte-for-byte. This is the
+    layer that makes the encoder's output feedable to a training
+    stack (and diffable against published tokenizations)."""
+    d = Catalog(spark, sf_dir).documents
+    t2 = F.concat(
+        F.replace(F.col("text"), F.lit(" table"), F.lit("   table")),
+        F.lit(" it's 1984 ready,\tset.  go "),
+    )
+    fixture = d.select("doc_id", t2.alias("t2"))
+    ids = T.gpt2_token_ids("t2", _GPT2_DEMO_MERGES)
+    # Two projections so the expensive id chain is REFERENCED, not
+    # re-evaluated, by the count column (CollapseProject keeps
+    # multiply-referenced non-cheap expressions apart).
+    step = fixture.select("doc_id", F.array_join(ids, " ").alias("token_ids"))
+    return step.select(
+        "doc_id",
+        F.when(F.col("token_ids") == "", F.lit(0))
+        .otherwise(F.size(F.split("token_ids", " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+        "token_ids",
+    )
+
+
 def _bpe_train_oracle(rounds: int = 8) -> str:
     """Unrolled DuckDB mirror of text.bpe_train: the same one-pass
     word count, then per round — pair counts by zip-adjacent over the

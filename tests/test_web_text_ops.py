@@ -965,6 +965,93 @@ def test_gpt2_encode_column_and_batch_paths_agree(spark):
     assert r.encoded == "c a f Ã ©" and r.bpe_tokens == 5
 
 
+def test_gpt2_vocab_published_ids():
+    """gpt2_vocab reproduces GPT-2's published vocab.json ids: the
+    base alphabet fills 0-255 in bytes_to_unicode order ('!'=0,
+    '~'=93, '¡'=94, 'ÿ'=187, then remapped bytes — 'Ā' (0x00)=188,
+    'ĉ' (tab)=197, 'Ċ' (newline)=198, 'Ġ' (space)=220, byte
+    0xAD last=255), and merge k mints id 256+k — with the real
+    merges.txt head that makes 'Ġt'=256, 'Ġa'=257, 'he'=258,
+    'in'=259, 're'=260, 'on'=261, 'Ġthe'=262, all of which match
+    the published GPT-2 encoder's ids for those strings."""
+    import pytest
+
+    v0 = T.gpt2_vocab([])
+    assert len(v0) == 256 and sorted(v0.values()) == list(range(256))
+    assert v0["!"] == 0 and v0["~"] == 93
+    assert v0["¡"] == 94 and v0["ÿ"] == 187
+    assert v0[chr(0x100)] == 188  # byte 0x00 -> 'Ā'
+    assert v0["ĉ"] == 197 and v0["Ċ"] == 198 and v0["Ġ"] == 220
+    assert v0["A"] == 32 and v0["a"] == 64 and v0["0"] == 15
+    assert v0[chr(0x100 + 67)] == 255  # byte 0xAD, the last remap
+
+    merges = _GPT2_REAL_HEAD
+    v = T.gpt2_vocab(merges)
+    for sym, tid in [
+        ("Ġt", 256), ("Ġa", 257), ("he", 258), ("in", 259),
+        ("re", 260), ("on", 261), ("Ġthe", 262),
+    ]:
+        assert v[sym] == tid
+
+    with pytest.raises(ValueError, match="recreates"):
+        T.gpt2_vocab([("h", "e"), ("h", "e")])
+
+
+# The first 10 merges of the published GPT-2 merges.txt — enough to
+# cross-check id construction against the published encoder without
+# shipping the 50k-line file.
+_GPT2_REAL_HEAD = [
+    ("Ġ", "t"), ("Ġ", "a"), ("h", "e"), ("i", "n"), ("r", "e"),
+    ("o", "n"), ("Ġt", "he"), ("e", "r"), ("Ġ", "s"), ("a", "t"),
+]
+
+
+def test_gpt2_token_ids_known_answer_vectors(spark):
+    """Known-answer vectors against the published GPT-2 encoding,
+    restricted to strings whose full-vocabulary encoding uses only
+    merges inside the vendored head (so prefix and full table agree):
+    'he'→[258], 'in'→[259], ' the'→[262] — the ids GPT-2's shipped
+    encoder emits for those strings — plus base-alphabet bytes
+    ('!'→[0], '\\n'→[198], ' '→[220]) and construction checks where
+    the head stops short of the full table ('A at'→[32,257,83]: ' at'
+    merges (Ġ,a) then stalls, full GPT-2 would continue to 379).
+    Column and Arrow-batch paths must agree on every vector."""
+    vectors = [
+        ("he", [258]),
+        ("in", [259]),
+        (" the", [262]),
+        ("at", [265]),
+        ("!", [0]),
+        ("\n", [198]),
+        (" ", [220]),
+        ("", []),
+        ("A at", [32, 257, 83]),
+        ("the", [83, 258]),  # no (t,he) merge in the head
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(vectors)],
+        "doc_id long, text string",
+    )
+    col_ids = {
+        r.doc_id: list(r.ids)
+        for r in df.select(
+            "doc_id",
+            T.gpt2_token_ids("text", _GPT2_REAL_HEAD).alias("ids"),
+        ).collect()
+    }
+    bat = {
+        r.doc_id: (
+            [int(x) for x in r.token_ids.split(" ")] if r.token_ids else []
+        )
+        for r in T.gpt2_encode_ids_batch(
+            df, "doc_id", "text", _GPT2_REAL_HEAD
+        ).collect()
+    }
+    for i, (s, expected) in enumerate(vectors):
+        assert col_ids[i] == expected, (s, col_ids[i], expected)
+        assert bat[i] == expected, (s, bat[i], expected)
+
+
 def test_lang_id_ngram_multiscript_and_edges(spark):
     """The char-n-gram classifier separates 8 languages across three
     scripts, scores 'und' when no gram carries weight, survives NULL
