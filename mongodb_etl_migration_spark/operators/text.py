@@ -319,6 +319,171 @@ def lang_id_ngram(
     )
 
 
+# 18 more languages on top of LANG_NGRAM_WEIGHTS — Latin-script
+# morphology trigrams plus script unigrams for Cyrillic (uk/bg
+# distinguished from ru by і/ї/є and ъ), RTL (ar/he), Indic, CJK and
+# Thai. Snippet-validated: each language's fixture sentence wins its
+# own class under both the exact and the hash-bucketed scorer.
+_LANG_NGRAM_WEIGHTS_NEW: dict[str, dict[str, int]] = {
+    # nl
+    "ijk": {"nl": 3}, "van": {"nl": 2}, "aar": {"nl": 2}, "cht": {"nl": 2},
+    "oor": {"nl": 2}, "een": {"nl": 2}, "het": {"nl": 3},
+    # sv
+    "och": {"sv": 3}, "för": {"sv": 3}, "är ": {"sv": 2}, "ska": {"sv": 2},
+    " på": {"sv": 2}, "att": {"sv": 2}, "ill": {"sv": 1},
+    # da
+    "og ": {"da": 3}, "ede": {"da": 2}, "rne": {"da": 2}, " af": {"da": 2},
+    "ikk": {"da": 2}, "hvo": {"da": 2}, "kke": {"da": 2},
+    # fi
+    "ssä": {"fi": 3}, "nen": {"fi": 3}, "ksi": {"fi": 2}, "ään": {"fi": 3},
+    "elä": {"fi": 2}, "kin": {"fi": 1}, "uom": {"fi": 2},
+    # pl
+    "ość": {"pl": 3}, "rze": {"pl": 2}, "czy": {"pl": 2}, "ych": {"pl": 2},
+    "ła ": {"pl": 2}, "ów ": {"pl": 2}, "ąż": {"pl": 3},
+    # cs
+    "ení": {"cs": 3}, "ách": {"cs": 2}, "pře": {"cs": 2}, "ský": {"cs": 3},
+    "že ": {"cs": 2}, "ost": {"cs": 1}, "ř": {"cs": 3},
+    # ro
+    "ul ": {"ro": 2}, "ște": {"ro": 3}, " și": {"ro": 3}, "și ": {"ro": 2},
+    "ără": {"ro": 2}, "în ": {"ro": 2}, "ţ": {"ro": 2}, "ț": {"ro": 3},
+    # hu
+    "gy ": {"hu": 2}, "sze": {"hu": 2}, "ész": {"hu": 2}, "ban": {"hu": 3},
+    "nak": {"hu": 2}, "min": {"hu": 1}, "ő": {"hu": 3},
+    # tr
+    "lar": {"tr": 3}, "yor": {"tr": 3}, "bir": {"tr": 3}, "ını": {"tr": 2},
+    "ş": {"tr": 2}, "ğ": {"tr": 3}, "ı": {"tr": 2},
+    # uk / bg (on top of the ru rows in the base table)
+    "і": {"uk": 3}, "ї": {"uk": 3}, "є": {"uk": 3}, "ння": {"uk": 2},
+    "ъ": {"bg": 3}, "ите": {"bg": 2}, "ата": {"bg": 2}, "ият": {"bg": 2},
+    # ar / he
+    "ا": {"ar": 2}, "ل": {"ar": 2}, "م": {"ar": 2}, " ال": {"ar": 3},
+    "ة": {"ar": 3},
+    "א": {"he": 2}, "ש": {"he": 2}, "ה": {"he": 2}, "ת": {"he": 2},
+    "ב": {"he": 1},
+    # hi
+    "क": {"hi": 2}, "ह": {"hi": 2}, "म": {"hi": 2}, "न": {"hi": 2},
+    "र": {"hi": 2}, "स": {"hi": 2},
+    # ja / ko / zh / th
+    "の": {"ja": 3}, "に": {"ja": 2}, "は": {"ja": 2}, "を": {"ja": 3},
+    "で": {"ja": 2}, "た": {"ja": 2},
+    "이": {"ko": 2}, "다": {"ko": 2}, "는": {"ko": 2}, "을": {"ko": 3},
+    "에": {"ko": 2}, "하": {"ko": 2},
+    "的": {"zh": 3}, "是": {"zh": 2}, "了": {"zh": 2}, "在": {"zh": 2},
+    "人": {"zh": 2}, "有": {"zh": 2},
+    "ก": {"th": 2}, "า": {"th": 2}, "ร": {"th": 2}, "น": {"th": 2},
+    "ม": {"th": 2}, "ย": {"th": 2},
+}
+
+# The 26-language table: base 8 languages' rows merged with the new
+# 18 (a gram weighted by several languages keeps every weight —
+# Hebrew 'ל' shares its codepoint with nothing, but Latin trigrams
+# like 'che' legitimately score both it and de-adjacent text).
+LANG_NGRAM_WEIGHTS_EXT: dict[str, dict[str, int]] = {}
+for _g, _d in list(LANG_NGRAM_WEIGHTS.items()) + list(
+    _LANG_NGRAM_WEIGHTS_NEW.items()
+):
+    LANG_NGRAM_WEIGHTS_EXT.setdefault(_g, {}).update(_d)
+
+
+def lang_gram_bucket_py(gram: str, buckets: int) -> int:
+    """Driver-side twin of the plan's gram-bucket expression:
+    md5(utf8)'s first 15 hex digits as a 60-bit int, mod buckets —
+    the same construction both engines evaluate (Spark conv/substring
+    /md5, DuckDB CAST('0x'||substring(md5(..)))), so the weight
+    relation built here and the per-gram buckets computed there
+    always agree."""
+    import hashlib
+
+    return int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:15], 16) % buckets
+
+
+def lang_id_hashed(
+    df,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, dict[str, int]] | None = None,
+    buckets: int = 8192,
+):
+    """lang_id_ngram with fastText's HASHING TRICK (Joulin et al.
+    2016 §2.1): grams hash into a FIXED 2^k-bucket feature space, so
+    the broadcast weight relation is at most ``buckets`` rows no
+    matter how large the vocabulary grows — the piece that lets a
+    real ~1M-gram fastText lid model ride the same plan with a
+    bounded broadcast. Colliding grams SHARE a bucket (their weights
+    sum — fastText's documented trade-off), deterministically in both
+    engines because bucketing is the md5-based 60-bit hash both
+    evaluate identically.
+
+    Plan shape is lang_id_ngram's exactly: narrow gram explode → one
+    bucket projection → inner join ONE broadcast relation (bucket,
+    per-language weight columns) → map-side-combined per-document
+    sums → argmax; the ONLY exchange carries one (doc, k sums) row
+    per document per map task. The zero-hit sentinel rides bucket -1
+    (unproducible: real buckets are non-negative).
+
+    Output: (id_col, lang_pred string, lang_score bigint)."""
+    weights = LANG_NGRAM_WEIGHTS_EXT if weights is None else weights
+    if "" in weights:
+        raise ValueError("weights must not contain the empty-string gram")
+    if buckets <= 0:
+        raise ValueError("buckets must be positive")
+    langs = sorted({lang for d in weights.values() for lang in d})
+    # bucketed weight relation: collisions sum per (bucket, language)
+    bw: dict[int, dict[str, int]] = {}
+    for g, d in weights.items():
+        b = lang_gram_bucket_py(g, buckets)
+        slot = bw.setdefault(b, {})
+        for lang, wv in d.items():
+            slot[lang] = slot.get(lang, 0) + int(wv)
+    spark = df.sparkSession
+    schema = "bucket long, " + ", ".join(f"s_{lang} long" for lang in langs)
+    rows = [
+        tuple([b] + [slot.get(lang, 0) for lang in langs])
+        for b, slot in sorted(bw.items())
+    ] + [tuple([-1] + [0] * len(langs))]
+    w = spark.createDataFrame(rows, schema)
+    staged = df.select(F.col(id_col), lang_norm(text_col).alias("__s"))
+    ex = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                F.array(F.lit("")),
+                F.coalesce(
+                    lang_grams_of(F.col("__s")),
+                    F.array().cast("array<string>"),
+                ),
+            )
+        ).alias("gram"),
+    )
+    bucketed = ex.select(
+        F.col(id_col),
+        F.when(F.col("gram") == "", F.lit(-1).cast("long"))
+        .otherwise(
+            F.pmod(
+                F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast(
+                    "bigint"
+                ),
+                F.lit(buckets),
+            )
+        )
+        .alias("bucket"),
+    )
+    summed = (
+        bucketed.join(F.broadcast(w), "bucket")
+        .groupBy(id_col)
+        .agg(*[F.sum(f"s_{lang}").alias(f"s_{lang}") for lang in langs])
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    pred: Column = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    return summed.select(
+        id_col,
+        pred.alias("lang_pred"),
+        F.greatest(best, F.lit(0)).cast("bigint").alias("lang_score"),
+    )
+
+
 def fingerprint(c: Column | str, toks: Column | None = None) -> Column:
     """Canonical document fingerprint: md5 over the sorted distinct
     token set — robust to word order/duplication (near-canonical form

@@ -2475,6 +2475,137 @@ def _lang_ngram_oracle() -> str:
     """
 
 
+# One snippet per language for the 26-language hashed classifier —
+# the same 8 as _LANG_SNIPPETS plus 18 more, each validated to win
+# its own class under the exact AND the hash-bucketed scorer.
+_LANG_SNIPPETS_EXT: dict[str, str] = {
+    **_LANG_SNIPPETS,
+    "nl": "van het jaar naar een mooie nacht waar wij een licht zien door de deur",
+    "sv": "och det är en dag för alla som ska gå på torget för att tala om saker",
+    "da": "og det er en af de bedste dage hvor børnene ikke talede om det der skete",
+    "fi": "yksi suomalainen nainen istuu kokonaan hiljaa ja miettii elämää päässään",
+    "pl": "to była wielka radość bo trzeba czytać książki ubiegłych lat i mistrzów",
+    "cs": "vzdělání a umění je pro český národ důležité že přes všechna léta v knihách",
+    "ro": "orașul este frumos și cultura crește în fiecare an și copiii învață carte",
+    "hu": "a házban van egy ember aki szeret beszélni az egész országnak mindenről",
+    "tr": "bu bir güzel gün ve insanlar şehirde yürüyor çocuklar okula gidiyor",
+    "uk": "кожна людина має право на життя і освіту їхнє майбутнє є важливим",
+    "bg": "пътят към града е дълъг и хората от съвета гледат децата в парка",
+    "ar": "الكتاب على الطاولة في المدينة القديمة مع الناس",
+    "he": "הספר על השולחן בעיר העתיקה עם האנשים והילדים",
+    "hi": "किताब मेज पर है और शहर में बहुत सारे लोग रहते हैं",
+    "ja": "この町の人はとても親切で毎日公園を歩いています",
+    "ko": "이 도시는 아름답고 사람들이 공원에서 산책을 합니다",
+    "zh": "这个城市的人们都很友好他们每天在公园里散步是很好的",
+    "th": "เมืองนี้สวยงามมากและผู้คนเดินเล่นในสวนทุกวัน",
+}
+
+_LANG_HASH_BUCKETS = 8192
+
+
+def _lang_hashed_oracle() -> str:
+    """DuckDB mirror of text.lang_id_hashed over the 26-language
+    snippet fixture: identical padding/gram extraction, the identical
+    md5-60-bit bucket expression, and the SAME bucketed weight
+    relation (collisions pre-summed in Python by the same
+    lang_gram_bucket_py both sides use). LEFT JOIN + coalesce is the
+    oracle's twin of Spark's sentinel-bucket row."""
+    B = _LANG_HASH_BUCKETS
+    weights = T.LANG_NGRAM_WEIGHTS_EXT
+    langs = sorted({l for d in weights.values() for l in d})
+    bw: dict[int, dict[str, int]] = {}
+    for g, d in weights.items():
+        b = T.lang_gram_bucket_py(g, B)
+        slot = bw.setdefault(b, {})
+        for l, wv in d.items():
+            slot[l] = slot.get(l, 0) + int(wv)
+    rows = ", ".join(
+        "(" + ", ".join(
+            [str(b)] + [str(slot.get(l, 0)) for l in langs]
+        ) + ")"
+        for b, slot in sorted(bw.items())
+    )
+    cols = ", ".join(f"s_{l}" for l in langs)
+    sums = ", ".join(f"coalesce(sum(w.s_{l}), 0) AS s_{l}" for l in langs)
+    greatest = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
+    n = len(_LANG_SNIPPETS_EXT)
+    snip = " ".join(
+        f"WHEN {i} THEN '{_LANG_SNIPPETS_EXT[l]}'"
+        for i, l in enumerate(sorted(_LANG_SNIPPETS_EXT))
+    )
+    return rf"""
+    WITH d AS (
+      SELECT doc_id,
+             (CASE doc_id % {n} {snip} END) || ' ' || CAST(doc_id AS VARCHAR)
+               AS t2
+      FROM documents
+    ), nrm AS (
+      SELECT doc_id,
+             ' ' || trim(regexp_replace(lower(t2), '\s+', ' ', 'g')) || ' '
+               AS s
+      FROM d
+    ), g AS (
+      SELECT doc_id, unnest(list_concat(
+        CASE WHEN length(s) >= 3
+             THEN list_transform(range(1, length(s)-1),
+                                 i -> substring(s, i, 3))
+             ELSE CAST([] AS VARCHAR[]) END,
+        list_transform(range(1, length(s)+1),
+                       i -> substring(s, i, 1)))) AS gram
+      FROM nrm
+    ), bk AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) % {B}
+               AS bucket
+      FROM g
+    ), w(bucket, {cols}) AS (VALUES {rows}),
+    agg AS (
+      SELECT doc_id, {sums}
+      FROM bk LEFT JOIN w USING (bucket)
+      GROUP BY doc_id
+    ), scored AS (
+      SELECT doc_id, {greatest} AS best, * FROM agg
+    )
+    SELECT doc_id,
+           CASE WHEN best <= 0 THEN 'und' {case} END AS lang_pred,
+           CAST(greatest(best, 0) AS BIGINT) AS lang_score
+    FROM scored
+    """
+
+
+@query("t_lang_id_hashed", _lang_hashed_oracle())
+def t_lang_id_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID with fastText's HASHING TRICK
+    (text.lang_id_hashed): grams hash into a fixed 2^13-bucket
+    feature space, so the broadcast weight relation is bounded by the
+    bucket count no matter how large the vocabulary grows — the
+    26-language table (Latin, Cyrillic incl. uk/bg vs ru, Greek,
+    Arabic, Hebrew, Devanagari, CJK, Thai) broadcasts as ~130 bucket
+    rows and a real ~1M-gram fastText lid model would broadcast as at
+    most 8192. Same single-exchange plan as t_lang_id (narrow gram
+    explode → bucket projection → one broadcast join → map-side
+    combined sums); bucketing is the md5 60-bit hash both engines
+    evaluate identically, so collisions (fastText's documented
+    trade-off) are deterministic and the oracle reproduces them
+    bit-for-bit."""
+    d = Catalog(spark, sf_dir).documents
+    langs = sorted(_LANG_SNIPPETS_EXT)
+    snip: F.Column | None = None
+    for i, lang in enumerate(langs):
+        w = (F.col("doc_id") % len(langs) == i, F.lit(_LANG_SNIPPETS_EXT[lang]))
+        snip = F.when(*w) if snip is None else snip.when(*w)
+    fixture = d.select(
+        "doc_id",
+        F.concat(snip, F.lit(" "), F.col("doc_id").cast("string")).alias(
+            "t2"
+        ),
+    )
+    return T.lang_id_hashed(
+        fixture, "doc_id", "t2", buckets=_LANG_HASH_BUCKETS
+    )
+
+
 def _quality_sql(toks: str = "toks", text: str = "text") -> str:
     """DuckDB expression mirroring operators.text.quality_score —
     same component formulas, same weights, same final round."""

@@ -1052,6 +1052,42 @@ def test_gpt2_token_ids_known_answer_vectors(spark):
         assert bat[i] == expected, (s, bat[i], expected)
 
 
+def test_lang_id_hashed_26_languages(spark):
+    """The hash-bucketed classifier separates all 26 languages of the
+    extended table (Latin morphology, uk/bg vs ru inside Cyrillic,
+    RTL, Indic, CJK, Thai) on their fixture snippets; zero-weight
+    text scores 'und'; the broadcast weight relation stays bounded by
+    the bucket count; and the plan keeps lang_id_ngram's shape — ONE
+    exchange (the per-doc aggregate), one broadcast join."""
+    from mongodb_etl_migration_spark.queries import _LANG_SNIPPETS_EXT
+
+    langs = sorted(_LANG_SNIPPETS_EXT)
+    assert len(langs) == 26
+    rows = [(i, _LANG_SNIPPETS_EXT[lang]) for i, lang in enumerate(langs)]
+    rows.append((99, "0123 4567 89"))  # digits only -> und (modulo
+    # deterministic bucket collisions, absent for this string)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.lang_id_hashed(df, "doc_id", "text")
+    got = {r.doc_id: (r.lang_pred, r.lang_score) for r in out.collect()}
+    for i, lang in enumerate(langs):
+        assert got[i][0] == lang, (lang, got[i])
+        assert got[i][1] > 0
+    assert got[99] == ("und", 0)
+    # bounded broadcast: weight relation rows <= buckets + sentinel
+    assert len(T.LANG_NGRAM_WEIGHTS_EXT) > 100  # vocabulary grew...
+    # AQE plan strings repeat the tree under '== Initial Plan ==';
+    # count only the final section
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # ...but the plan still has exactly one shuffle and one broadcast
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("BroadcastHashJoin") == 1
+
+
 def test_lang_id_ngram_multiscript_and_edges(spark):
     """The char-n-gram classifier separates 8 languages across three
     scripts, scores 'und' when no gram carries weight, survives NULL
