@@ -212,6 +212,25 @@ def wait_for_idle(threshold: float = 2.0, max_wait_s: int = 180) -> dict:
     }
 
 
+# Whole-RUN load accounting (round-6 verdict: the entry gate passed at
+# 1.89 but load hit 4.05 mid-run and every query drifted +7-30% with
+# byte-identical shuffles). A warm run is CLEAN when the 1-minute load
+# at both its start and end sits under CLEAN_LOAD — set above the
+# bench's own self-load (local[32] bursts add ~2-4 to the 1-min
+# average) and below the round-5 incident's 9.2. Queries with no clean
+# warm run get ONE bounded retry pass after a cool-down, and every
+# run's (pre, post, sec) lands in BENCH_detail so a drifted round is
+# attributable without archaeology.
+CLEAN_LOAD = 5.0
+
+
+def timed_run(name: str, spark, sf_dir: str) -> tuple[float, float, float]:
+    pre = os.getloadavg()[0]
+    sec = run_once(name, spark, sf_dir)
+    post = os.getloadavg()[0]
+    return sec, round(pre, 2), round(post, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -225,21 +244,46 @@ def main() -> None:
     scan_tasks: dict[str, int] = {}
     gc_ms: dict[str, int] = {}
     cpu_ms: dict[str, int] = {}
+    run_loads: dict[str, list] = {}
     for name in HEADLINE:
         run_once(name, spark, sf_dir)  # cold (JIT, file listing)
         w0, r0 = ui.shuffle_totals()
         sid0 = ui.max_stage_id()
         g0, c0 = ui.gc_cpu_totals()
-        warm1 = run_once(name, spark, sf_dir)
+        warm1, p1, q1 = timed_run(name, spark, sf_dir)
         w1, r1 = ui.shuffle_totals()
         g1, c1 = ui.gc_cpu_totals()
         shuffles[name] = (w1 - w0) + (r1 - r0)
         scan_tasks[name] = ui.scan_tasks_since(sid0)
         gc_ms[name] = g1 - g0
         cpu_ms[name] = c1 - c0
-        warm2 = run_once(name, spark, sf_dir)
-        warm3 = run_once(name, spark, sf_dir)
+        warm2, p2, q2 = timed_run(name, spark, sf_dir)
+        warm3, p3, q3 = timed_run(name, spark, sf_dir)
+        run_loads[name] = [
+            [p1, q1, round(warm1, 3)],
+            [p2, q2, round(warm2, 3)],
+            [p3, q3, round(warm3, 3)],
+        ]
         timings[name] = round(min(warm1, warm2, warm3), 3)
+
+    # Retry pass: a query none of whose warm runs was clean re-times
+    # once after a bounded cool-down; the minimum over ALL its runs
+    # (original + retry) is reported.
+    def has_clean_run(name: str) -> bool:
+        return any(max(pre, post) < CLEAN_LOAD for pre, post, _ in run_loads[name])
+
+    retried: list[str] = []
+    dirty = [n for n in HEADLINE if not has_clean_run(n)]
+    if dirty:
+        waited = 0
+        while os.getloadavg()[0] >= CLEAN_LOAD and waited < 90:
+            time.sleep(10)
+            waited += 10
+        for name in dirty:
+            sec, pre, post = timed_run(name, spark, sf_dir)
+            run_loads[name].append([pre, post, round(sec, 3)])
+            timings[name] = round(min(timings[name], sec), 3)
+            retried.append(name)
 
     total = round(sum(timings.values()), 3)
     # Diagnostic blobs go to a SIDECAR file, not the stdout line: the
@@ -262,10 +306,17 @@ def main() -> None:
         # slower) — compare rounds at comparable load_avg.
         "load_avg_1m": round(os.getloadavg()[0], 2),
         "load_gate": load_gate,
+        # whole-run load receipts: per query, every timed run's
+        # [load_pre, load_post, sec]; clean = both under CLEAN_LOAD
+        "run_loads": run_loads,
+        "clean_load_threshold": CLEAN_LOAD,
+        "retried_after_cooldown": retried,
         # timing policy, so round-over-round deltas are
         # attributable: per query 1 untimed cold run (JIT,
         # file listing, broadcast warmup) then MIN of 3 warm
-        # (local-mode box noise swung ±50% round-over-round)
+        # (local-mode box noise swung ±50% round-over-round),
+        # plus one post-cooldown retry for queries with no
+        # clean run
         "warmup_runs": 1,
         "timed_runs": 3,
         "aggregation": "min",

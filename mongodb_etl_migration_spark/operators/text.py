@@ -1173,6 +1173,19 @@ def duplicated_spans(
     over the per-document position exchange. Integer-exact
     throughout, so the oracle reproduces spans bit-for-bit.
 
+    DETECTION BOUND (vs. suffix-array ExactSubstr): ``k`` is the
+    minimum duplicate length — a duplicated run SHORTER than k tokens
+    produces no k-window and is invisible by construction (planted
+    and pinned in the t_dup_spans oracle), and boundaries are
+    token-aligned (character-level matches crossing token boundaries
+    round inward to whole tokens). Lee et al.'s suffix-array build
+    uses a 50-BYTE threshold; the equivalent knob here is a smaller
+    ``k`` — the gram transform stays one md5 per token position at
+    any k, so tightening the bound costs nothing in plan shape.
+    Reported spans are maximal UNIONS of qualifying windows, so a
+    span's length is always ≥ k and its content duplicated
+    window-wise, not necessarily as one contiguous corpus-wide match.
+
     Output: (id_col, span_start, span_end, span_tokens) — 1-based
     inclusive token positions of each merged duplicated span.
     """

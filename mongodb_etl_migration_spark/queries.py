@@ -7499,6 +7499,8 @@ def g_hits_web(spark: SparkSession, sf_dir: str) -> DataFrame:
         CASE WHEN doc_id % 4 = 0 THEN text || ' ' || text
              WHEN doc_id % 6 = 3 THEN text ||
                ' subscribe to our newsletter for daily updates today'
+             WHEN doc_id % 6 = 5 THEN text ||
+               ' all rights reserved worldwide 2024'
              ELSE text END AS text2
       FROM documents
     ), toks AS (
@@ -7543,10 +7545,17 @@ def t_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     plants both failure modes a real corpus has — every 4th doc's
     text doubled (within-doc self-duplication → one giant span) and
     every doc_id%6==3 doc carrying a shared 9-token boilerplate tail
-    (cross-doc duplication → a small terminal span). Corpus counts
-    ride one fingerprint exchange (window, no self-join); the island
-    merge is two windows over the per-doc position exchange —
-    integer-exact, spans reproduced bit-for-bit by the oracle."""
+    (cross-doc duplication → a small terminal span) — plus the
+    DOCUMENTED DETECTION BOUND: every doc_id%6==5 doc carries a
+    shared 5-token tail, SHORTER than k=8, which must produce NO span
+    (no 8-window fits inside it; the windows reaching back into the
+    unique document body occur once). The oracle carries the same
+    plant, so the hash gate pins the bound's behavior cross-engine —
+    catching sub-k duplicates is duplicated_spans' k knob, not a
+    bigger fixture. Corpus counts ride one fingerprint exchange
+    (window, no self-join); the island merge is two windows over the
+    per-doc position exchange — integer-exact, spans reproduced
+    bit-for-bit by the oracle."""
     d = Catalog(spark, sf_dir).documents
     src = d.select(
         "doc_id",
@@ -7561,6 +7570,13 @@ def t_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(
                     " subscribe to our newsletter for daily updates today"
                 ),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 5,
+            F.concat(
+                F.col("text"),
+                F.lit(" all rights reserved worldwide 2024"),
             ),
         )
         .otherwise(F.col("text"))

@@ -239,6 +239,14 @@ def main() -> None:
         lm = timed(ui, lid)
         lm["docs"] = lid.count()
 
+        # Hash-bucketed variant: the broadcast relation is FIXED at
+        # <= 2^13 bucket rows no matter the vocabulary; same
+        # single-exchange plan, so shuffle must track lang_id_ngram's
+        # (linear in docs).
+        lidh = T.lang_id_hashed(docs, "doc_id", "text")
+        lhm = timed(ui, lidh)
+        lhm["docs"] = lidh.count()
+
         # Paragraph dedup at scale: every doc carries one corpus-wide
         # boilerplate line plus its body line. The corpus's replica
         # suffixes are DIGITS, which CCNet normalization strips — so
@@ -320,6 +328,7 @@ def main() -> None:
             "sim_pq_encode": pqm,
             "t_bpe_train": bt,
             "t_lang_id": lm,
+            "t_lang_id_hashed": lhm,
             "g_pagerank": gp,
             "g_hits": gh,
             "t_paragraph_dedup": pdm,
@@ -410,6 +419,13 @@ def main() -> None:
         "lang_id_shuffle_growth_at_10x_corpus": round(
             x["t_lang_id"]["shuffle_bytes"]
             / max(1, b["t_lang_id"]["shuffle_bytes"]),
+            2,
+        ),
+        # same claim for the hash-bucketed variant (fixed 2^13-bucket
+        # broadcast relation, identical plan shape)
+        "lang_id_hashed_shuffle_growth_at_10x_corpus": round(
+            x["t_lang_id_hashed"]["shuffle_bytes"]
+            / max(1, b["t_lang_id_hashed"]["shuffle_bytes"]),
             2,
         ),
         # PQ encode is shuffle-FREE by construction at every size

@@ -612,6 +612,32 @@ def test_duplicated_spans_exact_intervals(spark):
     }
 
 
+def test_duplicated_spans_sub_k_bound(spark):
+    """The documented detection bound: a duplicated run SHORTER than
+    k tokens produces no k-window and is invisible at that k — and
+    the remedy is the k knob, not a different algorithm: the same
+    corpus at k=4 reports exactly the planted 5-token tails."""
+    tail5 = " all rights reserved worldwide 2024"
+    df = spark.createDataFrame(
+        [
+            (1, "first document has its own body text entirely" + tail5),
+            (2, "second body goes differently with other words" + tail5),
+        ],
+        "doc_id long, text string",
+    )
+    # k=8: the 5-token shared tail can't fill an 8-window; windows
+    # reaching back into the (unique) bodies occur once -> NO spans
+    assert T.duplicated_spans(df, "doc_id", "text", k=8).count() == 0
+    # k=4: both 4-windows inside the tail duplicate across docs and
+    # merge to the 5-token terminal span (1-based; doc 1's body is 8
+    # tokens, doc 2's is 7, so the tails start at 9 and 8)
+    spans = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in T.duplicated_spans(df, "doc_id", "text", k=4).collect()
+    }
+    assert spans == {(1, 9, 13, 5), (2, 8, 12, 5)}
+
+
 def test_html_links_title_and_link_graph(spark):
     html = (
         '<html><head><title>  My\n  Page </title>'
