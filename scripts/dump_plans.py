@@ -409,6 +409,21 @@ NOTES = {
         "(per-partition top-k heaps + driver merge) — at 100 TB the "
         "scan reads m bytes of codes per vector, never d floats."
     ),
+    "t_lang_id_hashed": (
+        "Hashing-trick language ID: t_lang_id's exact shape — narrow "
+        "gram explode, ONE BroadcastHashJoin, map-side-combined sums "
+        "on the sole Exchange — but the join key is the md5 60-bit "
+        "bucket, so the broadcast relation is bounded by 2^13 rows "
+        "at ANY vocabulary size (the fastText ~1M-gram regime rides "
+        "the same plan)."
+    ),
+    "t_bpe_ids": (
+        "GPT-2 integer token ids: t_bpe_pretok's zero-shuffle encode "
+        "chain plus ONE literal map lookup per symbol (look for the "
+        "map_from_arrays literal) — the expensive merge chain is "
+        "referenced once (split -> filter -> transform), never "
+        "re-evaluated, and the id table never joins."
+    ),
 }
 
 
