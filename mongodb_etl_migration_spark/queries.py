@@ -3669,6 +3669,69 @@ def o3_limit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle() -> str:
+    """DuckDB mirror of o6_zorder_layout: the identical Morton
+    interleave (layout.zvalue_sql — same term order, same BIGINT
+    shift/AND/OR), exact boundary percentiles via quantile_cont (the
+    a10-proven bit-match for Spark's percentile), file assignment by
+    the same literal-boundary comparisons, then per-file min/max
+    bounds."""
+    from mongodb_etl_migration_spark.operators.layout import zvalue_sql
+
+    zv = zvalue_sql(["(o_custkey % 1024)", "(o_orderkey % 1024)"], 10)
+    ps = ", ".join(str(i / 8) for i in range(1, 8))
+    return f"""
+    WITH z AS (
+      SELECT CAST(o_custkey % 1024 AS BIGINT) AS d1,
+             CAST(o_orderkey % 1024 AS BIGINT) AS d2,
+             {zv} AS zval
+      FROM orders
+    ), q AS (
+      SELECT quantile_cont(CAST(zval AS DOUBLE), [{ps}]) AS b FROM z
+    ), f AS (
+      SELECT d1, d2, zval,
+             CAST(1 + len(list_filter(q.b,
+               x -> CAST(zval AS DOUBLE) > x)) AS BIGINT) AS file_id
+      FROM z, q
+    )
+    SELECT file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(d1) AS BIGINT) AS min_d1,
+           CAST(max(d1) AS BIGINT) AS max_d1,
+           CAST(min(d2) AS BIGINT) AS min_d2,
+           CAST(max(d2) AS BIGINT) AS max_d2,
+           CAST(min(zval) AS BIGINT) AS min_zval,
+           CAST(max(zval) AS BIGINT) AS max_zval
+    FROM f GROUP BY file_id
+    """
+
+
+@query("o6_zorder_layout", _zorder_oracle())
+def o6_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) multi-dimensional clustering
+    (layout.zvalue/zorder_layout/layout_pruning_stats) — the
+    Delta/Iceberg OPTIMIZE ZORDER BY technique: interleaving the bits
+    of (customer bucket, order bucket) into one BIGINT and laying
+    files out as equal-depth Z-ranges bounds BOTH dimensions' min/max
+    within every file, so parquet data skipping prunes on either
+    predicate (a single-column sort prunes on one). The interleave is
+    pure codegen bit arithmetic; file boundaries are exact
+    percentiles collapsing to ONE bounded driver row (no global
+    window — t_quality_cutoff's two-pass shape; approx_percentile is
+    the 100 TB swap-in); the per-file min/max receipt is one
+    partial-agg exchange. Oracle reproduces Z-values, boundaries, and
+    bounds bit-for-bit."""
+    from mongodb_etl_migration_spark.operators import layout as LO
+
+    o = Catalog(spark, sf_dir).orders
+    dims = o.select(
+        (F.col("o_custkey") % 1024).cast("bigint").alias("d1"),
+        (F.col("o_orderkey") % 1024).cast("bigint").alias("d2"),
+    )
+    laid = LO.zorder_layout(dims, ["d1", "d2"], bits=10, n_files=8)
+    return LO.layout_pruning_stats(laid, ["d1", "d2", "zval"])
+
+
 @query(
     "a8_depth_groups",
     f"""
