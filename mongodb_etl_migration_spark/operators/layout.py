@@ -10,7 +10,10 @@ technique behind Delta/Iceberg OPTIMIZE ZORDER BY; Morton 1966).
 
 Everything here is integer-exact bit arithmetic (shiftleft/OR over
 BIGINT), so the DuckDB oracle reproduces Z-values bit-for-bit and the
-layout receipt (per-file min/max bounds) is deterministic.
+layout receipt (per-file min/max bounds) is deterministic. This is
+the single Morton implementation: sources/writers.zorder_key wraps
+``zvalue`` with float min/max scaling, and the write-side sink is
+sources/writers.write_zordered (range shuffle + in-partition sort).
 """
 
 from __future__ import annotations
@@ -97,30 +100,6 @@ def zorder_layout(
             F.col(out_col).cast("double") > F.lit(float(b)), 1
         ).otherwise(0)
     return z.withColumn(file_col, fid.cast("bigint"))
-
-
-def zorder_write(
-    df: DataFrame,
-    path: str,
-    cols: list[Column | str],
-    bits: int = 16,
-    n_files: int = 8,
-) -> None:
-    """Z-ordered parquet write: range-partition on the Z-value (one
-    exchange, equal-depth file boundaries from range-partitioner
-    sampling) and sort within each partition, so every file covers a
-    compact Z-range and per-file min/max bounds every interleaved
-    dimension. The skipping then happens for free in any engine that
-    reads parquet row-group statistics."""
-    zv = zvalue(cols, bits).alias("__z")
-    (
-        df.withColumn("__z", zv)
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
 
 
 def layout_pruning_stats(

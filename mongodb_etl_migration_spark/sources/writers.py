@@ -110,29 +110,37 @@ def zorder_key(
 
     Pure Column bit arithmetic (shiftleft/bitwiseOR loops unrolled at
     plan-build time) — whole-stage-codegen'd, no UDF. ``len(cols) *
-    bits`` must stay ≤ 63 (signed long)."""
-    k = len(cols)
-    if k * bits > 63:
-        raise ValueError(f"{k} cols x {bits} bits exceeds a signed long")
+    bits`` must stay ≤ 63 (signed long). The interleave itself is
+    operators/layout.zvalue (the single Morton implementation, with a
+    bit-exact DuckDB twin and the o6_zorder_layout driver oracle);
+    this wrapper adds the float min/max scaling a real-valued column
+    needs before bucketing."""
+    from mongodb_etl_migration_spark.operators.layout import zvalue
+
     top = (1 << bits) - 1
-    z: Column = F.lit(0).cast("long")
-    for j, (c, (lo, hi)) in enumerate(zip(cols, minmax)):
+    scaled_cols: list[Column] = []
+    for c, (lo, hi) in zip(cols, minmax):
         col = F.col(c) if isinstance(c, str) else c
         span = float(hi) - float(lo)
         if span <= 0:
-            continue  # constant column contributes nothing
-        scaled = F.least(
-            F.lit(top).cast("long"),
-            F.greatest(
-                F.lit(0).cast("long"),
-                ((col.cast("double") - F.lit(float(lo))) / F.lit(span) * top)
-                .cast("long"),
-            ),
+            # constant column: contributes nothing (all-zero bits),
+            # but keeps its interleave position
+            scaled_cols.append(F.lit(0).cast("long"))
+            continue
+        scaled_cols.append(
+            F.least(
+                F.lit(top).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    (
+                        (col.cast("double") - F.lit(float(lo)))
+                        / F.lit(span)
+                        * top
+                    ).cast("long"),
+                ),
+            )
         )
-        for i in range(bits):
-            bit = F.shiftright(scaled, i).bitwiseAND(F.lit(1).cast("long"))
-            z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
-    return z
+    return zvalue(scaled_cols, bits)
 
 
 def write_zordered(

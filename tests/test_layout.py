@@ -80,21 +80,29 @@ def test_zorder_layout_bounds_every_dimension(spark):
     assert all(r.max_d1 - r.min_d1 == 31 for r in rstats)
 
 
-def test_zorder_write_files_are_z_ranges(spark, tmp_path):
-    """zorder_write's parquet files cover disjoint compact Z-ranges:
-    reading back with input_file_name, per-file zval intervals don't
-    overlap (so parquet min/max stats prune any zval — and with it
-    any interleaved-dimension — predicate)."""
+def test_write_zordered_files_are_z_ranges(spark, tmp_path):
+    """The z-ordered sink's parquet files cover disjoint compact
+    Z-ranges: reading back with input_file_name, per-file Z-key
+    intervals don't overlap (so parquet min/max stats prune any
+    interleaved-dimension predicate). Uses the writer's own key
+    (writers.zorder_key — which delegates its interleave to
+    layout.zvalue) so the check reflects exactly what was written."""
+    from mongodb_etl_migration_spark.sources.writers import (
+        write_zordered,
+        zorder_key,
+    )
+
     grid = spark.range(32 * 32).select(
         (F.col("id") % 32).alias("d1"),
         (F.col("id") / 32).cast("long").alias("d2"),
     )
     out = str(tmp_path / "zordered")
-    LO.zorder_write(grid, out, ["d1", "d2"], bits=5, n_files=4)
+    write_zordered(grid, out, ["d1", "d2"], bits=5, n_files=4)
+    minmax = [(0.0, 31.0), (0.0, 31.0)]
     back = spark.read.parquet(out).select(
         "d1",
         "d2",
-        LO.zvalue(["d1", "d2"], bits=5).alias("z"),
+        zorder_key(["d1", "d2"], minmax, bits=5).alias("z"),
         F.input_file_name().alias("f"),
     )
     per_file = (
