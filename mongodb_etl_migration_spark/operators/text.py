@@ -477,10 +477,24 @@ def lang_id_hashed(
     pred: Column = F.when(best <= 0, F.lit("und"))
     for lang in langs:
         pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    # CCNet-style confidence: winner minus runner-up, integer-exact.
+    # second_best = max over scores strictly below best; for a
+    # clean single-language doc the margin IS most of the score, for
+    # mixed text it collapses toward 0 — the keep-threshold knob.
+    # Ties (two languages sharing the max) give margin 0 by
+    # construction: sorted desc, element 2 equals element 1.
+    sorted_desc = F.reverse(
+        F.array_sort(F.array(*[F.col(f"s_{lang}") for lang in langs]))
+    )
+    second = F.element_at(sorted_desc, 2)
+    margin = F.when(best <= 0, F.lit(0)).otherwise(
+        best - F.greatest(second, F.lit(0))
+    )
     return summed.select(
         id_col,
         pred.alias("lang_pred"),
         F.greatest(best, F.lit(0)).cast("bigint").alias("lang_score"),
+        margin.cast("bigint").alias("lang_margin"),
     )
 
 

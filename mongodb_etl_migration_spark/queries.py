@@ -2529,6 +2529,7 @@ def _lang_hashed_oracle() -> str:
     sums = ", ".join(f"coalesce(sum(w.s_{l}), 0) AS s_{l}" for l in langs)
     greatest = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
     case = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
+    arr = "[" + ", ".join(f"s_{l}" for l in langs) + "]"
     n = len(_LANG_SNIPPETS_EXT)
     snip = " ".join(
         f"WHEN {i} THEN '{_LANG_SNIPPETS_EXT[l]}'"
@@ -2569,7 +2570,11 @@ def _lang_hashed_oracle() -> str:
     )
     SELECT doc_id,
            CASE WHEN best <= 0 THEN 'und' {case} END AS lang_pred,
-           CAST(greatest(best, 0) AS BIGINT) AS lang_score
+           CAST(greatest(best, 0) AS BIGINT) AS lang_score,
+           CAST(CASE WHEN best <= 0 THEN 0
+                ELSE best - greatest(
+                  coalesce(list_reverse(list_sort({arr}))[2], 0), 0)
+                END AS BIGINT) AS lang_margin
     FROM scored
     """
 

@@ -1094,11 +1094,17 @@ def test_lang_id_hashed_26_languages(spark):
     # deterministic bucket collisions, absent for this string)
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = T.lang_id_hashed(df, "doc_id", "text")
-    got = {r.doc_id: (r.lang_pred, r.lang_score) for r in out.collect()}
+    got = {
+        r.doc_id: (r.lang_pred, r.lang_score, r.lang_margin)
+        for r in out.collect()
+    }
     for i, lang in enumerate(langs):
         assert got[i][0] == lang, (lang, got[i])
         assert got[i][1] > 0
-    assert got[99] == ("und", 0)
+        # CCNet-style confidence: a clean single-language snippet's
+        # winner clears the runner-up
+        assert 0 < got[i][2] <= got[i][1], (lang, got[i])
+    assert got[99] == ("und", 0, 0)
     # bounded broadcast: weight relation rows <= buckets + sentinel
     assert len(T.LANG_NGRAM_WEIGHTS_EXT) > 100  # vocabulary grew...
     # AQE plan strings repeat the tree under '== Initial Plan ==';
