@@ -573,6 +573,78 @@ def chunk_documents(
     )
 
 
+def pack_sequences(
+    df,
+    id_col: str,
+    ids_col: str,
+    seq_len: int = 1024,
+    eos_id: int = 50256,
+    n_buckets: int = 32,
+):
+    """Pack per-document token-id arrays into FIXED-LENGTH training
+    sequences — the last step of a pre-training data pipeline
+    (gpt2_token_ids → THIS → the training loader): documents are
+    assigned to deterministic buckets (``id % n_buckets``), each
+    bucket's documents concatenate in id order with ``eos_id``
+    appended after every document (GPT-2's document separator), and
+    the bucket's token stream splits into consecutive ``seq_len``
+    windows. The incomplete tail window is DROPPED (the standard
+    practice — padding wastes compute; at most seq_len-1 tokens per
+    bucket are lost, amortized to nothing at scale).
+
+    Scale shape: ONE exchange (the bucket groupBy). Per-bucket state
+    is that bucket's token stream — the same documented bound as
+    shard packing: choose n_buckets so a bucket's tokens fit an
+    executor (at 100 TB, tens of thousands of buckets; packing
+    quality is unaffected since every bucket packs densely). Bucket
+    assignment and in-bucket order are pure functions of the id, so
+    output is deterministic and engine-portable.
+
+    Output: (bucket, seq_idx, n_tokens, token_ids space-joined
+    string — scalar for the driver hash gate); n_tokens always ==
+    seq_len (the contract a training loader relies on)."""
+    if seq_len < 1 or n_buckets < 1:
+        raise ValueError("seq_len and n_buckets must be >= 1")
+    per_doc = df.select(
+        F.pmod(F.col(id_col).cast("bigint"), F.lit(n_buckets)).alias(
+            "bucket"
+        ),
+        F.struct(
+            F.col(id_col).cast("bigint").alias("d"),
+            F.concat(
+                F.col(ids_col).cast("array<int>"),
+                F.array(F.lit(eos_id).cast("int")),
+            ).alias("t"),
+        ).alias("s"),
+    )
+    streams = per_doc.groupBy("bucket").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list("s")), lambda s: s["t"]
+            )
+        ).alias("__stream")
+    )
+    n_seq = (F.size("__stream") / seq_len).cast("bigint")
+    seqs = streams.filter(n_seq > 0).select(
+        "bucket",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_seq - 1)).alias(
+            "seq_idx"
+        ),
+        F.col("__stream"),
+    )
+    window = F.slice(
+        F.col("__stream"),
+        (F.col("seq_idx") * seq_len + 1).cast("int"),
+        seq_len,
+    )
+    return seqs.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "seq_idx",
+        F.size(window).cast("bigint").alias("n_tokens"),
+        F.array_join(window, " ").alias("token_ids"),
+    )
+
+
 def dedup_spans(
     df,
     id_col: str,

@@ -9028,6 +9028,60 @@ def t_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t_seq_pack",
+    """
+    WITH ids AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                            t -> CAST(length(t) AS INTEGER)) AS tid
+      FROM documents
+    ), b AS (
+      SELECT doc_id % 16 AS bucket, doc_id,
+             list_append(tid, 0) AS t2
+      FROM ids
+    ), g AS (
+      SELECT bucket,
+             flatten(list_transform(
+               list_sort(list(struct_pack(d := doc_id, t := t2))),
+               s -> s.t)) AS stream
+      FROM b GROUP BY bucket
+    ), seqs AS (
+      SELECT bucket, i.i AS seq_idx,
+             list_slice(stream, i.i * 64 + 1, i.i * 64 + 64) AS w
+      FROM g, unnest(range(0, len(stream) // 64)) AS i(i)
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(seq_idx AS BIGINT) AS seq_idx,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           array_to_string(w, ' ') AS token_ids
+    FROM seqs
+    """,
+)
+def t_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length training-sequence packing (text.pack_sequences) —
+    the last pipeline step before a training loader: per-document id
+    arrays concatenate in deterministic bucket/id order with an EOS
+    id after every document, and each bucket's stream splits into
+    exactly-64-token windows (incomplete tails dropped, the standard
+    practice). The fixture derives ids as token LENGTHS so the oracle
+    stays a pure packing mirror (the BPE-ids → pack integration is
+    unit-tested; ids are ids); ONE exchange (the bucket groupBy),
+    per-bucket state bounded by the documented buckets-sized-to-fit
+    rule shared with shard packing. Oracle reproduces buckets,
+    order, EOS placement, windows, and tail-dropping exactly."""
+    d = Catalog(spark, sf_dir).documents
+    ids = d.select(
+        "doc_id",
+        F.transform(
+            T.tokens("text"), lambda t: F.length(t).cast("int")
+        ).alias("tid"),
+    )
+    return T.pack_sequences(
+        ids, "doc_id", "tid", seq_len=64, eos_id=0, n_buckets=16
+    )
+
+
 def _bpe_train_oracle(rounds: int = 8) -> str:
     """Unrolled DuckDB mirror of text.bpe_train: the same one-pass
     word count, then per round — pair counts by zip-adjacent over the

@@ -2108,3 +2108,53 @@ def test_backoff_lm_fluency_ordering(spark):
         for r in backoff_lm_scores(df, "doc_id", "text", "tr").collect()
     }
     assert res == res2
+
+
+def test_pack_sequences_semantics(spark):
+    """Fixed-length sequence packing: deterministic bucket + id-order
+    concatenation, EOS after EVERY document, consecutive windows, and
+    the incomplete tail dropped. Hand-checkable: bucket 0 holds docs
+    0 and 2 (ids [1,2] and [5]), stream = 1 2 9 5 9, seq_len 2 ->
+    windows [1,2], [9,5]; the lone trailing 9 is dropped. Bucket 1
+    holds doc 1 (ids [3,4] -> 3 4 9): windows [3,4]; trailing 9
+    dropped."""
+    rows = [(0, [1, 2]), (1, [3, 4]), (2, [5])]
+    df = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+    out = {
+        (r.bucket, r.seq_idx): (r.n_tokens, r.token_ids)
+        for r in T.pack_sequences(
+            df, "doc_id", "ids", seq_len=2, eos_id=9, n_buckets=2
+        ).collect()
+    }
+    assert out == {
+        (0, 0): (2, "1 2"),
+        (0, 1): (2, "9 5"),
+        (1, 0): (2, "3 4"),
+    }
+    # a bucket with fewer than seq_len tokens emits nothing
+    tiny = spark.createDataFrame([(0, [7])], "doc_id long, ids array<int>")
+    assert T.pack_sequences(tiny, "doc_id", "ids", seq_len=8, eos_id=9).count() == 0
+    # end-to-end with real BPE ids: every sequence is exactly seq_len
+    merges = [("Ġ", "t"), ("h", "e"), ("Ġt", "he")]
+    docs = spark.createDataFrame(
+        [(i, f"the text {i} goes on and on here") for i in range(6)],
+        "doc_id long, text string",
+    )
+    ids = docs.select(
+        "doc_id", T.gpt2_token_ids("text", merges).alias("ids")
+    )
+    packed = T.pack_sequences(
+        ids, "doc_id", "ids", seq_len=16,
+        eos_id=256 + len(merges), n_buckets=2,
+    )
+    got = packed.collect()
+    assert got and all(r.n_tokens == 16 for r in got)
+    # conservation: every emitted token id is parseable and the eos
+    # separator appears between documents
+    eos = str(256 + len(merges))
+    assert any(eos in r.token_ids.split(" ") for r in got)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="seq_len"):
+        T.pack_sequences(df, "doc_id", "ids", seq_len=0)
