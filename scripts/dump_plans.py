@@ -424,6 +424,22 @@ NOTES = {
         "referenced once (split -> filter -> transform), never "
         "re-evaluated, and the id table never joins."
     ),
+    "o6_zorder_layout": (
+        "Z-order layout: the Morton interleave is one Project of "
+        "unrolled shift/OR terms (codegen, no UDF); file boundaries "
+        "come from ONE exact-percentile aggregate collapsing to a "
+        "bounded driver row (no global window/ntile — the classic "
+        "single-task scale-killer), folded back as literal "
+        "comparisons; the min/max receipt is one partial-agg "
+        "exchange."
+    ),
+    "t_seq_pack": (
+        "Training-sequence packing: ONE exchange (the bucket "
+        "groupBy); in-bucket order is array_sort over collected "
+        "(id, ids) structs — per-bucket state bounded by the "
+        "documented buckets-sized-to-fit rule — then window slicing "
+        "is a narrow explode + slice projection."
+    ),
 }
 
 
