@@ -2158,3 +2158,53 @@ def test_pack_sequences_semantics(spark):
 
     with pytest.raises(ValueError, match="seq_len"):
         T.pack_sequences(df, "doc_id", "ids", seq_len=0)
+
+
+def test_pack_sequences_conservation_property(spark):
+    """Property (hypothesis): for arbitrary id arrays, each bucket's
+    emitted windows concatenate to exactly the prefix of that
+    bucket's reference stream (docs in id order, EOS after each),
+    and the emitted token count is floor(len/L)*L per bucket —
+    nothing reordered, nothing invented, only the tail dropped."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.integers(min_value=0, max_value=99),
+                min_size=0,
+                max_size=7,
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(min_value=1, max_value=5),
+    )
+    def check(doc_ids_lists, seq_len):
+        rows = [(i, ids) for i, ids in enumerate(doc_ids_lists)]
+        df = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+        out = T.pack_sequences(
+            df, "doc_id", "ids", seq_len=seq_len, eos_id=100, n_buckets=3
+        ).collect()
+        # reference streams
+        streams: dict[int, list[int]] = {}
+        for i, ids in rows:
+            streams.setdefault(i % 3, []).extend(list(ids) + [100])
+        got: dict[int, dict[int, list[int]]] = {}
+        for r in out:
+            assert r.n_tokens == seq_len
+            got.setdefault(r.bucket, {})[r.seq_idx] = [
+                int(x) for x in r.token_ids.split(" ")
+            ]
+        for b, stream in streams.items():
+            n = (len(stream) // seq_len) * seq_len
+            winds = got.get(b, {})
+            flat = [
+                x for i in sorted(winds) for x in winds[i]
+            ]
+            assert flat == stream[:n], (b, flat, stream)
+            assert sorted(winds) == list(range(len(winds)))
+
+    check()
