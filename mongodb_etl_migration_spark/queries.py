@@ -2611,6 +2611,88 @@ def t_lang_id_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t_token_budget",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             (CASE doc_id % {{n}} {{snip}} END) || ' '
+               || CAST(doc_id AS VARCHAR) AS t2,
+             (CASE doc_id % {{n}} {{langcase}} END) AS lang
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(t2, '\\S+'))) AS BIGINT)
+             AS n_words,
+           CAST(sum(length(t2)) AS BIGINT) AS n_chars,
+           CAST(sum(strlen(t2)) AS BIGINT) AS n_bytes,
+           CAST(sum(strlen(t2)) AS DOUBLE)
+             / sum(len(regexp_extract_all(t2, '\\S+'))) AS bytes_per_word,
+           CAST(sum(strlen(t2)) AS DOUBLE) / sum(length(t2))
+             AS bytes_per_char
+    FROM d GROUP BY lang
+    """.format(
+        n=len(_LANG_SNIPPETS_EXT),
+        snip=" ".join(
+            f"WHEN {i} THEN '{_LANG_SNIPPETS_EXT[lang]}'"
+            for i, lang in enumerate(sorted(_LANG_SNIPPETS_EXT))
+        ),
+        langcase=" ".join(
+            f"WHEN {i} THEN '{lang}'"
+            for i, lang in enumerate(sorted(_LANG_SNIPPETS_EXT))
+        ),
+    ),
+)
+def t_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-budget report over the 26-language
+    fixture — the numbers a multilingual pipeline checks before
+    committing a byte-level tokenizer: UTF-8 bytes and codepoints per
+    whitespace word (byte-BPE cost tracks BYTES, so Cyrillic/Greek
+    pay ~2x Latin per character and CJK/Thai pay ~3x — visible in
+    bytes_per_char), plus the whitespace-word caveat made explicit:
+    unsegmented scripts (zh/ja/th) collapse to one 'word' per
+    snippet, which is exactly why real CJK budgeting divides by
+    chars, not words. Pure one-exchange aggregate; both engines
+    compute chars (length) and UTF-8 bytes (octet_length/strlen)
+    identically."""
+    d = Catalog(spark, sf_dir).documents
+    langs = sorted(_LANG_SNIPPETS_EXT)
+    snip: F.Column | None = None
+    lang_c: F.Column | None = None
+    for i, lang in enumerate(langs):
+        cond = F.col("doc_id") % len(langs) == i
+        w = (cond, F.lit(_LANG_SNIPPETS_EXT[lang]))
+        snip = F.when(*w) if snip is None else snip.when(*w)
+        lw = (cond, F.lit(lang))
+        lang_c = F.when(*lw) if lang_c is None else lang_c.when(*lw)
+    fixture = d.select(
+        F.concat(snip, F.lit(" "), F.col("doc_id").cast("string")).alias(
+            "t2"
+        ),
+        lang_c.alias("lang"),
+    )
+    words = F.size(F.expr(r"regexp_extract_all(t2, '\\S+', 0)"))
+    stats = fixture.select(
+        "lang",
+        words.alias("__w"),
+        F.length("t2").alias("__c"),
+        F.octet_length("t2").alias("__b"),
+    )
+    return stats.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("__w").cast("bigint").alias("n_words"),
+        F.sum("__c").cast("bigint").alias("n_chars"),
+        F.sum("__b").cast("bigint").alias("n_bytes"),
+        (F.sum("__b").cast("double") / F.sum("__w")).alias(
+            "bytes_per_word"
+        ),
+        (F.sum("__b").cast("double") / F.sum("__c")).alias(
+            "bytes_per_char"
+        ),
+    )
+
+
 def _quality_sql(toks: str = "toks", text: str = "text") -> str:
     """DuckDB expression mirroring operators.text.quality_score —
     same component formulas, same weights, same final round."""
