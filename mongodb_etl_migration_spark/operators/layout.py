@@ -94,6 +94,8 @@ def zorder_layout(
     bounds = z.select(
         F.expr(f"percentile({out_col}, array({ps}))").alias("b")
     ).head()[0]
+    if bounds is None:  # empty input: no boundaries, single file
+        return z.withColumn(file_col, F.lit(1).cast("bigint"))
     fid: Column = F.lit(1)
     for b in bounds:
         fid = fid + F.when(
