@@ -247,6 +247,39 @@ def main() -> None:
         lhm = timed(ui, lidh)
         lhm["docs"] = lidh.count()
 
+        # Sequence packing at scale: the ONLY exchange is the bucket
+        # groupBy moving the token stream once — shuffle linear in
+        # corpus tokens; per-bucket state bounded by bucket sizing
+        # (buckets scale with the corpus here, 32 per replica).
+        tok_ids = docs.select(
+            "doc_id",
+            F.transform(
+                T.tokens("text"), lambda t: F.length(t).cast("int")
+            ).alias("tid"),
+        )
+        packed = T.pack_sequences(
+            tok_ids, "doc_id", "tid", seq_len=256, eos_id=0,
+            n_buckets=32 * cfg["replicas"],
+        )
+        pk = timed(ui, packed)
+        pk["sequences"] = packed.count()
+
+        # Z-order layout at scale: the Morton encode is a narrow
+        # projection (zero shuffle on its own); zorder_layout adds one
+        # tiny exact-percentile aggregate (bounded driver row) plus
+        # the min/max receipt's partial-agg exchange — shuffle is the
+        # (file_id, bounds) rows only, far sub-linear in the corpus.
+        from mongodb_etl_migration_spark.operators import layout as LO
+
+        dims = docs.select(
+            (F.col("doc_id") % 1024).cast("bigint").alias("d1"),
+            (F.length("text") % 1024).cast("bigint").alias("d2"),
+        )
+        laid = LO.zorder_layout(dims, ["d1", "d2"], bits=10, n_files=64)
+        zstats = LO.layout_pruning_stats(laid, ["d1", "d2"])
+        zm = timed(ui, zstats)
+        zm["files"] = zstats.count()
+
         # Paragraph dedup at scale: every doc carries one corpus-wide
         # boilerplate line plus its body line. The corpus's replica
         # suffixes are DIGITS, which CCNet normalization strips — so
@@ -329,6 +362,8 @@ def main() -> None:
             "t_bpe_train": bt,
             "t_lang_id": lm,
             "t_lang_id_hashed": lhm,
+            "t_seq_pack": pk,
+            "o6_zorder_layout": zm,
             "g_pagerank": gp,
             "g_hits": gh,
             "t_paragraph_dedup": pdm,
@@ -428,6 +463,17 @@ def main() -> None:
             / max(1, b["t_lang_id_hashed"]["shuffle_bytes"]),
             2,
         ),
+        # packing's one exchange moves the token stream once ->
+        # shuffle linear in corpus tokens
+        "seq_pack_shuffle_growth_at_10x_corpus": round(
+            x["t_seq_pack"]["shuffle_bytes"]
+            / max(1, b["t_seq_pack"]["shuffle_bytes"]),
+            2,
+        ),
+        # z-order's shuffle is (file, bounds) rows, not the corpus —
+        # absolute bytes stay tiny at 10x
+        "zorder_shuffle_bytes_at_10x_corpus":
+            x["o6_zorder_layout"]["shuffle_bytes"],
         # PQ encode is shuffle-FREE by construction at every size
         "pq_encode_shuffle_bytes_at_10x_corpus":
             x["sim_pq_encode"]["shuffle_bytes"],
