@@ -385,6 +385,83 @@ for _g, _d in list(LANG_NGRAM_WEIGHTS.items()) + list(
     LANG_NGRAM_WEIGHTS_EXT.setdefault(_g, {}).update(_d)
 
 
+def lang_id_train(
+    df,
+    label_col: str,
+    text_col: str,
+    top_k: int = 8,
+    min_share_pct: int = 90,
+    min_count: int = 2,
+):
+    """LEARN a lang-ID weight relation from labeled text — the
+    trainer that pairs with lang_id_ngram/lang_id_hashed the way
+    bpe_train pairs with the BPE encoders, so the classify loop is
+    closable entirely in-engine (train → broadcast → gate). The
+    model is the deliberately simple, integer-exact core of the
+    n-gram approach: for each label, the ``top_k`` most frequent
+    grams whose occurrences are ≥``min_share_pct``% concentrated in
+    that label (the share test is the exact integer inequality
+    cnt_lg·100 ≥ cnt_g·share — no division, no floats), weighted 3
+    when fully exclusive and 2 otherwise. Grams every language emits
+    (padding spaces, shared digits, function-word overlap below the
+    share bar) filter out naturally.
+
+    Scale shape: the corpus is touched ONCE (the narrow gram explode
+    into the (gram, label) count); everything after runs on the
+    VOCABULARY-sized relation — a per-gram total (one exchange), the
+    share filter, and a per-label top-k window (WindowGroupLimit
+    trims map-side). Deterministic ordering (count desc, gram asc)
+    makes the learned relation hash-exact across engines.
+
+    Output: (label_col, gram, weight int, cnt_lg, cnt_g bigint) —
+    feed ``{g: {lang: w}}`` into lang_id_ngram / lang_id_hashed."""
+    from pyspark.sql import Window
+
+    if not (0 < min_share_pct <= 100):
+        raise ValueError("min_share_pct must be in (0, 100]")
+    staged = df.select(
+        F.col(label_col), lang_norm(text_col).alias("__s")
+    )
+    ex = staged.select(
+        F.col(label_col),
+        F.explode(
+            F.coalesce(
+                lang_grams_of(F.col("__s")),
+                F.array().cast("array<string>"),
+            )
+        ).alias("gram"),
+    )
+    by_lg = ex.groupBy("gram", label_col).agg(
+        F.count("*").alias("cnt_lg")
+    )
+    with_tot = by_lg.withColumn(
+        "cnt_g", F.sum("cnt_lg").over(Window.partitionBy("gram"))
+    )
+    cand = with_tot.filter(
+        (F.col("cnt_lg") >= min_count)
+        & (F.col("cnt_lg") * 100 >= F.col("cnt_g") * min_share_pct)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(label_col).orderBy(
+            F.col("cnt_lg").desc(), F.col("gram").asc()
+        )
+    )
+    return (
+        cand.withColumn("__rn", rn)
+        .filter(F.col("__rn") <= top_k)
+        .select(
+            label_col,
+            "gram",
+            F.when(F.col("cnt_lg") == F.col("cnt_g"), 3)
+            .otherwise(2)
+            .cast("int")
+            .alias("weight"),
+            F.col("cnt_lg").cast("bigint").alias("cnt_lg"),
+            F.col("cnt_g").cast("bigint").alias("cnt_g"),
+        )
+    )
+
+
 def lang_gram_bucket_py(gram: str, buckets: int) -> int:
     """Driver-side twin of the plan's gram-bucket expression:
     md5(utf8)'s first 15 hex digits as a 60-bit int, mod buckets —

@@ -2612,6 +2612,89 @@ def t_lang_id_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_lang_id_train",
+    rf"""
+    WITH d AS (
+      SELECT doc_id,
+             (CASE doc_id % {len(_LANG_SNIPPETS_EXT)} {" ".join(
+                f"WHEN {i} THEN '{_LANG_SNIPPETS_EXT[l]}'"
+                for i, l in enumerate(sorted(_LANG_SNIPPETS_EXT)))} END)
+               AS t2,
+             (CASE doc_id % {len(_LANG_SNIPPETS_EXT)} {" ".join(
+                f"WHEN {i} THEN '{l}'"
+                for i, l in enumerate(sorted(_LANG_SNIPPETS_EXT)))} END)
+               AS label
+      FROM documents
+    ), nrm AS (
+      SELECT label,
+             ' ' || trim(regexp_replace(lower(t2), '\s+', ' ', 'g')) || ' '
+               AS s
+      FROM d
+    ), g AS (
+      SELECT label, unnest(list_concat(
+        CASE WHEN length(s) >= 3
+             THEN list_transform(range(1, length(s)-1),
+                                 i -> substring(s, i, 3))
+             ELSE CAST([] AS VARCHAR[]) END,
+        list_transform(range(1, length(s)+1),
+                       i -> substring(s, i, 1)))) AS gram
+      FROM nrm
+    ), lg AS (
+      SELECT gram, label, count(*) AS cnt_lg
+      FROM g GROUP BY gram, label
+    ), tot AS (
+      SELECT gram, label, cnt_lg,
+             sum(cnt_lg) OVER (PARTITION BY gram) AS cnt_g
+      FROM lg
+    ), cand AS (
+      SELECT * FROM tot
+      WHERE cnt_lg >= 2 AND cnt_lg * 100 >= cnt_g * 90
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY label
+               ORDER BY cnt_lg DESC, gram ASC) AS rn
+      FROM cand
+    )
+    SELECT label, gram,
+           CAST(CASE WHEN cnt_lg = cnt_g THEN 3 ELSE 2 END AS INTEGER)
+             AS weight,
+           CAST(cnt_lg AS BIGINT) AS cnt_lg,
+           CAST(cnt_g AS BIGINT) AS cnt_g
+    FROM ranked WHERE rn <= 8
+    """,
+)
+def t_lang_id_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lang-ID weight TRAINING (text.lang_id_train) — the in-engine
+    closure of the classify loop: per label, the top-8 most frequent
+    grams ≥90%-concentrated in that label (exact integer share test,
+    no division), weight 3 when exclusive. Corpus touched once by the
+    gram explode; the count/share/top-k stages all run on the
+    vocabulary-sized relation (per-label top-k is WindowGroupLimit-
+    trimmed). The fixture labels each doc with its snippet's
+    language; shared digits and padding spaces filter out on the
+    share bar. The oracle reproduces counts, shares, ordering, and
+    weights exactly; the train → classify round-trip (learned
+    relation fed back into lang_id_ngram) is unit-tested."""
+    d = Catalog(spark, sf_dir).documents
+    langs = sorted(_LANG_SNIPPETS_EXT)
+    snip: F.Column | None = None
+    lab: F.Column | None = None
+    for i, lang in enumerate(langs):
+        cond = F.col("doc_id") % len(langs) == i
+        snip = (
+            F.when(cond, F.lit(_LANG_SNIPPETS_EXT[lang]))
+            if snip is None
+            else snip.when(cond, F.lit(_LANG_SNIPPETS_EXT[lang]))
+        )
+        lab = (
+            F.when(cond, F.lit(lang))
+            if lab is None
+            else lab.when(cond, F.lit(lang))
+        )
+    fixture = d.select(snip.alias("t2"), lab.alias("label"))
+    return T.lang_id_train(fixture, "label", "t2", top_k=8)
+
+
+@query(
     "t_token_budget",
     f"""
     WITH d AS (

@@ -2208,3 +2208,50 @@ def test_pack_sequences_conservation_property(spark):
             assert sorted(winds) == list(range(len(winds)))
 
     check()
+
+
+def test_lang_id_train_classify_roundtrip(spark):
+    """Train → classify closes in-engine: weights learned from the
+    26-language fixture feed straight back into lang_id_ngram and
+    classify every snippet correctly. Also pins the trainer's
+    semantics: the share bar drops corpus-wide grams (padding
+    spaces / shared digits never surface), exclusive grams weigh 3,
+    and each label learns at most top_k grams."""
+    from mongodb_etl_migration_spark.queries import _LANG_SNIPPETS_EXT
+
+    langs = sorted(_LANG_SNIPPETS_EXT)
+    # several labeled copies per language so min_count=2 is met
+    rows = [
+        (lang, _LANG_SNIPPETS_EXT[lang] + f" {n}")
+        for lang in langs
+        for n in range(3)
+    ]
+    labeled = spark.createDataFrame(rows, "label string, text string")
+    learned = T.lang_id_train(labeled, "label", "text", top_k=8).collect()
+    per_label: dict[str, list] = {}
+    weights: dict[str, dict[str, int]] = {}
+    for r in learned:
+        per_label.setdefault(r.label, []).append(r)
+        weights.setdefault(r.gram, {})[r.label] = r.weight
+        assert r.weight in (2, 3)
+        assert r.weight != 3 or r.cnt_lg == r.cnt_g  # 3 = exclusive
+        assert r.cnt_lg * 100 >= r.cnt_g * 90  # the share bar held
+        assert " " != r.gram  # padding space filtered by the bar
+    assert set(per_label) == set(langs)
+    assert all(len(v) <= 8 for v in per_label.values())
+    # digits ride every label's docs -> never concentrated -> absent
+    assert not any(g.strip().isdigit() for g in weights)
+
+    # round-trip: the learned relation classifies its own snippets
+    docs = spark.createDataFrame(
+        [(i, _LANG_SNIPPETS_EXT[lang]) for i, lang in enumerate(langs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.lang_pred
+        for r in T.lang_id_ngram(
+            docs, "doc_id", "text", weights=weights
+        ).collect()
+    }
+    for i, lang in enumerate(langs):
+        assert got[i] == lang, (lang, got[i])
