@@ -248,9 +248,12 @@ def lsh_tune(
     weighted sum of the false-positive mass ∫₀^t P_hit(s) ds (pairs
     BELOW threshold that still collide → wasted verification work)
     and the false-negative mass ∫_t^1 (1 - P_hit(s)) ds (true
-    near-dups the blocker misses). Trapezoid integration at
+    near-dups the blocker misses). The FULL lattice is searched —
+    every (b, r) with b·r ≤ num_hashes, not just r = num_hashes//b,
+    since under-using the hash budget is sometimes optimal (fewer
+    rows per band ⇒ earlier S-curve rise). Trapezoid integration at
     ``_steps`` points; deterministic tie-break (first minimum in
-    (bands asc) enumeration order).
+    (bands asc, rows asc) enumeration order).
 
     At 100 TB the trade-off is asymmetric and the weights are the
     knob: false positives cost shuffle + verification compute, false
@@ -272,16 +275,18 @@ def lsh_tune(
 
     best: tuple[float, int, int] | None = None
     for b in range(1, num_hashes + 1):
-        r = num_hashes // b
-        if r < 1:
-            break
-        fp = integral(lambda s: lsh_hit_probability(s, b, r), 0.0, threshold)
-        fn = integral(
-            lambda s: 1.0 - lsh_hit_probability(s, b, r), threshold, 1.0
-        )
-        err = fp_weight * fp + fn_weight * fn
-        if best is None or err < best[0] - 1e-12:
-            best = (err, b, r)
+        for r in range(1, num_hashes // b + 1):
+            fp = integral(
+                lambda s: lsh_hit_probability(s, b, r), 0.0, threshold
+            )
+            fn = integral(
+                lambda s: 1.0 - lsh_hit_probability(s, b, r),
+                threshold,
+                1.0,
+            )
+            err = fp_weight * fp + fn_weight * fn
+            if best is None or err < best[0] - 1e-12:
+                best = (err, b, r)
     assert best is not None
     return best[1], best[2]
 

@@ -86,7 +86,19 @@ def zorder_layout(
     quantile_cont), which fold back in as literal comparisons — no
     global window (a single-task ntile would be the classic
     scale-killer; the package lint bans it). At 100 TB swap
-    approx_percentile into the same two-pass shape."""
+    approx_percentile into the same two-pass shape.
+
+    Boundary comparisons run in DOUBLE (percentile interpolates), so
+    Z-codes must stay within double's 2^53 exact-integer range —
+    len(cols)*bits is capped at 53 here (zvalue alone allows 63; the
+    write-side twin write_zordered range-partitions on the exact
+    BIGINT and has no such cap)."""
+    if len(cols) * bits > 53:
+        raise ValueError(
+            f"{len(cols)} cols x {bits} bits exceeds double's exact "
+            "integer range; equal-depth boundaries compare in DOUBLE "
+            "(use write_zordered for wider codes)"
+        )
     z = df.withColumn(out_col, zvalue(cols, bits))
     if n_files < 2:
         return z.withColumn(file_col, F.lit(1).cast("bigint"))

@@ -688,8 +688,15 @@ def pack_sequences(
         ),
         F.struct(
             F.col(id_col).cast("bigint").alias("d"),
+            # coalesce: one NULL ids array must not poison the whole
+            # bucket (flatten over a NULL inner array returns NULL,
+            # silently dropping every co-bucketed document) — a NULL
+            # document contributes just its EOS, like an empty one.
             F.concat(
-                F.col(ids_col).cast("array<int>"),
+                F.coalesce(
+                    F.col(ids_col).cast("array<int>"),
+                    F.array().cast("array<int>"),
+                ),
                 F.array(F.lit(eos_id).cast("int")),
             ).alias("t"),
         ).alias("s"),
@@ -1905,10 +1912,15 @@ def gpt2_token_ids(
     # ONE reference to the (expensive, un-CSE'd) merge-chain column:
     # split evaluates it once; the empty document's [''] filters away
     # instead of a when() guard that would re-evaluate the chain.
+    # try_element_at: a symbol outside the 256-char alphabet (this
+    # Column path's documented ASCII scope — non-ASCII flows through
+    # gpt2_encoded unmapped) yields a NULL id instead of an ANSI
+    # MAP_KEY_DOES_NOT_EXIST job abort; the batch path
+    # (gpt2_encode_ids_batch) is the lossless full-UTF-8 route.
     enc = gpt2_encoded(c, merges)
     return F.transform(
         F.filter(F.split(enc, " "), lambda s: s != ""),
-        lambda s: F.element_at(id_map, s).cast("int"),
+        lambda s: F.try_element_at(id_map, s).cast("int"),
     )
 
 

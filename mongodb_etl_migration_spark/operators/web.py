@@ -330,9 +330,15 @@ def with_registered_domain(
         | {v.count(".") + 1 for v in plain},
         reverse=True,
     )
-    classes: list[tuple[str, list[str], int, int]] = []
+    # Tuples carry (flag col, values, join-key labels, registrable
+    # labels, min host labels): a WILDCARD rule `*.base` matches only
+    # hosts with MORE labels than its base (the `*` must consume one)
+    # — a host equal to the base itself does NOT match and must fall
+    # through to the shorter classes ('kobe.jp' under '*.kobe.jp'
+    # registers as kobe.jp via the default rule, not NULL).
+    classes: list[tuple[str, list[str], int, int, int]] = []
     for d in exc_lens:
-        classes.append((f"__exc{d}", by_labels(exc, d), d, d))
+        classes.append((f"__exc{d}", by_labels(exc, d), d, d, d))
     for suffix_len in suffix_lens:
         classes.append(
             (
@@ -340,6 +346,7 @@ def with_registered_domain(
                 by_labels(wild, suffix_len - 1),
                 suffix_len - 1,
                 suffix_len + 1,
+                suffix_len,  # host needs base+1 labels to match `*`
             )
         )
         classes.append(
@@ -348,6 +355,7 @@ def with_registered_domain(
                 by_labels(plain, suffix_len),
                 suffix_len,
                 suffix_len + 1,
+                suffix_len,
             )
         )
     classes = [c for c in classes if c[1]]
@@ -366,23 +374,23 @@ def with_registered_domain(
 
     ks = sorted(
         {2}
-        | {k for _, _, k, _ in classes}
-        | {r for _, _, _, r in classes}
+        | {k for _, _, k, _, _ in classes}
+        | {r for _, _, _, r, _ in classes}
     )
     tmp = df.select(
         "*", *[lastk(k).alias(f"__l{k}") for k in ks]
     )
     j = tmp
-    for name, vals, k, _ in classes:
+    for name, vals, k, _, _ in classes:
         t = spark.createDataFrame([(v,) for v in vals], f"{name}: string")
         j = j.join(broadcast(t), j[f"__l{k}"] == t[name], "left")
     reg: Column | None = None
-    for name, _, _, r in classes:
-        w = (F.col(name).isNotNull(), F.col(f"__l{r}"))
+    for name, _, _, r, min_n in classes:
+        w = (F.col(name).isNotNull() & (n >= min_n), F.col(f"__l{r}"))
         reg = F.when(*w) if reg is None else reg.when(*w)
     reg = reg.otherwise(F.col("__l2"))
     return j.withColumn(out_col, reg).drop(
-        *[f"__l{k}" for k in ks], *[name for name, _, _, _ in classes]
+        *[f"__l{k}" for k in ks], *[name for name, _, _, _, _ in classes]
     )
 
 

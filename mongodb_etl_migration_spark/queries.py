@@ -2503,6 +2503,36 @@ _LANG_SNIPPETS_EXT: dict[str, str] = {
 _LANG_HASH_BUCKETS = 8192
 
 
+def _lang_fixture_cols(
+    with_doc_suffix: bool = True,
+) -> tuple[F.Column, F.Column]:
+    """(text_col, label_col) over ``doc_id % 26`` — the shared
+    26-language fixture builder (t_lang_id_hashed / t_token_budget /
+    t_lang_id_train). ``with_doc_suffix`` appends the doc_id digits
+    that keep rows distinct without adding weighted grams."""
+    langs = sorted(_LANG_SNIPPETS_EXT)
+    snip: F.Column | None = None
+    lab: F.Column | None = None
+    for i, lang in enumerate(langs):
+        cond = F.col("doc_id") % len(langs) == i
+        snip = (
+            F.when(cond, F.lit(_LANG_SNIPPETS_EXT[lang]))
+            if snip is None
+            else snip.when(cond, F.lit(_LANG_SNIPPETS_EXT[lang]))
+        )
+        lab = (
+            F.when(cond, F.lit(lang))
+            if lab is None
+            else lab.when(cond, F.lit(lang))
+        )
+    text = (
+        F.concat(snip, F.lit(" "), F.col("doc_id").cast("string"))
+        if with_doc_suffix
+        else snip
+    )
+    return text, lab
+
+
 def _lang_hashed_oracle() -> str:
     """DuckDB mirror of text.lang_id_hashed over the 26-language
     snippet fixture: identical padding/gram extraction, the identical
@@ -2595,17 +2625,8 @@ def t_lang_id_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade-off) are deterministic and the oracle reproduces them
     bit-for-bit."""
     d = Catalog(spark, sf_dir).documents
-    langs = sorted(_LANG_SNIPPETS_EXT)
-    snip: F.Column | None = None
-    for i, lang in enumerate(langs):
-        w = (F.col("doc_id") % len(langs) == i, F.lit(_LANG_SNIPPETS_EXT[lang]))
-        snip = F.when(*w) if snip is None else snip.when(*w)
-    fixture = d.select(
-        "doc_id",
-        F.concat(snip, F.lit(" "), F.col("doc_id").cast("string")).alias(
-            "t2"
-        ),
-    )
+    text, _ = _lang_fixture_cols()
+    fixture = d.select("doc_id", text.alias("t2"))
     return T.lang_id_hashed(
         fixture, "doc_id", "t2", buckets=_LANG_HASH_BUCKETS
     )
@@ -2675,22 +2696,8 @@ def t_lang_id_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights exactly; the train → classify round-trip (learned
     relation fed back into lang_id_ngram) is unit-tested."""
     d = Catalog(spark, sf_dir).documents
-    langs = sorted(_LANG_SNIPPETS_EXT)
-    snip: F.Column | None = None
-    lab: F.Column | None = None
-    for i, lang in enumerate(langs):
-        cond = F.col("doc_id") % len(langs) == i
-        snip = (
-            F.when(cond, F.lit(_LANG_SNIPPETS_EXT[lang]))
-            if snip is None
-            else snip.when(cond, F.lit(_LANG_SNIPPETS_EXT[lang]))
-        )
-        lab = (
-            F.when(cond, F.lit(lang))
-            if lab is None
-            else lab.when(cond, F.lit(lang))
-        )
-    fixture = d.select(snip.alias("t2"), lab.alias("label"))
+    text, lab = _lang_fixture_cols(with_doc_suffix=False)
+    fixture = d.select(text.alias("t2"), lab.alias("label"))
     return T.lang_id_train(fixture, "label", "t2", top_k=8)
 
 
@@ -2740,21 +2747,8 @@ def t_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute chars (length) and UTF-8 bytes (octet_length/strlen)
     identically."""
     d = Catalog(spark, sf_dir).documents
-    langs = sorted(_LANG_SNIPPETS_EXT)
-    snip: F.Column | None = None
-    lang_c: F.Column | None = None
-    for i, lang in enumerate(langs):
-        cond = F.col("doc_id") % len(langs) == i
-        w = (cond, F.lit(_LANG_SNIPPETS_EXT[lang]))
-        snip = F.when(*w) if snip is None else snip.when(*w)
-        lw = (cond, F.lit(lang))
-        lang_c = F.when(*lw) if lang_c is None else lang_c.when(*lw)
-    fixture = d.select(
-        F.concat(snip, F.lit(" "), F.col("doc_id").cast("string")).alias(
-            "t2"
-        ),
-        lang_c.alias("lang"),
-    )
+    text, lab = _lang_fixture_cols()
+    fixture = d.select(text.alias("t2"), lab.alias("lang"))
     words = F.size(F.expr(r"regexp_extract_all(t2, '\\S+', 0)"))
     stats = fixture.select(
         "lang",
@@ -7291,7 +7285,12 @@ def w_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "host"
         ),
         "s",
-        F.regexp_extract("s", "[0-9]+", 0).cast("int").alias("num"),
+        # nullif before the cast: a digit-less source yields '' and
+        # CAST('' AS INT) aborts under the session's pinned ANSI mode
+        # (the oracle already models the NULL row)
+        F.nullif(F.regexp_extract("s", "[0-9]+", 0), F.lit(""))
+        .cast("int")
+        .alias("num"),
     )
     body = F.concat(
         F.lit(

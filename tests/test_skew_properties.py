@@ -535,7 +535,11 @@ def test_lsh_tune_s_curve_and_optimum():
 
     bt, rt = lsh_tune(0.5, 16)
     assert bt * rt <= 16
-    best = min(err(b, 16 // b) for b in range(1, 17))
+    # exhaustive over the FULL lattice (every b*r <= 16), matching
+    # the documented objective
+    best = min(
+        err(b, r) for b in range(1, 17) for r in range(1, 16 // b + 1)
+    )
     assert abs(err(bt, rt) - best) < 1e-9
 
     # monotonicity: higher threshold -> rows per band not lower

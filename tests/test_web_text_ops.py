@@ -277,6 +277,7 @@ def test_psl_label_counts_derived_from_rules(spark):
         ("host.any.deep.sub.example",),              # registers deeper
         ("ok.deep.sub.example",),                    # exception carve-out
         ("a.ok.deep.sub.example",),
+        ("deep.sub.example",),  # == wildcard BASE: rule doesn't match
     ]
     df = spark.createDataFrame(rows, "host string")
     out = {
@@ -294,6 +295,9 @@ def test_psl_label_counts_derived_from_rules(spark):
         "host.any.deep.sub.example": "host.any.deep.sub.example",
         "ok.deep.sub.example": "ok.deep.sub.example",
         "a.ok.deep.sub.example": "ok.deep.sub.example",
+        # '*' must consume a label; the base host falls through to
+        # the default rule ('example' TLD) -> 2-label registrable
+        "deep.sub.example": "sub.example",
     }
 
 
@@ -358,6 +362,11 @@ def test_psl_check_public_suffix_vectors(spark):
         ("a.b.test.ck", "b.test.ck"),
         ("www.ck", "www.ck"),
         ("www.www.ck", "www.ck"),
+        # a host with exactly the wildcard BASE's labels is NOT
+        # matched by the wildcard ('*' must consume one label): the
+        # shorter rules prevail and kobe.jp is registrable under jp
+        ("kobe.jp", "kobe.jp"),
+        ("kawasaki.jp", "kawasaki.jp"),
     ]
     df = spark.createDataFrame([(h,) for h, _ in vectors], "host string")
     out = {
@@ -1076,6 +1085,14 @@ def test_gpt2_token_ids_known_answer_vectors(spark):
     for i, (s, expected) in enumerate(vectors):
         assert col_ids[i] == expected, (s, col_ids[i], expected)
         assert bat[i] == expected, (s, bat[i], expected)
+    # out-of-alphabet symbols (non-ASCII flows through the Column
+    # path unmapped) degrade to NULL ids, not an ANSI job abort;
+    # the batch path is the lossless UTF-8 route
+    cjk = spark.createDataFrame([(0, "中")], "doc_id long, text string")
+    row = cjk.select(
+        T.gpt2_token_ids("text", _GPT2_REAL_HEAD).alias("ids")
+    ).head()
+    assert list(row.ids) == [None]
 
 
 def test_lang_id_hashed_26_languages(spark):
@@ -2134,6 +2151,18 @@ def test_pack_sequences_semantics(spark):
     # a bucket with fewer than seq_len tokens emits nothing
     tiny = spark.createDataFrame([(0, [7])], "doc_id long, ids array<int>")
     assert T.pack_sequences(tiny, "doc_id", "ids", seq_len=8, eos_id=9).count() == 0
+    # one NULL ids array must not poison its co-bucketed documents:
+    # the NULL doc contributes just its EOS (round-7 review fix)
+    withnull = spark.createDataFrame(
+        [(0, [1, 2, 3]), (2, None)], "doc_id long, ids array<int>"
+    )
+    got_null = {
+        (r.bucket, r.seq_idx): r.token_ids
+        for r in T.pack_sequences(
+            withnull, "doc_id", "ids", seq_len=3, eos_id=9, n_buckets=1
+        ).collect()
+    }
+    assert got_null == {(0, 0): "1 2 3"}  # stream: 1 2 3 9 | 9 tail
     # end-to-end with real BPE ids: every sequence is exactly seq_len
     merges = [("Ġ", "t"), ("h", "e"), ("Ġt", "he")]
     docs = spark.createDataFrame(
