@@ -1270,6 +1270,76 @@ def bigrams_array(c: Column | str, toks: Column | None = None) -> Column:
     )
 
 
+def ngrams_array(
+    c: Column | str, n: int, toks: Column | None = None
+) -> Column:
+    """Adjacent-token n-grams as 'a b c' strings for any n >= 1 —
+    transform over an index sequence with a slice+join body (narrow,
+    no UDF). Pass a MATERIALIZED ``toks`` column in hot paths: the
+    guard and the lambda both reference it, and lambda bodies sit
+    outside codegen CSE ([[spark-column-cse]] discipline).
+
+    Fewer than n tokens -> empty array (the ``when`` guard exists
+    because sequence(1, 0) would step DOWNWARD, not return empty)."""
+    toks = tokens(c) if toks is None else toks
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def gram_run_stats(sorted_grams: Column) -> Column:
+    """struct(top long, dup long) over a SORTED gram array in ONE
+    O(L) fold — the Gopher §A1.1 repetition core:
+
+      top  max over equal-value runs of run_len * len(gram): the
+           characters covered by the most frequent n-gram
+      dup  sum of len(gram) over every occurrence AFTER a run's
+           first: the characters inside duplicated n-grams
+           (Rae et al. count each repeat's chars once, first
+           occurrence free — the find_duplicates convention)
+
+    Sorting groups equal grams into maximal runs, so one adjacent-
+    equality pass replaces the O(distinct x all) count-per-distinct
+    shape — O(L log L) total per row instead of O(L^2), zero
+    shuffle, still pure codegen Columns."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        same = acc["prev"].isNotNull() & (acc["prev"] == g)
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["top"], run * F.length(g).cast("long")).alias(
+                "top"
+            ),
+            (
+                acc["dup"]
+                + F.when(same, F.length(g).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("dup"),
+        )
+
+    return F.aggregate(
+        sorted_grams,
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["top"].alias("top"), acc["dup"].alias("dup")
+        ),
+    )
+
+
 def rare_bigram_stats(df, id_col: str, text_col: str, min_count: int = 10):
     """Count-LM surprisal proxy: per document, the fraction of its
     bigrams whose CORPUS frequency is below ``min_count``. This is the
@@ -2161,9 +2231,12 @@ def gopher_repetition_flags(
       rep_bigram_ok        top_bigram_char_frac <= 0.20
       gopher_rep_pass      conjunction
 
-    Per-row cost of the bigram share is O(distinct-bigrams ×
-    bigrams) inside codegen (the collision_stats discipline) —
-    linear with input splits, no exchange at any corpus size."""
+    Per-row cost of the bigram share is O(L log L) — one array_sort
+    plus one adjacent-run fold (gram_run_stats) inside codegen —
+    linear with input splits, no exchange at any corpus size. The
+    FULL §A1.1 family (top-2/3/4-gram + dup-5..10-gram fractions)
+    lives in with_gopher_repetition, which stages each fold so no
+    expensive subtree is referenced twice."""
     col = F.col(c) if isinstance(c, str) else c
     toks = tokens(c) if toks is None else toks
     # blank paragraph separators are NOT lines for the repetition
@@ -2184,25 +2257,12 @@ def gopher_repetition_flags(
         chars_all > 0,
         (chars_all - chars_dist) / chars_all.cast("double"),
     ).otherwise(F.lit(0.0))
-    grams = bigrams_array(c, toks)
-    counts = F.transform(
-        F.array_distinct(grams),
-        lambda g: F.struct(
-            F.size(F.filter(grams, lambda x: x == g)).alias("n"),
-            F.length(g).alias("ln"),
-        ),
-    )
-    # chars covered by the winning bigram = n * (len - 1 space)…
-    # keep it simple and exact: n * length of the bigram STRING
-    # ("a b"), matching the oracle expression-for-expression
+    # chars covered by the winning bigram = count * length of the
+    # bigram STRING ("a b"), via ONE sorted-run fold (gram_run_stats)
+    # — O(L log L) per row, replacing the former O(distinct x all)
+    # count-per-distinct shape (round-7 verdict's 73.9 s outlier)
     best = F.coalesce(
-        F.aggregate(
-            counts,
-            F.lit(0).cast("long"),
-            lambda acc, s: F.greatest(
-                acc, (s["n"] * s["ln"]).cast("long")
-            ),
-        ),
+        gram_run_stats(F.array_sort(bigrams_array(c, toks)))["top"],
         F.lit(0).cast("long"),  # NULL text: 0, like every other flag
     )
     tok_chars = F.length(F.array_join(toks, " "))
@@ -2224,6 +2284,113 @@ def gopher_repetition_flags(
         & flags["rep_bigram_ok"]
     )
     return flags
+
+
+# Rae et al. 2021 Table A1 thresholds: a document is REMOVED when the
+# fraction exceeds the limit, so pass = frac <= limit.
+GOPHER_TOP_NGRAM_LIMITS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_LIMITS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def with_gopher_repetition(df, text_col: str, toks_col: str | None = None):
+    """FULL Gopher §A1.1 repetition rule set (Rae et al. 2021) as a
+    staged zero-shuffle transform — the complete family the dict-
+    style gopher_repetition_flags only samples:
+
+      dup_line_frac / dup_line_char_frac     (limits .30 / .20)
+      top_{2,3,4}gram_char_frac              (limits .20/.18/.16)
+      dup_{5..10}gram_char_frac              (limits .15 down to .10)
+      top_bigram_chars                       (n=2 winner's char cover)
+      gopher_rep_pass                        conjunction of ALL 11
+
+    Every fraction is an integer numerator over the shared token-
+    char denominator (len of tokens joined by ' '), exact IEEE
+    division only — hash-exact across engines. Each n's numerator is
+    ONE gram_run_stats fold over a sorted n-gram array: O(L log L)
+    per row per n, nine n's total, zero exchanges at any corpus
+    size. The folds, the token array, and the line array are each
+    materialized in their OWN projection stage and referenced by
+    name downstream, so CollapseProject cannot duplicate an
+    expensive subtree ([[spark-column-cse]]).
+
+    Duplicate-chars semantics follow the reference open
+    implementation (DeepMind's rule as shipped in DataTrove/NeMo
+    Curator): a gram occurring c times contributes (c-1)*len(gram) —
+    overlapping character positions are NOT de-overlapped.
+    Denominator is token chars (this module's convention), not raw
+    text length."""
+    base = list(df.columns)
+    toks = F.col(toks_col) if toks_col else tokens(text_col)
+    s0 = df.select("*", toks.alias("__grt"))
+    s1 = s0.select(
+        "*",
+        F.filter(
+            F.split(F.col(text_col), "\n"),
+            lambda ln: F.length(F.trim(ln)) > 0,
+        ).alias("__grl"),
+    )
+    ns = sorted(GOPHER_TOP_NGRAM_LIMITS) + sorted(GOPHER_DUP_NGRAM_LIMITS)
+    s2 = s1.select(
+        *base,
+        F.size("__grl").alias("__nl"),
+        F.size(F.array_distinct("__grl")).alias("__nd"),
+        F.length(F.array_join("__grl", "")).alias("__ca"),
+        F.length(F.array_join(F.array_distinct("__grl"), "")).alias("__cd"),
+        F.length(F.array_join("__grt", " ")).alias("__tc"),
+        *(
+            gram_run_stats(
+                F.array_sort(ngrams_array(text_col, n, F.col("__grt")))
+            ).alias(f"__rep{n}")
+            for n in ns
+        ),
+    )
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num / den.cast("double")).otherwise(
+            F.lit(0.0)
+        )
+
+    tc = F.col("__tc")
+    out_cols: list[Column] = [
+        frac(F.col("__nl") - F.col("__nd"), F.col("__nl")).alias(
+            "dup_line_frac"
+        ),
+        frac(F.col("__ca") - F.col("__cd"), F.col("__ca")).alias(
+            "dup_line_char_frac"
+        ),
+        F.coalesce(
+            F.col("__rep2")["top"], F.lit(0).cast("long")
+        ).alias("top_bigram_chars"),
+    ]
+    for n in sorted(GOPHER_TOP_NGRAM_LIMITS):
+        out_cols.append(
+            frac(
+                F.coalesce(F.col(f"__rep{n}")["top"], F.lit(0)), tc
+            ).alias(f"top_{n}gram_char_frac")
+        )
+    for n in sorted(GOPHER_DUP_NGRAM_LIMITS):
+        out_cols.append(
+            frac(
+                F.coalesce(F.col(f"__rep{n}")["dup"], F.lit(0)), tc
+            ).alias(f"dup_{n}gram_char_frac")
+        )
+    s3 = s2.select(*base, *out_cols)
+    checks = [
+        F.col("dup_line_frac") <= 0.30,
+        F.col("dup_line_char_frac") <= 0.20,
+        *(
+            F.col(f"top_{n}gram_char_frac") <= lim
+            for n, lim in sorted(GOPHER_TOP_NGRAM_LIMITS.items())
+        ),
+        *(
+            F.col(f"dup_{n}gram_char_frac") <= lim
+            for n, lim in sorted(GOPHER_DUP_NGRAM_LIMITS.items())
+        ),
+    ]
+    gate = checks[0]
+    for c in checks[1:]:
+        gate = gate & c
+    return s3.select("*", gate.alias("gopher_rep_pass"))
 
 
 def bpe_train_reference(

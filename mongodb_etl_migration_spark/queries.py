@@ -8707,7 +8707,7 @@ def w_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t_gopher_repetition",
-    f"""
+    """
     WITH d AS (
       SELECT doc_id,
         CASE WHEN doc_id % 5 = 0
@@ -8734,40 +8734,87 @@ def w_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), toks AS (
       SELECT doc_id, regexp_extract_all(lower(t2), '[a-z0-9]+') AS t
       FROM d
-    ), grams AS (
-      SELECT doc_id,
-        list_transform(list_zip(t[:len(t)-1], t[2:]),
-                       p -> p[1] || ' ' || p[2]) AS g,
-        length(array_to_string(t, ' ')) AS tok_chars
+    ), base AS (
+      SELECT doc_id, length(array_to_string(t, ' ')) AS tok_chars
       FROM toks
-    ), best AS (
-      SELECT doc_id, tok_chars,
-        CAST(coalesce(list_max(list_transform(list_distinct(g),
-          x -> len(list_filter(g, y -> y = x)) * length(x))), 0) AS BIGINT)
-          AS top_bigram_chars
-      FROM grams
+    ), g AS (
+      SELECT tk.doc_id, ns.n,
+             unnest(list_transform(range(1, len(tk.t) - ns.n + 2),
+                    i -> array_to_string(tk.t[i:i+ns.n-1], ' '))) AS gram
+      FROM toks tk,
+           (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns
+    ), gs AS (
+      SELECT doc_id, n, gram, count(*) AS c, length(gram) AS lg
+      FROM g GROUP BY doc_id, n, gram
+    ), pn AS (
+      SELECT doc_id, n,
+        CAST(max(c * lg) AS BIGINT) AS topc,
+        CAST(sum((c - 1) * lg) AS BIGINT) AS dupc
+      FROM gs GROUP BY doc_id, n
+    ), piv AS (
+      SELECT doc_id,
+        coalesce(max(CASE WHEN n=2  THEN topc END), 0) AS top2,
+        coalesce(max(CASE WHEN n=3  THEN topc END), 0) AS top3,
+        coalesce(max(CASE WHEN n=4  THEN topc END), 0) AS top4,
+        coalesce(max(CASE WHEN n=5  THEN dupc END), 0) AS dup5,
+        coalesce(max(CASE WHEN n=6  THEN dupc END), 0) AS dup6,
+        coalesce(max(CASE WHEN n=7  THEN dupc END), 0) AS dup7,
+        coalesce(max(CASE WHEN n=8  THEN dupc END), 0) AS dup8,
+        coalesce(max(CASE WHEN n=9  THEN dupc END), 0) AS dup9,
+        coalesce(max(CASE WHEN n=10 THEN dupc END), 0) AS dup10
+      FROM pn GROUP BY doc_id
+    ), fr AS (
+      SELECT b.doc_id, l.dup_line_frac, l.dup_line_char_frac,
+        CAST(coalesce(p.top2, 0) AS BIGINT) AS top_bigram_chars,
+        CASE WHEN b.tok_chars > 0 THEN coalesce(p.top2, 0)
+          / CAST(b.tok_chars AS DOUBLE) ELSE 0.0 END AS top_2gram_char_frac,
+        CASE WHEN b.tok_chars > 0 THEN coalesce(p.top3, 0)
+          / CAST(b.tok_chars AS DOUBLE) ELSE 0.0 END AS top_3gram_char_frac,
+        CASE WHEN b.tok_chars > 0 THEN coalesce(p.top4, 0)
+          / CAST(b.tok_chars AS DOUBLE) ELSE 0.0 END AS top_4gram_char_frac,
+        CASE WHEN b.tok_chars > 0 THEN coalesce(p.dup5, 0)
+          / CAST(b.tok_chars AS DOUBLE) ELSE 0.0 END AS dup_5gram_char_frac,
+        CASE WHEN b.tok_chars > 0 THEN coalesce(p.dup6, 0)
+          / CAST(b.tok_chars AS DOUBLE) ELSE 0.0 END AS dup_6gram_char_frac,
+        CASE WHEN b.tok_chars > 0 THEN coalesce(p.dup7, 0)
+          / CAST(b.tok_chars AS DOUBLE) ELSE 0.0 END AS dup_7gram_char_frac,
+        CASE WHEN b.tok_chars > 0 THEN coalesce(p.dup8, 0)
+          / CAST(b.tok_chars AS DOUBLE) ELSE 0.0 END AS dup_8gram_char_frac,
+        CASE WHEN b.tok_chars > 0 THEN coalesce(p.dup9, 0)
+          / CAST(b.tok_chars AS DOUBLE) ELSE 0.0 END AS dup_9gram_char_frac,
+        CASE WHEN b.tok_chars > 0 THEN coalesce(p.dup10, 0)
+          / CAST(b.tok_chars AS DOUBLE) ELSE 0.0 END AS dup_10gram_char_frac
+      FROM base b
+      JOIN lf l ON b.doc_id = l.doc_id
+      LEFT JOIN piv p ON b.doc_id = p.doc_id
     )
-    SELECT l.doc_id, l.dup_line_frac, l.dup_line_char_frac,
-           b.top_bigram_chars,
-           CASE WHEN b.tok_chars > 0
-                THEN b.top_bigram_chars / CAST(b.tok_chars AS DOUBLE)
-                ELSE 0.0 END AS top_bigram_char_frac,
-           (l.dup_line_frac <= 0.30
-            AND l.dup_line_char_frac <= 0.20
-            AND (CASE WHEN b.tok_chars > 0
-                      THEN b.top_bigram_chars / CAST(b.tok_chars AS DOUBLE)
-                      ELSE 0.0 END) <= 0.20) AS gopher_rep_pass
-    FROM lf l JOIN best b ON l.doc_id = b.doc_id
+    SELECT *,
+      (dup_line_frac <= CAST(0.30 AS DOUBLE)
+       AND dup_line_char_frac <= CAST(0.20 AS DOUBLE)
+       AND top_2gram_char_frac <= CAST(0.20 AS DOUBLE)
+       AND top_3gram_char_frac <= CAST(0.18 AS DOUBLE)
+       AND top_4gram_char_frac <= CAST(0.16 AS DOUBLE)
+       AND dup_5gram_char_frac <= CAST(0.15 AS DOUBLE)
+       AND dup_6gram_char_frac <= CAST(0.14 AS DOUBLE)
+       AND dup_7gram_char_frac <= CAST(0.13 AS DOUBLE)
+       AND dup_8gram_char_frac <= CAST(0.12 AS DOUBLE)
+       AND dup_9gram_char_frac <= CAST(0.11 AS DOUBLE)
+       AND dup_10gram_char_frac <= CAST(0.10 AS DOUBLE)) AS gopher_rep_pass
+    FROM fr
     """,
 )
 def t_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher §A1.1 REPETITION rules (text.gopher_repetition_flags):
-    duplicate-line fraction, duplicate-line character fraction, and
-    most-frequent-bigram character share — the within-document
-    repetition gates that complete the Gopher family next to
-    t_gopher_rules' length/symbol/stopword half. Fixture plants
-    triple-repeated docs (1/5) and one-extra-line docs; all ratios
-    are integer-over-integer IEEE divisions, zero shuffle."""
+    """FULL Gopher §A1.1 repetition rule set (Rae et al. 2021 Table
+    A1, via text.with_gopher_repetition): duplicate-line fraction +
+    char fraction, top-{2,3,4}-gram char shares, dup-{5..10}-gram
+    char shares, and the 11-rule conjunction — completing the
+    repetition family next to t_gopher_rules' length/symbol/stopword
+    half. Fixture plants triple-repeated docs (1/5) and
+    one-extra-line docs. Every numerator is ONE O(L log L)
+    sorted-run fold per n (gram_run_stats) — nine folds, zero
+    exchanges; all ratios integer-over-integer IEEE divisions. The
+    oracle recomputes each numerator relationally (unnest + GROUP
+    BY) — a structurally different algorithm, same exact integers."""
     d = Catalog(spark, sf_dir).documents.select(
         "doc_id",
         F.when(
@@ -8781,15 +8828,7 @@ def t_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("t2"),
     )
-    flags = T.gopher_repetition_flags("t2")
-    return d.select(
-        "doc_id",
-        flags["dup_line_frac"].alias("dup_line_frac"),
-        flags["dup_line_char_frac"].alias("dup_line_char_frac"),
-        flags["top_bigram_chars"].alias("top_bigram_chars"),
-        flags["top_bigram_char_frac"].alias("top_bigram_char_frac"),
-        flags["gopher_rep_pass"].alias("gopher_rep_pass"),
-    )
+    return T.with_gopher_repetition(d, "t2").drop("t2")
 
 
 @query(

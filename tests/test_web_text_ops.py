@@ -1594,6 +1594,96 @@ def test_gopher_repetition_flags_exact(spark):
     assert out[4].dlf == 0.0 and out[4].tbf == 0.0
 
 
+def _rep_brute(text: str, n: int) -> tuple[int, int]:
+    """Brute-force (top_chars, dup_chars) for n-grams: count every
+    gram, top = max(count * len), dup = sum((count-1) * len)."""
+    import re
+    from collections import Counter
+
+    toks = re.findall(r"[a-z0-9]+", (text or "").lower())
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    if not grams:
+        return 0, 0
+    c = Counter(grams)
+    return (
+        max(k * len(g) for g, k in c.items()),
+        sum((k - 1) * len(g) for g, k in c.items()),
+    )
+
+
+def test_gram_run_stats_matches_bruteforce(spark):
+    """gram_run_stats (sorted-run O(L log L) fold) must agree with a
+    count-every-distinct brute force for every n in the Gopher set,
+    including short docs (< n tokens), empty, and NULL."""
+    texts = [
+        "dog cat dog cat dog cat dog cat",
+        "a b c d e f g h i j a b c d e f g h i j",
+        "one two three",
+        "x",
+        "",
+        None,
+        "aa aa aa aa aa aa aa aa aa aa aa aa",
+        "p q r s t u v p q r s t u v w p q r",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for n in (2, 3, 5, 10):
+        out = {
+            r.doc_id: (r.s["top"] or 0, r.s["dup"] or 0)
+            for r in docs.select(
+                "doc_id",
+                T.gram_run_stats(
+                    F.array_sort(T.ngrams_array("text", n))
+                ).alias("s"),
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert out[i] == _rep_brute(t, n), (n, i, t)
+
+
+def test_with_gopher_repetition_full_ruleset(spark):
+    """The staged transform emits all 11 §A1.1 fractions with the
+    paper's thresholds; planted docs trip exactly the rule they
+    target."""
+    long_clean = "\n".join(
+        f"w{i}a w{i}b w{i}c w{i}d" for i in range(12)
+    )
+    dup10 = " ".join(
+        ["a b c d e f g h i j"] * 2 + ["unique" + str(i) for i in range(60)]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, long_clean),
+            (2, "dog cat dog cat dog cat dog cat"),
+            (3, dup10),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in T.with_gopher_repetition(docs, "text").collect()
+    }
+    assert out[1].gopher_rep_pass is True
+    # doc 2: one bigram dominates -> fails top-2gram (and friends)
+    assert out[2].top_2gram_char_frac > 0.20
+    assert out[2].gopher_rep_pass is False
+    # doc 3: a repeated 10-token run -> dup_10gram numerator is the
+    # duplicated grams' chars; clean tail keeps top-2 share low
+    assert out[3].dup_10gram_char_frac > 0.0
+    assert out[4].gopher_rep_pass is True  # NULL text: all zeros
+    # per-n columns agree with brute force on doc 3
+    for n in (5, 10):
+        _, dup = _rep_brute(dup10, n)
+        import re
+
+        toks = re.findall(r"[a-z0-9]+", dup10.lower())
+        tc = len(" ".join(toks))
+        assert abs(
+            getattr(out[3], f"dup_{n}gram_char_frac") - dup / tc
+        ) < 1e-12
+
+
 def test_sitemap_urls_extraction(spark):
     xml = (
         '<?xml version="1.0"?><urlset>'
