@@ -224,11 +224,46 @@ def wait_for_idle(threshold: float = 2.0, max_wait_s: int = 180) -> dict:
 CLEAN_LOAD = 5.0
 
 
-def timed_run(name: str, spark, sf_dir: str) -> tuple[float, float, float]:
+class _LoadSampler:
+    """Samples the 1-minute load every 0.5 s on a daemon thread while
+    a query runs, keeping the MAX — closes the round-7 advice gap
+    where start/end sampling alone let a mid-run spike classify a
+    long run as clean. (The 1-min average moves slowly, so for
+    sub-second queries the endpoints already bound it; the sampler
+    matters for the multi-second ones.)"""
+
+    def __init__(self) -> None:
+        import threading
+
+        self.max_load = os.getloadavg()[0]
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            self.max_load = max(self.max_load, os.getloadavg()[0])
+            self._stop.wait(0.5)
+
+    def __enter__(self) -> "_LoadSampler":
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._t.join(timeout=2)
+        self.max_load = max(self.max_load, os.getloadavg()[0])
+
+
+def timed_run(
+    name: str, spark, sf_dir: str
+) -> tuple[float, float, float, float]:
+    """(sec, load_pre, load_post, load_max_during) — load_max is the
+    sampler's in-flight maximum and is what clean-run checks use."""
     pre = os.getloadavg()[0]
-    sec = run_once(name, spark, sf_dir)
+    with _LoadSampler() as ls:
+        sec = run_once(name, spark, sf_dir)
     post = os.getloadavg()[0]
-    return sec, round(pre, 2), round(post, 2)
+    return sec, round(pre, 2), round(post, 2), round(ls.max_load, 2)
 
 
 def main() -> None:
@@ -250,19 +285,19 @@ def main() -> None:
         w0, r0 = ui.shuffle_totals()
         sid0 = ui.max_stage_id()
         g0, c0 = ui.gc_cpu_totals()
-        warm1, p1, q1 = timed_run(name, spark, sf_dir)
+        warm1, p1, q1, m1 = timed_run(name, spark, sf_dir)
         w1, r1 = ui.shuffle_totals()
         g1, c1 = ui.gc_cpu_totals()
         shuffles[name] = (w1 - w0) + (r1 - r0)
         scan_tasks[name] = ui.scan_tasks_since(sid0)
         gc_ms[name] = g1 - g0
         cpu_ms[name] = c1 - c0
-        warm2, p2, q2 = timed_run(name, spark, sf_dir)
-        warm3, p3, q3 = timed_run(name, spark, sf_dir)
+        warm2, p2, q2, m2 = timed_run(name, spark, sf_dir)
+        warm3, p3, q3, m3 = timed_run(name, spark, sf_dir)
         run_loads[name] = [
-            [p1, q1, round(warm1, 3)],
-            [p2, q2, round(warm2, 3)],
-            [p3, q3, round(warm3, 3)],
+            [p1, q1, m1, round(warm1, 3)],
+            [p2, q2, m2, round(warm2, 3)],
+            [p3, q3, m3, round(warm3, 3)],
         ]
         timings[name] = round(min(warm1, warm2, warm3), 3)
 
@@ -270,18 +305,26 @@ def main() -> None:
     # once after a bounded cool-down; the minimum over ALL its runs
     # (original + retry) is reported.
     def has_clean_run(name: str) -> bool:
-        return any(max(pre, post) < CLEAN_LOAD for pre, post, _ in run_loads[name])
+        # clean = the MAX load observed across the whole run (pre,
+        # mid-run samples, post) stayed under CLEAN_LOAD — a mid-run
+        # spike can no longer hide between the endpoints
+        return any(mx < CLEAN_LOAD for _, _, mx, _ in run_loads[name])
 
     retried: list[str] = []
+    cooldown_max_load = 0.0
     dirty = [n for n in HEADLINE if not has_clean_run(n)]
     if dirty:
         waited = 0
-        while os.getloadavg()[0] >= CLEAN_LOAD and waited < 90:
+        load = os.getloadavg()[0]
+        cooldown_max_load = load
+        while load >= CLEAN_LOAD and waited < 90:
             time.sleep(10)
             waited += 10
+            load = os.getloadavg()[0]
+            cooldown_max_load = max(cooldown_max_load, load)
         for name in dirty:
-            sec, pre, post = timed_run(name, spark, sf_dir)
-            run_loads[name].append([pre, post, round(sec, 3)])
+            sec, pre, post, mx = timed_run(name, spark, sf_dir)
+            run_loads[name].append([pre, post, mx, round(sec, 3)])
             timings[name] = round(min(timings[name], sec), 3)
             retried.append(name)
 
@@ -307,10 +350,15 @@ def main() -> None:
         "load_avg_1m": round(os.getloadavg()[0], 2),
         "load_gate": load_gate,
         # whole-run load receipts: per query, every timed run's
-        # [load_pre, load_post, sec]; clean = both under CLEAN_LOAD
+        # [load_pre, load_post, load_max_during, sec]; clean = the
+        # in-flight MAX (0.5 s sampler) under CLEAN_LOAD. Limitation:
+        # the 1-min load average itself lags ~tens of seconds, so a
+        # spike shorter than that is smoothed — the sampler closes
+        # the between-endpoints gap, not the kernel's own averaging.
         "run_loads": run_loads,
         "clean_load_threshold": CLEAN_LOAD,
         "retried_after_cooldown": retried,
+        "cooldown_max_load": round(cooldown_max_load, 2),
         # timing policy, so round-over-round deltas are
         # attributable: per query 1 untimed cold run (JIT,
         # file listing, broadcast warmup) then MIN of 3 warm

@@ -505,6 +505,14 @@ def lang_id_hashed(
     if buckets <= 0:
         raise ValueError("buckets must be positive")
     langs = sorted({lang for d in weights.values() for lang in d})
+    if len(langs) < 2:
+        # F.greatest needs >=2 columns and the margin reads element 2
+        # of the score array (ANSI mode throws on a 1-element array);
+        # a 1-language classifier is also semantically vacuous.
+        raise ValueError(
+            "lang_id_hashed needs weights spanning >= 2 languages; "
+            f"got {langs!r}"
+        )
     # bucketed weight relation: collisions sum per (bucket, language)
     bw: dict[int, dict[str, int]] = {}
     for g, d in weights.items():
@@ -679,7 +687,16 @@ def pack_sequences(
 
     Output: (bucket, seq_idx, n_tokens, token_ids space-joined
     string — scalar for the driver hash gate); n_tokens always ==
-    seq_len (the contract a training loader relies on)."""
+    seq_len (the contract a training loader relies on).
+
+    Per-bucket CEILING: the window slice start is cast to int, so a
+    single bucket's stream must stay under 2^31 tokens (~2.1 G, ~4 GB
+    of int32 — the same order as the fits-one-executor bound above).
+    Under the session's ANSI mode an overflow ABORTS the job rather
+    than corrupting windows; size n_buckets >= corpus_tokens / 2^31
+    (with headroom) when planning a run — e.g. a 100 TB corpus at
+    ~25 G tokens/TB needs n_buckets >> 1200, far below the tens of
+    thousands the executor-memory bound already demands."""
     if seq_len < 1 or n_buckets < 1:
         raise ValueError("seq_len and n_buckets must be >= 1")
     per_doc = df.select(
@@ -1973,6 +1990,13 @@ def gpt2_token_ids(
     empty documents give an empty array. Zero shuffle, zero UDF —
     this is the layer that makes the encoder's output diffable
     against a published tokenizer and feedable to a training stack.
+
+    Loss accounting: an out-of-alphabet symbol yields a NULL element
+    (not a job abort), and array_join-style consumers drop NULLs
+    SILENTLY — callers gating on lossless output must count them
+    (``size(ids) - size(filter(ids, isNotNull))``, the n_oov column
+    t_bpe_ids publishes) and route non-ASCII corpora through
+    gpt2_encode_ids_batch, the lossless full-UTF-8 path.
     """
     vocab = gpt2_vocab(merges)
     syms = list(vocab)

@@ -261,17 +261,71 @@ def parse_psl(
     }
 
 
-def default_psl_rules() -> dict[str, tuple[str, ...]]:
-    """The engine's built-in rule set: the trimmed plain-suffix table
-    plus the real wildcard/exception entries (PSL_EXTRA_DAT). Swap in
-    ``parse_psl(open('public_suffix_list.dat').read())`` for the full
-    ~9k-rule list — same shape, same plan."""
+def excerpt_psl_rules() -> dict[str, tuple[str, ...]]:
+    """The trimmed built-in rule set (plain-suffix excerpt table plus
+    the real wildcard/exception entries) — kept as the fallback when
+    the vendored snapshot is absent and as a small test fixture."""
     extra = parse_psl(PSL_EXTRA_DAT)
     return {
         "plain": PUBLIC_SUFFIXES + extra["plain"],
         "wildcard": extra["wildcard"],
         "exception": extra["exception"],
     }
+
+
+def _punycode(rule: str) -> str | None:
+    """ASCII (xn--) twin of a PSL rule via per-label IDNA encoding;
+    None when unchanged or not encodable. The list publishes rules in
+    Unicode form while crawled hosts usually arrive punycoded — the
+    twin keys both spellings to the same registrant."""
+    try:
+        out = ".".join(
+            lbl
+            if all(ord(ch) < 128 for ch in lbl)
+            else lbl.encode("idna").decode("ascii")
+            for lbl in rule.split(".")
+        )
+    except (UnicodeError, ValueError):
+        return None
+    return out if out != rule else None
+
+
+_PSL_SNAPSHOT = None
+
+
+def default_psl_rules() -> dict[str, tuple[str, ...]]:
+    """The FULL vendored publicsuffix.org snapshot
+    (``data/public_suffix_list.dat``, Mozilla PSL, MPL-2.0 — the list
+    itself instructs pulling from publicsuffix.org; this copy is the
+    distro's machine-readable snapshot) parsed by ``parse_psl``:
+    ~9.4k plain rules (1..5 labels), ~107 wildcard bases (1..4
+    labels), 8 exceptions — plus punycode (xn--) twins for the ~466
+    Unicode rules so punycoded hosts group identically. Cached
+    module-wide; falls back to the excerpt table only if the data
+    file is missing."""
+    global _PSL_SNAPSHOT
+    if _PSL_SNAPSHOT is not None:
+        return _PSL_SNAPSHOT
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "public_suffix_list.dat",
+    )
+    if not os.path.exists(path):  # pragma: no cover - vendored file
+        _PSL_SNAPSHOT = excerpt_psl_rules()
+        return _PSL_SNAPSHOT
+    with open(path, encoding="utf-8") as fh:
+        rules = parse_psl(fh.read())
+    out = {}
+    for cls, vals in rules.items():
+        twins = tuple(
+            t for t in (_punycode(v) for v in vals) if t is not None
+        )
+        out[cls] = vals + twins
+    _PSL_SNAPSHOT = out
+    return out
 
 
 def with_registered_domain(
@@ -638,6 +692,10 @@ def parse_robots_rules(df, host_col: str, text_col: str, user_agent: str = "*"):
         lval = F.lower(val)
         hit_len = (
             F.when(lval == "*", F.lit(0))
+            # a malformed empty 'User-agent:' header must NOT match
+            # every crawler ('' is a prefix of anything) — RFC 9309
+            # treats it as no product token, i.e. no match
+            .when(lval == "", F.lit(-1))
             .when(F.lit(ua).startswith(lval), F.length(lval))
             .otherwise(F.lit(-1))
             .cast("int")
@@ -1198,6 +1256,10 @@ def robots_crawl_delay(df, host_col: str, text_col: str, user_agent: str = "*"):
         lval = F.lower(val)
         hit_len = (
             F.when(lval == "*", F.lit(0))
+            # a malformed empty 'User-agent:' header must NOT match
+            # every crawler ('' is a prefix of anything) — RFC 9309
+            # treats it as no product token, i.e. no match
+            .when(lval == "", F.lit(-1))
             .when(F.lit(ua).startswith(lval), F.length(lval))
             .otherwise(F.lit(-1))
             .cast("int")

@@ -6917,29 +6917,62 @@ _PSL_HOST_SQL = """
 """
 
 
-def _psl_sql_lists() -> dict[str, str]:
-    """SQL literal lists for the oracle's per-class rule tables —
-    generated from the SAME default_psl_rules() the operator joins
-    against (plain by suffix label count, wildcard bases by base
-    label count, exceptions by label count)."""
+def _psl_oracle_parts() -> tuple[str, str]:
+    """Generate the oracle's PSL CTE skeleton and precedence CASE
+    from default_psl_rules() — label-count buckets DERIVED from the
+    rule set exactly the way with_registered_domain derives its join
+    classes, so the FULL vendored snapshot (5-label amazonaws
+    endpoints, 4-label wildcard bases, punycode twins) flows into the
+    SQL without hand-maintained buckets. Mirrors the operator's
+    precedence: exceptions longest-first, then public-suffix length
+    descending with wildcard (base b -> suffix b+1) before plain of
+    the same suffix length; every branch carries the operator's
+    min-host-labels guard (a host equal to a wildcard BASE is not
+    matched — '*' must consume a label)."""
     rules = WB.default_psl_rules()
-
-    def lst(vals, k):
-        return ", ".join(
-            f"'{v}'" for v in sorted(vals) if v.count(".") + 1 == k
+    labs = lambda v: v.count(".") + 1  # noqa: E731
+    plain = sorted({s for s in rules["plain"] if labs(s) >= 2})
+    wild = sorted(set(rules["wildcard"]))
+    exc = sorted(set(rules["exception"]))
+    exc_lens = sorted({labs(v) for v in exc}, reverse=True)
+    suffix_lens = sorted(
+        {labs(v) + 1 for v in wild} | {labs(v) for v in plain},
+        reverse=True,
+    )
+    # (flag/name, values, join-key labels, registrable labels, min n)
+    classes: list[tuple[str, list[str], int, int, int]] = []
+    for dl in exc_lens:
+        vals = [v for v in exc if labs(v) == dl]
+        if vals:
+            classes.append((f"exc{dl}", vals, dl, dl, dl))
+    for sl in suffix_lens:
+        wv = [v for v in wild if labs(v) == sl - 1]
+        if wv:
+            classes.append((f"wild{sl - 1}", wv, sl - 1, sl + 1, sl))
+        pv = [v for v in plain if labs(v) == sl]
+        if pv:
+            classes.append((f"suf{sl}", pv, sl, sl + 1, sl))
+    ks = sorted(
+        {2}
+        | {k for _, _, k, _, _ in classes}
+        | {r for _, _, _, r, _ in classes}
+    )
+    lcols = ",\n        ".join(
+        f"l[n] AS l{k}"
+        if k == 1
+        else (
+            f"CASE WHEN n >= {k} THEN "
+            f"array_to_string(list_slice(l, n-{k - 1}, n), '.') END AS l{k}"
         )
-
-    return {
-        "two": lst(rules["plain"], 2),
-        "three": lst(rules["plain"], 3),
-        "wild1": lst(rules["wildcard"], 1),
-        "wild2": lst(rules["wildcard"], 2),
-        "exc2": lst(rules["exception"], 2),
-        "exc3": lst(rules["exception"], 3),
-    }
-
-
-_PSL_DOMAIN_SQL = f"""
+        for k in ks
+    )
+    flags = ", ".join(f"{n}_t.{n}" for n, _, _, _, _ in classes)
+    joins = "\n".join(
+        f"      LEFT JOIN (SELECT unnest([{', '.join(chr(39) + v + chr(39) for v in vals)}]) AS {name}) {name}_t"
+        f" ON c.l{k} = {name}_t.{name}"
+        for name, vals, k, _, _ in classes
+    )
+    domain_sql = f"""
     WITH h AS (
       SELECT doc_id, {_PSL_HOST_SQL} AS host FROM documents
     ), lab AS (
@@ -6948,42 +6981,30 @@ _PSL_DOMAIN_SQL = f"""
       FROM h
     ), c AS (
       SELECT doc_id, host, n,
-        l[n] AS l1,
-        CASE WHEN n >= 2
-             THEN array_to_string(list_slice(l, n-1, n), '.') END AS l2,
-        CASE WHEN n >= 3
-             THEN array_to_string(list_slice(l, n-2, n), '.') END AS l3,
-        CASE WHEN n >= 4
-             THEN array_to_string(list_slice(l, n-3, n), '.') END AS l4
+        {lcols}
       FROM lab
     ), j AS (
-      SELECT c.*, e3.exc3, e2.exc2, w2.wild2, s3.suf3, w1.wild1, s2.suf2
+      SELECT c.*, {flags}
       FROM c
-      LEFT JOIN (SELECT unnest([{{exc3}}]) AS exc3) e3 ON c.l3 = e3.exc3
-      LEFT JOIN (SELECT unnest([{{exc2}}]) AS exc2) e2 ON c.l2 = e2.exc2
-      LEFT JOIN (SELECT unnest([{{wild2}}]) AS wild2) w2 ON c.l2 = w2.wild2
-      LEFT JOIN (SELECT unnest([{{three}}]) AS suf3) s3 ON c.l3 = s3.suf3
-      LEFT JOIN (SELECT unnest([{{wild1}}]) AS wild1) w1 ON c.l1 = w1.wild1
-      LEFT JOIN (SELECT unnest([{{two}}]) AS suf2) s2 ON c.l2 = s2.suf2
+{joins}
     )
 """
+    reg_sql = (
+        "CASE "
+        + " ".join(
+            f"WHEN {name} IS NOT NULL AND n >= {mn} THEN l{r}"
+            for name, _, _, r, mn in classes
+        )
+        + " ELSE l2 END"
+    )
+    return domain_sql, reg_sql
 
-# the oracle's precedence CASE — mirrors with_registered_domain's
-# class order: exceptions (longest first), then public-suffix length
-# descending with wildcard (base b -> suffix b+1) interleaved
-_PSL_REG_SQL = """
-      CASE WHEN exc3 IS NOT NULL THEN l3
-           WHEN exc2 IS NOT NULL THEN l2
-           WHEN wild2 IS NOT NULL THEN l4
-           WHEN suf3 IS NOT NULL THEN l4
-           WHEN wild1 IS NOT NULL THEN l3
-           WHEN suf2 IS NOT NULL THEN l3
-           ELSE l2 END
-"""
+
+_PSL_DOMAIN_SQL_GEN, _PSL_REG_SQL = _psl_oracle_parts()
 
 
 def _psl_domain_sql() -> str:
-    return _PSL_DOMAIN_SQL.format(**_psl_sql_lists())
+    return _PSL_DOMAIN_SQL_GEN
 
 
 @query(
@@ -9192,7 +9213,10 @@ def _gpt2_vocab_sql_map() -> str:
       FROM e, vocab
     )
     SELECT doc_id,
-           CAST(len(tid) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(tid, x -> x IS NOT NULL)) AS BIGINT)
+             AS n_tokens,
+           CAST(len(list_filter(tid, x -> x IS NULL)) AS BIGINT)
+             AS n_oov,
            array_to_string(tid, ' ') AS token_ids
     FROM ids
     """,
@@ -9218,17 +9242,124 @@ def t_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture = d.select("doc_id", t2.alias("t2"))
     ids = T.gpt2_token_ids("t2", _GPT2_DEMO_MERGES)
     # Two projections so the expensive id chain is REFERENCED, not
-    # re-evaluated, by the count column (CollapseProject keeps
-    # multiply-referenced non-cheap expressions apart).
-    step = fixture.select("doc_id", F.array_join(ids, " ").alias("token_ids"))
+    # re-evaluated, by the derived columns (CollapseProject keeps
+    # multiply-referenced non-cheap expressions apart). n_oov makes
+    # the Column path's documented loss VISIBLE: array_join drops
+    # NULL (out-of-alphabet) ids silently, so a caller gates on
+    # n_oov == 0 before trusting token_ids/n_tokens (round-8 advice);
+    # non-ASCII corpora take gpt2_encode_ids_batch (t_bpe_ids_uni).
+    step = fixture.select("doc_id", ids.alias("__ids"))
     return step.select(
         "doc_id",
-        F.when(F.col("token_ids") == "", F.lit(0))
-        .otherwise(F.size(F.split("token_ids", " ")))
+        F.size(F.filter("__ids", lambda x: x.isNotNull()))
         .cast("bigint")
         .alias("n_tokens"),
-        "token_ids",
+        (F.size("__ids") - F.size(F.filter("__ids", lambda x: x.isNotNull())))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.array_join("__ids", " ").alias("token_ids"),
     )
+
+
+def _gpt2_alphabet_sql() -> str:
+    """The 256-entry GPT-2 byte→unicode alphabet as ONE DuckDB list
+    literal (index = byte value + 1), hoisted into a CTE so the
+    per-byte lambda references a column, not a literal it would
+    re-construct per element."""
+    alph = T.gpt2_bytes_to_unicode()
+    return (
+        "["
+        + ", ".join(
+            "'" + alph[b].replace("'", "''") + "'" for b in range(256)
+        )
+        + "]"
+    )
+
+
+_UNI_SUFFIX_SQL = """
+      CASE doc_id % 6
+        WHEN 0 THEN '中文 分词 中文'
+        WHEN 1 THEN ' привет мир'
+        WHEN 2 THEN ' γειά σου κόσμε'
+        WHEN 3 THEN ' مرحبا بالعالم'
+        WHEN 4 THEN ' 🙂🚀'
+        ELSE ' naïve café'
+      END
+"""
+
+
+@query(
+    "t_bpe_ids_unicode",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             substring(text, 1, 32) || {_UNI_SUFFIX_SQL} AS t2
+      FROM documents
+    ), pt AS (
+      {_GPT2_PRETOK_SQL}
+    ), a AS (
+      SELECT {_gpt2_alphabet_sql()} AS am, '0123456789ABCDEF' AS hx
+    ), m AS (
+      SELECT doc_id,
+        list_transform(toks, t ->
+          array_to_string(
+            list_transform(range(1, length(hex(encode(t)))//2 + 1),
+              i -> am[(strpos(hx, substr(hex(encode(t)), 2*i-1, 1))-1)*16
+                     + strpos(hx, substr(hex(encode(t)), 2*i, 1))]),
+            '')) AS mapped
+      FROM pt, a
+    ), e AS MATERIALIZED (
+      SELECT doc_id,
+        trim(regexp_replace(
+          array_to_string(
+            list_transform(mapped, w -> {_gpt2_sql_encode("w")}), ''),
+          ' +', ' ', 'g')) AS enc
+      FROM m
+    ), vocab AS (
+      SELECT {_gpt2_vocab_sql_map()} AS vm
+    ), ids AS (
+      SELECT doc_id,
+        list_transform(
+          list_filter(string_split(enc, ' '), s -> s <> ''),
+          s -> vm[s][1]) AS tid
+      FROM e, vocab
+    )
+    SELECT doc_id,
+           CAST(len(tid) AS BIGINT) AS n_tokens,
+           array_to_string(tid, ' ') AS token_ids
+    FROM ids
+    """,
+)
+def t_bpe_ids_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-UTF-8 GPT-2 token ids through the Arrow-batched path
+    (text.gpt2_encode_ids_batch — the lossless route the Column
+    path's ASCII-scope docs point to): a multi-script fixture (Han,
+    Cyrillic, Greek, Arabic, emoji, Latin-1 accents appended to each
+    doc's ASCII head) runs the reference scanner + byte-alphabet +
+    merge chain + id lookup inside a pandas UDF. The oracle rebuilds
+    the SAME ids engine-independently: RE2 pretokenizer twin, then
+    every pretoken's UTF-8 BYTES recovered via hex() and mapped
+    through the 256-entry bytes_to_unicode list literal (no
+    space/tab shortcut — the real byte fallback), then the identical
+    merge chain + vocab MAP. Known-answer vectors for non-Latin
+    strings ('中' → [160,116,255], '🙂' → [172,253,247,224]) pin the
+    byte-level construction in tests/test_web_text_ops.py. Per-row
+    Arrow batches, zero shuffle, vocab ships once per executor —
+    the 50k-merge production shape."""
+    d = Catalog(spark, sf_dir).documents
+    dd = F.col("doc_id")
+    suffix = (
+        F.when(dd % 6 == 0, F.lit("中文 分词 中文"))
+        .when(dd % 6 == 1, F.lit(" привет мир"))
+        .when(dd % 6 == 2, F.lit(" γειά σου κόσμε"))
+        .when(dd % 6 == 3, F.lit(" مرحبا بالعالم"))
+        .when(dd % 6 == 4, F.lit(" 🙂🚀"))
+        .otherwise(F.lit(" naïve café"))
+    )
+    fixture = d.select(
+        "doc_id", F.concat(F.substring("text", 1, 32), suffix).alias("t2")
+    )
+    return T.gpt2_encode_ids_batch(fixture, "doc_id", "t2", _GPT2_DEMO_MERGES)
 
 
 @query(

@@ -303,14 +303,15 @@ def test_psl_label_counts_derived_from_rules(spark):
 
 def test_psl_check_public_suffix_vectors(spark):
     """publicsuffix.org's published checkPublicSuffix test vectors
-    (libpsl test_psl.txt), restricted to the rules the vendored
-    excerpt carries: unlisted-TLD default, listed 2-label suffixes,
-    3-label plain (ide.kyoto.jp), us-state shapes (k12.ak.us),
-    wildcard *.mm / *.ck / *.kobe.jp, and exception !www.ck /
-    !city.kobe.jp. Hosts are pre-lowercased (with_registered_domain's
-    contract — url_host lowercases upstream); vectors needing rules
-    outside the excerpt (private-section uk.com etc.) are the
-    documented full-snapshot boundary."""
+    (libpsl test_psl.txt) against the FULL vendored snapshot:
+    unlisted-TLD default, listed 2-label suffixes, 3-label plain
+    (ide.kyoto.jp), us-state shapes (k12.ak.us), wildcard *.mm /
+    *.ck / *.kobe.jp, exception !www.ck / !city.kobe.jp,
+    private-section suffixes (uk.com), and the IDN vectors in BOTH
+    published Unicode form (公司.cn) and punycode twin form
+    (xn--55qx5d.cn — added by default_psl_rules). Hosts are
+    pre-lowercased (with_registered_domain's contract — url_host
+    lowercases upstream)."""
     vectors = [
         # (host, expected registrable domain) — null expectations too
         ("com", None),
@@ -367,6 +368,35 @@ def test_psl_check_public_suffix_vectors(spark):
         # shorter rules prevail and kobe.jp is registrable under jp
         ("kobe.jp", "kobe.jp"),
         ("kawasaki.jp", "kawasaki.jp"),
+        # ---- full-snapshot vectors (outside the old excerpt) ----
+        # private-section 2-label suffix (CentralNic uk.com)
+        ("uk.com", None),
+        ("test.uk.com", "test.uk.com"),
+        ("www.test.uk.com", "test.uk.com"),
+        # IDN rules as published (Unicode form): 公司.cn is a listed
+        # 2-label suffix; 中国 is a 1-label rule == default behavior
+        ("食狮.com.cn", "食狮.com.cn"),
+        ("食狮.公司.cn", "食狮.公司.cn"),
+        (
+            "www.食狮.公司.cn",
+            "食狮.公司.cn",
+        ),
+        ("shishi.公司.cn", "shishi.公司.cn"),
+        ("公司.cn", None),
+        ("食狮.中国", "食狮.中国"),
+        ("www.食狮.中国", "食狮.中国"),
+        ("shishi.中国", "shishi.中国"),
+        ("中国", None),
+        # punycode twins of the same rules (hosts arrive xn--EDged)
+        ("xn--85x722f.com.cn", "xn--85x722f.com.cn"),
+        ("xn--85x722f.xn--55qx5d.cn", "xn--85x722f.xn--55qx5d.cn"),
+        ("www.xn--85x722f.xn--55qx5d.cn", "xn--85x722f.xn--55qx5d.cn"),
+        ("shishi.xn--55qx5d.cn", "shishi.xn--55qx5d.cn"),
+        ("xn--55qx5d.cn", None),
+        ("xn--85x722f.xn--fiqs8s", "xn--85x722f.xn--fiqs8s"),
+        ("www.xn--85x722f.xn--fiqs8s", "xn--85x722f.xn--fiqs8s"),
+        ("shishi.xn--fiqs8s", "shishi.xn--fiqs8s"),
+        ("xn--fiqs8s", None),
     ]
     df = spark.createDataFrame([(h,) for h, _ in vectors], "host string")
     out = {
@@ -401,9 +431,18 @@ def test_psl_join_is_broadcast_no_shuffle(spark):
         .executedPlan()
         .toString()
     )
-    # one tiny broadcast join per (rule class, label count) pair:
-    # exc3, exc2, wild2, suf3, wild1, suf2
-    assert plan.count("BroadcastHashJoin") == 6
+    # one tiny broadcast join per (rule class, label count) pair that
+    # has entries — DERIVED from the vendored snapshot (full PSL:
+    # exc{3,2}, wild{4,3,2,1}, suf{5,4,3,2} = 10)
+    rules = W.default_psl_rules()
+    labs = lambda v: v.count(".") + 1  # noqa: E731
+    n_classes = len(
+        {labs(v) for v in rules["exception"]}
+    ) + len(
+        {labs(v) for v in rules["wildcard"]}
+    ) + len({labs(v) for v in rules["plain"] if labs(v) >= 2})
+    assert plan.count("BroadcastHashJoin") == n_classes
+    assert n_classes >= 6  # excerpt floor; full snapshot gives 10
     assert "ShuffleExchange" not in plan and "SortMergeJoin" not in plan
 
 
@@ -874,6 +913,31 @@ def test_parse_robots_rules_rfc_edges(spark):
     assert got_g == [(False, "/g-only/")]
 
 
+def test_parse_robots_rules_empty_ua_header_ignored(spark):
+    """A malformed empty 'User-agent:' header must be treated as NO
+    match (round-8 advice): '' is a prefix of every crawler name, so
+    without the guard it would match like '*' and hand its rules to
+    everyone. RFC 9309 requires a product token; an empty one is
+    ignored, and the '*' group still applies."""
+    body = (
+        "User-agent:\nDisallow: /empty-ua/\n\n"
+        "User-agent: *\nDisallow: /star/\n"
+    )
+    df = spark.createDataFrame([("h.com", body)], "host string, txt string")
+    got = [
+        (r.allow, r.prefix)
+        for r in W.parse_robots_rules(
+            df, "host", "txt", user_agent="anybot"
+        ).collect()
+    ]
+    assert got == [(False, "/star/")]
+    # crawl-delay side: the delay under the empty header is ignored
+    body2 = "User-agent:\nCrawl-delay: 9\n\nUser-agent: *\nCrawl-delay: 2\n"
+    df2 = spark.createDataFrame([("h.com", body2)], "host string, txt string")
+    out = W.robots_crawl_delay(df2, "host", "txt", user_agent="anybot")
+    assert [r.crawl_delay for r in out.collect()] == [2.0]
+
+
 def test_robots_crawl_delay_group_selection_edges(spark):
     """Crawl-delay shares the header-selection semantics: the most
     specific matching group's delay wins; if that group has NO usable
@@ -1093,6 +1157,38 @@ def test_gpt2_token_ids_known_answer_vectors(spark):
         T.gpt2_token_ids("text", _GPT2_REAL_HEAD).alias("ids")
     ).head()
     assert list(row.ids) == [None]
+
+
+def test_gpt2_batch_non_latin_known_answers(spark):
+    """Known-answer vectors for NON-LATIN strings through the
+    lossless Arrow-batch path: with no applicable merges the ids are
+    the published base-alphabet byte ids (bytes_to_unicode order),
+    hand-derivable from the UTF-8 bytes — '中' = e4 b8 ad →
+    [160, 116, 255] (0xad is the LAST remapped byte = 255), '🙂' =
+    f0 9f 99 82 → [172, 253, 247, 224]; a leading space prepends
+    'Ġ' = 220. The Column path degrades these to NULL ids (its
+    documented ASCII scope); the batch path must be lossless."""
+    vectors = [
+        ("中", [160, 116, 255]),
+        ("🙂", [172, 253, 247, 224]),
+        (" 中文", [220, 160, 116, 255, 162, 244, 229]),
+        ("привет", [140, 123, 141, 222, 140, 116, 140, 110, 140, 113, 141, 224]),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(vectors)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (
+            [int(x) for x in r.token_ids.split(" ")] if r.token_ids else [],
+            int(r.n_tokens),
+        )
+        for r in T.gpt2_encode_ids_batch(
+            df, "doc_id", "text", _GPT2_REAL_HEAD
+        ).collect()
+    }
+    for i, (s, expected) in enumerate(vectors):
+        assert got[i] == (expected, len(expected)), (s, got[i], expected)
 
 
 def test_lang_id_hashed_26_languages(spark):
