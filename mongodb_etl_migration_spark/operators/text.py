@@ -1436,9 +1436,12 @@ def duplicated_spans(
     and pinned in the t_dup_spans oracle), and boundaries are
     token-aligned (character-level matches crossing token boundaries
     round inward to whole tokens). Lee et al.'s suffix-array build
-    uses a 50-BYTE threshold; the equivalent knob here is a smaller
-    ``k`` — the gram transform stays one md5 per token position at
-    any k, so tightening the bound costs nothing in plan shape.
+    uses a 50-BYTE threshold; duplicated_spans_exact implements that
+    character threshold exactly (per-position suffix-prefix
+    fingerprints — no token-count floor), and a smaller ``k`` remains
+    the cheap knob here — the gram transform stays one md5 per token
+    position at any k, so tightening the bound costs nothing in plan
+    shape.
     Reported spans are maximal UNIONS of qualifying windows, so a
     span's length is always ≥ k and its content duplicated
     window-wise, not necessarily as one contiguous corpus-wide match.
@@ -1482,6 +1485,133 @@ def duplicated_spans(
         .agg(
             F.min("pos").cast("bigint").alias("span_start"),
             (F.max("pos") + (k - 1)).cast("bigint").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+
+
+def duplicated_spans_exact(
+    df,
+    id_col: str,
+    text_col: str,
+    min_bytes: int = 50,
+    min_count: int = 2,
+):
+    """EXACT ExactSubstr detection at Lee et al. 2022's own
+    CHARACTER threshold (50 bytes), closing duplicated_spans' k-gram
+    bound: that operator's minimum duplicate length is k TOKENS, so
+    a 5-long-token duplicated run (65 chars — well past the paper's
+    50-byte line) is invisible at k=8. Here every token position
+    fingerprints the first ``min_bytes`` CHARACTERS of its suffix
+    (tokens joined by single spaces — the normalized-stream
+    equivalent of the paper's raw bytes; matches stay token-aligned,
+    the documented boundary convention): two positions share a
+    fingerprint iff their suffixes agree for >= min_bytes chars,
+    which is precisely the sorted-suffix-array adjacency test with
+    the sort replaced by a hash exchange. A position whose remaining
+    suffix is shorter than min_bytes cannot START a qualifying
+    match and is excluded (it can still be COVERED by a span that
+    starts earlier).
+
+    Span coverage is variable-width: position p covers the tokens
+    its min_bytes window actually touches (computed by the same
+    in-lambda fold that measures the window — O(min_bytes) per
+    position, so a long-token tail yields a short span and a
+    short-token run a long one). Overlapping/adjacent covered
+    intervals merge into maximal spans exactly like the k-gram
+    operator.
+
+    Plan shape (identical scale class to duplicated_spans): the
+    per-position transform is O(n * min_bytes) per document inside
+    codegen — no prefix-sum array, no O(n^2) term — then ONE
+    fingerprint exchange (count window, no self-join) and the
+    per-document island merge. Output: (id_col, span_start,
+    span_end, span_tokens), 1-based inclusive token positions."""
+    from pyspark.sql import Window
+
+    if min_bytes < 1:
+        raise ValueError("min_bytes must be >= 1")
+    B = int(min_bytes)
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    n = F.size("_t")
+
+    def entry(p: Column) -> Column:
+        # a min_bytes-char window touches at most min_bytes tokens
+        # (every token adds >= 1 char + a joining space), so the
+        # B-token slice bounds both the string build and the fold
+        win = F.slice(F.col("_t"), p, B)
+        fold = F.aggregate(
+            win,
+            F.struct(
+                F.lit(0).cast("long").alias("chars"),
+                F.lit(0).cast("long").alias("c"),
+            ),
+            lambda acc, tok: F.struct(
+                (
+                    acc["chars"]
+                    + F.when(acc["chars"] > 0, 1).otherwise(0)
+                    + F.length(tok)
+                ).alias("chars"),
+                (
+                    acc["c"] + F.when(acc["chars"] < B, 1).otherwise(0)
+                ).alias("c"),
+            ),
+        )
+        return F.struct(
+            p.cast("long").alias("pos"),
+            F.md5(
+                F.substring(F.array_join(win, " "), 1, B)
+            ).alias("whash"),
+            fold.alias("st"),
+        )
+
+    pos_rows = (
+        toks.filter(n >= 1)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(F.sequence(F.lit(1), n), entry)
+            ).alias("_e"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_e")["pos"].alias("pos"),
+            F.col("_e")["whash"].alias("_whash"),
+            F.col("_e")["st"]["chars"].alias("_avail"),
+            (F.col("_e")["pos"] + F.col("_e")["st"]["c"] - 1).alias("_end"),
+        )
+        .filter(F.col("_avail") >= B)
+    )
+    counted = pos_rows.withColumn(
+        "__cnt", F.count("*").over(Window.partitionBy("_whash"))
+    )
+    dup = counted.filter(F.col("__cnt") >= min_count).select(
+        F.col(id_col), "pos", "_end"
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max("_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "_new",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+        ).otherwise(0),
+    ).withColumn(
+        "_g", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        flagged.groupBy(id_col, "_g")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            F.max("_end").cast("bigint").alias("span_end"),
         )
         .select(
             id_col,
