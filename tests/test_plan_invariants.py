@@ -42,6 +42,13 @@ ARROW_OK = {
     "e_sessionization",      # batch twin is pure SQL — listed in case
     "t_unicode_nfc",         # unicodedata NFC (pandas UDF — Spark has
                              # no built-in normalizer)
+    "t_bpe_ids_unicode",     # full-Unicode GPT-2 BPE: the UTF-8
+                             # byte→unicode-shim remap + per-byte merge
+                             # loop over arbitrary codepoints has no
+                             # Column expression form — Arrow-batched
+                             # pandas UDF is the genuinely-required hop
+                             # (the ASCII fast path t_bpe_ids stays in
+                             # codegen and is lint-checked normally)
     "w_frontier_pipeline",   # gunzip_text (pandas UDF — Spark has no
                              # gunzip builtin) + the fixture's gzip
                              # writer; narrow, batch-bounded
