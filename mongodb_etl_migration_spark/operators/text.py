@@ -1520,20 +1520,26 @@ def duplicated_spans_exact(
     match and is excluded (it can still be COVERED by a span that
     starts earlier).
 
-    Span coverage is variable-width: position p covers the tokens
-    its min_bytes window actually touches (computed by the same
-    in-lambda fold that measures the window — O(min_bytes) per
-    position, so a long-token tail yields a short span and a
-    short-token run a long one). Overlapping/adjacent covered
-    intervals merge into maximal spans exactly like the k-gram
-    operator.
+    Span coverage is variable-width: position p covers exactly the
+    tokens whose FIRST OWN CHARACTER lies inside the min_bytes
+    window (a token is counted iff its preceding separator falls
+    within the window's first min_bytes-1 characters — a window
+    ending ON a joining space does NOT pull in the next token, which
+    contributed no characters to the fingerprint). So a long-token
+    tail yields a short span and a short-token run a long one.
+    Overlapping/adjacent covered intervals merge into maximal spans
+    exactly like the k-gram operator.
 
-    Plan shape (identical scale class to duplicated_spans): the
-    per-position transform is O(n * min_bytes) per document inside
-    codegen — no prefix-sum array, no O(n^2) term — then ONE
-    fingerprint exchange (count window, no self-join) and the
-    per-document island merge. Output: (id_col, span_start,
-    span_end, span_tokens), 1-based inclusive token positions."""
+    Plan shape (identical scale class to duplicated_spans): each
+    position builds its window string ONCE inside the transform
+    lambda (substring(join(slice), 1, B) — O(min_bytes) per
+    position, no prefix-sum array, no O(n^2) term); hash, length
+    gate, and token-coverage count derive from that staged string in
+    the post-explode projections (lambda bodies sit outside codegen
+    CSE — see the package CSE discipline). Then ONE fingerprint
+    exchange (count window, no self-join) and the per-document
+    island merge. Output: (id_col, span_start, span_end,
+    span_tokens), 1-based inclusive token positions."""
     from pyspark.sql import Window
 
     if min_bytes < 1:
@@ -1542,52 +1548,43 @@ def duplicated_spans_exact(
     toks = df.select(F.col(id_col), tokens(text_col).alias("_t"))
     n = F.size("_t")
 
-    def entry(p: Column) -> Column:
-        # a min_bytes-char window touches at most min_bytes tokens
-        # (every token adds >= 1 char + a joining space), so the
-        # B-token slice bounds both the string build and the fold
-        win = F.slice(F.col("_t"), p, B)
-        fold = F.aggregate(
-            win,
-            F.struct(
-                F.lit(0).cast("long").alias("chars"),
-                F.lit(0).cast("long").alias("c"),
-            ),
-            lambda acc, tok: F.struct(
-                (
-                    acc["chars"]
-                    + F.when(acc["chars"] > 0, 1).otherwise(0)
-                    + F.length(tok)
-                ).alias("chars"),
-                (
-                    acc["c"] + F.when(acc["chars"] < B, 1).otherwise(0)
-                ).alias("c"),
-            ),
-        )
-        return F.struct(
-            p.cast("long").alias("pos"),
-            F.md5(
-                F.substring(F.array_join(win, " "), 1, B)
-            ).alias("whash"),
-            fold.alias("st"),
-        )
-
+    # The first B chars of the suffix join starting at token p. A
+    # B-char window touches at most B tokens (every token adds >= 1
+    # char + a joining space), so the B-token slice bounds the
+    # string build; substring caps the join at B chars, and its
+    # length reaching B is exactly the "suffix has >= min_bytes
+    # chars" start-qualification test (B tokens joined are always
+    # >= 2B-1 chars; fewer tokens joined give the true suffix
+    # length).
+    window_str = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda p: F.substring(
+            F.array_join(F.slice(F.col("_t"), p, B), " "), 1, B
+        ),
+    )
     pos_rows = (
         toks.filter(n >= 1)
+        .select(F.col(id_col), F.posexplode(window_str).alias("_p0", "_w"))
+        .filter(F.length("_w") == B)
         .select(
             F.col(id_col),
-            F.explode(
-                F.transform(F.sequence(F.lit(1), n), entry)
-            ).alias("_e"),
+            (F.col("_p0") + 1).alias("pos"),
+            F.md5("_w").alias("_whash"),
+            # tokens covered = 1 + separators whose following token
+            # still STARTS inside the window = spaces in the first
+            # B-1 chars (a space at char B means the next token
+            # starts outside; splitting the prefix on single spaces
+            # counts pieces = spaces + 1)
+            F.size(F.split(F.substring("_w", 1, B - 1), " "))
+            .cast("long")
+            .alias("_c"),
         )
         .select(
             F.col(id_col),
-            F.col("_e")["pos"].alias("pos"),
-            F.col("_e")["whash"].alias("_whash"),
-            F.col("_e")["st"]["chars"].alias("_avail"),
-            (F.col("_e")["pos"] + F.col("_e")["st"]["c"] - 1).alias("_end"),
+            "pos",
+            "_whash",
+            (F.col("pos") + F.col("_c") - 1).alias("_end"),
         )
-        .filter(F.col("_avail") >= B)
     )
     counted = pos_rows.withColumn(
         "__cnt", F.count("*").over(Window.partitionBy("_whash"))

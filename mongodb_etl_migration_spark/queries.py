@@ -7839,6 +7839,110 @@ def t_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_dup_spans_exact",
+    """
+    WITH src AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 THEN text || ' ' || text
+             WHEN doc_id % 6 = 3 THEN text ||
+               ' subscribe to our newsletter for daily updates today'
+             WHEN doc_id % 6 = 5 THEN text ||
+               ' internationalization telecommunications responsibilities the 2024'
+             ELSE text END AS text2
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text2), '[a-z0-9]+') AS t
+      FROM src
+    ), grams AS (
+      SELECT doc_id, s.s AS pos,
+             substr(array_to_string(list_slice(t, s.s, s.s + 49), ' '),
+                    1, 50) AS w
+      FROM toks, unnest(range(1, len(t) + 1)) AS s(s)
+    ), pos_rows AS (
+      SELECT doc_id, pos, md5(w) AS whash,
+             pos + len(string_split(substr(w, 1, 49), ' ')) - 1 AS endp
+      FROM grams WHERE length(w) = 50
+    ), counted AS (
+      SELECT doc_id, pos, endp,
+             count(*) OVER (PARTITION BY whash) AS cnt
+      FROM pos_rows
+    ), dup AS (
+      SELECT doc_id, pos, endp FROM counted WHERE cnt >= 2
+    ), flagged AS (
+      SELECT doc_id, pos, endp,
+        CASE WHEN max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             OR pos > max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS newf
+      FROM dup
+    ), grp AS (
+      SELECT doc_id, pos, endp,
+             sum(newf) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(endp) AS BIGINT) AS span_end,
+           CAST(max(endp) - min(pos) + 1 AS BIGINT) AS span_tokens
+    FROM grp GROUP BY doc_id, g
+    """,
+)
+def t_dup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ExactSubstr at Lee et al. 2022's 50-BYTE character
+    threshold (text.duplicated_spans_exact) — the companion that
+    closes t_dup_spans' k-gram detection bound. Each token position
+    fingerprints the first 50 characters of its suffix (one hash per
+    position, ONE corpus-wide fingerprint exchange, variable-width
+    token coverage, per-doc island merge — same scale class as the
+    k-gram pass). Fixture plants the three regimes: every 4th doc's
+    text doubled (within-doc self-duplication), doc_id%6==3 docs
+    share a 51-char/8-token boilerplate tail (cross-doc, visible to
+    BOTH passes), and doc_id%6==5 docs share a 65-char/5-TOKEN tail —
+    SHORTER than k=8 tokens, so t_dup_spans cannot see it at any
+    window that fits, but 15 chars past the 50-byte line, so this
+    pass MUST report it (the flip of the k-gram bound pinned in
+    t_dup_spans). The oracle rebuilds the per-position windows from
+    the same list-slice + substr algebra, so spans — starts, ends,
+    and the boundary convention that a window ending ON a joining
+    space does NOT claim the next token — are reproduced
+    bit-for-bit."""
+    d = Catalog(spark, sf_dir).documents
+    src = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " subscribe to our newsletter for daily updates today"
+                ),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 5,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " internationalization telecommunications"
+                    " responsibilities the 2024"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text2"),
+    )
+    return T.duplicated_spans_exact(
+        src, "doc_id", "text2", min_bytes=50, min_count=2
+    )
+
+
+@query(
     "a20_bilateral_trade",
     f"""
     SELECT n1.n_name AS supp_nation,

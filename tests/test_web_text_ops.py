@@ -661,10 +661,12 @@ def test_duplicated_spans_exact_intervals(spark):
 
 
 def test_duplicated_spans_sub_k_bound(spark):
-    """The documented detection bound: a duplicated run SHORTER than
-    k tokens produces no k-window and is invisible at that k — and
-    the remedy is the k knob, not a different algorithm: the same
-    corpus at k=4 reports exactly the planted 5-token tails."""
+    """The documented k-gram detection bound — and its CLOSURE: a
+    duplicated run SHORTER than k tokens produces no k-window and is
+    invisible at that k; the remedies are the k knob (same
+    algorithm) or duplicated_spans_exact (the character-threshold
+    pass), which DETECTS the planted tail whenever it crosses
+    min_bytes."""
     tail5 = " all rights reserved worldwide 2024"
     df = spark.createDataFrame(
         [
@@ -684,6 +686,135 @@ def test_duplicated_spans_sub_k_bound(spark):
         for r in T.duplicated_spans(df, "doc_id", "text", k=4).collect()
     }
     assert spans == {(1, 9, 13, 5), (2, 8, 12, 5)}
+    # the EXACT pass at min_bytes=30 detects the same planted tails
+    # with no token-count floor: position at the tail start
+    # fingerprints "all rights reserved worldwide " (30 chars — the
+    # window ends ON the joining space, so "2024"'s first char at 31
+    # is outside: covers 4 tokens), the next position's 30-char
+    # window "rights reserved worldwide 2024" reaches the end
+    # (covers 4 more), the two islands overlap and merge to the full
+    # 5-token tail; position 3 of the tail has only 23 chars of
+    # suffix left and cannot start
+    exact = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in T.duplicated_spans_exact(
+            df, "doc_id", "text", min_bytes=30
+        ).collect()
+    }
+    assert exact == {(1, 9, 13, 5), (2, 8, 12, 5)}
+    # ...and at Lee et al.'s 50-byte threshold the 34-char tail is
+    # correctly BELOW the line: no suffix inside it has 50 chars, and
+    # windows reaching back into the unique bodies occur once
+    assert (
+        T.duplicated_spans_exact(df, "doc_id", "text", min_bytes=50).count()
+        == 0
+    )
+
+
+def test_duplicated_spans_exact_long_token_tail(spark):
+    """The case the k-gram pass is structurally blind to: a 5-TOKEN
+    duplicated tail of LONG tokens (65 joined chars — well past the
+    50-byte line) is invisible at k=8 but must be reported by the
+    exact pass. Coverage is variable-width: the 50-char window from
+    the tail start only reaches into the third long token, so the
+    span is 3 tokens, not 5 — and the second tail position has only
+    44 suffix chars left, so it cannot start."""
+    tail = (
+        " internationalization telecommunications"
+        " responsibilities the 2024"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "first document has its own body text entirely" + tail),
+            (2, "second body goes differently with other words" + tail),
+        ],
+        "doc_id long, text string",
+    )
+    assert T.duplicated_spans(df, "doc_id", "text", k=8).count() == 0
+    exact = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in T.duplicated_spans_exact(
+            df, "doc_id", "text", min_bytes=50
+        ).collect()
+    }
+    # doc 1's body is 8 tokens (tail starts at 9), doc 2's is 7:
+    # window = first 50 chars of "internationalization(20)
+    # telecommunications(18) responsibilities(16)..." — spaces at
+    # chars 21 and 40, so 3 tokens covered
+    assert exact == {(1, 9, 11, 3), (2, 8, 10, 3)}
+
+
+def test_duplicated_spans_exact_space_boundary(spark):
+    """The token-coverage boundary convention, pinned at its exact
+    edge: a min_bytes window whose LAST character is the joining
+    space must NOT claim the following token (it contributed no
+    characters to the fingerprint). Docs share exactly their first
+    10 chars — a 9-char token plus the space — then diverge; the
+    span is the single shared token, never (1,2)."""
+    df = spark.createDataFrame(
+        [
+            (1, "abcdefghi xq aa bb"),
+            (2, "abcdefghi xr cc dd"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in T.duplicated_spans_exact(
+            df, "doc_id", "text", min_bytes=10
+        ).collect()
+    }
+    assert exact == {(1, 1, 1, 1), (2, 1, 1, 1)}
+
+
+def test_duplicated_spans_exact_short_suffix_covered_not_start(spark):
+    """A position with fewer than min_bytes suffix chars remaining is
+    excluded as a span START but still COVERED by a qualifying span
+    that starts earlier: the shared 11-char tail "qqq www eee" is
+    detected from its first token (suffix 11 >= 10), and the window
+    reaches the final token even though positions 4 and 5 (suffixes
+    of 7 and 3 chars) cannot start."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha unique1 qqq www eee"),
+            (2, "beta other2 qqq www eee"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in T.duplicated_spans_exact(
+            df, "doc_id", "text", min_bytes=10
+        ).collect()
+    }
+    assert exact == {(1, 3, 5, 3), (2, 3, 5, 3)}
+
+
+def test_duplicated_spans_exact_within_doc_doubled(spark):
+    """Within-document self-duplication (the doubled-text regime):
+    every suffix of the first copy long enough to fingerprint
+    reappears in the second copy, so the merged span covers the
+    document from token 1 through the last position of the second
+    copy that can still start a 50-char window plus its coverage."""
+    body = (
+        "the quick brown fox jumps over the lazy dog while seven "
+        "wizards brew strong black coffee at midnight"
+    )  # 17 tokens, 104 joined chars
+    df = spark.createDataFrame(
+        [(1, body + " " + body), (2, "completely unrelated filler words")],
+        "doc_id long, text string",
+    )
+    rows = T.duplicated_spans_exact(
+        df, "doc_id", "text", min_bytes=50
+    ).collect()
+    assert [r.doc_id for r in rows] == [1]
+    (span,) = rows
+    # position p (copy 1) and p+17 (copy 2) share suffixes >= 50
+    # chars whenever copy 2's remainder still has 50 chars, so the
+    # span starts at token 1; coverage runs past the copy boundary
+    assert span.span_start == 1
+    assert span.span_end > 17  # crosses into the second copy
+    assert span.span_tokens == span.span_end - span.span_start + 1
 
 
 def test_html_links_title_and_link_graph(spark):
