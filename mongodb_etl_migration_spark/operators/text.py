@@ -746,6 +746,58 @@ def pack_sequences(
     )
 
 
+def epoch_shuffle(
+    df,
+    key_cols: list[str],
+    seed: int,
+    pos_col: str = "epoch_pos",
+    num_partitions: int | None = None,
+):
+    """Deterministic training-epoch shuffle — the seeded reproducible
+    global permutation a training loader consumes after
+    pack_sequences (epoch N's data order must be replayable for
+    checkpoint-resume and debuggable loss spikes; see the data-order
+    determinism requirement in any large pre-training run).
+
+    The permutation is a pure function of (seed, row identity):
+    order key = md5(seed || ':' || key_cols joined by ':'), ascending
+    — a keyed hash, so SAME seed ⇒ bit-identical order on any
+    cluster size / partition count, DIFFERENT seed ⇒ decorrelated
+    order (tested). No RNG state, no driver-side permutation array.
+
+    Scale shape: hash-ordered ``repartitionByRange`` (ONE range
+    exchange — the hash key is uniform by construction, so ranges
+    balance regardless of input skew) and per-partition numbering
+    with broadcast offsets via keys.assign_sequential_ids — never a
+    global window. Driver state is one row-count per range partition,
+    bounded by ``num_partitions``.
+
+    Output: input columns + ``pos_col`` (0-based dense epoch
+    position). Ties beyond the 128-bit hash are broken by the key
+    columns themselves, keeping the order total and deterministic
+    even under md5 collisions."""
+    from mongodb_etl_migration_spark.functions import keys as K
+
+    if not key_cols:
+        raise ValueError("key_cols must name at least one column")
+    keyed = df.withColumn(
+        "__shuffle_key",
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(str(int(seed))), *[F.col(c) for c in key_cols]
+            )
+        ),
+    )
+    numbered = K.assign_sequential_ids(
+        keyed,
+        id_col=pos_col,
+        order_by=["__shuffle_key", *key_cols],
+        start=0,
+        num_partitions=num_partitions,
+    )
+    return numbered.drop("__shuffle_key")
+
+
 def dedup_spans(
     df,
     id_col: str,

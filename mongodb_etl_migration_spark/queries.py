@@ -9520,6 +9520,68 @@ def t_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t_seq_shuffle",
+    """
+    WITH ids AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                            t -> CAST(length(t) AS INTEGER)) AS tid
+      FROM documents
+    ), b AS (
+      SELECT doc_id % 16 AS bucket, doc_id,
+             list_append(tid, 0) AS t2
+      FROM ids
+    ), g AS (
+      SELECT bucket,
+             flatten(list_transform(
+               list_sort(list(struct_pack(d := doc_id, t := t2))),
+               s -> s.t)) AS stream
+      FROM b GROUP BY bucket
+    ), seqs AS (
+      SELECT bucket, i.i AS seq_idx,
+             list_slice(stream, i.i * 64 + 1, i.i * 64 + 64) AS w
+      FROM g, unnest(range(0, len(stream) // 64)) AS i(i)
+    )
+    SELECT CAST(row_number() OVER (
+             ORDER BY md5('42:' || CAST(bucket AS VARCHAR) || ':'
+                          || CAST(seq_idx AS VARCHAR)),
+                      bucket, seq_idx) - 1 AS BIGINT) AS epoch_pos,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(seq_idx AS BIGINT) AS seq_idx,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           array_to_string(w, ' ') AS token_ids
+    FROM seqs
+    """,
+)
+def t_seq_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (text.epoch_shuffle) over the
+    packed training sequences — the seeded reproducible permutation a
+    training loader replays for checkpoint-resume: order key =
+    md5(seed ':' bucket ':' seq_idx), realized as a hash-ordered
+    repartitionByRange (ONE range exchange, hash keys are uniform so
+    ranges balance under any input skew) plus per-partition numbering
+    with broadcast offsets (keys.assign_sequential_ids) — never a
+    global window. Same seed ⇒ bit-identical epoch_pos on any
+    cluster size (the property the oracle pins: DuckDB derives the
+    identical md5 order with a row_number), different seed ⇒
+    decorrelated order (property-tested). Same packing fixture as
+    t_seq_pack, seed=42."""
+    d = Catalog(spark, sf_dir).documents
+    ids = d.select(
+        "doc_id",
+        F.transform(
+            T.tokens("text"), lambda t: F.length(t).cast("int")
+        ).alias("tid"),
+    )
+    packed = T.pack_sequences(
+        ids, "doc_id", "tid", seq_len=64, eos_id=0, n_buckets=16
+    )
+    return T.epoch_shuffle(
+        packed, key_cols=["bucket", "seq_idx"], seed=42
+    ).select("epoch_pos", "bucket", "seq_idx", "n_tokens", "token_ids")
+
+
 def _bpe_train_oracle(rounds: int = 8) -> str:
     """Unrolled DuckDB mirror of text.bpe_train: the same one-pass
     word count, then per round — pair counts by zip-adjacent over the

@@ -2506,6 +2506,54 @@ def test_pack_sequences_semantics(spark):
         T.pack_sequences(df, "doc_id", "ids", seq_len=0)
 
 
+def test_epoch_shuffle_deterministic_permutation(spark):
+    """The three contract properties of the seeded epoch shuffle:
+    (1) output is a PERMUTATION — epoch_pos is exactly 0..n-1 and
+    every input row survives unchanged; (2) SAME seed ⇒ bit-identical
+    order, independent of the range-partition count (the permutation
+    is a pure function of seed and row identity, not of cluster
+    layout); (3) DIFFERENT seeds ⇒ decorrelated orders (a keyed hash:
+    expected fixed points ≈ 1, nothing like the identity map)."""
+    n = 200
+    df = spark.createDataFrame(
+        [(i % 8, i // 8, f"payload-{i}") for i in range(n)],
+        "bucket long, seq_idx long, token_ids string",
+    )
+
+    def order(seed, parts):
+        rows = T.epoch_shuffle(
+            df, ["bucket", "seq_idx"], seed=seed, num_partitions=parts
+        ).collect()
+        assert sorted(r.epoch_pos for r in rows) == list(range(n))
+        assert {(r.bucket, r.seq_idx, r.token_ids) for r in rows} == {
+            (i % 8, i // 8, f"payload-{i}") for i in range(n)
+        }
+        return {(r.bucket, r.seq_idx): r.epoch_pos for r in rows}
+
+    o42a = order(42, 4)
+    o42b = order(42, 13)  # different partition count, same permutation
+    assert o42a == o42b
+    o7 = order(7, 4)
+    assert o7 != o42a
+    fixed_points = sum(1 for k, p in o42a.items() if o7[k] == p)
+    assert fixed_points < n * 0.1  # keyed hash: expected ≈ 1
+    # ...and not a mere rotation/reflection of one another either:
+    # positional ranks must look independent (no long common runs)
+    seq42 = [k for k, _ in sorted(o42a.items(), key=lambda kv: kv[1])]
+    seq7 = [k for k, _ in sorted(o7.items(), key=lambda kv: kv[1])]
+    common_adjacent = sum(
+        1
+        for a, b in zip(seq42, seq42[1:])
+        if (a, b) in set(zip(seq7, seq7[1:]))
+    )
+    assert common_adjacent < n * 0.1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="key_cols"):
+        T.epoch_shuffle(df, [], seed=1)
+
+
 def test_pack_sequences_conservation_property(spark):
     """Property (hypothesis): for arbitrary id arrays, each bucket's
     emitted windows concatenate to exactly the prefix of that
