@@ -1455,6 +1455,89 @@ def rare_bigram_stats(df, id_col: str, text_col: str, min_count: int = 10):
     )
 
 
+def _merge_span_islands(dup, id_col: str):
+    """Gaps-and-islands merge shared by BOTH ExactSubstr passes:
+    ``dup`` carries (id_col, pos, _end) duplicated token positions
+    with their covered-interval ends; overlapping/adjacent intervals
+    (gap <= 1 token) merge into maximal per-document spans. Two
+    window functions over the single per-document position exchange.
+    Output: (id_col, span_start, span_end, span_tokens), 1-based
+    inclusive."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max("_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "_new",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+        ).otherwise(0),
+    ).withColumn(
+        "_g", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        flagged.groupBy(id_col, "_g")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            F.max("_end").cast("bigint").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+
+
+def exact_substr_spans(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    k_tokens: int | None = None,
+    min_bytes: int | None = None,
+    min_count: int = 2,
+):
+    """ONE entry point for ExactSubstr duplicated-span detection —
+    picks the k-gram or character-threshold pass by which floor you
+    pass (exactly one of ``k_tokens`` / ``min_bytes``).
+
+    Choosing between them is about THRESHOLD SEMANTICS, not cost —
+    per token position both build and hash one bounded string, the
+    k-gram pass O(k·avg_token_len) chars, the byte pass O(min_bytes),
+    and at typical English token lengths k=8 ≈ 48 chars ≈ the 50-byte
+    line, so the two are the same cost class with identical plan
+    shapes (narrow per-position transform, ONE fingerprint exchange,
+    shared island merge):
+
+    - ``k_tokens``: a TOKEN floor. Duplicated runs shorter than k
+      tokens are invisible by construction — the right knob when the
+      target is long boilerplate and you want the floor expressed in
+      tokens (cheap to tighten: the transform stays one hash per
+      position at any k).
+    - ``min_bytes``: Lee et al. 2022's published CHARACTER floor
+      (50 bytes). Catches the few-long-token duplicates a token
+      floor structurally misses (a 5-token/65-char run at k=8), and
+      correctly IGNORES many-short-token runs under the byte line
+      that a small k would flag. Use it to match the paper's
+      behavior bit-for-bit.
+    """
+    if (k_tokens is None) == (min_bytes is None):
+        raise ValueError("pass exactly one of k_tokens / min_bytes")
+    if k_tokens is not None:
+        return duplicated_spans(
+            df, id_col, text_col, k=k_tokens, min_count=min_count
+        )
+    return duplicated_spans_exact(
+        df, id_col, text_col, min_bytes=min_bytes, min_count=min_count
+    )
+
+
 def duplicated_spans(
     df,
     id_col: str,
@@ -1518,35 +1601,11 @@ def duplicated_spans(
         "__cnt", F.count("*").over(Window.partitionBy("_whash"))
     )
     dup = counted.filter(F.col("__cnt") >= min_count).select(
-        F.col(id_col), (F.col("_p0") + 1).alias("pos")
+        F.col(id_col),
+        (F.col("_p0") + 1).alias("pos"),
+        (F.col("_p0") + k).alias("_end"),  # fixed width: pos + k - 1
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    prev_end = F.max(F.col("pos") + (k - 1)).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = dup.withColumn(
-        "_new",
-        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(
-            0
-        ),
-    ).withColumn(
-        "_g", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    return (
-        flagged.groupBy(id_col, "_g")
-        .agg(
-            F.min("pos").cast("bigint").alias("span_start"),
-            (F.max("pos") + (k - 1)).cast("bigint").alias("span_end"),
-        )
-        .select(
-            id_col,
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias(
-                "span_tokens"
-            ),
-        )
-    )
+    return _merge_span_islands(dup, id_col)
 
 
 def duplicated_spans_exact(
@@ -1644,33 +1703,7 @@ def duplicated_spans_exact(
     dup = counted.filter(F.col("__cnt") >= min_count).select(
         F.col(id_col), "pos", "_end"
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    prev_end = F.max("_end").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = dup.withColumn(
-        "_new",
-        F.when(
-            prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
-        ).otherwise(0),
-    ).withColumn(
-        "_g", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    return (
-        flagged.groupBy(id_col, "_g")
-        .agg(
-            F.min("pos").cast("bigint").alias("span_start"),
-            F.max("_end").cast("bigint").alias("span_end"),
-        )
-        .select(
-            id_col,
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias(
-                "span_tokens"
-            ),
-        )
-    )
+    return _merge_span_islands(dup, id_col)
 
 
 # Integer weights for the linear quality classifier below. Real
@@ -2725,13 +2758,18 @@ def remove_duplicated_spans(
     text_col: str,
     k: int = 8,
     min_count: int = 2,
+    *,
+    min_bytes: int | None = None,
 ):
     """ExactSubstr REMOVAL (Lee et al. 2022's acted-on form):
     duplicated_spans finds the copied regions; this pass CUTS their
     tokens out of every document — the dedup that shrinks boilerplate
     and quoted text without dropping whole documents (span_dedup's
     keep-one-copy window rung and MinHash's whole-doc rung cover the
-    other granularities of the ladder).
+    other granularities of the ladder). Detection floor: ``k`` tokens
+    by default; pass ``min_bytes`` to cut at the paper's CHARACTER
+    threshold instead (routes through exact_substr_spans — ``k`` is
+    ignored then).
 
     Plan shape: the detection plan's exchanges, then the per-document
     span set (duplicate-region-sized, NOT corpus-sized) aggregates to
@@ -2742,7 +2780,14 @@ def remove_duplicated_spans(
     with no duplicated span pass through untouched (left join +
     empty-array coalesce). Output: (id_col, clean_text,
     n_removed bigint)."""
-    spans = duplicated_spans(df, id_col, text_col, k, min_count)
+    spans = exact_substr_spans(
+        df,
+        id_col,
+        text_col,
+        k_tokens=k if min_bytes is None else None,
+        min_bytes=min_bytes,
+        min_count=min_count,
+    )
     sarr = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__sp")
     )

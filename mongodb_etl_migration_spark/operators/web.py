@@ -273,19 +273,43 @@ def excerpt_psl_rules() -> dict[str, tuple[str, ...]]:
     }
 
 
+try:
+    # UTS-46 / IDNA2008 — the encoding browsers and crawlers apply.
+    # The stdlib codec is IDNA2003, which silently diverges on the
+    # rules where the two standards disagree (deviation characters,
+    # newer scripts); prefer the real thing when present.
+    import idna as _idna
+except ImportError:  # pragma: no cover - baked into this container
+    _idna = None
+
+# Rules whose punycode twin could not be derived (per-label encode
+# failed under the active encoder). Kept module-visible so a PSL
+# snapshot upgrade that introduces divergent/unencodable rules is
+# DETECTABLE (tested empty for the vendored snapshot) instead of a
+# silent twin drop that un-groups those registrants.
+PUNYCODE_DROPPED: set[str] = set()
+
+
 def _punycode(rule: str) -> str | None:
-    """ASCII (xn--) twin of a PSL rule via per-label IDNA encoding;
-    None when unchanged or not encodable. The list publishes rules in
-    Unicode form while crawled hosts usually arrive punycoded — the
-    twin keys both spellings to the same registrant."""
+    """ASCII (xn--) twin of a PSL rule via per-label IDNA encoding
+    (UTS-46 via the ``idna`` package when available, stdlib IDNA2003
+    otherwise); None when unchanged or not encodable — unencodable
+    rules are recorded in ``PUNYCODE_DROPPED``. The list publishes
+    rules in Unicode form while crawled hosts usually arrive
+    punycoded — the twin keys both spellings to the same
+    registrant."""
+
+    def enc(lbl: str) -> str:
+        if all(ord(ch) < 128 for ch in lbl):
+            return lbl
+        if _idna is not None:
+            return _idna.encode(lbl, uts46=True).decode("ascii")
+        return lbl.encode("idna").decode("ascii")
+
     try:
-        out = ".".join(
-            lbl
-            if all(ord(ch) < 128 for ch in lbl)
-            else lbl.encode("idna").decode("ascii")
-            for lbl in rule.split(".")
-        )
+        out = ".".join(enc(lbl) for lbl in rule.split("."))
     except (UnicodeError, ValueError):
+        PUNYCODE_DROPPED.add(rule)
         return None
     return out if out != rule else None
 

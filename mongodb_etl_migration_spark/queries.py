@@ -7943,6 +7943,113 @@ def t_dup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_span_removal_exact",
+    """
+    WITH src AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 THEN text || ' ' || text
+             WHEN doc_id % 6 = 3 THEN text ||
+               ' subscribe to our newsletter for daily updates today'
+             WHEN doc_id % 6 = 5 THEN text ||
+               ' internationalization telecommunications responsibilities the 2024'
+             ELSE text END AS text2
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text2), '[a-z0-9]+') AS t
+      FROM src
+    ), grams AS (
+      SELECT doc_id, s.s AS pos,
+             substr(array_to_string(list_slice(t, s.s, s.s + 49), ' '),
+                    1, 50) AS w
+      FROM toks, unnest(range(1, len(t) + 1)) AS s(s)
+    ), pos_rows AS (
+      SELECT doc_id, pos, md5(w) AS whash,
+             pos + len(string_split(substr(w, 1, 49), ' ')) - 1 AS endp
+      FROM grams WHERE length(w) = 50
+    ), counted AS (
+      SELECT doc_id, pos, endp,
+             count(*) OVER (PARTITION BY whash) AS cnt
+      FROM pos_rows
+    ), dup AS (
+      SELECT doc_id, pos, endp FROM counted WHERE cnt >= 2
+    ), flagged AS (
+      SELECT doc_id, pos, endp,
+        CASE WHEN max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             OR pos > max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS newf
+      FROM dup
+    ), grp AS (
+      SELECT doc_id, pos, endp,
+             sum(newf) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, min(pos) AS a, max(endp) AS b
+      FROM grp GROUP BY doc_id, g
+    ), sarr AS (
+      SELECT doc_id, list(struct_pack(a := a, b := b)) AS sp
+      FROM spans GROUP BY doc_id
+    ), cut AS (
+      SELECT t.doc_id, t.t,
+        list_filter(
+          list_transform(t.t, (x, i) -> CASE WHEN len(list_filter(
+              coalesce(s.sp, CAST([] AS STRUCT(a BIGINT, b BIGINT)[])),
+              r -> r.a <= i AND i <= r.b)) = 0 THEN x END),
+          v -> v IS NOT NULL) AS kept
+      FROM toks t LEFT JOIN sarr s USING (doc_id)
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(kept, ' '), '') AS clean_text,
+           CAST(len(t) - len(kept) AS BIGINT) AS n_removed
+    FROM cut
+    """,
+)
+def t_span_removal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL at the 50-byte character threshold
+    (text.remove_duplicated_spans with min_bytes — routed through the
+    exact_substr_spans dispatcher): the regions t_dup_spans_exact
+    detects are CUT from every document, including the 65-char/5-TOKEN
+    boilerplate tail the k-gram removal pass (t_span_removal, k=8)
+    structurally leaves in place. Same plan shape as t_span_removal
+    (detection exchanges + one interval-array join back on id + the
+    zero-shuffle indexed cut); the oracle extends t_dup_spans_exact's
+    proven detection chain with the identical removal CTEs, so the
+    hash certifies byte-threshold detection AND surgery together."""
+    d = Catalog(spark, sf_dir).documents
+    src = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " subscribe to our newsletter for daily updates today"
+                ),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 5,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " internationalization telecommunications"
+                    " responsibilities the 2024"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text2"),
+    )
+    return T.remove_duplicated_spans(src, "doc_id", "text2", min_bytes=50)
+
+
+@query(
     "a20_bilateral_trade",
     f"""
     SELECT n1.n_name AS supp_nation,

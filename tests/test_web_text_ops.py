@@ -423,6 +423,29 @@ def test_parse_psl_file_format():
         W.parse_psl("*.a.*.b\n")
 
 
+def test_psl_punycode_twins_complete_under_uts46():
+    """Every Unicode rule in the vendored snapshot must yield a
+    punycode twin under the active encoder (UTS-46 via the idna
+    package here), and NONE may be silently dropped — a PSL upgrade
+    that introduces an unencodable/divergent rule must surface in
+    PUNYCODE_DROPPED, not as a missing twin that un-groups those
+    registrants (ADVICE r8)."""
+    rules = W.default_psl_rules()
+    assert W.PUNYCODE_DROPPED == set(), sorted(W.PUNYCODE_DROPPED)
+    n_unicode = sum(
+        1
+        for vals in rules.values()
+        for v in vals
+        if any(ord(c) > 127 for c in v)
+    )
+    n_twins = sum(
+        1 for vals in rules.values() for v in vals if "xn--" in v
+    )
+    assert n_unicode == n_twins == 466  # vendored-snapshot census
+    # the UTS-46 encoder is actually in play (baked into container)
+    assert W._idna is not None
+
+
 def test_psl_join_is_broadcast_no_shuffle(spark):
     df = spark.createDataFrame([("www.a.co.uk",)], "host string")
     plan = (
@@ -709,6 +732,40 @@ def test_duplicated_spans_sub_k_bound(spark):
         T.duplicated_spans_exact(df, "doc_id", "text", min_bytes=50).count()
         == 0
     )
+
+
+def test_exact_substr_spans_dispatcher(spark):
+    """exact_substr_spans is the single entry point: k_tokens routes
+    to the k-gram pass, min_bytes to the character-threshold pass,
+    and passing both or neither is an error (the two floors are
+    different SEMANTICS, not a tuning range)."""
+    import pytest
+
+    tail5 = " all rights reserved worldwide 2024"
+    df = spark.createDataFrame(
+        [
+            (1, "first document has its own body text entirely" + tail5),
+            (2, "second body goes differently with other words" + tail5),
+        ],
+        "doc_id long, text string",
+    )
+
+    def spans(d):
+        return {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in d.collect()
+        }
+
+    assert spans(
+        T.exact_substr_spans(df, "doc_id", "text", k_tokens=4)
+    ) == spans(T.duplicated_spans(df, "doc_id", "text", k=4))
+    assert spans(
+        T.exact_substr_spans(df, "doc_id", "text", min_bytes=30)
+    ) == spans(T.duplicated_spans_exact(df, "doc_id", "text", min_bytes=30))
+    with pytest.raises(ValueError, match="exactly one"):
+        T.exact_substr_spans(df, "doc_id", "text")
+    with pytest.raises(ValueError, match="exactly one"):
+        T.exact_substr_spans(df, "doc_id", "text", k_tokens=4, min_bytes=30)
 
 
 def test_duplicated_spans_exact_long_token_tail(spark):
