@@ -14,7 +14,8 @@ The headline set exercises every cost class: columnar agg (a1), join
 pipeline + window (j6), shuffle-heavy LSH dedup (d2), vector math
 (sim_topk_bruteforce), per-doc text scoring (t_text_stats), window agg
 over events (e_windowed_counts), hierarchy loop (j9), pandas-UDF path
-(k1_uuid5). Each query runs three times: one cold (JIT, file listing),
+(k1_uuid5), and the heaviest pure-codegen text path — the full Gopher
+repetition family's 9 sorted-gram folds (t_gopher_repetition). Each query runs three times: one cold (JIT, file listing),
 then two warm — the MIN of the warm pair is recorded (single-JVM
 local-mode timings carry GC/load noise; min-of-2 is the steady-state
 the driver compares against BASELINE at the same sf). Shuffle volume per query
@@ -70,6 +71,11 @@ HEADLINE = [
     "o2_global_topk",
     "t_curation_pipeline",
     "e_sessionization",
+    # the catalog's slowest query (full Gopher §A1.1 — 9 sorted-gram
+    # folds, zero shuffle): tracked here so a regression in the
+    # O(L log L) sorted-run fold shows up in BENCH_rN deltas, not
+    # only in full-catalog receipts (VERDICT r8 item 6)
+    "t_gopher_repetition",
 ]
 
 

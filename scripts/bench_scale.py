@@ -13,8 +13,10 @@ Method: synthesize corpora from sf0.1's documents by replication —
 each replica's words get a replica-unique suffix, so replicas share
 NO shingles and add zero cross-replica near-dups (pure corpus growth);
 exact dups are then planted at a controlled rate via a hash gate.
-Three configs: base (5k docs, 10% dups), x10 (50k docs, 10%), and
-x10_dup4x (50k docs, 40%). Embeddings are replicated with per-replica
+Four configs: base (5k docs, 10% dups), x10 (50k docs, 10%),
+x10_dup4x (50k docs, 40%), and a TARGETED x100 (550k docs: dedup
+banding, hashed lang-ID, sessionization — x10→x100 decade shuffle
+linearity asserted at 10±15%). Embeddings are replicated with per-replica
 jitter for the ANN probe.
 
 Run:  python scripts/bench_scale.py          (~3-4 min, local[32])
@@ -40,6 +42,17 @@ from mongodb_etl_migration_spark.operators import similarity as SIM  # noqa: E40
 from mongodb_etl_migration_spark.operators import text as T  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
+# Replica id strides sized just above the source ranges (doc_id < 5e3,
+# vec_id < 2e3): replica ids must stay COMPACT — high-replica ids with
+# 1e6+ strides compress worse in the shuffle, and the 100x/base
+# shuffle-byte ratio picks up a fake super-linear term that is value
+# magnitude, not algorithm. The planted-dup offset is 200*DOC_STRIDE so
+# paragraph-dedup's replica extraction ((id/stride) % 100) still maps
+# a dup to its source replica.
+DOC_STRIDE = 10_000
+DUP_OFFSET = 200 * DOC_STRIDE
+VEC_STRIDE = 10_000
+
 # "planes" grows with log2(corpus): the LSH blocker's bucket count
 # must track corpus size to keep BUCKET SIZE (and with it the
 # within-bucket quadratic work) constant — 4 planes/16 buckets at 2k
@@ -50,41 +63,99 @@ SF01 = "/root/testdata/sf0.1"
 CONFIGS = {
     "base": {"replicas": 1, "dup_pct": 10, "planes": 4},
     "x10": {"replicas": 10, "dup_pct": 10, "planes": 8},
-    "x10_dup4x": {"replicas": 10, "dup_pct": 40, "planes": 8},
+    "x10_dup4x": {"replicas": 10, "dup_pct": 40, "planes": 8, "events": False},
+    # The 100x tier (VERDICT r7 item 6 / r8 item 4): a 10x window can
+    # hide a super-linear term; run the three paths a 100 TB pipeline
+    # leans on hardest — dedup banding, hashed lang-ID, and
+    # sessionization — at 100x and ASSERT shuffle-byte linearity over
+    # the x10->x100 DECADE (10 +/- 15%; base->x100 reported — the base
+    # tier sits at ~5 rows per shuffle chunk on doc-count paths, where
+    # framing sets the byte floor). Targeted: the full battery at 100x would
+    # be an hour of receipt time for claims the 10x tier already
+    # covers.
+    "x100": {"replicas": 100, "dup_pct": 10, "targeted": True},
 }
 
 
 def build_corpus(spark, replicas: int, dup_pct: int, out_dir: str) -> None:
+    """Replicate sf0.1's documents ``replicas``x: each replica's words
+    get a replica-unique suffix (shares NO shingles with any other —
+    pure corpus growth), then exact dups are planted at a controlled
+    rate via a hash gate. A broadcast crossJoin against the replica
+    range keeps the build plan O(1) in replicas (a per-replica union
+    is a 100-branch plan at the x100 tier)."""
     src = spark.read.parquet(f"{SF01}/documents.parquet").select("doc_id", "text")
-    parts = []
-    for r in range(replicas):
-        suffixed = F.array_join(
-            F.transform(
-                F.split(F.col("text"), " "),
-                lambda w: F.concat(w, F.lit(f"r{r}")),
-            ),
-            " ",
+    reps = spark.range(replicas).select(F.col("id").alias("__r"))
+    base = (
+        src.crossJoin(F.broadcast(reps))
+        # stage the per-replica suffix once per ROW: the lambda body
+        # below re-evaluates every reference per word (no CSE inside
+        # higher-order functions)
+        .withColumn(
+            "__suffix", F.concat(F.lit("r"), F.col("__r").cast("string"))
         )
-        parts.append(
-            src.select(
-                (F.col("doc_id") + F.lit(r * 1_000_000)).alias("doc_id"),
-                suffixed.alias("text"),
-            )
+        .select(
+            (F.col("doc_id") + F.col("__r") * DOC_STRIDE).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(w, F.col("__suffix")),
+                ),
+                " ",
+            ).alias("text"),
         )
-    base = parts[0]
-    for p in parts[1:]:
-        base = base.unionByName(p)
+    )
     dups = base.filter(
         F.pmod(F.xxhash64(F.col("doc_id")), F.lit(100)) < F.lit(dup_pct)
-    ).select((F.col("doc_id") + F.lit(100_000_000)).alias("doc_id"), "text")
-    base.unionByName(dups).write.mode("overwrite").parquet(f"{out_dir}/documents")
+    ).select((F.col("doc_id") + F.lit(DUP_OFFSET)).alias("doc_id"), "text")
+    # the sf0.1 source parquet is ONE row group (unsplittable), so the
+    # crossJoin build is a single task — repartition or every
+    # downstream scan in the battery runs on one core and the tier's
+    # wall times measure nothing but that skew. Floor at 32 files so
+    # NO tier triggers minhash's few-splits fan-out repartition
+    # (inputFiles < cores): with the fan-out firing at base (2 files)
+    # but not at x100 (200 files), base's shuffle bytes carried a
+    # full corpus-text exchange the big tiers skipped, and the
+    # 100x/base ratio read a fake 0.58x-linear (measured) — the
+    # receipt must compare the BANDING join at every tier.
+    base.unionByName(dups).repartition(max(32, 2 * replicas)).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/documents")
 
+
+def build_events(spark, replicas: int, out_dir: str) -> None:
+    """Replicate sf0.1's events ``replicas``x with per-replica user
+    and event id offsets: sessions never cross replicas, so session
+    count and the sessionization window's shuffle must both grow
+    exactly linearly."""
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    reps = spark.range(replicas).select(F.col("id").alias("__r"))
+    # offsets sized just above the source ranges (event_id < 1e5,
+    # user_id < 1500): replica ids must stay COMPACT, or the bigger
+    # integers of the high replicas compress worse in the shuffle and
+    # the 100x/base shuffle-byte ratio reads a fake ~1.2x-super-linear
+    # term that is value magnitude, not algorithm (measured 119.97).
+    ev.crossJoin(F.broadcast(reps)).select(
+        (F.col("event_id") + F.col("__r") * F.lit(100_000)).alias(
+            "event_id"
+        ),
+        "ts",
+        (F.col("user_id") + F.col("__r") * F.lit(2_000)).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    ).repartition(max(32, 2 * replicas)).write.mode("overwrite").parquet(
+        f"{out_dir}/events"
+    )
+
+
+def build_embeddings(spark, replicas: int, out_dir: str) -> None:
     emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
     eparts = []
     for r in range(replicas):
         eparts.append(
             emb.select(
-                (F.col("vec_id") + F.lit(r * 1_000_000)).alias("vec_id"),
+                (F.col("vec_id") + F.lit(r * VEC_STRIDE)).alias("vec_id"),
                 F.transform(
                     "embedding", lambda x: x + F.lit(float(r)) * F.lit(0.001)
                 ).alias("embedding"),
@@ -109,267 +180,10 @@ def timed(ui: UiMetrics, df) -> dict:
     return {"sec": sec, "shuffle_bytes": (w1 - w0) + (r1 - r0)}
 
 
-def main() -> None:
-    spark = get_spark(app_name="bench_scale", extra_conf={"spark.ui.enabled": "true"})
-    spark.sparkContext.setLogLevel("ERROR")
-    ui = UiMetrics(spark)
-    results: dict[str, dict] = {}
-
-    for name, cfg in CONFIGS.items():
-        out_dir = f"/tmp/bench_scale_{name}"
-        build_corpus(spark, cfg["replicas"], cfg["dup_pct"], out_dir)
-        docs = spark.read.parquet(f"{out_dir}/documents")
-        emb = spark.read.parquet(f"{out_dir}/embeddings")
-        n_docs = docs.count()
-
-        pairs = D.minhash_dedup_pairs(docs, "doc_id", "text")
-        d2 = timed(ui, pairs)
-        d2["pairs_found"] = pairs.count()
-
-        reps = D.dedup_representatives(docs, pairs, "doc_id")
-        d7 = timed(ui, reps)
-        d7["survivors"] = reps.count()
-
-        planes = [
-            r["embedding"]
-            for r in emb.filter(
-                F.col("vec_id").isin(list(range(1, cfg["planes"] + 1)))
-            ).orderBy("vec_id").collect()
-        ]
-        qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
-        topk = SIM.ann_topk_lsh(emb, qvec, planes, k=10)
-        lsh = timed(ui, topk)
-
-        # SemDeDup at scale: the jittered replicas are planted
-        # near-dups (cosine ~1 with their base vector, same LSH
-        # bucket); shuffle is the bucket self-join — linear in corpus.
-        sem = SIM.semantic_dedup_keep(emb, planes, threshold=0.999)
-        sd = timed(ui, sem)
-        sd["survivors"] = sem.count()
-
-        # Bloom decontamination at scale: eval set FIXED (base-replica
-        # slice) while the corpus grows 10x; replicas share no grams,
-        # so contamination — and with it the confirm join's shuffle —
-        # must stay ~flat as the corpus grows. That flatness is the
-        # "shuffle tracks contamination, not corpus" claim, measured.
-        evals = docs.filter(
-            (F.col("doc_id") < 1_000_000)
-            & (F.pmod(F.col("doc_id"), F.lit(97)) == F.lit(0))
-        )
-        train = docs.join(evals.select("doc_id"), "doc_id", "left_anti")
-        cont = T.decontaminate_bloom(train, evals, "doc_id", "text", n=3)
-        bl = timed(ui, cont)
-        bl["contaminated"] = cont.count()
-
-        # Inverted index at scale: shuffle is the distinct (doc, term)
-        # set — linear in corpus (replica-suffixed words grow the
-        # vocabulary with the corpus); bounded postings keep stopword
-        # aggregation state fixed regardless of df.
-        inv = T.inverted_index(docs, "doc_id", "text", min_df=2, max_postings=20)
-        ii = timed(ui, inv)
-        ii["terms"] = inv.count()
-
-        # Rare-bigram scoring at scale: shuffle is the exploded bigram
-        # set (window count + per-doc rollup) — linear in corpus.
-        rbt = timed(ui, T.rare_bigram_stats(docs, "doc_id", "text", min_count=10))
-
-        # ExactSubstr duplicated spans at scale: shuffle is the
-        # exploded k-gram fingerprint set — linear in corpus (replicas
-        # share no k-grams); spans found track the PLANTED duplicate
-        # rate (each planted dup doubles its doc's windows corpus-wide).
-        spans = T.duplicated_spans(docs, "doc_id", "text", k=8)
-        ds = timed(ui, spans)
-        ds["spans"] = spans.count()
-
-        # Linear classifier at scale: the vocabulary grows WITH the
-        # corpus (per-replica suffixed weight terms — the real-world
-        # shape where a 10x corpus ships a bigger trained vocab); the
-        # weight relation stays broadcast, and the plan's one shuffle
-        # (per-doc margin sum) is linear in matched tokens + one
-        # sentinel row per doc.
-        vocab = {
-            f"{t}r{r}": wt
-            for t, wt in T.QUALITY_CLASSIFIER_WEIGHTS.items()
-            for r in range(cfg["replicas"])
-        }
-        cls = T.classifier_margin(docs, "doc_id", "text", weights=vocab)
-        cm = timed(ui, cls)
-        cm["vocab_terms"] = len(vocab)
-        cm["kept"] = cls.filter(F.col("keep")).count()
-
-        # BPE training at scale: the corpus is touched once (word
-        # count); every round then runs on the vocabulary (here the
-        # replica-suffixed vocab grows with the corpus, the worst
-        # case) with a 1-row argmax collect per round — shuffle is
-        # the word-count exchange + rounds x vocab-sized aggregates,
-        # never corpus x rounds.
-        def timed_train():
-            w0, r0 = ui.shuffle_totals()
-            t0 = time.time()
-            mg, vocab = T.bpe_train(docs, "text", n_merges=4)
-            nv = vocab.count()
-            return {
-                "sec": round(time.time() - t0, 3),
-                "shuffle_bytes": sum(
-                    a - b
-                    for a, b in zip(ui.shuffle_totals(), (w0, r0))
-                ),
-                "merges": len(mg),
-                "vocab": nv,
-            }
-
-        bt = timed_train()
-
-        # PQ at scale: codebooks are plan literals and the encode is
-        # narrow — shuffle must be ZERO at any corpus size; ADC top-k
-        # moves only per-partition heaps (TakeOrderedAndProject).
-        cbq = SIM.derived_pq_codebooks(4, 8, 4, seed="pqscale")
-        emb16 = emb.select(
-            "vec_id", F.slice("embedding", 1, 16).alias("embedding")
-        )
-        pqm = timed(ui, SIM.pq_encode(emb16, cbq))
-        pqm["vectors"] = emb16.count()
-
-        # Language-ID classifier at scale: the gram explode is narrow
-        # and the weight relation is broadcast and FIXED (a lid model
-        # does not grow with the corpus); the plan's one exchange
-        # carries one (doc, k sums) row per doc per map task —
-        # shuffle linear in docs.
-        lid = T.lang_id_ngram(docs, "doc_id", "text")
-        lm = timed(ui, lid)
-        lm["docs"] = lid.count()
-
-        # Hash-bucketed variant: the broadcast relation is FIXED at
-        # <= 2^13 bucket rows no matter the vocabulary; same
-        # single-exchange plan, so shuffle must track lang_id_ngram's
-        # (linear in docs).
-        lidh = T.lang_id_hashed(docs, "doc_id", "text")
-        lhm = timed(ui, lidh)
-        lhm["docs"] = lidh.count()
-
-        # Sequence packing at scale: the ONLY exchange is the bucket
-        # groupBy moving the token stream once — shuffle linear in
-        # corpus tokens; per-bucket state bounded by bucket sizing
-        # (buckets scale with the corpus here, 32 per replica).
-        tok_ids = docs.select(
-            "doc_id",
-            F.transform(
-                T.tokens("text"), lambda t: F.length(t).cast("int")
-            ).alias("tid"),
-        )
-        packed = T.pack_sequences(
-            tok_ids, "doc_id", "tid", seq_len=256, eos_id=0,
-            n_buckets=32 * cfg["replicas"],
-        )
-        pk = timed(ui, packed)
-        pk["sequences"] = packed.count()
-
-        # Z-order layout at scale: the Morton encode is a narrow
-        # projection (zero shuffle on its own); zorder_layout adds one
-        # tiny exact-percentile aggregate (bounded driver row) plus
-        # the min/max receipt's partial-agg exchange — shuffle is the
-        # (file_id, bounds) rows only, far sub-linear in the corpus.
-        from mongodb_etl_migration_spark.operators import layout as LO
-
-        dims = docs.select(
-            (F.col("doc_id") % 1024).cast("bigint").alias("d1"),
-            (F.length("text") % 1024).cast("bigint").alias("d2"),
-        )
-        laid = LO.zorder_layout(dims, ["d1", "d2"], bits=10, n_files=64)
-        zstats = LO.layout_pruning_stats(laid, ["d1", "d2"])
-        zm = timed(ui, zstats)
-        zm["files"] = zstats.count()
-
-        # Paragraph dedup at scale: every doc carries one corpus-wide
-        # boilerplate line plus its body line. The corpus's replica
-        # suffixes are DIGITS, which CCNet normalization strips — so
-        # body lines are re-tagged with a per-replica LETTER to keep
-        # replicas distinct under the digit-stripped hash (the planted
-        # exact dups share their source's tag and still vanish).
-        # Claim: the paragraph-hash exchange carries (md5, id, idx)
-        # only and line TEXT crosses exactly one exchange — shuffle
-        # grows linearly in lines; boilerplate survives once.
-        rep = (F.col("doc_id") / 1_000_000).cast("int") % 100
-        letter = F.element_at(
-            F.array(*[F.lit(c) for c in "abcdefghij"]), rep + 1
-        )
-        pdocs = docs.select(
-            "doc_id",
-            F.concat(
-                F.lit("site boilerplate banner\n"),
-                F.col("text"),
-                F.lit(" uniq"),
-                letter,
-            ).alias("text"),
-        )
-        pd_out = T.dedup_paragraphs(pdocs, "doc_id", "text")
-        pdm = timed(ui, pd_out)
-        pdm["docs_kept"] = pd_out.count()
-
-        # Graph loops at scale: a deterministic synthetic digraph with
-        # 10 out-edges per node (edges ∝ corpus). Claim: per-round
-        # shuffle is linear in EDGES for both PageRank and HITS (the
-        # rank/score frames stay node-sized and broadcast).
-        n_nodes = 2_000 * cfg["replicas"]
-        g_edges = (
-            spark.range(n_nodes * 10)
-            .select(
-                (F.col("id") % n_nodes).alias("src"),
-                F.pmod(F.xxhash64("id"), F.lit(n_nodes)).alias("dst"),
-            )
-            .filter(F.col("src") != F.col("dst"))
-        )
-        from mongodb_etl_migration_spark.operators import graph as GR
-
-        # the loops materialize per round via localCheckpoint, so the
-        # shuffle happens during CONSTRUCTION — measure around the
-        # builder call, not a post-hoc write
-        def timed_build(fn):
-            w0, r0 = ui.shuffle_totals()
-            t0 = time.time()
-            out = fn()
-            n = out.count()
-            sec = round(time.time() - t0, 3)
-            w1, r1 = ui.shuffle_totals()
-            return {
-                "sec": sec,
-                "shuffle_bytes": (w1 - w0) + (r1 - r0),
-                "nodes": n,
-            }
-
-        gp = timed_build(
-            lambda: GR.pagerank_integer(g_edges, "src", "dst", iterations=3)
-        )
-        gh = timed_build(
-            lambda: GR.hits_integer(g_edges, "src", "dst", iterations=3)
-        )
-
-        results[name] = {
-            "docs": n_docs,
-            "dup_pct": cfg["dup_pct"],
-            "planes": cfg["planes"],
-            "vectors": emb.count(),
-            "d2_minhash_pairs": d2,
-            "d7_representatives": d7,
-            "sim_topk_lsh": lsh,
-            "sim_semdedup": sd,
-            "t_decontaminate_bloom": bl,
-            "t_inverted_index": ii,
-            "t_rare_bigrams": rbt,
-            "t_dup_spans": ds,
-            "t_quality_classifier": cm,
-            "sim_pq_encode": pqm,
-            "t_bpe_train": bt,
-            "t_lang_id": lm,
-            "t_lang_id_hashed": lhm,
-            "t_seq_pack": pk,
-            "o6_zorder_layout": zm,
-            "g_pagerank": gp,
-            "g_hits": gh,
-            "t_paragraph_dedup": pdm,
-        }
-        print(f"{name}: {json.dumps(results[name])}", file=sys.stderr)
-
+def summarize(results: dict) -> dict:
+    """Derive the linearity summary from measured configs (also
+    reachable via --resummarize to recompute ratios from an
+    existing BENCH_scale.json without re-running the battery)."""
     b, x, xd = results["base"], results["x10"], results["x10_dup4x"]
     summary = {
         # corpus 10×, same dup rate: shuffle should grow ~linearly
@@ -484,12 +298,405 @@ def main() -> None:
             / max(1, b["t_bpe_train"]["shuffle_bytes"]),
             2,
         ),
+        # the epoch permutation's range exchange moves each packed
+        # sequence once -> linear in sequences
+        "seq_shuffle_shuffle_growth_at_10x_corpus": round(
+            x["t_seq_shuffle"]["shuffle_bytes"]
+            / max(1, b["t_seq_shuffle"]["shuffle_bytes"]),
+            2,
+        ),
+        # sessions never cross replicas: the user_id window exchange
+        # and the session count both grow exactly with events
+        "sessionization_shuffle_growth_at_10x_corpus": round(
+            x["e_sessionization"]["shuffle_bytes"]
+            / max(1, b["e_sessionization"]["shuffle_bytes"]),
+            2,
+        ),
     }
+
+    # ---- the 100x tier: shuffle-byte LINEARITY ASSERTED ----
+    # A 10x window can hide a super-linear term; a second decade
+    # cannot. The asserted band is the x10 -> x100 DECADE ratio
+    # (10 +/- 15%): shuffle bytes are deterministic (unlike wall
+    # time), and both endpoints are big enough that per-chunk shuffle
+    # framing is amortized. The base -> x100 ratio is REPORTED but
+    # not asserted for every path: at 5.5k docs over 32 map tasks x
+    # 32 reduce partitions the base tier's doc-count paths sit at ~5
+    # rows per shuffle chunk, where framing (not data) sets the byte
+    # floor — measured 93 B/doc at base vs a stable 72-73 B/doc at
+    # x10 AND x100 for hashed lang-ID, i.e. the base outlier is chunk
+    # occupancy, not an algorithmic term.
+    x100 = results["x100"]
+    checks = {}
+    for key in ("d2_minhash_pairs", "t_lang_id_hashed", "e_sessionization"):
+        decade = round(
+            x100[key]["shuffle_bytes"]
+            / max(1, x[key]["shuffle_bytes"]),
+            2,
+        )
+        vs_base = round(
+            x100[key]["shuffle_bytes"] / max(1, b[key]["shuffle_bytes"]), 2
+        )
+        checks[key] = {
+            "x100_over_x10": decade,
+            "linear_ok": 8.5 <= decade <= 11.5,
+        }
+        summary[f"{key}_shuffle_growth_x10_to_x100"] = decade
+        summary[f"{key}_shuffle_growth_at_100x_corpus"] = vs_base
+    summary["x100_linearity"] = checks
+    summary["x100_linearity_ok"] = all(
+        c["linear_ok"] for c in checks.values()
+    )
+
+    return summary
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench_scale", extra_conf={"spark.ui.enabled": "true"})
+    spark.sparkContext.setLogLevel("ERROR")
+    ui = UiMetrics(spark)
+    results: dict[str, dict] = {}
+
+    from mongodb_etl_migration_spark.streaming.stateful import sessionize_batch
+
+    def timed_sessionize(out_dir: str) -> dict:
+        ev = spark.read.parquet(f"{out_dir}/events")
+        sess = sessionize_batch(ev, gap_minutes=30)
+        sm = timed(ui, sess)
+        sm["sessions"] = sess.count()
+        return sm
+
+    for name, cfg in CONFIGS.items():
+        out_dir = f"/tmp/bench_scale_{name}"
+        build_corpus(spark, cfg["replicas"], cfg["dup_pct"], out_dir)
+        if cfg.get("events", True):
+            build_events(spark, cfg["replicas"], out_dir)
+        docs = spark.read.parquet(f"{out_dir}/documents")
+        n_docs = docs.count()
+
+        if cfg.get("targeted"):
+            # x100 tier: the three paths a 100 TB pipeline leans on
+            # hardest, nothing else (full battery covered at x10)
+            pairs = D.minhash_dedup_pairs(docs, "doc_id", "text")
+            d2 = timed(ui, pairs)
+            d2["pairs_found"] = pairs.count()
+            lidh = T.lang_id_hashed(docs, "doc_id", "text")
+            lhm = timed(ui, lidh)
+            lhm["docs"] = lidh.count()
+            results[name] = {
+                "docs": n_docs,
+                "dup_pct": cfg["dup_pct"],
+                "d2_minhash_pairs": d2,
+                "t_lang_id_hashed": lhm,
+                "e_sessionization": timed_sessionize(out_dir),
+            }
+            print(f"{name}: {json.dumps(results[name])}", file=sys.stderr)
+            continue
+
+        build_embeddings(spark, cfg["replicas"], out_dir)
+        emb = spark.read.parquet(f"{out_dir}/embeddings")
+
+        pairs = D.minhash_dedup_pairs(docs, "doc_id", "text")
+        d2 = timed(ui, pairs)
+        d2["pairs_found"] = pairs.count()
+
+        reps = D.dedup_representatives(docs, pairs, "doc_id")
+        d7 = timed(ui, reps)
+        d7["survivors"] = reps.count()
+
+        planes = [
+            r["embedding"]
+            for r in emb.filter(
+                F.col("vec_id").isin(list(range(1, cfg["planes"] + 1)))
+            ).orderBy("vec_id").collect()
+        ]
+        qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+        topk = SIM.ann_topk_lsh(emb, qvec, planes, k=10)
+        lsh = timed(ui, topk)
+
+        # SemDeDup at scale: the jittered replicas are planted
+        # near-dups (cosine ~1 with their base vector, same LSH
+        # bucket); shuffle is the bucket self-join — linear in corpus.
+        sem = SIM.semantic_dedup_keep(emb, planes, threshold=0.999)
+        sd = timed(ui, sem)
+        sd["survivors"] = sem.count()
+
+        # Bloom decontamination at scale: eval set FIXED (base-replica
+        # slice) while the corpus grows 10x; replicas share no grams,
+        # so contamination — and with it the confirm join's shuffle —
+        # must stay ~flat as the corpus grows. That flatness is the
+        # "shuffle tracks contamination, not corpus" claim, measured.
+        evals = docs.filter(
+            (F.col("doc_id") < DOC_STRIDE)
+            & (F.pmod(F.col("doc_id"), F.lit(97)) == F.lit(0))
+        )
+        train = docs.join(evals.select("doc_id"), "doc_id", "left_anti")
+        cont = T.decontaminate_bloom(train, evals, "doc_id", "text", n=3)
+        bl = timed(ui, cont)
+        bl["contaminated"] = cont.count()
+
+        # Inverted index at scale: shuffle is the distinct (doc, term)
+        # set — linear in corpus (replica-suffixed words grow the
+        # vocabulary with the corpus); bounded postings keep stopword
+        # aggregation state fixed regardless of df.
+        inv = T.inverted_index(docs, "doc_id", "text", min_df=2, max_postings=20)
+        ii = timed(ui, inv)
+        ii["terms"] = inv.count()
+
+        # Rare-bigram scoring at scale: shuffle is the exploded bigram
+        # set (window count + per-doc rollup) — linear in corpus.
+        rbt = timed(ui, T.rare_bigram_stats(docs, "doc_id", "text", min_count=10))
+
+        # ExactSubstr duplicated spans at scale: shuffle is the
+        # exploded k-gram fingerprint set — linear in corpus (replicas
+        # share no k-grams); spans found track the PLANTED duplicate
+        # rate (each planted dup doubles its doc's windows corpus-wide).
+        spans = T.duplicated_spans(docs, "doc_id", "text", k=8)
+        ds = timed(ui, spans)
+        ds["spans"] = spans.count()
+
+        # Linear classifier at scale: the vocabulary grows WITH the
+        # corpus (per-replica suffixed weight terms — the real-world
+        # shape where a 10x corpus ships a bigger trained vocab); the
+        # weight relation stays broadcast, and the plan's one shuffle
+        # (per-doc margin sum) is linear in matched tokens + one
+        # sentinel row per doc.
+        vocab = {
+            f"{t}r{r}": wt
+            for t, wt in T.QUALITY_CLASSIFIER_WEIGHTS.items()
+            for r in range(cfg["replicas"])
+        }
+        cls = T.classifier_margin(docs, "doc_id", "text", weights=vocab)
+        cm = timed(ui, cls)
+        cm["vocab_terms"] = len(vocab)
+        cm["kept"] = cls.filter(F.col("keep")).count()
+
+        # BPE training at scale: the corpus is touched once (word
+        # count); every round then runs on the vocabulary (here the
+        # replica-suffixed vocab grows with the corpus, the worst
+        # case) with a 1-row argmax collect per round — shuffle is
+        # the word-count exchange + rounds x vocab-sized aggregates,
+        # never corpus x rounds.
+        def timed_train():
+            w0, r0 = ui.shuffle_totals()
+            t0 = time.time()
+            mg, vocab = T.bpe_train(docs, "text", n_merges=4)
+            nv = vocab.count()
+            return {
+                "sec": round(time.time() - t0, 3),
+                "shuffle_bytes": sum(
+                    a - b
+                    for a, b in zip(ui.shuffle_totals(), (w0, r0))
+                ),
+                "merges": len(mg),
+                "vocab": nv,
+            }
+
+        bt = timed_train()
+
+        # PQ at scale: codebooks are plan literals and the encode is
+        # narrow — shuffle must be ZERO at any corpus size; ADC top-k
+        # moves only per-partition heaps (TakeOrderedAndProject).
+        cbq = SIM.derived_pq_codebooks(4, 8, 4, seed="pqscale")
+        emb16 = emb.select(
+            "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+        )
+        pqm = timed(ui, SIM.pq_encode(emb16, cbq))
+        pqm["vectors"] = emb16.count()
+
+        # Language-ID classifier at scale: the gram explode is narrow
+        # and the weight relation is broadcast and FIXED (a lid model
+        # does not grow with the corpus); the plan's one exchange
+        # carries one (doc, k sums) row per doc per map task —
+        # shuffle linear in docs.
+        lid = T.lang_id_ngram(docs, "doc_id", "text")
+        lm = timed(ui, lid)
+        lm["docs"] = lid.count()
+
+        # Hash-bucketed variant: the broadcast relation is FIXED at
+        # <= 2^13 bucket rows no matter the vocabulary; same
+        # single-exchange plan, so shuffle must track lang_id_ngram's
+        # (linear in docs).
+        lidh = T.lang_id_hashed(docs, "doc_id", "text")
+        lhm = timed(ui, lidh)
+        lhm["docs"] = lidh.count()
+
+        # Sequence packing at scale: the ONLY exchange is the bucket
+        # groupBy moving the token stream once — shuffle linear in
+        # corpus tokens; per-bucket state bounded by bucket sizing
+        # (buckets scale with the corpus here, 32 per replica).
+        tok_ids = docs.select(
+            "doc_id",
+            F.transform(
+                T.tokens("text"), lambda t: F.length(t).cast("int")
+            ).alias("tid"),
+        )
+        packed = T.pack_sequences(
+            tok_ids, "doc_id", "tid", seq_len=256, eos_id=0,
+            n_buckets=32 * cfg["replicas"],
+        )
+        pk = timed(ui, packed)
+        pk["sequences"] = packed.count()
+
+        # Epoch shuffle at scale: the permutation is one hash-ordered
+        # range exchange over the packed sequences plus a bounded
+        # offsets collect (one row per range partition) — shuffle
+        # linear in sequences. assign_sequential_ids materializes via
+        # localCheckpoint at CALL time, so measure around the builder.
+        def timed_shuffle():
+            w0, r0 = ui.shuffle_totals()
+            t0 = time.time()
+            shuf = T.epoch_shuffle(
+                packed, ["bucket", "seq_idx"], seed=42
+            )
+            n = shuf.count()
+            w1, r1 = ui.shuffle_totals()
+            return {
+                "sec": round(time.time() - t0, 3),
+                "shuffle_bytes": (w1 - w0) + (r1 - r0),
+                "sequences": n,
+            }
+
+        es = timed_shuffle()
+
+        # Z-order layout at scale: the Morton encode is a narrow
+        # projection (zero shuffle on its own); zorder_layout adds one
+        # tiny exact-percentile aggregate (bounded driver row) plus
+        # the min/max receipt's partial-agg exchange — shuffle is the
+        # (file_id, bounds) rows only, far sub-linear in the corpus.
+        from mongodb_etl_migration_spark.operators import layout as LO
+
+        dims = docs.select(
+            (F.col("doc_id") % 1024).cast("bigint").alias("d1"),
+            (F.length("text") % 1024).cast("bigint").alias("d2"),
+        )
+        laid = LO.zorder_layout(dims, ["d1", "d2"], bits=10, n_files=64)
+        zstats = LO.layout_pruning_stats(laid, ["d1", "d2"])
+        zm = timed(ui, zstats)
+        zm["files"] = zstats.count()
+
+        # Paragraph dedup at scale: every doc carries one corpus-wide
+        # boilerplate line plus its body line. The corpus's replica
+        # suffixes are DIGITS, which CCNet normalization strips — so
+        # body lines are re-tagged with a per-replica LETTER to keep
+        # replicas distinct under the digit-stripped hash (the planted
+        # exact dups share their source's tag and still vanish).
+        # Claim: the paragraph-hash exchange carries (md5, id, idx)
+        # only and line TEXT crosses exactly one exchange — shuffle
+        # grows linearly in lines; boilerplate survives once.
+        rep = (F.col("doc_id") / DOC_STRIDE).cast("int") % 100
+        letter = F.element_at(
+            F.array(*[F.lit(c) for c in "abcdefghij"]), rep + 1
+        )
+        pdocs = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("site boilerplate banner\n"),
+                F.col("text"),
+                F.lit(" uniq"),
+                letter,
+            ).alias("text"),
+        )
+        pd_out = T.dedup_paragraphs(pdocs, "doc_id", "text")
+        pdm = timed(ui, pd_out)
+        pdm["docs_kept"] = pd_out.count()
+
+        # Graph loops at scale: a deterministic synthetic digraph with
+        # 10 out-edges per node (edges ∝ corpus). Claim: per-round
+        # shuffle is linear in EDGES for both PageRank and HITS (the
+        # rank/score frames stay node-sized and broadcast).
+        n_nodes = 2_000 * cfg["replicas"]
+        g_edges = (
+            spark.range(n_nodes * 10)
+            .select(
+                (F.col("id") % n_nodes).alias("src"),
+                F.pmod(F.xxhash64("id"), F.lit(n_nodes)).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        from mongodb_etl_migration_spark.operators import graph as GR
+
+        # the loops materialize per round via localCheckpoint, so the
+        # shuffle happens during CONSTRUCTION — measure around the
+        # builder call, not a post-hoc write
+        def timed_build(fn):
+            w0, r0 = ui.shuffle_totals()
+            t0 = time.time()
+            out = fn()
+            n = out.count()
+            sec = round(time.time() - t0, 3)
+            w1, r1 = ui.shuffle_totals()
+            return {
+                "sec": sec,
+                "shuffle_bytes": (w1 - w0) + (r1 - r0),
+                "nodes": n,
+            }
+
+        gp = timed_build(
+            lambda: GR.pagerank_integer(g_edges, "src", "dst", iterations=3)
+        )
+        gh = timed_build(
+            lambda: GR.hits_integer(g_edges, "src", "dst", iterations=3)
+        )
+
+        results[name] = {
+            "docs": n_docs,
+            "dup_pct": cfg["dup_pct"],
+            "planes": cfg["planes"],
+            "vectors": emb.count(),
+            "d2_minhash_pairs": d2,
+            "d7_representatives": d7,
+            "sim_topk_lsh": lsh,
+            "sim_semdedup": sd,
+            "t_decontaminate_bloom": bl,
+            "t_inverted_index": ii,
+            "t_rare_bigrams": rbt,
+            "t_dup_spans": ds,
+            "t_quality_classifier": cm,
+            "sim_pq_encode": pqm,
+            "t_bpe_train": bt,
+            "t_lang_id": lm,
+            "t_lang_id_hashed": lhm,
+            "t_seq_pack": pk,
+            "t_seq_shuffle": es,
+            "o6_zorder_layout": zm,
+            "g_pagerank": gp,
+            "g_hits": gh,
+            "t_paragraph_dedup": pdm,
+        }
+        if cfg.get("events", True):
+            results[name]["e_sessionization"] = timed_sessionize(out_dir)
+        print(f"{name}: {json.dumps(results[name])}", file=sys.stderr)
+
+    summary = summarize(results)
     out = {"configs": results, "summary": summary}
     (REPO / "BENCH_scale.json").write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps(out))
     spark.stop()
+    if not summary["x100_linearity_ok"]:
+        print(
+            "FAIL: x10->x100 decade shuffle growth outside 10+/-15%: "
+            f"{summary['x100_linearity']}",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+
+def resummarize() -> None:
+    """Recompute the derived summary from the measured configs in the
+    existing BENCH_scale.json (no re-run): used when only the ratio
+    DERIVATION changes, never to alter measured data."""
+    path = REPO / "BENCH_scale.json"
+    data = json.loads(path.read_text())
+    data["summary"] = summarize(data["configs"])
+    path.write_text(json.dumps(data, indent=1) + "\n")
+    print(json.dumps(data["summary"]))
+    if not data["summary"]["x100_linearity_ok"]:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
-    main()
+    if "--resummarize" in sys.argv:
+        resummarize()
+    else:
+        main()

@@ -259,6 +259,32 @@ NOTES = {
         "the per-doc position exchange. Shuffle is the exploded "
         "k-gram set — the irreducible input of substring dedup."
     ),
+    "t_dup_spans_exact": (
+        "ExactSubstr at the 50-byte character threshold: the same "
+        "one-fingerprint-exchange + island-merge shape as "
+        "t_dup_spans; each position's window string is built ONCE "
+        "inside the transform lambda (Generate explodes (pos, _w)), "
+        "and hash / length gate / token coverage derive from the "
+        "staged _w in post-explode projections — look for a single "
+        "array_join per position, never a duplicated slice subtree."
+    ),
+    "t_gopher_repetition": (
+        "Full Gopher §A1.1 family: ZERO exchanges — one Project "
+        "chain, corpus-linear. The token array, line array, and each "
+        "of the 9 sorted-gram folds (gram_run_stats: one O(L) "
+        "adjacent-equality aggregate per n) sit in their OWN "
+        "projections so CollapseProject cannot duplicate a subtree: "
+        "the __grt token materialization must appear exactly once in "
+        "the plan, and each sort_array(...) exactly once per n."
+    ),
+    "t_seq_shuffle": (
+        "Deterministic epoch shuffle: pack_sequences' single bucket "
+        "exchange, then the permutation = one RangePartitioning "
+        "exchange on the md5 order key + per-partition row_number "
+        "(Window below a partition-local sort) + a BroadcastHashJoin "
+        "against the tiny offsets relation — NO global (empty "
+        "partitionBy) window anywhere."
+    ),
     "w_robots_filter": (
         "RFC 9309 rule matching: rules aggregate on the KB-scale side "
         "and broadcast; longest-prefix resolution is array "
