@@ -1608,6 +1608,63 @@ def duplicated_spans(
     return _merge_span_islands(dup, id_col)
 
 
+def span_attribution(
+    df,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+):
+    """Duplicate-span ATTRIBUTION: for every document carrying
+    duplicated k-gram windows, WHICH document it shares them with —
+    the provenance report behind an ExactSubstr cut (who copied whom /
+    which shard seeded the boilerplate / is the eval set leaking in).
+
+    Scale discipline: a window fingerprint shared by m documents has
+    m(m-1)/2 pairs — quadratic per hot fingerprint (site-wide
+    boilerplate makes m huge). Instead every duplicated window
+    attributes to the fingerprint's corpus-FIRST occurrence (min id):
+    m-1 pairs per fingerprint, LINEAR in occurrences, same
+    global-first-wins convention as span_dedup. Within-document
+    repeats (id == source) carry no cross-doc information and are
+    excluded.
+
+    Plan: the k-gram fingerprint stage shared with duplicated_spans,
+    corpus count + min-id over ONE fingerprint exchange (two window
+    functions, no self-join), then one (src, dst) groupBy — two
+    exchanges total, output bounded by duplicated windows. Output:
+    (src_doc = corpus-first id, dst_doc, n_windows bigint shared)."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    n = F.size("_t")
+    grams = toks.filter(n >= k).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda s: F.md5(F.array_join(F.slice(F.col("_t"), s, k), " ")),
+            )
+        ).alias("_whash"),
+    )
+    w = Window.partitionBy("_whash")
+    counted = grams.select(
+        F.col(id_col),
+        "_whash",
+        F.count("*").over(w).alias("__cnt"),
+        F.min(id_col).over(w).alias("__src"),
+    )
+    return (
+        counted.filter(
+            (F.col("__cnt") >= min_count) & (F.col(id_col) != F.col("__src"))
+        )
+        .groupBy(
+            F.col("__src").alias("src_doc"), F.col(id_col).alias("dst_doc")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_windows"))
+    )
+
+
 def duplicated_spans_exact(
     df,
     id_col: str,

@@ -7943,6 +7943,80 @@ def t_dup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_dup_span_attribution",
+    """
+    WITH src AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 THEN text || ' ' || text
+             WHEN doc_id % 6 = 3 THEN text ||
+               ' subscribe to our newsletter for daily updates today'
+             WHEN doc_id % 6 = 5 THEN text ||
+               ' all rights reserved worldwide 2024'
+             ELSE text END AS text2
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text2), '[a-z0-9]+') AS t
+      FROM src
+    ), grams AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(t, s.s, s.s + 7), ' ')) AS whash
+      FROM toks, unnest(range(1, len(t) - 6)) AS s(s)
+      WHERE len(t) >= 8
+    ), counted AS (
+      SELECT doc_id, whash,
+             count(*) OVER (PARTITION BY whash) AS cnt,
+             min(doc_id) OVER (PARTITION BY whash) AS srcd
+      FROM grams
+    )
+    SELECT srcd AS src_doc, doc_id AS dst_doc,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM counted WHERE cnt >= 2 AND doc_id <> srcd
+    GROUP BY srcd, doc_id
+    """,
+)
+def t_dup_span_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span ATTRIBUTION (text.span_attribution) — the
+    provenance report behind an ExactSubstr cut: every duplicated
+    8-token window attributes to its corpus-FIRST carrier (min
+    doc_id), giving (source doc, copying doc, shared window count)
+    rows. The m-docs-share-a-fingerprint case yields m-1 LINEAR pairs
+    (never the m^2/2 all-pairs explosion a hot site-wide boilerplate
+    would trigger), the same global-first-wins convention as
+    span_dedup; within-doc repeats are excluded. Same fixture as
+    t_dup_spans, so the boilerplate-tail cohort (doc_id%6==3) must
+    all attribute to the cohort's smallest id. Two exchanges: the
+    fingerprint window (count + min-id, no self-join) and the pair
+    groupBy."""
+    d = Catalog(spark, sf_dir).documents
+    src = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " subscribe to our newsletter for daily updates today"
+                ),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 5,
+            F.concat(
+                F.col("text"),
+                F.lit(" all rights reserved worldwide 2024"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text2"),
+    )
+    return T.span_attribution(src, "doc_id", "text2", k=8, min_count=2)
+
+
+@query(
     "t_span_removal_exact",
     """
     WITH src AS (

@@ -768,6 +768,33 @@ def test_exact_substr_spans_dispatcher(spark):
         T.exact_substr_spans(df, "doc_id", "text", k_tokens=4, min_bytes=30)
 
 
+def test_span_attribution_first_wins_and_linear_pairs(spark):
+    """Attribution semantics: every duplicated window attributes to
+    its corpus-first (min id) carrier — a 3-doc boilerplate cohort
+    yields exactly the 2 pairs (1,2) and (1,3), never the all-pairs
+    triangle; a 9-token overlap shares 2 windows; within-doc doubling
+    attributes to itself and is excluded; unique docs emit nothing."""
+    base8 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    nine = "b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    df = spark.createDataFrame(
+        [
+            (1, base8 + " x1"),
+            (2, base8 + " x2"),
+            (3, base8 + " x3"),
+            (4, "c1 c2 c3 c4 c5 c6 c7 c8 gap c1 c2 c3 c4 c5 c6 c7 c8"),
+            (5, "totally unique words nothing shared anywhere at all ok"),
+            (6, nine + " u6"),
+            (7, nine + " u7"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.src_doc, r.dst_doc, r.n_windows)
+        for r in T.span_attribution(df, "doc_id", "text", k=8).collect()
+    }
+    assert got == {(1, 2, 1), (1, 3, 1), (6, 7, 2)}
+
+
 def test_duplicated_spans_exact_long_token_tail(spark):
     """The case the k-gram pass is structurally blind to: a 5-TOKEN
     duplicated tail of LONG tokens (65 joined chars — well past the
@@ -2609,6 +2636,80 @@ def test_epoch_shuffle_deterministic_permutation(spark):
 
     with pytest.raises(ValueError, match="key_cols"):
         T.epoch_shuffle(df, [], seed=1)
+
+
+def test_duplicated_spans_exact_matches_reference_property(spark):
+    """Property (hypothesis): duplicated_spans_exact agrees with a
+    direct pure-Python reference (per-position suffix windows over
+    the joined token stream, first-own-char coverage, corpus counts,
+    island merge) for arbitrary small corpora and thresholds — the
+    windowed-fold SQL algebra IS the naive definition."""
+    import re as _re
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def reference(docs, B, min_count):
+        rows = []
+        for i, text in docs:
+            tk = _re.findall("[a-z0-9]+", text.lower())
+            offs, off = [], 0
+            for w in tk:
+                offs.append(off)
+                off += len(w) + 1
+            joined = " ".join(tk)
+            for p in range(len(tk)):
+                win = joined[offs[p] : offs[p] + B]
+                if len(win) < B:
+                    continue
+                cov = sum(
+                    1 for q in range(p, len(tk)) if offs[q] - offs[p] < B
+                )
+                rows.append((i, p + 1, p + cov, win))
+        cnt = Counter(w for *_, w in rows)
+        by_doc: dict[int, list[tuple[int, int]]] = {}
+        for i, p, e, w in rows:
+            if cnt[w] >= min_count:
+                by_doc.setdefault(i, []).append((p, e))
+        out = set()
+        for i, ps in by_doc.items():
+            cur = None
+            for p, e in sorted(ps):
+                if cur is not None and p <= cur[1] + 1:
+                    cur = (cur[0], max(cur[1], e))
+                else:
+                    if cur is not None:
+                        out.add((i, cur[0], cur[1], cur[1] - cur[0] + 1))
+                    cur = (p, e)
+            if cur is not None:
+                out.add((i, cur[0], cur[1], cur[1] - cur[0] + 1))
+        return out
+
+    # small alphabet of reusable tokens so duplicates actually occur
+    token = st.sampled_from(
+        ["a", "bb", "ccc", "dddd", "ee", "f0f0f0", "g", "hh2"]
+    )
+    doc = st.lists(token, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(doc, min_size=1, max_size=5),
+        st.integers(min_value=1, max_value=14),
+        st.integers(min_value=2, max_value=3),
+    )
+    def check(texts, B, min_count):
+        docs = list(enumerate(texts))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in T.duplicated_spans_exact(
+                df, "doc_id", "text", min_bytes=B, min_count=min_count
+            ).collect()
+        }
+        assert got == reference(docs, B, min_count)
+
+    check()
 
 
 def test_pack_sequences_conservation_property(spark):
