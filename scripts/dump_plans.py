@@ -269,13 +269,17 @@ NOTES = {
         "array_join per position, never a duplicated slice subtree."
     ),
     "t_gopher_repetition": (
-        "Full Gopher §A1.1 family: ZERO exchanges — one Project "
-        "chain, corpus-linear. The token array, line array, and each "
-        "of the 9 sorted-gram folds (gram_run_stats: one O(L) "
-        "adjacent-equality aggregate per n) sit in their OWN "
-        "projections so CollapseProject cannot duplicate a subtree: "
-        "the __grt token materialization must appear exactly once in "
-        "the plan, and each sort_array(...) exactly once per n."
+        "Full Gopher §A1.1 family: one Project chain, corpus-linear, "
+        "ZERO exchanges on a real (many-splits) corpus — locally the "
+        "gated CPU-bound fan-out fires (files < cores, same heuristic "
+        "as minhash; 1.2 s vs 6.8 s at sf0.1) and shows as a single "
+        "RoundRobin exchange below the scoring projections. The "
+        "token array, line array, and each of the 9 sorted-gram "
+        "folds (gram_run_stats: one O(L) adjacent-equality aggregate "
+        "per n) sit in their OWN projections so CollapseProject "
+        "cannot duplicate a subtree: the __grt token materialization "
+        "must appear exactly once in the plan, and each "
+        "sort_array(...) exactly once per n."
     ),
     "t_seq_shuffle": (
         "Deterministic epoch shuffle: pack_sequences' single bucket "
