@@ -798,6 +798,53 @@ def epoch_shuffle(
     return numbered.drop("__shuffle_key")
 
 
+def loader_shards(
+    df,
+    pos_col: str,
+    payload_col: str,
+    shard_size: int = 1024,
+):
+    """Loader-shard MANIFEST over an epoch-ordered sequence stream —
+    the last artifact before training I/O: consecutive blocks of
+    ``shard_size`` epoch positions form one shard, and each shard
+    reports its size, position range, and an ORDER-SENSITIVE content
+    digest (md5 over the per-row payload md5s concatenated in epoch
+    order) — the receipt a training job checks on resume to prove the
+    shard it re-reads is byte-identical to the one it trained on.
+
+    Scale shape: shard id is a pure projection (pos div shard_size);
+    ONE exchange (the shard groupBy); per-shard state is shard_size
+    (pos, 32-hex) pairs — bounded by the shard size you chose, never
+    by the corpus. The digest folds the SORTED collected pairs so it
+    is partition-order-independent and engine-exact.
+
+    Output: (shard_id, n_seqs, first_pos, last_pos, shard_digest)."""
+    if shard_size < 1:
+        raise ValueError("shard_size must be >= 1")
+    pairs = df.select(
+        F.floor(F.col(pos_col) / shard_size).cast("bigint").alias(
+            "shard_id"
+        ),
+        F.struct(
+            F.col(pos_col).cast("bigint").alias("p"),
+            F.md5(F.col(payload_col).cast("string")).alias("h"),
+        ).alias("s"),
+    )
+    return pairs.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_seqs"),
+        F.min(F.col("s")["p"]).cast("bigint").alias("first_pos"),
+        F.max(F.col("s")["p"]).cast("bigint").alias("last_pos"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["h"]
+                ),
+                "",
+            )
+        ).alias("shard_digest"),
+    )
+
+
 def dedup_spans(
     df,
     id_col: str,

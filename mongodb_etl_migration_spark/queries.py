@@ -9763,6 +9763,71 @@ def t_seq_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("epoch_pos", "bucket", "seq_idx", "n_tokens", "token_ids")
 
 
+@query(
+    "t_loader_shards",
+    """
+    WITH ids AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                            t -> CAST(length(t) AS INTEGER)) AS tid
+      FROM documents
+    ), b AS (
+      SELECT doc_id % 16 AS bucket, doc_id,
+             list_append(tid, 0) AS t2
+      FROM ids
+    ), g AS (
+      SELECT bucket,
+             flatten(list_transform(
+               list_sort(list(struct_pack(d := doc_id, t := t2))),
+               s -> s.t)) AS stream
+      FROM b GROUP BY bucket
+    ), seqs AS (
+      SELECT bucket, i.i AS seq_idx,
+             list_slice(stream, i.i * 64 + 1, i.i * 64 + 64) AS w
+      FROM g, unnest(range(0, len(stream) // 64)) AS i(i)
+    ), shuffled AS (
+      SELECT CAST(row_number() OVER (
+               ORDER BY md5('42:' || CAST(bucket AS VARCHAR) || ':'
+                            || CAST(seq_idx AS VARCHAR)),
+                        bucket, seq_idx) - 1 AS BIGINT) AS epoch_pos,
+             array_to_string(w, ' ') AS token_ids
+      FROM seqs
+    )
+    SELECT CAST(epoch_pos // 32 AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(min(epoch_pos) AS BIGINT) AS first_pos,
+           CAST(max(epoch_pos) AS BIGINT) AS last_pos,
+           md5(string_agg(md5(token_ids), '' ORDER BY epoch_pos))
+             AS shard_digest
+    FROM shuffled GROUP BY (epoch_pos // 32)
+    """,
+)
+def t_loader_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader-shard manifest (text.loader_shards) closing the
+    training-data chain: token ids → pack_sequences → epoch_shuffle
+    (seed 42) → fixed-size shards of 32 consecutive epoch positions,
+    each with an ORDER-SENSITIVE md5 digest over its sequences — the
+    resume receipt a training job checks before re-reading a shard.
+    Shard id is a pure projection over the shuffled positions; ONE
+    further exchange (the shard groupBy) with per-shard state bounded
+    by shard_size. The oracle replays the whole chain (packing,
+    md5-order permutation, shard digests) bit-for-bit."""
+    d = Catalog(spark, sf_dir).documents
+    ids = d.select(
+        "doc_id",
+        F.transform(
+            T.tokens("text"), lambda t: F.length(t).cast("int")
+        ).alias("tid"),
+    )
+    packed = T.pack_sequences(
+        ids, "doc_id", "tid", seq_len=64, eos_id=0, n_buckets=16
+    )
+    shuffled = T.epoch_shuffle(packed, ["bucket", "seq_idx"], seed=42)
+    return T.loader_shards(
+        shuffled, "epoch_pos", "token_ids", shard_size=32
+    )
+
+
 def _bpe_train_oracle(rounds: int = 8) -> str:
     """Unrolled DuckDB mirror of text.bpe_train: the same one-pass
     word count, then per round — pair counts by zip-adjacent over the

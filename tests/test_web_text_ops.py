@@ -2528,6 +2528,52 @@ def test_backoff_lm_fluency_ordering(spark):
     assert res == res2
 
 
+def test_loader_shards_manifest(spark):
+    """Shard manifest semantics: consecutive epoch positions block
+    into shards of shard_size (last shard partial), position ranges
+    are exact, and the digest is ORDER-SENSITIVE — swapping two
+    payloads within a shard changes its digest while leaving every
+    count/range column identical."""
+    import hashlib
+
+    rows = [(i, f"payload-{i}") for i in range(7)]
+    df = spark.createDataFrame(rows, "epoch_pos long, token_ids string")
+    got = {
+        r.shard_id: (r.n_seqs, r.first_pos, r.last_pos, r.shard_digest)
+        for r in T.loader_shards(
+            df, "epoch_pos", "token_ids", shard_size=3
+        ).collect()
+    }
+
+    def ref_digest(payloads):
+        return hashlib.md5(
+            "".join(
+                hashlib.md5(p.encode()).hexdigest() for p in payloads
+            ).encode()
+        ).hexdigest()
+
+    assert got == {
+        0: (3, 0, 2, ref_digest(["payload-0", "payload-1", "payload-2"])),
+        1: (3, 3, 5, ref_digest(["payload-3", "payload-4", "payload-5"])),
+        2: (1, 6, 6, ref_digest(["payload-6"])),
+    }
+    # order sensitivity: swap payloads at positions 0 and 1
+    swapped = [(0, "payload-1"), (1, "payload-0")] + rows[2:]
+    df2 = spark.createDataFrame(swapped, "epoch_pos long, token_ids string")
+    got2 = {
+        r.shard_id: r.shard_digest
+        for r in T.loader_shards(
+            df2, "epoch_pos", "token_ids", shard_size=3
+        ).collect()
+    }
+    assert got2[0] != got[0][3] and got2[1] == got[1][3]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="shard_size"):
+        T.loader_shards(df, "epoch_pos", "token_ids", shard_size=0)
+
+
 def test_pack_sequences_semantics(spark):
     """Fixed-length sequence packing: deterministic bucket + id-order
     concatenation, EOS after EVERY document, consecutive windows, and
