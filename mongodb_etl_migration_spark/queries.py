@@ -3956,6 +3956,126 @@ def s5_nested_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jsonl_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic on-disk JSONL shards from the documents slice
+    (doc_id % 3 == 0): 4 files keyed by doc_id % 4 — even shards
+    plain .jsonl, odd shards whole-file gzip .jsonl.gz (the
+    C4/FineWeb dump layout), so one read exercises both stream
+    paths. Planted lines: shard 0 carries one NON-JSON line (the
+    PERMISSIVE corrupt-capture case) and shard 1 one VALID line
+    missing the text field (the schema-evolution NULL case).
+
+    Same fixture discipline as _warc_fixture_dir: the collect is
+    fixture CONSTRUCTION (O(slice) rows), files live under the
+    gitignored .jsonl_fixtures/, bytes are a pure function of the
+    slice (gzip mtime pinned to 0), and rewrites are
+    skip-if-identical + atomic os.replace so concurrent builders
+    converge."""
+    import gzip
+    import io
+    import json
+    import os
+
+    d = Catalog(spark, sf_dir).documents
+    rows = (
+        d.filter(F.expr("doc_id % 3 = 0"))
+        .select("doc_id", "source", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    shards: dict[int, list[str]] = {0: [], 1: [], 2: [], 3: []}
+    for row in rows:
+        shards[int(row["doc_id"]) % 4].append(
+            json.dumps(
+                {
+                    "doc_id": int(row["doc_id"]),
+                    "source": row["source"],
+                    "text": row["text"],
+                },
+                ensure_ascii=False,
+                separators=(",", ":"),
+            )
+        )
+    shards[0].append('{"doc_id": oops, not json}')
+    shards[1].append('{"doc_id":-1,"source":"planted"}')
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jsonl_fixtures",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    os.makedirs(base, exist_ok=True)
+    for sh, lines in shards.items():
+        payload = ("\n".join(lines) + "\n").encode("utf-8")
+        if sh % 2:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(payload)
+            name, data = f"docs-{sh}.jsonl.gz", buf.getvalue()
+        else:
+            name, data = f"docs-{sh}.jsonl", payload
+        path = os.path.join(base, name)
+        try:
+            if os.path.getsize(path) == len(data):
+                with open(path, "rb") as f:
+                    if f.read() == data:
+                        continue
+        except OSError:
+            pass
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    return base
+
+
+@query(
+    "s7_jsonl_ingest",
+    """
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len,
+           FALSE AS is_corrupt
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL SELECT -1, NULL, FALSE
+    UNION ALL SELECT NULL, NULL, TRUE
+    """,
+)
+def s7_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest (sources/jsonl.read_jsonl) — the training-data
+    interchange format: real .jsonl AND whole-file-gzip .jsonl.gz
+    shards on disk (built deterministically from the documents
+    slice), read back with an EXPLICIT schema (no inference pass)
+    and PERMISSIVE corrupt capture. The fixture plants both failure
+    modes a real dump has: one non-JSON line (must come back as the
+    corrupt row — NULL columns, is_corrupt true) and one valid line
+    missing the text field (schema-evolution NULL, NOT corrupt). The
+    oracle predicts every row analytically from the same slice, so a
+    hash match proves gzip decode, JSON parse, escape round-trip
+    (json.dumps wrote the files, Spark's JVM parser read them), and
+    the corrupt/missing-field distinction all ran."""
+    from mongodb_etl_migration_spark.sources.jsonl import read_jsonl
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    path = _jsonl_fixture_dir(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    df = read_jsonl(spark, path, schema)
+    return df.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("text_len"),
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )
+
+
 @query(
     "s6_extended_json_ingest",
     """
