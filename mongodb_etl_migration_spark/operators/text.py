@@ -1502,6 +1502,26 @@ def rare_bigram_stats(df, id_col: str, text_col: str, min_count: int = 10):
     )
 
 
+def _kgram_rows(df, id_col: str, text_col: str, k: int):
+    """Rolling k-gram fingerprint rows shared by the ExactSubstr
+    family: one md5 per token position over the tokenized text —
+    (id_col, pos 1-based, _whash). Narrow per-row transform, no
+    exchange; documents shorter than k tokens emit nothing."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    n = F.size("_t")
+    return toks.filter(n >= k).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda s: F.md5(
+                    F.array_join(F.slice(F.col("_t"), s, k), " ")
+                ),
+            )
+        ).alias("_p0", "_whash"),
+    ).select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "_whash")
+
+
 def _merge_span_islands(dup, id_col: str):
     """Gaps-and-islands merge shared by BOTH ExactSubstr passes:
     ``dup`` carries (id_col, pos, _end) duplicated token positions
@@ -1633,24 +1653,14 @@ def duplicated_spans(
     """
     from pyspark.sql import Window
 
-    toks = df.select(F.col(id_col), tokens(text_col).alias("_t"))
-    n = F.size("_t")
-    grams = toks.filter(n >= k).select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda s: F.md5(F.array_join(F.slice(F.col("_t"), s, k), " ")),
-            )
-        ).alias("_p0", "_whash"),
-    )
+    grams = _kgram_rows(df, id_col, text_col, k)
     counted = grams.withColumn(
         "__cnt", F.count("*").over(Window.partitionBy("_whash"))
     )
     dup = counted.filter(F.col("__cnt") >= min_count).select(
         F.col(id_col),
-        (F.col("_p0") + 1).alias("pos"),
-        (F.col("_p0") + k).alias("_end"),  # fixed width: pos + k - 1
+        "pos",
+        (F.col("pos") + (k - 1)).alias("_end"),  # fixed width
     )
     return _merge_span_islands(dup, id_col)
 
@@ -1683,17 +1693,7 @@ def span_attribution(
     (src_doc = corpus-first id, dst_doc, n_windows bigint shared)."""
     from pyspark.sql import Window
 
-    toks = df.select(F.col(id_col), tokens(text_col).alias("_t"))
-    n = F.size("_t")
-    grams = toks.filter(n >= k).select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda s: F.md5(F.array_join(F.slice(F.col("_t"), s, k), " ")),
-            )
-        ).alias("_whash"),
-    )
+    grams = _kgram_rows(df, id_col, text_col, k)
     w = Window.partitionBy("_whash")
     counted = grams.select(
         F.col(id_col),
@@ -1710,6 +1710,64 @@ def span_attribution(
         )
         .agg(F.count("*").cast("bigint").alias("n_windows"))
     )
+
+
+def gram_count_index(df, id_col: str, text_col: str, k: int = 8):
+    """Corpus k-gram fingerprint COUNTS — (``_whash``, ``idx_cnt``) —
+    the persistent index behind incremental ExactSubstr: fingerprint
+    the historical corpus ONCE, then each ingest batch probes the
+    counts instead of re-hashing 100 TB (the substring-dedup twin of
+    write_minhash_index). One exchange (the fingerprint groupBy);
+    persist with ``write_table``/parquet and maintain by unioning
+    batch counts in (counts are additive)."""
+    return (
+        _kgram_rows(df, id_col, text_col, k)
+        .groupBy("_whash")
+        .agg(F.count("*").cast("bigint").alias("idx_cnt"))
+    )
+
+
+def duplicated_spans_probe(
+    new_df,
+    index_counts,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+):
+    """INCREMENTAL ExactSubstr: duplicated spans of a NEW batch
+    against (batch ∪ historical corpus), where the corpus appears
+    only as its gram_count_index — the continuous-ingestion form of
+    duplicated_spans (same k-gram fingerprints, same island merge, so
+    batch and incremental spans agree by construction).
+
+    A window is duplicated when its batch-internal occurrence count
+    plus its indexed corpus count reaches ``min_count`` — a window
+    seen once here and once in history is exactly as duplicated as
+    two local copies. Plan shape: only the batch is tokenized/hashed;
+    batch counts ride one fingerprint exchange; the index equi-join
+    broadcasts the (small) batch side under AQE, so the historical
+    index is SCANNED but never shuffled — shuffle ∝ batch, never the
+    corpus (the neardup_probe discipline). Output: per-BATCH-doc
+    (id_col, span_start, span_end, span_tokens)."""
+    from pyspark.sql import Window
+
+    grams = _kgram_rows(new_df, id_col, text_col, k)
+    counted = grams.withColumn(
+        "__bcnt", F.count("*").over(Window.partitionBy("_whash"))
+    )
+    joined = counted.join(
+        index_counts.select("_whash", "idx_cnt"), "_whash", "left"
+    )
+    dup = joined.filter(
+        F.col("__bcnt") + F.coalesce(F.col("idx_cnt"), F.lit(0))
+        >= min_count
+    ).select(
+        F.col(id_col),
+        "pos",
+        (F.col("pos") + (k - 1)).alias("_end"),
+    )
+    return _merge_span_islands(dup, id_col)
 
 
 def duplicated_spans_exact(

@@ -8063,6 +8063,89 @@ def t_dup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_dup_spans_probe",
+    """
+    WITH src AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0 THEN text ||
+               ' subscribe to our newsletter for daily updates today'
+             ELSE text END AS text2
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text2), '[a-z0-9]+') AS t
+      FROM src
+    ), grams AS (
+      SELECT doc_id, s.s AS pos,
+             md5(array_to_string(list_slice(t, s.s, s.s + 7), ' ')) AS whash
+      FROM toks, unnest(range(1, len(t) - 6)) AS s(s)
+      WHERE len(t) >= 8
+    ), idx AS (
+      SELECT whash, count(*) AS icnt
+      FROM grams WHERE doc_id % 2 = 0 GROUP BY whash
+    ), bat AS (
+      SELECT doc_id, pos, whash,
+             count(*) OVER (PARTITION BY whash) AS bcnt
+      FROM grams WHERE doc_id % 2 = 1
+    ), dup AS (
+      SELECT b.doc_id, b.pos, b.pos + 7 AS endp
+      FROM bat b LEFT JOIN idx i ON b.whash = i.whash
+      WHERE b.bcnt + coalesce(i.icnt, 0) >= 2
+    ), flagged AS (
+      SELECT doc_id, pos, endp,
+        CASE WHEN max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             OR pos > max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS newf
+      FROM dup
+    ), grp AS (
+      SELECT doc_id, pos, endp,
+             sum(newf) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(endp) AS BIGINT) AS span_end,
+           CAST(max(endp) - min(pos) + 1 AS BIGINT) AS span_tokens
+    FROM grp GROUP BY doc_id, g
+    """,
+)
+def t_dup_spans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr (text.duplicated_spans_probe): even
+    doc_ids play the HISTORICAL corpus — present only as their
+    gram_count_index — and odd doc_ids the new ingest batch; every
+    5th doc (both halves) carries the shared boilerplate tail, so
+    batch spans arise from batch-internal repeats AND from pure
+    index hits (an odd %5 doc whose tail partners are all even).
+    Only the batch is tokenized; batch counts ride one fingerprint
+    exchange; the index join broadcasts the batch side under AQE —
+    the corpus index is scanned, never shuffled. Oracle replays
+    index build + probe + island merge bit-for-bit."""
+    d = Catalog(spark, sf_dir).documents
+    src = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " subscribe to our newsletter for daily updates today"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text2"),
+    )
+    hist = src.filter(F.col("doc_id") % 2 == 0)
+    batch = src.filter(F.col("doc_id") % 2 == 1)
+    idx = T.gram_count_index(hist, "doc_id", "text2", k=8)
+    return T.duplicated_spans_probe(
+        batch, idx, "doc_id", "text2", k=8, min_count=2
+    )
+
+
+@query(
     "t_dup_span_attribution",
     """
     WITH src AS (

@@ -768,6 +768,49 @@ def test_exact_substr_spans_dispatcher(spark):
         T.exact_substr_spans(df, "doc_id", "text", k_tokens=4, min_bytes=30)
 
 
+def test_duplicated_spans_probe_counts_index_and_batch(spark):
+    """Incremental semantics, pinned per source of duplication: a
+    batch window duplicated ONLY against the index is a span (pure
+    history hit), batch-internal repeats still count (two batch
+    copies, zero index hits), a batch+index mix counts additively,
+    and a batch-unique window is clean. Agreement: probing a batch
+    against its own complement's index equals running the batch pass
+    on the union, restricted to batch docs."""
+    base8 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    hist = spark.createDataFrame(
+        [(100, base8 + " hx hy"), (101, "old words entirely different here now")],
+        "doc_id long, text string",
+    )
+    idx = T.gram_count_index(hist, "doc_id", "text", k=8)
+    batch = spark.createDataFrame(
+        [
+            # pure index hit: base8 appears once here, once in doc 100
+            (1, base8 + " b1 b2"),
+            # batch-internal: docs 2 and 3 share their own 8-gram
+            (2, "c1 c2 c3 c4 c5 c6 c7 c8 tail2"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 tail3"),
+            # clean
+            (4, "nothing here matches anything else at all truly"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in T.duplicated_spans_probe(
+            batch, idx, "doc_id", "text", k=8
+        ).collect()
+    }
+    assert got == {(1, 1, 8, 8), (2, 1, 8, 8), (3, 1, 8, 8)}
+    # agreement with the batch pass over the union
+    union = hist.unionByName(batch)
+    full = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in T.duplicated_spans(union, "doc_id", "text", k=8).collect()
+        if r.doc_id < 100
+    }
+    assert got == full
+
+
 def test_span_attribution_first_wins_and_linear_pairs(spark):
     """Attribution semantics: every duplicated window attributes to
     its corpus-first (min id) carrier — a 3-doc boilerplate cohort
