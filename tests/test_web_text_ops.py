@@ -2725,6 +2725,19 @@ def test_epoch_shuffle_deterministic_permutation(spark):
 
     with pytest.raises(ValueError, match="key_cols"):
         T.epoch_shuffle(df, [], seed=1)
+    # empty input: a valid empty permutation, not a crash (the
+    # offsets frame is built with an explicit schema for this case)
+    empty = df.limit(0)
+    assert T.epoch_shuffle(empty, ["bucket", "seq_idx"], seed=1).count() == 0
+    assert (
+        T.loader_shards(
+            empty.withColumnRenamed("bucket", "epoch_pos"),
+            "epoch_pos",
+            "token_ids",
+            shard_size=4,
+        ).count()
+        == 0
+    )
 
 
 def test_duplicated_spans_exact_matches_reference_property(spark):
