@@ -381,6 +381,13 @@ def main() -> None:
         )
     except OSError:
         print(json.dumps({"detail": detail}), file=sys.stderr)
+    # t_gopher_repetition joined the headline set in round 9; the
+    # round-1 BASELINE total covers only the original 12 queries, so
+    # publish the comparable subtotal alongside the full total —
+    # round-over-round deltas should read value, baseline ratios
+    # baseline_comparable_total.
+    legacy = [n for n in HEADLINE if n != "t_gopher_repetition"]
+    comparable = round(sum(timings.get(n, 0.0) for n in legacy), 3)
     print(
         json.dumps(
             {
@@ -390,6 +397,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "shuffle_bytes": shuffles,
+                "baseline_comparable_total": comparable,
+                "baseline_comparable_queries": len(legacy),
             }
         )
     )
