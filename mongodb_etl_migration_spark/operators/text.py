@@ -760,10 +760,15 @@ def epoch_shuffle(
     determinism requirement in any large pre-training run).
 
     The permutation is a pure function of (seed, row identity):
-    order key = md5(seed || ':' || key_cols joined by ':'), ascending
+    order key = md5(seed ':' md5(col1) ':' md5(col2) ...), ascending
     — a keyed hash, so SAME seed ⇒ bit-identical order on any
     cluster size / partition count, DIFFERENT seed ⇒ decorrelated
     order (tested). No RNG state, no driver-side permutation array.
+    Each key column hashes SEPARATELY to fixed-width hex before the
+    join: raw concatenation would let string keys containing the
+    separator alias each other (('a:b','c') vs ('a','b:c')) and
+    would silently drop NULL columns; a NULL key encodes as the
+    literal "null", which no hex digest can collide with.
 
     Scale shape: hash-ordered ``repartitionByRange`` (ONE range
     exchange — the hash key is uniform by construction, so ranges
@@ -784,7 +789,14 @@ def epoch_shuffle(
         "__shuffle_key",
         F.md5(
             F.concat_ws(
-                ":", F.lit(str(int(seed))), *[F.col(c) for c in key_cols]
+                ":",
+                F.lit(str(int(seed))),
+                *[
+                    F.coalesce(
+                        F.md5(F.col(c).cast("string")), F.lit("null")
+                    )
+                    for c in key_cols
+                ],
             )
         ),
     )
@@ -818,16 +830,28 @@ def loader_shards(
     by the corpus. The digest folds the SORTED collected pairs so it
     is partition-order-independent and engine-exact.
 
+    NULL payloads are INSIDE the digest, not skipped: each row hashes
+    a "v:"-prefixed payload or the bare marker "null:" (no real
+    payload can alias it through the prefix), because md5(NULL)=NULL
+    would silently vanish from the fold — a corrupted/NULL row is
+    precisely what a resume receipt must detect, not ignore.
+
     Output: (shard_id, n_seqs, first_pos, last_pos, shard_digest)."""
     if shard_size < 1:
         raise ValueError("shard_size must be >= 1")
+    payload = F.col(payload_col).cast("string")
+    row_hash = F.md5(
+        F.when(payload.isNull(), F.lit("null:")).otherwise(
+            F.concat(F.lit("v:"), payload)
+        )
+    )
     pairs = df.select(
         F.floor(F.col(pos_col) / shard_size).cast("bigint").alias(
             "shard_id"
         ),
         F.struct(
             F.col(pos_col).cast("bigint").alias("p"),
-            F.md5(F.col(payload_col).cast("string")).alias("h"),
+            row_hash.alias("h"),
         ).alias("s"),
     )
     return pairs.groupBy("shard_id").agg(
@@ -1745,20 +1769,29 @@ def duplicated_spans_probe(
     plus its indexed corpus count reaches ``min_count`` — a window
     seen once here and once in history is exactly as duplicated as
     two local copies. Plan shape: only the batch is tokenized/hashed;
-    batch counts ride one fingerprint exchange; the index equi-join
-    broadcasts the (small) batch side under AQE, so the historical
-    index is SCANNED but never shuffled — shuffle ∝ batch, never the
-    corpus (the neardup_probe discipline). Output: per-BATCH-doc
-    (id_col, span_start, span_end, span_tokens)."""
+    batch counts ride one fingerprint exchange. The corpus-sized
+    index must never shuffle, and a plain LEFT join cannot deliver
+    that (Spark can only BUILD the right side of a LeftOuter join, so
+    the index would be the build/shuffle side at scale) — instead the
+    index is first reduced by an INNER join against the BROADCAST
+    distinct batch fingerprints (a legal build side), which cuts it
+    to ~|batch| matched rows, and only that reduction joins back.
+    The index is SCANNED once, shuffled never; both joins broadcast
+    batch-derived relations, so driver/broadcast state is bounded by
+    the batch's distinct fingerprints (size ingest batches
+    accordingly — the neardup_probe discipline). Output: per-BATCH-
+    doc (id_col, span_start, span_end, span_tokens)."""
     from pyspark.sql import Window
 
     grams = _kgram_rows(new_df, id_col, text_col, k)
     counted = grams.withColumn(
         "__bcnt", F.count("*").over(Window.partitionBy("_whash"))
     )
-    joined = counted.join(
-        index_counts.select("_whash", "idx_cnt"), "_whash", "left"
+    batch_hashes = grams.select("_whash").distinct()
+    matched = index_counts.select("_whash", "idx_cnt").join(
+        F.broadcast(batch_hashes), "_whash"
     )
+    joined = counted.join(F.broadcast(matched), "_whash", "left")
     dup = joined.filter(
         F.col("__bcnt") + F.coalesce(F.col("idx_cnt"), F.lit(0))
         >= min_count

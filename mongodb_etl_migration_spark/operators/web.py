@@ -282,6 +282,14 @@ try:
 except ImportError:  # pragma: no cover - baked into this container
     _idna = None
 
+# Which encoder actually derived the twins — rule grouping is only
+# stable across deployments that agree on this, so the fork must be
+# VISIBLE (a host without the idna package would otherwise silently
+# group some punycoded hosts under different registrants than the
+# committed receipts certify). default_psl_rules also warns once on
+# the fallback path.
+PUNYCODE_ENCODER = "uts46" if _idna is not None else "idna2003"
+
 # Rules whose punycode twin could not be derived (per-label encode
 # failed under the active encoder). Kept module-visible so a PSL
 # snapshot upgrade that introduces divergent/unencodable rules is
@@ -330,6 +338,18 @@ def default_psl_rules() -> dict[str, tuple[str, ...]]:
     global _PSL_SNAPSHOT
     if _PSL_SNAPSHOT is not None:
         return _PSL_SNAPSHOT
+    if _idna is None:  # pragma: no cover - idna baked into container
+        import warnings
+
+        warnings.warn(
+            "idna package absent: PSL punycode twins derived with the "
+            "stdlib IDNA2003 codec, which diverges from UTS-46 on "
+            "deviation characters — registered-domain grouping may "
+            "differ from receipts produced on UTS-46 hosts "
+            "(PUNYCODE_ENCODER records the active encoder)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     import os
 
     path = os.path.join(

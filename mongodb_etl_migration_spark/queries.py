@@ -7864,50 +7864,122 @@ def g_hits_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("host", "auth", "hub")
 
 
-@query(
-    "t_dup_spans",
-    """
-    WITH src AS (
+# ---- shared SQL builders for the ExactSubstr oracle family ----
+# (the _bpe_train_oracle/_pagerank_rounds_sql discipline: any chain
+# that must stay bit-identical across several oracles is GENERATED,
+# never copy-pasted — the round-9 review found the 50-byte detection
+# chain duplicated verbatim and the island merge quintuplicated,
+# exactly one boundary-convention change away from silent drift.)
+
+# Fixture plant shared by the span family: every 4th doc's text
+# doubled (within-doc), %6==3 docs share an 8-token/51-char
+# boilerplate tail, %6==5 docs the family-specific third tail.
+def _span_fixture_src_sql(third_tail: str | None) -> str:
+    third = (
+        f"""
+             WHEN doc_id % 6 = 5 THEN text ||
+               ' {third_tail}'"""
+        if third_tail
+        else ""
+    )
+    return f"""src AS (
       SELECT doc_id,
         CASE WHEN doc_id % 4 = 0 THEN text || ' ' || text
              WHEN doc_id % 6 = 3 THEN text ||
-               ' subscribe to our newsletter for daily updates today'
-             WHEN doc_id % 6 = 5 THEN text ||
-               ' all rights reserved worldwide 2024'
+               ' subscribe to our newsletter for daily updates today'{third}
              ELSE text END AS text2
       FROM documents
     ), toks AS (
       SELECT doc_id, regexp_extract_all(lower(text2), '[a-z0-9]+') AS t
       FROM src
-    ), grams AS (
+    )"""
+
+
+# 50-byte per-position suffix-window detection: toks -> dup rows
+# (doc_id, pos, endp) with corpus-count gating.
+_EXACT_DETECTION_SQL = """grams AS (
+      SELECT doc_id, s.s AS pos,
+             substr(array_to_string(list_slice(t, s.s, s.s + 49), ' '),
+                    1, 50) AS w
+      FROM toks, unnest(range(1, len(t) + 1)) AS s(s)
+    ), pos_rows AS (
+      SELECT doc_id, pos, md5(w) AS whash,
+             pos + len(string_split(substr(w, 1, 49), ' ')) - 1 AS endp
+      FROM grams WHERE length(w) = 50
+    ), counted AS (
+      SELECT doc_id, pos, endp,
+             count(*) OVER (PARTITION BY whash) AS cnt
+      FROM pos_rows
+    ), dup AS (
+      SELECT doc_id, pos, endp FROM counted WHERE cnt >= 2
+    )"""
+
+# 8-token rolling k-gram detection: toks -> dup rows
+# (doc_id, pos, endp = pos + 7) with corpus-count gating.
+_KGRAM_DETECTION_SQL = """grams AS (
       SELECT doc_id, s.s AS pos,
              md5(array_to_string(list_slice(t, s.s, s.s + 7), ' ')) AS whash
       FROM toks, unnest(range(1, len(t) - 6)) AS s(s)
       WHERE len(t) >= 8
     ), counted AS (
-      SELECT doc_id, pos, count(*) OVER (PARTITION BY whash) AS cnt
+      SELECT doc_id, pos, pos + 7 AS endp,
+             count(*) OVER (PARTITION BY whash) AS cnt
       FROM grams
     ), dup AS (
-      SELECT doc_id, pos FROM counted WHERE cnt >= 2
-    ), flagged AS (
-      SELECT doc_id, pos,
-        CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+      SELECT doc_id, pos, endp FROM counted WHERE cnt >= 2
+    )"""
+
+# Gaps-and-islands merge over dup(doc_id, pos, endp) -> grp rows.
+_SPAN_ISLANDS_SQL = """flagged AS (
+      SELECT doc_id, pos, endp,
+        CASE WHEN max(endp) OVER (PARTITION BY doc_id ORDER BY pos
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-             OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+             OR pos > max(endp) OVER (PARTITION BY doc_id ORDER BY pos
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
              THEN 1 ELSE 0 END AS newf
       FROM dup
     ), grp AS (
-      SELECT doc_id, pos,
+      SELECT doc_id, pos, endp,
              sum(newf) OVER (PARTITION BY doc_id ORDER BY pos
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
       FROM flagged
-    )
+    )"""
+
+_SPAN_FINAL_SQL = """
     SELECT doc_id,
            CAST(min(pos) AS BIGINT) AS span_start,
-           CAST(max(pos) + 7 AS BIGINT) AS span_end,
-           CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens
-    FROM grp GROUP BY doc_id, g
+           CAST(max(endp) AS BIGINT) AS span_end,
+           CAST(max(endp) - min(pos) + 1 AS BIGINT) AS span_tokens
+    FROM grp GROUP BY doc_id, g"""
+
+# Removal surgery over grp + toks: merged spans -> per-doc interval
+# arrays -> indexed cut (shared verbatim by both removal oracles).
+_SPAN_REMOVAL_TAIL_SQL = """, spans AS (
+      SELECT doc_id, min(pos) AS a, max(endp) AS b
+      FROM grp GROUP BY doc_id, g
+    ), sarr AS (
+      SELECT doc_id, list(struct_pack(a := a, b := b)) AS sp
+      FROM spans GROUP BY doc_id
+    ), cut AS (
+      SELECT t.doc_id, t.t,
+        list_filter(
+          list_transform(t.t, (x, i) -> CASE WHEN len(list_filter(
+              coalesce(s.sp, CAST([] AS STRUCT(a BIGINT, b BIGINT)[])),
+              r -> r.a <= i AND i <= r.b)) = 0 THEN x END),
+          v -> v IS NOT NULL) AS kept
+      FROM toks t LEFT JOIN sarr s USING (doc_id)
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(kept, ' '), '') AS clean_text,
+           CAST(len(t) - len(kept) AS BIGINT) AS n_removed
+    FROM cut"""
+
+
+@query(
+    "t_dup_spans",
+    f"""
+    WITH {_span_fixture_src_sql("all rights reserved worldwide 2024")},
+    {_KGRAM_DETECTION_SQL}, {_SPAN_ISLANDS_SQL}{_SPAN_FINAL_SQL}
     """,
 )
 def t_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7960,53 +8032,11 @@ def t_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t_dup_spans_exact",
-    """
-    WITH src AS (
-      SELECT doc_id,
-        CASE WHEN doc_id % 4 = 0 THEN text || ' ' || text
-             WHEN doc_id % 6 = 3 THEN text ||
-               ' subscribe to our newsletter for daily updates today'
-             WHEN doc_id % 6 = 5 THEN text ||
-               ' internationalization telecommunications responsibilities the 2024'
-             ELSE text END AS text2
-      FROM documents
-    ), toks AS (
-      SELECT doc_id, regexp_extract_all(lower(text2), '[a-z0-9]+') AS t
-      FROM src
-    ), grams AS (
-      SELECT doc_id, s.s AS pos,
-             substr(array_to_string(list_slice(t, s.s, s.s + 49), ' '),
-                    1, 50) AS w
-      FROM toks, unnest(range(1, len(t) + 1)) AS s(s)
-    ), pos_rows AS (
-      SELECT doc_id, pos, md5(w) AS whash,
-             pos + len(string_split(substr(w, 1, 49), ' ')) - 1 AS endp
-      FROM grams WHERE length(w) = 50
-    ), counted AS (
-      SELECT doc_id, pos, endp,
-             count(*) OVER (PARTITION BY whash) AS cnt
-      FROM pos_rows
-    ), dup AS (
-      SELECT doc_id, pos, endp FROM counted WHERE cnt >= 2
-    ), flagged AS (
-      SELECT doc_id, pos, endp,
-        CASE WHEN max(endp) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-             OR pos > max(endp) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
-             THEN 1 ELSE 0 END AS newf
-      FROM dup
-    ), grp AS (
-      SELECT doc_id, pos, endp,
-             sum(newf) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
-      FROM flagged
-    )
-    SELECT doc_id,
-           CAST(min(pos) AS BIGINT) AS span_start,
-           CAST(max(endp) AS BIGINT) AS span_end,
-           CAST(max(endp) - min(pos) + 1 AS BIGINT) AS span_tokens
-    FROM grp GROUP BY doc_id, g
+    f"""
+    WITH {_span_fixture_src_sql(
+        "internationalization telecommunications responsibilities the 2024"
+    )},
+    {_EXACT_DETECTION_SQL}, {_SPAN_ISLANDS_SQL}{_SPAN_FINAL_SQL}
     """,
 )
 def t_dup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8090,26 +8120,10 @@ def t_dup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT b.doc_id, b.pos, b.pos + 7 AS endp
       FROM bat b LEFT JOIN idx i ON b.whash = i.whash
       WHERE b.bcnt + coalesce(i.icnt, 0) >= 2
-    ), flagged AS (
-      SELECT doc_id, pos, endp,
-        CASE WHEN max(endp) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-             OR pos > max(endp) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
-             THEN 1 ELSE 0 END AS newf
-      FROM dup
-    ), grp AS (
-      SELECT doc_id, pos, endp,
-             sum(newf) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
-      FROM flagged
-    )
-    SELECT doc_id,
-           CAST(min(pos) AS BIGINT) AS span_start,
-           CAST(max(endp) AS BIGINT) AS span_end,
-           CAST(max(endp) - min(pos) + 1 AS BIGINT) AS span_tokens
-    FROM grp GROUP BY doc_id, g
-    """,
+    ),
+    """
+    + _SPAN_ISLANDS_SQL
+    + _SPAN_FINAL_SQL,
 )
 def t_dup_spans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ExactSubstr (text.duplicated_spans_probe): even
@@ -8119,9 +8133,12 @@ def t_dup_spans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch spans arise from batch-internal repeats AND from pure
     index hits (an odd %5 doc whose tail partners are all even).
     Only the batch is tokenized; batch counts ride one fingerprint
-    exchange; the index join broadcasts the batch side under AQE —
-    the corpus index is scanned, never shuffled. Oracle replays
-    index build + probe + island merge bit-for-bit."""
+    exchange; the index is reduced by an inner join against the
+    BROADCAST distinct batch fingerprints and only that batch-sized
+    reduction joins back (a LeftOuter join cannot build its left
+    side, so joining the raw index directly would shuffle the
+    corpus) — the index is scanned, never shuffled (plan-pinned).
+    Oracle replays index build + probe + island merge bit-for-bit."""
     d = Catalog(spark, sf_dir).documents
     src = d.select(
         "doc_id",
@@ -8221,66 +8238,11 @@ def t_dup_span_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t_span_removal_exact",
-    """
-    WITH src AS (
-      SELECT doc_id,
-        CASE WHEN doc_id % 4 = 0 THEN text || ' ' || text
-             WHEN doc_id % 6 = 3 THEN text ||
-               ' subscribe to our newsletter for daily updates today'
-             WHEN doc_id % 6 = 5 THEN text ||
-               ' internationalization telecommunications responsibilities the 2024'
-             ELSE text END AS text2
-      FROM documents
-    ), toks AS (
-      SELECT doc_id, regexp_extract_all(lower(text2), '[a-z0-9]+') AS t
-      FROM src
-    ), grams AS (
-      SELECT doc_id, s.s AS pos,
-             substr(array_to_string(list_slice(t, s.s, s.s + 49), ' '),
-                    1, 50) AS w
-      FROM toks, unnest(range(1, len(t) + 1)) AS s(s)
-    ), pos_rows AS (
-      SELECT doc_id, pos, md5(w) AS whash,
-             pos + len(string_split(substr(w, 1, 49), ' ')) - 1 AS endp
-      FROM grams WHERE length(w) = 50
-    ), counted AS (
-      SELECT doc_id, pos, endp,
-             count(*) OVER (PARTITION BY whash) AS cnt
-      FROM pos_rows
-    ), dup AS (
-      SELECT doc_id, pos, endp FROM counted WHERE cnt >= 2
-    ), flagged AS (
-      SELECT doc_id, pos, endp,
-        CASE WHEN max(endp) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-             OR pos > max(endp) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
-             THEN 1 ELSE 0 END AS newf
-      FROM dup
-    ), grp AS (
-      SELECT doc_id, pos, endp,
-             sum(newf) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
-      FROM flagged
-    ), spans AS (
-      SELECT doc_id, min(pos) AS a, max(endp) AS b
-      FROM grp GROUP BY doc_id, g
-    ), sarr AS (
-      SELECT doc_id, list(struct_pack(a := a, b := b)) AS sp
-      FROM spans GROUP BY doc_id
-    ), cut AS (
-      SELECT t.doc_id, t.t,
-        list_filter(
-          list_transform(t.t, (x, i) -> CASE WHEN len(list_filter(
-              coalesce(s.sp, CAST([] AS STRUCT(a BIGINT, b BIGINT)[])),
-              r -> r.a <= i AND i <= r.b)) = 0 THEN x END),
-          v -> v IS NOT NULL) AS kept
-      FROM toks t LEFT JOIN sarr s USING (doc_id)
-    )
-    SELECT doc_id,
-           coalesce(array_to_string(kept, ' '), '') AS clean_text,
-           CAST(len(t) - len(kept) AS BIGINT) AS n_removed
-    FROM cut
+    f"""
+    WITH {_span_fixture_src_sql(
+        "internationalization telecommunications responsibilities the 2024"
+    )},
+    {_EXACT_DETECTION_SQL}, {_SPAN_ISLANDS_SQL}{_SPAN_REMOVAL_TAIL_SQL}
     """,
 )
 def t_span_removal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9928,8 +9890,8 @@ def t_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g, unnest(range(0, len(stream) // 64)) AS i(i)
     )
     SELECT CAST(row_number() OVER (
-             ORDER BY md5('42:' || CAST(bucket AS VARCHAR) || ':'
-                          || CAST(seq_idx AS VARCHAR)),
+             ORDER BY md5('42:' || md5(CAST(bucket AS VARCHAR)) || ':'
+                          || md5(CAST(seq_idx AS VARCHAR))),
                       bucket, seq_idx) - 1 AS BIGINT) AS epoch_pos,
            CAST(bucket AS BIGINT) AS bucket,
            CAST(seq_idx AS BIGINT) AS seq_idx,
@@ -9942,7 +9904,7 @@ def t_seq_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle (text.epoch_shuffle) over the
     packed training sequences — the seeded reproducible permutation a
     training loader replays for checkpoint-resume: order key =
-    md5(seed ':' bucket ':' seq_idx), realized as a hash-ordered
+    md5(seed ':' md5(bucket) ':' md5(seq_idx)), realized as a hash-ordered
     repartitionByRange (ONE range exchange, hash keys are uniform so
     ranges balance under any input skew) plus per-partition numbering
     with broadcast offsets (keys.assign_sequential_ids) — never a
@@ -9990,8 +9952,8 @@ def t_seq_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g, unnest(range(0, len(stream) // 64)) AS i(i)
     ), shuffled AS (
       SELECT CAST(row_number() OVER (
-               ORDER BY md5('42:' || CAST(bucket AS VARCHAR) || ':'
-                            || CAST(seq_idx AS VARCHAR)),
+               ORDER BY md5('42:' || md5(CAST(bucket AS VARCHAR)) || ':'
+                            || md5(CAST(seq_idx AS VARCHAR))),
                         bucket, seq_idx) - 1 AS BIGINT) AS epoch_pos,
              array_to_string(w, ' ') AS token_ids
       FROM seqs
@@ -10000,7 +9962,9 @@ def t_seq_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_seqs,
            CAST(min(epoch_pos) AS BIGINT) AS first_pos,
            CAST(max(epoch_pos) AS BIGINT) AS last_pos,
-           md5(string_agg(md5(token_ids), '' ORDER BY epoch_pos))
+           md5(string_agg(md5(CASE WHEN token_ids IS NULL
+                                 THEN 'null:' ELSE 'v:' || token_ids END),
+                          '' ORDER BY epoch_pos))
              AS shard_digest
     FROM shuffled GROUP BY (epoch_pos // 32)
     """,
@@ -10233,59 +10197,9 @@ def t_fineweb_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t_span_removal",
-    """
-    WITH src AS (
-      SELECT doc_id,
-        CASE WHEN doc_id % 4 = 0 THEN text || ' ' || text
-             WHEN doc_id % 6 = 3 THEN text ||
-               ' subscribe to our newsletter for daily updates today'
-             ELSE text END AS text2
-      FROM documents
-    ), toks AS (
-      SELECT doc_id, regexp_extract_all(lower(text2), '[a-z0-9]+') AS t
-      FROM src
-    ), grams AS (
-      SELECT doc_id, s.s AS pos,
-             md5(array_to_string(list_slice(t, s.s, s.s + 7), ' ')) AS whash
-      FROM toks, unnest(range(1, len(t) - 6)) AS s(s)
-      WHERE len(t) >= 8
-    ), counted AS (
-      SELECT doc_id, pos, count(*) OVER (PARTITION BY whash) AS cnt
-      FROM grams
-    ), dup AS (
-      SELECT doc_id, pos FROM counted WHERE cnt >= 2
-    ), flagged AS (
-      SELECT doc_id, pos,
-        CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-             OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
-             THEN 1 ELSE 0 END AS newf
-      FROM dup
-    ), grp AS (
-      SELECT doc_id, pos,
-             sum(newf) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
-      FROM flagged
-    ), spans AS (
-      SELECT doc_id, min(pos) AS a, max(pos) + 7 AS b
-      FROM grp GROUP BY doc_id, g
-    ), sarr AS (
-      SELECT doc_id, list(struct_pack(a := a, b := b)) AS sp
-      FROM spans GROUP BY doc_id
-    ), cut AS (
-      SELECT t.doc_id, t.t,
-        list_filter(
-          list_transform(t.t, (x, i) -> CASE WHEN len(list_filter(
-              coalesce(s.sp, CAST([] AS STRUCT(a BIGINT, b BIGINT)[])),
-              r -> r.a <= i AND i <= r.b)) = 0 THEN x END),
-          v -> v IS NOT NULL) AS kept
-      FROM toks t LEFT JOIN sarr s USING (doc_id)
-    )
-    SELECT doc_id,
-           coalesce(array_to_string(kept, ' '), '') AS clean_text,
-           CAST(len(t) - len(kept) AS BIGINT) AS n_removed
-    FROM cut
+    f"""
+    WITH {_span_fixture_src_sql(None)},
+    {_KGRAM_DETECTION_SQL}, {_SPAN_ISLANDS_SQL}{_SPAN_REMOVAL_TAIL_SQL}
     """,
 )
 def t_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
