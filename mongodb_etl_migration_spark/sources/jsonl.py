@@ -62,6 +62,35 @@ def read_jsonl(
     )
 
 
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    corrupt_col: str = CORRUPT_COL,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``read_jsonl`` — a directory TAIL over
+    landing JSONL shards (the continuous-ingestion shape: a crawler
+    drops *.jsonl.gz files, the engine picks each up exactly once via
+    checkpointed file tracking). Same explicit schema + PERMISSIVE
+    corrupt capture as the batch reader, so batch backfill and the
+    tail produce identical rows per file. ``max_files_per_trigger``
+    bounds per-microbatch work (source-side backpressure)."""
+    if any(f.name == corrupt_col for f in schema.fields):
+        raise ValueError(f"schema already contains {corrupt_col!r}")
+    full = StructType(
+        list(schema.fields) + [StructField(corrupt_col, StringType())]
+    )
+    reader = (
+        spark.readStream.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return reader.json(path)
+
+
 def write_jsonl(
     df: DataFrame,
     path: str,

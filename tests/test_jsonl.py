@@ -90,6 +90,54 @@ def test_jsonl_corrupt_vs_missing_field(spark, tmp_path):
     }
 
 
+def test_jsonl_stream_tails_directory_exactly_once(spark, tmp_path):
+    """The streaming tail picks each landed shard up exactly once and
+    agrees row-for-row with the batch reader over the same files —
+    including the corrupt-capture convention."""
+    from mongodb_etl_migration_spark.sources.jsonl import read_jsonl_stream
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "a.jsonl").write_text(
+        '{"doc_id":1,"text":"first"}\nbroken line\n'
+    )
+    with gzip.open(land / "b.jsonl.gz", "wt") as f:
+        f.write('{"doc_id":2,"text":"second"}\n')
+
+    stream = read_jsonl_stream(spark, str(land), SCHEMA)
+    assert stream.isStreaming
+    out: list = []
+
+    def sink(batch_df, _bid):
+        out.extend(
+            (r.doc_id, r.text, r._corrupt_record is not None)
+            for r in batch_df.collect()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert set(out) == {(1, "first", False), (None, None, True), (2, "second", False)}
+
+    # a new shard lands; a second availableNow run from the SAME
+    # checkpoint processes ONLY it (exactly-once file tracking)
+    (land / "c.jsonl").write_text('{"doc_id":3,"text":"third"}\n')
+    out.clear()
+    q2 = (
+        read_jsonl_stream(spark, str(land), SCHEMA)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert out == [(3, "third", False)]
+
+
 def test_jsonl_schema_guard():
     with pytest.raises(ValueError, match="_corrupt_record"):
         bad = StructType(
