@@ -176,3 +176,60 @@ def temperature_mix(
         branch = (c.isNull() if g is None else (c == g), F.lit(cut_g))
         gate = F.when(*branch) if gate is None else gate.when(*branch)
     return df.filter(hash_key(key, salt) < gate.otherwise(F.lit(0)))
+
+
+def temperature_mix_tokens(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    tokens_col: str,
+    budget_tokens: int,
+    salt: str = "temptok",
+) -> DataFrame:
+    """Token-weighted temperature mixing (α = 0.5): the same gate as
+    temperature_mix with every quantity measured in TOKENS — the unit
+    training budgets are actually set in (a domain of few LONG
+    documents must not be upsampled like a domain of many short
+    ones, which doc-count weighting does). Group g keeps each doc
+    with probability budget·√T_g / (Σ√T · T_g), so its EXPECTED kept
+    tokens ≈ budget·√T_g/Σ√T; documents are hash-gated whole (an
+    exact-token cut would have to split documents — the loader's
+    packing stage already handles sub-document granularity).
+
+    Integer-exact like temperature_mix: isqrt(T·10⁴) (exact as long
+    as a group's T·10⁴ < 2^52 ≈ 450 G tokens — past that the oracle's
+    floor(sqrt(double)) and Python's isqrt may differ by 1 ulp; shard
+    the mix per corpus slice before then), integer-sum normalizer,
+    one arbitrary-precision floor division per group. Plan: one
+    O(#groups) token-sum collect, then the zero-shuffle CASE
+    hash-gate. Groups with zero/NULL token totals keep nothing."""
+    import math
+
+    c = F.col(group_col).cast("string")
+    rows = (
+        df.groupBy(c.alias("__g"))
+        .agg(
+            F.sum(F.coalesce(F.col(tokens_col), F.lit(0)))
+            .cast("long")
+            .alias("__t")
+        )
+        .collect()
+    )
+    totals = {r[0]: int(r[1] or 0) for r in rows}
+    sq = {g: math.isqrt(t * 10_000) for g, t in totals.items() if t > 0}
+    if not sq:
+        return df.filter(F.lit(False))
+    tot = sum(sq.values())
+    cuts = {
+        g: min(
+            _SPACE, _SPACE * budget_tokens * sq[g] // (tot * totals[g])
+        )
+        for g in sq
+    }
+    gate = None
+    for g, cut_g in sorted(
+        cuts.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+    ):
+        branch = (c.isNull() if g is None else (c == g), F.lit(cut_g))
+        gate = F.when(*branch) if gate is None else gate.when(*branch)
+    return df.filter(hash_key(key, salt) < gate.otherwise(F.lit(0)))

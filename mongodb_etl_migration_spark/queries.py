@@ -5290,6 +5290,63 @@ def _sampling_queries() -> None:
             "doc_id", "grp"
         )
 
+    temptok_gate = _HASH60.format(salt="temptok", key="doc_id")
+
+    @query(
+        "t_temperature_mix_tokens",
+        f"""
+        WITH d AS (
+          SELECT doc_id, {_GRP_SQL} AS grp,
+                 CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS HUGEINT) AS ntok
+          FROM documents
+        ), c AS (
+          SELECT grp, sum(ntok) AS tk FROM d GROUP BY grp
+        ), s AS (
+          SELECT grp, tk,
+                 CAST(floor(sqrt(CAST(tk AS DOUBLE) * 10000)) AS HUGEINT)
+                   AS sq
+          FROM c WHERE tk > 0
+        ), t AS (SELECT sum(sq) AS tot FROM s),
+        thr AS (
+          SELECT grp, tk,
+                 least(CAST(1152921504606846976 AS HUGEINT),
+                       (CAST(1152921504606846976 AS HUGEINT) * 20000 * sq)
+                         // (t.tot * tk)) AS cut
+          FROM s, t
+        )
+        SELECT d.doc_id, d.grp, CAST(d.ntok AS BIGINT) AS n_tokens
+        FROM d JOIN thr USING (grp)
+        WHERE {temptok_gate} < thr.cut
+        """,
+    )
+    def t_temperature_mix_tokens(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """TOKEN-weighted temperature mixing
+        (sampling.temperature_mix_tokens): the α=0.5 rebalancing with
+        every quantity in tokens — the unit training budgets are set
+        in, so a domain of few long documents is not upsampled like a
+        domain of many short ones. Same skewed 60/30/10 domain fixture
+        as t_temperature_mix, budget 20 000 tokens at sf0.01; keep
+        probability budget·√T_g/(Σ√T·T_g) per doc, hash-gated whole.
+        Integer-exact end to end (isqrt scaling, integer-sum
+        normalizer, arbitrary-precision floor division), so the
+        driver's Python ints and the oracle's HUGEINTs agree on the
+        60-bit cut row for row. One O(#domains) token-sum collect,
+        then the zero-shuffle CASE hash-gate."""
+        d = Catalog(spark, sf_dir).documents.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 < 6, F.lit("web"))
+            .when(F.col("doc_id") % 10 < 9, F.lit("books"))
+            .otherwise(F.lit("wiki"))
+            .alias("grp"),
+            F.size(T.tokens("text")).cast("long").alias("n_tokens"),
+        )
+        return SM.temperature_mix_tokens(
+            d, "doc_id", "grp", "n_tokens", budget_tokens=20_000
+        ).select("doc_id", "grp", "n_tokens")
+
 
 _sampling_queries()
 

@@ -300,3 +300,55 @@ def test_hll_rho_cap_no_negative_shift(spark):
         assert out[g].z_scaled == expect_z
         assert out[g].z_scaled > 0
         assert out[g].registers == capped
+
+
+def test_temperature_mix_tokens_weighs_tokens_not_docs(spark):
+    """Token-weighted α=0.5 mixing: (1) matches a pure-Python
+    reference of the documented formula (md5 hash gate included)
+    row for row; (2) two domains with EQUAL token totals get EQUAL
+    keep probability even when one has 10x the documents — the case
+    doc-count weighting gets wrong; (3) zero-token and NULL-token
+    groups keep nothing."""
+    import hashlib
+    import math
+
+    from mongodb_etl_migration_spark.operators.sampling import (
+        _SPACE,
+        temperature_mix_tokens,
+    )
+
+    # group A: 100 docs x 40 tokens; group B: 10 docs x 400 tokens
+    # (equal 4000-token totals); group C: tokens NULL
+    rows = (
+        [(i, "a", 40) for i in range(100)]
+        + [(1000 + i, "b", 400) for i in range(10)]
+        + [(2000, "c", None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string, ntok int")
+    budget = 2000
+    kept = {
+        r.doc_id
+        for r in temperature_mix_tokens(
+            df, "doc_id", "grp", "ntok", budget_tokens=budget
+        ).collect()
+    }
+
+    totals = {"a": 4000, "b": 4000}
+    sq = {g: math.isqrt(t * 10_000) for g, t in totals.items()}
+    tot = sum(sq.values())
+    cuts = {
+        g: min(_SPACE, _SPACE * budget * sq[g] // (tot * totals[g]))
+        for g in totals
+    }
+    assert cuts["a"] == cuts["b"]  # equal tokens => equal probability
+
+    def h60(doc_id):
+        return int(
+            hashlib.md5(f"temptok#{doc_id}".encode()).hexdigest()[:15], 16
+        )
+
+    ref = {
+        i for i, g, _t in rows if g in cuts and h60(i) < cuts[g]
+    }
+    assert kept == ref
+    assert 2000 not in kept  # NULL-token group keeps nothing
