@@ -7179,6 +7179,10 @@ def _psl_oracle_parts() -> tuple[str, str]:
 
 _PSL_DOMAIN_SQL_GEN, _PSL_REG_SQL = _psl_oracle_parts()
 
+_CLS_W_SQL = ", ".join(
+    f"('{t}', {w})" for t, w in sorted(T.QUALITY_CLASSIFIER_WEIGHTS.items())
+)
+
 
 def _psl_domain_sql() -> str:
     return _PSL_DOMAIN_SQL_GEN
@@ -7214,6 +7218,95 @@ def w_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host",
         WB.domain_of(F.col("host")).alias("heuristic"),
         "registered_domain",
+    )
+
+
+@query(
+    "w_quality_feedback",
+    _psl_domain_sql()
+    + f"""
+    , w(term, weight) AS (VALUES {_CLS_W_SQL}),
+    tk AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ), m AS (
+      SELECT tk.doc_id, sum(w.weight) AS sw
+      FROM tk JOIN w USING (term) GROUP BY tk.doc_id
+    ), r AS (
+      SELECT j.doc_id, """ + _PSL_REG_SQL + """ AS registered_domain
+      FROM j
+    ), x AS (
+      SELECT r.registered_domain, coalesce(m.sw, 0) AS margin
+      FROM r LEFT JOIN m USING (doc_id)
+      WHERE r.registered_domain IS NOT NULL
+    ), g AS (
+      SELECT registered_domain,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(margin) AS BIGINT) AS margin_sum,
+             CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep,
+             CAST(floor(CAST(sum(margin) AS DOUBLE) * 1000 / count(*))
+               AS BIGINT) AS avg_margin_milli
+      FROM x GROUP BY registered_domain
+    )
+    SELECT registered_domain, n_docs, margin_sum, n_keep,
+           avg_margin_milli,
+           CASE WHEN avg_margin_milli >= 500 THEN 'boost'
+                WHEN avg_margin_milli >= 0 THEN 'normal'
+                ELSE 'demote' END AS crawl_tier
+    FROM g
+    """,
+)
+def w_quality_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-feedback crawl prioritization — the loop that closes a
+    crawl: per-document classifier margins (the model-based curation
+    gate) roll up to their PSL registered domain, and each domain
+    gets a crawl tier (boost / normal / demote) from its
+    milli-average margin — low-quality domains stop earning fetch
+    budget, high-yield domains get more (the scheduler consumes the
+    tier exactly like its stalest-first key). Plan: margins fold
+    inline per doc (zero-shuffle map-literal classifier), PSL joins
+    broadcast, and the ONLY exchange is the per-domain aggregate
+    (map-side combinable integer sums); the milli-average is
+    floor(1000·Σmargin/n) — integer-exact across engines, no
+    rounding-mode trap. Output bounded by #domains."""
+    d = Catalog(spark, sf_dir).documents
+    base = d.select(
+        "doc_id",
+        _psl_host_col().alias("host"),
+        T.classifier_margin_inline("text").alias("__margin"),
+    )
+    dom = WB.with_registered_domain(base, "host")
+    g = (
+        dom.filter(F.col("registered_domain").isNotNull())
+        .groupBy("registered_domain")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("__margin").cast("bigint").alias("margin_sum"),
+            F.sum(F.when(F.col("__margin") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_keep"),
+        )
+        .withColumn(
+            "avg_margin_milli",
+            F.floor(
+                F.col("margin_sum").cast("double")
+                * 1000
+                / F.col("n_docs")
+            ).cast("bigint"),
+        )
+    )
+    return g.select(
+        "registered_domain",
+        "n_docs",
+        "margin_sum",
+        "n_keep",
+        "avg_margin_milli",
+        F.when(F.col("avg_margin_milli") >= 500, "boost")
+        .when(F.col("avg_margin_milli") >= 0, "normal")
+        .otherwise("demote")
+        .alias("crawl_tier"),
     )
 
 
@@ -8469,9 +8562,6 @@ def a21_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CLS_W_SQL = ", ".join(
-    f"('{t}', {w})" for t, w in sorted(T.QUALITY_CLASSIFIER_WEIGHTS.items())
-)
 
 
 
