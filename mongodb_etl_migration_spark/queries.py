@@ -8126,6 +8126,69 @@ _SPAN_REMOVAL_TAIL_SQL = """, spans AS (
 
 
 @query(
+    "t_corpus_diversity",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 < 6 THEN 'web'
+                  WHEN doc_id % 10 < 9 THEN 'books'
+                  ELSE 'wiki' END AS grp,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, grp, unnest(t) AS term FROM d
+    ), g AS (
+      SELECT grp,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT term) AS BIGINT) AS n_types
+      FROM tok GROUP BY grp
+    )
+    SELECT grp, n_docs, n_tokens, n_types,
+           CAST(floor(CAST(n_types AS DOUBLE) * 100000 / n_tokens)
+             AS BIGINT) AS ttr_e5
+    FROM g
+    """,
+)
+def t_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity report — the dataset-quality dashboard row
+    behind dedup/mixing decisions: per domain, document count, token
+    count, distinct token TYPES, and the type-token ratio (×1e5,
+    floor — integer-exact across engines; a domain whose TTR
+    collapses is template spam or dedup debt, one whose TTR spikes is
+    OCR noise). Plan: one token explode feeding a per-domain
+    aggregate with two count-distincts (Catalyst expands to the
+    standard expand+two-phase aggregate — exchanges carry (domain,
+    term)/(domain, doc) pairs, linear in tokens, never a collect).
+    Same 60/30/10 domain fixture as the mixing queries, so the
+    reports compose into one curation dashboard."""
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 6, F.lit("web"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("books"))
+        .otherwise(F.lit("wiki"))
+        .alias("grp"),
+        F.explode(T.tokens("text")).alias("term"),
+    )
+    g = d.groupBy("grp").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.countDistinct("term").cast("bigint").alias("n_types"),
+    )
+    return g.select(
+        "grp",
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        F.floor(
+            F.col("n_types").cast("double") * 100000 / F.col("n_tokens")
+        )
+        .cast("bigint")
+        .alias("ttr_e5"),
+    )
+
+
+@query(
     "t_dup_spans",
     f"""
     WITH {_span_fixture_src_sql("all rights reserved worldwide 2024")},

@@ -281,6 +281,22 @@ NOTES = {
         "must appear exactly once in the plan, and each "
         "sort_array(...) exactly once per n."
     ),
+    "t_dup_spans_probe": (
+        "Incremental ExactSubstr: TWO BroadcastHashJoins, both "
+        "building batch-derived sides (the distinct batch "
+        "fingerprints reduce the corpus index via an inner join "
+        "before the left join back) — no SortMergeJoin, the corpus "
+        "index is scanned but never shuffled. A LeftOuter join "
+        "against the raw index would plan BuildRight on the INDEX "
+        "(review finding, round 9) and shuffle the corpus at scale."
+    ),
+    "w_quality_feedback": (
+        "Quality-feedback crawl tiers: the classifier margin folds "
+        "inline per document (map-literal aggregate, no explode/"
+        "join), PSL rule joins broadcast, and the plan's ONLY "
+        "exchange is the per-domain aggregate with map-side partial "
+        "integer sums; output bounded by #domains."
+    ),
     "t_seq_shuffle": (
         "Deterministic epoch shuffle: pack_sequences' single bucket "
         "exchange, then the permutation = one RangePartitioning "
