@@ -290,6 +290,12 @@ NOTES = {
         "against the raw index would plan BuildRight on the INDEX "
         "(review finding, round 9) and shuffle the corpus at scale."
     ),
+    "t_corpus_diversity": (
+        "Diversity report: the two count-distincts compile to the "
+        "standard Expand + two-phase HashAggregate — exchanges carry "
+        "(domain, term) / (domain, doc) pairs, linear in tokens, "
+        "bounded output (#domains rows); no collect anywhere."
+    ),
     "w_quality_feedback": (
         "Quality-feedback crawl tiers: the classifier margin folds "
         "inline per document (map-literal aggregate, no explode/"

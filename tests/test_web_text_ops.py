@@ -2994,3 +2994,69 @@ def test_lang_id_train_classify_roundtrip(spark):
     }
     for i, lang in enumerate(langs):
         assert got[i] == lang, (lang, got[i])
+
+
+def test_quality_feedback_tier_boundaries(spark):
+    """The crawl-tier cut points, pinned at their exact edges via the
+    catalog query's own building blocks: milli-average >= 500 is
+    'boost', >= 0 'normal', below 'demote' — including the negative-
+    average floor (floor(-1500/2) = -750, never truncation toward
+    zero) and a NULL registered domain (host IS a public suffix)
+    dropping out of the rollup entirely."""
+    from mongodb_etl_migration_spark.queries import QUERIES
+
+    df = QUERIES["w_quality_feedback"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows, "rollup must produce domains at sf0.001"
+    for r in rows:
+        assert r.registered_domain is not None
+        assert r.n_docs >= 1 and r.n_keep <= r.n_docs
+        # milli-average is exactly floor(1000 * margin_sum / n_docs)
+        import math
+
+        assert r.avg_margin_milli == math.floor(
+            r.margin_sum * 1000 / r.n_docs
+        )
+        want = (
+            "boost"
+            if r.avg_margin_milli >= 500
+            else "normal" if r.avg_margin_milli >= 0 else "demote"
+        )
+        assert r.crawl_tier == want
+    # the fixture's margin spread must actually exercise >1 tier
+    assert len({r.crawl_tier for r in rows}) >= 2
+
+
+def test_corpus_diversity_ttr_exact(spark):
+    """Type-token ratio semantics on a hand-computable corpus: types
+    and tokens counted per domain after tokenization, TTR = floor of
+    the 1e5-scaled ratio; token-less documents vanish from the
+    report (nothing to measure, same convention both engines)."""
+    from mongodb_etl_migration_spark.operators import text as T2
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),   # grp a: 6 tokens, 5 types
+            (1, "the cat ran"),              # grp a: 3 tokens (+1 type)
+            (2, "?!"),                       # grp b: tokenizes empty
+        ],
+        "doc_id long, text string",
+    )
+    d = df.select(
+        "doc_id",
+        F.when(F.col("doc_id") < 2, "a").otherwise("b").alias("grp"),
+        F.explode(T2.tokens("text")).alias("term"),
+    )
+    g = (
+        d.groupBy("grp")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.countDistinct("term").cast("bigint").alias("n_types"),
+        )
+        .collect()
+    )
+    out = {r.grp: (r.n_docs, r.n_tokens, r.n_types) for r in g}
+    # a: tokens = 9, types = {the,cat,sat,on,mat,ran} = 6
+    assert out == {"a": (2, 9, 6)}
+    assert 6 * 100000 // 9 == 66666  # the floor the query publishes
