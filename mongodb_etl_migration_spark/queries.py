@@ -7221,6 +7221,20 @@ def w_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def milli_floor(sum_col: str, n_col: str) -> F.Column:
+    """floor(1000 * sum / n) as an UNCONDITIONALLY integer-exact
+    Column (n > 0): the sum widens to decimal(25,0) before the x1000
+    (no bigint overflow at any bigint sum), and subtracting the
+    POSITIVE modulus (pmod) first makes the numerator exactly
+    divisible by n, so truncating `div` equals mathematical floor on
+    every sign — no 2^53 double window, no truncate-toward-zero trap
+    on negative sums. Shared by w_quality_feedback and its unit
+    tests so the tested expression IS the shipped one."""
+    q = f"(CAST({sum_col} AS DECIMAL(25,0)) * 1000)"
+    n = f"CAST({n_col} AS DECIMAL(25,0))"
+    return F.expr(f"({q} - pmod({q}, {n})) div {n}").cast("bigint")
+
+
 @query(
     "w_quality_feedback",
     _psl_domain_sql()
@@ -7240,15 +7254,22 @@ def w_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT r.registered_domain, coalesce(m.sw, 0) AS margin
       FROM r LEFT JOIN m USING (doc_id)
       WHERE r.registered_domain IS NOT NULL
-    ), g AS (
+    ), g0 AS (
       SELECT registered_domain,
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(margin) AS BIGINT) AS margin_sum,
              CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_keep,
-             CAST(floor(CAST(sum(margin) AS DOUBLE) * 1000 / count(*))
-               AS BIGINT) AS avg_margin_milli
+             CAST(sum(margin) AS HUGEINT) * 1000 AS q
       FROM x GROUP BY registered_domain
+    ), g AS (
+      SELECT registered_domain, n_docs, margin_sum, n_keep,
+             -- unconditional integer floor(q / n): subtract the
+             -- POSITIVE modulus first so the division is exact and
+             -- truncate-vs-floor semantics cannot differ
+             CAST((q - ((q % n_docs) + n_docs) % n_docs) // n_docs
+               AS BIGINT) AS avg_margin_milli
+      FROM g0
     )
     SELECT registered_domain, n_docs, margin_sum, n_keep,
            avg_margin_milli,
@@ -7269,8 +7290,14 @@ def w_quality_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline per doc (zero-shuffle map-literal classifier), PSL joins
     broadcast, and the ONLY exchange is the per-domain aggregate
     (map-side combinable integer sums); the milli-average is
-    floor(1000·Σmargin/n) — integer-exact across engines, no
-    rounding-mode trap. Output bounded by #domains."""
+    floor(1000·Σmargin/n) computed UNCONDITIONALLY integer-exactly:
+    Σmargin widens to decimal(25,0) (HUGEINT in the oracle) before
+    the ×1000, and the floor uses the pmod identity
+    floor(q/n) = (q − pmod(q, n)) div n — the adjusted numerator is
+    exactly divisible by n, so truncating (`div`) and flooring
+    division agree on every engine and sign, with no 2^53 double
+    window at any Σmargin a bigint can hold. Output bounded by
+    #domains."""
     d = Catalog(spark, sf_dir).documents
     base = d.select(
         "doc_id",
@@ -7289,12 +7316,7 @@ def w_quality_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_keep"),
         )
         .withColumn(
-            "avg_margin_milli",
-            F.floor(
-                F.col("margin_sum").cast("double")
-                * 1000
-                / F.col("n_docs")
-            ).cast("bigint"),
+            "avg_margin_milli", milli_floor("margin_sum", "n_docs")
         )
     )
     return g.select(

@@ -3027,6 +3027,43 @@ def test_quality_feedback_tier_boundaries(spark):
     assert len({r.crawl_tier for r in rows}) >= 2
 
 
+def test_milli_floor_exactness_adversarial(spark):
+    """The shipped milli-average expression (queries.milli_floor) is
+    UNCONDITIONALLY integer-exact — pinned at the two places the old
+    floor(double) formula broke: (a) negative sums where truncating
+    `div` differs from floor (-7000/3: floor -2334, truncate -2333),
+    and (b) |sum|*1000 beyond 2^53 where a double mantissa cannot
+    hold the product (9_007_199_254_740_993 is the first bigint a
+    double rounds; ±9e15 sums put the x1000 product near 9e18,
+    ~1000x past the mantissa). Expected values are Python's
+    arbitrary-precision floor division."""
+    from mongodb_etl_migration_spark.queries import milli_floor
+
+    cases = [
+        (-7, 3),                       # floor -2334, truncate -2333
+        (-1, 7),                       # floor -143, truncate -142
+        (7, 3),                        # positive control 2333
+        (-6, 2),                       # exact division, no fixup
+        (9_007_199_254_740_993, 7),    # sum itself un-double-able
+        (-9_007_199_254_740_993, 7),
+        (9_000_000_000_000_000, 11),   # product ~9e18 >> 2^53
+        (-9_000_000_000_000_000, 11),
+        (0, 5),
+    ]
+    df = spark.createDataFrame(cases, "margin_sum bigint, n_docs bigint")
+    got = {
+        (r.margin_sum, r.n_docs): r.milli
+        for r in df.withColumn(
+            "milli", milli_floor("margin_sum", "n_docs")
+        ).collect()
+    }
+    for s, n in cases:
+        assert got[(s, n)] == (s * 1000) // n, (s, n, got[(s, n)])
+    # and at least one case genuinely splits floor from truncation
+    assert any((s * 1000) // n != -((-s * 1000) // n) for s, n in cases
+               if s < 0 and (s * 1000) % n)
+
+
 def test_corpus_diversity_ttr_exact(spark):
     """Type-token ratio semantics on a hand-computable corpus: types
     and tokens counted per domain after tokenization, TTR = floor of
