@@ -24,7 +24,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mongodb_etl_migration_spark.functions.scalars import stable_round
-from mongodb_etl_migration_spark.operators.text import TOKEN_RE, tokens
+from mongodb_etl_migration_spark.operators.text import (
+    TOKEN_RE,
+    cpu_fan_out,
+    tokens,
+)
 
 
 # ------------------------------------------------------------- exact
@@ -371,6 +375,7 @@ def minhash_dedup_pairs(
     k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    fan_out: bool | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH candidate pairs. Signature + banding are
     narrow projections (zero shuffle); the only shuffle is the
@@ -391,14 +396,12 @@ def minhash_dedup_pairs(
     source has fewer file splits than cores, the fan-out shuffle pays
     for itself even on a 10 MB corpus (measured at sf0.1: ~1.7 s with
     fan-out vs ~3.6 s without, 32 cores / 1 file). On a real corpus
-    (many splits) the condition is false and no shuffle is added."""
+    (many splits) the condition is false and no shuffle is added.
+    ``fan_out`` pins the gate explicitly (True/False) for
+    host-independent plan receipts; None keeps the heuristic — see
+    text.cpu_fan_out."""
     df = df.filter(F.size(tokens(F.col(text_col))) >= k)
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    # inputFiles(), not df.rdd.getNumPartitions(): the RDD accessor
-    # instantiates the physical RDD just to read a number. An
-    # in-memory frame (no files) is already sized by createDataFrame.
-    if 0 < len(df.inputFiles()) < parallelism:
-        df = df.repartition(parallelism)
+    df = cpu_fan_out(df, fan_out)
     sig = minhash_signatures_narrow(df, id_col, text_col, k, num_hashes)
     band = lsh_bands(sig, id_col, num_hashes, bands)
     return lsh_candidate_pairs(band, id_col)

@@ -38,6 +38,30 @@ def tokens(c: Column | str) -> Column:
     return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
 
 
+def cpu_fan_out(df, fan_out: bool | None = None):
+    """One-off fan-out repartition for CPU-bound per-row scorers
+    (Gopher repetition, MinHash signatures): when the per-input-byte
+    CPU cost dwarfs the scan, a source with fewer file splits than
+    cores leaves most of the box idle, and one shuffle pays for
+    itself (measured 3-6x wall at sf0.1, 32 cores / 1 file).
+
+    ``fan_out=None`` (default) keeps the HEURISTIC: fan out iff
+    ``0 < len(df.inputFiles()) < defaultParallelism`` — inputFiles(),
+    not rdd.getNumPartitions(), because the RDD accessor instantiates
+    the physical RDD just to read a number, and an in-memory frame
+    (no files) is already sized by createDataFrame. On a real
+    many-split corpus the heuristic is false and the plan keeps ZERO
+    exchanges. Pass ``fan_out=True/False`` to PIN the plan shape —
+    receipt runs comparing shuffle bytes across hosts or scale tiers
+    MUST pin it (the heuristic keys on cores and file count, so the
+    same catalog can otherwise plan differently per host; ADVICE r9,
+    [[scale-receipt-artifacts]])."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if fan_out is None:
+        fan_out = 0 < len(df.inputFiles()) < parallelism
+    return df.repartition(parallelism) if fan_out else df
+
+
 def token_count(c: Column | str, toks: Column | None = None) -> Column:
     """Token count (whitespace/regex tokenizer). Pass ``toks`` (a
     materialized token-array column) in hot paths: lambda bodies sit
@@ -785,6 +809,15 @@ def epoch_shuffle(
 
     if not key_cols:
         raise ValueError("key_cols must name at least one column")
+    # withColumn overwrites silently — an input column named like the
+    # temp key would corrupt the permutation, one named pos_col would
+    # be clobbered. Refuse loudly (the package's usual guard).
+    for taken in ("__shuffle_key", pos_col):
+        if taken in df.columns:
+            raise ValueError(
+                f"column {taken!r} already exists in the input; "
+                "rename it or pass a different pos_col"
+            )
     keyed = df.withColumn(
         "__shuffle_key",
         F.md5(
@@ -1768,8 +1801,10 @@ def duplicated_spans_probe(
     A window is duplicated when its batch-internal occurrence count
     plus its indexed corpus count reaches ``min_count`` — a window
     seen once here and once in history is exactly as duplicated as
-    two local copies. Plan shape: only the batch is tokenized/hashed;
-    batch counts ride one fingerprint exchange. The corpus-sized
+    two local copies. Plan shape: only the batch is tokenized/hashed,
+    and only ONCE — the gram frame is lazily localCheckpoint'ed
+    before fanning out to the windowed counts and the broadcast probe
+    keys; batch counts ride one fingerprint exchange. The corpus-sized
     index must never shuffle, and a plain LEFT join cannot deliver
     that (Spark can only BUILD the right side of a LeftOuter join, so
     the index would be the build/shuffle side at scale) — instead the
@@ -1783,7 +1818,13 @@ def duplicated_spans_probe(
     doc (id_col, span_start, span_end, span_tokens)."""
     from pyspark.sql import Window
 
-    grams = _kgram_rows(new_df, id_col, text_col, k)
+    # LAZY localCheckpoint (the §2.9 fan-out discipline): grams feeds
+    # BOTH the windowed batch counts and the broadcast probe keys, and
+    # without materialization each consumer would re-tokenize and
+    # re-hash the batch — the docstring's single-pass claim would lie.
+    grams = _kgram_rows(new_df, id_col, text_col, k).localCheckpoint(
+        eager=False
+    )
     counted = grams.withColumn(
         "__bcnt", F.count("*").over(Window.partitionBy("_whash"))
     )
@@ -2723,7 +2764,12 @@ GOPHER_TOP_NGRAM_LIMITS = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_DUP_NGRAM_LIMITS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
-def with_gopher_repetition(df, text_col: str, toks_col: str | None = None):
+def with_gopher_repetition(
+    df,
+    text_col: str,
+    toks_col: str | None = None,
+    fan_out: bool | None = None,
+):
     """FULL Gopher §A1.1 repetition rule set (Rae et al. 2021) as a
     staged zero-shuffle transform — the complete family the dict-
     style gopher_repetition_flags only samples:
@@ -2758,10 +2804,10 @@ def with_gopher_repetition(df, text_col: str, toks_col: str | None = None):
     minhash_dedup_pairs (measured at sf0.1: 1.2 s with fan-out vs
     6.8 s without, 32 cores / 1 unsplittable file). On a real corpus
     (many splits) the condition is false and the plan keeps ZERO
-    exchanges."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if 0 < len(df.inputFiles()) < parallelism:
-        df = df.repartition(parallelism)
+    exchanges. ``fan_out`` pins the gate explicitly (True/False) for
+    host-independent plan receipts; None keeps the heuristic — see
+    ``cpu_fan_out``."""
+    df = cpu_fan_out(df, fan_out)
     base = list(df.columns)
     toks = F.col(toks_col) if toks_col else tokens(text_col)
     s0 = df.select("*", toks.alias("__grt"))

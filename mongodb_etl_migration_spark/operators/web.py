@@ -291,18 +291,23 @@ except ImportError:  # pragma: no cover - baked into this container
 PUNYCODE_ENCODER = "uts46" if _idna is not None else "idna2003"
 
 # Rules whose punycode twin could not be derived (per-label encode
-# failed under the active encoder). Kept module-visible so a PSL
-# snapshot upgrade that introduces divergent/unencodable rules is
-# DETECTABLE (tested empty for the vendored snapshot) instead of a
-# silent twin drop that un-groups those registrants.
-PUNYCODE_DROPPED: set[str] = set()
+# failed under the active encoder) in the MOST RECENT rules build.
+# Kept module-visible so a PSL snapshot upgrade that introduces
+# divergent/unencodable rules is DETECTABLE (tested empty for the
+# vendored snapshot) instead of a silent twin drop that un-groups
+# those registrants. REPLACED WHOLESALE per build (never appended
+# across builds), so one rule set's drops can't be misattributed to
+# another after a rebuild; readers always see a complete, internally
+# consistent snapshot (assignment is atomic under the GIL).
+PUNYCODE_DROPPED: frozenset[str] = frozenset()
 
 
-def _punycode(rule: str) -> str | None:
+def _punycode(rule: str, dropped: set[str]) -> str | None:
     """ASCII (xn--) twin of a PSL rule via per-label IDNA encoding
     (UTS-46 via the ``idna`` package when available, stdlib IDNA2003
     otherwise); None when unchanged or not encodable — unencodable
-    rules are recorded in ``PUNYCODE_DROPPED``. The list publishes
+    rules are recorded in the caller's ``dropped`` accumulator (the
+    per-build set behind ``PUNYCODE_DROPPED``). The list publishes
     rules in Unicode form while crawled hosts usually arrive
     punycoded — the twin keys both spellings to the same
     registrant."""
@@ -317,7 +322,7 @@ def _punycode(rule: str) -> str | None:
     try:
         out = ".".join(enc(lbl) for lbl in rule.split("."))
     except (UnicodeError, ValueError):
-        PUNYCODE_DROPPED.add(rule)
+        dropped.add(rule)
         return None
     return out if out != rule else None
 
@@ -363,11 +368,16 @@ def default_psl_rules() -> dict[str, tuple[str, ...]]:
     with open(path, encoding="utf-8") as fh:
         rules = parse_psl(fh.read())
     out = {}
+    dropped: set[str] = set()
     for cls, vals in rules.items():
         twins = tuple(
-            t for t in (_punycode(v) for v in vals) if t is not None
+            t
+            for t in (_punycode(v, dropped) for v in vals)
+            if t is not None
         )
         out[cls] = vals + twins
+    global PUNYCODE_DROPPED
+    PUNYCODE_DROPPED = frozenset(dropped)
     _PSL_SNAPSHOT = out
     return out
 

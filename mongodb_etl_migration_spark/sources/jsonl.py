@@ -96,12 +96,26 @@ def write_jsonl(
     path: str,
     compression: str | None = None,
     mode: str = "overwrite",
+    keep_nulls: bool = True,
 ) -> None:
     """Write ``df`` as JSON Lines: one ``to_json(struct(*cols))``
     object per line through the text writer (pure JVM, one part file
     per task; pass ``compression='gzip'`` for *.txt.gz parts —
-    remember whole-file gzip is unsplittable on read)."""
-    out = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    remember whole-file gzip is unsplittable on read).
+
+    ``keep_nulls=True`` (default) writes explicit ``"field": null``
+    members (``ignoreNullFields=false``) — byte-faithful interchange
+    with ``json.dumps``-style producers. With ``keep_nulls=False``
+    NULL fields are OMITTED from each line (Spark ``to_json``'s own
+    default) — smaller output, still value-lossless when re-read
+    through ``read_jsonl``'s explicit schema (absent = NULL), but not
+    line-identical to a null-keeping dump."""
+    out = df.select(
+        F.to_json(
+            F.struct(*df.columns),
+            {"ignoreNullFields": "false" if keep_nulls else "true"},
+        ).alias("value")
+    )
     writer = out.write.mode(mode)
     if compression:
         writer = writer.option("compression", compression)

@@ -4,6 +4,7 @@ NULLs, gzip transparency."""
 from __future__ import annotations
 
 import gzip
+import json
 import os
 
 import pytest
@@ -40,6 +41,41 @@ def test_jsonl_roundtrip_exact_including_hard_strings(spark, tmp_path):
     assert all(r._corrupt_record is None for r in back)
     got = {(r.doc_id, r.text) for r in back}
     assert got == set(rows)
+
+
+def test_jsonl_null_field_bytes(spark, tmp_path):
+    """NULL handling on the WIRE, not just after re-read: the default
+    (keep_nulls=True) writes an explicit '"text": null' member —
+    byte-faithful interchange with json.dumps-style producers — while
+    keep_nulls=False omits the field entirely (Spark to_json's own
+    default), which is still value-lossless through read_jsonl's
+    explicit schema."""
+    df = spark.createDataFrame([(6, None)], SCHEMA)
+
+    kept = str(tmp_path / "kept")
+    write_jsonl(df, kept)
+    (line,) = [
+        ln
+        for f in os.listdir(kept)
+        if f.startswith("part-")
+        for ln in open(os.path.join(kept, f)).read().splitlines()
+    ]
+    assert json.loads(line) == {"doc_id": 6, "text": None}
+    assert '"text":null' in line.replace(" ", "")
+
+    dropped = str(tmp_path / "dropped")
+    write_jsonl(df, dropped, keep_nulls=False)
+    (line2,) = [
+        ln
+        for f in os.listdir(dropped)
+        if f.startswith("part-")
+        for ln in open(os.path.join(dropped, f)).read().splitlines()
+    ]
+    assert json.loads(line2) == {"doc_id": 6}
+    # both re-read to the same NULL row through the explicit schema
+    for p in (kept, dropped):
+        (r,) = read_jsonl(spark, p, SCHEMA).collect()
+        assert (r.doc_id, r.text) == (6, None)
 
 
 def test_jsonl_gzip_roundtrip_and_mixed_dirs(spark, tmp_path):

@@ -451,6 +451,34 @@ def test_psl_punycode_twins_complete_under_uts46():
         pytest.skip("idna package absent — IDNA2003 fallback active")
 
 
+def test_punycode_dropped_replaced_per_build(monkeypatch):
+    """PUNYCODE_DROPPED is a per-build SNAPSHOT, not an accumulator:
+    a build whose rules include an unencodable entry publishes
+    exactly that entry; a later rebuild from the clean vendored file
+    REPLACES the set (empty again) instead of carrying stale drops
+    that would misattribute one rule set's failures to another
+    (ADVICE r9). The module value is a frozenset, so no code path
+    can append to a published snapshot."""
+    bad = "あ" * 100 + ".bad"  # label >63 cps — IDNA encode fails
+    real_parse = W.parse_psl
+
+    def fake_parse(_text):
+        return {"plain": (bad, "co.uk"), "wildcard": (), "exception": ()}
+
+    monkeypatch.setattr(W, "parse_psl", fake_parse)
+    monkeypatch.setattr(W, "_PSL_SNAPSHOT", None)
+    W.default_psl_rules()
+    assert W.PUNYCODE_DROPPED == {bad}
+    assert isinstance(W.PUNYCODE_DROPPED, frozenset)
+
+    monkeypatch.setattr(W, "parse_psl", real_parse)
+    monkeypatch.setattr(W, "_PSL_SNAPSHOT", None)
+    W.default_psl_rules()
+    assert W.PUNYCODE_DROPPED == set()  # replaced, not unioned
+    # monkeypatch restores _PSL_SNAPSHOT on exit; the final build
+    # above also left the module cache/dropped pair consistent
+
+
 def test_psl_join_is_broadcast_no_shuffle(spark):
     df = spark.createDataFrame([("www.a.co.uk",)], "host string")
     plan = (
@@ -2196,6 +2224,38 @@ def test_dedup_paragraphs_structure_lines_survive(spark):
     assert out[3] == ""  # NULL text survives as one empty line
 
 
+def test_cpu_fan_out_pins_plan_shape(spark, tmp_path):
+    """The CPU fan-out gate is PINNABLE (ADVICE r9): fan_out=False
+    never adds an exchange even on a 1-file source (where the
+    heuristic would), fan_out=True always adds one even on an
+    in-memory frame (where the heuristic would not) — so receipt
+    runs comparing plans across hosts/tiers can hold the shape
+    constant regardless of cores or file count."""
+    p = str(tmp_path / "one_file")
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    one_file = spark.read.parquet(p)
+    assert len(one_file.inputFiles()) == 1
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange ")
+
+    # heuristic on a 1-file source (32 cores): fans out
+    assert n_exchanges(T.cpu_fan_out(one_file, None)) == 1
+    # pinned off: zero exchanges on the same source
+    assert n_exchanges(T.cpu_fan_out(one_file, False)) == 0
+    # pinned on: fans out even where the heuristic would not
+    mem = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    assert mem.inputFiles() == []
+    assert n_exchanges(T.cpu_fan_out(mem, None)) == 0
+    assert n_exchanges(T.cpu_fan_out(mem, True)) == 1
+    # rows are shape-invariant
+    assert T.cpu_fan_out(one_file, False).count() == 100
+    assert T.cpu_fan_out(one_file, True).count() == 100
+
+
 def test_gopher_repetition_blank_separated_prose_passes(spark):
     fl = T.gopher_repetition_flags("text")
     doc = "\n\n".join(f"para {i} unique words here" for i in range(8))
@@ -2789,6 +2849,18 @@ def test_epoch_shuffle_deterministic_permutation(spark):
 
     with pytest.raises(ValueError, match="key_cols"):
         T.epoch_shuffle(df, [], seed=1)
+    # reserved-name collisions fail loudly instead of silently
+    # corrupting the permutation key / clobbering user data
+    with pytest.raises(ValueError, match="__shuffle_key"):
+        T.epoch_shuffle(
+            df.withColumn("__shuffle_key", F.lit("x")),
+            ["bucket"],
+            seed=1,
+        )
+    with pytest.raises(ValueError, match="epoch_pos"):
+        T.epoch_shuffle(
+            df.withColumn("epoch_pos", F.lit(0)), ["bucket"], seed=1
+        )
     # separator aliasing: string keys ('a:b','c') and ('a','b:c')
     # concatenate identically but must NOT share a shuffle key — with
     # per-column hashing their relative order flips with the seed
