@@ -2922,11 +2922,207 @@ def _replace_passes(s: str, pat: str, rep: str) -> str:
     return s
 
 
+def _select_compatible_batch(
+    cands: list[tuple[str, str, int]],
+    maxtri: dict[tuple[str, str], int],
+    collide: set[tuple[str, str]],
+    min_count: int,
+    tri3: dict[tuple[str, str, str], int] | None = None,
+) -> list[tuple[str, str, int]]:
+    """Longest PREFIX of the stale-count candidate ranking that
+    provably equals the sequential (one-recount-per-merge) schedule —
+    the driver-side heart of batched BPE training, shared verbatim by
+    ``bpe_train`` and ``bpe_train_batched_reference`` so the measured
+    round count of the Python twin IS the Spark trainer's.
+
+    ``cands`` is sorted by (count desc, left, right) — the argmax
+    total order — so candidate 1 is exactly what sequential merges
+    first, unconditionally. Candidate i > 1 is accepted only while
+    every way the earlier accepted merges could perturb the ranking
+    is ruled out:
+
+    * its own count must be provably INVARIANT under the earlier
+      accepted merges. A merge (p, q) destroys an occurrence of
+      (l, r) only by consuming one of its tokens, which needs an
+      ADJACENT overlap in the data: r == p with triple (l, p, q)
+      present, or l == q with triple (p, q, r) present (same-side
+      symbol sharing — (e,n) vs (e,r) — can never interact; the two
+      other consumption patterns require (l,r) == (p,q)). ``tri3``
+      holds the counts of exactly the triples whose BOTH adjacent
+      pairs are candidates — the only ones this test can query — so
+      a missing key means count 0 and the candidate is safe even
+      when it shares symbols with the whole batch. Increases would
+      need an accepted OUTPUT inside {l, r}, impossible for a stale
+      candidate unless that output string pre-existed — and then the
+      earlier merge is collide-flagged and already ended the batch;
+    * l+r must not duplicate an earlier accepted output (two merges
+      feeding the same string make their created-pair counts ADD, so
+      the single-merge triple bound below would halve);
+    * count strictly above ``mt`` = max over earlier accepted merges
+      of their max adjacent-TRIPLE count: every pair a merge (a,b)
+      CREATES (x·ab, ab·y, and compositions) or leaves as an
+      overlap residual occurs only where a triple (x,a,b)/(a,b,y)
+      occurred, so triple counts upper-bound every post-merge count
+      increase — nothing new can overtake the next candidate;
+    * ``collide`` marks accepted merges whose output string equals a
+      symbol ALREADY in the vocabulary (BPE's string conflation):
+      such a merge can INCREASE an original pair's count (x·ab gains
+      the new ab occurrences), so the batch ends right after it
+      (mt := +inf), exactly like an unbounded triple.
+
+    The prefix shape matters twice over: nothing ranked before an
+    accepted candidate is ever skipped, so at candidate i's
+    sequential step every remaining original pair sits at-or-after
+    it in the (count, lex) order with counts that can only have
+    decreased — and because top-(cap+1) collection is a PREFIX of
+    that same total order, an UNCOLLECTED pair can never outrank a
+    collected one either (ties resolve by the lex key the collection
+    sorted on), so no horizon guard on the collection boundary is
+    needed and count-tie plateaus wider than the cap still batch."""
+    tri3 = tri3 or {}
+    batch: list[tuple[str, str, int]] = []
+    outputs: set[str] = set()
+    mt: float | None = None
+    for i, (l, r, cnt) in enumerate(cands):
+        if cnt < min_count:
+            break
+        if i > 0:
+            if mt is not None and cnt <= mt:
+                break
+            if l in outputs or r in outputs or (l + r) in outputs:
+                break
+            if any(
+                (r == p and tri3.get((l, p, q), 0) > 0)
+                or (l == q and tri3.get((p, q, r), 0) > 0)
+                for p, q, _ in batch
+            ):
+                break
+        batch.append((l, r, cnt))
+        outputs.add(l + r)
+        t: float = maxtri.get((l, r), 0)
+        if (l, r) in collide:
+            t = float("inf")
+        mt = t if mt is None else max(mt, t)
+    return batch
+
+
+def _apply_pair_passes(parts: list[str], l: str, r: str) -> list[str]:
+    """Symbol-list twin of the flat-string ``replace(' l r ', ' lr ')``
+    pass chain: per pass, scan left-to-right; each replacement
+    consumes its TRAILING delimiter, so the symbol immediately after
+    a merge cannot START a match in the same pass (a run of five
+    folds to [lr, x, lr], NOT leftmost-greedy [lr, lr, x] — the
+    hypothesis sweep caught exactly this divergence). _BPE_PASSES
+    passes with early exit on a changeless pass, matching the Spark
+    and reference replace chains."""
+    out = l + r
+    for _ in range(_BPE_PASSES):
+        res: list[str] = []
+        i = 0
+        n = len(parts)
+        changed = False
+        while i < n:
+            if i + 1 < n and parts[i] == l and parts[i + 1] == r:
+                res.append(out)
+                i += 2
+                changed = True
+                if i < n:  # leading space consumed: not a match start
+                    res.append(parts[i])
+                    i += 1
+            else:
+                res.append(parts[i])
+                i += 1
+        parts = res
+        if not changed:
+            break
+    return parts
+
+
+def _apply_merge_batch(
+    parts: list[str], batch: list[tuple[str, str]]
+) -> list[str]:
+    """Apply a compatible merge batch pair-by-pair in RANK ORDER —
+    exactly how the Spark path chains its replaces and how the
+    sequential trainer would apply them across rounds, so application
+    is faithful by construction (only the skipped RECOUNTS need the
+    _select_compatible_batch proof); each pair's own overlapping runs
+    fold with the string-pass skip rule (_apply_pair_passes)."""
+    for l, r in batch:
+        parts = _apply_pair_passes(parts, l, r)
+    return parts
+
+
+def bpe_train_batched_reference(
+    word_counts: dict[str, int],
+    n_merges: int,
+    min_count: int = 2,
+    batch_cap: int = 256,
+    stats: dict | None = None,
+) -> list[tuple[str, str, int]]:
+    """Plain-Python BATCHED BPE trainer — bpe_train's schedule twin:
+    identical counts, identical _select_compatible_batch calls,
+    identical merge application, so its trajectory AND round count
+    are the Spark trainer's by construction (property-tested equal to
+    the sequential bpe_train_reference). Exists so a 50k-merge round
+    -count measurement costs seconds instead of 50k Spark jobs; pass
+    ``stats`` to receive {'rounds': N, 'batch_sizes': [...]}."""
+    vocab: list[tuple[list[str], int]] = [
+        (list(w), int(c)) for w, c in word_counts.items() if w
+    ]
+    merges: list[tuple[str, str, int]] = []
+    rounds = 0
+    sizes: list[int] = []
+    while len(merges) < n_merges:
+        cap = min(batch_cap, n_merges - len(merges))
+        pair_counts: dict[tuple[str, str], int] = {}
+        tri_counts: dict[tuple[str, str, str], int] = {}
+        for parts, c in vocab:
+            for j in range(len(parts) - 1):
+                p = (parts[j], parts[j + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+            for j in range(len(parts) - 2):
+                t = (parts[j], parts[j + 1], parts[j + 2])
+                tri_counts[t] = tri_counts.get(t, 0) + c
+        if not pair_counts:
+            break
+        order = sorted(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        cands = [(l, r, c) for (l, r), c in order[:cap]]
+        cset = {(l, r) for l, r, _ in cands}
+        maxtri: dict[tuple[str, str], int] = {}
+        tri3: dict[tuple[str, str, str], int] = {}
+        for (a, b, c3), c in tri_counts.items():
+            for key in ((a, b), (b, c3)):
+                if key in cset and c > maxtri.get(key, 0):
+                    maxtri[key] = c
+            if (a, b) in cset and (b, c3) in cset:
+                tri3[(a, b, c3)] = c
+        syms = {s for p in pair_counts for s in p}
+        collide = {(l, r) for l, r, _ in cands if l + r in syms}
+        batch = _select_compatible_batch(
+            cands, maxtri, collide, min_count, tri3
+        )
+        if not batch:
+            break
+        flat = [(l, r) for l, r, _ in batch]
+        vocab = [(_apply_merge_batch(p, flat), c) for p, c in vocab]
+        merges.extend(batch)
+        rounds += 1
+        sizes.append(len(batch))
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["batch_sizes"] = sizes
+    return merges
+
+
 def bpe_train(
     df,
     text_col: str,
     n_merges: int = 8,
     min_count: int = 2,
+    batch_cap: int = 256,
+    stats: dict | None = None,
 ):
     """Distributed BPE TRAINING — the tokenizer-learning half next to
     the encode paths (bpe_encoded_word / gpt2_encode_batch consume
@@ -2934,18 +3130,37 @@ def bpe_train(
     scale: the corpus is touched EXACTLY ONCE (one token explode +
     count aggregation — the only corpus-sized exchange); every
     training round then runs on the VOCABULARY (wordform → count,
-    dimension-sized for any real corpus: ~10^5-10^6 rows at 100 TB),
-    so per round the plan is a narrow pair-explode + one tiny
-    aggregate + a driver collect of the single argmax row. Round
-    state is localCheckpointed (the graph.py loop discipline) so
-    lineage stays flat across rounds; ties break deterministically
-    (count desc, then lexicographic pair), and training stops early
-    when the best pair drops below ``min_count``.
+    dimension-sized for any real corpus: ~10^5-10^6 rows at 100 TB).
+
+    Per round, a BATCH of provably-compatible merges lands at once
+    instead of one merge per driver round — the device that takes a
+    GPT-2-class 50k-merge vocabulary from ~50k sequential
+    vocabulary-sized jobs (days of scheduler overhead) down to
+    hundreds of rounds. One vocabulary-sized job counts adjacent
+    pairs AND triples together (one explode, one aggregate, lazily
+    localCheckpointed so both collects share the evaluation); the
+    driver collects the top-(cap+1) candidates plus, per candidate,
+    its max adjacent-triple count and an output-collision flag (two
+    tiny broadcast joins against the same gram frame); then
+    ``_select_compatible_batch`` keeps the longest candidate PREFIX
+    that provably reproduces the sequential schedule — trajectory
+    equality with ``bpe_train_reference`` is a theorem, not a hope
+    (see its docstring for the four guards), and is property-tested
+    on adversarial fixtures (created-pair overtakes, ties, output
+    conflation). The whole batch applies in ONE chained-replace
+    projection in rank order; round state is localCheckpointed (the
+    graph.py loop discipline) so lineage stays flat across rounds;
+    ties break deterministically (count desc, lexicographic pair);
+    training stops when the best pair drops below ``min_count``.
+    ``batch_cap=1`` degenerates to the classic one-merge-per-round
+    loop (and skips the triple bookkeeping entirely).
 
     Returns (merges, vocab_df): merges as (left, right, pair_count)
     in rank order — feed ``[(a, b) for a, b, _ in merges]`` straight
     into bpe_encoded_word/bpe_token_count — and the final symbolized
-    vocabulary (word, sym, n) for audit."""
+    vocabulary (word, sym, n) for audit. ``stats`` (optional dict)
+    receives {'rounds': N, 'batch_sizes': [...]} for round-count
+    receipts."""
     spark = df.sparkSession
     words = (
         df.select(F.explode(tokens(text_col)).alias("w"))
@@ -2961,32 +3176,147 @@ def bpe_train(
     ).localCheckpoint(eager=True)
 
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
-        syms = F.split(F.trim("sym"), " ")
-        pairs = F.zip_with(
-            F.slice(syms, 1, F.size(syms) - 1),
-            F.slice(syms, 2, F.size(syms) - 1),
-            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    rounds = 0
+    sizes: list[int] = []
+    while len(merges) < n_merges:
+        cap = min(batch_cap, n_merges - len(merges))
+        # one vocabulary-sized job: adjacent pairs and triples in a
+        # single explode (triples ride a NULL-c pair schema). The
+        # symbol array is staged in its own projection first — both
+        # gram builders reference it ([[spark-column-cse]]).
+        staged = vocab.select(
+            F.split(F.trim("sym"), " ").alias("__syms"), "n"
         )
-        best = (
-            vocab.select(F.explode(pairs).alias("p"), F.col("n"))
-            .groupBy("p.l", "p.r")
+        s = F.col("__syms")
+        sz = F.size(s)
+        pair_structs = F.zip_with(
+            F.slice(s, 1, sz - 1),
+            F.slice(s, 2, sz - 1),
+            lambda a, b: F.struct(
+                a.alias("a"),
+                b.alias("b"),
+                F.lit(None).cast("string").alias("c"),
+            ),
+        )
+        tri_structs = F.when(
+            sz >= 3,
+            F.transform(
+                F.sequence(F.lit(2), sz - 1),
+                lambda i: F.struct(
+                    F.element_at(s, (i - 1).cast("int")).alias("a"),
+                    F.element_at(s, i.cast("int")).alias("b"),
+                    F.element_at(s, (i + 1).cast("int")).alias("c"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string,c:string>>"))
+        grams_src = (
+            pair_structs
+            if cap == 1
+            else F.concat(pair_structs, tri_structs)
+        )
+        grams = (
+            staged.select(F.explode(grams_src).alias("g"), "n")
+            .groupBy("g.a", "g.b", "g.c")
             .agg(F.sum("n").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        pairs = grams.filter(F.col("c").isNull())
+        cands_rows = (
+            pairs.orderBy(
+                F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+            )
+            .limit(cap)
             .collect()
         )
-        if not best or best[0]["cnt"] < min_count:
+        if not cands_rows or cands_rows[0]["cnt"] < min_count:
             break
-        a, b, n = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
-        merges.append((a, b, n))
-        pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        cands = [(r["a"], r["b"], int(r["cnt"])) for r in cands_rows]
+        maxtri: dict[tuple[str, str], int] = {}
+        collide: set[tuple[str, str]] = set()
+        tri3: dict[tuple[str, str, str], int] = {}
+        if cap > 1 and len(cands) > 1:
+            cdf = F.broadcast(
+                spark.createDataFrame(
+                    [(l, r, l + r) for l, r, _ in cands],
+                    "l string, r string, o string",
+                )
+            )
+            nul = F.lit(None).cast("string")
+            tri = grams.filter(F.col("c").isNotNull())
+            tl = tri.join(
+                cdf, (tri["a"] == cdf["l"]) & (tri["b"] == cdf["r"])
+            ).select("l", "r", nul.alias("s3"), "cnt", F.lit("t").alias("k"))
+            tr = tri.join(
+                cdf, (tri["b"] == cdf["l"]) & (tri["c"] == cdf["r"])
+            ).select("l", "r", nul.alias("s3"), "cnt", F.lit("t").alias("k"))
+            # triples whose BOTH adjacent pairs are candidates — the
+            # exact-interaction test's only query shape (see
+            # _select_compatible_batch): keyed by the full triple
+            c2 = F.broadcast(
+                spark.createDataFrame(
+                    [(l, r) for l, r, _ in cands],
+                    "l2 string, r2 string",
+                )
+            )
+            to = (
+                tri.join(
+                    cdf, (tri["a"] == cdf["l"]) & (tri["b"] == cdf["r"])
+                )
+                .join(
+                    c2, (tri["b"] == c2["l2"]) & (tri["c"] == c2["r2"])
+                )
+                .select(
+                    tri["a"].alias("l"),
+                    tri["b"].alias("r"),
+                    tri["c"].alias("s3"),
+                    "cnt",
+                    F.lit("o").alias("k"),
+                )
+            )
+            # output-collision: the merge's output string is already a
+            # pair symbol somewhere — conflation could INCREASE an
+            # original pair's count, ending the batch at that merge
+            ca = pairs.join(cdf, pairs["a"] == cdf["o"]).select(
+                "l", "r", nul.alias("s3"),
+                F.lit(0).alias("cnt"), F.lit("x").alias("k"),
+            )
+            cb = pairs.join(cdf, pairs["b"] == cdf["o"]).select(
+                "l", "r", nul.alias("s3"),
+                F.lit(0).alias("cnt"), F.lit("x").alias("k"),
+            )
+            for row in (
+                tl.unionByName(tr).unionByName(to)
+                .unionByName(ca).unionByName(cb)
+                .groupBy("l", "r", "s3", "k")
+                .agg(F.max("cnt").alias("m"))
+                .collect()
+            ):
+                key = (row["l"], row["r"])
+                if row["k"] == "x":
+                    collide.add(key)
+                elif row["k"] == "o":
+                    tri3[(row["l"], row["r"], row["s3"])] = int(row["m"])
+                elif int(row["m"]) > maxtri.get(key, 0):
+                    maxtri[key] = int(row["m"])
+        batch = _select_compatible_batch(
+            cands, maxtri, collide, min_count, tri3
+        )
+        if not batch:
+            break
         sym = F.col("sym")
-        for _ in range(_BPE_PASSES):
-            sym = F.replace(sym, pat, rep)
+        for a, b, _ in batch:
+            pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+            for _ in range(_BPE_PASSES):
+                sym = F.replace(sym, pat, rep)
         vocab = vocab.select(
             "w", sym.alias("sym"), "n"
         ).localCheckpoint(eager=True)
+        merges.extend(batch)
+        rounds += 1
+        sizes.append(len(batch))
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["batch_sizes"] = sizes
     return merges, vocab
 
 

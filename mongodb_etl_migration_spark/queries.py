@@ -10304,6 +10304,41 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("t_bpe_train_batched", _bpe_train_oracle(rounds=14))
+def t_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH-COMPATIBLE distributed BPE training — the device that
+    takes a GPT-2-class 50k-merge vocabulary from ~50k sequential
+    vocabulary-sized driver rounds down to hundreds
+    (BENCH_bpe_train.json: 50k merges in a few hundred rounds on the
+    flat-tail synthetic): per round the driver collects the
+    top-batch_cap stale pair counts plus per-candidate triple bounds
+    and accepts the longest candidate PREFIX whose sequential
+    schedule is PROVABLE from those statistics alone
+    (text._select_compatible_batch — count invariance via
+    zero-linking-triples, created-pair/residual domination via the
+    triple bound, conflation via the output-collision flag). 14
+    merges here so multiple multi-merge rounds actually fire (6
+    rounds at both test SFs — asserted, so this row fails if
+    batching ever stops engaging); the oracle unrolls the SEQUENTIAL
+    trainer 14 rounds in SQL, so a hash match proves the batched
+    schedule reproduces the one-recount-per-merge trajectory
+    exactly — equality is the theorem the selection rule enforces,
+    and this row re-proves it against DuckDB every round."""
+    d = Catalog(spark, sf_dir).documents
+    stats: dict = {}
+    merges, _ = T.bpe_train(
+        d, "text", n_merges=14, min_count=2, stats=stats
+    )
+    assert stats["rounds"] < len(merges), (
+        "batching did not engage",
+        stats,
+    )
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank long, left string, right string, pair_count long",
+    )
+
+
 def _fineweb_oracle() -> str:
     return f"""
     WITH toks AS MATERIALIZED (

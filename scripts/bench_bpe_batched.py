@@ -1,0 +1,120 @@
+"""Round-count receipt for batch-compatible BPE training.
+
+Measures how many DRIVER ROUNDS (each round = one vocabulary-sized
+Spark job + two tiny collects in the engine) the batched trainer
+needs for a production-scale merge budget, using the schedule twin
+``bpe_train_batched_reference`` — which shares
+``_select_compatible_batch`` verbatim with the Spark trainer, so
+given identical pair/triple counts the round schedule IS the Spark
+trainer's (asserted by
+test_bpe_train_spark_batched_equals_reference_forced_interactions).
+The sequential trainer would need exactly n_merges rounds; the ratio
+is the scheduler-overhead win at a GPT-2-class vocabulary.
+
+Two distributions, because batch width is a property of the DATA's
+interaction structure, not the implementation:
+
+* uniform_tail — 60k random wordforms with flat counts (the regime
+  that dominates a web-scale wordform distribution's long tail and
+  therefore a 50k-merge vocabulary's late merges): wide count-tie
+  plateaus, sparse cross-candidate triples, so rounds collapse into
+  the hundreds.
+* zipf_head — counts ~ 1/rank with a handful of mega-words (the
+  interaction-dense head regime): each top pair's dominant context
+  sits inside the same mega-words, so the triple bound keeps batches
+  narrow. Reported honestly rather than hidden — exact-trajectory
+  batching cannot parallelize what the data serializes.
+
+A 150-merge prefix of the uniform_tail run is cross-checked against
+the sequential ``bpe_train_reference`` so this receipt's own corpus
+(not just the suite fixtures) demonstrates trajectory equality.
+
+Writes one JSON object to stdout and BENCH_bpe_train.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mongodb_etl_migration_spark.operators import text as T  # noqa: E402
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def uniform_tail_vocab(n_words: int, seed: int) -> dict[str, int]:
+    rng = random.Random(seed)
+    wc: dict[str, int] = {}
+    for _ in range(n_words):
+        w = "".join(
+            rng.choice(ALPHA) for _ in range(rng.randint(3, 12))
+        )
+        wc[w] = wc.get(w, 0) + rng.randint(1, 20)
+    return wc
+
+
+def zipf_head_vocab(n_words: int, seed: int) -> dict[str, int]:
+    rng = random.Random(seed)
+    wc: dict[str, int] = {}
+    for i in range(n_words):
+        w = "".join(
+            rng.choice(ALPHA) for _ in range(rng.randint(3, 12))
+        )
+        wc[w] = wc.get(w, 0) + max(1, int(100_000 / (1 + i)))
+    return wc
+
+
+def run(name: str, wc: dict[str, int], n_merges: int, cap: int) -> dict:
+    stats: dict = {}
+    t0 = time.time()
+    merges = T.bpe_train_batched_reference(
+        wc, n_merges, min_count=2, batch_cap=cap, stats=stats
+    )
+    dt = time.time() - t0
+    bs = stats["batch_sizes"]
+    return {
+        "distribution": name,
+        "n_words": len(wc),
+        "merges_requested": n_merges,
+        "merges_learned": len(merges),
+        "batch_cap": cap,
+        "rounds": stats["rounds"],
+        "sequential_rounds": len(merges),
+        "round_reduction": round(len(merges) / max(1, stats["rounds"]), 2),
+        "mean_batch": round(len(merges) / max(1, stats["rounds"]), 1),
+        "max_batch": max(bs) if bs else 0,
+        "p50_batch": sorted(bs)[len(bs) // 2] if bs else 0,
+        "twin_seconds": round(dt, 1),
+    }
+
+
+def main() -> None:
+    # trajectory cross-check on this receipt's own corpus
+    wc_small = uniform_tail_vocab(4_000, seed=42)
+    ref = T.bpe_train_reference(wc_small, 150, min_count=2)
+    got = T.bpe_train_batched_reference(
+        wc_small, 150, min_count=2, batch_cap=4096
+    )
+    assert got == ref, "batched trajectory diverged from sequential"
+
+    out = {
+        "metric": "bpe_train_batched_rounds",
+        "trajectory_check": "150-merge prefix == sequential reference",
+        "tiers": [
+            run("uniform_tail", uniform_tail_vocab(60_000, 42), 50_000, 4096),
+            run("zipf_head", zipf_head_vocab(20_000, 42), 2_000, 4096),
+        ],
+    }
+    line = json.dumps(out)
+    print(line)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "BENCH_bpe_train.json"), "w") as fh:
+        fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

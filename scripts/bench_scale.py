@@ -19,7 +19,7 @@ banding, hashed lang-ID, sessionization — x10→x100 decade shuffle
 linearity asserted at 10±15%). Embeddings are replicated with per-replica
 jitter for the ANN probe.
 
-Run:  python scripts/bench_scale.py          (~3-4 min, local[32])
+Run:  python scripts/bench_scale.py          (~10-15 min, local[32])
 Writes BENCH_scale.json at the repo root; corpora land under /tmp.
 """
 
@@ -328,7 +328,13 @@ def summarize(results: dict) -> dict:
     # occupancy, not an algorithmic term.
     x100 = results["x100"]
     checks = {}
-    for key in ("d2_minhash_pairs", "t_lang_id_hashed", "e_sessionization"):
+    for key in (
+        "d2_minhash_pairs",
+        "t_lang_id_hashed",
+        "e_sessionization",
+        "t_dup_spans",
+        "t_dup_spans_exact",
+    ):
         decade = round(
             x100[key]["shuffle_bytes"]
             / max(1, x[key]["shuffle_bytes"]),
@@ -343,10 +349,48 @@ def summarize(results: dict) -> dict:
         }
         summary[f"{key}_shuffle_growth_x10_to_x100"] = decade
         summary[f"{key}_shuffle_growth_at_100x_corpus"] = vs_base
+    # the Gopher scorer's claim is ZERO exchanges at every size (the
+    # fan-out is pinned off): a ratio on ~0 bytes is meaningless, so
+    # assert the absolute shuffle stays at the noise floor at x100 and
+    # report the wall-clock decade (CPU-bound, ~linear) unasserted.
+    g100 = x100["t_gopher_repetition"]
+    checks["t_gopher_repetition"] = {
+        "x100_shuffle_bytes": g100["shuffle_bytes"],
+        "linear_ok": g100["shuffle_bytes"] < 1_000_000,
+    }
+    summary["gopher_x100_shuffle_bytes"] = g100["shuffle_bytes"]
+    summary["gopher_wall_x10_to_x100"] = round(
+        g100["sec"] / max(1e-9, x["t_gopher_repetition"]["sec"]), 2
+    )
     summary["x100_linearity"] = checks
     summary["x100_linearity_ok"] = all(
         c["linear_ok"] for c in checks.values()
     )
+
+    # item 5 (r9): the MEASURED k-gram/byte-pass crossover — both
+    # ExactSubstr passes over the identical x10 corpus; the dispatcher
+    # docstring (text.exact_substr_spans) cites this line instead of
+    # the analytic same-cost-class argument.
+    summary["exactsubstr_crossover_x10"] = {
+        "kgram_k8": {
+            "sec": x["t_dup_spans"]["sec"],
+            "shuffle_bytes": x["t_dup_spans"]["shuffle_bytes"],
+        },
+        "byte50": {
+            "sec": x["t_dup_spans_exact"]["sec"],
+            "shuffle_bytes": x["t_dup_spans_exact"]["shuffle_bytes"],
+        },
+        "byte_over_kgram_shuffle": round(
+            x["t_dup_spans_exact"]["shuffle_bytes"]
+            / max(1, x["t_dup_spans"]["shuffle_bytes"]),
+            2,
+        ),
+        "byte_over_kgram_wall": round(
+            x["t_dup_spans_exact"]["sec"]
+            / max(1e-9, x["t_dup_spans"]["sec"]),
+            2,
+        ),
+    }
 
     return summary
 
@@ -375,19 +419,37 @@ def main() -> None:
         n_docs = docs.count()
 
         if cfg.get("targeted"):
-            # x100 tier: the three paths a 100 TB pipeline leans on
-            # hardest, nothing else (full battery covered at x10)
+            # x100 tier: the paths a 100 TB pipeline leans on hardest
+            # (full battery covered at x10) — banding, hashed lang-ID,
+            # sessionization, plus the span-dedup family and the
+            # Gopher scorer (r9 verdict item 2: these carry the
+            # catalog's largest per-byte shuffles / CPU folds, exactly
+            # where a super-linear term would hide)
             pairs = D.minhash_dedup_pairs(docs, "doc_id", "text")
             d2 = timed(ui, pairs)
             d2["pairs_found"] = pairs.count()
             lidh = T.lang_id_hashed(docs, "doc_id", "text")
             lhm = timed(ui, lidh)
             lhm["docs"] = lidh.count()
+            spans = T.duplicated_spans(docs, "doc_id", "text", k=8)
+            ds = timed(ui, spans)
+            ds["spans"] = spans.count()
+            spx = T.duplicated_spans_exact(
+                docs, "doc_id", "text", min_bytes=50
+            )
+            dsx = timed(ui, spx)
+            dsx["spans"] = spx.count()
+            gr = T.with_gopher_repetition(docs, "text", fan_out=False)
+            gm = timed(ui, gr)
+            gm["passed"] = gr.filter(F.col("gopher_rep_pass")).count()
             results[name] = {
                 "docs": n_docs,
                 "dup_pct": cfg["dup_pct"],
                 "d2_minhash_pairs": d2,
                 "t_lang_id_hashed": lhm,
+                "t_dup_spans": ds,
+                "t_dup_spans_exact": dsx,
+                "t_gopher_repetition": gm,
                 "e_sessionization": timed_sessionize(out_dir),
             }
             print(f"{name}: {json.dumps(results[name])}", file=sys.stderr)
@@ -454,6 +516,25 @@ def main() -> None:
         spans = T.duplicated_spans(docs, "doc_id", "text", k=8)
         ds = timed(ui, spans)
         ds["spans"] = spans.count()
+
+        # Byte-threshold twin (Lee et al.'s 50-byte line) on the SAME
+        # corpus: per-position suffix fingerprints instead of k-gram
+        # windows — same single-exchange shape, so this pair of rows
+        # IS the measured k-gram/byte-pass crossover receipt the
+        # exact_substr_spans dispatcher docstring cites (same cost
+        # class at k=8 ≈ 50 bytes; see summary.exactsubstr_crossover).
+        spx = T.duplicated_spans_exact(docs, "doc_id", "text", min_bytes=50)
+        dsx = timed(ui, spx)
+        dsx["spans"] = spx.count()
+
+        # Gopher §A1.1 full repetition scoring at scale: zero-shuffle
+        # staged projections — fan-out PINNED OFF so the plan shape is
+        # identical at every tier/host (the corpora are written 32+
+        # files, so the heuristic would be off anyway; pinning removes
+        # the environment dependence the r9 advice flagged).
+        gr = T.with_gopher_repetition(docs, "text", fan_out=False)
+        gm = timed(ui, gr)
+        gm["passed"] = gr.filter(F.col("gopher_rep_pass")).count()
 
         # Linear classifier at scale: the vocabulary grows WITH the
         # corpus (per-replica suffixed weight terms — the real-world
@@ -652,6 +733,8 @@ def main() -> None:
             "t_inverted_index": ii,
             "t_rare_bigrams": rbt,
             "t_dup_spans": ds,
+            "t_dup_spans_exact": dsx,
+            "t_gopher_repetition": gm,
             "t_quality_classifier": cm,
             "sim_pq_encode": pqm,
             "t_bpe_train": bt,
