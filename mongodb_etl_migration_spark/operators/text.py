@@ -2974,7 +2974,7 @@ def _select_compatible_batch(
     accepted candidate is ever skipped, so at candidate i's
     sequential step every remaining original pair sits at-or-after
     it in the (count, lex) order with counts that can only have
-    decreased — and because top-(cap+1) collection is a PREFIX of
+    decreased — and because top-cap collection is a PREFIX of
     that same total order, an UNCOLLECTED pair can never outrank a
     collected one either (ties resolve by the lex key the collection
     sorted on), so no horizon guard on the collection boundary is
@@ -3139,7 +3139,7 @@ def bpe_train(
     hundreds of rounds. One vocabulary-sized job counts adjacent
     pairs AND triples together (one explode, one aggregate, lazily
     localCheckpointed so both collects share the evaluation); the
-    driver collects the top-(cap+1) candidates plus, per candidate,
+    driver collects the top-cap candidates plus, per candidate,
     its max adjacent-triple count and an output-collision flag (two
     tiny broadcast joins against the same gram frame); then
     ``_select_compatible_batch`` keeps the longest candidate PREFIX

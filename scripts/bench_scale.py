@@ -425,7 +425,9 @@ def main() -> None:
             # Gopher scorer (r9 verdict item 2: these carry the
             # catalog's largest per-byte shuffles / CPU folds, exactly
             # where a super-linear term would hide)
-            pairs = D.minhash_dedup_pairs(docs, "doc_id", "text")
+            pairs = D.minhash_dedup_pairs(
+                docs, "doc_id", "text", fan_out=False
+            )
             d2 = timed(ui, pairs)
             d2["pairs_found"] = pairs.count()
             lidh = T.lang_id_hashed(docs, "doc_id", "text")
@@ -458,7 +460,9 @@ def main() -> None:
         build_embeddings(spark, cfg["replicas"], out_dir)
         emb = spark.read.parquet(f"{out_dir}/embeddings")
 
-        pairs = D.minhash_dedup_pairs(docs, "doc_id", "text")
+        pairs = D.minhash_dedup_pairs(
+            docs, "doc_id", "text", fan_out=False
+        )
         d2 = timed(ui, pairs)
         d2["pairs_found"] = pairs.count()
 

@@ -459,6 +459,13 @@ def test_punycode_dropped_replaced_per_build(monkeypatch):
     that would misattribute one rule set's failures to another
     (ADVICE r9). The module value is a frozenset, so no code path
     can append to a published snapshot."""
+    import pytest
+
+    if W.PUNYCODE_ENCODER != "uts46":
+        # the final empty-set assert is a UTS-46 property of the
+        # vendored snapshot (same reason the twins-complete test
+        # skips): IDNA2003 can fail rules the idna package encodes
+        pytest.skip("idna package absent — IDNA2003 fallback active")
     bad = "あ" * 100 + ".bad"  # label >63 cps — IDNA encode fails
     real_parse = W.parse_psl
 
