@@ -1637,7 +1637,12 @@ def exact_substr_spans(
     and at typical English token lengths k=8 ≈ 48 chars ≈ the 50-byte
     line, so the two are the same cost class with identical plan
     shapes (narrow per-position transform, ONE fingerprint exchange,
-    shared island merge):
+    shared island merge). MEASURED, not just argued: over the
+    identical x10 synthetic corpus (55k docs) the byte pass costs
+    1.11x the k-gram pass's fingerprint-exchange bytes and 0.98x its
+    wall (BENCH_scale.json summary.exactsubstr_crossover_x10), and
+    both passes hold 10±0.5x shuffle growth across the x10→x100
+    decade (t_dup_spans 10.26, t_dup_spans_exact 10.33):
 
     - ``k_tokens``: a TOKEN floor. Duplicated runs shorter than k
       tokens are invisible by construction — the right knob when the
@@ -1776,7 +1781,12 @@ def gram_count_index(df, id_col: str, text_col: str, k: int = 8):
     counts instead of re-hashing 100 TB (the substring-dedup twin of
     write_minhash_index). One exchange (the fingerprint groupBy);
     persist with ``write_table``/parquet and maintain by unioning
-    batch counts in (counts are additive)."""
+    batch counts in (counts are additive): ``index ∪ batch-counts``
+    re-summed per hash equals a from-scratch index over the union
+    corpus row-for-row, and probes against the maintained index
+    match from-scratch probes exactly — pinned end-to-end (including
+    the stale-index miss the update exists to prevent) by
+    test_gram_count_index_incremental_maintenance."""
     return (
         _kgram_rows(df, id_col, text_col, k)
         .groupBy("_whash")
