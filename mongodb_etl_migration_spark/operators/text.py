@@ -2992,6 +2992,13 @@ def _select_compatible_batch(
     tri3 = tri3 or {}
     batch: list[tuple[str, str, int]] = []
     outputs: set[str] = set()
+    # accepted merges indexed by each side, so the exact-interaction
+    # test touches only the accepted pairs that actually share the
+    # adjacency symbol (O(matches), not O(batch) per candidate —
+    # profiling showed the linear scan costing seconds per 4k-wide
+    # round)
+    by_left: dict[str, list[tuple[str, str]]] = {}
+    by_right: dict[str, list[tuple[str, str]]] = {}
     mt: float | None = None
     for i, (l, r, cnt) in enumerate(cands):
         if cnt < min_count:
@@ -3002,13 +3009,17 @@ def _select_compatible_batch(
             if l in outputs or r in outputs or (l + r) in outputs:
                 break
             if any(
-                (r == p and tri3.get((l, p, q), 0) > 0)
-                or (l == q and tri3.get((p, q, r), 0) > 0)
-                for p, q, _ in batch
+                tri3.get((l, p, q), 0) > 0
+                for p, q in by_left.get(r, ())
+            ) or any(
+                tri3.get((p, q, r), 0) > 0
+                for p, q in by_right.get(l, ())
             ):
                 break
         batch.append((l, r, cnt))
         outputs.add(l + r)
+        by_left.setdefault(l, []).append((l, r))
+        by_right.setdefault(r, []).append((l, r))
         t: float = maxtri.get((l, r), 0)
         if (l, r) in collide:
             t = float("inf")
@@ -3049,7 +3060,8 @@ def _apply_pair_passes(parts: list[str], l: str, r: str) -> list[str]:
 
 
 def _apply_merge_batch(
-    parts: list[str], batch: list[tuple[str, str]]
+    parts: list[str],
+    batch: list[tuple[str, str]] | dict[tuple[str, str], str],
 ) -> list[str]:
     """Apply a compatible merge batch in ONE combined multi-pass scan
     — provably equal to the rank-order per-pair replace chain the
@@ -3067,8 +3079,14 @@ def _apply_merge_batch(
     a DIFFERENT pair matching there merges, exactly as its own
     separate replace call would. O(word_len · passes) instead of
     O(word_len · batch) — the difference between minutes and hours
-    per round at 4k-wide batches."""
-    out = {(l, r): l + r for l, r in batch}
+    per round at 4k-wide batches. ``batch`` may be a prebuilt
+    {(l, r): l+r} dict (hoist it out of per-word loops — profiling
+    showed the per-word dictcomp costing more than the scan)."""
+    out = (
+        batch
+        if isinstance(batch, dict)
+        else {(l, r): l + r for l, r in batch}
+    )
     for _ in range(_BPE_PASSES):
         res: list[str] = []
         i = 0
@@ -3098,6 +3116,7 @@ def bpe_train_batched_reference(
     min_count: int = 2,
     batch_cap: int = 256,
     stats: dict | None = None,
+    on_round=None,
 ) -> list[tuple[str, str, int]]:
     """Plain-Python BATCHED BPE trainer — bpe_train's schedule twin:
     identical counts, identical _select_compatible_batch calls,
@@ -3120,9 +3139,6 @@ def bpe_train_batched_reference(
             for j in range(len(parts) - 1):
                 p = (parts[j], parts[j + 1])
                 pair_counts[p] = pair_counts.get(p, 0) + c
-            for j in range(len(parts) - 2):
-                t = (parts[j], parts[j + 1], parts[j + 2])
-                tri_counts[t] = tri_counts.get(t, 0) + c
         if not pair_counts:
             break
         order = sorted(
@@ -3130,14 +3146,27 @@ def bpe_train_batched_reference(
         )
         cands = [(l, r, c) for (l, r), c in order[:cap]]
         cset = {(l, r) for l, r, _ in cands}
+        # second pass restricted to candidate-adjacent triples — the
+        # only ones maxtri/tri3 can ever query (mirrors the Spark
+        # side, where the triple frame joins against the broadcast
+        # candidate relation before collecting)
         maxtri: dict[tuple[str, str], int] = {}
         tri3: dict[tuple[str, str, str], int] = {}
-        for (a, b, c3), c in tri_counts.items():
-            for key in ((a, b), (b, c3)):
-                if key in cset and c > maxtri.get(key, 0):
-                    maxtri[key] = c
-            if (a, b) in cset and (b, c3) in cset:
-                tri3[(a, b, c3)] = c
+        for parts, c in vocab:
+            for j in range(len(parts) - 2):
+                a, b, c3 = parts[j], parts[j + 1], parts[j + 2]
+                lp, rp = (a, b) in cset, (b, c3) in cset
+                if not (lp or rp):
+                    continue
+                t = (a, b, c3)
+                n = tri_counts.get(t, 0) + c
+                tri_counts[t] = n
+                if lp and n > maxtri.get((a, b), 0):
+                    maxtri[(a, b)] = n
+                if rp and n > maxtri.get((b, c3), 0):
+                    maxtri[(b, c3)] = n
+                if lp and rp:
+                    tri3[t] = n
         syms = {s for p in pair_counts for s in p}
         collide = {(l, r) for l, r, _ in cands if l + r in syms}
         batch = _select_compatible_batch(
@@ -3145,11 +3174,13 @@ def bpe_train_batched_reference(
         )
         if not batch:
             break
-        flat = [(l, r) for l, r, _ in batch]
-        vocab = [(_apply_merge_batch(p, flat), c) for p, c in vocab]
+        out = {(l, r): l + r for l, r, _ in batch}
+        vocab = [(_apply_merge_batch(p, out), c) for p, c in vocab]
         merges.extend(batch)
         rounds += 1
         sizes.append(len(batch))
+        if on_round is not None:
+            on_round(rounds, len(merges))
     if stats is not None:
         stats["rounds"] = rounds
         stats["batch_sizes"] = sizes

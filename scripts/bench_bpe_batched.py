@@ -14,16 +14,24 @@ is the scheduler-overhead win at a GPT-2-class vocabulary.
 Two distributions, because batch width is a property of the DATA's
 interaction structure, not the implementation:
 
-* uniform_tail — 60k random wordforms with flat counts (the regime
+* uniform_tail — 280k random wordforms with flat counts (the regime
   that dominates a web-scale wordform distribution's long tail and
-  therefore a 50k-merge vocabulary's late merges): wide count-tie
-  plateaus, sparse cross-candidate triples, so rounds collapse into
-  the hundreds.
+  therefore a 50k-merge vocabulary's late merges): pair counts
+  aggregate across many wordforms with varied neighbors, so the
+  triple bounds sit far below the candidate counts and rounds
+  collapse into the hundreds. The parallel frontier scales with
+  corpus WIDTH — 60k words exhaust theirs at ~16k merges and 240k at
+  ~49.4k before the trajectory turns chain-serial; 280k carry 50k
+  with margin.
 * zipf_head — counts ~ 1/rank with a handful of mega-words (the
   interaction-dense head regime): each top pair's dominant context
   sits inside the same mega-words, so the triple bound keeps batches
   narrow. Reported honestly rather than hidden — exact-trajectory
-  batching cannot parallelize what the data serializes.
+  batching cannot parallelize what the REFERENCE TRAJECTORY itself
+  serializes (lex tie-breaking walks each fixed string's internal
+  merges as a dependency chain; a created pair like (ab, c) sorts
+  lex-before its tie-mates, so sequential BPE prefers chain steps —
+  that serialism is Sennrich's semantics, not a scheduler limit).
 
 A 150-merge prefix of the uniform_tail run is cross-checked against
 the sequential ``bpe_train_reference`` so this receipt's own corpus
@@ -71,8 +79,19 @@ def zipf_head_vocab(n_words: int, seed: int) -> dict[str, int]:
 def run(name: str, wc: dict[str, int], n_merges: int, cap: int) -> dict:
     stats: dict = {}
     t0 = time.time()
+
+    def progress(rounds: int, merged: int) -> None:
+        if rounds % 100 == 0:
+            print(
+                f"  {name}: round {rounds}, {merged} merges, "
+                f"{time.time() - t0:.0f}s",
+                file=sys.stderr,
+                flush=True,
+            )
+
     merges = T.bpe_train_batched_reference(
-        wc, n_merges, min_count=2, batch_cap=cap, stats=stats
+        wc, n_merges, min_count=2, batch_cap=cap, stats=stats,
+        on_round=progress,
     )
     dt = time.time() - t0
     bs = stats["batch_sizes"]
@@ -105,7 +124,16 @@ def main() -> None:
         "metric": "bpe_train_batched_rounds",
         "trajectory_check": "150-merge prefix == sequential reference",
         "tiers": [
-            run("uniform_tail", uniform_tail_vocab(60_000, 42), 50_000, 4096),
+            # 280k wordforms: the parallel frontier (candidates whose
+            # sequential schedule is provable from one round's stats)
+            # scales with corpus WIDTH — 60k words exhaust theirs at
+            # ~16k merges and 240k at ~49.4k; 280k carry 50k with margin
+            run(
+                "uniform_tail",
+                uniform_tail_vocab(280_000, 42),
+                50_000,
+                8192,
+            ),
             run("zipf_head", zipf_head_vocab(20_000, 42), 2_000, 4096),
         ],
     }
