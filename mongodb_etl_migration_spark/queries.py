@@ -29,6 +29,7 @@ from mongodb_etl_migration_spark.functions import crypto as X
 from mongodb_etl_migration_spark.functions import keys as K
 from mongodb_etl_migration_spark.functions import scalars as S
 from mongodb_etl_migration_spark.operators import (
+    chat as CH,
     dedup as D,
     denorm as DN,
     events as EV,
@@ -12008,6 +12009,236 @@ def a44_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             F.col("total_revenue").cast("double").alias("total_revenue"),
         )
+    )
+
+
+# =====================================================================
+# SFT / chat-data preparation (operators/chat.py)
+# =====================================================================
+
+# Planted duplication: docs doc_id%7==3 become canned conversation A,
+# docs doc_id%7==5 become canned conversation B — DIFFERENT user turns,
+# IDENTICAL assistant turns (both 24 words, 6-word turns, roles
+# u/a/u/a), so assistant-transcript dedup must collapse BOTH groups
+# into one key while full-text dedup would keep them apart. That's the
+# semantics under test: dedup on what the model trains on.
+_CHAT_CANNED_A = (
+    "how do i sort a table use the order by clause here "
+    "what about joining two large tables shuffle on the join key first"
+)
+_CHAT_CANNED_B = (
+    "please explain sorting rows in sql use the order by clause here "
+    "and how to join big tables shuffle on the join key first"
+)
+
+# Shared oracle fixture: flat documents -> role-tagged 6-word turns
+# (mirrors chat.parse_turns: trim, whitespace split, chunk by 6,
+# roles alternating user/assistant from user).
+_CHAT_FIXTURE_SQL = f"""src AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 3 THEN '{_CHAT_CANNED_A}'
+                  WHEN doc_id % 7 = 5 THEN '{_CHAT_CANNED_B}'
+                  ELSE text END AS text
+      FROM documents
+    ), w AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(trim(text), '\\s+') AS words
+      FROM src WHERE len(trim(text)) > 0
+    ), idx AS (
+      SELECT doc_id, source, words,
+             unnest(generate_series(
+               0, CAST(ceil(len(words) / 6.0) AS INT) - 1)) AS i
+      FROM w
+    ), turn AS (
+      SELECT doc_id, source, CAST(i AS INT) AS turn_idx,
+             CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+             array_to_string(words[i*6+1 : i*6+6], ' ') AS content
+      FROM idx
+    )"""
+
+
+def _chat_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> conversation frame (doc_id, source, turns) with the
+    planted canned-duplicate fixture. Pure projection, zero shuffle."""
+    d = Catalog(spark, sf_dir).documents
+    text = (
+        F.when(F.col("doc_id") % 7 == 3, F.lit(_CHAT_CANNED_A))
+        .when(F.col("doc_id") % 7 == 5, F.lit(_CHAT_CANNED_B))
+        .otherwise(F.col("text"))
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        CH.parse_turns(text, turn_words=6).alias("turns"),
+    )
+
+
+@query(
+    "c_sft_turns",
+    f"""
+    WITH {_CHAT_FIXTURE_SQL}
+    SELECT doc_id, turn_idx, role, content FROM turn
+    """,
+)
+def c_sft_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT turn parsing (chat.parse_turns): flat text -> role-tagged
+    turns, exploded one row per turn. The derivation is a per-row
+    array projection (split/sequence/transform — whole-stage codegen,
+    zero shuffle, no UDF); explode is narrow. At 100 TB the
+    conversation structure never leaves the row until a downstream
+    aggregate asks for it."""
+    conv = _chat_conv(spark, sf_dir)
+    return conv.select("doc_id", F.explode("turns").alias("t")).select(
+        "doc_id",
+        F.col("t.turn_idx").alias("turn_idx"),
+        F.col("t.role").alias("role"),
+        F.col("t.content").alias("content"),
+    )
+
+
+@query(
+    "c_chat_render",
+    f"""
+    WITH {_CHAT_FIXTURE_SQL}
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           string_agg('<|' || role || '|>' || content || '<|end|>',
+                      '' ORDER BY turn_idx) AS rendered
+    FROM turn GROUP BY doc_id
+    """,
+)
+def c_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template render (chat.render_chat): one
+    ``<|role|>content<|end|>`` string per conversation, built by a
+    single aggregate fold over the turns array — per-row, ZERO
+    exchanges end-to-end (the oracle groups exploded rows back
+    together; the Spark plan never exploded in the first place, which
+    is the point: rendering 100 TB of conversations is a map)."""
+    conv = _chat_conv(spark, sf_dir)
+    return conv.filter(F.size("turns") > 0).select(
+        "doc_id",
+        F.size("turns").cast("bigint").alias("n_turns"),
+        CH.render_chat("turns").alias("rendered"),
+    )
+
+
+@query(
+    "c_loss_mask",
+    f"""
+    WITH {_CHAT_FIXTURE_SQL}, m AS (
+      SELECT doc_id, turn_idx, role,
+             4 + len(role) AS hdr, len(content) AS clen,
+             sum(4 + len(role) + len(content) + 7) OVER (
+               PARTITION BY doc_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off
+      FROM turn
+    )
+    SELECT doc_id, turn_idx,
+           CAST(coalesce(off, 0) + hdr AS BIGINT) AS span_start,
+           CAST(coalesce(off, 0) + hdr + clen AS BIGINT) AS span_end
+    FROM m WHERE role = 'assistant'
+    """,
+)
+def c_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-on-assistant loss-mask spans (chat.loss_mask_spans):
+    0-based [start, end) char offsets of each assistant turn's content
+    inside the rendered string. The Spark side folds offsets per-row
+    inside ONE aggregate over the turns array (zero shuffle — no
+    window, no explode-then-regroup); the oracle rebuilds the same
+    offsets with a per-doc running sum. substring(rendered, start+1,
+    end-start) == content is property-tested in
+    tests/test_chat_ops.py."""
+    conv = _chat_conv(spark, sf_dir)
+    return conv.select(
+        "doc_id",
+        F.explode(CH.loss_mask_spans("turns")).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.turn_idx").alias("turn_idx"),
+        F.col("s.span_start").alias("span_start"),
+        F.col("s.span_end").alias("span_end"),
+    )
+
+
+@query(
+    "c_conv_dedup",
+    f"""
+    WITH {_CHAT_FIXTURE_SQL}, ak AS (
+      SELECT doc_id,
+             md5(coalesce(string_agg(
+               CASE WHEN role = 'assistant' THEN content END,
+               '|' ORDER BY turn_idx), '')) AS conv_key
+      FROM turn GROUP BY doc_id
+    )
+    SELECT conv_key,
+           CAST(min(doc_id) AS BIGINT) AS kept_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM ak GROUP BY conv_key
+    """,
+)
+def c_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation dedup on the ASSISTANT transcript
+    (chat.conversation_dedup): md5 over assistant contents in turn
+    order, first-wins min(doc_id). The planted fixture makes this
+    semantic: canned groups A and B differ in every user turn but
+    share assistant turns, so they MUST collapse to one key (full-text
+    dedup would not). Exactly ONE exchange — the key is a per-row
+    projection, the groupBy partial-aggregates map-side."""
+    conv = _chat_conv(spark, sf_dir).filter(F.size("turns") > 0)
+    return CH.conversation_dedup(conv)
+
+
+@query(
+    "c_turn_stats",
+    f"""
+    WITH {_CHAT_FIXTURE_SQL}
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_convs,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(CASE WHEN role = 'user' THEN len(content)
+                    ELSE 0 END) AS BIGINT) AS user_chars,
+           CAST(sum(CASE WHEN role = 'assistant' THEN len(content)
+                    ELSE 0 END) AS BIGINT) AS assistant_chars,
+           CAST(sum(CASE WHEN role = 'assistant' THEN len(content)
+                    ELSE 0 END) * 1000
+                // sum(CASE WHEN role = 'user' THEN len(content)
+                       ELSE 0 END) AS BIGINT) AS ratio_milli
+    FROM turn GROUP BY source
+    """,
+)
+def c_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source conversation statistics for SFT mixing decisions:
+    conversation/turn counts, user vs assistant character mass, and
+    the assistant:user ratio in integer millis (BIGINT multiply-then-
+    integer-divide — exact, no float window; all sums are counts of
+    characters, far under 2^63). One explode + ONE exchange (the
+    source groupBy; count-distinct expands to the standard two-phase
+    plan)."""
+    conv = _chat_conv(spark, sf_dir)
+    t = conv.select(
+        "doc_id",
+        "source",
+        F.explode("turns").alias("t"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("t.role").alias("role"),
+        F.length("t.content").cast("bigint").alias("clen"),
+    )
+    user_chars = F.sum(F.when(F.col("role") == "user", F.col("clen")).otherwise(F.lit(0)))
+    a_chars = F.sum(
+        F.when(F.col("role") == "assistant", F.col("clen")).otherwise(F.lit(0))
+    )
+    return t.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_convs"),
+        F.count("*").cast("bigint").alias("n_turns"),
+        user_chars.cast("bigint").alias("user_chars"),
+        a_chars.cast("bigint").alias("assistant_chars"),
+    ).withColumn(
+        # BIGINT multiply-then-`div`: exact integer floor (all-positive
+        # character sums), mirrored by DuckDB's `//`
+        "ratio_milli",
+        F.expr("assistant_chars * 1000 div user_chars").cast("bigint"),
     )
 
 
