@@ -12243,6 +12243,89 @@ def c_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Bitext mining (operators/similarity.py:bitext_margin_pairs)
+# =====================================================================
+
+@query(
+    "sim_bitext_margin",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), planes AS (
+      SELECT vec_id, embedding::DOUBLE[] AS pv
+      FROM embeddings WHERE vec_id IN (1, 2, 3, 4)
+    ), b AS (
+      SELECT e.vec_id, e.v,
+             sqrt(list_dot_product(e.v, e.v)) AS nrm,
+             string_agg(
+               CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                    THEN '1' ELSE '0' END, '' ORDER BY p.vec_id) AS bucket
+      FROM e CROSS JOIN planes p GROUP BY e.vec_id, e.v
+    ), pos AS (
+      SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+             CAST(floor(list_dot_product(s.v, t.v) / (s.nrm * t.nrm)
+                        * 10000 + 0.5) AS BIGINT) AS cos_e4
+      FROM b s JOIN b t ON s.bucket = t.bucket
+      WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
+        AND floor(list_dot_product(s.v, t.v) / (s.nrm * t.nrm)
+                  * 10000 + 0.5) > 0
+    ), ar AS (
+      SELECT src_id, tgt_id, cos_e4,
+             row_number() OVER (
+               PARTITION BY src_id ORDER BY cos_e4 DESC, tgt_id
+             ) AS rn
+      FROM pos
+    ), a AS (
+      SELECT src_id,
+             max(CASE WHEN rn = 1 THEN tgt_id END) AS best_tgt,
+             max(CASE WHEN rn = 1 THEN cos_e4 END) AS best_cos,
+             sum(cos_e4) AS a_sum, count(*) AS a_k
+      FROM ar WHERE rn <= 4 GROUP BY src_id
+    ), br AS (
+      SELECT src_id, tgt_id, cos_e4,
+             row_number() OVER (
+               PARTITION BY tgt_id ORDER BY cos_e4 DESC, src_id
+             ) AS rn
+      FROM pos
+    ), bb AS (
+      SELECT tgt_id,
+             max(CASE WHEN rn = 1 THEN src_id END) AS best_src,
+             sum(cos_e4) AS b_sum, count(*) AS b_k
+      FROM br WHERE rn <= 4 GROUP BY tgt_id
+    )
+    SELECT CAST(a.src_id AS BIGINT) AS src_id,
+           CAST(a.best_tgt AS BIGINT) AS tgt_id,
+           CAST(a.best_cos AS BIGINT) AS cos_e4,
+           CAST(a.best_cos * 2000 * a.a_k * bb.b_k
+                // (a.a_sum * bb.b_k + bb.b_sum * a.a_k)
+             AS BIGINT) AS margin_milli
+    FROM a JOIN bb ON a.best_tgt = bb.tgt_id
+    WHERE bb.best_src = a.src_id
+      AND a.best_cos * 2000 * a.a_k * bb.b_k
+          // (a.a_sum * bb.b_k + bb.b_sum * a.a_k) >= 1000
+    """,
+)
+def sim_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining (similarity.bitext_margin_pairs): mutual-best
+    margin alignment between two embedding corpora — the parallel-
+    corpus miner for translation pretraining. Fixture sides: even
+    vec_ids = source "language", odd = target. LSH-blocked candidates
+    (the 4-plane buckets shared with sim_topk_lsh), INTEGER-EXACT e4
+    cosines and one-BIGINT-division margins, so the oracle reproduces
+    every value. Plan: one bucket equi-join, two rank-window+groupBy
+    stages (each window's exchange reused by its aggregate), one
+    final equi-join — all linear in candidate pairs."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return SIM.bitext_margin_pairs(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        _planes(spark, sf_dir),
+        k=4,
+        margin_milli=1000,
+    )
+
+
+# =====================================================================
 # Entry points consumed by __spark_entry__.py
 # =====================================================================
 

@@ -1,0 +1,92 @@
+"""Bitext mining (similarity.bitext_margin_pairs): mutual-best margin
+alignment on hand-built geometry."""
+from __future__ import annotations
+
+from mongodb_etl_migration_spark.operators import similarity as SIM
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_bitext_mutual_best_pairs_mined(spark):
+    # one bucket (plane (1,1): all positive-quadrant), two clean
+    # alignments plus a src whose best target already belongs to
+    # another src — non-mutual, must be excluded.
+    src = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0]),   # aligns with t 100
+            (2, [0.6, 0.8]),   # aligns with t 102
+            (4, [0.7, 0.71]),  # best is t 102 too, but 102 prefers 2
+        ],
+    )
+    tgt = _emb(
+        spark,
+        [(100, [0.99, 0.05]), (102, [0.55, 0.83])],
+    )
+    out = {
+        r["src_id"]: r
+        for r in SIM.bitext_margin_pairs(
+            src, tgt, planes=[[1.0, 1.0]], k=2
+        ).collect()
+    }
+    assert set(out) == {0, 2}
+    assert out[0]["tgt_id"] == 100 and out[2]["tgt_id"] == 102
+    for r in out.values():
+        assert r["margin_milli"] >= 1000
+        assert 0 < r["cos_e4"] <= 10000
+
+
+def test_bitext_margin_threshold_filters(spark):
+    # two targets nearly equidistant from the src: the margin over the
+    # top-2 neighborhood is ~1.0; a high threshold must drop the pair.
+    src = _emb(spark, [(0, [1.0, 0.0])])
+    tgt = _emb(spark, [(1, [1.0, 0.02]), (3, [1.0, -0.02])])
+    mined = SIM.bitext_margin_pairs(
+        src, tgt, planes=[[1.0, 1.0]], k=2, margin_milli=1100
+    ).collect()
+    assert mined == []
+    kept = SIM.bitext_margin_pairs(
+        src, tgt, planes=[[1.0, 1.0]], k=2, margin_milli=1000
+    ).collect()
+    assert len(kept) == 1 and kept[0]["tgt_id"] == 1
+
+
+def test_bitext_nonpositive_cosines_never_candidates(spark):
+    # same bucket (plane (0,1)), but anti-parallel: cos < 0 -> dropped
+    src = _emb(spark, [(0, [1.0, 0.1])])
+    tgt = _emb(spark, [(1, [-1.0, 0.1])])
+    assert (
+        SIM.bitext_margin_pairs(src, tgt, planes=[[0.0, 1.0]], k=2).count()
+        == 0
+    )
+
+
+def test_bitext_cross_bucket_pairs_never_compared(spark):
+    # perfectly aligned vectors in DIFFERENT buckets are not mined —
+    # the LSH block is the declared recall boundary (more planes =
+    # more buckets = less work, mirrored by the multi-probe variant
+    # for recall-critical paths).
+    src = _emb(spark, [(0, [1.0, 0.0])])
+    tgt = _emb(spark, [(1, [-0.1, 1.0])])  # plane (1,0): '0' vs src '1'
+    assert (
+        SIM.bitext_margin_pairs(src, tgt, planes=[[1.0, 0.0]], k=2).count()
+        == 0
+    )
+
+
+def test_bitext_plan_no_cartesian_single_bucket_join(spark, sf_dir):
+    from mongodb_etl_migration_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["sim_bitext_margin"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
