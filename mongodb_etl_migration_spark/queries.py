@@ -12326,6 +12326,82 @@ def sim_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# BM25 ranked retrieval (operators/text.py:bm25_topk)
+# =====================================================================
+
+_BM25_QUERIES = [
+    ("q1", ["spark", "stream"]),
+    ("q2", ["join", "hash"]),
+    ("q3", ["window", "batch"]),
+]
+_BM25_Q_SQL = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+)
+
+
+@query(
+    "t_bm25_retrieval",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT (SELECT CAST(count(*) AS HUGEINT) FROM documents) AS n,
+             (SELECT CAST(count(*) AS HUGEINT) FROM tok) AS t
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), q(query_id, term) AS (VALUES {_BM25_Q_SQL}),
+    sc AS (
+      SELECT q.query_id, tf.doc_id,
+             (CAST(1000 AS HUGEINT)
+              * (2 * s.n - 2 * d.df + 1)
+              * (tf.tf * (1200 + 1000) * 1000 * s.t))
+             // ((2 * d.df + 1)
+                 * (tf.tf * 1000000 * s.t
+                    + 1200 * ((1000 - 750) * s.t + 750 * dl.dl * s.n)))
+               AS sm
+      FROM tf
+      JOIN q USING (term)
+      JOIN dfreq d USING (term)
+      JOIN dl USING (doc_id), stats s
+    ), agg AS (
+      SELECT query_id, doc_id,
+             CAST(sum(sm) AS BIGINT) AS score_milli
+      FROM sc GROUP BY query_id, doc_id
+    ), ranked AS (
+      SELECT query_id, doc_id, score_milli,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY score_milli DESC, doc_id
+             ) AS BIGINT) AS rn
+      FROM agg
+    )
+    SELECT query_id, doc_id, score_milli, rn FROM ranked WHERE rn <= 10
+    """,
+)
+def t_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (text.bm25_topk): top-10 documents for
+    three two-term queries — the decontamination-lookup / corpus-
+    audit shape. Rational idf (tfidf's no-libm device) and fixed-
+    point decimal(38,0) scoring make every score_milli integer-exact;
+    the oracle reruns the identical algebra in HUGEINT. Plan: token
+    explode → tf/dl aggregates, df reusing tf, broadcast query terms,
+    WindowGroupLimit top-k per query."""
+    return T.bm25_topk(
+        Catalog(spark, sf_dir).documents,
+        _BM25_QUERIES,
+        k=10,
+    )
+
+
+# =====================================================================
 # Entry points consumed by __spark_entry__.py
 # =====================================================================
 
