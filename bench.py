@@ -76,7 +76,21 @@ HEADLINE = [
     # O(L log L) sorted-run fold shows up in BENCH_rN deltas, not
     # only in full-catalog receipts (VERDICT r8 item 6)
     "t_gopher_repetition",
+    # round-10 additions: the retrieval (BM25 fixed-point) and mining
+    # (bitext margin) paths — tracked so window/aggregate or decimal
+    # plan regressions surface in BENCH_rN deltas
+    "t_bm25_retrieval",
+    "sim_bitext_margin",
 ]
+
+# queries that joined HEADLINE after the round-1 baseline was taken —
+# excluded from baseline_comparable_total (deltas read `value`,
+# baseline ratios read the comparable subtotal)
+NON_BASELINE = {
+    "t_gopher_repetition",
+    "t_bm25_retrieval",
+    "sim_bitext_margin",
+}
 
 
 class UiMetrics:
@@ -381,12 +395,11 @@ def main() -> None:
         )
     except OSError:
         print(json.dumps({"detail": detail}), file=sys.stderr)
-    # t_gopher_repetition joined the headline set in round 9; the
-    # round-1 BASELINE total covers only the original 12 queries, so
-    # publish the comparable subtotal alongside the full total —
-    # round-over-round deltas should read value, baseline ratios
-    # baseline_comparable_total.
-    legacy = [n for n in HEADLINE if n != "t_gopher_repetition"]
+    # Queries added to the headline after round 1 (Gopher in r9, BM25
+    # and bitext in r10) are excluded from the round-1-comparable
+    # subtotal — round-over-round deltas should read value, baseline
+    # ratios baseline_comparable_total.
+    legacy = [n for n in HEADLINE if n not in NON_BASELINE]
     comparable = round(sum(timings.get(n, 0.0) for n in legacy), 3)
     print(
         json.dumps(

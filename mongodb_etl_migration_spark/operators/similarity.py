@@ -1171,6 +1171,13 @@ def bitext_margin_pairs(
             .alias("cos_e4"),
         )
         .filter(F.col("cos_e4") > 0)
+        # both rank sides (src windows, tgt windows) consume this
+        # frame: without a materialization the bucket join + every
+        # pair cosine would be evaluated TWICE (the r9-advice
+        # duplicated-subtree lesson). Lazy localCheckpoint computes
+        # the candidate set once; at scale that halves the dominant
+        # cost (the in-bucket dot products).
+        .localCheckpoint(eager=False)
     )
 
     from pyspark.sql import Window

@@ -492,6 +492,40 @@ NOTES = {
         "documented buckets-sized-to-fit rule — then window slicing "
         "is a narrow explode + slice projection."
     ),
+    "c_chat_render": (
+        "Chat-template rendering: turn parsing, the template fold, "
+        "and the size filter are ONE Project+Filter over the scan — "
+        "ZERO exchanges, zero Python. Rendering a 100 TB conversation "
+        "dump is a map."
+    ),
+    "c_loss_mask": (
+        "Train-on-assistant loss-mask spans: the offset fold runs "
+        "inside one aggregate expression per row, then a narrow "
+        "Generate (explode) — ZERO exchanges, no window, no "
+        "explode-then-regroup."
+    ),
+    "c_conv_dedup": (
+        "Conversation dedup on the assistant transcript: the md5 key "
+        "is a projection; exactly ONE exchange (the key groupBy, "
+        "partial-aggregated map-side)."
+    ),
+    "sim_bitext_margin": (
+        "Bitext mining: LSH buckets make the candidate join an "
+        "EQUI-join (no cartesian, no BNLJ); the candidate frame is "
+        "lazily localCheckpointed because BOTH rank sides consume it "
+        "(without it the join + every pair cosine would evaluate "
+        "twice — the plan below starts from the materialized scan); "
+        "each side's rank window and aggregate share one exchange; "
+        "the mutual-best join is a plain hash join. All traffic "
+        "linear in candidate pairs."
+    ),
+    "t_bm25_retrieval": (
+        "BM25 retrieval: tf/dl aggregates over the token explode, df "
+        "reusing tf rows, query terms as a BroadcastHashJoin, and the "
+        "per-query top-k trimmed map-side by WindowGroupLimit below "
+        "its exchange. Scoring is a pure decimal projection — no "
+        "floats, no UDFs."
+    ),
 }
 
 
