@@ -314,6 +314,25 @@ def summarize(results: dict) -> dict:
         ),
     }
 
+    # round-10 rows (guarded: --resummarize over a pre-r10 receipt
+    # must keep working). Bitext is REPORTED, not asserted: plane
+    # count scales log2(N) like semdedup, so candidate shuffle lands
+    # sub-linear by design (bucket count grows faster than sides).
+    if "sim_bitext_margin" in b and "sim_bitext_margin" in x:
+        summary["bitext_shuffle_growth_at_10x_corpus"] = round(
+            x["sim_bitext_margin"]["shuffle_bytes"]
+            / max(1, b["sim_bitext_margin"]["shuffle_bytes"]),
+            2,
+        )
+        summary["bitext_pairs_at_10x"] = x["sim_bitext_margin"]["pairs"]
+    if "t_bm25_retrieval" in b and "t_bm25_retrieval" in x:
+        # BM25's shuffle is the token stream (tf + dl) — linear
+        summary["bm25_shuffle_growth_at_10x_corpus"] = round(
+            x["t_bm25_retrieval"]["shuffle_bytes"]
+            / max(1, b["t_bm25_retrieval"]["shuffle_bytes"]),
+            2,
+        )
+
     # ---- the 100x tier: shuffle-byte LINEARITY ASSERTED ----
     # A 10x window can hide a super-linear term; a second decade
     # cannot. The asserted band is the x10 -> x100 DECADE ratio
@@ -724,6 +743,42 @@ def main() -> None:
             lambda: GR.hits_integer(g_edges, "src", "dst", iterations=3)
         )
 
+        # Bitext mining at scale: sides split the replicated vectors
+        # (even/odd vec_id); plane count follows semdedup's log2(N)
+        # rule (cfg["planes"]) so per-bucket candidate work stays
+        # bounded as the corpus grows. The candidate frame is
+        # localCheckpointed inside the operator, so measure around
+        # CONSTRUCTION (like the graph loops), not a post-hoc write.
+        def timed_bitext():
+            w0, r0 = ui.shuffle_totals()
+            t0 = time.time()
+            bx_out = SIM.bitext_margin_pairs(
+                emb.filter(F.col("vec_id") % 2 == 0),
+                emb.filter(F.col("vec_id") % 2 == 1),
+                planes,
+                k=4,
+            )
+            n = bx_out.count()
+            w1, r1 = ui.shuffle_totals()
+            return {
+                "sec": round(time.time() - t0, 3),
+                "shuffle_bytes": (w1 - w0) + (r1 - r0),
+                "pairs": n,
+            }
+
+        bx = timed_bitext()
+
+        # BM25 at scale: the only corpus-sized traffic is the token
+        # stream (tf/dl aggregates; df reuses tf) — shuffle linear in
+        # tokens; query terms broadcast; top-k trims map-side.
+        bm_out = T.bm25_topk(
+            docs,
+            [("q1", ["spark", "stream"]), ("q2", ["join", "hash"])],
+            k=10,
+        )
+        bm = timed(ui, bm_out)
+        bm["rows"] = bm_out.count()
+
         results[name] = {
             "docs": n_docs,
             "dup_pct": cfg["dup_pct"],
@@ -750,6 +805,8 @@ def main() -> None:
             "g_pagerank": gp,
             "g_hits": gh,
             "t_paragraph_dedup": pdm,
+            "sim_bitext_margin": bx,
+            "t_bm25_retrieval": bm,
         }
         if cfg.get("events", True):
             results[name]["e_sessionization"] = timed_sessionize(out_dir)
