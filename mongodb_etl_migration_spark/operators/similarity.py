@@ -1142,6 +1142,20 @@ def bitext_margin_pairs(
     target where the match is mutual and the margin clears the
     threshold (1000 = best exactly at its neighborhood mean).
     """
+    pairs = _bitext_candidates(src, tgt, planes, id_col, vec_col)
+    return _bitext_margin_from(pairs, k, margin_milli)
+
+
+def _bitext_candidates(
+    src: DataFrame,
+    tgt: DataFrame,
+    planes: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-blocked candidate pairs with integer e4 cosines — the
+    shared front half of bitext_margin_pairs / bitext_hard_negatives
+    (see bitext_margin_pairs for the full scale/exactness story)."""
     def bucketed(df: DataFrame, side: str) -> DataFrame:
         b = df.select(
             F.col(id_col).alias(f"{side}_id"),
@@ -1179,7 +1193,16 @@ def bitext_margin_pairs(
         # cost (the in-bucket dot products).
         .localCheckpoint(eager=False)
     )
+    return pairs
 
+
+def _bitext_margin_from(
+    pairs: DataFrame, k: int, margin_milli: int
+) -> DataFrame:
+    """Mutual-best margin selection over a candidate frame (the back
+    half of bitext_margin_pairs; also consumed by
+    bitext_hard_negatives so mined pairs and their negatives derive
+    from ONE materialized candidate set)."""
     from pyspark.sql import Window
 
     w_src = Window.partitionBy("src_id").orderBy(
@@ -1229,4 +1252,54 @@ def bitext_margin_pairs(
             .alias("margin_milli"),
         )
         .filter(F.col("margin_milli") >= margin_milli)
+    )
+
+
+def bitext_hard_negatives(
+    src: DataFrame,
+    tgt: DataFrame,
+    planes: Sequence[Sequence[float]],
+    k: int = 4,
+    n_neg: int = 3,
+    margin_milli: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every MINED
+    bitext pair, the next-best ``n_neg`` same-bucket targets by cosine
+    — the highest-similarity NON-translations, which is exactly what
+    embedding-model training wants as in-batch negatives (random
+    negatives are too easy; these sit just under the decision
+    boundary).
+
+    Derives everything from the SAME materialized candidate frame the
+    miner uses (one LSH bucket join, one checkpoint): the mined set
+    comes from _bitext_margin_from, the negatives from the src-side
+    rank window at ranks 2..n_neg+1 (rank 1 is the mined translation
+    itself, excluded by construction — mutual-best means the mined
+    tgt IS the top-ranked candidate). One extra equi-join against the
+    mined src ids; no new corpus-sized work. Integer-exact like the
+    miner.
+
+    Returns (src_id, neg_id, cos_e4, neg_rank): neg_rank 1 = hardest
+    negative. Srcs whose bucket held no runner-up emit nothing.
+    """
+    from pyspark.sql import Window
+
+    pairs = _bitext_candidates(src, tgt, planes, id_col, vec_col)
+    mined = _bitext_margin_from(pairs, k, margin_milli)
+    w_src = Window.partitionBy("src_id").orderBy(
+        F.desc("cos_e4"), F.asc("tgt_id")
+    )
+    ranked = pairs.withColumn("rn", F.row_number().over(w_src)).filter(
+        (F.col("rn") >= 2) & (F.col("rn") <= n_neg + 1)
+    )
+    return (
+        ranked.join(mined.select("src_id"), "src_id")
+        .select(
+            F.col("src_id").cast("bigint").alias("src_id"),
+            F.col("tgt_id").cast("bigint").alias("neg_id"),
+            F.col("cos_e4").cast("bigint").alias("cos_e4"),
+            (F.col("rn") - 1).cast("bigint").alias("neg_rank"),
+        )
     )

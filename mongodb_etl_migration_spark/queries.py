@@ -12325,6 +12325,85 @@ def sim_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_hard_negatives",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), planes AS (
+      SELECT vec_id, embedding::DOUBLE[] AS pv
+      FROM embeddings WHERE vec_id IN (1, 2, 3, 4)
+    ), b AS (
+      SELECT e.vec_id, e.v,
+             sqrt(list_dot_product(e.v, e.v)) AS nrm,
+             string_agg(
+               CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                    THEN '1' ELSE '0' END, '' ORDER BY p.vec_id) AS bucket
+      FROM e CROSS JOIN planes p GROUP BY e.vec_id, e.v
+    ), pos AS (
+      SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+             CAST(floor(list_dot_product(s.v, t.v) / (s.nrm * t.nrm)
+                        * 10000 + 0.5) AS BIGINT) AS cos_e4
+      FROM b s JOIN b t ON s.bucket = t.bucket
+      WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
+        AND floor(list_dot_product(s.v, t.v) / (s.nrm * t.nrm)
+                  * 10000 + 0.5) > 0
+    ), ar AS (
+      SELECT src_id, tgt_id, cos_e4,
+             row_number() OVER (
+               PARTITION BY src_id ORDER BY cos_e4 DESC, tgt_id
+             ) AS rn
+      FROM pos
+    ), a AS (
+      SELECT src_id,
+             max(CASE WHEN rn = 1 THEN tgt_id END) AS best_tgt,
+             max(CASE WHEN rn = 1 THEN cos_e4 END) AS best_cos,
+             sum(cos_e4) AS a_sum, count(*) AS a_k
+      FROM ar WHERE rn <= 4 GROUP BY src_id
+    ), br AS (
+      SELECT src_id, tgt_id, cos_e4,
+             row_number() OVER (
+               PARTITION BY tgt_id ORDER BY cos_e4 DESC, src_id
+             ) AS rn
+      FROM pos
+    ), bb AS (
+      SELECT tgt_id,
+             max(CASE WHEN rn = 1 THEN src_id END) AS best_src,
+             sum(cos_e4) AS b_sum, count(*) AS b_k
+      FROM br WHERE rn <= 4 GROUP BY tgt_id
+    ), mined AS (
+      SELECT a.src_id
+      FROM a JOIN bb ON a.best_tgt = bb.tgt_id
+      WHERE bb.best_src = a.src_id
+        AND a.best_cos * 2000 * a.a_k * bb.b_k
+            // (a.a_sum * bb.b_k + bb.b_sum * a.a_k) >= 1000
+    )
+    SELECT CAST(ar.src_id AS BIGINT) AS src_id,
+           CAST(ar.tgt_id AS BIGINT) AS neg_id,
+           CAST(ar.cos_e4 AS BIGINT) AS cos_e4,
+           CAST(ar.rn - 1 AS BIGINT) AS neg_rank
+    FROM ar JOIN mined USING (src_id)
+    WHERE ar.rn BETWEEN 2 AND 4
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.bitext_hard_negatives): the
+    next-best same-bucket targets (ranks 2..4) for every mined bitext
+    pair — contrastive-training negatives that sit just under the
+    decision boundary. Same fixture sides/planes as
+    sim_bitext_margin; mined set and negatives derive from ONE
+    materialized candidate frame."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return SIM.bitext_hard_negatives(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        _planes(spark, sf_dir),
+        k=4,
+        n_neg=3,
+        margin_milli=1000,
+    )
+
+
 # =====================================================================
 # BM25 ranked retrieval (operators/text.py:bm25_topk)
 # =====================================================================

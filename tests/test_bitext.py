@@ -90,3 +90,52 @@ def test_bitext_plan_no_cartesian_single_bucket_join(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hard_negatives_exclude_translation_and_rank(spark):
+    # src 0 mines t 100; negatives must be the runner-up targets in
+    # cosine order, never the mined translation itself.
+    src = _emb(spark, [(0, [1.0, 0.0])])
+    tgt = _emb(
+        spark,
+        [
+            (100, [0.99, 0.02]),  # translation (rank 1)
+            (102, [0.95, 0.2]),   # hardest negative
+            (104, [0.8, 0.5]),    # next
+            (106, [0.5, 0.8]),    # next
+            (108, [0.1, 0.99]),   # beyond n_neg=3
+        ],
+    )
+    rows = SIM.bitext_hard_negatives(
+        src, tgt, planes=[[1.0, 1.0]], k=4, n_neg=3
+    ).collect()
+    got = sorted((r["neg_rank"], r["neg_id"]) for r in rows)
+    assert got == [(1, 102), (2, 104), (3, 106)]
+    assert all(r["neg_id"] != 100 for r in rows)
+
+
+def test_hard_negatives_only_for_mined_srcs(spark):
+    # src 4 loses the mutual-best race (t 102 prefers src 2): it must
+    # contribute NO negatives even though it has runner-up candidates.
+    src = _emb(
+        spark, [(2, [0.6, 0.8]), (4, [0.7, 0.71]), (0, [1.0, 0.0])]
+    )
+    tgt = _emb(spark, [(100, [0.99, 0.05]), (102, [0.55, 0.83])])
+    rows = SIM.bitext_hard_negatives(
+        src, tgt, planes=[[1.0, 1.0]], k=2, n_neg=2
+    ).collect()
+    assert {r["src_id"] for r in rows} == {0, 2}
+    assert all(r["src_id"] != 4 for r in rows)
+
+
+def test_hard_negatives_empty_when_no_runner_up(spark):
+    # exactly one candidate in the bucket: mined pair exists, but
+    # there is no rank-2 target -> zero negatives, not an error
+    src = _emb(spark, [(0, [1.0, 0.0])])
+    tgt = _emb(spark, [(100, [0.99, 0.02])])
+    assert (
+        SIM.bitext_hard_negatives(
+            src, tgt, planes=[[1.0, 1.0]], k=2, n_neg=3
+        ).count()
+        == 0
+    )
