@@ -526,6 +526,13 @@ NOTES = {
         "its exchange. Scoring is a pure decimal projection — no "
         "floats, no UDFs."
     ),
+    "sim_hard_negatives": (
+        "Hard-negative mining: reads the SAME materialized candidate "
+        "frame as the miner (one localCheckpoint scan feeding both "
+        "the margin pipeline and the negatives rank window) plus one "
+        "equi-join against mined src ids — no second bucket join, no "
+        "recomputed cosines."
+    ),
 }
 
 
