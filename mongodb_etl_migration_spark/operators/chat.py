@@ -124,17 +124,30 @@ def loss_mask_spans(turns: Column | str) -> Column:
 
 
 def assistant_transcript_key(turns: Column | str) -> Column:
-    """Conversation-dedup key: md5 over the assistant turns' contents
-    joined with '|' in turn order. Dedup on what the model would be
-    TRAINED on — user-side paraphrases of the same answer set collapse,
-    which is the duplication mode SFT dumps actually have. Contents
-    are joined in array order (parse_turns builds the array in
-    turn_idx order; structured sources must sort first)."""
+    """Conversation-dedup key: md5 over the PER-TURN md5s of the
+    assistant contents, concatenated in turn order. Dedup on what the
+    model would be TRAINED on — user-side paraphrases of the same
+    answer set collapse, which is the duplication mode SFT dumps
+    actually have.
+
+    Hash-then-join, never join-then-hash: raw contents joined with a
+    separator alias (["x|y"] vs ["x","y"] under '|') — the same
+    separator trap epoch_shuffle's key guards against. Per-element
+    md5s are fixed 32-hex tokens, so their bare concatenation is
+    unambiguous. A NULL content (impossible from parse_turns,
+    possible from structured sources) hashes as md5(chr(0)) rather
+    than being silently skipped by array_join. Contents are taken in
+    array order (parse_turns builds the array in turn_idx order;
+    structured sources must sort first)."""
     t = F.col(turns) if isinstance(turns, str) else turns
     assistant = F.filter(t, lambda x: x["role"] == "assistant")
     return F.md5(
         F.array_join(
-            F.transform(assistant, lambda x: x["content"]), "|"
+            F.transform(
+                assistant,
+                lambda x: F.md5(F.coalesce(x["content"], F.lit("\x00"))),
+            ),
+            "",
         )
     )
 

@@ -1255,6 +1255,57 @@ def _bitext_margin_from(
     )
 
 
+def bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    planes: Sequence[Sequence[float]],
+    k: int = 4,
+    n_neg: int = 3,
+    margin_milli: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """The contrastive-training workflow in one call: (mined_pairs,
+    hard_negatives) sharing ONE materialized candidate frame and ONE
+    margin selection — a pipeline producing positives AND negatives
+    must not pay the LSH bucket join, the pair cosines, and the
+    margin windows twice (r10 code-review finding; the single-output
+    wrappers below recompute when called separately).
+
+    ``mined_pairs`` is bitext_margin_pairs' output; it is ALSO
+    lazily localCheckpointed here because both the returned frame and
+    the negatives' semi-join consume it. ``hard_negatives`` holds the
+    next-best ``n_neg`` same-bucket targets per mined src (ranks
+    2..n_neg+1 — rank 1 IS the mined translation, excluded by
+    construction: mutual-best means the mined tgt is the top-ranked
+    candidate) as (src_id, neg_id, cos_e4, neg_rank), neg_rank 1 =
+    hardest. The highest-similarity NON-translations are exactly what
+    embedding-model training wants as negatives (random negatives are
+    too easy; these sit just under the decision boundary). Srcs whose
+    bucket held no runner-up emit nothing. Integer-exact like the
+    miner.
+    """
+    from pyspark.sql import Window
+
+    pairs = _bitext_candidates(src, tgt, planes, id_col, vec_col)
+    mined = _bitext_margin_from(pairs, k, margin_milli).localCheckpoint(
+        eager=False
+    )
+    w_src = Window.partitionBy("src_id").orderBy(
+        F.desc("cos_e4"), F.asc("tgt_id")
+    )
+    ranked = pairs.withColumn("rn", F.row_number().over(w_src)).filter(
+        (F.col("rn") >= 2) & (F.col("rn") <= n_neg + 1)
+    )
+    negatives = ranked.join(mined.select("src_id"), "src_id").select(
+        F.col("src_id").cast("bigint").alias("src_id"),
+        F.col("tgt_id").cast("bigint").alias("neg_id"),
+        F.col("cos_e4").cast("bigint").alias("cos_e4"),
+        (F.col("rn") - 1).cast("bigint").alias("neg_rank"),
+    )
+    return mined, negatives
+
+
 def bitext_hard_negatives(
     src: DataFrame,
     tgt: DataFrame,
@@ -1265,41 +1316,10 @@ def bitext_hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Hard-negative mining for contrastive training: for every MINED
-    bitext pair, the next-best ``n_neg`` same-bucket targets by cosine
-    — the highest-similarity NON-translations, which is exactly what
-    embedding-model training wants as in-batch negatives (random
-    negatives are too easy; these sit just under the decision
-    boundary).
-
-    Derives everything from the SAME materialized candidate frame the
-    miner uses (one LSH bucket join, one checkpoint): the mined set
-    comes from _bitext_margin_from, the negatives from the src-side
-    rank window at ranks 2..n_neg+1 (rank 1 is the mined translation
-    itself, excluded by construction — mutual-best means the mined
-    tgt IS the top-ranked candidate). One extra equi-join against the
-    mined src ids; no new corpus-sized work. Integer-exact like the
-    miner.
-
-    Returns (src_id, neg_id, cos_e4, neg_rank): neg_rank 1 = hardest
-    negative. Srcs whose bucket held no runner-up emit nothing.
-    """
-    from pyspark.sql import Window
-
-    pairs = _bitext_candidates(src, tgt, planes, id_col, vec_col)
-    mined = _bitext_margin_from(pairs, k, margin_milli)
-    w_src = Window.partitionBy("src_id").orderBy(
-        F.desc("cos_e4"), F.asc("tgt_id")
-    )
-    ranked = pairs.withColumn("rn", F.row_number().over(w_src)).filter(
-        (F.col("rn") >= 2) & (F.col("rn") <= n_neg + 1)
-    )
-    return (
-        ranked.join(mined.select("src_id"), "src_id")
-        .select(
-            F.col("src_id").cast("bigint").alias("src_id"),
-            F.col("tgt_id").cast("bigint").alias("neg_id"),
-            F.col("cos_e4").cast("bigint").alias("cos_e4"),
-            (F.col("rn") - 1).cast("bigint").alias("neg_rank"),
-        )
-    )
+    """Negatives-only wrapper over :func:`bitext_mine` (see there for
+    semantics and the shared-candidate-frame scale story). Pipelines
+    that also need the mined pairs should call bitext_mine directly
+    instead of pairing this with bitext_margin_pairs."""
+    return bitext_mine(
+        src, tgt, planes, k, n_neg, margin_milli, id_col, vec_col
+    )[1]

@@ -811,7 +811,15 @@ def epoch_shuffle(
         raise ValueError("key_cols must name at least one column")
     # withColumn overwrites silently — an input column named like the
     # temp key would corrupt the permutation, one named pos_col would
-    # be clobbered. Refuse loudly (the package's usual guard).
+    # be clobbered. Refuse loudly (the package's usual guard). Also
+    # refuse pos_col == the temp key itself: the ids would be written
+    # INTO the ordering column and then dropped, returning a frame
+    # with no position column at all (r10 code-review finding).
+    if pos_col == "__shuffle_key":
+        raise ValueError(
+            "pos_col may not be '__shuffle_key' (the internal "
+            "ordering column); pass a different pos_col"
+        )
     for taken in ("__shuffle_key", pos_col):
         if taken in df.columns:
             raise ValueError(
@@ -1467,9 +1475,12 @@ def bm25_topk(
     large is spam the Gopher gate already dropped). Per-doc scores
     sum as plain BIGINTs.
 
-    Plan shape: corpus → (doc, term) tf aggregate and (doc) length
-    aggregate (two linear exchanges over the token stream); df reuses
-    tf rows (no countDistinct); the query term list joins as a
+    Plan shape: the token stream is exploded and shuffled ONCE (the
+    (doc, term) tf aggregate, materialized via lazy localCheckpoint
+    because three consumers read it); dl and df both derive from tf
+    rows (sum per doc / count per term — vocabulary-sized
+    re-aggregates, no countDistinct, no second corpus pass); the
+    query term list joins as a
     BROADCAST (queries are human-sized); N and T fold in as plan
     literals (metadata count + one 1-row aggregate — tfidf's eager-N
     tradeoff, documented there); the per-query top-k compiles to
@@ -1482,12 +1493,31 @@ def bm25_topk(
     """
     from pyspark.sql import Window
 
+    if not 0 <= b_milli <= 1000 or k1_milli < 0:
+        # b > 1 would make (1000 - B) negative and break the
+        # all-positive-operands guarantee the exact `div` relies on
+        raise ValueError(
+            f"b_milli must be in [0, 1000] and k1_milli >= 0; "
+            f"got b_milli={b_milli}, k1_milli={k1_milli}"
+        )
+
     spark = df.sparkSession
     toks = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # tf is the single corpus-sized product; THREE consumers read it
+    # (dl, df, and the T-total collect at build time), so materialize
+    # it once — without the checkpoint the token explode + (doc, term)
+    # exchange would run again for each consumer (the bitext/probe
+    # duplicated-subtree lesson, flagged by the r10 review). dl
+    # derives FROM tf (sum of tf per doc == token count), not from a
+    # second pass over toks.
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = int(df.count())
     total = int(dl.agg(F.sum("dl")).collect()[0][0] or 0)
@@ -3112,6 +3142,7 @@ def _select_compatible_batch(
     tri3 = tri3 or {}
     batch: list[tuple[str, str, int]] = []
     outputs: set[str] = set()
+    inputs: set[str] = set()
     # accepted merges indexed by each side, so the exact-interaction
     # test touches only the accepted pairs that actually share the
     # adjacency symbol (O(matches), not O(batch) per candidate —
@@ -3128,6 +3159,20 @@ def _select_compatible_batch(
                 break
             if l in outputs or r in outputs or (l + r) in outputs:
                 break
+            if (l + r) in inputs:
+                # the candidate's output string is an EARLIER accepted
+                # pair's input symbol: under the one-combined-scan
+                # application an earlier pair could consume tokens
+                # this merge creates in the same round (['b','c','x']
+                # with batch [(bc,x),(b,c)] -> ['bcx'] combined vs
+                # ['bc','x'] chained), breaking _apply_merge_batch's
+                # fresh-outputs precondition — end the batch here.
+                # Such a candidate is always collide-flagged (its
+                # output pre-exists in the vocabulary), but collide
+                # alone only stops the batch AFTER the merge; this
+                # stops it BEFORE when the specific input overlap
+                # exists. (Code-review r10 finding.)
+                break
             if any(
                 tri3.get((l, p, q), 0) > 0
                 for p, q in by_left.get(r, ())
@@ -3138,6 +3183,8 @@ def _select_compatible_batch(
                 break
         batch.append((l, r, cnt))
         outputs.add(l + r)
+        inputs.add(l)
+        inputs.add(r)
         by_left.setdefault(l, []).append((l, r))
         by_right.setdefault(r, []).append((l, r))
         t: float = maxtri.get((l, r), 0)

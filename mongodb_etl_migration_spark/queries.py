@@ -12164,10 +12164,15 @@ def c_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c_conv_dedup",
     f"""
     WITH {_CHAT_FIXTURE_SQL}, ak AS (
+      -- hash-then-join (md5 per content, concatenated): raw contents
+      -- under a separator alias ["x|y"] vs ["x","y"]; 32-hex element
+      -- hashes concatenate unambiguously (mirrors
+      -- chat.assistant_transcript_key)
       SELECT doc_id,
              md5(coalesce(string_agg(
-               CASE WHEN role = 'assistant' THEN content END,
-               '|' ORDER BY turn_idx), '')) AS conv_key
+               CASE WHEN role = 'assistant'
+                    THEN md5(coalesce(content, chr(0))) END,
+               '' ORDER BY turn_idx), '')) AS conv_key
       FROM turn GROUP BY doc_id
     )
     SELECT conv_key,

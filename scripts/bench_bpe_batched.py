@@ -104,7 +104,6 @@ def run(name: str, wc: dict[str, int], n_merges: int, cap: int) -> dict:
         "rounds": stats["rounds"],
         "sequential_rounds": len(merges),
         "round_reduction": round(len(merges) / max(1, stats["rounds"]), 2),
-        "mean_batch": round(len(merges) / max(1, stats["rounds"]), 1),
         "max_batch": max(bs) if bs else 0,
         "p50_batch": sorted(bs)[len(bs) // 2] if bs else 0,
         "twin_seconds": round(dt, 1),

@@ -347,6 +347,10 @@ def summarize(results: dict) -> dict:
     # occupancy, not an algorithmic term.
     x100 = results["x100"]
     checks = {}
+    # per-key presence guards: --resummarize must keep working over a
+    # receipt from BEFORE a key joined the battery (the r10 review
+    # caught the line-317 comment promising guards that only the
+    # bitext/bm25 rows actually had)
     for key in (
         "d2_minhash_pairs",
         "t_lang_id_hashed",
@@ -354,6 +358,8 @@ def summarize(results: dict) -> dict:
         "t_dup_spans",
         "t_dup_spans_exact",
     ):
+        if key not in x100 or key not in x or key not in b:
+            continue
         decade = round(
             x100[key]["shuffle_bytes"]
             / max(1, x[key]["shuffle_bytes"]),
@@ -372,15 +378,16 @@ def summarize(results: dict) -> dict:
     # fan-out is pinned off): a ratio on ~0 bytes is meaningless, so
     # assert the absolute shuffle stays at the noise floor at x100 and
     # report the wall-clock decade (CPU-bound, ~linear) unasserted.
-    g100 = x100["t_gopher_repetition"]
-    checks["t_gopher_repetition"] = {
-        "x100_shuffle_bytes": g100["shuffle_bytes"],
-        "linear_ok": g100["shuffle_bytes"] < 1_000_000,
-    }
-    summary["gopher_x100_shuffle_bytes"] = g100["shuffle_bytes"]
-    summary["gopher_wall_x10_to_x100"] = round(
-        g100["sec"] / max(1e-9, x["t_gopher_repetition"]["sec"]), 2
-    )
+    g100 = x100.get("t_gopher_repetition")
+    if g100 is not None and "t_gopher_repetition" in x:
+        checks["t_gopher_repetition"] = {
+            "x100_shuffle_bytes": g100["shuffle_bytes"],
+            "linear_ok": g100["shuffle_bytes"] < 1_000_000,
+        }
+        summary["gopher_x100_shuffle_bytes"] = g100["shuffle_bytes"]
+        summary["gopher_wall_x10_to_x100"] = round(
+            g100["sec"] / max(1e-9, x["t_gopher_repetition"]["sec"]), 2
+        )
     summary["x100_linearity"] = checks
     summary["x100_linearity_ok"] = all(
         c["linear_ok"] for c in checks.values()
@@ -390,26 +397,27 @@ def summarize(results: dict) -> dict:
     # ExactSubstr passes over the identical x10 corpus; the dispatcher
     # docstring (text.exact_substr_spans) cites this line instead of
     # the analytic same-cost-class argument.
-    summary["exactsubstr_crossover_x10"] = {
-        "kgram_k8": {
-            "sec": x["t_dup_spans"]["sec"],
-            "shuffle_bytes": x["t_dup_spans"]["shuffle_bytes"],
-        },
-        "byte50": {
-            "sec": x["t_dup_spans_exact"]["sec"],
-            "shuffle_bytes": x["t_dup_spans_exact"]["shuffle_bytes"],
-        },
-        "byte_over_kgram_shuffle": round(
-            x["t_dup_spans_exact"]["shuffle_bytes"]
-            / max(1, x["t_dup_spans"]["shuffle_bytes"]),
-            2,
-        ),
-        "byte_over_kgram_wall": round(
-            x["t_dup_spans_exact"]["sec"]
-            / max(1e-9, x["t_dup_spans"]["sec"]),
-            2,
-        ),
-    }
+    if "t_dup_spans" in x and "t_dup_spans_exact" in x:
+        summary["exactsubstr_crossover_x10"] = {
+            "kgram_k8": {
+                "sec": x["t_dup_spans"]["sec"],
+                "shuffle_bytes": x["t_dup_spans"]["shuffle_bytes"],
+            },
+            "byte50": {
+                "sec": x["t_dup_spans_exact"]["sec"],
+                "shuffle_bytes": x["t_dup_spans_exact"]["shuffle_bytes"],
+            },
+            "byte_over_kgram_shuffle": round(
+                x["t_dup_spans_exact"]["shuffle_bytes"]
+                / max(1, x["t_dup_spans"]["shuffle_bytes"]),
+                2,
+            ),
+            "byte_over_kgram_wall": round(
+                x["t_dup_spans_exact"]["sec"]
+                / max(1e-9, x["t_dup_spans"]["sec"]),
+                2,
+            ),
+        }
 
     return summary
 

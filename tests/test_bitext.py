@@ -139,3 +139,27 @@ def test_hard_negatives_empty_when_no_runner_up(spark):
         ).count()
         == 0
     )
+
+
+def test_bitext_mine_returns_consistent_pairs_and_negatives(spark):
+    src = _emb(spark, [(0, [1.0, 0.0]), (2, [0.6, 0.8])])
+    tgt = _emb(
+        spark,
+        [(100, [0.99, 0.05]), (102, [0.55, 0.83]), (104, [0.7, 0.7])],
+    )
+    mined, negs = SIM.bitext_mine(src, tgt, planes=[[1.0, 1.0]], k=3, n_neg=2)
+    mined_solo = SIM.bitext_margin_pairs(src, tgt, planes=[[1.0, 1.0]], k=3)
+    negs_solo = SIM.bitext_hard_negatives(
+        src, tgt, planes=[[1.0, 1.0]], k=3, n_neg=2
+    )
+    assert sorted(map(tuple, mined.collect())) == sorted(
+        map(tuple, mined_solo.collect())
+    )
+    assert sorted(map(tuple, negs.collect())) == sorted(
+        map(tuple, negs_solo.collect())
+    )
+    # negatives only for mined srcs, translations excluded
+    mined_map = {r["src_id"]: r["tgt_id"] for r in mined.collect()}
+    for r in negs.collect():
+        assert r["src_id"] in mined_map
+        assert r["neg_id"] != mined_map[r["src_id"]]

@@ -143,3 +143,20 @@ def test_conv_dedup_plan_single_exchange(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange ") == 1
+
+
+def test_transcript_key_no_separator_aliasing(spark):
+    # ["x|y"] vs ["x","y"]: join-then-hash would collide; the
+    # hash-then-join key must not (the epoch_shuffle separator trap)
+    schema = (
+        "doc_id long, turns array<struct<turn_idx:int,role:string,"
+        "content:string>>"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, [(0, "assistant", "x|y")]),
+            (2, [(0, "assistant", "x"), (1, "assistant", "y")]),
+        ],
+        schema,
+    )
+    assert CH.conversation_dedup(df).count() == 2

@@ -3369,3 +3369,31 @@ def test_corpus_diversity_ttr_exact(spark):
     # a: tokens = 9, types = {the,cat,sat,on,mat,ran} = 6
     assert out == {"a": (2, 9, 6)}
     assert 6 * 100000 // 9 == 66666  # the floor the query publishes
+
+
+def test_bpe_batched_selection_rejects_output_equal_to_earlier_input():
+    """r10 code-review fixture: candidate 2's output 'bc' is candidate
+    1's INPUT symbol — accepting both lets the combined scan merge
+    ['b','c','x'] -> ['bcx'] while the chained per-pair replaces give
+    ['bc','x']. The selector must end the batch before candidate 2,
+    and the combined application must then equal the chain."""
+    cands = [("bc", "x", 1000), ("b", "c", 5)]
+    batch = T._select_compatible_batch(
+        cands, {("bc", "x"): 0}, collide={("b", "c")}, min_count=2, tri3={}
+    )
+    assert batch == [("bc", "x", 1000)]
+    # and the combined scan on the SAFE batch matches the chain
+    parts = ["b", "c", "x"]
+    combined = T._apply_merge_batch(parts, [(l, r) for l, r, _ in batch])
+    chained = parts
+    for l, r, _ in batch:
+        chained = T._apply_pair_passes(chained, l, r)
+    assert combined == chained == ["b", "c", "x"]
+
+
+def test_epoch_shuffle_rejects_internal_pos_col(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError, match="__shuffle_key"):
+        T.epoch_shuffle(df, ["doc_id"], seed=1, pos_col="__shuffle_key")
