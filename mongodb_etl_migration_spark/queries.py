@@ -12183,8 +12183,10 @@ def c_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation dedup on the ASSISTANT transcript
-    (chat.conversation_dedup): md5 over assistant contents in turn
-    order, first-wins min(doc_id). The planted fixture makes this
+    (chat.conversation_dedup): md5 over the per-turn md5s of the
+    assistant contents in turn order (hash-then-join — raw contents
+    under a separator would alias ["x|y"] with ["x","y"]), first-wins
+    min(doc_id). The planted fixture makes this
     semantic: canned groups A and B differ in every user turn but
     share assistant turns, so they MUST collapse to one key (full-text
     dedup would not). Exactly ONE exchange — the key is a per-row
