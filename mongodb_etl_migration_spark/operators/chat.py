@@ -168,3 +168,72 @@ def conversation_dedup(
         F.min(id_col).cast("bigint").alias("kept_id"),
         F.count("*").cast("bigint").alias("n_dups"),
     )
+
+
+def user_transcript_key(turns: Column | str) -> Column:
+    """Prompt identity for preference-pair grouping: md5 over the
+    PER-TURN md5s of the USER contents in turn order (hash-then-join,
+    same aliasing discipline as assistant_transcript_key). Two
+    conversations answering the SAME prompts — however differently —
+    share this key."""
+    t = F.col(turns) if isinstance(turns, str) else turns
+    user = F.filter(t, lambda x: x["role"] == "user")
+    return F.md5(
+        F.array_join(
+            F.transform(
+                user,
+                lambda x: F.md5(F.coalesce(x["content"], F.lit("\x00"))),
+            ),
+            "",
+        )
+    )
+
+
+def preference_pairs(
+    conv: DataFrame,
+    score_col: str,
+    turns_col: str = "turns",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DPO/RLHF preference-pair construction: group conversations by
+    PROMPT identity (the user transcript), emit (chosen, rejected) =
+    (highest, lowest) scoring answer set per prompt — the reward-free
+    preference dataset shape (Rafailov et al.'s DPO; also RLHF reward-
+    model training pairs). Groups with a single conversation have
+    nothing to compare and emit nothing.
+
+    Deterministic extremes via struct min/max — chosen = max score
+    (tie: smallest id), rejected = min score (tie: LARGEST id), so a
+    group of identical scores still yields a distinct, stable pair.
+    ``score_col`` is caller-supplied (integer quality: assistant mass,
+    classifier margin, human rating) — scoring policy stays outside
+    the operator.
+
+    Plan: the prompt key is a per-row projection; exactly ONE exchange
+    (the key groupBy, min/max partial-aggregate map-side). Output:
+    (prompt_key, n_candidates, chosen_id, rejected_id,
+    score_margin) — margin in the score's own units, integer-exact.
+    """
+    keyed = conv.select(
+        F.col(id_col).alias("__id"),
+        F.col(score_col).alias("__score"),
+        user_transcript_key(turns_col).alias("prompt_key"),
+    )
+    g = keyed.groupBy("prompt_key").agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.min(
+            F.struct((-F.col("__score")).alias("ns"), F.col("__id").alias("i"))
+        ).alias("__ch"),
+        F.max(
+            F.struct((-F.col("__score")).alias("ns"), F.col("__id").alias("i"))
+        ).alias("__rj"),
+    )
+    return g.filter(F.col("n_candidates") >= 2).select(
+        "prompt_key",
+        "n_candidates",
+        F.col("__ch.i").cast("bigint").alias("chosen_id"),
+        F.col("__rj.i").cast("bigint").alias("rejected_id"),
+        (F.col("__rj.ns") - F.col("__ch.ns")).cast("bigint").alias(
+            "score_margin"
+        ),
+    )

@@ -12249,6 +12249,106 @@ def c_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Preference-pair fixture: docs doc_id%9==2 and doc_id%9==7 answer the
+# SAME canned prompts (identical user turns -> identical prompt key)
+# with different-quality answers — %9==2 long (chosen), %9==7 short
+# (rejected). All other docs keep their natural text, whose prompts
+# are (almost surely) unique -> singleton groups emit nothing.
+_DPO_CANNED_LONG = (
+    "please tell me about distributed joins "
+    "broadcast the small side and shuffle "
+    "what about skewed key distributions then "
+    "salt the hot keys before joining"
+)
+_DPO_CANNED_SHORT = (
+    "please tell me about distributed joins "
+    "x y z a b c "
+    "what about skewed key distributions then "
+    "p q r s t u"
+)
+
+
+@query(
+    "c_dpo_pairs",
+    f"""
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 2 THEN '{_DPO_CANNED_LONG}'
+                  WHEN doc_id % 9 = 7 THEN '{_DPO_CANNED_SHORT}'
+                  ELSE text END AS text
+      FROM documents
+    ), w AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS words
+      FROM src WHERE len(trim(text)) > 0
+    ), idx AS (
+      SELECT doc_id, words,
+             unnest(generate_series(
+               0, CAST(ceil(len(words) / 6.0) AS INT) - 1)) AS i
+      FROM w
+    ), turn AS (
+      SELECT doc_id, CAST(i AS INT) AS turn_idx,
+             CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+             array_to_string(words[i*6+1 : i*6+6], ' ') AS content
+      FROM idx
+    ), keyed AS (
+      SELECT doc_id,
+             md5(coalesce(string_agg(
+               CASE WHEN role = 'user'
+                    THEN md5(coalesce(content, chr(0))) END,
+               '' ORDER BY turn_idx), '')) AS prompt_key,
+             CAST(sum(CASE WHEN role = 'assistant' THEN len(content)
+                      ELSE 0 END) AS BIGINT) AS score
+      FROM turn GROUP BY doc_id
+    ), ranked AS (
+      SELECT prompt_key, doc_id, score,
+             count(*) OVER (PARTITION BY prompt_key) AS n,
+             row_number() OVER (PARTITION BY prompt_key
+               ORDER BY score DESC, doc_id ASC) AS rc,
+             row_number() OVER (PARTITION BY prompt_key
+               ORDER BY score ASC, doc_id DESC) AS rr
+      FROM keyed
+    )
+    SELECT c.prompt_key,
+           CAST(c.n AS BIGINT) AS n_candidates,
+           CAST(c.doc_id AS BIGINT) AS chosen_id,
+           CAST(r.doc_id AS BIGINT) AS rejected_id,
+           CAST(c.score - r.score AS BIGINT) AS score_margin
+    FROM ranked c
+    JOIN ranked r ON c.prompt_key = r.prompt_key
+    WHERE c.rc = 1 AND r.rr = 1 AND c.n >= 2
+    """,
+)
+def c_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction (chat.preference_pairs):
+    conversations grouped by PROMPT identity (user-transcript key,
+    hash-then-join), (chosen, rejected) = (highest, lowest) scoring
+    answers per prompt, score = assistant character mass (the
+    deterministic stand-in for a reward/quality model — the operator
+    takes any integer score column). Struct min/max extremes give a
+    stable pair even under score ties (chosen ties to the smallest
+    id, rejected to the largest). One exchange (the prompt-key
+    groupBy)."""
+    d = Catalog(spark, sf_dir).documents
+    text = (
+        F.when(F.col("doc_id") % 9 == 2, F.lit(_DPO_CANNED_LONG))
+        .when(F.col("doc_id") % 9 == 7, F.lit(_DPO_CANNED_SHORT))
+        .otherwise(F.col("text"))
+    )
+    conv = d.select(
+        "doc_id", CH.parse_turns(text, turn_words=6).alias("turns")
+    ).select(
+        "doc_id",
+        "turns",
+        F.aggregate(
+            F.filter("turns", lambda t: t["role"] == "assistant"),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.length(t["content"]),
+        ).alias("score"),
+    )
+    return CH.preference_pairs(conv, "score")
+
+
 # =====================================================================
 # Bitext mining (operators/similarity.py:bitext_margin_pairs)
 # =====================================================================

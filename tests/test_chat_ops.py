@@ -160,3 +160,52 @@ def test_transcript_key_no_separator_aliasing(spark):
         schema,
     )
     assert CH.conversation_dedup(df).count() == 2
+
+
+def _scored_conv(spark, rows):
+    # rows: (doc_id, prompt, score) — identical prompt => same group
+    df = spark.createDataFrame(rows, "doc_id long, prompt string, score long")
+    return df.select(
+        "doc_id",
+        "score",
+        CH.parse_turns("prompt", turn_words=6).alias("turns"),
+    )
+
+
+def test_preference_pairs_extremes_and_tie_breaks(spark):
+    conv = _scored_conv(
+        spark,
+        [
+            (1, "how do i do it", 5),
+            (2, "how do i do it", 9),
+            (3, "how do i do it", 9),  # ties chosen -> id 2
+            (4, "how do i do it", 1),
+            (5, "how do i do it", 1),  # ties rejected -> id 5
+            (9, "a different prompt here", 100),  # singleton: dropped
+        ],
+    )
+    rows = CH.preference_pairs(conv, "score").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["chosen_id"], r["rejected_id"]) == (2, 5)
+    assert r["score_margin"] == 8 and r["n_candidates"] == 5
+
+
+def test_preference_pairs_all_equal_scores_stable_pair(spark):
+    conv = _scored_conv(
+        spark, [(7, "same prompt twice ok", 3), (4, "same prompt twice ok", 3)]
+    )
+    rows = CH.preference_pairs(conv, "score").collect()
+    assert len(rows) == 1
+    assert rows[0]["chosen_id"] == 4 and rows[0]["rejected_id"] == 7
+    assert rows[0]["score_margin"] == 0
+
+
+def test_preference_pairs_plan_single_exchange(spark, sf_dir):
+    plan = (
+        QUERIES["c_dpo_pairs"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange ") == 1
