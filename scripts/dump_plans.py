@@ -526,6 +526,12 @@ NOTES = {
         "its exchange. Scoring is a pure decimal projection — no "
         "floats, no UDFs."
     ),
+    "c_dpo_pairs": (
+        "DPO preference pairs: the prompt key and score are per-row "
+        "projections; chosen/rejected come from struct min/max in ONE "
+        "partial-aggregated exchange — never a per-group sort or "
+        "self-join."
+    ),
     "sim_hard_negatives": (
         "Hard-negative mining: reads the SAME materialized candidate "
         "frame as the miner (one localCheckpoint scan feeding both "
