@@ -3918,3 +3918,93 @@ def backoff_lm_scores(df, id_col: str, text_col: str, train_col: str):
             F.sum("__s").cast("bigint").alias("backoff_score"),
         )
     )
+
+
+def span_corruption(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 3,
+    period: int = 20,
+):
+    """T5/UL2-style span-corruption objective prep: mask deterministic
+    token spans with incrementing sentinels and emit the (corrupted
+    input, target) pair the denoising objective trains on (Raffel et
+    al. 2020 §3.1.4 — sentinel per dropped span, targets are the
+    dropped spans delimited by their sentinels).
+
+    DETERMINISTIC masking (replayable, oracle-checkable — the engine's
+    no-RNG rule, SURVEY §7.4.7): the token stream partitions into
+    consecutive ``period``-token blocks; each block's FIRST
+    ``span_len`` tokens are masked under sentinel ``<extra_id_B>``
+    (B = block index). Corruption rate = span_len/period (defaults
+    3/20 = 15%, the T5 paper's rate with mean span 3). Production
+    pipelines seed this by hashing (doc_id, block) instead of "first
+    tokens of every block"; the block/sentinel mechanics — the part
+    Spark executes — are identical, and a seeded variant is one
+    expression swap on the mask predicate.
+
+    Pure PROJECTION: blocks, sentinels, both surfaces, and the counts
+    are per-row array expressions (sequence/transform/slice/flatten)
+    — zero shuffle, no UDF, whole-stage codegen; corrupting 100 TB is
+    a map. Reconstruction invariant (property-tested): splicing each
+    target span back over its sentinel reproduces the original text.
+
+    Output: (id_col, corrupted, targets, n_spans, n_masked) —
+    corrupted/targets as space-joined strings (scalar for the driver
+    hash gate), n_spans = blocks touched, n_masked = tokens dropped.
+    A document shorter than one full span still yields one sentinel
+    block (its visible remainder may be empty) — the objective keeps
+    the example, it does not silently drop short docs.
+    """
+    if not 0 < span_len < period:
+        raise ValueError(
+            f"need 0 < span_len < period; got {span_len}, {period}"
+        )
+    toks = tokens(text_col)
+    staged = df.select(F.col(id_col), toks.alias("__w"))
+    w = F.col("__w")
+    nblocks = F.ceil(F.size(w) / F.lit(period)).cast("int")
+    blocks = F.sequence(F.lit(0), nblocks - F.lit(1))
+
+    def sentinel(b: Column) -> Column:
+        return F.concat(F.lit("<extra_id_"), b.cast("string"), F.lit(">"))
+
+    corrupted_parts = F.flatten(
+        F.transform(
+            blocks,
+            lambda b: F.concat(
+                F.array(sentinel(b)),
+                F.slice(
+                    w, b * period + span_len + 1, period - span_len
+                ),
+            ),
+        )
+    )
+    target_parts = F.flatten(
+        F.transform(
+            blocks,
+            lambda b: F.concat(
+                F.array(sentinel(b)),
+                F.slice(w, b * period + 1, span_len),
+            ),
+        )
+    )
+    empty = F.size(w) == 0
+    return staged.select(
+        F.col(id_col),
+        F.when(empty, F.lit("")).otherwise(
+            F.array_join(corrupted_parts, " ")
+        ).alias("corrupted"),
+        F.when(empty, F.lit("")).otherwise(
+            F.array_join(target_parts, " ")
+        ).alias("targets"),
+        F.when(empty, F.lit(0)).otherwise(nblocks)
+        .cast("bigint")
+        .alias("n_spans"),
+        F.when(empty, F.lit(0)).otherwise(
+            F.size(target_parts) - nblocks
+        )
+        .cast("bigint")
+        .alias("n_masked"),
+    )

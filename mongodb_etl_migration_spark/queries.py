@@ -12511,6 +12511,57 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t_span_corruption",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+      FROM documents
+    ), b AS (
+      SELECT doc_id, words,
+             CAST(ceil(len(words) / 20.0) AS INT) AS nb
+      FROM w
+    ), blk AS (
+      SELECT doc_id, words, nb,
+             unnest(generate_series(0, nb - 1)) AS bi
+      FROM b
+    ), parts AS (
+      SELECT doc_id, nb, bi,
+             '<extra_id_' || bi || '>' AS sent,
+             array_to_string(words[bi*20 + 4 : bi*20 + 20], ' ') AS keep,
+             array_to_string(words[bi*20 + 1 : bi*20 + 3], ' ') AS cut,
+             len(words[bi*20 + 1 : bi*20 + 3]) AS n_cut
+      FROM blk
+    )
+    SELECT doc_id,
+           string_agg(
+             sent || CASE WHEN keep IS NOT NULL AND keep != ''
+                          THEN ' ' || keep ELSE '' END,
+             ' ' ORDER BY bi) AS corrupted,
+           string_agg(
+             sent || CASE WHEN cut IS NOT NULL AND cut != ''
+                          THEN ' ' || cut ELSE '' END,
+             ' ' ORDER BY bi) AS targets,
+           CAST(max(nb) AS BIGINT) AS n_spans,
+           CAST(sum(n_cut) AS BIGINT) AS n_masked
+    FROM parts GROUP BY doc_id
+    """,
+)
+def t_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption prep (text.span_corruption): deterministic
+    3-of-20 token spans per block masked under incrementing
+    ``<extra_id_B>`` sentinels; (corrupted, targets) per document at
+    the paper's 15% rate. The Spark side is one zero-shuffle array
+    projection; the oracle rebuilds blocks with generate_series +
+    1-based inclusive slices and regroups. Empty-token docs cannot
+    occur in this corpus (min n_chars > 0); the operator itself
+    handles them (tested)."""
+    return T.span_corruption(
+        Catalog(spark, sf_dir).documents, span_len=3, period=20
+    )
+
+
 # =====================================================================
 # BM25 ranked retrieval (operators/text.py:bm25_topk)
 # =====================================================================

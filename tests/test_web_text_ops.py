@@ -3397,3 +3397,70 @@ def test_epoch_shuffle_rejects_internal_pos_col(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with _pytest.raises(ValueError, match="__shuffle_key"):
         T.epoch_shuffle(df, ["doc_id"], seed=1, pos_col="__shuffle_key")
+
+
+def test_span_corruption_semantics_and_reconstruction(spark):
+    import re as _re
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in T.span_corruption(docs, span_len=3, period=20).collect()
+    }
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(out) == set(src)
+    checked = 0
+    for i, text in src.items():
+        words = _re.findall("[a-z0-9]+", text.lower())
+        r = out[i]
+        # splice each target span back over its sentinel
+        tgt = {}
+        for m in _re.finditer(
+            r"<extra_id_(\d+)>((?:(?!<extra_id_)\S|\s)*)", r["targets"]
+        ):
+            tgt[int(m.group(1))] = m.group(2).split()
+        rebuilt = []
+        for tok in r["corrupted"].split():
+            m = _re.fullmatch(r"<extra_id_(\d+)>", tok)
+            if m:
+                rebuilt.extend(tgt.get(int(m.group(1)), []))
+            else:
+                rebuilt.append(tok)
+        # sentinel spans are PREPENDED per block, so rebuilt tokens come
+        # back in original order
+        assert rebuilt == words, f"doc {i} failed reconstruction"
+        assert r["n_spans"] == -(-len(words) // 20)
+        assert r["n_masked"] == sum(
+            min(3, max(0, len(words) - b * 20)) for b in range(r["n_spans"])
+        )
+        checked += 1
+    assert checked >= 100
+
+
+def test_span_corruption_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "   "), (4, "w1 w2 w3 w4 w5")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.span_corruption(df, span_len=3, period=20).collect()}
+    # 2-token doc: whole doc masked, corrupted = bare sentinel
+    assert out[1]["corrupted"] == "<extra_id_0>"
+    assert out[1]["targets"] == "<extra_id_0> a b"
+    assert out[1]["n_spans"] == 1 and out[1]["n_masked"] == 2
+    # empty/whitespace: empty surfaces, zero counts
+    for i in (2, 3):
+        assert out[i]["corrupted"] == "" and out[i]["targets"] == ""
+        assert out[i]["n_spans"] == 0 and out[i]["n_masked"] == 0
+    # 5-token doc: first 3 masked, 2 visible
+    assert out[4]["corrupted"] == "<extra_id_0> w4 w5"
+    assert out[4]["targets"] == "<extra_id_0> w1 w2 w3"
+
+
+def test_span_corruption_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        T.span_corruption(df, span_len=5, period=5)
+    with _pytest.raises(ValueError):
+        T.span_corruption(df, span_len=0, period=5)
