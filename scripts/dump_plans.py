@@ -526,6 +526,11 @@ NOTES = {
         "its exchange. Scoring is a pure decimal projection — no "
         "floats, no UDFs."
     ),
+    "t_span_corruption": (
+        "T5 span corruption: blocks, sentinels, both surfaces and the "
+        "counts are ONE Project over the scan — zero Exchange, zero "
+        "Python; the denoising-objective prep for 100 TB is a map."
+    ),
     "c_dpo_pairs": (
         "DPO preference pairs: the prompt key and score are per-row "
         "projections; chosen/rejected come from struct min/max in ONE "
