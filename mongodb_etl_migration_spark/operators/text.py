@@ -4008,3 +4008,70 @@ def span_corruption(
         .cast("bigint")
         .alias("n_masked"),
     )
+
+
+def fim_transform(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_milli: int = 400,
+    middle_milli: int = 300,
+    spm: bool = False,
+):
+    """Fill-in-the-middle objective prep (Bavarian et al. 2022; the
+    StarCoder/code-model training transform): split each document into
+    (prefix, middle, suffix) and re-render with FIM sentinels so a
+    causal LM learns infilling. PSM order by default —
+    ``<fim_prefix>P<fim_suffix>S<fim_middle>M`` — or SPM
+    (``<fim_suffix>S<fim_prefix>P<fim_middle>M``) with ``spm=True``;
+    training mixes both, so the order is a flag, not a fork.
+
+    DETERMINISTIC split (the engine's no-RNG rule): boundaries at
+    floor(n·prefix_milli/1000) and +floor(n·middle_milli/1000) tokens.
+    Production pipelines draw the boundaries from a seeded hash per
+    doc; the sentinel/render mechanics Spark executes are identical
+    and the boundary expressions are one swap away.
+
+    Pure PROJECTION (slice/array_join over the token array): zero
+    shuffle, no UDF — transforming 100 TB is a map. The split
+    partition property (prefix ++ middle ++ suffix == tokens) is
+    tested. Docs too short to split (fewer than 3 tokens may yield
+    empty segments) still render — empty segments are legal FIM
+    (the paper keeps them), the sentinels simply adjoin.
+
+    Output: (id_col, fim, n_prefix, n_middle, n_suffix).
+    """
+    if prefix_milli < 0 or middle_milli < 0 or prefix_milli + middle_milli > 1000:
+        raise ValueError(
+            "need prefix_milli, middle_milli >= 0 and sum <= 1000; "
+            f"got {prefix_milli}, {middle_milli}"
+        )
+    staged = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    w = F.col("__w")
+    n = F.size(w)
+    p_len = F.floor(n * prefix_milli / 1000).cast("int")
+    m_len = F.floor(n * middle_milli / 1000).cast("int")
+    prefix = F.array_join(F.slice(w, 1, p_len), " ")
+    middle = F.array_join(F.slice(w, p_len + 1, m_len), " ")
+    suffix = F.array_join(
+        F.slice(w, p_len + m_len + 1, n - p_len - m_len), " "
+    )
+    if spm:
+        rendered = F.concat(
+            F.lit("<fim_suffix>"), suffix,
+            F.lit("<fim_prefix>"), prefix,
+            F.lit("<fim_middle>"), middle,
+        )
+    else:
+        rendered = F.concat(
+            F.lit("<fim_prefix>"), prefix,
+            F.lit("<fim_suffix>"), suffix,
+            F.lit("<fim_middle>"), middle,
+        )
+    return staged.select(
+        F.col(id_col),
+        rendered.alias("fim"),
+        p_len.cast("bigint").alias("n_prefix"),
+        m_len.cast("bigint").alias("n_middle"),
+        (n - p_len - m_len).cast("bigint").alias("n_suffix"),
+    )

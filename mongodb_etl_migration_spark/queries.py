@@ -12562,6 +12562,44 @@ def t_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t_fim_transform",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+      FROM documents
+    ), s AS (
+      SELECT doc_id, words, len(words) AS n,
+             (len(words) * 400) // 1000 AS p,
+             (len(words) * 300) // 1000 AS m
+      FROM w
+    )
+    SELECT doc_id,
+           '<fim_prefix>' || coalesce(array_to_string(words[1 : p], ' '), '')
+           || '<fim_suffix>'
+           || coalesce(array_to_string(words[p + m + 1 : n], ' '), '')
+           || '<fim_middle>'
+           || coalesce(array_to_string(words[p + 1 : p + m], ' '), '')
+             AS fim,
+           CAST(p AS BIGINT) AS n_prefix,
+           CAST(m AS BIGINT) AS n_middle,
+           CAST(n - p - m AS BIGINT) AS n_suffix
+    FROM s
+    """,
+)
+def t_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle prep (text.fim_transform): PSM render with
+    40/30/30 deterministic token splits — the code-model infilling
+    transform as a zero-shuffle projection. Oracle mirrors with
+    integer // splits and 1-based inclusive slices (empty slices
+    coalesce to '' — DuckDB's array_to_string returns NULL there
+    while Spark's array_join returns '')."""
+    return T.fim_transform(
+        Catalog(spark, sf_dir).documents, prefix_milli=400, middle_milli=300
+    )
+
+
 # =====================================================================
 # BM25 ranked retrieval (operators/text.py:bm25_topk)
 # =====================================================================

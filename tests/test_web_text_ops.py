@@ -3464,3 +3464,48 @@ def test_span_corruption_rejects_bad_params(spark):
         T.span_corruption(df, span_len=5, period=5)
     with _pytest.raises(ValueError):
         T.span_corruption(df, span_len=0, period=5)
+
+
+def test_fim_transform_partition_property_and_orders(spark):
+    import re as _re
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = {r["doc_id"]: r for r in T.fim_transform(docs).collect()}
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for i, text in src.items():
+        words = _re.findall("[a-z0-9]+", text.lower())
+        r = out[i]
+        m = _re.fullmatch(
+            r"<fim_prefix>(.*)<fim_suffix>(.*)<fim_middle>(.*)",
+            r["fim"],
+            _re.DOTALL,
+        )
+        assert m, r["fim"]
+        p, s, mid = (g.split() if g else [] for g in m.groups())
+        assert p + mid + s == words  # partition property
+        assert (len(p), len(mid), len(s)) == (
+            r["n_prefix"], r["n_middle"], r["n_suffix"],
+        )
+        assert len(p) == len(words) * 400 // 1000
+    # SPM order
+    row = T.fim_transform(
+        spark.createDataFrame([(1, "a b c d e f g h i j")], "doc_id long, text string"),
+        spm=True,
+    ).collect()[0]
+    assert row["fim"].startswith("<fim_suffix>")
+    assert "<fim_prefix>" in row["fim"] and row["fim"].count("<fim_middle>") == 1
+
+
+def test_fim_transform_short_docs_and_guards(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, ""), (3, "a b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in T.fim_transform(df).collect()}
+    # 1 token: p=0, m=0 -> everything in suffix
+    assert out[1]["fim"] == "<fim_prefix><fim_suffix>x<fim_middle>"
+    assert (out[1]["n_prefix"], out[1]["n_middle"], out[1]["n_suffix"]) == (0, 0, 1)
+    assert out[2]["fim"] == "<fim_prefix><fim_suffix><fim_middle>"
+    with _pytest.raises(ValueError):
+        T.fim_transform(df, prefix_milli=800, middle_milli=300)
