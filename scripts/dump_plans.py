@@ -526,6 +526,11 @@ NOTES = {
         "its exchange. Scoring is a pure decimal projection — no "
         "floats, no UDFs."
     ),
+    "t_fim_transform": (
+        "FIM prep: the 40/30/30 split, both sentinels orders, and the "
+        "counts are ONE Project over the scan — zero Exchange, zero "
+        "Python."
+    ),
     "t_span_corruption": (
         "T5 span corruption: blocks, sentinels, both surfaces and the "
         "counts are ONE Project over the scan — zero Exchange, zero "
