@@ -78,13 +78,25 @@ def parse_turns(
 def render_chat(turns: Column | str) -> Column:
     """Chat-template render: one string per conversation,
     ``<|role|>content<|end|>`` per turn in turn order. A single
-    aggregate fold over the turns array — per-row, zero shuffle."""
+    aggregate fold over the turns array — per-row, zero shuffle.
+
+    NULL content (possible from structured sources, never from
+    parse_turns) renders as the empty string, so one NULL turn cannot
+    NULL-poison the whole rendered conversation via concat. (The
+    dedup key keeps its chr(0) sentinel — NULL and '' stay distinct
+    identities there; here the rendered TEXT is the product and ''
+    is the only renderable degrade.)"""
     t = F.col(turns) if isinstance(turns, str) else turns
     return F.aggregate(
         t,
         F.lit(""),
         lambda acc, x: F.concat(
-            acc, F.lit("<|"), x["role"], F.lit("|>"), x["content"], F.lit("<|end|>")
+            acc,
+            F.lit("<|"),
+            F.coalesce(x["role"], F.lit("")),
+            F.lit("|>"),
+            F.coalesce(x["content"], F.lit("")),
+            F.lit("<|end|>"),
         ),
     )
 
@@ -95,7 +107,11 @@ def loss_mask_spans(turns: Column | str) -> Column:
     One aggregate fold carrying (running_offset, spans) — the offsets
     come out of the same arithmetic the render performs, so
     ``substring(rendered, start+1, end-start) == content`` holds by
-    construction (and by test). Per-row, zero shuffle, no UDF."""
+    construction (and by test). Per-row, zero shuffle, no UDF.
+
+    NULL role/content count as length 0 — mirroring render_chat's
+    coalesce — so offsets stay aligned with the rendered string even
+    when a structured source carries NULL turns."""
     t = F.col(turns) if isinstance(turns, str) else turns
     zero = F.struct(
         F.lit(0).cast("bigint").alias("off"),
@@ -103,8 +119,12 @@ def loss_mask_spans(turns: Column | str) -> Column:
     )
 
     def step(acc: Column, x: Column) -> Column:
-        start = acc["off"] + F.length(x["role"]) + F.lit(_HDR_FIXED)
-        end = start + F.length(x["content"])
+        start = (
+            acc["off"]
+            + F.length(F.coalesce(x["role"], F.lit("")))
+            + F.lit(_HDR_FIXED)
+        )
+        end = start + F.length(F.coalesce(x["content"], F.lit("")))
         span = F.struct(
             x["turn_idx"].alias("turn_idx"),
             start.cast("bigint").alias("span_start"),

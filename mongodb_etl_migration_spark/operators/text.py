@@ -4049,8 +4049,15 @@ def fim_transform(
     staged = df.select(F.col(id_col), tokens(text_col).alias("__w"))
     w = F.col("__w")
     n = F.size(w)
-    p_len = F.floor(n * prefix_milli / 1000).cast("int")
-    m_len = F.floor(n * middle_milli / 1000).cast("int")
+    # integer `div`, not floor-of-double: bit-exact by construction
+    # for any n (all operands positive, so Spark div == DuckDB //),
+    # keeping the package's no-float discipline in the boundary math
+    p_len = F.expr(
+        f"cast(size(__w) as bigint) * {prefix_milli} div 1000"
+    ).cast("int")
+    m_len = F.expr(
+        f"cast(size(__w) as bigint) * {middle_milli} div 1000"
+    ).cast("int")
     prefix = F.array_join(F.slice(w, 1, p_len), " ")
     middle = F.array_join(F.slice(w, p_len + 1, m_len), " ")
     suffix = F.array_join(

@@ -209,3 +209,56 @@ def test_preference_pairs_plan_single_exchange(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange ") == 1
+
+
+def test_null_turn_content_renders_empty_and_mask_stays_aligned(spark):
+    """Structured sources can carry NULL role/content (parse_turns
+    never emits them). render_chat/loss_mask_spans must degrade the
+    NULL to '' — one NULL turn must not NULL-poison the rendered
+    string or the downstream offsets — while the dedup key keeps its
+    chr(0) sentinel (NULL and '' remain distinct identities)."""
+    df = spark.createDataFrame(
+        [(1,)], "doc_id long"
+    ).select(
+        "doc_id",
+        F.expr(
+            "array(named_struct('turn_idx', 0, 'role', 'user',"
+            " 'content', 'hi'),"
+            " named_struct('turn_idx', 1, 'role', 'assistant',"
+            " 'content', cast(null as string)),"
+            " named_struct('turn_idx', 2, 'role', 'user',"
+            " 'content', 'again'),"
+            " named_struct('turn_idx', 3, 'role', 'assistant',"
+            " 'content', 'answer'))"
+        ).alias("turns"),
+    )
+    row = df.select(
+        CH.render_chat("turns").alias("rendered"),
+        CH.loss_mask_spans("turns").alias("spans"),
+        CH.assistant_transcript_key("turns").alias("k_null"),
+    ).collect()[0]
+    assert row["rendered"] == (
+        "<|user|>hi<|end|><|assistant|><|end|>"
+        "<|user|>again<|end|><|assistant|>answer<|end|>"
+    )
+    # both assistant turns span-tracked; NULL content = zero-length span
+    assert len(row["spans"]) == 2
+    s0, s1 = row["spans"]
+    assert s0["span_end"] - s0["span_start"] == 0
+    got = row["rendered"][s1["span_start"]:s1["span_end"]]
+    assert got == "answer"
+    # dedup key: NULL content != '' content (chr(0) sentinel holds)
+    df_empty = df.select(
+        F.transform(
+            "turns",
+            lambda t: F.struct(
+                t["turn_idx"].alias("turn_idx"),
+                t["role"].alias("role"),
+                F.coalesce(t["content"], F.lit("")).alias("content"),
+            ),
+        ).alias("turns")
+    )
+    k_empty = df_empty.select(
+        CH.assistant_transcript_key("turns").alias("k")
+    ).collect()[0]["k"]
+    assert row["k_null"] != k_empty
