@@ -3926,6 +3926,7 @@ def span_corruption(
     text_col: str = "text",
     span_len: int = 3,
     period: int = 20,
+    seeded: bool = False,
 ):
     """T5/UL2-style span-corruption objective prep: mask deterministic
     token spans with incrementing sentinels and emit the (corrupted
@@ -3938,11 +3939,22 @@ def span_corruption(
     consecutive ``period``-token blocks; each block's FIRST
     ``span_len`` tokens are masked under sentinel ``<extra_id_B>``
     (B = block index). Corruption rate = span_len/period (defaults
-    3/20 = 15%, the T5 paper's rate with mean span 3). Production
-    pipelines seed this by hashing (doc_id, block) instead of "first
-    tokens of every block"; the block/sentinel mechanics — the part
-    Spark executes — are identical, and a seeded variant is one
-    expression swap on the mask predicate.
+    3/20 = 15%, the T5 paper's rate with mean span 3).
+
+    ``seeded=True`` swaps the span's in-block START from 0 to a
+    position drawn from md5(doc_id, block) — hash-then-join key
+    (md5(id)||md5(block), each element md5'd so keys can't alias),
+    first 15 hex digits as BIGINT (portable: Spark conv(hex,16,10)
+    == DuckDB ('0x'||hex)::BIGINT), modulo the valid start range.
+    The masked span is no longer a corpus-wide distribution artifact
+    ("first tokens of every block") yet stays replayable and
+    oracle-checkable — the engine's no-RNG seeding idiom. Rate is
+    EXACTLY span_len/period either way; block/sentinel mechanics and
+    the reconstruction invariant are shared. The offset hash is
+    evaluated once per output surface (2x per block, md5 of two
+    short strings) — still O(tokens) per row, zero shuffle; cheaper
+    than breaking the pure projection with a checkpoint barrier to
+    share the subtree.
 
     Pure PROJECTION: blocks, sentinels, both surfaces, and the counts
     are per-row array expressions (sequence/transform/slice/flatten)
@@ -3970,26 +3982,69 @@ def span_corruption(
     def sentinel(b: Column) -> Column:
         return F.concat(F.lit("<extra_id_"), b.cast("string"), F.lit(">"))
 
-    corrupted_parts = F.flatten(
-        F.transform(
-            blocks,
-            lambda b: F.concat(
+    if seeded:
+        doc_key = F.md5(F.col(id_col).cast("string"))
+
+        def geom(b: Column):
+            """(block_len, cut_len, offset) for block b — offset from
+            the (doc_id, block) hash, clamped to keep the span inside
+            the block; short trailing blocks mask whole (off=0)."""
+            blk_len = F.least(F.lit(period), F.size(w) - b * period)
+            cut_len = F.least(F.lit(span_len), blk_len)
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(doc_key, F.md5(b.cast("string")))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            off = (h % (blk_len - cut_len + 1).cast("bigint")).cast("int")
+            return blk_len, cut_len, off
+
+        def corrupted_block(b: Column) -> Column:
+            blk_len, cut_len, off = geom(b)
+            return F.concat(
+                F.slice(w, b * period + 1, off),
                 F.array(sentinel(b)),
                 F.slice(
-                    w, b * period + span_len + 1, period - span_len
+                    w,
+                    b * period + off + cut_len + 1,
+                    blk_len - off - cut_len,
                 ),
-            ),
-        )
-    )
-    target_parts = F.flatten(
-        F.transform(
-            blocks,
-            lambda b: F.concat(
+            )
+
+        def target_block(b: Column) -> Column:
+            blk_len, cut_len, off = geom(b)
+            return F.concat(
                 F.array(sentinel(b)),
-                F.slice(w, b * period + 1, span_len),
-            ),
+                F.slice(w, b * period + off + 1, cut_len),
+            )
+
+        corrupted_parts = F.flatten(F.transform(blocks, corrupted_block))
+        target_parts = F.flatten(F.transform(blocks, target_block))
+    else:
+        corrupted_parts = F.flatten(
+            F.transform(
+                blocks,
+                lambda b: F.concat(
+                    F.array(sentinel(b)),
+                    F.slice(
+                        w, b * period + span_len + 1, period - span_len
+                    ),
+                ),
+            )
         )
-    )
+        target_parts = F.flatten(
+            F.transform(
+                blocks,
+                lambda b: F.concat(
+                    F.array(sentinel(b)),
+                    F.slice(w, b * period + 1, span_len),
+                ),
+            )
+        )
     empty = F.size(w) == 0
     return staged.select(
         F.col(id_col),
@@ -4017,6 +4072,7 @@ def fim_transform(
     prefix_milli: int = 400,
     middle_milli: int = 300,
     spm: bool = False,
+    seeded: bool = False,
 ):
     """Fill-in-the-middle objective prep (Bavarian et al. 2022; the
     StarCoder/code-model training transform): split each document into
@@ -4028,9 +4084,17 @@ def fim_transform(
 
     DETERMINISTIC split (the engine's no-RNG rule): boundaries at
     floor(n·prefix_milli/1000) and +floor(n·middle_milli/1000) tokens.
-    Production pipelines draw the boundaries from a seeded hash per
-    doc; the sentinel/render mechanics Spark executes are identical
-    and the boundary expressions are one swap away.
+
+    ``seeded=True`` draws the two cut points the way the paper does —
+    two uniform positions in [0, n], sorted — but from per-document
+    hashes instead of an RNG: c_a/c_b = first 15 hex digits of
+    md5(md5(doc_id)||md5('fim_a'/'fim_b')) as BIGINT, modulo n+1
+    (hash-then-join key discipline; the conv(hex,16,10) idiom is
+    DuckDB-portable, so the variant stays oracle-checkable). Then
+    prefix = [0, lo), middle = [lo, hi), suffix = [hi, n). The milli
+    parameters are ignored in seeded mode (boundaries are per-doc
+    draws, not fixed fractions); sentinel/render mechanics and the
+    partition property are shared with the deterministic path.
 
     Pure PROJECTION (slice/array_join over the token array): zero
     shuffle, no UDF — transforming 100 TB is a map. The split
@@ -4049,15 +4113,32 @@ def fim_transform(
     staged = df.select(F.col(id_col), tokens(text_col).alias("__w"))
     w = F.col("__w")
     n = F.size(w)
-    # integer `div`, not floor-of-double: bit-exact by construction
-    # for any n (all operands positive, so Spark div == DuckDB //),
-    # keeping the package's no-float discipline in the boundary math
-    p_len = F.expr(
-        f"cast(size(__w) as bigint) * {prefix_milli} div 1000"
-    ).cast("int")
-    m_len = F.expr(
-        f"cast(size(__w) as bigint) * {middle_milli} div 1000"
-    ).cast("int")
+    if seeded:
+        doc_key = F.md5(F.col(id_col).cast("string"))
+
+        def cut(tag: str) -> Column:
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(doc_key, F.md5(F.lit(tag)))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            return (h % (n + 1).cast("bigint")).cast("int")
+
+        c_a, c_b = cut("fim_a"), cut("fim_b")
+        p_len = F.least(c_a, c_b)
+        m_len = F.greatest(c_a, c_b) - p_len
+    else:
+        # integer `div`, not floor-of-double: bit-exact by construction
+        # for any n (all operands positive, so Spark div == DuckDB //),
+        # keeping the package's no-float discipline in the boundary math
+        p_len = F.expr(
+            f"cast(size(__w) as bigint) * {prefix_milli} div 1000"
+        ).cast("int")
+        m_len = F.expr(
+            f"cast(size(__w) as bigint) * {middle_milli} div 1000"
+        ).cast("int")
     prefix = F.array_join(F.slice(w, 1, p_len), " ")
     middle = F.array_join(F.slice(w, p_len + 1, m_len), " ")
     suffix = F.array_join(

@@ -12603,6 +12603,119 @@ def t_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t_span_corruption_seeded",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+      FROM documents
+    ), b AS (
+      SELECT doc_id, words,
+             CAST(ceil(len(words) / 20.0) AS INT) AS nb
+      FROM w
+    ), blk AS (
+      SELECT doc_id, words, nb,
+             unnest(generate_series(0, nb - 1)) AS bi
+      FROM b
+    ), g AS (
+      SELECT doc_id, words, nb, bi,
+             least(20, len(words) - bi*20) AS bl,
+             least(3, least(20, len(words) - bi*20)) AS cut
+      FROM blk
+    ), o AS (
+      SELECT doc_id, words, nb, bi, bl, cut,
+             ('0x' || substr(md5(md5(CAST(doc_id AS VARCHAR))
+                                 || md5(CAST(bi AS VARCHAR))), 1, 15)
+             )::BIGINT % (bl - cut + 1) AS off
+      FROM g
+    ), parts AS (
+      SELECT doc_id, nb, bi, cut AS n_cut,
+             '<extra_id_' || bi || '>' AS sent,
+             array_to_string(words[bi*20 + 1 : bi*20 + off], ' ')
+               AS keep_l,
+             array_to_string(
+               words[bi*20 + off + cut + 1 : bi*20 + bl], ' ') AS keep_r,
+             array_to_string(
+               words[bi*20 + off + 1 : bi*20 + off + cut], ' ') AS cutw
+      FROM o
+    )
+    SELECT doc_id,
+           string_agg(
+             CASE WHEN keep_l IS NOT NULL AND keep_l != ''
+                  THEN keep_l || ' ' ELSE '' END
+             || sent
+             || CASE WHEN keep_r IS NOT NULL AND keep_r != ''
+                     THEN ' ' || keep_r ELSE '' END,
+             ' ' ORDER BY bi) AS corrupted,
+           string_agg(
+             sent || CASE WHEN cutw IS NOT NULL AND cutw != ''
+                          THEN ' ' || cutw ELSE '' END,
+             ' ' ORDER BY bi) AS targets,
+           CAST(max(nb) AS BIGINT) AS n_spans,
+           CAST(sum(n_cut) AS BIGINT) AS n_masked
+    FROM parts GROUP BY doc_id
+    """,
+)
+def t_span_corruption_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded span corruption (text.span_corruption seeded=True): the
+    masked span's in-block start drawn from md5(doc_id, block) modulo
+    the valid range — replayable per-document masking instead of the
+    "first tokens of every block" distribution artifact, same exact
+    15% rate and sentinel mechanics. Oracle mirrors the hash with the
+    ('0x'||substr(md5,1,15))::BIGINT idiom (all operands positive so
+    %% agrees engine-to-engine); still a zero-shuffle projection."""
+    return T.span_corruption(
+        Catalog(spark, sf_dir).documents, span_len=3, period=20, seeded=True
+    ).filter(F.col("n_spans") > 0)
+
+
+@query(
+    "t_fim_transform_seeded",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+      FROM documents
+    ), c AS (
+      SELECT doc_id, words, len(words) AS n,
+             ('0x' || substr(md5(md5(CAST(doc_id AS VARCHAR))
+                                 || md5('fim_a')), 1, 15)
+             )::BIGINT % (len(words) + 1) AS ca,
+             ('0x' || substr(md5(md5(CAST(doc_id AS VARCHAR))
+                                 || md5('fim_b')), 1, 15)
+             )::BIGINT % (len(words) + 1) AS cb
+      FROM w
+    ), s AS (
+      SELECT doc_id, words, n,
+             least(ca, cb) AS p,
+             greatest(ca, cb) - least(ca, cb) AS m
+      FROM c
+    )
+    SELECT doc_id,
+           '<fim_prefix>' || coalesce(array_to_string(words[1 : p], ' '), '')
+           || '<fim_suffix>'
+           || coalesce(array_to_string(words[p + m + 1 : n], ' '), '')
+           || '<fim_middle>'
+           || coalesce(array_to_string(words[p + 1 : p + m], ' '), '')
+             AS fim,
+           CAST(p AS BIGINT) AS n_prefix,
+           CAST(m AS BIGINT) AS n_middle,
+           CAST(n - p - m AS BIGINT) AS n_suffix
+    FROM s
+    """,
+)
+def t_fim_transform_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded FIM (text.fim_transform seeded=True): the paper's two
+    uniform cut points in [0, n], drawn from md5(doc_id, 'fim_a'/'fim_b')
+    and sorted, instead of fixed 40/30/30 fractions — per-document
+    split diversity with no RNG, oracle-checkable via the shared
+    hex-to-BIGINT idiom. Same PSM render and partition property."""
+    return T.fim_transform(
+        Catalog(spark, sf_dir).documents, seeded=True
+    )
+
+
 # =====================================================================
 # BM25 ranked retrieval (operators/text.py:bm25_topk)
 # =====================================================================

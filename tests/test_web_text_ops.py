@@ -3509,3 +3509,102 @@ def test_fim_transform_short_docs_and_guards(spark):
     assert out[2]["fim"] == "<fim_prefix><fim_suffix><fim_middle>"
     with _pytest.raises(ValueError):
         T.fim_transform(df, prefix_milli=800, middle_milli=300)
+
+
+def test_span_corruption_seeded_reconstruction_and_diversity(spark):
+    """seeded=True must preserve the reconstruction invariant (splice
+    each target span over its sentinel -> original tokens) while
+    actually moving the mask around: offsets vary across (doc, block)
+    — the whole point of seeding away from 'first tokens of every
+    block' — and the exact span_len/period rate is unchanged."""
+    import re as _re
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in T.span_corruption(
+            docs, span_len=3, period=20, seeded=True
+        ).collect()
+    }
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(out) == set(src)
+    n_midblock = 0
+    checked = 0
+    for i, text in src.items():
+        words = _re.findall("[a-z0-9]+", text.lower())
+        r = out[i]
+        tgt = {}
+        for m in _re.finditer(
+            r"<extra_id_(\d+)>((?:(?!<extra_id_)\S|\s)*)", r["targets"]
+        ):
+            tgt[int(m.group(1))] = m.group(2).split()
+        rebuilt = []
+        for tok in r["corrupted"].split():
+            m = _re.fullmatch(r"<extra_id_(\d+)>", tok)
+            if m:
+                rebuilt.extend(tgt.get(int(m.group(1)), []))
+            else:
+                rebuilt.append(tok)
+        assert rebuilt == words, f"doc {i} failed seeded reconstruction"
+        assert r["n_spans"] == -(-len(words) // 20)
+        assert r["n_masked"] == sum(
+            min(3, max(0, len(words) - b * 20)) for b in range(r["n_spans"])
+        )
+        # a sentinel NOT at a block start means the offset moved
+        ctoks = r["corrupted"].split()
+        pos = 0
+        for tok in ctoks:
+            if _re.fullmatch(r"<extra_id_\d+>", tok):
+                if pos % 20 != 0:
+                    n_midblock += 1
+            else:
+                pos += 1
+        checked += 1
+    assert checked >= 100
+    # overwhelmingly likely: offsets land mid-block somewhere
+    assert n_midblock > checked  # avg > 1 moved sentinel per doc
+
+
+def test_fim_transform_seeded_partition_and_diversity(spark):
+    """seeded=True: prefix ++ middle ++ suffix still partitions the
+    token stream; boundary draws differ across documents (not the
+    fixed 40/30/30 split); counts are consistent and within [0, n]."""
+    import re as _re
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in T.fim_transform(docs, seeded=True).collect()
+    }
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    fracs = set()
+    for i, text in src.items():
+        words = _re.findall("[a-z0-9]+", text.lower())
+        r = out[i]
+        m = _re.fullmatch(
+            r"<fim_prefix>(.*)<fim_suffix>(.*)<fim_middle>(.*)",
+            r["fim"],
+            _re.S,
+        )
+        assert m, r["fim"]
+        p, s, mid = (g.split() for g in m.groups())
+        assert p + mid + s == words, f"doc {i} failed seeded partition"
+        n = len(words)
+        assert r["n_prefix"] == len(p) and r["n_middle"] == len(mid)
+        assert r["n_suffix"] == len(s) == n - len(p) - len(mid)
+        if n:
+            fracs.add((r["n_prefix"] * 100 // n, r["n_middle"] * 100 // n))
+    # per-doc draws: many distinct (prefix%, middle%) splits, not one
+    assert len(fracs) > 20
+
+
+def test_fim_transform_seeded_ignores_milli_params(spark):
+    df = spark.createDataFrame(
+        [(7, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    a = T.fim_transform(df, seeded=True).collect()[0]
+    b = T.fim_transform(
+        df, prefix_milli=900, middle_milli=50, seeded=True
+    ).collect()[0]
+    assert a == b
