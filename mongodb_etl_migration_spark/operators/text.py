@@ -1491,16 +1491,7 @@ def bm25_topk(
     Output: (query_id, doc_id, score_milli, rn) — k rows per query,
     ties broken by doc_id ascending.
     """
-    from pyspark.sql import Window
-
-    if not 0 <= b_milli <= 1000 or k1_milli < 0:
-        # b > 1 would make (1000 - B) negative and break the
-        # all-positive-operands guarantee the exact `div` relies on
-        raise ValueError(
-            f"b_milli must be in [0, 1000] and k1_milli >= 0; "
-            f"got b_milli={b_milli}, k1_milli={k1_milli}"
-        )
-
+    _bm25_validate(k1_milli, b_milli)
     spark = df.sparkSession
     toks = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
@@ -1526,41 +1517,62 @@ def bm25_topk(
         "query_id string, term string",
     )
 
+    scored_terms = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(dfreq, "term")
+        .join(dl, id_col)
+        .select("query_id", F.col(id_col), "tf", "df", "dl")
+    )
+    return _bm25_rank(
+        scored_terms, id_col, n_docs, total, k, k1_milli, b_milli
+    )
+
+
+def _bm25_rank(
+    scored_terms,
+    id_col: str,
+    n_docs: int,
+    total: int,
+    k: int,
+    k1_milli: int,
+    b_milli: int,
+):
+    """Shared BM25 tail: (query_id, id, tf, df, dl) rows → top-k
+    (query_id, id, score_milli, rn). The fixed-point algebra and the
+    WindowGroupLimit ranking live HERE so bm25_topk (corpus pass) and
+    bm25_probe (persisted index) cannot drift apart — probe ≡ topk is
+    by shared code, then re-proved by the oracle twin."""
+    from pyspark.sql import Window
+
     def d(c) -> Column:
         return (F.lit(c) if isinstance(c, int) else c).cast(
             "decimal(38,0)"
         )
 
     kk, bb, nn, tt = k1_milli, b_milli, n_docs, total
-    scored = (
-        tf.join(F.broadcast(qdf), "term")
-        .join(dfreq, "term")
-        .join(dl, id_col)
-        .select(
-            "query_id",
-            F.col(id_col),
-            (
-                d(1000)
-                * (d(2 * nn + 1) - d(2) * d(F.col("df")))
-                * (d(F.col("tf")) * d(kk + 1000) * d(1000) * d(tt))
-            ).alias("__num"),
-            (
-                (d(2) * d(F.col("df")) + d(1))
+    scored = scored_terms.select(
+        "query_id",
+        F.col(id_col),
+        (
+            d(1000)
+            * (d(2 * nn + 1) - d(2) * d(F.col("df")))
+            * (d(F.col("tf")) * d(kk + 1000) * d(1000) * d(tt))
+        ).alias("__num"),
+        (
+            (d(2) * d(F.col("df")) + d(1))
+            * (
+                d(F.col("tf")) * d(1000000) * d(tt)
+                + d(kk)
                 * (
-                    d(F.col("tf")) * d(1000000) * d(tt)
-                    + d(kk)
-                    * (
-                        d(1000 - bb) * d(tt)
-                        + d(bb) * d(F.col("dl")) * d(nn)
-                    )
+                    d(1000 - bb) * d(tt)
+                    + d(bb) * d(F.col("dl")) * d(nn)
                 )
-            ).alias("__den"),
-        )
-        .select(
-            "query_id",
-            id_col,
-            F.expr("__num div __den").cast("bigint").alias("sm"),
-        )
+            )
+        ).alias("__den"),
+    ).select(
+        "query_id",
+        id_col,
+        F.expr("__num div __den").cast("bigint").alias("sm"),
     )
     per_doc = scored.groupBy("query_id", id_col).agg(
         F.sum("sm").cast("bigint").alias("score_milli")
@@ -1577,6 +1589,196 @@ def bm25_topk(
             "score_milli",
             F.col("rn").cast("bigint").alias("rn"),
         )
+    )
+
+
+def _bm25_validate(k1_milli: int, b_milli: int) -> None:
+    if not 0 <= b_milli <= 1000 or k1_milli < 0:
+        # b > 1 would make (1000 - B) negative and break the
+        # all-positive-operands guarantee the exact `div` relies on
+        raise ValueError(
+            f"b_milli must be in [0, 1000] and k1_milli >= 0; "
+            f"got b_milli={b_milli}, k1_milli={k1_milli}"
+        )
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the postings partition bucket — MUST match
+    the Spark expression in bm25_index (conv(substr(md5,1,15),16,10)
+    % n_buckets; md5 over UTF-8 bytes both sides)."""
+    import hashlib
+
+    h = hashlib.md5(term.encode("utf-8")).hexdigest()
+    return int(h[:15], 16) % n_buckets
+
+
+def postings_from_tf(tf, id_col: str = "doc_id", n_buckets: int = 64):
+    """(id, term, tf) rows → full postings (id, term, tf, dl, df,
+    tbucket). This IS the index-maintenance recipe: tf counts are
+    additive (the gram_count_index rule), so incremental ingest
+    unions a batch's tf rows into the held tf layer, re-sums per
+    (id, term), and calls this to re-derive the snapshot-wide dl/df
+    — never touching raw text again. dl/df attach as window sums
+    over the tf rows (two exchanges, build/maintenance-time only)."""
+    from pyspark.sql import Window
+
+    return tf.select(
+        F.col(id_col),
+        "term",
+        "tf",
+        F.sum("tf").over(Window.partitionBy(id_col)).alias("dl"),
+        F.count("*").over(Window.partitionBy("term")).alias("df"),
+        (
+            F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast(
+                "bigint"
+            )
+            % n_buckets
+        ).cast("int").alias("tbucket"),
+    )
+
+
+def bm25_index(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Materialized BM25 index build: (postings, stats) frames that
+    :func:`write_bm25_index` persists and :func:`bm25_probe` joins —
+    so repeated retrieval workloads (eval-set decontamination runs,
+    corpus audits) stop re-exploding 100 TB of text per query batch.
+    The write_minhash_index / gram_count_index discipline applied to
+    retrieval.
+
+    postings: one row per (doc, term) carrying EVERYTHING the scorer
+    needs — (id, term, tf, dl, df, tbucket). dl and df are
+    denormalized onto the posting row (one int each) precisely so the
+    probe's only corpus-sized input is the matched postings: no
+    probe-time join against a corpus-sized dl table or a
+    vocabulary-sized df table. tbucket = first 15 hex digits of
+    md5(term) as BIGINT mod ``n_buckets`` — the Hive partition
+    column; a probe for Q terms reads at most |Q| of the
+    ``n_buckets`` directories (real directory pruning, unlike the
+    minhash band layout where every doc emits every band).
+
+    stats: ONE row (n_docs, total_dl) — N counts ALL documents
+    (zero-token docs carry no postings but still shrink idf), T = sum
+    of tf. Both are driver scalars at build time (metadata count +
+    one 1-row aggregate over the checkpointed tf — the documented
+    bounded-collect pattern from bm25_topk).
+
+    Plan: token explode → ONE (doc, term) exchange for tf
+    (localCheckpointed: the postings windows and the T aggregate both
+    consume it); dl/df attach as window sums over the tf rows (two
+    vocabulary-/corpus-keyed exchanges, build-time only). Maintenance:
+    tf counts are additive (union a batch's tf and re-sum, the
+    gram_count_index rule) but dl/df/N/T are snapshot-wide, so
+    incremental ingest re-derives the windows from the maintained tf
+    via :func:`postings_from_tf` — never from raw text (tested:
+    maintained index == from-scratch index over the union).
+    """
+    for reserved in ("term", "tf", "dl", "df", "tbucket"):
+        if id_col == reserved:
+            raise ValueError(
+                f"id_col={id_col!r} collides with an index column"
+            )
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    postings = postings_from_tf(tf, id_col, n_buckets)
+    n_docs = int(df.count())
+    total = int(tf.agg(F.sum("tf")).collect()[0][0] or 0)
+    stats = spark.createDataFrame(
+        [(n_docs, total)], "n_docs bigint, total_dl bigint"
+    )
+    return postings, stats
+
+
+def write_bm25_index(
+    df,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the BM25 index under ``path``: ``postings/`` Hive-
+    partitioned by tbucket (probe prunes to the query terms'
+    buckets), ``stats/`` as the 1-row N/T table."""
+    postings, stats = bm25_index(df, id_col, text_col, n_buckets)
+    postings.write.mode(mode).partitionBy("tbucket").parquet(
+        f"{path}/postings"
+    )
+    stats.write.mode(mode).parquet(f"{path}/stats")
+
+
+def bm25_probe(
+    postings,
+    stats,
+    queries: list[tuple[str, list[str]]],
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+):
+    """BM25 retrieval against a prebuilt index — output-identical to
+    :func:`bm25_topk` on the corpus the index was built from (shared
+    ``_bm25_rank`` tail; re-proved by the t_bm25_probe oracle twin).
+    The raw corpus is NEVER touched: one broadcast join of the
+    human-sized query terms against the postings, then the shared
+    aggregate + WindowGroupLimit tail. N/T come from the 1-row stats
+    table (bounded collect)."""
+    _bm25_validate(k1_milli, b_milli)
+    spark = postings.sparkSession
+    srow = stats.collect()[0]
+    n_docs, total = int(srow["n_docs"]), int(srow["total_dl"])
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in terms],
+        "query_id string, term string",
+    )
+    scored_terms = postings.join(F.broadcast(qdf), "term").select(
+        "query_id", F.col(id_col), "tf", "df", "dl"
+    )
+    return _bm25_rank(
+        scored_terms, id_col, n_docs, total, k, k1_milli, b_milli
+    )
+
+
+def bm25_probe_indexed(
+    spark,
+    path: str,
+    queries: list[tuple[str, list[str]]],
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+    n_buckets: int = 64,
+):
+    """:func:`bm25_probe` against the PERSISTED index written by
+    :func:`write_bm25_index`. Prunes the postings scan to the query
+    terms' tbucket partitions before the join — the driver-side
+    bucket hash is the exact twin of the build expression
+    (``_term_bucket_py``), so pruning can never drop a matching
+    posting. ``n_buckets`` must match the build."""
+    buckets = sorted(
+        {
+            _term_bucket_py(t, n_buckets)
+            for _, terms in queries
+            for t in terms
+        }
+    )
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("tbucket").isin(buckets)
+    )
+    stats = spark.read.parquet(f"{path}/stats")
+    return bm25_probe(
+        postings, stats, queries, id_col, k, k1_milli, b_milli
     )
 
 

@@ -12730,9 +12730,10 @@ _BM25_Q_SQL = ", ".join(
 )
 
 
-@query(
-    "t_bm25_retrieval",
-    f"""
+# shared by t_bm25_retrieval (corpus pass) and t_bm25_probe (persisted
+# index): the probe is CONTRACTUALLY output-identical to the corpus
+# pass, so both queries pin against the same oracle text.
+_BM25_ORACLE = f"""
     WITH tok AS (
       SELECT doc_id,
              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
@@ -12775,8 +12776,10 @@ _BM25_Q_SQL = ", ".join(
       FROM agg
     )
     SELECT query_id, doc_id, score_milli, rn FROM ranked WHERE rn <= 10
-    """,
-)
+    """
+
+
+@query("t_bm25_retrieval", _BM25_ORACLE)
 def t_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval (text.bm25_topk): top-10 documents for
     three two-term queries — the decontamination-lookup / corpus-
@@ -12790,6 +12793,22 @@ def t_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BM25_QUERIES,
         k=10,
     )
+
+
+@query("t_bm25_probe", _BM25_ORACLE)
+def t_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 against the MATERIALIZED index (text.bm25_index +
+    bm25_probe): build the postings/stats frames once, then answer
+    the same three queries by joining the index — the raw corpus is
+    never re-exploded at probe time (decontamination lookups are a
+    repeated workload; write_bm25_index persists the same frames
+    Hive-partitioned by term bucket so a probe prunes to |Q| of 64
+    directories). Pinned to the SAME oracle text as
+    t_bm25_retrieval: probe == corpus pass, by shared _bm25_rank tail
+    and by this gate. The persisted-path plan (corpus never scanned,
+    PartitionFilters on tbucket) is pinned in tests/test_bm25.py."""
+    postings, stats = T.bm25_index(Catalog(spark, sf_dir).documents)
+    return T.bm25_probe(postings, stats, _BM25_QUERIES, k=10)
 
 
 # =====================================================================
