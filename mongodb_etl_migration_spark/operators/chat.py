@@ -75,6 +75,42 @@ def parse_turns(
     )
 
 
+_MSG_SCHEMA = "array<struct<role:string,content:string>>"
+
+
+def parse_turns_json(json_col: Column | str) -> Column:
+    """Role-tagged turns from messages-JSON — the shape real SFT dumps
+    arrive in (``[{"role": "user", "content": "..."}, ...]``; extra
+    keys are ignored by the schema projection). Returns the same
+    ``TURN_STRUCT`` array parse_turns produces, so render/mask/dedup/
+    pairs run unchanged on structured data.
+
+    turn_idx comes from ARRAY POSITION (the dump's message order),
+    never from a field in the payload — a hostile or buggy producer
+    cannot reorder the loss mask. Degrades loudly-but-safely:
+    malformed JSON / a scalar payload / NULL input parse to NULL and
+    coalesce to an EMPTY conversation (the parse_turns empty-text
+    convention); a bare message OBJECT parses as a one-message
+    conversation (Spark's from_json wraps a lone object to match an
+    array schema — tested); a NULL array element or missing
+    role/content keys yield NULL fields, which the downstream family
+    handles (render/mask coalesce to '', the dedup key hashes the
+    chr(0) sentinel). Pure projection: from_json + transform, zero
+    shuffle, no UDF — ingesting 100 TB of message dumps is a map."""
+    j = F.col(json_col) if isinstance(json_col, str) else json_col
+    arr = F.coalesce(
+        F.from_json(j, _MSG_SCHEMA), F.array().cast(_MSG_SCHEMA)
+    )
+    return F.transform(
+        arr,
+        lambda x, i: F.struct(
+            i.cast("int").alias("turn_idx"),
+            x["role"].alias("role"),
+            x["content"].alias("content"),
+        ),
+    )
+
+
 def render_chat(turns: Column | str) -> Column:
     """Chat-template render: one string per conversation,
     ``<|role|>content<|end|>`` per turn in turn order. A single

@@ -12349,6 +12349,50 @@ def c_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CH.preference_pairs(conv, "score")
 
 
+@query(
+    "c_json_ingest",
+    f"""
+    WITH {_CHAT_FIXTURE_SQL}, agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_turns,
+             string_agg('<|' || role || '|>' || content || '<|end|>',
+                        '' ORDER BY turn_idx) AS rendered
+      FROM turn GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 11 = 0 THEN 0
+                ELSE coalesce(a.n_turns, 0) END AS n_turns,
+           CASE WHEN d.doc_id % 11 = 0 THEN ''
+                ELSE coalesce(a.rendered, '') END AS rendered
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def c_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-chat ingest (chat.parse_turns_json): conversations
+    round-trip through the messages-JSON shape real SFT dumps arrive
+    in — the fixture turns are serialized with to_json, docs with
+    doc_id %% 11 == 0 are PLANTED MALFORMED (last character chopped,
+    so from_json yields NULL), then parse_turns_json re-derives the
+    TURN_STRUCT (turn_idx from array position) and render_chat runs
+    on it. Malformed payloads degrade to the empty conversation
+    (n_turns 0, rendered ''), never a NULL row or a crash. The
+    oracle never sees JSON: it recomputes the render from the
+    fixture text and overrides the planted ids — a broken
+    serialize/parse/render leg on the Spark side cannot hash-match.
+    Still a pure projection: to_json/from_json/transform/fold,
+    zero exchanges."""
+    conv = _chat_conv(spark, sf_dir)
+    payload = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.expr("substring(to_json(turns), 1, length(to_json(turns)) - 1)"),
+    ).otherwise(F.to_json("turns"))
+    parsed = CH.parse_turns_json(payload)
+    return conv.select(
+        "doc_id",
+        F.size(parsed).cast("bigint").alias("n_turns"),
+        CH.render_chat(parsed).alias("rendered"),
+    )
+
+
 # =====================================================================
 # Bitext mining (operators/similarity.py:bitext_margin_pairs)
 # =====================================================================

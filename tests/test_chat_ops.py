@@ -262,3 +262,63 @@ def test_null_turn_content_renders_empty_and_mask_stays_aligned(spark):
         CH.assistant_transcript_key("turns").alias("k")
     ).collect()[0]["k"]
     assert row["k_null"] != k_empty
+
+
+def test_parse_turns_json_shapes_and_degrades(spark):
+    """Structured ingest edge matrix: well-formed arrays keep message
+    order as turn_idx; malformed JSON / scalar / NULL payloads become
+    the EMPTY conversation; a bare object is a one-message
+    conversation (Spark wraps a lone object to match an array
+    schema); NULL elements and missing keys yield NULL fields the
+    render/mask/key family already degrades; a turn_idx key in the
+    payload is IGNORED — position wins, so a producer cannot reorder
+    the loss mask."""
+    rows = [
+        (1, '[{"role":"user","content":"hi"},'
+            '{"role":"assistant","content":"yo"}]'),
+        (2, '[{"role":"user","content":"hi"'),  # malformed
+        (3, None),
+        (4, "[]"),
+        (5, '[null,{"role":"assistant"}]'),
+        (6, '{"role":"user","content":"solo"}'),  # bare object
+        (7, '[{"turn_idx":9,"role":"user","content":"x","extra":1}]'),
+        (8, '"just a string"'),  # scalar payload
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload string")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            CH.parse_turns_json("payload").alias("turns"),
+            CH.render_chat(CH.parse_turns_json("payload")).alias("r"),
+        ).collect()
+    }
+    assert [
+        (t["turn_idx"], t["role"], t["content"]) for t in got[1]["turns"]
+    ] == [(0, "user", "hi"), (1, "assistant", "yo")]
+    assert got[1]["r"] == "<|user|>hi<|end|><|assistant|>yo<|end|>"
+    for empty_id in (2, 3, 4, 8):
+        assert got[empty_id]["turns"] == [] and got[empty_id]["r"] == ""
+    assert [t["turn_idx"] for t in got[5]["turns"]] == [0, 1]
+    assert got[5]["turns"][0]["role"] is None
+    assert got[5]["turns"][1]["content"] is None
+    assert got[6]["r"] == "<|user|>solo<|end|>"
+    assert got[7]["turns"][0]["turn_idx"] == 0  # position, not payload
+
+
+def test_parse_turns_json_roundtrip_matches_parse_turns(spark):
+    """to_json(parse_turns(text)) -> parse_turns_json is the identity
+    on the turns array over real documents — the serialize/parse leg
+    c_json_ingest leans on, pinned here row-for-row."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    conv = docs.select(
+        "doc_id", CH.parse_turns("text", turn_words=6).alias("turns")
+    )
+    bad = conv.select(
+        "doc_id",
+        F.when(
+            CH.parse_turns_json(F.to_json("turns")) == F.col("turns"),
+            F.lit(0),
+        ).otherwise(F.lit(1)).alias("mismatch"),
+    ).agg(F.sum("mismatch")).collect()[0][0]
+    assert bad == 0
