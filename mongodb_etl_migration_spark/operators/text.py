@@ -3556,6 +3556,113 @@ def bpe_train_batched_reference(
     return merges
 
 
+def bpe_train_incremental_reference(
+    word_counts: dict[str, int],
+    n_merges: int,
+    min_count: int = 2,
+    stats: dict | None = None,
+):
+    """Sequential-exact BPE trainer with PAIR-COUNT DELTA MAINTENANCE
+    — the algorithm production tokenizer trainers actually ship
+    (HuggingFace tokenizers' BpeTrainer, SentencePiece's BPE mode):
+    count every adjacent pair ONCE, then per merge touch only the
+    words that CONTAIN the merged pair, applying the exact
+    engine-semantics replace (``_apply_pair_passes``) and folding the
+    count difference into a lazily-invalidated max-heap. Per-merge
+    cost is O(occurrences in affected words), not O(vocabulary) — so
+    the merge count and the trajectory's chain structure stop
+    mattering: the Zipf-head regime that serializes the batched
+    scheduler (interaction-dense mega-words → p50 batch 2,
+    BENCH_bpe_train round-10 tier) costs the same per merge as the
+    flat tail here, because this trainer never recounts anything.
+
+    Trajectory-EXACT twin of ``bpe_train_reference``: identical
+    zip-adjacent counting (overlapping runs count), identical
+    (count desc, lexicographic pair) argmax via the heap's
+    (-count, pair) order, identical ``min_count`` stop, identical
+    multi-pass replace semantics — property-tested equal on random
+    corpora and pinned against the DuckDB-unrolled sequential oracle
+    by t_bpe_train_incremental. The heap is LAZY: every count change
+    pushes a fresh entry; a popped entry is live only if it matches
+    the current count (stale entries — including counts lowered by
+    later deltas — are discarded), so correctness never depends on
+    decrease-key.
+
+    ``stats`` receives {'rounds': 0, 'touched_symbols': N} — zero
+    vocabulary-sized recounts by construction; touched_symbols is
+    the total re-tokenization work, the quantity that replaces
+    "rounds" as this path's cost model.
+    """
+    import heapq
+    from collections import Counter
+
+    forms = [w for w in word_counts if w]
+    words: list[list[str]] = [list(w) for w in forms]
+    cnts: list[int] = [int(word_counts[w]) for w in forms]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for i, parts in enumerate(words):
+        c = cnts[i]
+        seen: set[tuple[str, str]] = set()
+        for p in zip(parts, parts[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            seen.add(p)
+        for p in seen:
+            pair_words.setdefault(p, set()).add(i)
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-c, p) for p, c in pair_counts.items()
+    ]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str, int]] = []
+    touched = 0
+    while len(merges) < n_merges:
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p, 0) == -negc:
+                best = (p, -negc)
+                break
+        if best is None:
+            break
+        (l, r), cnt = best
+        if cnt < min_count:
+            break
+        merges.append((l, r, cnt))
+        for i in list(pair_words.get((l, r), ())):
+            parts = words[i]
+            c = cnts[i]
+            new = _apply_pair_passes(parts, l, r)
+            oldc = Counter(zip(parts, parts[1:]))
+            newc = Counter(zip(new, new[1:]))
+            for p in oldc.keys() | newc.keys():
+                d = newc.get(p, 0) - oldc.get(p, 0)
+                if d:
+                    nv = pair_counts.get(p, 0) + d * c
+                    if nv > 0:
+                        pair_counts[p] = nv
+                        heapq.heappush(heap, (-nv, p))
+                    else:
+                        pair_counts.pop(p, None)
+                if oldc.get(p, 0) and not newc.get(p, 0):
+                    s = pair_words.get(p)
+                    if s is not None:
+                        s.discard(i)
+                        if not s:
+                            pair_words.pop(p, None)
+                elif newc.get(p, 0) and not oldc.get(p, 0):
+                    pair_words.setdefault(p, set()).add(i)
+            words[i] = new
+            touched += len(parts)
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["batch_sizes"] = []
+        stats["touched_symbols"] = touched
+    return merges, {
+        forms[i]: " " + " ".join(words[i]) + " "
+        for i in range(len(forms))
+    }
+
+
 def bpe_train(
     df,
     text_col: str,
@@ -3563,6 +3670,8 @@ def bpe_train(
     min_count: int = 2,
     batch_cap: int = 256,
     stats: dict | None = None,
+    mode: str = "auto",
+    driver_vocab_max: int = 4_000_000,
 ):
     """Distributed BPE TRAINING — the tokenizer-learning half next to
     the encode paths (bpe_encoded_word / gpt2_encode_batch consume
@@ -3595,18 +3704,72 @@ def bpe_train(
     ``batch_cap=1`` degenerates to the classic one-merge-per-round
     loop (and skips the triple bookkeeping entirely).
 
+    ``mode`` picks the training engine AFTER the one corpus exchange:
+
+    * ``"driver"`` — collect the (wordform, count) vocabulary (a
+      DIMENSION-sized table: the corpus-sized work is already folded
+      into counts by the one exchange above; ~10^5-10^6 distinct
+      wordforms for natural-language corpora at any corpus size, the
+      same bounded-collect class as the k-means centroids and BPE
+      argmax rows) and train with
+      :func:`bpe_train_incremental_reference` — pair-count delta
+      maintenance, per-merge cost O(affected occurrences), ZERO
+      per-merge Spark jobs. This is how production tokenizer
+      trainers work and it makes the round count irrelevant: the
+      Zipf-head regime that keeps the distributed batch scheduler at
+      p50 batch = 2 (BENCH_bpe_train.json) costs nothing extra here.
+      Refuses loudly when the vocabulary exceeds
+      ``driver_vocab_max`` rows — a vocabulary that big (web-scale
+      noise, unsegmented scripts) needs the distributed path, not a
+      silent driver OOM.
+    * ``"distributed"`` — the vocabulary-resident batched rounds
+      below (one vocab-sized job per round, provable-prefix merge
+      batches): the escape hatch when the wordform table itself is
+      too big to collect.
+    * ``"auto"`` (default) — ``driver`` when the vocabulary row
+      count fits ``driver_vocab_max``, else ``distributed``. The
+      count is one job over the already-aggregated words frame.
+
     Returns (merges, vocab_df): merges as (left, right, pair_count)
     in rank order — feed ``[(a, b) for a, b, _ in merges]`` straight
     into bpe_encoded_word/bpe_token_count — and the final symbolized
     vocabulary (word, sym, n) for audit. ``stats`` (optional dict)
-    receives {'rounds': N, 'batch_sizes': [...]} for round-count
-    receipts."""
+    receives {'rounds': N, 'batch_sizes': [...], 'mode': ...} for
+    round-count receipts (driver mode: rounds == 0 and
+    'touched_symbols' — zero vocabulary-sized recounts is the
+    point)."""
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown bpe_train mode {mode!r}")
     spark = df.sparkSession
     words = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("n"))
     )
+    if mode != "distributed":
+        words = words.localCheckpoint(eager=True)
+        n_vocab = words.count()
+        if mode == "driver" and n_vocab > driver_vocab_max:
+            raise ValueError(
+                f"vocabulary has {n_vocab} wordforms > "
+                f"driver_vocab_max={driver_vocab_max}; use "
+                "mode='distributed' (or raise the bound explicitly)"
+            )
+        if n_vocab <= driver_vocab_max:
+            wc = {r["w"]: int(r["n"]) for r in words.collect()}
+            merges, final_syms = bpe_train_incremental_reference(
+                wc, n_merges, min_count, stats=stats
+            )
+            if stats is not None:
+                stats["mode"] = "driver"
+                stats["vocab_rows"] = n_vocab
+            vocab_df = spark.createDataFrame(
+                [(w, final_syms[w], wc[w]) for w in wc],
+                "w string, sym string, n long",
+            )
+            return merges, vocab_df
+    if stats is not None:
+        stats["mode"] = "distributed"
     vocab = words.select(
         F.col("w"),
         F.concat(

@@ -10296,9 +10296,12 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     winner into the next round's replaces), so a hash match proves
     the full iterative training trajectory, not just the last
     state. The learned table feeds bpe_encoded_word/bpe_token_count
-    directly."""
+    directly. mode='distributed' pins THIS query to the vocabulary-
+    resident round machinery (the default auto mode would collect
+    the dimension-sized vocab and train driver-side — that path has
+    its own oracle row, t_bpe_train_incremental)."""
     d = Catalog(spark, sf_dir).documents
-    merges, _ = T.bpe_train(d, "text", n_merges=8)
+    merges, _ = T.bpe_train(d, "text", n_merges=8, mode="distributed")
     return spark.createDataFrame(
         [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "rank long, left string, right string, pair_count long",
@@ -10328,12 +10331,42 @@ def t_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     stats: dict = {}
     merges, _ = T.bpe_train(
-        d, "text", n_merges=14, min_count=2, stats=stats
+        d, "text", n_merges=14, min_count=2, stats=stats,
+        mode="distributed",
     )
     assert stats["rounds"] < len(merges), (
         "batching did not engage",
         stats,
     )
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank long, left string, right string, pair_count long",
+    )
+
+
+@query("t_bpe_train_incremental", _bpe_train_oracle(rounds=14))
+def t_bpe_train_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-SIDE INCREMENTAL BPE training (text.bpe_train
+    mode='driver' → bpe_train_incremental_reference) — the
+    pair-count delta-maintenance engine production tokenizer
+    trainers ship: one corpus-sized exchange folds the corpus into a
+    dimension-sized (wordform, count) table, that table collects
+    (bounded, refused loudly past driver_vocab_max), and every merge
+    thereafter costs O(affected occurrences) with ZERO Spark jobs —
+    the device that makes the merge count irrelevant on
+    Zipf-distributed corpora where the batched scheduler's provable
+    prefix collapses to p50 batch = 2 (BENCH_bpe_train.json: the
+    Zipf-head tier's 2000 merges cost 583 vocabulary-sized rounds
+    batched vs ~2 s total driver-side). The oracle unrolls the
+    SEQUENTIAL trainer 14 rounds in SQL — a hash match proves the
+    delta-maintained heap walks the exact argmax/tie-break/stop
+    trajectory of the one-recount-per-merge algorithm."""
+    d = Catalog(spark, sf_dir).documents
+    stats: dict = {}
+    merges, _ = T.bpe_train(
+        d, "text", n_merges=14, min_count=2, stats=stats, mode="driver"
+    )
+    assert stats["mode"] == "driver" and stats["rounds"] == 0, stats
     return spark.createDataFrame(
         [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "rank long, left string, right string, pair_count long",

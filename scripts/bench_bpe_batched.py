@@ -37,6 +37,15 @@ A 150-merge prefix of the uniform_tail run is cross-checked against
 the sequential ``bpe_train_reference`` so this receipt's own corpus
 (not just the suite fixtures) demonstrates trajectory equality.
 
+Round 11 adds the DELTA-MAINTENANCE trainer
+(``bpe_train_incremental_reference``, bpe_train mode='driver') to
+every tier: same vocabulary, same merge budget, trajectory asserted
+equal — but per-merge cost O(affected occurrences) and ZERO
+vocabulary-sized recounts, so the round count (the batched
+scheduler's bottleneck on the Zipf head) stops being a cost at all.
+A third tier runs the full 50k-merge budget on the Zipf head, which
+per-round recounting could never reach.
+
 Writes one JSON object to stdout and BENCH_bpe_train.json.
 """
 from __future__ import annotations
@@ -95,6 +104,19 @@ def run(name: str, wc: dict[str, int], n_merges: int, cap: int) -> dict:
     )
     dt = time.time() - t0
     bs = stats["batch_sizes"]
+    # the delta-maintenance trainer (bpe_train mode='driver'): zero
+    # vocabulary-sized recounts, so neither round count nor the
+    # data's interaction structure matters — measure it on the SAME
+    # vocabulary/merge budget and assert the trajectories agree
+    inc_stats: dict = {}
+    t1 = time.time()
+    inc_merges, _ = T.bpe_train_incremental_reference(
+        wc, n_merges, min_count=2, stats=inc_stats
+    )
+    inc_dt = time.time() - t1
+    assert inc_merges == merges, (
+        f"{name}: incremental trajectory diverged from batched"
+    )
     return {
         "distribution": name,
         "n_words": len(wc),
@@ -107,6 +129,10 @@ def run(name: str, wc: dict[str, int], n_merges: int, cap: int) -> dict:
         "max_batch": max(bs) if bs else 0,
         "p50_batch": sorted(bs)[len(bs) // 2] if bs else 0,
         "twin_seconds": round(dt, 1),
+        "incremental_seconds": round(inc_dt, 1),
+        "incremental_spark_jobs_per_merge": 0,
+        "incremental_touched_symbols": inc_stats["touched_symbols"],
+        "incremental_speedup": round(dt / max(inc_dt, 1e-9), 1),
     }
 
 
@@ -119,9 +145,38 @@ def main() -> None:
     )
     assert got == ref, "batched trajectory diverged from sequential"
 
+    # incremental trainer must also match the sequential reference on
+    # this receipt's own cross-check corpus
+    got_inc, _ = T.bpe_train_incremental_reference(
+        wc_small, 150, min_count=2
+    )
+    assert got_inc == ref, "incremental trajectory diverged from sequential"
+
+    # the production-scale budget the Zipf head could never reach
+    # under per-round recounts (2000 merges already cost 583 rounds /
+    # ~2 min in the batched twin): full 50k merges, delta-maintained
+    wc_zipf_big = zipf_head_vocab(20_000, 42)
+    t0 = time.time()
+    inc_stats: dict = {}
+    m50, _ = T.bpe_train_incremental_reference(
+        wc_zipf_big, 50_000, min_count=2, stats=inc_stats
+    )
+    zipf50 = {
+        "distribution": "zipf_head",
+        "n_words": len(wc_zipf_big),
+        "merges_requested": 50_000,
+        "merges_learned": len(m50),
+        "engine": "incremental_only",
+        "incremental_seconds": round(time.time() - t0, 1),
+        "incremental_spark_jobs_per_merge": 0,
+        "incremental_touched_symbols": inc_stats["touched_symbols"],
+    }
+
     out = {
         "metric": "bpe_train_batched_rounds",
-        "trajectory_check": "150-merge prefix == sequential reference",
+        "trajectory_check": "150-merge prefix == sequential reference "
+        "(batched AND incremental); per-tier incremental == batched "
+        "on the full budget",
         "tiers": [
             # 280k wordforms: the parallel frontier (candidates whose
             # sequential schedule is provable from one round's stats)
@@ -134,6 +189,7 @@ def main() -> None:
                 8192,
             ),
             run("zipf_head", zipf_head_vocab(20_000, 42), 2_000, 4096),
+            zipf50,
         ],
     }
     line = json.dumps(out)

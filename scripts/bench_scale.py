@@ -608,7 +608,13 @@ def main() -> None:
         def timed_train():
             w0, r0 = ui.shuffle_totals()
             t0 = time.time()
-            mg, vocab = T.bpe_train(docs, "text", n_merges=4)
+            # mode='distributed': this tier measures the vocabulary-
+            # resident round machinery's shuffle scaling (auto would
+            # collect the vocab and train driver-side — that path's
+            # receipt is BENCH_bpe_train.json's incremental rows)
+            mg, vocab = T.bpe_train(
+                docs, "text", n_merges=4, mode="distributed"
+            )
             nv = vocab.count()
             return {
                 "sec": round(time.time() - t0, 3),

@@ -2603,8 +2603,12 @@ def test_bpe_train_spark_batched_equals_reference_forced_interactions(spark):
             wc[w] = wc.get(w, 0) + 1
     ref = T.bpe_train_reference(wc, 14, min_count=2)
     stats = {}
+    # mode='distributed': this test pins the vocabulary-resident
+    # batch machinery (auto would collect the tiny vocab and train
+    # driver-side — covered by test_bpe_train_modes_agree...)
     merges, _ = T.bpe_train(
-        df, "text", n_merges=14, min_count=2, stats=stats
+        df, "text", n_merges=14, min_count=2, stats=stats,
+        mode="distributed",
     )
     assert merges == ref
     twin_stats = {}
@@ -3608,3 +3612,87 @@ def test_fim_transform_seeded_ignores_milli_params(spark):
         df, prefix_milli=900, middle_milli=50, seeded=True
     ).collect()[0]
     assert a == b
+
+
+def test_bpe_incremental_equals_sequential_property():
+    """Randomized trajectory equality for the DELTA-MAINTENANCE
+    trainer: bpe_train_incremental_reference == bpe_train_reference
+    on hundreds of random small corpora over a 3-letter alphabet
+    (runs, ties, conflations are the norm there), across min_counts —
+    the lazy heap + per-word count deltas must walk the exact
+    recount-everything argmax order, including the multi-pass
+    replace semantics feeding the counts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    corpora = st.dictionaries(
+        st.text(alphabet="ab3", min_size=1, max_size=7),
+        st.integers(min_value=1, max_value=12),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(wc=corpora, mc=st.sampled_from([1, 2, 3]))
+    def check(wc, mc):
+        ref = T.bpe_train_reference(wc, 12, min_count=mc)
+        got, _ = T.bpe_train_incremental_reference(wc, 12, min_count=mc)
+        assert got == ref, (wc, mc)
+
+    check()
+
+
+def test_bpe_incremental_final_vocab_matches_replay():
+    """The trainer's returned symbolization equals replaying its own
+    merge list through the engine's replace chain — the audit
+    surface bpe_train's vocab_df is built from."""
+    wc = {"abab": 3, "aaa": 5, "ababab": 2, "cdcd": 4, "x": 1}
+    merges, syms = T.bpe_train_incremental_reference(wc, 10, min_count=2)
+    cur = {w: " " + " ".join(w) + " " for w in wc}
+    for a, b, _ in merges:
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        cur = {w: T._replace_passes(s, pat, rep) for w, s in cur.items()}
+    assert cur == syms
+
+
+def test_bpe_train_modes_agree_and_driver_bound_refuses(spark):
+    """bpe_train mode wiring: auto / driver / distributed produce the
+    SAME merges and the same audit vocabulary on the same corpus;
+    driver mode refuses loudly (no silent collect) when the
+    vocabulary exceeds driver_vocab_max; auto falls back to the
+    distributed rounds in that case; stats report the engine used."""
+    import pytest
+
+    rows = [
+        (1, "xab xab xab xab ab ab cd cd cd"),
+        (2, "axy axy axy xy mn mn mn"),
+        (3, "zab zab ab aab aaa aaa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for mode in ("auto", "driver", "distributed"):
+        st: dict = {}
+        merges, vocab = T.bpe_train(
+            df, "text", n_merges=10, min_count=2, stats=st, mode=mode
+        )
+        out[mode] = (merges, sorted(map(tuple, vocab.collect())), st)
+    assert out["auto"][0] == out["driver"][0] == out["distributed"][0]
+    assert out["auto"][1] == out["driver"][1] == out["distributed"][1]
+    assert out["auto"][2]["mode"] == "driver"  # tiny vocab -> collected
+    assert out["driver"][2]["rounds"] == 0
+    assert out["driver"][2]["touched_symbols"] > 0
+    assert out["distributed"][2]["mode"] == "distributed"
+    assert out["distributed"][2]["rounds"] >= 1
+    with pytest.raises(ValueError, match="driver_vocab_max"):
+        T.bpe_train(
+            df, "text", n_merges=4, mode="driver", driver_vocab_max=3
+        )
+    st2: dict = {}
+    m_auto, _ = T.bpe_train(
+        df, "text", n_merges=10, min_count=2, stats=st2,
+        mode="auto", driver_vocab_max=3,
+    )
+    assert st2["mode"] == "distributed"
+    assert m_auto == out["driver"][0]
+    with pytest.raises(ValueError, match="unknown bpe_train mode"):
+        T.bpe_train(df, "text", mode="turbo")
