@@ -243,6 +243,44 @@ def wait_for_idle(threshold: float = 2.0, max_wait_s: int = 180) -> dict:
 # attributable without archaeology.
 CLEAN_LOAD = 5.0
 
+# Round-10 post-mortem: a committed run passed the 5.0 gate at 4.71
+# while an idle-box capture of the same HEAD ran 20% faster — 5.0 is
+# too lax as the ONLY gate on a 32-CPU box. But the in-flight max
+# cannot simply be tightened to 2.5: a saturating query IS a 32-thread
+# burst, so its own execution legitimately pushes the 1-min average to
+# ~2-5 (gopher: cpu_ms ~45 s over ~4 s wall). The split that isolates
+# foreign load from the measurement's own footprint:
+#   * PRE-load < CLEAN_PRE (2.5): the box must be quiet when a timed
+#     run STARTS — enforced actively by a bounded decay-wait before
+#     each run (the 1-min average needs ~40-60 s to shed a previous
+#     query's self-load);
+#   * in-flight max < CLEAN_LOAD (5.0): catches foreign spikes DURING
+#     the run, sized above the bench's own burst footprint.
+# A run is clean only if BOTH hold; queries with no clean run get
+# whole-pass retries after cool-downs (bounded), not just one.
+CLEAN_PRE = 2.5
+# total seconds the bench may spend in decay-waits (keeps worst-case
+# wall bounded on a genuinely busy box where waiting cannot help)
+DECAY_WAIT_BUDGET_S = 420.0
+
+
+class _DecayWait:
+    """Bounded pre-run quiesce: sleep until the 1-min load drops under
+    CLEAN_PRE or the shared budget runs out. One budget across the
+    whole bench so a busy box degrades to the old behavior (timed
+    anyway, flagged dirty) instead of hanging."""
+
+    def __init__(self, budget_s: float = DECAY_WAIT_BUDGET_S) -> None:
+        self.left = budget_s
+        self.spent = 0.0
+
+    def wait(self) -> None:
+        while self.left > 0 and os.getloadavg()[0] >= CLEAN_PRE:
+            step = min(5.0, self.left)
+            time.sleep(step)
+            self.left -= step
+            self.spent += step
+
 
 class _LoadSampler:
     """Samples the 1-minute load every 0.5 s on a daemon thread while
@@ -300,11 +338,13 @@ def main() -> None:
     gc_ms: dict[str, int] = {}
     cpu_ms: dict[str, int] = {}
     run_loads: dict[str, list] = {}
+    decay = _DecayWait()
     for name in HEADLINE:
         run_once(name, spark, sf_dir)  # cold (JIT, file listing)
         w0, r0 = ui.shuffle_totals()
         sid0 = ui.max_stage_id()
         g0, c0 = ui.gc_cpu_totals()
+        decay.wait()  # shed the cold run's (and predecessors') load
         warm1, p1, q1, m1 = timed_run(name, spark, sf_dir)
         w1, r1 = ui.shuffle_totals()
         g1, c1 = ui.gc_cpu_totals()
@@ -312,7 +352,9 @@ def main() -> None:
         scan_tasks[name] = ui.scan_tasks_since(sid0)
         gc_ms[name] = g1 - g0
         cpu_ms[name] = c1 - c0
+        decay.wait()
         warm2, p2, q2, m2 = timed_run(name, spark, sf_dir)
+        decay.wait()
         warm3, p3, q3, m3 = timed_run(name, spark, sf_dir)
         run_loads[name] = [
             [p1, q1, m1, round(warm1, 3)],
@@ -321,32 +363,32 @@ def main() -> None:
         ]
         timings[name] = round(min(warm1, warm2, warm3), 3)
 
-    # Retry pass: a query none of whose warm runs was clean re-times
-    # once after a bounded cool-down; the minimum over ALL its runs
-    # (original + retry) is reported.
+    # Retry passes: a query none of whose warm runs was clean (quiet
+    # start AND no foreign spike in flight) re-times after a decay
+    # cool-down, up to 3 whole-headline passes; the minimum over ALL
+    # runs is reported.
     def has_clean_run(name: str) -> bool:
-        # clean = the MAX load observed across the whole run (pre,
-        # mid-run samples, post) stayed under CLEAN_LOAD — a mid-run
-        # spike can no longer hide between the endpoints
-        return any(mx < CLEAN_LOAD for _, _, mx, _ in run_loads[name])
+        return any(
+            pre < CLEAN_PRE and mx < CLEAN_LOAD
+            for pre, _, mx, _ in run_loads[name]
+        )
 
     retried: list[str] = []
-    cooldown_max_load = 0.0
-    dirty = [n for n in HEADLINE if not has_clean_run(n)]
-    if dirty:
-        waited = 0
-        load = os.getloadavg()[0]
-        cooldown_max_load = load
-        while load >= CLEAN_LOAD and waited < 90:
-            time.sleep(10)
-            waited += 10
-            load = os.getloadavg()[0]
-            cooldown_max_load = max(cooldown_max_load, load)
+    retry_passes = 0
+    for _ in range(3):
+        dirty = [n for n in HEADLINE if not has_clean_run(n)]
+        if not dirty:
+            break
+        retry_passes += 1
         for name in dirty:
+            decay.wait()
             sec, pre, post, mx = timed_run(name, spark, sf_dir)
             run_loads[name].append([pre, post, mx, round(sec, 3)])
             timings[name] = round(min(timings[name], sec), 3)
-            retried.append(name)
+            if name not in retried:
+                retried.append(name)
+        if decay.left <= 0:
+            break  # waiting can no longer help on a busy box
 
     total = round(sum(timings.values()), 3)
     # Diagnostic blobs go to a SIDECAR file, not the stdout line: the
@@ -377,14 +419,18 @@ def main() -> None:
         # the between-endpoints gap, not the kernel's own averaging.
         "run_loads": run_loads,
         "clean_load_threshold": CLEAN_LOAD,
+        "clean_pre_threshold": CLEAN_PRE,
+        "decay_wait_spent_s": round(decay.spent, 1),
         "retried_after_cooldown": retried,
-        "cooldown_max_load": round(cooldown_max_load, 2),
+        "retry_passes": retry_passes,
+        "all_runs_clean": all(has_clean_run(n) for n in HEADLINE),
         # timing policy, so round-over-round deltas are
         # attributable: per query 1 untimed cold run (JIT,
         # file listing, broadcast warmup) then MIN of 3 warm
         # (local-mode box noise swung ±50% round-over-round),
-        # plus one post-cooldown retry for queries with no
-        # clean run
+        # each preceded by a budgeted decay-wait to a quiet
+        # (< CLEAN_PRE) start, plus up to 3 whole-headline
+        # retry passes for queries with no clean run
         "warmup_runs": 1,
         "timed_runs": 3,
         "aggregation": "min",
