@@ -226,6 +226,67 @@ def conversation_dedup(
     )
 
 
+def write_conv_key_index(
+    conv: DataFrame,
+    path: str,
+    turns_col: str = "turns",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the conversation-dedup index — conversation_dedup's
+    (conv_key, kept_id, n_dups) rows — for CONTINUOUS INGESTION: SFT
+    dumps are append-only, so key the historical corpus once, then
+    each arriving batch probes/merges the index instead of re-keying
+    every conversation ever seen (the write_minhash_index /
+    gram_count_index discipline applied to the chat family). The
+    aggregate is additive: maintain with conv_dedup_merge."""
+    conversation_dedup(conv, turns_col, id_col).write.mode(mode).parquet(
+        path
+    )
+
+
+def conv_dedup_merge(index: DataFrame, batch_agg: DataFrame) -> DataFrame:
+    """Index MAINTENANCE: fold a batch's conversation_dedup rows into
+    the held index — min(kept_id) keeps first-wins across history and
+    batch, counts add. union + one re-aggregate, the gram_count_index
+    additive-maintenance rule; equals conversation_dedup over the
+    full union row-for-row (tested)."""
+    return (
+        index.unionByName(batch_agg)
+        .groupBy("conv_key")
+        .agg(
+            F.min("kept_id").cast("bigint").alias("kept_id"),
+            F.sum("n_dups").cast("bigint").alias("n_dups"),
+        )
+    )
+
+
+def conv_dedup_probe(
+    batch: DataFrame,
+    index: DataFrame,
+    turns_col: str = "turns",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Which NEW conversations already exist in history: key the batch
+    (per-row projection), inner-join the persisted index on conv_key
+    with the BATCH side broadcast — only the ingest batch is ever
+    keyed or moved; the corpus-sized index is scanned but never
+    shuffled (the duplicated_spans_probe plan rule, pinned in tests).
+    Output: (id_new, conv_key, kept_id, n_dups_hist) — one row per
+    batch conversation whose assistant transcript is already indexed;
+    absent rows are genuinely new."""
+    keyed = batch.select(
+        F.col(id_col).alias("id_new"),
+        assistant_transcript_key(turns_col).alias("conv_key"),
+    )
+    return F.broadcast(keyed).join(index, "conv_key").select(
+        "id_new",
+        "conv_key",
+        F.col("kept_id"),
+        F.col("n_dups").alias("n_dups_hist"),
+    )
+
+
 def user_transcript_key(turns: Column | str) -> Column:
     """Prompt identity for preference-pair grouping: md5 over the
     PER-TURN md5s of the USER contents in turn order (hash-then-join,

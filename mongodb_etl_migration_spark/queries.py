@@ -12229,6 +12229,46 @@ def c_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c_conv_dedup_probe",
+    f"""
+    WITH {_CHAT_FIXTURE_SQL}, ak AS (
+      SELECT doc_id,
+             md5(coalesce(string_agg(
+               CASE WHEN role = 'assistant'
+                    THEN md5(coalesce(content, chr(0))) END,
+               '' ORDER BY turn_idx), '')) AS conv_key
+      FROM turn GROUP BY doc_id
+    ), hist_idx AS (
+      SELECT conv_key, CAST(min(doc_id) AS BIGINT) AS kept_id,
+             CAST(count(*) AS BIGINT) AS n_dups_hist
+      FROM ak WHERE doc_id % 3 != 0 GROUP BY conv_key
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS id_new, a.conv_key,
+           i.kept_id, i.n_dups_hist
+    FROM ak a JOIN hist_idx i USING (conv_key)
+    WHERE a.doc_id % 3 = 0
+    """,
+)
+def c_conv_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL conversation dedup (chat.conv_dedup_probe): the
+    historical corpus (doc_id %% 3 != 0) is keyed ONCE into the
+    (conv_key, kept_id, n_dups) index write_conv_key_index persists;
+    the arriving batch (doc_id %% 3 == 0) is keyed alone and probes
+    the index with a broadcast-batch join — only the batch moves, the
+    100 TB history is scanned, never shuffled or re-keyed. The canned
+    duplicate groups straddle the split, so the probe finds real
+    cross-half transcript collisions; batch-internal duplicates with
+    no history are correctly absent (the merge side of continuous
+    ingestion is conv_dedup_merge, equivalence-tested in the suite).
+    Oracle computes both halves' keys from one CTE and splits on the
+    id range (the d8_incremental_neardup device)."""
+    conv = _chat_conv(spark, sf_dir).filter(F.size("turns") > 0)
+    history = conv.filter(F.col("doc_id") % 3 != 0)
+    batch = conv.filter(F.col("doc_id") % 3 == 0)
+    return CH.conv_dedup_probe(batch, CH.conversation_dedup(history))
+
+
+@query(
     "c_turn_stats",
     f"""
     WITH {_CHAT_FIXTURE_SQL}

@@ -322,3 +322,52 @@ def test_parse_turns_json_roundtrip_matches_parse_turns(spark):
         ).otherwise(F.lit(1)).alias("mismatch"),
     ).agg(F.sum("mismatch")).collect()[0][0]
     assert bad == 0
+
+
+def test_conv_dedup_incremental_matches_batch(spark, tmp_path):
+    """Continuous-ingestion contract: (1) conv_dedup_merge over the
+    persisted history index + a batch's own aggregate equals
+    conversation_dedup over the full union row-for-row — including a
+    key split across halves (min kept_id comes from history, counts
+    add) and a key only the batch has; (2) conv_dedup_probe flags
+    exactly the batch conversations whose transcript history already
+    holds, and its physical plan broadcasts the BATCH side (the index
+    is scanned, never shuffled: no SortMergeJoin)."""
+    # turn_words=5: words 1-5 = user turn (varies), words 6-10 =
+    # assistant turn (shared across 1, 2, 10 -> same transcript key)
+    hist = _conv(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon the answer is forty two"),
+            (2, "totally different user words here the answer is forty two"),
+            (3, "history only conversation right now some other reply text"),
+        ],
+        turn_words=5,
+    )
+    batch = _conv(
+        spark,
+        [
+            (10, "third paraphrase of the user the answer is forty two"),
+            (11, "a genuinely new conversation now nothing matches this reply"),
+        ],
+        turn_words=5,
+    )
+    path = str(tmp_path / "convidx")
+    CH.write_conv_key_index(hist, path)
+    idx = spark.read.parquet(path)
+    merged = CH.conv_dedup_merge(idx, CH.conversation_dedup(batch))
+    full = CH.conversation_dedup(hist.unionByName(batch))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    probe = CH.conv_dedup_probe(batch, idx)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    rows = probe.collect()
+    # docs 1 and 2 share the assistant transcript with doc 10
+    # (turn_words=5: identical assistant turns, different user turns);
+    # doc 11 is new and must be absent
+    assert [(r["id_new"], r["kept_id"], r["n_dups_hist"]) for r in rows] == [
+        (10, 1, 2)
+    ]
