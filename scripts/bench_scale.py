@@ -348,6 +348,23 @@ def summarize(results: dict) -> dict:
                 / max(1, b["t_bm25_retrieval"]["tf_rows"]),
                 2,
             )
+    if "t_bm25_probe" in b and "t_bm25_probe" in x:
+        # the persisted-index contract: probe shuffle is matched-
+        # postings-sized (replica-0 queries match the SAME postings at
+        # every tier), so the 10x-corpus ratio must sit near 1 — a
+        # probe whose shuffle grew with the corpus would mean the
+        # corpus-sized work leaked past the index build. Band 2x:
+        # chunk-framing noise on a tiny fixed payload.
+        ratio = round(
+            x["t_bm25_probe"]["shuffle_bytes"]
+            / max(1, b["t_bm25_probe"]["shuffle_bytes"]),
+            2,
+        )
+        summary["bm25_probe_shuffle_growth_at_10x_corpus"] = ratio
+        assert ratio < 2.0, (
+            f"bm25 probe shuffle grew {ratio}x at 10x corpus — "
+            "matched-postings contract violated"
+        )
 
     # ---- the 100x tier: shuffle-byte LINEARITY ASSERTED ----
     # A 10x window can hide a super-linear term; a second decade
@@ -835,6 +852,39 @@ def main() -> None:
             .count()
         )
 
+        # Materialized BM25 index at scale: build pays the corpus-
+        # sized work ONCE at write time; the probe's shuffle is
+        # MATCHED-POSTINGS-sized, not corpus-sized — replica-0 query
+        # terms match the same posting set at every tier, so probe
+        # shuffle must stay ~flat as the corpus grows 10x (the
+        # persisted-index win; scan is pruned to the query terms'
+        # tbucket partitions, whose size — not the shuffle — grows
+        # with the corpus).
+        idx_path = f"{out_dir}/bm25_index"
+        T.write_bm25_index(docs, idx_path)
+
+        def timed_probe():
+            w0, r0 = ui.shuffle_totals()
+            t0 = time.time()
+            p_out = T.bm25_probe_indexed(
+                spark,
+                idx_path,
+                [
+                    ("q1", ["sparkr0", "streamr0"]),
+                    ("q2", ["joinr0", "hashr0"]),
+                ],
+                k=10,
+            )
+            n = p_out.count()
+            w1, r1 = ui.shuffle_totals()
+            return {
+                "sec": round(time.time() - t0, 3),
+                "shuffle_bytes": (w1 - w0) + (r1 - r0),
+                "rows": n,
+            }
+
+        bmp = timed_probe()
+
         results[name] = {
             "docs": n_docs,
             "dup_pct": cfg["dup_pct"],
@@ -863,6 +913,7 @@ def main() -> None:
             "t_paragraph_dedup": pdm,
             "sim_bitext_margin": bx,
             "t_bm25_retrieval": bm,
+            "t_bm25_probe": bmp,
         }
         if cfg.get("events", True):
             results[name]["e_sessionization"] = timed_sessionize(out_dir)
