@@ -549,6 +549,37 @@ NOTES = {
         "equi-join against mined src ids — no second bucket join, no "
         "recomputed cosines."
     ),
+    "t_bm25_probe": (
+        "BM25 against the materialized index: the postings windows "
+        "(dl/df denormalization) pay at BUILD time; the probe side is "
+        "query terms broadcast into the postings, the shared scoring "
+        "projection, one aggregate exchange, and the WindowGroupLimit "
+        "top-k — the raw corpus never re-explodes (the persisted-path "
+        "plan, with PartitionFilters on the term buckets, is pinned "
+        "in tests/test_bm25.py)."
+    ),
+    "c_conv_dedup_probe": (
+        "Incremental conversation dedup: only the BATCH is keyed (a "
+        "projection + its dedup aggregate); the history index joins "
+        "via BroadcastHashJoin with the batch side built — the "
+        "corpus-sized index is scanned, never shuffled (no "
+        "SortMergeJoin, plan-pinned in the suite)."
+    ),
+    "c_json_ingest": (
+        "Structured-chat ingest: to_json, the planted corruption, "
+        "from_json, turn_idx derivation, and the render fold are ONE "
+        "Project over the scan — zero Exchange, zero Python."
+    ),
+    "t_span_corruption_seeded": (
+        "Seeded span corruption: the md5 offset draw rides inside the "
+        "same single Project as the block/sentinel mechanics — still "
+        "zero Exchange, zero Python (2x md5 per block, once per "
+        "output surface — documented at the operator)."
+    ),
+    "t_fim_transform_seeded": (
+        "Seeded FIM: both cut-point hashes and the three slices are "
+        "ONE Project over the scan — zero Exchange, zero Python."
+    ),
 }
 
 
