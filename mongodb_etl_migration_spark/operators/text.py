@@ -1602,10 +1602,20 @@ def _bm25_validate(k1_milli: int, b_milli: int) -> None:
         )
 
 
+def md5_hex15_bigint(c: Column | str) -> Column:
+    """The engine's portable 60-bit hash: first 15 hex digits of md5
+    as BIGINT (Spark conv(hex,16,10) == DuckDB ('0x'||hex)::BIGINT ==
+    Python int(hexdigest[:15], 16); md5 over UTF-8 bytes in all
+    three). ONE definition shared by the postings bucket, the seeded
+    span/FIM draws, and the driver-side twin below, so the
+    build-expression / prune-twin / oracle triple cannot drift."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
 def _term_bucket_py(term: str, n_buckets: int) -> int:
-    """Driver-side twin of the postings partition bucket — MUST match
-    the Spark expression in bm25_index (conv(substr(md5,1,15),16,10)
-    % n_buckets; md5 over UTF-8 bytes both sides)."""
+    """Driver-side twin of the postings partition bucket — MUST equal
+    ``md5_hex15_bigint(term) % n_buckets``."""
     import hashlib
 
     h = hashlib.md5(term.encode("utf-8")).hexdigest()
@@ -1628,12 +1638,9 @@ def postings_from_tf(tf, id_col: str = "doc_id", n_buckets: int = 64):
         "tf",
         F.sum("tf").over(Window.partitionBy(id_col)).alias("dl"),
         F.count("*").over(Window.partitionBy("term")).alias("df"),
-        (
-            F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast(
-                "bigint"
-            )
-            % n_buckets
-        ).cast("int").alias("tbucket"),
+        (md5_hex15_bigint("term") % n_buckets)
+        .cast("int")
+        .alias("tbucket"),
     )
 
 
@@ -1694,8 +1701,13 @@ def bm25_index(
     postings = postings_from_tf(tf, id_col, n_buckets)
     n_docs = int(df.count())
     total = int(tf.agg(F.sum("tf")).collect()[0][0] or 0)
+    # n_buckets rides IN the stats row: the probe's partition pruning
+    # is only correct against the bucket count the postings were
+    # written with, so the index self-describes it rather than
+    # trusting the prober to repeat the build parameter
     stats = spark.createDataFrame(
-        [(n_docs, total)], "n_docs bigint, total_dl bigint"
+        [(n_docs, total, n_buckets)],
+        "n_docs bigint, total_dl bigint, n_buckets int",
     )
     return postings, stats
 
@@ -1758,17 +1770,28 @@ def bm25_probe_indexed(
     k: int = 10,
     k1_milli: int = 1200,
     b_milli: int = 750,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ):
     """:func:`bm25_probe` against the PERSISTED index written by
     :func:`write_bm25_index`. Prunes the postings scan to the query
     terms' tbucket partitions before the join — the driver-side
     bucket hash is the exact twin of the build expression
     (``_term_bucket_py``), so pruning can never drop a matching
-    posting. ``n_buckets`` must match the build."""
+    posting. The bucket count comes from the index's OWN stats row
+    (the build persists it); passing ``n_buckets`` explicitly is a
+    cross-check that REFUSES on mismatch — a wrong modulus would
+    prune away matching partitions and return silently wrong top-k,
+    the failure mode the self-description exists to prevent."""
+    stats = spark.read.parquet(f"{path}/stats")
+    built_with = int(stats.collect()[0]["n_buckets"])
+    if n_buckets is not None and n_buckets != built_with:
+        raise ValueError(
+            f"index at {path} was built with n_buckets={built_with}, "
+            f"probe asked for {n_buckets} — pruning would be wrong"
+        )
     buckets = sorted(
         {
-            _term_bucket_py(t, n_buckets)
+            _term_bucket_py(t, built_with)
             for _, terms in queries
             for t in terms
         }
@@ -1776,7 +1799,6 @@ def bm25_probe_indexed(
     postings = spark.read.parquet(f"{path}/postings").filter(
         F.col("tbucket").isin(buckets)
     )
-    stats = spark.read.parquet(f"{path}/stats")
     return bm25_probe(
         postings, stats, queries, id_col, k, k1_milli, b_milli
     )
@@ -4356,15 +4378,9 @@ def span_corruption(
             the block; short trailing blocks mask whole (off=0)."""
             blk_len = F.least(F.lit(period), F.size(w) - b * period)
             cut_len = F.least(F.lit(span_len), blk_len)
-            h = F.conv(
-                F.substring(
-                    F.md5(F.concat(doc_key, F.md5(b.cast("string")))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("bigint")
+            h = md5_hex15_bigint(
+                F.concat(doc_key, F.md5(b.cast("string")))
+            )
             off = (h % (blk_len - cut_len + 1).cast("bigint")).cast("int")
             return blk_len, cut_len, off
 
@@ -4482,13 +4498,7 @@ def fim_transform(
         doc_key = F.md5(F.col(id_col).cast("string"))
 
         def cut(tag: str) -> Column:
-            h = F.conv(
-                F.substring(
-                    F.md5(F.concat(doc_key, F.md5(F.lit(tag)))), 1, 15
-                ),
-                16,
-                10,
-            ).cast("bigint")
+            h = md5_hex15_bigint(F.concat(doc_key, F.md5(F.lit(tag))))
             return (h % (n + 1).cast("bigint")).cast("int")
 
         c_a, c_b = cut("fim_a"), cut("fim_b")

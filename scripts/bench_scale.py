@@ -701,6 +701,7 @@ def main() -> None:
                 packed, ["bucket", "seq_idx"], seed=42
             )
             n = shuf.count()
+            sec = round(time.time() - t0, 3)
             w1, r1 = ui.shuffle_totals()
             return {
                 "sec": sec,

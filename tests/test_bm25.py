@@ -199,3 +199,26 @@ def test_bm25_index_incremental_maintenance(spark):
     probe_full = T.bm25_probe(p_full, s_full, QUERIES, k=10).collect()
     probe_maint = T.bm25_probe(p_maint, s_full, QUERIES, k=10).collect()
     assert sorted(map(tuple, probe_maint)) == sorted(map(tuple, probe_full))
+
+
+def test_bm25_probe_indexed_self_describes_bucket_count(spark, tmp_path):
+    """The index persists its own n_buckets: a probe never repeats the
+    build parameter (pruning derives from the stats row), and an
+    explicit mismatching cross-check REFUSES instead of silently
+    pruning away matching partitions (mod-32 postings probed mod-64
+    would drop most query terms' buckets -> wrong top-k, no error)."""
+    import pytest
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    path = str(tmp_path / "bm25idx32")
+    T.write_bm25_index(df, path, n_buckets=32)
+    base = sorted(map(tuple, T.bm25_topk(df, QUERIES, k=10).collect()))
+    got = sorted(
+        map(tuple, T.bm25_probe_indexed(spark, path, QUERIES, k=10).collect())
+    )
+    assert got == base  # bucket count read from the index itself
+    with pytest.raises(ValueError, match="built with n_buckets=32"):
+        T.bm25_probe_indexed(spark, path, QUERIES, k=10, n_buckets=64)
+    # explicit MATCHING cross-check passes
+    ok = T.bm25_probe_indexed(spark, path, QUERIES, k=10, n_buckets=32)
+    assert sorted(map(tuple, ok.collect())) == base
