@@ -111,13 +111,34 @@ class UiMetrics:
             return json.load(r)
 
     def shuffle_totals(self) -> tuple[int, int]:
+        """Cumulative (write, read) shuffle bytes over COMPLETED
+        stages, read until STABLE: stage-completion events propagate
+        to the UI store through the listener bus, which lags the
+        action's return under load — a single poll taken right after
+        .count() can miss stages still marked active and silently
+        undercount (observed: the x100 sessionization receipt read
+        306 MB instead of 511 MB while a pytest run shared the box).
+        Two consecutive agreeing reads 0.3 s apart, bounded at ~3 s,
+        make the totals deterministic again; between-query sampling
+        converges on the first retry once the bus drains."""
         if not self.base:
             return (0, 0)
-        try:
+
+        def read() -> tuple[int, int]:
             stages = self._get("/stages?status=complete")
             w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
             r = sum(s.get("shuffleReadBytes", 0) for s in stages)
             return (w, r)
+
+        try:
+            prev = read()
+            for _ in range(10):
+                time.sleep(0.3)
+                cur = read()
+                if cur == prev:
+                    return cur
+                prev = cur
+            return prev
         except Exception:
             return (0, 0)
 

@@ -804,11 +804,13 @@ def main() -> None:
             t0 = time.time()
             bx_out = SIM.bitext_margin_pairs(srcs, tgts, planes, k=4)
             n = bx_out.count()
-            w1, r1 = ui.shuffle_totals()
             # wall-clock snapped HERE, around construction+count only:
             # the candidate recount below is a diagnostic second pass
-            # (it rebuilds the bucket join) and must not inflate sec.
+            # (it rebuilds the bucket join) and must not inflate sec —
+            # nor must the stabilized shuffle poll (reads sleep until
+            # two agree)
             sec = round(time.time() - t0, 3)
+            w1, r1 = ui.shuffle_totals()
             # the ALGORITHMIC linearity quantity is the candidate-set
             # size (what the windows/joins actually move): the raw
             # byte ratio between tiers carries a compression/chunk-
@@ -877,9 +879,10 @@ def main() -> None:
                 k=10,
             )
             n = p_out.count()
+            sec = round(time.time() - t0, 3)
             w1, r1 = ui.shuffle_totals()
             return {
-                "sec": round(time.time() - t0, 3),
+                "sec": sec,
                 "shuffle_bytes": (w1 - w0) + (r1 - r0),
                 "rows": n,
             }
