@@ -130,6 +130,10 @@ class UiMetrics:
             r = sum(s.get("shuffleReadBytes", 0) for s in stages)
             return (w, r)
 
+        # A throw mid-loop must NOT discard an already-successful
+        # read: pairing a valid baseline with (0, 0) yields negative
+        # deltas that silently corrupt scale-linearity ratios.
+        prev: tuple[int, int] | None = None
         try:
             prev = read()
             for _ in range(10):
@@ -140,7 +144,7 @@ class UiMetrics:
                 prev = cur
             return prev
         except Exception:
-            return (0, 0)
+            return prev if prev is not None else (0, 0)
 
     def max_stage_id(self) -> int:
         if not self.base:

@@ -1622,15 +1622,40 @@ def _term_bucket_py(term: str, n_buckets: int) -> int:
     return int(h[:15], 16) % n_buckets
 
 
-def postings_from_tf(tf, id_col: str = "doc_id", n_buckets: int = 64):
+def postings_from_tf(
+    tf,
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+    stats=None,
+):
     """(id, term, tf) rows → full postings (id, term, tf, dl, df,
     tbucket). This IS the index-maintenance recipe: tf counts are
     additive (the gram_count_index rule), so incremental ingest
     unions a batch's tf rows into the held tf layer, re-sums per
     (id, term), and calls this to re-derive the snapshot-wide dl/df
     — never touching raw text again. dl/df attach as window sums
-    over the tf rows (two exchanges, build/maintenance-time only)."""
+    over the tf rows (two exchanges, build/maintenance-time only).
+
+    The bucket modulus comes from the index's own ``stats`` frame
+    when given (1-row bounded read) — a repeated-literal mismatch
+    would write tbucket values inconsistent with the existing
+    partitions and the probe's pruning, so when BOTH are passed they
+    must agree (refuse loudly, same rule as bm25_probe_indexed)."""
     from pyspark.sql import Window
+
+    if stats is not None:
+        built_with = int(stats.collect()[0]["n_buckets"])
+        if n_buckets is not None and n_buckets != built_with:
+            raise ValueError(
+                f"stats says the index was built with n_buckets="
+                f"{built_with}, caller passed {n_buckets} — postings "
+                f"would land in the wrong partitions"
+            )
+        n_buckets = built_with
+    elif n_buckets is None:
+        raise ValueError(
+            "postings_from_tf needs n_buckets or the index stats frame"
+        )
 
     return tf.select(
         F.col(id_col),
@@ -3785,9 +3810,49 @@ def bpe_train(
             if stats is not None:
                 stats["mode"] = "driver"
                 stats["vocab_rows"] = n_vocab
-            vocab_df = spark.createDataFrame(
-                [(w, final_syms[w], wc[w]) for w in wc],
-                "w string, sym string, n long",
+            # vocab_df replays the merge table over the ALREADY-
+            # materialized words frame (eager localCheckpoint above)
+            # instead of serializing up to driver_vocab_max rows
+            # through a LocalRelation — near the 4M bound that
+            # doubled driver memory (the trained dict + the full row
+            # list + the Arrow copy). Rank-order _apply_pair_passes
+            # replay over a fresh char split is exactly how BOTH
+            # trainers evolve a word, so the rows equal final_syms
+            # (asserted cross-mode by test_bpe_train_modes_agree and
+            # below on a driver-side sample). Symbols are contiguous
+            # substrings of the original word, so `a + b in w` is a
+            # sound skip-guard making replay ~O(occurrences).
+            flat = [(a, b) for a, b, _ in merges]
+            sample = {
+                w: final_syms[w] for w in list(final_syms)[:64]
+            }
+            for w, want in sample.items():
+                parts = list(w)
+                for a, b in flat:
+                    if a + b in w:
+                        parts = _apply_pair_passes(parts, a, b)
+                got = " " + " ".join(parts) + " "
+                if got != want:  # pragma: no cover - invariant guard
+                    raise AssertionError(
+                        f"merge replay diverged from trainer state "
+                        f"for {w!r}: {got!r} != {want!r}"
+                    )
+            del wc, final_syms
+
+            def _replay(batches):
+                for pdf in batches:
+                    syms = []
+                    for w in pdf["w"]:
+                        parts = list(w)
+                        for a, b in flat:
+                            if a + b in w:
+                                parts = _apply_pair_passes(parts, a, b)
+                        syms.append(" " + " ".join(parts) + " ")
+                    out = pdf.assign(sym=syms)
+                    yield out[["w", "sym", "n"]]
+
+            vocab_df = words.mapInPandas(
+                _replay, "w string, sym string, n long"
             )
             return merges, vocab_df
     if stats is not None:

@@ -633,8 +633,11 @@ def main() -> None:
                 docs, "text", n_merges=4, mode="distributed"
             )
             nv = vocab.count()
+            # Snap wall BEFORE the stabilizing shuffle poll (it can
+            # sleep up to ~3 s) — matches timed_shuffle/bitext/probe.
+            sec = round(time.time() - t0, 3)
             return {
-                "sec": round(time.time() - t0, 3),
+                "sec": sec,
                 "shuffle_bytes": sum(
                     a - b
                     for a, b in zip(ui.shuffle_totals(), (w0, r0))

@@ -192,7 +192,16 @@ def test_bm25_index_incremental_maintenance(spark):
         .groupBy("doc_id", "term")
         .agg(F.sum("tf").cast("bigint").alias("tf"))
     )
-    p_maint = T.postings_from_tf(tf_maintained, "doc_id", 64)
+    # bucket modulus derived from the index's OWN stats row (the
+    # repeated-literal footgun postings_from_tf now refuses); a
+    # mismatching explicit cross-check must refuse loudly
+    p_maint = T.postings_from_tf(tf_maintained, "doc_id", stats=s_full)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="built with n_buckets=64"):
+        T.postings_from_tf(tf_maintained, "doc_id", 32, stats=s_full)
+    with _pytest.raises(ValueError, match="needs n_buckets"):
+        T.postings_from_tf(tf_maintained, "doc_id")
     key = lambda r: (r["doc_id"], r["term"])
     assert sorted(map(tuple, p_maint.collect()), key=lambda t: t[:2]) == \
         sorted(map(tuple, p_full.collect()), key=lambda t: t[:2])
