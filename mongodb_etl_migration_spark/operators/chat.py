@@ -19,25 +19,82 @@ ONE hash exchange (the dedup groupBy / the stats groupBy). Nothing
 here collects, so the family runs unchanged on a 100 TB conversation
 dump.
 
-Template rendered per turn: ``<|role|>content<|end|>`` (no newlines —
-offsets stay byte==char for the ASCII tags regardless of SQL-dialect
-escape rules). The loss-mask spans are 0-based [start, end) character
+Templates are DATA (:class:`ChatTemplate`): per turn the render emits
+``pre_role + role + post_role + content + suffix`` wrapped in
+``bos/eos`` — shipped presets "tagged" (the original
+``<|role|>content<|end|>`` format, no newlines), "chatml", and
+"llama3". The loss-mask spans are 0-based [start, end) character
 offsets of each ASSISTANT turn's content inside the rendered string,
-pinned by the invariant ``substring(rendered, start+1, end-start) ==
-content`` (property-tested).
+derived from the SAME template data, pinned by the invariant
+``substring(rendered, start+1, end-start) == content``
+(property-tested per preset). :func:`sft_tokens` lifts the mask to
+TOKEN space — the artifact a trainer actually consumes — by encoding
+each template/content segment separately through the real byte-level
+BPE path (operators/text.py gpt2_*), so mask boundaries align with
+token boundaries by construction and the masked token ids decode back
+to exactly the assistant contents (oracle-checked).
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TURN_STRUCT = "array<struct<turn_idx:int,role:string,content:string>>"
 SPAN_STRUCT = "array<struct<turn_idx:int,span_start:bigint,span_end:bigint>>"
+TOKSPAN_STRUCT = (
+    "array<struct<turn_idx:int,tok_start:bigint,tok_end:bigint>>"
+)
 
-# rendered-turn framing: "<|" + role + "|>" ... "<|end|>"
-_HDR_FIXED = 4  # len("<|") + len("|>")
-_FOOTER = 7  # len("<|end|>")
+
+class ChatTemplate(NamedTuple):
+    """A chat template as DATA: per turn the render emits
+    ``pre_role + role + post_role + content + suffix``; the whole
+    conversation is wrapped ``bos + turns... + eos``. Render AND mask
+    arithmetic both derive from these five strings, so a template can
+    never disagree with its own offsets — the failure mode of
+    hand-synced format strings (real templates differ exactly here:
+    ChatML's newlines, Llama's header tags and BOS)."""
+
+    pre_role: str
+    post_role: str
+    suffix: str
+    bos: str = ""
+    eos: str = ""
+
+
+#: Shipped presets. "tagged" is the engine's original wire format
+#: (offsets byte==char, no newlines); "chatml" is the OpenAI ChatML
+#: convention (<|im_start|>role\n ... <|im_end|>\n); "llama3" is the
+#: Llama-3-style header framing with a BOS sentinel. System turns need
+#: no special casing: a system role renders through the same
+#: pre_role/post_role framing in every preset, and the assistant-only
+#: mask ignores it by role.
+CHAT_TEMPLATES: dict[str, ChatTemplate] = {
+    "tagged": ChatTemplate("<|", "|>", "<|end|>"),
+    "chatml": ChatTemplate("<|im_start|>", "\n", "<|im_end|>\n"),
+    "llama3": ChatTemplate(
+        "<|start_header_id|>",
+        "<|end_header_id|>\n\n",
+        "<|eot_id|>",
+        bos="<|begin_of_text|>",
+    ),
+}
+
+
+def resolve_template(template: ChatTemplate | str) -> ChatTemplate:
+    """Preset name -> ChatTemplate (identity on an explicit template);
+    unknown names refuse loudly with the shipped preset list."""
+    if isinstance(template, str):
+        if template not in CHAT_TEMPLATES:
+            raise ValueError(
+                f"unknown chat template {template!r}; shipped presets: "
+                f"{sorted(CHAT_TEMPLATES)}"
+            )
+        return CHAT_TEMPLATES[template]
+    return template
 
 
 def parse_turns(
@@ -111,10 +168,16 @@ def parse_turns_json(json_col: Column | str) -> Column:
     )
 
 
-def render_chat(turns: Column | str) -> Column:
+def render_chat(
+    turns: Column | str, template: ChatTemplate | str = "tagged"
+) -> Column:
     """Chat-template render: one string per conversation,
-    ``<|role|>content<|end|>`` per turn in turn order. A single
-    aggregate fold over the turns array — per-row, zero shuffle.
+    ``pre_role + role + post_role + content + suffix`` per turn in
+    turn order, the whole wrapped ``bos ... eos`` — the default
+    "tagged" preset is the original ``<|role|>content<|end|>`` wire
+    format; "chatml"/"llama3" are the production conventions. A
+    single aggregate fold over the turns array — per-row, zero
+    shuffle, no UDF, regardless of template.
 
     NULL content (possible from structured sources, never from
     parse_turns) renders as the empty string, so one NULL turn cannot
@@ -122,35 +185,45 @@ def render_chat(turns: Column | str) -> Column:
     dedup key keeps its chr(0) sentinel — NULL and '' stay distinct
     identities there; here the rendered TEXT is the product and ''
     is the only renderable degrade.)"""
+    tpl = resolve_template(template)
     t = F.col(turns) if isinstance(turns, str) else turns
-    return F.aggregate(
+    body = F.aggregate(
         t,
-        F.lit(""),
+        F.lit(tpl.bos),
         lambda acc, x: F.concat(
             acc,
-            F.lit("<|"),
+            F.lit(tpl.pre_role),
             F.coalesce(x["role"], F.lit("")),
-            F.lit("|>"),
+            F.lit(tpl.post_role),
             F.coalesce(x["content"], F.lit("")),
-            F.lit("<|end|>"),
+            F.lit(tpl.suffix),
         ),
     )
+    return F.concat(body, F.lit(tpl.eos)) if tpl.eos else body
 
 
-def loss_mask_spans(turns: Column | str) -> Column:
+def loss_mask_spans(
+    turns: Column | str, template: ChatTemplate | str = "tagged"
+) -> Column:
     """Train-on-assistant-only mask: 0-based [start, end) char offsets
-    of each assistant turn's CONTENT inside ``render_chat``'s output.
-    One aggregate fold carrying (running_offset, spans) — the offsets
-    come out of the same arithmetic the render performs, so
-    ``substring(rendered, start+1, end-start) == content`` holds by
-    construction (and by test). Per-row, zero shuffle, no UDF.
+    of each assistant turn's CONTENT inside ``render_chat``'s output
+    FOR THE SAME TEMPLATE. One aggregate fold carrying
+    (running_offset, spans) — the offsets come out of the same
+    template data the render consumes (header = len(pre_role) +
+    len(role) + len(post_role), footer = len(suffix), initial offset
+    = len(bos)), so ``substring(rendered, start+1, end-start) ==
+    content`` holds by construction for EVERY template (and by test
+    for each shipped preset). Per-row, zero shuffle, no UDF.
 
     NULL role/content count as length 0 — mirroring render_chat's
     coalesce — so offsets stay aligned with the rendered string even
     when a structured source carries NULL turns."""
+    tpl = resolve_template(template)
+    hdr_fixed = len(tpl.pre_role) + len(tpl.post_role)
+    footer = len(tpl.suffix)
     t = F.col(turns) if isinstance(turns, str) else turns
     zero = F.struct(
-        F.lit(0).cast("bigint").alias("off"),
+        F.lit(len(tpl.bos)).cast("bigint").alias("off"),
         F.array().cast(SPAN_STRUCT).alias("spans"),
     )
 
@@ -158,7 +231,7 @@ def loss_mask_spans(turns: Column | str) -> Column:
         start = (
             acc["off"]
             + F.length(F.coalesce(x["role"], F.lit("")))
-            + F.lit(_HDR_FIXED)
+            + F.lit(hdr_fixed)
         )
         end = start + F.length(F.coalesce(x["content"], F.lit("")))
         span = F.struct(
@@ -167,7 +240,7 @@ def loss_mask_spans(turns: Column | str) -> Column:
             end.cast("bigint").alias("span_end"),
         )
         return F.struct(
-            (end + F.lit(_FOOTER)).cast("bigint").alias("off"),
+            (end + F.lit(footer)).cast("bigint").alias("off"),
             F.when(
                 x["role"] == "assistant",
                 F.concat(acc["spans"], F.array(span)),
@@ -177,6 +250,186 @@ def loss_mask_spans(turns: Column | str) -> Column:
         )
 
     return F.aggregate(t, zero, step, lambda acc: acc["spans"])
+
+
+def _lit_int_array(ids: list[int]) -> Column:
+    if not ids:
+        return F.array().cast("array<int>")
+    return F.array(*[F.lit(int(i)) for i in ids]).cast("array<int>")
+
+
+def sft_tokens(
+    turns: Column | str,
+    merges: list[tuple[str, str]],
+    template: ChatTemplate | str = "tagged",
+) -> Column:
+    """TOKEN-SPACE loss mask — the artifact an SFT trainer actually
+    consumes: ``struct<token_ids array<int>, mask_spans
+    array<struct<turn_idx,tok_start,tok_end>>>`` where token_ids is
+    the rendered conversation encoded through the REAL byte-level BPE
+    path (text.gpt2_token_ids' chain) and mask_spans are 0-based
+    [tok_start, tok_end) TOKEN-INDEX spans covering each assistant
+    turn's content.
+
+    Each template piece and each content is encoded as its OWN
+    segment — ``encode(bos) + per turn [encode(pre_role+role+
+    post_role), encode(content), encode(suffix)] + encode(eos)`` —
+    the convention production SFT renderers use (HF chat templates
+    tokenize message-wise), and the construction that makes the mask
+    PROVABLE: token boundaries can never straddle a mask edge, so the
+    masked ids decode back to exactly the assistant contents
+    (text.gpt2_decode_ascii; pinned by the c_sft_tokens oracle and a
+    property test). Inline whole-string encoding cannot promise this
+    — a pretoken can span punctuation at a content/suffix boundary.
+
+    Plan shape: constant segments (bos/suffix/eos) are encoded
+    DRIVER-SIDE into literal id arrays; per-turn header/content
+    encodes run inside ONE ``transform`` over the turns array (each
+    encode chain referenced exactly once — lambda bodies sit outside
+    codegen CSE), then ONE aggregate fold accumulates ids and spans.
+    Pure projection: zero shuffle, zero UDF, any corpus size. ASCII
+    scope (gpt2_token_ids' documented boundary — OOV symbols yield
+    NULL ids, counted by the caller); full-UTF-8 corpora take
+    :func:`sft_tokens_batch`, identical on the shared scope (tested).
+
+    NULL role/content encode as '' (mirroring render_chat); a NULL
+    role is never masked (same rule as loss_mask_spans)."""
+    from .text import gpt2_apply_reference, gpt2_token_ids, gpt2_vocab
+
+    tpl = resolve_template(template)
+    vocab = gpt2_vocab(merges)
+
+    def const_ids(s: str) -> list[int]:
+        return [vocab[sym] for sym in gpt2_apply_reference(s, merges)]
+
+    bos_ids = const_ids(tpl.bos)
+    sfx_ids = const_ids(tpl.suffix)
+    eos_ids = const_ids(tpl.eos)
+
+    t = F.col(turns) if isinstance(turns, str) else turns
+    enc = F.transform(
+        t,
+        lambda x: F.struct(
+            x["turn_idx"].alias("turn_idx"),
+            (x["role"] == F.lit("assistant")).alias("is_assistant"),
+            gpt2_token_ids(
+                F.concat(
+                    F.lit(tpl.pre_role),
+                    F.coalesce(x["role"], F.lit("")),
+                    F.lit(tpl.post_role),
+                ),
+                merges,
+            ).alias("hdr"),
+            gpt2_token_ids(
+                F.coalesce(x["content"], F.lit("")), merges
+            ).alias("cnt"),
+        ),
+    )
+    zero = F.struct(
+        _lit_int_array(bos_ids).alias("ids"),
+        F.array().cast(TOKSPAN_STRUCT).alias("spans"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        start = (F.size(acc["ids"]) + F.size(x["hdr"])).cast("bigint")
+        end = start + F.size(x["cnt"]).cast("bigint")
+        span = F.struct(
+            x["turn_idx"].alias("turn_idx"),
+            start.alias("tok_start"),
+            end.alias("tok_end"),
+        )
+        return F.struct(
+            F.concat(
+                acc["ids"], x["hdr"], x["cnt"], _lit_int_array(sfx_ids)
+            ).alias("ids"),
+            F.when(
+                x["is_assistant"], F.concat(acc["spans"], F.array(span))
+            )
+            .otherwise(acc["spans"])
+            .alias("spans"),
+        )
+
+    return F.aggregate(
+        enc,
+        zero,
+        step,
+        lambda acc: F.struct(
+            F.concat(acc["ids"], _lit_int_array(eos_ids)).alias(
+                "token_ids"
+            ),
+            acc["spans"].alias("mask_spans"),
+        ),
+    )
+
+
+def sft_tokens_batch(
+    df: DataFrame,
+    turns_col: str,
+    merges: list[tuple[str, str]],
+    template: ChatTemplate | str = "tagged",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched twin of :func:`sft_tokens` for full-UTF-8
+    corpora and real ~50k-merge vocabularies: the reference scanner +
+    greedy loop (text.gpt2_apply_reference) run per segment in a
+    mapInPandas stage, the vocab shipping once per executor inside
+    the serialized function (the gpt2_encode_ids_batch discipline).
+    Byte-level BPE's base alphabet covers every byte, so this path is
+    LOSSLESS on any input — no OOV. Output: (id_col, n_tokens bigint,
+    token_ids string — space-joined, mask_spans string —
+    'turn:start:end' comma-joined; scalar so the driver hash gate can
+    canonicalize). Identical to the Column path on its ASCII scope
+    (property-tested)."""
+    from .text import gpt2_apply_reference, gpt2_vocab
+
+    tpl = resolve_template(template)
+    vocab = gpt2_vocab(merges)
+
+    def seg_ids(s: str) -> list[int]:
+        return [vocab[sym] for sym in gpt2_apply_reference(s, merges)]
+
+    bos, sfx, eos = seg_ids(tpl.bos), seg_ids(tpl.suffix), seg_ids(tpl.eos)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_n, out_ids, out_spans = [], [], []
+            for turns in pdf[turns_col]:
+                ids = list(bos)
+                spans: list[tuple[int, int, int]] = []
+                for x in turns if turns is not None else []:
+                    role = x["role"] or ""
+                    content = x["content"] or ""
+                    hdr = seg_ids(tpl.pre_role + role + tpl.post_role)
+                    cnt = seg_ids(content)
+                    start = len(ids) + len(hdr)
+                    ids += hdr + cnt + sfx
+                    if x["role"] == "assistant":
+                        spans.append(
+                            (x["turn_idx"], start, start + len(cnt))
+                        )
+                ids += eos
+                out_n.append(len(ids))
+                out_ids.append(" ".join(map(str, ids)))
+                out_spans.append(
+                    ",".join(f"{t}:{s}:{e}" for t, s, e in spans)
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": out_n,
+                    "token_ids": out_ids,
+                    "mask_spans": out_spans,
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        f"{id_col} {id_type}, n_tokens bigint, "
+        "token_ids string, mask_spans string",
+    )
 
 
 def assistant_transcript_key(turns: Column | str) -> Column:

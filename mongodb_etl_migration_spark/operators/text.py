@@ -2875,6 +2875,31 @@ def gpt2_token_ids(
     )
 
 
+def gpt2_decode_ascii(
+    ids: Column, merges: list[tuple[str, str]]
+) -> Column:
+    """Inverse of gpt2_token_ids on its documented ASCII scope: ids →
+    symbols through the REVERSED rank-ordered vocab (one literal map),
+    concatenated, then the three whitespace alphabet codepoints
+    translated back (Ġ→space, ĉ→tab, Ċ→newline — the only non-identity
+    mappings ASCII text ever produces). Byte-level BPE is lossless, so
+    ``gpt2_decode_ascii(gpt2_token_ids(s)) == s`` for ASCII ``s``
+    (property-tested) — the guarantee that lets a token-space loss
+    mask PROVE it covers exactly the assistant content
+    (chat.sft_tokens' roundtrip oracle). NULL (out-of-vocab) ids
+    decode as '' — callers gate on n_oov == 0 first, the
+    gpt2_token_ids loss-accounting rule. Zero shuffle, zero UDF."""
+    vocab = gpt2_vocab(merges)
+    syms = list(vocab)
+    rmap = F.map_from_arrays(
+        F.lit([vocab[s] for s in syms]), F.lit(syms)
+    )
+    joined = F.array_join(
+        F.transform(ids, lambda i: F.try_element_at(rmap, i)), ""
+    )
+    return F.translate(joined, "ĠĉĊ", " \t\n")
+
+
 def gpt2_encode_ids_batch(
     df, id_col: str, text_col: str, merges: list[tuple[str, str]]
 ):
