@@ -371,3 +371,232 @@ def test_conv_dedup_incremental_matches_batch(spark, tmp_path):
     assert [(r["id_new"], r["kept_id"], r["n_dups_hist"]) for r in rows] == [
         (10, 1, 2)
     ]
+
+
+# ---------------------------------------------------------------------
+# Chat templates as data + token-space loss masks (round 12)
+# ---------------------------------------------------------------------
+
+from mongodb_etl_migration_spark.operators import text as T
+from mongodb_etl_migration_spark.queries import _GPT2_DEMO_MERGES
+
+
+def test_render_exact_strings_per_preset(spark):
+    rows = [(1, "a b c d e f g h")]
+    got = {
+        tpl: _conv(spark, rows)
+        .select(CH.render_chat("turns", tpl).alias("r"))
+        .collect()[0]["r"]
+        for tpl in ("tagged", "chatml", "llama3")
+    }
+    assert got["tagged"] == (
+        "<|user|>a b c d e f<|end|><|assistant|>g h<|end|>"
+    )
+    assert got["chatml"] == (
+        "<|im_start|>user\na b c d e f<|im_end|>\n"
+        "<|im_start|>assistant\ng h<|im_end|>\n"
+    )
+    assert got["llama3"] == (
+        "<|begin_of_text|>"
+        "<|start_header_id|>user<|end_header_id|>\n\na b c d e f<|eot_id|>"
+        "<|start_header_id|>assistant<|end_header_id|>\n\ng h<|eot_id|>"
+    )
+
+
+def test_unknown_template_refuses():
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown chat template"):
+        CH.resolve_template("alpaca")
+
+
+def test_mask_substring_property_every_preset(spark):
+    """The shared invariant, re-asserted for EACH shipped preset over
+    real sf0.001 documents: every span applied to that preset's
+    rendered string recovers exactly the assistant content (llama3
+    exercises the BOS initial offset and multi-char post_role with
+    newlines; chatml the newline suffix)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    conv = docs.select(
+        "doc_id", CH.parse_turns("text", turn_words=6).alias("turns")
+    )
+    for tpl in ("tagged", "chatml", "llama3"):
+        checked = conv.select(
+            CH.render_chat("turns", tpl).alias("rendered"),
+            F.filter("turns", lambda t: t["role"] == "assistant").alias(
+                "at"
+            ),
+            CH.loss_mask_spans("turns", tpl).alias("spans"),
+        ).select(
+            (F.size("spans") != F.size("at")).cast("int").alias("nbad"),
+            F.aggregate(
+                F.zip_with(
+                    "spans",
+                    "at",
+                    lambda s, t: (
+                        F.substring(
+                            F.col("rendered"),
+                            (s["span_start"] + 1).cast("int"),
+                            (s["span_end"] - s["span_start"]).cast("int"),
+                        )
+                        != t["content"]
+                    ).cast("int"),
+                ),
+                F.lit(0),
+                lambda a, x: a + x,
+            ).alias("mismatch"),
+        )
+        bad = checked.agg(
+            F.sum(F.col("nbad") + F.col("mismatch"))
+        ).collect()[0][0]
+        assert bad == 0, f"preset {tpl}: {bad} mismatching spans"
+
+
+def test_sft_tokens_roundtrip_and_full_decode(spark):
+    """The render/mask alignment property LIFTED TO TOKEN SPACE, over
+    real sf0.001 documents: (1) decoding ALL token ids reproduces the
+    rendered conversation byte-for-byte (per-segment byte-level BPE is
+    lossless); (2) decoding ONLY the masked spans reproduces exactly
+    the concatenated assistant contents — the train-on-assistant
+    guarantee a trainer needs from this artifact."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    conv = docs.select(
+        "doc_id", CH.parse_turns("text", turn_words=6).alias("turns")
+    )
+    for tpl in ("chatml", "llama3"):
+        st = conv.select(
+            "doc_id",
+            F.col("turns").alias("turns"),
+            CH.sft_tokens("turns", _GPT2_DEMO_MERGES, tpl).alias("s"),
+        )
+        masked = F.flatten(
+            F.transform(
+                F.col("s.mask_spans"),
+                lambda sp: F.slice(
+                    F.col("s.token_ids"),
+                    (sp["tok_start"] + 1).cast("int"),
+                    (sp["tok_end"] - sp["tok_start"]).cast("int"),
+                ),
+            )
+        )
+        bad = (
+            st.select(
+                (
+                    (
+                        T.gpt2_decode_ascii(
+                            F.col("s.token_ids"), _GPT2_DEMO_MERGES
+                        )
+                        != CH.render_chat("turns", tpl)
+                    )
+                    | (
+                        T.gpt2_decode_ascii(masked, _GPT2_DEMO_MERGES)
+                        != F.array_join(
+                            F.transform(
+                                F.filter(
+                                    "turns",
+                                    lambda x: x["role"] == "assistant",
+                                ),
+                                lambda x: x["content"],
+                            ),
+                            "",
+                        )
+                    )
+                )
+                .cast("int")
+                .alias("bad")
+            )
+            .agg(F.sum("bad"))
+            .collect()[0][0]
+        )
+        assert bad == 0, f"preset {tpl}: token roundtrip broke"
+
+
+def test_sft_tokens_batch_matches_column_path(spark):
+    rows = [
+        (1, "how do i sort a table use the order by clause here"),
+        (2, ""),
+        (3, "one two three four five six seven"),
+    ]
+    conv = _conv(spark, rows)
+    col = conv.select(
+        "doc_id",
+        CH.sft_tokens("turns", _GPT2_DEMO_MERGES, "chatml").alias("s"),
+    ).select(
+        "doc_id",
+        F.size("s.token_ids").cast("bigint").alias("n_tokens"),
+        F.array_join(
+            F.transform("s.token_ids", lambda i: i.cast("string")), " "
+        ).alias("token_ids"),
+        F.array_join(
+            F.transform(
+                "s.mask_spans",
+                lambda x: F.concat_ws(
+                    ":",
+                    x["turn_idx"].cast("string"),
+                    x["tok_start"].cast("string"),
+                    x["tok_end"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("mask_spans"),
+    )
+    bat = CH.sft_tokens_batch(conv, "turns", _GPT2_DEMO_MERGES, "chatml")
+    assert sorted(map(tuple, bat.collect())) == sorted(
+        map(tuple, col.collect())
+    )
+
+
+def test_sft_tokens_batch_lossless_on_unicode(spark):
+    """The batch twin's full-UTF-8 scope: non-ASCII content encodes
+    through the byte alphabet with NO OOV, and the masked ids decode
+    back to the assistant content via the reference decoder."""
+    turns = [
+        {"turn_idx": 0, "role": "user", "content": "héllo ¿qué?"},
+        {"turn_idx": 1, "role": "assistant", "content": "naïve — café"},
+    ]
+    df = spark.createDataFrame([(1, turns)], f"doc_id long, turns {CH.TURN_STRUCT}")
+    row = CH.sft_tokens_batch(df, "turns", _GPT2_DEMO_MERGES, "chatml").collect()[0]
+    ids = [int(x) for x in row["token_ids"].split(" ")]
+    t, s, e = (int(x) for x in row["mask_spans"].split(":"))
+    vocab = T.gpt2_vocab(_GPT2_DEMO_MERGES)
+    rev = {v: k for k, v in vocab.items()}
+    b2u = T.gpt2_bytes_to_unicode()
+    u2b = {u: bytes([b]) for b, u in b2u.items()}
+    dec = b"".join(
+        u2b[ch] for i in ids[s:e] for ch in rev[i]
+    ).decode("utf-8")
+    assert dec == "naïve — café"
+
+
+def test_sft_tokens_null_and_empty_turns(spark):
+    """NULL content encodes as '' (span start == end, still emitted);
+    a NULL role is never masked; an EMPTY conversation is bos+eos
+    only with no spans."""
+    turns_a = [
+        {"turn_idx": 0, "role": "user", "content": None},
+        {"turn_idx": 1, "role": "assistant", "content": None},
+        {"turn_idx": 2, "role": None, "content": "orphan"},
+    ]
+    df = spark.createDataFrame(
+        [(1, turns_a), (2, [])], f"doc_id long, turns {CH.TURN_STRUCT}"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            CH.sft_tokens("turns", _GPT2_DEMO_MERGES, "llama3").alias("s"),
+        ).collect()
+    }
+    spans = out[1]["s"]["mask_spans"]
+    assert [s["turn_idx"] for s in spans] == [1]  # NULL role unmasked
+    assert spans[0]["tok_start"] == spans[0]["tok_end"]  # '' content
+    vocab = T.gpt2_vocab(_GPT2_DEMO_MERGES)
+
+    def const_ids(s):
+        return [vocab[x] for x in T.gpt2_apply_reference(s, _GPT2_DEMO_MERGES)]
+
+    tpl = CH.CHAT_TEMPLATES["llama3"]
+    assert out[2]["s"]["mask_spans"] == []
+    assert list(out[2]["s"]["token_ids"]) == const_ids(tpl.bos) + const_ids(
+        tpl.eos
+    )
