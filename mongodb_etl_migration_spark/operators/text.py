@@ -1669,6 +1669,48 @@ def postings_from_tf(
     )
 
 
+def bm25_tf(df, id_col: str = "doc_id", text_col: str = "text"):
+    """The (id, term, tf) layer — the ADDITIVE quantity incremental
+    BM25 ingest maintains: tf counts for disjoint document batches
+    union + re-sum exactly (the gram_count_index rule), after which
+    :func:`postings_from_tf` re-derives the snapshot-wide dl/df
+    windows and :func:`bm25_stats_merge` folds the 1-row stats. One
+    token explode + ONE (doc, term) exchange."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    return toks.groupBy(id_col, "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+
+
+def bm25_stats_merge(a, b):
+    """Additive maintenance of the 1-row BM25 stats table for
+    DISJOINT document batches (append-only ingest — a doc id present
+    in both sides would double-count N): n_docs and total_dl add;
+    n_buckets must MATCH or the merged stats would bless pruning
+    against partitions written under a different modulus (refuse
+    loudly, the bm25_probe_indexed rule). Two bounded 1-row collects
+    — the documented bounded-collect pattern."""
+    ra, rb = a.collect()[0], b.collect()[0]
+    if int(ra["n_buckets"]) != int(rb["n_buckets"]):
+        raise ValueError(
+            f"stats disagree on n_buckets ({ra['n_buckets']} vs "
+            f"{rb['n_buckets']}) — indexes built with different bucket "
+            "moduli cannot merge"
+        )
+    return a.sparkSession.createDataFrame(
+        [
+            (
+                int(ra["n_docs"]) + int(rb["n_docs"]),
+                int(ra["total_dl"]) + int(rb["total_dl"]),
+                int(ra["n_buckets"]),
+            )
+        ],
+        "n_docs bigint, total_dl bigint, n_buckets int",
+    )
+
+
 def bm25_index(
     df,
     id_col: str = "doc_id",

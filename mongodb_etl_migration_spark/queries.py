@@ -9752,8 +9752,13 @@ _GPT2_DEMO_MERGES = T.parse_merges(GPT2_DEMO_MERGES_TXT)
 # it is a literal space (re-splitting " '" off a contraction, exactly
 # as the real pattern's alternation order does). Verified
 # token-for-token against Java regex AND the regex-module reference.
-_GPT2_PRETOK_SQL = r"""
-    SELECT doc_id, flatten(list_transform(L, (tok, i) ->
+def _gpt2_pretok_sql(keys: str = "doc_id") -> str:
+    """The pretokenizer CTE body, parameterized on the carried key
+    columns — ``doc_id`` for whole-document encodes, ``doc_id,
+    turn_idx, seg`` for the per-segment SFT encode (c_sft_tokens).
+    Reads FROM a CTE named ``d`` with a ``t2`` text column."""
+    return r"""
+    SELECT {K}, flatten(list_transform(L, (tok, i) ->
       CASE
         WHEN regexp_matches(tok, '^\s+$') AND i < len(L) THEN
           list_filter([substr(tok, 1, length(tok)-1),
@@ -9768,13 +9773,16 @@ _GPT2_PRETOK_SQL = r"""
         ELSE [tok]
       END)) AS toks
     FROM (
-      SELECT doc_id, regexp_extract_all(t2,
+      SELECT {K}, regexp_extract_all(t2,
         CHR(39)||'s|'||CHR(39)||'t|'||CHR(39)||'re|'||CHR(39)||'ve|'
         ||CHR(39)||'m|'||CHR(39)||'ll|'||CHR(39)||'d'
         ||'| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
       ) AS L FROM d
     )
-"""
+""".replace("{K}", keys)
+
+
+_GPT2_PRETOK_SQL = _gpt2_pretok_sql()
 
 
 def _gpt2_sql_encode(var: str) -> str:
@@ -9860,6 +9868,16 @@ def _gpt2_vocab_sql_map() -> str:
     syms = ", ".join("'" + s.replace("'", "''") + "'" for s in vocab)
     ids = ", ".join(str(i) for i in vocab.values())
     return f"MAP([{syms}], [{ids}])"
+
+
+def _gpt2_rvocab_sql_map() -> str:
+    """The REVERSE id→symbol table as one DuckDB MAP literal — the
+    decode direction (mirrors text.gpt2_decode_ascii's reversed
+    vocab), used by c_sft_tokens' masked-ids roundtrip proof."""
+    vocab = T.gpt2_vocab(_GPT2_DEMO_MERGES)
+    syms = ", ".join("'" + s.replace("'", "''") + "'" for s in vocab)
+    ids = ", ".join(str(i) for i in vocab.values())
+    return f"MAP([{ids}], [{syms}])"
 
 
 @query(
@@ -12463,6 +12481,345 @@ def c_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(parsed).cast("bigint").alias("n_turns"),
         CH.render_chat(parsed).alias("rendered"),
+    )
+
+
+_TPL_CHATML = CH.CHAT_TEMPLATES["chatml"]
+_TPL_LLAMA3 = CH.CHAT_TEMPLATES["llama3"]
+
+
+def _chat_proof_cols(step):
+    """Shared projection tail for the per-preset template queries:
+    scalarize the spans, extract every span back OUT of the rendered
+    string, and put the assistant contents next to the extraction —
+    the substring property as DATA the oracle can hash. ``step`` must
+    carry (doc_id, turns, rendered, spans) already staged in their
+    own projection (rendered/spans are expensive folds — referenced,
+    not re-evaluated, per the t_bpe_ids discipline)."""
+    return step.select(
+        "doc_id",
+        F.length("rendered").cast("bigint").alias("n_chars"),
+        "rendered",
+        F.array_join(
+            F.transform(
+                "spans",
+                lambda s: F.concat_ws(
+                    ":",
+                    s["turn_idx"].cast("string"),
+                    s["span_start"].cast("string"),
+                    s["span_end"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("spans_str"),
+        F.array_join(
+            F.transform(
+                "spans",
+                lambda s: F.substring(
+                    F.col("rendered"),
+                    (s["span_start"] + 1).cast("int"),
+                    (s["span_end"] - s["span_start"]).cast("int"),
+                ),
+            ),
+            "",
+        ).alias("extracted"),
+        F.array_join(
+            F.transform(
+                F.filter("turns", lambda t: t["role"] == "assistant"),
+                lambda t: t["content"],
+            ),
+            "",
+        ).alias("assistant_text"),
+    )
+
+
+@query(
+    "c_render_chatml",
+    f"""
+    WITH {_CHAT_FIXTURE_SQL}, r AS (
+      SELECT doc_id,
+             string_agg('<|im_start|>' || role || chr(10) || content
+                        || '<|im_end|>' || chr(10), '' ORDER BY turn_idx)
+               AS rendered
+      FROM turn GROUP BY doc_id
+    ), m AS (
+      SELECT doc_id, turn_idx, role, content, len(content) AS clen,
+             {len(_TPL_CHATML.pre_role) + len(_TPL_CHATML.post_role)}
+               + len(role) AS hdr,
+             sum({len(_TPL_CHATML.pre_role) + len(_TPL_CHATML.post_role)
+                  + len(_TPL_CHATML.suffix)} + len(role) + len(content))
+               OVER (PARTITION BY doc_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS off
+      FROM turn
+    ), sp AS (
+      SELECT m.doc_id, m.turn_idx, m.content,
+             CAST(coalesce(m.off, 0) + m.hdr AS BIGINT) AS s,
+             CAST(coalesce(m.off, 0) + m.hdr + m.clen AS BIGINT) AS e,
+             r.rendered
+      FROM m JOIN r USING (doc_id) WHERE m.role = 'assistant'
+    ), spa AS (
+      SELECT doc_id,
+             string_agg(turn_idx || ':' || s || ':' || e,
+                        ',' ORDER BY turn_idx) AS spans_str,
+             string_agg(substring(rendered, s + 1, e - s),
+                        '' ORDER BY turn_idx) AS extracted,
+             string_agg(content, '' ORDER BY turn_idx) AS assistant_text
+      FROM sp GROUP BY doc_id
+    )
+    SELECT r.doc_id, CAST(len(r.rendered) AS BIGINT) AS n_chars,
+           r.rendered,
+           coalesce(spa.spans_str, '') AS spans_str,
+           coalesce(spa.extracted, '') AS extracted,
+           coalesce(spa.assistant_text, '') AS assistant_text
+    FROM r LEFT JOIN spa USING (doc_id)
+    """,
+)
+def c_render_chatml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChatML template render + mask (chat.render_chat /
+    loss_mask_spans with the "chatml" preset): templates are DATA —
+    per-turn (pre_role, post_role, suffix) strings drive BOTH the
+    render fold and the offset arithmetic, so the mask can never
+    disagree with its own template (newline-bearing tags exercise the
+    non-tagged offset math). The query emits the substring property
+    itself: ``extracted`` re-slices every span OUT of the rendered
+    string and must equal ``assistant_text`` in both engines — a
+    drifted offset hash-mismatches. Still a pure projection: two
+    folds + per-row transforms, zero exchanges (the oracle regroups
+    exploded rows; the Spark plan never exploded)."""
+    conv = _chat_conv(spark, sf_dir)
+    step = conv.filter(F.size("turns") > 0).select(
+        "doc_id",
+        "turns",
+        CH.render_chat("turns", "chatml").alias("rendered"),
+        CH.loss_mask_spans("turns", "chatml").alias("spans"),
+    )
+    return _chat_proof_cols(step)
+
+
+@query(
+    "c_render_llama3",
+    f"""
+    WITH {_CHAT_FIXTURE_SQL}, r AS (
+      SELECT doc_id,
+             '<|begin_of_text|>' || string_agg('<|start_header_id|>'
+               || role || '<|end_header_id|>' || chr(10) || chr(10)
+               || content || '<|eot_id|>', '' ORDER BY turn_idx)
+               AS rendered
+      FROM turn GROUP BY doc_id
+    ), m AS (
+      SELECT doc_id, turn_idx, role, content, len(content) AS clen,
+             {len(_TPL_LLAMA3.pre_role) + len(_TPL_LLAMA3.post_role)}
+               + len(role) AS hdr,
+             {len(_TPL_LLAMA3.bos)}
+               + coalesce(sum({len(_TPL_LLAMA3.pre_role)
+                               + len(_TPL_LLAMA3.post_role)
+                               + len(_TPL_LLAMA3.suffix)}
+                              + len(role) + len(content))
+                   OVER (PARTITION BY doc_id ORDER BY turn_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0)
+               AS off
+      FROM turn
+    ), sp AS (
+      SELECT m.doc_id, m.turn_idx, m.content,
+             CAST(m.off + m.hdr AS BIGINT) AS s,
+             CAST(m.off + m.hdr + m.clen AS BIGINT) AS e,
+             r.rendered
+      FROM m JOIN r USING (doc_id) WHERE m.role = 'assistant'
+    ), spa AS (
+      SELECT doc_id,
+             string_agg(turn_idx || ':' || s || ':' || e,
+                        ',' ORDER BY turn_idx) AS spans_str,
+             string_agg(substring(rendered, s + 1, e - s),
+                        '' ORDER BY turn_idx) AS extracted,
+             string_agg(content, '' ORDER BY turn_idx) AS assistant_text
+      FROM sp GROUP BY doc_id
+    )
+    SELECT r.doc_id, CAST(len(r.rendered) AS BIGINT) AS n_chars,
+           r.rendered,
+           coalesce(spa.spans_str, '') AS spans_str,
+           coalesce(spa.extracted, '') AS extracted,
+           coalesce(spa.assistant_text, '') AS assistant_text
+    FROM r LEFT JOIN spa USING (doc_id)
+    """,
+)
+def c_render_llama3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Llama-3-style template render + mask (the "llama3" preset):
+    exercises the BOS sentinel (a NON-ZERO initial mask offset — the
+    arithmetic the tagged/chatml presets never touch) and a
+    multi-character post_role with two newlines. Same emitted
+    substring proof as c_render_chatml: ``extracted`` ==
+    ``assistant_text`` or the hash gate fails. Pure projection, zero
+    exchanges."""
+    conv = _chat_conv(spark, sf_dir)
+    step = conv.filter(F.size("turns") > 0).select(
+        "doc_id",
+        "turns",
+        CH.render_chat("turns", "llama3").alias("rendered"),
+        CH.loss_mask_spans("turns", "llama3").alias("spans"),
+    )
+    return _chat_proof_cols(step)
+
+
+def _sft_tokens_oracle() -> str:
+    """DuckDB mirror of chat.sft_tokens with the chatml preset: the
+    fixture turns become (header, content) SEGMENT rows, each segment
+    runs the IDENTICAL pretokenize → byte-alphabet → merge-chain →
+    id-map pipeline as the whole-document t_bpe_ids oracle, constant
+    suffix ids are inlined as a literal (computed by the same
+    driver-side encode the Spark plan embeds), and the masked ids
+    are decoded back through the REVERSE vocab map — so a hash match
+    proves segmentation, ids, token-span arithmetic, AND the
+    decode-roundtrip in one row."""
+    vocab = T.gpt2_vocab(_GPT2_DEMO_MERGES)
+    sfx_ids = [
+        vocab[s]
+        for s in T.gpt2_apply_reference(
+            _TPL_CHATML.suffix, _GPT2_DEMO_MERGES
+        )
+    ]
+    sfx_lit = "[" + ", ".join(map(str, sfx_ids)) + "]"
+    return f"""
+    WITH {_CHAT_FIXTURE_SQL}, d AS (
+      SELECT doc_id, turn_idx, 0 AS seg,
+             '<|im_start|>' || role || chr(10) AS t2 FROM turn
+      UNION ALL
+      SELECT doc_id, turn_idx, 1 AS seg, content AS t2 FROM turn
+    ), pt AS (
+      {_gpt2_pretok_sql("doc_id, turn_idx, seg")}
+    ), mm AS (
+      SELECT doc_id, turn_idx, seg,
+        list_transform(toks, t ->
+          replace(replace(replace(t, ' ', 'Ġ'), chr(9), 'ĉ'),
+                  chr(10), 'Ċ')) AS mapped
+      FROM pt
+    ), e AS MATERIALIZED (
+      SELECT doc_id, turn_idx, seg,
+        trim(regexp_replace(
+          array_to_string(
+            list_transform(mapped, w -> {_gpt2_sql_encode("w")}), ''),
+          ' +', ' ', 'g')) AS enc
+      FROM mm
+    ), vocab AS (
+      SELECT {_gpt2_vocab_sql_map()} AS vm, {_gpt2_rvocab_sql_map()} AS rm
+    ), ids AS (
+      SELECT doc_id, turn_idx, seg,
+        list_transform(
+          list_filter(string_split(enc, ' '), s -> s <> ''),
+          s -> vm[s][1]) AS tid
+      FROM e, vocab
+    ), tu AS (
+      SELECT t.doc_id, t.turn_idx, t.role, t.content,
+             h.tid AS hdr, c.tid AS cnt
+      FROM turn t
+      JOIN ids h ON h.doc_id = t.doc_id AND h.turn_idx = t.turn_idx
+                AND h.seg = 0
+      JOIN ids c ON c.doc_id = t.doc_id AND c.turn_idx = t.turn_idx
+                AND c.seg = 1
+    ), o AS (
+      SELECT doc_id, turn_idx, role, content, hdr, cnt,
+        coalesce(sum(len(hdr) + len(cnt) + {len(sfx_ids)})
+          OVER (PARTITION BY doc_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS off
+      FROM tu
+    ), agg AS (
+      SELECT doc_id,
+        flatten(list(hdr || cnt || {sfx_lit} ORDER BY turn_idx))
+          AS all_ids,
+        coalesce(string_agg(CASE WHEN role = 'assistant'
+          THEN turn_idx || ':' || (off + len(hdr)) || ':'
+               || (off + len(hdr) + len(cnt)) END,
+          ',' ORDER BY turn_idx), '') AS mask_spans,
+        flatten(list(CASE WHEN role = 'assistant' THEN cnt
+                          ELSE [] END ORDER BY turn_idx)) AS masked_ids,
+        coalesce(string_agg(CASE WHEN role = 'assistant' THEN content END,
+          '' ORDER BY turn_idx), '') AS assistant_text
+      FROM o GROUP BY doc_id
+    ), fin AS (
+      SELECT doc_id, all_ids, mask_spans, assistant_text,
+        replace(replace(replace(
+          array_to_string(list_transform(masked_ids, i -> rm[i][1]), ''),
+          'Ġ', ' '), 'ĉ', chr(9)), 'Ċ', chr(10)) AS masked_text
+      FROM agg, vocab
+    )
+    SELECT doc_id,
+           CAST(len(all_ids) AS BIGINT) AS n_tokens,
+           array_to_string(all_ids, ' ') AS token_ids,
+           mask_spans, masked_text, assistant_text,
+           CAST(CASE WHEN masked_text = assistant_text
+                THEN 1 ELSE 0 END AS BIGINT) AS roundtrip_ok
+    FROM fin
+    """
+
+
+@query("c_sft_tokens", _sft_tokens_oracle())
+def c_sft_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-SPACE loss masks (chat.sft_tokens, chatml preset): the
+    artifact an SFT trainer actually consumes — real byte-level BPE
+    token ids for the rendered conversation plus [tok_start, tok_end)
+    TOKEN-INDEX spans over the assistant contents. Template pieces
+    and contents are encoded as separate segments (the HF
+    message-wise convention), which is what makes the mask PROVABLE:
+    ``masked_text`` decodes the masked ids through the reverse vocab
+    (text.gpt2_decode_ascii) and must equal ``assistant_text``
+    byte-for-byte in BOTH engines (``roundtrip_ok`` pins it to 1) —
+    the render/mask alignment property lifted to token space. Plan:
+    constant segments ride as literal id arrays; per-turn encodes run
+    inside one transform + one fold — pure projection, zero shuffle,
+    zero UDF (the full-UTF-8 path is the Arrow-batched
+    sft_tokens_batch, property-tested equal on this scope)."""
+    conv = _chat_conv(spark, sf_dir)
+    st = conv.filter(F.size("turns") > 0).select(
+        "doc_id",
+        "turns",
+        CH.sft_tokens("turns", _GPT2_DEMO_MERGES, "chatml").alias("s"),
+    )
+    masked = F.flatten(
+        F.transform(
+            F.col("s.mask_spans"),
+            lambda sp: F.slice(
+                F.col("s.token_ids"),
+                (sp["tok_start"] + 1).cast("int"),
+                (sp["tok_end"] - sp["tok_start"]).cast("int"),
+            ),
+        )
+    )
+    step = st.select(
+        "doc_id",
+        F.size("s.token_ids").cast("bigint").alias("n_tokens"),
+        F.array_join(
+            F.transform("s.token_ids", lambda i: i.cast("string")), " "
+        ).alias("token_ids"),
+        F.array_join(
+            F.transform(
+                "s.mask_spans",
+                lambda x: F.concat_ws(
+                    ":",
+                    x["turn_idx"].cast("string"),
+                    x["tok_start"].cast("string"),
+                    x["tok_end"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("mask_spans"),
+        T.gpt2_decode_ascii(masked, _GPT2_DEMO_MERGES).alias(
+            "masked_text"
+        ),
+        F.array_join(
+            F.transform(
+                F.filter("turns", lambda t: t["role"] == "assistant"),
+                lambda t: t["content"],
+            ),
+            "",
+        ).alias("assistant_text"),
+    )
+    return step.select(
+        "*",
+        (F.col("masked_text") == F.col("assistant_text"))
+        .cast("bigint")
+        .alias("roundtrip_ok"),
     )
 
 
