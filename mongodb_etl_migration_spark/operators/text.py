@@ -1716,6 +1716,7 @@ def bm25_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
+    tf=None,
 ):
     """Materialized BM25 index build: (postings, stats) frames that
     :func:`write_bm25_index` persists and :func:`bm25_probe` joins —
@@ -1757,14 +1758,11 @@ def bm25_index(
                 f"id_col={id_col!r} collides with an index column"
             )
     spark = df.sparkSession
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("term")
-    )
-    tf = (
-        toks.groupBy(id_col, "term")
-        .agg(F.count("*").cast("bigint").alias("tf"))
-        .localCheckpoint(eager=False)
-    )
+    # tf may arrive pre-materialized (the maintenance path hands the
+    # maintained additive layer here so text is never re-tokenized)
+    if tf is None:
+        tf = bm25_tf(df, id_col, text_col)
+    tf = tf.localCheckpoint(eager=False)
     postings = postings_from_tf(tf, id_col, n_buckets)
     n_docs = int(df.count())
     total = int(tf.agg(F.sum("tf")).collect()[0][0] or 0)

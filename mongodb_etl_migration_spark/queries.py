@@ -13285,6 +13285,65 @@ def t_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bm25_probe(postings, stats, _BM25_QUERIES, k=10)
 
 
+@query("t_bm25_probe_persisted", _BM25_ORACLE)
+def t_bm25_probe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 against the PERSISTED on-disk index — the path a
+    production probe actually takes (text.write_bm25_index +
+    bm25_probe_indexed): postings land Hive-partitioned by tbucket,
+    the probe derives the bucket modulus from the index's OWN stats
+    row and prunes the postings scan to the query terms' buckets
+    BEFORE the join (the plan receipt shows ``PartitionFilters:
+    [tbucket IN (...)]`` — real directory pruning; a 3-query probe
+    reads ≤6 of 64 directories whatever the corpus size). Pinned to
+    the SAME oracle text as t_bm25_retrieval/t_bm25_probe: disk
+    round-trip + pruning must be invisible to the ranking. The
+    scratch index is rebuilt per run (overwrite mode, deterministic
+    path) — build cost is the corpus pass this index exists to
+    amortize."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"mongodb_etl_migration_spark_bm25idx_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    T.write_bm25_index(Catalog(spark, sf_dir).documents, path)
+    return T.bm25_probe_indexed(spark, path, _BM25_QUERIES, k=10)
+
+
+@query("t_bm25_maintained", _BM25_ORACLE)
+def t_bm25_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index maintenance, oracle-equal to a from-scratch
+    build: the corpus arrives as two disjoint batches (doc_id %% 3),
+    each keyed once into its additive (doc, term, tf) layer
+    (text.bm25_tf); maintenance unions the layers, re-sums per
+    (doc, term), re-derives the snapshot-wide dl/df windows via
+    postings_from_tf — bucket modulus taken from the index's own
+    stats, never a repeated literal — and folds the 1-row stats
+    additively (bm25_stats_merge, refusing on bucket mismatch). The
+    probe over the MAINTAINED index answers against the full-union
+    oracle: raw text is never re-read for documents already ingested,
+    which is the whole point of maintaining an index under continuous
+    ingestion."""
+    d = Catalog(spark, sf_dir).documents
+    hist = d.filter(F.col("doc_id") % 3 != 0)
+    batch = d.filter(F.col("doc_id") % 3 == 0)
+    # each side tokenized exactly ONCE: the checkpointed tf layer
+    # feeds that side's stats AND the maintained union
+    tf_h = T.bm25_tf(hist).localCheckpoint(eager=False)
+    tf_b = T.bm25_tf(batch).localCheckpoint(eager=False)
+    _, s_hist = T.bm25_index(hist, tf=tf_h)
+    _, s_batch = T.bm25_index(batch, tf=tf_b)
+    tf = (
+        tf_h.unionByName(tf_b)
+        .groupBy("doc_id", "term")
+        .agg(F.sum("tf").cast("bigint").alias("tf"))
+    )
+    stats = T.bm25_stats_merge(s_hist, s_batch)
+    postings = T.postings_from_tf(tf, "doc_id", stats=stats)
+    return T.bm25_probe(postings, stats, _BM25_QUERIES, k=10)
+
+
 # =====================================================================
 # Entry points consumed by __spark_entry__.py
 # =====================================================================
