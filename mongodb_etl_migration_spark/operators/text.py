@@ -770,6 +770,157 @@ def pack_sequences(
     )
 
 
+def pack_sequences_bestfit(
+    df,
+    id_col: str,
+    ids_col: str,
+    seq_len: int = 1024,
+    eos_id: int = 50256,
+    n_buckets: int = 32,
+):
+    """FEWER-TRUNCATIONS sequence packing — best-fit-decreasing bin
+    packing of whole documents into ``seq_len`` bins (Ding et al.
+    2024, "Fewer Truncations Improve Language Modeling"): unlike
+    :func:`pack_sequences`' concat-and-split, a document is NEVER
+    split across training sequences (only documents longer than
+    seq_len are pre-chunked, the paper's rule), so no training
+    example starts mid-document; the cost is pad slack, which BFD
+    keeps near-optimal (≤ 11/9 OPT + 1 bins).
+
+    Algorithm, per deterministic bucket (``id % n_buckets``, the
+    pack_sequences device): chunk each document's ids+EOS stream into
+    ≤seq_len items, sort items (size DESC, id, chunk) — decreasing —
+    then place each item into the FULLEST bin that still fits it
+    (min remaining capacity, tie → lowest bin index), else open a new
+    bin. The whole placement is ONE aggregate fold over the sorted
+    item array carrying (items_placed, bins) — bins hold item INDEX
+    references, so fold state is O(items), and assembly resolves
+    references against the already-collected item array with O(1)
+    element_at. Same plan shape and memory bound as pack_sequences:
+    exactly ONE exchange (the bucket groupBy), per-bucket state =
+    that bucket's token stream, zero UDF. Compute is
+    O(items × bins) per bucket — the classic BFD loop, vectorized as
+    codegen'd array expressions.
+
+    Output: (bucket, bin_idx, n_tokens, fill_milli, token_ids
+    space-joined string). n_tokens ≤ seq_len; fill_milli =
+    n_tokens*1000 div seq_len is the utilization the packer is
+    graded on (BENCH_pack.json receipts it against pack_sequences'
+    token-drop on the same corpus). Deterministic and
+    engine-portable: bucket, order, and placement are pure functions
+    of (id, sizes)."""
+    if seq_len < 1 or n_buckets < 1:
+        raise ValueError("seq_len and n_buckets must be >= 1")
+    bins_t = "array<struct<rem:int,refs:array<int>>>"
+    stream = F.concat(
+        F.coalesce(
+            F.col(ids_col).cast("array<int>"), F.array().cast("array<int>")
+        ),
+        F.array(F.lit(eos_id).cast("int")),
+    )
+    n_chunks = F.ceil(F.size(stream) / F.lit(seq_len)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.struct(
+            c.cast("int").alias("c"),
+            F.slice(
+                stream, (c * seq_len + 1).cast("int"), seq_len
+            ).alias("t"),
+        ),
+    )
+    items = df.select(
+        F.pmod(F.col(id_col).cast("bigint"), F.lit(n_buckets)).alias(
+            "bucket"
+        ),
+        F.col(id_col).cast("bigint").alias("d"),
+        F.explode(chunks).alias("ch"),
+    ).select(
+        "bucket",
+        F.struct(
+            (-F.size(F.col("ch.t"))).cast("int").alias("szneg"),
+            F.col("d").alias("d"),
+            F.col("ch.c").alias("c"),
+            F.col("ch.t").alias("toks"),
+        ).alias("it"),
+    )
+    collected = items.groupBy("bucket").agg(
+        F.array_sort(F.collect_list("it")).alias("items")
+    )
+
+    zero = F.struct(
+        F.lit(0).cast("int").alias("k"),
+        F.array().cast(bins_t).alias("bins"),
+    )
+
+    def step(acc: Column, it: Column) -> Column:
+        sz = (-it["szneg"]).cast("int")
+        cand = F.filter(
+            F.transform(
+                acc["bins"],
+                lambda b, j: F.struct(
+                    b["rem"].alias("rem"), j.cast("int").alias("j")
+                ),
+            ),
+            lambda x: x["rem"] >= sz,
+        )
+        best = F.array_min(cand)  # lexicographic: min rem, then min j
+        newbin = F.struct(
+            (F.lit(seq_len).cast("int") - sz).cast("int").alias("rem"),
+            F.array(acc["k"]).alias("refs"),
+        )
+        placed = F.transform(
+            acc["bins"],
+            lambda b, j: F.when(
+                j.cast("int") == best["j"],
+                F.struct(
+                    (b["rem"] - sz).cast("int").alias("rem"),
+                    F.concat(b["refs"], F.array(acc["k"])).alias("refs"),
+                ),
+            ).otherwise(b),
+        )
+        return F.struct(
+            (acc["k"] + 1).cast("int").alias("k"),
+            F.when(F.size(cand) == 0, F.concat(acc["bins"], F.array(newbin)))
+            .otherwise(placed)
+            .alias("bins"),
+        )
+
+    fold = F.aggregate(
+        F.col("items"), zero, step, lambda acc: acc["bins"]
+    )
+    step1 = collected.select("bucket", "items", fold.alias("__bins"))
+    assembled = F.transform(
+        F.col("__bins"),
+        lambda b: F.struct(
+            (F.lit(seq_len) - b["rem"]).cast("bigint").alias("n_tokens"),
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        b["refs"],
+                        lambda r: F.element_at(
+                            F.col("items"), r + 1
+                        )["toks"],
+                    )
+                ),
+                " ",
+            ).alias("token_ids"),
+        ),
+    )
+    out = step1.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.posexplode(assembled),
+    )
+    return out.select(
+        "bucket",
+        F.col("pos").cast("bigint").alias("bin_idx"),
+        F.col("col.n_tokens").alias("n_tokens"),
+        F.expr(f"(col.n_tokens * 1000) div {seq_len}")
+        .cast("bigint")
+        .alias("fill_milli"),
+        F.col("col.token_ids").alias("token_ids"),
+    )
+
+
 def epoch_shuffle(
     df,
     key_cols: list[str],

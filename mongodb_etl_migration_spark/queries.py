@@ -10118,6 +10118,112 @@ def t_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_pack_bestfit",
+    r"""
+    WITH RECURSIVE ids AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                            t -> CAST(length(t) AS INTEGER)) AS tid
+      FROM documents
+    ), st AS (
+      SELECT doc_id % 16 AS bucket, doc_id AS d,
+             list_append(tid, 0) AS stream
+      FROM ids
+    ), ch AS (
+      SELECT bucket, d, CAST(c.c AS INTEGER) AS c,
+             stream[c.c*64+1 : least((c.c+1)*64, len(stream))] AS toks
+      FROM st, UNNEST(range(0, CAST(ceil(len(stream)/64.0) AS BIGINT)))
+           AS c(c)
+    ), it AS (
+      SELECT bucket, d, c, CAST(len(toks) AS INTEGER) AS sz, toks,
+             CAST(row_number() OVER (
+               PARTITION BY bucket ORDER BY len(toks) DESC, d, c
+             ) AS INTEGER) AS rk
+      FROM ch
+    ), nit AS (
+      SELECT bucket, CAST(count(*) AS INTEGER) AS n FROM it GROUP BY bucket
+    ), rec AS (
+      -- one BFD placement per recursion step and bucket; DuckDB 1.0
+      -- resolves a nested INDEXED lambda's index to the outer
+      -- lambda's (tested), so the best-bin choice is expressed
+      -- index-free: best remaining capacity via list_sort, its bin
+      -- as the FIRST list_position match (= min rem, tie lowest
+      -- index — exactly the Spark fold's array_min struct order)
+      SELECT bucket, 0 AS step,
+             CAST([] AS STRUCT(rem INTEGER, refs INTEGER[])[]) AS bins
+      FROM nit
+      UNION ALL
+      SELECT r.bucket, r.step + 1,
+        CASE WHEN list_position(
+               list_transform(r.bins, b -> b.rem),
+               list_sort(list_filter(list_transform(r.bins, b -> b.rem),
+                                     x -> x >= i.sz))[1]) IS NULL
+          THEN list_append(r.bins,
+                 {'rem': CAST(64 - i.sz AS INTEGER),
+                  'refs': [CAST(i.rk AS INTEGER)]})
+          ELSE list_transform(r.bins, (b, j) ->
+            CASE WHEN j = list_position(
+                   list_transform(r.bins, b2 -> b2.rem),
+                   list_sort(list_filter(
+                     list_transform(r.bins, b2 -> b2.rem),
+                     x -> x >= i.sz))[1])
+              THEN {'rem': CAST(b.rem - i.sz AS INTEGER),
+                    'refs': list_append(b.refs, CAST(i.rk AS INTEGER))}
+              ELSE b END)
+        END AS bins
+      FROM rec r JOIN it i ON i.bucket = r.bucket AND i.rk = r.step + 1
+    ), fin AS (
+      SELECT r.bucket, r.bins FROM rec r JOIN nit USING (bucket)
+      WHERE r.step = nit.n
+    ), bx AS (
+      SELECT bucket, CAST(u.x.j - 1 AS BIGINT) AS bin_idx,
+             u.x.b.refs AS refs
+      FROM fin, UNNEST(list_transform(bins, (b, j) -> {'j': j, 'b': b}))
+           AS u(x)
+    ), asg AS (
+      SELECT bucket, bin_idx, u.y.p AS p, u.y.rk AS rk
+      FROM bx, UNNEST(list_transform(refs, (r2, p2) -> {'p': p2, 'rk': r2}))
+           AS u(y)
+    ), merged AS (
+      SELECT a.bucket, a.bin_idx, flatten(list(i.toks ORDER BY a.p)) AS w
+      FROM asg a JOIN it i ON i.bucket = a.bucket AND i.rk = a.rk
+      GROUP BY a.bucket, a.bin_idx
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, bin_idx,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(w) * 1000 // 64 AS BIGINT) AS fill_milli,
+           array_to_string(w, ' ') AS token_ids
+    FROM merged
+    """,
+)
+def t_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEWER-TRUNCATIONS packing (text.pack_sequences_bestfit):
+    best-fit-decreasing bin packing of whole documents into 64-token
+    bins (Ding et al. 2024) — no document is ever split across
+    training sequences (only >seq_len docs pre-chunk), the property
+    the concat packer t_seq_pack cannot offer; BFD keeps pad slack
+    near-optimal. Same fixture (ids = token lengths), same
+    deterministic buckets; the ENTIRE placement is one aggregate fold
+    over the size-sorted item array (state = bins of item-index
+    references, O(items)), assembly resolves references with O(1)
+    element_at — ONE exchange, zero UDF, the pack_sequences plan
+    shape. The oracle replays the identical BFD loop as a recursive
+    CTE (one placement per step) — bucket, order, tie-breaks, and
+    bin contents must match token-for-token. Utilization vs the
+    concat packer is receipted in BENCH_pack.json."""
+    d = Catalog(spark, sf_dir).documents
+    ids = d.select(
+        "doc_id",
+        F.transform(
+            T.tokens("text"), lambda t: F.length(t).cast("int")
+        ).alias("tid"),
+    )
+    return T.pack_sequences_bestfit(
+        ids, "doc_id", "tid", seq_len=64, eos_id=0, n_buckets=16
+    )
+
+
+@query(
     "t_seq_shuffle",
     """
     WITH ids AS (

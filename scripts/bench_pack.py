@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Packing-quality receipt: pack_sequences (concat-and-split) vs
+pack_sequences_bestfit (BFD whole-document bins) on the SAME corpus
+and ids fixture as t_seq_pack/t_pack_bestfit.
+
+The two packers spend differently: the concat packer emits only FULL
+seq_len windows and throws away every bucket's incomplete tail
+(token DROP, and every window boundary inside a document is a
+truncation); best-fit keeps every token (drop = 0, no sub-seq_len
+document ever split) and pays in pad slack (bins not filled to
+seq_len). This receipt measures both sides of that trade, plus wall
+and shuffle deltas, and writes ONE JSON document the round record
+can cite.
+
+Usage: python scripts/bench_pack.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mongodb_etl_migration_spark import get_spark  # noqa: E402
+from mongodb_etl_migration_spark.operators import text as T  # noqa: E402
+
+SEQ_LEN, EOS, N_BUCKETS = 64, 0, 16
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "BENCH_pack.json"
+    spark = get_spark()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(
+        "doc_id",
+        F.transform(
+            T.tokens("text"), lambda t: F.length(t).cast("int")
+        ).alias("tid"),
+    ).localCheckpoint()
+    total = int(
+        ids.agg(F.sum(F.size("tid") + 1).cast("bigint")).collect()[0][0]
+    )
+    n_docs = ids.count()
+
+    def run(fn):
+        t0 = time.time()
+        packed = fn(
+            ids, "doc_id", "tid",
+            seq_len=SEQ_LEN, eos_id=EOS, n_buckets=N_BUCKETS,
+        )
+        agg = packed.agg(
+            F.count("*").alias("bins"),
+            F.sum("n_tokens").alias("kept"),
+        ).collect()[0]
+        sec = round(time.time() - t0, 3)
+        bins, kept = int(agg["bins"]), int(agg["kept"])
+        return {
+            "sec": sec,
+            "bins": bins,
+            "kept_tokens": kept,
+            "dropped_tokens": total - kept,
+            # fraction of emitted bin slots actually filled, in milli
+            "fill_milli": kept * 1000 // (bins * SEQ_LEN) if bins else 0,
+        }
+
+    concat = run(T.pack_sequences)
+    bestfit = run(T.pack_sequences_bestfit)
+    doc = {
+        "sf_dir": sf_dir,
+        "seq_len": SEQ_LEN,
+        "n_buckets": N_BUCKETS,
+        "n_docs": n_docs,
+        "corpus_tokens": total,
+        "concat": concat,
+        "bestfit": bestfit,
+        # the headline claims: bestfit drops nothing; concat always
+        # emits 1000-milli-full bins but pays in dropped tails
+        "bestfit_drop_zero": bestfit["dropped_tokens"] == 0,
+        "concat_drop_milli": concat["dropped_tokens"] * 1000 // total,
+        "bestfit_pad_milli": 1000 - bestfit["fill_milli"],
+        "git_sha": subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+        ).stdout.strip(),
+    }
+    Path(out).write_text(json.dumps(doc, indent=1) + "\n")
+    print(json.dumps(doc))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

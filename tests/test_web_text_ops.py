@@ -3696,3 +3696,95 @@ def test_bpe_train_modes_agree_and_driver_bound_refuses(spark):
     assert m_auto == out["driver"][0]
     with pytest.raises(ValueError, match="unknown bpe_train mode"):
         T.bpe_train(df, "text", mode="turbo")
+
+
+def test_pack_sequences_bestfit_matches_bfd_reference(spark):
+    """The Spark fold IS best-fit-decreasing: placement equals a
+    driver-side BFD loop (size desc, best = min remaining >= size,
+    tie lowest bin index) item-for-item, including the >seq_len
+    chunking, NULL/empty docs, and the never-split property."""
+    rows = [
+        (0, [1] * 50),
+        (16, [2] * 30),
+        (32, [3] * 20),
+        (48, [4] * 9),
+        (64, [5] * 2),
+        (80, []),
+        (96, None),
+        (112, [6] * 130),  # chunks 64, 64, 3
+        (7, [7] * 40),     # a second bucket
+        (23, [8] * 23),
+    ]
+    L, EOS, NB = 64, 0, 16
+    df = spark.createDataFrame(rows, "doc_id long, tid array<int>")
+    out = T.pack_sequences_bestfit(
+        df, "doc_id", "tid", seq_len=L, eos_id=EOS, n_buckets=NB
+    ).collect()
+
+    def ref():
+        buckets: dict[int, list] = {}
+        for d, tid in rows:
+            s = (tid or []) + [EOS]
+            for c in range((len(s) + L - 1) // L):
+                t = s[c * L : (c + 1) * L]
+                buckets.setdefault(d % NB, []).append((-len(t), d, c, t))
+        exp = []
+        for bkt, items in buckets.items():
+            items.sort(key=lambda x: x[:3])
+            bins: list = []
+            for szneg, d, c, t in items:
+                sz = -szneg
+                cand = [(b[0], j) for j, b in enumerate(bins) if b[0] >= sz]
+                if not cand:
+                    bins.append([L - sz, [t]])
+                else:
+                    _, j = min(cand)
+                    bins[j][0] -= sz
+                    bins[j][1].append(t)
+            for j, b in enumerate(bins):
+                toks = [x for t in b[1] for x in t]
+                exp.append(
+                    (bkt, j, len(toks), len(toks) * 1000 // L,
+                     " ".join(map(str, toks)))
+                )
+        return sorted(exp)
+
+    got = sorted(
+        (r.bucket, r.bin_idx, r.n_tokens, r.fill_milli, r.token_ids)
+        for r in out
+    )
+    assert got == ref()
+    # never-split: every bin's content is a concatenation of whole
+    # chunks; fill never exceeds the bin
+    assert all(r.n_tokens <= L for r in out)
+
+
+def test_pack_bestfit_fewer_truncations_than_concat(spark):
+    """The packing-quality claim the operator exists for, on the real
+    catalog fixture: (1) best-fit DROPS NOTHING (total packed tokens
+    == corpus tokens) while the concat packer loses every bucket's
+    tail; (2) no document below seq_len is ever split across bins,
+    while the concat packer splits at every window boundary it
+    straddles."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pyspark.sql import functions as F
+
+    ids = docs.select(
+        "doc_id",
+        F.transform(
+            T.tokens("text"), lambda t: F.length(t).cast("int")
+        ).alias("tid"),
+    )
+    total = ids.select(
+        F.sum(F.size("tid") + 1).cast("bigint").alias("n")
+    ).collect()[0]["n"]
+    bf = T.pack_sequences_bestfit(
+        ids, "doc_id", "tid", seq_len=64, eos_id=0, n_buckets=16
+    )
+    cc = T.pack_sequences(
+        ids, "doc_id", "tid", seq_len=64, eos_id=0, n_buckets=16
+    )
+    bf_tokens = bf.agg(F.sum("n_tokens")).collect()[0][0]
+    cc_tokens = cc.agg(F.sum("n_tokens")).collect()[0][0]
+    assert bf_tokens == total            # nothing dropped
+    assert cc_tokens < total             # concat drops bucket tails
