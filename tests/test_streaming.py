@@ -482,3 +482,112 @@ def test_streaming_curation_gates_match_batch(spark, sf_dir, tmp_path):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_streaming_sft_ingest_matches_batch(spark, tmp_path):
+    """Drop-by-drop SFT-dump curation, one code path (round-12
+    stretch): a producer lands JSONL shards of message dumps
+    (payload = JSON-encoded messages array, one line malformed JSON,
+    one line a corrupt payload), the stream tails the directory and
+    each micro-batch runs parse_turns_json → conv_dedup_probe
+    against the PERSISTED history index — and the union of streamed
+    batches equals the batch run over the concatenated drops
+    row-for-row. The history index is scanned per micro-batch, never
+    re-keyed (the conv_dedup_probe broadcast-batch rule)."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from mongodb_etl_migration_spark.operators import chat as CH
+    from mongodb_etl_migration_spark.sources.jsonl import (
+        read_jsonl,
+        read_jsonl_stream,
+    )
+
+    def msgs(*contents, first_role="user"):
+        roles = ["user", "assistant"]
+        if first_role != "user":
+            roles = roles[::-1]
+        return [
+            {"role": roles[i % 2], "content": c}
+            for i, c in enumerate(contents)
+        ]
+
+    # history: two conversations, keyed once into the persisted index
+    hist_rows = [
+        (1, msgs("how do i sort", "use order by", "and joins?", "shuffle")),
+        (2, msgs("what is bfd", "best fit decreasing")),
+    ]
+    hist = spark.createDataFrame(
+        [(c, json.dumps(m)) for c, m in hist_rows],
+        "conv_id long, payload string",
+    ).select(
+        F.col("conv_id").alias("doc_id"),
+        CH.parse_turns_json("payload").alias("turns"),
+    )
+    idx_path = str(tmp_path / "convidx")
+    CH.write_conv_key_index(hist, idx_path)
+
+    # two landing drops: 10 duplicates history-1's assistant
+    # transcript under a paraphrased user side; 11 is new; 12 is a
+    # MALFORMED payload (parses to the empty conversation); one raw
+    # line is not JSON at all (corrupt-record capture)
+    drops = str(tmp_path / "drops")
+    import os
+
+    os.makedirs(drops)
+    d1 = [
+        {"conv_id": 10, "payload": json.dumps(
+            msgs("different words", "use order by", "more?", "shuffle"))},
+        {"conv_id": 11, "payload": json.dumps(msgs("new", "fresh answer"))},
+    ]
+    d2 = [
+        {"conv_id": 12, "payload": json.dumps(msgs("x", "y"))[:-5]},
+        {"conv_id": 13, "payload": json.dumps(
+            msgs("again different", "use order by", "eh?", "shuffle"))},
+    ]
+    with open(f"{drops}/a.jsonl", "w") as f:
+        for r in d1:
+            f.write(json.dumps(r) + "\n")
+    with open(f"{drops}/b.jsonl", "w") as f:
+        for r in d2:
+            f.write(json.dumps(r) + "\n")
+        f.write("{this is not json\n")
+
+    schema = StructType(
+        [
+            StructField("conv_id", LongType()),
+            StructField("payload", StringType()),
+        ]
+    )
+    index = spark.read.parquet(idx_path)
+
+    def curate(df):
+        batch = df.filter(F.col("conv_id").isNotNull()).select(
+            F.col("conv_id").alias("doc_id"),
+            CH.parse_turns_json("payload").alias("turns"),
+        )
+        return CH.conv_dedup_probe(batch, index)
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_jsonl_stream(spark, drops, schema, max_files_per_trigger=1)
+    q = run_incremental(stream, curate, sink, ckpt, trigger_once=True)
+    q.awaitTermination(180)
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(sink).drop("batch_id").collect()
+    }
+    want = {
+        tuple(r)
+        for r in curate(read_jsonl(spark, drops, schema)).collect()
+    }
+    assert got == want and len(got) > 0
+    # the probe found exactly the two history-duplicate transcripts
+    # (10 and 13 share hist-1's assistant turns); 11 is new, 12
+    # degraded to the empty conversation whose key only matches an
+    # empty-transcript history entry (absent here)
+    assert sorted(r[0] for r in got) == [10, 13]
+    kept = {r[0]: r[2] for r in got}
+    assert kept == {10: 1, 13: 1}
