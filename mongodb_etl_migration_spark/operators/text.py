@@ -3948,9 +3948,14 @@ def bpe_train(
     instead of one merge per driver round — the device that takes a
     GPT-2-class 50k-merge vocabulary from ~50k sequential
     vocabulary-sized jobs (days of scheduler overhead) down to
-    hundreds of rounds. One vocabulary-sized job counts adjacent
-    pairs AND triples together (one explode, one aggregate, lazily
-    localCheckpointed so both collects share the evaluation); the
+    hundreds of rounds. Gram counts are DELTA-MAINTAINED across
+    rounds (round 12): the (pair, triple) count frame is built once
+    from the initial vocabulary, then each round only the words the
+    batch CHANGED emit signed deltas (new-sym grams +n, old-sym
+    grams -n) folded into the held frame — the incremental trainer's
+    rule as a DataFrame, so per-round shuffle is |gram table| +
+    |affected-word deltas| instead of every adjacent position in the
+    vocabulary (BENCH_bpe_train.json receipts the drop). The
     driver collects the top-cap candidates plus, per candidate,
     its max adjacent-triple count and an output-collision flag (two
     tiny broadcast joins against the same gram frame); then
@@ -3986,7 +3991,7 @@ def bpe_train(
       noise, unsegmented scripts) needs the distributed path, not a
       silent driver OOM.
     * ``"distributed"`` — the vocabulary-resident batched rounds
-      below (one vocab-sized job per round, provable-prefix merge
+      below (delta-maintained gram counts, provable-prefix merge
       batches): the escape hatch when the wordform table itself is
       too big to collect.
     * ``"auto"`` (default) — ``driver`` when the vocabulary row
@@ -4081,19 +4086,25 @@ def bpe_train(
         F.col("n"),
     ).localCheckpoint(eager=True)
 
-    merges: list[tuple[str, str, int]] = []
-    rounds = 0
-    sizes: list[int] = []
-    while len(merges) < n_merges:
-        cap = min(batch_cap, n_merges - len(merges))
-        # one vocabulary-sized job: adjacent pairs and triples in a
-        # single explode (triples ride a NULL-c pair schema). The
-        # symbol array is staged in its own projection first — both
-        # gram builders reference it ([[spark-column-cse]]).
-        staged = vocab.select(
-            F.split(F.trim("sym"), " ").alias("__syms"), "n"
-        )
-        s = F.col("__syms")
+    # Gram-count DELTA MAINTENANCE, distributed (round-11 advice item
+    # lifted to the distributed path): the (a, b, c, cnt) gram frame
+    # is built ONCE from the initial vocabulary, then per round only
+    # the words the batch actually CHANGED emit signed deltas
+    # (new-sym grams +n, old-sym grams -n) that fold into the held
+    # frame — the bpe_train_incremental_reference rule as a
+    # DataFrame. Per-round shuffle drops from every-adjacent-position
+    # in the corpus vocabulary to |gram table| + |affected-word
+    # deltas| (receipted in BENCH_bpe_train.json); the scan of vocab
+    # stays (the replace projection must touch every word anyway).
+    # Triples are maintained only when the batch scheduler can use
+    # them (batch_cap > 1) — the schema must stay consistent across
+    # rounds, so the decision is loop-constant, not per-round cap.
+    with_triples = batch_cap > 1
+
+    def gram_structs(s: Column) -> Column:
+        """Adjacent pairs (and triples when scheduled) of a STAGED
+        symbol-array column — callers stage the split in its own
+        projection first ([[spark-column-cse]])."""
         sz = F.size(s)
         pair_structs = F.zip_with(
             F.slice(s, 1, sz - 1),
@@ -4104,6 +4115,8 @@ def bpe_train(
                 F.lit(None).cast("string").alias("c"),
             ),
         )
+        if not with_triples:
+            return pair_structs
         tri_structs = F.when(
             sz >= 3,
             F.transform(
@@ -4114,18 +4127,26 @@ def bpe_train(
                     F.element_at(s, (i + 1).cast("int")).alias("c"),
                 ),
             ),
-        ).otherwise(F.array().cast("array<struct<a:string,b:string,c:string>>"))
-        grams_src = (
-            pair_structs
-            if cap == 1
-            else F.concat(pair_structs, tri_structs)
+        ).otherwise(
+            F.array().cast("array<struct<a:string,b:string,c:string>>")
         )
-        grams = (
-            staged.select(F.explode(grams_src).alias("g"), "n")
-            .groupBy("g.a", "g.b", "g.c")
-            .agg(F.sum("n").alias("cnt"))
-            .localCheckpoint(eager=False)
-        )
+        return F.concat(pair_structs, tri_structs)
+
+    staged0 = vocab.select(
+        F.split(F.trim("sym"), " ").alias("__syms"), "n"
+    )
+    grams = (
+        staged0.select(F.explode(gram_structs(F.col("__syms"))).alias("g"), "n")
+        .groupBy("g.a", "g.b", "g.c")
+        .agg(F.sum("n").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+
+    merges: list[tuple[str, str, int]] = []
+    rounds = 0
+    sizes: list[int] = []
+    while len(merges) < n_merges:
+        cap = min(batch_cap, n_merges - len(merges))
         pairs = grams.filter(F.col("c").isNull())
         cands_rows = (
             pairs.orderBy(
@@ -4214,9 +4235,44 @@ def bpe_train(
             pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
             for _ in range(_BPE_PASSES):
                 sym = F.replace(sym, pat, rep)
-        vocab = vocab.select(
-            "w", sym.alias("sym"), "n"
+        # one checkpointed pass carries BOTH syms: the new vocab and
+        # the delta derivation consume it (materialize shared
+        # subtrees — the replace chain must not run twice)
+        upd = vocab.select(
+            "w", "sym", "n", sym.alias("sym2")
         ).localCheckpoint(eager=True)
+        vocab = upd.select("w", F.col("sym2").alias("sym"), "n")
+        staged_d = upd.filter(F.col("sym") != F.col("sym2")).select(
+            "n",
+            F.split(F.trim("sym"), " ").alias("__o"),
+            F.split(F.trim("sym2"), " ").alias("__s"),
+        )
+
+        def _signed(arr: Column, sign: int) -> Column:
+            return F.transform(
+                gram_structs(arr),
+                lambda g: F.struct(
+                    g["a"].alias("a"),
+                    g["b"].alias("b"),
+                    g["c"].alias("c"),
+                    (F.lit(sign) * F.col("n")).alias("cnt"),
+                ),
+            )
+
+        deltas = staged_d.select(
+            F.explode(
+                F.concat(
+                    _signed(F.col("__s"), 1), _signed(F.col("__o"), -1)
+                )
+            ).alias("g")
+        ).select("g.a", "g.b", "g.c", F.col("g.cnt").alias("cnt"))
+        grams = (
+            grams.unionByName(deltas)
+            .groupBy("a", "b", "c")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+            .localCheckpoint(eager=True)
+        )
         merges.extend(batch)
         rounds += 1
         sizes.append(len(batch))

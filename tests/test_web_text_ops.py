@@ -3788,3 +3788,45 @@ def test_pack_bestfit_fewer_truncations_than_concat(spark):
     cc_tokens = cc.agg(F.sum("n_tokens")).collect()[0][0]
     assert bf_tokens == total            # nothing dropped
     assert cc_tokens < total             # concat drops bucket tails
+
+
+def test_bpe_train_distributed_delta_grams_stay_exact(spark):
+    """The round-12 delta-maintained gram frame cannot drift: train
+    mode='distributed' over a fixture engineered to exercise every
+    delta case — created pairs (merges mint new adjacencies),
+    destroyed pairs, an output-collision round boundary, and words a
+    round never touches — then verify the TRAJECTORY equals the
+    sequential reference AND the returned vocabulary equals a
+    from-scratch replay (if a maintained count drifted even once, the
+    argmax order diverges and one of these breaks)."""
+    rows = [
+        (1, "abab abab abab"),
+        (2, "aab ab b ba"),
+        (3, "zzzz zz zzz"),
+        (4, "qx qx qx qx qx"),
+        (5, "untouched words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    st: dict = {}
+    merges, vocab = T.bpe_train(
+        df, "text", n_merges=12, min_count=2, batch_cap=4,
+        mode="distributed", stats=st,
+    )
+    # sequential twin on the identical word counts
+    import re
+
+    wc: dict[str, int] = {}
+    for _, t in rows:
+        for w in re.findall("[a-z0-9]+", t.lower()):
+            wc[w] = wc.get(w, 0) + 1
+    ref = T.bpe_train_reference(wc, n_merges=12, min_count=2)
+    assert merges == ref
+    # final vocabulary equals a rank-order replay from scratch
+    flat = [(a, b) for a, b, _ in merges]
+    got = {r["w"]: r["sym"] for r in vocab.collect()}
+    for w in wc:
+        parts = list(w)
+        for a, b in flat:
+            parts = T._apply_pair_passes(parts, a, b)
+        assert got[w] == " " + " ".join(parts) + " ", w
+    assert st["rounds"] >= 2  # the fixture actually spans rounds
