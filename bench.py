@@ -81,6 +81,11 @@ HEADLINE = [
     # plan regressions surface in BENCH_rN deltas
     "t_bm25_retrieval",
     "sim_bitext_margin",
+    # round-12 addition: the token-space SFT artifact (per-segment
+    # BPE encode + mask fold + decode roundtrip, all per-row codegen)
+    # — the heaviest pure-projection query; a regression in the
+    # higher-order-function chain shows up here first
+    "c_sft_tokens",
 ]
 
 # queries that joined HEADLINE after the round-1 baseline was taken —
@@ -90,6 +95,7 @@ NON_BASELINE = {
     "t_gopher_repetition",
     "t_bm25_retrieval",
     "sim_bitext_margin",
+    "c_sft_tokens",
 }
 
 

@@ -432,6 +432,164 @@ def sft_tokens_batch(
     )
 
 
+def pack_sft_bestfit(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    spans_col: str,
+    seq_len: int = 1024,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Pack SFT examples (token ids + token-space mask spans, i.e.
+    :func:`sft_tokens`' output) into fixed ``seq_len`` training bins
+    with the masks REMAPPED to bin offsets — the final trainer-ready
+    artifact: the chat family, the tokenizer, and the
+    fewer-truncations packer composed end to end.
+
+    Semantics: whole conversations only (packing never splits an
+    example — the reason best-fit exists); a conversation LONGER than
+    seq_len is truncated to exactly seq_len with its spans clipped
+    ([start, end) ∩ [0, seq_len), empty clips dropped) and flagged —
+    it then fills one bin alone, which best-fit handles with no
+    special case (an item of size seq_len fits only a fresh bin).
+    Placement is text.bfd_bins_fold (size desc, fullest-that-fits,
+    deterministic ties) per deterministic id-bucket.
+
+    Output per bin: (bucket, bin_idx, n_tokens, n_examples,
+    n_truncated, token_ids, mask_spans 'doc:turn:start:end' in BIN
+    coordinates, doc_spans 'doc:start:end' — the example-boundary
+    map an attention-mask/packing-aware trainer needs). Plan: the
+    truncation/clip is a projection; ONE exchange (the bucket
+    groupBy); the BFD fold and the offset-remapping assembly are
+    per-row array expressions over the collected bucket — the same
+    bounded-bucket rule as every packer here. Zero UDF."""
+    if seq_len < 1 or n_buckets < 1:
+        raise ValueError("seq_len and n_buckets must be >= 1")
+    from .text import bfd_bins_fold
+
+    toks = F.coalesce(
+        F.col(tokens_col).cast("array<int>"), F.array().cast("array<int>")
+    )
+    spans = F.coalesce(
+        F.col(spans_col).cast(TOKSPAN_STRUCT),
+        F.array().cast(TOKSPAN_STRUCT),
+    )
+    overlong = F.size(toks) > seq_len
+    cut = F.when(overlong, F.slice(toks, 1, seq_len)).otherwise(toks)
+    clipped = F.when(
+        overlong,
+        F.filter(
+            F.transform(
+                spans,
+                lambda s: F.struct(
+                    s["turn_idx"].alias("turn_idx"),
+                    s["tok_start"].alias("tok_start"),
+                    F.least(s["tok_end"], F.lit(seq_len).cast("bigint")).alias(
+                        "tok_end"
+                    ),
+                ),
+            ),
+            lambda s: s["tok_start"] < s["tok_end"],
+        ),
+    ).otherwise(spans)
+    items = df.select(
+        F.pmod(F.col(id_col).cast("bigint"), F.lit(n_buckets)).alias(
+            "bucket"
+        ),
+        F.struct(
+            (-F.size(cut)).cast("int").alias("szneg"),
+            F.col(id_col).cast("bigint").alias("d"),
+            overlong.cast("int").alias("trunc"),
+            cut.alias("toks"),
+            clipped.alias("spans"),
+        ).alias("it"),
+    )
+    collected = items.groupBy("bucket").agg(
+        F.array_sort(F.collect_list("it")).alias("items")
+    )
+    step1 = collected.select(
+        "bucket",
+        "items",
+        bfd_bins_fold(F.col("items"), seq_len).alias("__bins"),
+    )
+
+    # per bin, fold over the placed refs carrying the running offset:
+    # ids concatenate; every span and the example boundary shift by
+    # the item's bin offset (= size of ids already placed)
+    asm_zero = F.struct(
+        F.array().cast("array<int>").alias("ids"),
+        F.array().cast("array<string>").alias("sp"),
+        F.array().cast("array<string>").alias("ds"),
+        F.lit(0).cast("int").alias("ntr"),
+    )
+
+    def asm_step(acc: Column, r: Column) -> Column:
+        it = F.element_at(F.col("items"), r + 1)
+        base = F.size(acc["ids"]).cast("bigint")
+        return F.struct(
+            F.concat(acc["ids"], it["toks"]).alias("ids"),
+            F.concat(
+                acc["sp"],
+                F.transform(
+                    it["spans"],
+                    lambda s: F.concat_ws(
+                        ":",
+                        it["d"].cast("string"),
+                        s["turn_idx"].cast("string"),
+                        (base + s["tok_start"]).cast("string"),
+                        (base + s["tok_end"]).cast("string"),
+                    ),
+                ),
+            ).alias("sp"),
+            F.concat(
+                acc["ds"],
+                F.array(
+                    F.concat_ws(
+                        ":",
+                        it["d"].cast("string"),
+                        base.cast("string"),
+                        (base + F.size(it["toks"])).cast("string"),
+                    )
+                ),
+            ).alias("ds"),
+            (acc["ntr"] + it["trunc"]).alias("ntr"),
+        )
+
+    assembled = F.transform(
+        F.col("__bins"),
+        lambda b: F.aggregate(
+            b["refs"],
+            asm_zero,
+            asm_step,
+            lambda acc: F.struct(
+                F.size(acc["ids"]).cast("bigint").alias("n_tokens"),
+                F.size(b["refs"]).cast("bigint").alias("n_examples"),
+                acc["ntr"].cast("bigint").alias("n_truncated"),
+                F.array_join(
+                    F.transform(acc["ids"], lambda i: i.cast("string")),
+                    " ",
+                ).alias("token_ids"),
+                F.array_join(acc["sp"], ",").alias("mask_spans"),
+                F.array_join(acc["ds"], ",").alias("doc_spans"),
+            ),
+        ),
+    )
+    out = step1.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.posexplode(assembled),
+    )
+    return out.select(
+        "bucket",
+        F.col("pos").cast("bigint").alias("bin_idx"),
+        F.col("col.n_tokens").alias("n_tokens"),
+        F.col("col.n_examples").alias("n_examples"),
+        F.col("col.n_truncated").alias("n_truncated"),
+        F.col("col.token_ids").alias("token_ids"),
+        F.col("col.mask_spans").alias("mask_spans"),
+        F.col("col.doc_spans").alias("doc_spans"),
+    )
+
+
 def assistant_transcript_key(turns: Column | str) -> Column:
     """Conversation-dedup key: md5 over the PER-TURN md5s of the
     assistant contents, concatenated in turn order. Dedup on what the

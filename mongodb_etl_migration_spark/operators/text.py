@@ -770,6 +770,60 @@ def pack_sequences(
     )
 
 
+def bfd_bins_fold(items_sorted: Column, seq_len: int) -> Column:
+    """Best-fit-decreasing placement as ONE aggregate fold over a
+    SORTED item array (items carry their size as a leading ``szneg``
+    = -size field, so array_sort's lexicographic order IS
+    size-decreasing): each item lands in the bin with the smallest
+    remaining capacity that still fits it (tie → lowest bin index),
+    else opens a new bin. Returns the bins as
+    ``array<struct<rem:int, refs:array<int>>>`` where refs are 0-based
+    indices into the SAME sorted item array — O(items) fold state;
+    callers resolve refs with O(1) element_at. Shared by
+    :func:`pack_sequences_bestfit` (chunked documents) and
+    ``chat.pack_sft_bestfit`` (whole conversations + mask remap)."""
+    bins_t = "array<struct<rem:int,refs:array<int>>>"
+    zero = F.struct(
+        F.lit(0).cast("int").alias("k"),
+        F.array().cast(bins_t).alias("bins"),
+    )
+
+    def step(acc: Column, it: Column) -> Column:
+        sz = (-it["szneg"]).cast("int")
+        cand = F.filter(
+            F.transform(
+                acc["bins"],
+                lambda b, j: F.struct(
+                    b["rem"].alias("rem"), j.cast("int").alias("j")
+                ),
+            ),
+            lambda x: x["rem"] >= sz,
+        )
+        best = F.array_min(cand)  # lexicographic: min rem, then min j
+        newbin = F.struct(
+            (F.lit(seq_len).cast("int") - sz).cast("int").alias("rem"),
+            F.array(acc["k"]).alias("refs"),
+        )
+        placed = F.transform(
+            acc["bins"],
+            lambda b, j: F.when(
+                j.cast("int") == best["j"],
+                F.struct(
+                    (b["rem"] - sz).cast("int").alias("rem"),
+                    F.concat(b["refs"], F.array(acc["k"])).alias("refs"),
+                ),
+            ).otherwise(b),
+        )
+        return F.struct(
+            (acc["k"] + 1).cast("int").alias("k"),
+            F.when(F.size(cand) == 0, F.concat(acc["bins"], F.array(newbin)))
+            .otherwise(placed)
+            .alias("bins"),
+        )
+
+    return F.aggregate(items_sorted, zero, step, lambda acc: acc["bins"])
+
+
 def pack_sequences_bestfit(
     df,
     id_col: str,
@@ -811,7 +865,6 @@ def pack_sequences_bestfit(
     of (id, sizes)."""
     if seq_len < 1 or n_buckets < 1:
         raise ValueError("seq_len and n_buckets must be >= 1")
-    bins_t = "array<struct<rem:int,refs:array<int>>>"
     stream = F.concat(
         F.coalesce(
             F.col(ids_col).cast("array<int>"), F.array().cast("array<int>")
@@ -846,49 +899,9 @@ def pack_sequences_bestfit(
     collected = items.groupBy("bucket").agg(
         F.array_sort(F.collect_list("it")).alias("items")
     )
-
-    zero = F.struct(
-        F.lit(0).cast("int").alias("k"),
-        F.array().cast(bins_t).alias("bins"),
+    step1 = collected.select(
+        "bucket", "items", bfd_bins_fold(F.col("items"), seq_len).alias("__bins")
     )
-
-    def step(acc: Column, it: Column) -> Column:
-        sz = (-it["szneg"]).cast("int")
-        cand = F.filter(
-            F.transform(
-                acc["bins"],
-                lambda b, j: F.struct(
-                    b["rem"].alias("rem"), j.cast("int").alias("j")
-                ),
-            ),
-            lambda x: x["rem"] >= sz,
-        )
-        best = F.array_min(cand)  # lexicographic: min rem, then min j
-        newbin = F.struct(
-            (F.lit(seq_len).cast("int") - sz).cast("int").alias("rem"),
-            F.array(acc["k"]).alias("refs"),
-        )
-        placed = F.transform(
-            acc["bins"],
-            lambda b, j: F.when(
-                j.cast("int") == best["j"],
-                F.struct(
-                    (b["rem"] - sz).cast("int").alias("rem"),
-                    F.concat(b["refs"], F.array(acc["k"])).alias("refs"),
-                ),
-            ).otherwise(b),
-        )
-        return F.struct(
-            (acc["k"] + 1).cast("int").alias("k"),
-            F.when(F.size(cand) == 0, F.concat(acc["bins"], F.array(newbin)))
-            .otherwise(placed)
-            .alias("bins"),
-        )
-
-    fold = F.aggregate(
-        F.col("items"), zero, step, lambda acc: acc["bins"]
-    )
-    step1 = collected.select("bucket", "items", fold.alias("__bins"))
     assembled = F.transform(
         F.col("__bins"),
         lambda b: F.struct(

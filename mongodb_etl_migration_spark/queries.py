@@ -12768,26 +12768,28 @@ def c_render_llama3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _chat_proof_cols(step)
 
 
-def _sft_tokens_oracle() -> str:
-    """DuckDB mirror of chat.sft_tokens with the chatml preset: the
-    fixture turns become (header, content) SEGMENT rows, each segment
-    runs the IDENTICAL pretokenize → byte-alphabet → merge-chain →
-    id-map pipeline as the whole-document t_bpe_ids oracle, constant
-    suffix ids are inlined as a literal (computed by the same
-    driver-side encode the Spark plan embeds), and the masked ids
-    are decoded back through the REVERSE vocab map — so a hash match
-    proves segmentation, ids, token-span arithmetic, AND the
-    decode-roundtrip in one row."""
+def _sft_suffix_ids() -> list[int]:
     vocab = T.gpt2_vocab(_GPT2_DEMO_MERGES)
-    sfx_ids = [
+    return [
         vocab[s]
         for s in T.gpt2_apply_reference(
             _TPL_CHATML.suffix, _GPT2_DEMO_MERGES
         )
     ]
-    sfx_lit = "[" + ", ".join(map(str, sfx_ids)) + "]"
+
+
+def _sft_segments_sql(recursive: bool = False) -> str:
+    """Shared oracle PREFIX for the token-space SFT family: fixture
+    turns → (header, content) SEGMENT rows → the identical
+    pretokenize → byte-alphabet → merge-chain → id-map pipeline as
+    the whole-document t_bpe_ids oracle → per-turn (hdr, cnt) id
+    lists with the running token offset. c_sft_tokens appends the
+    per-conversation assembly + decode-roundtrip tail; c_pack_sft
+    appends the BFD packing + mask-remap tail."""
+    sfx_ids = _sft_suffix_ids()
+    kw = "WITH RECURSIVE" if recursive else "WITH"
     return f"""
-    WITH {_CHAT_FIXTURE_SQL}, d AS (
+    {kw} {_CHAT_FIXTURE_SQL}, d AS (
       SELECT doc_id, turn_idx, 0 AS seg,
              '<|im_start|>' || role || chr(10) AS t2 FROM turn
       UNION ALL
@@ -12830,7 +12832,20 @@ def _sft_tokens_oracle() -> str:
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
           AS off
       FROM tu
-    ), agg AS (
+    )"""
+
+
+def _sft_tokens_oracle() -> str:
+    """DuckDB mirror of chat.sft_tokens with the chatml preset: the
+    shared segment-encode prefix (_sft_segments_sql), then
+    per-conversation assembly — constant suffix ids inlined as a
+    literal (computed by the same driver-side encode the Spark plan
+    embeds) — and the masked ids decoded back through the REVERSE
+    vocab map, so a hash match proves segmentation, ids, token-span
+    arithmetic, AND the decode-roundtrip in one row."""
+    sfx_ids = _sft_suffix_ids()
+    sfx_lit = "[" + ", ".join(map(str, sfx_ids)) + "]"
+    return f"""{_sft_segments_sql()}, agg AS (
       SELECT doc_id,
         flatten(list(hdr || cnt || {sfx_lit} ORDER BY turn_idx))
           AS all_ids,
@@ -12926,6 +12941,146 @@ def c_sft_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("masked_text") == F.col("assistant_text"))
         .cast("bigint")
         .alias("roundtrip_ok"),
+    )
+
+
+def _pack_sft_oracle(seq_len: int = 768, n_buckets: int = 8) -> str:
+    """DuckDB mirror of chat.pack_sft_bestfit over chat.sft_tokens'
+    output: the shared segment-encode prefix, per-conversation
+    (all_ids, struct spans), truncate/clip at seq_len, then the SAME
+    recursive-CTE BFD loop as t_pack_bestfit (index-lambda-free
+    best-bin choice — the DuckDB 1.0 nested-index pitfall) and an
+    offset-remapping assembly: every mask span and example boundary
+    shifts by its item's bin offset (a window sum over placement
+    position). Hash equality pins ids, placement, tie-breaks, span
+    remap, and truncation accounting in one row."""
+    sfx_ids = _sft_suffix_ids()
+    sfx_lit = "[" + ", ".join(map(str, sfx_ids)) + "]"
+    L, NB = seq_len, n_buckets
+    return f"""{_sft_segments_sql(recursive=True)}, agg AS (
+      SELECT doc_id,
+        flatten(list(hdr || cnt || {sfx_lit} ORDER BY turn_idx))
+          AS all_ids,
+        list_filter(list(CASE WHEN role = 'assistant'
+            THEN {{'t': turn_idx,
+                   's': CAST(off + len(hdr) AS BIGINT),
+                   'e': CAST(off + len(hdr) + len(cnt) AS BIGINT)}} END
+          ORDER BY turn_idx), x -> x IS NOT NULL) AS sp1
+      FROM o GROUP BY doc_id
+    ), ex AS (
+      SELECT doc_id % {NB} AS bucket, doc_id AS d,
+        CASE WHEN len(all_ids) > {L} THEN all_ids[1:{L}]
+             ELSE all_ids END AS toks,
+        CASE WHEN len(all_ids) > {L} THEN 1 ELSE 0 END AS trunc,
+        CASE WHEN len(all_ids) > {L}
+             THEN list_filter(list_transform(sp1, x ->
+                    {{'t': x.t, 's': x.s,
+                      'e': least(x.e, CAST({L} AS BIGINT))}}),
+                  x -> x.s < x.e)
+             ELSE sp1 END AS spans
+      FROM agg
+    ), it AS (
+      SELECT bucket, d, trunc, toks, spans,
+             CAST(len(toks) AS INTEGER) AS sz,
+             CAST(row_number() OVER (
+               PARTITION BY bucket ORDER BY len(toks) DESC, d
+             ) AS INTEGER) AS rk
+      FROM ex
+    ), nit AS (
+      SELECT bucket, CAST(count(*) AS INTEGER) AS n FROM it GROUP BY bucket
+    ), rec AS (
+      SELECT bucket, 0 AS step,
+             CAST([] AS STRUCT(rem INTEGER, refs INTEGER[])[]) AS bins
+      FROM nit
+      UNION ALL
+      SELECT r.bucket, r.step + 1,
+        CASE WHEN list_position(
+               list_transform(r.bins, b -> b.rem),
+               list_sort(list_filter(list_transform(r.bins, b -> b.rem),
+                                     x -> x >= i.sz))[1]) IS NULL
+          THEN list_append(r.bins,
+                 {{'rem': CAST({L} - i.sz AS INTEGER),
+                   'refs': [CAST(i.rk AS INTEGER)]}})
+          ELSE list_transform(r.bins, (b, j) ->
+            CASE WHEN j = list_position(
+                   list_transform(r.bins, b2 -> b2.rem),
+                   list_sort(list_filter(
+                     list_transform(r.bins, b2 -> b2.rem),
+                     x -> x >= i.sz))[1])
+              THEN {{'rem': CAST(b.rem - i.sz AS INTEGER),
+                     'refs': list_append(b.refs, CAST(i.rk AS INTEGER))}}
+              ELSE b END)
+        END AS bins
+      FROM rec r JOIN it i ON i.bucket = r.bucket AND i.rk = r.step + 1
+    ), fin AS (
+      SELECT r.bucket, r.bins FROM rec r JOIN nit USING (bucket)
+      WHERE r.step = nit.n
+    ), bx AS (
+      SELECT bucket, CAST(u.x.j - 1 AS BIGINT) AS bin_idx,
+             u.x.b.refs AS refs
+      FROM fin, UNNEST(list_transform(bins, (b, j) -> {{'j': j, 'b': b}}))
+           AS u(x)
+    ), asg AS (
+      SELECT bucket, bin_idx, u.y.p AS p, u.y.rk AS rk
+      FROM bx, UNNEST(list_transform(refs, (r2, p2) -> {{'p': p2, 'rk': r2}}))
+           AS u(y)
+    ), pos AS (
+      SELECT a.bucket, a.bin_idx, a.p, i.d, i.trunc, i.toks, i.spans, i.sz,
+        CAST(coalesce(sum(i.sz) OVER (
+          PARTITION BY a.bucket, a.bin_idx ORDER BY a.p
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS base
+      FROM asg a JOIN it i ON i.bucket = a.bucket AND i.rk = a.rk
+    ), merged AS (
+      SELECT bucket, bin_idx,
+        flatten(list(toks ORDER BY p)) AS w,
+        CAST(count(*) AS BIGINT) AS n_examples,
+        CAST(sum(trunc) AS BIGINT) AS n_truncated,
+        array_to_string(flatten(list(list_transform(spans, x ->
+          d || ':' || x.t || ':' || (base + x.s) || ':' || (base + x.e))
+          ORDER BY p)), ',') AS mask_spans,
+        array_to_string(list(d || ':' || base || ':' || (base + sz)
+          ORDER BY p), ',') AS doc_spans
+      FROM pos GROUP BY bucket, bin_idx
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, bin_idx,
+           CAST(len(w) AS BIGINT) AS n_tokens, n_examples, n_truncated,
+           array_to_string(w, ' ') AS token_ids, mask_spans, doc_spans
+    FROM merged
+    """
+
+
+@query("c_pack_sft", _pack_sft_oracle())
+def c_pack_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END SFT training artifact (chat.parse_turns →
+    sft_tokens → pack_sft_bestfit): conversations render through the
+    chatml template, encode to real byte-level BPE ids with
+    token-space masks, and pack WHOLE into 768-token best-fit bins
+    with every mask span and example boundary REMAPPED to bin
+    coordinates — token_ids + mask_spans + doc_spans per bin is
+    exactly what a packing-aware SFT trainer loads. Over-length
+    conversations truncate to seq_len with clipped spans and are
+    counted (n_truncated), never silently split. Plan: the whole
+    tokenize/mask leg is the c_sft_tokens projection; packing adds
+    ONE exchange (the bucket groupBy) with the BFD fold and the
+    offset-remap assembly as per-row array expressions. The oracle
+    replays segmentation, ids, BFD placement, and the remap in one
+    recursive-CTE chain — a drifted offset anywhere hash-mismatches."""
+    conv = _chat_conv(spark, sf_dir)
+    st = (
+        conv.filter(F.size("turns") > 0)
+        .select(
+            "doc_id",
+            CH.sft_tokens("turns", _GPT2_DEMO_MERGES, "chatml").alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("s.token_ids").alias("tid"),
+            F.col("s.mask_spans").alias("sp"),
+        )
+    )
+    return CH.pack_sft_bestfit(
+        st, "doc_id", "tid", "sp", seq_len=768, n_buckets=8
     )
 
 

@@ -600,3 +600,65 @@ def test_sft_tokens_null_and_empty_turns(spark):
     assert list(out[2]["s"]["token_ids"]) == const_ids(tpl.bos) + const_ids(
         tpl.eos
     )
+
+
+def test_pack_sft_bestfit_invariants_and_roundtrip(spark):
+    """The trainer-ready composition (sft_tokens → pack_sft_bestfit):
+    per bin, (1) every untruncated example's slice of the bin's ids
+    equals its own token ids verbatim; (2) every mask span lies
+    inside its example's doc span; (3) bins never exceed seq_len;
+    (4) over-length conversations truncate (flagged, spans clipped)
+    and fill a bin alone; (5) nothing is dropped — every input
+    example appears in exactly one doc_span."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    conv = docs.select(
+        "doc_id", CH.parse_turns("text", turn_words=6).alias("turns")
+    )
+    st = (
+        conv.filter(F.size("turns") > 0)
+        .select(
+            "doc_id",
+            CH.sft_tokens("turns", _GPT2_DEMO_MERGES, "chatml").alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("s.token_ids").alias("tid"),
+            F.col("s.mask_spans").alias("sp"),
+        )
+    )
+    L = 256
+    rows = CH.pack_sft_bestfit(
+        st, "doc_id", "tid", "sp", seq_len=L, n_buckets=8
+    ).collect()
+    src = {r["doc_id"]: list(r["tid"]) for r in st.collect()}
+    seen: set[int] = set()
+    n_trunc = 0
+    for r in rows:
+        ids = (
+            [int(x) for x in r["token_ids"].split(" ")]
+            if r["token_ids"]
+            else []
+        )
+        assert len(ids) == r["n_tokens"] <= L
+        dspans = {}
+        for dsp in r["doc_spans"].split(","):
+            d, s, e = map(int, dsp.split(":"))
+            assert d not in seen  # each example packed exactly once
+            seen.add(d)
+            dspans[d] = (s, e)
+            if e - s == len(src[d]):
+                assert ids[s:e] == src[d]
+            else:  # truncated: prefix of the original, alone in a bin
+                assert e - s == L and ids[s:e] == src[d][:L]
+                assert r["n_examples"] == 1
+                n_trunc += 1
+        if r["mask_spans"]:
+            for m in r["mask_spans"].split(","):
+                d, _, s, e = map(int, m.split(":"))
+                ds, de = dspans[d]
+                assert ds <= s <= e <= de
+        assert r["n_truncated"] == sum(
+            1 for d, (s, e) in dspans.items() if e - s != len(src[d])
+        )
+    assert seen == set(src)  # drop = 0
+    assert n_trunc > 0  # the fixture exercises truncation at L=256
