@@ -348,6 +348,36 @@ def summarize(results: dict) -> dict:
                 / max(1, b["t_bm25_retrieval"]["tf_rows"]),
                 2,
             )
+    if "t_pack_bestfit" in b and "t_pack_bestfit" in x:
+        # same one-exchange claim as the concat packer: the items
+        # (token chunks) cross the bucket exchange exactly once
+        summary["pack_bestfit_shuffle_growth_at_10x_corpus"] = round(
+            x["t_pack_bestfit"]["shuffle_bytes"]
+            / max(1, b["t_pack_bestfit"]["shuffle_bytes"]),
+            2,
+        )
+        summary["pack_bestfit_wall_growth_at_10x_corpus"] = round(
+            x["t_pack_bestfit"]["sec"]
+            / max(1e-9, b["t_pack_bestfit"]["sec"]),
+            2,
+        )
+    if "c_sft_tokens" in x:
+        # the chat family's Gopher-style claim: ZERO exchanges at any
+        # size — assert the absolute shuffle stays at the noise floor
+        # at x10 and report the wall decade unasserted (CPU-bound)
+        summary["sft_tokens_x10_shuffle_bytes"] = (
+            x["c_sft_tokens"]["shuffle_bytes"]
+        )
+        assert x["c_sft_tokens"]["shuffle_bytes"] < 1_000_000, (
+            "sft_tokens shuffled at x10 — the pure-projection claim "
+            "broke"
+        )
+        if "c_sft_tokens" in b:
+            summary["sft_tokens_wall_x1_to_x10"] = round(
+                x["c_sft_tokens"]["sec"]
+                / max(1e-9, b["c_sft_tokens"]["sec"]),
+                2,
+            )
     if "t_bm25_probe" in b and "t_bm25_probe" in x:
         # the persisted-index contract: probe shuffle is matched-
         # postings-sized (replica-0 queries match the SAME postings at
@@ -692,6 +722,37 @@ def main() -> None:
         pk = timed(ui, packed)
         pk["sequences"] = packed.count()
 
+        # Best-fit packing at scale: same single bucket exchange as
+        # the concat packer (each item's token chunk crosses once);
+        # the BFD fold is per-bucket compute and bucket count scales
+        # with the corpus, so per-bucket items stay ~constant —
+        # shuffle linear in corpus tokens, wall ~linear.
+        bfp = T.pack_sequences_bestfit(
+            tok_ids, "doc_id", "tid", seq_len=256, eos_id=0,
+            n_buckets=32 * cfg["replicas"],
+        )
+        bf = timed(ui, bfp)
+        bf["bins"] = bfp.count()
+
+        # Token-space SFT masks at scale: pure projection (constant
+        # segments ride as literal id arrays, per-turn encodes in one
+        # transform + one fold) — ZERO exchanges at any corpus size,
+        # the Gopher rule applied to the chat family; wall is genuine
+        # per-row encode compute.
+        from mongodb_etl_migration_spark.operators import chat as CHs
+        from mongodb_etl_migration_spark.queries import (
+            _GPT2_DEMO_MERGES as _DM,
+        )
+
+        sft = docs.select(
+            "doc_id", CHs.parse_turns("text", 6).alias("turns")
+        ).select(
+            "doc_id",
+            CHs.sft_tokens("turns", _DM, "chatml").alias("s"),
+        )
+        sfm = timed(ui, sft)
+        sfm["docs"] = n_docs
+
         # Epoch shuffle at scale: the permutation is one hash-ordered
         # range exchange over the packed sequences plus a bounded
         # offsets collect (one row per range partition) — shuffle
@@ -913,6 +974,8 @@ def main() -> None:
             "t_lang_id": lm,
             "t_lang_id_hashed": lhm,
             "t_seq_pack": pk,
+            "t_pack_bestfit": bf,
+            "c_sft_tokens": sfm,
             "t_seq_shuffle": es,
             "o6_zorder_layout": zm,
             "g_pagerank": gp,
