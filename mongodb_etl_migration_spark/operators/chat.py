@@ -258,10 +258,61 @@ def _lit_int_array(ids: list[int]) -> Column:
     return F.array(*[F.lit(int(i)) for i in ids]).cast("array<int>")
 
 
+def special_token_ids(
+    merges: list[tuple[str, str]], tokens: list[str]
+) -> dict[str, int]:
+    """Reserve SINGLE ids for template control strings AFTER the BPE
+    id space — GPT-2's own convention (vocab.json appends
+    <|endoftext|> = 50256 after the 256-byte alphabet + 50k merges):
+    token k gets id 256 + len(merges) + k. Duplicates refuse."""
+    if len(set(tokens)) != len(tokens):
+        raise ValueError(f"duplicate special tokens in {tokens!r}")
+    base = 256 + len(merges)
+    return {t: base + k for k, t in enumerate(tokens)}
+
+
+def _encode_constant(
+    s: str,
+    merges: list[tuple[str, str]],
+    special_ids: dict[str, int] | None,
+) -> list[int]:
+    """Driver-side encode of a CONSTANT template piece: longest-first
+    greedy scan for special tokens, byte-level BPE for the text
+    between them (the published tokenizer convention — specials are
+    never split, surrounding text encodes normally)."""
+    from .text import gpt2_apply_reference, gpt2_vocab
+
+    vocab = gpt2_vocab(merges)
+
+    def enc(t: str) -> list[int]:
+        return [vocab[sym] for sym in gpt2_apply_reference(t, merges)]
+
+    if not special_ids:
+        return enc(s)
+    out: list[int] = []
+    i, n = 0, len(s)
+    specials = sorted(special_ids, key=len, reverse=True)
+    plain_start = 0
+    while i < n:
+        hit = next((t for t in specials if s.startswith(t, i)), None)
+        if hit is not None:
+            if plain_start < i:
+                out.extend(enc(s[plain_start:i]))
+            out.append(special_ids[hit])
+            i += len(hit)
+            plain_start = i
+        else:
+            i += 1
+    if plain_start < n:
+        out.extend(enc(s[plain_start:]))
+    return out
+
+
 def sft_tokens(
     turns: Column | str,
     merges: list[tuple[str, str]],
     template: ChatTemplate | str = "tagged",
+    special_ids: dict[str, int] | None = None,
 ) -> Column:
     """TOKEN-SPACE loss mask — the artifact an SFT trainer actually
     consumes: ``struct<token_ids array<int>, mask_spans
@@ -293,33 +344,55 @@ def sft_tokens(
     :func:`sft_tokens_batch`, identical on the shared scope (tested).
 
     NULL role/content encode as '' (mirroring render_chat); a NULL
-    role is never masked (same rule as loss_mask_spans)."""
-    from .text import gpt2_apply_reference, gpt2_token_ids, gpt2_vocab
+    role is never masked (same rule as loss_mask_spans).
+
+    ``special_ids`` (e.g. :func:`special_token_ids`) reserves SINGLE
+    ids for template control strings — the production convention
+    (ChatML's <|im_start|> is one token, never BPE'd): constant
+    pieces encode via a longest-first special scan, and the header
+    becomes [pre ids] + encode(role) + [post ids] (the role is data
+    and still BPE-encodes). Without it, behavior is unchanged —
+    template text BPE-encodes like any text."""
+    from .text import gpt2_token_ids
 
     tpl = resolve_template(template)
-    vocab = gpt2_vocab(merges)
 
     def const_ids(s: str) -> list[int]:
-        return [vocab[sym] for sym in gpt2_apply_reference(s, merges)]
+        return _encode_constant(s, merges, special_ids)
 
     bos_ids = const_ids(tpl.bos)
     sfx_ids = const_ids(tpl.suffix)
     eos_ids = const_ids(tpl.eos)
 
     t = F.col(turns) if isinstance(turns, str) else turns
-    enc = F.transform(
-        t,
-        lambda x: F.struct(
-            x["turn_idx"].alias("turn_idx"),
-            (x["role"] == F.lit("assistant")).alias("is_assistant"),
-            gpt2_token_ids(
+    if special_ids:
+        pre_ids, post_ids = const_ids(tpl.pre_role), const_ids(tpl.post_role)
+
+        def hdr_of(x: Column) -> Column:
+            return F.concat(
+                _lit_int_array(pre_ids),
+                gpt2_token_ids(F.coalesce(x["role"], F.lit("")), merges),
+                _lit_int_array(post_ids),
+            )
+
+    else:
+
+        def hdr_of(x: Column) -> Column:
+            return gpt2_token_ids(
                 F.concat(
                     F.lit(tpl.pre_role),
                     F.coalesce(x["role"], F.lit("")),
                     F.lit(tpl.post_role),
                 ),
                 merges,
-            ).alias("hdr"),
+            )
+
+    enc = F.transform(
+        t,
+        lambda x: F.struct(
+            x["turn_idx"].alias("turn_idx"),
+            (x["role"] == F.lit("assistant")).alias("is_assistant"),
+            hdr_of(x).alias("hdr"),
             gpt2_token_ids(
                 F.coalesce(x["content"], F.lit("")), merges
             ).alias("cnt"),
@@ -368,6 +441,7 @@ def sft_tokens_batch(
     merges: list[tuple[str, str]],
     template: ChatTemplate | str = "tagged",
     id_col: str = "doc_id",
+    special_ids: dict[str, int] | None = None,
 ) -> DataFrame:
     """Arrow-batched twin of :func:`sft_tokens` for full-UTF-8
     corpora and real ~50k-merge vocabularies: the reference scanner +
@@ -388,7 +462,11 @@ def sft_tokens_batch(
     def seg_ids(s: str) -> list[int]:
         return [vocab[sym] for sym in gpt2_apply_reference(s, merges)]
 
-    bos, sfx, eos = seg_ids(tpl.bos), seg_ids(tpl.suffix), seg_ids(tpl.eos)
+    bos = _encode_constant(tpl.bos, merges, special_ids)
+    sfx = _encode_constant(tpl.suffix, merges, special_ids)
+    eos = _encode_constant(tpl.eos, merges, special_ids)
+    pre = _encode_constant(tpl.pre_role, merges, special_ids)
+    post = _encode_constant(tpl.post_role, merges, special_ids)
     id_type = df.schema[id_col].dataType.simpleString()
 
     def run(batches):
@@ -402,7 +480,11 @@ def sft_tokens_batch(
                 for x in turns if turns is not None else []:
                     role = x["role"] or ""
                     content = x["content"] or ""
-                    hdr = seg_ids(tpl.pre_role + role + tpl.post_role)
+                    hdr = (
+                        pre + seg_ids(role) + post
+                        if special_ids
+                        else seg_ids(tpl.pre_role + role + tpl.post_role)
+                    )
                     cnt = seg_ids(content)
                     start = len(ids) + len(hdr)
                     ids += hdr + cnt + sfx

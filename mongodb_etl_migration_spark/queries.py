@@ -12778,20 +12778,33 @@ def _sft_suffix_ids() -> list[int]:
     ]
 
 
-def _sft_segments_sql(recursive: bool = False) -> str:
+def _sft_segments_sql(
+    recursive: bool = False,
+    hdr_t2: str = "'<|im_start|>' || role || chr(10)",
+    hdr_expr: str = "h.tid",
+    sfx_n: int | None = None,
+) -> str:
     """Shared oracle PREFIX for the token-space SFT family: fixture
     turns → (header, content) SEGMENT rows → the identical
     pretokenize → byte-alphabet → merge-chain → id-map pipeline as
     the whole-document t_bpe_ids oracle → per-turn (hdr, cnt) id
     lists with the running token offset. c_sft_tokens appends the
     per-conversation assembly + decode-roundtrip tail; c_pack_sft
-    appends the BFD packing + mask-remap tail."""
+    appends the BFD packing + mask-remap tail.
+
+    ``hdr_t2``/``hdr_expr``/``sfx_n`` parameterize the SPECIAL-TOKEN
+    variant (c_sft_tokens_special): seg 0 carries only the role text
+    (the control strings never BPE-encode), the per-turn header id
+    list is rebuilt as [pre ids] || role ids || [post ids], and the
+    per-turn footer length follows the special suffix encoding."""
     sfx_ids = _sft_suffix_ids()
+    if sfx_n is None:
+        sfx_n = len(sfx_ids)
     kw = "WITH RECURSIVE" if recursive else "WITH"
     return f"""
     {kw} {_CHAT_FIXTURE_SQL}, d AS (
       SELECT doc_id, turn_idx, 0 AS seg,
-             '<|im_start|>' || role || chr(10) AS t2 FROM turn
+             {hdr_t2} AS t2 FROM turn
       UNION ALL
       SELECT doc_id, turn_idx, 1 AS seg, content AS t2 FROM turn
     ), pt AS (
@@ -12819,7 +12832,7 @@ def _sft_segments_sql(recursive: bool = False) -> str:
       FROM e, vocab
     ), tu AS (
       SELECT t.doc_id, t.turn_idx, t.role, t.content,
-             h.tid AS hdr, c.tid AS cnt
+             {hdr_expr} AS hdr, c.tid AS cnt
       FROM turn t
       JOIN ids h ON h.doc_id = t.doc_id AND h.turn_idx = t.turn_idx
                 AND h.seg = 0
@@ -12827,7 +12840,7 @@ def _sft_segments_sql(recursive: bool = False) -> str:
                 AND c.seg = 1
     ), o AS (
       SELECT doc_id, turn_idx, role, content, hdr, cnt,
-        coalesce(sum(len(hdr) + len(cnt) + {len(sfx_ids)})
+        coalesce(sum(len(hdr) + len(cnt) + {sfx_n})
           OVER (PARTITION BY doc_id ORDER BY turn_idx
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
           AS off
@@ -12835,17 +12848,38 @@ def _sft_segments_sql(recursive: bool = False) -> str:
     )"""
 
 
-def _sft_tokens_oracle() -> str:
+_SFT_SPECIALS = ["<|im_start|>", "<|im_end|>"]
+
+
+def _sft_tokens_oracle(special: bool = False) -> str:
     """DuckDB mirror of chat.sft_tokens with the chatml preset: the
     shared segment-encode prefix (_sft_segments_sql), then
     per-conversation assembly — constant suffix ids inlined as a
     literal (computed by the same driver-side encode the Spark plan
     embeds) — and the masked ids decoded back through the REVERSE
     vocab map, so a hash match proves segmentation, ids, token-span
-    arithmetic, AND the decode-roundtrip in one row."""
-    sfx_ids = _sft_suffix_ids()
+    arithmetic, AND the decode-roundtrip in one row.
+
+    ``special=True`` mirrors the special_token_ids variant: control
+    strings become reserved single ids (never BPE'd), seg 0 encodes
+    only the role text, and the header id list is
+    [pre id] || role ids || [post ids]."""
+    if special:
+        sp = CH.special_token_ids(_GPT2_DEMO_MERGES, _SFT_SPECIALS)
+        enc = lambda t: CH._encode_constant(t, _GPT2_DEMO_MERGES, sp)
+        sfx_ids = enc(_TPL_CHATML.suffix)
+        pre_lit = "[" + ", ".join(map(str, enc(_TPL_CHATML.pre_role))) + "]"
+        post_lit = "[" + ", ".join(map(str, enc(_TPL_CHATML.post_role))) + "]"
+        prefix = _sft_segments_sql(
+            hdr_t2="role",
+            hdr_expr=f"{pre_lit} || h.tid || {post_lit}",
+            sfx_n=len(sfx_ids),
+        )
+    else:
+        sfx_ids = _sft_suffix_ids()
+        prefix = _sft_segments_sql()
     sfx_lit = "[" + ", ".join(map(str, sfx_ids)) + "]"
-    return f"""{_sft_segments_sql()}, agg AS (
+    return f"""{prefix}, agg AS (
       SELECT doc_id,
         flatten(list(hdr || cnt || {sfx_lit} ORDER BY turn_idx))
           AS all_ids,
@@ -12904,6 +12938,74 @@ def c_sft_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("s.token_ids"),
                 (sp["tok_start"] + 1).cast("int"),
                 (sp["tok_end"] - sp["tok_start"]).cast("int"),
+            ),
+        )
+    )
+    step = st.select(
+        "doc_id",
+        F.size("s.token_ids").cast("bigint").alias("n_tokens"),
+        F.array_join(
+            F.transform("s.token_ids", lambda i: i.cast("string")), " "
+        ).alias("token_ids"),
+        F.array_join(
+            F.transform(
+                "s.mask_spans",
+                lambda x: F.concat_ws(
+                    ":",
+                    x["turn_idx"].cast("string"),
+                    x["tok_start"].cast("string"),
+                    x["tok_end"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("mask_spans"),
+        T.gpt2_decode_ascii(masked, _GPT2_DEMO_MERGES).alias(
+            "masked_text"
+        ),
+        F.array_join(
+            F.transform(
+                F.filter("turns", lambda t: t["role"] == "assistant"),
+                lambda t: t["content"],
+            ),
+            "",
+        ).alias("assistant_text"),
+    )
+    return step.select(
+        "*",
+        (F.col("masked_text") == F.col("assistant_text"))
+        .cast("bigint")
+        .alias("roundtrip_ok"),
+    )
+
+
+@query("c_sft_tokens_special", _sft_tokens_oracle(special=True))
+def c_sft_tokens_special(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-space masks with RESERVED SPECIAL TOKENS
+    (chat.special_token_ids + sft_tokens special_ids): the production
+    convention — <|im_start|>/<|im_end|> become single ids appended
+    after the BPE id space (GPT-2's own <|endoftext|> rule), control
+    strings are NEVER split by the BPE, and the per-turn header is
+    [pre id] + encode(role) + [post ids]. Same emitted
+    decode-roundtrip proof as c_sft_tokens (masked ids are content
+    only, so the reverse-vocab decode is unaffected); the oracle
+    rebuilds the special segmentation with literal id splices around
+    the role-only encode. Zero shuffle, zero UDF, as before."""
+    sp = CH.special_token_ids(_GPT2_DEMO_MERGES, _SFT_SPECIALS)
+    conv = _chat_conv(spark, sf_dir)
+    st = conv.filter(F.size("turns") > 0).select(
+        "doc_id",
+        "turns",
+        CH.sft_tokens(
+            "turns", _GPT2_DEMO_MERGES, "chatml", special_ids=sp
+        ).alias("s"),
+    )
+    masked = F.flatten(
+        F.transform(
+            F.col("s.mask_spans"),
+            lambda sp_: F.slice(
+                F.col("s.token_ids"),
+                (sp_["tok_start"] + 1).cast("int"),
+                (sp_["tok_end"] - sp_["tok_start"]).cast("int"),
             ),
         )
     )

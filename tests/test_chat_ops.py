@@ -662,3 +662,70 @@ def test_pack_sft_bestfit_invariants_and_roundtrip(spark):
         )
     assert seen == set(src)  # drop = 0
     assert n_trunc > 0  # the fixture exercises truncation at L=256
+
+
+def test_sft_tokens_special_ids_never_split_and_roundtrip(spark):
+    """Reserved special tokens (chat.special_token_ids): control
+    strings become SINGLE ids after the BPE space and are never
+    BPE-split — every header starts with exactly [im_start_id] and
+    every suffix is [im_end_id, newline_id]; the batch twin agrees;
+    masked decode still reproduces assistant contents (specials
+    never land inside content spans); duplicates refuse."""
+    import pytest
+
+    sp = CH.special_token_ids(_GPT2_DEMO_MERGES, ["<|im_start|>", "<|im_end|>"])
+    base = 256 + len(_GPT2_DEMO_MERGES)
+    assert sp == {"<|im_start|>": base, "<|im_end|>": base + 1}
+    with pytest.raises(ValueError, match="duplicate special"):
+        CH.special_token_ids(_GPT2_DEMO_MERGES, ["a", "a"])
+
+    rows = [(1, "how do i sort a table use the order by clause here")]
+    conv = _conv(spark, rows)
+    out = conv.select(
+        "doc_id",
+        F.col("turns").alias("turns"),
+        CH.sft_tokens(
+            "turns", _GPT2_DEMO_MERGES, "chatml", special_ids=sp
+        ).alias("s"),
+    ).collect()[0]
+    ids = list(out["s"]["token_ids"])
+    vocab = T.gpt2_vocab(_GPT2_DEMO_MERGES)
+    nl = vocab["Ċ"]
+    # structure: [im_start] role... [nl] content... [im_end, nl] per turn
+    assert ids[0] == sp["<|im_start|>"]
+    assert ids.count(sp["<|im_start|>"]) == 2  # one per turn
+    assert ids.count(sp["<|im_end|>"]) == 2
+    # the span decode property holds with specials
+    sspan = out["s"]["mask_spans"][0]
+    seg = ids[sspan["tok_start"] : sspan["tok_end"]]
+    rev = {v: k for k, v in vocab.items()}
+    dec = "".join(rev[i] for i in seg).replace("Ġ", " ")
+    want = [t["content"] for t in out["turns"] if t["role"] == "assistant"][0]
+    assert dec == want
+    # batch twin equality under specials
+    col = conv.select(
+        "doc_id",
+        CH.sft_tokens("turns", _GPT2_DEMO_MERGES, "chatml", special_ids=sp).alias("s"),
+    ).select(
+        "doc_id",
+        F.size("s.token_ids").cast("bigint").alias("n_tokens"),
+        F.array_join(
+            F.transform("s.token_ids", lambda i: i.cast("string")), " "
+        ).alias("token_ids"),
+        F.array_join(
+            F.transform(
+                "s.mask_spans",
+                lambda x: F.concat_ws(
+                    ":",
+                    x["turn_idx"].cast("string"),
+                    x["tok_start"].cast("string"),
+                    x["tok_end"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("mask_spans"),
+    )
+    bat = CH.sft_tokens_batch(
+        conv, "turns", _GPT2_DEMO_MERGES, "chatml", special_ids=sp
+    )
+    assert sorted(map(tuple, bat.collect())) == sorted(map(tuple, col.collect()))
