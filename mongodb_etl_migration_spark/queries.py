@@ -12768,6 +12768,90 @@ def c_render_llama3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _chat_proof_cols(step)
 
 
+@query(
+    "c_render_system",
+    f"""
+    WITH {_CHAT_FIXTURE_SQL}, st AS (
+      SELECT doc_id, 0 AS turn_idx, 'system' AS role,
+             'You are a helpful assistant.' AS content
+      FROM (SELECT DISTINCT doc_id FROM turn)
+      UNION ALL
+      SELECT doc_id, turn_idx + 1, role, content FROM turn
+    ), r AS (
+      SELECT doc_id,
+             string_agg('<|im_start|>' || role || chr(10) || content
+                        || '<|im_end|>' || chr(10), '' ORDER BY turn_idx)
+               AS rendered
+      FROM st GROUP BY doc_id
+    ), m AS (
+      SELECT doc_id, turn_idx, role, content, len(content) AS clen,
+             {len(_TPL_CHATML.pre_role) + len(_TPL_CHATML.post_role)}
+               + len(role) AS hdr,
+             sum({len(_TPL_CHATML.pre_role) + len(_TPL_CHATML.post_role)
+                  + len(_TPL_CHATML.suffix)} + len(role) + len(content))
+               OVER (PARTITION BY doc_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS off
+      FROM st
+    ), sp AS (
+      SELECT m.doc_id, m.turn_idx, m.content,
+             CAST(coalesce(m.off, 0) + m.hdr AS BIGINT) AS s,
+             CAST(coalesce(m.off, 0) + m.hdr + m.clen AS BIGINT) AS e,
+             r.rendered
+      FROM m JOIN r USING (doc_id) WHERE m.role = 'assistant'
+    ), spa AS (
+      SELECT doc_id,
+             string_agg(turn_idx || ':' || s || ':' || e,
+                        ',' ORDER BY turn_idx) AS spans_str,
+             string_agg(substring(rendered, s + 1, e - s),
+                        '' ORDER BY turn_idx) AS extracted,
+             string_agg(content, '' ORDER BY turn_idx) AS assistant_text
+      FROM sp GROUP BY doc_id
+    )
+    SELECT r.doc_id, CAST(len(r.rendered) AS BIGINT) AS n_chars,
+           r.rendered,
+           coalesce(spa.spans_str, '') AS spans_str,
+           coalesce(spa.extracted, '') AS extracted,
+           coalesce(spa.assistant_text, '') AS assistant_text
+    FROM r LEFT JOIN spa USING (doc_id)
+    """,
+)
+def c_render_system(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYSTEM-TURN convention under the data-driven templates: a
+    system turn prepended to every conversation renders through the
+    SAME pre_role/post_role framing as any other role (no special
+    case to drift) and the assistant-only mask ignores it BY ROLE —
+    the spans shift by the system header's length but still extract
+    exactly the assistant contents (the emitted substring proof, as
+    in c_render_chatml). The prepend is a per-row array concat with
+    re-derived turn indices — still a pure projection, zero
+    exchanges."""
+    conv = _chat_conv(spark, sf_dir)
+    sys_turn = F.struct(
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("system").alias("role"),
+        F.lit("You are a helpful assistant.").alias("content"),
+    )
+    with_sys = F.concat(
+        F.array(sys_turn),
+        F.transform(
+            "turns",
+            lambda t: F.struct(
+                (t["turn_idx"] + 1).cast("int").alias("turn_idx"),
+                t["role"].alias("role"),
+                t["content"].alias("content"),
+            ),
+        ),
+    )
+    step = conv.filter(F.size("turns") > 0).select(
+        "doc_id",
+        with_sys.alias("turns"),
+        CH.render_chat(with_sys, "chatml").alias("rendered"),
+        CH.loss_mask_spans(with_sys, "chatml").alias("spans"),
+    )
+    return _chat_proof_cols(step)
+
+
 def _sft_suffix_ids() -> list[int]:
     vocab = T.gpt2_vocab(_GPT2_DEMO_MERGES)
     return [

@@ -729,3 +729,56 @@ def test_sft_tokens_special_ids_never_split_and_roundtrip(spark):
         conv, "turns", _GPT2_DEMO_MERGES, "chatml", special_ids=sp
     )
     assert sorted(map(tuple, bat.collect())) == sorted(map(tuple, col.collect()))
+
+
+def test_sft_pipeline_end_to_end_tokenize_pack_shuffle_shard(spark):
+    """The full SFT data pipeline COMPOSED from shipped operators:
+    parse_turns → sft_tokens (chatml, special ids) →
+    pack_sft_bestfit → epoch_shuffle over (bucket, bin_idx) →
+    loader_shards. Asserts: token conservation end to end (packing
+    drops nothing), the epoch permutation is a bijection over bins,
+    shard digests are deterministic across reruns (the resume
+    receipt), and a different seed reorders (decorrelation)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sp = CH.special_token_ids(_GPT2_DEMO_MERGES, ["<|im_start|>", "<|im_end|>"])
+    st = (
+        docs.select(
+            "doc_id", CH.parse_turns("text", turn_words=6).alias("turns")
+        )
+        .filter(F.size("turns") > 0)
+        .select(
+            "doc_id",
+            CH.sft_tokens(
+                "turns", _GPT2_DEMO_MERGES, "chatml", special_ids=sp
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("s.token_ids").alias("tid"),
+            F.col("s.mask_spans").alias("sp"),
+        )
+    )
+    total = st.agg(F.sum(F.size("tid"))).collect()[0][0]
+    # seq_len above the fixture's longest conversation: zero
+    # truncation, so conservation is EXACT (the truncation ledger is
+    # test_pack_sft_bestfit_invariants_and_roundtrip's job)
+    packed = CH.pack_sft_bestfit(
+        st, "doc_id", "tid", "sp", seq_len=1024, n_buckets=8
+    ).localCheckpoint()
+    assert packed.agg(F.sum("n_tokens")).collect()[0][0] == total
+    assert packed.agg(F.sum("n_truncated")).collect()[0][0] == 0
+
+    def digests(seed):
+        shuf = T.epoch_shuffle(packed, ["bucket", "bin_idx"], seed=seed)
+        shards = T.loader_shards(
+            shuf, "epoch_pos", "token_ids", shard_size=16
+        )
+        return sorted(
+            (r["shard_id"], r["n_seqs"], r["shard_digest"])
+            for r in shards.collect()
+        )
+
+    a, b2 = digests(7), digests(7)
+    assert a == b2 and len(a) > 1  # deterministic resume receipts
+    c = digests(8)
+    assert [x[2] for x in a] != [x[2] for x in c]  # seed reorders
