@@ -580,6 +580,45 @@ NOTES = {
         "Seeded FIM: both cut-point hashes and the three slices are "
         "ONE Project over the scan — zero Exchange, zero Python."
     ),
+    "t_bm25_probe_persisted": (
+        "The PERSISTED BM25 path a production probe takes: the "
+        "postings FileScan carries PartitionFilters on exactly the "
+        "query terms' tbucket values (real directory pruning — ≤|Q| "
+        "of 64 partitions read whatever the corpus size, modulus from "
+        "the index's own stats row) plus the broadcast query join and "
+        "the shared ranking tail; the raw corpus appears nowhere."
+    ),
+    "t_bm25_maintained": (
+        "Index maintenance: the two batches' additive tf layers union "
+        "and re-sum (one aggregate exchange), dl/df re-derive as "
+        "windows over the maintained tf — raw text is tokenized once "
+        "per batch at ingest and never re-read; probe tail unchanged."
+    ),
+    "c_render_chatml": (
+        "Template render + mask + the emitted substring proof: one "
+        "Project over the scan — zero Exchange, zero Python, for a "
+        "newline-bearing template (offsets are template data)."
+    ),
+    "c_sft_tokens": (
+        "Token-space loss masks: per-segment BPE encode, the mask "
+        "fold, the masked-ids decode, and the roundtrip comparison "
+        "are ALL one Project over the scan — zero Exchange, zero "
+        "Python. Tokenizing 100 TB of conversations is a map."
+    ),
+    "t_pack_bestfit": (
+        "Fewer-truncations packing: chunk explode is narrow; ONE "
+        "exchange (the bucket groupBy) collects each bucket's items; "
+        "the BFD placement fold and the element_at assembly are "
+        "per-row array expressions above it — same plan class as the "
+        "concat packer, quality paid in per-bucket compute."
+    ),
+    "c_pack_sft": (
+        "The end-to-end SFT artifact: the whole tokenize/mask leg is "
+        "the c_sft_tokens projection; packing adds exactly ONE "
+        "exchange (bucket groupBy) with the BFD fold and the "
+        "offset-remap assembly above it — one shuffle between raw "
+        "conversations and trainer-ready bins."
+    ),
 }
 
 
