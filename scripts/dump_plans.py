@@ -671,7 +671,9 @@ def main() -> None:
         scan_bits = [
             ln.strip()
             for ln in plan.splitlines()
-            if "PushedFilters" in ln or "ReadSchema" in ln
+            if "PushedFilters" in ln
+            or "ReadSchema" in ln
+            or "PartitionFilters" in ln
         ]
         out.append(f"\n## {name}\n\n{note}\n\n```\n{tree}\n```\n")
         if scan_bits:
