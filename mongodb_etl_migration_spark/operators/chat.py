@@ -547,10 +547,40 @@ def pack_sft_bestfit(
     bounded-bucket rule as every packer here. Zero UDF."""
     if seq_len < 1 or n_buckets < 1:
         raise ValueError("seq_len and n_buckets must be >= 1")
+    # id_col feeds the bucket pmod AND the doc labels in mask_spans/
+    # doc_spans; a non-numeric id would cast to NULL and silently
+    # produce a NULL bucket + NULL labels — refuse loudly instead
+    # (the bm25_index column-collision rule applied to types).
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type_obj = df.schema[id_col].dataType
+    if not isinstance(id_type_obj, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"pack_sft_bestfit needs an integral {id_col!r} (got "
+            f"{id_type_obj.simpleString()}) — ids label mask_spans/"
+            "doc_spans and drive the bucket pmod; map ids to bigint "
+            "first (e.g. keys.sequential_ids)"
+        )
     from .text import bfd_bins_fold
 
+    raw_toks = F.col(tokens_col).cast("array<int>")
+    # a NULL ELEMENT (an OOV id from the Column-path encoder) would be
+    # counted by size() but dropped by array_join — n_tokens and the
+    # emitted id list would silently disagree. Refuse loudly at pack
+    # time (the gpt2_token_ids loss-accounting rule): callers drop or
+    # byte-fallback OOV rows BEFORE packing.
     toks = F.coalesce(
-        F.col(tokens_col).cast("array<int>"), F.array().cast("array<int>")
+        F.when(
+            F.exists(raw_toks, lambda x: x.isNull()),
+            F.raise_error(
+                F.lit(
+                    "pack_sft_bestfit: NULL token id (OOV) in "
+                    f"{tokens_col!r} — filter or byte-fallback OOV "
+                    "rows before packing"
+                )
+            ).cast("array<int>"),
+        ).otherwise(raw_toks),
+        F.array().cast("array<int>"),
     )
     spans = F.coalesce(
         F.col(spans_col).cast(TOKSPAN_STRUCT),

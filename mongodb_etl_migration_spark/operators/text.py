@@ -1848,14 +1848,38 @@ def bm25_tf(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
-def bm25_stats_merge(a, b):
+def bm25_stats_merge(a, b, tf_a=None, tf_b=None, id_col: str = "doc_id"):
     """Additive maintenance of the 1-row BM25 stats table for
     DISJOINT document batches (append-only ingest — a doc id present
     in both sides would double-count N): n_docs and total_dl add;
     n_buckets must MATCH or the merged stats would bless pruning
     against partitions written under a different modulus (refuse
     loudly, the bm25_probe_indexed rule). Two bounded 1-row collects
-    — the documented bounded-collect pattern."""
+    — the documented bounded-collect pattern.
+
+    Disjointness is a PRECONDITION this 1-row fold cannot see; pass
+    the two sides' tf layers (``tf_a``/``tf_b``) to have it ENFORCED:
+    a semi-join count over the distinct doc ids (bounded 1-row
+    aggregate, batch-sized shuffle — maintenance-time only) refuses
+    loudly on any overlap instead of silently skewing idf/avgdl."""
+    if (tf_a is None) != (tf_b is None):
+        raise ValueError(
+            "pass both tf_a and tf_b (or neither) — the overlap check "
+            "needs both sides' tf layers"
+        )
+    if tf_a is not None:
+        overlap = (
+            tf_a.select(id_col)
+            .distinct()
+            .join(tf_b.select(id_col).distinct(), id_col, "semi")
+            .count()
+        )
+        if overlap:
+            raise ValueError(
+                f"{overlap} doc id(s) appear in BOTH batches — stats "
+                "merge is additive and would double-count n_docs/"
+                "total_dl; dedupe the batches before merging"
+            )
     ra, rb = a.collect()[0], b.collect()[0]
     if int(ra["n_buckets"]) != int(rb["n_buckets"]):
         raise ValueError(

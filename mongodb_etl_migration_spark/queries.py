@@ -13744,15 +13744,17 @@ def t_bm25_probe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads ≤6 of 64 directories whatever the corpus size). Pinned to
     the SAME oracle text as t_bm25_retrieval/t_bm25_probe: disk
     round-trip + pruning must be invisible to the ranking. The
-    scratch index is rebuilt per run (overwrite mode, deterministic
-    path) — build cost is the corpus pass this index exists to
-    amortize."""
+    scratch index is rebuilt per run (overwrite mode; the path is
+    keyed by fixture AND pid so concurrent gate runs on the same
+    fixture cannot overwrite each other mid-read) — build cost is the
+    corpus pass this index exists to amortize."""
     import os
     import tempfile
 
     path = os.path.join(
         tempfile.gettempdir(),
-        f"mongodb_etl_migration_spark_bm25idx_{os.path.basename(os.path.normpath(sf_dir))}",
+        "mongodb_etl_migration_spark_bm25idx_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
     )
     T.write_bm25_index(Catalog(spark, sf_dir).documents, path)
     return T.bm25_probe_indexed(spark, path, _BM25_QUERIES, k=10)

@@ -664,6 +664,66 @@ def test_pack_sft_bestfit_invariants_and_roundtrip(spark):
     assert n_trunc > 0  # the fixture exercises truncation at L=256
 
 
+def test_pack_sft_bestfit_refuses_bad_inputs(spark):
+    """Input guards (refuse-loudly rule): a non-integral id column
+    refuses at PLAN time (a string id would cast to NULL, yielding a
+    NULL bucket and NULL doc labels); a NULL token id — the Column-
+    path encoder's OOV marker — refuses at EXECUTION time instead of
+    letting n_tokens silently disagree with the emitted id list
+    (size() counts NULLs, array_join drops them)."""
+    import pytest
+
+    schema = (
+        "doc_id {idt}, tid array<int>, "
+        "sp array<struct<turn_idx:int,tok_start:bigint,tok_end:bigint>>"
+    )
+    bad_id = spark.createDataFrame(
+        [("x1", [5, 6], [])], schema.format(idt="string")
+    )
+    with pytest.raises(TypeError, match="integral"):
+        CH.pack_sft_bestfit(bad_id, "doc_id", "tid", "sp", seq_len=8)
+
+    oov = spark.createDataFrame(
+        [(1, [5, None, 6], [])], schema.format(idt="bigint")
+    )
+    with pytest.raises(Exception, match="OOV"):
+        CH.pack_sft_bestfit(oov, "doc_id", "tid", "sp", seq_len=8).collect()
+
+    # the guards are inert on clean input: a NULL ARRAY (no tokens)
+    # still packs as an empty example, as before
+    ok = spark.createDataFrame(
+        [(1, [5, 6], []), (2, None, [])], schema.format(idt="bigint")
+    )
+    rows = CH.pack_sft_bestfit(
+        ok, "doc_id", "tid", "sp", seq_len=8, n_buckets=1
+    ).collect()
+    assert {d for r in rows for d in
+            (int(x.split(":")[0]) for x in r["doc_spans"].split(","))} == {1, 2}
+
+
+def test_bm25_stats_merge_overlap_check(spark):
+    """bm25_stats_merge's optional disjointness enforcement: passing
+    the two sides' tf layers turns the documented precondition into a
+    loud refusal when a doc id appears in both batches (additive merge
+    would double-count n_docs/total_dl); disjoint layers pass and the
+    merged stats match the plain merge."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c"), (3, "c d")], "doc_id bigint, text string"
+    )
+    h, b = docs.filter("doc_id < 3"), docs.filter("doc_id >= 3")
+    tf_h, tf_b = T.bm25_tf(h), T.bm25_tf(b)
+    _, s_h = T.bm25_index(h, tf=tf_h)
+    _, s_b = T.bm25_index(b, tf=tf_b)
+    merged = T.bm25_stats_merge(s_h, s_b, tf_a=tf_h, tf_b=tf_b).collect()[0]
+    assert (merged["n_docs"], merged["total_dl"]) == (3, 6)
+    with pytest.raises(ValueError, match="BOTH batches"):
+        T.bm25_stats_merge(s_h, s_h, tf_a=tf_h, tf_b=tf_h)
+    with pytest.raises(ValueError, match="both tf_a and tf_b"):
+        T.bm25_stats_merge(s_h, s_b, tf_a=tf_h)
+
+
 def test_sft_tokens_special_ids_never_split_and_roundtrip(spark):
     """Reserved special tokens (chat.special_token_ids): control
     strings become SINGLE ids after the BPE space and are never
