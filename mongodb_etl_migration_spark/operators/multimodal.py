@@ -2313,6 +2313,146 @@ def image_dhash(multimodal: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def dhash_hamming(a, b):
+    """Hamming distance between two 16-hex dHash keys as a Column —
+    per 4-hex chunk (16 bits): parse, xor, popcount, sum. Chunked so
+    no value ever nears the 64-bit sign edge (the dhash_bytes
+    rendering rule carried into the distance); pure JVM expressions,
+    zero UDF."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    terms = [
+        F.bit_count(
+            F.conv(F.substring(a, i * 4 + 1, 4), 16, 10)
+            .cast("long")
+            .bitwiseXOR(
+                F.conv(F.substring(b, i * 4 + 1, 4), 16, 10).cast("long")
+            )
+        )
+        for i in range(4)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("int")
+
+
+def dhash_bands(
+    dhash_df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    bands: int = 4,
+) -> DataFrame:
+    """Hamming-banded blocking over the 64-bit dHash key — the
+    minhash banding rule applied to BITS: split the 16-hex key into
+    ``bands`` equal substrings; two keys within Hamming distance
+    r < bands differ in at most r bands, so by pigeonhole they agree
+    on AT LEAST ONE band — banding finds every pair a Hamming-r
+    confirm would accept (no recall loss), while the self-join stays
+    inside band buckets (never all-pairs; this is LAION-scale image
+    dedup's blocking step). Rows with NULL keys (undecodable
+    payloads) are dropped — they'd collapse into one degenerate
+    bucket. Output: (band, band_key, id_col, hash_col) — the key
+    rides along (16 bytes) so the confirm stage never joins back to
+    the corpus. Zero shuffle (posexplode projection)."""
+    if 16 % bands != 0:
+        raise ValueError(f"bands={bands} must divide the 16 hex chars")
+    w = 16 // bands
+    return (
+        dhash_df.filter(F.col(hash_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(hash_col),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.substring(F.col(hash_col), i * w + 1, w)
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("band", "band_key"),
+        )
+        .select("band", "band_key", id_col, hash_col)
+    )
+
+
+def image_neardup_pairs(
+    dhash_df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Confirmed image near-dup pairs from a dHash frame
+    (:func:`image_dhash` output or a persisted hash index):
+    Hamming-banded candidates (:func:`dhash_bands`), per-bucket
+    self-join, then an EXACT Hamming confirm ≤ ``max_hamming`` — the
+    banding guarantees recall only for ``max_hamming < bands``
+    (refused otherwise: silently lossy blocking is how image dedup
+    quietly misses dups).
+
+    Plan: the ONLY shuffle is the per-bucket self-join; the explicit
+    repartition on the join keys before renaming makes both sides'
+    exchanges identical so ReuseExchange hashes the corpus once
+    (lsh_candidate_pairs' trick). The confirm is a projection over
+    the pair rows (the 16-char keys ride the band rows), bounded by
+    candidates, not the corpus. Output: (id_a, id_b, hamming)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming "
+            f"(got {bands}) or banding loses recall"
+        )
+    band = dhash_bands(dhash_df, id_col, hash_col, bands)
+    shuffled = band.repartition(F.col("band"), F.col("band_key"))
+    left = shuffled.select(
+        "band",
+        "band_key",
+        F.col(id_col).alias("id_a"),
+        F.col(hash_col).alias("_ha"),
+    )
+    right = shuffled.select(
+        "band",
+        "band_key",
+        F.col(id_col).alias("id_b"),
+        F.col(hash_col).alias("_hb"),
+    )
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            dhash_hamming(F.col("_ha"), F.col("_hb")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def image_neardup_clusters(
+    dhash_df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-dup CLUSTERS — dHash keys composed end-to-end with
+    the text dedup family's cluster machinery: banded candidates →
+    exact Hamming confirm (:func:`image_neardup_pairs`) →
+    large-star/small-star connected components (dedup.py — O(log n)
+    rounds on chain-shaped clusters, the re-encode/resize chains real
+    image corpora have). Output: (id, component = min member id) for
+    every CONFIRMED-paired image; representatives/best-quality
+    survivors compose exactly as for text
+    (dedup.dedup_representatives on these pairs)."""
+    from .dedup import connected_components
+
+    return connected_components(
+        image_neardup_pairs(dhash_df, id_col, hash_col, bands, max_hamming)
+    )
+
+
 AUDIO_FEATURES_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

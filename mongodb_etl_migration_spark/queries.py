@@ -6593,6 +6593,134 @@ def m_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_dhash(mm)
 
 
+@query(
+    "m_image_neardup",
+    """
+    WITH RECURSIVE params AS (
+      SELECT doc_id,
+             CASE WHEN (doc_id // 5) % 4 = 3 THEN doc_id // 20 + 1000003
+                  ELSE doc_id // 20 END AS s,
+             (doc_id // 5) % 4 AS variant
+      FROM documents WHERE doc_id % 5 = 2
+    ), px AS (
+      SELECT doc_id, y.y AS y, x.x AS x,
+        CASE WHEN variant = 2 AND x.x = 0 AND y.y < 3
+             THEN 255 - ('0x' || substr(md5(s || '_' || y.y || '_' || x.x),
+                                        1, 2))::BIGINT
+             ELSE ('0x' || substr(md5(s || '_' || y.y || '_' || x.x),
+                                  1, 2))::BIGINT
+        END AS v
+      FROM params,
+           (SELECT unnest(range(0, 8)) AS y) y,
+           (SELECT unnest(range(0, 9)) AS x) x
+    ), cmp AS (
+      SELECT doc_id, y, x, v,
+             lead(v) OVER (PARTITION BY doc_id, y ORDER BY x) AS vn
+      FROM px
+    ), rowbytes AS (
+      SELECT doc_id, y,
+             CAST(sum(CASE WHEN v > vn THEN 1 << (7 - x) ELSE 0 END)
+                  AS BIGINT) AS rv
+      FROM cmp WHERE x < 8 GROUP BY doc_id, y
+    ), hashes AS (
+      SELECT doc_id,
+             string_agg(lpad(lower(to_hex(rv)), 2, '0'), '' ORDER BY y)
+               AS dhash
+      FROM rowbytes GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, dhash, b.b AS band,
+             substr(dhash, b.b * 4 + 1, 4) AS band_key
+      FROM hashes, (SELECT unnest(range(0, 4)) AS b) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.dhash AS da, b.dhash AS db
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b FROM cand
+      WHERE bit_count(xor(('0x' || substr(da, 1, 4))::BIGINT,
+                          ('0x' || substr(db, 1, 4))::BIGINT))
+          + bit_count(xor(('0x' || substr(da, 5, 4))::BIGINT,
+                          ('0x' || substr(db, 5, 4))::BIGINT))
+          + bit_count(xor(('0x' || substr(da, 9, 4))::BIGINT,
+                          ('0x' || substr(db, 9, 4))::BIGINT))
+          + bit_count(xor(('0x' || substr(da, 13, 4))::BIGINT,
+                          ('0x' || substr(db, 13, 4))::BIGINT)) <= 3
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), walk(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+    )
+    SELECT u AS id, least(u, min(v)) AS component
+    FROM walk GROUP BY u
+    """,
+)
+def m_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image near-dup dedup END-TO-END — image_dhash
+    composed with the dedup family (multimodal.image_neardup_clusters):
+    Hamming-banded blocking over the 64-bit key (4×16-bit bands —
+    within Hamming 3, pigeonhole guarantees a shared band), per-bucket
+    self-join candidates, exact Hamming confirm, large-star/small-star
+    connected components. Fixture (1/5 slice, 4 variants per family of
+    consecutive docs): a 9×8 grayscale board per family with md5-mixed
+    pixels (families land ~Hamming-32 apart, so clusters ARE families)
+    rendered (v0) as BMP and (v1) as PNG — SAME pixels through two real
+    codecs, dHash must be identical (codec invariance) — plus (v2) the
+    board with three pixels of column 0 value-inverted, a ≤3-bit
+    perturbation (each column-0 pixel feeds exactly one difference
+    bit), and (v3) an unrelated board that must NOT confirm. 9×8 dims
+    make the dHash grid the pixel grid, so the ORACLE computes the same
+    64 bits analytically from the board formula — then reruns banding,
+    the per-chunk xor/popcount confirm, and a recursive-CTE transitive
+    closure, never touching a codec: a match proves the real
+    BMP/PNG byte paths and the banded/confirmed/clustered pipeline
+    end-to-end. Plan: one banded self-join exchange + the CC rounds
+    over confirmed pairs — candidate-bounded, never all-pairs."""
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+    )
+
+    d = (
+        Catalog(spark, sf_dir)
+        .documents.select("doc_id")
+        .filter(F.expr("doc_id % 5 = 2"))
+    )
+
+    def make_payload(did: int) -> bytes:
+        import hashlib
+
+        variant = (did // 5) % 4
+        s = did // 20 + (1000003 if variant == 3 else 0)
+        v = np.array(
+            [
+                [
+                    int(
+                        hashlib.md5(f"{s}_{y}_{x}".encode()).hexdigest()[:2],
+                        16,
+                    )
+                    for x in range(9)
+                ]
+                for y in range(8)
+            ],
+            dtype=np.int64,
+        )
+        if variant == 2:
+            v[0:3, 0] = 255 - v[0:3, 0]
+        px = np.stack([v, v, v], axis=-1).astype(np.uint8)
+        return encode_png(px) if variant == 1 else encode_bmp(px)
+
+    mm = _mm_payload_table(d, make_payload)
+    return M.image_neardup_clusters(M.image_dhash(mm))
+
+
 def _mp4_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared MP4 fixture: per doc (1/9 slice) a minimal valid ISO
     BMFF file (operators/mp4.build_mp4) with doc_id%5+2 ASCII video

@@ -18,6 +18,15 @@ from mongodb_etl_migration_spark import get_spark  # noqa: E402
 from mongodb_etl_migration_spark.queries import QUERIES  # noqa: E402
 
 NOTES = {
+    "m_image_neardup": (
+        "Image near-dup end-to-end: dHash (Arrow batches) -> 4x16-bit "
+        "Hamming bands (narrow posexplode) -> per-bucket self-join on "
+        "(band, band_key) with BOTH sides renamed above one repartition "
+        "exchange (ReusedExchange hashes the corpus once) -> exact "
+        "xor/popcount confirm as a projection over candidate pairs -> "
+        "star CC rounds over confirmed pairs. Never all-pairs; the "
+        "corpus-sized stage is the banded exchange."
+    ),
     "s1_filtered_scan": (
         "Predicate pushdown: both filters appear in PushedFilters on the "
         "parquet scan; ReadSchema carries only the 4 projected columns."

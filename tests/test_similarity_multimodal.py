@@ -1493,6 +1493,74 @@ def test_image_dhash_spark_null_for_undecodable(spark):
     assert rows[2].dhash is None and rows[2].width is None
 
 
+def test_image_neardup_banding_recall_and_confirm(spark):
+    """The Hamming-banding pipeline's load-bearing properties:
+    (1) PIGEONHOLE RECALL — for ANY two 64-bit keys within Hamming
+    max_hamming < bands, at least one band agrees, so banded blocking
+    finds every pair the exact confirm would accept (checked by
+    hypothesis-style random sweep); (2) dhash_hamming (chunked
+    conv/xor/popcount, zero UDF) equals Python popcount; (3) the
+    confirm rejects far pairs band collisions let through; (4) NULL
+    hashes (undecodable images) are dropped; (5) lossy parameter
+    combos refuse."""
+    import random
+
+    import pytest
+
+    from mongodb_etl_migration_spark.operators import multimodal as M
+
+    rng = random.Random(13)
+    rows = []
+    truth = []
+    keys = []
+    for i in range(40):
+        base = rng.getrandbits(64)
+        keys.append((2 * i, base))
+        flipped = base
+        nbits = rng.randrange(0, 6)  # 0..5 bit flips: straddles r=3
+        for pos in rng.sample(range(64), nbits):
+            flipped ^= 1 << pos
+        keys.append((2 * i + 1, flipped))
+        d = bin(base ^ flipped).count("1")
+        if d <= 3:
+            truth.append((2 * i, 2 * i + 1, d))
+    rows = [(i, f"{k:016x}") for i, k in keys] + [(999, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, dhash string")
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in M.image_neardup_pairs(df).collect()
+    }
+    kmap = dict(keys)
+    # every confirmed pair is genuinely within r (no false accepts)
+    for (a, b), h in got.items():
+        assert bin(kmap[a] ^ kmap[b]).count("1") == h <= 3
+        assert a != 999 and b != 999
+    # pigeonhole recall: every true within-r pair was found
+    for a, b, d in truth:
+        assert got[(a, b)] == d
+
+    with pytest.raises(ValueError, match="recall"):
+        M.image_neardup_pairs(df, bands=4, max_hamming=4)
+    with pytest.raises(ValueError, match="divide"):
+        M.dhash_bands(df, bands=5)
+
+    # clusters: chain a-b-c within r pairwise-adjacent collapses to
+    # min id even when a-c are farther than r (transitive closure)
+    chain = spark.createDataFrame(
+        [
+            (10, "0000000000000000"),
+            (11, "0000000000000007"),  # 3 bits from 10
+            (12, "000000000000003f"),  # 3 bits from 11, 6 from 10
+        ],
+        "doc_id bigint, dhash string",
+    )
+    comps = {
+        r.id: r.component for r in M.image_neardup_clusters(chain).collect()
+    }
+    assert comps == {10: 10, 11: 10, 12: 10}
+
+
 def test_audio_features_exact_windows(spark):
     import io as _io
     import struct as _struct
