@@ -40,6 +40,7 @@ from mongodb_etl_migration_spark.operators import (
     similarity as SIM,
     skew as SK,
     text as T,
+    unigram as U,
     validation as V,
     web as WB,
 )
@@ -10622,6 +10623,245 @@ def t_bpe_train_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "rank long, left string, right string, pair_count long",
+    )
+
+
+def _unigram_oracle(
+    rounds: int = 3,
+    vocab_size: int = 56,
+    seed_size: int = 120,
+    max_piece_len: int = 4,
+    seed_min_count: int = 2,
+    max_word_len: int = 16,
+    encode: bool = False,
+) -> str:
+    """Recursive-CTE DuckDB mirror of operators/unigram.unigram_train
+    (and, with ``encode=True``, of unigram_token_ids): the same word
+    counts, substring seeding, per-round no-libm Q16 log costs
+    (ilog2_q16's integer squaring recurrence as a recursive CTE over
+    HUGEINTs — bit-identical to the Python helper), Viterbi via FULL
+    segmentation enumeration (a recursive CTE walking word positions;
+    the DP's local smallest-predecessor tie-break equals the global
+    (cost, #pieces, reversed-boundary-list lexicographic) minimum the
+    window sorts by), usage re-counts, and the linear prune schedule.
+    AS MATERIALIZED throughout — every CTE feeds the next round AND
+    the final select, and DuckDB would otherwise inline the chain
+    combinatorially (the d6/PageRank rule)."""
+    P62 = str(1 << 62)
+    P63 = str(1 << 63)
+
+    def ilog(tag: str, vocab: str) -> str:
+        """cost table for ``vocab``(piece, cnt): the exact integer
+        squaring recurrence of unigram.ilog2_q16."""
+        return f""", tot{tag} AS MATERIALIZED (
+      SELECT CAST(sum(cnt) AS BIGINT) AS T FROM {vocab}
+    ), norm{tag} AS MATERIALIZED (
+      SELECT piece,
+             CASE WHEN T::HUGEINT >= cnt::HUGEINT * pe.v THEN e0
+                  ELSE e0 - 1 END AS e,
+             (T::HUGEINT * ps.v) // cnt AS X
+      FROM (
+        SELECT piece, cnt, T,
+               length(format('{{:b}}', T)) - length(format('{{:b}}', cnt))
+                 AS e0
+        FROM {vocab}, tot{tag}
+      ) n
+      JOIN pow2 pe ON pe.k = n.e0
+      JOIN pow2 ps ON ps.k = 62 - (CASE WHEN n.T::HUGEINT >=
+            n.cnt::HUGEINT * pe.v THEN n.e0 ELSE n.e0 - 1 END)
+    ), ilog{tag}(piece, e, k, X, frac) AS (
+      SELECT piece, e, 0, X, CAST(0 AS BIGINT) FROM norm{tag}
+      UNION ALL
+      SELECT piece, e, k + 1,
+             CASE WHEN Xs >= {P63}::HUGEINT THEN Xs // 2 ELSE Xs END,
+             frac * 2 + CASE WHEN Xs >= {P63}::HUGEINT THEN 1 ELSE 0 END
+      FROM (SELECT piece, e, k, (X * X) // {P62}::HUGEINT AS Xs, frac
+            FROM ilog{tag} WHERE k < 16)
+    ), cost{tag} AS MATERIALIZED (
+      SELECT piece, CAST(e * 65536 + frac AS BIGINT) AS cost
+      FROM ilog{tag} WHERE k = 16
+    )"""
+
+    def viterbi(tag: str, words: str, cost: str) -> str:
+        """best segmentation per word of ``words``(w) under
+        ``cost``(piece, cost): enumerate all segmentations (recursive
+        walk over positions), rank by the spec's global key."""
+        return f""", segs{tag}(w, pos, cost, np, bounds) AS (
+      SELECT w, 0, CAST(0 AS BIGINT), 0, []::BIGINT[] FROM {words}
+      UNION ALL
+      SELECT s.w, s.pos + length(c.piece), s.cost + c.cost, s.np + 1,
+             list_append(s.bounds, s.pos)
+      FROM segs{tag} s JOIN {cost} c
+        ON s.pos + length(c.piece) <= length(s.w)
+       AND substr(s.w, s.pos + 1, length(c.piece)) = c.piece
+    ), best{tag} AS MATERIALIZED (
+      SELECT w, bounds FROM (
+        SELECT w, bounds,
+               row_number() OVER (
+                 PARTITION BY w
+                 ORDER BY cost, np, list_reverse(bounds[2:])
+               ) AS rn
+        FROM segs{tag} WHERE pos = length(w)
+      ) WHERE rn = 1
+    ), pieces{tag} AS MATERIALIZED (
+      SELECT w, b,
+             substr(w, b + 1,
+                    CAST(coalesce(lead(b) OVER (PARTITION BY w ORDER BY b),
+                                  length(w)) - b AS INT)) AS piece
+      FROM (SELECT w, unnest(bounds) AS b FROM best{tag})
+    )"""
+
+    parts = [
+        f"""
+    WITH RECURSIVE pow2(k, v) AS (
+      SELECT 0, 1::HUGEINT UNION ALL SELECT k + 1, v * 2
+      FROM pow2 WHERE k < 120
+    ), wc AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              AS w FROM documents)
+      WHERE length(w) <= {max_word_len}
+      GROUP BY w
+    ), subs AS MATERIALIZED (
+      SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        SELECT substr(w, i.i, k.k) AS piece, n
+        FROM wc,
+             (SELECT unnest(range(1, {max_word_len} + 1)) AS i) i,
+             (SELECT unnest(range(1, {max_piece_len} + 1)) AS k) k
+        WHERE i.i + k.k - 1 <= length(w)
+      ) GROUP BY piece
+    ), chars0 AS MATERIALIZED (
+      SELECT piece, cnt FROM subs WHERE length(piece) = 1
+    ), vocab0 AS MATERIALIZED (
+      SELECT piece, cnt FROM chars0
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+        FROM subs WHERE length(piece) > 1 AND cnt >= {seed_min_count}
+      ) WHERE rn <= {seed_size} - (SELECT count(*) FROM chars0)
+    )"""
+    ]
+    for t in range(1, rounds + 1):
+        keep = max(
+            vocab_size,
+            seed_size - ((seed_size - vocab_size) * t) // rounds,
+        )
+        parts.append(ilog(str(t), f"vocab{t - 1}"))
+        parts.append(viterbi(str(t), "wc", f"cost{t}"))
+        parts.append(f""", usage{t} AS MATERIALIZED (
+      SELECT p.piece, CAST(sum(wc.n) AS BIGINT) AS cnt
+      FROM pieces{t} p JOIN wc ON wc.w = p.w
+      GROUP BY p.piece
+    ), vocab{t} AS MATERIALIZED (
+      SELECT c.piece, greatest(coalesce(u.cnt, 0), 1) AS cnt
+      FROM chars0 c LEFT JOIN usage{t} u ON u.piece = c.piece
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+        FROM usage{t} WHERE length(piece) > 1 AND cnt >= 1
+      ) WHERE rn <= {keep} - (SELECT count(*) FROM chars0)
+    )""")
+    parts.append(ilog("f", f"vocab{rounds}"))
+    if not encode:
+        parts.append(f"""
+    SELECT CAST(row_number() OVER (ORDER BY v.cnt DESC, v.piece) - 1
+                AS BIGINT) AS id,
+           v.piece, v.cnt, c.cost AS cost_q16
+    FROM vocab{rounds} v JOIN costf c ON c.piece = v.piece
+    """)
+        return "".join(parts)
+    # encode tail: ids by final rank, per-distinct-word best
+    # segmentation under the FINAL costs, then per-doc id streams in
+    # word order (range-join ordinality — this DuckDB lacks
+    # WITH ORDINALITY)
+    parts.append(f""", vid AS MATERIALIZED (
+      SELECT piece,
+             CAST(row_number() OVER (ORDER BY cnt DESC, piece) - 1
+                  AS BIGINT) AS id
+      FROM vocab{rounds}
+    ), docws AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ), encw AS MATERIALIZED (
+      SELECT DISTINCT w FROM (SELECT unnest(ws) AS w FROM docws)
+    )""")
+    parts.append(viterbi("e", "encw", "costf"))
+    parts.append("""
+    , wids AS MATERIALIZED (
+      SELECT p.w,
+             string_agg(v.id, ' ' ORDER BY p.b) AS ids,
+             CAST(count(*) AS BIGINT) AS k
+      FROM piecese p JOIN vid v ON v.piece = p.piece
+      GROUP BY p.w
+    ), docw AS MATERIALIZED (
+      SELECT d.doc_id, d.ws[i.i] AS w, i.i AS ord
+      FROM docws d,
+           (SELECT unnest(range(1,
+              (SELECT coalesce(max(len(ws)), 0) FROM docws) + 1)) AS i) i
+      WHERE i.i <= len(d.ws)
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(sum(w.k), 0) AS BIGINT) AS n_tokens,
+           coalesce(string_agg(w.ids, ' ' ORDER BY d.ord), '')
+             AS token_ids
+    FROM docw d JOIN wids w ON w.w = d.w
+    GROUP BY d.doc_id
+    """)
+    return "".join(parts)
+
+
+@query("t_unigram_train", _unigram_oracle())
+def t_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed unigram-LM (SentencePiece-family) tokenizer
+    TRAINING (operators/unigram.unigram_train, Kudo 2018 hard-EM
+    variant) — the production tokenizer family BPE doesn't cover
+    (T5/ALBERT-class), built with the bpe_train discipline: one
+    corpus-sized word-count exchange, then substring seeding and
+    every EM round run on the distinct-words frame (Viterbi
+    segmentation as a zero-shuffle literal-map fold, usage as one
+    vocabulary-keyed exchange, bounded vocabulary-sized collects).
+    Costs are no-libm Q16 fixed-point logs (unigram.ilog2_q16's pure
+    integer squaring recurrence), so the oracle — which re-runs the
+    FULL trajectory: seeding, three rounds of cost derivation (the
+    same recurrence over HUGEINTs), full-enumeration Viterbi with the
+    spec tie-break, usage recounts and the linear prune schedule —
+    matches bit for bit. 56-piece vocabulary from a 120-piece seed,
+    3 EM rounds, pieces ≤ 4 chars."""
+    d = Catalog(spark, sf_dir).documents
+    vocab = U.unigram_train(
+        d, "text", vocab_size=56, seed_size=120, rounds=3
+    )
+    return spark.createDataFrame(
+        [(i, p, c, cost) for i, (p, c, cost) in enumerate(vocab)],
+        "id long, piece string, cnt long, cost_q16 long",
+    )
+
+
+@query("t_unigram_ids", _unigram_oracle(encode=True))
+def t_unigram_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Viterbi ENCODE (operators/unigram.unigram_token_ids)
+    under the t_unigram_train vocabulary: per document, every word
+    segmented by the DP fold (costs and piece ids ride the plan as
+    literal maps — zero shuffle, zero UDF, the lang_id_hashed
+    pattern), ids emitted in word order. The oracle re-trains the
+    same trajectory in SQL, then re-segments every distinct word
+    under the final cost table and reassembles per-doc id streams —
+    training AND encoding cross-checked in one row. The Arrow twin
+    (unigram_ids_batch) for production vocabularies is
+    property-tested equal in the suite."""
+    d = Catalog(spark, sf_dir).documents
+    vocab = U.unigram_train(
+        d, "text", vocab_size=56, seed_size=120, rounds=3
+    )
+    ids = U.unigram_token_ids("text", vocab)
+    return d.select(
+        "doc_id",
+        F.size(ids).cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform(ids, lambda i: i.cast("string")), " ", "x"
+        ).alias("token_ids"),
     )
 
 

@@ -18,6 +18,19 @@ from mongodb_etl_migration_spark import get_spark  # noqa: E402
 from mongodb_etl_migration_spark.queries import QUERIES  # noqa: E402
 
 NOTES = {
+    "t_unigram_train": (
+        "Unigram-LM trainer: ONE corpus-sized word-count exchange; "
+        "seeding and every EM round run on the distinct-words frame "
+        "(Viterbi = zero-shuffle literal-map fold, usage = one "
+        "vocabulary-keyed exchange, bounded vocabulary-sized collects "
+        "<= seed_size). Costs are no-libm Q16 integer logs."
+    ),
+    "t_unigram_ids": (
+        "Unigram Viterbi encode: the trained cost/id tables fold into "
+        "the plan as literal maps; per-word DP + backtrack are "
+        "aggregate expressions inside one transform — pure Project, "
+        "zero shuffle, zero UDF (the lang_id_hashed shape)."
+    ),
     "m_image_neardup": (
         "Image near-dup end-to-end: dHash (Arrow batches) -> 4x16-bit "
         "Hamming bands (narrow posexplode) -> per-bucket self-join on "
