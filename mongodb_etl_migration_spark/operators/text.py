@@ -824,6 +824,61 @@ def bfd_bins_fold(items_sorted: Column, seq_len: int) -> Column:
     return F.aggregate(items_sorted, zero, step, lambda acc: acc["bins"])
 
 
+def pack_buckets_tune(
+    df,
+    ids_col: str | None = None,
+    seq_len: int = 1024,
+    target_items_per_bucket: int = 128,
+) -> int:
+    """Size ``n_buckets`` for the best-fit packers from corpus token
+    stats (the lsh_tune discipline applied to packing): the BFD fold
+    is O(items × bins) per bucket, so wall scales with the SQUARE of
+    items-per-bucket while the exchange cost is flat in n_buckets —
+    the right knob setting is therefore "as many buckets as keeps
+    each bucket near ``target_items_per_bucket`` items", not a
+    hand-set constant that silently degrades when the corpus grows
+    (BENCH_pack.json's bucket_sweep receipts the wall-vs-bucket
+    curve: 524 s at 4 buckets falls to ~3 s at 64 on the sf0.1
+    fixture while bins grow only ~1.5% — 128 items/bucket sits at
+    the knee where halving further buys little wall and costs pad).
+
+    ``ids_col`` given → items are the ≤seq_len document chunks
+    :func:`pack_sequences_bestfit` packs (one 1-row bounded aggregate
+    over the chunk counts); ``ids_col`` None → one item per row
+    (whole conversations, ``chat.pack_sft_bestfit``; a metadata-only
+    count). Packing INVARIANTS (every token packed exactly once,
+    bins ≤ seq_len, drop 0) hold for ANY n_buckets — bucket count is
+    purely a latency/parallelism knob — so tuning never changes
+    what the trainer sees per bin beyond grouping."""
+    if seq_len < 1 or target_items_per_bucket < 1:
+        raise ValueError(
+            "seq_len and target_items_per_bucket must be >= 1"
+        )
+    if ids_col is None:
+        items = df.count()
+    else:
+        items = int(
+            df.agg(
+                F.sum(
+                    F.ceil(
+                        (
+                            F.size(
+                                F.coalesce(
+                                    F.col(ids_col).cast("array<int>"),
+                                    F.array().cast("array<int>"),
+                                )
+                            )
+                            + 1
+                        )
+                        / F.lit(seq_len)
+                    )
+                ).cast("bigint")
+            ).collect()[0][0]
+            or 0
+        )  # bounded: 1-row aggregate
+    return max(1, -(-items // target_items_per_bucket))
+
+
 def pack_sequences_bestfit(
     df,
     id_col: str,

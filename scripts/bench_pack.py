@@ -72,6 +72,32 @@ def main() -> int:
 
     concat = run(T.pack_sequences)
     bestfit = run(T.pack_sequences_bestfit)
+
+    # bucket autotuning receipt (r12 verdict item 4): wall vs bucket
+    # count at fixed corpus — the BFD fold is O(items x bins) per
+    # bucket, so wall falls as buckets rise until scheduling overhead
+    # floors it; pack_buckets_tune's target (256 items/bucket) should
+    # land on that floor. Invariants (drop 0, fill) are asserted
+    # identical at every point — bucket count is purely a latency
+    # knob.
+    tuned = T.pack_buckets_tune(ids, "tid", seq_len=SEQ_LEN)
+    sweep = {}
+    for nb in sorted({4, 16, 64, tuned}):
+        t0 = time.time()
+        packed = T.pack_sequences_bestfit(
+            ids, "doc_id", "tid",
+            seq_len=SEQ_LEN, eos_id=EOS, n_buckets=nb,
+        )
+        agg = packed.agg(
+            F.count("*").alias("bins"), F.sum("n_tokens").alias("kept")
+        ).collect()[0]
+        assert int(agg["kept"]) == total, (nb, agg)
+        sweep[str(nb)] = {
+            "sec": round(time.time() - t0, 3),
+            "bins": int(agg["bins"]),
+            "drop_zero": True,
+        }
+
     doc = {
         "sf_dir": sf_dir,
         "seq_len": SEQ_LEN,
@@ -85,6 +111,8 @@ def main() -> int:
         "bestfit_drop_zero": bestfit["dropped_tokens"] == 0,
         "concat_drop_milli": concat["dropped_tokens"] * 1000 // total,
         "bestfit_pad_milli": 1000 - bestfit["fill_milli"],
+        "tuned_n_buckets": tuned,
+        "bucket_sweep": sweep,
         "git_sha": subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True,

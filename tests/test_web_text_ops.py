@@ -3790,6 +3790,63 @@ def test_pack_bestfit_fewer_truncations_than_concat(spark):
     assert cc_tokens < total             # concat drops bucket tails
 
 
+def test_pack_buckets_tune_and_invariance(spark):
+    """The bucket autotuner (r12 advice: n_buckets was a hand-set
+    knob while the BFD fold is O(items x bins) per bucket): the
+    helper derives n_buckets from the corpus's CHUNK count (or row
+    count in conversation mode), and the packing INVARIANTS — every
+    token packed exactly once, no drops, bins <= seq_len — hold at
+    every bucket count, so tuning is purely a latency knob."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ids = docs.select(
+        "doc_id",
+        F.transform(
+            T.tokens("text"), lambda t: F.length(t).cast("int")
+        ).alias("tid"),
+    ).localCheckpoint()
+    L = 64
+    chunks = int(
+        ids.agg(
+            F.sum(F.ceil((F.size("tid") + 1) / F.lit(L))).cast("bigint")
+        ).collect()[0][0]
+    )
+    got = T.pack_buckets_tune(
+        ids, "tid", seq_len=L, target_items_per_bucket=50
+    )
+    assert got == -(-chunks // 50) >= 1
+    # conversation mode: one item per row
+    assert T.pack_buckets_tune(
+        ids, None, seq_len=L, target_items_per_bucket=100
+    ) == -(-ids.count() // 100)
+
+    total = int(
+        ids.agg(F.sum(F.size("tid") + 1).cast("bigint")).collect()[0][0]
+    )
+    token_multiset = None
+    for nb in (1, 7, got):
+        bf = T.pack_sequences_bestfit(
+            ids, "doc_id", "tid", seq_len=L, eos_id=0, n_buckets=nb
+        )
+        rows = bf.collect()
+        assert all(r.n_tokens <= L for r in rows)
+        assert sum(r.n_tokens for r in rows) == total  # drop 0
+        ms: dict[str, int] = {}
+        for r in rows:
+            for t in r.token_ids.split(" "):
+                ms[t] = ms.get(t, 0) + 1
+        if token_multiset is None:
+            token_multiset = ms
+        else:
+            assert ms == token_multiset  # bucket count never changes WHAT is packed
+
+    import pytest
+
+    with pytest.raises(ValueError, match=">= 1"):
+        T.pack_buckets_tune(ids, "tid", seq_len=0)
+
+
 def test_bpe_train_distributed_delta_grams_stay_exact(spark):
     """The round-12 delta-maintained gram frame cannot drift: train
     mode='distributed' over a fixture engineered to exercise every
