@@ -110,6 +110,45 @@ def test_ivf_index_prunes_and_matches_inmemory_lsh(spark, sf_dir, tmp_path):
     ]
 
 
+def test_ivf_append_probe_parity_and_stats(spark, sf_dir, tmp_path):
+    """Incremental IVF maintenance (r12 verdict stretch): append a
+    batch to the persisted index — planes derived from the index's
+    OWN stats, never re-passed — and the maintained index must probe
+    IDENTICALLY to a from-scratch rebuild over the union (bucket is a
+    pure function of (vector, planes), so parity is bit-level).
+    Stats fold additively; the maintained-stats planes match the
+    build's."""
+    emb, planes, q = _planes_and_query(spark, sf_dir)
+    hist = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    n_hist, n_batch = hist.count(), batch.count()
+
+    maintained = str(tmp_path / "ivf_maintained")
+    SIM.write_ivf_index(hist, maintained, planes)
+    SIM.append_ivf_index(batch, maintained)
+    n, got_planes = SIM.read_ivf_stats(spark, maintained)
+    assert n == n_hist + n_batch
+    assert got_planes == [[float(x) for x in p] for p in planes]
+
+    rebuilt = str(tmp_path / "ivf_rebuilt")
+    SIM.write_ivf_index(emb, rebuilt, planes)
+
+    a = SIM.ivf_probe_indexed(spark, maintained, q, k=10).collect()
+    b = SIM.ivf_probe_topk(spark, rebuilt, q, planes, k=10).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in a] == [
+        (r["vec_id"], r["cos_sim"]) for r in b
+    ]
+    # the probe still prunes to the query bucket on the maintained
+    # index (appends land inside the existing directory scheme)
+    plan = (
+        SIM.ivf_probe_indexed(spark, maintained, q, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
 def test_l2_normalize_and_centroids(spark):
     import math
 
