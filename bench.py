@@ -86,6 +86,11 @@ HEADLINE = [
     # — the heaviest pure-projection query; a regression in the
     # higher-order-function chain shows up here first
     "c_sft_tokens",
+    # round-13 addition: image near-dup end-to-end (Arrow-batched
+    # dHash -> banded self-join -> popcount confirm -> star CC) — the
+    # one headline member exercising mapInPandas + iterative CC, so
+    # codec/Arrow/loop regressions surface in BENCH_rN deltas
+    "m_image_neardup",
 ]
 
 # queries that joined HEADLINE after the round-1 baseline was taken —
@@ -96,6 +101,7 @@ NON_BASELINE = {
     "t_bm25_retrieval",
     "sim_bitext_margin",
     "c_sft_tokens",
+    "m_image_neardup",
 }
 
 

@@ -2430,6 +2430,102 @@ def image_neardup_pairs(
     )
 
 
+def write_dhash_index(
+    dhash_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    bands: int = 4,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the banded dHash index for INCREMENTAL image near-dup
+    detection (the write_minhash_index twin): hash the historical
+    image corpus once; each ingest batch probes the index instead of
+    re-decoding history. Layout: (band, band_key, id, dhash)
+    Hive-partitioned by band. A 1-row ``_stats`` frame (bands,
+    n_images) persists alongside (underscore dir — invisible to the
+    partitioned read) so probes derive the banding from the index's
+    OWN metadata, never a repeated literal (the bm25_probe_indexed /
+    append_ivf_index rule)."""
+    band = dhash_bands(dhash_df, id_col, hash_col, bands)
+    band.write.mode(mode).partitionBy("band").parquet(path)
+    n = dhash_df.filter(F.col(hash_col).isNotNull()).count()
+    dhash_df.sparkSession.createDataFrame(
+        [(int(bands), int(n))], "bands int, n_images bigint"
+    ).write.mode("overwrite").parquet(f"{path}/_stats")
+
+
+def image_neardup_probe(
+    new_dhash: DataFrame,
+    index_band: DataFrame,
+    bands: int,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Confirmed near-dup pairs between a NEW image batch and an
+    existing band index: only the batch is banded; candidates come
+    from the (band, band_key) equi-join (batch-band-rows + matching
+    index buckets shuffle — never the historical corpus), the exact
+    Hamming confirm runs over candidates only (both sides' 16-char
+    keys ride their band rows). Output: (id_new, id_indexed, hamming)
+    distinct pairs. Same banding/threshold as the batch pipeline, so
+    probe ∪ batch pairs == from-scratch pairs over the union (pinned
+    by test)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming "
+            f"(got {bands}) or banding loses recall"
+        )
+    nb = dhash_bands(new_dhash, id_col, hash_col, bands)
+    return (
+        nb.select(
+            "band",
+            "band_key",
+            F.col(id_col).alias("id_new"),
+            F.col(hash_col).alias("_hn"),
+        )
+        .join(
+            index_band.select(
+                "band",
+                "band_key",
+                F.col(id_col).alias("id_indexed"),
+                F.col(hash_col).alias("_hi"),
+            ),
+            ["band", "band_key"],
+        )
+        .filter(F.col("id_new") != F.col("id_indexed"))
+        .select("id_new", "id_indexed", "_hn", "_hi")
+        .distinct()
+        .select(
+            "id_new",
+            "id_indexed",
+            dhash_hamming(F.col("_hn"), F.col("_hi")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def image_neardup_against_index(
+    new_dhash: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """:func:`image_neardup_probe` against the PERSISTED index
+    written by :func:`write_dhash_index`, banding taken from the
+    index's own stats row (1-row bounded read)."""
+    spark = new_dhash.sparkSession
+    bands = int(
+        spark.read.parquet(f"{path}/_stats").collect()[0]["bands"]
+    )
+    idx = spark.read.parquet(path)
+    return image_neardup_probe(
+        new_dhash, idx, bands, id_col, hash_col, max_hamming
+    )
+
+
 def image_neardup_clusters(
     dhash_df: DataFrame,
     id_col: str = "doc_id",

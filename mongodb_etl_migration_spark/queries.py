@@ -6594,6 +6594,53 @@ def m_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_dhash(mm)
 
 
+def _image_neardup_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture for m_image_neardup / m_image_neardup_probe:
+    per family of 4 consecutive sliced docs, an md5-mixed 9×8
+    grayscale board rendered as (v0) BMP, (v1) PNG — same pixels, two
+    real codecs — (v2) a ≤3-bit column-0 perturbation, (v3) an
+    unrelated board. 9×8 dims make the dHash grid the pixel grid, so
+    the oracles recompute the 64 bits analytically. ONE builder so
+    the cluster and probe fixtures can never silently fork."""
+    import hashlib
+
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+    )
+
+    d = (
+        Catalog(spark, sf_dir)
+        .documents.select("doc_id")
+        .filter(F.expr("doc_id % 5 = 2"))
+    )
+
+    def make_payload(did: int) -> bytes:
+        variant = (did // 5) % 4
+        s = did // 20 + (1000003 if variant == 3 else 0)
+        v = np.array(
+            [
+                [
+                    int(
+                        hashlib.md5(f"{s}_{y}_{x}".encode()).hexdigest()[:2],
+                        16,
+                    )
+                    for x in range(9)
+                ]
+                for y in range(8)
+            ],
+            dtype=np.int64,
+        )
+        if variant == 2:
+            v[0:3, 0] = 255 - v[0:3, 0]
+        px = np.stack([v, v, v], axis=-1).astype(np.uint8)
+        return encode_png(px) if variant == 1 else encode_bmp(px)
+
+    return _mm_payload_table(d, make_payload)
+
+
 @query(
     "m_image_neardup",
     """
@@ -6682,44 +6729,96 @@ def m_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     BMP/PNG byte paths and the banded/confirmed/clustered pipeline
     end-to-end. Plan: one banded self-join exchange + the CC rounds
     over confirmed pairs — candidate-bounded, never all-pairs."""
-    import numpy as np
-
-    from mongodb_etl_migration_spark.operators.multimodal import (
-        encode_bmp,
-        encode_png,
-    )
-
-    d = (
-        Catalog(spark, sf_dir)
-        .documents.select("doc_id")
-        .filter(F.expr("doc_id % 5 = 2"))
-    )
-
-    def make_payload(did: int) -> bytes:
-        import hashlib
-
-        variant = (did // 5) % 4
-        s = did // 20 + (1000003 if variant == 3 else 0)
-        v = np.array(
-            [
-                [
-                    int(
-                        hashlib.md5(f"{s}_{y}_{x}".encode()).hexdigest()[:2],
-                        16,
-                    )
-                    for x in range(9)
-                ]
-                for y in range(8)
-            ],
-            dtype=np.int64,
-        )
-        if variant == 2:
-            v[0:3, 0] = 255 - v[0:3, 0]
-        px = np.stack([v, v, v], axis=-1).astype(np.uint8)
-        return encode_png(px) if variant == 1 else encode_bmp(px)
-
-    mm = _mm_payload_table(d, make_payload)
+    mm = _image_neardup_fixture(spark, sf_dir)
     return M.image_neardup_clusters(M.image_dhash(mm))
+
+
+@query(
+    "m_image_neardup_probe",
+    """
+    WITH RECURSIVE params AS (
+      SELECT doc_id,
+             CASE WHEN (doc_id // 5) % 4 = 3 THEN doc_id // 20 + 1000003
+                  ELSE doc_id // 20 END AS s,
+             (doc_id // 5) % 4 AS variant
+      FROM documents WHERE doc_id % 5 = 2
+    ), px AS (
+      SELECT doc_id, y.y AS y, x.x AS x,
+        CASE WHEN variant = 2 AND x.x = 0 AND y.y < 3
+             THEN 255 - ('0x' || substr(md5(s || '_' || y.y || '_' || x.x),
+                                        1, 2))::BIGINT
+             ELSE ('0x' || substr(md5(s || '_' || y.y || '_' || x.x),
+                                  1, 2))::BIGINT
+        END AS v
+      FROM params,
+           (SELECT unnest(range(0, 8)) AS y) y,
+           (SELECT unnest(range(0, 9)) AS x) x
+    ), cmp AS (
+      SELECT doc_id, y, x, v,
+             lead(v) OVER (PARTITION BY doc_id, y ORDER BY x) AS vn
+      FROM px
+    ), rowbytes AS (
+      SELECT doc_id, y,
+             CAST(sum(CASE WHEN v > vn THEN 1 << (7 - x) ELSE 0 END)
+                  AS BIGINT) AS rv
+      FROM cmp WHERE x < 8 GROUP BY doc_id, y
+    ), hashes AS (
+      SELECT doc_id,
+             string_agg(lpad(lower(to_hex(rv)), 2, '0'), '' ORDER BY y)
+               AS dhash
+      FROM rowbytes GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, dhash, b.b AS band,
+             substr(dhash, b.b * 4 + 1, 4) AS band_key
+      FROM hashes, (SELECT unnest(range(0, 4)) AS b) b
+    ), cand AS (
+      SELECT DISTINCT n.doc_id AS id_new, h.doc_id AS id_indexed,
+                      n.dhash AS dn, h.dhash AS dh
+      FROM bands n
+      JOIN bands h ON n.band = h.band AND n.band_key = h.band_key
+      WHERE n.doc_id % 3 = 0 AND h.doc_id % 3 != 0
+    )
+    SELECT id_new, id_indexed, hamming FROM (
+      SELECT id_new, id_indexed,
+        bit_count(xor(('0x' || substr(dn, 1, 4))::BIGINT,
+                      ('0x' || substr(dh, 1, 4))::BIGINT))
+      + bit_count(xor(('0x' || substr(dn, 5, 4))::BIGINT,
+                      ('0x' || substr(dh, 5, 4))::BIGINT))
+      + bit_count(xor(('0x' || substr(dn, 9, 4))::BIGINT,
+                      ('0x' || substr(dh, 9, 4))::BIGINT))
+      + bit_count(xor(('0x' || substr(dn, 13, 4))::BIGINT,
+                      ('0x' || substr(dh, 13, 4))::BIGINT)) AS hamming
+      FROM cand
+    ) WHERE hamming <= 3
+    """,
+)
+def m_image_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL image near-dup against the PERSISTED dHash index
+    (multimodal.write_dhash_index → image_neardup_against_index): the
+    image history (doc_id %% 3 != 0 of the m_image_neardup fixture)
+    is dHashed and banded ONCE onto disk (Hive-partitioned by band +
+    a 1-row stats frame); the new batch (doc_id %% 3 == 0) bands only
+    itself and equi-joins the index — history is never re-decoded.
+    Banding derives from the index's OWN stats row (the
+    bm25_probe_indexed rule). The oracle recomputes every hash
+    analytically and emits exactly the cross-split confirmed pairs —
+    probe == batch pipeline restricted to (new × indexed), the
+    incremental-equals-batch discipline. Scratch index keyed by
+    fixture + pid (no concurrent-run races)."""
+    import os
+    import tempfile
+
+    mm = _image_neardup_fixture(spark, sf_dir)
+    dh = M.image_dhash(mm).localCheckpoint(eager=False)
+    hist = dh.filter(F.col("doc_id") % 3 != 0)
+    batch = dh.filter(F.col("doc_id") % 3 == 0)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "mongodb_etl_migration_spark_dhashidx_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    M.write_dhash_index(hist, path)
+    return M.image_neardup_against_index(batch, path)
 
 
 def _mp4_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1600,6 +1600,56 @@ def test_image_neardup_banding_recall_and_confirm(spark):
     assert comps == {10: 10, 11: 10, 12: 10}
 
 
+def test_image_neardup_persisted_index_probe(spark, tmp_path):
+    """Incremental image near-dup: history keyed once into the
+    persisted band index; a probe of a new batch finds exactly the
+    cross pairs a from-scratch batch run over the union finds (same
+    banding/threshold — recall is the pigeonhole guarantee either
+    way); banding derives from the index's own stats row."""
+    import random
+
+    from mongodb_etl_migration_spark.operators import multimodal as M
+
+    rng = random.Random(5)
+    keys = {}
+    for i in range(30):
+        base = rng.getrandbits(64)
+        keys[2 * i] = base
+        flip = base
+        for pos in rng.sample(range(64), rng.randrange(0, 5)):
+            flip ^= 1 << pos
+        keys[2 * i + 1] = flip
+    df = spark.createDataFrame(
+        [(i, f"{k:016x}") for i, k in keys.items()],
+        "doc_id bigint, dhash string",
+    )
+    hist = df.filter(F.col("doc_id") % 3 != 0)
+    batch = df.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "dhash_idx")
+    M.write_dhash_index(hist, path)
+
+    got = {
+        (r.id_new, r.id_indexed): r.hamming
+        for r in M.image_neardup_against_index(batch, path).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): r.hamming
+        for r in M.image_neardup_pairs(df).collect()
+    }
+    hist_ids = {r.doc_id for r in hist.collect()}
+    batch_ids = {r.doc_id for r in batch.collect()}
+    want = {}
+    for (a, b), h in full.items():
+        if a in batch_ids and b in hist_ids:
+            want[(a, b)] = h
+        elif b in batch_ids and a in hist_ids:
+            want[(b, a)] = h
+    assert got == want and len(want) > 0
+    # stats self-describe the banding
+    st = spark.read.parquet(f"{path}/_stats").collect()[0]
+    assert (st["bands"], st["n_images"]) == (4, len(hist_ids))
+
+
 def test_audio_features_exact_windows(spark):
     import io as _io
     import struct as _struct
