@@ -31,6 +31,12 @@ NOTES = {
         "aggregate expressions inside one transform — pure Project, "
         "zero shuffle, zero UDF (the lang_id_hashed shape)."
     ),
+    "m_image_neardup_probe": (
+        "Incremental image near-dup: the batch bands only itself and "
+        "equi-joins the persisted band index (PartitionFilters-capable "
+        "layout; banding from the index's own stats row) — history is "
+        "never re-decoded; the Hamming confirm is candidate-bounded."
+    ),
     "m_image_neardup": (
         "Image near-dup end-to-end: dHash (Arrow batches) -> 4x16-bit "
         "Hamming bands (narrow posexplode) -> per-bucket self-join on "
