@@ -458,9 +458,12 @@ def sft_tokens_batch(
 
     tpl = resolve_template(template)
     vocab = gpt2_vocab(merges)
+    # rank precomputed ONCE: rebuilding a 50k-entry dict per segment
+    # dominated the first real-vocab receipt run (BENCH_sft_vocab)
+    rank = {pair: i for i, pair in enumerate(merges)}
 
     def seg_ids(s: str) -> list[int]:
-        return [vocab[sym] for sym in gpt2_apply_reference(s, merges)]
+        return [vocab[sym] for sym in gpt2_apply_reference(s, merges, rank)]
 
     bos = _encode_constant(tpl.bos, merges, special_ids)
     sfx = _encode_constant(tpl.suffix, merges, special_ids)

@@ -2786,13 +2786,21 @@ BPE_MERGES: list[tuple[str, str]] = [
 _BPE_PASSES = 4
 
 
-def bpe_apply_reference(word: str, merges: list[tuple[str, str]] | None = None) -> list[str]:
+def bpe_apply_reference(
+    word: str,
+    merges: list[tuple[str, str]] | None = None,
+    rank: dict[tuple[str, str], int] | None = None,
+) -> list[str]:
     """Plain-Python reference BPE encoder (the classic lowest-rank-
     first greedy loop, list-based) — the ground truth the Column chain
     and the pandas-UDF path are both property-tested against. Driver-
-    side only; never called in a plan."""
+    side only; never called in a plan. Callers encoding MANY words
+    against a production-sized vocabulary pass ``rank`` precomputed —
+    rebuilding a 50k-entry dict per pretoken dominated the real-vocab
+    receipt's first run (BENCH_sft_vocab)."""
     merges = BPE_MERGES if merges is None else merges
-    rank = {pair: i for i, pair in enumerate(merges)}
+    if rank is None:
+        rank = {pair: i for i, pair in enumerate(merges)}
     toks = list(word)
     while len(toks) > 1:
         best = None
@@ -2906,6 +2914,7 @@ def bpe_encode_batch(df, id_col: str, text_col: str, merges: list[tuple[str, str
 
     merges = BPE_MERGES if merges is None else merges
     token_re = TOKEN_RE
+    rank = {pair: i for i, pair in enumerate(merges)}
 
     @pandas_udf("string")
     def enc(texts: pd.Series) -> pd.Series:
@@ -2917,7 +2926,7 @@ def bpe_encode_batch(df, id_col: str, text_col: str, merges: list[tuple[str, str
             words = rx.findall((t or "").lower())
             pieces: list[str] = []
             for w in words:
-                pieces.extend(bpe_apply_reference(w, merges))
+                pieces.extend(bpe_apply_reference(w, merges, rank))
             encs.append(" ".join(pieces))
         return pd.Series(encs)
 
@@ -3042,18 +3051,23 @@ def gpt2_pretokenize_reference(text: str) -> list[str]:
 
 
 def gpt2_apply_reference(
-    text: str, merges: list[tuple[str, str]]
+    text: str,
+    merges: list[tuple[str, str]],
+    rank: dict[tuple[str, str], int] | None = None,
 ) -> list[str]:
     """Reference byte-level BPE encode: pretokenize, map each
     pretoken's UTF-8 bytes through the GPT-2 alphabet, run the greedy
     merge loop per pretoken. Driver-side ground truth; the plan-side
     twins are gpt2_encode_batch (pandas UDF) and the compiled Column
-    chain in gpt2_encoded."""
+    chain in gpt2_encoded. Pass a precomputed ``rank`` when encoding
+    many texts against a large vocabulary (see bpe_apply_reference)."""
     b2u = gpt2_bytes_to_unicode()
+    if rank is None:
+        rank = {pair: i for i, pair in enumerate(merges)}
     pieces: list[str] = []
     for tok in gpt2_pretokenize_reference(text):
         mapped = "".join(b2u[b] for b in tok.encode("utf-8"))
-        pieces.extend(bpe_apply_reference(mapped, merges))
+        pieces.extend(bpe_apply_reference(mapped, merges, rank))
     return pieces
 
 
@@ -3195,6 +3209,7 @@ def gpt2_encode_ids_batch(
     from pyspark.sql.functions import pandas_udf
 
     vocab = gpt2_vocab(merges)
+    rank = {pair: i for i, pair in enumerate(merges)}
 
     @pandas_udf("string")
     def enc_ids(texts: pd.Series) -> pd.Series:
@@ -3202,7 +3217,7 @@ def gpt2_encode_ids_batch(
             [
                 " ".join(
                     str(vocab[s])
-                    for s in gpt2_apply_reference(t or "", merges)
+                    for s in gpt2_apply_reference(t or "", merges, rank)
                 )
                 for t in texts
             ]
@@ -3233,11 +3248,13 @@ def gpt2_encode_batch(
     Output: (id_col, bpe_tokens bigint, encoded string)."""
     from pyspark.sql.functions import pandas_udf
 
+    rank = {pair: i for i, pair in enumerate(merges)}
+
     @pandas_udf("string")
     def enc(texts: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                " ".join(gpt2_apply_reference(t or "", merges))
+                " ".join(gpt2_apply_reference(t or "", merges, rank))
                 for t in texts
             ]
         )

@@ -14,10 +14,13 @@ demo merge table the catalog rows pin.
    once per executor (a plan-literal Column chain at this size is the
    wrong tool by design). Receipt: wall, rows, tokens, tokens/s.
 3. Column-path equivalence on the ASCII scope: the Column chain is
-   feasible only for demo-scale vocabularies, so the assertion runs
-   both paths over a 200-conversation sample with a LEARNED 192-merge
-   prefix of the same vocabulary (real trainer output, Column-sized)
-   and requires byte-identical (n_tokens, token_ids, mask_spans).
+   feasible only for demo-scale vocabularies (the compiled merge
+   chain nests one expression level per merge; ~200 already
+   overflows the JVM stack at plan build), so the assertion runs
+   both paths over a 200-conversation sample with a LEARNED 64-merge
+   prefix of the same vocabulary — real trainer output, 3x the demo
+   table — and requires byte-identical (n_tokens, token_ids,
+   mask_spans).
 
 Usage: python scripts/bench_sft_vocab.py [sf_dir] [out_json]
 """
@@ -41,7 +44,7 @@ from mongodb_etl_migration_spark.operators import chat as CH  # noqa: E402
 from mongodb_etl_migration_spark.operators import text as T  # noqa: E402
 
 N_MERGES = 50_000
-PREFIX = 192
+PREFIX = 64
 SAMPLE = 200
 
 
@@ -82,7 +85,7 @@ def main() -> int:
         )
         .select(
             "doc_id",
-            F.col("s.n_tokens").alias("n_tokens"),
+            F.size(F.col("s.token_ids")).cast("bigint").alias("n_tokens"),
             F.array_join(
                 F.transform(
                     F.col("s.token_ids"), lambda i: i.cast("string")
