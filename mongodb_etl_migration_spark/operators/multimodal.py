@@ -2251,16 +2251,12 @@ DHASH_SCHEMA = StructType(
 )
 
 
-def dhash_bytes(raw: bytes) -> tuple[str, int, int]:
-    """64-bit difference hash (dHash) of any decodable image — the
-    perceptual near-dup key LAION-class image pipelines dedup on.
-    INTEGER-EXACT so two engines (and two runs) agree byte-for-byte:
-    grayscale = (299R + 587G + 114B) // 1000; a 9x8 grid sampled by
-    nearest neighbor at (floor(y*H/8), floor(x*W/9)) — no float
-    resampling; bit(y,x) = grid[y][x] > grid[y][x+1], packed MSB-first
-    per row into 8 bytes, rendered as 16 lowercase hex chars (two per
-    row, so no 64-bit sign edge exists anywhere)."""
-    w, h, px = parse_image(raw)
+def dhash_pixels(px: np.ndarray) -> str:
+    """dHash over an already-decoded HxWx3 pixel array — the shared
+    core of :func:`dhash_bytes` (whole images) and
+    :func:`video_dhash_frames` (per-frame keys). See dhash_bytes for
+    the exactness rules."""
+    h, w = px.shape[0], px.shape[1]
     g = (
         299 * px[:, :, 0].astype(np.int64)
         + 587 * px[:, :, 1].astype(np.int64)
@@ -2275,7 +2271,20 @@ def dhash_bytes(raw: bytes) -> tuple[str, int, int]:
         for x in range(8):
             b = (b << 1) | int(grid[y, x] > grid[y, x + 1])
         out.append(f"{b:02x}")
-    return "".join(out), w, h
+    return "".join(out)
+
+
+def dhash_bytes(raw: bytes) -> tuple[str, int, int]:
+    """64-bit difference hash (dHash) of any decodable image — the
+    perceptual near-dup key LAION-class image pipelines dedup on.
+    INTEGER-EXACT so two engines (and two runs) agree byte-for-byte:
+    grayscale = (299R + 587G + 114B) // 1000; a 9x8 grid sampled by
+    nearest neighbor at (floor(y*H/8), floor(x*W/9)) — no float
+    resampling; bit(y,x) = grid[y][x] > grid[y][x+1], packed MSB-first
+    per row into 8 bytes, rendered as 16 lowercase hex chars (two per
+    row, so no 64-bit sign edge exists anywhere)."""
+    w, h, px = parse_image(raw)
+    return dhash_pixels(px), w, h
 
 
 def image_dhash(multimodal: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -2546,6 +2555,144 @@ def image_neardup_clusters(
 
     return connected_components(
         image_neardup_pairs(dhash_df, id_col, hash_col, bands, max_hamming)
+    )
+
+
+VIDEO_DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("dhash", StringType()),
+    ]
+)
+
+
+def video_dhash_frames(
+    multimodal: DataFrame, every_n: int = 1, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-frame perceptual keys for VIDEO near-dup: every
+    ``every_n``-th frame of each decodable payload dHashed through
+    the real codecs (animated GIF via :func:`parse_gif`;
+    MJPEG-in-MP4 via the container layer + :func:`parse_jpeg` — the
+    sample_frames decode matrix with dHash instead of md5, because
+    near-dup needs a PERCEPTUAL key: md5 of pixels breaks on any
+    re-encode, dHash survives it). Undecodable frames/payloads emit
+    NULL dhash rows (digest-and-route honesty — the H.264 boundary
+    is the same as sample_frames'). 1→N Arrow-batched fan-out.
+    Output: (doc_id, frame_idx, dhash)."""
+    from mongodb_etl_migration_spark.operators import mp4 as _mp4
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+
+            def emit(doc_id, k, dh):
+                ids.append(doc_id)
+                idxs.append(k)
+                hashes.append(dh)
+
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if raw[:4] == b"GIF8":
+                    try:
+                        _, _, frames = parse_gif(raw)
+                    except ValueError:
+                        frames = None
+                    if frames is not None:
+                        for k in range(0, len(frames), every_n):
+                            emit(doc_id, k, dhash_pixels(frames[k]))
+                        continue
+                if raw[4:8] == b"ftyp":
+                    try:
+                        info = _mp4.parse_mp4(raw)
+                        video = next(
+                            t
+                            for t in info["tracks"]
+                            if t["handler"] == "vide"
+                        )
+                        ranges = _mp4.sample_ranges(video)
+                        if any(
+                            off + sz > len(raw) for off, sz in ranges
+                        ):
+                            raise ValueError("sample range outside file")
+                    except (ValueError, StopIteration):
+                        ranges = None
+                    if ranges is not None:
+                        mjpeg = video["codec"] == "jpeg"
+                        for k in range(0, len(ranges), every_n):
+                            off, size = ranges[k]
+                            dh = None
+                            if mjpeg:
+                                try:
+                                    _, _, px = parse_jpeg(
+                                        raw[off : off + size]
+                                    )
+                                    dh = dhash_pixels(px)
+                                except ValueError:
+                                    dh = None
+                            emit(doc_id, k, dh)
+                        continue
+                emit(doc_id, 0, None)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "dhash": hashes}
+            )
+
+    return multimodal.select(
+        F.col(id_col).alias("doc_id"), "payload"
+    ).mapInPandas(gen, VIDEO_DHASH_SCHEMA)
+
+
+def video_neardup_pairs(
+    frames: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    min_shared: int = 2,
+    max_hash_videos: int | None = None,
+) -> DataFrame:
+    """Video near-dup pairs from per-frame perceptual keys
+    (:func:`video_dhash_frames` output): two videos match when they
+    SHARE ≥ ``min_shared`` distinct frame dHashes — robust to
+    re-encodes (dHash invariance) and to trims/extensions (a shared
+    subset still matches), which is the duplication mode video dumps
+    actually have. The frame hash itself is the blocking key: the
+    only corpus-sized shuffles are the distinct (video, hash)
+    aggregate and the per-hash self-join (the repartition-then-rename
+    ReuseExchange trick) — never all-pairs of videos.
+
+    ``max_hash_videos`` drops frame hashes appearing in more than
+    that many videos BEFORE the join (black frames, test cards,
+    station idents — the term-frequency-cap rule applied to frames):
+    a ubiquitous frame would square the join on its bucket and match
+    everything to everything. Output: (id_a, id_b, n_shared)."""
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    fh = (
+        frames.filter(F.col(hash_col).isNotNull())
+        .select(F.col(id_col), F.col(hash_col))
+        .distinct()
+    )
+    if max_hash_videos is not None:
+        freq = fh.groupBy(hash_col).agg(
+            F.count("*").alias("__nv")
+        )
+        fh = (
+            fh.join(freq, hash_col)
+            .filter(F.col("__nv") <= max_hash_videos)
+            .drop("__nv")
+        )
+    shuffled = fh.repartition(F.col(hash_col))
+    left = shuffled.select(
+        F.col(hash_col), F.col(id_col).alias("id_a")
+    )
+    right = shuffled.select(
+        F.col(hash_col), F.col(id_col).alias("id_b")
+    )
+    return (
+        left.join(right, hash_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 

@@ -6821,6 +6821,115 @@ def m_image_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_neardup_against_index(batch, path)
 
 
+@query(
+    "m_video_neardup",
+    """
+    WITH params AS (
+      SELECT doc_id, (doc_id // 7) // 3 AS fam, (doc_id // 7) % 3 AS variant
+      FROM documents WHERE doc_id % 7 = 4
+    ), fr AS (
+      SELECT doc_id, k.k AS frame_idx,
+             CASE WHEN variant = 0 THEN fam * 1000 + k.k
+                  WHEN variant = 1 THEN fam * 1000 + k.k + 1
+                  ELSE fam * 1000 + 100 + k.k END AS seed
+      FROM params, (SELECT unnest(range(0, 4)) AS k) k
+    ), px AS (
+      SELECT doc_id, frame_idx, y.y AS y, x.x AS x,
+             (('0x' || substr(md5(seed || '_' || y.y || '_' || x.x),
+                              1, 2))::BIGINT // 4) * 4 AS v
+      FROM fr,
+           (SELECT unnest(range(0, 8)) AS y) y,
+           (SELECT unnest(range(0, 9)) AS x) x
+    ), cmp AS (
+      SELECT doc_id, frame_idx, y, x, v,
+             lead(v) OVER (PARTITION BY doc_id, frame_idx, y
+                           ORDER BY x) AS vn
+      FROM px
+    ), rowbytes AS (
+      SELECT doc_id, frame_idx, y,
+             CAST(sum(CASE WHEN v > vn THEN 1 << (7 - x) ELSE 0 END)
+                  AS BIGINT) AS rv
+      FROM cmp WHERE x < 8 GROUP BY doc_id, frame_idx, y
+    ), hashes AS (
+      SELECT DISTINCT doc_id, dhash FROM (
+        SELECT doc_id, frame_idx,
+               string_agg(lpad(lower(to_hex(rv)), 2, '0'), ''
+                          ORDER BY y) AS dhash
+        FROM rowbytes GROUP BY doc_id, frame_idx
+      )
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM hashes a
+    JOIN hashes b ON a.dhash = b.dhash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def m_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-dup via per-frame perceptual keys
+    (multimodal.video_dhash_frames → video_neardup_pairs): every
+    frame of each payload decodes through the REAL animated-GIF codec
+    and dHashes; two videos match when they share ≥ 2 distinct frame
+    keys — the trim/re-encode duplication mode video dumps have
+    (exact container digests break on both). Fixture (1/7 slice,
+    families of 3): v0 = 4 md5-board frames, v1 = the SAME reel
+    shifted one frame (a trim — shares 3 of 4), v2 = an unrelated
+    reel; GIF is LOSSLESS (palette of 64 grays, board values
+    quantized to multiples of 4), so the decoded pixels ARE the
+    boards and the oracle recomputes every frame hash analytically —
+    codec, frame walk, hashing, and the shared-frame join all
+    cross-checked, no codec in the oracle. Plan: the frame hash IS
+    the blocking key — one distinct (video, hash) exchange + the
+    per-hash self-join above a single repartition (ReusedExchange);
+    never all-pairs of videos."""
+    import hashlib
+
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import encode_gif
+
+    d = (
+        Catalog(spark, sf_dir)
+        .documents.select("doc_id")
+        .filter(F.expr("doc_id % 7 = 4"))
+    )
+    pal = np.array([[4 * i] * 3 for i in range(64)], dtype=np.uint8)
+
+    def make_payload(did: int) -> bytes:
+        k0 = did // 7
+        fam, variant = k0 // 3, k0 % 3
+        seeds = {
+            0: [fam * 1000 + k for k in range(4)],
+            1: [fam * 1000 + k + 1 for k in range(4)],
+            2: [fam * 1000 + 100 + k for k in range(4)],
+        }[variant]
+        frames = []
+        for s in seeds:
+            idx = np.array(
+                [
+                    [
+                        int(
+                            hashlib.md5(
+                                f"{s}_{y}_{x}".encode()
+                            ).hexdigest()[:2],
+                            16,
+                        )
+                        // 4
+                        for x in range(9)
+                    ]
+                    for y in range(8)
+                ],
+                dtype=np.uint8,
+            )
+            frames.append(idx)
+        return encode_gif(frames, pal)
+
+    mm = _mm_payload_table(d, make_payload)
+    return M.video_neardup_pairs(
+        M.video_dhash_frames(mm), min_shared=2
+    )
+
+
 def _mp4_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared MP4 fixture: per doc (1/9 slice) a minimal valid ISO
     BMFF file (operators/mp4.build_mp4) with doc_id%5+2 ASCII video

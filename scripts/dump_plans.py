@@ -31,6 +31,13 @@ NOTES = {
         "aggregate expressions inside one transform — pure Project, "
         "zero shuffle, zero UDF (the lang_id_hashed shape)."
     ),
+    "m_video_neardup": (
+        "Video near-dup: per-frame dHash fan-out (Arrow batches, real "
+        "GIF/MJPEG decode), then the frame hash IS the blocking key — "
+        "one distinct (video, hash) exchange + a per-hash self-join "
+        "above a single repartition (ReusedExchange); never all-pairs "
+        "of videos; ubiquitous frames droppable pre-join."
+    ),
     "m_image_neardup_probe": (
         "Incremental image near-dup: the batch bands only itself and "
         "equi-joins the persisted band index (PartitionFilters-capable "

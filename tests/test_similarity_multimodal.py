@@ -1650,6 +1650,98 @@ def test_image_neardup_persisted_index_probe(spark, tmp_path):
     assert (st["bands"], st["n_images"]) == (4, len(hist_ids))
 
 
+def test_video_neardup_pairs_semantics(spark):
+    """video_neardup_pairs over hand-built frame hashes: min_shared
+    threshold, the per-video DISTINCT rule (a video repeating one
+    frame 10 times still contributes it once), the ubiquitous-frame
+    cap (max_hash_videos drops black-frame-style keys BEFORE the
+    join), NULL frames ignored, and the MJPEG/GIF decode fan-out
+    emitting real per-frame dHashes."""
+    import numpy as np
+    import pytest
+
+    from mongodb_etl_migration_spark.operators import multimodal as M
+
+    rows = [
+        # video 1 and 2 share h1,h2 (pair, n_shared=2); video 3
+        # shares only h1 with them (below min_shared=2)
+        (1, 0, "aa" * 8), (1, 1, "bb" * 8), (1, 2, "cc" * 8),
+        (2, 0, "aa" * 8), (2, 1, "bb" * 8), (2, 2, "dd" * 8),
+        (3, 0, "aa" * 8), (3, 1, "ee" * 8),
+        # video 4 repeats a frame 3 times: distinct rule
+        (4, 0, "bb" * 8), (4, 1, "bb" * 8), (4, 2, "bb" * 8),
+        (5, 0, None),  # undecodable frame: ignored
+    ]
+    fr = spark.createDataFrame(
+        rows, "doc_id bigint, frame_idx bigint, dhash string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in M.video_neardup_pairs(fr, min_shared=2).collect()
+    }
+    assert got == {(1, 2): 2}
+    # min_shared=1: the 'aa' frame links 1-2-3 pairwise, 'bb' links 4
+    got1 = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in M.video_neardup_pairs(fr, min_shared=1).collect()
+    }
+    assert got1 == {
+        (1, 2): 2, (1, 3): 1, (2, 3): 1, (1, 4): 1, (2, 4): 1,
+    }
+    # ubiquitous-frame cap: 'aa' AND 'bb' each appear in 3 videos ->
+    # both dropped at cap 2 (no pairs survive on the singletons);
+    # cap 3 keeps everything
+    assert (
+        M.video_neardup_pairs(fr, min_shared=1, max_hash_videos=2).count()
+        == 0
+    )
+    capped3 = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in M.video_neardup_pairs(
+            fr, min_shared=1, max_hash_videos=3
+        ).collect()
+    }
+    assert capped3 == got1
+    with pytest.raises(ValueError, match=">= 1"):
+        M.video_neardup_pairs(fr, min_shared=0)
+
+    # decode fan-out: two GIFs sharing one of two frames, plus a
+    # non-video payload emitting a NULL-dhash row
+    pal = np.array([[4 * i] * 3 for i in range(64)], dtype=np.uint8)
+
+    def gif(seeds):
+        frames = [
+            np.full((8, 9), s % 64, dtype=np.uint8) for s in seeds
+        ]
+        # flat frames hash to 00*8 regardless of s; vary via a ramp
+        for fr_, s in zip(frames, seeds):
+            fr_[:, s % 9] = 63
+        return M.encode_gif(frames, pal)
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    mm = spark.createDataFrame(
+        [(10, gif([1, 2])), (11, gif([2, 3])), (12, b"not media")],
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+    fh = M.video_dhash_frames(mm)
+    rows2 = fh.collect()
+    assert {r.doc_id for r in rows2} == {10, 11, 12}
+    assert all(r.dhash is None for r in rows2 if r.doc_id == 12)
+    pairs = M.video_neardup_pairs(fh, min_shared=1).collect()
+    assert [(r.id_a, r.id_b, r.n_shared) for r in pairs] == [(10, 11, 1)]
+
+
 def test_audio_features_exact_windows(spark):
     import io as _io
     import struct as _struct
