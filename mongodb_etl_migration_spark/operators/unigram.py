@@ -67,6 +67,12 @@ _INF = 1 << 40
 #: bpe_train driver_vocab_max rule
 DRIVER_VOCAB_MAX = 4_000_000
 
+#: mode="auto" switches the trainer's E-step from the Column fold to
+#: the Arrow twin above this many pieces: Catalyst literal-map
+#: element_at is a linear scan, so DP lookups cost O(|vocab|) on the
+#: Column path (BENCH_unigram.json measures the crossover)
+COLUMN_VOCAB_MAX = 2048
+
 
 # --------------------------------------------------------------- core
 def ilog2_q16(total: int, count: int) -> int:
@@ -384,6 +390,41 @@ def unigram_ids_batch(
     )
 
 
+def _segment_words_arrow(
+    words: DataFrame, costs: dict[str, int], max_piece_len: int
+) -> DataFrame:
+    """Arrow E-step twin of the Column Viterbi fold for production
+    vocabularies: the SAME spec DP (viterbi_segment_reference) over
+    the distinct-words frame, costs shipped once per executor as an
+    O(1) Python dict (the sft_tokens_batch discipline). Emits one
+    (n, piece) row per placed piece — the identical explode shape the
+    Column path feeds the usage aggregate. Training words are always
+    coverable (single chars stay in the vocabulary), asserted rather
+    than silently dropped."""
+    import pandas as pd
+
+    L = max_piece_len
+
+    def run(batches):
+        for pdf in batches:
+            ns: list[int] = []
+            pieces: list[str] = []
+            for word, n in zip(pdf["word"], pdf["n"]):
+                segs = viterbi_segment_reference(word, costs, L)
+                assert segs is not None, (
+                    f"training word {word!r} not coverable — the "
+                    "single-char floor should make this impossible"
+                )
+                for p in segs:
+                    ns.append(int(n))
+                    pieces.append(p)
+            yield pd.DataFrame({"n": ns, "piece": pieces})
+
+    return words.select("word", "n").mapInPandas(
+        run, "n long, piece string"
+    )
+
+
 # ------------------------------------------------------------ trainer
 def unigram_train(
     df: DataFrame,
@@ -394,6 +435,8 @@ def unigram_train(
     rounds: int = 3,
     seed_min_count: int = 2,
     max_word_len: int = 16,
+    stats: dict | None = None,
+    mode: str = "auto",
 ) -> list[tuple[str, int, int]]:
     """Distributed unigram-LM trainer (module spec; trajectory-equal
     to :func:`unigram_train_reference`, oracle-checked end to end by
@@ -415,7 +458,23 @@ def unigram_train(
 
     At 100 TB the corpus is touched once; rounds scale with DISTINCT
     words (‖words‖ ≪ corpus) exactly like the BPE trainer's
-    vocabulary-resident rounds."""
+    vocabulary-resident rounds.
+
+    ``stats`` (optional dict, the bpe_train convention) receives the
+    receipt quantities: distinct_words, alphabet, seed_candidates,
+    and per-round (vocab_in, usage_pieces, keep, sec) — what
+    BENCH_unigram.json records.
+
+    ``mode`` picks the E-step engine (the gpt2 Column-vs-Arrow twin
+    rule applied to training): ``"column"`` folds costs into the plan
+    as a literal map — zero UDF, the oracle-pinned path — but
+    Catalyst's literal-map ``element_at`` is a LINEAR scan, so a
+    16k-piece vocabulary costs ~O(|vocab|) per DP lookup (measured
+    ~200 s/round on 40k words, BENCH_unigram.json). ``"arrow"`` runs
+    the SAME spec DP (viterbi_segment_reference) in a mapInPandas
+    stage with the costs as an O(1) Python dict — trajectory-
+    identical by construction and by test. ``"auto"`` (default) takes
+    arrow above :data:`COLUMN_VOCAB_MAX` pieces."""
     if seed_size > DRIVER_VOCAB_MAX:
         raise ValueError(
             f"seed_size={seed_size} exceeds DRIVER_VOCAB_MAX="
@@ -476,22 +535,42 @@ def unigram_train(
     )  # bounded: ≤ seed_size
     counts: dict[str, int] = {ch: char_counts[ch] for ch in chars}
     counts.update({r["piece"]: int(r["c"]) for r in top_multi})
+    if stats is not None:
+        stats["distinct_words"] = words.count()
+        stats["alphabet"] = len(chars)
+        stats["seed_candidates"] = subs.count()
+        stats["seed_vocab"] = len(counts)
+        stats["rounds"] = []
+
+    if mode not in ("auto", "column", "arrow"):
+        raise ValueError(f"unknown mode {mode!r}")
 
     for t in range(1, rounds + 1):
+        import time as _time
+
+        _t0 = _time.time()
         total = sum(counts.values())
-        cost_list = [(p, ilog2_q16(total, c)) for p, c in counts.items()]
-        cm = _cost_map(cost_list)
-        st = words.select(
-            "word",
-            "n",
-            _viterbi_state(F.col("word"), cm, max_piece_len).alias("_st"),
+        costs = {p: ilog2_q16(total, c) for p, c in counts.items()}
+        use_arrow = mode == "arrow" or (
+            mode == "auto" and len(costs) > COLUMN_VOCAB_MAX
         )
-        seg = st.select(
-            "n",
-            F.explode(
-                _viterbi_pieces(F.col("word"), F.col("_st"))
-            ).alias("piece"),
-        )
+        if use_arrow:
+            seg = _segment_words_arrow(words, costs, max_piece_len)
+        else:
+            cm = _cost_map(list(costs.items()))
+            st = words.select(
+                "word",
+                "n",
+                _viterbi_state(
+                    F.col("word"), cm, max_piece_len
+                ).alias("_st"),
+            )
+            seg = st.select(
+                "n",
+                F.explode(
+                    _viterbi_pieces(F.col("word"), F.col("_st"))
+                ).alias("piece"),
+            )
         usage = {
             r["piece"]: int(r["u"])
             for r in seg.groupBy("piece")
@@ -510,8 +589,19 @@ def unigram_train(
             ),
             key=lambda kv: (-kv[1], kv[0]),
         )[: max(keep - len(chars), 0)]
+        vocab_in = len(counts)
         counts = {ch: max(usage.get(ch, 0), 1) for ch in chars}
         counts.update(dict(kept_multi))
+        if stats is not None:
+            stats["rounds"].append(
+                {
+                    "vocab_in": vocab_in,
+                    "usage_pieces": len(usage),
+                    "keep": keep,
+                    "vocab_out": len(counts),
+                    "sec": round(_time.time() - _t0, 3),
+                }
+            )
 
     total = sum(counts.values())
     ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))

@@ -161,6 +161,34 @@ def test_unigram_encode_paths_agree_and_oov(spark):
     assert None in col[2]  # the OOV word is visible, not dropped
 
 
+def test_unigram_train_modes_agree(spark):
+    """The Arrow E-step (production vocabularies — Catalyst literal-
+    map lookups are linear scans) is trajectory-identical to the
+    Column fold AND to the pure-Python reference; auto mode picks
+    column under the threshold."""
+    rng = random.Random(23)
+    words = ["spark", "parse", "park", "mask", "task", "asks"] * 8 + [
+        "".join(rng.choice("apskmr") for _ in range(rng.randrange(2, 8)))
+        for _ in range(20)
+    ]
+    docs = [(i, " ".join(rng.sample(words, k=8))) for i in range(15)]
+    wc: dict[str, int] = {}
+    for _, t in docs:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    ref = U.unigram_train_reference(wc, vocab_size=14, seed_size=40, rounds=3)
+    col = U.unigram_train(
+        df, "text", vocab_size=14, seed_size=40, rounds=3, mode="column"
+    )
+    arr = U.unigram_train(
+        df, "text", vocab_size=14, seed_size=40, rounds=3, mode="arrow"
+    )
+    assert col == arr == ref
+    with pytest.raises(ValueError, match="unknown mode"):
+        U.unigram_train(df, "text", vocab_size=4, seed_size=10, mode="x")
+
+
 def test_unigram_train_refuses_bad_params(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="DRIVER_VOCAB_MAX"):
