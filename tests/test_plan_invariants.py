@@ -33,6 +33,13 @@ ARROW_OK = {
     "m_image_decode_jpeg_progressive",  # real Annex-G codec (mapInPandas)
     "m_mp4_metadata",        # real ISO BMFF box walk (mapInPandas)
     "m_image_dhash",         # perceptual hash over real codec (mapInPandas)
+    "m_video_neardup",       # per-frame dHash fan-out through the real
+                             # GIF/MJPEG decoders (mapInPandas) feeding
+                             # the shared-frame join
+    "m_image_neardup",       # dHash stage (mapInPandas) under the CC
+                             # loop — usually hidden behind the round
+                             # checkpoints, listed in case
+    "m_image_neardup_probe",  # same dHash stage under the index write
     "m_audio_features",      # windowed PCM features (mapInPandas)
     "m_mp4_frames",          # real mdat sample extraction (mapInPandas)
     "m_gif_frames",          # real GIF multi-frame codec (mapInPandas)
