@@ -2400,12 +2400,14 @@ def image_neardup_pairs(
     (refused otherwise: silently lossy blocking is how image dedup
     quietly misses dups).
 
-    Plan: the ONLY shuffle is the per-bucket self-join; the explicit
-    repartition on the join keys before renaming makes both sides'
-    exchanges identical so ReuseExchange hashes the corpus once
-    (lsh_candidate_pairs' trick). The confirm is a projection over
-    the pair rows (the 16-char keys ride the band rows), bounded by
-    candidates, not the corpus. Output: (id_a, id_b, hamming)."""
+    Plan: two exchanges — the per-bucket self-join (corpus-sized,
+    hashed ONCE: the explicit repartition on the join keys before
+    renaming makes both sides' exchanges identical so ReuseExchange
+    shares it — lsh_candidate_pairs' trick), plus the candidate-sized
+    ``.distinct()`` that dedups pairs matching in several bands. The
+    confirm is a projection over the pair rows (the 16-char keys ride
+    the band rows), bounded by candidates, not the corpus. Output:
+    (id_a, id_b, hamming)."""
     if max_hamming >= bands:
         raise ValueError(
             f"max_hamming={max_hamming} needs bands > max_hamming "
@@ -2455,12 +2457,49 @@ def write_dhash_index(
     n_images) persists alongside (underscore dir — invisible to the
     partitioned read) so probes derive the banding from the index's
     OWN metadata, never a repeated literal (the bm25_probe_indexed /
-    append_ivf_index rule)."""
+    append_ivf_index rule).
+
+    ``mode="append"`` is the ADDITIVE maintenance path (the
+    append_ivf_index shape): the batch's band rows are appended into
+    the existing band directories (batch-sized write, history
+    untouched) after validating ``bands`` against the index's own
+    stats row — an append with a different banding would silently
+    corrupt the self-describing contract probes rely on, so a
+    mismatch refuses loudly. The stats row is then DERIVED from the
+    written band files (row count / bands — a parquet footer-metadata
+    count, never a second action over ``dhash_df``, which on an
+    uncached decode frame would re-decode the corpus). Deriving
+    instead of folding also self-heals the stats-write crash window:
+    a failure between the band write and the stats rewrite leaves
+    stats stale, and the NEXT append recomputes them from the
+    postings. Append-only single-writer, like the bm25/IVF
+    maintenance paths."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"write_dhash_index mode must be overwrite|append, got {mode!r}")
+    spark = dhash_df.sparkSession
+    if mode == "append":
+        try:
+            prev_bands = int(
+                spark.read.parquet(f"{path}/_stats").collect()[0]["bands"]
+            )
+        except Exception as exc:
+            raise ValueError(
+                f"write_dhash_index(mode='append') needs an existing "
+                f"index at {path!r} (unreadable _stats): {exc}"
+            ) from exc
+        if prev_bands != int(bands):
+            raise ValueError(
+                f"bands mismatch: index at {path!r} was built with "
+                f"bands={prev_bands}, append got bands={bands} — "
+                "probes derive banding from the index, a mixed index "
+                "silently loses recall"
+            )
     band = dhash_bands(dhash_df, id_col, hash_col, bands)
     band.write.mode(mode).partitionBy("band").parquet(path)
-    n = dhash_df.filter(F.col(hash_col).isNotNull()).count()
-    dhash_df.sparkSession.createDataFrame(
-        [(int(bands), int(n))], "bands int, n_images bigint"
+    total = spark.read.parquet(path).count()
+    spark.createDataFrame(
+        [(int(bands), int(total // int(bands)))],
+        "bands int, n_images bigint",
     ).write.mode("overwrite").parquet(f"{path}/_stats")
 
 

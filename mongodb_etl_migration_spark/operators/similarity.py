@@ -308,17 +308,25 @@ def append_ivf_index(
     from-scratch rebuild over the union is pinned by test
     (bucket = pure function of (vector, planes), so append and
     rebuild agree bit for bit). Append-only single-writer, like the
-    bm25 maintenance path."""
+    bm25 maintenance path.
+
+    ``n_vectors`` is DERIVED from the written postings after the
+    append (a parquet footer-metadata count) rather than folded from
+    a second execution of the batch plan — a nondeterministic source
+    could otherwise record a count different from what was written,
+    and a crash between the postings write and the stats rewrite
+    would understate n_vectors forever. Deriving self-heals: the next
+    append recomputes the truth from the postings themselves."""
     import json as _json
 
     spark = batch.sparkSession
-    n, planes = read_ivf_stats(spark, path)
+    _, planes = read_ivf_stats(spark, path)
     batch.withColumn(
         "bucket", hyperplane_bucket(vec_col, planes)
     ).write.mode("append").partitionBy("bucket").parquet(path)
-    n_new = batch.count()
+    n_total = spark.read.parquet(path).count()
     spark.createDataFrame(
-        [(int(n + n_new), _json.dumps(planes))],
+        [(int(n_total), _json.dumps(planes))],
         "n_vectors bigint, planes_json string",
     ).write.mode("overwrite").parquet(f"{path}/_stats")
 

@@ -10998,11 +10998,22 @@ def _unigram_oracle(
     parts.append(viterbi("e", "encw", "costf"))
     parts.append("""
     , wids AS MATERIALIZED (
-      SELECT p.w,
-             string_agg(v.id, ' ' ORDER BY p.b) AS ids,
-             CAST(count(*) AS BIGINT) AS k
-      FROM piecese p JOIN vid v ON v.piece = p.piece
-      GROUP BY p.w
+      -- LEFT JOIN from the distinct-word frame: a word the final
+      -- vocabulary cannot cover has NO piecese rows, and the engine's
+      -- honest-OOV contract (unigram_token_ids) emits exactly ONE
+      -- NULL element for it -> 'x' in the joined string, counted in
+      -- n_tokens. coalesce mirrors that, instead of dropping the word
+      -- (which would silently diverge on fixtures with uncoverable
+      -- words).
+      SELECT e.w, coalesce(a.ids, 'x') AS ids,
+             CAST(coalesce(a.k, 1) AS BIGINT) AS k
+      FROM encw e LEFT JOIN (
+        SELECT p.w,
+               string_agg(v.id, ' ' ORDER BY p.b) AS ids,
+               CAST(count(*) AS BIGINT) AS k
+        FROM piecese p JOIN vid v ON v.piece = p.piece
+        GROUP BY p.w
+      ) a ON a.w = e.w
     ), docw AS MATERIALIZED (
       SELECT d.doc_id, d.ws[i.i] AS w, i.i AS ord
       FROM docws d,
@@ -11010,12 +11021,17 @@ def _unigram_oracle(
               (SELECT coalesce(max(len(ws)), 0) FROM docws) + 1)) AS i) i
       WHERE i.i <= len(d.ws)
     )
-    SELECT d.doc_id,
+    -- LEFT JOIN from docws so a document with zero [a-z0-9] tokens
+    -- keeps its (doc_id, 0, '') row — the engine emits one for every
+    -- document.
+    SELECT d0.doc_id,
            CAST(coalesce(sum(w.k), 0) AS BIGINT) AS n_tokens,
            coalesce(string_agg(w.ids, ' ' ORDER BY d.ord), '')
              AS token_ids
-    FROM docw d JOIN wids w ON w.w = d.w
-    GROUP BY d.doc_id
+    FROM docws d0
+    LEFT JOIN docw d ON d.doc_id = d0.doc_id
+    LEFT JOIN wids w ON w.w = d.w
+    GROUP BY d0.doc_id
     """)
     return "".join(parts)
 

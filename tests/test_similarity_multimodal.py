@@ -1650,6 +1650,74 @@ def test_image_neardup_persisted_index_probe(spark, tmp_path):
     assert (st["bands"], st["n_images"]) == (4, len(hist_ids))
 
 
+def test_dhash_index_append_parity_and_refusals(spark, tmp_path):
+    """ADDITIVE dHash index maintenance (r13 verdict item): appending
+    a batch's band rows into the existing index must probe
+    IDENTICALLY to a from-scratch rebuild over the union (banding is
+    a pure substring of the hash, so parity is bit-level); stats are
+    re-derived from the written band files (self-healing — never a
+    second action over the input frame); an append with a different
+    ``bands`` value refuses loudly (it would corrupt the
+    self-describing banding contract), as does an append to a path
+    with no index."""
+    import random
+
+    import pytest
+
+    from mongodb_etl_migration_spark.operators import multimodal as M
+
+    rng = random.Random(11)
+    keys = {}
+    for i in range(30):
+        base = rng.getrandbits(64)
+        keys[2 * i] = base
+        flip = base
+        for pos in rng.sample(range(64), rng.randrange(0, 5)):
+            flip ^= 1 << pos
+        keys[2 * i + 1] = flip
+    df = spark.createDataFrame(
+        [(i, f"{k:016x}") for i, k in keys.items()],
+        "doc_id bigint, dhash string",
+    )
+    probe_set = df.filter(F.col("doc_id") % 3 == 0)
+    hist = df.filter(F.col("doc_id") % 3 == 1)
+    batch = df.filter(F.col("doc_id") % 3 == 2)
+
+    maintained = str(tmp_path / "dhash_maintained")
+    M.write_dhash_index(hist, maintained)
+    M.write_dhash_index(batch, maintained, mode="append")
+    st = spark.read.parquet(f"{maintained}/_stats").collect()[0]
+    assert (st["bands"], st["n_images"]) == (
+        4,
+        hist.count() + batch.count(),
+    )
+
+    rebuilt = str(tmp_path / "dhash_rebuilt")
+    M.write_dhash_index(hist.unionByName(batch), rebuilt)
+    a = sorted(
+        (r.id_new, r.id_indexed, r.hamming)
+        for r in M.image_neardup_against_index(
+            probe_set, maintained
+        ).collect()
+    )
+    b = sorted(
+        (r.id_new, r.id_indexed, r.hamming)
+        for r in M.image_neardup_against_index(
+            probe_set, rebuilt
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+    with pytest.raises(ValueError, match="bands mismatch"):
+        M.write_dhash_index(batch, maintained, bands=8, mode="append")
+    with pytest.raises(ValueError, match="existing"):
+        M.write_dhash_index(
+            batch, str(tmp_path / "nope"), mode="append"
+        )
+    with pytest.raises(ValueError, match="overwrite|append"):
+        M.write_dhash_index(batch, maintained, mode="errorifexists")
+
+
 def test_video_neardup_pairs_semantics(spark):
     """video_neardup_pairs over hand-built frame hashes: min_shared
     threshold, the per-video DISTINCT rule (a video repeating one
