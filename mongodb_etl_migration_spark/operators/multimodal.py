@@ -2787,3 +2787,294 @@ def audio_features(
     return multimodal.select(
         F.col(id_col).alias("doc_id"), "payload"
     ).mapInPandas(gen, AUDIO_FEATURES_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_idx", LongType()),
+        StructField("fkey", StringType()),
+    ]
+)
+
+#: default lag set for the difference-energy filterbank: octave-spaced
+#: lags approximate an octave filterbank (the energy of x[i]-x[i-L]
+#: emphasizes frequencies near rate/(2L)) while staying pure integer —
+#: no FFT, no libm, bit-reproducible anywhere (the ilog2_q16 rule
+#: applied to spectra).
+AUDIO_FP_LAGS = (1, 2, 4, 8, 16, 32)
+
+
+def audio_fingerprint(
+    multimodal: DataFrame,
+    window: int = 256,
+    lags: tuple[int, ...] = AUDIO_FP_LAGS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perceptual audio fingerprint for NEAR-DUP detection over real
+    PCM16 WAV payloads (:func:`parse_wav`, channel 0) — the audio
+    twin of the per-frame dHash video_dhash_frames: one INTEGER-EXACT
+    key per full ``window``-sample window, so the key survives the
+    duplication modes audio dumps actually have (volume re-encodes,
+    window-aligned trims) while md5-of-bytes breaks on both.
+
+    Per window the key is built from two amplitude-invariant integer
+    quantities:
+
+    - the RANK PERMUTATION of the lag-difference filterbank
+      ``D_L = Σ (s[i] - s[i-L])²`` over ``lags`` (octave-spaced
+      difference energies — an integer proxy for band energies; a
+      volume change scales every ``D_L`` by the same ``c²``, so the
+      descending order, ties broken by lag index, is invariant), and
+    - the EXACT zero-crossing count (strict sign flips, the
+      audio_features rule — scale-invariant by construction).
+
+    ``fkey = "<perm digits>:<zc>"``. A constant/silence window keys
+    to ``"012345:0"`` for every audio — the ubiquitous key the
+    blocking cap (:func:`audio_neardup_pairs` ``max_key_audios``)
+    exists for, exactly like black frames in video. Only FULL
+    windows are fingerprinted (a partial tail window would key
+    differently for the same content depending on trim position);
+    undecodable payloads contribute no rows (digest-and-route
+    honesty). 1→N Arrow-batched fan-out. Output:
+    (doc_id, window_idx, fkey)."""
+    if len(lags) > 10:
+        raise ValueError("at most 10 lags (perm digits are 0-9)")
+    if any(l <= 0 or l >= window for l in lags):
+        raise ValueError(
+            f"every lag must be in (0, window): lags={lags} window={window}"
+        )
+    lag_list = [int(l) for l in lags]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            idxs: list = []
+            keys: list = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    nch, _rate, samples = parse_wav(bytes(payload))
+                except (ValueError, EOFError, wave.Error):
+                    continue
+                s = samples[::nch].astype(np.int64)  # channel 0
+                for wi in range(len(s) // window):
+                    w = s[wi * window:(wi + 1) * window]
+                    zc = int(np.sum(w[:-1] * w[1:] < 0))
+                    ds = [
+                        int(np.sum((w[L:] - w[:-L]) ** 2))
+                        for L in lag_list
+                    ]
+                    order = sorted(
+                        range(len(lag_list)), key=lambda b: (-ds[b], b)
+                    )
+                    ids.append(doc_id)
+                    idxs.append(wi)
+                    keys.append(
+                        "".join(str(b) for b in order) + ":" + str(zc)
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "window_idx": idxs, "fkey": keys}
+            )
+
+    return multimodal.select(
+        F.col(id_col).alias("doc_id"), "payload"
+    ).mapInPandas(gen, AUDIO_FP_SCHEMA)
+
+
+def audio_neardup_pairs(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    key_col: str = "fkey",
+    min_shared: int = 2,
+    max_key_audios: int | None = None,
+) -> DataFrame:
+    """Audio near-dup pairs from per-window fingerprints
+    (:func:`audio_fingerprint` output): two audios match when they
+    share ≥ ``min_shared`` DISTINCT window keys — robust to volume
+    re-encodes (key invariance) and trims (a shared subset still
+    matches). The bag-of-perceptual-keys algebra is EXACTLY
+    video_neardup_pairs' (the fingerprint differs, the join does
+    not), so this delegates: the window key is the blocking key, the
+    only corpus-sized shuffles are the distinct (audio, key)
+    aggregate and the per-key self-join above one repartition
+    (ReusedExchange), and ``max_key_audios`` drops keys appearing in
+    more than that many audios BEFORE the join (silence windows, test
+    tones, jingles — the ubiquitous-frame cap applied to ubiquitous
+    windows: a silence key would square the join on its bucket).
+    Never all-pairs of audios. Output: (id_a, id_b, n_shared)."""
+    return video_neardup_pairs(
+        fp,
+        id_col=id_col,
+        hash_col=key_col,
+        min_shared=min_shared,
+        max_hash_videos=max_key_audios,
+    )
+
+
+def audio_neardup_clusters(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    key_col: str = "fkey",
+    min_shared: int = 2,
+    max_key_audios: int | None = None,
+) -> DataFrame:
+    """Audio near-dup CLUSTERS: confirmed pairs
+    (:func:`audio_neardup_pairs`) → large-star/small-star connected
+    components (dedup.py — the shared cluster machinery every
+    modality's chain ends in). Output: (id, component = min member
+    id) for every paired audio."""
+    from .dedup import connected_components
+
+    pairs = audio_neardup_pairs(
+        fp, id_col, key_col, min_shared, max_key_audios
+    )
+    return connected_components(pairs)
+
+
+def _fkey_bucket(key: Column, buckets: int) -> Column:
+    """Stable small partition bucket for a fingerprint key: first two
+    md5 hex chars mod ``buckets`` — the partition-pruning handle the
+    persisted index is laid out on."""
+    return (
+        F.conv(F.substring(F.md5(key), 1, 2), 16, 10).cast("int")
+        % F.lit(int(buckets))
+    ).alias("kb")
+
+
+def write_audio_fp_index(
+    fp: DataFrame,
+    path: str,
+    window: int,
+    lags: tuple[int, ...] = AUDIO_FP_LAGS,
+    buckets: int = 16,
+    id_col: str = "doc_id",
+    key_col: str = "fkey",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the audio fingerprint index for INCREMENTAL near-dup
+    (the write_dhash_index twin): fingerprint the historical corpus
+    once; each ingest batch probes the index instead of re-decoding
+    history. Layout: distinct (kb, fkey, doc_id) Hive-partitioned by
+    ``kb`` (md5-bucketed key space, ``buckets`` dirs) so a probe's
+    equi-join prunes to the batch's buckets. The 1-row ``_stats``
+    frame persists (buckets, window, lags_json, n_audios): probes
+    re-fingerprint their batch with the INDEX's OWN window/lags —
+    never a re-passed literal (the bm25_probe_indexed rule; mixed
+    fingerprint parameters would silently compare incomparable keys).
+
+    ``mode="append"`` is the additive maintenance path
+    (write_dhash_index's): batch-sized writes into existing bucket
+    dirs after validating (buckets, window, lags) against the
+    existing stats — mismatch refuses loudly. n_audios is DERIVED
+    from the written postings (distinct doc_id — self-healing, never
+    a second action over an uncached decode frame). Append-only
+    single-writer."""
+    import json as _json
+
+    if mode not in ("overwrite", "append"):
+        raise ValueError(
+            f"write_audio_fp_index mode must be overwrite|append, got {mode!r}"
+        )
+    spark = fp.sparkSession
+    lags_json = _json.dumps([int(l) for l in lags])
+    if mode == "append":
+        try:
+            prev = spark.read.parquet(f"{path}/_stats").collect()[0]
+        except Exception as exc:
+            raise ValueError(
+                f"write_audio_fp_index(mode='append') needs an existing "
+                f"index at {path!r} (unreadable _stats): {exc}"
+            ) from exc
+        got = (int(prev["buckets"]), int(prev["window"]), prev["lags_json"])
+        want = (int(buckets), int(window), lags_json)
+        if got != want:
+            raise ValueError(
+                f"fingerprint-parameter mismatch: index at {path!r} has "
+                f"(buckets, window, lags)={got}, append got {want} — "
+                "probes derive parameters from the index, a mixed index "
+                "compares incomparable keys"
+            )
+    rows = (
+        fp.select(
+            F.col(id_col).alias("doc_id"), F.col(key_col).alias("fkey")
+        )
+        .distinct()
+        .select(_fkey_bucket(F.col("fkey"), buckets), "fkey", "doc_id")
+    )
+    rows.write.mode(mode).partitionBy("kb").parquet(path)
+    n = (
+        spark.read.parquet(path)
+        .agg(F.countDistinct("doc_id"))
+        .collect()[0][0]
+    )
+    spark.createDataFrame(
+        [(int(buckets), int(window), lags_json, int(n))],
+        "buckets int, window int, lags_json string, n_audios bigint",
+    ).write.mode("overwrite").parquet(f"{path}/_stats")
+
+
+def audio_neardup_against_index(
+    new_multimodal: DataFrame,
+    path: str,
+    min_shared: int = 2,
+    max_key_audios: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INCREMENTAL audio near-dup: fingerprint ONLY the new batch
+    (with the persisted index's own window/lags — 1-row bounded stats
+    read) and equi-join the index on (kb, fkey) — history is never
+    re-decoded, and the bucket layout prunes index partitions to the
+    batch's kb values. ``max_key_audios`` reproduces the batch
+    pipeline's ubiquitous-key cap EXACTLY over the union: for every
+    key the batch presents, its union frequency = (distinct indexed
+    audios with the key, counted over the candidate rows — bounded by
+    candidates, not the corpus) + (batch audios with the key), so
+    probe ∪-restricted output == from-scratch batch run over
+    history ∪ batch restricted to cross pairs (pinned by test).
+    Output: (id_new, id_indexed, n_shared) with
+    n_shared ≥ ``min_shared``."""
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    import json as _json
+
+    spark = new_multimodal.sparkSession
+    st = spark.read.parquet(f"{path}/_stats").collect()[0]
+    buckets, window = int(st["buckets"]), int(st["window"])
+    lags = tuple(_json.loads(st["lags_json"]))
+    fp = audio_fingerprint(new_multimodal, window, lags, id_col)
+    bfp = (
+        fp.select("doc_id", "fkey")
+        .distinct()
+        .select(_fkey_bucket(F.col("fkey"), buckets), "fkey", "doc_id")
+        .localCheckpoint(eager=False)  # 2 consumers: join + key counts
+    )
+    idx = spark.read.parquet(path)
+    cand = (
+        bfp.withColumnRenamed("doc_id", "id_new")
+        .join(
+            idx.withColumnRenamed("doc_id", "id_indexed"),
+            ["kb", "fkey"],
+        )
+        .filter(F.col("id_new") != F.col("id_indexed"))
+        .localCheckpoint(eager=False)  # 2 consumers: counts + pairs
+    )
+    if max_key_audios is not None:
+        nb = bfp.groupBy("kb", "fkey").agg(
+            F.count("*").alias("__nb")
+        )
+        ni = cand.groupBy("kb", "fkey").agg(
+            F.countDistinct("id_indexed").alias("__ni")
+        )
+        good = (
+            ni.join(nb, ["kb", "fkey"])
+            .filter(
+                F.col("__ni") + F.col("__nb") <= F.lit(int(max_key_audios))
+            )
+            .select("kb", "fkey")
+        )
+        cand = cand.join(good, ["kb", "fkey"])
+    return (
+        cand.groupBy("id_new", "id_indexed")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -6930,6 +6930,214 @@ def m_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUDIO_NEARDUP_CTES = """
+    WITH params AS MATERIALIZED (
+      SELECT doc_id, (doc_id // 7) // 3 AS fam, (doc_id // 7) % 3 AS variant
+      FROM documents WHERE doc_id % 7 = 6
+    ), smp AS MATERIALIZED (
+      SELECT doc_id, w.w AS window_idx, i.i AS i,
+             CASE WHEN (CASE WHEN variant = 2 THEN w.w + 3 ELSE w.w END) = 1
+                  THEN 0
+                  ELSE ((('0x' || substr(md5(fam || ':' ||
+                            (CASE WHEN variant = 2 THEN w.w + 3 ELSE w.w END)
+                            || ':' || i.i), 1, 4))::BIGINT % 16384) - 8192)
+                       * (CASE WHEN variant = 1 THEN 2 ELSE 1 END)
+             END AS s
+      FROM params,
+           (SELECT unnest(range(0, 8)) AS w) w,
+           (SELECT unnest(range(0, 256)) AS i) i
+    ), lagd AS MATERIALIZED (
+      SELECT doc_id, window_idx, s,
+             lag(s, 1) OVER w AS s1, lag(s, 2) OVER w AS s2,
+             lag(s, 4) OVER w AS s4, lag(s, 8) OVER w AS s8,
+             lag(s, 16) OVER w AS s16, lag(s, 32) OVER w AS s32,
+             lead(s, 1) OVER w AS sn
+      FROM smp
+      WINDOW w AS (PARTITION BY doc_id, window_idx ORDER BY i)
+    ), feat AS MATERIALIZED (
+      SELECT doc_id, window_idx,
+             CAST(sum(CASE WHEN s * sn < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zc,
+             CAST(sum(CASE WHEN s1 IS NOT NULL
+                           THEN (s - s1) * (s - s1) ELSE 0 END) AS BIGINT)
+               AS d0,
+             CAST(sum(CASE WHEN s2 IS NOT NULL
+                           THEN (s - s2) * (s - s2) ELSE 0 END) AS BIGINT)
+               AS d1,
+             CAST(sum(CASE WHEN s4 IS NOT NULL
+                           THEN (s - s4) * (s - s4) ELSE 0 END) AS BIGINT)
+               AS d2,
+             CAST(sum(CASE WHEN s8 IS NOT NULL
+                           THEN (s - s8) * (s - s8) ELSE 0 END) AS BIGINT)
+               AS d3,
+             CAST(sum(CASE WHEN s16 IS NOT NULL
+                           THEN (s - s16) * (s - s16) ELSE 0 END) AS BIGINT)
+               AS d4,
+             CAST(sum(CASE WHEN s32 IS NOT NULL
+                           THEN (s - s32) * (s - s32) ELSE 0 END) AS BIGINT)
+               AS d5
+      FROM lagd GROUP BY 1, 2
+    ), dk AS MATERIALIZED (
+      SELECT DISTINCT doc_id, perm || ':' || zc AS fkey FROM (
+        SELECT doc_id, window_idx, zc,
+               string_agg(CAST(band AS VARCHAR), ''
+                          ORDER BY d DESC, band) AS perm
+        FROM (
+          SELECT doc_id, window_idx, zc, b.b AS band,
+                 CASE b.b WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2
+                          WHEN 3 THEN d3 WHEN 4 THEN d4 ELSE d5 END AS d
+          FROM feat, (SELECT unnest(range(0, 6)) AS b) b
+        ) GROUP BY doc_id, window_idx, zc
+      )
+    ), keep AS MATERIALIZED (
+      SELECT fkey FROM dk GROUP BY fkey HAVING count(*) <= 3
+    )"""
+
+
+def _audio_neardup_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared audio near-dup fixture (1/7 slice ``doc_id %% 7 = 6``,
+    families of 3): per family an md5-mixed PCM16 reel of 8
+    256-sample windows — each sample a pure integer function of
+    (family, content-window, position) with content window 1 SILENT
+    (the planted ubiquitous key). v0 = content windows 0..7,
+    v1 = the SAME reel at double volume (a re-encode — every
+    fingerprint key invariant), v2 = content windows 3..10 (a
+    window-aligned trim+extension — shares 5 real windows, no
+    silence). WAV is lossless PCM, so the decoded samples ARE the
+    md5 arithmetic and the oracle regenerates them in SQL with no
+    codec."""
+    import hashlib
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    d = (
+        Catalog(spark, sf_dir)
+        .documents.select("doc_id")
+        .filter(F.expr("doc_id % 7 = 6"))
+    )
+
+    def make_payload(did: int) -> bytes:
+        k0 = did // 7
+        fam, variant = k0 // 3, k0 % 3
+        cs = range(3, 11) if variant == 2 else range(0, 8)
+        out: list[int] = []
+        for c in cs:
+            if c == 1:
+                out.extend([0] * 256)
+                continue
+            for i in range(256):
+                h = int(
+                    hashlib.md5(
+                        f"{fam}:{c}:{i}".encode()
+                    ).hexdigest()[:4],
+                    16,
+                )
+                out.append(
+                    ((h % 16384) - 8192) * (2 if variant == 1 else 1)
+                )
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(np.array(out, dtype="<i2").tobytes())
+        return buf.getvalue()
+
+    return _mm_payload_table(d, make_payload)
+
+
+@query(
+    "m_audio_neardup",
+    _AUDIO_NEARDUP_CTES
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM dk a JOIN dk b ON a.fkey = b.fkey AND a.doc_id < b.doc_id
+    JOIN keep k ON k.fkey = a.fkey
+    GROUP BY 1, 2 HAVING count(*) >= 5
+    """,
+)
+def m_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-dup via per-window perceptual fingerprints
+    (multimodal.audio_fingerprint → audio_neardup_pairs) — the last
+    modality's end-to-end chain, composed exactly like images/video:
+    integer-exact fingerprint (rank permutation of the octave-lag
+    difference-energy filterbank + exact zero-crossing count, both
+    volume-invariant) over the REAL PCM16 decode, the window key as
+    the blocking key, the ubiquitous-key cap (max_key_audios=3 drops
+    the planted silence window shared by every v0/v1 — a silence key
+    would square its join bucket AND shift v0-v1 n_shared 7→8, so
+    the cap is value-load-bearing in the oracle), and a shared ≥ 5
+    distinct-key confirm. Fixture plants volume re-encodes (v1, all
+    8 keys shared) and window-aligned trims (v2, 5 real keys
+    shared); the oracle regenerates every sample arithmetically
+    (md5-mixed PCM — no codec) and recomputes fingerprints, cap and
+    join in SQL. Plan: distinct (audio, key) exchange + per-key
+    self-join above one repartition (ReusedExchange) — never
+    all-pairs of audios."""
+    mm = _audio_neardup_fixture(spark, sf_dir)
+    return M.audio_neardup_pairs(
+        M.audio_fingerprint(mm, window=256),
+        min_shared=5,
+        max_key_audios=3,
+    )
+
+
+@query(
+    "m_audio_neardup_probe",
+    _AUDIO_NEARDUP_CTES
+    + """
+    SELECT a.doc_id AS id_new, b.doc_id AS id_indexed,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM dk a
+    JOIN params pa ON pa.doc_id = a.doc_id AND pa.variant = 0
+    JOIN dk b ON b.fkey = a.fkey
+    JOIN params pb ON pb.doc_id = b.doc_id AND pb.variant != 0
+    JOIN keep k ON k.fkey = a.fkey
+    GROUP BY 1, 2 HAVING count(*) >= 5
+    """,
+)
+def m_audio_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL audio near-dup against the PERSISTED fingerprint
+    index (multimodal.write_audio_fp_index →
+    audio_neardup_against_index): the audio history (v1/v2 variants)
+    is fingerprinted ONCE onto disk (md5-bucketed (kb, fkey, doc_id)
+    postings + a stats row carrying buckets/window/lags); the new
+    batch (v0) decodes and fingerprints only itself, with the
+    INDEX's OWN parameters (the bm25_probe_indexed rule), and
+    equi-joins the index on (kb, fkey). The ubiquitous-key cap is
+    computed over the UNION exactly as the batch pipeline would
+    (indexed audios per key from the candidate rows + batch audios
+    per key), so the silence key every v0/v1 shares is dropped and
+    v0-v1 n_shared stays 7 — probe == batch-over-union restricted to
+    cross pairs, the incremental-equals-batch discipline. The oracle
+    regenerates all samples arithmetically and restricts the same
+    capped join to (v0 × {v1, v2}). Scratch index keyed by fixture +
+    pid (no concurrent-run races)."""
+    import os
+    import tempfile
+
+    mm = _audio_neardup_fixture(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # 2 consumers: history fingerprint + probe batch
+    variant = F.expr("(doc_id div 7) % 3")
+    hist = mm.filter(variant != 0)
+    batch = mm.filter(variant == 0)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "mongodb_etl_migration_spark_audiofpidx_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    M.write_audio_fp_index(
+        M.audio_fingerprint(hist, window=256), path, window=256
+    )
+    return M.audio_neardup_against_index(
+        batch, path, min_shared=5, max_key_audios=3
+    )
+
+
 def _mp4_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared MP4 fixture: per doc (1/9 slice) a minimal valid ISO
     BMFF file (operators/mp4.build_mp4) with doc_id%5+2 ASCII video

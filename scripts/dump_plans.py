@@ -31,6 +31,23 @@ NOTES = {
         "aggregate expressions inside one transform — pure Project, "
         "zero shuffle, zero UDF (the lang_id_hashed shape)."
     ),
+    "m_audio_neardup": (
+        "Audio near-dup end-to-end: per-window integer fingerprint "
+        "(octave-lag difference-energy rank permutation + exact "
+        "zero-crossing count, volume-invariant) over the real PCM16 "
+        "decode (Arrow batches), then the window key IS the blocking "
+        "key — one distinct (audio, key) exchange + a per-key "
+        "self-join above a single repartition (ReusedExchange); "
+        "never all-pairs of audios; the silence-window ubiquitous "
+        "key drops pre-join (max_key_audios)."
+    ),
+    "m_audio_neardup_probe": (
+        "Incremental audio near-dup: the batch decodes and "
+        "fingerprints only itself (index's OWN window/lags from its "
+        "stats row) and equi-joins the md5-bucketed persisted "
+        "postings on (kb, fkey) — history never re-decoded; the "
+        "union ubiquitous-key cap is candidate-bounded."
+    ),
     "m_video_neardup": (
         "Video near-dup: per-frame dHash fan-out (Arrow batches, real "
         "GIF/MJPEG decode), then the frame hash IS the blocking key — "

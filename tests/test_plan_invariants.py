@@ -41,6 +41,11 @@ ARROW_OK = {
                              # checkpoints, listed in case
     "m_image_neardup_probe",  # same dHash stage under the index write
     "m_audio_features",      # windowed PCM features (mapInPandas)
+    "m_audio_neardup",       # per-window fingerprint fan-out through
+                             # the real WAV decode (mapInPandas)
+                             # feeding the shared-key join
+    "m_audio_neardup_probe",  # same fingerprint stage over the probe
+                              # batch (index side is a parquet read)
     "m_mp4_frames",          # real mdat sample extraction (mapInPandas)
     "m_gif_frames",          # real GIF multi-frame codec (mapInPandas)
     "m_audio_decode_real",   # real WAV codec (mapInPandas)

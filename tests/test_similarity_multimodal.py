@@ -2170,3 +2170,243 @@ def test_ivf_pq_topk_residual_reference_and_pruning(spark):
 
     with pytest.raises(ValueError, match="query dim"):
         SIM.ivf_pq_topk(df, [1, 2], coarse, cb)
+
+
+def _pcm16_wav(samples, nch=1, rate=8000):
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.array(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def _audio_mm(spark, payloads):
+    """(doc_id, payload, meta) multimodal frame from {id: wav_bytes}."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("meta", MapType(StringType(), StringType())),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, bytearray(p), {"media_type": "audio"}) for i, p in payloads.items()],
+        schema,
+    )
+
+
+def test_audio_fingerprint_semantics(spark):
+    """audio_fingerprint invariances the near-dup chain relies on:
+    volume re-encodes key identically (rank permutation + zc are both
+    scale-invariant), window-aligned trims shift window_idx but keep
+    the keys, only FULL windows fingerprint, stereo uses channel 0,
+    undecodable payloads emit no rows, and degenerate lag sets
+    refuse."""
+    import random
+
+    import pytest
+
+    rng = random.Random(7)
+    base = [rng.randrange(-8000, 8001) for _ in range(256 * 4)]
+    payloads = {
+        0: _pcm16_wav(base),
+        1: _pcm16_wav([2 * s for s in base]),          # volume x2
+        2: _pcm16_wav(base[256 * 2:]),                 # 2-window trim
+        3: _pcm16_wav(base + [5] * 100),               # partial tail
+        4: b"not a wav at all",
+        5: _pcm16_wav(
+            # stereo: channel 0 = base, channel 1 = junk
+            [v for s in base[:512] for v in (s, rng.randrange(-99, 99))],
+            nch=2,
+        ),
+    }
+    fp = M.audio_fingerprint(_audio_mm(spark, payloads), window=256)
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.window_idx] = r.fkey
+    assert by_doc[1] == by_doc[0]                      # volume invariant
+    assert by_doc[2] == {
+        wi - 2: k for wi, k in by_doc[0].items() if wi >= 2
+    }                                                   # trim shifts
+    assert by_doc[3] == by_doc[0]                      # partial dropped
+    assert 4 not in by_doc                             # undecodable
+    assert by_doc[5] == {wi: by_doc[0][wi] for wi in (0, 1)}  # ch 0
+    with pytest.raises(ValueError, match="lag"):
+        M.audio_fingerprint(_audio_mm(spark, {}), window=64, lags=(1, 64))
+    with pytest.raises(ValueError, match="10 lags"):
+        M.audio_fingerprint(
+            _audio_mm(spark, {}), window=64, lags=tuple(range(1, 12))
+        )
+
+
+def _audio_family_samples(fam, variant):
+    """The m_audio_neardup planting, test-local: v0 = 8 md5-mixed
+    256-sample windows (content window 1 silent), v1 = same at double
+    volume, v2 = content windows 3..10."""
+    import hashlib
+
+    cs = range(3, 11) if variant == 2 else range(0, 8)
+    out = []
+    for c in cs:
+        if c == 1:
+            out.extend([0] * 256)
+            continue
+        for i in range(256):
+            h = int(
+                hashlib.md5(f"{fam}:{c}:{i}".encode()).hexdigest()[:4],
+                16,
+            )
+            out.append(((h % 16384) - 8192) * (2 if variant == 1 else 1))
+    return out
+
+
+def _audio_family_mm(spark, n_fams):
+    """doc_id = fam*3 + variant over _audio_family_samples."""
+    return _audio_mm(
+        spark,
+        {
+            fam * 3 + v: _pcm16_wav(_audio_family_samples(fam, v))
+            for fam in range(n_fams)
+            for v in range(3)
+        },
+    )
+
+
+def test_audio_neardup_pairs_cap_and_clusters(spark):
+    """The planted family structure through the batch chain: with the
+    ubiquitous-key cap the silence window (shared by every v0/v1)
+    drops pre-join, so v0-v1 shares exactly its 7 real windows (8
+    without the cap — the cap is value-load-bearing) and each family
+    closes into one cluster keyed by its min member."""
+    fp = M.audio_fingerprint(
+        _audio_family_mm(spark, 3), window=256
+    ).localCheckpoint(eager=False)
+    capped = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in M.audio_neardup_pairs(
+            fp, min_shared=5, max_key_audios=3
+        ).collect()
+    }
+    want = {}
+    for fam in range(3):
+        a, b, c = fam * 3, fam * 3 + 1, fam * 3 + 2
+        want.update({(a, b): 7, (a, c): 5, (b, c): 5})
+    assert capped == want
+    uncapped = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in M.audio_neardup_pairs(fp, min_shared=5).collect()
+    }
+    assert uncapped[(0, 1)] == 8
+    comps = {
+        r.id: r.component
+        for r in M.audio_neardup_clusters(
+            fp, min_shared=5, max_key_audios=3
+        ).collect()
+    }
+    assert comps == {
+        fam * 3 + v: fam * 3 for fam in range(3) for v in range(3)
+    }
+
+
+def test_audio_neardup_persisted_index_probe(spark, tmp_path):
+    """Incremental audio near-dup: probe == from-scratch batch run
+    over history ∪ batch restricted to cross pairs, INCLUDING the
+    union ubiquitous-key cap (silence is in the index F times and the
+    batch F times — only the union count crosses the cap, so getting
+    this wrong shows up as v0-v1 n_shared 8). Append maintenance:
+    parameter-mismatched appends refuse; an appended index probes
+    identically to a rebuild."""
+    import pytest
+
+    mm = _audio_family_mm(spark, 3).localCheckpoint(eager=False)
+    variant = F.expr("doc_id % 3")
+    hist = mm.filter(variant != 0)
+    batch = mm.filter(variant == 0)
+    path = str(tmp_path / "audiofp")
+    M.write_audio_fp_index(
+        M.audio_fingerprint(hist, window=256), path, window=256
+    )
+    st = spark.read.parquet(f"{path}/_stats").collect()[0]
+    assert (st["buckets"], st["window"], st["n_audios"]) == (16, 256, 6)
+    got = {
+        (r.id_new, r.id_indexed): r.n_shared
+        for r in M.audio_neardup_against_index(
+            batch, path, min_shared=5, max_key_audios=3
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in M.audio_neardup_pairs(
+            M.audio_fingerprint(mm, window=256),
+            min_shared=5,
+            max_key_audios=3,
+        ).collect()
+    }
+    batch_ids = {fam * 3 for fam in range(3)}
+    want = {}
+    for (a, b), n in full.items():
+        if a in batch_ids and b not in batch_ids:
+            want[(a, b)] = n
+        elif b in batch_ids and a not in batch_ids:
+            want[(b, a)] = n
+    assert got == want and len(want) > 0
+    assert got[(0, 1)] == 7  # capped over the UNION, not per side
+
+    # append maintenance: refusals + parity with a rebuild
+    fp_b = M.audio_fingerprint(batch, window=256)
+    with pytest.raises(ValueError, match="mismatch"):
+        M.write_audio_fp_index(
+            fp_b, path, window=512, mode="append"
+        )
+    with pytest.raises(ValueError, match="existing"):
+        M.write_audio_fp_index(
+            fp_b, str(tmp_path / "nope"), window=256, mode="append"
+        )
+    M.write_audio_fp_index(fp_b, path, window=256, mode="append")
+    assert (
+        spark.read.parquet(f"{path}/_stats").collect()[0]["n_audios"] == 9
+    )
+    rebuilt = str(tmp_path / "audiofp_rebuilt")
+    M.write_audio_fp_index(
+        M.audio_fingerprint(mm, window=256), rebuilt, window=256
+    )
+    # fresh doc ids carrying the SAME family-0/1 reels, so the probe
+    # genuinely matches both the appended rows (v0, fam 0/1) and the
+    # original history (v1/v2)
+    probe = _audio_mm(
+        spark,
+        {
+            100 + fam: _pcm16_wav(_audio_family_samples(fam, 0))
+            for fam in range(2)
+        },
+    )
+    a = sorted(
+        (r.id_new, r.id_indexed, r.n_shared)
+        for r in M.audio_neardup_against_index(
+            probe, path, min_shared=5
+        ).collect()
+    )
+    b = sorted(
+        (r.id_new, r.id_indexed, r.n_shared)
+        for r in M.audio_neardup_against_index(
+            probe, rebuilt, min_shared=5
+        ).collect()
+    )
+    assert a == b and len(a) >= 6  # per fam: v0 (appended), v1, v2
