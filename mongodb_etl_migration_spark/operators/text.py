@@ -3768,7 +3768,9 @@ def _select_compatible_batch(
     return batch
 
 
-def _apply_pair_passes(parts: list[str], l: str, r: str) -> list[str]:
+def _apply_pair_passes(
+    parts: list[str], l: str, r: str, out: str | None = None
+) -> list[str]:
     """Symbol-list twin of the flat-string ``replace(' l r ', ' lr ')``
     pass chain: per pass, scan left-to-right; each replacement
     consumes its TRAILING delimiter, so the symbol immediately after
@@ -3776,8 +3778,11 @@ def _apply_pair_passes(parts: list[str], l: str, r: str) -> list[str]:
     folds to [lr, x, lr], NOT leftmost-greedy [lr, lr, x] — the
     hypothesis sweep caught exactly this divergence). _BPE_PASSES
     passes with early exit on a changeless pass, matching the Spark
-    and reference replace chains."""
-    out = l + r
+    and reference replace chains. ``out`` overrides the merged symbol
+    (default ``l + r``; WordPiece strips the right side's ``##``
+    continuation marker — wordpiece.merge_token)."""
+    if out is None:
+        out = l + r
     for _ in range(_BPE_PASSES):
         res: list[str] = []
         i = 0

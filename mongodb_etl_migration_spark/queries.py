@@ -43,6 +43,7 @@ from mongodb_etl_migration_spark.operators import (
     unigram as U,
     validation as V,
     web as WB,
+    wordpiece as WP,
 )
 from mongodb_etl_migration_spark.streaming.incremental import windowed_event_counts
 
@@ -11288,6 +11289,225 @@ def t_unigram_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", vocab_size=56, seed_size=120, rounds=3
     )
     ids = U.unigram_token_ids("text", vocab)
+    return d.select(
+        "doc_id",
+        F.size(ids).cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform(ids, lambda i: i.cast("string")), " ", "x"
+        ).alias("token_ids"),
+    )
+
+
+def _wordpiece_oracle(
+    rounds: int = 14, min_count: int = 2, encode: bool = False
+) -> str:
+    """Unrolled DuckDB mirror of operators/wordpiece.wordpiece_train
+    (and, with ``encode=True``, of wordpiece_token_ids): the same
+    one-pass word count, ##-marked symbolization, per round — pair
+    AND symbol counts by zip-adjacent/unnest, argmax by the exact
+    fixed-point likelihood key ``(cnt << 100) // (lcnt·rcnt)`` (a
+    HUGEINT — bit-identical to the Python score_key; see the module
+    docstring's floor-collision proof) with the (l, r) ASC tie-break,
+    and the winner applied everywhere via the SAME fixed-pass replace
+    chain with the ##-stripped output symbol. Encode: vocab ids
+    (sorted alphabet, then merge tokens by rank, first-wins dedup), a
+    materialized longest-match table per (word, position), and the
+    greedy walk as a LINEAR recursive CTE over it — a word whose walk
+    stalls before its end is honest-OOV ('x', counted 1), and
+    zero-token documents keep their rows (the unigram-oracle LEFT
+    JOIN rule). AS MATERIALIZED throughout (the d6/PageRank rule)."""
+    P100 = str(1 << 100)
+    head = "WITH RECURSIVE" if encode else "WITH"
+    parts = [
+        f"""
+    {head} wc AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              AS w FROM documents)
+      GROUP BY w
+    ), v0 AS MATERIALIZED (
+      SELECT w,
+             ' ' || substr(w, 1, 1) || ' ' ||
+             regexp_replace(substr(w, 2), '(.)', '##\\1 ', 'g') AS sym,
+             n
+      FROM wc
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"v{i - 1}"
+        rep = "sym"
+        for _ in range(T._BPE_PASSES):
+            rep = (
+                f"replace({rep}, (SELECT ' '||l||' '||r||' ' FROM b{i}), "
+                f"(SELECT ' '||l||substr(r, 3)||' ' FROM b{i}))"
+            )
+        parts.append(f""", s{i} AS MATERIALIZED (
+      SELECT s, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        SELECT v.n, v.syms[j] AS s
+        FROM (SELECT n, string_split(trim(sym), ' ') AS syms FROM {prev}) v,
+             range(1, 64) t(j)
+        WHERE j <= len(v.syms)
+      ) GROUP BY s
+    ), p{i} AS MATERIALIZED (
+      SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        SELECT v.n, v.syms[j] AS l, v.syms[j + 1] AS r
+        FROM (SELECT n, string_split(trim(sym), ' ') AS syms FROM {prev}) v,
+             range(1, 64) t(j)
+        WHERE j < len(v.syms)
+      ) GROUP BY l, r
+    ), b{i} AS MATERIALIZED (
+      SELECT p.l, p.r, p.cnt, sl.cnt AS lcnt, sr.cnt AS rcnt
+      FROM p{i} p
+      JOIN s{i} sl ON sl.s = p.l
+      JOIN s{i} sr ON sr.s = p.r
+      WHERE p.cnt >= {min_count}
+      ORDER BY (p.cnt::HUGEINT * {P100}::HUGEINT)
+                 // (sl.cnt::HUGEINT * sr.cnt::HUGEINT) DESC,
+               p.l, p.r
+      LIMIT 1
+    ), v{i} AS MATERIALIZED (
+      SELECT w, {rep} AS sym, n FROM {prev}
+    )""")
+    rank_union = " UNION ALL ".join(
+        f"SELECT {i} AS rank, l, r, cnt, lcnt, rcnt FROM b{i}"
+        for i in range(1, rounds + 1)
+    )
+    if not encode:
+        parts.append(f"""
+    SELECT CAST(rank AS BIGINT) AS rank, l AS left, r AS right,
+           cnt AS pair_count, lcnt AS left_count, rcnt AS right_count
+    FROM ({rank_union})
+    """)
+        return "".join(parts)
+    parts.append(f""", alpha AS MATERIALIZED (
+      SELECT DISTINCT s AS token FROM (
+        SELECT v.syms[j] AS s
+        FROM (SELECT string_split(trim(sym), ' ') AS syms FROM v0) v,
+             range(1, 64) t(j)
+        WHERE j <= len(v.syms)
+      )
+    ), vocabf AS MATERIALIZED (
+      SELECT token,
+             CAST(row_number() OVER (ORDER BY grp, ord, token) - 1
+                  AS BIGINT) AS id
+      FROM (
+        SELECT token, grp, ord FROM (
+          SELECT token, grp, ord,
+                 row_number() OVER (PARTITION BY token
+                                    ORDER BY grp, ord) AS rn
+          FROM (
+            SELECT token, 0 AS grp, 0 AS ord FROM alpha
+            UNION ALL
+            SELECT l || substr(r, 3) AS token, 1 AS grp, rank AS ord
+            FROM ({rank_union})
+          )
+        ) WHERE rn = 1
+      )
+    ), docws AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ), encw AS MATERIALIZED (
+      SELECT DISTINCT w FROM (SELECT unnest(ws) AS w FROM docws)
+    ), lm AS MATERIALIZED (
+      SELECT w, pos, id, blen FROM (
+        SELECT e.w, p.pos, v.id, length(v.bare) AS blen,
+               row_number() OVER (PARTITION BY e.w, p.pos
+                                  ORDER BY length(v.bare) DESC) AS rn
+        FROM encw e
+        JOIN (SELECT unnest(range(0,
+                (SELECT max(length(w)) FROM encw))) AS pos) p
+          ON p.pos < length(e.w)
+        JOIN (SELECT id, token,
+                     CASE WHEN token LIKE '##%' THEN substr(token, 3)
+                          ELSE token END AS bare,
+                     (token LIKE '##%') AS iscont
+              FROM vocabf) v
+          ON ((p.pos = 0) = (NOT v.iscont))
+         AND length(v.bare) > 0
+         AND substr(e.w, p.pos + 1, length(v.bare)) = v.bare
+      ) WHERE rn = 1
+    ), walk(w, pos, ids, k) AS (
+      SELECT w, 0, '', 0 FROM encw
+      UNION ALL
+      SELECT g.w, g.pos + l.blen,
+             CASE WHEN g.ids = '' THEN CAST(l.id AS VARCHAR)
+                  ELSE g.ids || ' ' || CAST(l.id AS VARCHAR) END,
+             g.k + 1
+      FROM walk g
+      JOIN lm l ON l.w = g.w AND l.pos = g.pos
+                AND g.pos < length(g.w)
+    ), wres AS MATERIALIZED (
+      SELECT e.w, coalesce(t.ids, 'x') AS ids,
+             CAST(coalesce(t.k, 1) AS BIGINT) AS k
+      FROM encw e LEFT JOIN (
+        SELECT w, ids, k FROM walk WHERE pos = length(w)
+      ) t ON t.w = e.w
+    ), docw AS MATERIALIZED (
+      SELECT d.doc_id, d.ws[i.i] AS w, i.i AS ord
+      FROM docws d,
+           (SELECT unnest(range(1,
+              (SELECT coalesce(max(len(ws)), 0) FROM docws) + 1)) AS i) i
+      WHERE i.i <= len(d.ws)
+    )
+    SELECT d0.doc_id,
+           CAST(coalesce(sum(w.k), 0) AS BIGINT) AS n_tokens,
+           coalesce(string_agg(w.ids, ' ' ORDER BY d.ord), '')
+             AS token_ids
+    FROM docws d0
+    LEFT JOIN docw d ON d.doc_id = d0.doc_id
+    LEFT JOIN wres w ON w.w = d.w
+    GROUP BY d0.doc_id
+    """)
+    return "".join(parts)
+
+
+@query("t_wordpiece_train", _wordpiece_oracle())
+def t_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WordPiece tokenizer TRAINING
+    (operators/wordpiece.wordpiece_train — the BERT-family
+    likelihood-greedy trainer, the THIRD production family next to
+    BPE and unigram-LM), built with the bpe_train discipline: ONE
+    corpus-sized word-count exchange, then delta-maintained
+    driver-side merges over the dimension-sized vocabulary. The
+    score — pair_count/(left_count·right_count), the unigram-LM
+    likelihood gain — is compared EXACTLY via the fixed-point key
+    (cnt << 100) // (lcnt·rcnt) (floor-collision-free for corpora ≤
+    2^25 tokens; Python ints and DuckDB HUGEINT agree bit for bit),
+    ties lexicographic. The oracle re-runs the FULL 14-round
+    trajectory: symbolization, pair/symbol recounts, HUGEINT argmax
+    and the fixed-pass ##-stripping replace chain. Output: (rank,
+    left, right, pair_count, left_count, right_count)."""
+    d = Catalog(spark, sf_dir).documents
+    merges, _vocab = WP.wordpiece_train(d, "text", n_merges=14)
+    return spark.createDataFrame(
+        [
+            (i + 1, l, r, c, ca, cb)
+            for i, (l, r, c, ca, cb) in enumerate(merges)
+        ],
+        "rank long, left string, right string, pair_count long, "
+        "left_count long, right_count long",
+    )
+
+
+@query("t_wordpiece_ids", _wordpiece_oracle(encode=True))
+def t_wordpiece_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match ENCODE
+    (operators/wordpiece.wordpiece_token_ids) under the
+    t_wordpiece_train vocabulary (sorted corpus alphabet + 14 merge
+    tokens, first-wins dedup): per document, every word walked
+    longest-match-first with the vocabulary riding the plan as two
+    literal maps (bare start forms / stripped continuation forms —
+    zero shuffle, zero UDF, the lang_id_hashed pattern); an
+    uncoverable word contributes ONE honest-OOV NULL ('x', counted).
+    The oracle re-trains the same trajectory in SQL, materializes
+    the per-(word, position) longest-match table, walks it with a
+    linear recursive CTE and reassembles per-doc id streams —
+    training AND encoding cross-checked in one row. The Arrow twin
+    (wordpiece_ids_batch) for production vocabularies is
+    property-tested equal in the suite."""
+    d = Catalog(spark, sf_dir).documents
+    merges, vocab = WP.wordpiece_train(d, "text", n_merges=14)
+    ids = WP.wordpiece_token_ids("text", vocab)
     return d.select(
         "doc_id",
         F.size(ids).cast("long").alias("n_tokens"),
