@@ -487,6 +487,115 @@ def summarize(results: dict) -> dict:
         summary["gopher_wall_x10_to_x100"] = round(
             g100["sec"] / max(1e-9, x["t_gopher_repetition"]["sec"]), 2
         )
+    # ---- media tier (round-14): image/video near-dup + unigram ----
+    # Same decade discipline as the text battery: x10 -> x100 shuffle
+    # ratio asserted at 10 +/- 15% for the two banded/blocked joins;
+    # the base -> x10 ratios and the dup-rate / hot-frame receipts
+    # are reported alongside. Presence-guarded throughout so
+    # --resummarize keeps working over pre-media receipts.
+    mb = results.get("media_base")
+    mx = results.get("media_x10")
+    mx4 = results.get("media_x10_dup4x")
+    m100 = results.get("media_x100")
+    if mb and mx:
+        summary["image_neardup_shuffle_growth_at_10x_corpus"] = round(
+            mx["m_image_neardup"]["shuffle_bytes"]
+            / max(1, mb["m_image_neardup"]["shuffle_bytes"]),
+            2,
+        )
+        # corpus fixed at x10, planted dup rate 10% -> 40%: confirmed
+        # NEAR-DUP pair output tracks duplication (the minhash
+        # pair_growth_at_4x_dup_rate claim for images). The constant
+        # A-B exact-dup pairs (one per family at every rate) are
+        # subtracted so the ratio isolates the rate-driven term.
+        if mx4 and "families" in mx4 and "families" in mx:
+            summary["image_neardup_pair_growth_at_4x_dup_rate"] = round(
+                (
+                    mx4["m_image_neardup"]["pairs_found"]
+                    - mx4["families"]
+                )
+                / max(
+                    1,
+                    mx["m_image_neardup"]["pairs_found"]
+                    - mx["families"],
+                ),
+                2,
+            )
+        summary["video_neardup_capped_shuffle_growth_at_10x_corpus"] = round(
+            mx["m_video_neardup_capped"]["shuffle_bytes"]
+            / max(1, mb["m_video_neardup_capped"]["shuffle_bytes"]),
+            2,
+        )
+        # the ubiquitous-frame cap receipt: 20% of videos carry one
+        # planted hot frame (black frame / test card). WITH the cap
+        # the hot bucket is dropped BEFORE the join; WITHOUT it the
+        # join squares that bucket. min_shared=2 means hot-only pairs
+        # die at the n_shared filter either way — the cap changes NO
+        # answer here, it removes the squared-bucket exchange.
+        if "m_video_neardup_uncapped" in mx:
+            u = mx["m_video_neardup_uncapped"]
+            c = mx["m_video_neardup_capped"]
+            summary["video_hotframe_cap_x10"] = {
+                "uncapped_shuffle_bytes": u["shuffle_bytes"],
+                "capped_shuffle_bytes": c["shuffle_bytes"],
+                "shuffle_ratio_uncapped_over_capped": round(
+                    u["shuffle_bytes"] / max(1, c["shuffle_bytes"]), 2
+                ),
+                "pairs_equal": u["pairs_found"] == c["pairs_found"],
+            }
+        # unigram training: ONE corpus-sized word-count exchange whose
+        # map-side combine collapses to <= vocabulary x tasks rows, EM
+        # rounds vocabulary-bounded — shuffle must track the
+        # VOCABULARY (10x here: replica suffixes), never the corpus;
+        # assert decisively sub-corpus growth (the bpe_train shape,
+        # measured 2.97x there).
+        if "t_unigram_train" in mb and "t_unigram_train" in mx:
+            ug = round(
+                mx["t_unigram_train"]["shuffle_bytes"]
+                / max(1, mb["t_unigram_train"]["shuffle_bytes"]),
+                2,
+            )
+            summary["unigram_train_shuffle_growth_at_10x_corpus"] = ug
+            assert ug < 8.0, (
+                f"unigram train shuffle grew {ug}x at 10x corpus — "
+                "the vocabulary-bounded claim broke"
+            )
+        # audio near-dup delegates to video_neardup_pairs verbatim
+        # (operators/multimodal.audio_neardup_pairs): the window key
+        # is the blocking key, the join/cap/cluster machinery is THE
+        # SAME CODE — the video rows above are its scale receipt; the
+        # fingerprint stage, like the decoders, is a zero-shuffle
+        # Arrow fan-out (plan receipt in PLANS.md).
+        summary["audio_neardup_scale_note"] = (
+            "audio_neardup_pairs delegates to video_neardup_pairs "
+            "(same bag-of-perceptual-keys join, cap, clusters) — the "
+            "m_video_neardup rows are its receipt; audio_fingerprint "
+            "is a zero-shuffle Arrow fan-out"
+        )
+    if mx and m100:
+        for mkey, ckey in (
+            ("m_image_neardup", "m_image_neardup"),
+            ("m_video_neardup_capped", "m_video_neardup"),
+        ):
+            if mkey not in m100 or mkey not in mx:
+                continue
+            decade = round(
+                m100[mkey]["shuffle_bytes"]
+                / max(1, mx[mkey]["shuffle_bytes"]),
+                2,
+            )
+            checks[ckey] = {
+                "x100_over_x10": decade,
+                "linear_ok": 8.5 <= decade <= 11.5,
+            }
+            summary[f"{ckey}_shuffle_growth_x10_to_x100"] = decade
+            if mb and mkey in mb:
+                summary[f"{ckey}_shuffle_growth_at_100x_corpus"] = round(
+                    m100[mkey]["shuffle_bytes"]
+                    / max(1, mb[mkey]["shuffle_bytes"]),
+                    2,
+                )
+
     summary["x100_linearity"] = checks
     summary["x100_linearity_ok"] = all(
         c["linear_ok"] for c in checks.values()
@@ -1092,6 +1201,282 @@ def main() -> None:
         sys.exit(1)
 
 
+# ---------- media tier (round-14): image/video near-dup + unigram ----------
+#
+# The round-13 families' "measured, not argued" receipts. Tier sizes
+# mirror the text battery (550 families/videos per replica; media_x100
+# = 55k families — deliberately under 2^16, see build_images). Results
+# MERGE into the existing BENCH_scale.json (configs media_base /
+# media_x10 / media_x10_dup4x / media_x100; summary keys derived in
+# summarize()) so the text battery never re-runs for a media receipt.
+
+IMG_FAMILIES = 320  # per replica; x100 -> 32_000 <= 2^15 (see build_images)
+MEDIA_DUP_OFFSET = 10_000_000
+VID_PER_REPLICA = 550
+VID_FRAMES = 8
+VID_HOT_PCT = 20  # % of videos carrying the planted ubiquitous frame
+VID_CAP = 50  # max_hash_videos for the capped runs
+
+
+def _board_for_dhash(hex16: str):
+    """9x8 grayscale board whose dHash is EXACTLY ``hex16``: per row
+    y the target byte is hex16[2y:2y+2]; pixels walk v[0]=128,
+    v[x+1] = v[x]-1 if bit (7-x) set else v[x]+1, so
+    grid[y][x] > grid[y][x+1] reproduces each bit (values stay in
+    120..136; grayscale of equal RGB is exact — (299+587+114)v//1000
+    = v)."""
+    import numpy as np
+
+    rows = []
+    for y in range(8):
+        b = int(hex16[2 * y : 2 * y + 2], 16)
+        v = [128]
+        for x in range(8):
+            v.append(v[-1] - 1 if (b >> (7 - x)) & 1 else v[-1] + 1)
+        rows.append(v)
+    g = np.array(rows, dtype=np.uint8)
+    return np.stack([g, g, g], axis=-1)
+
+
+def build_images(spark, replicas: int, dup_pct: int, out_dir: str) -> None:
+    """Image corpus for the near-dup scale tier, REAL BMPs end to end
+    (the measured chain is decode -> dHash -> band -> join). Per
+    family f: TWO exact-dup originals A/B (the re-upload shape,
+    identical pixels) whose four 16-bit dHash bands all equal the
+    EVEN value 2f, plus — at the ``dup_pct``% gate — one Hamming-3
+    near-dup whose bands 1-3 flip bit 0 to the ODD value 2f+1 (band
+    0 still collides, the confirm accepts at Hamming 3). Disjoint
+    namespaces by PARITY: family values are all even and unique,
+    perturbed values all odd and unique, so no band bucket ever
+    holds two families — pure corpus growth with ZERO accidental
+    candidates (the text corpus' replica-suffix rule applied to
+    bits). That proof needs 2f+1 < 2^16, hence the hard 32768-family
+    cap. Confirmed pairs per tier are exactly n_families (A-B) +
+    2 x n_dups (dup-A, dup-B) — linear by construction."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from mongodb_etl_migration_spark.operators.multimodal import encode_bmp
+
+    n = IMG_FAMILIES * replicas
+    if n > 32_768:
+        raise ValueError("image tier exceeds the parity-disjoint cap")
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for f in pdf["id"]:
+                f = int(f)
+                hx = f"{2 * f:04x}" * 4
+                orig = encode_bmp(_board_for_dhash(hx))
+                ids.append(f)
+                payloads.append(orig)
+                ids.append(5_000_000 + f)  # exact-dup re-upload B
+                payloads.append(orig)
+                if f % 100 < dup_pct:
+                    # bands 1..3 flip bit 0: even 2f -> odd 2f+1
+                    hd = f"{2 * f:04x}" + f"{2 * f + 1:04x}" * 3
+                    ids.append(MEDIA_DUP_OFFSET + f)
+                    payloads.append(encode_bmp(_board_for_dhash(hd)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "payload": payloads,
+                    "meta": [
+                        {"media_type": "image", "byte_size": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("media_type", StringType()),
+                        StructField("byte_size", LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    spark.range(n).repartition(32).mapInPandas(synth, schema).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/images")
+
+
+def build_video_frames(spark, replicas: int, dup_pct: int, out_dir: str) -> None:
+    """Per-frame perceptual keys at the video_dhash_frames OUTPUT
+    contract (doc_id, frame_idx, dhash): the decode stage is a
+    zero-shuffle Arrow fan-out (m_video_neardup's plan receipt), so
+    the scale tier synthesizes frames directly and measures the join
+    the corpus size actually stresses. Per video: VID_FRAMES unique
+    frame keys; VID_HOT_PCT% of videos append one shared 'HOT' frame
+    (the planted black-frame/test-card bucket the cap exists for); a
+    planted dup (``dup_pct``% gate) shares its source's first two
+    frames plus two of its own — n_shared=2 exactly."""
+    vids = spark.range(VID_PER_REPLICA * replicas).select(
+        F.col("id").alias("doc_id")
+    )
+    frames = vids.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(f":{k}")
+                    )
+                    for k in range(VID_FRAMES)
+                ]
+            )
+        ).alias("frame_idx", "dhash"),
+    )
+    hot = vids.filter(F.col("doc_id") % 100 < VID_HOT_PCT).select(
+        "doc_id",
+        F.lit(VID_FRAMES).alias("frame_idx"),
+        F.lit("HOT").alias("dhash"),
+    )
+    dup_src = vids.filter(F.col("doc_id") % 100 < dup_pct)
+    dups = dup_src.select(
+        (F.col("doc_id") + F.lit(MEDIA_DUP_OFFSET)).alias("did"),
+        F.posexplode(
+            F.array(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":0")),
+                F.concat(F.col("doc_id").cast("string"), F.lit(":1")),
+                F.concat(
+                    (F.col("doc_id") + F.lit(MEDIA_DUP_OFFSET)).cast(
+                        "string"
+                    ),
+                    F.lit(":own2"),
+                ),
+                F.concat(
+                    (F.col("doc_id") + F.lit(MEDIA_DUP_OFFSET)).cast(
+                        "string"
+                    ),
+                    F.lit(":own3"),
+                ),
+            )
+        ).alias("frame_idx", "dhash"),
+    ).select(
+        F.col("did").alias("doc_id"), "frame_idx", "dhash"
+    )
+    frames.unionByName(hot.select("doc_id", "frame_idx", "dhash")).unionByName(
+        dups
+    ).withColumn("frame_idx", F.col("frame_idx").cast("long")).repartition(
+        32
+    ).write.mode("overwrite").parquet(f"{out_dir}/video_frames")
+
+
+def media_main() -> None:
+    from mongodb_etl_migration_spark.operators import multimodal as M
+    from mongodb_etl_migration_spark.operators import unigram as U
+
+    spark = get_spark(
+        app_name="bench_scale_media",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ui = UiMetrics(spark)
+    media: dict[str, dict] = {}
+
+    def timed_unigram(docs) -> dict:
+        """unigram_train returns a list (the vocab), not a DataFrame:
+        measure around the CALL, the bpe_train timed_train rule.
+        mode='arrow' — the production E-step path; fixed model params
+        (vocab_size/seed_size) while the corpus grows, the
+        fixed-lid-model rule."""
+        w0, r0 = ui.shuffle_totals()
+        t0 = time.time()
+        vocab = U.unigram_train(
+            docs, "text", vocab_size=24, seed_size=60, rounds=2,
+            mode="arrow",
+        )
+        sec = round(time.time() - t0, 3)
+        w1, r1 = ui.shuffle_totals()
+        return {
+            "sec": sec,
+            "shuffle_bytes": (w1 - w0) + (r1 - r0),
+            "pieces": len(vocab),
+        }
+
+    for name, reps in (
+        ("media_base", 1), ("media_x10", 10), ("media_x100", 100)
+    ):
+        out_dir = f"/tmp/bench_scale_{name}"
+        build_images(spark, reps, 10, out_dir)
+        build_video_frames(spark, reps, 10, out_dir)
+        mm = spark.read.parquet(f"{out_dir}/images")
+        pairs = M.image_neardup_pairs(M.image_dhash(mm))
+        im = timed(ui, pairs)
+        im["pairs_found"] = pairs.count()
+        frames = spark.read.parquet(f"{out_dir}/video_frames")
+        vp = M.video_neardup_pairs(
+            frames, min_shared=2, max_hash_videos=VID_CAP
+        )
+        vc = timed(ui, vp)
+        vc["pairs_found"] = vp.count()
+        entry = {
+            "images": mm.count(),
+            "families": IMG_FAMILIES * reps,
+            "videos": VID_PER_REPLICA * reps,
+            "dup_pct": 10,
+            "hot_pct": VID_HOT_PCT,
+            "m_image_neardup": im,
+            "m_video_neardup_capped": vc,
+        }
+        if name == "media_x10":
+            vpu = M.video_neardup_pairs(frames, min_shared=2)
+            vu = timed(ui, vpu)
+            vu["pairs_found"] = vpu.count()
+            entry["m_video_neardup_uncapped"] = vu
+            d4_dir = f"/tmp/bench_scale_media_x10_dup4x"
+            build_images(spark, reps, 40, d4_dir)
+            mm4 = spark.read.parquet(f"{d4_dir}/images")
+            p4 = M.image_neardup_pairs(M.image_dhash(mm4))
+            im4 = timed(ui, p4)
+            im4["pairs_found"] = p4.count()
+            media["media_x10_dup4x"] = {
+                "images": mm4.count(),
+                "families": IMG_FAMILIES * reps,
+                "dup_pct": 40,
+                "m_image_neardup": im4,
+            }
+        if name in ("media_base", "media_x10"):
+            text_dir = f"/tmp/bench_scale_{'base' if reps == 1 else 'x10'}"
+            if not Path(f"{text_dir}/documents").exists():
+                build_corpus(spark, reps, 10, text_dir)
+            docs = spark.read.parquet(f"{text_dir}/documents")
+            entry["t_unigram_train"] = timed_unigram(docs)
+        media[name] = entry
+        print(f"{name}: {json.dumps(media[name])}", file=sys.stderr)
+
+    path = REPO / "BENCH_scale.json"
+    data = json.loads(path.read_text())
+    data["configs"].update(media)
+    data["summary"] = summarize(data["configs"])
+    path.write_text(json.dumps(data, indent=1) + "\n")
+    print(json.dumps(data["summary"]))
+    spark.stop()
+    if not data["summary"]["x100_linearity_ok"]:
+        print(
+            "FAIL: x10->x100 decade shuffle growth outside 10+/-15%: "
+            f"{data['summary']['x100_linearity']}",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+
 def resummarize() -> None:
     """Recompute the derived summary from the measured configs in the
     existing BENCH_scale.json (no re-run): used when only the ratio
@@ -1108,5 +1493,7 @@ def resummarize() -> None:
 if __name__ == "__main__":
     if "--resummarize" in sys.argv:
         resummarize()
+    elif "--media" in sys.argv:
+        media_main()
     else:
         main()
