@@ -2745,6 +2745,99 @@ def video_neardup_pairs(
     )
 
 
+def video_neardup_aligned(
+    frames: DataFrame,
+    id_col: str = "doc_id",
+    idx_col: str = "frame_idx",
+    hash_col: str = "dhash",
+    min_shared: int = 2,
+    max_hash_videos: int | None = None,
+) -> DataFrame:
+    """TEMPORALLY-ALIGNED video near-dup — the ordered-run upgrade
+    over :func:`video_neardup_pairs`' bag-of-frames `min_shared`
+    (which accepts any two videos sharing N frames regardless of
+    order): per candidate pair, every shared frame hash contributes a
+    match (idx_a, idx_b); matches with the SAME index delta that sit
+    on CONSECUTIVE idx_a form an aligned run (gaps-and-islands on
+    ``idx_a - row_number()`` within (pair, delta) — the span-island
+    trick from the text family applied to frame indices), and the
+    pair's score is its LONGEST run. A trimmed copy (frames k..k+m at
+    a constant offset) scores run m+1; a shuffled/reversed re-cut of
+    the same frames scores runs of 1 — alignment separates what
+    bag-of-frames cannot.
+
+    Plan: the frame hash is still the ONLY blocking key (one distinct
+    is NOT taken — index positions must survive — so the corpus-sized
+    stages are the (video, idx, hash) repartition feeding the
+    per-hash self-join via ReusedExchange, plus the optional
+    ubiquitous-key frequency aggregate); the islands window and both
+    aggregates are candidate-match-bounded, partitioned by
+    (pair, delta) / (pair). ``max_hash_videos`` uses the same
+    broadcast-left-anti over-cap rule as video_neardup_pairs (here
+    frequency = DISTINCT videos per hash, since a hash may repeat
+    within one video's frames). Output:
+    (id_a, id_b, n_shared, longest_run) for pairs sharing ≥
+    ``min_shared`` distinct hashes."""
+    from pyspark.sql import Window
+
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    fh = frames.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col), F.col(idx_col), F.col(hash_col)
+    )
+    if max_hash_videos is not None:
+        hot = (
+            fh.select(id_col, hash_col)
+            .distinct()
+            .groupBy(hash_col)
+            .agg(F.count("*").alias("__nv"))
+            .filter(F.col("__nv") > max_hash_videos)
+            .select(hash_col)
+        )
+        fh = fh.join(F.broadcast(hot), hash_col, "left_anti")
+    shuffled = fh.repartition(F.col(hash_col))
+    left = shuffled.select(
+        F.col(hash_col),
+        F.col(id_col).alias("id_a"),
+        F.col(idx_col).alias("idx_a"),
+    )
+    right = shuffled.select(
+        F.col(hash_col),
+        F.col(id_col).alias("id_b"),
+        F.col(idx_col).alias("idx_b"),
+    )
+    matches = (
+        left.join(right, hash_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("delta", F.col("idx_b") - F.col("idx_a"))
+    )
+    # (pair, delta, idx_a) is unique (one frame per index), so the
+    # row_number difference is a valid island key
+    w = Window.partitionBy("id_a", "id_b", "delta").orderBy("idx_a")
+    runs = (
+        matches.withColumn(
+            "__isl", F.col("idx_a") - F.row_number().over(w)
+        )
+        .groupBy("id_a", "id_b", "delta", "__isl")
+        .agg(
+            F.count("*").alias("__run"),
+            F.collect_set(hash_col).alias("__hs"),
+        )
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("__hs")))
+            )
+            .cast("bigint")
+            .alias("n_shared"),
+            F.max("__run").cast("bigint").alias("longest_run"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 AUDIO_FEATURES_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

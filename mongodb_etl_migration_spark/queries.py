@@ -6931,6 +6931,136 @@ def m_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "m_video_neardup_aligned",
+    """
+    WITH params AS (
+      SELECT doc_id, (doc_id // 7) // 3 AS fam, (doc_id // 7) % 3 AS variant
+      FROM documents WHERE doc_id % 7 = 5
+    ), fr AS (
+      SELECT doc_id, k.k AS frame_idx,
+             CASE WHEN variant = 0 THEN fam * 1000 + k.k
+                  WHEN variant = 1 THEN fam * 1000 + k.k + 1
+                  ELSE fam * 1000 + (5 - k.k) END AS seed
+      FROM params, (SELECT unnest(range(0, 6)) AS k) k
+      WHERE k.k < CASE WHEN variant = 1 THEN 4 ELSE 6 END
+    ), px AS (
+      SELECT doc_id, frame_idx, y.y AS y, x.x AS x,
+             (('0x' || substr(md5(seed || '_' || y.y || '_' || x.x),
+                              1, 2))::BIGINT // 4) * 4 AS v
+      FROM fr,
+           (SELECT unnest(range(0, 8)) AS y) y,
+           (SELECT unnest(range(0, 9)) AS x) x
+    ), cmp AS (
+      SELECT doc_id, frame_idx, y, x, v,
+             lead(v) OVER (PARTITION BY doc_id, frame_idx, y
+                           ORDER BY x) AS vn
+      FROM px
+    ), rowbytes AS (
+      SELECT doc_id, frame_idx, y,
+             CAST(sum(CASE WHEN v > vn THEN 1 << (7 - x) ELSE 0 END)
+                  AS BIGINT) AS rv
+      FROM cmp WHERE x < 8 GROUP BY doc_id, frame_idx, y
+    ), hashes AS (
+      SELECT doc_id, frame_idx,
+             string_agg(lpad(lower(to_hex(rv)), 2, '0'), '' ORDER BY y)
+               AS dhash
+      FROM rowbytes GROUP BY doc_id, frame_idx
+    ), mt AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.dhash AS dhash,
+             a.frame_idx AS idx_a, b.frame_idx AS idx_b,
+             b.frame_idx - a.frame_idx AS delta
+      FROM hashes a
+      JOIN hashes b ON a.dhash = b.dhash AND a.doc_id < b.doc_id
+    ), isl AS (
+      SELECT id_a, id_b, delta, dhash,
+             idx_a - row_number() OVER (PARTITION BY id_a, id_b, delta
+                                        ORDER BY idx_a) AS g
+      FROM mt
+    ), runs AS (
+      SELECT id_a, id_b, delta, g, count(*) AS run
+      FROM isl GROUP BY 1, 2, 3, 4
+    ), rmax AS (
+      SELECT id_a, id_b, max(run) AS longest_run
+      FROM runs GROUP BY 1, 2
+    ), ns AS (
+      SELECT id_a, id_b, count(DISTINCT dhash) AS n_shared
+      FROM mt GROUP BY 1, 2
+    )
+    SELECT ns.id_a, ns.id_b, CAST(ns.n_shared AS BIGINT) AS n_shared,
+           CAST(rmax.longest_run AS BIGINT) AS longest_run
+    FROM ns JOIN rmax ON ns.id_a = rmax.id_a AND ns.id_b = rmax.id_b
+    WHERE ns.n_shared >= 2
+    """,
+)
+def m_video_neardup_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORALLY-ALIGNED video near-dup
+    (multimodal.video_neardup_aligned): bag-of-frames min_shared
+    upgraded with the longest ALIGNED run — matches sharing one index
+    delta on consecutive source indices (gaps-and-islands on
+    ``idx_a - row_number()`` within (pair, delta)). Fixture (1/7
+    slice ``doc_id %% 7 = 5``, families of 3, real lossless-GIF
+    md5-board frames like m_video_neardup): v0 = frames 0..5, v1 =
+    the TRIMMED copy (frames 1..4 — constant delta, aligned run 4),
+    v2 = the REVERSED re-cut of the SAME six frames (every delta
+    distinct, so every run is 1). Bag-of-frames cannot separate v1
+    (n_shared 4) from v2 (n_shared 6 — MORE shared frames!), but
+    longest_run ranks the trim 4 vs the shuffle 1 — exactly the
+    separation the fixture plants. The oracle regenerates every frame
+    hash analytically (GIF is lossless, pixels are the quantized md5
+    boards) and reruns the match/island/run algebra in SQL window
+    functions — codec, frame walk, join, and the alignment window all
+    cross-checked. Plan: frame-hash blocking above ONE repartition
+    (ReusedExchange); the islands window and aggregates are
+    candidate-match-bounded, all partitioned."""
+    import hashlib
+
+    import numpy as np
+
+    from mongodb_etl_migration_spark.operators.multimodal import encode_gif
+
+    d = (
+        Catalog(spark, sf_dir)
+        .documents.select("doc_id")
+        .filter(F.expr("doc_id % 7 = 5"))
+    )
+    pal = np.array([[4 * i] * 3 for i in range(64)], dtype=np.uint8)
+
+    def make_payload(did: int) -> bytes:
+        k0 = did // 7
+        fam, variant = k0 // 3, k0 % 3
+        seeds = {
+            0: [fam * 1000 + k for k in range(6)],
+            1: [fam * 1000 + k + 1 for k in range(4)],
+            2: [fam * 1000 + (5 - k) for k in range(6)],
+        }[variant]
+        frames = []
+        for s in seeds:
+            idx = np.array(
+                [
+                    [
+                        int(
+                            hashlib.md5(
+                                f"{s}_{y}_{x}".encode()
+                            ).hexdigest()[:2],
+                            16,
+                        )
+                        // 4
+                        for x in range(9)
+                    ]
+                    for y in range(8)
+                ],
+                dtype=np.uint8,
+            )
+            frames.append(idx)
+        return encode_gif(frames, pal)
+
+    mm = _mm_payload_table(d, make_payload)
+    return M.video_neardup_aligned(
+        M.video_dhash_frames(mm), min_shared=2
+    )
+
+
 _AUDIO_NEARDUP_CTES = """
     WITH params AS MATERIALIZED (
       SELECT doc_id, (doc_id // 7) // 3 AS fam, (doc_id // 7) % 3 AS variant

@@ -2410,3 +2410,73 @@ def test_audio_neardup_persisted_index_probe(spark, tmp_path):
         ).collect()
     )
     assert a == b and len(a) >= 6  # per fam: v0 (appended), v1, v2
+
+
+def test_video_neardup_aligned_separates_trim_from_shuffle(spark):
+    """The planted fixture bag-of-frames cannot separate: video 1 =
+    frames a..f in order; video 2 = the TRIMMED copy (b..e, constant
+    offset); video 3 = the REVERSED re-cut of all six frames. Video 3
+    shares MORE frames with 1 (6 > 4), yet its longest aligned run is
+    1 while the trim scores 4 — alignment, not bag size, ranks the
+    true copy. Also: duplicate in-video frames, the ubiquitous-key
+    cap (distinct-videos frequency), and min_shared refusal."""
+    import pytest
+
+    from mongodb_etl_migration_spark.operators import multimodal as M
+
+    h = [f"{c}" * 16 for c in "abcdef"]
+    rows = (
+        [(1, k, h[k]) for k in range(6)]
+        + [(2, k, h[k + 1]) for k in range(4)]
+        + [(3, k, h[5 - k]) for k in range(6)]
+    )
+    fr = spark.createDataFrame(
+        rows, "doc_id bigint, frame_idx bigint, dhash string"
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_shared, r.longest_run)
+        for r in M.video_neardup_aligned(fr, min_shared=2).collect()
+    }
+    assert got == {
+        (1, 2): (4, 4),  # trim: delta -1 constant, idx_a 1..4
+        (1, 3): (6, 1),  # reversal: every delta distinct
+        (2, 3): (4, 1),  # trim vs reversal: deltas 4-2j
+    }
+    # bag-of-frames ranks 3 ABOVE 2 — the separation the run fixes
+    bag = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in M.video_neardup_pairs(fr, min_shared=2).collect()
+    }
+    assert bag[(1, 3)] > bag[(1, 2)]
+
+    # a looping video (frame repeated at several indices) still runs:
+    # video 4 = a,b,a,b matches video 1's a,b at two deltas; the
+    # aligned run through (a,b) at delta 0 is 2
+    loop = spark.createDataFrame(
+        [(1, k, h[k]) for k in range(6)]
+        + [(4, 0, h[0]), (4, 1, h[1]), (4, 2, h[0]), (4, 3, h[1])],
+        "doc_id bigint, frame_idx bigint, dhash string",
+    )
+    lg = {
+        (r.id_a, r.id_b): (r.n_shared, r.longest_run)
+        for r in M.video_neardup_aligned(loop, min_shared=2).collect()
+    }
+    assert lg == {(1, 4): (2, 2)}
+
+    # ubiquitous-key cap: frequency counts DISTINCT videos, so the
+    # repeats inside video 4 don't trip a cap of 2
+    capped = {
+        (r.id_a, r.id_b): (r.n_shared, r.longest_run)
+        for r in M.video_neardup_aligned(
+            loop, min_shared=2, max_hash_videos=2
+        ).collect()
+    }
+    assert capped == lg
+    assert (
+        M.video_neardup_aligned(
+            loop, min_shared=1, max_hash_videos=1
+        ).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match=">= 1"):
+        M.video_neardup_aligned(fr, min_shared=0)
