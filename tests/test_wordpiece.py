@@ -204,3 +204,48 @@ def test_encode_roundtrip_decodes_training_words(spark):
             for i in ids
         )
         assert joined == w
+
+
+def test_token_ids_dedup_equals_direct_paths(spark):
+    """The dictionary-encode operator (text.token_ids_dedup) is
+    output-identical to the per-occurrence Column paths for BOTH
+    word-keyed families — including OOV NULL elements, repeated
+    words, case folding, and empty/whitespace documents (row kept,
+    empty array)."""
+    from mongodb_etl_migration_spark.operators import text as T
+    from mongodb_etl_migration_spark.operators import unigram as U
+
+    train = spark.createDataFrame(
+        [(0, "spark parse mask task ask asks")],
+        "doc_id bigint, text string",
+    )
+    docs = [
+        (1, "spark spark parse ask"),
+        (2, "mask QQQ task"),  # qqq: q not in either alphabet
+        (3, ""),
+        (4, "   "),
+        (5, "Ask ASKS spark"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    _m, wp_vocab = WP.wordpiece_train(train, "text", n_merges=8)
+    uni_vocab = U.unigram_train(
+        train, "text", vocab_size=14, seed_size=40, rounds=2
+    )
+    for encode in (
+        lambda w: WP.wordpiece_token_ids(w, wp_vocab),
+        lambda w: U.unigram_token_ids(w, uni_vocab),
+    ):
+        direct = {
+            r.doc_id: list(r.ids)
+            for r in df.select(
+                "doc_id", encode(F.col("text")).alias("ids")
+            ).collect()
+        }
+        dedup = {
+            r.doc_id: list(r.token_ids)
+            for r in T.token_ids_dedup(df, "text", encode).collect()
+        }
+        assert dedup == direct
+        assert dedup[3] == [] and dedup[4] == []
+        assert None in dedup[2]
