@@ -591,3 +591,153 @@ def test_streaming_sft_ingest_matches_batch(spark, tmp_path):
     assert sorted(r[0] for r in got) == [10, 13]
     kept = {r[0]: r[2] for r in got}
     assert kept == {10: 1, 13: 1}
+
+
+def test_streaming_image_ingest_matches_batch(spark, tmp_path):
+    """Drop-by-drop image near-dup ingest, one code path (round-14
+    stretch — the streaming-curation convention applied to the image
+    family): a producer lands parquet shards of raw image payloads,
+    the stream tails the directory, and each micro-batch decodes →
+    dHashes → probes the PERSISTED band index → APPENDS its own
+    hashes (multimodal.write_dhash_index mode='append', the additive
+    maintenance path). The union of streamed batches equals the
+    sequential batch twin row-for-row; a drop-B image whose only
+    near-dup arrived in drop A matches BECAUSE the in-loop append
+    advanced the index; and the maintained index is row- and
+    stats-identical to a from-scratch rebuild over history + drops
+    (the append_ivf_index parity rule)."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mongodb_etl_migration_spark.operators import multimodal as M
+
+    def board(seed):
+        v = np.array(
+            [
+                [
+                    int(
+                        hashlib.md5(f"{seed}_{y}_{x}".encode())
+                        .hexdigest()[:2],
+                        16,
+                    )
+                    for x in range(9)
+                ]
+                for y in range(8)
+            ],
+            dtype=np.int64,
+        )
+        return np.stack([v, v, v], axis=-1).astype(np.uint8)
+
+    def perturb(px):
+        out = px.copy().astype(np.int64)
+        out[0:3, 0, :] = 255 - out[0:3, 0, :]  # <=3 difference bits
+        return out.astype(np.uint8)
+
+    def mm(rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, payload binary"
+        )
+
+    hist = mm([(i + 1, M.encode_bmp(board(i))) for i in range(3)])
+    idx = str(tmp_path / "dhashidx")
+    M.write_dhash_index(M.image_dhash(hist), idx)
+
+    # drop A: 10 = PNG re-encode of history board 0 (codec-invariant
+    # exact hash), 11 = fresh board; drop B: 12 = perturbed history
+    # board 1 (Hamming <= 3), 13 = fresh, 14 = PNG re-encode of 11 —
+    # its ONLY near-dup arrived in drop A, so a match proves the
+    # per-batch append advanced the index
+    drop_a = [
+        (10, M.encode_png(board(0))),
+        (11, M.encode_bmp(board(100))),
+    ]
+    drop_b = [
+        (12, M.encode_bmp(perturb(board(1)))),
+        (13, M.encode_bmp(board(101))),
+        (14, M.encode_png(board(100))),
+    ]
+    drops = str(tmp_path / "drops")
+    os.makedirs(drops)
+    for name, rows, mtime in (
+        ("a.parquet", drop_a, 1_000_000_000),
+        ("b.parquet", drop_b, 1_000_000_100),
+    ):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        [r[0] for r in rows], type=pa.int64()
+                    ),
+                    "payload": pa.array(
+                        [r[1] for r in rows], type=pa.binary()
+                    ),
+                }
+            ),
+            f"{drops}/{name}",
+        )
+        os.utime(f"{drops}/{name}", (mtime, mtime))
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ingest(batch_df, batch_id):
+        dh = M.image_dhash(batch_df).localCheckpoint(eager=True)
+        M.image_neardup_against_index(dh, idx).write.mode(
+            "overwrite"
+        ).parquet(f"{sink}/batch_id={batch_id}")
+        M.write_dhash_index(dh, idx, mode="append")
+
+    q = (
+        spark.readStream.schema("doc_id bigint, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        (r.id_new, r.id_indexed, r.hamming)
+        for r in spark.read.parquet(sink).collect()
+    )
+
+    # sequential batch twin: same probe-then-append over a second
+    # index copy, plain DataFrames — streaming adds/loses nothing
+    idx2 = str(tmp_path / "dhashidx2")
+    M.write_dhash_index(M.image_dhash(hist), idx2)
+    want = []
+    for rows in (drop_a, drop_b):
+        dh = M.image_dhash(mm(rows)).localCheckpoint(eager=True)
+        want.extend(
+            (r.id_new, r.id_indexed, r.hamming)
+            for r in M.image_neardup_against_index(dh, idx2).collect()
+        )
+        M.write_dhash_index(dh, idx2, mode="append")
+    assert got == sorted(want)
+    assert [(n, i) for n, i, _h in got] == [(10, 1), (12, 2), (14, 11)]
+    assert got[0][2] == 0 and got[2][2] == 0 and got[1][2] <= 3
+
+    # maintained index == from-scratch rebuild (rows AND stats)
+    rebuilt = str(tmp_path / "dhashidx3")
+    all_mm = mm(
+        [(i + 1, M.encode_bmp(board(i))) for i in range(3)]
+        + drop_a
+        + drop_b
+    )
+    M.write_dhash_index(M.image_dhash(all_mm), rebuilt)
+    rows_of = lambda p: sorted(
+        (int(r.band), r.band_key, r.doc_id, r.dhash)
+        for r in spark.read.parquet(p).collect()
+    )
+    assert rows_of(idx) == rows_of(rebuilt)
+    stats_of = lambda p: [
+        (r.bands, r.n_images)
+        for r in spark.read.parquet(f"{p}/_stats").collect()
+    ]
+    assert stats_of(idx) == stats_of(rebuilt)
