@@ -26,10 +26,37 @@ NOTES = {
         "<= seed_size). Costs are no-libm Q16 integer logs."
     ),
     "t_unigram_ids": (
-        "Unigram Viterbi encode: the trained cost/id tables fold into "
-        "the plan as literal maps; per-word DP + backtrack are "
-        "aggregate expressions inside one transform — pure Project, "
-        "zero shuffle, zero UDF (the lang_id_hashed shape)."
+        "Unigram Viterbi encode via the DICTIONARY path "
+        "(token_ids_dedup): the DP fold (literal-map costs/ids, zero "
+        "UDF) runs once per DISTINCT wordform; the corpus-side word "
+        "stream meets the encoded dictionary in a BROADCAST join "
+        "(never shuffled for the join) and one groupBy(doc) exchange "
+        "reassembles streams in word order — the zipfian dedup win, "
+        "measured 4.8x over the per-occurrence fold at sf0.1."
+    ),
+    "t_wordpiece_train": (
+        "WordPiece trainer (BERT family): ONE corpus-sized word-count "
+        "exchange, then delta-maintained driver-side merges over the "
+        "dimension-sized vocabulary — scores compared EXACTLY via the "
+        "fixed-point key (cnt << 100) // (lcnt*rcnt), no floats "
+        "anywhere. The plan is the word count plus a driver-result "
+        "scan, the bpe_train shape."
+    ),
+    "t_wordpiece_ids": (
+        "WordPiece greedy longest-match encode via the DICTIONARY "
+        "path (token_ids_dedup): per DISTINCT word, a coalesce chain "
+        "of length-descending literal-map probes (bare start forms / "
+        "stripped continuations), broadcast-joined back + one "
+        "groupBy(doc) reassembly exchange. Honest-OOV NULLs ride "
+        "through as 'x'."
+    ),
+    "m_video_neardup_aligned": (
+        "Temporally-aligned video near-dup: frame-hash blocking above "
+        "ONE repartition (ReusedExchange), then gaps-and-islands on "
+        "idx_a - row_number within (pair, delta) — the islands window "
+        "and both aggregates are candidate-match-bounded and "
+        "partitioned; longest aligned run separates a trim from a "
+        "shuffled re-cut that bag-of-frames ranks HIGHER."
     ),
     "m_audio_neardup": (
         "Audio near-dup end-to-end: per-window integer fingerprint "

@@ -36,6 +36,8 @@ ARROW_OK = {
     "m_video_neardup",       # per-frame dHash fan-out through the real
                              # GIF/MJPEG decoders (mapInPandas) feeding
                              # the shared-frame join
+    "m_video_neardup_aligned",  # same decode fan-out feeding the
+                                # aligned-run island windows
     "m_image_neardup",       # dHash stage (mapInPandas) under the CC
                              # loop — usually hidden behind the round
                              # checkpoints, listed in case
