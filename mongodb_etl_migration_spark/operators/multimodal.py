@@ -3014,6 +3014,137 @@ def audio_neardup_pairs(
     )
 
 
+def write_video_frame_index(
+    frames: DataFrame,
+    path: str,
+    every_n: int = 1,
+    buckets: int = 16,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the video frame-hash index for INCREMENTAL near-dup —
+    the write_audio_fp_index shape for the video family (the last
+    modality without a persisted probe path): decode + dHash the
+    historical corpus once (``frames`` = video_dhash_frames output);
+    each ingest batch probes the index instead of re-decoding
+    history. Layout: distinct (kb, dhash, doc_id) Hive-partitioned
+    by ``kb`` (md5-bucketed key space) so a probe's equi-join prunes
+    to the batch's buckets. The 1-row ``_stats`` frame persists
+    (buckets, every_n, n_videos): probes re-decode their batch with
+    the INDEX's OWN frame stride — never a re-passed literal (the
+    bm25_probe_indexed rule; mixed strides would compare different
+    frame samplings). ``mode="append"``: batch-sized writes into
+    existing bucket dirs after validating (buckets, every_n);
+    n_videos DERIVED from the written postings (self-healing, never
+    a second action over an uncached decode frame). Append-only
+    single-writer."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(
+            f"write_video_frame_index mode must be overwrite|append, "
+            f"got {mode!r}"
+        )
+    spark = frames.sparkSession
+    if mode == "append":
+        try:
+            prev = spark.read.parquet(f"{path}/_stats").collect()[0]
+        except Exception as exc:
+            raise ValueError(
+                f"write_video_frame_index(mode='append') needs an "
+                f"existing index at {path!r} (unreadable _stats): {exc}"
+            ) from exc
+        got = (int(prev["buckets"]), int(prev["every_n"]))
+        want = (int(buckets), int(every_n))
+        if got != want:
+            raise ValueError(
+                f"frame-index parameter mismatch: index at {path!r} "
+                f"has (buckets, every_n)={got}, append got {want} — "
+                "probes derive parameters from the index, a mixed "
+                "index compares different frame samplings"
+            )
+    rows = (
+        frames.filter(F.col(hash_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(hash_col).alias("dhash"),
+        )
+        .distinct()
+        .select(_fkey_bucket(F.col("dhash"), buckets), "dhash", "doc_id")
+    )
+    rows.write.mode(mode).partitionBy("kb").parquet(path)
+    n = (
+        spark.read.parquet(path)
+        .agg(F.countDistinct("doc_id"))
+        .collect()[0][0]
+    )
+    spark.createDataFrame(
+        [(int(buckets), int(every_n), int(n))],
+        "buckets int, every_n int, n_videos bigint",
+    ).write.mode("overwrite").parquet(f"{path}/_stats")
+
+
+def video_neardup_against_index(
+    new_multimodal: DataFrame,
+    path: str,
+    min_shared: int = 2,
+    max_hash_videos: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INCREMENTAL video near-dup: decode + dHash ONLY the new batch
+    (with the persisted index's own frame stride — 1-row bounded
+    stats read) and equi-join the index on (kb, dhash) — history is
+    never re-decoded, and the bucket layout prunes index partitions
+    to the batch's kb values. ``max_hash_videos`` reproduces the
+    batch pipeline's ubiquitous-frame cap over the union exactly as
+    audio_neardup_against_index does (union frequency = candidate-
+    bounded distinct indexed videos + batch videos per key). Output:
+    (id_new, id_indexed, n_shared) with n_shared ≥ ``min_shared``."""
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    spark = new_multimodal.sparkSession
+    st = spark.read.parquet(f"{path}/_stats").collect()[0]
+    buckets, every_n = int(st["buckets"]), int(st["every_n"])
+    fr = video_dhash_frames(new_multimodal, every_n, id_col)
+    bfr = (
+        fr.filter(F.col("dhash").isNotNull())
+        .select("doc_id", "dhash")
+        .distinct()
+        .select(_fkey_bucket(F.col("dhash"), buckets), "dhash", "doc_id")
+        .localCheckpoint(eager=False)  # 2 consumers: join + key counts
+    )
+    idx = spark.read.parquet(path)
+    cand = (
+        bfr.withColumnRenamed("doc_id", "id_new")
+        .join(
+            idx.withColumnRenamed("doc_id", "id_indexed"),
+            ["kb", "dhash"],
+        )
+        .filter(F.col("id_new") != F.col("id_indexed"))
+        .localCheckpoint(eager=False)  # 2 consumers: counts + pairs
+    )
+    if max_hash_videos is not None:
+        nb = bfr.groupBy("kb", "dhash").agg(
+            F.count("*").alias("__nb")
+        )
+        ni = cand.groupBy("kb", "dhash").agg(
+            F.countDistinct("id_indexed").alias("__ni")
+        )
+        good = (
+            ni.join(nb, ["kb", "dhash"])
+            .filter(
+                F.col("__ni") + F.col("__nb")
+                <= F.lit(int(max_hash_videos))
+            )
+            .select("kb", "dhash")
+        )
+        cand = cand.join(good, ["kb", "dhash"])
+    return (
+        cand.groupBy("id_new", "id_indexed")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def audio_neardup_clusters(
     fp: DataFrame,
     id_col: str = "doc_id",

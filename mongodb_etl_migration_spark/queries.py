@@ -6883,6 +6883,21 @@ def m_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the blocking key — one distinct (video, hash) exchange + the
     per-hash self-join above a single repartition (ReusedExchange);
     never all-pairs of videos."""
+    mm = _video_neardup_fixture(spark, sf_dir)
+    return M.video_neardup_pairs(
+        M.video_dhash_frames(mm), min_shared=2
+    )
+
+
+def _video_neardup_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture for m_video_neardup / m_video_neardup_probe
+    (1/7 slice ``doc_id %% 7 = 4``, families of 3): v0 = 4 md5-board
+    frames, v1 = the SAME reel shifted one frame (a trim — shares 3
+    of 4), v2 = an unrelated reel; lossless GIF (64-gray palette,
+    values quantized to multiples of 4) so oracles recompute every
+    frame hash analytically. ONE builder so the cluster and probe
+    fixtures can never silently fork (the _image_neardup_fixture
+    rule)."""
     import hashlib
 
     import numpy as np
@@ -6925,10 +6940,86 @@ def m_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             frames.append(idx)
         return encode_gif(frames, pal)
 
-    mm = _mm_payload_table(d, make_payload)
-    return M.video_neardup_pairs(
-        M.video_dhash_frames(mm), min_shared=2
+    return _mm_payload_table(d, make_payload)
+
+
+@query(
+    "m_video_neardup_probe",
+    """
+    WITH params AS (
+      SELECT doc_id, (doc_id // 7) // 3 AS fam, (doc_id // 7) % 3 AS variant
+      FROM documents WHERE doc_id % 7 = 4
+    ), fr AS (
+      SELECT doc_id, variant, k.k AS frame_idx,
+             CASE WHEN variant = 0 THEN fam * 1000 + k.k
+                  WHEN variant = 1 THEN fam * 1000 + k.k + 1
+                  ELSE fam * 1000 + 100 + k.k END AS seed
+      FROM params, (SELECT unnest(range(0, 4)) AS k) k
+    ), px AS (
+      SELECT doc_id, variant, frame_idx, y.y AS y, x.x AS x,
+             (('0x' || substr(md5(seed || '_' || y.y || '_' || x.x),
+                              1, 2))::BIGINT // 4) * 4 AS v
+      FROM fr,
+           (SELECT unnest(range(0, 8)) AS y) y,
+           (SELECT unnest(range(0, 9)) AS x) x
+    ), cmp AS (
+      SELECT doc_id, variant, frame_idx, y, x, v,
+             lead(v) OVER (PARTITION BY doc_id, frame_idx, y
+                           ORDER BY x) AS vn
+      FROM px
+    ), rowbytes AS (
+      SELECT doc_id, variant, frame_idx, y,
+             CAST(sum(CASE WHEN v > vn THEN 1 << (7 - x) ELSE 0 END)
+                  AS BIGINT) AS rv
+      FROM cmp WHERE x < 8 GROUP BY doc_id, variant, frame_idx, y
+    ), hashes AS (
+      SELECT DISTINCT doc_id, variant, dhash FROM (
+        SELECT doc_id, variant, frame_idx,
+               string_agg(lpad(lower(to_hex(rv)), 2, '0'), ''
+                          ORDER BY y) AS dhash
+        FROM rowbytes GROUP BY doc_id, variant, frame_idx
+      )
     )
+    SELECT n.doc_id AS id_new, h.doc_id AS id_indexed,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM hashes n
+    JOIN hashes h ON n.dhash = h.dhash
+    WHERE n.variant = 0 AND h.variant != 0
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def m_video_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL video near-dup against the PERSISTED frame-hash
+    index (multimodal.write_video_frame_index →
+    video_neardup_against_index — the last modality gets its probe
+    path, closing the image/audio/video symmetry): the video history
+    (variants 1-2 of the m_video_neardup fixture) decodes + dHashes
+    ONCE into md5-bucketed distinct (kb, dhash, doc_id) postings
+    with a self-describing stats row (buckets, every_n, n_videos);
+    the new batch (variant 0) decodes only itself WITH THE INDEX'S
+    OWN frame stride and equi-joins on (kb, dhash) — history never
+    re-decoded, index partitions pruned to the batch's buckets. The
+    oracle recomputes every frame hash analytically and emits the
+    cross-split shared-frame counts — probe == batch pipeline
+    restricted to (new × indexed). Scratch index keyed by fixture +
+    pid (no concurrent-run races)."""
+    import os
+    import tempfile
+
+    mm = _video_neardup_fixture(spark, sf_dir)
+    frames = M.video_dhash_frames(mm).localCheckpoint(eager=False)
+    k0 = F.floor(F.col("doc_id") / 7).cast("long")
+    hist = frames.filter(k0 % 3 != 0)
+    batch_mm = mm.filter(
+        F.floor(F.col("doc_id") / 7).cast("long") % 3 == 0
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "mongodb_etl_migration_spark_vframeidx_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    M.write_video_frame_index(hist, path, every_n=1)
+    return M.video_neardup_against_index(batch_mm, path, min_shared=2)
 
 
 @query(

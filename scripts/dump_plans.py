@@ -50,6 +50,13 @@ NOTES = {
         "groupBy(doc) reassembly exchange. Honest-OOV NULLs ride "
         "through as 'x'."
     ),
+    "m_video_neardup_probe": (
+        "Incremental video near-dup: the batch decodes + dHashes only "
+        "itself (index's OWN every_n stride from its stats row) and "
+        "equi-joins the md5-bucketed persisted postings on "
+        "(kb, dhash) — history never re-decoded; the union "
+        "ubiquitous-frame cap is candidate-bounded."
+    ),
     "m_video_neardup_aligned": (
         "Temporally-aligned video near-dup: frame-hash blocking above "
         "ONE repartition (ReusedExchange), then gaps-and-islands on "

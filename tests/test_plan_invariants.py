@@ -38,6 +38,8 @@ ARROW_OK = {
                              # the shared-frame join
     "m_video_neardup_aligned",  # same decode fan-out feeding the
                                 # aligned-run island windows
+    "m_video_neardup_probe",    # history + batch decode fan-outs
+                                # around the persisted frame index
     "m_image_neardup",       # dHash stage (mapInPandas) under the CC
                              # loop — usually hidden behind the round
                              # checkpoints, listed in case

@@ -2480,3 +2480,130 @@ def test_video_neardup_aligned_separates_trim_from_shuffle(spark):
     )
     with pytest.raises(ValueError, match=">= 1"):
         M.video_neardup_aligned(fr, min_shared=0)
+
+
+def test_video_neardup_persisted_index_probe(spark, tmp_path):
+    """Incremental video near-dup (the last modality's probe path):
+    probe == from-scratch batch run over history ∪ batch restricted
+    to cross pairs, including the union ubiquitous-frame cap; append
+    maintenance refuses parameter mismatches, derives n_videos from
+    the postings, and an appended index probes identically to a
+    rebuild. Synthetic GIF reels through the REAL codec."""
+    import numpy as np
+    import pytest
+
+    from mongodb_etl_migration_spark.operators.multimodal import encode_gif
+
+    pal = np.array([[4 * i] * 3 for i in range(64)], dtype=np.uint8)
+
+    import hashlib
+
+    def gif(seeds):
+        frames = []
+        for s in seeds:
+            if s < 0:  # the ubiquitous black frame
+                frames.append(np.zeros((8, 9), dtype=np.uint8))
+                continue
+            frames.append(
+                np.array(
+                    [
+                        [
+                            int(
+                                hashlib.md5(f"{s}_{y}_{x}".encode())
+                                .hexdigest()[:2],
+                                16,
+                            )
+                            // 4
+                            for x in range(9)
+                        ]
+                        for y in range(8)
+                    ],
+                    dtype=np.uint8,
+                )
+            )
+        return encode_gif(frames, pal)
+
+    # families of 3: v0 (batch) = boards f..f+3, v1 = trim f+1..f+3
+    # (shares 3), v2 = unrelated; every video also carries one
+    # ubiquitous BLACK frame (identical across all 9 videos)
+    def reel(fam, variant):
+        base = fam * 1000
+        seeds = {
+            0: [base + k for k in range(4)],
+            1: [base + k + 1 for k in range(4)],
+            2: [base + 500 + k for k in range(4)],
+        }[variant]
+        return gif(seeds + [-1])
+
+    rows = [
+        (fam * 3 + v, reel(fam, v))
+        for fam in range(3)
+        for v in range(3)
+    ]
+    mm = spark.createDataFrame(
+        rows, "doc_id bigint, payload binary"
+    ).localCheckpoint(eager=False)
+    variant = F.expr("doc_id % 3")
+    hist_frames = M.video_dhash_frames(mm.filter(variant != 0))
+    batch = mm.filter(variant == 0)
+    path = str(tmp_path / "vframes")
+    M.write_video_frame_index(hist_frames, path, every_n=1)
+    st = spark.read.parquet(f"{path}/_stats").collect()[0]
+    assert (st["buckets"], st["every_n"], st["n_videos"]) == (16, 1, 6)
+
+    got = {
+        (r.id_new, r.id_indexed): r.n_shared
+        for r in M.video_neardup_against_index(
+            batch, path, min_shared=2, max_hash_videos=3
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in M.video_neardup_pairs(
+            M.video_dhash_frames(mm), min_shared=2, max_hash_videos=3
+        ).collect()
+    }
+    batch_ids = {fam * 3 for fam in range(3)}
+    want = {}
+    for (a, b), n in full.items():
+        if a in batch_ids and b not in batch_ids:
+            want[(a, b)] = n
+        elif b in batch_ids and a not in batch_ids:
+            want[(b, a)] = n
+    assert got == want and len(want) > 0
+    # the ubiquitous frame (9 videos > cap 3) never inflates counts:
+    # v0-v1 share exactly their 3 trim frames
+    assert got[(0, 1)] == 3
+
+    # append maintenance: refusals + parity with a rebuild
+    batch_frames = M.video_dhash_frames(batch)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        M.write_video_frame_index(
+            batch_frames, path, every_n=2, mode="append"
+        )
+    with pytest.raises(ValueError, match="existing"):
+        M.write_video_frame_index(
+            batch_frames, str(tmp_path / "nope"), mode="append"
+        )
+    with pytest.raises(ValueError, match="overwrite|append"):
+        M.write_video_frame_index(batch_frames, path, mode="errorifexists")
+    M.write_video_frame_index(batch_frames, path, every_n=1, mode="append")
+    assert (
+        spark.read.parquet(f"{path}/_stats").collect()[0]["n_videos"] == 9
+    )
+    rebuilt = str(tmp_path / "vframes2")
+    M.write_video_frame_index(M.video_dhash_frames(mm), rebuilt, every_n=1)
+    probe = mm.filter(F.col("doc_id") >= 6)  # family 2 as probe set
+    a = sorted(
+        (r.id_new, r.id_indexed, r.n_shared)
+        for r in M.video_neardup_against_index(
+            probe, path, min_shared=2
+        ).collect()
+    )
+    b = sorted(
+        (r.id_new, r.id_indexed, r.n_shared)
+        for r in M.video_neardup_against_index(
+            probe, rebuilt, min_shared=2
+        ).collect()
+    )
+    assert a == b and len(a) > 0
