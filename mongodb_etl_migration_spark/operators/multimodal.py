@@ -3014,6 +3014,33 @@ def audio_neardup_pairs(
     )
 
 
+def audio_neardup_aligned(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    idx_col: str = "window_idx",
+    key_col: str = "fkey",
+    min_shared: int = 2,
+    max_key_audios: int | None = None,
+) -> DataFrame:
+    """TEMPORALLY-ALIGNED audio near-dup — the ordered-run upgrade
+    for the audio family, delegating to
+    :func:`video_neardup_aligned` exactly as audio_neardup_pairs
+    delegates the bag-of-keys join (the window index IS the frame
+    index): per candidate pair, shared window keys with one index
+    delta on consecutive source windows form an aligned run, and a
+    window-aligned trim scores its run length while a re-cut/shuffled
+    remix of the same windows scores 1. Output:
+    (id_a, id_b, n_shared, longest_run)."""
+    return video_neardup_aligned(
+        fp,
+        id_col=id_col,
+        idx_col=idx_col,
+        hash_col=key_col,
+        min_shared=min_shared,
+        max_hash_videos=max_key_audios,
+    )
+
+
 def write_video_frame_index(
     frames: DataFrame,
     path: str,

@@ -7199,8 +7199,13 @@ _AUDIO_NEARDUP_CTES = """
                            THEN (s - s32) * (s - s32) ELSE 0 END) AS BIGINT)
                AS d5
       FROM lagd GROUP BY 1, 2
-    ), dk AS MATERIALIZED (
-      SELECT DISTINCT doc_id, perm || ':' || zc AS fkey FROM (
+    )"""
+
+# per-(audio, window) keyed rows — the prefix above plus the keyed
+# fingerprint CTE WITH window_idx retained (the aligned oracle needs
+# positions; the bag-of-keys oracles take the DISTINCT projection)
+_AUDIO_KEYED_CTES = _AUDIO_NEARDUP_CTES + """, dkw AS MATERIALIZED (
+      SELECT doc_id, window_idx, perm || ':' || zc AS fkey FROM (
         SELECT doc_id, window_idx, zc,
                string_agg(CAST(band AS VARCHAR), ''
                           ORDER BY d DESC, band) AS perm
@@ -7211,6 +7216,10 @@ _AUDIO_NEARDUP_CTES = """
           FROM feat, (SELECT unnest(range(0, 6)) AS b) b
         ) GROUP BY doc_id, window_idx, zc
       )
+    )"""
+
+_AUDIO_NEARDUP_CTES = _AUDIO_KEYED_CTES + """, dk AS MATERIALIZED (
+      SELECT DISTINCT doc_id, fkey FROM dkw
     ), keep AS MATERIALIZED (
       SELECT fkey FROM dk GROUP BY fkey HAVING count(*) <= 3
     )"""
@@ -7301,6 +7310,66 @@ def m_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs of audios."""
     mm = _audio_neardup_fixture(spark, sf_dir)
     return M.audio_neardup_pairs(
+        M.audio_fingerprint(mm, window=256),
+        min_shared=5,
+        max_key_audios=3,
+    )
+
+
+@query(
+    "m_audio_neardup_aligned",
+    _AUDIO_KEYED_CTES
+    + """, keepa AS MATERIALIZED (
+      SELECT fkey FROM (SELECT DISTINCT doc_id, fkey FROM dkw)
+      GROUP BY fkey HAVING count(*) <= 3
+    ), mt AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fkey AS fkey,
+             a.window_idx AS idx_a, b.window_idx AS idx_b,
+             b.window_idx - a.window_idx AS delta
+      FROM dkw a
+      JOIN dkw b ON a.fkey = b.fkey AND a.doc_id < b.doc_id
+      JOIN keepa k ON k.fkey = a.fkey
+    ), isl AS MATERIALIZED (
+      SELECT id_a, id_b, delta, fkey,
+             idx_a - row_number() OVER (PARTITION BY id_a, id_b, delta
+                                        ORDER BY idx_a) AS g
+      FROM mt
+    ), runs AS MATERIALIZED (
+      SELECT id_a, id_b, delta, g, count(*) AS run
+      FROM isl GROUP BY 1, 2, 3, 4
+    ), rmax AS MATERIALIZED (
+      SELECT id_a, id_b, max(run) AS longest_run
+      FROM runs GROUP BY 1, 2
+    ), ns AS MATERIALIZED (
+      SELECT id_a, id_b, count(DISTINCT fkey) AS n_shared
+      FROM mt GROUP BY 1, 2
+    )
+    SELECT ns.id_a, ns.id_b, CAST(ns.n_shared AS BIGINT) AS n_shared,
+           CAST(rmax.longest_run AS BIGINT) AS longest_run
+    FROM ns JOIN rmax ON ns.id_a = rmax.id_a AND ns.id_b = rmax.id_b
+    WHERE ns.n_shared >= 5
+    """,
+)
+def m_audio_neardup_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORALLY-ALIGNED audio near-dup
+    (multimodal.audio_neardup_aligned — delegates to the
+    video_neardup_aligned island algebra with the window index as
+    the frame index): shared window keys at one index delta on
+    consecutive source windows form an aligned run. On the shared
+    audio fixture the separation is planted in TIME: v0-v1 (the
+    double-volume re-encode) matches every non-capped window at
+    delta 0 but the capped silence window SPLITS the run (islands
+    {0} and {2..7} → longest 6 of 7 shared), while v0-v2 and v1-v2
+    (the window-aligned trim) run all 5 shared windows contiguously
+    at delta -3 — a run-length ranking no bag-of-keys count
+    produces (7 shared ranks ABOVE 5 shared, but 6-run vs 5-run
+    tells the re-encode from the trim). The oracle reuses the audio
+    CTE prefix with window positions retained and reruns the
+    cap/join/island/run algebra in SQL windows. Plan: same blocking
+    exchange as m_audio_neardup; islands window + aggregates
+    candidate-match-bounded, all partitioned."""
+    mm = _audio_neardup_fixture(spark, sf_dir)
+    return M.audio_neardup_aligned(
         M.audio_fingerprint(mm, window=256),
         min_shared=5,
         max_key_audios=3,

@@ -50,6 +50,15 @@ NOTES = {
         "groupBy(doc) reassembly exchange. Honest-OOV NULLs ride "
         "through as 'x'."
     ),
+    "m_audio_neardup_aligned": (
+        "Temporally-aligned audio near-dup: the window key is the "
+        "blocking key (same exchange as m_audio_neardup), then the "
+        "video_neardup_aligned island algebra over window indices — "
+        "longest aligned run tells a double-volume re-encode "
+        "(delta-0 run split by the capped silence window) from a "
+        "window-aligned trim (contiguous run); windows and "
+        "aggregates candidate-match-bounded."
+    ),
     "m_video_neardup_probe": (
         "Incremental video near-dup: the batch decodes + dHashes only "
         "itself (index's OWN every_n stride from its stats row) and "

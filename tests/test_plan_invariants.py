@@ -50,6 +50,8 @@ ARROW_OK = {
                              # feeding the shared-key join
     "m_audio_neardup_probe",  # same fingerprint stage over the probe
                               # batch (index side is a parquet read)
+    "m_audio_neardup_aligned",  # fingerprint fan-out feeding the
+                                # aligned-run island windows
     "m_mp4_frames",          # real mdat sample extraction (mapInPandas)
     "m_gif_frames",          # real GIF multi-frame codec (mapInPandas)
     "m_audio_decode_real",   # real WAV codec (mapInPandas)

@@ -2607,3 +2607,38 @@ def test_video_neardup_persisted_index_probe(spark, tmp_path):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_audio_neardup_aligned_delegation(spark):
+    """audio_neardup_aligned == video_neardup_aligned over the
+    fingerprint frame (the delegation contract), and the temporal
+    separation is real on audio data: a window-aligned trim runs
+    contiguously while a REMIXED reel (same windows, reordered)
+    shares as many keys but runs 1."""
+    fam = 0
+    rows = []
+    # audio 0: windows 0..5 keyed k0..k5; audio 1: trim (windows
+    # 1..4 at idx 0..3); audio 2: the same six keys REVERSED
+    keys = [f"perm{fam}{k}:{k}" for k in range(6)]
+    rows += [(0, i, keys[i]) for i in range(6)]
+    rows += [(1, i, keys[i + 1]) for i in range(4)]
+    rows += [(2, i, keys[5 - i]) for i in range(6)]
+    fp = spark.createDataFrame(
+        rows, "doc_id bigint, window_idx bigint, fkey string"
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_shared, r.longest_run)
+        for r in M.audio_neardup_aligned(fp, min_shared=2).collect()
+    }
+    assert got == {
+        (0, 1): (4, 4),  # trim: contiguous at one delta
+        (0, 2): (6, 1),  # remix: more shared keys, runs of 1
+        (1, 2): (4, 1),
+    }
+    via_video = {
+        (r.id_a, r.id_b): (r.n_shared, r.longest_run)
+        for r in M.video_neardup_aligned(
+            fp, idx_col="window_idx", hash_col="fkey", min_shared=2
+        ).collect()
+    }
+    assert via_video == got
