@@ -741,3 +741,149 @@ def test_streaming_image_ingest_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(f"{p}/_stats").collect()
     ]
     assert stats_of(idx) == stats_of(rebuilt)
+
+
+def test_streaming_video_ingest_matches_batch(spark, tmp_path):
+    """Drop-by-drop video near-dup ingest (the image-ingest
+    convention over the NEW video frame index): parquet shards of
+    raw GIF payloads, per micro-batch decode → dHash frames → probe
+    the persisted (kb, dhash) postings → append (additive
+    maintenance, stats re-derived). Streamed union == sequential
+    batch twin; a drop-B trim of a drop-A reel matches because the
+    in-loop append advanced the index; maintained index rows+stats
+    == from-scratch rebuild."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mongodb_etl_migration_spark.operators import multimodal as M
+
+    pal = np.array([[4 * i] * 3 for i in range(64)], dtype=np.uint8)
+
+    def gif(seeds):
+        frames = [
+            np.array(
+                [
+                    [
+                        int(
+                            hashlib.md5(f"{s}_{y}_{x}".encode())
+                            .hexdigest()[:2],
+                            16,
+                        )
+                        // 4
+                        for x in range(9)
+                    ]
+                    for y in range(8)
+                ],
+                dtype=np.uint8,
+            )
+            for s in seeds
+        ]
+        return encode(frames)
+
+    def encode(frames):
+        return M.encode_gif(frames, pal)
+
+    def reel(base, offset=0, n=4):
+        return gif([base + offset + k for k in range(n)])
+
+    def mm(rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, payload binary"
+        )
+
+    hist = mm([(i + 1, reel(i * 1000)) for i in range(2)])
+    idx = str(tmp_path / "vidx")
+    M.write_video_frame_index(M.video_dhash_frames(hist), idx, every_n=1)
+
+    # drop A: 10 = trim of history reel 0 (shares 3 frames), 11 =
+    # fresh reel; drop B: 12 = trim of 11 — its only near-dup
+    # arrived in drop A (the in-loop append proof), 13 = fresh
+    drop_a = [(10, reel(0, offset=1)), (11, reel(5000))]
+    drop_b = [(12, reel(5000, offset=1)), (13, reel(7000))]
+    drops = str(tmp_path / "vdrops")
+    os.makedirs(drops)
+    for name, rows, mtime in (
+        ("a.parquet", drop_a, 1_000_000_000),
+        ("b.parquet", drop_b, 1_000_000_100),
+    ):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        [r[0] for r in rows], type=pa.int64()
+                    ),
+                    "payload": pa.array(
+                        [r[1] for r in rows], type=pa.binary()
+                    ),
+                }
+            ),
+            f"{drops}/{name}",
+        )
+        os.utime(f"{drops}/{name}", (mtime, mtime))
+
+    sink = str(tmp_path / "vsink")
+    ckpt = str(tmp_path / "vckpt")
+
+    def ingest(batch_df, batch_id):
+        batch_df = batch_df.localCheckpoint(eager=True)
+        M.video_neardup_against_index(batch_df, idx, min_shared=2).write.mode(
+            "overwrite"
+        ).parquet(f"{sink}/batch_id={batch_id}")
+        M.write_video_frame_index(
+            M.video_dhash_frames(batch_df), idx, every_n=1, mode="append"
+        )
+
+    q = (
+        spark.readStream.schema("doc_id bigint, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        (r.id_new, r.id_indexed, r.n_shared)
+        for r in spark.read.parquet(sink).collect()
+    )
+    idx2 = str(tmp_path / "vidx2")
+    M.write_video_frame_index(M.video_dhash_frames(hist), idx2, every_n=1)
+    want = []
+    for rows in (drop_a, drop_b):
+        b = mm(rows).localCheckpoint(eager=True)
+        want.extend(
+            (r.id_new, r.id_indexed, r.n_shared)
+            for r in M.video_neardup_against_index(
+                b, idx2, min_shared=2
+            ).collect()
+        )
+        M.write_video_frame_index(
+            M.video_dhash_frames(b), idx2, every_n=1, mode="append"
+        )
+    assert got == sorted(want)
+    assert [(n, i, s) for n, i, s in got] == [(10, 1, 3), (12, 11, 3)]
+
+    rebuilt = str(tmp_path / "vidx3")
+    M.write_video_frame_index(
+        M.video_dhash_frames(
+            mm([(i + 1, reel(i * 1000)) for i in range(2)] + drop_a + drop_b)
+        ),
+        rebuilt,
+        every_n=1,
+    )
+    rows_of = lambda p: sorted(
+        (int(r.kb), r.dhash, r.doc_id)
+        for r in spark.read.parquet(p).collect()
+    )
+    assert rows_of(idx) == rows_of(rebuilt)
+    stats_of = lambda p: [
+        (r.buckets, r.every_n, r.n_videos)
+        for r in spark.read.parquet(f"{p}/_stats").collect()
+    ]
+    assert stats_of(idx) == stats_of(rebuilt)
