@@ -6944,6 +6944,117 @@ def _video_neardup_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m_image_caption_curation",
+    """
+    WITH RECURSIVE params AS (
+      SELECT doc_id,
+             CASE WHEN (doc_id // 5) % 4 = 3 THEN doc_id // 20 + 1000003
+                  ELSE doc_id // 20 END AS s,
+             (doc_id // 5) % 4 AS variant
+      FROM documents WHERE doc_id % 5 = 2
+    ), px AS (
+      SELECT doc_id, y.y AS y, x.x AS x,
+        CASE WHEN variant = 2 AND x.x = 0 AND y.y < 3
+             THEN 255 - ('0x' || substr(md5(s || '_' || y.y || '_' || x.x),
+                                        1, 2))::BIGINT
+             ELSE ('0x' || substr(md5(s || '_' || y.y || '_' || x.x),
+                                  1, 2))::BIGINT
+        END AS v
+      FROM params,
+           (SELECT unnest(range(0, 8)) AS y) y,
+           (SELECT unnest(range(0, 9)) AS x) x
+    ), cmp AS (
+      SELECT doc_id, y, x, v,
+             lead(v) OVER (PARTITION BY doc_id, y ORDER BY x) AS vn
+      FROM px
+    ), rowbytes AS (
+      SELECT doc_id, y,
+             CAST(sum(CASE WHEN v > vn THEN 1 << (7 - x) ELSE 0 END)
+                  AS BIGINT) AS rv
+      FROM cmp WHERE x < 8 GROUP BY doc_id, y
+    ), hashes AS (
+      SELECT doc_id,
+             string_agg(lpad(lower(to_hex(rv)), 2, '0'), '' ORDER BY y)
+               AS dhash
+      FROM rowbytes GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, dhash, b.b AS band,
+             substr(dhash, b.b * 4 + 1, 4) AS band_key
+      FROM hashes, (SELECT unnest(range(0, 4)) AS b) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.dhash AS da, b.dhash AS db
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b FROM cand
+      WHERE bit_count(xor(('0x' || substr(da, 1, 4))::BIGINT,
+                          ('0x' || substr(db, 1, 4))::BIGINT))
+          + bit_count(xor(('0x' || substr(da, 5, 4))::BIGINT,
+                          ('0x' || substr(db, 5, 4))::BIGINT))
+          + bit_count(xor(('0x' || substr(da, 9, 4))::BIGINT,
+                          ('0x' || substr(db, 9, 4))::BIGINT))
+          + bit_count(xor(('0x' || substr(da, 13, 4))::BIGINT,
+                          ('0x' || substr(db, 13, 4))::BIGINT)) <= 3
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), walk(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+    ), losers AS (
+      SELECT u AS id FROM walk GROUP BY u
+      HAVING u != least(u, min(v))
+    )
+    SELECT h.doc_id, h.dhash,
+           CAST(len(regexp_extract_all(lower(d.text), '[a-z0-9]+'))
+                AS BIGINT) AS n_tokens
+    FROM hashes h
+    JOIN documents d ON d.doc_id = h.doc_id
+    LEFT JOIN losers l ON l.id = h.doc_id
+    WHERE l.id IS NULL
+      AND len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) >= 3
+    """,
+)
+def m_image_caption_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-shape image-CAPTION pair curation END-TO-END — the
+    multimodal twin of the FineWeb text pipeline, composing the
+    modality chain with the generic dedup machinery ACROSS tables:
+    decode → dHash (real BMP/PNG codecs) → banded near-dup pairs →
+    dedup_representatives (min-id survivor per connected component,
+    singletons untouched — dedup PROPAGATION to the pair table, the
+    step LAION-style pipelines get wrong when they dedup images but
+    keep orphaned captions) → join the surviving images back to
+    their caption rows → caption quality gate (≥ 3 tokens). On the
+    shared image fixture each family's {BMP, PNG re-encode,
+    perturbed} cluster collapses to its min-id member while the
+    unrelated variant survives alone. Output: (doc_id, dhash,
+    n_tokens) for curated pairs. The oracle recomputes hashes
+    analytically, reruns banding/confirm/star-closure in SQL, takes
+    the same min-id survivors and applies the same token gate. Plan:
+    the near-dup exchanges (banded self-join + CC rounds) + one
+    LEFT ANTI against the duplicate-sized loser set + the caption
+    join — the corpus crosses no exchange it wouldn't cross in
+    m_image_neardup."""
+    mm = _image_neardup_fixture(spark, sf_dir)
+    dh = M.image_dhash(mm).localCheckpoint(eager=False)
+    pairs = M.image_neardup_pairs(dh)
+    keep = D.dedup_representatives(
+        dh.select("doc_id", "dhash"), pairs, "doc_id"
+    )
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    return (
+        keep.join(docs, "doc_id")
+        .withColumn("n_tokens", F.size(T.tokens("text")).cast("long"))
+        .filter(F.col("n_tokens") >= 3)
+        .select("doc_id", "dhash", "n_tokens")
+    )
+
+
+@query(
     "m_video_neardup_probe",
     """
     WITH params AS (

@@ -50,6 +50,13 @@ NOTES = {
         "groupBy(doc) reassembly exchange. Honest-OOV NULLs ride "
         "through as 'x'."
     ),
+    "m_image_caption_curation": (
+        "LAION-shape pair curation: the m_image_neardup chain "
+        "(banded self-join + star-CC) feeding dedup_representatives' "
+        "LEFT ANTI against the duplicate-sized loser set, then the "
+        "caption join + token gate — dedup propagation to the pair "
+        "table without any corpus exchange beyond the near-dup ones."
+    ),
     "m_audio_neardup_aligned": (
         "Temporally-aligned audio near-dup: the window key is the "
         "blocking key (same exchange as m_audio_neardup), then the "

@@ -44,6 +44,9 @@ ARROW_OK = {
                              # loop — usually hidden behind the round
                              # checkpoints, listed in case
     "m_image_neardup_probe",  # same dHash stage under the index write
+    "m_image_caption_curation",  # dHash stage under the dedup-
+                                 # representative anti join + caption
+                                 # gate (checkpoints may hide it)
     "m_audio_features",      # windowed PCM features (mapInPandas)
     "m_audio_neardup",       # per-window fingerprint fan-out through
                              # the real WAV decode (mapInPandas)
