@@ -91,6 +91,11 @@ HEADLINE = [
     # one headline member exercising mapInPandas + iterative CC, so
     # codec/Arrow/loop regressions surface in BENCH_rN deltas
     "m_image_neardup",
+    # round-14 addition: audio near-dup end-to-end (real PCM16 decode
+    # -> integer fingerprint fan-out -> bag-of-keys join with the
+    # broadcast-anti ubiquitous cap) — tracks the WAV/Arrow path and
+    # the deterministic cap plan in BENCH_rN deltas
+    "m_audio_neardup",
 ]
 
 # queries that joined HEADLINE after the round-1 baseline was taken —
@@ -102,6 +107,7 @@ NON_BASELINE = {
     "sim_bitext_margin",
     "c_sft_tokens",
     "m_image_neardup",
+    "m_audio_neardup",
 }
 
 

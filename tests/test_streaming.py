@@ -887,3 +887,166 @@ def test_streaming_video_ingest_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(f"{p}/_stats").collect()
     ]
     assert stats_of(idx) == stats_of(rebuilt)
+
+
+def test_streaming_audio_ingest_matches_batch(spark, tmp_path):
+    """Drop-by-drop audio near-dup ingest — completes the
+    image/video/audio streaming matrix: parquet shards of raw PCM16
+    WAV payloads, per micro-batch decode → fingerprint (with the
+    INDEX's own window/lags) → probe the persisted (kb, fkey)
+    postings → append. Streamed union == sequential batch twin; a
+    drop-B trim of a drop-A reel matches because the in-loop append
+    advanced the index; maintained index rows+stats == rebuild."""
+    import hashlib
+    import io
+    import os
+    import wave
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mongodb_etl_migration_spark.operators import multimodal as M
+
+    def reel(fam, cs):
+        out = []
+        for c in cs:
+            for i in range(256):
+                h = int(
+                    hashlib.md5(f"{fam}:{c}:{i}".encode()).hexdigest()[:4],
+                    16,
+                )
+                out.append((h % 16384) - 8192)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(np.array(out, dtype="<i2").tobytes())
+        return buf.getvalue()
+
+    def mm(rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, payload binary"
+        )
+
+    hist = mm([(1, reel(0, range(8))), (2, reel(1, range(8)))])
+    idx = str(tmp_path / "aidx")
+    M.write_audio_fp_index(
+        M.audio_fingerprint(hist, window=256), idx, window=256
+    )
+
+    # drop A: 10 = double-volume re-encode of reel fam0 (all 8 keys),
+    # 11 = fresh fam5; drop B: 12 = window-aligned trim of fam5
+    # (shares 5 with 11, which arrived in drop A), 13 = fresh fam7
+    def reel2x(fam, cs):
+        raw = reel(fam, cs)
+        s = np.frombuffer(raw[44:], dtype="<i2").astype(np.int64) * 2
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(
+                np.clip(s, -32768, 32767).astype("<i2").tobytes()
+            )
+        return buf.getvalue()
+
+    drop_a = [(10, reel2x(0, range(8))), (11, reel(5, range(8)))]
+    drop_b = [(12, reel(5, range(3, 11))), (13, reel(7, range(8)))]
+    drops = str(tmp_path / "adrops")
+    os.makedirs(drops)
+    for name, rows, mtime in (
+        ("a.parquet", drop_a, 1_000_000_000),
+        ("b.parquet", drop_b, 1_000_000_100),
+    ):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        [r[0] for r in rows], type=pa.int64()
+                    ),
+                    "payload": pa.array(
+                        [r[1] for r in rows], type=pa.binary()
+                    ),
+                }
+            ),
+            f"{drops}/{name}",
+        )
+        os.utime(f"{drops}/{name}", (mtime, mtime))
+
+    sink = str(tmp_path / "asink")
+    ckpt = str(tmp_path / "ackpt")
+
+    def ingest(batch_df, batch_id):
+        batch_df = batch_df.localCheckpoint(eager=True)
+        M.audio_neardup_against_index(
+            batch_df, idx, min_shared=5
+        ).write.mode("overwrite").parquet(f"{sink}/batch_id={batch_id}")
+        M.write_audio_fp_index(
+            M.audio_fingerprint(batch_df, window=256),
+            idx,
+            window=256,
+            mode="append",
+        )
+
+    q = (
+        spark.readStream.schema("doc_id bigint, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        (r.id_new, r.id_indexed, r.n_shared)
+        for r in spark.read.parquet(sink).collect()
+    )
+    idx2 = str(tmp_path / "aidx2")
+    M.write_audio_fp_index(
+        M.audio_fingerprint(hist, window=256), idx2, window=256
+    )
+    want = []
+    for rows in (drop_a, drop_b):
+        b = mm(rows).localCheckpoint(eager=True)
+        want.extend(
+            (r.id_new, r.id_indexed, r.n_shared)
+            for r in M.audio_neardup_against_index(
+                b, idx2, min_shared=5
+            ).collect()
+        )
+        M.write_audio_fp_index(
+            M.audio_fingerprint(b, window=256),
+            idx2,
+            window=256,
+            mode="append",
+        )
+    assert got == sorted(want)
+    assert got == [(10, 1, 8), (12, 11, 5)]
+
+    rebuilt = str(tmp_path / "aidx3")
+    M.write_audio_fp_index(
+        M.audio_fingerprint(
+            mm(
+                [(1, reel(0, range(8))), (2, reel(1, range(8)))]
+                + drop_a
+                + drop_b
+            ),
+            window=256,
+        ),
+        rebuilt,
+        window=256,
+    )
+    rows_of = lambda p: sorted(
+        (int(r.kb), r.fkey, r.doc_id)
+        for r in spark.read.parquet(p).collect()
+    )
+    assert rows_of(idx) == rows_of(rebuilt)
+    stats_of = lambda p: [
+        (r.buckets, r.window, r.lags_json, r.n_audios)
+        for r in spark.read.parquet(f"{p}/_stats").collect()
+    ]
+    assert stats_of(idx) == stats_of(rebuilt)
