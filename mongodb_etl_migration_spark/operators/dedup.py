@@ -519,6 +519,15 @@ def connected_components(
     Output: (id, component) for every id in ``pairs``; with
     ``with_rounds`` returns (labels_df, rounds_used).
     """
+    # Materialize the (id_a, id_b) projection ONCE before either
+    # algorithm derives its node set and edge set from it: both
+    # derivations are separate actions, and an un-materialized pairs
+    # frame re-executes its whole upstream plan (for the media
+    # near-dup chains that plan is the decode + banded self-join —
+    # measured as the duplicated MapInPandas subtree in the r14
+    # before-plans) once per derivation. Lazy checkpoint: the first
+    # action computes it, every later action reads the persisted RDD.
+    pairs = pairs.select(id_a, id_b).localCheckpoint(eager=False)
     if algorithm == "hash_min":
         labels, rounds = _cc_hash_min(pairs, id_a, id_b, max_iterations)
     elif algorithm == "star":
@@ -599,6 +608,7 @@ def _cc_star(
         .localCheckpoint()
     )
     rounds = 0
+    n_e = e.count()  # cheap: e is checkpointed (persisted RDD scan)
     for _ in range(max_iterations):
         rounds += 1
         # large-star: every neighbor v > u links to m = min(Γ(u) ∪ u)
@@ -625,10 +635,18 @@ def _cc_star(
             .distinct()
             .localCheckpoint()
         )
-        converged = (
-            new_e.exceptAll(e).unionByName(e.exceptAll(new_e)).isEmpty()
-        )
-        e = new_e
+        # Convergence = set equality of two DISTINCT edge sets, so
+        # |new_e| == |e| AND new_e \ e == ∅ suffices — the former is a
+        # near-free count over the just-checkpointed RDD and short-
+        # circuits the subtraction on every round where the edge count
+        # still moves; the r13 form paid exceptAll BOTH ways plus a
+        # union every round (two extra shuffles per round of pure
+        # convergence bookkeeping — guide §2.4, remove shuffles
+        # outright). Same exceptAll NULL/dup semantics on the one
+        # subtraction that remains, so the fixpoint is unchanged.
+        n_new = new_e.count()
+        converged = n_new == n_e and new_e.exceptAll(e).isEmpty()
+        e, n_e = new_e, n_new
         if converged:
             break
     labels = (

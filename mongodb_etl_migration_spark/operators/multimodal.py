@@ -2705,10 +2705,22 @@ def video_neardup_pairs(
     everything to everything. Output: (id_a, id_b, n_shared)."""
     if min_shared < 1:
         raise ValueError("min_shared must be >= 1")
+    # Materialize the distinct (video, hash) frame ONCE: three
+    # consumers read it (the over-cap frequency aggregate plus both
+    # sides of the self-join), and because the distinct's row-count
+    # estimate sits under the broadcast threshold the planner turns
+    # the self-join into a BroadcastHashJoin whose build side CANNOT
+    # reuse the probe side's exchange — without this checkpoint the
+    # whole upstream plan (for audio/video: the Arrow decode +
+    # fingerprint MapInPandas) re-executes once per consumer
+    # (observed: 4 identical MapInPandas subtrees in the
+    # m_audio_neardup r14 before-plan). Lazy: the first action
+    # computes it, the rest scan the persisted RDD.
     fh = (
         frames.filter(F.col(hash_col).isNotNull())
         .select(F.col(id_col), F.col(hash_col))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     if max_hash_videos is not None:
         # Drop ubiquitous keys by LEFT ANTI against the OVER-CAP key
@@ -2782,8 +2794,14 @@ def video_neardup_aligned(
 
     if min_shared < 1:
         raise ValueError("min_shared must be >= 1")
-    fh = frames.filter(F.col(hash_col).isNotNull()).select(
-        F.col(id_col), F.col(idx_col), F.col(hash_col)
+    # Same single-computation rule as video_neardup_pairs: the frame
+    # rows feed the distinct-video frequency aggregate AND both join
+    # sides; checkpoint so the upstream decode+fingerprint plan runs
+    # once instead of once per consumer.
+    fh = (
+        frames.filter(F.col(hash_col).isNotNull())
+        .select(F.col(id_col), F.col(idx_col), F.col(hash_col))
+        .localCheckpoint(eager=False)
     )
     if max_hash_videos is not None:
         hot = (

@@ -1237,7 +1237,20 @@ def _bitext_candidates(
 ) -> DataFrame:
     """LSH-blocked candidate pairs with integer e4 cosines — the
     shared front half of bitext_margin_pairs / bitext_hard_negatives
-    (see bitext_margin_pairs for the full scale/exactness story)."""
+    (see bitext_margin_pairs for the full scale/exactness story).
+
+    The in-bucket pair cosines are the dominant CPU (dim multiplies
+    per candidate in interpreted HOF eval), and on a broadcastable
+    ``tgt`` the planner computes them in the PROBE side's partitions
+    — which for an unsplittable single-row-group source is ONE task
+    (r13 bench: 2.6 s wall / 1.6 s cpu, nearly serial). The gated
+    cpu_fan_out repartition of ``src`` spreads the probe side across
+    cores; a many-split real corpus keeps the heuristic false and
+    the plan unchanged (same rule as minhash_dedup_pairs)."""
+    from mongodb_etl_migration_spark.operators.text import cpu_fan_out
+
+    src = cpu_fan_out(src)
+
     def bucketed(df: DataFrame, side: str) -> DataFrame:
         b = df.select(
             F.col(id_col).alias(f"{side}_id"),

@@ -1712,6 +1712,12 @@ def bm25_topk(
     """
     _bm25_validate(k1_milli, b_milli)
     spark = df.sparkSession
+    # tokenize+explode+partial-aggregate is CPU-bound per input byte,
+    # so an unsplittable single-row-group source would run it on one
+    # core — same gated fan-out rule (and rationale) as
+    # minhash_dedup_pairs / with_gopher_repetition; a many-split real
+    # corpus keeps the plan unchanged (heuristic false).
+    df = cpu_fan_out(df)
     toks = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
     )
@@ -1894,7 +1900,10 @@ def bm25_tf(df, id_col: str = "doc_id", text_col: str = "text"):
     union + re-sum exactly (the gram_count_index rule), after which
     :func:`postings_from_tf` re-derives the snapshot-wide dl/df
     windows and :func:`bm25_stats_merge` folds the 1-row stats. One
-    token explode + ONE (doc, term) exchange."""
+    token explode + ONE (doc, term) exchange (plus the gated
+    cpu_fan_out repartition when the source has fewer splits than
+    cores — a no-op on a real many-split corpus)."""
+    df = cpu_fan_out(df)
     toks = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
     )

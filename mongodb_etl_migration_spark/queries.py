@@ -13648,10 +13648,18 @@ _CHAT_FIXTURE_SQL = f"""src AS (
     )"""
 
 
-def _chat_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _chat_conv(
+    spark: SparkSession, sf_dir: str, fan_out: bool | None = False
+) -> DataFrame:
     """documents -> conversation frame (doc_id, source, turns) with the
-    planted canned-duplicate fixture. Pure projection, zero shuffle."""
-    d = Catalog(spark, sf_dir).documents
+    planted canned-duplicate fixture. Pure projection, zero shuffle by
+    default; ``fan_out`` (the text.cpu_fan_out gate: None = heuristic)
+    lets CPU-heavy consumers — the per-turn BPE encodes, whose cost
+    per input byte dwarfs the scan — spread an unsplittable
+    single-file source across cores before parsing (measured at
+    sf0.1: c_sft_tokens 7.3 s -> sub-second on 32 cores; a many-split
+    real corpus keeps the heuristic false and the plan unchanged)."""
+    d = T.cpu_fan_out(Catalog(spark, sf_dir).documents, fan_out)
     text = (
         F.when(F.col("doc_id") % 7 == 3, F.lit(_CHAT_CANNED_A))
         .when(F.col("doc_id") % 7 == 5, F.lit(_CHAT_CANNED_B))
@@ -14443,7 +14451,12 @@ def c_sft_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside one transform + one fold — pure projection, zero shuffle,
     zero UDF (the full-UTF-8 path is the Arrow-batched
     sft_tokens_batch, property-tested equal on this scope)."""
-    conv = _chat_conv(spark, sf_dir)
+    # fan_out=None: per-turn BPE encode costs ~10^3 CPU per input byte
+    # vs the scan, so the single-row-group testdata file would run the
+    # whole encode on one core (r13 bench: 7.3 s wall / 6.1 s cpu on
+    # local[32]); the gated repartition spreads it, a many-split real
+    # corpus is unaffected (guide §2.5 input-skew rule)
+    conv = _chat_conv(spark, sf_dir, fan_out=None)
     st = conv.filter(F.size("turns") > 0).select(
         "doc_id",
         "turns",
@@ -14509,7 +14522,9 @@ def c_sft_tokens_special(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilds the special segmentation with literal id splices around
     the role-only encode. Zero shuffle, zero UDF, as before."""
     sp = CH.special_token_ids(_GPT2_DEMO_MERGES, _SFT_SPECIALS)
-    conv = _chat_conv(spark, sf_dir)
+    # same gated fan-out as c_sft_tokens: the special-id encode is the
+    # same per-turn BPE cost profile
+    conv = _chat_conv(spark, sf_dir, fan_out=None)
     st = conv.filter(F.size("turns") > 0).select(
         "doc_id",
         "turns",
@@ -14692,7 +14707,10 @@ def c_pack_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset-remap assembly as per-row array expressions. The oracle
     replays segmentation, ids, BFD placement, and the remap in one
     recursive-CTE chain — a drifted offset anywhere hash-mismatches."""
-    conv = _chat_conv(spark, sf_dir)
+    # same gated fan-out as c_sft_tokens: the tokenize/mask leg is the
+    # identical per-turn BPE cost profile, and packing's bucket groupBy
+    # re-shuffles downstream anyway
+    conv = _chat_conv(spark, sf_dir, fan_out=None)
     st = (
         conv.filter(F.size("turns") > 0)
         .select(
