@@ -552,7 +552,7 @@ def _cc_hash_min(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rounds = 0
     for _ in range(max_iterations):
@@ -561,11 +561,13 @@ def _cc_hash_min(
             edges.join(labels, edges["src"] == labels["id"])
             .select(F.col("dst").alias("id"), F.col("label"))
         )
+        # lazy checkpoint: the `changed` count below is the round's
+        # one materializing job (the _cc_star trick)
         new_labels = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -592,12 +594,20 @@ def _cc_star(
     edge set, but their ids still get a singleton (id, id) label row
     at the end — same contract as hash_min: every id in ``pairs``
     appears in the output."""
+    # ids is consumed exactly once (the singleton anti-join at the
+    # end) and reads the already-checkpointed pairs — no checkpoint
+    # of its own, its job folds into the final labels action.
     ids = (
         pairs.select(F.col(id_a).alias("id"))
         .unionByName(pairs.select(F.col(id_b).alias("id")))
         .distinct()
-        .localCheckpoint()
     )
+    # Lazy checkpoint + count = ONE job that both materializes the
+    # persisted RDD and returns the convergence cardinality (an eager
+    # checkpoint followed by count would schedule two); every round
+    # below plays the same trick on new_e. On loop-shaped operators
+    # the per-job latency floor, not shuffle bytes, is the wall-clock
+    # cost at bench scale — guide §1.2 step 1 applied to actions.
     e = (
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
@@ -605,27 +615,43 @@ def _cc_star(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rounds = 0
-    n_e = e.count()  # cheap: e is checkpointed (persisted RDD scan)
+    n_e = e.count()  # materializes the lazy checkpoint
     for _ in range(max_iterations):
         rounds += 1
-        # large-star: every neighbor v > u links to m = min(Γ(u) ∪ u)
-        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: every neighbor v > u links to m = min(Γ(u) ∪ u).
+        # ONE explicit repartition on the grouping/join key feeds BOTH
+        # the min-aggregate and the join probe side, so the planner
+        # emits a single Exchange plus a ReusedExchange (the
+        # image_neardup_pairs / lsh_candidate_pairs trick) instead of
+        # shuffling sym twice; the aggregate and the co-partitioned
+        # join add no further corpus-sized exchange. groupBy (partial
+        # aggregation, AQE skew-join) is kept over a window-by-u
+        # rewrite deliberately: star rounds CREATE hub nodes, and a
+        # window would funnel a whole component into one task.
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).repartition(F.col("u"))
         mins = (
             sym.groupBy("u")
             .agg(F.min("v").alias("mv"))
             .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
         )
+        # No .distinct() here: duplicate (u, m) rows cannot change the
+        # small-star minima below, and new_e's own distinct is the set
+        # boundary the convergence check reads — dropping it removes a
+        # candidate-sized exchange per round (guide §2.4).
         large = (
             sym.filter(F.col("v") > F.col("u"))
             .join(mins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
+            .repartition(F.col("u"))
         )
         # small-star: all smaller neighbors (and u) link to their min
+        # (same shared-exchange shape as the large-star step above)
         mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
         new_e = (
             large.join(mins2, "u")
@@ -633,17 +659,18 @@ def _cc_star(
             .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # Convergence = set equality of two DISTINCT edge sets, so
-        # |new_e| == |e| AND new_e \ e == ∅ suffices — the former is a
-        # near-free count over the just-checkpointed RDD and short-
-        # circuits the subtraction on every round where the edge count
-        # still moves; the r13 form paid exceptAll BOTH ways plus a
-        # union every round (two extra shuffles per round of pure
-        # convergence bookkeeping — guide §2.4, remove shuffles
-        # outright). Same exceptAll NULL/dup semantics on the one
-        # subtraction that remains, so the fixpoint is unchanged.
+        # |new_e| == |e| AND new_e \ e == ∅ suffices — the count is
+        # the round's ONE materializing job (it computes the lazy
+        # checkpoint above) and short-circuits the subtraction on
+        # every round where the edge count still moves; the r13 form
+        # paid exceptAll BOTH ways plus a union every round (two
+        # extra shuffles per round of pure convergence bookkeeping —
+        # guide §2.4, remove shuffles outright). Same exceptAll
+        # NULL/dup semantics on the one subtraction that remains, so
+        # the fixpoint is unchanged.
         n_new = new_e.count()
         converged = n_new == n_e and new_e.exceptAll(e).isEmpty()
         e, n_e = new_e, n_new

@@ -3076,13 +3076,29 @@ def m_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _mm_payload_table(d: DataFrame, make_payload) -> DataFrame:
+def _mm_payload_table(
+    d: DataFrame, make_payload, fan_out: bool | None = False
+) -> DataFrame:
     """ONE shared synth harness for the real-codec image queries:
     ``make_payload(doc_id) -> bytes`` per doc, emitted in the
     multimodal input contract (doc_id, payload, meta{media_type,
     byte_size}). Every decode query builds its input here, so a
     change to the contract decode_images consumes cannot silently
-    fork between the BMP/PNG/QOI/JPEG fixtures."""
+    fork between the BMP/PNG/QOI/JPEG fixtures.
+
+    ``fan_out`` (default False) spreads the id spine across cores
+    BEFORE the synth — pass ``None`` (the cpu_fan_out heuristic: fan
+    out iff the source has fewer file splits than cores) ONLY for
+    fixtures whose per-doc synth+decode CPU dwarfs the dispatch cost
+    of a 32-partition Python fan-out. Measured at sf0.1, local[32]:
+    the audio reel (1792 md5-mixes/doc) runs 7.0 s wall / 5.1 s cpu
+    serial and ~4.7 s fanned, a win; the 9×8 image boards (72
+    md5/doc) run 0.39 s serial and 0.83 s fanned — the 32-task
+    mapInPandas dispatch EXCEEDS the synth, and the iterative CC loop
+    above m_image_neardup amplified that to a 2.8 s → 32 s regression
+    before this gate defaulted to False. A many-split real corpus
+    keeps the heuristic false either way (guide §2.5)."""
+    d = T.cpu_fan_out(d, fan_out)
     import pandas as pd
 
     from pyspark.sql.types import (
@@ -7387,7 +7403,10 @@ def _audio_neardup_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             wf.writeframes(np.array(out, dtype="<i2").tobytes())
         return buf.getvalue()
 
-    return _mm_payload_table(d, make_payload)
+    # fan_out=None: the md5-mixed PCM reel is the one fixture whose
+    # per-doc synth CPU (1792 md5 mixes) dwarfs the fan-out dispatch
+    # — see _mm_payload_table's measured win/loss table
+    return _mm_payload_table(d, make_payload, fan_out=None)
 
 
 @query(
