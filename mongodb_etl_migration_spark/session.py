@@ -57,6 +57,12 @@ DEFAULT_CONF = {
     # when this call actually creates the JVM; under spark-submit or a
     # pre-existing session it is inert (size the driver there instead).
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Worker daemon with numpy/pandas/pyarrow preimported: forked
+    # workers inherit initialized modules via copy-on-write instead of
+    # re-importing (~2 s CPU per spawn) inside the first task they run
+    # — measured 60-200 s of executorRunTime per bench run on the
+    # MapInPandas-heavy media chains before this (see python_daemon).
+    "spark.python.daemon.module": "mongodb_etl_migration_spark.python_daemon",
 }
 
 
@@ -79,6 +85,18 @@ def get_spark(
         if not SparkConf().contains("spark.master"):
             cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
             master = f"local[{cpus}]"
+    # The preimporting daemon module (spark.python.daemon.module) must
+    # be importable by the worker python, whose sys.path comes from the
+    # PYTHONPATH the JVM passes to it — driver-side sys.path edits
+    # (bench.py / scripts insert the repo root) do not propagate.
+    # Export the package's parent dir before the JVM is created; no-op
+    # when already present (e.g. an installed package on PYTHONPATH).
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
     if shuffle_partitions is None:
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
