@@ -352,8 +352,23 @@ def lsh_candidate_pairs(band_df: DataFrame, id_col: str) -> DataFrame:
     whole upstream signature pipeline (2× the md5 CPU over the
     corpus). Shuffling FIRST and renaming above the exchange makes
     both sides' exchanges identical — ReuseExchange computes the
-    signatures once and the join reads the same map output twice."""
-    shuffled = band_df.repartition(F.col("band"), F.col("band_key"))
+    signatures once and the join reads the same map output twice.
+
+    The lazy localCheckpoint UNDER the repartition exists because
+    exchange reuse alone is broadcast-fragile: when the banded
+    frame's size estimate falls under the broadcast threshold the
+    planner rewrites the join to BroadcastHashJoin, whose build side
+    is a BroadcastExchange that CANNOT reuse the probe side's
+    hash-partitioned exchange — the r14 runtime plan check showed
+    ReusedExchange: 0 and the full tokenize+shingle+md5+16-hash
+    pipeline duplicated into both sides (2× the corpus CPU). The
+    checkpoint pins single computation regardless of join strategy:
+    both sides scan the same persisted (id, band, band_key) RDD —
+    narrow metadata, the guide §8 lightweight-proxy shape, so
+    materializing it is cheap at any scale."""
+    shuffled = band_df.localCheckpoint(eager=False).repartition(
+        F.col("band"), F.col("band_key")
+    )
     left = shuffled.select(
         F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a")
     )
