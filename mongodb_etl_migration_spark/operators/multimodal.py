@@ -2413,7 +2413,15 @@ def image_neardup_pairs(
             f"max_hamming={max_hamming} needs bands > max_hamming "
             f"(got {bands}) or banding loses recall"
         )
-    band = dhash_bands(dhash_df, id_col, hash_col, bands)
+    # Lazy checkpoint under the shared repartition: ReuseExchange is
+    # broadcast-fragile (a BroadcastExchange build side cannot reuse
+    # the probe's hash exchange — the r14 d2 runtime-plan finding),
+    # and HERE the upstream frame is typically the real-codec decode
+    # chain, which must never run once per join side. The banded
+    # frame is narrow (id, hash, band, band_key) metadata.
+    band = dhash_bands(dhash_df, id_col, hash_col, bands).localCheckpoint(
+        eager=False
+    )
     shuffled = band.repartition(F.col("band"), F.col("band_key"))
     left = shuffled.select(
         "band",

@@ -180,8 +180,13 @@ def embedding_neardup_pairs(
     )
     # shuffle on the bucket BEFORE the per-side renames: identical
     # exchanges on both sides → ReuseExchange computes the
-    # bucket+norm projection once (see dedup.lsh_candidate_pairs)
-    b = b.repartition(F.col("bucket"))
+    # bucket+norm projection once (see dedup.lsh_candidate_pairs).
+    # The lazy checkpoint UNDER the repartition pins that even when
+    # the planner broadcast-rewrites the self-join (a BroadcastExchange
+    # build side cannot reuse a hash-partitioned exchange, so without
+    # it the scan+bucket+norm pipeline would run once per side — the
+    # r14 d2 runtime-plan finding, same fix).
+    b = b.localCheckpoint(eager=False).repartition(F.col("bucket"))
     left = b.select(
         F.col("bucket"),
         F.col(id_col).alias("id_a"),
