@@ -47,7 +47,14 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def lit_vec(v: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(x)).cast("double") for x in v])
+    # ONE py4j call (array<double> literal, identical schema/values to
+    # the old per-element F.array(F.lit(x).cast("double"), ...) form —
+    # verified non-null double elements both ways). The per-element
+    # form cost ~2*dim driver round-trips PER VECTOR; with 4+ planes
+    # per bucket expression and two join sides that was the dominant
+    # driver-side plan-construction cost of every LSH query
+    # (sim_bitext_margin: ~2 s of pure build time, r14 receipt).
+    return F.lit([float(x) for x in v])
 
 
 def cosine_topk(

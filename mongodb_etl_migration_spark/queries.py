@@ -1715,12 +1715,18 @@ _PLANE_IDS = [1, 2, 3, 4]
 
 
 def _planes(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    # 4-row collect: project the two needed columns (pruned scan) and
+    # sort driver-side — the old .orderBy("vec_id") added a whole AQE
+    # sort stage + exchange to every CONSTRUCTION of every LSH query
+    # (sim_bitext_margin's warm construct phase ran 3 jobs for this
+    # one collect; r14 job-level receipt). Same rows, same order.
     rows = (
         Catalog(spark, sf_dir)
-        .embeddings.filter(F.col("vec_id").isin(_PLANE_IDS))
-        .orderBy("vec_id")
+        .embeddings.select("vec_id", "embedding")
+        .filter(F.col("vec_id").isin(_PLANE_IDS))
         .collect()
     )
+    rows.sort(key=lambda r: r["vec_id"])
     return [[float(x) for x in r["embedding"]] for r in rows]
 
 
