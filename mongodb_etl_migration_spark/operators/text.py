@@ -3567,6 +3567,44 @@ GOPHER_TOP_NGRAM_LIMITS = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_DUP_NGRAM_LIMITS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
+def _gram_fold_sql(n: int) -> str:
+    """ONE-expr SQL mirror of
+    ``gram_run_stats(array_sort(ngrams_array(_, n, __grt)))`` —
+    semantics pinned by test_gram_fold_sql_matches_column_form.
+    The Column-API form costs ~800 py4j round-trips per n (the
+    HOF lambda builders chat with the JVM per node) — ~1.6 s of
+    pure driver build time for the nine folds per query
+    CONSTRUCTION (r14 cProfile receipt); one expr parse per n is
+    a single round-trip with the identical expression tree."""
+    same = "__ga.prev IS NOT NULL AND __ga.prev = __gg"
+    run = (
+        f"CASE WHEN {same} THEN __ga.run + 1 "
+        "ELSE CAST(1 AS BIGINT) END"
+    )
+    ng = (
+        f"CASE WHEN size(__grt) >= {n} THEN "
+        f"transform(sequence(1, size(__grt) - {n - 1}), "
+        f"__gi -> array_join(slice(__grt, __gi, {n}), ' ')) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return (
+        f"aggregate(array_sort({ng}), "
+        "struct(CAST(NULL AS STRING) AS prev, "
+        "CAST(0 AS BIGINT) AS run, CAST(0 AS BIGINT) AS top, "
+        "CAST(0 AS BIGINT) AS dup), "
+        "(__ga, __gg) -> struct("
+        "__gg AS prev, "
+        f"{run} AS run, "
+        f"greatest(__ga.top, ({run}) * CAST(length(__gg) AS BIGINT)) "
+        "AS top, "
+        f"__ga.dup + (CASE WHEN {same} "
+        "THEN CAST(length(__gg) AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END) AS dup), "
+        "__ga -> struct(__ga.top AS top, __ga.dup AS dup))"
+    )
+
+
+
 def with_gopher_repetition(
     df,
     text_col: str,
@@ -3614,6 +3652,7 @@ def with_gopher_repetition(
     base = list(df.columns)
     toks = F.col(toks_col) if toks_col else tokens(text_col)
     s0 = df.select("*", toks.alias("__grt"))
+
     s1 = s0.select(
         "*",
         F.filter(
@@ -3630,9 +3669,7 @@ def with_gopher_repetition(
         F.length(F.array_join(F.array_distinct("__grl"), "")).alias("__cd"),
         F.length(F.array_join("__grt", " ")).alias("__tc"),
         *(
-            gram_run_stats(
-                F.array_sort(ngrams_array(text_col, n, F.col("__grt")))
-            ).alias(f"__rep{n}")
+            F.expr(_gram_fold_sql(n)).alias(f"__rep{n}")
             for n in ns
         ),
     )

@@ -2121,6 +2121,39 @@ def test_gram_run_stats_matches_bruteforce(spark):
             assert out[i] == _rep_brute(t, n), (n, i, t)
 
 
+def test_gram_fold_sql_matches_column_form(spark):
+    """The one-expr SQL template with_gopher_repetition builds its
+    nine folds from must agree EXACTLY with the Column-API form
+    (gram_run_stats over array_sort(ngrams_array(...))) it mirrors —
+    the r14 driver-side build optimization changes construction cost
+    only, never a value. Edge cases: empty, NULL, < n tokens,
+    all-identical tokens, interleaved repeats, unicode tokens."""
+    texts = [
+        "dog cat dog cat dog cat dog cat",
+        "a b c d e f g h i j a b c d e f g h i j",
+        "one two three",
+        "x",
+        "",
+        None,
+        "aa aa aa aa aa aa aa aa aa aa aa aa",
+        "p q r s t u v p q r s t u v w p q r",
+        "héllo wörld héllo wörld héllo wörld",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).select("doc_id", T.tokens("text").alias("__grt"))
+    for n in (2, 3, 5, 10):
+        rows = docs.select(
+            "doc_id",
+            T.gram_run_stats(
+                F.array_sort(T.ngrams_array("text", n, F.col("__grt")))
+            ).alias("col_form"),
+            F.expr(T._gram_fold_sql(n)).alias("sql_form"),
+        ).collect()
+        for r in rows:
+            assert r.col_form == r.sql_form, (n, r.doc_id)
+
+
 def test_with_gopher_repetition_full_ruleset(spark):
     """The staged transform emits all 11 §A1.1 fractions with the
     paper's thresholds; planted docs trip exactly the rule they
