@@ -42,6 +42,8 @@ from typing import NamedTuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mongodb_etl_migration_spark.operators.text import lit_int_array
+
 TURN_STRUCT = "array<struct<turn_idx:int,role:string,content:string>>"
 SPAN_STRUCT = "array<struct<turn_idx:int,span_start:bigint,span_end:bigint>>"
 TOKSPAN_STRUCT = (
@@ -253,9 +255,7 @@ def loss_mask_spans(
 
 
 def _lit_int_array(ids: list[int]) -> Column:
-    if not ids:
-        return F.array().cast("array<int>")
-    return F.array(*[F.lit(int(i)) for i in ids]).cast("array<int>")
+    return lit_int_array(ids)
 
 
 def special_token_ids(

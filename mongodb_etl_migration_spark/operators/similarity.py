@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mongodb_etl_migration_spark.functions.scalars import stable_round
+from mongodb_etl_migration_spark.operators.text import lit_long_array
 
 
 def _dvec(c: Column | str) -> Column:
@@ -54,7 +55,13 @@ def lit_vec(v: Sequence[float]) -> Column:
     # per bucket expression and two join sides that was the dominant
     # driver-side plan-construction cost of every LSH query
     # (sim_bitext_margin: ~2 s of pure build time, r14 receipt).
-    return F.lit([float(x) for x in v])
+    # numpy (not F.lit(list), which recurses per element): the 1-D
+    # ndarray crosses py4j as one Array[Double].
+    import numpy as np
+
+    if not len(v):
+        return F.array().cast("array<double>")
+    return F.lit(np.asarray([float(x) for x in v], dtype="float64"))
 
 
 def cosine_topk(
@@ -515,7 +522,7 @@ def _centroid_dists(
                 F.aggregate(
                     F.zip_with(
                         xq_col,
-                        F.array(*[F.lit(int(v)).cast("long") for v in cvec]),
+                        lit_long_array(cvec),
                         lambda a, b: (a - b) * (a - b),
                     ),
                     F.lit(0).cast("long"),
@@ -755,7 +762,7 @@ def pca_power_projection(
     q = int8_quantize(df, id_col, vec_col).select(
         F.col(id_col), F.slice("q", 1, dims).alias("_q")
     )
-    vlit = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    vlit = lit_long_array(v)
     proj = F.aggregate(
         F.zip_with(F.col("_q"), vlit, lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -854,7 +861,7 @@ def random_projection_int(
     )
     outs = []
     for k in range(1, out_dims + 1):
-        col = F.array(*[F.lit(r(j, k)).cast("long") for j in range(1, dims + 1)])
+        col = lit_long_array([r(j, k) for j in range(1, dims + 1)])
         outs.append(
             F.aggregate(
                 F.zip_with(F.col("_q"), col, lambda a, b: a * b),
@@ -1023,7 +1030,7 @@ def pq_adc_topk(
     coded = pq_encode(emb, codebooks, id_col, vec_col, scale)
     lut_lit = F.array(
         *[
-            F.array(*[F.lit(int(d)).cast("long") for d in row])
+            lit_long_array(row)
             for row in lut
         ]
     )
@@ -1101,7 +1108,7 @@ def ivf_pq_topk(
             for label, cvec in coarse
             for x in (
                 F.lit(int(label)).cast("int"),
-                F.array(*[F.lit(int(v)).cast("long") for v in cvec]),
+                lit_long_array(cvec),
             )
         ]
     )
@@ -1113,7 +1120,7 @@ def ivf_pq_topk(
                 F.lit(int(label)).cast("int"),
                 F.array(
                     *[
-                        F.array(*[F.lit(int(d)).cast("long") for d in row])
+                        lit_long_array(row)
                         for row in lut
                     ]
                 ),

@@ -38,6 +38,49 @@ def tokens(c: Column | str) -> Column:
     return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
 
 
+def lit_int_array(vals) -> Column:
+    """array<int> literal in ONE py4j round-trip. ``F.lit(list)``
+    recurses per element (pyspark: ``array(*[lit(x) for x in col])``
+    — 2 driver round-trips each), which made big vocab/codebook
+    literals the dominant query-CONSTRUCTION cost (gpt2_token_ids:
+    ~870 ms of its 1.0 s build in the 277-entry map literal, r14
+    cProfile receipt); a 1-D numpy array crosses in one call.
+    int32 == the element type ``F.lit(python_int)`` produced, so
+    expression types are unchanged."""
+    import numpy as np
+
+    if not len(vals):
+        return F.array().cast("array<int>")
+    return F.lit(np.asarray([int(v) for v in vals], dtype="int32"))
+
+
+def lit_long_array(vals) -> Column:
+    """array<bigint> literal in ONE py4j round-trip (see
+    :func:`lit_int_array`) — the twin for sites whose element-wise
+    form cast to long."""
+    import numpy as np
+
+    if not len(vals):
+        return F.array().cast("array<bigint>")
+    return F.lit(np.asarray([int(v) for v in vals], dtype="int64"))
+
+
+def lit_string_array(vals) -> Column:
+    """array<string> literal in ONE expr parse (numpy has no py4j
+    string-array converter; a SQL array literal does it in a single
+    round-trip). Backslashes and quotes escaped for Spark's default
+    (non-escapedStringLiterals) parser; element values and the
+    array<string> containsNull=false type match the element-wise
+    ``F.array(*[F.lit(s) ...])`` form exactly (tested)."""
+    if not len(vals):
+        return F.array().cast("array<string>")
+    esc = (
+        "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+        for v in vals
+    )
+    return F.expr("array(" + ",".join(esc) + ")")
+
+
 def cpu_fan_out(df, fan_out: bool | None = None):
     """One-off fan-out repartition for CPU-bound per-row scorers
     (Gopher repetition, MinHash signatures): when the per-input-byte
@@ -1324,7 +1367,7 @@ def bloom_probe(
     (hash, mask, getbit), no join machinery. May report false
     positives (tunable via bits-per-value), never false negatives."""
     num_bits = len(bitset) * 64
-    lit_words = F.array(*[F.lit(int(w)).cast("long") for w in bitset])
+    lit_words = lit_long_array(bitset)  # one py4j call, same array<bigint>
     checks = []
     for j in range(num_hashes):
         pos = F.xxhash64(value, F.lit(j)).bitwiseAND(F.lit(num_bits - 1))
@@ -3224,7 +3267,7 @@ def gpt2_token_ids(
     vocab = gpt2_vocab(merges)
     syms = list(vocab)
     id_map = F.map_from_arrays(
-        F.lit(syms), F.lit([vocab[s] for s in syms])
+        lit_string_array(syms), lit_int_array([vocab[s] for s in syms])
     )
     # ONE reference to the (expensive, un-CSE'd) merge-chain column:
     # split evaluates it once; the empty document's [''] filters away
@@ -3258,7 +3301,7 @@ def gpt2_decode_ascii(
     vocab = gpt2_vocab(merges)
     syms = list(vocab)
     rmap = F.map_from_arrays(
-        F.lit([vocab[s] for s in syms]), F.lit(syms)
+        lit_int_array([vocab[s] for s in syms]), lit_string_array(syms)
     )
     joined = F.array_join(
         F.transform(ids, lambda i: F.try_element_at(rmap, i)), ""
