@@ -1755,6 +1755,11 @@ def bm25_topk(
     """
     _bm25_validate(k1_milli, b_milli)
     spark = df.sparkSession
+    # N is a count over the SOURCE frame: taken before the fan-out
+    # repartition below so the build-time count job never executes
+    # the fan-out exchange (row count is repartition-invariant; the
+    # exchange exists for the tokenize+explode leg only).
+    n_docs = int(df.count())
     # tokenize+explode+partial-aggregate is CPU-bound per input byte,
     # so an unsplittable single-row-group source would run it on one
     # core — same gated fan-out rule (and rationale) as
@@ -1778,7 +1783,6 @@ def bm25_topk(
     )
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = int(df.count())
     total = int(dl.agg(F.sum("dl")).collect()[0][0] or 0)
     qdf = spark.createDataFrame(
         [(qid, t) for qid, terms in queries for t in terms],
