@@ -28,5 +28,7 @@ from mongodb_etl_migration_spark.functions.scalars import (  # noqa: F401
 from mongodb_etl_migration_spark.functions.keys import (  # noqa: F401
     assign_sequential_ids,
     timeuuid_deterministic,
+    timeuuid_deterministic_arrow,
     uuid5_oid,
+    uuid5_oid_arrow,
 )

@@ -18,25 +18,65 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 
+# Shared hex formatting for the JVM-side UUID builders: Spark's hex()
+# is uppercase with no leading zeros; RFC-4122 text is lowercase,
+# fixed-width.
+def _hex_field(col: Column, width: int) -> Column:
+    return F.lpad(F.lower(F.hex(col)), width, "0")
+
+
+# uuid.NAMESPACE_OID.bytes — the 16-byte RFC-4122 OID namespace.
+_NS_OID_HEX = "6BA7B8129DAD11D180B400C04FD430C8"
+
+
 # ------------------------------------------------------------------- K1
-@pandas_udf(StringType())
-def uuid5_oid(mongo_id: pd.Series) -> pd.Series:
+def uuid5_oid(mongo_id: Column | str) -> Column:
     """Deterministic UUID5(NAMESPACE_OID, mongo_id) —
     etl/utils/cassandra_id_mapper.py:45-71.
 
     Same input ⇒ same UUID across entities/runs; the keystone the
     reference validates at scripts/validate_migration.py:234-270.
-    Vectorized pandas UDF (Arrow batches); cannot be a builtin because
-    Spark lacks SHA1-composed RFC-4122 v5 formatting.
+
+    Pure Column expression (JVM codegen): RFC-4122 §4.3 composes the
+    v5 uuid from sha1(namespace_bytes || utf8(name)) — Spark's sha1()
+    returns exactly that digest as 40 lowercase hex chars, and the
+    layout is hex slicing plus two nibble patches (version '5' at
+    digest byte 6's high nibble, variant 10xx at byte 8's top bits).
+    Replaces the former pandas UDF (kept as ``uuid5_oid_arrow`` for
+    the equivalence test): no JVM→Python hop, no Arrow transpose —
+    guide §4.1 "always prefer built-ins". NULL in ⇒ NULL out (concat
+    propagates the NULL sha1).
     """
+    c = F.col(mongo_id) if isinstance(mongo_id, str) else mongo_id
+    h = F.sha1(F.concat(F.unhex(F.lit(_NS_OID_HEX)), F.encode(c, "UTF-8")))
+    clock_hi = (
+        F.conv(F.substring(h, 17, 2), 16, 10)
+        .cast("int")
+        .bitwiseAND(F.lit(0x3F))
+        .bitwiseOR(F.lit(0x80))
+    )
+    return F.concat(
+        F.substring(h, 1, 8), F.lit("-"),
+        F.substring(h, 9, 4), F.lit("-"),
+        F.lit("5"), F.substring(h, 14, 3), F.lit("-"),
+        _hex_field(clock_hi, 2), F.substring(h, 19, 2), F.lit("-"),
+        F.substring(h, 21, 12),
+    )
+
+
+@pandas_udf(StringType())
+def uuid5_oid_arrow(mongo_id: pd.Series) -> pd.Series:
+    """Arrow-batched reference twin of :func:`uuid5_oid` (the original
+    implementation) — suite-pinned byte-equal to the Column form."""
     return mongo_id.map(
         lambda s: str(uuid.uuid5(uuid.NAMESPACE_OID, s)) if s is not None else None
     )
 
 
 # ------------------------------------------------------------------- K2
-@pandas_udf(StringType())
-def timeuuid_deterministic(mongo_id: pd.Series, ts_millis: pd.Series) -> pd.Series:
+def timeuuid_deterministic(
+    mongo_id: Column | str, ts_millis: Column | str
+) -> Column:
     """RFC-4122 v1-format UUID whose 60-bit timestamp comes from
     ``ts_millis`` and whose clock-seq/node bits are sha1(mongo_id) —
     etl/utils/cassandra_id_mapper.py:116-138 re-expressed determinis-
@@ -44,7 +84,46 @@ def timeuuid_deterministic(mongo_id: pd.Series, ts_millis: pd.Series) -> pd.Seri
     its schema relies on is timestamp-prefix ordering,
     backups/create_scylla_database.cql:46 — preserved here, plus
     replayability the reference lacks; SURVEY.md §7.4.2).
+
+    Pure Column expression (JVM codegen) since round 14: the time
+    fields are long bit-arithmetic over ``100-ns intervals since
+    1582-10-15`` and the sha1-derived bits are hex slices of Spark's
+    sha1() — no Python boundary (guide §4.1). The former pandas UDF
+    survives as ``timeuuid_deterministic_arrow`` for the equivalence
+    test. NULL mongo_id or NULL ts ⇒ NULL uuid, as before.
     """
+    mid = F.col(mongo_id) if isinstance(mongo_id, str) else mongo_id
+    ms = F.col(ts_millis) if isinstance(ts_millis, str) else ts_millis
+    # 100-ns intervals since 1582-10-15 (RFC 4122 epoch offset).
+    ts = ms.cast("long") * F.lit(10000) + F.lit(0x01B21DD213814000)
+    time_low = ts.bitwiseAND(F.lit(0xFFFFFFFF))
+    time_mid = F.shiftright(ts, 32).bitwiseAND(F.lit(0xFFFF))
+    time_hi_version = (
+        F.shiftright(ts, 48).bitwiseAND(F.lit(0x0FFF)).bitwiseOR(F.lit(0x1000))
+    )
+    h = F.sha1(F.encode(mid, "UTF-8"))
+    clock_hi = (
+        F.conv(F.substring(h, 1, 2), 16, 10)
+        .cast("int")
+        .bitwiseAND(F.lit(0x3F))
+        .bitwiseOR(F.lit(0x80))
+    )
+    return F.concat(
+        _hex_field(time_low, 8), F.lit("-"),
+        _hex_field(time_mid, 4), F.lit("-"),
+        _hex_field(time_hi_version, 4), F.lit("-"),
+        _hex_field(clock_hi, 2), F.substring(h, 3, 2), F.lit("-"),
+        F.substring(h, 5, 12),
+    )
+
+
+@pandas_udf(StringType())
+def timeuuid_deterministic_arrow(
+    mongo_id: pd.Series, ts_millis: pd.Series
+) -> pd.Series:
+    """Arrow-batched reference twin of :func:`timeuuid_deterministic`
+    (the original implementation) — suite-pinned byte-equal to the
+    Column form."""
 
     def one(mid: str | None, ms: float | None) -> str | None:
         if mid is None or ms is None or pd.isna(ms):

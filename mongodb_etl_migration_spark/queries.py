@@ -460,8 +460,8 @@ def k1_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
     uuid can't be recomputed in SQL; instead the query emits the
     SQL-checkable per-row RFC-4122 invariants — version nibble '5'
     and variant bits in {8,9,a,b}. This is the BENCHMARKED plan and
-    stays a pure narrow projection (pandas-UDF sha1 + substrings,
-    zero shuffle); the cross-row uniqueness invariant lives in
+    stays a pure narrow projection (JVM sha1 + substrings since r14 —
+    zero shuffle, no Python hop); the cross-row uniqueness lives in
     k1b_uuid5_invariants so the oracle's needs never add a shuffle
     to the operator under measurement. Byte-exact uuid values are
     pinned by known-answer tests against Python's uuid.uuid5 in

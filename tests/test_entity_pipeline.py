@@ -425,6 +425,8 @@ def test_messages_plan_single_decrypt_stage(outputs):
         out["messages_by_room"]._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("_decrypt_fb") == 1
-    # total Python stages: decrypt + the two key UDFs (uuid5, timeuuid)
-    assert plan.count("ArrowEvalPython") == 3
+    # total Python stages: ONLY the decrypt remains — the uuid5/timeuuid
+    # key builders became pure Column expressions in r14 (JVM sha1),
+    # so a regression re-adding a Python hop fails here
+    assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan

@@ -57,6 +57,49 @@ def test_uuid5_udf_matches_python(spark):
         assert got[s] == str(_uuid.uuid5(_uuid.NAMESPACE_OID, s))
 
 
+def test_uuid_column_forms_match_arrow_twins(spark):
+    """The r14 JVM-codegen rewrites of uuid5_oid / timeuuid_deterministic
+    must stay byte-equal to the original Arrow-batched implementations
+    (kept as *_arrow twins) on every edge shape: NULLs, empty string,
+    multi-byte unicode, long strings, epoch/negative timestamps."""
+    from mongodb_etl_migration_spark.functions.keys import (
+        timeuuid_deterministic_arrow,
+        uuid5_oid_arrow,
+    )
+
+    ids = [
+        "",
+        "ñandú ✓ unicode",
+        "💡🎉",
+        "x" * 5000,
+        "room:42",
+        "a\tb\nc",
+        None,
+    ] + [f"{i:024x}" for i in range(20)]
+    df = spark.createDataFrame([(s,) for s in ids], "mongo_id string")
+    for r in df.select(
+        uuid5_oid(F.col("mongo_id")).alias("col_form"),
+        uuid5_oid_arrow(F.col("mongo_id")).alias("arrow_form"),
+    ).collect():
+        assert r["col_form"] == r["arrow_form"]
+
+    tu_rows = [
+        ("edge", 0),
+        ("edge2", 1),
+        ("neg", -1000),
+        (None, 123),
+        ("nullms", None),
+    ] + [(f"{i:024x}", 1_600_000_000_000 + i * 997) for i in range(20)]
+    df2 = spark.createDataFrame(tu_rows, "mongo_id string, ms long")
+    for r in df2.select(
+        timeuuid_deterministic(F.col("mongo_id"), F.col("ms")).alias("col_form"),
+        timeuuid_deterministic_arrow(F.col("mongo_id"), F.col("ms")).alias(
+            "arrow_form"
+        ),
+    ).collect():
+        assert r["col_form"] == r["arrow_form"]
+
+
 def test_timeuuid_properties(spark):
     rows = [(f"{i:024x}", 1_600_000_000_000 + i * 1000) for i in range(20)]
     df = spark.createDataFrame(rows, "mongo_id string, ms long")

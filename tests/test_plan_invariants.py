@@ -21,9 +21,9 @@ from mongodb_etl_migration_spark.queries import QUERIES
 
 # Queries whose Arrow-batched Python stages are by design.
 ARROW_OK = {
-    "k1_uuid5",            # uuid5 bit layout (pandas UDF, K1)
-    "k1b_uuid5_invariants",  # same UDF, cross-row uniqueness check
-    "k2_timeuuid",         # RFC-4122 v1 layout (pandas UDF, K2)
+    # k1_uuid5 / k1b_uuid5_invariants / k2_timeuuid left this list in
+    # r14: the key builders are pure Column expressions now (JVM sha1 +
+    # hex slicing) — no Python stage remains in their plans.
     "x_crypto_migration",  # Salsa20 (pure-Python spec cipher, F22)
     "m_multimodal_decode",   # mapInPandas decode plumbing
     "m_image_decode_real",   # real BMP codec (mapInPandas)
