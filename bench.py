@@ -13,8 +13,9 @@ data_fingerprint, load_avg, timing policy) are written to
 The headline set exercises every cost class: columnar agg (a1), join
 pipeline + window (j6), shuffle-heavy LSH dedup (d2), vector math
 (sim_topk_bruteforce), per-doc text scoring (t_text_stats), window agg
-over events (e_windowed_counts), hierarchy loop (j9), pandas-UDF path
-(k1_uuid5), and the heaviest pure-codegen text path — the full Gopher
+over events (e_windowed_counts), hierarchy loop (j9), sha1 key
+derivation (k1_uuid5 — pure codegen since r14; formerly the pandas-UDF
+representative), and the heaviest pure-codegen text path — the full Gopher
 repetition family's 9 sorted-gram folds (t_gopher_repetition). Each query runs three times: one cold (JIT, file listing),
 then two warm — the MIN of the warm pair is recorded (single-JVM
 local-mode timings carry GC/load noise; min-of-2 is the steady-state

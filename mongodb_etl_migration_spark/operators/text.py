@@ -105,6 +105,39 @@ def cpu_fan_out(df, fan_out: bool | None = None):
     return df.repartition(parallelism) if fan_out else df
 
 
+def count_async(df):
+    """``df.count()`` on a driver-side thread — guide §2.6: actions are
+    only sequential because the driver calls them sequentially, and a
+    build-time metadata count is independent of the heavier build jobs
+    that follow it (the BM25 tf materialization), so submitting it
+    from a thread lets the scheduler overlap the two jobs.
+
+    Returns a 0-arg callable that joins the thread and returns the
+    count (re-raising any failure). ``InheritableThread`` is the
+    documented way to run driver threads so JVM thread-locals (job
+    group/description) are inherited and cleaned up."""
+    from pyspark import InheritableThread
+
+    out: dict[str, object] = {}
+
+    def run() -> None:
+        try:
+            out["n"] = df.count()
+        except BaseException as exc:  # joined + re-raised below
+            out["err"] = exc
+
+    t = InheritableThread(target=run, session=df.sparkSession)
+    t.start()
+
+    def join() -> int:
+        t.join()
+        if "err" in out:
+            raise out["err"]  # type: ignore[misc]
+        return int(out["n"])  # type: ignore[arg-type]
+
+    return join
+
+
 def token_count(c: Column | str, toks: Column | None = None) -> Column:
     """Token count (whitespace/regex tokenizer). Pass ``toks`` (a
     materialized token-array column) in hot paths: lambda bodies sit
@@ -1758,8 +1791,10 @@ def bm25_topk(
     # N is a count over the SOURCE frame: taken before the fan-out
     # repartition below so the build-time count job never executes
     # the fan-out exchange (row count is repartition-invariant; the
-    # exchange exists for the tokenize+explode leg only).
-    n_docs = int(df.count())
+    # exchange exists for the tokenize+explode leg only). Submitted
+    # async (guide §2.6) so the count job and the tf materialization
+    # below overlap instead of running back-to-back.
+    n_docs_join = count_async(df)
     # tokenize+explode+partial-aggregate is CPU-bound per input byte,
     # so an unsplittable single-row-group source would run it on one
     # core — same gated fan-out rule (and rationale) as
@@ -1784,6 +1819,7 @@ def bm25_topk(
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     total = int(dl.agg(F.sum("dl")).collect()[0][0] or 0)
+    n_docs = n_docs_join()
     qdf = spark.createDataFrame(
         [(qid, t) for qid, terms in queries for t in terms],
         "query_id string, term string",
@@ -2063,8 +2099,11 @@ def bm25_index(
         tf = bm25_tf(df, id_col, text_col)
     tf = tf.localCheckpoint(eager=False)
     postings = postings_from_tf(tf, id_col, n_buckets)
-    n_docs = int(df.count())
+    # count submitted async so it overlaps the tf materialization the
+    # T aggregate triggers (guide §2.6; same pattern as bm25_topk)
+    n_docs_join = count_async(df)
     total = int(tf.agg(F.sum("tf")).collect()[0][0] or 0)
+    n_docs = n_docs_join()
     # n_buckets rides IN the stats row: the probe's partition pruning
     # is only correct against the bucket count the postings were
     # written with, so the index self-describes it rather than
