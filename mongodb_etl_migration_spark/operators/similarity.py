@@ -26,18 +26,74 @@ from mongodb_etl_migration_spark.functions.scalars import stable_round
 from mongodb_etl_migration_spark.operators.text import lit_long_array
 
 
+# --- SQL-template fast paths for the vector helpers -------------------
+# The pyspark higher-order-function builders (F.transform/F.aggregate/
+# F.zip_with) do several py4j round-trips PER LAMBDA, which made the
+# vector-query CONSTRUCTION cost scale with plane count × join sides
+# (sim_bitext_margin: ~3,400 round-trips / 0.6 s socket time per build,
+# r14 cProfile receipt — the same disease pass 6 cured for the gopher
+# folds). Each helper therefore emits its expression as ONE parseable
+# SQL string when given column NAMES / literal vectors, and keeps the
+# original Column form for Column inputs; the two forms build the same
+# resolved tree (CASE/lambda/cast shapes identical; double literals via
+# repr round-trip exactly) and are pinned value-equal by
+# tests/test_vector_sql_forms.py.
+
+def _f8_sql(x: float) -> str:
+    """Exact SQL double literal: repr() is the shortest round-tripping
+    decimal and Java's parseDouble lands on the same IEEE-754 value;
+    the D suffix makes the parser emit the same DoubleType Literal
+    node as ``F.lit(float)``."""
+    return f"{float(x)!r}D"
+
+
+def _vec_sql(name: str) -> str:
+    """SQL fragment: the :func:`_dvec` cast-to-double transform."""
+    return f"transform(`{name}`, __vx -> cast(__vx as double))"
+
+
+def lit_vec_sql(v: Sequence[float]) -> str:
+    """SQL fragment: array<double> literal (see :func:`_f8_sql`)."""
+    if not len(v):
+        return "cast(array() as array<double>)"
+    return "array(" + ",".join(_f8_sql(x) for x in v) + ")"
+
+
+def dot_sql(a: str, b: str) -> str:
+    """SQL fragment: the :func:`dot` fold over two array fragments.
+    Lambda variables dunder-named so they can never collide with (or
+    silently shadow) a data column referenced by ``a``/``b``."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (__zx, __zy) -> __zx * __zy), "
+        f"0.0D, (__acc, __x) -> __acc + __x)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    """SQL fragment: the :func:`norm` fold over an array fragment."""
+    return f"sqrt(aggregate({a}, 0.0D, (__acc, __x) -> __acc + __x * __x))"
+
+
 def _dvec(c: Column | str) -> Column:
-    col = F.col(c) if isinstance(c, str) else c
-    return F.transform(col, lambda x: x.cast("double"))
+    if isinstance(c, str):
+        return F.expr(_vec_sql(c))
+    return F.transform(c, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array<double> columns. Column names take the
+    one-parse SQL path; Column objects keep the HOF-builder form."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_sql(f"`{a}`", f"`{b}`"))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    """L2 norm of an array<double> column (name → one-parse SQL path)."""
+    if isinstance(a, str):
+        return F.expr(norm_sql(f"`{a}`"))
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
     )
@@ -89,7 +145,17 @@ def hyperplane_bucket(
     vec_col: Column | str, planes: Sequence[Sequence[float]]
 ) -> Column:
     """LSH bucket id: sign bit of the dot product against each plane,
-    concatenated ('110…'). Deterministic given the planes."""
+    concatenated ('110…'). Deterministic given the planes. A column
+    NAME takes the one-parse SQL template (CASE WHEN == the Column
+    form's F.when; see the fast-path note above :func:`_f8_sql`)."""
+    if isinstance(vec_col, str):
+        v = _vec_sql(vec_col)
+        bits = ",".join(
+            f"case when {dot_sql(v, lit_vec_sql(p))} >= 0 "
+            "then '1' else '0' end"
+            for p in planes
+        )
+        return F.expr(f"concat({bits})")
     v = _dvec(vec_col)
     bits = [
         F.when(dot(v, lit_vec(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
@@ -190,7 +256,7 @@ def embedding_neardup_pairs(
         _dvec(vec_col).alias("v"),
         hyperplane_bucket(vec_col, planes).alias("bucket"),
     ).select(
-        F.col(id_col), "v", "bucket", norm(F.col("v")).alias("nrm")
+        F.col(id_col), "v", "bucket", norm("v").alias("nrm")
     )
     # shuffle on the bucket BEFORE the per-side renames: identical
     # exchanges on both sides → ReuseExchange computes the
@@ -220,7 +286,7 @@ def embedding_neardup_pairs(
             "id_a",
             "id_b",
             stable_round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                dot("va", "vb") / (F.col("na") * F.col("nb")),
                 4,
             ).alias("cos_sim"),
         )
@@ -1280,7 +1346,7 @@ def _bitext_candidates(
             f"{side}_id",
             f"{side}_v",
             "bucket",
-            norm(F.col(f"{side}_v")).alias(f"{side}_n"),
+            norm(f"{side}_v").alias(f"{side}_n"),
         )
 
     pairs = (
@@ -1290,7 +1356,7 @@ def _bitext_candidates(
             "src_id",
             "tgt_id",
             F.floor(
-                dot(F.col("src_v"), F.col("tgt_v"))
+                dot("src_v", "tgt_v")
                 / (F.col("src_n") * F.col("tgt_n"))
                 * 10000
                 + 0.5
