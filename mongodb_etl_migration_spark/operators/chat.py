@@ -353,7 +353,7 @@ def sft_tokens(
     becomes [pre ids] + encode(role) + [post ids] (the role is data
     and still BPE-encodes). Without it, behavior is unchanged —
     template text BPE-encodes like any text."""
-    from .text import gpt2_token_ids
+    from .text import _sql_str, gpt2_token_ids, gpt2_token_ids_sql, sql_int_array
 
     tpl = resolve_template(template)
 
@@ -364,7 +364,60 @@ def sft_tokens(
     sfx_ids = const_ids(tpl.suffix)
     eos_ids = const_ids(tpl.eos)
 
-    t = F.col(turns) if isinstance(turns, str) else turns
+    if isinstance(turns, str):
+        # One-parse SQL template (identical expression tree — pinned
+        # value-equal to the Column form below by
+        # tests/test_chat_sql_forms.py): the Column-API build of the
+        # two per-turn encode chains cost ~4,400 py4j round-trips per
+        # construction (r14 cProfile receipt; the pass-6/pass-12
+        # template device applied to the chat path).
+        role_sql = "coalesce(__ct.role, '')"
+        if special_ids:
+            hdr = (
+                f"concat({sql_int_array(const_ids(tpl.pre_role))}, "
+                f"{gpt2_token_ids_sql(role_sql, merges)}, "
+                f"{sql_int_array(const_ids(tpl.post_role))})"
+            )
+        else:
+            hdr = gpt2_token_ids_sql(
+                f"concat({_sql_str(tpl.pre_role)}, "
+                f"{role_sql}, {_sql_str(tpl.post_role)})",
+                merges,
+            )
+        cnt = gpt2_token_ids_sql("coalesce(__ct.content, '')", merges)
+        enc_sql = (
+            f"transform(`{turns}`, __ct -> named_struct("
+            f"'turn_idx', __ct.turn_idx, "
+            f"'is_assistant', (__ct.role = 'assistant'), "
+            f"'hdr', {hdr}, 'cnt', {cnt}))"
+        )
+        zero_sql = (
+            f"named_struct('ids', {sql_int_array(bos_ids)}, "
+            f"'spans', cast(array() as {TOKSPAN_STRUCT}))"
+        )
+        start_sql = "cast((size(__acc.ids) + size(__cx.hdr)) as bigint)"
+        end_sql = f"{start_sql} + cast(size(__cx.cnt) as bigint)"
+        span_sql = (
+            f"named_struct('turn_idx', __cx.turn_idx, "
+            f"'tok_start', {start_sql}, 'tok_end', {end_sql})"
+        )
+        step_sql = (
+            f"named_struct('ids', concat(__acc.ids, __cx.hdr, __cx.cnt, "
+            f"{sql_int_array(sfx_ids)}), "
+            f"'spans', case when __cx.is_assistant "
+            f"then concat(__acc.spans, array({span_sql})) "
+            f"else __acc.spans end)"
+        )
+        finish_sql = (
+            f"named_struct('token_ids', concat(__fa.ids, "
+            f"{sql_int_array(eos_ids)}), 'mask_spans', __fa.spans)"
+        )
+        return F.expr(
+            f"aggregate({enc_sql}, {zero_sql}, "
+            f"(__acc, __cx) -> {step_sql}, __fa -> {finish_sql})"
+        )
+
+    t = turns
     if special_ids:
         pre_ids, post_ids = const_ids(tpl.pre_role), const_ids(tpl.post_role)
 

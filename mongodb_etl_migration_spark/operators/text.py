@@ -3176,6 +3176,94 @@ def gpt2_pretokenize(c: Column | str) -> Column:
     return F.regexp_extract_all(_cc(c), F.lit(GPT2_PRETOKEN_RE), 0)
 
 
+# --- SQL-template twins of the BPE encode chain -----------------------
+# Building the compiled merge chain through the Column API costs a py4j
+# round-trip per F.replace/F.lit (|merges| x _BPE_PASSES of them) plus
+# several per HOF lambda, which made the chat/BPE queries'
+# CONSTRUCTION the dominant residual cost after pass 7 (c_sft_tokens:
+# 4,435 round-trips / 0.73 s build, r14 cProfile receipt). These
+# builders emit the IDENTICAL expression tree as one parseable SQL
+# string — the pass-6 gram-fold device applied to the encode chain.
+# Equivalence with the Column forms is pinned by
+# tests/test_chat_sql_forms.py (adversarial texts + both templates).
+
+def _sql_str(s: str) -> str:
+    """SQL string literal under the default escape-processing parser:
+    backslash/quote/control characters escaped, everything else (incl.
+    the GPT-2 alphabet's non-ASCII codepoints) passes through raw."""
+    out = (
+        s.replace("\\", "\\\\")
+        .replace("'", "\\'")
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
+    return f"'{out}'"
+
+
+def sql_int_array(vals) -> str:
+    """SQL fragment: array<int> literal (empty arrays keep the typed
+    cast the Column form uses)."""
+    vals = list(vals)
+    if not vals:
+        return "cast(array() as array<int>)"
+    return "array(" + ",".join(str(int(v)) for v in vals) + ")"
+
+
+def bpe_encoded_word_sql(
+    inp: str, merges: list[tuple[str, str]] | None = None
+) -> str:
+    """SQL fragment: :func:`bpe_encoded_word`'s compiled merge chain
+    over the fragment ``inp`` (typically a lambda variable)."""
+    merges = BPE_MERGES if merges is None else merges
+    _validate_flat_merges(merges)
+    s = f"concat(' ', regexp_replace({inp}, '(.)', '$1 '))"
+    for a, b in merges:
+        pat, rep = _sql_str(f" {a} {b} "), _sql_str(f" {a}{b} ")
+        for _ in range(_BPE_PASSES):
+            s = f"replace({s}, {pat}, {rep})"
+    return s
+
+
+def gpt2_encoded_sql(inp: str, merges: list[tuple[str, str]]) -> str:
+    """SQL fragment: :func:`gpt2_encoded` over the fragment ``inp``."""
+    pre = f"regexp_extract_all({inp}, {_sql_str(GPT2_PRETOKEN_RE)}, 0)"
+    ws_from = _sql_str(" \t\n")
+    ws_to = _sql_str("ĠĉĊ")
+    mapped = (
+        f"transform({pre}, __gt -> "
+        f"translate(__gt, {ws_from}, {ws_to}))"
+    )
+    enc = (
+        f"transform({mapped}, __gw -> "
+        f"{bpe_encoded_word_sql('__gw', merges)})"
+    )
+    return f"trim(regexp_replace(array_join({enc}, ''), ' +', ' '))"
+
+
+def gpt2_vocab_map_sql(merges: list[tuple[str, str]]) -> str:
+    """SQL fragment: the rank-ordered symbol→id literal map of
+    :func:`gpt2_token_ids` (same array<string>/array<int> element
+    types as the Column form's lit_string_array/lit_int_array)."""
+    vocab = gpt2_vocab(merges)
+    syms = list(vocab)
+    keys = "array(" + ",".join(_sql_str(s) for s in syms) + ")"
+    ids = sql_int_array([vocab[s] for s in syms])
+    return f"map_from_arrays({keys}, {ids})"
+
+
+def gpt2_token_ids_sql(inp: str, merges: list[tuple[str, str]]) -> str:
+    """SQL fragment: :func:`gpt2_token_ids` over the fragment ``inp``
+    (split → filter-empty → literal-map lookup, try_element_at so an
+    out-of-alphabet symbol yields NULL exactly like the Column form)."""
+    enc = gpt2_encoded_sql(inp, merges)
+    m = gpt2_vocab_map_sql(merges)
+    return (
+        f"transform(filter(split({enc}, ' '), __gs -> __gs != ''), "
+        f"__gi -> cast(try_element_at({m}, __gi) as int))"
+    )
+
+
 def gpt2_encoded(
     c: Column | str, merges: list[tuple[str, str]]
 ) -> Column:
@@ -3187,7 +3275,11 @@ def gpt2_encoded(
     job (gpt2_encode_batch, same results where scopes overlap,
     tested). Returns the document's space-joined symbol string
     (symbols never contain a literal space — the alphabet maps it
-    away — so the join is unambiguous)."""
+    away — so the join is unambiguous). A column NAME takes the
+    one-parse SQL template (identical tree; see the builders above);
+    Column inputs keep the builder form."""
+    if isinstance(c, str):
+        return F.expr(gpt2_encoded_sql(f"`{c}`", merges))
     pretoks = gpt2_pretokenize(c)
     mapped = F.transform(
         pretoks, lambda t: F.translate(t, " \t\n", "ĠĉĊ")
@@ -3306,7 +3398,13 @@ def gpt2_token_ids(
     (``size(ids) - size(filter(ids, isNotNull))``, the n_oov column
     t_bpe_ids publishes) and route non-ASCII corpora through
     gpt2_encode_ids_batch, the lossless full-UTF-8 path.
+
+    A column NAME takes the one-parse SQL template (identical tree;
+    see the builders below gpt2_pretokenize); Column inputs keep the
+    builder form.
     """
+    if isinstance(c, str):
+        return F.expr(gpt2_token_ids_sql(f"`{c}`", merges))
     vocab = gpt2_vocab(merges)
     syms = list(vocab)
     id_map = F.map_from_arrays(
