@@ -79,6 +79,29 @@ def _shingle_expr(toks: Column, k: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+# --- SQL-template twins (one parse instead of per-node py4j chatter;
+# the pass-12/13 device — value-equality with the Column forms pinned
+# by tests/test_dedup_sql_forms.py, d1-d10 oracle-green) -------------
+
+def _shingle_expr_sql(toks: str, k: int) -> str:
+    """SQL fragment: :func:`_shingle_expr` over a token-array fragment."""
+    cells = ", ".join(f"element_at({toks}, (__si + {j}) + 1)" for j in range(k))
+    return (
+        f"case when size({toks}) >= {k} then "
+        f"array_distinct(transform(sequence(0, size({toks}) - {k}), "
+        f"__si -> concat_ws(' ', {cells}))) "
+        f"else cast(array() as array<string>) end"
+    )
+
+
+def _shingle_base_hash_sql(inp: str) -> str:
+    """SQL fragment: :func:`shingle_base_hash` over a fragment."""
+    return (
+        f"cast(conv(substring(md5({inp}), 1, 15), 16, 10) as bigint) "
+        f"% {MINHASH_P}"
+    )
+
+
 def with_shingle_column(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, out: str = "_shingles"
 ) -> DataFrame:
@@ -91,7 +114,8 @@ def with_shingle_column(
     ~180× slowdown on the 16-hash MinHash stage)."""
     toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
     return toked.select(
-        F.col(id_col), _shingle_expr(F.col("_toks"), k).alias(out)
+        F.col(id_col),
+        F.expr(_shingle_expr_sql("`_toks`", k)).alias(out),
     )
 
 
@@ -188,12 +212,17 @@ def minhash_signatures_narrow(
     bomb at corpus scale)."""
     base = with_shingle_column(df, id_col, text_col, k).select(
         F.col(id_col),
-        F.transform(F.col("_shingles"), shingle_base_hash).alias("_h"),
+        F.expr(
+            f"transform(`_shingles`, __sh -> {_shingle_base_hash_sql('__sh')})"
+        ).alias("_h"),
     )
 
     def sig(i: int, a: int, b: int) -> Column:
-        return F.array_min(
-            F.transform(F.col("_h"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+        # one parse per seed: (a*h + b) % p folded over the base-hash
+        # array — same tree as the Column form (see _shingle_expr_sql)
+        return F.expr(
+            f"array_min(transform(`_h`, "
+            f"__mh -> (({a} * __mh) + {b}) % {MINHASH_P}))"
         ).alias(f"sig_{i}")
 
     return base.select(
