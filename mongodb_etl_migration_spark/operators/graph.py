@@ -55,35 +55,51 @@ def pagerank_integer(
     (one count over the deduplicated node set) and folded in as a
     literal, the same documented tradeoff as tfidf_top_terms.
 
-    Iteration hygiene (the connected-components discipline): the loop
-    invariants — edges, nodes, out-degrees — are persisted for the
-    duration of the loop and unpersisted before returning, and each
-    round's ranks are localCheckpoint'ed (eager) so iteration k+1
-    reads a materialized k instead of replaying the whole lineage —
-    without this, the unrolled plan re-derives the edge-building
-    joins once per round (measured: 27 exchanges for 3 rounds lazy
-    vs 2 per round checkpointed). The returned frame is materialized
-    and self-contained.
+    Iteration hygiene (the connected-components discipline, r15: the
+    _cc_star LAZY variant): the loop invariants — edges, nodes,
+    out-degrees — and each round's ranks are localCheckpoint'ed
+    LAZILY (eager=False), so every round's plan reads a truncated
+    LogicalRDD instead of replaying the whole lineage (without any
+    checkpoint the unrolled plan re-derives the edge-building joins
+    once per round — measured: 27 exchanges for 3 rounds), while the
+    fixed-round loop schedules NO per-round driver job: the one
+    eager action is the N count (which doubles as the edge/node
+    materializer), and every round materializes inside the
+    consumer's single action. Eager per-round checkpoints cost one
+    full job dispatch per round — pure driver latency on a loop-
+    shaped operator (guide §1.2 step 1 applied to actions; the
+    r14 _cc_star lesson). Lazy checkpoints also persist, so no
+    explicit unpersist bookkeeping is needed (the ContextCleaner
+    reclaims them). The returned frame is self-contained (plan =
+    checkpoint scan), materializing on first use.
 
     Output: (node, pr) — fixed-point rank, a bigint in units of 1/scale
     ("pr" because RANK is a window-function keyword in both SQL dialects).
     """
+    # out_deg is FOLDED into the edge list once before the loop, so
+    # each round joins ranks against ONE edge-shaped input instead of
+    # edge ⋈ deg per round — one join fewer per round, identical
+    # arithmetic (guide §2.4: establish the layout once). The
+    # aggregate keeps partial (map-side) aggregation and the fold
+    # join runs src⋈src on frames the aggregate already partitioned,
+    # so the fold adds no corpus-sized exchange of its own.
     if weight is None:
-        e = (
+        ebase = (
             edges.select(
                 F.col(src).cast("bigint").alias("src"),
                 F.col(dst).cast("bigint").alias("dst"),
             )
             .distinct()
-            .persist()
+            # 2 consumers (deg + fold join): pin single computation
+            # of the upstream edge build (the d2 lesson)
+            .localCheckpoint(eager=False)
         )
-        deg = (
-            e.groupBy("src")
-            .agg(F.count("*").cast("bigint").alias("out_deg"))
-            .persist()
+        deg = ebase.groupBy("src").agg(
+            F.count("*").cast("bigint").alias("out_deg")
         )
+        e = ebase.join(deg, "src").localCheckpoint(eager=False)
     else:
-        e = (
+        ebase = (
             edges.select(
                 F.col(src).cast("bigint").alias("src"),
                 F.col(dst).cast("bigint").alias("dst"),
@@ -92,25 +108,24 @@ def pagerank_integer(
             .groupBy("src", "dst")
             .agg(F.sum("w").cast("bigint").alias("w"))
             .filter(F.col("w") > 0)
-            .persist()
+            .localCheckpoint(eager=False)
         )
-        deg = (
-            e.groupBy("src")
-            .agg(F.sum("w").cast("bigint").alias("out_deg"))
-            .persist()
+        deg = ebase.groupBy("src").agg(
+            F.sum("w").cast("bigint").alias("out_deg")
         )
+        e = ebase.join(deg, "src").localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
+    # lazy checkpoint + count = ONE job that both materializes the
+    # checkpointed edge/node RDDs and returns N (the _cc_star trick)
     n = nodes.count()
     if n == 0:
         # empty edge list: an empty (node, pr) frame, not a
         # ZeroDivisionError at plan-build time
-        for cached in (e, nodes, deg):
-            cached.unpersist()
         return nodes.select(
             "node", F.lit(0).cast("bigint").alias("pr")
         )
@@ -120,7 +135,6 @@ def pagerank_integer(
     for _ in range(iterations):
         contribs = (
             ranks.join(e, ranks["node"] == e["src"])
-            .join(deg, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr(
@@ -142,10 +156,7 @@ def pagerank_integer(
             )
             .cast("bigint")
             .alias("pr"),
-        ).localCheckpoint()
-    e.unpersist()
-    nodes.unpersist()
-    deg.unpersist()
+        ).localCheckpoint(eager=False)
     return ranks
 
 
@@ -176,8 +187,17 @@ def hits_integer(
     Plan shape: per iteration one src shuffle (hub→edge join + dst
     sum) and one dst shuffle (authority→edge join + src sum); the
     renormalizing max is a 1-row aggregate cross-joined back (AQE
-    broadcasts it). Same iteration hygiene as pagerank_integer:
-    edges/nodes persist for the loop, each round localCheckpoints.
+    broadcasts it). Same iteration hygiene as pagerank_integer (r15
+    lazy variant): edges/nodes and each round's scores checkpoint
+    LAZILY, so the fixed-round loop schedules no per-round driver
+    job — rounds materialize inside the consumer's single action
+    (the per-round renormalization broadcasts are that action's
+    internal stages, not separate driver calls). a_raw/h_raw are
+    ALSO lazily checkpointed: each feeds both its max-aggregate and
+    the renormalizing join, and without the pin the join+sum chain
+    would compute twice per round (the d2 broadcast-fragility
+    lesson — ReuseExchange is not guaranteed across the broadcast
+    boundary).
 
     Output: (node, auth, hub) — bigints in units of 1/scale.
     """
@@ -187,17 +207,15 @@ def hits_integer(
             F.col(dst).cast("bigint").alias("dst"),
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     if nodes.isEmpty():
-        e.unpersist()
-        nodes.unpersist()
         return nodes.select(
             "node",
             F.lit(0).cast("bigint").alias("auth"),
@@ -210,6 +228,7 @@ def hits_integer(
             h.join(e, h["node"] == e["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("__s"))
+            .localCheckpoint(eager=False)  # 2 consumers: max + join
         )
         am = a_raw.agg(F.max("__s").alias("__m"))
         a = (
@@ -229,12 +248,13 @@ def hits_integer(
                 .cast("bigint")
                 .alias("auth"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         h_raw = (
             a.join(e, a["node"] == e["dst"])
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("auth").alias("__s"))
+            .localCheckpoint(eager=False)  # 2 consumers: max + join
         )
         hm = h_raw.agg(F.max("__s").alias("__m"))
         h = (
@@ -249,9 +269,6 @@ def hits_integer(
                 .cast("bigint")
                 .alias("hub"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-    out = a.join(h, "node").select("node", "auth", "hub").localCheckpoint()
-    e.unpersist()
-    nodes.unpersist()
-    return out
+    return a.join(h, "node").select("node", "auth", "hub")

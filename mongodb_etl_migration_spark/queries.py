@@ -8932,8 +8932,17 @@ def g_pagerank_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact PageRank (3 rounds, fixed-point longs) → ids
     joined back to host names. The unrolled SQL oracle reproduces
     every rank bit-for-bit over the same analytic edge list. Per
-    round: one src + one dst shuffle; ranks node-sized."""
-    edges = _web_link_edges(spark, sf_dir).select("src_host", "dst_host")
+    round: one src + one dst shuffle; ranks node-sized. The parsed
+    edge list is lazily checkpointed: TWO derivations read it (the
+    PageRank edge set and the hosts name-join spine) and without the
+    pin each re-runs the whole HTML parse (regexp href extraction —
+    the duplicated-subtree disease; r14 before-plan showed the parse
+    twice in the final join alone)."""
+    edges = (
+        _web_link_edges(spark, sf_dir)
+        .select("src_host", "dst_host")
+        .localCheckpoint(eager=False)
+    )
 
     e = edges.select(
         _hid60(F.col("src_host")).alias("src"), _hid60(F.col("dst_host")).alias("dst")
@@ -8977,8 +8986,10 @@ def g_pagerank_web_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Still integer-exact end to end, so the weighted unrolled SQL
     oracle matches bit-for-bit. Same per-round shuffle shape as the
     unweighted query; duplicate (src,dst) edges pre-aggregate their
-    weights map-side."""
-    edges = _web_link_edges(spark, sf_dir)
+    weights map-side. Edge list lazily checkpointed — two
+    derivations (weighted edge set + hosts spine), one HTML parse
+    (g_pagerank_web's rationale)."""
+    edges = _web_link_edges(spark, sf_dir).localCheckpoint(eager=False)
 
     e = edges.select(
         _hid60(F.col("src_host")).alias("src"),
@@ -9022,8 +9033,14 @@ def g_hits_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     → host edge list (w_link_graph's parse path) → 60-bit md5 host
     ids → integer-exact HITS (graph.hits_integer, 3 max-renormalized
     rounds) → host names. Same bit-for-bit unrolled-SQL discipline as
-    g_pagerank_web; per round one src + one dst shuffle."""
-    edges = _web_link_edges(spark, sf_dir).select("src_host", "dst_host")
+    g_pagerank_web; per round one src + one dst shuffle. Edge list
+    lazily checkpointed — two derivations (HITS edge set + hosts
+    spine), one HTML parse (g_pagerank_web's rationale)."""
+    edges = (
+        _web_link_edges(spark, sf_dir)
+        .select("src_host", "dst_host")
+        .localCheckpoint(eager=False)
+    )
 
     e = edges.select(
         _hid60(F.col("src_host")).alias("src"), _hid60(F.col("dst_host")).alias("dst")

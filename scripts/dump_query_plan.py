@@ -24,7 +24,7 @@ def main() -> int:
         sf_dir, names = args[0], args[1:]
     else:
         sf_dir, names = "/root/testdata/sf0.1", args
-    out_dir = Path(__file__).resolve().parents[1] / "plans" / "r14"
+    out_dir = Path(__file__).resolve().parents[1] / "plans" / "r15"
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark(app_name="dump_query_plan")
     spark.sparkContext.setLogLevel("ERROR")

@@ -57,6 +57,17 @@ def main() -> int:
         except Exception:
             return 0
 
+    def job_count() -> int:
+        """Total jobs submitted so far — per-query deltas receipt the
+        collapsed per-round driver actions on loop-shaped operators."""
+        if not base:
+            return 0
+        try:
+            with urllib.request.urlopen(f"{base}/jobs", timeout=10) as r:
+                return len(json.load(r))
+        except Exception:
+            return 0
+
     for name in names:
         runs = []
         s0 = None
@@ -68,13 +79,16 @@ def main() -> int:
             if i == 0:
                 time.sleep(1.0)
                 s0 = shuffle_totals()
+                j0 = job_count()
             runs.append(round(sec, 3))
         time.sleep(1.0)
         s1 = shuffle_totals()
+        j1 = job_count()
         print(
             f"{name:30s} cold={runs[0]:7.3f} warm={runs[1:]} "
             f"min_warm={min(runs[1:]) if runs[1:] else None} "
-            f"shuffleB~={(s1 - s0) // max(1, warm)}"
+            f"shuffleB~={(s1 - s0) // max(1, warm)} "
+            f"jobs~={(j1 - j0) / max(1, warm):.1f}"
         )
     spark.stop()
     return 0
