@@ -3788,12 +3788,173 @@ def _gram_fold_sql(n: int) -> str:
     )
 
 
+_GOPHER_NS = tuple(
+    sorted(GOPHER_TOP_NGRAM_LIMITS) + sorted(GOPHER_DUP_NGRAM_LIMITS)
+)
+_GOPHER_FOLD_FIELDS = tuple(
+    f"{k}{n}" for n in _GOPHER_NS for k in ("t", "d")
+)
+_GOPHER_FOLD_TYPE = (
+    "struct<"
+    + ",".join(f"{f}:bigint" for f in _GOPHER_FOLD_FIELDS)
+    + ">"
+)
+
+
+def _gopher_fold_ref_row(toks) -> dict:
+    """Exact per-row Python mirror of the nine SQL gram folds
+    (``gram_run_stats(array_sort(ngrams_array(_, n)))``): top =
+    max count·len over distinct n-grams, dup = Σ (count−1)·len —
+    both are order-free aggregates, so a Counter reproduces the
+    sorted-run fold bit-for-bit (lengths are code points on both
+    sides; Python `len` == Spark `length`). NULL token elements are
+    SKIPPED inside a gram exactly like ``array_join(_, ' ')``; a
+    NULL array yields all zeros exactly like the SQL CASE guard.
+    This is the slow reference the vectorized batch kernel is tested
+    against, and the fallback for rows whose token arrays contain
+    NULL elements (regexp tokenizers never produce those)."""
+    from collections import Counter
+
+    out = {f: 0 for f in _GOPHER_FOLD_FIELDS}
+    if toks is None:
+        return out
+    ts = list(toks)
+    size = len(ts)
+    for n in _GOPHER_NS:
+        if size < n:
+            continue
+        cnt = Counter(
+            " ".join(t for t in ts[i : i + n] if t is not None)
+            for i in range(size - n + 1)
+        )
+        top = 0
+        dup = 0
+        for g, c in cnt.items():
+            lg = len(g)
+            if c * lg > top:
+                top = c * lg
+            if c > 1:
+                dup += (c - 1) * lg
+        out[f"t{n}"] = top
+        out[f"d{n}"] = dup
+    return out
+
+
+def _gopher_fold_batch(tok_col):
+    """Batch kernel for the nine Gopher gram folds: one
+    ``pyarrow.Array`` of ``list<string>`` in, one ``StructArray``
+    of 18 bigints (t2,d2,…,t10,d10) out — everything C-vectorized
+    (guide §4.2: hand whole batches to native code):
+
+    1. flatten the token lists, dictionary-encode tokens to int ids
+       (pyarrow), take per-token code-point lengths from the
+       dictionary;
+    2. per n: int-id n-gram windows via numpy sliding_window_view,
+       masked to windows that stay inside one row; group identical
+       (row, gram) windows with ONE np.unique over a void view
+       (byte-wise grouping of the id tuple — exact, no hashing);
+    3. gram char length = prefix-sum difference of token lengths
+       (+ n−1 joiner spaces — ids are null-free here, so every join
+       keeps all n tokens); top via np.maximum.at, dup via
+       np.add.at — integer-exact throughout (never float weights).
+
+    Rows whose lists contain NULL elements take the per-row
+    reference path (`_gopher_fold_ref_row`) and are excluded from
+    the vector pass; NULL lists yield zeros like the SQL guard."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    if isinstance(tok_col, pa.ChunkedArray):
+        tok_col = tok_col.combine_chunks()
+    rows = len(tok_col)
+    out = {
+        f: np.zeros(rows, dtype=np.int64) for f in _GOPHER_FOLD_FIELDS
+    }
+    if rows == 0:
+        return pa.StructArray.from_arrays(
+            [pa.array(out[f], type=pa.int64()) for f in _GOPHER_FOLD_FIELDS],
+            list(_GOPHER_FOLD_FIELDS),
+        )
+    counts = pc.list_value_length(tok_col).to_numpy(zero_copy_only=False)
+    counts = np.nan_to_num(counts, nan=0).astype(np.int64)
+    flat = tok_col.flatten()  # non-null rows' slices, in row order
+    row_of = np.repeat(np.arange(rows, dtype=np.int64), counts)
+    if flat.null_count:
+        # rare caller-supplied-array case: exact slow path per
+        # affected row, vector path for the rest
+        elem_null = pc.is_null(flat).to_numpy(zero_copy_only=False)
+        bad_rows = np.unique(row_of[elem_null])
+        for r in bad_rows:
+            ref = _gopher_fold_ref_row(tok_col[int(r)].as_py())
+            for f in _GOPHER_FOLD_FIELDS:
+                out[f][r] = ref[f]
+        keep = ~np.isin(row_of, bad_rows)
+        flat = flat.filter(pa.array(keep))
+        row_of = row_of[keep]
+    enc = pc.dictionary_encode(flat)
+    ids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+    dict_lens = pc.utf8_length(enc.dictionary).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    tok_len = dict_lens[ids] if len(ids) else np.zeros(0, dtype=np.int64)
+    cum = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(tok_len + 1, out=cum[1:])
+    for n in _GOPHER_NS:
+        m = len(ids) - n + 1
+        if m <= 0:
+            continue
+        w = sliding_window_view(ids, n)
+        valid = row_of[:m] == row_of[n - 1 :]
+        starts = np.nonzero(valid)[0]
+        if not len(starts):
+            continue
+        key = np.ascontiguousarray(
+            np.column_stack(
+                (row_of[starts].astype(np.int32), w[starts])
+            )
+        )
+        kv = key.view(f"V{key.shape[1] * 4}").ravel()
+        _, first_idx, counts_u = np.unique(
+            kv, return_index=True, return_counts=True
+        )
+        g_start = starts[first_idx]
+        glen = cum[g_start + n] - cum[g_start] - 1
+        urow = row_of[g_start]
+        np.maximum.at(out[f"t{n}"], urow, counts_u * glen)
+        np.add.at(out[f"d{n}"], urow, (counts_u - 1) * glen)
+    return pa.StructArray.from_arrays(
+        [pa.array(out[f], type=pa.int64()) for f in _GOPHER_FOLD_FIELDS],
+        list(_GOPHER_FOLD_FIELDS),
+    )
+
+
+def gopher_fold_arrow():
+    """The nine Gopher gram folds as ONE Arrow-vectorized UDF
+    (Spark 4.1 ``arrow_udf``): tokens array in, 18-field bigint
+    struct out, one ArrowEvalPython stage. Marked non-deterministic
+    so the optimizer never duplicates the call when downstream
+    projections each pick a field (guide §4.4). Byte-equality with
+    the SQL fold form is pinned by test_gopher_fold_arrow."""
+    import pyarrow as pa
+
+    def _folds(toks):
+        return _gopher_fold_batch(toks)
+
+    # real class objects, not strings: this module's `from __future__
+    # import annotations` would otherwise stringify the hints and
+    # arrow_udf's eval-type inference cannot resolve 'pa.Array'
+    _folds.__annotations__ = {"toks": pa.Array, "return": pa.Array}
+    return F.arrow_udf(_folds, _GOPHER_FOLD_TYPE).asNondeterministic()
+
 
 def with_gopher_repetition(
     df,
     text_col: str,
     toks_col: str | None = None,
     fan_out: bool | None = None,
+    engine: str = "arrow",
 ):
     """FULL Gopher §A1.1 repetition rule set (Rae et al. 2021) as a
     staged zero-shuffle transform — the complete family the dict-
@@ -3831,7 +3992,21 @@ def with_gopher_repetition(
     (many splits) the condition is false and the plan keeps ZERO
     exchanges. ``fan_out`` pins the gate explicitly (True/False) for
     host-independent plan receipts; None keeps the heuristic — see
-    ``cpu_fan_out``."""
+    ``cpu_fan_out``.
+
+    ``engine`` selects how the nine gram folds are evaluated:
+    ``"arrow"`` (default) runs them as ONE Arrow-vectorized UDF
+    (:func:`gopher_fold_arrow` — batch numpy/pyarrow kernel, one
+    ArrowEvalPython stage; r15: the folds were the largest
+    executor-CPU item in the headline bench at 13.2 s cpu_ms and
+    the codegen string-sort fold is the bottleneck, guide §4.2);
+    ``"sql"`` keeps the pure-codegen sorted-run folds (the
+    reference twin — byte-equality pinned by test_gopher_fold_arrow
+    across both engines). Every other column is codegen either way."""
+    if engine not in ("arrow", "sql"):
+        raise ValueError(
+            f"with_gopher_repetition engine must be arrow|sql, got {engine!r}"
+        )
     df = cpu_fan_out(df, fan_out)
     base = list(df.columns)
     toks = F.col(toks_col) if toks_col else tokens(text_col)
@@ -3845,18 +4020,35 @@ def with_gopher_repetition(
         ).alias("__grl"),
     )
     ns = sorted(GOPHER_TOP_NGRAM_LIMITS) + sorted(GOPHER_DUP_NGRAM_LIMITS)
-    s2 = s1.select(
-        *base,
+    line_cols = (
         F.size("__grl").alias("__nl"),
         F.size(F.array_distinct("__grl")).alias("__nd"),
         F.length(F.array_join("__grl", "")).alias("__ca"),
         F.length(F.array_join(F.array_distinct("__grl"), "")).alias("__cd"),
         F.length(F.array_join("__grt", " ")).alias("__tc"),
-        *(
-            F.expr(_gram_fold_sql(n)).alias(f"__rep{n}")
-            for n in ns
-        ),
     )
+    if engine == "arrow":
+        s2 = s1.select(
+            *base,
+            *line_cols,
+            gopher_fold_arrow()(F.col("__grt")).alias("__grf"),
+        )
+
+        def rep(n: int, field: str) -> Column:
+            return F.col("__grf")[f"{field[0]}{n}"]
+
+    else:
+        s2 = s1.select(
+            *base,
+            *line_cols,
+            *(
+                F.expr(_gram_fold_sql(n)).alias(f"__rep{n}")
+                for n in ns
+            ),
+        )
+
+        def rep(n: int, field: str) -> Column:
+            return F.col(f"__rep{n}")[field]
 
     def frac(num: Column, den: Column) -> Column:
         return F.when(den > 0, num / den.cast("double")).otherwise(
@@ -3872,19 +4064,19 @@ def with_gopher_repetition(
             "dup_line_char_frac"
         ),
         F.coalesce(
-            F.col("__rep2")["top"], F.lit(0).cast("long")
+            rep(2, "top"), F.lit(0).cast("long")
         ).alias("top_bigram_chars"),
     ]
     for n in sorted(GOPHER_TOP_NGRAM_LIMITS):
         out_cols.append(
             frac(
-                F.coalesce(F.col(f"__rep{n}")["top"], F.lit(0)), tc
+                F.coalesce(rep(n, "top"), F.lit(0)), tc
             ).alias(f"top_{n}gram_char_frac")
         )
     for n in sorted(GOPHER_DUP_NGRAM_LIMITS):
         out_cols.append(
             frac(
-                F.coalesce(F.col(f"__rep{n}")["dup"], F.lit(0)), tc
+                F.coalesce(rep(n, "dup"), F.lit(0)), tc
             ).alias(f"dup_{n}gram_char_frac")
         )
     s3 = s2.select(*base, *out_cols)

@@ -73,6 +73,12 @@ ARROW_OK = {
     "w_frontier_pipeline",   # gunzip_text (pandas UDF — Spark has no
                              # gunzip builtin) + the fixture's gzip
                              # writer; narrow, batch-bounded
+    "t_gopher_repetition",   # the nine gram folds as ONE Arrow-
+                             # vectorized UDF (gopher_fold_arrow,
+                             # r15): largest executor-CPU item in the
+                             # headline bench; numpy/pyarrow batch
+                             # kernel, byte-equality with the codegen
+                             # fold pinned by test_gopher_fold_arrow
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
