@@ -1788,19 +1788,20 @@ def bm25_topk(
     """
     _bm25_validate(k1_milli, b_milli)
     spark = df.sparkSession
-    # N is a count over the SOURCE frame: taken before the fan-out
-    # repartition below so the build-time count job never executes
-    # the fan-out exchange (row count is repartition-invariant; the
-    # exchange exists for the tokenize+explode leg only). Submitted
-    # async (guide §2.6) so the count job and the tf materialization
-    # below overlap instead of running back-to-back.
+    # N is a count over the SOURCE frame, submitted async (guide
+    # §2.6) so the count job and the tf materialization below overlap
+    # instead of running back-to-back.
     n_docs_join = count_async(df)
-    # tokenize+explode+partial-aggregate is CPU-bound per input byte,
-    # so an unsplittable single-row-group source would run it on one
-    # core — same gated fan-out rule (and rationale) as
-    # minhash_dedup_pairs / with_gopher_repetition; a many-split real
-    # corpus keeps the plan unchanged (heuristic false).
-    df = cpu_fan_out(df)
+    # NO fan-out here (r15): unlike the gopher/minhash scorers, the
+    # tokenize+explode leg is one cheap regexp pass per input byte,
+    # and a pinned equal-load A/B (same session, fan-out monkeypatched
+    # off, 3 interleaved cycles at sf0.1) showed the round-robin
+    # exchange LOSES: OFF [1.684,1.498,1.401,1.34,1.351,1.262] vs
+    # ON [2.201,1.901,1.654,1.539,1.477,1.345] — every cycle OFF < ON,
+    # +2.17 MB shuffle for nothing (the r14 verdict's open question,
+    # settled). The partial aggregation under the (doc, term) exchange
+    # already parallelizes the reduce side; per-split map CPU is scan-
+    # bound, so extra map parallelism buys nothing (guide §1.2 step 1).
     toks = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
     )
@@ -1818,7 +1819,18 @@ def bm25_topk(
     )
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    total = int(dl.agg(F.sum("dl")).collect()[0][0] or 0)
+    try:
+        total = int(dl.agg(F.sum("dl")).collect()[0][0] or 0)
+    except BaseException:
+        # never leak the count thread (non-daemon: an unjoined
+        # InheritableThread blocks interpreter shutdown and keeps
+        # its Spark job running) — join it, swallow its secondary
+        # error, re-raise the primary (ADVICE r14)
+        try:
+            n_docs_join()
+        except Exception:
+            pass
+        raise
     n_docs = n_docs_join()
     qdf = spark.createDataFrame(
         [(qid, t) for qid, terms in queries for t in terms],
@@ -1983,10 +1995,10 @@ def bm25_tf(df, id_col: str = "doc_id", text_col: str = "text"):
     union + re-sum exactly (the gram_count_index rule), after which
     :func:`postings_from_tf` re-derives the snapshot-wide dl/df
     windows and :func:`bm25_stats_merge` folds the 1-row stats. One
-    token explode + ONE (doc, term) exchange (plus the gated
-    cpu_fan_out repartition when the source has fewer splits than
-    cores — a no-op on a real many-split corpus)."""
-    df = cpu_fan_out(df)
+    token explode + ONE (doc, term) exchange — and nothing else: the
+    r15 pinned A/B on bm25_topk showed the gated fan-out loses for
+    this operator's cheap-per-byte tokenize leg (see bm25_topk), so
+    neither bm25 build path adds a repartition."""
     toks = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
     )
@@ -2102,7 +2114,14 @@ def bm25_index(
     # count submitted async so it overlaps the tf materialization the
     # T aggregate triggers (guide §2.6; same pattern as bm25_topk)
     n_docs_join = count_async(df)
-    total = int(tf.agg(F.sum("tf")).collect()[0][0] or 0)
+    try:
+        total = int(tf.agg(F.sum("tf")).collect()[0][0] or 0)
+    except BaseException:
+        try:  # never leak the count thread (see bm25_topk)
+            n_docs_join()
+        except Exception:
+            pass
+        raise
     n_docs = n_docs_join()
     # n_buckets rides IN the stats row: the probe's partition pruning
     # is only correct against the bucket count the postings were
