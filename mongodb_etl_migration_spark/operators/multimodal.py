@@ -3335,7 +3335,27 @@ def audio_neardup_against_index(
         .select(_fkey_bucket(F.col("fkey"), buckets), "fkey", "doc_id")
         .localCheckpoint(eager=False)  # 2 consumers: join + key counts
     )
+    # STATIC partition pruning of the index scan (r15): the bucket
+    # domain is bounded by the index's own ``buckets`` parameter, so
+    # collecting the batch's distinct kb values is a bounded driver
+    # action (≤ buckets rows) and the resulting isin() lands in the
+    # scan's PartitionFilters at plan time — at 100 TB the probe
+    # reads only the batch's bucket directories. DPP would not fire
+    # here: the checkpointed batch side is a LogicalRDD without
+    # stats, so the optimizer never speculates the broadcast-reuse
+    # prune (receipt: plans/r15/m_audio_neardup_probe_candplan.txt).
+    # The collect doubles as the bfp materializer (it was going to
+    # materialize at the join anyway). Values unchanged: the kb
+    # equi-join already restricts to exactly these buckets.
+    kbs = sorted(
+        r["kb"] for r in bfp.select("kb").distinct().collect()
+    )
     idx = spark.read.parquet(path)
+    idx = (
+        idx.filter(F.col("kb").isin(kbs))
+        if kbs
+        else idx.filter(F.lit(False))
+    )
     cand = (
         bfp.withColumnRenamed("doc_id", "id_new")
         .join(

@@ -2412,6 +2412,39 @@ def test_audio_neardup_persisted_index_probe(spark, tmp_path):
     assert a == b and len(a) >= 6  # per fam: v0 (appended), v1, v2
 
 
+def test_audio_probe_empty_batch_and_bucket_prune(spark, tmp_path):
+    """r15 static index prune: the probe collects the batch's distinct
+    kb values (bounded by the index's buckets parameter) and pushes a
+    static isin() into the index scan. Value-level pins: (a) an EMPTY
+    probe batch returns an empty frame (the isin([]) guard), (b) a
+    single-family batch — whose keys cover a strict subset of buckets,
+    so the prune actually removes partitions — probes identically to
+    the pre-prune semantics (cross pairs of the family only)."""
+    mm = _audio_family_mm(spark, 2).localCheckpoint(eager=False)
+    variant = F.expr("doc_id % 3")
+    hist = mm.filter(variant != 0)
+    path = str(tmp_path / "audiofp_prune")
+    M.write_audio_fp_index(
+        M.audio_fingerprint(hist, window=256), path, window=256
+    )
+    empty = mm.filter(F.lit(False))
+    assert (
+        M.audio_neardup_against_index(empty, path, min_shared=1).count()
+        == 0
+    )
+    one_fam = _audio_mm(
+        spark, {0: _pcm16_wav(_audio_family_samples(0, 0))}
+    )
+    got = {
+        (r.id_new, r.id_indexed): r.n_shared
+        for r in M.audio_neardup_against_index(
+            one_fam, path, min_shared=5, max_key_audios=3
+        ).collect()
+    }
+    # family 0's v0 matches its own v1/v2 (ids 1, 2) and nothing else
+    assert set(got) == {(0, 1), (0, 2)}
+
+
 def test_video_neardup_aligned_separates_trim_from_shuffle(spark):
     """The planted fixture bag-of-frames cannot separate: video 1 =
     frames a..f in order; video 2 = the TRIMMED copy (b..e, constant
