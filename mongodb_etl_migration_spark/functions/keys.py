@@ -94,6 +94,11 @@ def timeuuid_deterministic(
     """
     mid = F.col(mongo_id) if isinstance(mongo_id, str) else mongo_id
     ms = F.col(ts_millis) if isinstance(ts_millis, str) else ts_millis
+    # NaN guard (ADVICE r14): a double NaN would cast('long') to 0
+    # under non-ANSI Spark (a uuid at the 1582 epoch) while the Arrow
+    # twin returns NULL via pd.isna — align on NULL. Integral inputs
+    # pass through the double cast losslessly for the check only.
+    ms = F.when(~F.isnan(ms.cast("double")), ms)
     # 100-ns intervals since 1582-10-15 (RFC 4122 epoch offset).
     ts = ms.cast("long") * F.lit(10000) + F.lit(0x01B21DD213814000)
     time_low = ts.bitwiseAND(F.lit(0xFFFFFFFF))

@@ -353,7 +353,13 @@ def sft_tokens(
     becomes [pre ids] + encode(role) + [post ids] (the role is data
     and still BPE-encodes). Without it, behavior is unchanged —
     template text BPE-encodes like any text."""
-    from .text import _sql_str, gpt2_token_ids, gpt2_token_ids_sql, sql_int_array
+    from .text import (
+        _sql_str,
+        gpt2_token_ids,
+        gpt2_token_ids_sql,
+        sql_int_array,
+        sql_name_ok,
+    )
 
     tpl = resolve_template(template)
 
@@ -364,13 +370,14 @@ def sft_tokens(
     sfx_ids = const_ids(tpl.suffix)
     eos_ids = const_ids(tpl.eos)
 
-    if isinstance(turns, str):
+    if isinstance(turns, str) and sql_name_ok(turns):
         # One-parse SQL template (identical expression tree — pinned
         # value-equal to the Column form below by
         # tests/test_chat_sql_forms.py): the Column-API build of the
         # two per-turn encode chains cost ~4,400 py4j round-trips per
         # construction (r14 cProfile receipt; the pass-6/pass-12
-        # template device applied to the chat path).
+        # template device applied to the chat path). Dotted/backticked
+        # names fall through to the Column form (ADVICE r14).
         role_sql = "coalesce(__ct.role, '')"
         if special_ids:
             hdr = (

@@ -23,7 +23,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mongodb_etl_migration_spark.functions.scalars import stable_round
-from mongodb_etl_migration_spark.operators.text import lit_long_array
+from mongodb_etl_migration_spark.operators.text import (
+    lit_long_array,
+    sql_name_ok,
+)
 
 
 # --- SQL-template fast paths for the vector helpers -------------------
@@ -43,8 +46,18 @@ def _f8_sql(x: float) -> str:
     """Exact SQL double literal: repr() is the shortest round-tripping
     decimal and Java's parseDouble lands on the same IEEE-754 value;
     the D suffix makes the parser emit the same DoubleType Literal
-    node as ``F.lit(float)``."""
-    return f"{float(x)!r}D"
+    node as ``F.lit(float)``. Non-finite components take the CAST
+    spelling (repr's 'inf'/'nan' would not parse) so the SQL and
+    Column forms stay equivalent for pathological inputs (ADVICE
+    r14)."""
+    x = float(x)
+    if x != x:
+        return "cast('NaN' as double)"
+    if x == float("inf"):
+        return "cast('Infinity' as double)"
+    if x == float("-inf"):
+        return "cast('-Infinity' as double)"
+    return f"{x!r}D"
 
 
 def _vec_sql(name: str) -> str:
@@ -75,16 +88,25 @@ def norm_sql(a: str) -> str:
 
 
 def _dvec(c: Column | str) -> Column:
-    if isinstance(c, str):
+    if isinstance(c, str) and sql_name_ok(c):
         return F.expr(_vec_sql(c))
+    if isinstance(c, str):
+        c = F.col(c)  # dotted/backticked name: Column path (ADVICE r14)
     return F.transform(c, lambda x: x.cast("double"))
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
     """Dot product of two array<double> columns. Column names take the
     one-parse SQL path; Column objects keep the HOF-builder form."""
-    if isinstance(a, str) and isinstance(b, str):
+    if (
+        isinstance(a, str)
+        and isinstance(b, str)
+        and sql_name_ok(a)
+        and sql_name_ok(b)
+    ):
         return F.expr(dot_sql(f"`{a}`", f"`{b}`"))
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -92,8 +114,10 @@ def dot(a: Column | str, b: Column | str) -> Column:
 
 def norm(a: Column | str) -> Column:
     """L2 norm of an array<double> column (name → one-parse SQL path)."""
-    if isinstance(a, str):
+    if isinstance(a, str) and sql_name_ok(a):
         return F.expr(norm_sql(f"`{a}`"))
+    if isinstance(a, str):
+        a = F.col(a)  # dotted/backticked name: Column path (ADVICE r14)
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
     )
@@ -148,7 +172,7 @@ def hyperplane_bucket(
     concatenated ('110…'). Deterministic given the planes. A column
     NAME takes the one-parse SQL template (CASE WHEN == the Column
     form's F.when; see the fast-path note above :func:`_f8_sql`)."""
-    if isinstance(vec_col, str):
+    if isinstance(vec_col, str) and sql_name_ok(vec_col):
         v = _vec_sql(vec_col)
         bits = ",".join(
             f"case when {dot_sql(v, lit_vec_sql(p))} >= 0 "
@@ -156,6 +180,8 @@ def hyperplane_bucket(
             for p in planes
         )
         return F.expr(f"concat({bits})")
+    if isinstance(vec_col, str):
+        vec_col = F.col(vec_col)  # dotted/backticked: Column path
     v = _dvec(vec_col)
     bits = [
         F.when(dot(v, lit_vec(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))

@@ -3206,10 +3206,54 @@ def gpt2_pretokenize(c: Column | str) -> Column:
 # Equivalence with the Column forms is pinned by
 # tests/test_chat_sql_forms.py (adversarial texts + both templates).
 
+def sql_name_ok(name: str) -> bool:
+    """True when a column NAME may be interpolated into a SQL template
+    as ``\\`name\\``` — simple top-level names only. A dotted name
+    resolves as a nested-field reference under ``F.col`` but as a
+    literal backticked column in SQL, and an embedded backtick breaks
+    the parse outright; such names fall back to the Column-builder
+    path at every string-name fast-path site (ADVICE r14)."""
+    return "." not in name and "`" not in name
+
+
+_ESCAPE_CONF_CHECKED: set[str] = set()
+
+
+def _assert_default_escaping() -> None:
+    """The SQL templates built on :func:`_sql_str` are only correct
+    under the default ``spark.sql.parser.escapedStringLiterals=false``
+    — under the legacy conf every templated literal silently changes
+    value while the Column twins keep working. Checked ONCE per
+    application (one conf round-trip), loudly (ADVICE r14)."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        return
+    key = s.sparkContext.applicationId
+    if key in _ESCAPE_CONF_CHECKED:
+        return
+    if (
+        s.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        .lower()
+        == "true"
+    ):
+        raise ValueError(
+            "spark.sql.parser.escapedStringLiterals=true: the SQL-"
+            "templated literal fast paths (GPT-2 merges, vector "
+            "planes, gram folds) would silently mis-escape under the "
+            "legacy parser — disable the conf or use the Column forms"
+        )
+    _ESCAPE_CONF_CHECKED.add(key)
+
+
 def _sql_str(s: str) -> str:
     """SQL string literal under the default escape-processing parser:
     backslash/quote/control characters escaped, everything else (incl.
-    the GPT-2 alphabet's non-ASCII codepoints) passes through raw."""
+    the GPT-2 alphabet's non-ASCII codepoints) passes through raw.
+    Raises if the session runs the legacy escaping parser
+    (:func:`_assert_default_escaping`)."""
+    _assert_default_escaping()
     out = (
         s.replace("\\", "\\\\")
         .replace("'", "\\'")
@@ -3297,8 +3341,10 @@ def gpt2_encoded(
     away — so the join is unambiguous). A column NAME takes the
     one-parse SQL template (identical tree; see the builders above);
     Column inputs keep the builder form."""
-    if isinstance(c, str):
+    if isinstance(c, str) and sql_name_ok(c):
         return F.expr(gpt2_encoded_sql(f"`{c}`", merges))
+    if isinstance(c, str):
+        c = F.col(c)  # dotted/backticked name: Column path (ADVICE r14)
     pretoks = gpt2_pretokenize(c)
     mapped = F.transform(
         pretoks, lambda t: F.translate(t, " \t\n", "ĠĉĊ")
@@ -3422,8 +3468,10 @@ def gpt2_token_ids(
     see the builders below gpt2_pretokenize); Column inputs keep the
     builder form.
     """
-    if isinstance(c, str):
+    if isinstance(c, str) and sql_name_ok(c):
         return F.expr(gpt2_token_ids_sql(f"`{c}`", merges))
+    if isinstance(c, str):
+        c = F.col(c)  # dotted/backticked name: Column path (ADVICE r14)
     vocab = gpt2_vocab(merges)
     syms = list(vocab)
     id_map = F.map_from_arrays(

@@ -103,3 +103,44 @@ def test_sft_tokens_sql_matches_column_form(conv_df, template, use_special):
     ).collect()
     for r in rows:
         assert r["s"] == r["c"]
+
+
+def test_sql_templates_refuse_legacy_escaping(spark):
+    """ADVICE r14: under spark.sql.parser.escapedStringLiterals=true
+    every _sql_str-templated literal silently changes value while the
+    Column twins keep working — the builders must fail loudly."""
+    import pytest
+
+    from mongodb_etl_migration_spark.operators import text as T
+
+    T._ESCAPE_CONF_CHECKED.clear()
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        with pytest.raises(ValueError, match="escapedStringLiterals"):
+            T._sql_str("a\\b")
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+        T._ESCAPE_CONF_CHECKED.clear()
+    assert T._sql_str("a'b") == "'a\\'b'"
+
+
+def test_gpt2_dotted_name_falls_back_to_column_path(spark):
+    """ADVICE r14: gpt2_encoded/gpt2_token_ids with a dotted name must
+    resolve nested fields like F.col, not a literal backticked column."""
+    from mongodb_etl_migration_spark.operators.text import (
+        gpt2_encoded,
+        gpt2_token_ids,
+    )
+
+    merges = [("h", "e"), ("he", "l")]
+    df = spark.createDataFrame(
+        [(1, ("hello",))], "id int, s struct<txt:string>"
+    )
+    out = df.select(
+        gpt2_encoded("s.txt", merges).alias("e"),
+        gpt2_encoded(F.col("s.txt"), merges).alias("e_c"),
+        gpt2_token_ids("s.txt", merges).alias("i"),
+        gpt2_token_ids(F.col("s.txt"), merges).alias("i_c"),
+    ).collect()[0]
+    assert out["e"] == out["e_c"]
+    assert out["i"] == out["i_c"]

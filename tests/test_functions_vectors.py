@@ -99,6 +99,26 @@ def test_uuid_column_forms_match_arrow_twins(spark):
     ).collect():
         assert r["col_form"] == r["arrow_form"]
 
+    # double ts_millis with NaN (ADVICE r14): the twin returns NULL via
+    # pd.isna; the Column form must too (cast('long') would give 0)
+    nan_rows = [
+        ("nan", float("nan")),
+        ("ok", 1_600_000_000_000.0),
+        ("zero", 0.0),
+        (None, float("nan")),
+    ]
+    df3 = spark.createDataFrame(nan_rows, "mongo_id string, ms double")
+    for r in df3.select(
+        F.col("mongo_id"),
+        timeuuid_deterministic(F.col("mongo_id"), F.col("ms")).alias(
+            "col_form"
+        ),
+        timeuuid_deterministic_arrow(F.col("mongo_id"), F.col("ms")).alias(
+            "arrow_form"
+        ),
+    ).collect():
+        assert r["col_form"] == r["arrow_form"], r["mongo_id"]
+
 
 def test_timeuuid_properties(spark):
     rows = [(f"{i:024x}", 1_600_000_000_000 + i * 1000) for i in range(20)]

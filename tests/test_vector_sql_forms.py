@@ -100,3 +100,51 @@ def test_hyperplane_bucket_sql_matches_column_form(vec_df):
             hyperplane_bucket(F.col("a"), PLANES),
         )
     )
+
+
+def test_dotted_names_fall_back_to_column_path(spark):
+    """ADVICE r14: a name containing '.' previously resolved as a
+    nested-field reference under F.col but the SQL fast path turned
+    it into a literal backticked column — the helpers must route
+    non-simple names through the Column builders."""
+    from mongodb_etl_migration_spark.operators.similarity import dot, norm
+
+    df = spark.createDataFrame(
+        [(1, ([1.0, 2.0], [3.0, 4.0]))],
+        "id int, s struct<vec:array<double>, w:array<double>>",
+    )
+    out = df.select(
+        dot("s.vec", "s.w").alias("d"),
+        norm("s.vec").alias("n"),
+        _dvec("s.vec").alias("v"),
+        hyperplane_bucket("s.vec", PLANES).alias("b"),
+        dot(F.col("s.vec"), F.col("s.w")).alias("d_c"),
+        norm(F.col("s.vec")).alias("n_c"),
+        hyperplane_bucket(F.col("s.vec"), PLANES).alias("b_c"),
+    ).collect()[0]
+    assert out["d"] == out["d_c"] == 11.0
+    assert out["n"] == out["n_c"]
+    assert out["v"] == [1.0, 2.0]
+    assert out["b"] == out["b_c"]
+
+
+def test_nonfinite_plane_literals_match_column_form(spark):
+    """ADVICE r14: repr() spells non-finite floats 'inf'/'nan', which
+    the SQL parser rejects — _f8_sql must emit the CAST spelling so
+    both forms build AND agree."""
+    import math
+
+    from mongodb_etl_migration_spark.operators.similarity import (
+        _f8_sql,
+        lit_vec,
+        lit_vec_sql,
+    )
+
+    assert _f8_sql(float("inf")) == "cast('Infinity' as double)"
+    assert _f8_sql(float("-inf")) == "cast('-Infinity' as double)"
+    assert _f8_sql(float("nan")) == "cast('NaN' as double)"
+    v = [1.5, float("inf"), float("-inf"), float("nan")]
+    got_sql = spark.sql(f"select {lit_vec_sql(v)} as v").collect()[0]["v"]
+    got_col = spark.range(1).select(lit_vec(v).alias("v")).collect()[0]["v"]
+    assert got_sql[:3] == got_col[:3] == [1.5, math.inf, -math.inf]
+    assert math.isnan(got_sql[3]) and math.isnan(got_col[3])
