@@ -45,6 +45,11 @@ from pyspark.sql import functions as F
 from mongodb_etl_migration_spark.operators.text import lit_int_array
 
 TURN_STRUCT = "array<struct<turn_idx:int,role:string,content:string>>"
+
+#: Roles whose header encode constant-folds to a literal id array in
+#: sft_tokens ('' is the NULL-role coalesce target). Any role outside
+#: this set takes the dynamic per-turn encode chain — values identical.
+_FOLDED_ROLES = ("", "assistant", "system", "user")
 SPAN_STRUCT = "array<struct<turn_idx:int,span_start:bigint,span_end:bigint>>"
 TOKSPAN_STRUCT = (
     "array<struct<turn_idx:int,tok_start:bigint,tok_end:bigint>>"
@@ -379,18 +384,45 @@ def sft_tokens(
         # template device applied to the chat path). Dotted/backticked
         # names fall through to the Column form (ADVICE r14).
         role_sql = "coalesce(__ct.role, '')"
+        # Header-encode CONSTANT FOLD (r15): real corpora have ~3
+        # distinct roles, yet the dynamic form re-runs the whole
+        # merge chain (|merges| × 4 replace passes) on
+        # pre_role+role+post_role for EVERY turn — at sf0.1 the
+        # header was ~40% of c_sft's per-turn encode CPU. The known
+        # roles fold to literal id arrays via the SAME driver-side
+        # exact encoder already trusted for bos/suffix/eos
+        # (_encode_constant — reference==chain is property-tested);
+        # any other role takes the unchanged dynamic chain through
+        # the CASE's else, so values are identical for ALL inputs.
         if special_ids:
-            hdr = (
-                f"concat({sql_int_array(const_ids(tpl.pre_role))}, "
+            pre_ids = const_ids(tpl.pre_role)
+            post_ids = const_ids(tpl.post_role)
+            hdr_dyn = (
+                f"concat({sql_int_array(pre_ids)}, "
                 f"{gpt2_token_ids_sql(role_sql, merges)}, "
-                f"{sql_int_array(const_ids(tpl.post_role))})"
+                f"{sql_int_array(post_ids)})"
             )
+            # role is DATA: plain BPE (no special scan), like the
+            # dynamic gpt2_token_ids it replaces
+            hdr_folds = {
+                r: pre_ids + _encode_constant(r, merges, None) + post_ids
+                for r in _FOLDED_ROLES
+            }
         else:
-            hdr = gpt2_token_ids_sql(
+            hdr_dyn = gpt2_token_ids_sql(
                 f"concat({_sql_str(tpl.pre_role)}, "
                 f"{role_sql}, {_sql_str(tpl.post_role)})",
                 merges,
             )
+            hdr_folds = {
+                r: const_ids(tpl.pre_role + r + tpl.post_role)
+                for r in _FOLDED_ROLES
+            }
+        whens = " ".join(
+            f"when {_sql_str(r)} then {sql_int_array(ids)}"
+            for r, ids in hdr_folds.items()
+        )
+        hdr = f"(case {role_sql} {whens} else {hdr_dyn} end)"
         cnt = gpt2_token_ids_sql("coalesce(__ct.content, '')", merges)
         enc_sql = (
             f"transform(`{turns}`, __ct -> named_struct("
@@ -425,10 +457,16 @@ def sft_tokens(
         )
 
     t = turns
+    # same header-role constant fold as the SQL branch above (the two
+    # forms stay expression-equal — pinned by test_chat_sql_forms)
     if special_ids:
         pre_ids, post_ids = const_ids(tpl.pre_role), const_ids(tpl.post_role)
+        c_folds = {
+            r: pre_ids + _encode_constant(r, merges, None) + post_ids
+            for r in _FOLDED_ROLES
+        }
 
-        def hdr_of(x: Column) -> Column:
+        def hdr_dyn_of(x: Column) -> Column:
             return F.concat(
                 _lit_int_array(pre_ids),
                 gpt2_token_ids(F.coalesce(x["role"], F.lit("")), merges),
@@ -436,8 +474,12 @@ def sft_tokens(
             )
 
     else:
+        c_folds = {
+            r: const_ids(tpl.pre_role + r + tpl.post_role)
+            for r in _FOLDED_ROLES
+        }
 
-        def hdr_of(x: Column) -> Column:
+        def hdr_dyn_of(x: Column) -> Column:
             return gpt2_token_ids(
                 F.concat(
                     F.lit(tpl.pre_role),
@@ -446,6 +488,14 @@ def sft_tokens(
                 ),
                 merges,
             )
+
+    def hdr_of(x: Column) -> Column:
+        role = F.coalesce(x["role"], F.lit(""))
+        folded = list(c_folds.items())
+        c = F.when(role == F.lit(folded[0][0]), _lit_int_array(folded[0][1]))
+        for r, ids in folded[1:]:
+            c = c.when(role == F.lit(r), _lit_int_array(ids))
+        return c.otherwise(hdr_dyn_of(x))
 
     enc = F.transform(
         t,
