@@ -600,6 +600,33 @@ def _quantize(vec_col: Column | str, scale: int) -> Column:
     )
 
 
+def _pq_best_sql(sub: str, book: list[list[int]]) -> str:
+    """ONE-parse SQL mirror of the per-subspace PQ argmin the Column
+    form builds in :func:`pq_encode` / :func:`ivf_pq_topk`:
+    ``array_min`` over per-centroid ``(d2, code)`` structs, d2 the
+    integer squared distance of the subvector fragment ``sub``
+    against each centroid's literal array. The Column build cost
+    ~3 py4j round-trips per centroid ELEMENT plus the HOF builders'
+    chatter — m·k·dsub = 1,024 literals for the catalog's 8×16×8
+    books, ~4 s of pure construction per PQ query (r15 time_query
+    receipt: sim_pq_encode 4.5 s warm, 1 job, zero shuffle — all
+    build). Same tree, one parse. Value-equality pinned by
+    test_pq_sql_form_matches_column_form and the PQ oracles."""
+    from mongodb_etl_migration_spark.operators.text import (
+        sql_bigint_array,
+    )
+
+    structs = ",".join(
+        "named_struct('d2', aggregate(zip_with("
+        f"{sub}, {sql_bigint_array(cvec)}, "
+        "(__pa, __pb) -> (__pa - __pb) * (__pa - __pb)), "
+        "CAST(0 AS BIGINT), (__pc, __px) -> __pc + __px), "
+        f"'code', CAST({c} AS INT))"
+        for c, cvec in enumerate(book)
+    )
+    return f"array_min(array({structs}))"
+
+
 def _centroid_dists(
     xq_col: Column, centroids: Sequence[tuple[int, Sequence[int]]]
 ) -> Column:
@@ -1036,33 +1063,18 @@ def pq_encode(
         ],
     )
 
-    def dist_structs(s: int) -> Column:
-        sub = F.col(f"__s{s}")
-        return F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            sub,
-                            F.array(
-                                *[F.lit(int(v)).cast("long") for v in cvec]
-                            ),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    ).alias("d2"),
-                    F.lit(c).cast("int").alias("code"),
-                )
-                for c, cvec in enumerate(codebooks[s])
-            ]
-        )
-
     # per-subspace best struct materialized once: "code" and "d2" are
-    # both read below, and array_min's argument tree is non-cheap
+    # both read below, and array_min's argument tree is non-cheap.
+    # One-parse SQL form (see _pq_best_sql) — the per-element-literal
+    # Column build dominated this operator's wall at every SF.
     p3 = p2.select(
         F.col(id_col),
-        *[F.array_min(dist_structs(s)).alias(f"__b{s}") for s in range(m)],
+        *[
+            F.expr(_pq_best_sql(f"`__s{s}`", codebooks[s])).alias(
+                f"__b{s}"
+            )
+            for s in range(m)
+        ],
     )
     total = F.col("__b0.d2")
     for s in range(1, m):
@@ -1244,33 +1256,14 @@ def ivf_pq_topk(
         ],
     )
 
-    def dist_structs(s: int) -> Column:
-        sub = F.col(f"__s{s}")
-        return F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            sub,
-                            F.array(
-                                *[F.lit(int(v)).cast("long") for v in cvec]
-                            ),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    ).alias("d2"),
-                    F.lit(c).cast("int").alias("code"),
-                )
-                for c, cvec in enumerate(codebooks[s])
-            ]
-        )
-
+    # one-parse SQL argmin per subspace (see _pq_best_sql)
     p5 = p4.select(
         F.col(id_col),
         F.col("assigned"),
         *[
-            F.array_min(dist_structs(s))["code"].alias(f"__c{s}")
+            F.expr(
+                f"({_pq_best_sql(f'`__s{s}`', codebooks[s])}).code"
+            ).alias(f"__c{s}")
             for s in range(m)
         ],
     )

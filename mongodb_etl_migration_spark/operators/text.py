@@ -3273,6 +3273,16 @@ def sql_int_array(vals) -> str:
     return "array(" + ",".join(str(int(v)) for v in vals) + ")"
 
 
+def sql_bigint_array(vals) -> str:
+    """SQL fragment: array<bigint> literal (L-suffixed elements — the
+    same BIGINT Literal nodes ``F.lit(int).cast('long')`` builds,
+    one parse instead of ~3 py4j round-trips per element)."""
+    vals = list(vals)
+    if not vals:
+        return "cast(array() as array<bigint>)"
+    return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+
 def bpe_encoded_word_sql(
     inp: str, merges: list[tuple[str, str]] | None = None
 ) -> str:

@@ -148,3 +148,68 @@ def test_nonfinite_plane_literals_match_column_form(spark):
     got_col = spark.range(1).select(lit_vec(v).alias("v")).collect()[0]["v"]
     assert got_sql[:3] == got_col[:3] == [1.5, math.inf, -math.inf]
     assert math.isnan(got_sql[3]) and math.isnan(got_col[3])
+
+
+def test_pq_sql_form_matches_column_form(spark):
+    """r15: pq_encode/ivf_pq_topk build their per-subspace argmin as
+    ONE parsed SQL expression (_pq_best_sql) instead of per-element
+    F.lit Column chatter (~4 s construction per PQ query). The SQL
+    form must stay value-equal to the original Column tree — pinned
+    here over md5-derived subvectors incl. tie shapes (equal d2 →
+    smaller code wins via struct ordering)."""
+    import hashlib
+
+    from mongodb_etl_migration_spark.operators.similarity import (
+        _pq_best_sql,
+    )
+
+    def h(s, lo, hi):
+        v = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+        return v % (hi - lo) + lo
+
+    book = [
+        [h(f"b{c}:{e}", -50, 50) for e in range(4)] for c in range(6)
+    ]
+    book[3] = list(book[1])  # duplicate centroid: forced d2 tie
+    rows = [
+        (i, [h(f"v{i}:{e}", -50, 50) for e in range(4)]) for i in range(40)
+    ] + [(100, list(book[1])), (101, [0, 0, 0, 0])]
+    df = spark.createDataFrame(rows, "id int, sub array<bigint>")
+
+    def column_form(sub):
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                sub,
+                                F.array(
+                                    *[
+                                        F.lit(int(v)).cast("long")
+                                        for v in cvec
+                                    ]
+                                ),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x,
+                        ).alias("d2"),
+                        F.lit(c).cast("int").alias("code"),
+                    )
+                    for c, cvec in enumerate(book)
+                ]
+            )
+        )
+
+    out = df.select(
+        F.expr(_pq_best_sql("`sub`", book)).alias("s"),
+        column_form(F.col("sub")).alias("c"),
+    ).collect()
+    for r in out:
+        assert r["s"] == r["c"]
+    # the duplicated centroid's tie resolves to the smaller code
+    tie = df.filter("id = 100").select(
+        F.expr(_pq_best_sql("`sub`", book)).alias("s")
+    ).collect()[0]["s"]
+    assert tie["code"] == 1 and tie["d2"] == 0
