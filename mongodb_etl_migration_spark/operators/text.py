@@ -3224,15 +3224,19 @@ def _assert_default_escaping() -> None:
     under the default ``spark.sql.parser.escapedStringLiterals=false``
     — under the legacy conf every templated literal silently changes
     value while the Column twins keep working. Checked ONCE per
-    application (one conf round-trip), loudly (ADVICE r14)."""
+    process (ADVICE r14), loudly. The empty-set fast path matters:
+    ``getActiveSession`` is a ~0.5 ms py4j round-trip and _sql_str
+    runs per template LITERAL — probing the JVM before the memo
+    would re-create the construction-cost disease the templates
+    exist to fix (measured: +0.7 ms/literal)."""
+    if _ESCAPE_CONF_CHECKED:
+        return
     from pyspark.sql import SparkSession
 
     s = SparkSession.getActiveSession()
     if s is None:
         return
     key = s.sparkContext.applicationId
-    if key in _ESCAPE_CONF_CHECKED:
-        return
     if (
         s.conf.get("spark.sql.parser.escapedStringLiterals", "false")
         .lower()
